@@ -1,0 +1,132 @@
+"""Text-analysis scalars for large-scale training-data pipelines.
+
+Beyond the reference surface (BASELINE.json north star): tokenization,
+n-gram shingles, token counting (whitespace + BPE-ish regex), quality
+features, n-gram-heuristic language ID scores, and document fingerprints.
+
+Everything is a Column expression over ``pyspark.sql.functions`` — scan
+co-located, shuffle-free, whole-stage-codegen.  Hashes are md5-derived so
+they are portable across engines (the DuckDB oracle computes the identical
+value), unlike ``F.hash``/``F.xxhash64`` whose algorithms differ per engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: BPE-ish lexer: letter runs, digit runs, single non-alnum-non-space marks.
+BPEISH_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "und", "das"),
+    "fr": ("le", "et", "les"),
+}
+
+
+def tokens_ws(text: Column) -> Column:
+    """Whitespace tokenization; empty/blank input → empty array (Spark's
+    split of '' yields [''], which we filter)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_ws(text)).cast("bigint")
+
+
+def token_count_bpeish(text: Column) -> Column:
+    """BPE-ish token count: letter runs + digit runs + punctuation marks,
+    the standard cheap proxy for LLM token budgeting."""
+    return F.regexp_count(text, F.lit(BPEISH_TOKEN_RE)).cast("bigint")
+
+
+def ngrams(tokens: Column, n: int, sep: str = " ") -> Column:
+    """Word n-gram shingles: array of ``n``-token substrings in order.
+    ``size < n`` → empty array."""
+    count = F.size(tokens) - F.lit(n - 1)
+    return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+            lambda i: F.concat_ws(sep, F.slice(tokens, i, n)),
+        )
+    )
+
+
+def punct_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(r"[^A-Za-z0-9\s]")).cast("bigint")
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Document quality signals (length / punctuation / stopword ratios),
+    the usual pre-training filter inputs.  Ratios are double divisions of
+    exact integer counts — deterministic across engines."""
+    toks = tokens_ws(text)
+    n_chars = F.length(text).cast("bigint")
+    n_tokens = F.size(toks).cast("bigint")
+    n_punct = punct_count(text)
+    stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, F.lower(t)))).cast(
+        "bigint"
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": F.when(n_tokens > 0, (n_chars - n_tokens + 1) / n_tokens),
+        "punct_ratio": F.when(n_chars > 0, n_punct / n_chars),
+        "stopword_ratio": F.when(n_tokens > 0, n_stop / n_tokens),
+    }
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    """Marker-word hit count per language (whole-word regex).  The argmax
+    over these is the cheap language-ID heuristic; see
+    operators/text_ops.py."""
+    return {
+        lang: sum(
+            (
+                F.regexp_count(F.lower(text), F.lit(rf"\b{w}\b")).cast("bigint")
+                for w in words
+            ),
+            F.lit(0).cast("bigint"),
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def md5_hash64(col: Column) -> Column:
+    """Portable 60-bit integer hash: first 15 hex digits of md5.
+
+    Chosen over ``xxhash64``/``F.hash`` because the value is reproducible
+    in any engine with an md5 function (DuckDB oracle:
+    ``CAST('0x' || substr(md5(x),1,15) AS BIGINT)``).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+#: Rolling-hash parameters.  MOD = 2^40 keeps every intermediate under
+#: 2^61 (acc < 2^40, acc·MULT < 2^60, + reduced hash < 2^40) — no bigint
+#: overflow in any engine, so the fold is portable to strict-overflow
+#: engines like the DuckDB oracle.
+FINGERPRINT_MULT = 1048573
+FINGERPRINT_MOD = 1 << 40
+
+
+def doc_fingerprint(text: Column, n: int = 3) -> Column:
+    """Order-sensitive document fingerprint: left-fold rolling hash over
+    n-gram shingle hashes — ``h = (h·1048573 + shingle_hash) mod 2^40``.
+
+    A content fingerprint that, unlike a raw md5 of the text, can be
+    computed incrementally and compared shingle-wise; the fold is
+    sequential (``F.aggregate``) so the result is deterministic.
+    """
+    sh = ngrams(tokens_ws(text), n)
+    hashes = F.transform(sh, lambda s: md5_hash64(s) % F.lit(FINGERPRINT_MOD))
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * F.lit(FINGERPRINT_MULT) + h) % F.lit(FINGERPRINT_MOD),
+    )

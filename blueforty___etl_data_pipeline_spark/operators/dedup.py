@@ -1,0 +1,249 @@
+"""Deduplication operators over document tables (north-star extension;
+BASELINE.json).
+
+Four families, in increasing fuzziness:
+
+- exact:          md5-keyed groupBy — one shuffle on the content hash.
+- n-gram Jaccard: exact set-similarity via shingle explode + equi-join.
+- MinHash + LSH:  shingle → per-doc signature (scan-local array math, NO
+                  explode) → band buckets → bucket equi-join.  The scale
+                  path: candidate generation never compares all pairs.
+- SimHash:        64-bit (here 60-bit) sign-fingerprint; near-dups differ
+                  in few bits.
+
+All hashes derive from md5 (functions/text.md5_hash64) so results are
+engine-portable and verifiable against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_hash64, ngrams, tokens_ws
+
+#: Mersenne prime 2^31-1 — modulus for the universal-hash family.
+MERSENNE31 = 2147483647
+
+
+def _hash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_k(x) = (a·x + b) mod p — a fixed
+    LCG seeds the family so signatures are stable across runs/engines."""
+    params = []
+    state = 88172645463325252  # fixed seed (xorshift64 state)
+    for _ in range(num_hashes):
+        state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
+        state ^= state >> 7
+        state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
+        a = state % (MERSENNE31 - 1) + 1
+        state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
+        state ^= state >> 7
+        state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
+        b = state % MERSENNE31
+        params.append((a, b))
+    return params
+
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate clusters: md5(content) → (hash, canonical id, count).
+    One partial-aggregated shuffle keyed on the hash; at 100 TB this is the
+    cheapest possible full-corpus dedup."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id row per distinct content (deterministic
+    canonicalization, unlike dropDuplicates which keeps an arbitrary row)."""
+    canon = exact_dup_groups(df, text_col, id_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    return df.join(canon, on=id_col, how="inner")
+
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Distinct word-n-gram shingle hashes for one document — the MinHash
+    input set.  Array expression: no explode, no shuffle."""
+    return F.array_distinct(F.transform(ngrams(tokens_ws(text), n), md5_hash64))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """Per-document MinHash signature as ``array<bigint>`` of length
+    ``num_hashes``.
+
+    Everything is per-row array math (transform + array_min), so signature
+    computation is embarrassingly parallel and shuffle-free — the property
+    that makes MinHash viable on a 100 TB corpus.  Empty docs get an empty
+    signature (filtered before LSH).
+    """
+    params = _hash_params(num_hashes)
+    base = shingle_hashes(F.col(text_col), n)
+    # h mod p once, then each h_k is (a·x + b) mod p with x < 2^31 —
+    # products stay under 2^62, no bigint overflow.
+    reduced = F.transform(base, lambda h: h % F.lit(MERSENNE31))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    reduced,
+                    lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MERSENNE31),
+                )
+            )
+            for a, b in params
+        ]
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(F.size(base) > 0, sig).alias("minhash_sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """LSH candidate pairs: split each signature into ``bands`` bands of
+    ``num_hashes/bands`` rows, hash each band to a bucket key, explode to
+    (band, bucket) rows, and self-equi-join on the bucket.
+
+    Scale shape: the explode adds only ``bands`` rows per doc; the join is
+    a hash join on (band, bucket) — candidates are generated per bucket,
+    never all-pairs.  Giant buckets (degenerate content) are the skew
+    risk; AQE skew-join handles moderate cases, and a bucket-size cap can
+    be layered on for adversarial corpora.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes).filter(
+        F.col("minhash_sig").isNotNull()
+    )
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("minhash_sig"), b * rows + 1, rows),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs.
+
+    Explode distinct shingles, self-join on the shingle hash, count common
+    shingles per pair, Jaccard = |∩| / (|A|+|B|-|∩|).  Quadratic in the
+    worst case — this is the ground-truth/verification operator; MinHash
+    LSH above is the scale path.  Jaccard is a ratio of exact integers, so
+    thresholding is engine-deterministic.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingle_hashes(F.col(text_col), n)).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            on=[
+                F.col("a.sh") == F.col("b.sh"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(text: Column, n_bits: int = 60) -> Column:
+    """SimHash fingerprint: per-token 60-bit hashes vote on each bit
+    position; the sign of each bit's balance forms the fingerprint.
+    Near-duplicate texts differ in O(few) bits (compare via
+    bit_count(a XOR b)).  Pure array math per row."""
+    hashes = F.transform(tokens_ws(text), md5_hash64)
+    pow2 = F.array(*[F.lit(1 << i) for i in range(n_bits)])
+
+    def bit_balance(i: Column) -> Column:
+        p2 = F.element_at(pow2, i)
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(p2) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(n_bits)),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc
+        + F.when(bit_balance(i) > 0, F.element_at(pow2, i)).otherwise(F.lit(0)),
+    )

@@ -1,0 +1,122 @@
+"""Multimodal (image/audio/video) column plumbing (north-star extension).
+
+Media are opaque ``binary`` columns plus a typed metadata struct; the
+Spark-side contract — schema, Arrow batching, ``mapInPandas`` signatures,
+partition sizing — is real and tested.  The actual codec step is STUBBED
+(this container has no image/audio libraries): ``decode_image_stub``
+raises ``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic fake decoder stands in so the distributed plumbing can be
+exercised end-to-end.
+
+Scale notes: media rows are large and variable — keep
+``spark.sql.files.maxPartitionBytes`` modest so a partition of blobs fits
+executor memory, and always select only (id, content) into the decode
+stage so Parquet column pruning keeps text/metadata IO out of the scan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Typed metadata carried alongside every media blob.
+MEDIA_META_SCHEMA = (
+    "media_type string, mime string, width int, height int, "
+    "duration_ms long, codec string"
+)
+
+FEATURE_SCHEMA = "doc_id long, n_bytes long, content_md5 string, feat array<float>"
+
+
+def binarize(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Make an opaque media-blob column from text content (the testdata has
+    no real media; the bytes are opaque to everything downstream, which is
+    the point)."""
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "UTF-8").alias("content"),
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("string").alias("codec"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_image_stub(data: bytes, fake: bool = False) -> list[float]:
+    """Codec boundary.  Real implementation would be e.g. PIL/libvips
+    decode → resize → feature extraction; not available in this container.
+
+    ``fake=True`` → deterministic 8-float pseudo-feature derived from the
+    content digest (stable across runs/engines, good enough to test the
+    distributed pipeline's correctness).
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires an image library (PIL/opencv) "
+            "not present in this environment; pass fake=True for the "
+            "deterministic test double"
+        )
+    digest = hashlib.sha1(data).digest()
+    return [b / 255.0 for b in digest[:8]]
+
+
+def extract_features(
+    media: DataFrame, id_col: str = "doc_id", fake: bool = True
+) -> DataFrame:
+    """Arrow-batched feature extraction over media blobs via
+    ``mapInPandas`` — one Python worker call per Arrow batch, not per row.
+    Output: (id, n_bytes, content_md5, feat[8]).  md5 (not sha1) so the
+    digest is reproducible by the DuckDB oracle."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = pdf["content"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": blobs.map(len).astype("int64"),
+                    "content_md5": blobs.map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                    "feat": blobs.map(lambda b: decode_image_stub(b, fake=fake)),
+                }
+            )
+
+    return media.select(id_col, "content").mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_stub(
+    media: DataFrame, every_ms: int = 1000, id_col: str = "doc_id"
+) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame
+    (here: one fake frame per 64-byte slice, standing in for per-timestamp
+    decode).  Demonstrates the 1→N mapInPandas expansion shape used for
+    real frame extraction."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, frame_no, payload = [], [], []
+            for _, row in pdf.iterrows():
+                blob = row["content"]
+                for i in range(0, max(len(blob), 1), 64):
+                    ids.append(row[id_col])
+                    frame_no.append(i // 64)
+                    payload.append(blob[i : i + 64])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_no": frame_no, "frame": payload}
+            )
+
+    return media.select(id_col, "content").mapInPandas(
+        run, schema="doc_id long, frame_no int, frame binary"
+    )

@@ -1,0 +1,185 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Two paths:
+
+- ``ann_brute_force``: exact top-k by cosine.  Queries (small) are
+  broadcast against the corpus — each executor scores its corpus slice
+  locally, then a per-query top-k.  O(|Q|·|C|) but embarrassingly
+  parallel; the correct baseline and the oracle for the ANN variants.
+- ``ann_lsh_bucketed``: random-hyperplane LSH (IVF-style bucketing).
+  Each vector gets a sign-pattern bucket from R fixed hyperplanes; only
+  same-bucket (query, corpus) pairs are scored — an equi-join, so at
+  100 TB the cross product never materializes.  Recall < 1.0 by design;
+  multiple hash tables raise it.
+
+Scoring uses the deterministic sequential fold from functions/vectors.py
+(JVM-side).  For raw throughput a NumPy ``mapInPandas`` scorer is provided
+(``score_batch_numpy``) — Arrow-batched, BLAS matmul per batch — used by
+bench for the large-SF runs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+from .topk import topk_per_group
+
+
+def _rounded(score, decimals: int = 9):
+    # Rank on a rounded score so ULP-level float differences can never
+    # reorder results across engines/runs; ties broken by id.
+    return F.round(score, decimals)
+
+
+def ann_brute_force(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast-cross-join queries × corpus → score →
+    top-k per query.  Returns (query_id, neighbor_id, rank)."""
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        _rounded(
+            cosine_similarity(F.col(vec_col), F.col("_qvec"))
+        ).alias("score"),
+    )
+    ranked = topk_per_group(
+        scored,
+        partition_by=[query_id_col],
+        order_by=[F.desc("score"), F.asc("neighbor_id")],
+        k=k,
+        rank_col="rank",
+        keep_rank=True,
+    )
+    return ranked.select(query_id_col, "neighbor_id", "score", "rank")
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Fixed pseudo-random unit hyperplanes (Box-Muller over an LCG) —
+    deterministic across runs, no numpy dependency at plan-build time."""
+    state = seed * 6364136223846793005 + 1442695040888963407 & (2**64 - 1)
+    planes = []
+
+    def rnd() -> float:
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) % 2**64
+        return ((state >> 11) + 1) / (2**53 + 2)
+
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            u1, u2 = rnd(), rnd()
+            v.append(math.sqrt(-2 * math.log(u1)) * math.cos(2 * math.pi * u2))
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / norm for x in v])
+    return planes
+
+
+def lsh_bucket(vec, planes: list[list[float]]):
+    """Sign-pattern bucket id for one vector column: bit r set iff
+    vec·plane_r ≥ 0."""
+    bucket = F.lit(0).cast("bigint")
+    for r, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d >= 0, F.lit(1 << r)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_bucketed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: score only same-LSH-bucket pairs.
+
+    The bucket join is a plain equi-join — at scale Catalyst shuffles both
+    sides on the bucket key (or broadcasts the query side), touching only
+    ~|C|/2^R corpus rows per query instead of all of them.
+    """
+    planes = _hyperplanes(dim, n_planes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    scored = c.join(F.broadcast(q), on="_bucket").select(
+        F.col(query_id_col),
+        F.col("neighbor_id"),
+        _rounded(cosine_similarity(F.col("_cvec"), F.col("_qvec"))).alias("score"),
+    )
+    return topk_per_group(
+        scored,
+        partition_by=[query_id_col],
+        order_by=[F.desc("score"), F.asc("neighbor_id")],
+        k=k,
+        rank_col="rank",
+        keep_rank=True,
+    ).select(query_id_col, "neighbor_id", "score", "rank")
+
+
+def score_batch_numpy(corpus: DataFrame, query_rows: list[tuple[int, list[float]]],
+                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Throughput path: Arrow-batched NumPy matmul scorer.
+
+    ``query_rows`` is a small collected list [(query_id, vector), ...]
+    broadcast to every task via closure; each ``mapInPandas`` batch scores
+    batch_size × |Q| in one BLAS call.  ~10-100× the per-row fold for wide
+    batches — use for bench/large SF.
+    """
+    import numpy as np  # runtime-only import (worker side)
+
+    qids = [int(q[0]) for q in query_rows]
+    qmat = np.array([q[1] for q in query_rows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = 1.0
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (mat @ qmat.T) / norms[:, None] / qnorm[None, :]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, n),
+                    "neighbor_id": np.tile(pdf[id_col].to_numpy(), len(qids)),
+                    "score": sims.T.reshape(-1),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, score double"
+    )

@@ -1,0 +1,44 @@
+"""Table catalog over the driver's synthetic Parquet tables.
+
+The reference's namespace DDL (CREATE DATABASE/SCHEMA, BlueForty.py:15-19)
+maps to Spark catalog databases; for this project the tables are plain
+Parquet files registered as temp views — Catalyst still gets full predicate
+pushdown, column pruning, and stats from the Parquet footers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table.  Plain columnar scan: filters and column
+    selections applied by the caller reach the Parquet reader (verify with
+    ``.explain`` → ``PushedFilters`` / ``ReadSchema``)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_testdata(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register every synthetic table as a temp view (the Spark analog of
+    the reference's CREATE DATABASE/SCHEMA + per-table DDL)."""
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
