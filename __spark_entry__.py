@@ -1,38 +1,1240 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship reconciliation pipeline (the
+PURCHASE_ORDERS_AND_INVOICES analog, BlueForty.py:220-233) on sf0.001.
+``queries()`` declares one named query per implemented operator family
+from SURVEY.md §2 plus the LLM-pipeline extensions; ``oracle_sql()``
+supplies the DuckDB twin for each.
+
+Cross-engine determinism rules used throughout (so the driver's
+row-count + schema + order-insensitive value-hash comparison is exact,
+not approximate):
+
+- Money math converts each factor to DECIMAL FIRST (the factors have ≤2
+  decimals, so the double→decimal cast is unambiguous), multiplies and
+  sums exactly, and only casts the final aggregate to DOUBLE.  Casting a
+  full-entropy double straight to decimal is NOT portable (Spark rounds
+  the shortest decimal repr, DuckDB the exact binary value).
+- Full-entropy doubles (events.value) are aggregated as
+  ``SUM(FLOOR(x·10⁶))`` bigints: IEEE multiply + floor are deterministic
+  per value, integer sums are order-free.
+- Timestamps are compared as ``unix_micros`` bigints; dates as DATE.
+- Trig/float ranking uses a rounded sort key with an id tiebreak.
+- All text/dedup hashes derive from md5 (portable), never xxhash64.
 """
 
 from __future__ import annotations
 
+import csv
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DecimalType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
+from blueforty___etl_data_pipeline_spark.functions.cleaning import (
+    int_flag_to_bool,
+    nullif_empty,
+    try_to_date,
+    try_to_decimal,
+    try_to_number,
+    zip5,
+)
+from blueforty___etl_data_pipeline_spark.functions.text import (
+    FINGERPRINT_MOD,
+    FINGERPRINT_MULT,
+)
+from blueforty___etl_data_pipeline_spark.operators.dedup import (
+    MERSENNE31,
+    _hash_params,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from blueforty___etl_data_pipeline_spark.operators.joins import composite_key_join
+from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+    binarize,
+    extract_features,
+)
+from blueforty___etl_data_pipeline_spark.operators.presentation import top_n
+from blueforty___etl_data_pipeline_spark.operators.similarity import (
+    _hyperplanes,
+    ann_brute_force,
+    ann_lsh_bucketed,
+)
+from blueforty___etl_data_pipeline_spark.operators.text_ops import (
+    fingerprints,
+    language_id,
+    text_quality,
+    token_counts,
+)
+from blueforty___etl_data_pipeline_spark.operators.topk import (
+    argmin_agg,
+    top1_per_group,
+    topk_per_group,
+)
+from blueforty___etl_data_pipeline_spark.plans.pipelines import (
+    closest_stations,
+    closest_stations_grid,
+    purchase_order_totals,
+    purchase_orders_and_invoices,
+)
+from blueforty___etl_data_pipeline_spark.sinks import read_back, write_table
+from blueforty___etl_data_pipeline_spark.sources.catalog import load_table
+from blueforty___etl_data_pipeline_spark.sources.csv import (
+    read_csv,
+    with_filename_partition,
+)
+from blueforty___etl_data_pipeline_spark.sources.xml import shred_xml_docs
+from blueforty___etl_data_pipeline_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+#: Scratch dir for source/sink round-trip queries (inside the repo —
+#: nothing outside /root/repo is written).
+SCRATCH = "/root/repo/.tmp"
+
+
+def _prep(spark: SparkSession) -> None:
+    """Defensive session confs: the driver's session may not share the
+    engine factory's settings.  All three are runtime-settable."""
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Reference-surface queries (SURVEY.md §2)
+# ---------------------------------------------------------------------------
+
+_DEC = DecimalType(18, 4)
+
+
+def _po_totals_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem recast as the CORE.PURCHASES analog: the quantities/prices
+    are ≤2-decimal doubles, so the decimal casts are unambiguous."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("PurchaseOrderID"),
+        F.col("l_shipdate").cast("date").alias("OrderDate"),
+        F.col("l_suppkey").alias("SupplierID"),
+        F.col("l_quantity").cast(_DEC).alias("ReceivedOuters"),
+        F.col("l_extendedprice").cast(_DEC).alias("ExpectedUnitPricePerOuter"),
+    )
+
+
+def q_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+F7+F9: grouped SUM of COALESCE(qty,0)*COALESCE(price,0), ROUND 2
+    (PURCHASE_ORDER_TOTALS, BlueForty.py:119-126)."""
+    _prep(spark)
+    out = purchase_order_totals(_po_totals_input(spark, sf_dir))
+    return out.withColumn("POAmount", F.col("POAmount").cast("double"))
+
+
+_SQL_PO_TOTALS = """
+SELECT l_orderkey AS PurchaseOrderID,
+       CAST(l_shipdate AS DATE) AS OrderDate,
+       l_suppkey AS SupplierID,
+       CAST(ROUND(SUM(COALESCE(CAST(l_quantity AS DECIMAL(18,4)), 0)
+                      * COALESCE(CAST(l_extendedprice AS DECIMAL(18,4)), 0)), 2)
+            AS DOUBLE) AS POAmount
+FROM lineitem
+GROUP BY 1, 2, 3
+"""
+
+
+def _invoices_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem recast as SUPPLIER_INVOICES: amount = price×(1-discount)
+    computed in exact decimal (both factors are ≤2-decimal)."""
+    li = _t(spark, sf_dir, "lineitem")
+    d2 = DecimalType(18, 2)
+    amount = (
+        F.col("l_extendedprice").cast(d2)
+        * (F.lit(1).cast(d2) - F.col("l_discount").cast(d2))
+    ).cast(_DEC)
+    return li.select(
+        F.col("l_orderkey").alias("PurchaseOrderID"),
+        F.col("l_suppkey").alias("SupplierID"),
+        amount.alias("AmountExcludingTax"),
+    )
+
+
+_SQL_INVOICES = """
+SELECT l_orderkey AS PurchaseOrderID,
+       l_suppkey AS SupplierID,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+            AS DECIMAL(18,4)) AS AmountExcludingTax
+FROM lineitem
+"""
+
+
+def q_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+J1+P2+F17+C1-C3: invoice pre-aggregate → USING join onto totals →
+    invoiced-vs-quoted delta (Q5, BlueForty.py:220-233)."""
+    _prep(spark)
+    totals = purchase_order_totals(_po_totals_input(spark, sf_dir))
+    invoices = _invoices_input(spark, sf_dir)
+    out = purchase_orders_and_invoices(totals, invoices)
+    return out.select(
+        "PurchaseOrderID",
+        "OrderDate",
+        "SupplierID",
+        F.col("POAmount").cast("double").alias("POAmount"),
+        F.col("InvoiceExTaxTotal").cast("double").alias("InvoiceExTaxTotal"),
+        F.col("invoiced_vs_quoted").cast("double").alias("invoiced_vs_quoted"),
+    )
+
+
+_SQL_RECONCILIATION = f"""
+WITH totals AS (
+  SELECT l_orderkey AS PurchaseOrderID,
+         CAST(l_shipdate AS DATE) AS OrderDate,
+         l_suppkey AS SupplierID,
+         ROUND(SUM(COALESCE(CAST(l_quantity AS DECIMAL(18,4)), 0)
+                   * COALESCE(CAST(l_extendedprice AS DECIMAL(18,4)), 0)), 2)
+           AS POAmount
+  FROM lineitem GROUP BY 1, 2, 3
+), inv AS (
+  SELECT PurchaseOrderID, SupplierID AS Inv_SupplierID,
+         SUM(AmountExcludingTax) AS InvoiceExTaxTotal
+  FROM ({_SQL_INVOICES}) GROUP BY 1, 2
+)
+SELECT t.PurchaseOrderID, t.OrderDate, t.SupplierID,
+       CAST(t.POAmount AS DOUBLE) AS POAmount,
+       CAST(i.InvoiceExTaxTotal AS DOUBLE) AS InvoiceExTaxTotal,
+       CAST(i.InvoiceExTaxTotal - t.POAmount AS DOUBLE) AS invoiced_vs_quoted
+FROM inv i JOIN totals t USING (PurchaseOrderID)
+"""
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/P7: SELECT DISTINCT (the distinct_zip CTE, BlueForty.py:427-433)."""
+    _prep(spark)
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_mktsegment")
+        .distinct()
+    )
+
+
+_SQL_DISTINCT = "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer"
+
+
+def q_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+P6: ROW_NUMBER per group, keep rank 1 (BlueForty.py:444-447)."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return top1_per_group(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        partition_by=["l_orderkey"],
+        order_by=[F.desc("l_extendedprice"), F.asc("l_linenumber")],
+    )
+
+
+_SQL_TOP1 = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice DESC, l_linenumber)
+               AS rn
+      FROM lineitem)
+WHERE rn = 1
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 generalized to top-k (k=3) with the rank kept."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return topk_per_group(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        partition_by=["l_orderkey"],
+        order_by=[F.desc("l_extendedprice"), F.asc("l_linenumber")],
+        k=3,
+        keep_rank=True,
+    )
+
+
+_SQL_TOPK = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, rn
+FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice DESC, l_linenumber)
+               AS INTEGER) AS rn
+      FROM lineitem)
+WHERE rn <= 3
+"""
+
+
+def q_argmin_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 scale variant: min_by partial-aggregated argmin (cheapest line
+    per order) — same answer as the window shape, no per-group sort."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = argmin_agg(
+        li,
+        keys=["l_orderkey"],
+        order_col=F.struct("l_extendedprice", "l_linenumber"),
+        payload=F.struct("l_linenumber", "l_extendedprice"),
+        alias="best",
+    )
+    return out.select(
+        "l_orderkey",
+        F.col("best.l_linenumber").alias("l_linenumber"),
+        F.col("best.l_extendedprice").alias("l_extendedprice"),
+    )
+
+
+_SQL_ARGMIN = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice, l_linenumber) AS rn
+      FROM lineitem)
+WHERE rn = 1
+"""
+
+
+def q_composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6+C1: composite-key equi-join (the ZIP+DATE weather join shape,
+    BlueForty.py:473-474) — lines shipping on their order's last ship date."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    mx = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.max("l_shipdate").alias("max_ship")
+    )
+    out = composite_key_join(
+        li, mx, [("l_orderkey", "k"), ("l_shipdate", "max_ship")]
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", F.col("l_shipdate").alias("ship_ts")
+    )
+
+
+_SQL_COMPOSITE_JOIN = """
+WITH mx AS (SELECT l_orderkey AS k, MAX(l_shipdate) AS max_ship
+            FROM lineitem GROUP BY 1)
+SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate AS ship_ts
+FROM lineitem l
+JOIN mx ON l.l_orderkey = mx.k AND l.l_shipdate = mx.max_ship
+"""
+
+
+# --- geo KNN (J3+F13-F16+W1+C2+P7) -----------------------------------------
+# Synthetic-but-deterministic geography derived with integer arithmetic from
+# the driver's tables, identically on both engines.
+
+_SQL_ZIPS = """
+SELECT DISTINCT (c_custkey % 77) AS zip_code,
+       CAST(-30 + ((c_custkey % 77) * 13) % 60 AS DOUBLE) + 0.5 AS lat,
+       CAST(-120 + ((c_custkey % 77) * 29) % 230 AS DOUBLE) + 0.25 AS lon
+FROM customer
+"""
+
+_SQL_STATIONS = """
+SELECT s_suppkey AS NOAA_WEATHER_STATION_ID,
+       CAST(-35 + (s_suppkey * 17) % 70 AS DOUBLE) + 0.5 AS LATITUDE,
+       CAST(-115 + (s_suppkey * 41) % 225 AS DOUBLE) + 0.25 AS LONGITUDE
+FROM supplier
+"""
+
+_SQL_HAVERSINE = (
+    "2 * 6371.0 * ASIN(SQRT(POWER(SIN(RADIANS(s.LATITUDE - z.lat) / 2), 2)"
+    " + COS(RADIANS(z.lat)) * COS(RADIANS(s.LATITUDE))"
+    " * POWER(SIN(RADIANS(s.LONGITUDE - z.lon) / 2), 2)))"
+)
+
+_SQL_CLOSEST = f"""
+WITH z AS ({_SQL_ZIPS}), s AS ({_SQL_STATIONS}),
+d AS (SELECT z.zip_code, s.NOAA_WEATHER_STATION_ID AS station_id,
+             ROUND({_SQL_HAVERSINE}, 4) AS dist_km
+      FROM z CROSS JOIN s)
+SELECT zip_code, station_id
+FROM (SELECT zip_code, station_id,
+             ROW_NUMBER() OVER (PARTITION BY zip_code
+                                ORDER BY dist_km, station_id) AS rn
+      FROM d)
+WHERE rn = 1
+"""
+
+
+def _geo_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    cust = _t(spark, sf_dir, "customer")
+    zc = F.col("c_custkey") % 77
+    zips = cust.select(
+        zc.alias("zip_code"),
+        ((zc * 13) % 60 - 30).cast("double").alias("_lat0"),
+        ((zc * 29) % 230 - 120).cast("double").alias("_lon0"),
+    ).select(
+        "zip_code",
+        (F.col("_lat0") + 0.5).alias("lat"),
+        (F.col("_lon0") + 0.25).alias("lon"),
+    ).distinct()
+    sup = _t(spark, sf_dir, "supplier")
+    stations = sup.select(
+        F.col("s_suppkey").alias("NOAA_WEATHER_STATION_ID"),
+        ((F.col("s_suppkey") * 17) % 70 - 35 + F.lit(0.5))
+        .cast("double")
+        .alias("LATITUDE"),
+        ((F.col("s_suppkey") * 41) % 225 - 115 + F.lit(0.25))
+        .cast("double")
+        .alias("LONGITUDE"),
+    )
+    return zips, stations
+
+
+def q_closest_stations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3+F16+W1: distinct zips × broadcast stations → haversine → top-1
+    (CLOSEST_STATIONS, BlueForty.py:425-448)."""
+    _prep(spark)
+    zips, stations = _geo_inputs(spark, sf_dir)
+    return closest_stations(zips, stations, round_decimals=4)
+
+
+def q_closest_stations_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: 3×3 grid-cell equi-join with provable-exactness fallback
+    — must return byte-identical results to the broadcast cross join."""
+    _prep(spark)
+    zips, stations = _geo_inputs(spark, sf_dir)
+    return closest_stations_grid(zips, stations, cell_deg=20.0, round_decimals=4)
+
+
+# --- scalar cleaning battery (F1-F12) --------------------------------------
+
+def q_cleaning_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F12+F8+F10+F11: the full TRY_TO_*/NULLIF/COALESCE/TRIM/LPAD/
+    REGEXP_REPLACE battery over deterministically dirtied strings."""
+    _prep(spark)
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    num_str = (
+        F.when(pk % 7 == 0, F.lit(None).cast("string"))
+        .when(pk % 5 == 0, F.lit("N/A"))
+        .when(pk % 3 == 0, F.concat(F.lit("  "), pk.cast("string"), F.lit(" ")))
+        .otherwise((pk * 11).cast("string"))
+    )
+    dec_str = F.concat(
+        (pk % 900).cast("string"),
+        F.lit("."),
+        F.lpad((pk % 100).cast("string"), 2, "0"),
+    )
+    date_str = F.when(pk % 11 == 0, F.lit("not-a-date")).otherwise(
+        F.concat(
+            F.lpad((pk % 12 + 1).cast("string"), 2, "0"),
+            F.lit("/"),
+            F.lpad((pk % 28 + 1).cast("string"), 2, "0"),
+            F.lit("/2023"),
+        )
+    )
+    zip_primary = F.when(pk % 3 == 0, F.lit(None).cast("string")).otherwise(
+        (10000 + (pk * 7) % 89999).cast("string")
+    )
+    zip_fallback = F.concat(F.lit("AB"), (pk % 1000).cast("string"))
+    flag_str = F.when(pk % 13 == 0, F.lit("x")).otherwise(
+        (pk % 3).cast("string")
+    )
+    empty_or = F.when(pk % 4 == 0, F.lit("")).otherwise(F.col("p_brand"))
+    return p.select(
+        pk.alias("p_partkey"),
+        try_to_number(num_str).alias("n"),
+        try_to_decimal(dec_str, 18, 4).cast("double").alias("d"),
+        try_to_date(date_str, "MM/dd/yyyy").alias("dt"),
+        zip5(zip_primary, zip_fallback).alias("zip5"),
+        int_flag_to_bool(flag_str).alias("flag"),
+        nullif_empty(empty_or).alias("brand_or_null"),
+        F.trim(num_str).alias("trimmed"),
+    )
+
+
+_SQL_CLEANING = """
+WITH dirty AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 7 = 0 THEN NULL
+              WHEN p_partkey % 5 = 0 THEN 'N/A'
+              WHEN p_partkey % 3 = 0
+                THEN '  ' || CAST(p_partkey AS VARCHAR) || ' '
+              ELSE CAST(p_partkey * 11 AS VARCHAR) END AS num_str,
+         CAST(p_partkey % 900 AS VARCHAR) || '.'
+           || lpad(CAST(p_partkey % 100 AS VARCHAR), 2, '0') AS dec_str,
+         CASE WHEN p_partkey % 11 = 0 THEN 'not-a-date'
+              ELSE lpad(CAST(p_partkey % 12 + 1 AS VARCHAR), 2, '0') || '/'
+                || lpad(CAST(p_partkey % 28 + 1 AS VARCHAR), 2, '0')
+                || '/2023' END AS date_str,
+         CASE WHEN p_partkey % 3 = 0 THEN NULL
+              ELSE CAST(10000 + (p_partkey * 7) % 89999 AS VARCHAR)
+              END AS zip_primary,
+         'AB' || CAST(p_partkey % 1000 AS VARCHAR) AS zip_fallback,
+         CASE WHEN p_partkey % 13 = 0 THEN 'x'
+              ELSE CAST(p_partkey % 3 AS VARCHAR) END AS flag_str,
+         CASE WHEN p_partkey % 4 = 0 THEN '' ELSE p_brand END AS empty_or
+  FROM part)
+SELECT p_partkey,
+       TRY_CAST(num_str AS BIGINT) AS n,
+       CAST(TRY_CAST(dec_str AS DECIMAL(18,4)) AS DOUBLE) AS d,
+       CAST(try_strptime(date_str, '%m/%d/%Y') AS DATE) AS dt,
+       regexp_replace(lpad(COALESCE(zip_primary, zip_fallback, ''), 5, '0'),
+                      '[^0-9]', '', 'g') AS zip5,
+       TRY_CAST(flag_str AS INTEGER) = 1 AS flag,
+       NULLIF(empty_or, '') AS brand_or_null,
+       trim(num_str) AS trimmed
+FROM dirty
+"""
+
+
+# --- semi-structured (S3/X1/X2/F18) ----------------------------------------
+
+def q_xml_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+X1+X2+F18: build a 3-child XML doc per order, shred via from_xml
+    + posexplode (ordinal kept), drop the child missing its required id
+    (BlueForty.py:179-201).  Ordinals 0 and 2 survive — the filter runs
+    AFTER flatten, exactly like the reference's WHERE XMLGET(...) IS NOT
+    NULL."""
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    amt = F.concat((F.col("o_orderkey") % 1000).cast("string"), F.lit(".25"))
+
+    def child(i: int, with_id: bool):
+        tid = (F.col("o_orderkey") * 10 + i).cast("string")
+        if with_id:
+            return F.concat(
+                F.lit("<T><tid>"), tid, F.lit("</tid><amt>"), amt,
+                F.lit("</amt></T>"),
+            )
+        return F.concat(F.lit("<T><amt>"), amt, F.lit("</amt></T>"))
+
+    docs = o.select(
+        F.col("o_orderkey"),
+        F.concat(
+            F.lit("<Transactions>"),
+            child(0, True), child(1, False), child(2, True),
+            F.lit("</Transactions>"),
+        ).alias("DOC"),
+    )
+    return shred_xml_docs(
+        docs,
+        doc_col="DOC",
+        row_tag="T",
+        fields={
+            "tid": F.col("_e.tid").try_cast("bigint"),
+            "amt": F.col("_e.amt").try_cast(DecimalType(18, 2)).cast("double"),
+        },
+        index_col="XML_INDEX",
+        required="tid",
+        keep=("o_orderkey",),
+    )
+
+
+_SQL_XML_SHRED = """
+SELECT o_orderkey,
+       o_orderkey * 10 + i AS tid,
+       CAST(CAST(CAST(o_orderkey % 1000 AS VARCHAR) || '.25'
+                 AS DECIMAL(18,2)) AS DOUBLE) AS amt,
+       CAST(i AS INTEGER) AS XML_INDEX
+FROM orders CROSS JOIN (VALUES (0), (2)) t(i)
+"""
+
+
+def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 JSON twin: from_json over events.props."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return ev.select("event_id", parsed["k"].alias("k_value"))
+
+
+_SQL_JSON = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+FROM events
+"""
+
+
+# --- event-time windows -----------------------------------------------------
+
+_VAL_MICROS = "SUM(CAST(FLOOR(value * 1000000) AS BIGINT))"
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time windows per event_type; the double measure is
+    aggregated as FLOOR(value·10⁶) bigints (order-free, engine-exact)."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = tumbling_window_agg(
+        ev,
+        window_duration="1 hour",
+        keys=("event_type",),
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000000)).alias("value_micros"),
+        ],
+    )
+    return out.select(
+        F.unix_micros(F.col("window_start")).alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "value_micros",
+    )
+
+
+_SQL_TUMBLING = f"""
+SELECT CAST(epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT)
+         AS window_start_us,
+       event_type, COUNT(*) AS n_events, {_VAL_MICROS} AS value_micros
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30m windows: every event lands in exactly two windows."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = sliding_window_agg(
+        ev,
+        window_duration="1 hour",
+        slide="30 minutes",
+        keys=("event_type",),
+        aggs=[F.count(F.lit(1)).alias("n_events")],
+    )
+    return out.select(
+        F.unix_micros(F.col("window_start")).alias("window_start_us"),
+        "event_type",
+        "n_events",
+    )
+
+
+_SQL_SLIDING = """
+SELECT CAST(epoch_us(time_bucket(INTERVAL 30 MINUTE, ts)) AS BIGINT)
+         - off AS window_start_us,
+       event_type, COUNT(*) AS n_events
+FROM events CROSS JOIN (VALUES (CAST(0 AS BIGINT)),
+                               (CAST(1800000000 AS BIGINT))) t(off)
+GROUP BY 1, 2
+"""
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user (30 min gap).  Session end =
+    last event + gap; a new session starts when the inter-event gap is
+    ≥ the threshold (Spark's session windows are half-open)."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = session_window_agg(
+        ev,
+        gap="30 minutes",
+        keys=("user_id",),
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000000)).alias("value_micros"),
+        ],
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_start")).alias("session_start_us"),
+        F.unix_micros(F.col("session_end")).alias("session_end_us"),
+        "n_events",
+        "value_micros",
+    )
+
+
+_SQL_SESSION = f"""
+WITH d AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d)
+SELECT user_id,
+       CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+       CAST(epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS BIGINT)
+         AS session_end_us,
+       COUNT(*) AS n_events, {_VAL_MICROS} AS value_micros
+FROM s GROUP BY user_id, sid
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extension queries (dedup / similarity / text / multimodal)
+# ---------------------------------------------------------------------------
+# Shared DuckDB SQL fragments mirroring functions/text.py — md5-derived
+# hashes are portable across engines by construction.
+
+_D_TOKENS = (
+    "list_filter(regexp_split_to_array(trim({t}), '\\s+'), x -> x != '')"
+)
+
+
+def _d_md5h(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _d_shingles(tokens: str, n: int = 3) -> str:
+    return (
+        f"list_transform(range(1, greatest(len({tokens}) - {n - 1}, 0) + 1),"
+        f" i -> array_to_string({tokens}[i:i+{n - 1}], ' '))"
+    )
+
+
+#: distinct shingle hashes per document (the MinHash input set), n=3
+_D_SH_HASHES = (
+    "list_distinct(list_transform("
+    + _d_shingles(_D_TOKENS.format(t="text"))
+    + ", s -> "
+    + _d_md5h("s")
+    + "))"
+)
+
+
+def _d_minhash_sig(num_hashes: int) -> str:
+    """DuckDB expression for the MinHash signature list — generated from
+    the SAME deterministic (a,b) hash family as the Spark operator."""
+    params = _hash_params(num_hashes)
+    parts = ", ".join(
+        f"list_min(list_transform(red, x -> ({a} * x + {b}) % {MERSENNE31}))"
+        for a, b in params
+    )
+    return f"[{parts}]"
+
+
+_MH_NUM, _MH_BANDS = 32, 8
+
+
+def _sql_minhash_sigs() -> str:
+    rows = _MH_NUM // _MH_BANDS
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_D_SH_HASHES} AS shs FROM documents
+), red AS (
+  SELECT doc_id, len(shs) AS n_sh,
+         list_transform(shs, h -> h % {MERSENNE31}) AS red
+  FROM sh)
+SELECT doc_id,
+       CASE WHEN n_sh > 0 THEN {_d_minhash_sig(_MH_NUM)} ELSE NULL END
+         AS minhash_sig
+FROM red
+""", rows
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: per-row array math, shuffle-free."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_signatures(docs, num_hashes=_MH_NUM)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: banded bucket equi-join, never
+    all-pairs."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, num_hashes=_MH_NUM, bands=_MH_BANDS)
+
+
+def _sql_lsh_pairs() -> str:
+    sig_sql, rows = _sql_minhash_sigs()
+    return f"""
+WITH sigs AS ({sig_sql}),
+banded AS (
+  SELECT doc_id, band,
+         md5(array_to_string(list_transform(
+             minhash_sig[band * {rows} + 1 : band * {rows} + {rows}],
+             v -> CAST(v AS VARCHAR)), ',')) AS bucket
+  FROM sigs CROSS JOIN (SELECT unnest(range(0, {_MH_BANDS})) AS band)
+  WHERE minhash_sig IS NOT NULL)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM banded l JOIN banded r
+  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ 0.5 — the near-dup ground truth."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+_SQL_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_D_SH_HASHES}) AS h FROM documents
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY 1
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(n_common AS DOUBLE)
+         / (sa.set_size + sb.set_size - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common)
+        >= 0.5
+"""
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup clusters: one md5-keyed shuffle."""
+    _prep(spark)
+    return exact_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+_SQL_EXACT_DUP = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,
+       COUNT(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (single-fold bit-balance accumulation)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+
+
+def _sql_simhash(n_bits: int = 60) -> str:
+    balances = ", ".join(
+        f"SUM(CASE WHEN (h & {1 << i}) != 0 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(n_bits)
+    )
+    fingerprint = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(n_bits)
+    )
+    toks = _D_TOKENS.format(t="text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_transform({toks}, t -> {_d_md5h('t')})) AS h
+  FROM documents
+), bits AS (
+  SELECT doc_id, {balances} FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE({fingerprint}, 0) AS simhash
+FROM documents d LEFT JOIN bits USING (doc_id)
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features: length/punct/stopword ratios — pure column math."""
+    _prep(spark)
+    return text_quality(_t(spark, sf_dir, "documents"))
+
+
+_SQL_TEXT_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text, {_D_TOKENS.format(t='text')} AS toks,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+           AS n_punct
+  FROM documents)
+SELECT doc_id, n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CASE WHEN len(toks) > 0
+            THEN CAST(n_chars - len(toks) + 1 AS DOUBLE) / len(toks) END
+         AS avg_token_len,
+       CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars END
+         AS punct_ratio,
+       CASE WHEN len(toks) > 0
+            THEN CAST(len(list_filter(toks,
+                   x -> list_contains(['the','and','of'], lower(x))))
+                   AS DOUBLE) / len(toks) END AS stopword_ratio
+FROM t
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts."""
+    _prep(spark)
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+_SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       CAST(len({_D_TOKENS.format(t='text')}) AS BIGINT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+         AS n_tokens_bpeish
+FROM documents
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID with deterministic argmax."""
+    _prep(spark)
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+def _sql_language_id() -> str:
+    from blueforty___etl_data_pipeline_spark.functions.text import LANG_MARKERS
+
+    score_exprs = []
+    for lang, words in LANG_MARKERS.items():
+        parts = " + ".join(
+            f"CAST(len(regexp_extract_all(lower(text), '\\b{w}\\b'))"
+            " AS BIGINT)"
+            for w in words
+        )
+        score_exprs.append(f"({parts}) AS score_{lang}")
+    langs = list(LANG_MARKERS)
+    # fold left-to-right, strictly-greater wins (earlier langs win ties)
+    best = "'und'"
+    best_score = "CAST(0 AS BIGINT)"
+    for lang in langs:
+        best = f"CASE WHEN score_{lang} > {best_score} THEN '{lang}' ELSE {best} END"
+        best_score = (
+            f"CASE WHEN score_{lang} > {best_score} THEN score_{lang}"
+            f" ELSE {best_score} END"
+        )
+    cols = ", ".join(f"score_{lang}" for lang in langs)
+    return f"""
+WITH s AS (SELECT doc_id, {', '.join(score_exprs)} FROM documents)
+SELECT doc_id, {cols}, {best} AS lang_pred FROM s
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 content hash + rolling n-gram fingerprint per doc."""
+    _prep(spark)
+    return fingerprints(_t(spark, sf_dir, "documents"))
+
+
+_SQL_FINGERPRINTS = f"""
+SELECT doc_id, md5(text) AS content_md5,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform({_d_shingles(_D_TOKENS.format(t='text'))},
+             s -> {_d_md5h('s')} % {FINGERPRINT_MOD})),
+         (acc, h) -> (acc * {FINGERPRINT_MULT} + h) % {FINGERPRINT_MOD})
+         AS fingerprint
+FROM documents
+"""
+
+
+# --- similarity search ------------------------------------------------------
+
+_D_FOLD_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(range(1, 65), i -> "
+    "CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+)
+
+
+def _d_cosine(a: str, b: str) -> str:
+    dot = _D_FOLD_DOT.format(a=a, b=b)
+    na = f"SQRT({_D_FOLD_DOT.format(a=a, b=a)})"
+    nb = f"SQRT({_D_FOLD_DOT.format(a=b, b=b)})"
+    return (
+        f"CASE WHEN {na} * {nb} > 0 THEN ({dot}) / ({na} * {nb}) END"
+    )
+
+
+def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 per query vector (vec_id % 100 = 0 as queries)."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ann_brute_force(emb, queries, k=5, round_decimals=6)
+
+
+_SQL_ANN_BRUTE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND({_d_cosine('c.embedding', 'q.qv')}, 6) AS score
+  FROM embeddings c CROSS JOIN q)
+SELECT query_id, neighbor_id, score, rn AS rank
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS INTEGER) AS rn
+      FROM scored)
+WHERE rn <= 5
+"""
+
+
+_ANN_PLANES = _hyperplanes(64, 8)
+
+
+def _d_bucket(vec: str) -> str:
+    terms = []
+    for r, plane in enumerate(_ANN_PLANES):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        dot = (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(range(1, 65), i -> "
+            f"CAST({vec}[i] AS DOUBLE) * ({arr})[i])), (x, y) -> x + y)"
+        )
+        terms.append(f"CASE WHEN ({dot}) >= 0 THEN {1 << r} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: only same-bucket pairs scored (equi-join)."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ann_lsh_bucketed(
+        emb, queries, k=5, n_planes=8, dim=64, round_decimals=6
+    )
+
+
+def _sql_ann_lsh() -> str:
+    return f"""
+WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                  {_d_bucket('embedding')} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv,
+             {_d_bucket('embedding')} AS bucket FROM embeddings
+      WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         ROUND({_d_cosine('c.cv', 'q.qv')}, 6) AS score
+  FROM c JOIN q ON c.bucket = q.bucket)
+SELECT query_id, neighbor_id, score, rn AS rank
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS INTEGER) AS rn
+      FROM scored)
+WHERE rn <= 5
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary media column → Arrow-batched
+    mapInPandas feature extraction (codec faked deterministically; the
+    Spark-side schema/batching/pruning is the real thing under test)."""
+    _prep(spark)
+    media = binarize(_t(spark, sf_dir, "documents"))
+    feats = extract_features(media, fake=True)
+    return feats.select("doc_id", "n_bytes", "content_md5")
+
+
+_SQL_MULTIMODAL = """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Source / sink round-trips (S1/S4/S5/S6/S9/S10, F20)
+# ---------------------------------------------------------------------------
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S5+P1: write a deterministic sentinel-dirtied CSV from the
+    supplier table, read it back through the engine's CSV reader
+    (multi-token NULL_IF, positional schema, try-cast contract)."""
+    _prep(spark)
+    rows = sorted(
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .collect(),
+        key=lambda r: r[0],
+    )
+    path = os.path.join(SCRATCH, "csv_roundtrip", "suppliers.csv")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w", newline="", encoding="utf-8") as fh:
+        w = csv.writer(fh)
+        w.writerow(["sk", "name", "nk", "bal"])
+        for r in rows:
+            name = "\\N" if r[0] % 13 == 0 else r[1]
+            bal = "N/A" if r[0] % 7 == 0 else repr(r[3])
+            w.writerow([r[0], name, r[2], bal])
+    schema = StructType(
+        [
+            StructField("sk", LongType()),
+            StructField("name", StringType()),
+            StructField("nk", IntegerType()),
+            StructField("bal", DoubleType()),
+        ]
+    )
+    return read_csv(spark, path, schema=schema)
+
+
+_SQL_CSV_ROUNDTRIP = """
+SELECT s_suppkey AS sk,
+       CASE WHEN s_suppkey % 13 = 0 THEN NULL ELSE s_name END AS name,
+       s_nationkey AS nk,
+       CASE WHEN s_suppkey % 7 = 0 THEN NULL ELSE s_acctbal END AS bal
+FROM supplier
+"""
+
+
+def q_filename_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+F20: yyyy/mm partition columns derived from the filename regex
+    (BlueForty.py:66-75); non-matching files land in misc/00."""
+    _prep(spark)
+    base = os.path.join(SCRATCH, "fname_partition")
+    os.makedirs(base, exist_ok=True)
+    rows = sorted(
+        _t(spark, sf_dir, "region").select("r_regionkey").collect(),
+        key=lambda r: r[0],
+    )
+    for fname in ("purchases_2024-3.csv", "purchases_2024_11.csv", "misc.csv"):
+        with open(os.path.join(base, fname), "w", newline="") as fh:
+            w = csv.writer(fh)
+            w.writerow(["id"])
+            for r in rows:
+                w.writerow([r[0]])
+    schema = StructType([StructField("id", LongType())])
+    df = read_csv(spark, base, schema=schema, path_glob="*.csv")
+    return with_filename_partition(df).select("id", "yyyy", "mm")
+
+
+_SQL_FNAME_PARTITION = """
+SELECT r_regionkey AS id, yyyy, mm
+FROM region CROSS JOIN (VALUES ('2024', '03'), ('2024', '11'),
+                               ('misc', '00')) t(yyyy, mm)
+"""
+
+
+def q_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9+S10: CTAS a partitioned parquet table, append one extra slice
+    (INSERT INTO … SELECT), read the union back."""
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    path = os.path.join(SCRATCH, "ctas_orders")
+    write_table(
+        agg.filter(F.col("priority") != "1-URGENT"), path,
+        partition_by=("yr",),
+    )
+    from blueforty___etl_data_pipeline_spark.sinks import insert_append
+
+    insert_append(
+        agg.filter(F.col("priority") == "1-URGENT"), path, partition_by=("yr",)
+    )
+    out = read_back(spark, path)
+    return out.select(
+        F.col("yr").cast("long").alias("yr"), "priority", "n_orders"
+    )
+
+
+_SQL_CTAS = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+       o_orderpriority AS priority, COUNT(*) AS n_orders
+FROM orders GROUP BY 1, 2
+"""
+
+
+def q_order_by_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: global ORDER BY + LIMIT (TakeOrderedAndProject — scale-safe,
+    unlike a full sort).  Deterministic tiebreak on the key."""
+    _prep(spark)
+    c = _t(spark, sf_dir, "customer")
+    return top_n(
+        c.select("c_custkey", "c_acctbal"),
+        n=10,
+        order_by=[F.desc("c_acctbal"), F.asc("c_custkey")],
+    )
+
+
+_SQL_ORDER_BY_LIMIT = """
+SELECT c_custkey, c_acctbal FROM customer
+ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
+    analog) over sf0.001."""
+    return q_reconciliation(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "order_totals": q_order_totals,
+        "reconciliation": q_reconciliation,
+        "distinct": q_distinct,
+        "top1_per_group": q_top1_per_group,
+        "topk_per_group": q_topk_per_group,
+        "argmin_agg": q_argmin_agg,
+        "composite_key_join": q_composite_key_join,
+        "closest_stations": q_closest_stations,
+        "closest_stations_grid": q_closest_stations_grid,
+        "cleaning_scalars": q_cleaning_scalars,
+        "xml_shred": q_xml_shred,
+        "json_flatten": q_json_flatten,
+        "tumbling_window": q_tumbling_window,
+        "sliding_window": q_sliding_window,
+        "session_window": q_session_window,
+        "exact_dup_groups": q_exact_dup_groups,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash": q_simhash,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "language_id": q_language_id,
+        "fingerprints": q_fingerprints,
+        "ann_brute_force": q_ann_brute_force,
+        "ann_lsh": q_ann_lsh,
+        "multimodal_features": q_multimodal_features,
+        "csv_roundtrip": q_csv_roundtrip,
+        "filename_partition": q_filename_partition,
+        "ctas_roundtrip": q_ctas_roundtrip,
+        "order_by_limit": q_order_by_limit,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "order_totals": _SQL_PO_TOTALS,
+        "reconciliation": _SQL_RECONCILIATION,
+        "distinct": _SQL_DISTINCT,
+        "top1_per_group": _SQL_TOP1,
+        "topk_per_group": _SQL_TOPK,
+        "argmin_agg": _SQL_ARGMIN,
+        "composite_key_join": _SQL_COMPOSITE_JOIN,
+        "closest_stations": _SQL_CLOSEST,
+        "closest_stations_grid": _SQL_CLOSEST,
+        "cleaning_scalars": _SQL_CLEANING,
+        "xml_shred": _SQL_XML_SHRED,
+        "json_flatten": _SQL_JSON,
+        "tumbling_window": _SQL_TUMBLING,
+        "sliding_window": _SQL_SLIDING,
+        "session_window": _SQL_SESSION,
+        "exact_dup_groups": _SQL_EXACT_DUP,
+        "minhash_signatures": _sql_minhash_sigs()[0],
+        "minhash_lsh_pairs": _sql_lsh_pairs(),
+        "ngram_jaccard_pairs": _SQL_JACCARD,
+        "simhash": _sql_simhash(),
+        "text_quality": _SQL_TEXT_QUALITY,
+        "token_counts": _SQL_TOKEN_COUNTS,
+        "language_id": _sql_language_id(),
+        "fingerprints": _SQL_FINGERPRINTS,
+        "ann_brute_force": _SQL_ANN_BRUTE,
+        "ann_lsh": _sql_ann_lsh(),
+        "multimodal_features": _SQL_MULTIMODAL,
+        "csv_roundtrip": _SQL_CSV_ROUNDTRIP,
+        "filename_partition": _SQL_FNAME_PARTITION,
+        "ctas_roundtrip": _SQL_CTAS,
+        "order_by_limit": _SQL_ORDER_BY_LIMIT,
+    }

@@ -121,6 +121,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: split each signature into ``bands`` bands of
     ``num_hashes/bands`` rows, hash each band to a bucket key, explode to
@@ -128,9 +129,13 @@ def minhash_lsh_pairs(
 
     Scale shape: the explode adds only ``bands`` rows per doc; the join is
     a hash join on (band, bucket) — candidates are generated per bucket,
-    never all-pairs.  Giant buckets (degenerate content) are the skew
-    risk; AQE skew-join handles moderate cases, and a bucket-size cap can
-    be layered on for adversarial corpora.
+    never all-pairs.  Giant buckets (degenerate content, e.g. billions of
+    empty-ish docs sharing a band) are the skew risk: AQE skew-join
+    handles moderate cases, and ``max_bucket_size`` drops buckets larger
+    than the cap before the join (a bucket of size m contributes m²/2
+    candidate pairs — at 100 TB one degenerate bucket can dominate the
+    whole job; its members are still paired through their other,
+    non-degenerate bands).
     """
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes).filter(
@@ -153,6 +158,14 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
+    if max_bucket_size is not None:
+        small = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
+        banded = banded.join(small, on=["band", "bucket"], how="left_semi")
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -228,22 +241,33 @@ def simhash64(text: Column, n_bits: int = 60) -> Column:
     """SimHash fingerprint: per-token 60-bit hashes vote on each bit
     position; the sign of each bit's balance forms the fingerprint.
     Near-duplicate texts differ in O(few) bits (compare via
-    bit_count(a XOR b)).  Pure array math per row."""
+    bit_count(a XOR b)).  Pure array math per row.
+
+    Single pass: ONE fold over the token hashes accumulates all ``n_bits``
+    bit balances as an int array (each step is a ``zip_with`` update), then
+    one final pass turns balance signs into the fingerprint — O(tokens ×
+    bits) work total, vs. the naive per-bit re-scan which is the same
+    asymptotics but ``n_bits`` separate array traversals of the hash list.
+    """
     hashes = F.transform(tokens_ws(text), md5_hash64)
-    pow2 = F.array(*[F.lit(1 << i) for i in range(n_bits)])
-
-    def bit_balance(i: Column) -> Column:
-        p2 = F.element_at(pow2, i)
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(p2) != 0, F.lit(1)).otherwise(F.lit(-1)),
-        )
-
+    pow2 = F.array(*[F.lit(1 << i).cast("bigint") for i in range(n_bits)])
+    zeros = F.array(*[F.lit(0) for _ in range(n_bits)])
+    balances = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            pow2,
+            lambda a, p: a
+            + F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
     return F.aggregate(
-        F.sequence(F.lit(1), F.lit(n_bits)),
+        F.zip_with(
+            balances,
+            pow2,
+            lambda bal, p: F.when(bal > 0, p).otherwise(F.lit(0).cast("bigint")),
+        ),
         F.lit(0).cast("bigint"),
-        lambda acc, i: acc
-        + F.when(bit_balance(i) > 0, F.element_at(pow2, i)).otherwise(F.lit(0)),
+        lambda acc, v: acc + v,
     )

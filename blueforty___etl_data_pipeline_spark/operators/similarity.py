@@ -31,7 +31,8 @@ from .topk import topk_per_group
 
 def _rounded(score, decimals: int = 9):
     # Rank on a rounded score so ULP-level float differences can never
-    # reorder results across engines/runs; ties broken by id.
+    # reorder results across engines/runs; ties broken by id.  Differential
+    # tests pass a coarser ``decimals`` for extra margin.
     return F.round(score, decimals)
 
 
@@ -42,6 +43,7 @@ def ann_brute_force(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    round_decimals: int = 9,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast-cross-join queries × corpus → score →
     top-k per query.  Returns (query_id, neighbor_id, rank)."""
@@ -52,7 +54,7 @@ def ann_brute_force(
         F.col(query_id_col),
         F.col(id_col).alias("neighbor_id"),
         _rounded(
-            cosine_similarity(F.col(vec_col), F.col("_qvec"))
+            cosine_similarity(F.col(vec_col), F.col("_qvec")), round_decimals
         ).alias("score"),
     )
     ranked = topk_per_group(
@@ -114,6 +116,7 @@ def ann_lsh_bucketed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    round_decimals: int = 9,
 ) -> DataFrame:
     """Approximate top-k: score only same-LSH-bucket pairs.
 
@@ -135,7 +138,9 @@ def ann_lsh_bucketed(
     scored = c.join(F.broadcast(q), on="_bucket").select(
         F.col(query_id_col),
         F.col("neighbor_id"),
-        _rounded(cosine_similarity(F.col("_cvec"), F.col("_qvec"))).alias("score"),
+        _rounded(
+            cosine_similarity(F.col("_cvec"), F.col("_qvec")), round_decimals
+        ).alias("score"),
     )
     return topk_per_group(
         scored,

@@ -74,15 +74,18 @@ def load_purchases_csv(
     null-on-failure conversions, and attaches file metadata columns
     (METADATA$FILENAME / FILE_LAST_MODIFIED, :106-107).
     """
+    # header=true: OSS Spark has no skipRows option, so the header line must
+    # be consumed by the reader itself (SKIP_HEADER=1, BlueForty.py:26).
+    # Columns stay addressable positionally via df.columns order.
     raw = read_csv(
         spark,
         path,
-        options={**PURCHASES_CSV_OPTIONS, "header": "false", "skipRows": "1"},
+        options={**PURCHASES_CSV_OPTIONS, "header": "true"},
         path_glob=path_glob,
     )
-    cols = raw.columns  # _c0.._c20 positional
+    cols = raw.columns  # header names, positional order = $1..$21
     out = [
-        _CONVERTERS[kind](F.col(cols[pos - 1])).alias(name)
+        _CONVERTERS[kind](raw[cols[pos - 1]]).alias(name)
         for pos, name, kind in PURCHASES_POSITIONAL
     ]
     return raw.select(
@@ -252,13 +255,15 @@ def closest_stations_grid(
     an EQUI-join on the cell key, so it shuffles instead of exploding into
     a cartesian product.
 
-    Exactness: a candidate found within ``cell_deg`` of latitude-degrees
-    (≈ cell_deg·110 km, the inscribed radius of the 3×3 block) is provably
-    the global nearest; ZIPs whose best candidate is farther (or that found
-    none) fall back to the full broadcast scan.  With sane station density
-    the fallback set is empty and the whole job is one equi-join.
+    Exactness: a candidate within the inscribed radius of the 3×3 block is
+    provably the global nearest.  The block's east-west extent shrinks by
+    cos(lat) — a longitude degree is ~110·cos(lat) km, not 110 km — so the
+    safe radius is computed PER ROW as ``cell_deg·110·cos(radians(lat))``
+    (the lat-direction bound is cell_deg·110 ≥ that, so the cos term is the
+    binding one everywhere).  ZIPs whose best candidate is farther (or that
+    found none) fall back to the full broadcast scan.  With sane station
+    density the fallback set is empty and the whole job is one equi-join.
     """
-    guarantee_km = cell_deg * 110.0
 
     def cell(lat, lon):
         return F.floor(lat / cell_deg).cast("int"), F.floor(
@@ -304,6 +309,7 @@ def closest_stations_grid(
         dist = F.round(dist, round_decimals)
     candidates = z_expanded.join(st_cells, on=["cell_lat", "cell_lon"]).select(
         "zip_code",
+        "lat",
         "station_id",
         dist.alias("dist_km"),
     )
@@ -312,6 +318,7 @@ def closest_stations_grid(
         partition_by=["zip_code"],
         order_by=[F.asc("dist_km"), F.asc("station_id")],
     )
+    guarantee_km = F.lit(cell_deg * 110.0) * F.cos(F.radians(F.col("lat")))
     proven = best.filter(F.col("dist_km") <= guarantee_km).select(
         "zip_code", "station_id"
     )

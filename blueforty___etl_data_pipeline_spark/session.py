@@ -55,6 +55,10 @@ def get_spark(
         # Arrow for every Python<->JVM data exchange (Pandas UDFs, toPandas).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # The driver's events.parquet stores TIMESTAMP(NANOS); without this
+        # Spark 4 hard-fails the scan (PARQUET_TYPE_ILLEGAL).  The nanos
+        # bigint is converted to a real timestamp in sources/catalog.py.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

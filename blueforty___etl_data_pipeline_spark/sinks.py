@@ -1,0 +1,86 @@
+"""Materialization sinks (SURVEY.md §2.1, S9/S10).
+
+The reference materializes three CTAS tables (BlueForty.py:425-448,
+:452-463, :467-475) and appends shredded rows via INSERT INTO … SELECT
+(:179-201).  Spark-native equivalents:
+
+- ``write_table``: CTAS — overwrite a Parquet location (or a catalog
+  table), optionally Hive-partitioned.  Partitioning by the
+  filename-derived yyyy/mm columns (sources/csv.with_filename_partition)
+  turns the reference's hand-rolled ``purchases/yyyy/mm/`` stage layout
+  (BlueForty.py:66-75) into real partitions that Catalyst prunes.
+- ``insert_append``: INSERT INTO … SELECT — append to an existing
+  location/table with schema-by-name resolution.
+
+Scale notes: one file per task — control output file count with
+``repartition_cols`` (repartition by the partition columns so each Hive
+partition is written by few tasks, avoiding the many-small-files problem
+at 1000 executors).  ``maxRecordsPerFile`` can be layered on via option.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    mode: str = "overwrite",
+    repartition_cols: Sequence[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """CTAS to a path (BlueForty.py:425-448 analog).
+
+    ``repartition_cols`` defaults to ``partition_by`` when partitioning:
+    co-locating rows of one output partition into one shuffle partition
+    keeps file counts bounded (≤ shuffle partitions per Hive partition
+    instead of tasks × partitions).
+    """
+    if partition_by and repartition_cols is None:
+        repartition_cols = list(partition_by)
+    if repartition_cols:
+        df = df.repartition(*repartition_cols)
+    writer = df.write.mode(mode).format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def save_as_table(
+    df: DataFrame,
+    name: str,
+    partition_by: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """CTAS into the session catalog (managed table) — the closest analog
+    of ``CREATE OR REPLACE TABLE … AS SELECT`` when a metastore exists."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(name)
+
+
+def insert_append(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    fmt: str = "parquet",
+) -> None:
+    """INSERT INTO … SELECT (BlueForty.py:179-201 analog): append rows to
+    an existing dataset.  Schema resolution is by name (Parquet), so
+    column order in ``df`` need not match the target.  ``partition_by``
+    MUST match the target's layout — appending unpartitioned files into a
+    partitioned dataset corrupts the read-back schema."""
+    writer = df.write.mode("append").format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def read_back(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Re-open a materialized table (round-trip helper for tests/bench)."""
+    return spark.read.format(fmt).load(path)

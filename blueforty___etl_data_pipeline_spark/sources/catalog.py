@@ -9,6 +9,7 @@ pushdown, column pruning, and stats from the Parquet footers.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -27,7 +28,21 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table.  Plain columnar scan: filters and column
     selections applied by the caller reach the Parquet reader (verify with
-    ``.explain`` → ``PushedFilters`` / ``ReadSchema``)."""
+    ``.explain`` → ``PushedFilters`` / ``ReadSchema``).
+
+    ``events`` needs special handling: its ``ts`` column is parquet
+    TIMESTAMP(NANOS), which Spark 4 refuses to read natively
+    (PARQUET_TYPE_ILLEGAL).  We read it as nanos-since-epoch via the
+    legacy conf and convert to a microsecond timestamp — integer ``div``
+    (not ``/``, which is a double division and loses precision past 2^53)
+    so the value agrees bit-for-bit with engines that truncate ns→µs.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

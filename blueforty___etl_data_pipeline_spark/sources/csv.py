@@ -91,11 +91,19 @@ def read_csv(
             *[nullify_sentinels(F.col(c), null_sentinels).alias(c) for c in df.columns]
         )
         if schema is not None:
+            # Apply the schema BY POSITION (headerless files surface as
+            # _c0.., so name matching would silently drop every field), and
+            # use try_cast so the null-on-failure contract holds even under
+            # a caller session with spark.sql.ansi.enabled=true.
+            if len(schema.fields) != len(df.columns):
+                raise ValueError(
+                    f"schema has {len(schema.fields)} fields but CSV has "
+                    f"{len(df.columns)} columns"
+                )
             df = df.select(
                 *[
-                    F.col(f.name).cast(f.dataType).alias(f.name)
-                    for f in schema.fields
-                    if f.name in df.columns
+                    df[c].try_cast(f.dataType).alias(f.name)
+                    for f, c in zip(schema.fields, df.columns)
                 ]
             )
     return df
