@@ -1,0 +1,84 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Each query is executed to completion through the ``noop`` write format —
+full computation, zero serialization back to the driver, so the number
+measures the engine, not ``collect()``.  Per-query wall times are
+reported individually; ``value`` is the total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from blueforty___etl_data_pipeline_spark.session import get_spark
+
+#: Headline subset: one per operator family, weighted toward the
+#: shuffle/join/window-heavy plans that dominate at scale.
+HEADLINE = [
+    "order_totals",
+    "reconciliation",
+    "top1_per_group",
+    "argmin_agg",
+    "composite_key_join",
+    "closest_stations",
+    "closest_stations_grid",
+    "cleaning_scalars",
+    "xml_shred",
+    "tumbling_window",
+    "sliding_window",
+    "session_window",
+    "exact_dup_groups",
+    "minhash_lsh_pairs",
+    "simhash",
+    "text_quality",
+    "fingerprints",
+    "ann_brute_force",
+    "ann_lsh",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="blueforty-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # Warm the JVM/scheduler so q1 doesn't pay session startup.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

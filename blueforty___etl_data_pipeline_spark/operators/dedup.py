@@ -87,26 +87,36 @@ def minhash_signatures(
     """Per-document MinHash signature as ``array<bigint>`` of length
     ``num_hashes``.
 
-    Everything is per-row array math (transform + array_min), so signature
-    computation is embarrassingly parallel and shuffle-free — the property
-    that makes MinHash viable on a 100 TB corpus.  Empty docs get an empty
-    signature (filtered before LSH).
+    Everything is per-row array math, so signature computation is
+    embarrassingly parallel and shuffle-free — the property that makes
+    MinHash viable on a 100 TB corpus.  Empty docs get a null signature
+    (filtered before LSH).
+
+    Single pass: ONE fold over the shingle hashes carries all
+    ``num_hashes`` running minima (the naive per-hash
+    ``array_min(transform(...))`` form makes Catalyst inline — and
+    therefore re-evaluate — the whole tokenize→shingle→md5 chain once per
+    hash function: ~60× the md5 work and a 50× wall-time regression at
+    bench scale).
     """
     params = _hash_params(num_hashes)
+    a_arr = F.array(*[F.lit(a).cast("bigint") for a, _ in params])
+    b_arr = F.array(*[F.lit(b).cast("bigint") for _, b in params])
     base = shingle_hashes(F.col(text_col), n)
     # h mod p once, then each h_k is (a·x + b) mod p with x < 2^31 —
     # products stay under 2^62, no bigint overflow.
     reduced = F.transform(base, lambda h: h % F.lit(MERSENNE31))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    reduced,
-                    lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MERSENNE31),
-                )
-            )
-            for a, b in params
-        ]
+    init = F.array_repeat(F.lit(MERSENNE31).cast("bigint"), num_hashes)
+    sig = F.aggregate(
+        reduced,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            F.zip_with(
+                a_arr, b_arr, lambda a, b: (a * x + b) % F.lit(MERSENNE31)
+            ),
+            lambda u, v: F.least(u, v),
+        ),
     )
     return df.select(
         F.col(id_col),
@@ -141,6 +151,12 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes).filter(
         F.col("minhash_sig").isNotNull()
     )
+    # The bucket join is a SELF-join: without materialization both sides
+    # re-run the tokenize→shingle→md5→fold signature computation.  Persist
+    # the (id, signature) projection — at corpus scale this is the table
+    # you would checkpoint to storage between the signature and pairing
+    # stages anyway.
+    sigs = sigs.persist()
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
