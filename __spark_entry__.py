@@ -631,8 +631,10 @@ GROUP BY 1, 2
 
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows per user (30 min gap).  Session end =
-    last event + gap; a new session starts when the inter-event gap is
-    ≥ the threshold (Spark's session windows are half-open)."""
+    last event + gap; a new session starts only when the inter-event gap
+    STRICTLY exceeds the threshold (Spark merges adjacent per-event
+    windows, so an exactly-gap-apart event still extends the session —
+    pinned by tests/test_windows.py)."""
     _prep(spark)
     ev = _t(spark, sf_dir, "events")
     out = session_window_agg(
@@ -657,7 +659,7 @@ _SQL_SESSION = f"""
 WITH d AS (
   SELECT user_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)

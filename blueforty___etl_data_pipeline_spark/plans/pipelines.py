@@ -358,14 +358,17 @@ def purchases_with_weather(
     reconciliation ⋈ supplier (SupplierID) ⋈ weather on the composite
     (ZIP, DATE=ORDERDATE) key.  supplier_case is a dimension → broadcast;
     the weather join is a composite-key hash join."""
+    # DataFrame-qualified references: Spark's default case-insensitive
+    # resolution sees 'SupplierID' and 'supplierid' as the same name, so a
+    # bare F.col would be ambiguous across the two sides.
     sup = supplier_case.select(
         F.col("supplierid"), F.col("postalpostalcode").alias("ZIP")
     )
     a = reconciliation.join(
-        F.broadcast(sup), on=F.col("SupplierID") == F.col("supplierid")
+        F.broadcast(sup), on=reconciliation["SupplierID"] == sup["supplierid"]
     ).drop("supplierid")
     return a.join(
         zip_weather,
-        on=(F.col("zip_code") == F.col("ZIP"))
-        & (F.col("date") == F.col("OrderDate")),
+        on=(zip_weather["zip_code"] == a["ZIP"])
+        & (zip_weather["date"] == a["OrderDate"]),
     ).drop("zip_code", "date")

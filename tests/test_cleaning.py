@@ -1,0 +1,93 @@
+"""Scalar cleaning contract (SURVEY.md §2.8, F1-F12) — the Snowflake
+null-on-failure semantics the loaders depend on."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from blueforty___etl_data_pipeline_spark.functions.cleaning import (
+    int_flag_to_bool,
+    nullif_empty,
+    try_to_date,
+    try_to_decimal,
+    try_to_number,
+    zip5,
+    zip5_not_null_filter,
+)
+
+
+def _one(spark, expr):
+    return spark.range(1).select(expr.alias("v")).collect()[0]["v"]
+
+
+def test_try_to_number_valid(spark):
+    assert _one(spark, try_to_number(F.lit("42"))) == 42
+
+
+def test_try_to_number_garbage_is_null(spark):
+    assert _one(spark, try_to_number(F.lit("abc"))) is None
+
+
+def test_try_to_number_trims_whitespace(spark):
+    assert _one(spark, try_to_number(F.lit("  7 "))) == 7
+
+
+def test_try_to_decimal(spark):
+    v = _one(spark, try_to_decimal(F.lit("12.3456"), 18, 4))
+    assert str(v) == "12.3456"
+
+
+def test_try_to_decimal_garbage_is_null(spark):
+    assert _one(spark, try_to_decimal(F.lit("12x"), 18, 4)) is None
+
+
+def test_try_to_date_with_format(spark):
+    v = _one(spark, try_to_date(F.lit("01/31/2013"), "MM/dd/yyyy"))
+    assert v == datetime.date(2013, 1, 31)
+
+
+def test_try_to_date_bad_input_is_null(spark):
+    assert _one(spark, try_to_date(F.lit("31/31/2013"), "MM/dd/yyyy")) is None
+
+
+def test_try_to_date_formatless_iso(spark):
+    v = _one(spark, try_to_date(F.lit("2013-01-31")))
+    assert v == datetime.date(2013, 1, 31)
+
+
+def test_nullif_empty(spark):
+    assert _one(spark, nullif_empty(F.lit(""))) is None
+    assert _one(spark, nullif_empty(F.lit("x"))) == "x"
+
+
+def test_int_flag_to_bool(spark):
+    assert _one(spark, int_flag_to_bool(F.lit("1"))) is True
+    assert _one(spark, int_flag_to_bool(F.lit("0"))) is False
+    assert _one(spark, int_flag_to_bool(F.lit("zz"))) is None
+
+
+def test_zip5_pad_then_strip_order(spark):
+    # The reference pads BEFORE stripping non-digits (BlueForty.py:364-388):
+    # 'abc12' → lpad keeps it 5 chars → strip → '12' (NOT '00012').
+    v = _one(spark, zip5(F.lit("abc12"), F.lit(None).cast("string")))
+    assert v == "12"
+
+
+def test_zip5_pads_short_numeric(spark):
+    assert _one(spark, zip5(F.lit("42"), F.lit(None).cast("string"))) == "00042"
+
+
+def test_zip5_uses_fallback(spark):
+    v = _one(spark, zip5(F.lit(None).cast("string"), F.lit("30301")))
+    assert v == "30301"
+
+
+def test_zip5_filter_rejects_empty_and_null(spark):
+    df = spark.createDataFrame(
+        [("90210", None), (None, "1"), ("", None), (None, None)],
+        "p string, f string",
+    )
+    kept = df.filter(zip5_not_null_filter(F.col("p"), F.col("f"))).collect()
+    assert [(r["p"], r["f"]) for r in kept] == [("90210", None), (None, "1")]

@@ -1,0 +1,143 @@
+"""Dedup + text-analysis operators (north-star extensions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blueforty___etl_data_pipeline_spark.functions.text import (
+    doc_fingerprint,
+    md5_hash64,
+    ngrams,
+    token_count_bpeish,
+    token_count_ws,
+    tokens_ws,
+)
+from blueforty___etl_data_pipeline_spark.operators.dedup import (
+    dedup_exact,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from blueforty___etl_data_pipeline_spark.operators.text_ops import (
+    language_id,
+    text_quality,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_exact_dup_groups_counts_and_canonical(spark):
+    df = _docs(spark, ["aa", "bb", "aa", "aa", "cc"])
+    out = {r["canonical_id"]: r["dup_count"] for r in exact_dup_groups(df).collect()}
+    assert out == {0: 3, 1: 1, 4: 1}
+
+
+def test_dedup_exact_keeps_lowest_id(spark):
+    df = _docs(spark, ["aa", "bb", "aa"])
+    kept = sorted(r["doc_id"] for r in dedup_exact(df).collect())
+    assert kept == [0, 1]
+
+
+def test_minhash_identical_docs_equal_signatures(spark):
+    df = _docs(spark, ["the quick brown fox jumps over a lazy dog"] * 2)
+    sigs = [r["minhash_sig"] for r in minhash_signatures(df, num_hashes=16).collect()]
+    assert sigs[0] == sigs[1] and len(sigs[0]) == 16
+
+
+def test_minhash_empty_doc_null_signature(spark):
+    df = _docs(spark, ["", "one two three four"])
+    rows = {r["doc_id"]: r["minhash_sig"] for r in minhash_signatures(df).collect()}
+    assert rows[0] is None and rows[1] is not None
+
+
+def test_lsh_finds_near_duplicates(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    near = base + "one extra token"
+    df = _docs(spark, [base, near, "totally different content entirely here now"])
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(df).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_lsh_bucket_cap_drops_degenerate_bucket(spark):
+    df = _docs(spark, ["same same same same text here"] * 10)
+    capped = minhash_lsh_pairs(df, max_bucket_size=5)
+    assert capped.count() == 0  # every band bucket has 10 members > cap
+
+
+def test_jaccard_exact_values(spark):
+    # 'a b c d' shingles(3): {abc, bcd}; 'a b c e': {abc, bce} → J = 1/3.
+    df = _docs(spark, ["a b c d", "a b c e"])
+    rows = ngram_jaccard_pairs(df, threshold=0.0).collect()
+    assert len(rows) == 1
+    assert abs(rows[0]["jaccard"] - 1 / 3) < 1e-12
+
+
+def test_simhash_near_dups_close_in_hamming(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    df = _docs(spark, [base, base + "extra", "unrelated words apart totally"])
+    out = df.select("doc_id", simhash64(F.col("text")).alias("h")).collect()
+    h = {r["doc_id"]: r["h"] for r in out}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(h[0], h[1]) < ham(h[0], h[2])
+
+
+def test_simhash_empty_is_zero(spark):
+    df = _docs(spark, [""])
+    assert df.select(simhash64(F.col("text")).alias("h")).collect()[0]["h"] == 0
+
+
+def test_tokens_and_ngrams_edges(spark):
+    df = spark.createDataFrame([("  a  b c  ",), ("",), ("one two",)], "t string")
+    out = df.select(
+        token_count_ws(F.col("t")).alias("n"),
+        F.size(ngrams(tokens_ws(F.col("t")), 3)).alias("g3"),
+    ).collect()
+    assert [(r["n"], r["g3"]) for r in out] == [(3, 1), (0, 0), (2, 0)]
+
+
+def test_bpeish_token_count(spark):
+    df = spark.createDataFrame([("Hello, world42!",)], "t string")
+    # tokens: Hello , world 42 ! → 5
+    assert df.select(token_count_bpeish(F.col("t")).alias("n")).collect()[0]["n"] == 5
+
+
+def test_text_quality_known_values(spark):
+    df = _docs(spark, ["the cat, and hat"])
+    r = text_quality(df).collect()[0]
+    assert r["n_chars"] == 16 and r["n_tokens"] == 4
+    assert abs(r["punct_ratio"] - 1 / 16) < 1e-12
+    assert abs(r["stopword_ratio"] - 0.5) < 1e-12  # 'the', 'and'
+
+
+def test_language_id_argmax_and_unknown(spark):
+    df = _docs(
+        spark,
+        [
+            "the cat and the dog of the house",
+            "el gato y la casa de la abuela",
+            "zzz qqq xxx",
+        ],
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert out == {0: "en", 1: "es", 2: "und"}
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [("a b c d e",), ("e d c b a",)], "text string"
+    )
+    out = df.select(doc_fingerprint(F.col("text")).alias("f")).collect()
+    assert out[0]["f"] != out[1]["f"]
+
+
+def test_md5_hash64_stable(spark):
+    # Portable hash: pinned value so any engine change is caught.
+    v = spark.range(1).select(md5_hash64(F.lit("abc")).alias("h")).collect()[0]["h"]
+    assert v == 648541476951500027  # == int(md5('abc').hexdigest()[:15], 16)

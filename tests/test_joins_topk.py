@@ -1,0 +1,94 @@
+"""Join and ranking operator semantics (SURVEY.md §2.3, §2.5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blueforty___etl_data_pipeline_spark.operators.joins import (
+    broadcast_cross_join,
+    composite_key_join,
+    using_join,
+)
+from blueforty___etl_data_pipeline_spark.operators.topk import (
+    argmin_agg,
+    top1_per_group,
+    topk_per_group,
+)
+
+
+def test_using_join_coalesces_key(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "k long, va string")
+    b = spark.createDataFrame([(1, "z")], "k long, vb string")
+    out = using_join(a, b, "k")
+    assert out.columns == ["k", "va", "vb"]  # key appears once
+    assert out.count() == 1
+
+
+def test_composite_key_join(spark):
+    a = spark.createDataFrame([(1, 10), (1, 20), (2, 10)], "k long, d long")
+    b = spark.createDataFrame([(1, 10, "hit")], "k2 long, d2 long, tag string")
+    out = composite_key_join(a, b, [("k", "k2"), ("d", "d2")])
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["tag"] == "hit"
+
+
+def test_broadcast_cross_join_cardinality(spark):
+    big = spark.range(7)
+    small = spark.createDataFrame([(1,), (2,), (3,)], "s long")
+    assert broadcast_cross_join(big, small).count() == 21
+
+
+def test_broadcast_cross_join_plan_is_bnlj(spark):
+    big = spark.range(100)
+    small = spark.createDataFrame([(1,), (2,)], "s long")
+    plan = broadcast_cross_join(big, small)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_top1_deterministic_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("g", 2, 1.0), ("g", 1, 1.0), ("g", 3, 0.5)],
+        "grp string, id long, score double",
+    )
+    out = top1_per_group(
+        df, partition_by=["grp"], order_by=[F.desc("score"), F.asc("id")]
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["id"] == 1  # equal scores → lowest id wins
+
+
+def test_topk_keep_rank(spark):
+    df = spark.createDataFrame(
+        [("g", i, float(i)) for i in range(5)], "grp string, id long, s double"
+    )
+    out = topk_per_group(
+        df,
+        partition_by=["grp"],
+        order_by=[F.desc("s")],
+        k=2,
+        keep_rank=True,
+    ).collect()
+    assert sorted((r["id"], r["rn"]) for r in out) == [(3, 2), (4, 1)]
+
+
+def test_argmin_agg_matches_window_top1(spark, sf_small):
+    from blueforty___etl_data_pipeline_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_small, "lineitem")
+    w = top1_per_group(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        partition_by=["l_orderkey"],
+        order_by=[F.asc("l_extendedprice"), F.asc("l_linenumber")],
+    )
+    a = argmin_agg(
+        li,
+        keys=["l_orderkey"],
+        order_col=F.struct("l_extendedprice", "l_linenumber"),
+        payload=F.struct("l_linenumber", "l_extendedprice"),
+        alias="best",
+    ).select(
+        "l_orderkey",
+        F.col("best.l_linenumber").alias("l_linenumber"),
+        F.col("best.l_extendedprice").alias("l_extendedprice"),
+    )
+    assert w.exceptAll(a).count() == 0 and a.exceptAll(w).count() == 0

@@ -1,0 +1,70 @@
+"""Similarity-search operators over embedding columns."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blueforty___etl_data_pipeline_spark.functions.vectors import (
+    cosine_similarity,
+    dot,
+)
+from blueforty___etl_data_pipeline_spark.operators.similarity import (
+    ann_brute_force,
+    ann_lsh_bucketed,
+    score_batch_numpy,
+)
+from blueforty___etl_data_pipeline_spark.sources.catalog import load_table
+
+
+def test_dot_and_cosine(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<double>, b array<double>"
+    )
+    r = df.select(
+        dot(F.col("a"), F.col("b")).alias("d"),
+        cosine_similarity(F.col("a"), F.col("a")).alias("self"),
+    ).collect()[0]
+    assert r["d"] == 32.0
+    assert abs(r["self"] - 1.0) < 1e-12
+
+
+def test_cosine_zero_vector_is_null(spark):
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 1.0])], "a array<double>, b array<double>"
+    )
+    assert df.select(cosine_similarity(F.col("a"), F.col("b")).alias("c")).collect()[0]["c"] is None
+
+
+def test_brute_force_self_is_nearest(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    out = ann_brute_force(emb, queries, k=1)
+    for r in out.collect():
+        assert r["neighbor_id"] == r["query_id"]  # cosine(self)=1 is max
+        assert r["rank"] == 1
+
+
+def test_lsh_results_subset_of_brute_force_order(spark, sf_small):
+    # LSH scores only same-bucket pairs; every returned (q, n, score) must
+    # match the brute-force score exactly (same fold, same rounding).
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 250 == 0)
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in ann_brute_force(emb, queries, k=500).collect()
+    }
+    for r in ann_lsh_bucketed(emb, queries, k=5).collect():
+        assert bf[(r["query_id"], r["neighbor_id"])] == r["score"]
+
+
+def test_numpy_batch_scorer_matches_fold(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings").limit(50).cache()
+    qrows = [(int(r["vec_id"]), list(r["embedding"])) for r in emb.limit(2).collect()]
+    fast = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in score_batch_numpy(emb, qrows).collect()
+    }
+    q = spark.createDataFrame(qrows, "vec_id long, embedding array<float>")
+    slow = ann_brute_force(emb, q, k=50, round_decimals=6)
+    for r in slow.collect():
+        assert abs(fast[(r["query_id"], r["neighbor_id"])] - r["score"]) < 1e-6

@@ -1,0 +1,80 @@
+"""Materialization sinks (S9/S10) and multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+    binarize,
+    extract_features,
+    frame_sample_stub,
+)
+from blueforty___etl_data_pipeline_spark.sinks import (
+    insert_append,
+    read_back,
+    write_table,
+)
+from blueforty___etl_data_pipeline_spark.sources.catalog import load_table
+
+
+def test_ctas_roundtrip_partitioned(spark, sf_small, tmp_path):
+    orders = load_table(spark, sf_small, "orders")
+    agg = orders.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_orderpriority").alias("pri"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    path = str(tmp_path / "ctas")
+    write_table(agg, path, partition_by=("yr",))
+    back = read_back(spark, path).select(
+        F.col("yr").cast("int").alias("yr"), "pri", "n"
+    )
+    src = agg.select(F.col("yr").cast("int").alias("yr"), "pri", "n")
+    assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
+
+
+def test_insert_append_accumulates(spark, tmp_path):
+    df1 = spark.createDataFrame([(1, "a")], "k long, p string")
+    df2 = spark.createDataFrame([(2, "b")], "k long, p string")
+    path = str(tmp_path / "append")
+    write_table(df1, path, partition_by=("p",))
+    insert_append(df2, path, partition_by=("p",))
+    assert read_back(spark, path).count() == 2
+
+
+def test_write_overwrite_replaces(spark, tmp_path):
+    path = str(tmp_path / "ovw")
+    write_table(spark.range(10).toDF("id"), path)
+    write_table(spark.range(3).toDF("id"), path)
+    assert read_back(spark, path).count() == 3
+
+
+def test_multimodal_feature_extraction(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents").limit(20)
+    media = binarize(docs)
+    assert dict(media.dtypes)["content"] == "binary"
+    feats = extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r["feat"]) == 8
+        assert all(0 <= x <= 1 for x in r["feat"])
+        assert r["n_bytes"] > 0 and len(r["content_md5"]) == 32
+
+
+def test_multimodal_decode_stub_raises_without_fake(spark):
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        decode_image_stub,
+    )
+
+    try:
+        decode_image_stub(b"bytes", fake=False)
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError:
+        pass
+
+
+def test_frame_sampling_expands_rows(spark):
+    df = spark.createDataFrame([(1, "x" * 200)], "doc_id long, text string")
+    frames = frame_sample_stub(binarize(df)).collect()
+    assert len(frames) == 4  # 200 bytes / 64 → 4 frames
+    assert [r["frame_no"] for r in frames] == [0, 1, 2, 3]

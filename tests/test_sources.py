@@ -1,0 +1,175 @@
+"""CSV/TSV/XML source contracts (SURVEY.md §2.1) incl. the EP1 header
+regression and reference-shaped fixture goldens."""
+
+from __future__ import annotations
+
+import datetime
+import os
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from blueforty___etl_data_pipeline_spark.functions.inference import (
+    infer_csv_schema,
+)
+from blueforty___etl_data_pipeline_spark.plans.pipelines import (
+    load_purchases_csv,
+    purchase_order_totals,
+    shred_supplier_invoices,
+)
+from blueforty___etl_data_pipeline_spark.sources.csv import (
+    nullify_sentinels,
+    read_csv,
+    read_tsv,
+    with_filename_partition,
+)
+
+
+def test_purchases_header_not_leaked(spark, fixtures_dir):
+    # Regression (round-1 VERDICT): skipRows is not an OSS option; with
+    # header=false every file's header became a junk data row.
+    df = load_purchases_csv(spark, os.path.join(fixtures_dir, "purchases"))
+    rows = df.collect()
+    assert len(rows) == 5  # 3 + 2 data rows, no header ghosts
+    descriptions = {r["Description"] for r in rows}
+    assert "c16" not in descriptions  # the header token must not appear
+
+
+def test_purchases_positional_conversions(spark, fixtures_dir):
+    df = load_purchases_csv(spark, os.path.join(fixtures_dir, "purchases"))
+    by_line = {r["PurchaseOrderLineID"]: r for r in df.collect()}
+    r1 = by_line[101]
+    assert r1["PurchaseOrderID"] == 1
+    assert r1["OrderDate"] == datetime.date(2013, 1, 5)
+    assert r1["Description"] == "Widget A"  # TRIM applied
+    assert r1["IsOrderFinalized"] is True
+    assert r1["ExpectedUnitPricePerOuter"] == Decimal("12.5000")
+    r2 = by_line[102]
+    assert r2["SupplierReference"] is None  # '' → NULLIF
+    # dirty row: every try-conversion nulls, row is kept (ON_ERROR=CONTINUE)
+    r3 = by_line[103]
+    assert r3["PurchaseOrderID"] is None
+    assert r3["OrderDate"] is None
+    assert r3["ReceivedOuters"] is None  # 'NULL' sentinel
+    assert r3["ExpectedUnitPricePerOuter"] is None  # 'N/A' sentinel
+    assert r3["LastReceiptDate"] is None  # '\\N' sentinel
+
+
+def test_purchase_order_totals_golden(spark, fixtures_dir):
+    # Golden checkpoint analog (BlueForty.py:234 role): hand-computed sums.
+    df = purchase_order_totals(
+        load_purchases_csv(spark, os.path.join(fixtures_dir, "purchases"))
+    )
+    amounts = {r["PurchaseOrderID"]: float(r["POAmount"]) for r in df.collect()}
+    assert amounts[1] == 50.0  # 4 × 12.50
+    assert amounts[2] == 21.75  # 3 × 7.25
+    assert amounts[4] == 19.98  # 2 × 9.99
+    assert amounts[5] == 9.0  # 6 × 1.50
+    assert amounts[None] == 0.0  # dirty row: COALESCE(null,0)×COALESCE(null,0)
+
+
+def test_csv_schema_applied_by_position_headerless(spark, tmp_path):
+    # Headerless file surfaces as _c0.. — schema must bind by position.
+    p = tmp_path / "noheader.csv"
+    p.write_text("1,a,2.5\nNULL,\\N,N/A\n")
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    df = read_csv(
+        spark, str(p), schema=schema, options={"header": "false"}
+    )
+    rows = df.collect()
+    assert df.columns == ["id", "name", "score"]
+    assert rows[0]["id"] == 1 and rows[0]["score"] == 2.5
+    assert rows[1]["id"] is None and rows[1]["name"] is None
+
+
+def test_csv_schema_width_mismatch_raises(spark, tmp_path):
+    p = tmp_path / "wide.csv"
+    p.write_text("a,b\n1,2\n")
+    schema = StructType([StructField("only_one", LongType())])
+    try:
+        read_csv(spark, str(p), schema=schema)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "1 fields" in str(e)
+
+
+def test_nullify_sentinels_expression(spark):
+    df = spark.createDataFrame(
+        [("NULL",), ("\\N",), ("N/A",), ("",), ("keep",)], "v string"
+    )
+    out = df.select(nullify_sentinels(F.col("v")).alias("v")).collect()
+    assert [r["v"] for r in out] == [None, None, None, None, "keep"]
+
+
+def test_read_tsv(spark, fixtures_dir):
+    df = read_tsv(
+        spark, os.path.join(fixtures_dir, "supplier", "zipcode_geolocation.tsv")
+    )
+    rows = {r["zip_code"]: r for r in df.collect()}
+    assert rows["90210"]["lat"] == "34.09"  # untyped read: strings
+
+
+def test_filename_partition_derivation(spark, fixtures_dir):
+    df = read_csv(
+        spark,
+        os.path.join(fixtures_dir, "purchases"),
+        path_glob="*.csv",
+    )
+    out = with_filename_partition(df).select("yyyy", "mm").distinct().collect()
+    pairs = {(r["yyyy"], r["mm"]) for r in out}
+    assert pairs == {("2013", "01"), ("2013", "02")}
+
+
+def test_xml_shred_fixture_golden(spark, fixtures_dir):
+    # EP2 golden: 3 children, 1 malformed (no SupplierTransactionID) → 2
+    # rows with ordinals 0 and 2 preserved (BlueForty.py:197-200).
+    df = shred_supplier_invoices(
+        spark, os.path.join(fixtures_dir, "xml", "supplier_invoices.xml")
+    )
+    rows = sorted(df.collect(), key=lambda r: r["XML_INDEX"])
+    assert [r["XML_INDEX"] for r in rows] == [0, 2]
+    assert rows[0]["SupplierTransactionID"] == 1001
+    assert rows[0]["IsFinalized"] is True
+    assert str(rows[0]["AmountExcludingTax"]) == "50.00"
+    assert rows[1]["PurchaseOrderID"] is None  # '' → NULLIF → null
+    assert rows[1]["FinalizationDate"] is None
+    assert rows[1]["TransactionDate"] == datetime.date(2013, 1, 22)
+
+
+def test_infer_schema_priority_and_cap(tmp_path):
+    # DATE beats INTEGER; a bad value past the 100-row cap is not seen.
+    lines = ["d,i,f,s,n"]
+    for k in range(100):
+        lines.append(f"2013-01-{k % 28 + 1:02d},{k},{k}.5,x{k},NULL")
+    lines.append("not-a-date,abc,zzz,1,2")  # row 101: ignored by the cap
+    p = tmp_path / "sniff.csv"
+    p.write_text("\n".join(lines) + "\n")
+    schema = infer_csv_schema(str(p))
+    kinds = {f.name: type(f.dataType).__name__ for f in schema.fields}
+    assert kinds == {
+        "d": "DateType",
+        "i": "LongType",
+        "f": "DoubleType",
+        "s": "StringType",
+        "n": "StringType",  # all-null → STRING (BlueForty.py:268-269)
+    }
+
+
+def test_infer_schema_int_is_also_float_but_int_wins(tmp_path):
+    p = tmp_path / "iv.csv"
+    p.write_text("a\n1\n2\n3\n")
+    schema = infer_csv_schema(str(p))
+    assert type(schema.fields[0].dataType).__name__ == "LongType"

@@ -1,0 +1,118 @@
+"""Event-time windows: literal-timestamp semantics + the driver's own
+events table end-to-end (TIMESTAMP(NANOS) regression)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from blueforty___etl_data_pipeline_spark.sources.catalog import load_table
+from blueforty___etl_data_pipeline_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+T0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_tumbling_counts(spark):
+    df = _events(
+        spark,
+        [
+            (T0, 1, "a", 1.0),
+            (T0 + datetime.timedelta(minutes=59), 1, "a", 1.0),
+            (T0 + datetime.timedelta(minutes=61), 1, "a", 1.0),
+        ],
+    )
+    out = tumbling_window_agg(df, "1 hour", keys=("event_type",))
+    counts = sorted(r["n_events"] for r in out.collect())
+    assert counts == [1, 2]
+
+
+def test_sliding_every_event_in_two_windows(spark):
+    df = _events(spark, [(T0 + datetime.timedelta(minutes=10), 1, "a", 1.0)])
+    out = sliding_window_agg(df, "1 hour", "30 minutes").collect()
+    starts = sorted(r["window_start"] for r in out)
+    assert starts == [
+        T0 - datetime.timedelta(minutes=30),
+        T0,
+    ]
+
+
+def test_session_merge_and_split(spark):
+    # Spark merges ADJACENT per-event windows: an exactly-30min gap still
+    # extends the session; only a strictly-greater gap splits.  This pins
+    # the semantics the DuckDB oracle must mirror ('>', not '>=').
+    df = _events(
+        spark,
+        [
+            (T0, 1, "a", 1.0),
+            (T0 + datetime.timedelta(minutes=30), 1, "a", 1.0),
+            (T0 + datetime.timedelta(minutes=60, seconds=1), 1, "a", 1.0),
+        ],
+    )
+    out = sorted(
+        session_window_agg(df, gap="30 minutes").collect(),
+        key=lambda r: r["session_start"],
+    )
+    assert len(out) == 2
+    assert out[0]["n_events"] == 2  # exact-gap event merged
+    assert out[0]["session_end"] == T0 + datetime.timedelta(minutes=60)
+    assert out[1]["n_events"] == 1  # gap+1s split
+
+
+def test_session_just_under_gap_merges(spark):
+    df = _events(
+        spark,
+        [
+            (T0, 1, "a", 1.0),
+            (T0 + datetime.timedelta(minutes=29, seconds=59), 1, "a", 1.0),
+        ],
+    )
+    out = session_window_agg(df, gap="30 minutes").collect()
+    assert len(out) == 1 and out[0]["n_events"] == 2
+
+
+def test_events_table_end_to_end(spark, sf_small):
+    # Round-1 regression: events.parquet is TIMESTAMP(NANOS) — the read
+    # crashed outright and F.window rejected the bigint ts.
+    ev = load_table(spark, sf_small, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    out = tumbling_window_agg(ev, "1 hour")
+    assert out.select(F.sum("n_events")).collect()[0][0] == ev.count()
+    sess = session_window_agg(ev, gap="30 minutes")
+    assert sess.select(F.sum("n_events")).collect()[0][0] == ev.count()
+
+
+def test_streaming_shape_available_now(spark, sf_small, tmp_path):
+    # The SAME transformation runs under readStream: copy events to a
+    # stream dir, run one availableNow micro-batch into a memory sink.
+    from blueforty___etl_data_pipeline_spark.streaming.windows import (
+        stream_from_parquet,
+    )
+
+    ev = load_table(spark, sf_small, "events")
+    src = str(tmp_path / "stream_src")
+    ev.write.parquet(src)
+    stream = stream_from_parquet(
+        spark, src, schema=ev.schema, watermark="2 hours"
+    )
+    agg = tumbling_window_agg(stream, "1 hour", keys=("event_type",))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    total = spark.sql("SELECT SUM(n_events) FROM win_test").collect()[0][0]
+    assert total == ev.count()
