@@ -46,6 +46,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def ensure_namespace(spark: SparkSession, database: str) -> None:
+    """Namespace DDL (S12): CREATE DATABASE IF NOT EXISTS + USE
+    (BlueForty.py:15-19, :205).  With a metastore this creates a real
+    catalog database; sinks.save_as_table can then target
+    ``db.table``."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    spark.catalog.setCurrentDatabase(database)
+
+
 def register_testdata(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

@@ -1,0 +1,120 @@
+"""Stateful streaming operators beyond built-in windows (north-star
+extension; the reference has no streaming surface, SURVEY.md §2.10).
+
+Two shapes a large-scale training-data pipeline needs on streams:
+
+- ``streaming_dedup``: exact dedup over an unbounded stream with bounded
+  state — ``dropDuplicatesWithinWatermark`` keys state on the content
+  hash and garbage-collects entries older than the watermark, so state
+  is O(arrival rate × watermark), not O(corpus).
+- ``running_user_stats``: a custom per-key stateful operator via
+  ``applyInPandasWithState`` — the escape hatch for aggregations the
+  built-in windows can't express (here: lifetime running count/sum with
+  idle-timeout flush).  State lives in the state store (RocksDB-backed
+  on a real cluster), one Arrow batch per key-group per trigger.
+
+Both are written so the SAME function works under ``spark.readStream``;
+tests drive them with ``trigger(availableNow=True)`` into a memory sink.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact streaming dedup with bounded state.
+
+    Emits the first row per key; duplicates arriving within ``watermark``
+    of the original are dropped; state for keys older than the watermark
+    is evicted.  (Batch DataFrames work too — Spark treats it as a plain
+    dropDuplicates.)
+    """
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+        return events.dropDuplicatesWithinWatermark(list(key_cols))
+    return events.dropDuplicates(list(key_cols))
+
+
+#: Output schema of running_user_stats.
+_USER_STATS_SCHEMA = "user_id long, n_events long, total_value double"
+#: State schema: running (count, sum).
+_USER_STATE_SCHEMA = "n long, total double"
+
+
+def _update_user_stats(
+    key: tuple, batches: Iterator, state: GroupState
+) -> Iterator:
+    """Per-key update: fold each micro-batch into (count, sum) state and
+    emit the updated running totals; flush state on idle timeout."""
+    import pandas as pd
+
+    if state.hasTimedOut:
+        n, total = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+        return
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    state.setTimeoutDuration(60_000)
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful aggregation: lifetime running (count, sum(value))
+    per user via ``applyInPandasWithState``.
+
+    Scale: state is one small tuple per user in the state store; each
+    trigger touches only the keys present in the micro-batch.  Use this
+    shape when built-in windows can't express the semantics (running
+    lifetime totals, custom eviction, ML feature state).
+    """
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_stats,
+            outputStructType=_USER_STATS_SCHEMA,
+            stateStructType=_USER_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def streaming_windowed_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Watermarked tumbling-window counts — the canonical late-data-safe
+    streaming aggregation: rows later than ``watermark`` are dropped and
+    window state is garbage-collected past it."""
+    w = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        w.groupBy(F.window(F.col(ts_col), window_duration).alias("win"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            *keys,
+            "n_events",
+        )
+    )

@@ -78,3 +78,17 @@ def test_frame_sampling_expands_rows(spark):
     frames = frame_sample_stub(binarize(df)).collect()
     assert len(frames) == 4  # 200 bytes / 64 → 4 frames
     assert [r["frame_no"] for r in frames] == [0, 1, 2, 3]
+
+
+def test_namespace_ddl_and_managed_table(spark, tmp_path):
+    from blueforty___etl_data_pipeline_spark.sinks import save_as_table
+    from blueforty___etl_data_pipeline_spark.sources.catalog import (
+        ensure_namespace,
+    )
+
+    ensure_namespace(spark, "procure_core")
+    assert spark.catalog.currentDatabase() == "procure_core"
+    save_as_table(spark.range(5).toDF("id"), "procure_core.t_ctas")
+    assert spark.table("procure_core.t_ctas").count() == 5
+    spark.sql("DROP TABLE procure_core.t_ctas")
+    spark.catalog.setCurrentDatabase("default")

@@ -1,0 +1,92 @@
+"""Stateful Structured Streaming operators driven end-to-end with
+availableNow triggers into memory sinks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from blueforty___etl_data_pipeline_spark.sources.catalog import load_table
+from blueforty___etl_data_pipeline_spark.streaming.stateful import (
+    running_user_stats,
+    streaming_dedup,
+    streaming_windowed_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_small, tmp_path_factory):
+    ev = load_table(spark, sf_small, "events")
+    path = str(tmp_path_factory.mktemp("events_stream") / "parquet")
+    ev.write.parquet(path)
+    return path, ev
+
+
+def _run_available_now(df, name, mode="update"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_dedup_bounded_state(spark, events_stream_dir):
+    path, ev = events_stream_dir
+    # Duplicate the stream source: every event appears twice.
+    dup = ev.unionAll(ev)
+    dup_path = path + "_dup"
+    dup.write.mode("overwrite").parquet(dup_path)
+    # Raw stream: streaming_dedup owns the watermark (Spark disallows
+    # redefining one that stream_from_parquet already attached).
+    stream = spark.readStream.schema(ev.schema).parquet(dup_path)
+    out = streaming_dedup(stream, key_cols=("event_id",), watermark="1 hour")
+    _run_available_now(out, "dedup_test", mode="append")
+    n = spark.sql("SELECT COUNT(*) FROM dedup_test").collect()[0][0]
+    assert n == ev.count()  # every duplicate dropped
+
+
+def test_streaming_dedup_batch_fallback(spark, sf_small):
+    ev = load_table(spark, sf_small, "events")
+    out = streaming_dedup(ev.unionAll(ev), key_cols=("event_id",))
+    assert out.count() == ev.count()
+
+
+def test_running_user_stats_stateful(spark, events_stream_dir):
+    path, ev = events_stream_dir
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    out = running_user_stats(stream)
+    _run_available_now(out, "user_stats_test", mode="update")
+    # In update mode the memory sink holds every emitted update; the last
+    # update per user must equal the batch ground truth.
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql(
+            """SELECT user_id, n_events, total_value FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY n_events DESC) rn FROM user_stats_test)
+               WHERE rn = 1"""
+        ).collect()
+    }
+    truth = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(truth)
+    for uid, (n, total) in truth.items():
+        assert got[uid][0] == n
+        assert abs(got[uid][1] - total) < 1e-6
+
+
+def test_streaming_windowed_counts_matches_batch(spark, events_stream_dir):
+    path, ev = events_stream_dir
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    out = streaming_windowed_counts(stream)
+    _run_available_now(out, "win_counts_test", mode="complete")
+    total = spark.sql("SELECT SUM(n_events) FROM win_counts_test").collect()[0][0]
+    assert total == ev.count()
