@@ -134,19 +134,20 @@ def test_filename_partition_derivation(spark, fixtures_dir):
 
 
 def test_xml_shred_fixture_golden(spark, fixtures_dir):
-    # EP2 golden: 3 children, 1 malformed (no SupplierTransactionID) → 2
-    # rows with ordinals 0 and 2 preserved (BlueForty.py:197-200).
+    # EP2 golden: 4 children, 1 malformed (no SupplierTransactionID) → 3
+    # rows with ordinals 0, 2, 3 preserved (BlueForty.py:197-200).
     df = shred_supplier_invoices(
         spark, os.path.join(fixtures_dir, "xml", "supplier_invoices.xml")
     )
     rows = sorted(df.collect(), key=lambda r: r["XML_INDEX"])
-    assert [r["XML_INDEX"] for r in rows] == [0, 2]
+    assert [r["XML_INDEX"] for r in rows] == [0, 2, 3]
     assert rows[0]["SupplierTransactionID"] == 1001
     assert rows[0]["IsFinalized"] is True
     assert str(rows[0]["AmountExcludingTax"]) == "50.00"
-    assert rows[1]["PurchaseOrderID"] is None  # '' → NULLIF → null
+    assert rows[1]["PurchaseOrderID"] == 2
     assert rows[1]["FinalizationDate"] is None
     assert rows[1]["TransactionDate"] == datetime.date(2013, 1, 22)
+    assert rows[2]["PurchaseOrderID"] is None  # '' → NULLIF → null
 
 
 def test_infer_schema_priority_and_cap(tmp_path):
