@@ -72,6 +72,7 @@ from blueforty___etl_data_pipeline_spark.operators.similarity import (
     _hyperplanes,
     ann_brute_force,
     ann_lsh_bucketed,
+    embedding_near_dup_pairs,
 )
 from blueforty___etl_data_pipeline_spark.operators.text_ops import (
     fingerprints,
@@ -1021,6 +1022,25 @@ WHERE rn <= 5
 """
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-bucket blocking, exact
+    cosine filter — the vector-content member of the dedup family."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.3)
+
+
+def _sql_embedding_near_dup() -> str:
+    return f"""
+WITH b AS (SELECT vec_id, embedding AS v,
+                  {_d_bucket('embedding')} AS bucket FROM embeddings)
+SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+       ROUND({_d_cosine('l.v', 'r.v')}, 6) AS score
+FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE ROUND({_d_cosine('l.v', 'r.v')}, 6) >= 0.3
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary media column → Arrow-batched
     mapInPandas feature extraction (codec faked deterministically; the
@@ -1198,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
         "csv_roundtrip": q_csv_roundtrip,
         "filename_partition": q_filename_partition,
@@ -1234,6 +1255,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": _SQL_FINGERPRINTS,
         "ann_brute_force": _SQL_ANN_BRUTE,
         "ann_lsh": _sql_ann_lsh(),
+        "embedding_near_dup": _sql_embedding_near_dup(),
         "multimodal_features": _SQL_MULTIMODAL,
         "csv_roundtrip": _SQL_CSV_ROUNDTRIP,
         "filename_partition": _SQL_FNAME_PARTITION,

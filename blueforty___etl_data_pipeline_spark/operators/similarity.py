@@ -152,6 +152,51 @@ def ann_lsh_bucketed(
     ).select(query_id_col, "neighbor_id", "score", "rank")
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup-family member for
+    vector content): same-LSH-bucket self-join → cosine ≥ threshold.
+
+    Scale shape: candidate generation is a bucket equi-join, so the n²
+    cross product never materializes — same blocking idea as MinHash LSH
+    for text.  Recall is bounded by the bucketing (raise ``n_planes``
+    tables or lower R to trade cost for recall); precision is exact
+    (every emitted pair is actually ≥ threshold).
+    """
+    planes = _hyperplanes(dim, n_planes)
+    b = emb.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    left, right = b.alias("l"), b.alias("r")
+    score = _rounded(
+        cosine_similarity(F.col("l._v"), F.col("r._v")), round_decimals
+    )
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l._bucket") == F.col("r._bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            score.alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def score_batch_numpy(corpus: DataFrame, query_rows: list[tuple[int, list[float]]],
                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Throughput path: Arrow-batched NumPy matmul scorer.
