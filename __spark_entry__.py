@@ -61,6 +61,7 @@ from blueforty___etl_data_pipeline_spark.operators.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash64,
+    simhash_near_dup_pairs,
 )
 from blueforty___etl_data_pipeline_spark.operators.joins import composite_key_join
 from blueforty___etl_data_pipeline_spark.operators.multimodal import (
@@ -840,6 +841,31 @@ FROM documents d LEFT JOIN bits USING (doc_id)
 """
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: band-bucket blocking (pigeonhole: ≤3-bit
+    differences must agree on one of 4 bands) + exact Hamming filter."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=3, bands=4)
+
+
+def _sql_simhash_pairs(n_bits: int = 60, bands: int = 4, max_h: int = 3) -> str:
+    width = n_bits // bands
+    mask = (1 << width) - 1
+    return f"""
+WITH sims AS ({_sql_simhash(n_bits)}),
+banded AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> (band * {width})) & {mask} AS bucket
+  FROM sims CROSS JOIN (SELECT unnest(range(0, {bands})) AS band))
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+       bit_count(xor(l.simhash, r.simhash)) AS hamming
+FROM banded l JOIN banded r
+  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_h}
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features: length/punct/stopword ratios — pure column math."""
     _prep(spark)
@@ -1212,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "language_id": q_language_id,
@@ -1249,6 +1276,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _sql_lsh_pairs(),
         "ngram_jaccard_pairs": _SQL_JACCARD,
         "simhash": _sql_simhash(),
+        "simhash_pairs": _sql_simhash_pairs(),
         "text_quality": _SQL_TEXT_QUALITY,
         "token_counts": _SQL_TOKEN_COUNTS,
         "language_id": _sql_language_id(),

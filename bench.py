@@ -38,6 +38,8 @@ HEADLINE = [
     "exact_dup_groups",
     "minhash_lsh_pairs",
     "simhash",
+    "simhash_pairs",
+    "embedding_near_dup",
     "text_quality",
     "fingerprints",
     "ann_brute_force",

@@ -253,6 +253,67 @@ def ngram_jaccard_pairs(
     )
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 60,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: candidates via band-bucket equi-join,
+    verified by exact Hamming distance.
+
+    Pigeonhole blocking: two fingerprints within ``max_hamming`` bits of
+    each other agree exactly on at least one of ``bands`` bit-bands when
+    ``max_hamming < bands``, so bucketing each band and equi-joining
+    finds every qualifying pair WITHOUT the n² cross product — and the
+    ``bit_count(a XOR b)`` filter makes precision exact.
+    """
+    assert max_hamming < bands, "pigeonhole guarantee needs max_hamming < bands"
+    width = n_bits // bands
+    mask = (1 << width) - 1
+    # Persisted: the band join is a self-join, and the fingerprint fold
+    # would otherwise run once per side (see minhash_lsh_pairs).
+    sh = df.select(
+        F.col(id_col), simhash64(F.col(text_col), n_bits).alias("simhash")
+    ).persist()
+    banded = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * width).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    left, right = banded.alias("l"), banded.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash64(text: Column, n_bits: int = 60) -> Column:
     """SimHash fingerprint: per-token 60-bit hashes vote on each bit
     position; the sign of each bit's balance forms the fingerprint.

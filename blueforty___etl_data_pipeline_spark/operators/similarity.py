@@ -25,7 +25,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import dot, l2_norm
 from .topk import topk_per_group
 
 
@@ -34,6 +34,16 @@ def _rounded(score, decimals: int = 9):
     # reorder results across engines/runs; ties broken by id.  Differential
     # tests pass a coarser ``decimals`` for extra margin.
     return F.round(score, decimals)
+
+
+def _paired_cosine(lvec, lnorm, rvec, rnorm):
+    """cosine = dot/(‖a‖·‖b‖) with the norms read from pre-projected
+    columns.  Projecting the norm BELOW the join means the O(dim) norm
+    fold runs once per row instead of once per PAIR (the projection can't
+    be collapsed into the post-join select across the join boundary);
+    same bits as folding inline, ~3× less per-pair work."""
+    denom = lnorm * rnorm
+    return F.when(denom > 0, dot(lvec, rvec) / denom)
 
 
 def ann_brute_force(
@@ -48,13 +58,23 @@ def ann_brute_force(
     """Exact cosine top-k: broadcast-cross-join queries × corpus → score →
     top-k per query.  Returns (query_id, neighbor_id, rank)."""
     q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
     )
-    scored = corpus.crossJoin(F.broadcast(q)).select(
-        F.col(query_id_col),
+    c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col("neighbor_id"),
         _rounded(
-            cosine_similarity(F.col(vec_col), F.col("_qvec")), round_decimals
+            _paired_cosine(
+                F.col("_cvec"), F.col("_cn"), F.col("_qvec"), F.col("_qn")
+            ),
+            round_decimals,
         ).alias("score"),
     )
     ranked = topk_per_group(
@@ -128,18 +148,23 @@ def ann_lsh_bucketed(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
         lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
     )
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
         lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
     )
     scored = c.join(F.broadcast(q), on="_bucket").select(
         F.col(query_id_col),
         F.col("neighbor_id"),
         _rounded(
-            cosine_similarity(F.col("_cvec"), F.col("_qvec")), round_decimals
+            _paired_cosine(
+                F.col("_cvec"), F.col("_cn"), F.col("_qvec"), F.col("_qn")
+            ),
+            round_decimals,
         ).alias("score"),
     )
     return topk_per_group(
@@ -174,11 +199,15 @@ def embedding_near_dup_pairs(
     b = emb.select(
         F.col(id_col),
         F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
         lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
     )
     left, right = b.alias("l"), b.alias("r")
     score = _rounded(
-        cosine_similarity(F.col("l._v"), F.col("r._v")), round_decimals
+        _paired_cosine(
+            F.col("l._v"), F.col("l._n"), F.col("r._v"), F.col("r._n")
+        ),
+        round_decimals,
     )
     return (
         left.join(

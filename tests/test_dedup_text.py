@@ -141,3 +141,16 @@ def test_md5_hash64_stable(spark):
     # Portable hash: pinned value so any engine change is caught.
     v = spark.range(1).select(md5_hash64(F.lit("abc")).alias("h")).collect()[0]["h"]
     assert v == 648541476951500027  # == int(md5('abc').hexdigest()[:15], 16)
+
+
+def test_simhash_pairs_blocking_and_precision(spark):
+    from blueforty___etl_data_pipeline_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    df = _docs(spark, [base, base, "completely unrelated other words"])
+    rows = simhash_near_dup_pairs(df, max_hamming=3, bands=4).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    assert pairs.get((0, 1)) == 0  # identical docs: distance 0, found
+    assert (0, 2) not in pairs and (1, 2) not in pairs  # exact filter
