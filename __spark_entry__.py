@@ -700,14 +700,28 @@ def _d_shingles(tokens: str, n: int = 3) -> str:
     )
 
 
-#: distinct shingle hashes per document (the MinHash input set), n=3
-_D_SH_HASHES = (
-    "list_distinct(list_transform("
-    + _d_shingles(_D_TOKENS.format(t="text"))
-    + ", s -> "
-    + _d_md5h("s")
-    + "))"
-)
+def _d_rotl60(x: str, s: int) -> str:
+    lo, hi = 1 << (60 - s), 1 << s
+    return f"(({x}) % {lo}) * {hi} + ({x}) // {lo}"
+
+
+#: CTEs producing (doc_id, shs): distinct trigram shingle hashes per doc
+#: via the token-hash composition mirroring operators/dedup.shingle_hashes
+#: (md5 per token, position-rotated XOR per shingle).
+_D_SH_CTE = f"""
+sh_base AS (
+  SELECT doc_id,
+         list_transform({_D_TOKENS.format(t='text')}, t -> {_d_md5h('t')})
+           AS th
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(th) - 1, 1)),
+           i -> xor(xor({_d_rotl60('th[i]', 4)},
+                        {_d_rotl60('th[i+1]', 2)}), th[i+2]))) AS shs
+  FROM sh_base)
+"""
 
 
 def _d_minhash_sig(num_hashes: int) -> str:
@@ -727,9 +741,7 @@ _MH_NUM, _MH_BANDS = 32, 8
 def _sql_minhash_sigs() -> str:
     rows = _MH_NUM // _MH_BANDS
     return f"""
-WITH sh AS (
-  SELECT doc_id, {_D_SH_HASHES} AS shs FROM documents
-), red AS (
+WITH {_D_SH_CTE}, red AS (
   SELECT doc_id, len(shs) AS n_sh,
          list_transform(shs, h -> h % {MERSENNE31}) AS red
   FROM sh)
@@ -780,13 +792,13 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_JACCARD = f"""
-WITH sh AS (
-  SELECT doc_id, unnest({_D_SH_HASHES}) AS h FROM documents
+WITH {_D_SH_CTE}, shx AS (
+  SELECT doc_id, unnest(shs) AS h FROM sh
 ), sizes AS (
-  SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY 1
+  SELECT doc_id, COUNT(*) AS set_size FROM shx GROUP BY 1
 ), common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  FROM shx a JOIN shx b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT id_a, id_b,
        CAST(n_common AS DOUBLE)

@@ -71,10 +71,66 @@ def dedup_exact(
     return df.join(canon, on=id_col, how="inner")
 
 
+def _rotl60(x: Column, s: int) -> Column:
+    """60-bit left rotation via multiply/divide — never exceeds 2^60, so
+    it is overflow-safe in engines that range-check shifts (DuckDB).
+    The quotient is (x - x%lo)/lo, not x/lo: Spark's ``/`` is a double
+    division, and (x - x%lo) is an exact multiple of the power-of-two
+    divisor, so the result is exact where a raw x/lo could round."""
+    lo = F.lit(1 << (60 - s))
+    return (x % lo) * F.lit(1 << s) + ((x - x % lo) / lo).cast("bigint")
+
+
 def shingle_hashes(text: Column, n: int = 3) -> Column:
     """Distinct word-n-gram shingle hashes for one document — the MinHash
-    input set.  Array expression: no explode, no shuffle."""
-    return F.array_distinct(F.transform(ngrams(tokens_ws(text), n), md5_hash64))
+    input set.  Array expression: no explode, no shuffle.
+
+    Hashing shape: md5 once per TOKEN, then each shingle hash combines
+    its n token hashes with position-dependent 60-bit rotations + XOR.
+    The naive alternative — md5 per shingle STRING — costs n× the md5
+    work plus a concat_ws string build per shingle; at bench scale the
+    token-hash composition halves the whole LSH-pairs wall time.  The
+    rotation constants make the combination order-sensitive ('a b c' ≠
+    'c b a') and every intermediate stays < 2^60 (portable to the
+    DuckDB oracle, which range-checks shifts).
+
+    Single pass: ONE fold over the token hashes carries the previous
+    ``n-1`` hashes in the accumulator and emits a shingle per step —
+    the token-hash array is evaluated exactly once (any form that
+    re-references it inside another lambda re-runs the md5 chain, since
+    interpreted higher-order functions do no subexpression caching).
+    Currently specialized to the default n=3.
+    """
+    if n != 3:  # pragma: no cover - trigram shingles are the engine default
+        raise NotImplementedError("token-hash shingling is built for n=3")
+    th = F.transform(tokens_ws(text), md5_hash64)
+    neg = F.lit(-1).cast("bigint")
+    init = F.struct(
+        neg.alias("a"),  # token hash at i-1
+        neg.alias("b"),  # token hash at i-2
+        F.array().cast("array<bigint>").alias("res"),
+    )
+    shingles = F.aggregate(
+        th,
+        init,
+        lambda acc, h: F.struct(
+            h.alias("a"),
+            acc["a"].alias("b"),
+            F.when(
+                acc["b"] >= 0,
+                F.array_append(
+                    acc["res"],
+                    _rotl60(acc["b"], 4)
+                    .bitwiseXOR(_rotl60(acc["a"], 2))
+                    .bitwiseXOR(h),
+                ),
+            )
+            .otherwise(acc["res"])
+            .alias("res"),
+        ),
+        lambda acc: acc["res"],
+    )
+    return F.array_distinct(shingles)
 
 
 def minhash_signatures(
