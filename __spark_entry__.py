@@ -72,6 +72,7 @@ from blueforty___etl_data_pipeline_spark.operators.presentation import top_n
 from blueforty___etl_data_pipeline_spark.operators.similarity import (
     _hyperplanes,
     ann_brute_force,
+    ann_ivf,
     ann_lsh_bucketed,
     embedding_near_dup_pairs,
 )
@@ -1060,6 +1061,51 @@ WHERE rn <= 5
 """
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: strided-sample centroids, nearest-cell assignment,
+    nprobe=2 probing — the equi-join scale path for vector search."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ann_ivf(emb, queries, k=5, centroid_stride=50, nprobe=2)
+
+
+def _sql_ann_ivf(stride: int = 50, nprobe: int = 2, k: int = 5) -> str:
+    cos_vc = _d_cosine("x.v", "cent.cv")
+    cos_vq = _d_cosine("a.v", "qp.qv")
+    return f"""
+WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv
+              FROM embeddings WHERE vec_id % {stride} = 0),
+ca AS (SELECT x.vec_id AS neighbor_id, x.v, cent.centroid_id,
+              ROUND({cos_vc}, 6) AS cscore
+       FROM (SELECT vec_id, embedding AS v FROM embeddings) x
+       CROSS JOIN cent),
+assigned AS (
+  SELECT neighbor_id, v, centroid_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY neighbor_id
+               ORDER BY cscore DESC, centroid_id) rn FROM ca)
+  WHERE rn = 1),
+qa AS (SELECT x.vec_id AS query_id, x.v, cent.centroid_id,
+              ROUND({cos_vc}, 6) AS cscore
+       FROM (SELECT vec_id, embedding AS v FROM embeddings
+             WHERE vec_id % 100 = 0) x
+       CROSS JOIN cent),
+qp AS (
+  SELECT query_id, v AS qv, centroid_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cscore DESC, centroid_id) rn FROM qa)
+  WHERE rn <= {nprobe}),
+scored AS (
+  SELECT qp.query_id, a.neighbor_id, ROUND({cos_vq}, 6) AS score
+  FROM assigned a JOIN qp USING (centroid_id))
+SELECT query_id, neighbor_id, score, rn AS rank
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY score DESC, neighbor_id) AS INTEGER) AS rn
+      FROM scored)
+WHERE rn <= {k}
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH-bucket blocking, exact
     cosine filter — the vector-content member of the dedup family."""
@@ -1257,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
         "csv_roundtrip": q_csv_roundtrip,
@@ -1295,6 +1342,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": _SQL_FINGERPRINTS,
         "ann_brute_force": _SQL_ANN_BRUTE,
         "ann_lsh": _sql_ann_lsh(),
+        "ann_ivf": _sql_ann_ivf(),
         "embedding_near_dup": _sql_embedding_near_dup(),
         "multimodal_features": _SQL_MULTIMODAL,
         "csv_roundtrip": _SQL_CSV_ROUNDTRIP,

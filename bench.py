@@ -44,6 +44,7 @@ HEADLINE = [
     "fingerprints",
     "ann_brute_force",
     "ann_lsh",
+    "ann_ivf",
     "multimodal_features",
 ]
 

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import dot, l2_norm
-from .topk import topk_per_group
+from .topk import top1_per_group, topk_per_group
 
 
 def _rounded(score, decimals: int = 9):
@@ -163,6 +163,83 @@ def ann_lsh_bucketed(
         _rounded(
             _paired_cosine(
                 F.col("_cvec"), F.col("_cn"), F.col("_qvec"), F.col("_qn")
+            ),
+            round_decimals,
+        ).alias("score"),
+    )
+    return topk_per_group(
+        scored,
+        partition_by=[query_id_col],
+        order_by=[F.desc("score"), F.asc("neighbor_id")],
+        k=k,
+        rank_col="rank",
+        keep_rank=True,
+    ).select(query_id_col, "neighbor_id", "score", "rank")
+
+
+def ann_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    centroid_stride: int = 50,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into centroid cells, probe
+    only the ``nprobe`` nearest cells per query.
+
+    Index build: every corpus vector is assigned to its nearest centroid
+    (one broadcast pass — the 100 TB shape is "write the assignment out
+    bucketed by centroid_id").  Query: score only vectors in the probed
+    cells — an equi-join on centroid_id, touching ~nprobe/|cells| of the
+    corpus.  Centroids here are a deterministic strided sample of the
+    corpus (exact + engine-reproducible); swap in k-means centroids for
+    better cell balance at real scale — the plumbing is identical.
+    """
+    cent = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_ccn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    )
+    cent_score = lambda v, n: _rounded(  # noqa: E731
+        _paired_cosine(v, n, F.col("_cv"), F.col("_ccn")), round_decimals
+    )
+    assigned = top1_per_group(
+        c.crossJoin(F.broadcast(cent)).select(
+            "neighbor_id", "_v", "_n", "centroid_id",
+            cent_score(F.col("_v"), F.col("_n")).alias("_cscore"),
+        ),
+        partition_by=["neighbor_id"],
+        order_by=[F.desc("_cscore"), F.asc("centroid_id")],
+    ).select("neighbor_id", "_v", "_n", "centroid_id")
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    )
+    probes = topk_per_group(
+        q.crossJoin(F.broadcast(cent)).select(
+            query_id_col, "_qv", "_qn", "centroid_id",
+            cent_score(F.col("_qv"), F.col("_qn")).alias("_cscore"),
+        ),
+        partition_by=[query_id_col],
+        order_by=[F.desc("_cscore"), F.asc("centroid_id")],
+        k=nprobe,
+    ).select(query_id_col, "_qv", "_qn", "centroid_id")
+    scored = assigned.join(F.broadcast(probes), on="centroid_id").select(
+        F.col(query_id_col),
+        F.col("neighbor_id"),
+        _rounded(
+            _paired_cosine(
+                F.col("_v"), F.col("_n"), F.col("_qv"), F.col("_qn")
             ),
             round_decimals,
         ).alias("score"),

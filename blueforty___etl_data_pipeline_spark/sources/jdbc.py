@@ -26,6 +26,7 @@ def jdbc_reader(
     upper_bound: int | None = None,
     num_partitions: int | None = None,
     fetch_size: int = 10_000,
+    driver: str | None = None,
 ):
     """Configured DataFrameReader for a parallel JDBC extract.
 
@@ -38,6 +39,8 @@ def jdbc_reader(
         .option("dbtable", table)
         .option("fetchsize", str(fetch_size))
     )
+    if driver is not None:
+        reader = reader.option("driver", driver)
     if user is not None:
         reader = reader.option("user", user)
     if password is not None:

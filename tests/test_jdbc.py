@@ -1,0 +1,64 @@
+"""JDBC extract (S7) exercised against an embedded Derby database —
+the reference's Postgres→CSV→COPY detour (BlueForty.py:312-360)
+collapsed into a direct executor-parallel JDBC scan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blueforty___etl_data_pipeline_spark.sources.catalog import load_table
+from blueforty___etl_data_pipeline_spark.sources.jdbc import read_jdbc_table
+
+DERBY = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def _url(tmp_path) -> str:
+    return f"jdbc:derby:{tmp_path}/db;create=true"
+
+
+def test_jdbc_roundtrip_preserves_rows(spark, sf_small, tmp_path):
+    sup = load_table(spark, sf_small, "supplier")
+    url = _url(tmp_path)
+    (
+        sup.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "supplier")
+        .option("driver", DERBY)
+        .mode("overwrite")
+        .save()
+    )
+    back = read_jdbc_table(spark, url, "supplier", driver=DERBY)
+    assert back.count() == sup.count()
+    a = back.select("s_suppkey", "s_name", "s_nationkey").sort("s_suppkey")
+    b = sup.select("s_suppkey", "s_name", "s_nationkey").sort("s_suppkey")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_jdbc_partitioned_extract_is_parallel(spark, sf_small, tmp_path):
+    # The scale contract: with partition bounds the extract runs as N
+    # concurrent range queries, not one boundless single-task scan.
+    cust = load_table(spark, sf_small, "customer")
+    url = _url(tmp_path)
+    (
+        cust.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "customer")
+        .option("driver", DERBY)
+        .mode("overwrite")
+        .save()
+    )
+    hi = cust.agg(F.max("c_custkey")).collect()[0][0]
+    back = read_jdbc_table(
+        spark,
+        url,
+        "customer",
+        partition_column="c_custkey",
+        lower_bound=0,
+        upper_bound=int(hi) + 1,
+        num_partitions=4,
+        driver=DERBY,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == cust.count()
+    # no rows lost or duplicated at range boundaries
+    assert back.select("c_custkey").distinct().count() == cust.count()

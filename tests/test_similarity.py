@@ -68,3 +68,25 @@ def test_numpy_batch_scorer_matches_fold(spark, sf_small):
     slow = ann_brute_force(emb, q, k=50, round_decimals=6)
     for r in slow.collect():
         assert abs(fast[(r["query_id"], r["neighbor_id"])] - r["score"]) < 1e-6
+
+
+def test_ivf_scores_match_brute_force(spark, sf_small):
+    # IVF probes a subset of cells; every returned (query, neighbor, score)
+    # must carry the exact brute-force score, and the self-match must be
+    # found (a query's own vector lives in its nearest cell).
+    from blueforty___etl_data_pipeline_spark.operators.similarity import ann_ivf
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 250 == 0)
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in ann_brute_force(emb, queries, k=500, round_decimals=6).collect()
+    }
+    rows = ann_ivf(emb, queries, centroid_stride=100, nprobe=2).collect()
+    assert len(rows) > 0
+    self_found = set()
+    for r in rows:
+        assert bf[(r["query_id"], r["neighbor_id"])] == r["score"]
+        if r["query_id"] == r["neighbor_id"]:
+            self_found.add(r["query_id"])
+    assert self_found == {r["query_id"] for r in rows}
