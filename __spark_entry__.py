@@ -77,8 +77,10 @@ from blueforty___etl_data_pipeline_spark.operators.similarity import (
     embedding_near_dup_pairs,
 )
 from blueforty___etl_data_pipeline_spark.operators.text_ops import (
+    assign_packs,
     fingerprints,
     language_id,
+    quality_filter,
     text_quality,
     token_counts,
 )
@@ -957,6 +959,52 @@ SELECT doc_id, {cols}, {best} AS lang_pred FROM s
 """
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training quality gate over documents (the standard
+    length/punct/stopword heuristics as scan predicates)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return quality_filter(
+        docs, min_tokens=20, max_punct_ratio=0.1, min_stopword_ratio=0.01
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+_SQL_QUALITY_FILTER = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, n_chars, text,
+         {_D_TOKENS.format(t='text')} AS toks,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+           AS n_punct
+  FROM documents)
+SELECT doc_id, lang, source, n_chars
+FROM t
+WHERE len(toks) >= 20
+  AND CAST(n_punct AS DOUBLE) / length(text) <= 0.1
+  AND CAST(len(list_filter(toks,
+        x -> list_contains(['the','and','of'], lower(x))))
+        AS DOUBLE) / len(toks) >= 0.01
+"""
+
+
+def q_assign_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: cumulative-token segmentation into ~2048-token
+    packs over doc_id order."""
+    _prep(spark)
+    return assign_packs(_t(spark, sf_dir, "documents"), budget=2048)
+
+
+_SQL_ASSIGN_PACKS = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({_D_TOKENS.format(t='text')}) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id, n_tokens,
+       (SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         - n_tokens) // 2048 AS pack_id
+FROM t
+"""
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5 content hash + rolling n-gram fingerprint per doc."""
     _prep(spark)
@@ -1301,6 +1349,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "language_id": q_language_id,
         "fingerprints": q_fingerprints,
+        "quality_filter": q_quality_filter,
+        "assign_packs": q_assign_packs,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1340,6 +1390,8 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _SQL_TOKEN_COUNTS,
         "language_id": _sql_language_id(),
         "fingerprints": _SQL_FINGERPRINTS,
+        "quality_filter": _SQL_QUALITY_FILTER,
+        "assign_packs": _SQL_ASSIGN_PACKS,
         "ann_brute_force": _SQL_ANN_BRUTE,
         "ann_lsh": _sql_ann_lsh(),
         "ann_ivf": _sql_ann_ivf(),

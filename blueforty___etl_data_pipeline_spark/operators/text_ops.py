@@ -73,3 +73,66 @@ def fingerprints(
         F.md5(F.col(text_col)).alias("content_md5"),
         doc_fingerprint(F.col(text_col), n).alias("fingerprint"),
     )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_punct_ratio: float = 0.2,
+    min_stopword_ratio: float = 0.0,
+) -> DataFrame:
+    """Pre-training quality gate: keep documents passing the usual cheap
+    heuristics (enough tokens, not punctuation soup, some stopword mass
+    — the standard 'looks like prose' proxy).  Pure column predicates on
+    the scan — at corpus scale this is a pushdown-friendly map stage
+    that typically drops 20-60% of raw crawl before any expensive op.
+    Ratio predicates are null-safe: empty docs fail ``min_tokens``
+    before the null ratios are consulted."""
+    feats = quality_features(F.col(text_col))
+    cond = (
+        (feats["n_tokens"] >= min_tokens)
+        & (feats["punct_ratio"] <= max_punct_ratio)
+        & (feats["stopword_ratio"] >= min_stopword_ratio)
+    )
+    return df.filter(cond)
+
+
+def assign_packs(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing for LLM training: assign each document to a pack
+    of ~``budget`` tokens by cumulative token count over ``id_col``
+    order → (id, n_tokens, pack_id).
+
+    Deterministic segmentation: ``pack_id = floor(cumsum_before /
+    budget)`` — exact integer math, reproducible by any engine with
+    window sums (unlike greedy best-fit bin packing, which is
+    inherently sequential-stateful; that variant belongs in
+    ``applyInPandasWithState`` if exact-fit packing is required).
+
+    Scale note: a single global cumulative window is one range-shuffle;
+    for 100 TB, pack within partition-sized chunks instead (add a
+    partition key to the window) — the global version is the
+    semantics-defining reference.
+    """
+    from pyspark.sql import Window
+
+    n_tok = token_count_ws(F.col(text_col))
+    w = (
+        Window.orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = df.select(F.col(id_col), n_tok.alias("n_tokens")).select(
+        id_col,
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("_before"),
+    )
+    return with_cum.select(
+        id_col,
+        "n_tokens",
+        F.floor(F.col("_before") / budget).alias("pack_id"),
+    )

@@ -154,3 +154,25 @@ def test_simhash_pairs_blocking_and_precision(spark):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
     assert pairs.get((0, 1)) == 0  # identical docs: distance 0, found
     assert (0, 2) not in pairs and (1, 2) not in pairs  # exact filter
+
+
+def test_quality_filter_gates(spark):
+    from blueforty___etl_data_pipeline_spark.operators.text_ops import (
+        quality_filter,
+    )
+
+    prose = "the quick brown fox and the lazy dog of the farm " * 3
+    df = _docs(spark, [prose, "!!! ??? *** $$$ %%% ### @@@ &&& ^^^ ~~~ ...", "too short"])
+    kept = [r["doc_id"] for r in quality_filter(df, min_tokens=10).collect()]
+    assert kept == [0]  # punctuation soup and short doc both dropped
+
+
+def test_assign_packs_boundaries(spark):
+    from blueforty___etl_data_pipeline_spark.operators.text_ops import (
+        assign_packs,
+    )
+
+    df = _docs(spark, ["a b c d", "e f g h", "i j k l", "m n o p"])
+    rows = {r["doc_id"]: r["pack_id"] for r in assign_packs(df, budget=10).collect()}
+    # cumulative-before: 0, 4, 8, 12 → packs 0, 0, 0, 1
+    assert rows == {0: 0, 1: 0, 2: 0, 3: 1}
