@@ -343,6 +343,173 @@ JOIN mx ON l.l_orderkey = mx.k AND l.l_shipdate = mx.max_ship
 """
 
 
+# --- TPC-H-style analytical queries ----------------------------------------
+# Beyond the reference surface: COUNT/AVG/MIN/MAX aggregates and deep
+# multi-way joins.  All money math is decimal-first; rounded decimal sums
+# are < 2^53 cents, so the final double cast is a single exact rounding.
+
+_D2 = DecimalType(18, 2)
+
+
+def _disc_price() -> F.Column:
+    return (
+        F.col("l_extendedprice").cast(_D2)
+        * (F.lit(1).cast(_D2) - F.col("l_discount").cast(_D2))
+    ).cast(_DEC)
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: grouped SUM/AVG/COUNT pricing summary over the
+    scan with the shipdate predicate pushed into Parquet."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    charge = (_disc_price() * (F.lit(1).cast(_D2) + F.col("l_tax").cast(_D2)))
+    qty = F.col("l_quantity").cast(_DEC)
+    ext = F.col("l_extendedprice").cast(_DEC)
+    out = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
+        F.round(F.sum(ext), 2).cast("double").alias("sum_base_price"),
+        F.round(F.sum(_disc_price()), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+        (F.round(F.sum(qty), 2).cast("double") / F.count(F.lit(1))).alias(
+            "avg_qty"
+        ),
+        (F.round(F.sum(ext), 2).cast("double") / F.count(F.lit(1))).alias(
+            "avg_price"
+        ),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return out
+
+
+_D_DISC_PRICE = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+    " AS DECIMAL(18,4))"
+)
+
+_SQL_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS sum_base_price,
+       CAST(ROUND(SUM({_D_DISC_PRICE}), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM({_D_DISC_PRICE}
+         * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))), 2)
+         AS DOUBLE) AS sum_charge,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+         / COUNT(*) AS avg_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+         / COUNT(*) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + grouped revenue + top-10, sorted on
+    the EXACT decimal revenue (ties broken by order key) so the limit
+    boundary is engine-deterministic."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    )
+    agg = joined.groupBy(
+        F.col("l_orderkey"),
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        F.col("o_orderpriority"),
+    ).agg(F.sum(_disc_price()).alias("_rev"))
+    return (
+        agg.orderBy(F.desc("_rev"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            F.round(F.col("_rev"), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+_SQL_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(ROUND(_rev, 2) AS DOUBLE) AS revenue
+FROM (
+  SELECT l.l_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+         o.o_orderpriority, SUM({_D_DISC_PRICE}) AS _rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE l.l_shipdate > TIMESTAMP '1998-01-01'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    AND c.c_mktsegment = 'BUILDING'
+  GROUP BY 1, 2, 3)
+ORDER BY _rev DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join (region→nation→supplier/customer with
+    the c_nationkey = s_nationkey locality condition) + grouped revenue.
+    Dimension chain broadcasts; the fact-side joins shuffle on keys."""
+    _prep(spark)
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("n_nationkey", "n_name")
+    )
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(dim), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue")
+    )
+
+
+_SQL_LOCAL_SUPPLIER_VOLUME = f"""
+SELECT n.n_name,
+       CAST(ROUND(SUM({_D_DISC_PRICE}), 2) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND c.c_nationkey = s.s_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
 # --- geo KNN (J3+F13-F16+W1+C2+P7) -----------------------------------------
 # Synthetic-but-deterministic geography derived with integer arithmetic from
 # the driver's tables, identically on both engines.
@@ -1326,6 +1493,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "order_totals": q_order_totals,
         "reconciliation": q_reconciliation,
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
         "distinct": q_distinct,
         "top1_per_group": q_top1_per_group,
         "topk_per_group": q_topk_per_group,
@@ -1367,6 +1537,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "order_totals": _SQL_PO_TOTALS,
         "reconciliation": _SQL_RECONCILIATION,
+        "pricing_summary": _SQL_PRICING_SUMMARY,
+        "shipping_priority": _SQL_SHIPPING_PRIORITY,
+        "local_supplier_volume": _SQL_LOCAL_SUPPLIER_VOLUME,
         "distinct": _SQL_DISTINCT,
         "top1_per_group": _SQL_TOP1,
         "topk_per_group": _SQL_TOPK,

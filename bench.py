@@ -25,6 +25,9 @@ from blueforty___etl_data_pipeline_spark.session import get_spark
 HEADLINE = [
     "order_totals",
     "reconciliation",
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
     "top1_per_group",
     "argmin_agg",
     "composite_key_join",
