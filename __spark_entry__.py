@@ -230,6 +230,159 @@ FROM inv i JOIN totals t USING (PurchaseOrderID)
 """
 
 
+def q_outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + aggregate: per-customer order counts including
+    order-less customers (the null-preserving side the reference's
+    all-inner surface never exercised)."""
+    _prep(spark)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], how="left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+_SQL_OUTER_JOIN = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY 1
+"""
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI joins, tagged and unioned: customers with
+    high-value orders vs customers with none at all."""
+    _prep(spark)
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    semi = c.join(big, on="c_custkey", how="left_semi").select(
+        F.lit("semi").alias("op"), "c_custkey"
+    )
+    anti = c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")),
+        on="c_custkey",
+        how="left_anti",
+    ).select(F.lit("anti").alias("op"), "c_custkey")
+    return semi.unionByName(anti)
+
+
+_SQL_SEMI_ANTI = """
+SELECT 'semi' AS op, c_custkey FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+UNION ALL
+SELECT 'anti' AS op, c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT (distinct set semantics), tagged into
+    one result — §2.7 is empty in the reference; a full engine needs
+    them."""
+    _prep(spark)
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_nationkey") < 10).select("c_custkey")
+    tag = lambda df, op: df.select(F.lit(op).alias("op"), "c_custkey")  # noqa: E731
+    return (
+        tag(a.union(b).distinct(), "union")
+        .unionByName(tag(a.intersect(b), "intersect"))
+        .unionByName(tag(a.subtract(b), "except"))
+    )
+
+
+_SQL_SET_OPS = """
+WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+b AS (SELECT c_custkey FROM customer WHERE c_nationkey < 10)
+SELECT 'union' AS op, c_custkey FROM (SELECT * FROM a UNION SELECT * FROM b)
+UNION ALL
+SELECT 'intersect', c_custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+UNION ALL
+SELECT 'except', c_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP: subtotal rows per returnflag and a grand total
+    (null-filled grouping columns), with exact decimal sums."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("l_quantity").cast(_DEC)), 2)
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+_SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead + ROWS-framed running sum + rank per customer — the
+    analytic-window surface beyond the reference's single ROW_NUMBER."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        ranked,
+        running_sum,
+        with_lag_lead,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.col("o_totalprice").cast(_D2).alias("price"),
+    )
+    order = [F.asc("od"), F.asc("o_orderkey")]
+    out = with_lag_lead(
+        o, "o_orderkey", ["o_custkey"], order,
+        lag_alias="prev_order", lead_alias="next_order",
+    )
+    out = running_sum(out, F.col("price"), ["o_custkey"], order,
+                      alias="_spend")
+    out = ranked(
+        out, ["o_custkey"], [F.desc("price"), F.asc("o_orderkey")],
+        alias="spend_rank",
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        "prev_order",
+        "next_order",
+        F.round(F.col("_spend"), 2).cast("double").alias("running_spend"),
+        "spend_rank",
+    )
+
+
+_SQL_WINDOW_ANALYTICS = """
+SELECT o_custkey, o_orderkey,
+       lag(o_orderkey) OVER w AS prev_order,
+       lead(o_orderkey) OVER w AS next_order,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+         OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE),
+               o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE)
+         AS running_spend,
+       CAST(RANK() OVER (PARTITION BY o_custkey
+            ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey)
+         AS INTEGER) AS spend_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+"""
+
+
 def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/P7: SELECT DISTINCT (the distinct_zip CTE, BlueForty.py:427-433)."""
     _prep(spark)
@@ -1496,6 +1649,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
+        "outer_join_agg": q_outer_join_agg,
+        "semi_anti_join": q_semi_anti_join,
+        "set_ops": q_set_ops,
+        "rollup": q_rollup,
+        "window_analytics": q_window_analytics,
         "distinct": q_distinct,
         "top1_per_group": q_top1_per_group,
         "topk_per_group": q_topk_per_group,
@@ -1540,6 +1698,11 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,
         "local_supplier_volume": _SQL_LOCAL_SUPPLIER_VOLUME,
+        "outer_join_agg": _SQL_OUTER_JOIN,
+        "semi_anti_join": _SQL_SEMI_ANTI,
+        "set_ops": _SQL_SET_OPS,
+        "rollup": _SQL_ROLLUP,
+        "window_analytics": _SQL_WINDOW_ANALYTICS,
         "distinct": _SQL_DISTINCT,
         "top1_per_group": _SQL_TOP1,
         "topk_per_group": _SQL_TOPK,

@@ -92,3 +92,55 @@ def test_argmin_agg_matches_window_top1(spark, sf_small):
         F.col("best.l_extendedprice").alias("l_extendedprice"),
     )
     assert w.exceptAll(a).count() == 0 and a.exceptAll(w).count() == 0
+
+
+def test_lag_lead_edges(spark):
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        with_lag_lead,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 30), (2, 5)], "k long, v long"
+    )
+    out = {
+        (r["k"], r["v"]): (r["prev"], r["next"])
+        for r in with_lag_lead(df, "v", ["k"], ["v"]).collect()
+    }
+    assert out == {
+        (1, 10): (None, 20),
+        (1, 20): (10, 30),
+        (1, 30): (20, None),
+        (2, 5): (None, None),
+    }
+
+
+def test_running_sum_rows_framed(spark):
+    from pyspark.sql import functions as F2
+
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        running_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 20), (1, 3, 30)], "k long, seq long, v long"
+    )
+    out = {
+        r["seq"]: r["rs"]
+        for r in running_sum(
+            df, F2.col("v"), ["k"], ["seq"], alias="rs"
+        ).collect()
+    }
+    assert out == {1: 10, 2: 30, 3: 60}
+
+
+def test_rank_vs_dense_rank_gaps(spark):
+    from blueforty___etl_data_pipeline_spark.operators.analytics import ranked
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 50)], "id long, score long"
+    )
+    r = {
+        x["id"]: x["rank"]
+        for x in ranked(df, [], [__import__('pyspark').sql.functions.desc("score")]).collect()
+    }
+    assert r == {1: 1, 2: 1, 3: 3}  # RANK leaves a gap after the tie
