@@ -383,6 +383,65 @@ WINDOW w AS (PARTITION BY o_custkey
 """
 
 
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per year × priority, priorities as columns
+    (explicit value list so output names are deterministic)."""
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        o.groupBy(F.year("o_orderdate").alias("yr"))
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+    )
+    # pivot leaves combinations with no rows as null; normalize to 0 and
+    # to stable column names.
+    return out.select(
+        F.col("yr").cast("long").alias("yr"),
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(f"p{i + 1}")
+            for i, p in enumerate(_PRIORITIES)
+        ],
+    )
+
+
+_SQL_PIVOT = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+       {', '.join(
+           f"COUNT(CASE WHEN o_orderpriority = '{p}' THEN 1 END) AS p{i + 1}"
+           for i, p in enumerate(_PRIORITIES)
+       )}
+FROM orders GROUP BY 1
+"""
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): lineitem measure columns → (key, measure, value)
+    long form."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"
+    ).unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+_SQL_UNPIVOT = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+       l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+"""
+
+
 def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/P7: SELECT DISTINCT (the distinct_zip CTE, BlueForty.py:427-433)."""
     _prep(spark)
@@ -1654,6 +1713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "rollup": q_rollup,
         "window_analytics": q_window_analytics,
+        "pivot": q_pivot,
+        "unpivot": q_unpivot,
         "distinct": q_distinct,
         "top1_per_group": q_top1_per_group,
         "topk_per_group": q_topk_per_group,
@@ -1703,6 +1764,8 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": _SQL_SET_OPS,
         "rollup": _SQL_ROLLUP,
         "window_analytics": _SQL_WINDOW_ANALYTICS,
+        "pivot": _SQL_PIVOT,
+        "unpivot": _SQL_UNPIVOT,
         "distinct": _SQL_DISTINCT,
         "top1_per_group": _SQL_TOP1,
         "topk_per_group": _SQL_TOPK,
