@@ -174,3 +174,62 @@ def test_infer_schema_int_is_also_float_but_int_wins(tmp_path):
     p.write_text("a\n1\n2\n3\n")
     schema = infer_csv_schema(str(p))
     assert type(schema.fields[0].dataType).__name__ == "LongType"
+
+
+def test_infer_schema_property_based(tmp_path):
+    # Property: the inferred type must parse every sampled value, and the
+    # DATE > INTEGER > FLOAT > STRING priority must hold.
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ints = st.integers(-10**9, 10**9).map(str)
+    floats = st.floats(
+        allow_nan=False, allow_infinity=False, width=32
+    ).map(lambda x: f"{x:.6f}")
+    dates = st.dates().map(lambda d: d.isoformat())
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        kind_vals=st.one_of(
+            st.tuples(st.just("LongType"), st.lists(ints, min_size=1, max_size=20)),
+            st.tuples(st.just("DoubleType"), st.lists(floats, min_size=1, max_size=20)),
+            st.tuples(st.just("DateType"), st.lists(dates, min_size=1, max_size=20)),
+        )
+    )
+    def check(kind_vals):
+        kind, vals = kind_vals
+        from blueforty___etl_data_pipeline_spark.functions.inference import (
+            infer_type,
+        )
+
+        got = type(infer_type(vals)).__name__
+        if kind == "LongType":
+            assert got == "LongType"
+        elif kind == "DoubleType":
+            assert got in ("DoubleType", "LongType", "DateType")
+        else:
+            assert got == "DateType"  # DATE outranks INTEGER for date strings
+        # adding one non-parsable value always degrades to StringType
+        assert type(infer_type(vals + ["not?parse!able"])).__name__ == "StringType"
+
+    check()
+
+
+def test_partitioned_write_prunes_on_read(spark, fixtures_dir, tmp_path):
+    # S4's derived yyyy/mm columns written as real Hive partitions must
+    # produce PartitionFilters (not data filters) on a filtered re-read.
+    from blueforty___etl_data_pipeline_spark.sinks import write_table
+
+    df = read_csv(
+        spark,
+        os.path.join(fixtures_dir, "purchases"),
+        path_glob="*.csv",
+    )
+    parted = with_filename_partition(df)
+    path = str(tmp_path / "hive")
+    write_table(parted, path, partition_by=("yyyy", "mm"))
+    back = spark.read.parquet(path).filter("yyyy = '2013' AND mm = '02'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(yyyy" in plan  # filters landed in partition pruning
+    assert back.count() == 2  # only the February file's data rows
