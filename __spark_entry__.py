@@ -1075,13 +1075,6 @@ def _d_md5h(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
-def _d_shingles(tokens: str, n: int = 3) -> str:
-    return (
-        f"list_transform(range(1, greatest(len({tokens}) - {n - 1}, 0) + 1),"
-        f" i -> array_to_string({tokens}[i:i+{n - 1}], ' '))"
-    )
-
-
 def _d_rotl60(x: str, s: int) -> str:
     lo, hi = 1 << (60 - s), 1 << s
     return f"(({x}) % {lo}) * {hi} + ({x}) // {lo}"
@@ -1394,8 +1387,8 @@ _SQL_FINGERPRINTS = f"""
 SELECT doc_id, md5(text) AS content_md5,
        list_reduce(
          list_prepend(CAST(0 AS BIGINT),
-           list_transform({_d_shingles(_D_TOKENS.format(t='text'))},
-             s -> {_d_md5h('s')} % {FINGERPRINT_MOD})),
+           list_transform({_D_TOKENS.format(t='text')},
+             t -> {_d_md5h('t')} % {FINGERPRINT_MOD})),
          (acc, h) -> (acc * {FINGERPRINT_MULT} + h) % {FINGERPRINT_MOD})
          AS fingerprint
 FROM documents

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import md5_hash64, ngrams, tokens_ws
+from ..functions.text import md5_hash64, tokens_ws
 
 #: Mersenne prime 2^31-1 — modulus for the universal-hash family.
 MERSENNE31 = 2147483647
