@@ -950,6 +950,71 @@ FROM events
 """
 
 
+# --- temporal joins (as-of / range) -----------------------------------------
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click matched to the user's most recent
+    purchase at-or-before it (union-and-window shape: one shuffle)."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    out = asof_join(clicks, purchases, by=["user_id"], ts_col="ts")
+    return out.select("event_id", "user_id", "asof_ts_us")
+
+
+_SQL_ASOF = """
+WITH clicks AS (SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'click'),
+purchases AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, CAST(epoch_us(p.ts) AS BIGINT) AS asof_ts_us
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: purchases within the 10 minutes before each click,
+    counted per click (zeros kept) — bucket-blocked interval join."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    pairs = range_join(
+        clicks, purchases, by=["user_id"], lower_us=-600_000_000, upper_us=0
+    )
+    counts = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_preceding")
+    )
+    return clicks.select("event_id").join(counts, on="event_id", how="left").select(
+        "event_id", F.coalesce(F.col("n_preceding"), F.lit(0)).alias("n_preceding")
+    )
+
+
+_SQL_RANGE_JOIN = """
+WITH clicks AS (SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'click'),
+purchases AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, COUNT(p.ts) AS n_preceding
+FROM clicks c LEFT JOIN purchases p
+  ON c.user_id = p.user_id
+ AND p.ts BETWEEN c.ts - INTERVAL 10 MINUTE AND c.ts
+GROUP BY 1
+"""
+
+
 # --- event-time windows -----------------------------------------------------
 
 _VAL_MICROS = "SUM(CAST(FLOOR(value * 1000000) AS BIGINT))"
@@ -1718,6 +1783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cleaning_scalars": q_cleaning_scalars,
         "xml_shred": q_xml_shred,
         "json_flatten": q_json_flatten,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "tumbling_window": q_tumbling_window,
         "sliding_window": q_sliding_window,
         "session_window": q_session_window,
@@ -1769,6 +1836,8 @@ def oracle_sql() -> dict[str, str]:
         "cleaning_scalars": _SQL_CLEANING,
         "xml_shred": _SQL_XML_SHRED,
         "json_flatten": _SQL_JSON,
+        "asof_join": _SQL_ASOF,
+        "range_join": _SQL_RANGE_JOIN,
         "tumbling_window": _SQL_TUMBLING,
         "sliding_window": _SQL_SLIDING,
         "session_window": _SQL_SESSION,

@@ -1,0 +1,86 @@
+"""As-of and range joins (temporal operators Spark lacks natively)."""
+
+from __future__ import annotations
+
+import datetime
+
+from blueforty___etl_data_pipeline_spark.operators.temporal import (
+    asof_join,
+    range_join,
+)
+
+T0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _df(spark, rows, schema="user_id long, ts timestamp, event_id long"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_asof_backward_match_and_null(spark):
+    left = _df(
+        spark,
+        [(1, T0, 100), (1, T0 + datetime.timedelta(hours=2), 101), (2, T0, 200)],
+    )
+    right = _df(
+        spark,
+        [
+            (1, T0 - datetime.timedelta(minutes=30), 900),
+            (1, T0 + datetime.timedelta(hours=1), 901),
+        ],
+    )
+    out = {
+        r["event_id"]: r["asof_ts_us"]
+        for r in asof_join(left, right, by=["user_id"]).collect()
+    }
+    us = lambda dt: int(dt.timestamp() * 1_000_000)
+    assert out[100] == us(T0 - datetime.timedelta(minutes=30))
+    assert out[101] == us(T0 + datetime.timedelta(hours=1))  # most recent
+    assert out[200] is None  # user 2 has no right rows
+
+
+def test_asof_equal_timestamp_matches(spark):
+    left = _df(spark, [(1, T0, 1)])
+    right = _df(spark, [(1, T0, 9)])
+    out = asof_join(left, right, by=["user_id"]).collect()[0]
+    assert out["asof_ts_us"] == int(T0.timestamp() * 1_000_000)
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left = _df(spark, [(1, T0, 1)])
+    right = _df(spark, [(1, T0 - datetime.timedelta(hours=3), 9)])
+    out = asof_join(
+        left, right, by=["user_id"], tolerance_us=3_600_000_000
+    ).collect()[0]
+    assert out["asof_ts_us"] is None  # match exists but is too old
+
+
+def test_range_join_window_boundaries(spark):
+    left = _df(spark, [(1, T0, 1)])
+    mins = lambda m: T0 - datetime.timedelta(minutes=m)
+    right = _df(
+        spark,
+        [
+            (1, mins(0), 90),   # at upper bound → in
+            (1, mins(10), 91),  # at lower bound → in
+            (1, mins(11), 92),  # just outside → out
+            (1, mins(-1), 93),  # after left → out
+            (2, mins(5), 94),   # wrong key → out
+        ],
+    )
+    pairs = range_join(
+        left, right, by=["user_id"], lower_us=-600_000_000, upper_us=0
+    )
+    matched = sorted(r["r_event_id"] for r in pairs.collect())
+    assert matched == [90, 91]
+
+
+def test_range_join_matches_never_duplicated(spark):
+    # the left side explodes to two candidate buckets; a right row's
+    # bucket equals exactly one of them, so each pair appears once.
+    left = _df(spark, [(1, T0 + datetime.timedelta(seconds=s), s) for s in range(20)])
+    right = _df(spark, [(1, T0, 7)])
+    pairs = range_join(
+        left, right, by=["user_id"], lower_us=-60_000_000, upper_us=0
+    )
+    assert pairs.count() == pairs.dropDuplicates(["event_id", "r_event_id"]).count()
+    assert pairs.count() == 20  # every left row sees the single right row
