@@ -90,3 +90,53 @@ def test_streaming_windowed_counts_matches_batch(spark, events_stream_dir):
     _run_available_now(out, "win_counts_test", mode="complete")
     total = spark.sql("SELECT SUM(n_events) FROM win_counts_test").collect()[0][0]
     assert total == ev.count()
+
+
+def test_watermark_drops_late_rows_across_restarts(spark, tmp_path):
+    # Two availableNow runs sharing one checkpoint: the watermark advances
+    # in run 1, finalizes the 10:00 window, and run 2's late row (behind
+    # the watermark) must be DROPPED, not re-open the window.
+    import datetime
+
+    from blueforty___etl_data_pipeline_spark.streaming.stateful import (
+        streaming_windowed_counts,
+    )
+
+    T = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    schema = "ts timestamp, event_type string"
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_windowed_counts(
+                stream, "1 hour", watermark="30 minutes"
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: two in-window events + one that pushes the watermark past
+    # the 11:00 window end → the 10:00 window finalizes with count 2.
+    run_batch(
+        [
+            (T, "a"),
+            (T + datetime.timedelta(minutes=30), "a"),
+            (T + datetime.timedelta(hours=2), "a"),
+        ]
+    )
+    # run 2: a LATE event inside the finalized window (behind watermark).
+    run_batch([(T + datetime.timedelta(minutes=15), "a")])
+
+    rows = spark.read.parquet(out).collect()
+    w10 = [r for r in rows if r["window_start"] == T]
+    assert len(w10) == 1  # finalized exactly once, never re-emitted
+    assert w10[0]["n_events"] == 2  # late row dropped, not counted
