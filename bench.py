@@ -35,6 +35,8 @@ HEADLINE = [
     "closest_stations_grid",
     "cleaning_scalars",
     "xml_shred",
+    "asof_join",
+    "range_join",
     "tumbling_window",
     "sliding_window",
     "session_window",
