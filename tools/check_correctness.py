@@ -7,7 +7,12 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and the matching
 - column names (sorted)
 - order-insensitive value hash (rows canonicalized to strings, sorted)
 
-Usage:  python tools/check_correctness.py [sf_dir] [query ...]
+Usage:  python tools/check_correctness.py [--bare] [sf_dir] [query ...]
+
+``--bare`` runs against a plain ``SparkSession.builder.getOrCreate()``
+with none of the engine factory's configs — exactly how the driver calls
+the contract; every query must self-provision its session needs via
+``_prep``.
 """
 
 from __future__ import annotations
@@ -53,15 +58,29 @@ def canon_rows(cols: list[str], rows: list[tuple]) -> tuple[list[str], str]:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    bare = "--bare" in args
+    if bare:
+        args.remove("--bare")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import duckdb
 
     import __spark_entry__ as entrymod
-    from blueforty___etl_data_pipeline_spark.session import get_spark
 
-    spark = get_spark(app_name="check-correctness")
+    if bare:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check-correctness-bare")
+            .getOrCreate()
+        )
+    else:
+        from blueforty___etl_data_pipeline_spark.session import get_spark
+
+        spark = get_spark(app_name="check-correctness")
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "
