@@ -67,6 +67,7 @@ from blueforty___etl_data_pipeline_spark.operators.joins import composite_key_jo
 from blueforty___etl_data_pipeline_spark.operators.multimodal import (
     binarize,
     extract_features,
+    frame_sample_stub,
 )
 from blueforty___etl_data_pipeline_spark.operators.presentation import top_n
 from blueforty___etl_data_pipeline_spark.operators.similarity import (
@@ -1627,6 +1628,25 @@ FROM documents
 """
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal 1→N expansion: per-frame rows from media blobs via
+    mapInPandas (video frame-sampling plumbing, stubbed codec).  The
+    frame payloads themselves are binary (not portably comparable), so
+    the oracle checks the expansion shape: one row per 64-byte frame."""
+    _prep(spark)
+    media = binarize(_t(spark, sf_dir, "documents"))
+    return frame_sample_stub(media).select("doc_id", "frame_no")
+
+
+_SQL_FRAME_SAMPLE = """
+SELECT doc_id,
+       CAST(unnest(range(0, greatest(
+           (octet_length(encode(text)) + 63) // 64, 1))) AS INTEGER)
+         AS frame_no
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Source / sink round-trips (S1/S4/S5/S6/S9/S10, F20)
 # ---------------------------------------------------------------------------
@@ -1805,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
+        "frame_sample": q_frame_sample,
         "csv_roundtrip": q_csv_roundtrip,
         "filename_partition": q_filename_partition,
         "ctas_roundtrip": q_ctas_roundtrip,
@@ -1858,6 +1879,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _sql_ann_ivf(),
         "embedding_near_dup": _sql_embedding_near_dup(),
         "multimodal_features": _SQL_MULTIMODAL,
+        "frame_sample": _SQL_FRAME_SAMPLE,
         "csv_roundtrip": _SQL_CSV_ROUNDTRIP,
         "filename_partition": _SQL_FNAME_PARTITION,
         "ctas_roundtrip": _SQL_CTAS,

@@ -43,16 +43,18 @@ def asof_join(
     """
     keys = list(by)
     lcols = [c for c in left.columns]
+    rtypes = dict(right.dtypes)
+    rrow_type = (
+        "struct<_rts: bigint"
+        + "".join(f", {c}: {rtypes[c]}" for c in right_cols)
+        + ">"
+    )
     l_part = left.select(
         *keys,
         F.col(ts_col).alias("_ts"),
         F.lit(1).alias("_is_left"),
         F.struct(*[F.col(c) for c in lcols]).alias("_lrow"),
-        F.lit(None).cast(
-            "struct<_rts: bigint"
-            + "".join(f", {c}: string" for c in right_cols)
-            + ">"
-        ).alias("_rrow"),
+        F.lit(None).cast(rrow_type).alias("_rrow"),
     )
     r_part = right.select(
         *keys,
@@ -63,7 +65,7 @@ def asof_join(
         ),
         F.struct(
             F.unix_micros(F.col(ts_col)).alias("_rts"),
-            *[F.col(c).cast("string").alias(c) for c in right_cols],
+            *[F.col(c) for c in right_cols],
         ).alias("_rrow"),
     )
     combined = l_part.unionByName(r_part)

@@ -84,3 +84,16 @@ def test_range_join_matches_never_duplicated(spark):
     )
     assert pairs.count() == pairs.dropDuplicates(["event_id", "r_event_id"]).count()
     assert pairs.count() == 20  # every left row sees the single right row
+
+
+def test_asof_right_payload_preserves_types(spark):
+    left = _df(spark, [(1, T0, 1)])
+    right = spark.createDataFrame(
+        [(1, T0 - datetime.timedelta(minutes=5), 3.25, "tag")],
+        "user_id long, ts timestamp, price double, label string",
+    )
+    out = asof_join(
+        left, right, by=["user_id"], right_cols=["price", "label"]
+    ).collect()[0]
+    assert out["asof_price"] == 3.25 and isinstance(out["asof_price"], float)
+    assert out["asof_label"] == "tag"
