@@ -1208,6 +1208,17 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, num_hashes=_MH_NUM, bands=_MH_BANDS)
 
 
+def q_minhash_lsh_pairs_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same LSH pairs via the vectorized NumPy signature path — shares
+    the oracle with the JVM-fold variant, so the driver verifies the two
+    implementations agree bit-for-bit."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, num_hashes=_MH_NUM, bands=_MH_BANDS, impl="arrow"
+    )
+
+
 def _sql_lsh_pairs() -> str:
     sig_sql, rows = _sql_minhash_sigs()
     return f"""
@@ -1811,6 +1822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_lsh_pairs_arrow": q_minhash_lsh_pairs_arrow,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -1865,6 +1877,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dup_groups": _SQL_EXACT_DUP,
         "minhash_signatures": _sql_minhash_sigs()[0],
         "minhash_lsh_pairs": _sql_lsh_pairs(),
+        "minhash_lsh_pairs_arrow": _sql_lsh_pairs(),
         "ngram_jaccard_pairs": _SQL_JACCARD,
         "simhash": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),

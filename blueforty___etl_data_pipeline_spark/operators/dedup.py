@@ -133,6 +133,80 @@ def shingle_hashes(text: Column, n: int = 3) -> Column:
     return F.array_distinct(shingles)
 
 
+def minhash_signatures_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """Arrow/NumPy fast path producing BIT-IDENTICAL signatures to
+    ``minhash_signatures`` (same tokenization, md5-per-token hashes,
+    rotation composition, and (a·x+b) mod p family — parity is asserted
+    in tests and by the shared DuckDB oracle).
+
+    Why it exists: the declarative fold runs interpreted (higher-order
+    functions don't codegen), ~32 ops per shingle per row in the
+    Catalyst interpreter.  Here each Arrow batch does one vectorized
+    ``(a⊗x + b) mod p`` min-reduce in NumPy — measured ~3× the fold's
+    throughput at bench scale.  Use whichever fits: same results.
+    """
+    if n != 3:  # pragma: no cover
+        raise NotImplementedError("token-hash shingling is built for n=3")
+    import re
+
+    params = _hash_params(num_hashes)
+    a_vec = [a for a, _ in params]
+    b_vec = [b for _, b in params]
+    # re.ASCII: Java/RE2 \s is ASCII-only; Python's default matches
+    # unicode whitespace and would tokenize differently.
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def run(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        a = np.array(a_vec, dtype=np.uint64)
+        b = np.array(b_vec, dtype=np.uint64)
+        mask60 = (1 << 60) - 1
+
+        def rotl(x: np.ndarray, s: int) -> np.ndarray:
+            return ((x << np.uint64(s)) | (x >> np.uint64(60 - s))) & np.uint64(
+                mask60
+            )
+
+        def sig_of(text: str):
+            toks = [t for t in ws.split(text.strip()) if t] if text else []
+            if len(toks) < 3:
+                return None
+            th = np.array(
+                [
+                    int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                    for t in toks
+                ],
+                dtype=np.uint64,
+            )
+            sh = rotl(th[:-2], 4) ^ rotl(th[1:-1], 2) ^ th[2:]
+            x = np.unique(sh) % np.uint64(MERSENNE31)
+            # (a ⊗ x + b) mod p: outer product stays < 2^62 — fits uint64
+            hx = (np.outer(x, a) + b) % np.uint64(MERSENNE31)
+            return hx.min(axis=0).astype(np.int64).tolist()
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "minhash_sig": pdf[text_col].map(sig_of),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} long, minhash_sig array<bigint>"
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -188,10 +262,15 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     max_bucket_size: int | None = None,
+    impl: str = "expr",
 ) -> DataFrame:
     """LSH candidate pairs: split each signature into ``bands`` bands of
     ``num_hashes/bands`` rows, hash each band to a bucket key, explode to
     (band, bucket) rows, and self-equi-join on the bucket.
+
+    ``impl``: 'expr' (pure JVM column fold) or 'arrow' (vectorized NumPy
+    mapInPandas, bit-identical signatures, ~3× throughput — see
+    minhash_signatures_arrow).
 
     Scale shape: the explode adds only ``bands`` rows per doc; the join is
     a hash join on (band, bucket) — candidates are generated per bucket,
@@ -204,7 +283,10 @@ def minhash_lsh_pairs(
     non-degenerate bands).
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes).filter(
+    make_sigs = (
+        minhash_signatures_arrow if impl == "arrow" else minhash_signatures
+    )
+    sigs = make_sigs(df, text_col, id_col, n, num_hashes).filter(
         F.col("minhash_sig").isNotNull()
     )
     # The bucket join is a SELF-join: without materialization both sides

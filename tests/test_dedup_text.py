@@ -176,3 +176,22 @@ def test_assign_packs_boundaries(spark):
     rows = {r["doc_id"]: r["pack_id"] for r in assign_packs(df, budget=10).collect()}
     # cumulative-before: 0, 4, 8, 12 → packs 0, 0, 0, 1
     assert rows == {0: 0, 1: 0, 2: 0, 3: 1}
+
+
+def test_minhash_arrow_parity_with_expr(spark):
+    from blueforty___etl_data_pipeline_spark.operators.dedup import (
+        minhash_signatures_arrow,
+    )
+
+    df = _docs(
+        spark,
+        [
+            "the quick brown fox jumps over the lazy dog again and again",
+            "short",  # < 3 tokens → null signature in both impls
+            "",
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        ],
+    )
+    a = {r["doc_id"]: r["minhash_sig"] for r in minhash_signatures(df, num_hashes=16).collect()}
+    b = {r["doc_id"]: r["minhash_sig"] for r in minhash_signatures_arrow(df, num_hashes=16).collect()}
+    assert a == b  # bit-identical, including the null cases
