@@ -1408,6 +1408,30 @@ SELECT doc_id, {cols}, {best} AS lang_pred FROM s
 """
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenization normalization: lowercase, punct→space,
+    whitespace collapse — a pure map stage over the scan."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.functions.text import (
+        normalize_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        normalize_text(F.col("text"), strip_punct=True).alias("norm_text"),
+    )
+
+
+_SQL_NORMALIZE = """
+SELECT doc_id,
+       trim(regexp_replace(
+         regexp_replace(lower(text), '[^a-zA-Z0-9\\s]', ' ', 'g'),
+         '\\s+', ' ', 'g')) AS norm_text
+FROM documents
+"""
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-training quality gate over documents (the standard
     length/punct/stopword heuristics as scan predicates)."""
@@ -1830,6 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "language_id": q_language_id,
         "fingerprints": q_fingerprints,
+        "normalize_text": q_normalize_text,
         "quality_filter": q_quality_filter,
         "assign_packs": q_assign_packs,
         "ann_brute_force": q_ann_brute_force,
@@ -1885,6 +1910,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _SQL_TOKEN_COUNTS,
         "language_id": _sql_language_id(),
         "fingerprints": _SQL_FINGERPRINTS,
+        "normalize_text": _SQL_NORMALIZE,
         "quality_filter": _SQL_QUALITY_FILTER,
         "assign_packs": _SQL_ASSIGN_PACKS,
         "ann_brute_force": _SQL_ANN_BRUTE,

@@ -97,6 +97,29 @@ def language_scores(text: Column) -> dict[str, Column]:
     }
 
 
+def normalize_text(
+    text: Column,
+    lowercase: bool = True,
+    strip_punct: bool = False,
+    collapse_ws: bool = True,
+) -> Column:
+    """Pre-tokenization text normalization: lowercase, optional
+    punctuation stripping (punct → space so word boundaries survive),
+    whitespace collapse + trim.  Pure column expressions — a map stage
+    over the scan.  (Unicode NFC/NFKC is deliberately NOT offered here:
+    Spark has no built-in normalizer, and a per-row Python UDF is the
+    wrong cost for a 100 TB map stage — normalize at ingestion instead.)
+    """
+    out = text
+    if lowercase:
+        out = F.lower(out)
+    if strip_punct:
+        out = F.regexp_replace(out, r"[^a-zA-Z0-9\s]", " ")
+    if collapse_ws:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out
+
+
 def md5_hash64(col: Column) -> Column:
     """Portable 60-bit integer hash: first 15 hex digits of md5.
 

@@ -195,3 +195,15 @@ def test_minhash_arrow_parity_with_expr(spark):
     a = {r["doc_id"]: r["minhash_sig"] for r in minhash_signatures(df, num_hashes=16).collect()}
     b = {r["doc_id"]: r["minhash_sig"] for r in minhash_signatures_arrow(df, num_hashes=16).collect()}
     assert a == b  # bit-identical, including the null cases
+
+
+def test_normalize_text(spark):
+    from blueforty___etl_data_pipeline_spark.functions.text import (
+        normalize_text,
+    )
+
+    df = spark.createDataFrame([("  Hello,  WORLD!! 42  ",)], "t string")
+    out = df.select(
+        normalize_text(F.col("t"), strip_punct=True).alias("n")
+    ).collect()[0]["n"]
+    assert out == "hello world 42"
