@@ -19,10 +19,13 @@ from .inference import infer_csv_schema, infer_type
 from .text import (
     doc_fingerprint,
     language_scores,
+    md5_hash64,
     ngrams,
+    normalize_text,
     quality_features,
     token_count_bpeish,
     token_count_ws,
+    tokens_ws,
 )
 from .vectors import cosine_similarity, dot, l2_norm
 
@@ -37,6 +40,9 @@ __all__ = [
     "infer_csv_schema",
     "infer_type",
     "ngrams",
+    "tokens_ws",
+    "normalize_text",
+    "md5_hash64",
     "token_count_ws",
     "token_count_bpeish",
     "quality_features",

@@ -7,32 +7,77 @@ reference's linear script of SQL statements.
 """
 
 from .aggregate import grouped_sum_round, preagg_join
+from .analytics import ranked, running_sum, with_lag_lead
 from .dedup import (
     dedup_exact,
     exact_dup_groups,
     minhash_lsh_pairs,
     minhash_signatures,
+    minhash_signatures_arrow,
     ngram_jaccard_pairs,
     simhash64,
+    simhash_near_dup_pairs,
 )
 from .joins import broadcast_cross_join, composite_key_join, using_join
-from .similarity import ann_brute_force, ann_lsh_bucketed
-from .topk import top1_per_group, topk_per_group
+from .multimodal import binarize, extract_features, frame_sample_stub
+from .presentation import ordered, top_n
+from .similarity import (
+    ann_brute_force,
+    ann_ivf,
+    ann_lsh_bucketed,
+    embedding_near_dup_pairs,
+    score_batch_numpy,
+)
+from .skew import key_histogram, salted_join
+from .temporal import asof_join, range_join
+from .text_ops import (
+    assign_packs,
+    fingerprints,
+    language_id,
+    quality_filter,
+    text_quality,
+    token_counts,
+)
+from .topk import argmin_agg, top1_per_group, topk_per_group
 
 __all__ = [
     "grouped_sum_round",
     "preagg_join",
+    "with_lag_lead",
+    "running_sum",
+    "ranked",
     "using_join",
     "composite_key_join",
     "broadcast_cross_join",
+    "asof_join",
+    "range_join",
+    "salted_join",
+    "key_histogram",
     "top1_per_group",
     "topk_per_group",
+    "argmin_agg",
+    "ordered",
+    "top_n",
     "dedup_exact",
     "exact_dup_groups",
     "minhash_signatures",
+    "minhash_signatures_arrow",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash64",
+    "simhash_near_dup_pairs",
     "ann_brute_force",
     "ann_lsh_bucketed",
+    "ann_ivf",
+    "embedding_near_dup_pairs",
+    "score_batch_numpy",
+    "binarize",
+    "extract_features",
+    "frame_sample_stub",
+    "text_quality",
+    "token_counts",
+    "language_id",
+    "fingerprints",
+    "quality_filter",
+    "assign_packs",
 ]

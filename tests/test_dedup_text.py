@@ -207,3 +207,24 @@ def test_normalize_text(spark):
         normalize_text(F.col("t"), strip_punct=True).alias("n")
     ).collect()[0]["n"]
     assert out == "hello world 42"
+
+
+def test_simhash_arrow_parity_with_expr(spark):
+    from blueforty___etl_data_pipeline_spark.operators.dedup import (
+        simhash_arrow,
+    )
+
+    df = _docs(
+        spark,
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "",
+            "alpha beta gamma delta epsilon",
+        ],
+    )
+    a = {
+        r["doc_id"]: r["h"]
+        for r in df.select("doc_id", simhash64(F.col("text")).alias("h")).collect()
+    }
+    b = {r["doc_id"]: r["simhash"] for r in simhash_arrow(df).collect()}
+    assert a == b
