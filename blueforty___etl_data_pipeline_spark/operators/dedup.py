@@ -446,9 +446,11 @@ def simhash_near_dup_pairs(
     n_bits: int = 60,
     max_hamming: int = 3,
     bands: int = 4,
+    impl: str = "expr",
 ) -> DataFrame:
     """SimHash near-dup pairs: candidates via band-bucket equi-join,
-    verified by exact Hamming distance.
+    verified by exact Hamming distance.  ``impl``: 'expr' (JVM fold) or
+    'arrow' (vectorized NumPy, bit-identical fingerprints).
 
     Pigeonhole blocking: two fingerprints within ``max_hamming`` bits of
     each other agree exactly on at least one of ``bands`` bit-bands when
@@ -461,9 +463,12 @@ def simhash_near_dup_pairs(
     mask = (1 << width) - 1
     # Persisted: the band join is a self-join, and the fingerprint fold
     # would otherwise run once per side (see minhash_lsh_pairs).
-    sh = df.select(
-        F.col(id_col), simhash64(F.col(text_col), n_bits).alias("simhash")
-    ).persist()
+    if impl == "arrow":
+        sh = simhash_arrow(df, text_col, id_col, n_bits).persist()
+    else:
+        sh = df.select(
+            F.col(id_col), simhash64(F.col(text_col), n_bits).alias("simhash")
+        ).persist()
     banded = sh.select(
         F.col(id_col),
         F.col("simhash"),

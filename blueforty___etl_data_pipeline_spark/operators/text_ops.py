@@ -136,3 +136,67 @@ def assign_packs(
         "n_tokens",
         F.floor(F.col("_before") / budget).alias("pack_id"),
     )
+
+
+def assign_packs_scalable(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 100_000,
+) -> DataFrame:
+    """Scalable two-phase version of :func:`assign_packs` — identical
+    output (equivalence-tested), no single-partition window.
+
+    Phase 1: contiguous id-range chunks each compute their LOCAL
+    cumulative token counts (window partitioned by chunk → fully
+    parallel).  Phase 2: per-chunk totals (one tiny row per chunk) get a
+    global cumulative sum and broadcast back as chunk offsets; the
+    global running total is ``chunk_offset + local_before``.  This is
+    the standard distributed prefix-sum shape: the only serial work is
+    over the chunk summary (rows ≈ corpus/chunk_size).
+    """
+    from pyspark.sql import Window
+
+    n_tok = token_count_ws(F.col(text_col))
+    chunked = df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.floor(F.col(id_col) / chunk_size).alias("_chunk"),
+    )
+    w_local = (
+        Window.partitionBy("_chunk")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = chunked.select(
+        id_col,
+        "n_tokens",
+        "_chunk",
+        (F.sum("n_tokens").over(w_local) - F.col("n_tokens")).alias(
+            "_local_before"
+        ),
+    )
+    totals = chunked.groupBy("_chunk").agg(
+        F.sum("n_tokens").alias("_chunk_total")
+    )
+    w_chunks = (
+        Window.orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        "_chunk",
+        (F.sum("_chunk_total").over(w_chunks) - F.col("_chunk_total")).alias(
+            "_chunk_offset"
+        ),
+    )
+    return (
+        local.join(F.broadcast(offsets), on="_chunk")
+        .select(
+            id_col,
+            "n_tokens",
+            F.floor(
+                (F.col("_chunk_offset") + F.col("_local_before")) / budget
+            ).alias("pack_id"),
+        )
+    )

@@ -228,3 +228,16 @@ def test_simhash_arrow_parity_with_expr(spark):
     }
     b = {r["doc_id"]: r["simhash"] for r in simhash_arrow(df).collect()}
     assert a == b
+
+
+def test_assign_packs_scalable_equals_global(spark, sf_small):
+    from blueforty___etl_data_pipeline_spark.operators.text_ops import (
+        assign_packs,
+        assign_packs_scalable,
+    )
+    from blueforty___etl_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    a = assign_packs(docs, budget=512)
+    b = assign_packs_scalable(docs, budget=512, chunk_size=100)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
