@@ -77,6 +77,11 @@ from blueforty___etl_data_pipeline_spark.operators.similarity import (
     ann_lsh_bucketed,
     embedding_near_dup_pairs,
 )
+from blueforty___etl_data_pipeline_spark.operators.profile import (
+    grouped_median_exact,
+    histogram_fixed_width,
+    profile_table,
+)
 from blueforty___etl_data_pipeline_spark.operators.text_ops import (
     assign_packs,
     fingerprints,
@@ -84,6 +89,7 @@ from blueforty___etl_data_pipeline_spark.operators.text_ops import (
     quality_filter,
     text_quality,
     token_counts,
+    word_stats,
 )
 from blueforty___etl_data_pipeline_spark.operators.topk import (
     argmin_agg,
@@ -1804,6 +1810,157 @@ ORDER BY c_acctbal DESC, c_custkey LIMIT 10
 """
 
 
+def q_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-repetition quality signals per document (Gopher-style):
+    token/distinct counts, type-token ratio, top word + fraction.
+    Classic two-level word-count — both shuffles partial-aggregated."""
+    _prep(spark)
+    return word_stats(_t(spark, sf_dir, "documents"))
+
+
+_SQL_WORD_STATS = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), wc AS (
+  SELECT doc_id, word, COUNT(*) AS cnt FROM words GROUP BY 1, 2
+), ranked AS (
+  SELECT doc_id, word, cnt,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, word DESC) AS rn,
+         SUM(cnt) OVER (PARTITION BY doc_id) AS n_tokens,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_distinct
+  FROM wc
+)
+SELECT doc_id, n_tokens, n_distinct, word AS top_word, cnt AS top_cnt,
+       n_distinct / n_tokens AS ttr, cnt / n_tokens AS top_frac
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE: all 2^k grouping-set combinations (completes the
+    ROLLUP/PIVOT multi-dimensional aggregation family)."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("l_quantity").cast(_DEC)), 2)
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+_SQL_CUBE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median without a raw-row sort: (group, value)
+    counts first, then a window over DISTINCT values only (bounded by
+    the value domain, not row count — the scalable exact-quantile
+    shape)."""
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    return grouped_median_exact(
+        o, ["o_orderpriority"], "o_totalprice", alias="median_price"
+    )
+
+
+_SQL_GROUPED_MEDIAN = """
+WITH counts AS (
+  SELECT o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS c,
+         COUNT(*) AS cnt
+  FROM orders GROUP BY 1, 2
+), cum AS (
+  SELECT o_orderpriority, c, cnt,
+         SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY c
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
+  FROM counts
+)
+SELECT o_orderpriority, MAX(n) AS n_rows,
+       CAST((MAX(CASE WHEN cum - cnt < (n + 1) // 2
+                       AND cum >= (n + 1) // 2 THEN c END)
+             + MAX(CASE WHEN cum - cnt < n // 2 + 1
+                         AND cum >= n // 2 + 1 THEN c END)) * 5 AS DOUBLE)
+       / 1000.0 AS median_price
+FROM cum GROUP BY 1
+"""
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of events.value (power-of-two width for
+    exact IEEE bin edges; order-free FLOOR-micros sums)."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return histogram_fixed_width(ev, "value", width=8.0)
+
+
+_SQL_HISTOGRAM = """
+SELECT CAST(FLOOR(value / 8.0) AS BIGINT) AS bin,
+       CAST(FLOOR(value / 8.0) * 8.0 AS DOUBLE) AS bin_lo,
+       COUNT(*) AS n,
+       SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS sum_micros
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column table profile (nulls, exact distinct,
+    min/max reprs) reshaped with stack — no collect, no second scan."""
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    return profile_table(
+        o,
+        columns=[
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    )
+
+
+def _d_profile_col(c: str, kind: str) -> str:
+    if kind == "ts":
+        mn, mx = (
+            f"CAST(epoch_us(MIN({c})) AS VARCHAR)",
+            f"CAST(epoch_us(MAX({c})) AS VARCHAR)",
+        )
+    elif kind == "dbl":
+        mn, mx = f"printf('%.2f', MIN({c}))", f"printf('%.2f', MAX({c}))"
+    else:
+        mn, mx = f"CAST(MIN({c}) AS VARCHAR)", f"CAST(MAX({c}) AS VARCHAR)"
+    return (
+        f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows, "
+        f"COUNT(*) - COUNT({c}) AS n_nulls, "
+        f"COUNT(DISTINCT {c}) AS n_distinct, "
+        f"{mn} AS min_repr, {mx} AS max_repr FROM orders"
+    )
+
+
+_SQL_PROFILE = " UNION ALL ".join(
+    _d_profile_col(c, k)
+    for c, k in [
+        ("o_orderkey", "int"),
+        ("o_custkey", "int"),
+        ("o_orderstatus", "str"),
+        ("o_totalprice", "dbl"),
+        ("o_orderdate", "ts"),
+        ("o_orderpriority", "str"),
+    ]
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1867,6 +2024,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filename_partition": q_filename_partition,
         "ctas_roundtrip": q_ctas_roundtrip,
         "order_by_limit": q_order_by_limit,
+        "word_stats": q_word_stats,
+        "cube_agg": q_cube_agg,
+        "grouped_median": q_grouped_median,
+        "histogram": q_histogram,
+        "profile_table": q_profile_table,
     }
 
 
@@ -1923,4 +2085,9 @@ def oracle_sql() -> dict[str, str]:
         "filename_partition": _SQL_FNAME_PARTITION,
         "ctas_roundtrip": _SQL_CTAS,
         "order_by_limit": _SQL_ORDER_BY_LIMIT,
+        "word_stats": _SQL_WORD_STATS,
+        "cube_agg": _SQL_CUBE,
+        "grouped_median": _SQL_GROUPED_MEDIAN,
+        "histogram": _SQL_HISTOGRAM,
+        "profile_table": _SQL_PROFILE,
     }

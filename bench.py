@@ -52,6 +52,10 @@ HEADLINE = [
     "ann_lsh",
     "ann_ivf",
     "multimodal_features",
+    "word_stats",
+    "grouped_median",
+    "histogram",
+    "profile_table",
 ]
 
 

@@ -21,6 +21,7 @@ from .dedup import (
 from .joins import broadcast_cross_join, composite_key_join, using_join
 from .multimodal import binarize, extract_features, frame_sample_stub
 from .presentation import ordered, top_n
+from .profile import grouped_median_exact, histogram_fixed_width, profile_table
 from .similarity import (
     ann_brute_force,
     ann_ivf,
@@ -37,6 +38,7 @@ from .text_ops import (
     quality_filter,
     text_quality,
     token_counts,
+    word_stats,
 )
 from .topk import argmin_agg, top1_per_group, topk_per_group
 
@@ -80,4 +82,8 @@ __all__ = [
     "fingerprints",
     "quality_filter",
     "assign_packs",
+    "word_stats",
+    "histogram_fixed_width",
+    "grouped_median_exact",
+    "profile_table",
 ]

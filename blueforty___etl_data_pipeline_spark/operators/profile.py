@@ -1,0 +1,193 @@
+"""Data-profiling and distribution-statistics operators.
+
+A 100 TB training-data pipeline spends real time *characterising* its
+inputs before transforming them — value histograms, per-column null /
+cardinality profiles, exact quantiles for split points.  These are the
+Spark-first shapes for each:
+
+- ``histogram_fixed_width``: one hash aggregation on a computed bin key
+  (map-side combine does almost all the work; output is O(n_bins)).
+- ``grouped_median_exact``: exact median WITHOUT sorting the data —
+  aggregate to (group, value) counts first (one shuffle with partial
+  aggregation), then a window over the *distinct values* of each group,
+  which is bounded by value cardinality, not row count.  This is the
+  scalable exact path; ``percentile_approx`` is the sketch alternative
+  when values are continuous.
+- ``profile_table``: one pass over the table computing per-column
+  null counts, exact distinct counts, and min/max, reshaped to one row
+  per column with ``stack`` (no driver-side collect).  At 100 TB swap
+  ``countDistinct`` for ``approx_count_distinct`` — the plan shape is
+  identical.
+
+Cross-engine determinism (DuckDB oracle): bin edges use power-of-two
+widths (exact IEEE division), money math goes through DECIMAL and
+integer cents, doubles are never CAST straight to strings.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+_DEC = DecimalType(18, 4)
+
+
+def histogram_fixed_width(
+    df: DataFrame,
+    value_col: str,
+    width: float = 8.0,
+    sum_micros: bool = True,
+) -> DataFrame:
+    """Fixed-width histogram of a double column.
+
+    Returns (bin, bin_lo, n, [sum_micros]) — one row per occupied bin.
+
+    ``width`` should be a power of two so ``value / width`` is an exact
+    IEEE operation and both engines compute identical bin ids for every
+    representable double.  ``sum_micros`` adds the order-free exact sum
+    ``SUM(FLOOR(value * 1e6))`` (bigint — deterministic regardless of
+    partitioning, unlike a double sum).
+
+    Scale: single hash aggregate; partial (map-side) combine reduces
+    each task's output to ≤ n_bins rows before the shuffle, so the
+    exchange moves O(tasks × bins) rows no matter how big the input is.
+    """
+    binned = df.select(
+        F.floor(F.col(value_col) / F.lit(width)).alias("bin"),
+        F.col(value_col).alias("_v"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if sum_micros:
+        aggs.append(
+            F.sum(F.floor(F.col("_v") * F.lit(1e6)).cast("long")).alias(
+                "sum_micros"
+            )
+        )
+    out = binned.groupBy("bin").agg(*aggs)
+    keep = ["n", "sum_micros"] if sum_micros else ["n"]
+    return out.withColumn(
+        "bin_lo", (F.col("bin") * F.lit(width)).cast("double")
+    ).select("bin", "bin_lo", *keep)
+
+
+def grouped_median_exact(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    alias: str = "median",
+) -> DataFrame:
+    """Exact per-group median of a ≤2-decimal numeric column, computed
+    scalably: the window runs over DISTINCT VALUES per group, never over
+    raw rows.
+
+    Plan: groupBy(group, value) count  →  cumulative count over values
+    within each group  →  pick the value(s) covering the middle
+    position(s).  The shuffle carries (group, value) pairs with map-side
+    partial counts; the per-group window input is bounded by the value
+    domain (at 2 decimals, ≤ ~100 rows per unit of range), so no
+    single-partition row explosion even when one group holds 10^12 rows.
+
+    Output: group cols + n_rows + ``alias`` (double).  Median arithmetic
+    is integer cents end-to-end — ``(lo + hi) * 5 / 1000.0`` — so both
+    engines agree bit-for-bit (bigint→double is exact below 2^53 and the
+    final division is a single IEEE op).
+    """
+    gcols = list(group_cols)
+    cents = F.col(value_col).cast(_DEC) * 100
+    counts = (
+        df.select(*gcols, cents.cast("long").alias("_c"))
+        .groupBy(*gcols, "_c")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    w_cum = (
+        Window.partitionBy(*gcols)
+        .orderBy("_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*gcols)
+    cum = counts.select(
+        *gcols,
+        "_c",
+        "_cnt",
+        F.sum("_cnt").over(w_cum).alias("_cum"),
+        F.sum("_cnt").over(w_all).alias("_n"),
+    )
+    # positions: lo = (n+1) div 2, hi = n div 2 + 1  (1-based)
+    lo_pos = F.expr("(_n + 1) div 2")
+    hi_pos = F.expr("_n div 2 + 1")
+    prev = F.col("_cum") - F.col("_cnt")
+    covers_lo = (prev < lo_pos) & (F.col("_cum") >= lo_pos)
+    covers_hi = (prev < hi_pos) & (F.col("_cum") >= hi_pos)
+    out = cum.groupBy(*gcols).agg(
+        F.max("_n").alias("n_rows"),
+        F.max(F.when(covers_lo, F.col("_c"))).alias("_lo"),
+        F.max(F.when(covers_hi, F.col("_c"))).alias("_hi"),
+    )
+    return out.select(
+        *gcols,
+        "n_rows",
+        (((F.col("_lo") + F.col("_hi")) * 5).cast("double") / 1000.0).alias(
+            alias
+        ),
+    )
+
+
+def profile_table(
+    df: DataFrame, columns: Sequence[str] | None = None
+) -> DataFrame:
+    """One-pass per-column profile: (col_name, n_rows, n_nulls,
+    n_distinct, min_repr, max_repr) — one output row per column.
+
+    All aggregates run in a single ``agg`` (Catalyst plans the multiple
+    COUNT DISTINCTs as one Expand + aggregate pass) and the 1×4k result
+    row is reshaped with ``stack`` — no ``collect``, no second scan.
+
+    Representations are strings chosen for cross-engine stability:
+    integers/strings cast directly, timestamps via ``unix_micros``
+    (integer), doubles via ``%.2f`` (2-decimal data is never a rounding
+    tie at 2 dp).  At 100 TB, swap ``countDistinct`` →
+    ``approx_count_distinct``; everything else is already a single
+    partial-aggregated pass.
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    dtypes = dict(df.dtypes)
+
+    def _repr(c: str) -> tuple[F.Column, F.Column]:
+        t = dtypes[c]
+        if t.startswith("timestamp"):
+            # NTZ → LTZ cast is the identity under a UTC session TZ, and
+            # unix_micros only accepts the LTZ flavor.
+            return (
+                F.unix_micros(F.min(c).cast("timestamp")).cast("string"),
+                F.unix_micros(F.max(c).cast("timestamp")).cast("string"),
+            )
+        if t == "double" or t == "float":
+            return (
+                F.format_string("%.2f", F.min(c)),
+                F.format_string("%.2f", F.max(c)),
+            )
+        return F.min(c).cast("string"), F.max(c).cast("string")
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        mn, mx = _repr(c)
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            mn.alias(f"{c}__min"),
+            mx.alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
+        for c in cols
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, n_nulls, n_distinct, min_repr, max_repr)",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_repr",
+             "max_repr")

@@ -200,3 +200,42 @@ def assign_packs_scalable(
             ).alias("pack_id"),
         )
     )
+
+
+def word_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document word-repetition statistics (Gopher-style quality
+    signals): token count, distinct-token count, type-token ratio, and
+    the most frequent word with its frequency fraction.
+
+    Shape: the classic distributed word count — explode to (doc, word),
+    hash-aggregate counts (map-side combine collapses each task to its
+    local vocabulary before the shuffle), then a second aggregation per
+    doc.  Both shuffles carry partially-aggregated rows, so the exchange
+    volume is bounded by vocabulary size per task, not token count —
+    exactly the plan you want at corpus scale.
+
+    Top-word tiebreak: max(struct(cnt, word)) — highest count, then
+    lexicographically largest word (deterministic; oracle mirrors it
+    with ORDER BY cnt DESC, word DESC).
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    wc = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = wc.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max(F.struct("cnt", "word")).alias("_top"),
+    )
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        F.col("_top.word").alias("top_word"),
+        F.col("_top.cnt").alias("top_cnt"),
+        (F.col("n_distinct") / F.col("n_tokens")).alias("ttr"),
+        (F.col("_top.cnt") / F.col("n_tokens")).alias("top_frac"),
+    )

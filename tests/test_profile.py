@@ -1,0 +1,106 @@
+"""Unit tests for operators/profile.py (histogram, exact grouped median,
+table profiling) and text_ops.word_stats.
+
+Medians are checked against Python's statistics.median on the collected
+values — an independent in-process oracle (the DuckDB differential runs
+via __spark_entry__/tools/check_correctness.py)."""
+
+from __future__ import annotations
+
+import statistics
+
+from pyspark.sql import functions as F
+
+from blueforty___etl_data_pipeline_spark.operators.profile import (
+    grouped_median_exact,
+    histogram_fixed_width,
+    profile_table,
+)
+from blueforty___etl_data_pipeline_spark.operators.text_ops import word_stats
+
+
+def test_grouped_median_odd_and_even(spark):
+    rows = [
+        ("a", 1.00), ("a", 2.00), ("a", 10.00),          # odd: median 2.0
+        ("b", 1.00), ("b", 2.00), ("b", 3.00), ("b", 4.00),  # even: 2.5
+        ("c", 5.25),                                      # single row
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {
+        r["g"]: (r["n_rows"], r["median"])
+        for r in grouped_median_exact(df, ["g"], "v").collect()
+    }
+    assert out == {"a": (3, 2.0), "b": (4, 2.5), "c": (1, 5.25)}
+
+
+def test_grouped_median_with_duplicate_values(spark):
+    # Duplicates collapse into counted distinct values — the middle can
+    # land inside one value's position range.
+    vals = [1.0, 3.0, 3.0, 3.0, 9.0]
+    df = spark.createDataFrame([("g", v) for v in vals], ["g", "v"])
+    got = grouped_median_exact(df, ["g"], "v").collect()[0]["median"]
+    assert got == statistics.median(vals) == 3.0
+
+
+def test_grouped_median_matches_statistics_on_sf_small(spark, sf_small):
+    o = spark.read.parquet(f"{sf_small}/orders.parquet")
+    got = {
+        r["o_orderpriority"]: r["median_price"]
+        for r in grouped_median_exact(
+            o, ["o_orderpriority"], "o_totalprice", alias="median_price"
+        ).collect()
+    }
+    rows = o.select("o_orderpriority", "o_totalprice").collect()
+    by_grp: dict[str, list[float]] = {}
+    for r in rows:
+        by_grp.setdefault(r[0], []).append(round(r[1], 2))
+    for g, vals in by_grp.items():
+        assert abs(got[g] - statistics.median(vals)) < 1e-9, g
+
+
+def test_histogram_counts_and_edges(spark):
+    df = spark.createDataFrame(
+        [(0.1,), (7.9,), (8.0,), (15.99,), (16.0,), (100.0,)], ["value"]
+    )
+    out = {
+        r["bin"]: (r["bin_lo"], r["n"])
+        for r in histogram_fixed_width(df, "value", width=8.0).collect()
+    }
+    assert out[0] == (0.0, 2)
+    assert out[1] == (8.0, 2)
+    assert out[2] == (16.0, 1)
+    assert out[12] == (96.0, 1)
+
+
+def test_histogram_total_matches_rowcount(spark, sf_small):
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    out = histogram_fixed_width(ev, "value", width=8.0)
+    assert out.agg(F.sum("n")).collect()[0][0] == ev.count()
+
+
+def test_profile_table_shape_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "x")], ["k", "s"]
+    )
+    out = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert set(out) == {"k", "s"}
+    k, s = out["k"], out["s"]
+    assert (k["n_rows"], k["n_nulls"], k["n_distinct"]) == (3, 0, 3)
+    assert (k["min_repr"], k["max_repr"]) == ("1", "3")
+    assert (s["n_nulls"], s["n_distinct"]) == (1, 1)
+    assert (s["min_repr"], s["max_repr"]) == ("x", "x")
+
+
+def test_word_stats_basic(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a c a"), (2, "z z y y")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in word_stats(df).collect()}
+    r1 = out[1]
+    assert (r1["n_tokens"], r1["n_distinct"]) == (5, 3)
+    assert (r1["top_word"], r1["top_cnt"]) == ("a", 3)
+    assert abs(r1["ttr"] - 3 / 5) < 1e-12
+    assert abs(r1["top_frac"] - 3 / 5) < 1e-12
+    # tie on count: lexicographically LARGEST word wins (documented).
+    r2 = out[2]
+    assert (r2["top_word"], r2["top_cnt"]) == ("z", 2)
