@@ -63,6 +63,10 @@ from blueforty___etl_data_pipeline_spark.operators.dedup import (
     simhash64,
     simhash_near_dup_pairs,
 )
+from blueforty___etl_data_pipeline_spark.operators.graph import (
+    connected_components,
+    dedup_near_duplicates,
+)
 from blueforty___etl_data_pipeline_spark.operators.joins import composite_key_join
 from blueforty___etl_data_pipeline_spark.operators.multimodal import (
     binarize,
@@ -1336,6 +1340,67 @@ WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_h}
 """
 
 
+def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH pairs → connected components: min-label propagation resolves
+    "a≈b, b≈c" chains into clusters (operators/graph.py).  Returns
+    (node, component_id) for every doc in at least one candidate pair."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=_MH_NUM, bands=_MH_BANDS, impl="arrow"
+    )
+    return connected_components(pairs)
+
+
+def _sql_components_cte() -> str:
+    """Recursive min-reachable-label: the DuckDB twin of the iterative
+    Spark propagation (both compute min(node id) per component)."""
+    return f"""
+pairs AS MATERIALIZED ({_sql_lsh_pairs()}),
+edges AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node),
+comps AS (
+  SELECT node, MIN(lab) AS component_id FROM reach GROUP BY node)
+"""
+
+
+def _sql_near_dup_components() -> str:
+    return f"""
+WITH RECURSIVE {_sql_components_cte()}
+SELECT node, component_id FROM comps
+"""
+
+
+def q_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup: LSH candidates → components → keep the
+    min-id doc per cluster plus every unpaired doc."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=_MH_NUM, bands=_MH_BANDS, impl="arrow"
+    )
+    return dedup_near_duplicates(docs, pairs).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def _sql_near_dup_dedup() -> str:
+    return f"""
+WITH RECURSIVE {_sql_components_cte()}
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+LEFT JOIN comps c ON c.node = d.doc_id
+WHERE c.node IS NULL OR c.component_id = d.doc_id
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features: length/punct/stopword ratios — pure column math."""
     _prep(spark)
@@ -2007,6 +2072,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "near_dup_components": q_near_dup_components,
+        "near_dup_dedup": q_near_dup_dedup,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "language_id": q_language_id,
@@ -2068,6 +2135,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _SQL_JACCARD,
         "simhash": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),
+        "near_dup_components": _sql_near_dup_components(),
+        "near_dup_dedup": _sql_near_dup_dedup(),
         "text_quality": _SQL_TEXT_QUALITY,
         "token_counts": _SQL_TOKEN_COUNTS,
         "language_id": _sql_language_id(),

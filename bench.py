@@ -46,6 +46,7 @@ HEADLINE = [
     "simhash",
     "simhash_pairs",
     "embedding_near_dup",
+    "near_dup_dedup",
     "text_quality",
     "fingerprints",
     "ann_brute_force",

@@ -1,0 +1,127 @@
+"""Connected components over near-duplicate candidate pairs.
+
+LSH (MinHash or SimHash) emits PAIRS; deduplication needs GROUPS —
+"a≈b, b≈c" must collapse to one cluster {a, b, c} with a single
+canonical survivor.  This module closes that gap with a distributed
+min-label propagation, the standard iterative-join formulation of
+connected components on Spark.
+
+Scale shape
+-----------
+Each round is one shuffle-join (labels ⋈ edges) + one min-aggregation —
+both partial-aggregated, AQE-planned hash joins keyed on the node id.
+Rounds needed = graph diameter (labels flow one hop per round along the
+symmetrized edge list).  Near-dup graphs are unions of near-cliques
+(every member of a dup cluster shares buckets with most others), so the
+diameter is tiny — 2-4 rounds in practice, independent of corpus size.
+For adversarial high-diameter graphs (long chains), the alternating
+large-star/small-star algorithm (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC'14) converges in O(log²n) rounds; the
+per-round dataflow here is the same, only the edge-rewrite rule differs.
+
+Per round the labels frame is ``localCheckpoint``-ed: the plan would
+otherwise grow by two joins per iteration and re-execute from the
+source each round.  On a real cluster use ``checkpoint`` with a
+reliable checkpoint dir instead (same call shape, HDFS-backed).
+
+Reference provenance: the reference has no graph operator — this is a
+north-star extension (BASELINE.json: dedup for LLM training pipelines);
+its per-ZIP top-1 (BlueForty.py:441-448) is the closest analog of
+"collapse a candidate set to one canonical row".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Resolve an undirected edge list to ``(node, component_id)`` where
+    ``component_id`` is the minimum node id reachable from ``node``.
+
+    Only nodes that appear in at least one pair are returned (isolated
+    rows need no clustering — callers union them back as their own
+    canonical, see :func:`dedup_near_duplicates`).
+    """
+    # Persist the pair projection BEFORE symmetrizing: the union below
+    # references it twice, and the upstream pair generator (an LSH
+    # bucket join) is far too expensive to run once per branch.
+    p = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
+    edges = (
+        p.union(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # Min label among neighbors: one hop of propagation.  Edges are
+        # symmetric, so every round halves the remaining label distance
+        # along any path in the best case, and moves it one hop worst
+        # case.
+        nbr_min = (
+            edges.join(labels, edges["u"] == labels["node"])
+            .select(F.col("v").alias("node"), F.col("comp"))
+            .groupBy("node")
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    p.unpersist()
+    return labels.select(F.col("node"), F.col("comp").alias("component_id"))
+
+
+def dedup_near_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """End-to-end near-dup dedup keep-list: cluster the candidate pairs,
+    keep the minimum-id document of every cluster, and keep every
+    document that was never paired.  Deterministic (min-id canonical),
+    unlike dropDuplicates.
+
+    Returns ``df`` filtered to survivors (original schema preserved).
+    """
+    comps = connected_components(pairs, src=src, dst=dst)
+    # Survivor set: nodes whose id IS their component's min (canonical),
+    # plus all unpaired ids (left anti against the paired node list).
+    canonical = comps.filter(F.col("node") == F.col("component_id")).select(
+        F.col("node").alias(id_col)
+    )
+    unpaired = df.select(id_col).join(
+        comps.select(F.col("node").alias(id_col)), on=id_col, how="left_anti"
+    )
+    survivors = canonical.union(unpaired)
+    return df.join(survivors, on=id_col, how="inner")
