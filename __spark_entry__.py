@@ -74,6 +74,11 @@ from blueforty___etl_data_pipeline_spark.operators.multimodal import (
     frame_sample_stub,
 )
 from blueforty___etl_data_pipeline_spark.operators.presentation import top_n
+from blueforty___etl_data_pipeline_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    quota_cap,
+)
 from blueforty___etl_data_pipeline_spark.operators.similarity import (
     _hyperplanes,
     ann_brute_force,
@@ -91,6 +96,7 @@ from blueforty___etl_data_pipeline_spark.operators.text_ops import (
     fingerprints,
     language_id,
     quality_filter,
+    scrub_pii,
     text_quality,
     token_counts,
     word_stats,
@@ -1479,6 +1485,116 @@ SELECT doc_id, {cols}, {best} AS lang_pred FROM s
 """
 
 
+def _d_bucket10k(salt: str) -> str:
+    """DuckDB twin of operators/sampling._bucket."""
+    return (
+        _d_md5h(f"'{salt}:' || CAST(doc_id AS VARCHAR)") + " % 10000"
+    )
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% sample: salted md5 bucket filter — shuffle-free,
+    reproducible on any engine (unlike rand())."""
+    _prep(spark)
+    return hash_sample(
+        _t(spark, sf_dir, "documents"), fraction=0.25
+    ).select("doc_id", "source", "n_chars")
+
+
+def _sql_hash_sample() -> str:
+    return f"""
+SELECT doc_id, source, n_chars FROM documents
+WHERE {_d_bucket10k('sample')} < 2500
+"""
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment (98/1/1) from contiguous hash-bucket
+    ranges — pure map stage, stable under repartition and late data."""
+    _prep(spark)
+    return hash_split(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "split"
+    )
+
+
+def _sql_hash_split() -> str:
+    return f"""
+SELECT doc_id,
+       CASE WHEN b < 9800 THEN 'train'
+            WHEN b < 9900 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, {_d_bucket10k('split')} AS b FROM documents)
+"""
+
+
+def q_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota: keep a deterministic pseudo-random 10-doc subset
+    of every source (domain-balancing before training)."""
+    _prep(spark)
+    return quota_cap(
+        _t(spark, sf_dir, "documents"), group_col="source", n=10
+    ).select("doc_id", "source")
+
+
+def _sql_quota_cap() -> str:
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_d_bucket10k('quota')}, doc_id) AS rk
+  FROM documents)
+WHERE rk <= 10
+"""
+
+
+def _pii_injected(docs: DataFrame) -> DataFrame:
+    """The synthetic corpus contains no PII, so the scrub query plants a
+    deterministic email/phone/IP/SSN per doc (mirrored verbatim in the
+    oracle) — the redaction then has real spans to find."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call 555-867-5309 from 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" ssn 123-45-6789"),
+        ).alias("text"),
+    )
+
+
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction map stage: typed placeholders + span count."""
+    _prep(spark)
+    return scrub_pii(_pii_injected(_t(spark, sf_dir, "documents")))
+
+
+def _sql_scrub_pii() -> str:
+    from blueforty___etl_data_pipeline_spark.functions.text import (
+        PII_PATTERNS,
+    )
+
+    red = "text"
+    for _, pat, rep in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{rep}', 'g')"
+    cnt = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in PII_PATTERNS
+    )
+    return f"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com call 555-867-5309 from 10.0.0.'
+              || CAST(doc_id % 256 AS VARCHAR)
+              || ' ssn 123-45-6789' AS text
+  FROM documents)
+SELECT doc_id, {red} AS redacted, {cnt} AS pii_count
+FROM injected
+"""
+
+
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-tokenization normalization: lowercase, punct→space,
     whitespace collapse — a pure map stage over the scan."""
@@ -2079,6 +2195,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "fingerprints": q_fingerprints,
         "normalize_text": q_normalize_text,
+        "scrub_pii": q_scrub_pii,
+        "hash_sample": q_hash_sample,
+        "hash_split": q_hash_split,
+        "quota_cap": q_quota_cap,
         "quality_filter": q_quality_filter,
         "assign_packs": q_assign_packs,
         "ann_brute_force": q_ann_brute_force,
@@ -2142,6 +2262,10 @@ def oracle_sql() -> dict[str, str]:
         "language_id": _sql_language_id(),
         "fingerprints": _SQL_FINGERPRINTS,
         "normalize_text": _SQL_NORMALIZE,
+        "scrub_pii": _sql_scrub_pii(),
+        "hash_sample": _sql_hash_sample(),
+        "hash_split": _sql_hash_split(),
+        "quota_cap": _sql_quota_cap(),
         "quality_filter": _SQL_QUALITY_FILTER,
         "assign_packs": _SQL_ASSIGN_PACKS,
         "ann_brute_force": _SQL_ANN_BRUTE,

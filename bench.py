@@ -48,6 +48,9 @@ HEADLINE = [
     "embedding_near_dup",
     "near_dup_dedup",
     "text_quality",
+    "scrub_pii",
+    "hash_split",
+    "quota_cap",
     "fingerprints",
     "ann_brute_force",
     "ann_lsh",

@@ -120,6 +120,40 @@ def normalize_text(
     return out
 
 
+#: PII patterns applied IN ORDER (email before phone: the local part can
+#: contain digit runs; IP before phone: dotted quads share digit shapes).
+#: Regex syntax is restricted to the Java-regex ∩ RE2 common subset —
+#: character classes, bounded repeats, word boundaries, non-capturing
+#: groups — so Spark (Java) and the DuckDB oracle (RE2) match the exact
+#: same spans.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails / SSNs / IPv4s / phone numbers with typed
+    placeholder tokens — the standard scrub pass before a corpus ships
+    to training.  Pure nested ``regexp_replace``: JVM-side, codegen,
+    shuffle-free map stage."""
+    out = text
+    for _, pat, rep in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def pii_count(text: Column) -> Column:
+    """Total PII spans found (counted per pattern on the RAW text, so a
+    span is never double-counted after its replacement token appears)."""
+    return sum(
+        (F.regexp_count(text, F.lit(pat)).cast("bigint") for _, pat, _ in PII_PATTERNS),
+        F.lit(0).cast("bigint"),
+    )
+
+
 def md5_hash64(col: Column) -> Column:
     """Portable 60-bit integer hash: first 15 hex digits of md5.
 

@@ -15,7 +15,9 @@ from ..functions.text import (
     LANG_MARKERS,
     doc_fingerprint,
     language_scores,
+    pii_count,
     quality_features,
+    redact_pii,
     token_count_bpeish,
     token_count_ws,
 )
@@ -199,6 +201,23 @@ def assign_packs_scalable(
                 (F.col("_chunk_offset") + F.col("_local_before")) / budget
             ).alias("pack_id"),
         )
+    )
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrub pass: emails / SSNs / IPv4s / phone numbers →
+    ``<EMAIL>``/``<SSN>``/``<IP>``/``<PHONE>`` placeholders, plus the
+    span count found per document (functions/text.PII_PATTERNS).
+
+    Shuffle-free map stage — at 100 TB this runs scan-co-located with
+    whatever filter/projection precedes the training-data write."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        redact_pii(t).alias("redacted"),
+        pii_count(t).alias("pii_count"),
     )
 
 

@@ -241,3 +241,36 @@ def test_assign_packs_scalable_equals_global(spark, sf_small):
     a = assign_packs(docs, budget=512)
     b = assign_packs_scalable(docs, budget=512, chunk_size=100)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from blueforty___etl_data_pipeline_spark.operators.text_ops import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@sub.example.org now"),
+            (2, "call 555-867-5309 or 555.867.5309"),
+            (3, "host 192.168.0.1 ssn 123-45-6789"),
+            (4, "clean text, nothing to hide"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["redacted"], r["pii_count"]) for r in scrub_pii(df).collect()}
+    assert got[1] == ("mail <EMAIL> now", 1)
+    assert got[2] == ("call <PHONE> or <PHONE>", 2)
+    assert got[3] == ("host <IP> ssn <SSN>", 2)
+    assert got[4] == ("clean text, nothing to hide", 0)
+
+
+def test_scrub_pii_word_boundaries(spark):
+    from blueforty___etl_data_pipeline_spark.operators.text_ops import scrub_pii
+
+    # Digits embedded in longer tokens must NOT be scrubbed: version
+    # strings are not IPs, long ids are not phones.
+    df = spark.createDataFrame(
+        [(1, "v1.2.3.4567 is a version not an ip")],
+        "doc_id long, text string",
+    )
+    row = scrub_pii(df).collect()[0]
+    assert row["redacted"] == "v1.2.3.4567 is a version not an ip"
+    assert row["pii_count"] == 0
