@@ -1973,6 +1973,31 @@ FROM orders GROUP BY 1, 2
 """
 
 
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink → corrupt-line injection → error-tolerant source:
+    documents are written as line-delimited JSON, a malformed line is
+    planted in the directory, and the read (on_error='continue', the
+    reference's ON_ERROR=CONTINUE, BlueForty.py:113) drops exactly the
+    bad line — so the roundtrip must equal the source table."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.sources.json import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    path = os.path.join(SCRATCH, "jsonl_roundtrip")
+    write_jsonl(docs, path)
+    with open(os.path.join(path, "zz_corrupt.json"), "w") as fh:
+        fh.write('{"doc_id": 999999, "text": unterminated\n{half\n')
+    return read_jsonl(spark, path, schema=docs.schema, on_error="continue")
+
+
+_SQL_JSONL_ROUNDTRIP = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
 def q_order_by_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1: global ORDER BY + LIMIT (TakeOrderedAndProject — scale-safe,
     unlike a full sort).  Deterministic tiebreak on the key."""
@@ -2210,6 +2235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip": q_csv_roundtrip,
         "filename_partition": q_filename_partition,
         "ctas_roundtrip": q_ctas_roundtrip,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "order_by_limit": q_order_by_limit,
         "word_stats": q_word_stats,
         "cube_agg": q_cube_agg,
@@ -2277,6 +2303,7 @@ def oracle_sql() -> dict[str, str]:
         "csv_roundtrip": _SQL_CSV_ROUNDTRIP,
         "filename_partition": _SQL_FNAME_PARTITION,
         "ctas_roundtrip": _SQL_CTAS,
+        "jsonl_roundtrip": _SQL_JSONL_ROUNDTRIP,
         "order_by_limit": _SQL_ORDER_BY_LIMIT,
         "word_stats": _SQL_WORD_STATS,
         "cube_agg": _SQL_CUBE,

@@ -233,3 +233,45 @@ def test_partitioned_write_prunes_on_read(spark, fixtures_dir, tmp_path):
     assert "PartitionFilters: [" in plan
     assert "isnotnull(yyyy" in plan  # filters landed in partition pruning
     assert back.count() == 2  # only the February file's data rows
+
+
+def test_jsonl_continue_drops_corrupt_lines(spark, tmp_path):
+    from blueforty___etl_data_pipeline_spark.sources.json import (
+        read_jsonl,
+        read_jsonl_with_badlines,
+        write_jsonl,
+    )
+    from pyspark.sql.types import StructType
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    path = str(tmp_path / "jl")
+    write_jsonl(df, path)
+    with open(f"{path}/bad.json", "w") as fh:
+        fh.write('{"id": 4, "v": broken\nnot json at all\n')
+
+    out = read_jsonl(spark, path, schema=df.schema, on_error="continue")
+    assert sorted(r["id"] for r in out.collect()) == [1, 2, 3]
+    assert out.columns == ["id", "v"]
+
+    good, bad = read_jsonl_with_badlines(spark, path, schema=df.schema)
+    assert good.count() == 3
+    assert bad.count() == 2  # both malformed lines quarantined
+
+
+def test_jsonl_abort_fails_on_corrupt_line(spark, tmp_path):
+    import pytest as _pytest
+
+    from blueforty___etl_data_pipeline_spark.sources.json import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    path = str(tmp_path / "jl_abort")
+    write_jsonl(df, path)
+    with open(f"{path}/bad.json", "w") as fh:
+        fh.write("garbage{\n")
+    with _pytest.raises(Exception):
+        read_jsonl(spark, path, schema=df.schema, on_error="abort").collect()
