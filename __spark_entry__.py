@@ -73,6 +73,11 @@ from blueforty___etl_data_pipeline_spark.operators.multimodal import (
     extract_features,
     frame_sample_stub,
 )
+from blueforty___etl_data_pipeline_spark.operators.corpus import (
+    chunk_documents,
+    tfidf_top_terms,
+    top_ngrams,
+)
 from blueforty___etl_data_pipeline_spark.operators.presentation import top_n
 from blueforty___etl_data_pipeline_spark.operators.sampling import (
     hash_sample,
@@ -1485,6 +1490,93 @@ SELECT doc_id, {cols}, {best} AS lang_pred FROM s
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget chunking: 16-token windows, 4-token overlap —
+    per-row array math + posexplode, shuffle-free."""
+    _prep(spark)
+    out = chunk_documents(
+        _t(spark, sf_dir, "documents"), max_tokens=16, overlap=4
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        "chunk_text",
+        "n_chunk_tokens",
+    )
+
+
+def _sql_chunk_documents(max_tokens: int = 16, overlap: int = 4) -> str:
+    step = max_tokens - overlap
+    toks = _D_TOKENS.format(t="text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {toks} AS toks FROM documents),
+meta AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= 0 THEN 0
+              ELSE 1 + greatest(0,
+                     (len(toks) - {max_tokens} + {step - 1}) // {step}) END
+           AS n_chunks
+  FROM tok),
+exploded AS (
+  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS i FROM meta)
+SELECT doc_id, i AS chunk_idx,
+       array_to_string(toks[i*{step}+1 : i*{step}+{max_tokens}], ' ')
+         AS chunk_text,
+       len(toks[i*{step}+1 : i*{step}+{max_tokens}]) AS n_chunk_tokens
+FROM exploded
+"""
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams: explode → partial-agg count →
+    TakeOrderedAndProject (no global sort)."""
+    _prep(spark)
+    return top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=20)
+
+
+def _sql_top_ngrams(k: int = 20) -> str:
+    toks = _D_TOKENS.format(t="text")
+    return f"""
+WITH tok AS (SELECT {toks} AS toks FROM documents),
+grams AS (
+  SELECT unnest(list_transform(
+           range(1, greatest(len(toks), 1)),
+           i -> array_to_string(toks[i:i+1], ' '))) AS gram
+  FROM tok)
+SELECT gram, COUNT(*) AS cnt FROM grams
+GROUP BY 1 ORDER BY cnt DESC, gram ASC LIMIT {k}
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF terms; score fixed-pointed to FLOOR(x·10⁶)
+    so the double `ln` never hash-mismatches across engines."""
+    _prep(spark)
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+def _sql_tfidf(k: int = 3) -> str:
+    toks = _D_TOKENS.format(t="text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         CAST(FLOOR(tf * ln(CAST(n_docs AS DOUBLE) / df) * 1e6) AS BIGINT)
+           AS score_e6
+  FROM tf JOIN dfq USING (term) CROSS JOIN nd)
+SELECT doc_id, term, score_e6, rk FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY score_e6 DESC, term ASC) AS rk
+  FROM scored)
+WHERE rk <= {k}
+"""
+
+
 def _d_bucket10k(salt: str) -> str:
     """DuckDB twin of operators/sampling._bucket."""
     return (
@@ -2221,6 +2313,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "normalize_text": q_normalize_text,
         "scrub_pii": q_scrub_pii,
+        "chunk_documents": q_chunk_documents,
+        "top_ngrams": q_top_ngrams,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "hash_sample": q_hash_sample,
         "hash_split": q_hash_split,
         "quota_cap": q_quota_cap,
@@ -2289,6 +2384,9 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": _SQL_FINGERPRINTS,
         "normalize_text": _SQL_NORMALIZE,
         "scrub_pii": _sql_scrub_pii(),
+        "chunk_documents": _sql_chunk_documents(),
+        "top_ngrams": _sql_top_ngrams(),
+        "tfidf_top_terms": _sql_tfidf(),
         "hash_sample": _sql_hash_sample(),
         "hash_split": _sql_hash_split(),
         "quota_cap": _sql_quota_cap(),

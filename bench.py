@@ -57,6 +57,9 @@ HEADLINE = [
     "ann_ivf",
     "multimodal_features",
     "word_stats",
+    "chunk_documents",
+    "top_ngrams",
+    "tfidf_top_terms",
     "grouped_median",
     "histogram",
     "profile_table",

@@ -1,0 +1,144 @@
+"""Corpus-level statistics and restructuring operators (north-star
+extension: training-data preparation over the ``documents`` table).
+
+- :func:`chunk_documents` — split long documents into token-budget
+  windows with overlap (context-length packing's upstream step).
+- :func:`top_ngrams` — corpus-wide most frequent n-grams.
+- :func:`tfidf_top_terms` — per-document top terms by TF-IDF.
+
+Scale shapes: chunking is a per-row array computation + posexplode (no
+shuffle; output rows ≈ input tokens / step).  top_ngrams is the
+canonical word-count — partial aggregation collapses each task to its
+local n-gram vocabulary before one shuffle, then a TakeOrdered top-k
+(never a full sort).  TF-IDF is two hash aggregations (term-doc counts,
+then document frequencies) and a broadcast-able join of the tiny DF
+side when the vocabulary fits — at web scale, prune the vocabulary
+first (min_df) so the join side stays broadcastable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import ngrams, tokens_ws
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into whitespace-token windows of at most
+    ``max_tokens``, consecutive windows sharing ``overlap`` tokens.
+
+    Chunk count for n tokens is ``1 + ceil((n - max_tokens) / step)``
+    (step = max_tokens - overlap) — integer arithmetic only, so Spark
+    and the oracle agree exactly.  Empty docs yield no chunks.  The
+    final chunk is a full ``max_tokens`` wide only when the token count
+    lands on a window boundary; it is never empty and never starts past
+    the end (the step divides the remaining tokens).
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    step = max_tokens - overlap
+    toks = tokens_ws(F.col(text_col))
+    n = F.size(toks)
+    # ceil((n - max_tokens)/step) via integer floordiv: (a + step - 1) div step
+    extra = F.floor(
+        (n - F.lit(max_tokens) + F.lit(step - 1)) / F.lit(step)
+    ).cast("int")
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.lit(1) + F.greatest(F.lit(0), extra)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * step + 1, max_tokens)
+        ),
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(F.when(n_chunks > 0, chunks)).alias(
+            "chunk_idx", "chunk_text"
+        ),
+    )
+    return out.withColumn(
+        "n_chunk_tokens", F.size(tokens_ws(F.col("chunk_text"))).cast("bigint")
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-``k`` word n-grams by occurrence count
+    (deterministic tiebreak: count desc, gram asc).
+
+    Plan: per-row n-gram array → explode → hash aggregate (map-side
+    partial combine bounds the shuffle by per-task vocabulary, not
+    token count) → TakeOrderedAndProject for the top-k (no global
+    sort materialization).
+    """
+    grams = df.select(
+        F.explode(ngrams(tokens_ws(F.col(text_col)), n)).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.orderBy(F.desc("cnt"), F.asc("gram")).limit(k)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-``k`` terms per document by TF-IDF
+    (tf = term count in doc, idf = ln(N / df_term)).
+
+    The score is kept as ``FLOOR(score·10⁶)`` (bigint) so cross-engine
+    comparison is exact — raw doubles from ``ln`` can differ in the
+    last ulp between libm implementations.  Ranking ties break on the
+    term string.  ``min_df`` prunes hapax noise AND, at corpus scale,
+    keeps the document-frequency join side small.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(tokens_ws(F.col(text_col))).alias("term")
+    )
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    # Corpus size as a broadcast 1-row frame — keeps the whole operator
+    # lazy (no driver-side action) and the plan self-contained.
+    nd = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), on="term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.floor(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("score_e6"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_e6"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "score_e6", "rk")
+    )

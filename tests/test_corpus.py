@@ -1,0 +1,90 @@
+"""Corpus-level operators: chunking, top n-grams, TF-IDF
+(operators/corpus.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from blueforty___etl_data_pipeline_spark.operators.corpus import (
+    chunk_documents,
+    tfidf_top_terms,
+    top_ngrams,
+)
+
+
+def test_chunk_windows_and_overlap(spark):
+    # 10 tokens, window 4, overlap 1 → step 3 → chunks at 0,3,6 wide 4,
+    # plus the tail chunk starting at 9? n_chunks = 1+ceil((10-4)/3)=3.
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, max_tokens=4, overlap=1).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [r["chunk_text"] for r in rows] == [
+        "t0 t1 t2 t3",
+        "t3 t4 t5 t6",
+        "t6 t7 t8 t9",
+    ]
+    assert [r["n_chunk_tokens"] for r in rows] == [4, 4, 4]
+
+
+def test_chunk_short_doc_is_single_chunk(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "")], "doc_id long, text string")
+    rows = chunk_documents(df, max_tokens=16, overlap=4).collect()
+    assert len(rows) == 1  # empty doc → no chunks
+    assert rows[0]["chunk_text"] == "a b"
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=8, overlap=8)
+
+
+def test_chunk_tail_never_empty(spark):
+    # n = 12, window 8, overlap 4 → step 4 → n_chunks = 1+ceil(4/4) = 2:
+    # [0:8], [4:12]. A naive formula would emit a third, empty chunk.
+    text = " ".join(f"t{i}" for i in range(12))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = chunk_documents(df, max_tokens=8, overlap=4).collect()
+    assert len(rows) == 2
+    assert all(r["n_chunk_tokens"] == 8 for r in rows)
+
+
+def test_top_ngrams_counts_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x y")], "doc_id long, text string"
+    )
+    # bigrams: doc1: "a b","b a","a b","b c"; doc2: "a b","b x","x y"
+    rows = top_ngrams(df, n=2, k=3).collect()
+    assert (rows[0]["gram"], rows[0]["cnt"]) == ("a b", 3)
+    # count-1 ties resolve alphabetically
+    assert [r["gram"] for r in rows[1:]] == ["b a", "b c"]
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "common rare1 common common"),
+            (2, "common rare2"),
+            (3, "common other"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["rk"]): r["term"]
+        for r in tfidf_top_terms(df, k=2).collect()
+    }
+    # 'common' appears in every doc → idf = ln(1) = 0; rare terms win.
+    assert out[(1, 1)] == "rare1"
+    assert out[(2, 1)] == "rare2"
+    # Exact fixed-point value: tf=1, idf=ln(3/1).
+    got = {
+        r["term"]: r["score_e6"]
+        for r in tfidf_top_terms(df, k=2).filter(F.col("doc_id") == 2).collect()
+    }
+    assert got["rare2"] == math.floor(math.log(3.0) * 1e6)
