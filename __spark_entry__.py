@@ -75,6 +75,8 @@ from blueforty___etl_data_pipeline_spark.operators.multimodal import (
 )
 from blueforty___etl_data_pipeline_spark.operators.corpus import (
     chunk_documents,
+    contamination_hits,
+    decontaminate,
     tfidf_top_terms,
     top_ngrams,
 )
@@ -93,7 +95,9 @@ from blueforty___etl_data_pipeline_spark.operators.similarity import (
 )
 from blueforty___etl_data_pipeline_spark.operators.profile import (
     grouped_median_exact,
+    grouped_quantiles_disc,
     histogram_fixed_width,
+    iqr_outliers,
     profile_table,
 )
 from blueforty___etl_data_pipeline_spark.operators.text_ops import (
@@ -2259,6 +2263,121 @@ _SQL_PROFILE = " UNION ALL ".join(
 )
 
 
+def q_contamination_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination, detection half: per-corpus-doc count
+    of distinct trigram shingles shared with the eval split (doc_id
+    divisible by 20).  Eval shingle set broadcast; one count shuffle."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 20 == 0)
+    return contamination_hits(corpus, eval_df)
+
+
+#: CTEs: ev = the eval split's distinct shingle-hash set, cx = the
+#: corpus side exploded to (doc_id, shingle hash).
+_D_DECON_CTE = f"""
+{_D_SH_CTE},
+ev AS (SELECT DISTINCT unnest(shs) AS h FROM sh WHERE doc_id % 20 = 0),
+cx AS (SELECT doc_id, unnest(shs) AS h FROM sh WHERE doc_id % 20 != 0),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_hits FROM cx JOIN ev USING (h) GROUP BY 1)
+"""
+
+_SQL_CONTAMINATION_HITS = f"""
+WITH {_D_DECON_CTE}
+SELECT doc_id, n_hits FROM hits
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination, removal half: corpus docs with ≥3 shared eval
+    shingles dropped via LEFT ANTI join (min_hits=3 tolerates stray
+    collisions on common phrases)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 20 == 0)
+    return decontaminate(corpus, eval_df, min_hits=3).select(
+        "doc_id", "lang", "source"
+    )
+
+
+_SQL_DECONTAMINATE = f"""
+WITH {_D_DECON_CTE}
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id % 20 != 0
+  AND doc_id NOT IN (SELECT doc_id FROM hits WHERE n_hits >= 3)
+"""
+
+
+def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete per-group quantiles (p25/p50/p75 of events.value
+    per event_type): rank selection over DISTINCT values, no
+    interpolation — bit-identical across engines on raw doubles."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return grouped_quantiles_disc(
+        ev, ["event_type"], "value", ps=(0.25, 0.5, 0.75)
+    )
+
+
+def _d_qpos(p: float) -> str:
+    return f"GREATEST(1, CAST(CEIL({p} * n) AS BIGINT))"
+
+
+def _d_qsel(p: float, alias: str) -> str:
+    pos = _d_qpos(p)
+    return (
+        f"MAX(CASE WHEN cum - cnt < {pos} AND cum >= {pos} THEN v END)"
+        f" AS {alias}"
+    )
+
+
+_D_QUANT_CTE = """
+counts AS (
+  SELECT event_type, value AS v, COUNT(*) AS cnt FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, v, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM counts)
+"""
+
+_SQL_GROUPED_QUANTILES = f"""
+WITH {_D_QUANT_CTE}
+SELECT event_type, MAX(n) AS n_rows,
+       {_d_qsel(0.25, "p25")}, {_d_qsel(0.5, "p50")}, {_d_qsel(0.75, "p75")}
+FROM cum GROUP BY 1
+"""
+
+
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Tukey-fence outliers on events.value: fences are
+    arithmetic over exact discrete quantiles (no floating aggregation),
+    broadcast back onto the fact scan — shuffle-free outlier pass."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return iqr_outliers(ev, ["event_type"], "value", k=1.5)
+
+
+_SQL_IQR_OUTLIERS = f"""
+WITH {_D_QUANT_CTE},
+q AS (
+  SELECT event_type, {_d_qsel(0.25, "p25")}, {_d_qsel(0.75, "p75")}
+  FROM cum GROUP BY 1)
+SELECT e.event_id, e.event_type, e.value,
+       p25 - 1.5 * (p75 - p25) AS lo_fence,
+       p75 + 1.5 * (p75 - p25) AS hi_fence
+FROM events e JOIN q USING (event_type)
+WHERE e.value < p25 - 1.5 * (p75 - p25)
+   OR e.value > p75 + 1.5 * (p75 - p25)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2337,6 +2456,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_median": q_grouped_median,
         "histogram": q_histogram,
         "profile_table": q_profile_table,
+        "contamination_hits": q_contamination_hits,
+        "decontaminate": q_decontaminate,
+        "grouped_quantiles": q_grouped_quantiles,
+        "iqr_outliers": q_iqr_outliers,
     }
 
 
@@ -2408,4 +2531,8 @@ def oracle_sql() -> dict[str, str]:
         "grouped_median": _SQL_GROUPED_MEDIAN,
         "histogram": _SQL_HISTOGRAM,
         "profile_table": _SQL_PROFILE,
+        "contamination_hits": _SQL_CONTAMINATION_HITS,
+        "decontaminate": _SQL_DECONTAMINATE,
+        "grouped_quantiles": _SQL_GROUPED_QUANTILES,
+        "iqr_outliers": _SQL_IQR_OUTLIERS,
     }

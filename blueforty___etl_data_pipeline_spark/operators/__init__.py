@@ -21,7 +21,20 @@ from .dedup import (
 from .joins import broadcast_cross_join, composite_key_join, using_join
 from .multimodal import binarize, extract_features, frame_sample_stub
 from .presentation import ordered, top_n
-from .profile import grouped_median_exact, histogram_fixed_width, profile_table
+from .corpus import (
+    chunk_documents,
+    contamination_hits,
+    decontaminate,
+    tfidf_top_terms,
+    top_ngrams,
+)
+from .profile import (
+    grouped_median_exact,
+    grouped_quantiles_disc,
+    histogram_fixed_width,
+    iqr_outliers,
+    profile_table,
+)
 from .similarity import (
     ann_brute_force,
     ann_ivf,
@@ -85,5 +98,12 @@ __all__ = [
     "word_stats",
     "histogram_fixed_width",
     "grouped_median_exact",
+    "grouped_quantiles_disc",
+    "iqr_outliers",
     "profile_table",
+    "chunk_documents",
+    "contamination_hits",
+    "decontaminate",
+    "top_ngrams",
+    "tfidf_top_terms",
 ]

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import ngrams, tokens_ws
+from .dedup import shingle_hashes
 
 
 def chunk_documents(
@@ -142,3 +143,61 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .select(id_col, "term", "score_e6", "rk")
     )
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document count of distinct trigram shingles shared with an
+    evaluation set — the train/test decontamination primitive (flag
+    training documents that leak benchmark content).
+
+    Returns (``id_col``, n_hits) for corpus documents with ≥1 shared
+    shingle.  Shingle hashing is the engine-standard md5 token-hash
+    composition (operators/dedup.shingle_hashes), so the DuckDB oracle
+    reproduces every hash exactly.
+
+    Scale shape: the eval side (benchmark suites — thousands of docs,
+    not billions) collapses to a DISTINCT shingle-hash set and is
+    broadcast; the corpus side streams map-side through the hash join,
+    so the only shuffle is the final per-doc count (partial-aggregated).
+    If the eval set ever outgrows the broadcast threshold the same plan
+    degrades gracefully to a shuffled hash join — no code change.
+    """
+    ev = (
+        eval_df.select(
+            F.explode(shingle_hashes(F.col(text_col))).alias("h")
+        )
+        .distinct()
+    )
+    cx = corpus.select(
+        F.col(id_col), F.explode(shingle_hashes(F.col(text_col))).alias("h")
+    )
+    return (
+        cx.join(F.broadcast(ev), on="h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop corpus documents sharing ≥ ``min_hits`` distinct trigram
+    shingles with the evaluation set (all corpus columns preserved).
+
+    ``min_hits`` > 1 tolerates incidental collisions on common phrases;
+    1 is the conservative default.  Plan: :func:`contamination_hits`
+    → LEFT ANTI join on the document id (null-safe, no row duplication).
+    """
+    hits = contamination_hits(
+        corpus, eval_df, text_col=text_col, id_col=id_col
+    ).filter(F.col("n_hits") >= F.lit(min_hits))
+    return corpus.join(hits.select(id_col), on=id_col, how="left_anti")

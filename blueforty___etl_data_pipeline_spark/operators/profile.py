@@ -191,3 +191,94 @@ def profile_table(
         "(col_name, n_nulls, n_distinct, min_repr, max_repr)",
     ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_repr",
              "max_repr")
+
+
+def grouped_quantiles_disc(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    ps: Sequence[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Exact DISCRETE per-group quantiles: for each p, the smallest data
+    value whose cumulative count reaches ``ceil(p·n)`` (1-based rank).
+
+    Discrete selection returns actual data values — no interpolation,
+    so results are bit-identical across engines even for continuous
+    doubles (an interpolated quantile's ``(1-f)·a + f·b`` can differ in
+    the last ulp between libm builds; picking an element cannot).
+
+    Scale: same shape as :func:`grouped_median_exact` — aggregate to
+    (group, value) counts first (one partial-aggregated shuffle), then
+    window over DISTINCT values per group, bounded by value cardinality
+    rather than row count.  Output: group cols + n_rows + one ``p<int>``
+    column per requested quantile.
+    """
+    gcols = list(group_cols)
+    counts = (
+        df.select(*gcols, F.col(value_col).alias("_v"))
+        .groupBy(*gcols, "_v")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    w_cum = (
+        Window.partitionBy(*gcols)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*gcols)
+    cum = counts.select(
+        *gcols,
+        "_v",
+        "_cnt",
+        F.sum("_cnt").over(w_cum).alias("_cum"),
+        F.sum("_cnt").over(w_all).alias("_n"),
+    )
+    prev = F.col("_cum") - F.col("_cnt")
+    aggs = [F.max("_n").alias("n_rows")]
+    for p in ps:
+        # ceil(p·n) is the same single IEEE multiply+ceil in the oracle,
+        # so both engines select the same rank for any p.
+        pos = F.greatest(
+            F.lit(1).cast("bigint"),
+            F.ceil(F.lit(float(p)) * F.col("_n")).cast("bigint"),
+        )
+        covers = (prev < pos) & (F.col("_cum") >= pos)
+        aggs.append(
+            F.max(F.when(covers, F.col("_v"))).alias(f"p{round(p * 100)}")
+        )
+    return cum.groupBy(*gcols).agg(*aggs)
+
+
+def iqr_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: float = 1.5,
+) -> DataFrame:
+    """Rows whose ``value_col`` falls outside the per-group Tukey fences
+    ``[p25 − k·IQR, p75 + k·IQR]`` (IQR = p75 − p25, discrete quantiles).
+
+    Deterministic across engines because the fences are arithmetic over
+    exact data values (no floating aggregation anywhere): discrete
+    quantiles pick real elements, and ``p25 − k·(p75 − p25)`` is the
+    same IEEE expression on identical inputs in Spark and the oracle.
+
+    Scale: the fence table is one row per group — broadcast back onto
+    the fact table, so the outlier scan itself is shuffle-free.
+    """
+    gcols = list(group_cols)
+    q = grouped_quantiles_disc(df, gcols, value_col, ps=(0.25, 0.75))
+    fences = q.select(
+        *gcols,
+        (F.col("p25") - F.lit(k) * (F.col("p75") - F.col("p25"))).alias(
+            "lo_fence"
+        ),
+        (F.col("p75") + F.lit(k) * (F.col("p75") - F.col("p25"))).alias(
+            "hi_fence"
+        ),
+    )
+    v = F.col(value_col)
+    return (
+        df.join(F.broadcast(fences), on=gcols)
+        .filter((v < F.col("lo_fence")) | (v > F.col("hi_fence")))
+        .select(*df.columns, "lo_fence", "hi_fence")
+    )

@@ -88,3 +88,58 @@ def test_tfidf_prefers_rare_terms(spark):
         for r in tfidf_top_terms(df, k=2).filter(F.col("doc_id") == 2).collect()
     }
     assert got["rare2"] == math.floor(math.log(3.0) * 1e6)
+
+
+# ---------------------------------------------------------------------------
+# Decontamination (contamination_hits / decontaminate)
+# ---------------------------------------------------------------------------
+
+
+def _decon_frames(spark):
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        contamination_hits,
+        decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text with zero overlap here"),
+            (3, "quick brown fox appears in this training doc"),
+            (4, "short"),  # < 3 tokens → no shingles at all
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox is a benchmark sentence")],
+        "doc_id long, text string",
+    )
+    return corpus, eval_df, contamination_hits, decontaminate
+
+
+def test_contamination_hits_counts_shared_shingles(spark):
+    corpus, eval_df, contamination_hits, _ = _decon_frames(spark)
+    hits = {r["doc_id"]: r["n_hits"] for r in
+            contamination_hits(corpus, eval_df).collect()}
+    # doc 1 shares "the quick brown" and "quick brown fox"; doc 3 shares
+    # "quick brown fox"; docs 2 and 4 share nothing (absent from output).
+    assert hits == {1: 2, 3: 1}
+
+
+def test_decontaminate_drops_only_hit_docs(spark):
+    corpus, eval_df, _, decontaminate = _decon_frames(spark)
+    kept = sorted(
+        r["doc_id"] for r in decontaminate(corpus, eval_df).collect()
+    )
+    assert kept == [2, 4]
+    # min_hits=2 only drops the 2-shingle overlap doc.
+    kept2 = sorted(
+        r["doc_id"]
+        for r in decontaminate(corpus, eval_df, min_hits=2).collect()
+    )
+    assert kept2 == [2, 3, 4]
+
+
+def test_decontaminate_preserves_all_columns(spark):
+    corpus, eval_df, _, decontaminate = _decon_frames(spark)
+    assert decontaminate(corpus, eval_df).columns == corpus.columns

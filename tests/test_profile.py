@@ -104,3 +104,59 @@ def test_word_stats_basic(spark):
     # tie on count: lexicographically LARGEST word wins (documented).
     r2 = out[2]
     assert (r2["top_word"], r2["top_cnt"]) == ("z", 2)
+
+
+# ---------------------------------------------------------------------------
+# Discrete quantiles / IQR outliers
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_quantiles_disc_picks_rank_elements(spark):
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        grouped_quantiles_disc,
+    )
+
+    # group a: values 1..8 → n=8; p25→rank 2, p50→rank 4, p75→rank 6.
+    rows = [("a", float(v)) for v in range(1, 9)]
+    # group b: heavy duplication — ranks must count multiplicity.
+    rows += [("b", 1.0)] * 9 + [("b", 100.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        r["g"]: r
+        for r in grouped_quantiles_disc(df, ["g"], "v").collect()
+    }
+    a, b = out["a"], out["b"]
+    assert (a["n_rows"], a["p25"], a["p50"], a["p75"]) == (8, 2.0, 4.0, 6.0)
+    # b: n=10 → p25 rank 3, p50 rank 5, p75 rank 8 — all land on 1.0.
+    assert (b["n_rows"], b["p25"], b["p50"], b["p75"]) == (10, 1.0, 1.0, 1.0)
+
+
+def test_grouped_quantiles_disc_returns_actual_values(spark):
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        grouped_quantiles_disc,
+    )
+
+    # Continuous doubles: the discrete quantile must be an element of
+    # the group, never an interpolation.
+    vals = [0.137, 2.718281828, 3.14159, 42.0001, 7.77]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "g string, v double"
+    )
+    r = grouped_quantiles_disc(df, ["g"], "v").collect()[0]
+    assert r["p25"] in vals and r["p50"] in vals and r["p75"] in vals
+
+
+def test_iqr_outliers_flags_tails_only(spark):
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        iqr_outliers,
+    )
+
+    # 1..9 are tight; 1000 is an extreme outlier. n=10 → p25 at rank
+    # ceil(2.5)=3 → 3.0, p75 at rank ceil(7.5)=8 → 8.0, IQR=5 →
+    # fences [-4.5, 15.5].
+    rows = [(i, "g", float(v)) for i, v in enumerate([*range(1, 10), 1000])]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = iqr_outliers(df, ["g"], "v").collect()
+    assert [r["v"] for r in out] == [1000.0]
+    assert out[0]["lo_fence"] == -4.5 and out[0]["hi_fence"] == 15.5
+    assert set(out[0].asDict()) == {"id", "g", "v", "lo_fence", "hi_fence"}
