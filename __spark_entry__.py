@@ -121,7 +121,11 @@ from blueforty___etl_data_pipeline_spark.plans.pipelines import (
     purchase_order_totals,
     purchase_orders_and_invoices,
 )
-from blueforty___etl_data_pipeline_spark.sinks import read_back, write_table
+from blueforty___etl_data_pipeline_spark.sinks import (
+    merge_upsert,
+    read_back,
+    write_table,
+)
 from blueforty___etl_data_pipeline_spark.sources.catalog import load_table
 from blueforty___etl_data_pipeline_spark.sources.csv import (
     read_csv,
@@ -2378,6 +2382,48 @@ WHERE e.value < p25 - 1.5 * (p75 - p25)
 """
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (CDC upsert) without a lakehouse format: target =
+    orders with o_orderkey % 7 != 0 (v1); updates = doubled-price rows
+    for o_orderkey % 3 == 0 (v2).  Latest version per key wins, new
+    keys are inserted; snapshot staged then swapped (never an in-place
+    overwrite of files still being read)."""
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.lit(1).alias("version"),
+    )
+    target = base.filter(F.col("o_orderkey") % 7 != 0)
+    updates = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast(_DEC) * 2).cast("double").alias("price"),
+        F.lit(2).alias("version"),
+    )
+    path = f"{SCRATCH}/merge_target"
+    write_table(target, path)
+    return merge_upsert(
+        spark, path, updates, key_cols=["o_orderkey"], order_col="version"
+    )
+
+
+_SQL_MERGE_UPSERT = """
+WITH t AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price, 1 AS version
+  FROM orders WHERE o_orderkey % 7 != 0
+), u AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 2 AS DOUBLE) AS price,
+         2 AS version
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT * FROM u
+UNION ALL
+SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2460,6 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "grouped_quantiles": q_grouped_quantiles,
         "iqr_outliers": q_iqr_outliers,
+        "merge_upsert": q_merge_upsert,
     }
 
 
@@ -2535,4 +2582,5 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _SQL_DECONTAMINATE,
         "grouped_quantiles": _SQL_GROUPED_QUANTILES,
         "iqr_outliers": _SQL_IQR_OUTLIERS,
+        "merge_upsert": _SQL_MERGE_UPSERT,
     }

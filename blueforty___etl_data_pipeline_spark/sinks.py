@@ -107,3 +107,68 @@ def insert_append(
 def read_back(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     """Re-open a materialized table (round-trip helper for tests/bench)."""
     return spark.read.format(fmt).load(path)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """MERGE INTO (upsert) without a table format that supports it:
+    read target ∪ updates, keep the latest row per key, rewrite.
+
+    Semantics: for each key, the row with the greatest ``order_col``
+    wins; within a tie the UPDATE side wins (matching MERGE ... WHEN
+    MATCHED THEN UPDATE).  New keys are inserted, existing keys are
+    replaced — a full CDC-compaction step.
+
+    Plan: one window ranking partitioned by key — a single shuffle of
+    target+updates.  At 100 TB the rewrite should be bounded: partition
+    the target (e.g. by date) and call this per affected partition
+    (dynamic partition overwrite), so only partitions containing
+    updated keys are read and rewritten; the ranking shape is identical.
+    Returns the merged DataFrame re-read from ``target_path``.
+
+    The new snapshot is written to a staging directory and swapped in
+    with two filesystem renames (the snapshot-pointer pattern every
+    lakehouse format uses) — never an in-place overwrite of files the
+    merge plan is still reading, and no driver/executor materialization
+    of the merged data.  On Delta/Iceberg/Hudi this whole function
+    collapses to a real ``MERGE INTO`` with file-level skipping; this
+    is the format-agnostic fallback with identical row-level semantics.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    gen = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.desc(order_col), F.desc("_is_update"))
+    )
+    target = spark.read.format(fmt).load(target_path)
+    cols = target.columns
+    unioned = target.withColumn("_is_update", F.lit(0)).unionByName(
+        updates.select(*cols).withColumn("_is_update", F.lit(1))
+    )
+    merged = (
+        unioned.withColumn("_rn", F.row_number().over(gen))
+        .filter(F.col("_rn") == 1)
+        .select(*cols)
+    )
+    staging = target_path.rstrip("/") + ".staging"
+    merged.write.mode("overwrite").format(fmt).save(staging)
+    # Atomic-ish swap via the Hadoop FileSystem API (works on any
+    # supported FS; on object stores a lakehouse format's metadata
+    # pointer replaces these renames).
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(target_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    old = hpath(target_path.rstrip("/") + ".old")
+    if fs.exists(old):
+        fs.delete(old, True)
+    fs.rename(hpath(target_path), old)
+    fs.rename(hpath(staging), hpath(target_path))
+    fs.delete(old, True)
+    return spark.read.format(fmt).load(target_path)

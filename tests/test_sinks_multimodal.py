@@ -92,3 +92,56 @@ def test_namespace_ddl_and_managed_table(spark, tmp_path):
     assert spark.table("procure_core.t_ctas").count() == 5
     spark.sql("DROP TABLE procure_core.t_ctas")
     spark.catalog.setCurrentDatabase("default")
+
+
+def test_merge_upsert_latest_version_wins(spark, tmp_path):
+    from blueforty___etl_data_pipeline_spark.sinks import merge_upsert, write_table
+
+    path = str(tmp_path / "tgt")
+    target = spark.createDataFrame(
+        [(1, "old-1", 1), (2, "old-2", 1), (3, "old-3", 1)],
+        "k long, payload string, version int",
+    )
+    write_table(target, path)
+    updates = spark.createDataFrame(
+        [(2, "new-2", 2), (4, "new-4", 2)],
+        "k long, payload string, version int",
+    )
+    merged = {
+        r["k"]: (r["payload"], r["version"])
+        for r in merge_upsert(
+            spark, path, updates, key_cols=["k"], order_col="version"
+        ).collect()
+    }
+    assert merged == {
+        1: ("old-1", 1),   # untouched
+        2: ("new-2", 2),   # updated
+        3: ("old-3", 1),   # untouched
+        4: ("new-4", 2),   # inserted
+    }
+    # Idempotent: re-merging the same updates changes nothing, and the
+    # swapped snapshot is what a fresh reader sees.
+    again = merge_upsert(
+        spark, path, updates, key_cols=["k"], order_col="version"
+    )
+    assert {
+        r["k"]: (r["payload"], r["version"]) for r in again.collect()
+    } == merged
+    assert spark.read.parquet(path).count() == 4
+
+
+def test_merge_upsert_tie_prefers_update_side(spark, tmp_path):
+    from blueforty___etl_data_pipeline_spark.sinks import merge_upsert, write_table
+
+    path = str(tmp_path / "tgt2")
+    write_table(
+        spark.createDataFrame([(1, "old", 5)], "k long, payload string, version int"),
+        path,
+    )
+    updates = spark.createDataFrame(
+        [(1, "new", 5)], "k long, payload string, version int"
+    )
+    out = merge_upsert(
+        spark, path, updates, key_cols=["k"], order_col="version"
+    ).collect()
+    assert out[0]["payload"] == "new"
