@@ -63,6 +63,10 @@ HEADLINE = [
     "grouped_median",
     "histogram",
     "profile_table",
+    "contamination_hits",
+    "decontaminate",
+    "grouped_quantiles",
+    "iqr_outliers",
 ]
 
 

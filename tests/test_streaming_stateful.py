@@ -140,3 +140,47 @@ def test_watermark_drops_late_rows_across_restarts(spark, tmp_path):
     w10 = [r for r in rows if r["window_start"] == T]
     assert len(w10) == 1  # finalized exactly once, never re-emitted
     assert w10[0]["n_events"] == 2  # late row dropped, not counted
+
+
+def test_streaming_upsert_sink_merges_each_batch(spark, tmp_path):
+    from blueforty___etl_data_pipeline_spark.sinks import write_table
+    from blueforty___etl_data_pipeline_spark.streaming.stateful import (
+        streaming_upsert_sink,
+    )
+
+    target = str(tmp_path / "cdc_target")
+    write_table(
+        spark.createDataFrame(
+            [(1, "seed-1", 0), (2, "seed-2", 0)],
+            "k long, payload string, version int",
+        ),
+        target,
+    )
+    # Stream source: updates for key 2 (two versions — latest must win),
+    # an insert for key 3, key 1 untouched.
+    src = str(tmp_path / "cdc_src")
+    spark.createDataFrame(
+        [(2, "v1-2", 1), (2, "v2-2", 2), (3, "new-3", 1)],
+        "k long, payload string, version int",
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "k long, payload string, version int"
+    ).parquet(src)
+    q = streaming_upsert_sink(
+        stream,
+        target,
+        key_cols=("k",),
+        order_col="version",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    out = {
+        r["k"]: (r["payload"], r["version"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert out == {
+        1: ("seed-1", 0),
+        2: ("v2-2", 2),
+        3: ("new-3", 1),
+    }
