@@ -81,10 +81,14 @@ from blueforty___etl_data_pipeline_spark.operators.corpus import (
     top_ngrams,
 )
 from blueforty___etl_data_pipeline_spark.operators.presentation import top_n
+from blueforty___etl_data_pipeline_spark.operators.constraints import (
+    constraint_violations,
+)
 from blueforty___etl_data_pipeline_spark.operators.sampling import (
     hash_sample,
     hash_split,
     quota_cap,
+    stratified_sample,
 )
 from blueforty___etl_data_pipeline_spark.operators.similarity import (
     _hyperplanes,
@@ -2424,6 +2428,100 @@ SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic downsampling (the sampleBy shape,
+    hash-keyed): keep 50% of 'en' docs, 10% of everything else —
+    shuffle-free map filter, reproducible on any engine."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs,
+        "lang",
+        fractions={"en": 0.5},
+        default_fraction=0.1,
+        id_col="doc_id",
+    ).select("doc_id", "lang", "source")
+
+
+_SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, source FROM documents
+WHERE CAST(('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))
+           AS BIGINT) % 10000
+      < CASE WHEN lang = 'en' THEN 5000 ELSE 1000 END
+"""
+
+
+def q_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate: not-null / unique / range /
+    accepted-values rules fused into ONE aggregate over one scan, plus
+    two LEFT ANTI referential checks (an intact FK and a deliberately
+    broken one)."""
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return constraint_violations(
+        o,
+        not_null=["o_custkey", "o_orderdate"],
+        unique=[["o_orderkey"], ["o_custkey"]],
+        in_range={"o_totalprice": (0.0, 200000.0)},
+        accepted_values={"o_orderstatus": ["O", "F"]},
+        foreign_keys=[
+            (["o_custkey"], c, ["c_custkey"]),
+            # Broken on purpose: only even customer keys "exist".
+            (
+                ["o_custkey"],
+                c.filter(F.col("c_custkey") % 2 == 0).withColumnRenamed(
+                    "c_custkey", "c_custkey_even"
+                ),
+                ["c_custkey_even"],
+            ),
+        ],
+    )
+
+
+_SQL_CONSTRAINTS = """
+SELECT 'not_null:o_custkey' AS rule,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations FROM orders
+UNION ALL
+SELECT 'not_null:o_orderdate',
+       CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'unique:o_orderkey',
+       CAST(COUNT(*) - COUNT(DISTINCT ROW(o_orderkey)) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'unique:o_custkey',
+       CAST(COUNT(*) - COUNT(DISTINCT ROW(o_custkey)) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'in_range:o_totalprice',
+       CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                      AND (o_totalprice < 0.0 OR o_totalprice > 200000.0)
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'accepted_values:o_orderstatus',
+       CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                      AND o_orderstatus NOT IN ('O', 'F')
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'foreign_key:o_custkey->c_custkey',
+       CAST(COUNT(*) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+UNION ALL
+SELECT 'foreign_key:o_custkey->c_custkey_even',
+       CAST(COUNT(*) AS BIGINT)
+FROM orders o
+LEFT JOIN (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0) c
+  ON o.o_custkey = c.c_custkey
+WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2507,6 +2605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_quantiles": q_grouped_quantiles,
         "iqr_outliers": q_iqr_outliers,
         "merge_upsert": q_merge_upsert,
+        "stratified_sample": q_stratified_sample,
+        "constraint_violations": q_constraint_violations,
     }
 
 
@@ -2583,4 +2683,6 @@ def oracle_sql() -> dict[str, str]:
         "grouped_quantiles": _SQL_GROUPED_QUANTILES,
         "iqr_outliers": _SQL_IQR_OUTLIERS,
         "merge_upsert": _SQL_MERGE_UPSERT,
+        "stratified_sample": _SQL_STRATIFIED_SAMPLE,
+        "constraint_violations": _SQL_CONSTRAINTS,
     }

@@ -8,6 +8,7 @@ reference's linear script of SQL statements.
 
 from .aggregate import grouped_sum_round, preagg_join
 from .analytics import ranked, running_sum, with_lag_lead
+from .constraints import constraint_violations
 from .dedup import (
     dedup_exact,
     exact_dup_groups,
@@ -21,6 +22,7 @@ from .dedup import (
 from .joins import broadcast_cross_join, composite_key_join, using_join
 from .multimodal import binarize, extract_features, frame_sample_stub
 from .presentation import ordered, top_n
+from .sampling import hash_sample, hash_split, quota_cap, stratified_sample
 from .corpus import (
     chunk_documents,
     contamination_hits,
@@ -61,6 +63,11 @@ __all__ = [
     "with_lag_lead",
     "running_sum",
     "ranked",
+    "constraint_violations",
+    "hash_sample",
+    "hash_split",
+    "quota_cap",
+    "stratified_sample",
     "using_join",
     "composite_key_join",
     "broadcast_cross_join",

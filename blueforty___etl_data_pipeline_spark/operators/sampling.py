@@ -101,3 +101,32 @@ def quota_cap(
         .filter(F.col("_rk") <= n)
         .drop("_rk")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: each stratum keeps its own
+    fraction of rows (the ``sampleBy`` shape, but hash-keyed instead of
+    RNG so results are reproducible, repartition-stable, and
+    recomputable by any engine).
+
+    Strata absent from ``fractions`` keep ``default_fraction`` (0 drops
+    them — the common "downsample the over-represented sources" use).
+    Pure map-stage filter: no shuffle, no RNG, no driver state; the
+    per-stratum cutoff is a small CASE expression, so this scales to
+    any number of rows and any (bounded) number of strata.
+    """
+    b = _bucket(F.col(id_col), salt)
+    cutoff: Column = F.lit(int(round(default_fraction * _BUCKETS)))
+    for stratum, frac in sorted(fractions.items()):
+        cutoff = F.when(
+            F.col(strata_col) == stratum,
+            F.lit(int(round(frac * _BUCKETS))),
+        ).otherwise(cutoff)
+    return df.filter(b < cutoff)

@@ -1,0 +1,82 @@
+"""Data-quality constraint checking (operators/constraints.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from blueforty___etl_data_pipeline_spark.operators.constraints import (
+    constraint_violations,
+)
+
+
+def _viol(df, **kw):
+    return {
+        r["rule"]: r["n_violations"]
+        for r in constraint_violations(df, **kw).collect()
+    }
+
+
+def test_scalar_rules_fuse_and_count(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "O"),
+            (2, -5.0, "F"),     # range violation
+            (None, 20.0, "X"),  # null key + bad status
+            (3, 999.0, "O"),    # range violation
+            (3, 15.0, None),    # duplicate key; null status not counted
+        ],
+        "k long, v double, s string",
+    )
+    out = _viol(
+        df,
+        not_null=["k"],
+        unique=[["k"]],
+        in_range={"v": (0.0, 100.0)},
+        accepted_values={"s": ["O", "F"]},
+    )
+    assert out == {
+        "not_null:k": 1,
+        # 5 rows, distinct key tuples {1,2,NULL,3} = 4 → 1 excess row.
+        "unique:k": 1,
+        "in_range:v": 2,
+        "accepted_values:s": 1,
+    }
+
+
+def test_foreign_key_anti_join(spark):
+    orders = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "oid long, cust int"
+    )
+    cust = spark.createDataFrame([(10,), (20,)], "cid int")
+    out = _viol(orders, foreign_keys=[(["cust"], cust, ["cid"])])
+    # cust=99 dangles; the NULL key row is not an FK violation.
+    assert out == {"foreign_key:cust->cid": 1}
+
+
+def test_composite_unique_counts_null_tuples(spark):
+    df = spark.createDataFrame(
+        [(1, None), (1, None), (1, 2), (2, 3)], "a int, b int"
+    )
+    out = _viol(df, unique=[["a", "b"]])
+    # (1,NULL) appears twice: the tuple participates as a value.
+    assert out == {"unique:a,b": 1}
+
+
+def test_no_rules_raises(spark):
+    df = spark.createDataFrame([(1,)], "a int")
+    with pytest.raises(ValueError):
+        constraint_violations(df)
+
+
+def test_single_aggregate_for_scalar_rules(spark):
+    df = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    plan = (
+        constraint_violations(
+            df, not_null=["k"], in_range={"v": (0.0, 1.0)}
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # No join, no union of scans — one scan feeds one aggregate.
+    assert "Join" not in plan and "Union" not in plan

@@ -78,3 +78,46 @@ def test_quota_cap_caps_each_group(spark):
 def test_quota_cap_leaves_small_groups_whole(spark):
     df = _docs(spark, n=20)  # 4 sources × 5 docs
     assert quota_cap(df, group_col="source", n=10).count() == 20
+
+
+def test_stratified_sample_per_stratum_rates(spark):
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(
+        df, "lang", fractions={"en": 0.5, "fr": 0.05}
+    )
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # 1000 docs per stratum; hash sampling is exact-in-expectation.
+    assert 400 <= counts.get("en", 0) <= 600
+    assert 20 <= counts.get("fr", 0) <= 90
+    # Deterministic: the same call yields the same rows.
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            df, "lang", fractions={"en": 0.5, "fr": 0.05}
+        ).collect()
+    )
+
+
+def test_stratified_sample_default_fraction_drops_unlisted(spark):
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "de") for i in range(100)], "doc_id long, lang string"
+    )
+    assert stratified_sample(df, "lang", fractions={"en": 1.0}).count() == 0
+    assert (
+        stratified_sample(
+            df, "lang", fractions={"en": 1.0}, default_fraction=1.0
+        ).count()
+        == 100
+    )
