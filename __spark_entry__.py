@@ -67,7 +67,10 @@ from blueforty___etl_data_pipeline_spark.operators.graph import (
     connected_components,
     dedup_near_duplicates,
 )
-from blueforty___etl_data_pipeline_spark.operators.joins import composite_key_join
+from blueforty___etl_data_pipeline_spark.operators.joins import (
+    composite_key_join,
+    null_safe_join,
+)
 from blueforty___etl_data_pipeline_spark.operators.multimodal import (
     binarize,
     extract_features,
@@ -2522,6 +2525,99 @@ WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
 """
 
 
+def q_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY … HAVING (TPC-H Q18 shape): big-spend customers —
+    aggregate first, filter on the aggregate, then join the dimension
+    for presentation.  The HAVING prunes before the join, so the join
+    input is the filtered aggregate, not the fact table."""
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    totals = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(_DEC)).alias("_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("_spend") > 1_500_000)
+    )
+    return totals.join(c, totals["o_custkey"] == c["c_custkey"]).select(
+        "o_custkey",
+        "c_name",
+        "n_orders",
+        F.col("_spend").cast("double").alias("total_spend"),
+    )
+
+
+_SQL_HAVING = """
+SELECT o_custkey, c_name, n_orders,
+       CAST(spend AS DOUBLE) AS total_spend
+FROM (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS spend,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1 HAVING SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                                  > 1500000
+) t JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_count_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT …) per group (TPC-H Q16 shape): distinct
+    suppliers per part brand.  Catalyst plans the distinct aggregate as
+    Expand + two-phase aggregation — partial de-dup happens map-side."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_SQL_COUNT_DISTINCT = """
+SELECT p_brand, COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>``): order-status buckets where 'P' is
+    mapped to NULL on both sides — the NULL buckets must match each
+    other (a plain equi-join would silently drop them)."""
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    left = o.groupBy(bucket.alias("status_key")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    right = o.filter(F.col("o_orderkey") % 2 == 0).groupBy(
+        bucket.alias("status_key2")
+    ).agg(F.count(F.lit(1)).alias("n_even_orders"))
+    return null_safe_join(
+        left, right, pairs=[("status_key", "status_key2")]
+    ).select("status_key", "n_orders", "n_even_orders")
+
+
+_SQL_NULL_SAFE_JOIN = """
+WITH l AS (
+  SELECT NULLIF(o_orderstatus, 'P') AS status_key, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT NULLIF(o_orderstatus, 'P') AS status_key2,
+         COUNT(*) AS n_even_orders
+  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
+)
+SELECT status_key, n_orders, n_even_orders
+FROM l JOIN r ON status_key IS NOT DISTINCT FROM status_key2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2607,6 +2703,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "stratified_sample": q_stratified_sample,
         "constraint_violations": q_constraint_violations,
+        "having_filter": q_having_filter,
+        "count_distinct_agg": q_count_distinct_agg,
+        "null_safe_join": q_null_safe_join,
     }
 
 
@@ -2685,4 +2784,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert": _SQL_MERGE_UPSERT,
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "constraint_violations": _SQL_CONSTRAINTS,
+        "having_filter": _SQL_HAVING,
+        "count_distinct_agg": _SQL_COUNT_DISTINCT,
+        "null_safe_join": _SQL_NULL_SAFE_JOIN,
     }

@@ -19,7 +19,12 @@ from .dedup import (
     simhash64,
     simhash_near_dup_pairs,
 )
-from .joins import broadcast_cross_join, composite_key_join, using_join
+from .joins import (
+    broadcast_cross_join,
+    composite_key_join,
+    null_safe_join,
+    using_join,
+)
 from .multimodal import binarize, extract_features, frame_sample_stub
 from .presentation import ordered, top_n
 from .sampling import hash_sample, hash_split, quota_cap, stratified_sample
@@ -71,6 +76,7 @@ __all__ = [
     "using_join",
     "composite_key_join",
     "broadcast_cross_join",
+    "null_safe_join",
     "asof_join",
     "range_join",
     "salted_join",

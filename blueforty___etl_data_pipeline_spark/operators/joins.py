@@ -57,3 +57,26 @@ def broadcast_cross_join(big: DataFrame, small: DataFrame) -> DataFrame:
     BroadcastNestedLoopJoin — each executor scans its slice of ``big``
     against an in-memory copy of ``small``; no shuffle of ``big``."""
     return big.crossJoin(F.broadcast(small))
+
+
+def null_safe_join(
+    left: DataFrame,
+    right: DataFrame,
+    pairs: Sequence[tuple[str, str]],
+    how: str = "inner",
+) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / ``IS NOT DISTINCT FROM``): NULL
+    keys match NULL keys instead of vanishing — the semantics dirty-key
+    reconciliation needs when "unknown" is itself a join bucket.
+
+    Physical note: Spark plans ``eqNullSafe`` as a normal hash
+    equi-join (NULL hashes to a bucket like any value), so the join
+    stays a SortMergeJoin/BroadcastHashJoin — no nested-loop downgrade.
+    All NULLs land in ONE bucket, so a null-heavy side is a skew key by
+    construction: pre-filter or salt the null bucket if it dominates.
+    """
+    cond = None
+    for lc, rc in pairs:
+        clause = left[lc].eqNullSafe(right[rc])
+        cond = clause if cond is None else (cond & clause)
+    return left.join(right, on=cond, how=how)

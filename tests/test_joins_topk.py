@@ -144,3 +144,25 @@ def test_rank_vs_dense_rank_gaps(spark):
         for x in ranked(df, [], [__import__('pyspark').sql.functions.desc("score")]).collect()
     }
     assert r == {1: 1, 2: 1, 3: 3}  # RANK leaves a gap after the tie
+
+
+def test_null_safe_join_matches_null_buckets(spark):
+    from blueforty___etl_data_pipeline_spark.operators.joins import (
+        null_safe_join,
+    )
+
+    left = spark.createDataFrame(
+        [("a", 1), (None, 2)], "k string, lv int"
+    )
+    right = spark.createDataFrame(
+        [("a", 10), (None, 20), ("b", 30)], "k2 string, rv int"
+    )
+    out = {
+        (r["k"], r["rv"])
+        for r in null_safe_join(left, right, pairs=[("k", "k2")]).collect()
+    }
+    # NULL matches NULL; 'b' has no left partner.
+    assert out == {("a", 10), (None, 20)}
+    # A plain equi-join drops the NULL pair — guard the difference.
+    plain = left.join(right, left["k"] == right["k2"]).count()
+    assert plain == 1
