@@ -2618,6 +2618,47 @@ FROM l JOIN r ON status_key IS NOT DISTINCT FROM status_key2
 """
 
 
+def q_below_avg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, decorrelated (TPC-H Q17 shape):
+    lineitems with quantity < 20% of their part's average quantity.
+
+    Spark-first decorrelation: the per-part aggregate becomes a
+    broadcast-joined side, and the threshold ``q < 0.2·avg`` is
+    rewritten division-free as ``5·q·cnt < sum`` — exact decimal/int
+    arithmetic, so no engine-dependent rounding decides membership.
+    """
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(_DEC)
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum(qty).alias("_sum_qty"), F.count(F.lit(1)).alias("_cnt")
+    )
+    joined = li.join(
+        F.broadcast(per_part), li["l_partkey"] == F.col("_pk")
+    ).filter(qty * 5 * F.col("_cnt") < F.col("_sum_qty"))
+    return joined.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_below"),
+        F.sum(F.col("l_extendedprice").cast(_DEC))
+        .cast("double")
+        .alias("sum_price_below"),
+    )
+
+
+_SQL_BELOW_AVG = """
+WITH per_part AS (
+  SELECT l_partkey AS pk, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1
+)
+SELECT l_partkey, COUNT(*) AS n_below,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS sum_price_below
+FROM lineitem JOIN per_part ON l_partkey = pk
+WHERE CAST(l_quantity AS DECIMAL(18,4)) * 5 * cnt < sum_qty
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2706,6 +2747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "having_filter": q_having_filter,
         "count_distinct_agg": q_count_distinct_agg,
         "null_safe_join": q_null_safe_join,
+        "below_avg_filter": q_below_avg_filter,
     }
 
 
@@ -2787,4 +2829,5 @@ def oracle_sql() -> dict[str, str]:
         "having_filter": _SQL_HAVING,
         "count_distinct_agg": _SQL_COUNT_DISTINCT,
         "null_safe_join": _SQL_NULL_SAFE_JOIN,
+        "below_avg_filter": _SQL_BELOW_AVG,
     }
