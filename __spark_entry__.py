@@ -84,6 +84,10 @@ from blueforty___etl_data_pipeline_spark.operators.corpus import (
     top_ngrams,
 )
 from blueforty___etl_data_pipeline_spark.operators.presentation import top_n
+from blueforty___etl_data_pipeline_spark.operators.temporal import (
+    resample_ffill,
+    scd2_history,
+)
 from blueforty___etl_data_pipeline_spark.operators.constraints import (
     constraint_violations,
 )
@@ -2659,6 +2663,89 @@ GROUP BY 1
 """
 
 
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: hourly spine per event_type from
+    first to last observation, gaps forward-filled with the latest
+    value (LOCF).  Spine generated executor-side with sequence+explode;
+    event_id tiebreak makes equal-ts picks engine-portable."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = resample_ffill(
+        ev,
+        ["event_type"],
+        "ts",
+        ["value"],
+        step="1 hour",
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "event_type",
+        F.unix_micros(F.col("bucket_ts")).alias("bucket_us"),
+        "value",
+    )
+
+
+_SQL_RESAMPLE_FFILL = """
+WITH obs AS (
+  SELECT event_type, b, value FROM (
+    SELECT event_type, date_trunc('hour', ts) AS b, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) WHERE rn = 1
+), spans AS (
+  SELECT event_type, MIN(b) AS lo, MAX(b) AS hi FROM obs GROUP BY 1
+), spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+  FROM spans
+)
+SELECT s.event_type, CAST(epoch_us(s.b) AS BIGINT) AS bucket_us,
+       LAST_VALUE(o.value IGNORE NULLS)
+         OVER (PARTITION BY s.event_type ORDER BY s.b
+               ROWS UNBOUNDED PRECEDING) AS value
+FROM spine s LEFT JOIN obs o
+  ON s.event_type = o.event_type AND s.b = o.b
+"""
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history: per user, versions of their event_type over
+    time — consecutive restatements collapsed, each version valid until
+    the next change (open interval → null)."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    out = scd2_history(
+        ev, ["user_id"], "ts", ["event_type"], tiebreak_cols=["event_id"]
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("valid_from")).alias("valid_from_us"),
+        F.unix_micros(F.col("valid_to")).alias("valid_to_us"),
+    )
+
+
+_SQL_SCD2 = """
+WITH src AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE user_id % 50 = 0
+), flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER w IS NULL
+           OR LAG(event_type) OVER w != event_type AS chg
+  FROM src
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), versions AS (
+  SELECT user_id, ts, event_id, event_type FROM flagged WHERE chg
+)
+SELECT user_id, event_type,
+       CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+       CAST(epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)) AS BIGINT)
+         AS valid_to_us
+FROM versions
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2748,6 +2835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_distinct_agg": q_count_distinct_agg,
         "null_safe_join": q_null_safe_join,
         "below_avg_filter": q_below_avg_filter,
+        "resample_ffill": q_resample_ffill,
+        "scd2_history": q_scd2_history,
     }
 
 
@@ -2830,4 +2919,6 @@ def oracle_sql() -> dict[str, str]:
         "count_distinct_agg": _SQL_COUNT_DISTINCT,
         "null_safe_join": _SQL_NULL_SAFE_JOIN,
         "below_avg_filter": _SQL_BELOW_AVG,
+        "resample_ffill": _SQL_RESAMPLE_FFILL,
+        "scd2_history": _SQL_SCD2,
     }

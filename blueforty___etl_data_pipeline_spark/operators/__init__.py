@@ -50,7 +50,7 @@ from .similarity import (
     score_batch_numpy,
 )
 from .skew import key_histogram, salted_join
-from .temporal import asof_join, range_join
+from .temporal import asof_join, range_join, resample_ffill, scd2_history
 from .text_ops import (
     assign_packs,
     fingerprints,
@@ -79,6 +79,8 @@ __all__ = [
     "null_safe_join",
     "asof_join",
     "range_join",
+    "resample_ffill",
+    "scd2_history",
     "salted_join",
     "key_histogram",
     "top1_per_group",

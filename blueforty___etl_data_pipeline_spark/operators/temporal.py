@@ -143,3 +143,118 @@ def range_join(
     )
     joined = l_exp.join(r_pref, on=cond, how="inner")
     return joined.drop("_lus", "_lbucket", "_bucket", *[f"_rk_{k}" for k in keys])
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    step: str = "1 hour",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Regularize an irregular time series: one row per ``step`` per key
+    from the key's first to last observation, gaps forward-filled with
+    the most recent value (last-observation-carried-forward).
+
+    Plan (all distributed, no driver loop):
+    1. bucket each observation to its step start and keep the LAST
+       value per (key, bucket) — one aggregation;
+    2. build each key's dense spine with ``sequence(min, max, step)``
+       + ``explode`` — row count is (span/step), generated executor-side;
+    3. left-join observations onto the spine (one shuffle on
+       (key, bucket)) and carry values forward with
+       ``last(ignorenulls)`` over the per-key time window.
+
+    Forward-filled values are exact copies of observed values (no
+    interpolation), so results are engine-portable bit-for-bit.
+    Memory: the window needs no full-partition buffer (running last),
+    and each key's spine rows live on one partition only if you window
+    by key — which step 3 does; skew = one key with a huge time span,
+    bounded by span/step rows.
+    """
+    keys = list(key_cols)
+    vals = list(value_cols)
+    units = {"1 minute": "minute", "1 hour": "hour", "1 day": "day"}
+    if step not in units:
+        raise ValueError(f"step must be one of {sorted(units)}")
+    bucket = F.date_trunc(units[step], F.col(ts_col))
+    # Last observation per (key, bucket): max-ts row wins;
+    # ``tiebreak_cols`` (e.g. a unique id) make equal-ts picks
+    # deterministic and engine-portable.
+    w_rank = Window.partitionBy(*keys, "_bucket").orderBy(
+        F.desc(ts_col), *[F.desc(c) for c in tiebreak_cols]
+    )
+    obs = (
+        df.select(*keys, F.col(ts_col), *vals, *tiebreak_cols)
+        .withColumn("_bucket", bucket)
+        .withColumn("_rn", F.row_number().over(w_rank))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", ts_col, *tiebreak_cols)
+    )
+    spine = (
+        obs.groupBy(*keys)
+        .agg(
+            F.min("_bucket").alias("_lo"), F.max("_bucket").alias("_hi")
+        )
+        .select(
+            *keys,
+            F.explode(
+                F.sequence(
+                    F.col("_lo"), F.col("_hi"), F.expr(f"INTERVAL {step}")
+                )
+            ).alias("_bucket"),
+        )
+    )
+    joined = spine.join(obs, on=[*keys, "_bucket"], how="left")
+    w_fill = (
+        Window.partitionBy(*keys)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = joined.select(
+        *keys,
+        F.col("_bucket").alias("bucket_ts"),
+        *[
+            F.last(F.col(v), ignorenulls=True).over(w_fill).alias(v)
+            for v in vals
+        ],
+    )
+    return filled
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a change log: one
+    row per (key, change), valid from its own timestamp until the NEXT
+    change of the same key (open interval → null valid_to).
+
+    Consecutive rows with identical values are collapsed first (a
+    re-stated unchanged value is not a new version — the standard SCD2
+    contract), via ``lag`` comparison.  One shuffle (the per-key
+    window); both the collapse and the interval assignment ride the
+    same sort.
+    """
+    keys = list(key_cols)
+    vals = list(value_cols)
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak_cols]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    val_struct = F.struct(*[F.col(v) for v in vals])
+    changed = F.lag(val_struct).over(w).isNull() | (
+        F.lag(val_struct).over(w) != val_struct
+    )
+    versions = df.select(*keys, F.col(ts_col), *vals, *tiebreak_cols).withColumn(
+        "_chg", changed
+    ).filter(F.col("_chg")).drop("_chg")
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return versions.select(
+        *keys,
+        *vals,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w2).alias("valid_to"),
+    )

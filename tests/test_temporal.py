@@ -97,3 +97,87 @@ def test_asof_right_payload_preserves_types(spark):
     ).collect()[0]
     assert out["asof_price"] == 3.25 and isinstance(out["asof_price"], float)
     assert out["asof_label"] == "tag"
+
+
+# ---------------------------------------------------------------------------
+# resample_ffill / scd2_history
+# ---------------------------------------------------------------------------
+
+
+def test_resample_ffill_fills_gaps_with_last_value(spark):
+    from datetime import datetime
+
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        resample_ffill,
+    )
+
+    t = lambda h, m=0: datetime(2026, 1, 1, h, m)
+    df = spark.createDataFrame(
+        [
+            ("a", t(1, 30), 10.0),
+            ("a", t(4, 15), 40.0),   # hours 2,3 are gaps
+            ("b", t(2), 7.0),
+        ],
+        "k string, ts timestamp, v double",
+    )
+    out = {
+        (r["k"], r["bucket_ts"].hour): r["v"]
+        for r in resample_ffill(df, ["k"], "ts", ["v"]).collect()
+    }
+    assert out == {
+        ("a", 1): 10.0,
+        ("a", 2): 10.0,  # carried forward
+        ("a", 3): 10.0,  # carried forward
+        ("a", 4): 40.0,
+        ("b", 2): 7.0,   # single-point key: one spine row
+    }
+
+
+def test_resample_ffill_last_obs_in_bucket_wins(spark):
+    from datetime import datetime
+
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        resample_ffill,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", datetime(2026, 1, 1, 1, 5), 1.0),
+            ("a", datetime(2026, 1, 1, 1, 55), 2.0),  # later in same hour
+        ],
+        "k string, ts timestamp, v double",
+    )
+    rows = resample_ffill(df, ["k"], "ts", ["v"]).collect()
+    assert len(rows) == 1 and rows[0]["v"] == 2.0
+
+
+def test_scd2_history_versions_and_intervals(spark):
+    from datetime import datetime
+
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        scd2_history,
+    )
+
+    t = lambda d: datetime(2026, 1, d)
+    df = spark.createDataFrame(
+        [
+            (1, t(1), "bronze"),
+            (1, t(5), "bronze"),  # unchanged restatement → collapsed
+            (1, t(9), "gold"),
+            (2, t(3), "silver"),
+        ],
+        "k long, ts timestamp, tier string",
+    )
+    rows = sorted(
+        scd2_history(df, ["k"], "ts", ["tier"]).collect(),
+        key=lambda r: (r["k"], r["valid_from"]),
+    )
+    assert [
+        (r["k"], r["tier"], r["valid_from"].day,
+         r["valid_to"].day if r["valid_to"] else None)
+        for r in rows
+    ] == [
+        (1, "bronze", 1, 9),   # restatement on day 5 did NOT open a version
+        (1, "gold", 9, None),  # current version: open interval
+        (2, "silver", 3, None),
+    ]
