@@ -29,7 +29,7 @@ import csv
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DecimalType,
@@ -2746,6 +2746,93 @@ FROM versions
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id: per-flag, per-status,
+    and grand-total aggregates in one pass (the general form ROLLUP and
+    CUBE specialize)."""
+    _prep(spark)
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT)
+                 AS gid,
+               COUNT(*) AS n_rows,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS sum_qty
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+_SQL_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+         AS gid,
+       COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type aggregation: per region, the sorted list of nation
+    names (collect_list is unordered by contract — sort_array makes it
+    deterministic and engine-portable)."""
+    _prep(spark)
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+_SQL_COLLECT_SORTED = """
+SELECT r_name, list_sort(list(n_name)) AS nations, COUNT(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+"""
+
+
+def q_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window over event time: for each event, how many
+    events of its type arrived in the preceding hour (inclusive) — the
+    time-decayed-count shape.  The frame is a VALUE range over
+    unix-micros, not a row count, so ties and gaps are handled by time,
+    not position."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        us.alias("ts_us"),
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+    )
+
+
+_SQL_RANGE_FRAME = """
+SELECT event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       COUNT(*) OVER (PARTITION BY event_type ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         AS n_last_hour
+FROM events WHERE user_id % 25 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2837,6 +2924,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "below_avg_filter": q_below_avg_filter,
         "resample_ffill": q_resample_ffill,
         "scd2_history": q_scd2_history,
+        "grouping_sets": q_grouping_sets,
+        "collect_sorted": q_collect_sorted,
+        "range_frame_window": q_range_frame_window,
     }
 
 
@@ -2921,4 +3011,7 @@ def oracle_sql() -> dict[str, str]:
         "below_avg_filter": _SQL_BELOW_AVG,
         "resample_ffill": _SQL_RESAMPLE_FFILL,
         "scd2_history": _SQL_SCD2,
+        "grouping_sets": _SQL_GROUPING_SETS,
+        "collect_sorted": _SQL_COLLECT_SORTED,
+        "range_frame_window": _SQL_RANGE_FRAME,
     }
