@@ -143,3 +143,56 @@ def test_decontaminate_drops_only_hit_docs(spark):
 def test_decontaminate_preserves_all_columns(spark):
     corpus, eval_df, _, decontaminate = _decon_frames(spark)
     assert decontaminate(corpus, eval_df).columns == corpus.columns
+
+
+def test_decontamination_partition_property(spark):
+    # Property: hits ∪ kept partitions the corpus exactly (min_hits=1),
+    # and every kept doc truly shares no shingle with the eval set.
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        contamination_hits,
+        decontaminate,
+    )
+
+    words = st.sampled_from("alpha beta gamma delta epsilon zeta".split())
+    texts = st.lists(
+        st.lists(words, min_size=3, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(corpus_texts=texts, eval_texts=texts)
+    def check(corpus_texts, eval_texts):
+        corpus = spark.createDataFrame(
+            list(enumerate(corpus_texts)), "doc_id long, text string"
+        )
+        eval_df = spark.createDataFrame(
+            [(1000 + i, t) for i, t in enumerate(eval_texts)],
+            "doc_id long, text string",
+        )
+        hit_ids = {
+            r["doc_id"]
+            for r in contamination_hits(corpus, eval_df).collect()
+        }
+        kept_ids = {
+            r["doc_id"] for r in decontaminate(corpus, eval_df).collect()
+        }
+        all_ids = set(range(len(corpus_texts)))
+        assert hit_ids | kept_ids == all_ids
+        assert hit_ids & kept_ids == set()
+
+        def trigrams(t):
+            toks = t.split()
+            return {
+                tuple(toks[i:i + 3]) for i in range(len(toks) - 2)
+            }
+
+        eval_grams = set().union(*(trigrams(t) for t in eval_texts))
+        for i, t in enumerate(corpus_texts):
+            overlap = bool(trigrams(t) & eval_grams)
+            assert (i in hit_ids) == overlap
+
+    check()

@@ -160,3 +160,42 @@ def test_iqr_outliers_flags_tails_only(spark):
     assert [r["v"] for r in out] == [1000.0]
     assert out[0]["lo_fence"] == -4.5 and out[0]["hi_fence"] == 15.5
     assert set(out[0].asDict()) == {"id", "g", "v", "lo_fence", "hi_fence"}
+
+
+def test_quantiles_property_based(spark):
+    # Properties over random groups: each quantile is an element of its
+    # group, quantiles are monotone in p, and p100 is the group max.
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        grouped_quantiles_disc,
+    )
+
+    vals = st.lists(
+        st.floats(
+            allow_nan=False, allow_infinity=False, width=32
+        ),
+        min_size=1,
+        max_size=25,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(groups=st.dictionaries(
+        st.sampled_from(["a", "b", "c"]), vals, min_size=1, max_size=3
+    ))
+    def check(groups):
+        rows = [(g, float(v)) for g, vs in groups.items() for v in vs]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = grouped_quantiles_disc(
+            df, ["g"], "v", ps=(0.25, 0.5, 0.75, 1.0)
+        ).collect()
+        for r in out:
+            members = sorted(groups[r["g"]])
+            qs = [r["p25"], r["p50"], r["p75"], r["p100"]]
+            assert all(q in members for q in qs)
+            assert qs == sorted(qs)          # monotone in p
+            assert qs[-1] == members[-1]     # p100 = max
+            assert r["n_rows"] == len(members)
+
+    check()
