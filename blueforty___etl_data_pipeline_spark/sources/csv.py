@@ -18,9 +18,11 @@ DROPMALFORMED, ABORT_STATEMENT ≈ FAILFAST).
 
 from __future__ import annotations
 
+from collections.abc import Mapping
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 #: BlueForty.py:29 — NULL_IF = ('\N','NULL','','N/A')
 NULL_SENTINELS = ("\\N", "NULL", "", "N/A")
@@ -170,3 +172,36 @@ def with_filename_partition(
         F.when(yyyy == "", F.lit("misc")).otherwise(yyyy).alias("yyyy"),
         F.when(mm == "", F.lit("00")).otherwise(F.lpad(mm, 2, "0")).alias("mm"),
     )
+
+
+def read_csv_with_badrows(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    options: Mapping[str, str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE CSV read returning ``(good_rows, bad_rows)`` — the
+    audit variant of the reference's ``ON_ERROR='CONTINUE'``
+    (BlueForty.py:113): rows the typed parse rejects are quarantined as
+    raw text instead of silently dropped.
+
+    Requires an explicit ``schema`` (PERMISSIVE needs somewhere to put
+    the raw line, and positional semantics demand declared types).  The
+    parsed frame is cached for the same reason as the JSONL twin: Spark
+    refuses plans reading ONLY the corrupt-record column from a raw
+    scan, and one cached pass feeds both outputs anyway.
+    """
+    corrupt = "_corrupt_record"
+    full = StructType(
+        list(schema.fields) + [StructField(corrupt, StringType())]
+    )
+    reader = (
+        spark.read.options(**(dict(options) if options else {}))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+        .schema(full)
+    )
+    df = reader.csv(path).cache()
+    good = df.filter(F.col(corrupt).isNull()).drop(corrupt)
+    bad = df.filter(F.col(corrupt).isNotNull()).select(corrupt)
+    return good, bad

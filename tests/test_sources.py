@@ -275,3 +275,33 @@ def test_jsonl_abort_fails_on_corrupt_line(spark, tmp_path):
         fh.write("garbage{\n")
     with _pytest.raises(Exception):
         read_jsonl(spark, path, schema=df.schema, on_error="abort").collect()
+
+
+def test_read_csv_with_badrows_quarantines(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from blueforty___etl_data_pipeline_spark.sources.csv import (
+        read_csv_with_badrows,
+    )
+
+    p = tmp_path / "rows.csv"
+    p.write_text(
+        "1,alpha\n"
+        "not_a_number,beta\n"   # type failure -> quarantine
+        "3,gamma\n"
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    good, bad = read_csv_with_badrows(spark, str(p), schema)
+    assert sorted((r["id"], r["name"]) for r in good.collect()) == [
+        (1, "alpha"),
+        (3, "gamma"),
+    ]
+    bad_rows = [r["_corrupt_record"] for r in bad.collect()]
+    assert bad_rows == ["not_a_number,beta"]  # raw line preserved
