@@ -66,6 +66,7 @@ from blueforty___etl_data_pipeline_spark.operators.dedup import (
 from blueforty___etl_data_pipeline_spark.operators.graph import (
     connected_components,
     dedup_near_duplicates,
+    pagerank_fixed_point,
 )
 from blueforty___etl_data_pipeline_spark.operators.joins import (
     composite_key_join,
@@ -156,10 +157,17 @@ SCRATCH = "/root/repo/.tmp"
 
 def _prep(spark: SparkSession) -> None:
     """Defensive session confs: the driver's session may not share the
-    engine factory's settings.  All three are runtime-settable."""
+    engine factory's settings.  All four are runtime-settable."""
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Let AQE re-coalesce the output partitioning of cached plans —
+    # iterative operators persist per round, and without this every
+    # cached round keeps the raw shuffle-partition count (6× wall time
+    # on pagerank under a default 200-partition session).
+    spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2835,6 +2843,59 @@ FROM events WHERE user_id % 25 = 0
 """
 
 
+_PR_ITERS = 8
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative distributed PageRank over the supplier↔part co-purchase
+    graph (distinct lineitem edges, symmetrized), 8 rounds of exact
+    integer fixed-point updates — bit-reproducible under any partition
+    order, with per-round persist + periodic lineage truncation."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1_000_000).alias("dst"),
+    )
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank_fixed_point(und, iterations=_PR_ITERS)
+
+
+def _sql_pagerank(iters: int = _PR_ITERS) -> str:
+    parts = [
+        """e0 AS (
+  SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
+  FROM lineitem),
+e AS (SELECT src AS u, dst AS v FROM e0 UNION SELECT dst, src FROM e0),
+deg AS (SELECT u, COUNT(*) AS deg FROM e GROUP BY 1),
+nodes AS (
+  SELECT DISTINCT u AS node
+  FROM (SELECT u FROM e UNION ALL SELECT v FROM e)),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_e9 FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""c{k} AS (
+  SELECT e.v AS node, SUM(r.rank_e9 // d.deg) AS s
+  FROM e JOIN r{k - 1} r ON e.u = r.node JOIN deg d ON d.u = e.u
+  GROUP BY 1),
+r{k} AS (
+  SELECT n.node,
+         CAST(150000000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT)
+           AS rank_e9
+  FROM nodes n LEFT JOIN c{k} c USING (node))"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, rank_e9 FROM r{iters}"
+    )
+
+
+_SQL_PAGERANK = _sql_pagerank()
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2929,6 +2990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "collect_sorted": q_collect_sorted,
         "range_frame_window": q_range_frame_window,
+        "pagerank": q_pagerank,
     }
 
 
@@ -3016,4 +3078,5 @@ def oracle_sql() -> dict[str, str]:
         "grouping_sets": _SQL_GROUPING_SETS,
         "collect_sorted": _SQL_COLLECT_SORTED,
         "range_frame_window": _SQL_RANGE_FRAME,
+        "pagerank": _SQL_PAGERANK,
     }

@@ -19,6 +19,11 @@ from .dedup import (
     simhash64,
     simhash_near_dup_pairs,
 )
+from .graph import (
+    connected_components,
+    dedup_near_duplicates,
+    pagerank_fixed_point,
+)
 from .joins import (
     broadcast_cross_join,
     composite_key_join,
@@ -77,6 +82,9 @@ __all__ = [
     "composite_key_join",
     "broadcast_cross_join",
     "null_safe_join",
+    "connected_components",
+    "dedup_near_duplicates",
+    "pagerank_fixed_point",
     "asof_join",
     "range_join",
     "resample_ffill",

@@ -125,3 +125,82 @@ def dedup_near_duplicates(
     )
     survivors = canonical.union(unpaired)
     return df.join(survivors, on=id_col, how="inner")
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    scale: int = 1_000_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """PageRank with EXACT integer fixed-point arithmetic: ranks are
+    bigints scaled by ``scale`` and every update is
+
+        rank' = (1 − d)·scale + (d_pct · Σ (rank_in ÷ out_deg)) ÷ 100
+
+    using integer division throughout, so partial-aggregation order
+    cannot change a single bit — the same reason the engine sums
+    doubles as FLOOR-micros.  Dangling nodes keep only the teleport
+    term (the standard simplified formulation; no global redistribution
+    pass).
+
+    Iteration shape (the canonical Spark iterative-algorithm loop):
+    each round is contribs = edges ⋈ ranks (one shuffle on src) →
+    groupBy(dst) sum (partial-aggregated) → left join onto the node
+    list.  Ranks are persisted per round and the previous round is
+    unpersisted; every ``checkpoint_every`` rounds the lineage is
+    truncated with ``localCheckpoint`` so the plan does not grow
+    unboundedly (at cluster scale use reliable ``checkpoint`` to
+    HDFS/object storage instead).
+
+    Returns ``(node, rank_e9)``.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    out_edges = e.join(deg, on="u").persist()
+    nodes = (
+        e.select("u").union(e.select(F.col("v").alias("u")))
+        .distinct()
+        .select(F.col("u").alias("node"))
+        .persist()
+    )
+    base = (scale * (100 - damping_pct)) // 100
+    ranks = nodes.select(
+        "node", F.lit(scale).cast("bigint").alias("rank_e9")
+    ).localCheckpoint()
+    checkpoint_every = 4
+    for i in range(iterations):
+        contribs = (
+            out_edges.join(ranks, out_edges["u"] == ranks["node"])
+            .select(
+                F.col("v").alias("node"),
+                F.expr("rank_e9 div deg").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        new_ranks = nodes.join(contribs, on="node", how="left").select(
+            "node",
+            (
+                F.lit(base).cast("bigint")
+                + F.expr(
+                    f"CAST({damping_pct} AS BIGINT)"
+                    " * coalesce(_s, CAST(0 AS BIGINT)) div 100"
+                )
+            ).alias("rank_e9"),
+        )
+        old = ranks
+        ranks = (
+            new_ranks.localCheckpoint()
+            if (i + 1) % checkpoint_every == 0 or i == iterations - 1
+            else new_ranks.persist()
+        )
+        ranks.count()  # materialize before dropping the parent
+        old.unpersist()
+    return ranks

@@ -55,3 +55,50 @@ def test_empty_pairs_keeps_everything(spark):
     )
     pairs = _pairs(spark, [])
     assert dedup_near_duplicates(docs, pairs).count() == 3
+
+
+def _simulate_pagerank(edges, iterations=10, scale=10**9, d=85):
+    """Pure-Python reference: the same integer fixed-point updates."""
+    e = sorted(set(edges))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    deg = {}
+    for u, _ in e:
+        deg[u] = deg.get(u, 0) + 1
+    rank = {n: scale for n in nodes}
+    base = scale * (100 - d) // 100
+    for _ in range(iterations):
+        s = {n: 0 for n in nodes}
+        for u, v in e:
+            s[v] += rank[u] // deg[u]
+        rank = {n: base + d * s[n] // 100 for n in nodes}
+    return rank
+
+
+def test_pagerank_matches_python_simulation(spark):
+    from blueforty___etl_data_pipeline_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    # Star + tail: hub 1 pointed at by 2,3,4; chain 4->5; symmetrized.
+    directed = [(2, 1), (3, 1), (4, 1), (4, 5)]
+    edges = directed + [(v, u) for u, v in directed]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank_e9"]
+        for r in pagerank_fixed_point(df, iterations=10).collect()
+    }
+    assert got == _simulate_pagerank(edges)
+    # The hub outranks every leaf; the leaf-of-chain ranks lowest.
+    assert got[1] == max(got.values())
+
+
+def test_pagerank_two_cycle_is_fixed_point(spark):
+    from blueforty___etl_data_pipeline_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = {r["node"]: r["rank_e9"] for r in
+           pagerank_fixed_point(df, iterations=7).collect()}
+    # rank = 0.15e9 + 0.85e9 = 1e9 every round: exact fixed point.
+    assert got == {1: 10**9, 2: 10**9}
