@@ -172,3 +172,35 @@ def merge_upsert(
     fs.rename(hpath(staging), hpath(target_path))
     fs.delete(old, True)
     return spark.read.format(fmt).load(target_path)
+
+
+def write_table_observed(
+    df: DataFrame,
+    path: str,
+    metrics: dict[str, "object"] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> dict[str, object]:
+    """CTAS with load metrics measured DURING the write pass (Spark's
+    ``observe`` API): row count plus any caller-supplied aggregate
+    expressions ride the write job itself — no second scan, no race
+    with concurrent writers, the numbers describe exactly the rows
+    written.
+
+    This is the engine-side version of the reference's manual row-count
+    checkpoints (BlueForty.py:234, :449, :464, :476): instead of a
+    human comment, every load can assert its expected row count from
+    the returned dict.
+
+    Returns the observed metrics as a plain dict.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    exprs = {"n_rows": F.count(F.lit(1)).alias("n_rows")}
+    for name, col in (metrics or {}).items():
+        exprs[name] = col.alias(name) if hasattr(col, "alias") else col
+    obs = Observation("write_metrics")
+    observed = df.observe(obs, *exprs.values())
+    observed.write.mode(mode).format(fmt).save(path)
+    return dict(obs.get)

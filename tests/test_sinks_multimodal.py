@@ -145,3 +145,44 @@ def test_merge_upsert_tie_prefers_update_side(spark, tmp_path):
         spark, path, updates, key_cols=["k"], order_col="version"
     ).collect()
     assert out[0]["payload"] == "new"
+
+
+def test_write_table_observed_metrics_ride_the_write(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.sinks import (
+        write_table_observed,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "k long, v double"
+    )
+    path = str(tmp_path / "observed")
+    got = write_table_observed(
+        df,
+        path,
+        metrics={
+            "n_null_v": F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)),
+            "sum_v_micros": F.sum(F.floor(F.col("v") * 1e6)),
+        },
+    )
+    assert got["n_rows"] == 3
+    assert got["n_null_v"] == 1
+    assert got["sum_v_micros"] == 40_000_000
+    assert spark.read.parquet(path).count() == 3
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    # Parquet schema evolution: a later batch adds a column; mergeSchema
+    # reads the union schema with nulls for the old files.
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        f"{p}/batch=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(f"{p}/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) >= {"id", "name", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
