@@ -81,6 +81,7 @@ from blueforty___etl_data_pipeline_spark.operators.corpus import (
     chunk_documents,
     contamination_hits,
     decontaminate,
+    dedup_line_rows,
     tfidf_top_terms,
     top_ngrams,
 )
@@ -103,6 +104,7 @@ from blueforty___etl_data_pipeline_spark.operators.similarity import (
     ann_brute_force,
     ann_ivf,
     ann_lsh_bucketed,
+    assign_nearest_centroid,
     embedding_near_dup_pairs,
 )
 from blueforty___etl_data_pipeline_spark.operators.profile import (
@@ -2896,6 +2898,216 @@ r{k} AS (
 _SQL_PAGERANK = _sql_pagerank()
 
 
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape): count orders per priority
+    that have at least one deep-discount line.  Spark plan: the EXISTS
+    decorrelates to a LEFT SEMI join (no row duplication however many
+    lines match), then a two-phase count."""
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_discount") > 0.05)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        o.join(li, on="o_orderkey", how="left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_SQL_EXISTS = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+GROUP BY o_orderpriority
+"""
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery + NOT EXISTS (TPC-H Q22 shape): per nation,
+    customers with above-average balance and no large orders.  The scalar
+    (global average balance) is a 1-row aggregate broadcast-cross-joined
+    onto the scan — the decorrelated form of the subquery, no driver
+    round-trip; the NOT EXISTS is a LEFT ANTI join.
+
+    Cross-engine determinism: balances have 2 decimals, so the exact
+    cents (FLOOR(bal·100) bigint) sum/count division gives the same
+    IEEE double threshold in both engines."""
+    _prep(spark)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    pos = c.filter(F.col("c_acctbal") > 0).select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    thr = pos.agg(
+        (F.sum("cents") / F.count(F.lit(1))).alias("avg_cents")
+    )
+    cand = pos.crossJoin(F.broadcast(thr)).filter(
+        F.col("cents") > F.col("avg_cents")
+    )
+    big = o.filter(F.col("o_totalprice") > 400_000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        cand.join(big, on="c_custkey", how="left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
+_SQL_SCALAR_SUBQ = """
+WITH pos AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer WHERE c_acctbal > 0),
+thr AS (SELECT CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS avg_cents FROM pos)
+SELECT c_nationkey, COUNT(*) AS n_cust,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM pos, thr
+WHERE cents > avg_cents
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = pos.c_custkey
+                    AND o.o_totalprice > 400000)
+GROUP BY c_nationkey
+"""
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level dedup: drop lines repeated ≥2× corpus-wide
+    (boilerplate), reassemble each document from survivors in order.
+    The driver corpus has no newlines, so 'lines' here are 6-token
+    non-overlapping chunks — the operator itself splits on a caller
+    delimiter (tests drive real newline text)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ", -1)).alias("tpos", "tok"),
+    )
+    lines = toks.groupBy(
+        "doc_id", F.floor(F.col("tpos") / 6).cast("long").alias("pos")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("line")
+    )
+    return dedup_line_rows(lines, min_dup=2, delim=" ")
+
+
+_SQL_LINE_DEDUP = """
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS tpos, unnest(l) AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+lines AS (
+  SELECT doc_id, CAST((tpos - 1) // 6 AS BIGINT) AS pos,
+         string_agg(tok, ' ' ORDER BY tpos) AS line
+  FROM toks GROUP BY doc_id, (tpos - 1) // 6),
+freq AS (SELECT line FROM lines GROUP BY line HAVING COUNT(*) >= 2),
+tagged AS (
+  SELECT doc_id, pos, line,
+         line IN (SELECT line FROM freq) AS dup
+  FROM lines)
+SELECT doc_id,
+       COUNT(*) FILTER (WHERE NOT dup) AS n_kept,
+       COUNT(*) FILTER (WHERE dup) AS n_removed,
+       COALESCE(string_agg(CASE WHEN NOT dup THEN line END, ' '
+                           ORDER BY pos), '') AS kept_text
+FROM tagged GROUP BY doc_id
+"""
+
+
+def q_ntile_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: NTILE(4), PERCENT_RANK, CUME_DIST,
+    FIRST_VALUE/LAST_VALUE per market segment ordered by balance.
+    All five ride ONE window sort (same partition + order); LAST_VALUE
+    takes an explicit full-partition ROWS frame (the default frame stops
+    at CURRENT ROW — a classic silent-wrong-answer).  Rank fractions are
+    exact rationals of row positions → bit-identical across engines;
+    FLOOR-micros anyway for margin.  Order key is exact cents + unique
+    custkey, so every rank is deterministic."""
+    _prep(spark)
+    c = _t(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("cents", "c_custkey")
+    wfull = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return base.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.floor(F.percent_rank().over(w) * 1e6)
+        .cast("long")
+        .alias("pct_rank_micros"),
+        F.floor(F.cume_dist().over(w) * 1e6)
+        .cast("long")
+        .alias("cume_dist_micros"),
+        F.first("c_custkey").over(w).alias("poorest"),
+        F.last("c_custkey").over(wfull).alias("richest"),
+    )
+
+
+_SQL_NTILE = """
+WITH base AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer)
+SELECT c_custkey, c_mktsegment,
+       CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+       CAST(FLOOR(PERCENT_RANK() OVER w * 1e6) AS BIGINT)
+         AS pct_rank_micros,
+       CAST(FLOOR(CUME_DIST() OVER w * 1e6) AS BIGINT)
+         AS cume_dist_micros,
+       FIRST_VALUE(c_custkey) OVER w AS poorest,
+       LAST_VALUE(c_custkey) OVER (
+         PARTITION BY c_mktsegment ORDER BY cents, c_custkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS richest
+FROM base
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY cents, c_custkey)
+"""
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means E-step / IVF routing: assign every embedding to its
+    nearest centroid by cosine (centroids = vec_id % 50 = 0)."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 50 == 0)
+    return assign_nearest_centroid(emb, cents, round_decimals=6)
+
+
+_SQL_KMEANS = f"""
+WITH k AS (SELECT vec_id AS centroid_id, embedding AS kv
+           FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT e.vec_id, k.centroid_id,
+         ROUND({_d_cosine('e.embedding', 'k.kv')}, 6) AS score
+  FROM embeddings e CROSS JOIN k)
+SELECT vec_id, centroid_id, score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY score DESC, centroid_id) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2991,6 +3203,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_sorted": q_collect_sorted,
         "range_frame_window": q_range_frame_window,
         "pagerank": q_pagerank,
+        "exists_subquery": q_exists_subquery,
+        "scalar_subquery": q_scalar_subquery,
+        "line_dedup": q_line_dedup,
+        "ntile_windows": q_ntile_windows,
+        "kmeans_assign": q_kmeans_assign,
     }
 
 
@@ -3079,4 +3296,9 @@ def oracle_sql() -> dict[str, str]:
         "collect_sorted": _SQL_COLLECT_SORTED,
         "range_frame_window": _SQL_RANGE_FRAME,
         "pagerank": _SQL_PAGERANK,
+        "exists_subquery": _SQL_EXISTS,
+        "scalar_subquery": _SQL_SCALAR_SUBQ,
+        "line_dedup": _SQL_LINE_DEDUP,
+        "ntile_windows": _SQL_NTILE,
+        "kmeans_assign": _SQL_KMEANS,
     }

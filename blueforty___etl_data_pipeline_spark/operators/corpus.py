@@ -201,3 +201,83 @@ def decontaminate(
         corpus, eval_df, text_col=text_col, id_col=id_col
     ).filter(F.col("n_hits") >= F.lit(min_hits))
     return corpus.join(hits.select(id_col), on=id_col, how="left_anti")
+
+
+def dedup_line_rows(
+    lines: DataFrame,
+    min_dup: int = 2,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    line_col: str = "line",
+    delim: str = "\n",
+) -> DataFrame:
+    """CCNet-style line-level dedup over pre-split (doc, pos, line) rows:
+    drop every line whose text occurs ``min_dup``+ times corpus-wide
+    (boilerplate — nav bars, cookie banners, license headers — repeats
+    across pages; prose doesn't), then reassemble each document from its
+    surviving lines in order.
+
+    Returns (id, n_kept, n_removed, kept_text).
+
+    Scale shape: ONE groupBy on the line hash for the corpus-wide
+    counts, one shuffle join of lines against the frequent-line set
+    (filtered to count ≥ min_dup, so its size is the boilerplate
+    vocabulary, not the corpus), one groupBy(doc) to reassemble.  Lines
+    join on a 60-bit md5 hash, never the raw string — shuffle volume is
+    8 bytes/line each side.  Reassembly sorts the collected (pos, line)
+    structs per document — array_sort on a struct orders by the leading
+    ``pos`` field, so output is deterministic under any partitioning.
+    """
+    from ..functions.text import md5_hash64
+
+    h = lines.select(
+        F.col(id_col),
+        F.col(pos_col).alias("pos"),
+        F.col(line_col).alias("line"),
+        md5_hash64(F.col(line_col)).alias("_lh"),
+    )
+    frequent = (
+        h.groupBy("_lh")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") >= F.lit(min_dup))
+        .select("_lh")
+        .withColumn("_dup", F.lit(True))
+    )
+    tagged = h.join(frequent, on="_lh", how="left").withColumn(
+        "_dup", F.coalesce(F.col("_dup"), F.lit(False))
+    )
+    kept_struct = F.when(~F.col("_dup"), F.struct("pos", "line"))
+    return tagged.groupBy(id_col).agg(
+        F.count(F.when(~F.col("_dup"), F.lit(1))).alias("n_kept"),
+        F.count(F.when(F.col("_dup"), F.lit(1))).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["line"],
+            ),
+            delim,
+        ).alias("kept_text"),
+    )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    min_dup: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+) -> DataFrame:
+    """Split documents on ``delim`` and apply :func:`dedup_line_rows`.
+
+    The split + posexplode is a per-row map (no shuffle); everything
+    after is the three-exchange shape documented on dedup_line_rows.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim, -1)).alias(
+            "pos", "line"
+        ),
+    )
+    return dedup_line_rows(
+        lines, min_dup=min_dup, id_col=id_col, delim=delim
+    )

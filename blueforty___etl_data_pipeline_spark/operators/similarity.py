@@ -339,3 +339,54 @@ def score_batch_numpy(corpus: DataFrame, query_rows: list[tuple[int, list[float]
     return corpus.select(id_col, vec_col).mapInPandas(
         score, schema="query_id long, neighbor_id long, score double"
     )
+
+
+def assign_nearest_centroid(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    round_decimals: int = 9,
+) -> DataFrame:
+    """One Lloyd assignment step: map every corpus vector to its
+    nearest centroid by cosine (the E-step of k-means, and the routing
+    step of IVF index builds / semantic sharding of a training corpus).
+
+    Returns (id, centroid_id, score) — one row per corpus vector.
+
+    Scale shape: centroids are k rows (k ≪ corpus) → broadcast cross
+    join; each executor scores its corpus slice against the in-memory
+    centroid table, then a per-vector argmin via one window over the
+    k-row group.  No shuffle of the corpus beyond the window's
+    partition-local sort (partition key = vector id, k rows each).
+    Norms are projected below the join (once per row, not per pair).
+    Ties break on the lower centroid id; scores ranked rounded so
+    ULP-level float noise can never flip an assignment across engines.
+    """
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+    )
+    k = centroids.select(
+        F.col(id_col).alias(centroid_id_col),
+        F.col(vec_col).alias("_kvec"),
+        l2_norm(F.col(vec_col)).alias("_kn"),
+    )
+    scored = c.crossJoin(F.broadcast(k)).select(
+        F.col(id_col),
+        F.col(centroid_id_col),
+        _rounded(
+            _paired_cosine(
+                F.col("_cvec"), F.col("_cn"), F.col("_kvec"), F.col("_kn")
+            ),
+            round_decimals,
+        ).alias("score"),
+    )
+    best = top1_per_group(
+        scored,
+        partition_by=[id_col],
+        order_by=[F.desc("score"), F.asc(centroid_id_col)],
+    )
+    return best.select(id_col, centroid_id_col, "score")

@@ -196,3 +196,61 @@ def test_decontamination_partition_property(spark):
             assert (i in hit_ids) == overlap
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# dedup_lines (CCNet-style line-level dedup)
+# ---------------------------------------------------------------------------
+
+
+def _line_dedup_fixture(spark):
+    boiler = "accept cookies to continue"
+    docs = [
+        (1, f"{boiler}\nalpha prose one\nbravo prose two"),
+        (2, f"{boiler}\ncharlie prose three"),
+        (3, "delta prose four\nalpha prose one"),
+        (4, boiler),
+    ]
+    return spark.createDataFrame(docs, ["doc_id", "text"])
+
+
+def test_dedup_lines_removes_corpus_frequent_lines(spark):
+    from blueforty___etl_data_pipeline_spark.operators.corpus import dedup_lines
+
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(_line_dedup_fixture(spark), min_dup=2).collect()
+    }
+    # boilerplate (3 docs) and "alpha prose one" (2 docs) are removed
+    assert out[1]["kept_text"] == "bravo prose two"
+    assert (out[1]["n_kept"], out[1]["n_removed"]) == (1, 2)
+    assert out[2]["kept_text"] == "charlie prose three"
+    assert out[3]["kept_text"] == "delta prose four"
+    # a doc that was ALL boilerplate survives as an empty shell
+    assert out[4]["kept_text"] == ""
+    assert (out[4]["n_kept"], out[4]["n_removed"]) == (0, 1)
+
+
+def test_dedup_lines_preserves_line_order(spark):
+    from blueforty___etl_data_pipeline_spark.operators.corpus import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(1, "z last\na first\nz last\nm middle")], ["doc_id", "text"]
+    )
+    # min_dup high enough that nothing is removed: reassembly must be
+    # the identity, whatever partitioning collect_list saw
+    row = dedup_lines(docs, min_dup=10).collect()[0]
+    assert row["kept_text"] == "z last\na first\nz last\nm middle"
+    assert row["n_removed"] == 0
+
+
+def test_dedup_lines_within_doc_repeats_count(spark):
+    from blueforty___etl_data_pipeline_spark.operators.corpus import dedup_lines
+
+    # the same line twice in ONE doc reaches min_dup=2 on its own
+    docs = spark.createDataFrame(
+        [(1, "dup line\nunique line\ndup line")], ["doc_id", "text"]
+    )
+    row = dedup_lines(docs, min_dup=2).collect()[0]
+    assert row["kept_text"] == "unique line"
+    assert row["n_removed"] == 2

@@ -90,3 +90,47 @@ def test_ivf_scores_match_brute_force(spark, sf_small):
         if r["query_id"] == r["neighbor_id"]:
             self_found.add(r["query_id"])
     assert self_found == {r["query_id"] for r in rows}
+
+
+def test_assign_nearest_centroid_matches_numpy(spark):
+    import numpy as np
+
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        assign_nearest_centroid,
+    )
+    from blueforty___etl_data_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = emb.filter("vec_id % 100 = 0")
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assign_nearest_centroid(emb, cents, round_decimals=6).collect()
+    }
+
+    rows = emb.collect()
+    C = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+         for r in rows if r["vec_id"] % 100 == 0}
+    assert len(got) == len(rows)
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        best = min(
+            (
+                (-round(float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c))), 6), cid)
+                for cid, c in C.items()
+            ),
+        )[1]
+        assert got[r["vec_id"]] == best, r["vec_id"]
+
+
+def test_assign_nearest_centroid_self_assignment(spark):
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        assign_nearest_centroid,
+    )
+    from blueforty___etl_data_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = emb.filter("vec_id % 100 = 0")
+    out = assign_nearest_centroid(emb, cents)
+    # every centroid is its own nearest centroid (cosine 1.0 with itself)
+    own = out.filter("vec_id % 100 = 0").collect()
+    assert own and all(r["vec_id"] == r["centroid_id"] for r in own)
