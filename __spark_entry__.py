@@ -57,6 +57,7 @@ from blueforty___etl_data_pipeline_spark.operators.dedup import (
     MERSENNE31,
     _hash_params,
     exact_dup_groups,
+    fuzzy_key_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -106,8 +107,10 @@ from blueforty___etl_data_pipeline_spark.operators.similarity import (
     ann_lsh_bucketed,
     assign_nearest_centroid,
     embedding_near_dup_pairs,
+    quantize_embeddings,
 )
 from blueforty___etl_data_pipeline_spark.operators.profile import (
+    approx_profile,
     grouped_median_exact,
     grouped_quantiles_disc,
     histogram_fixed_width,
@@ -3108,6 +3111,68 @@ WHERE rn = 1
 """
 
 
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell fuzzy join: supplier-name pairs within Levenshtein
+    distance 1 via deletion-neighborhood blocking (never a cross join);
+    the oracle brute-forces the same pairs, proving the blocking is
+    complete."""
+    _prep(spark)
+    s = _t(spark, sf_dir, "supplier")
+    return fuzzy_key_pairs(s, key_col="s_name", id_col="s_suppkey")
+
+
+_SQL_FUZZY = """
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       a.s_name AS key_a, b.s_name AS key_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS dist
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+"""
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 per-vector symmetric quantization audit (see
+    operators/similarity.quantize_embeddings)."""
+    _prep(spark)
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+_SQL_QUANTIZE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings),
+s AS (
+  SELECT vec_id, ve,
+         list_max(list_transform(ve, x -> abs(x))) AS scale
+  FROM v)
+SELECT vec_id,
+       CAST(FLOOR(scale * 1e6) AS BIGINT) AS scale_micros,
+       CAST(list_sum(list_transform(ve,
+            x -> CAST(FLOOR(x / scale * 127) AS BIGINT))) AS BIGINT)
+         AS q_sum,
+       CAST(len(list_filter(ve,
+            x -> abs(FLOOR(x / scale * 127)) = 127)) AS INTEGER) AS n_sat,
+       CAST(FLOOR(list_max(list_transform(ve,
+            x -> abs(x - FLOOR(x / scale * 127) * scale / 127))) * 1e6)
+         AS BIGINT) AS max_err_micros
+FROM s WHERE scale > 0
+"""
+
+
+def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch profiling (HLL distinct + KLL quantiles) of events per
+    event_type.  Approximate by design → no cross-engine oracle; the
+    error bound vs the exact operators is pytest-asserted."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return approx_profile(
+        ev,
+        group_col="event_type",
+        distinct_col="user_id",
+        quantile_col="value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3208,6 +3273,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "ntile_windows": q_ntile_windows,
         "kmeans_assign": q_kmeans_assign,
+        "fuzzy_join": q_fuzzy_join,
+        "quantize_embeddings": q_quantize_embeddings,
+        "approx_profile": q_approx_profile,
     }
 
 
@@ -3301,4 +3369,8 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _SQL_LINE_DEDUP,
         "ntile_windows": _SQL_NTILE,
         "kmeans_assign": _SQL_KMEANS,
+        "fuzzy_join": _SQL_FUZZY,
+        "quantize_embeddings": _SQL_QUANTIZE,
+        # approx_profile: sketch outputs are engine-specific by design —
+        # rows-only check; error bound asserted in tests/test_profile.py
     }

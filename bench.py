@@ -67,6 +67,14 @@ HEADLINE = [
     "decontaminate",
     "grouped_quantiles",
     "iqr_outliers",
+    "exists_subquery",
+    "scalar_subquery",
+    "ntile_windows",
+    "line_dedup",
+    "kmeans_assign",
+    "fuzzy_join",
+    "quantize_embeddings",
+    "approx_profile",
 ]
 
 

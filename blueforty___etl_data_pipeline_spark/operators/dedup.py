@@ -539,3 +539,74 @@ def simhash64(text: Column, n_bits: int = 60) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
+
+
+def deletion_variants(key: Column) -> Column:
+    """``key`` plus every one-character-deleted form of it — the
+    SymSpell blocking set.  Two strings at Levenshtein distance ≤ 1
+    ALWAYS share a variant (substitution at i → both delete i;
+    insertion/deletion → the shorter string is itself a variant of the
+    longer), so joining on variants is a complete distance-1 blocker.
+    |variants| = len(key) + 1 per row.
+    """
+    return F.concat(
+        F.array(key),
+        F.transform(
+            F.sequence(F.lit(1), F.length(key)),
+            lambda i: F.concat(
+                F.substr(key, F.lit(1), i - 1),
+                F.substr(key, i + 1, F.length(key) - i),
+            ),
+        ),
+    )
+
+
+def fuzzy_key_pairs(
+    df: DataFrame,
+    key_col: str = "key",
+    id_col: str = "id",
+) -> DataFrame:
+    """Entity-resolution / typo-dedup join: all pairs of rows whose keys
+    are within Levenshtein distance 1, WITHOUT a cross join.
+
+    Blocking: explode each key's deletion neighborhood (len+1 variants,
+    md5-hashed to 8 bytes), self-equi-join on the variant hash, distinct
+    the candidate pairs, then verify exactly with ``levenshtein`` —
+    collisions and distance-2 coincidences are filtered here.  Complete
+    for distance ≤ 1 (see :func:`deletion_variants`).
+
+    Scale shape: candidate generation is an equi-join on a high-
+    cardinality hash — shuffle volume is (len+1)·8 bytes per row, and
+    the cross product never materializes.  The expensive exact
+    ``levenshtein`` runs only on candidates, not on all pairs.
+
+    Returns (id_a, id_b, key_a, key_b, dist) with id_a < id_b.
+    """
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(key_col).alias("_key"),
+        F.explode(deletion_variants(F.col(key_col))).alias("_v"),
+    ).select("_id", "_key", md5_hash64(F.col("_v")).alias("_vh"))
+    a = v.select(
+        F.col("_vh"),
+        F.col("_id").alias("id_a"),
+        F.col("_key").alias("key_a"),
+    )
+    b = v.select(
+        F.col("_vh"),
+        F.col("_id").alias("id_b"),
+        F.col("_key").alias("key_b"),
+    )
+    cand = (
+        a.join(b, on="_vh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "key_a", "key_b")
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        "key_a",
+        "key_b",
+        F.levenshtein("key_a", "key_b").cast("int").alias("dist"),
+    ).filter(F.col("dist") <= 1)

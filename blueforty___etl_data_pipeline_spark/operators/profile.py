@@ -282,3 +282,38 @@ def iqr_outliers(
         .filter((v < F.col("lo_fence")) | (v > F.col("hi_fence")))
         .select(*df.columns, "lo_fence", "hi_fence")
     )
+
+
+def approx_profile(
+    df: DataFrame,
+    group_col: str,
+    distinct_col: str,
+    quantile_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    rsd: float = 0.01,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Sketch-based profiling — the 100 TB replacement for the exact
+    distinct/quantile passes: HyperLogLog++ (``approx_count_distinct``,
+    relative error ``rsd``) and the KLL-style ``percentile_approx``
+    (rank error 1/``accuracy``), both single-pass, partial-aggregating,
+    fixed-memory.
+
+    Exact distinct counts shuffle every distinct value; exact quantiles
+    shuffle every distinct (group, value) pair into a window sort.  The
+    sketches shuffle a few KB per group whatever the input size — this
+    is the only honest way to profile a petabyte.  Outputs are
+    approximate BY DESIGN (sketch merge order is engine-specific), so
+    this operator has no cross-engine oracle; its error bound is
+    asserted against the exact operators in the test suite.
+    """
+    qcol = F.col(quantile_col).cast("double")
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.approx_count_distinct(distinct_col, rsd=rsd).alias(
+            "approx_distinct"
+        ),
+        F.percentile_approx(
+            qcol, list(quantiles), accuracy
+        ).alias("approx_quantiles"),
+    )

@@ -390,3 +390,59 @@ def assign_nearest_centroid(
         order_by=[F.desc("score"), F.asc(centroid_id_col)],
     )
     return best.select(id_col, centroid_id_col, "score")
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector integer quantization (the int8 storage path
+    of a 100 TB embedding store: 4× smaller than float32, dot products
+    stay SIMD-able).  code_i = FLOOR(x_i / scale · qmax) with
+    scale = max|x_i|, qmax = 2^(bits-1) − 1.
+
+    Returns per-vector audit columns rather than the opaque code array:
+    (id, scale_micros, q_sum, n_sat, max_err_micros) — quantizer scale,
+    checksum of the codes, saturated-code count, and worst absolute
+    reconstruction error.  Every output is derived via FLOOR-micros /
+    integer sums, so the result is bit-identical across engines (each
+    element's IEEE op sequence is fixed; the only reductions are
+    integer sums and exact max).
+
+    Scale shape: pure per-row array math — no shuffle, no UDF; runs
+    inside the scan projection.  All-zero vectors (scale = 0) are
+    excluded (nothing to quantize).
+    """
+    qmax = (1 << (bits - 1)) - 1
+    ve = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(
+        F.col(id_col),
+        ve.alias("_ve"),
+        F.array_max(F.transform(ve, F.abs)).alias("_scale"),
+    ).filter(F.col("_scale") > 0)
+    code = lambda x: F.floor(x / F.col("_scale") * qmax)  # noqa: E731
+    return base.select(
+        id_col,
+        F.floor(F.col("_scale") * 1e6).cast("long").alias("scale_micros"),
+        F.aggregate(
+            F.col("_ve"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + code(x),
+        ).alias("q_sum"),
+        F.size(
+            F.filter(F.col("_ve"), lambda x: F.abs(code(x)) == qmax)
+        ).alias("n_sat"),
+        F.floor(
+            F.array_max(
+                F.transform(
+                    F.col("_ve"),
+                    lambda x: F.abs(x - code(x) * F.col("_scale") / qmax),
+                )
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("max_err_micros"),
+    )

@@ -274,3 +274,58 @@ def test_scrub_pii_word_boundaries(spark):
     row = scrub_pii(df).collect()[0]
     assert row["redacted"] == "v1.2.3.4567 is a version not an ip"
     assert row["pii_count"] == 0
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_key_pairs (SymSpell deletion-neighborhood blocking)
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_key_pairs_complete_vs_brute_force(spark):
+    from blueforty___etl_data_pipeline_spark.operators.dedup import fuzzy_key_pairs
+
+    keys = [
+        (1, "spark"),
+        (2, "spork"),    # substitution of 1
+        (3, "sparks"),   # insertion on 1
+        (4, "spak"),     # deletion from 1
+        (5, "flink"),    # unrelated
+        (6, "blink"),    # substitution of 5
+        (7, "spark"),    # exact duplicate of 1
+    ]
+    df = spark.createDataFrame(keys, ["id", "key"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_key_pairs(df, key_col="key", id_col="id").collect()
+    }
+
+    def lev(a, b):
+        import itertools
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (ca != cb))
+        return d[len(b)]
+
+    want = {
+        (a[0], b[0])
+        for i, a in enumerate(keys)
+        for b in keys[i + 1:]
+        if lev(a[1], b[1]) <= 1
+    }
+    assert got == want
+    assert (1, 7) in got and (5, 6) in got
+    # "spark"→"spook" is distance 2: blocking may or may not surface it,
+    # but the verify step must have dropped anything beyond distance 1
+    assert all(p in want for p in got)
+
+
+def test_fuzzy_key_pairs_no_cross_join_in_plan(spark):
+    from blueforty___etl_data_pipeline_spark.operators.dedup import fuzzy_key_pairs
+
+    df = spark.createDataFrame([(1, "abc"), (2, "abd")], ["id", "key"])
+    plan = fuzzy_key_pairs(df, key_col="key", id_col="id")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -199,3 +199,39 @@ def test_quantiles_property_based(spark):
             assert r["n_rows"] == len(members)
 
     check()
+
+
+def test_approx_profile_error_bounds(spark):
+    from blueforty___etl_data_pipeline_spark.operators.profile import approx_profile
+    from blueforty___etl_data_pipeline_spark.sources.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    approx = {
+        r["event_type"]: r
+        for r in approx_profile(
+            ev, group_col="event_type", distinct_col="user_id",
+            quantile_col="value",
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("nd"),
+            F.sort_array(F.collect_list("value")).alias("vals"),
+        )
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k, a in approx.items():
+        e = exact[k]
+        assert abs(a["approx_distinct"] - e["nd"]) <= max(2, 0.05 * e["nd"])
+        # percentile_approx returns an actual element whose RANK is within
+        # n/accuracy of the target rank (the sketch's contract)
+        vals = e["vals"]
+        n = len(vals)
+        tol = max(2, n // 1000)
+        for got, p in zip(a["approx_quantiles"], (0.5, 0.9, 0.99)):
+            assert got in vals
+            idx = vals.index(got)
+            assert abs(idx - p * (n - 1)) <= tol, (k, p, idx, n)

@@ -134,3 +134,30 @@ def test_assign_nearest_centroid_self_assignment(spark):
     # every centroid is its own nearest centroid (cosine 1.0 with itself)
     own = out.filter("vec_id % 100 = 0").collect()
     assert own and all(r["vec_id"] == r["centroid_id"] for r in own)
+
+
+def test_quantize_embeddings_error_bound_and_numpy_parity(spark):
+    import math
+
+    import numpy as np
+
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+    from blueforty___etl_data_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = {r["vec_id"]: r for r in quantize_embeddings(emb).collect()}
+    src = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in emb.collect()}
+    assert rows.keys() == {k for k, v in src.items() if np.abs(v).max() > 0}
+    for vid, r in rows.items():
+        v = src[vid]
+        scale = float(np.abs(v).max())
+        q = np.floor(v / scale * 127)
+        assert r["scale_micros"] == math.floor(scale * 1e6)
+        assert r["q_sum"] == int(q.sum())
+        assert r["n_sat"] == int((np.abs(q) == 127).sum())
+        # worst-case reconstruction error of floor-quantization < 1 step
+        assert r["max_err_micros"] <= math.floor(scale / 127 * 1e6) + 1
+        assert r["n_sat"] >= 1  # the max-|x| element saturates by construction
