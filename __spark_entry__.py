@@ -83,9 +83,11 @@ from blueforty___etl_data_pipeline_spark.operators.corpus import (
     contamination_hits,
     decontaminate,
     dedup_line_rows,
+    repetition_signals,
     tfidf_top_terms,
     top_ngrams,
 )
+from blueforty___etl_data_pipeline_spark.operators.skew import salted_join
 from blueforty___etl_data_pipeline_spark.operators.presentation import top_n
 from blueforty___etl_data_pipeline_spark.operators.temporal import (
     resample_ffill,
@@ -3173,6 +3175,124 @@ def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join: the fact side salted 8 ways, the dim
+    side exploded once per salt value, joined on (key, salt).  The salt
+    spreads a power-law hot key over 8 reducers instead of one; the
+    oracle runs the PLAIN join — the hash match proves salting never
+    changes the result, only the partitioning."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    joined = salted_join(li, s, on="l_suppkey", salt=8)
+    return joined.groupBy("l_suppkey", "s_name").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(F.col("l_quantity").cast(_DEC)), 2)
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+_SQL_SALTED_JOIN = """
+SELECT l_suppkey, s_name, COUNT(*) AS n_lines,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS sum_qty
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1, 2
+"""
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/CCNet line-repetition quality signals.  The driver corpus
+    has no newlines, so the query first rebuilds each document as
+    6-token lines with every third line doubled (deterministic known
+    duplication), then measures what within-doc line dedup would
+    remove — in lines and in characters, integer-exact."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ", -1)).alias("tpos", "tok"),
+    )
+    lines = toks.groupBy(
+        "doc_id", F.floor(F.col("tpos") / 6).cast("long").alias("pos")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("line")
+    )
+    rebuilt = lines.groupBy("doc_id").agg(
+        F.array_join(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: F.when(
+                        s["pos"] % 3 == 0, F.array(s["line"], s["line"])
+                    ).otherwise(F.array(s["line"])),
+                )
+            ),
+            "\n",
+        ).alias("text")
+    )
+    return repetition_signals(rebuilt)
+
+
+_SQL_REPETITION = """
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS tpos, unnest(l) AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+lines AS (
+  SELECT doc_id, CAST((tpos - 1) // 6 AS BIGINT) AS pos,
+         string_agg(tok, ' ' ORDER BY tpos) AS line
+  FROM toks GROUP BY doc_id, (tpos - 1) // 6),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN pos % 3 = 0 THEN line || chr(10) || line
+                         ELSE line END, chr(10) ORDER BY pos) AS text
+  FROM lines GROUP BY doc_id),
+larr AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS ls
+  FROM rebuilt)
+SELECT doc_id,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS n_dup_lines,
+       CAST(COALESCE(list_sum(list_transform(ls, x -> length(x))), 0)
+         AS BIGINT) AS line_chars,
+       CAST(COALESCE(list_sum(list_transform(ls, x -> length(x))), 0)
+          - COALESCE(list_sum(list_transform(list_distinct(ls),
+                                             x -> length(x))), 0)
+         AS BIGINT) AS dup_line_chars
+FROM larr
+"""
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar sink coverage beyond parquet: write the supplier
+    projection as ORC (Spark's second native columnar format), read it
+    back through the same format-parameterized sink API.  The oracle
+    selects straight from the parquet original — the hash match proves
+    the ORC write→read cycle is lossless for long/string/double."""
+    _prep(spark)
+    path = os.path.join(SCRATCH, "orc_roundtrip")
+    df = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    write_table(df, path, fmt="orc")
+    return read_back(spark, path, fmt="orc")
+
+
+_SQL_ORC_ROUNDTRIP = """
+SELECT s_suppkey, s_name, s_acctbal FROM supplier
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3276,6 +3396,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join": q_fuzzy_join,
         "quantize_embeddings": q_quantize_embeddings,
         "approx_profile": q_approx_profile,
+        "salted_join": q_salted_join,
+        "repetition_signals": q_repetition_signals,
+        "orc_roundtrip": q_orc_roundtrip,
     }
 
 
@@ -3371,6 +3494,9 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_assign": _SQL_KMEANS,
         "fuzzy_join": _SQL_FUZZY,
         "quantize_embeddings": _SQL_QUANTIZE,
+        "salted_join": _SQL_SALTED_JOIN,
+        "repetition_signals": _SQL_REPETITION,
+        "orc_roundtrip": _SQL_ORC_ROUNDTRIP,
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

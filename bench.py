@@ -75,6 +75,8 @@ HEADLINE = [
     "fuzzy_join",
     "quantize_embeddings",
     "approx_profile",
+    "salted_join",
+    "repetition_signals",
 ]
 
 

@@ -37,6 +37,7 @@ from .corpus import (
     chunk_documents,
     contamination_hits,
     decontaminate,
+    repetition_signals,
     tfidf_top_terms,
     top_ngrams,
 )
@@ -127,6 +128,7 @@ __all__ = [
     "chunk_documents",
     "contamination_hits",
     "decontaminate",
+    "repetition_signals",
     "top_ngrams",
     "tfidf_top_terms",
 ]

@@ -260,6 +260,52 @@ def dedup_line_rows(
     )
 
 
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+) -> DataFrame:
+    """Per-document line-repetition quality signals (the Gopher /
+    CCNet "duplicate line fraction" family): how much of each document
+    WITHIN-document line dedup would remove, counted in lines and in
+    characters.
+
+    Returns (id, n_lines, n_dup_lines, line_chars, dup_line_chars)
+    where ``n_dup_lines`` counts occurrences beyond each distinct
+    line's first and ``dup_line_chars`` their characters.  Outputs are
+    bigint on purpose: integer counts compare exactly across engines,
+    and threshold filters rewrite fraction predicates without division
+    (``n_dup_lines / n_lines > t`` ⇔ ``n_dup_lines > t * n_lines``).
+
+    Scale shape: entirely per-row array math — split, array_distinct,
+    two length folds.  No shuffle, no UDF, no state: at 100 TB this
+    runs at scan speed and pipelines into the same stage as the scan.
+    ``delim`` is a Java regex, matching :func:`dedup_lines`.
+    """
+    lines = F.filter(
+        F.split(F.col(text_col), delim, -1), lambda x: x != F.lit("")
+    )
+    distinct = F.array_distinct(lines)
+
+    def _chars(arr):
+        return F.aggregate(
+            F.transform(arr, lambda x: F.length(x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        (F.size(lines) - F.size(distinct)).cast("bigint").alias(
+            "n_dup_lines"
+        ),
+        _chars(lines).alias("line_chars"),
+        (_chars(lines) - _chars(distinct)).alias("dup_line_chars"),
+    )
+
+
 def dedup_lines(
     docs: DataFrame,
     min_dup: int = 2,

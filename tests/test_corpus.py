@@ -254,3 +254,37 @@ def test_dedup_lines_within_doc_repeats_count(spark):
     row = dedup_lines(docs, min_dup=2).collect()[0]
     assert row["kept_text"] == "unique line"
     assert row["n_removed"] == 2
+
+
+def test_repetition_signals_counts_lines_and_chars(spark):
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        repetition_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa\nbb\naa\ncc\naa"),  # 'aa' ×3 → 2 dup occurrences
+            (2, "xx\nyy"),  # no repetition
+            (3, ""),  # empty doc → all zeros
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert (out[1]["n_lines"], out[1]["n_dup_lines"]) == (5, 2)
+    assert (out[1]["line_chars"], out[1]["dup_line_chars"]) == (10, 4)
+    assert (out[2]["n_lines"], out[2]["n_dup_lines"]) == (2, 0)
+    assert out[2]["dup_line_chars"] == 0
+    assert (out[3]["n_lines"], out[3]["line_chars"]) == (0, 0)
+
+
+def test_repetition_signals_ignores_blank_lines(spark):
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        repetition_signals,
+    )
+
+    # consecutive \n produce empty strings — filtered before counting,
+    # so blank lines never count as "duplicated"
+    docs = spark.createDataFrame([(1, "aa\n\n\naa\n")], ["doc_id", "text"])
+    row = repetition_signals(docs).collect()[0]
+    assert (row["n_lines"], row["n_dup_lines"]) == (2, 1)
+    assert (row["line_chars"], row["dup_line_chars"]) == (4, 2)

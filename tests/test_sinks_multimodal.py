@@ -186,3 +186,15 @@ def test_schema_evolution_merge_on_read(spark, tmp_path):
     assert set(merged.columns) >= {"id", "name", "score"}
     rows = {r["id"]: r["score"] for r in merged.collect()}
     assert rows[1] is None and rows[2] == 9.5
+
+
+def test_orc_roundtrip_lossless(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, -0.25), (3, "c", None)],
+        "id long, name string, val double",
+    )
+    path = str(tmp_path / "orc_rt")
+    write_table(df, path, fmt="orc")
+    back = read_back(spark, path, fmt="orc")
+    assert back.schema == df.schema
+    assert sorted(back.collect()) == sorted(df.collect())
