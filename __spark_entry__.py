@@ -88,6 +88,11 @@ from blueforty___etl_data_pipeline_spark.operators.corpus import (
     top_ngrams,
 )
 from blueforty___etl_data_pipeline_spark.operators.skew import salted_join
+from blueforty___etl_data_pipeline_spark.operators.analytics import (
+    cohort_retention,
+    funnel_counts,
+    sessionize,
+)
 from blueforty___etl_data_pipeline_spark.operators.presentation import top_n
 from blueforty___etl_data_pipeline_spark.operators.temporal import (
     resample_ffill,
@@ -3293,6 +3298,87 @@ SELECT s_suppkey, s_name, s_acctbal FROM supplier
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-rule sessionization (30 min) keeping every event row, then
+    aggregated to per-session stats.  Complements session_window (which
+    aggregates away the rows); the session boundary rule and the
+    resulting event partition must agree with the oracle exactly."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, gap_minutes=30)
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.unix_micros(F.col("ts"))).alias("start_us"),
+        F.max(F.unix_micros(F.col("ts"))).alias("end_us"),
+    )
+
+
+_SQL_SESSIONIZE = """
+WITH o AS (
+  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_us
+  FROM events),
+m AS (
+  SELECT user_id, us,
+         SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM o)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events, MIN(us) AS start_us, MAX(us) AS end_us
+FROM m GROUP BY 1, 2
+"""
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase: step k counts only strictly
+    after the user's earliest step k-1 completion."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(ev, steps=("view", "click", "purchase"))
+
+
+_SQL_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id AS u, MIN(epoch_us(ts)) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id AS u, MIN(epoch_us(e.ts)) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.u
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t GROUP BY 1),
+s3 AS (
+  SELECT e.user_id AS u, MIN(epoch_us(e.ts)) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.u
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t GROUP BY 1)
+SELECT CAST(1 AS INTEGER) AS step, 'view' AS step_name,
+       COUNT(*) AS n_users FROM s1
+UNION ALL SELECT CAST(2 AS INTEGER), 'click', COUNT(*) FROM s2
+UNION ALL SELECT CAST(3 AS INTEGER), 'purchase', COUNT(*) FROM s3
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix over events; week bucket is
+    epoch-day // 7 (integer — immune to engine WEEK conventions)."""
+    _prep(spark)
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
+_SQL_COHORT = """
+WITH wk AS (
+  SELECT user_id AS u,
+         CAST(FLOOR(date_diff('day', DATE '1970-01-01',
+                              CAST(ts AS DATE)) / 7) AS BIGINT) AS w
+  FROM events),
+first AS (SELECT u, MIN(w) AS cohort_week FROM wk GROUP BY 1)
+SELECT cohort_week, w - cohort_week AS week_offset,
+       COUNT(DISTINCT u) AS n_users
+FROM wk JOIN first USING (u) GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3399,6 +3485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "repetition_signals": q_repetition_signals,
         "orc_roundtrip": q_orc_roundtrip,
+        "sessionize": q_sessionize,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -3497,6 +3586,9 @@ def oracle_sql() -> dict[str, str]:
         "salted_join": _SQL_SALTED_JOIN,
         "repetition_signals": _SQL_REPETITION,
         "orc_roundtrip": _SQL_ORC_ROUNDTRIP,
+        "sessionize": _SQL_SESSIONIZE,
+        "funnel": _SQL_FUNNEL,
+        "cohort_retention": _SQL_COHORT,
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

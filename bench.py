@@ -77,6 +77,9 @@ HEADLINE = [
     "approx_profile",
     "salted_join",
     "repetition_signals",
+    "sessionize",
+    "funnel",
+    "cohort_retention",
 ]
 
 

@@ -7,7 +7,14 @@ reference's linear script of SQL statements.
 """
 
 from .aggregate import grouped_sum_round, preagg_join
-from .analytics import ranked, running_sum, with_lag_lead
+from .analytics import (
+    cohort_retention,
+    funnel_counts,
+    ranked,
+    running_sum,
+    sessionize,
+    with_lag_lead,
+)
 from .constraints import constraint_violations
 from .dedup import (
     dedup_exact,
@@ -74,6 +81,9 @@ __all__ = [
     "with_lag_lead",
     "running_sum",
     "ranked",
+    "sessionize",
+    "funnel_counts",
+    "cohort_retention",
     "constraint_violations",
     "hash_sample",
     "hash_split",

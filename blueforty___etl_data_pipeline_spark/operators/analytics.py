@@ -65,3 +65,128 @@ def ranked(
     w = _w(partition_by, order_by)
     fn = F.dense_rank() if dense else F.rank()
     return df.select("*", fn.over(w).cast("int").alias(alias))
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Assign a per-user session index by the classic gap rule: a new
+    session starts when the time since the user's previous event
+    exceeds ``gap_minutes``.
+
+    Adds ``session_idx`` (1-based per user); ``(user, session_idx)`` is
+    the session key.  Unlike ``F.session_window`` (which aggregates
+    away the rows), this keeps every event row — the form downstream
+    per-event feature pipelines need.
+
+    One shuffle on ``user_col``; the lag and the running count share a
+    single window sort.  The order (ts, tiebreak) is total, so session
+    boundaries are identical under any partitioning.  The gap compare
+    is integer microseconds — no float time arithmetic.
+    """
+    w = _w([user_col], [ts_col, tiebreak_col])
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    is_new = F.when(
+        prev_us.isNull()
+        | (F.unix_micros(F.col(ts_col)) - prev_us > F.lit(gap_us)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.select(
+        "*", F.sum(is_new).over(wrun).cast("long").alias("session_idx")
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users reached step k, where
+    step k counts only when it happens STRICTLY AFTER the user's
+    earliest completion of step k-1.
+
+    Returns (step, step_name, n_users), one row per funnel step.
+
+    Scale shape: per step, one filtered aggregation (min event time per
+    user) and one equi-join against the survivors of the previous step
+    — never a per-user sort of full history, never a cross join.  The
+    survivor side only shrinks, so after a selective first step Spark's
+    AQE promotes the joins to broadcast.  Time compares are integer
+    microseconds.
+    """
+    if not steps:
+        raise ValueError("need at least one funnel step")
+    ev = df.select(
+        F.col(user_col).alias("_u"),
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        F.col(event_col).alias("_e"),
+    )
+    counts = []
+    cur = (
+        ev.filter(F.col("_e") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_us").alias("_t"))
+    )
+    counts.append(cur)
+    for name in steps[1:]:
+        nxt = (
+            ev.filter(F.col("_e") == name)
+            .join(cur.select("_u", F.col("_t").alias("_pt")), on="_u")
+            .filter(F.col("_us") > F.col("_pt"))
+            .groupBy("_u")
+            .agg(F.min("_us").alias("_t"))
+        )
+        counts.append(nxt)
+        cur = nxt
+    out = None
+    for i, (name, users) in enumerate(zip(steps, counts), start=1):
+        row = users.agg(
+            F.lit(i).cast("int").alias("step"),
+            F.lit(name).alias("step_name"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort-retention matrix: users bucketed by first-seen
+    week, counted distinct in each later week they return.
+
+    Returns (cohort_week, week_offset, n_users) where ``cohort_week``
+    is integer weeks since 1970-01-01 (epoch-day // 7 — pure integer
+    bucketing, immune to the engines' differing WEEK/date-trunc
+    conventions) and ``week_offset`` is 0 for the cohort's own week.
+
+    Plan: one aggregation for first-seen per user, one join of events
+    back to it (the per-user side is |users| rows — broadcast-able far
+    beyond memory limits that would stop the raw events), one distinct
+    count per (cohort, offset).
+    """
+    wk = lambda c: F.floor(F.unix_date(F.to_date(c)) / 7)  # noqa: E731
+    first = df.groupBy(F.col(user_col).alias("_u")).agg(
+        F.min(wk(F.col(ts_col))).alias("cohort_week")
+    )
+    act = df.select(
+        F.col(user_col).alias("_u"), wk(F.col(ts_col)).alias("_w")
+    )
+    return (
+        act.join(first, on="_u")
+        .groupBy(
+            "cohort_week",
+            (F.col("_w") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count_distinct(F.col("_u")).alias("n_users"))
+    )

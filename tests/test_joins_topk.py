@@ -166,3 +166,112 @@ def test_null_safe_join_matches_null_buckets(spark):
     # A plain equi-join drops the NULL pair — guard the difference.
     plain = left.join(right, left["k"] == right["k2"]).count()
     assert plain == 1
+
+
+def test_sessionize_gap_rule(spark):
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        sessionize,
+    )
+
+    rows = [
+        # user 1: events at 0, 10, 50, 65 min → gap 30 splits at 50
+        (1, 1, "2024-01-01 00:00:00"),
+        (2, 1, "2024-01-01 00:10:00"),
+        (3, 1, "2024-01-01 00:50:00"),
+        (4, 1, "2024-01-01 01:05:00"),
+        # user 2: single event
+        (5, 2, "2024-01-01 12:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string"
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    out = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_sessionize_exact_gap_is_same_session(spark):
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        sessionize,
+    )
+
+    # boundary: exactly 30 min is NOT > gap → same session
+    df = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:00"), (2, 1, "2024-01-01 00:30:00")],
+        "event_id long, user_id long, ts_s string",
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    idx = {r["event_id"]: r["session_idx"] for r in sessionize(df).collect()}
+    assert idx == {1: 1, 2: 1}
+
+
+def test_funnel_requires_strict_order(spark):
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        funnel_counts,
+    )
+
+    rows = [
+        # user 1 completes A→B→C in order
+        (1, 1, "A", 10), (2, 1, "B", 20), (3, 1, "C", 30),
+        # user 2 does B before A: reaches step 1 only
+        (4, 2, "B", 10), (5, 2, "A", 20),
+        # user 3 does A and C but no B: step 1 only
+        (6, 3, "A", 10), (7, 3, "C", 20),
+        # user 4 never does A: counted nowhere
+        (8, 4, "B", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, sec long"
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_seconds(F.col("sec")).alias("ts"),
+    )
+    out = {
+        r["step_name"]: r["n_users"]
+        for r in funnel_counts(df, steps=("A", "B", "C")).collect()
+    }
+    assert out == {"A": 3, "B": 1, "C": 1}
+
+
+def test_funnel_same_timestamp_not_counted(spark):
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        funnel_counts,
+    )
+
+    # B at the SAME instant as A is not strictly after → step 2 empty
+    df = spark.createDataFrame(
+        [(1, 1, "A", 10), (2, 1, "B", 10)],
+        "event_id long, user_id long, event_type string, sec long",
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_seconds(F.col("sec")).alias("ts"),
+    )
+    out = {
+        r["step_name"]: r["n_users"]
+        for r in funnel_counts(df, steps=("A", "B")).collect()
+    }
+    assert out == {"A": 1, "B": 0}
+
+
+def test_cohort_retention_offsets(spark):
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        cohort_retention,
+    )
+
+    rows = [
+        # user 1 first seen week of 2024-01-01, returns 2 weeks later
+        (1, 1, "2024-01-01 08:00:00"),
+        (2, 1, "2024-01-15 08:00:00"),
+        # user 2 same cohort week, never returns
+        (3, 2, "2024-01-02 08:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string"
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    out = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in cohort_retention(df).collect()
+    }
+    offsets = {k[1]: v for k, v in out.items()}
+    assert offsets == {0: 2, 2: 1}
