@@ -113,6 +113,7 @@ from blueforty___etl_data_pipeline_spark.operators.similarity import (
     ann_ivf,
     ann_lsh_bucketed,
     assign_nearest_centroid,
+    kmeans_lloyd,
     embedding_near_dup_pairs,
     quantize_embeddings,
 )
@@ -3366,6 +3367,73 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(_t(spark, sf_dir, "events"))
 
 
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd k-means (2 update rounds + final assignment) in
+    integer fixed-point — the oracle unrolls the SAME two iterations in
+    SQL, so the hash match proves every assignment and every centroid
+    mean is bit-identical across engines (see
+    operators/similarity.kmeans_lloyd)."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 50 == 0)
+    return kmeans_lloyd(emb, cents, iters=2)
+
+
+def _d_mdot(a: str, b: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, 65), i -> {a}[i] * {b}[i])), "
+        "(x, y) -> x + y)"
+    )
+
+
+def _d_mcos(a: str, b: str) -> str:
+    dot = _d_mdot(a, b)
+    na = f"SQRT({_d_mdot(a, a)})"
+    nb = f"SQRT({_d_mdot(b, b)})"
+    return f"CASE WHEN {na} * {nb} > 0 THEN ({dot}) / ({na} * {nb}) END"
+
+
+def _d_kmeans_round(i: int) -> str:
+    cos = _d_mcos("c.mv", "k.kv")
+    return f"""a{i} AS (
+  SELECT vid, cid FROM (
+    SELECT c.vid, k.cid,
+           ROW_NUMBER() OVER (PARTITION BY c.vid
+             ORDER BY ROUND({cos}, 6) DESC, k.cid) AS rn
+    FROM c CROSS JOIN k{i - 1} k) WHERE rn = 1),
+u{i} AS (
+  SELECT cid, i AS pos, CAST(FLOOR(SUM(v) / COUNT(*)) AS DOUBLE) AS d
+  FROM (SELECT a.cid, generate_subscripts(c.mv, 1) AS i, unnest(c.mv) AS v
+        FROM a{i} a JOIN c ON a.vid = c.vid)
+  GROUP BY cid, i),
+k{i} AS (SELECT cid, list(d ORDER BY pos) AS kv FROM u{i} GROUP BY cid)"""
+
+
+_SQL_KMEANS_TRAIN = f"""
+WITH c AS (
+  SELECT vec_id AS vid,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS DOUBLE)) AS mv
+  FROM embeddings),
+k0 AS (SELECT vid AS cid, mv AS kv FROM c WHERE vid % 50 = 0),
+{_d_kmeans_round(1)},
+{_d_kmeans_round(2)},
+a3 AS (
+  SELECT vid, cid FROM (
+    SELECT c.vid, k.cid,
+           ROW_NUMBER() OVER (PARTITION BY c.vid
+             ORDER BY ROUND({_d_mcos("c.mv", "k.kv")}, 6) DESC, k.cid) AS rn
+    FROM c CROSS JOIN k2 k) WHERE rn = 1)
+SELECT k.cid AS centroid_id, m.n_members,
+       CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE), k.kv),
+                        (x, y) -> x + y) AS BIGINT) AS centroid_sum
+FROM k2 k
+JOIN (SELECT cid, COUNT(*) AS n_members FROM a3 GROUP BY 1) m
+  ON k.cid = m.cid
+"""
+
+
 _SQL_COHORT = """
 WITH wk AS (
   SELECT user_id AS u,
@@ -3488,6 +3556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
+        "kmeans_train": q_kmeans_train,
     }
 
 
@@ -3589,6 +3658,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _SQL_SESSIONIZE,
         "funnel": _SQL_FUNNEL,
         "cohort_retention": _SQL_COHORT,
+        "kmeans_train": _SQL_KMEANS_TRAIN,
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

@@ -80,6 +80,7 @@ HEADLINE = [
     "sessionize",
     "funnel",
     "cohort_retention",
+    "kmeans_train",
 ]
 
 

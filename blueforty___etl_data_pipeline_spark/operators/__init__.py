@@ -60,6 +60,7 @@ from .similarity import (
     ann_ivf,
     ann_lsh_bucketed,
     embedding_near_dup_pairs,
+    kmeans_lloyd,
     score_batch_numpy,
 )
 from .skew import key_histogram, salted_join
@@ -119,6 +120,7 @@ __all__ = [
     "ann_lsh_bucketed",
     "ann_ivf",
     "embedding_near_dup_pairs",
+    "kmeans_lloyd",
     "score_batch_numpy",
     "binarize",
     "extract_features",

@@ -392,6 +392,107 @@ def assign_nearest_centroid(
     return best.select(id_col, centroid_id_col, "score")
 
 
+def _micro_vec(vec):
+    # float → integer micros, carried as double: every value and every
+    # intermediate below stays an exact integer < 2^53, so double
+    # arithmetic is EXACT and bit-identical in any IEEE engine.
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * 1e6).cast("double")
+    )
+
+
+def kmeans_lloyd(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Full Lloyd k-means loop (assign → mean-update, ``iters`` rounds,
+    then a final assignment), made CROSS-ENGINE DETERMINISTIC by doing
+    every step in integer fixed-point:
+
+    - vectors are quantized once to integer micros (``floor(x·1e6)``);
+    - cosine assignment scores round to 6 dp with an id tiebreak (the
+      :func:`assign_nearest_centroid` convention);
+    - centroid updates are ``floor(sum/count)`` per dimension — sums of
+      integers under 2^53, so the mean is exact regardless of partition
+      order or summation order (a raw float mean is neither).
+
+    Returns (centroid_id, n_members, centroid_sum): membership counts
+    under the final centroids plus an exact integer fingerprint of each
+    centroid vector.  Centroids that lose every member drop out, as in
+    textbook Lloyd.
+
+    Scale shape per iteration: one broadcast cross join + windowed
+    argmin for assignment (centroids are k rows — always the small
+    side), then posexplode → (cluster, dim) partial-aggregated sums for
+    the update: shuffle volume is O(k × dim), never O(corpus).  The
+    corpus micro-vector projection is persisted once and reused by all
+    ``iters + 1`` assignment passes.
+    """
+    c = corpus.select(
+        F.col(id_col), _micro_vec(F.col(vec_col)).alias("_mv")
+    )
+    c = c.withColumn("_n", l2_norm(F.col("_mv"))).persist()
+    k = centroids.select(
+        F.col(id_col).alias(centroid_id_col),
+        _micro_vec(F.col(vec_col)).alias("_kv"),
+    )
+
+    def _assign(cents: DataFrame) -> DataFrame:
+        kk = cents.withColumn("_kn", l2_norm(F.col("_kv")))
+        scored = c.crossJoin(F.broadcast(kk)).select(
+            F.col(id_col),
+            F.col(centroid_id_col),
+            F.round(
+                _paired_cosine(
+                    F.col("_mv"), F.col("_n"), F.col("_kv"), F.col("_kn")
+                ),
+                6,
+            ).alias("_s"),
+        )
+        return top1_per_group(
+            scored,
+            partition_by=[id_col],
+            order_by=[F.desc("_s"), F.asc(centroid_id_col)],
+        ).select(id_col, centroid_id_col)
+
+    for _ in range(iters):
+        assigned = _assign(k)
+        dims = assigned.join(c, on=id_col).select(
+            centroid_id_col,
+            F.posexplode(F.col("_mv")).alias("_pos", "_v"),
+        )
+        upd = dims.groupBy(centroid_id_col, "_pos").agg(
+            F.floor(F.sum("_v") / F.count(F.lit(1)))
+            .cast("double")
+            .alias("_d")
+        )
+        k = upd.groupBy(centroid_id_col).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_d"))),
+                lambda s: s["_d"],
+            ).alias("_kv")
+        )
+    final = _assign(k)
+    members = final.groupBy(centroid_id_col).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    checksum = k.select(
+        F.col(centroid_id_col),
+        F.aggregate(
+            F.col("_kv"), F.lit(0.0), lambda acc, x: acc + x
+        )
+        .cast("long")
+        .alias("centroid_sum"),
+    )
+    return members.join(checksum, on=centroid_id_col).select(
+        centroid_id_col, "n_members", "centroid_sum"
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -161,3 +161,26 @@ def test_quantize_embeddings_error_bound_and_numpy_parity(spark):
         # worst-case reconstruction error of floor-quantization < 1 step
         assert r["max_err_micros"] <= math.floor(scale / 127 * 1e6) + 1
         assert r["n_sat"] >= 1  # the max-|x| element saturates by construction
+
+
+def test_kmeans_lloyd_converges_to_cluster_means(spark):
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        kmeans_lloyd,
+    )
+
+    # two tight direction-clusters; seeds 0 and 10 start one in each
+    near_x = [[1.0, 0.0, 0.0, 0.0], [0.9, 0.1, 0.0, 0.0], [0.8, 0.2, 0.0, 0.0]]
+    near_y = [[0.0, 1.0, 0.0, 0.0], [0.1, 0.9, 0.0, 0.0], [0.0, 0.8, 0.2, 0.0]]
+    rows = [(i, v) for i, v in enumerate(near_x)] + [
+        (10 + i, v) for i, v in enumerate(near_y)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = df.filter((F.col("vec_id") == 0) | (F.col("vec_id") == 10))
+    out = {
+        r["centroid_id"]: r for r in kmeans_lloyd(df, cents, iters=2).collect()
+    }
+    assert set(out) == {0, 10}
+    assert out[0]["n_members"] == 3 and out[10]["n_members"] == 3
+    # centroid 0 is the exact integer-micros mean of the x-cluster:
+    # floor((1.0+0.9+0.8)e6/3) + floor((0+0.1+0.2)e6/3) = 900000 + 100000
+    assert out[0]["centroid_sum"] == 1_000_000
