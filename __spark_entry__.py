@@ -79,6 +79,7 @@ from blueforty___etl_data_pipeline_spark.operators.multimodal import (
     frame_sample_stub,
 )
 from blueforty___etl_data_pipeline_spark.operators.corpus import (
+    build_vocab,
     chunk_documents,
     contamination_hits,
     decontaminate,
@@ -124,6 +125,7 @@ from blueforty___etl_data_pipeline_spark.operators.profile import (
     histogram_fixed_width,
     iqr_outliers,
     profile_table,
+    zscore_normalize,
 )
 from blueforty___etl_data_pipeline_spark.operators.text_ops import (
     assign_packs,
@@ -3367,6 +3369,55 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(_t(spark, sf_dir, "events"))
 
 
+def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary build over the document corpus: frequency
+    counts pruned at min_count=2, dense ids by (count desc, token)."""
+    _prep(spark)
+    return build_vocab(_t(spark, sf_dir, "documents"), min_count=2)
+
+
+_SQL_VOCAB = """
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+c AS (SELECT token, COUNT(*) AS cnt FROM t WHERE token <> '' GROUP BY 1
+      HAVING COUNT(*) >= 2)
+SELECT token, cnt,
+       CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+         AS token_id
+FROM c
+"""
+
+
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score normalization of the value column,
+    engine-exact via integer fixed-point sums (see
+    operators/profile.zscore_normalize)."""
+    _prep(spark)
+    return zscore_normalize(
+        _t(spark, sf_dir, "events"),
+        group_col="event_type",
+        value_col="value",
+        id_cols=("event_id",),
+    )
+
+
+_SQL_ZSCORE = """
+WITH m AS (SELECT event_id, event_type,
+                  CAST(FLOOR(value * 1000) AS BIGINT) AS mv FROM events),
+s AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(mv) AS BIGINT) AS sv,
+             CAST(SUM(mv * mv) AS BIGINT) AS sq
+      FROM m GROUP BY 1)
+SELECT m.event_id, m.event_type,
+       CAST(FLOOR(CASE WHEN (CAST(sq AS DOUBLE)
+                             - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n) / n
+                       > 0
+            THEN (CAST(mv AS DOUBLE) - CAST(sv AS DOUBLE) / n)
+                 / SQRT((CAST(sq AS DOUBLE)
+                         - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n) / n)
+            END * 1e6) AS BIGINT) AS z_scaled
+FROM m JOIN s USING (event_type)
+"""
+
+
 def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Lloyd k-means (2 update rounds + final assignment) in
     integer fixed-point — the oracle unrolls the SAME two iterations in
@@ -3557,6 +3608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "kmeans_train": q_kmeans_train,
+        "build_vocab": q_build_vocab,
+        "zscore": q_zscore,
     }
 
 
@@ -3659,6 +3712,8 @@ def oracle_sql() -> dict[str, str]:
         "funnel": _SQL_FUNNEL,
         "cohort_retention": _SQL_COHORT,
         "kmeans_train": _SQL_KMEANS_TRAIN,
+        "build_vocab": _SQL_VOCAB,
+        "zscore": _SQL_ZSCORE,
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

@@ -81,6 +81,8 @@ HEADLINE = [
     "funnel",
     "cohort_retention",
     "kmeans_train",
+    "build_vocab",
+    "zscore",
 ]
 
 

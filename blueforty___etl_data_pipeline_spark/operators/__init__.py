@@ -41,6 +41,7 @@ from .multimodal import binarize, extract_features, frame_sample_stub
 from .presentation import ordered, top_n
 from .sampling import hash_sample, hash_split, quota_cap, stratified_sample
 from .corpus import (
+    build_vocab,
     chunk_documents,
     contamination_hits,
     decontaminate,
@@ -54,6 +55,7 @@ from .profile import (
     histogram_fixed_width,
     iqr_outliers,
     profile_table,
+    zscore_normalize,
 )
 from .similarity import (
     ann_brute_force,
@@ -137,6 +139,8 @@ __all__ = [
     "grouped_quantiles_disc",
     "iqr_outliers",
     "profile_table",
+    "zscore_normalize",
+    "build_vocab",
     "chunk_documents",
     "contamination_hits",
     "decontaminate",

@@ -260,6 +260,40 @@ def dedup_line_rows(
     )
 
 
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Tokenizer-style vocabulary build: corpus-wide token counts,
+    pruned by ``min_count``, with dense ids assigned by frequency rank
+    (count desc, token asc — fully deterministic).
+
+    Returns (token, cnt, token_id), ``token_id`` starting at 1.
+
+    Scale shape: the count is the canonical partial-aggregated
+    word-count (shuffle bounded by per-task vocabulary).  The id
+    assignment is ONE global window sort — over the *pruned
+    vocabulary*, which is orders of magnitude smaller than the corpus
+    (and shrinks further as min_count rises); a vocabulary too big to
+    sort on one executor is a vocabulary too big to train with.
+    """
+    toks = df.select(
+        F.explode(tokens_ws(F.col(text_col))).alias("token")
+    )
+    counts = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(min_count))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return counts.select(
+        "token",
+        "cnt",
+        F.row_number().over(w).cast("long").alias("token_id"),
+    )
+
+
 def repetition_signals(
     df: DataFrame,
     text_col: str = "text",

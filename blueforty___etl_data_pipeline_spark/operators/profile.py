@@ -193,6 +193,50 @@ def profile_table(
              "max_repr")
 
 
+def zscore_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_cols: Sequence[str] = (),
+    scale: int = 1000,
+    out_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group z-score normalization (the standard feature-scaling
+    step), engine-exact: values are fixed-pointed to ``scale`` units
+    first, so the per-group count/sum/sum-of-squares are EXACT bigint
+    sums — mean and variance then derive from three scalars with the
+    same IEEE ops in any engine, instead of from an order-dependent
+    float sum.  Output z is reported as ``floor(z · out_scale)``.
+
+    Returns id_cols + (group, z_scaled); rows in zero-variance groups
+    get null.
+
+    Plan: ONE partial-aggregated groupBy producing a k-row stats table,
+    broadcast back onto the scan — the normalize pass itself is
+    shuffle-free, so this composes into the same stage as the read.
+    """
+    m = F.floor(F.col(value_col) * scale).cast("long")
+    stats = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(m).alias("_s"),
+        F.sum(m * m).alias("_sq"),
+    )
+    joined = df.select(*id_cols, group_col, m.alias("_m")).join(
+        F.broadcast(stats), on=group_col
+    )
+    n = F.col("_n").cast("double")
+    s = F.col("_s").cast("double")
+    sq = F.col("_sq").cast("double")
+    mean = s / n
+    var = (sq - s * s / n) / n
+    z = F.when(var > 0, (F.col("_m").cast("double") - mean) / F.sqrt(var))
+    return joined.select(
+        *id_cols,
+        group_col,
+        F.floor(z * out_scale).cast("long").alias("z_scaled"),
+    )
+
+
 def grouped_quantiles_disc(
     df: DataFrame,
     group_cols: Sequence[str],

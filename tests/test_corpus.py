@@ -288,3 +288,20 @@ def test_repetition_signals_ignores_blank_lines(spark):
     row = repetition_signals(docs).collect()[0]
     assert (row["n_lines"], row["n_dup_lines"]) == (2, 1)
     assert (row["line_chars"], row["dup_line_chars"]) == (4, 2)
+
+
+def test_build_vocab_rank_and_prune(spark):
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        build_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a b")], ["doc_id", "text"]
+    )
+    out = {
+        r["token"]: r for r in build_vocab(docs, min_count=2).collect()
+    }
+    # c (count 1) pruned; b (4) ranks before a (3)
+    assert set(out) == {"a", "b"}
+    assert out["b"]["token_id"] == 1 and out["b"]["cnt"] == 4
+    assert out["a"]["token_id"] == 2 and out["a"]["cnt"] == 3

@@ -235,3 +235,29 @@ def test_approx_profile_error_bounds(spark):
             assert got in vals
             idx = vals.index(got)
             assert abs(idx - p * (n - 1)) <= tol, (k, p, idx, n)
+
+
+def test_zscore_normalize_exact(spark):
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        zscore_normalize,
+    )
+
+    # group g: values 1, 2, 3 → mean 2, std sqrt(2/3); singleton group
+    # h has zero variance → null z
+    df = spark.createDataFrame(
+        [(1, "g", 1.0), (2, "g", 2.0), (3, "g", 3.0), (4, "h", 5.0)],
+        "event_id long, event_type string, value double",
+    )
+    out = {
+        r["event_id"]: r["z_scaled"]
+        for r in zscore_normalize(
+            df, "event_type", "value", id_cols=("event_id",)
+        ).collect()
+    }
+    import math
+
+    std = math.sqrt(2_000_000_000_000 / 3)  # variance of millis
+    assert out[1] == math.floor(-1000 / std * 1e9)
+    assert out[2] == 0
+    assert out[3] == math.floor(1000 / std * 1e9)
+    assert out[4] is None
