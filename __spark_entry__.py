@@ -21,6 +21,14 @@ not approximate):
 - Timestamps are compared as ``unix_micros`` bigints; dates as DATE.
 - Trig/float ranking uses a rounded sort key with an id tiebreak.
 - All text/dedup hashes derive from md5 (portable), never xxhash64.
+- Iterative/statistical ops run in integer fixed-point: kmeans_train
+  quantizes vectors to micros and updates centroids as floor(sum/n) of
+  exact integer sums; zscore derives mean/variance from exact bigint
+  sum/sum-of-squares.  Every intermediate stays an integer below 2^53,
+  so double arithmetic on them is exact in any IEEE engine and the
+  whole loop is partition-order-invariant.
+- Week buckets are epoch-day // 7 (integer), never WEEK()/date_trunc —
+  engines disagree on week conventions.
 """
 
 from __future__ import annotations
