@@ -30,19 +30,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     selections applied by the caller reach the Parquet reader (verify with
     ``.explain`` → ``PushedFilters`` / ``ReadSchema``).
 
-    ``events`` needs special handling: its ``ts`` column is parquet
-    TIMESTAMP(NANOS), which Spark 4 refuses to read natively
-    (PARQUET_TYPE_ILLEGAL).  We read it as nanos-since-epoch via the
-    legacy conf and convert to a microsecond timestamp — integer ``div``
-    (not ``/``, which is a double division and loses precision past 2^53)
-    so the value agrees bit-for-bit with engines that truncate ns→µs.
+    ``events`` needs special handling: some generations of the fixture
+    store ``ts`` as parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    read natively (PARQUET_TYPE_ILLEGAL).  We enable the legacy
+    nanos-as-long conf before reading and then normalize on the OBSERVED
+    dtype: a bigint ``ts`` (nanos fixture) is truncated to a microsecond
+    timestamp — integer ``div`` (not ``/``, which is a double division
+    and loses precision past 2^53) so the value agrees bit-for-bit with
+    engines that truncate ns→µs; a native timestamp ``ts`` (micros
+    fixture) passes through untouched.  Keying on the read schema rather
+    than an assumed physical type keeps the loader correct across
+    fixture regenerations.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif ts_type == "timestamp_ntz":
+            # Micros fixture without UTC-adjustment flag: wall-clock
+            # values ARE UTC instants here.  Cast to TIMESTAMP (LTZ)
+            # under a pinned UTC session zone — watermarks/F.window
+            # event time and unix_micros require LTZ
+            # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise).
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
