@@ -794,6 +794,487 @@ GROUP BY 1
 """
 
 
+# --- TPC-H analog expansion -------------------------------------------------
+# The remaining classic warehouse shapes (Q2/Q7/Q8/Q9/Q10/Q12/Q13/Q14/Q15/
+# Q19 analogs) over the driver's tables.  Money stays DECIMAL(18,4) until
+# the final ROUND(…,2)::DOUBLE so every engine agrees bit-for-bit; ratio
+# queries return numerator+denominator instead of a float division.
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
+    Both nation dims broadcast; the disjunctive pair filter runs after
+    the joins, on already-joined dimension columns."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"))
+
+
+_SQL_VOLUME_SHIPPING = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+       CAST(ROUND(SUM({_D_DISC_PRICE}), 2) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: per-year market share of NATION_3 suppliers in
+    EUROPE-customer ECONOMY-part revenue.  Returns numerator and
+    denominator (exact decimals rounded once) instead of the float
+    ratio, so the hash is engine-portable."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cust_dim = (
+        c.join(
+            F.broadcast(
+                n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+            ),
+            c["c_nationkey"] == n["n_nationkey"],
+        ).select("c_custkey")
+    )
+    supp_dim = s.join(
+        F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        s["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    joined = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(cust_dim, o["o_custkey"] == cust_dim["c_custkey"])
+        .join(F.broadcast(supp_dim), li["l_suppkey"] == supp_dim["s_suppkey"])
+    )
+    zero = F.lit(0).cast(DecimalType(18, 4))
+    return joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", _disc_price()).otherwise(
+                    zero
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("nation_revenue"),
+        F.round(F.sum(_disc_price()), 2).cast("double").alias("total_revenue"),
+    )
+
+
+_SQL_MARKET_SHARE = f"""
+SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+       CAST(ROUND(SUM(CASE WHEN n1.n_name = 'NATION_3'
+                           THEN {_D_DISC_PRICE}
+                           ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+         AS nation_revenue,
+       CAST(ROUND(SUM({_D_DISC_PRICE}), 2) AS DOUBLE) AS total_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+JOIN region r ON n2.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+WHERE p.p_type = 'ECONOMY' AND r.r_name = 'EUROPE'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: revenue on a part-name pattern, grouped by
+    supplier nation and order year.  The LIKE predicate pushes into the
+    part scan; part and nation broadcast."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+    ).agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("sum_profit"))
+
+
+_SQL_PRODUCT_PROFIT = f"""
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+       CAST(ROUND(SUM({_D_DISC_PRICE}), 2) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%gear%'
+GROUP BY 1, 2
+"""
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+    quarter, ordered on the EXACT decimal revenue with a custkey
+    tiebreak so the limit boundary is deterministic."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    )
+    agg = joined.groupBy(
+        "c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation")
+    ).agg(F.sum(_disc_price()).alias("_rev"))
+    return (
+        agg.orderBy(F.desc("_rev"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            "nation",
+            F.round(F.col("_rev"), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+_SQL_RETURNED_ITEMS = f"""
+SELECT c_custkey, c_name, c_acctbal, nation,
+       CAST(ROUND(_rev, 2) AS DOUBLE) AS revenue
+FROM (
+  SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name AS nation,
+         SUM({_D_DISC_PRICE}) AS _rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o.o_orderdate < TIMESTAMP '1997-04-01'
+  GROUP BY 1, 2, 3, 4)
+ORDER BY _rev DESC, c_custkey LIMIT 20
+"""
+
+
+def q_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per line status, how many lines belong to
+    high- vs low-priority orders (conditional counts fused into one
+    aggregate pass)."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+_SQL_PRIORITY_SHIPMODE = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of order counts per customer,
+    INCLUDING zero-order customers (left join + count of the right key,
+    then a second aggregation over the counts)."""
+    _prep(spark)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+_SQL_CUSTOMER_DISTRIBUTION = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY 1)
+GROUP BY 1
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly promo-class revenue share.  Numerator
+    and denominator are returned as exact-rounded doubles; no float
+    division enters the hash."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    zero = F.lit(0).cast(DecimalType(18, 4))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("ym")
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("p_type") == "ECONOMY", _disc_price()).otherwise(
+                        zero
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("promo_revenue"),
+            F.round(F.sum(_disc_price()), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+_SQL_PROMO_REVENUE = f"""
+SELECT CAST(EXTRACT(YEAR FROM l.l_shipdate) * 100
+            + EXTRACT(MONTH FROM l.l_shipdate) AS BIGINT) AS ym,
+       CAST(ROUND(SUM(CASE WHEN p.p_type = 'ECONOMY'
+                           THEN {_D_DISC_PRICE}
+                           ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+         AS promo_revenue,
+       CAST(ROUND(SUM({_D_DISC_PRICE}), 2) AS DOUBLE) AS total_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    revenue — the per-supplier aggregate is computed once and compared
+    against its own 1-row MAX via a broadcast join (exact decimal
+    equality, so ties all surface)."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(F.sum(_disc_price()).alias("_rev"))
+    top = rev.agg(F.max("_rev").alias("_max_rev"))
+    return (
+        rev.join(F.broadcast(top), rev["_rev"] == top["_max_rev"])
+        .join(F.broadcast(s), rev["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("_rev"), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+_SQL_TOP_SUPPLIER = f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM({_D_DISC_PRICE}) AS _rev
+  FROM lineitem l
+  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY 1)
+SELECT s.s_suppkey, s.s_name, CAST(ROUND(_rev, 2) AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+WHERE _rev = (SELECT MAX(_rev) FROM rev)
+"""
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each mid-size EUROPE-sourced part, the
+    supplier quoting the lowest observed line price.  The correlated
+    MIN subquery is decorrelated into a per-part window argmin
+    (row_number over exact decimal price, suppkey tiebreak)."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") >= 10) & (F.col("p_size") <= 15)
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp_dim = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+    offers = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(supp_dim), li["l_suppkey"] == supp_dim["s_suppkey"])
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "nation")
+        .agg(F.min(F.col("l_extendedprice").cast(_D2)).alias("_cost"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.asc("_cost"), F.asc("s_suppkey")
+    )
+    return (
+        offers.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            "nation",
+            F.col("_cost").cast("double").alias("min_cost"),
+        )
+    )
+
+
+_SQL_MIN_COST_SUPPLIER = """
+SELECT p_partkey, p_name, s_suppkey, s_name, nation,
+       CAST(_cost AS DOUBLE) AS min_cost
+FROM (
+  SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+         n.n_name AS nation,
+         MIN(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS _cost,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.p_partkey
+           ORDER BY MIN(CAST(l.l_extendedprice AS DECIMAL(18,2))),
+                    s.s_suppkey) AS _rn
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE p.p_size BETWEEN 10 AND 15 AND r.r_name = 'EUROPE'
+  GROUP BY 1, 2, 3, 4, 5)
+WHERE _rn = 1
+"""
+
+
+def q_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate mixing
+    part attributes and lineitem ranges.  Catalyst extracts the common
+    join key and pushes the per-branch part filters into the scan."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    qty = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & qty.between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(5, 25)
+            & qty.between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(10, 40)
+            & qty.between(20, 45)
+        )
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_SQL_DISJUNCTIVE_PRED = f"""
+SELECT CAST(ROUND(SUM({_D_DISC_PRICE}), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 25
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 40
+       AND l.l_quantity BETWEEN 20 AND 45)
+"""
+
+
 # --- geo KNN (J3+F13-F16+W1+C2+P7) -----------------------------------------
 # Synthetic-but-deterministic geography derived with integer arithmetic from
 # the driver's tables, identically on both engines.
@@ -3618,6 +4099,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_train": q_kmeans_train,
         "build_vocab": q_build_vocab,
         "zscore": q_zscore,
+        "volume_shipping": q_volume_shipping,
+        "market_share": q_market_share,
+        "product_profit": q_product_profit,
+        "returned_items": q_returned_items,
+        "priority_shipmode": q_priority_shipmode,
+        "customer_distribution": q_customer_distribution,
+        "promo_revenue": q_promo_revenue,
+        "top_supplier": q_top_supplier,
+        "min_cost_supplier": q_min_cost_supplier,
+        "disjunctive_pred": q_disjunctive_pred,
     }
 
 
@@ -3722,6 +4213,16 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_train": _SQL_KMEANS_TRAIN,
         "build_vocab": _SQL_VOCAB,
         "zscore": _SQL_ZSCORE,
+        "volume_shipping": _SQL_VOLUME_SHIPPING,
+        "market_share": _SQL_MARKET_SHARE,
+        "product_profit": _SQL_PRODUCT_PROFIT,
+        "returned_items": _SQL_RETURNED_ITEMS,
+        "priority_shipmode": _SQL_PRIORITY_SHIPMODE,
+        "customer_distribution": _SQL_CUSTOMER_DISTRIBUTION,
+        "promo_revenue": _SQL_PROMO_REVENUE,
+        "top_supplier": _SQL_TOP_SUPPLIER,
+        "min_cost_supplier": _SQL_MIN_COST_SUPPLIER,
+        "disjunctive_pred": _SQL_DISJUNCTIVE_PRED,
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

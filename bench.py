@@ -28,6 +28,11 @@ HEADLINE = [
     "pricing_summary",
     "shipping_priority",
     "local_supplier_volume",
+    "volume_shipping",
+    "market_share",
+    "returned_items",
+    "customer_distribution",
+    "min_cost_supplier",
     "top1_per_group",
     "argmin_agg",
     "composite_key_join",
