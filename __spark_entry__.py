@@ -60,6 +60,7 @@ from blueforty___etl_data_pipeline_spark.functions.cleaning import (
 from blueforty___etl_data_pipeline_spark.functions.text import (
     FINGERPRINT_MOD,
     FINGERPRINT_MULT,
+    strip_html,
 )
 from blueforty___etl_data_pipeline_spark.operators.dedup import (
     MERSENNE31,
@@ -87,6 +88,7 @@ from blueforty___etl_data_pipeline_spark.operators.multimodal import (
     frame_sample_stub,
 )
 from blueforty___etl_data_pipeline_spark.operators.corpus import (
+    bm25_topk,
     build_vocab,
     chunk_documents,
     contamination_hits,
@@ -140,6 +142,7 @@ from blueforty___etl_data_pipeline_spark.operators.text_ops import (
     fingerprints,
     language_id,
     quality_filter,
+    rare_token_stats,
     scrub_pii,
     text_quality,
     token_counts,
@@ -3876,6 +3879,125 @@ FROM c
 """
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction: each document is wrapped in a
+    deterministic HTML page (with a style block, a comment, entities in
+    the body, and a script block containing a bare ``<``) and stripped
+    back with functions/text.strip_html.  The oracle runs the identical
+    construction + the mirrored RE2-safe regex chain, so the hash match
+    proves block removal, tag stripping, entity decode, and whitespace
+    collapse all agree."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><style>p{margin:0}</style><!-- gen --></head>"),
+        F.lit("<body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><p>x &lt;y&gt; &amp; z</p>"),
+        F.lit('<script>if (1 < 2) { var s = "&amp;"; }</script></body></html>'),
+    )
+    out = docs.select(
+        "doc_id", strip_html(html).alias("clean_text")
+    )
+    return out.withColumn(
+        "n_tokens", F.size(F.split(F.col("clean_text"), " ")).cast("bigint")
+    )
+
+
+_D_STRIP_HTML = (
+    "trim(regexp_replace("
+    "replace(replace(replace(replace(replace(replace("
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "{h}, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),"
+    " '(?is)<style[^>]*>.*?</style>', ' ', 'g'),"
+    " '(?s)<!--.*?-->', ' ', 'g'),"
+    " '(?s)<[^>]+>', ' ', 'g'),"
+    " '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'),"
+    " '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+_SQL_HTML_EXTRACT = f"""
+WITH h AS (
+  SELECT doc_id,
+         '<html><head><style>p{{margin:0}}</style><!-- gen --></head>'
+         || '<body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
+         || text || '</p><p>x &lt;y&gt; &amp; z</p>'
+         || '<script>if (1 < 2) {{ var s = "&amp;"; }}</script></body></html>'
+           AS html
+  FROM documents)
+SELECT doc_id, {_D_STRIP_HTML.format(h='html')} AS clean_text,
+       CAST(len(string_split({_D_STRIP_HTML.format(h='html')}, ' '))
+            AS BIGINT) AS n_tokens
+FROM h
+"""
+
+
+def q_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOV-rate quality signal: per-document count of tokens outside
+    the top-20 corpus vocabulary, with an integer fixed-point permille
+    rate (operators/text_ops.rare_token_stats)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, min_count=1).filter(F.col("token_id") <= 20)
+    return rare_token_stats(docs, vocab)
+
+
+_SQL_RARE_TOKENS = """
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+tt AS (SELECT doc_id, token FROM t WHERE token <> ''),
+c AS (SELECT token, COUNT(*) AS cnt FROM tt GROUP BY 1),
+v AS (SELECT token FROM (
+        SELECT token, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rn
+        FROM c) WHERE rn <= 20)
+SELECT tt.doc_id, COUNT(*) AS n_tokens,
+       SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1000
+         // COUNT(*) AS oov_permille
+FROM tt LEFT JOIN v ON tt.token = v.token
+GROUP BY 1
+"""
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point BM25 top-10 for a 3-term keyword query —
+    every score is exact bigint arithmetic, so the oracle reproduces
+    the full ranking bit-for-bit (operators/corpus.bm25_topk)."""
+    _prep(spark)
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        terms=["spark", "merge", "vector"],
+        k=10,
+    )
+
+
+_SQL_BM25 = """
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+tt AS (SELECT doc_id, token FROM t WHERE token <> ''),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tt GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl),
+qt AS (SELECT doc_id, token FROM tt
+       WHERE token IN ('spark', 'merge', 'vector')),
+dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df_t FROM qt GROUP BY 1),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM qt GROUP BY 1, 2),
+scored AS (
+  SELECT tf.doc_id,
+         (((2*n_docs - 2*df_t + 1) * 1000) // (2*df_t + 1))
+           * (22 * tf * total_len)
+           // ((10*tf + 3) * total_len + 9 * dl.dl * n_docs) AS term_score
+  FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+  JOIN dl ON tf.doc_id = dl.doc_id)
+SELECT doc_id, SUM(term_score) AS score_fp,
+       COUNT(*) AS n_terms_matched
+FROM scored GROUP BY 1
+ORDER BY score_fp DESC, doc_id LIMIT 10
+"""
+
+
 def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type z-score normalization of the value column,
     engine-exact via integer fixed-point sums (see
@@ -4099,6 +4221,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_train": q_kmeans_train,
         "build_vocab": q_build_vocab,
         "zscore": q_zscore,
+        "html_extract": q_html_extract,
+        "rare_tokens": q_rare_tokens,
+        "bm25_search": q_bm25_search,
         "volume_shipping": q_volume_shipping,
         "market_share": q_market_share,
         "product_profit": q_product_profit,
@@ -4213,6 +4338,9 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_train": _SQL_KMEANS_TRAIN,
         "build_vocab": _SQL_VOCAB,
         "zscore": _SQL_ZSCORE,
+        "html_extract": _SQL_HTML_EXTRACT,
+        "rare_tokens": _SQL_RARE_TOKENS,
+        "bm25_search": _SQL_BM25,
         "volume_shipping": _SQL_VOLUME_SHIPPING,
         "market_share": _SQL_MARKET_SHARE,
         "product_profit": _SQL_PRODUCT_PROFIT,

@@ -63,6 +63,9 @@ HEADLINE = [
     "multimodal_features",
     "word_stats",
     "chunk_documents",
+    "html_extract",
+    "rare_tokens",
+    "bm25_search",
     "top_ngrams",
     "tfidf_top_terms",
     "grouped_median",

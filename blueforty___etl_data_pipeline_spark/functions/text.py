@@ -192,3 +192,36 @@ def doc_fingerprint(text: Column, n: int = 3) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, h: (acc * F.lit(FINGERPRINT_MULT) + h) % F.lit(FINGERPRINT_MOD),
     )
+
+
+#: Entity decode order matters: ``&amp;`` must be decoded LAST, or
+#: double-encoded input like ``&amp;lt;`` would decode twice.
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_html(html: Column) -> Column:
+    """HTML → text extraction (the web-corpus preprocessing step): drop
+    ``<script>``/``<style>``/comment blocks wholesale, strip remaining
+    tags, decode the common entities, collapse whitespace.
+
+    Pure ``regexp_replace``/``replace`` column math — scan-speed,
+    shuffle-free, whole-stage-codegen.  The regexes avoid backreferences
+    and lookarounds so the SAME patterns run on RE2 engines (the DuckDB
+    oracle mirrors them verbatim; Java regex is a superset).  Script
+    blocks are removed BEFORE tag stripping, so a bare ``<`` inside
+    JavaScript can't orphan the rest of the document.
+    """
+    out = F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for entity, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(entity), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

@@ -361,3 +361,79 @@ def dedup_lines(
     return dedup_line_rows(
         lines, min_dup=min_dup, id_col=id_col, delim=delim
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    scale: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keyword search: top-k documents by BM25, computed ENTIRELY in
+    integer arithmetic so scores are bit-identical across engines.
+
+    Okapi BM25 with k1=1.2, b=0.75.  Two substitutions make it exact:
+
+    - the tf component  tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))  is
+      multiplied through by 10·total_len (avgdl = total_len/n_docs):
+          22·tf·total_len / ((10·tf+3)·total_len + 9·dl·n_docs)
+      — integers end to end;
+    - the usual log-IDF is replaced by its rational argument
+      (N−df+½)/(df+½) = (2N−2df+1)/(2df+1), fixed-point scaled.  The
+      log is monotone, so per-term document ordering is unchanged; the
+      multi-term mixing weights differ from textbook BM25, but the
+      scoring function is fully specified and engine-portable (the
+      DuckDB oracle reproduces every score exactly — no float ever
+      enters the pipeline).
+
+    Magnitude bound: score terms stay under
+    ``2·N·scale · 22·tf·total_len``; with scale=1000 this fits int64
+    up to ~10⁸ total corpus tokens per partition of the scoring join.
+    At larger scale, lower ``scale`` or lift the products to
+    DECIMAL(38,0).
+
+    Scale shape: token explode → per-doc length agg; the query-term
+    subset (tiny: |terms| rows per doc at most) drives everything else;
+    corpus stats and per-term document frequencies broadcast; final
+    top-k is an orderBy+limit (TakeOrdered — never a full sort).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_ws(F.col(text_col))).alias("token")
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+    qtoks = toks.filter(F.col("token").isin(*terms))
+    dfreq = qtoks.groupBy("token").agg(
+        F.countDistinct(id_col).alias("df_t")
+    )
+    tf = qtoks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .join(dl, id_col)
+        .withColumn(
+            "_idf_fp",
+            F.expr(
+                f"((2*n_docs - 2*df_t + 1) * {scale}) div (2*df_t + 1)"
+            ),
+        )
+        .withColumn(
+            "_term_score",
+            F.expr(
+                "(_idf_fp * (22 * tf * total_len))"
+                " div ((10*tf + 3) * total_len + 9 * dl * n_docs)"
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("_term_score").alias("score_fp"),
+        F.count(F.lit(1)).alias("n_terms_matched"),
+    )
+    return per_doc.orderBy(
+        F.desc("score_fp"), F.asc(id_col)
+    ).limit(k)

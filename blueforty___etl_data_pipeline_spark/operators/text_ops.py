@@ -20,6 +20,7 @@ from ..functions.text import (
     redact_pii,
     token_count_bpeish,
     token_count_ws,
+    tokens_ws,
 )
 
 
@@ -257,4 +258,43 @@ def word_stats(
         F.col("_top.cnt").alias("top_cnt"),
         (F.col("n_distinct") / F.col("n_tokens")).alias("ttr"),
         (F.col("_top.cnt") / F.col("n_tokens")).alias("top_frac"),
+    )
+
+
+def rare_token_stats(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against a token keep-list —
+    the "rare token ratio" quality signal (documents dominated by tokens
+    outside the core vocabulary are typically noise, code, or the wrong
+    language).
+
+    ``vocab`` is any DataFrame with a ``token`` column (e.g.
+    :func:`~..operators.corpus.build_vocab` output, optionally pruned to
+    the top-K ids).  Returns (id, n_tokens, n_oov, oov_permille) with
+    ``oov_permille`` an INTEGER fixed-point rate (``n_oov·1000 div
+    n_tokens``) so the result hashes identically across engines.
+
+    Scale shape: one explode + a broadcast LEFT join against the (small
+    by construction) vocabulary + one per-doc aggregation — the only
+    shuffle carries (doc, partial counts).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_ws(F.col(text_col))).alias("token")
+    )
+    keep = vocab.select("token").withColumn("_in_vocab", F.lit(1))
+    joined = toks.join(F.broadcast(keep), "token", "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias(
+            "n_oov"
+        ),
+    ).select(
+        id_col,
+        "n_tokens",
+        "n_oov",
+        F.expr("n_oov * 1000 div n_tokens").alias("oov_permille"),
     )

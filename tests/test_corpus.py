@@ -305,3 +305,86 @@ def test_build_vocab_rank_and_prune(spark):
     assert set(out) == {"a", "b"}
     assert out["b"]["token_id"] == 1 and out["b"]["cnt"] == 4
     assert out["a"]["token_id"] == 2 and out["a"]["cnt"] == 3
+
+
+def test_bm25_exact_scores_and_order(spark):
+    from blueforty___etl_data_pipeline_spark.operators.corpus import bm25_topk
+
+    # Hand-checkable corpus: doc 1 has 'q' twice in 4 tokens, doc 2 has
+    # 'q' once in 2 tokens, doc 3 never.  N=3, total_len=8.
+    docs = spark.createDataFrame(
+        [(1, "q q x y"), (2, "q z"), (3, "x y")], ["doc_id", "text"]
+    )
+    out = bm25_topk(docs, terms=["q"], k=10).collect()
+    # Only matching docs appear; ordering by exact fixed-point score.
+    assert [r["doc_id"] for r in out] == [1, 2]
+
+    def score(tf, dl, n_docs=3, total_len=8, df_t=2, scale=1000):
+        idf = ((2 * n_docs - 2 * df_t + 1) * scale) // (2 * df_t + 1)
+        return (idf * (22 * tf * total_len)) // (
+            (10 * tf + 3) * total_len + 9 * dl * n_docs
+        )
+
+    got = {r["doc_id"]: r["score_fp"] for r in out}
+    assert got[1] == score(tf=2, dl=4)
+    assert got[2] == score(tf=1, dl=2)
+
+
+def test_bm25_rarer_term_outweighs_common(spark):
+    from blueforty___etl_data_pipeline_spark.operators.corpus import bm25_topk
+
+    # 'rare' appears in 1 of 4 docs, 'common' in all 4.  Same tf and dl
+    # for the probe docs, so the rare-term doc must score higher.
+    docs = spark.createDataFrame(
+        [
+            (1, "rare a b"),
+            (2, "common a b"),
+            (3, "common c d"),
+            (4, "common e f"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["score_fp"]
+        for r in bm25_topk(docs, terms=["rare", "common"], k=10).collect()
+    }
+    assert out[1] > out[2] == out[3] == out[4]
+
+
+def test_rare_token_stats_counts(spark):
+    from blueforty___etl_data_pipeline_spark.operators.text_ops import (
+        rare_token_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "in in out"), (2, "in in in in")], ["doc_id", "text"]
+    )
+    vocab = spark.createDataFrame([("in",)], ["token"])
+    out = {r["doc_id"]: r for r in rare_token_stats(docs, vocab).collect()}
+    assert (out[1]["n_tokens"], out[1]["n_oov"]) == (3, 1)
+    assert out[1]["oov_permille"] == 333
+    assert (out[2]["n_tokens"], out[2]["n_oov"]) == (4, 0)
+    assert out[2]["oov_permille"] == 0
+
+
+def test_strip_html_blocks_tags_entities(spark):
+    from blueforty___etl_data_pipeline_spark.functions.text import strip_html
+
+    html = (
+        '<html><head><style>p {color: red}</style><!-- note --></head>'
+        '<body><h1>Title</h1><p>A &amp; B &lt;kept&gt;</p>'
+        '<script>if (1 < 2) { alert("x"); }</script>'
+        '<p>tail   text</p></body></html>'
+    )
+    df = spark.createDataFrame([(html,)], ["html"])
+    out = df.select(strip_html(F.col("html")).alias("t")).collect()[0]["t"]
+    assert out == "Title A & B <kept> tail text"
+
+
+def test_strip_html_amp_decoded_last(spark):
+    from blueforty___etl_data_pipeline_spark.functions.text import strip_html
+
+    # '&amp;lt;' must become the literal '&lt;', never '<'.
+    df = spark.createDataFrame([("<p>&amp;lt;</p>",)], ["html"])
+    out = df.select(strip_html(F.col("html")).alias("t")).collect()[0]["t"]
+    assert out == "&lt;"
