@@ -67,6 +67,7 @@ from blueforty___etl_data_pipeline_spark.operators.dedup import (
     _hash_params,
     exact_dup_groups,
     fuzzy_key_pairs,
+    jaccard_prefix_join,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -130,6 +131,7 @@ from blueforty___etl_data_pipeline_spark.operators.similarity import (
 )
 from blueforty___etl_data_pipeline_spark.operators.profile import (
     approx_profile,
+    embedding_dim_profile,
     grouped_median_exact,
     grouped_quantiles_disc,
     histogram_fixed_width,
@@ -3879,6 +3881,53 @@ FROM c
 """
 
 
+def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set similarity self-join at Jaccard ≥ 19/20 via
+    prefix filtering (operators/dedup.jaccard_prefix_join).  The oracle
+    runs the EXHAUSTIVE all-shared-token join; the hash match proves the
+    prefix filter generates every qualifying candidate."""
+    _prep(spark)
+    return jaccard_prefix_join(
+        _t(spark, sf_dir, "documents"), t_num=19, t_den=20
+    )
+
+
+_SQL_JACCARD_PREFIX = """
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+tok AS (SELECT DISTINCT doc_id, token FROM t WHERE token <> ''),
+sz AS (SELECT doc_id, COUNT(*) AS s FROM tok GROUP BY 1),
+com AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM tok a JOIN tok b
+          ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+SELECT id_a, id_b, n_common, sa.s AS size_a, sb.s AS size_b,
+       1000 * n_common // (sa.s + sb.s - n_common) AS jaccard_permille
+FROM com JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+WHERE 20 * n_common >= 19 * (sa.s + sb.s - n_common)
+"""
+
+
+def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension fixed-point stats over the embedding corpus
+    (operators/profile.embedding_dim_profile)."""
+    _prep(spark)
+    return embedding_dim_profile(_t(spark, sf_dir, "embeddings"))
+
+
+_SQL_EMBEDDING_DIM_PROFILE = """
+WITH e AS (
+  SELECT gs.i - 1 AS dim,
+         CAST(FLOOR(CAST(embedding[gs.i] AS DOUBLE) * 1000000) AS BIGINT)
+           AS vfp
+  FROM embeddings
+  JOIN generate_series(1, 64) AS gs(i) ON gs.i <= len(embedding))
+SELECT CAST(dim AS INT) AS dim, COUNT(*) AS n, SUM(vfp) AS sum_fp,
+       MIN(vfp) AS min_fp, MAX(vfp) AS max_fp
+FROM e GROUP BY 1
+"""
+
+
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML → text extraction: each document is wrapped in a
     deterministic HTML page (with a style block, a comment, entities in
@@ -4224,6 +4273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "rare_tokens": q_rare_tokens,
         "bm25_search": q_bm25_search,
+        "jaccard_prefix_join": q_jaccard_prefix_join,
+        "embedding_dim_profile": q_embedding_dim_profile,
         "volume_shipping": q_volume_shipping,
         "market_share": q_market_share,
         "product_profit": q_product_profit,
@@ -4341,6 +4392,8 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": _SQL_HTML_EXTRACT,
         "rare_tokens": _SQL_RARE_TOKENS,
         "bm25_search": _SQL_BM25,
+        "jaccard_prefix_join": _SQL_JACCARD_PREFIX,
+        "embedding_dim_profile": _SQL_EMBEDDING_DIM_PROFILE,
         "volume_shipping": _SQL_VOLUME_SHIPPING,
         "market_share": _SQL_MARKET_SHARE,
         "product_profit": _SQL_PRODUCT_PROFIT,

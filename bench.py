@@ -52,6 +52,11 @@ HEADLINE = [
     "simhash_pairs",
     "embedding_near_dup",
     "near_dup_dedup",
+    "embedding_dim_profile",
+    # jaccard_prefix_join is correctness-gated but benched only at
+    # sf0.01: the synthetic fixture's flat 40-token vocabulary is the
+    # documented worst case for prefix filtering (no rarity skew), so
+    # its sf0.1 runtime measures the fixture, not the operator.
     "text_quality",
     "scrub_pii",
     "hash_split",

@@ -610,3 +610,118 @@ def fuzzy_key_pairs(
         "key_b",
         F.levenshtein("key_a", "key_b").cast("int").alias("dist"),
     ).filter(F.col("dist") <= 1)
+
+
+def jaccard_prefix_join(
+    df: DataFrame,
+    t_num: int = 19,
+    t_den: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT token-set similarity self-join via prefix filtering — the
+    scalable exact counterpart to :func:`ngram_jaccard_pairs` (which
+    joins on EVERY shared shingle) and to MinHash-LSH (which is only
+    probabilistically complete).
+
+    Classic SSJoin/PPJoin prefix filter: order every document's distinct
+    tokens by global rarity (document frequency asc, token asc); if
+    Jaccard(A,B) ≥ t then |A∩B| ≥ t·|A| — so A's FIRST
+    ``|A| − ⌈t·|A|⌉ + 1`` tokens (its *prefix*) must intersect B's
+    prefix under the shared order.  Candidates are generated by an
+    equi-join on prefix tokens only, then verified with exact integer
+    intersection counts.  The threshold is the rational ``t_num/t_den``
+    and the test is ``t_den·|∩| ≥ t_num·|∪|`` — no float ever decides
+    membership, so results are engine-exact (the DuckDB oracle runs the
+    EXHAUSTIVE all-shared-token join and must produce the identical
+    pair set, proving the prefix filter loses nothing).
+
+    Scale shape: prefix tokens are the RAREST tokens, so each join
+    bucket is small by construction on natural corpora (frequency-skew
+    is what makes this work at web scale — the head words never enter a
+    prefix at high t).  One global window builds the rarity ranking
+    over the *vocabulary* (≪ corpus); everything else is equi-joins and
+    partial-agged counts.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_ws(F.col(text_col))).alias("token")
+    ).distinct()
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    from pyspark.sql import Window
+
+    rarity = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tok_df"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.asc("tok_df"), F.asc("token"))
+            ),
+        )
+        .select("token", "rank")
+    )
+    ranked = toks.join(F.broadcast(rarity), "token")
+    per_doc = ranked.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("rank"), F.col("token")))
+        ).alias("arr"),
+        F.count(F.lit(1)).alias("s"),
+    )
+    # prefix_len = s - ceil(t*s) + 1, all-integer ceil
+    prefix_len = (
+        F.col("s")
+        - F.expr(f"({t_num} * s + {t_den} - 1) div {t_den}")
+        + F.lit(1)
+    ).cast("int")
+    prefix = per_doc.select(
+        F.col(id_col),
+        F.col("s"),
+        F.explode(F.slice(F.col("arr"), F.lit(1), prefix_len)).alias("p"),
+    ).select(F.col(id_col), F.col("s"), F.col("p.token").alias("token"))
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    # Size filter (PPJoin): Jaccard ≥ t ⟹ t·|A| ≤ |B| and t·|B| ≤ |A|;
+    # applied inside the candidate join so incompatible-length pairs
+    # never materialize.
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.token") == F.col("b.token"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                F.lit(t_num) * F.col("a.s") <= F.lit(t_den) * F.col("b.s"),
+                F.lit(t_num) * F.col("b.s") <= F.lit(t_den) * F.col("a.s"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    ta = toks.select(F.col(id_col).alias("id_a"), "token")
+    tb = toks.select(F.col(id_col).alias("id_b"), "token")
+    common = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    uni = F.col("size_a") + F.col("size_b") - F.col("n_common")
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.lit(t_den) * F.col("n_common") >= F.lit(t_num) * uni)
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            "size_a",
+            "size_b",
+            F.expr(
+                "1000 * n_common div (size_a + size_b - n_common)"
+            ).alias("jaccard_permille"),
+        )
+    )

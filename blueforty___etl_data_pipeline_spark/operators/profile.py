@@ -361,3 +361,38 @@ def approx_profile(
             qcol, list(quantiles), accuracy
         ).alias("approx_quantiles"),
     )
+
+
+def embedding_dim_profile(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-dimension statistics over an ``array<float>`` embedding
+    column — the feature-scaling precursor (per-dim min/max/mean feed
+    normalization, quantization ranges, and drift monitors).
+
+    Values are fixed-pointed (``FLOOR(x·scale)`` as bigint) BEFORE
+    aggregation, so count/sum/min/max are partition-order-invariant and
+    engine-exact.  Returns (dim, n, sum_fp, min_fp, max_fp) with ``dim``
+    0-based.
+
+    Scale shape: posexplode fans each row out to ``dims`` rows, but the
+    aggregation partial-combines per task to ≤ dims rows before the one
+    shuffle — exchange volume is O(tasks × dims), independent of corpus
+    size.  (An explode-free alternative folds per-row into an array
+    accumulator, but loses min/max codegen; at dims ≤ a few hundred the
+    explode form benchmarks faster.)
+    """
+    fp = F.floor(F.col("v").cast("double") * F.lit(scale)).cast("bigint")
+    return (
+        df.select(F.posexplode(F.col(vec_col)).alias("dim", "v"))
+        .select(F.col("dim"), fp.alias("vfp"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vfp").alias("sum_fp"),
+            F.min("vfp").alias("min_fp"),
+            F.max("vfp").alias("max_fp"),
+        )
+    )

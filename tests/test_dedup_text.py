@@ -329,3 +329,32 @@ def test_fuzzy_key_pairs_no_cross_join_in_plan(spark):
     plan = fuzzy_key_pairs(df, key_col="key", id_col="id")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_prefix_join_exact_pairs(spark):
+    from blueforty___etl_data_pipeline_spark.operators.dedup import (
+        jaccard_prefix_join,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "d c b a"),      # same token SET as doc 1 → jaccard 1
+            (3, "a b c e"),      # 3/5 = 0.6 vs docs 1-2
+            (4, "x y z w"),      # disjoint
+        ],
+        ["doc_id", "text"],
+    )
+    # t = 3/4: only the identical-set pair qualifies
+    out = jaccard_prefix_join(docs, t_num=3, t_den=4).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+    assert out[0]["jaccard_permille"] == 1000
+
+    # t = 11/20 = 0.55: the 0.6 pairs must now appear — completeness of
+    # the prefix filter at a threshold the 3/5 pairs straddle.
+    out2 = {
+        (r["id_a"], r["id_b"]): r["jaccard_permille"]
+        for r in jaccard_prefix_join(docs, t_num=11, t_den=20).collect()
+    }
+    assert set(out2) == {(1, 2), (1, 3), (2, 3)}
+    assert out2[(1, 3)] == 600

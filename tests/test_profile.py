@@ -261,3 +261,18 @@ def test_zscore_normalize_exact(spark):
     assert out[2] == 0
     assert out[3] == math.floor(1000 / std * 1e9)
     assert out[4] is None
+
+
+def test_embedding_dim_profile_fixed_point(spark):
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        embedding_dim_profile,
+    )
+
+    df = spark.createDataFrame(
+        [([0.5, -0.25],), ([1.5, 0.75],)], ["embedding"]
+    )
+    out = {r["dim"]: r for r in embedding_dim_profile(df).collect()}
+    assert out[0]["n"] == 2 and out[0]["sum_fp"] == 2_000_000
+    assert (out[0]["min_fp"], out[0]["max_fp"]) == (500_000, 1_500_000)
+    assert out[1]["sum_fp"] == 500_000
+    assert (out[1]["min_fp"], out[1]["max_fp"]) == (-250_000, 750_000)
