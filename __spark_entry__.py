@@ -2603,6 +2603,112 @@ FROM orders GROUP BY 1, 2
 """
 
 
+def q_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten hard delete: documents are CTAS'd into a
+    source-partitioned lake location, a deterministic subject list
+    (doc_id % 37 = 0) is deleted via partition-pruned copy-on-write
+    rewrite (sinks.delete_rows), and the survivors are read back.  The
+    oracle computes the expected survivor set directly — the hash match
+    proves the rewrite dropped exactly the doomed rows and nothing
+    else.  (Partition pruning itself — untouched partitions keeping
+    their files byte-for-byte — is asserted in pytest on mtimes.)"""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.sinks import delete_rows
+
+    docs = _t(spark, sf_dir, "documents")
+    path = os.path.join(SCRATCH, "gdpr_docs")
+    write_table(docs, path, partition_by=("source",))
+    doomed = [
+        r[0]
+        for r in docs.filter(F.col("doc_id") % 37 == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    delete_rows(spark, path, key_col="doc_id", keys=doomed,
+                partition_col="source")
+    out = read_back(spark, path)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+_SQL_GDPR_DELETE = """
+SELECT doc_id, lang, source, n_chars
+FROM documents WHERE doc_id % 37 <> 0
+"""
+
+
+def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction maintenance job: documents are written
+    fragmented (8 shuffle partitions per source partition), compacted
+    to one file per partition (sinks.compact_partitions), and read
+    back — the oracle is the identity query, proving compaction is
+    content-preserving.  File-count reduction is pytest-asserted."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.sinks import compact_partitions
+
+    docs = _t(spark, sf_dir, "documents")
+    path = os.path.join(SCRATCH, "compact_docs")
+    (
+        docs.repartition(8)
+        .write.mode("overwrite")
+        .partitionBy("source")
+        .parquet(path)
+    )
+    compact_partitions(spark, path, "source", files_per_partition=1)
+    out = read_back(spark, path)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+_SQL_COMPACT = """
+SELECT doc_id, lang, source, n_chars FROM documents
+"""
+
+
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path extraction (the Spark-4 successor
+    to the reference's XMLGET/FLATTEN shredding): events.props is
+    wrapped in a nested JSON envelope, parsed to VARIANT once, and
+    three typed paths are extracted and aggregated.  The oracle runs
+    the identical envelope through DuckDB's JSON path functions."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    js = F.concat(
+        F.lit('{"meta":{"type":"'),
+        F.col("event_type"),
+        F.lit('","uid":'),
+        F.col("user_id").cast("string"),
+        F.lit('},"payload":'),
+        F.col("props"),
+        F.lit("}"),
+    )
+    v = F.parse_json(js)
+    rows = ev.select(
+        F.variant_get(v, "$.meta.type", "string").alias("vtype"),
+        F.variant_get(v, "$.meta.uid", "bigint").alias("uid"),
+        F.variant_get(v, "$.payload.k", "bigint").alias("k"),
+    )
+    return rows.groupBy("vtype").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+        F.sum("uid").alias("sum_uid"),
+    )
+
+
+_SQL_VARIANT = """
+WITH j AS (
+  SELECT '{"meta":{"type":"' || event_type || '","uid":'
+         || CAST(user_id AS VARCHAR) || '},"payload":' || props || '}'
+           AS js
+  FROM events)
+SELECT json_extract_string(js, '$.meta.type') AS vtype,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract(js, '$.payload.k') AS BIGINT)) AS sum_k,
+       MAX(CAST(json_extract(js, '$.payload.k') AS BIGINT)) AS max_k,
+       SUM(CAST(json_extract(js, '$.meta.uid') AS BIGINT)) AS sum_uid
+FROM j GROUP BY 1
+"""
+
+
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL sink → corrupt-line injection → error-tolerant source:
     documents are written as line-delimited JSON, a malformed line is
@@ -4275,6 +4381,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "jaccard_prefix_join": q_jaccard_prefix_join,
         "embedding_dim_profile": q_embedding_dim_profile,
+        "gdpr_delete": q_gdpr_delete,
+        "compact_roundtrip": q_compact_roundtrip,
+        "variant_extract": q_variant_extract,
         "volume_shipping": q_volume_shipping,
         "market_share": q_market_share,
         "product_profit": q_product_profit,
@@ -4394,6 +4503,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _SQL_BM25,
         "jaccard_prefix_join": _SQL_JACCARD_PREFIX,
         "embedding_dim_profile": _SQL_EMBEDDING_DIM_PROFILE,
+        "gdpr_delete": _SQL_GDPR_DELETE,
+        "compact_roundtrip": _SQL_COMPACT,
+        "variant_extract": _SQL_VARIANT,
         "volume_shipping": _SQL_VOLUME_SHIPPING,
         "market_share": _SQL_MARKET_SHARE,
         "product_profit": _SQL_PRODUCT_PROFIT,

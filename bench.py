@@ -96,6 +96,7 @@ HEADLINE = [
     "kmeans_train",
     "build_vocab",
     "zscore",
+    "variant_extract",
 ]
 
 

@@ -204,3 +204,91 @@ def write_table_observed(
     observed = df.observe(obs, *exprs.values())
     observed.write.mode(mode).format(fmt).save(path)
     return dict(obs.get)
+
+
+def delete_rows(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    keys: Sequence,
+    partition_col: str,
+) -> int:
+    """Targeted hard delete (GDPR / right-to-be-forgotten) from a
+    Hive-partitioned Parquet location: rewrite ONLY the partitions that
+    contain the doomed keys, via dynamic partition overwrite.
+
+    Two passes: (1) a partition-pruned probe finds the affected
+    partition values (the collect is bounded by the partition count,
+    never row count); (2) the surviving rows of JUST those partitions
+    are rewritten — untouched partitions keep their files byte-for-byte
+    (pytest asserts this on mtimes).  At 100 TB this is the difference
+    between rewriting gigabytes and rewriting the lake; the same shape
+    is what table formats call copy-on-write delete.
+
+    Returns the number of partitions rewritten.
+    """
+    from pyspark.sql import functions as F
+
+    tgt = spark.read.parquet(path)
+    hit_parts = [
+        r[0]
+        for r in tgt.filter(F.col(key_col).isin(list(keys)))
+        .select(partition_col)
+        .distinct()
+        .collect()
+    ]
+    if not hit_parts:
+        return 0
+    survivors = tgt.filter(F.col(partition_col).isin(hit_parts)).filter(
+        ~F.col(key_col).isin(list(keys))
+    )
+    (
+        survivors.repartition(*[partition_col])
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    return len(hit_parts)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    files_per_partition: int = 1,
+) -> None:
+    """Small-file compaction: rewrite each Hive partition of a Parquet
+    location into ``files_per_partition`` files (bin-packing the
+    streaming/append debris that accumulates at ingest).
+
+    One shuffle keyed on the partition column re-clusters rows so each
+    output partition is written by exactly ``files_per_partition``
+    tasks; dynamic partition overwrite swaps partitions atomically-ish
+    (per-partition), never rewriting unlisted partitions.  Run this as
+    the maintenance job between ingest and query — scan cost at read
+    time drops with file count (fewer footers, bigger row groups).
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    salt_mod = max(1, int(files_per_partition))
+    # Repartitioning on (partition value [, deterministic row-hash salt])
+    # sends every output partition to exactly `files_per_partition`
+    # writer tasks.  The salt is a hash of the full row — deterministic
+    # under retries, unlike spark_partition_id().
+    keys = [F.col(partition_col)]
+    if salt_mod > 1:
+        keys.append(
+            F.pmod(
+                F.xxhash64(F.struct(*[F.col(c) for c in df.columns])),
+                F.lit(salt_mod),
+            )
+        )
+    (
+        df.repartition(*keys)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

@@ -198,3 +198,63 @@ def test_orc_roundtrip_lossless(spark, tmp_path):
     back = read_back(spark, path, fmt="orc")
     assert back.schema == df.schema
     assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_delete_rows_prunes_untouched_partitions(spark, tmp_path):
+    import glob
+    import os
+
+    from blueforty___etl_data_pipeline_spark.sinks import delete_rows
+
+    path = str(tmp_path / "gdpr")
+    df = spark.createDataFrame(
+        [(i, "a" if i < 50 else "b") for i in range(100)], ["k", "part"]
+    )
+    df.repartition("part").write.partitionBy("part").parquet(path)
+
+    untouched = sorted(glob.glob(f"{path}/part=b/*.parquet"))
+    before = [(f, os.stat(f).st_mtime_ns, os.stat(f).st_size) for f in untouched]
+
+    # all doomed keys live in partition a
+    n = delete_rows(spark, path, key_col="k", keys=[1, 2, 3], partition_col="part")
+    assert n == 1
+
+    after_files = sorted(glob.glob(f"{path}/part=b/*.parquet"))
+    after = [(f, os.stat(f).st_mtime_ns, os.stat(f).st_size) for f in after_files]
+    assert before == after  # partition b never rewritten
+
+    remaining = spark.read.parquet(path)
+    assert remaining.count() == 97
+    assert remaining.filter("k in (1,2,3)").count() == 0
+
+
+def test_delete_rows_no_hits_is_noop(spark, tmp_path):
+    from blueforty___etl_data_pipeline_spark.sinks import delete_rows
+
+    path = str(tmp_path / "gdpr2")
+    spark.createDataFrame([(1, "a")], ["k", "part"]).write.partitionBy(
+        "part"
+    ).parquet(path)
+    assert delete_rows(spark, path, "k", [999], "part") == 0
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_compact_partitions_reduces_files_preserves_rows(spark, tmp_path):
+    import glob
+
+    from blueforty___etl_data_pipeline_spark.sinks import compact_partitions
+
+    path = str(tmp_path / "compact")
+    df = spark.createDataFrame(
+        [(i, f"p{i % 2}") for i in range(200)], ["k", "part"]
+    )
+    df.repartition(8).write.partitionBy("part").parquet(path)
+    assert len(glob.glob(f"{path}/part=p0/*.parquet")) > 1
+
+    compact_partitions(spark, path, "part", files_per_partition=1)
+    assert len(glob.glob(f"{path}/part=p0/*.parquet")) == 1
+    assert len(glob.glob(f"{path}/part=p1/*.parquet")) == 1
+
+    out = spark.read.parquet(path)
+    assert out.count() == 200
+    assert out.agg({"k": "sum"}).collect()[0][0] == sum(range(200))
