@@ -1280,6 +1280,188 @@ WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
 """
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-table conditional revenue — every
+    predicate (date range, discount band, quantity cap) pushes into the
+    Parquet scan; the aggregate is one map-side-combined pass."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.04)
+        & (F.col("l_quantity") < 25)
+    )
+    rev = F.col("l_extendedprice").cast(_D2) * F.col("l_discount").cast(_D2)
+    return li.agg(
+        F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_SQL_FORECAST_REVENUE = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 25
+"""
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose revenue exceeds a fraction of the
+    global total.  The global scalar is a 1-row aggregate broadcast
+    back; the threshold test is decimal×integer (no float division)."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_disc_price()).alias("part_value")
+    )
+    total = per_part.agg(F.sum("part_value").alias("total_value"))
+    # keep parts with part_value > total/2000  ⇔  2000·part_value > total
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("part_value") * F.lit(2000)
+            > F.col("total_value").cast(DecimalType(38, 4))
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("part_value"), 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+_SQL_IMPORTANT_PARTS = f"""
+WITH pp AS (
+  SELECT l_partkey, SUM({_D_DISC_PRICE}) AS part_value
+  FROM lineitem l GROUP BY 1),
+tot AS (SELECT SUM(part_value) AS total_value FROM pp)
+SELECT l_partkey, CAST(ROUND(part_value, 2) AS DOUBLE) AS part_value
+FROM pp CROSS JOIN tot
+WHERE part_value * 2000 > total_value
+"""
+
+
+def q_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers of 'gear' parts who shipped more than
+    a per-(supplier, part) quantity floor — the nested
+    IN (… GROUP BY … HAVING …) chain decorrelated into an aggregate +
+    semi-join pipeline."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    qualifying = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast(_D2)).alias("qty"))
+        .filter(F.col("qty") > F.lit(120).cast(_D2))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(qualifying, s["s_suppkey"] == qualifying["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+
+
+_SQL_PROMO_SUPPLIERS = """
+SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_name LIKE '%gear%'
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2)))
+         > CAST(120 AS DECIMAL(18,2)))
+"""
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers solely to blame for a late order —
+    EXISTS (another supplier on the order) + NOT EXISTS (another LATE
+    supplier on the order), decorrelated to one semi- and one anti-join
+    over pre-aggregated per-(order, supplier) lateness flags.
+    'Late' = shipped >90 days after the order date (the fixture has no
+    receipt/commit dates)."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    # one row per (order, supplier), with a lateness flag
+    flagged = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+                ).cast("int")
+            ).alias("is_late")
+        )
+    )
+    late = flagged.filter(F.col("is_late") == 1).select(
+        "l_orderkey", "l_suppkey"
+    )
+    others = flagged.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    # EXISTS: another supplier (late or not) on the same order
+    with_other = late.join(
+        others,
+        (late["l_orderkey"] == others["o_key"])
+        & (late["l_suppkey"] != others["o_supp"]),
+        "left_semi",
+    )
+    late_others = flagged.filter(F.col("is_late") == 1).select(
+        F.col("l_orderkey").alias("lo_key"), F.col("l_suppkey").alias("lo_supp")
+    )
+    # NOT EXISTS: no OTHER late supplier on the same order
+    sole = with_other.join(
+        late_others,
+        (with_other["l_orderkey"] == late_others["lo_key"])
+        & (with_other["l_suppkey"] != late_others["lo_supp"]),
+        "left_anti",
+    )
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+_SQL_WAITING_SUPPLIERS = """
+WITH flagged AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2),
+late AS (SELECT l_orderkey, l_suppkey FROM flagged WHERE is_late = 1),
+sole AS (
+  SELECT t.l_orderkey, t.l_suppkey FROM late t
+  WHERE EXISTS (SELECT 1 FROM flagged f
+                WHERE f.l_orderkey = t.l_orderkey
+                  AND f.l_suppkey <> t.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM late f2
+                    WHERE f2.l_orderkey = t.l_orderkey
+                      AND f2.l_suppkey <> t.l_suppkey))
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+FROM sole JOIN supplier s ON sole.l_suppkey = s.s_suppkey
+GROUP BY 1, 2
+"""
+
+
 # --- geo KNN (J3+F13-F16+W1+C2+P7) -----------------------------------------
 # Synthetic-but-deterministic geography derived with integer arithmetic from
 # the driver's tables, identically on both engines.
@@ -4394,6 +4576,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "min_cost_supplier": q_min_cost_supplier,
         "disjunctive_pred": q_disjunctive_pred,
+        "forecast_revenue": q_forecast_revenue,
+        "important_parts": q_important_parts,
+        "promo_suppliers": q_promo_suppliers,
+        "waiting_suppliers": q_waiting_suppliers,
     }
 
 
@@ -4516,6 +4702,10 @@ def oracle_sql() -> dict[str, str]:
         "top_supplier": _SQL_TOP_SUPPLIER,
         "min_cost_supplier": _SQL_MIN_COST_SUPPLIER,
         "disjunctive_pred": _SQL_DISJUNCTIVE_PRED,
+        "forecast_revenue": _SQL_FORECAST_REVENUE,
+        "important_parts": _SQL_IMPORTANT_PARTS,
+        "promo_suppliers": _SQL_PROMO_SUPPLIERS,
+        "waiting_suppliers": _SQL_WAITING_SUPPLIERS,
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

@@ -33,6 +33,8 @@ HEADLINE = [
     "returned_items",
     "customer_distribution",
     "min_cost_supplier",
+    "important_parts",
+    "waiting_suppliers",
     "top1_per_group",
     "argmin_agg",
     "composite_key_join",
