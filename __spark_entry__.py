@@ -2785,6 +2785,47 @@ FROM orders GROUP BY 1, 2
 """
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) encoding of a deterministic 2-D key over
+    customers — pure bit interleaving (functions/zorder.zorder_value),
+    reproduced bit-for-bit by the DuckDB oracle.  The write-side layout
+    effect (narrow per-file min/max on BOTH columns) is asserted in
+    tests/test_scale_ops.py."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.functions.zorder import (
+        zorder_value,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    x = F.col("c_custkey") % 4096
+    y = (F.col("c_custkey") * 2654435761) % 4096
+    return c.select(
+        "c_custkey",
+        x.cast("bigint").alias("x"),
+        y.cast("bigint").alias("y"),
+        zorder_value(x, y, bits=12).alias("z"),
+    )
+
+
+def _d_zterms() -> str:
+    parts = []
+    for i in range(12):
+        parts.append(f"(((x >> {i}) & 1) << {2 * i})")
+        parts.append(f"(((y >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(parts)
+
+
+_SQL_ZORDER = f"""
+WITH k AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 4096 AS BIGINT) AS x,
+         CAST((c_custkey * 2654435761) % 4096 AS BIGINT) AS y
+  FROM customer)
+SELECT c_custkey, x, y, CAST({_d_zterms()} AS BIGINT) AS z
+FROM k
+"""
+
+
 def q_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten hard delete: documents are CTAS'd into a
     source-partitioned lake location, a deterministic subject list
@@ -4563,6 +4604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "jaccard_prefix_join": q_jaccard_prefix_join,
         "embedding_dim_profile": q_embedding_dim_profile,
+        "zorder_key": q_zorder_key,
         "gdpr_delete": q_gdpr_delete,
         "compact_roundtrip": q_compact_roundtrip,
         "variant_extract": q_variant_extract,
@@ -4689,6 +4731,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _SQL_BM25,
         "jaccard_prefix_join": _SQL_JACCARD_PREFIX,
         "embedding_dim_profile": _SQL_EMBEDDING_DIM_PROFILE,
+        "zorder_key": _SQL_ZORDER,
         "gdpr_delete": _SQL_GDPR_DELETE,
         "compact_roundtrip": _SQL_COMPACT,
         "variant_extract": _SQL_VARIANT,

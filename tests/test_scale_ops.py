@@ -91,3 +91,83 @@ def test_embedding_near_dup_precision(spark, sf_small):
     for r in rows:
         assert r["score"] >= 0.3  # precision is exact
         assert r["id_a"] < r["id_b"]
+
+
+def test_zorder_write_narrows_per_file_ranges(spark, tmp_path):
+    import pyarrow.parquet as pq
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+    from blueforty___etl_data_pipeline_spark.functions.zorder import (
+        write_zordered,
+    )
+
+    n = 4096 * 4
+    df = spark.range(n).select(
+        (F.col("id") % 4096).alias("x"),
+        ((F.col("id") * 2654435761) % 4096).alias("y"),
+    )
+
+    def span_fraction(path: str, col: str) -> float:
+        """Mean per-file (max-min)/global_range for `col`."""
+        fracs = []
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min
+                     for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max
+                     for i in range(md.num_row_groups))
+            fracs.append((hi - lo) / 4095.0)
+        return sum(fracs) / len(fracs)
+
+    naive = str(tmp_path / "naive")
+    df.repartition(16).write.parquet(naive)
+    zpath = str(tmp_path / "zordered")
+    write_zordered(df, zpath, "x", "y", n_files=16, bits=12)
+
+    # Random layout: every file spans ~the full domain of both columns.
+    assert span_fraction(naive, "x") > 0.9
+    assert span_fraction(naive, "y") > 0.9
+    # Z-ordered: BOTH columns' per-file spans shrink — the property
+    # min/max file skipping needs. 16 files over a 2-D grid → each file
+    # covers ~1/4 of each axis; allow slack for boundary files.
+    assert span_fraction(zpath, "x") < 0.5
+    assert span_fraction(zpath, "y") < 0.5
+
+    # and the z-value itself round-trips the full row count
+    assert spark.read.parquet(zpath).count() == n
+
+
+def test_runtime_bloom_filter_injected(spark, sf_small):
+    """AQE runtime filters: a selective dimension filter on one side of
+    a SortMergeJoin injects a bloom filter (might_contain) into the
+    fact scan — the 100 TB join-pruning feature, pinned here so a conf
+    regression can't silently drop it."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_small, "lineitem")
+        o = load_table(spark, sf_small, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+            "l_orderkey", "o_orderpriority"
+        )
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert joined.count() > 0
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
