@@ -96,6 +96,7 @@ from blueforty___etl_data_pipeline_spark.operators.corpus import (
     decontaminate,
     dedup_line_rows,
     repetition_signals,
+    tfidf_doc_similarity,
     tfidf_top_terms,
     top_ngrams,
 )
@@ -2294,6 +2295,56 @@ SELECT doc_id, term, score_e6, rk FROM (
            PARTITION BY doc_id ORDER BY score_e6 DESC, term ASC) AS rk
   FROM scored)
 WHERE rk <= {k}
+"""
+
+
+def q_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-documents: per-doc most cosine-similar other doc over
+    sparse TF-IDF vectors via an inverted-index join; similarity is an
+    exact integer cos²-permille (operators/corpus.tfidf_doc_similarity)."""
+    _prep(spark)
+    return tfidf_doc_similarity(_t(spark, sf_dir, "documents"), k_terms=5)
+
+
+def _sql_tfidf_doc_similarity(k: int = 5) -> str:
+    toks = _D_TOKENS.format(t="text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         CAST(FLOOR(tf * ln(CAST(n_docs AS DOUBLE) / df) * 1e6) AS BIGINT)
+           AS score_e6
+  FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+vecs AS (
+  SELECT doc_id, term, score_e6 // 1000 AS s3 FROM (
+    SELECT *, row_number() OVER (
+             PARTITION BY doc_id ORDER BY score_e6 DESC, term ASC) AS rk
+    FROM scored)
+  WHERE rk <= {k}),
+norms AS (SELECT doc_id, SUM(s3 * s3) AS n2 FROM vecs GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.s3 * b.s3) AS dot
+  FROM vecs a JOIN vecs b
+    ON a.term = b.term AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2),
+cos AS (
+  SELECT id_a, id_b,
+         CAST((1000 * CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT))
+              // (CAST(na.n2 AS HUGEINT) * CAST(nb.n2 AS HUGEINT))
+              AS BIGINT) AS cos2_permille
+  FROM dots
+  JOIN norms na ON id_a = na.doc_id
+  JOIN norms nb ON id_b = nb.doc_id)
+SELECT id_a AS doc_id, id_b AS similar_doc, cos2_permille FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY id_a
+           ORDER BY cos2_permille DESC, id_b ASC) AS rk
+  FROM cos)
+WHERE rk = 1
 """
 
 
@@ -4544,6 +4595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "top_ngrams": q_top_ngrams,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "tfidf_doc_similarity": q_tfidf_doc_similarity,
         "hash_sample": q_hash_sample,
         "hash_split": q_hash_split,
         "quota_cap": q_quota_cap,
@@ -4672,6 +4724,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _sql_chunk_documents(),
         "top_ngrams": _sql_top_ngrams(),
         "tfidf_top_terms": _sql_tfidf(),
+        "tfidf_doc_similarity": _sql_tfidf_doc_similarity(),
         "hash_sample": _sql_hash_sample(),
         "hash_split": _sql_hash_split(),
         "quota_cap": _sql_quota_cap(),

@@ -437,3 +437,78 @@ def bm25_topk(
     return per_doc.orderBy(
         F.desc("score_fp"), F.asc(id_col)
     ).limit(k)
+
+
+def tfidf_doc_similarity(
+    df: DataFrame,
+    k_terms: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Related-documents: for every document, the most cosine-similar
+    other document over sparse TF-IDF vectors (top ``k_terms`` terms per
+    doc), computed via an INVERTED-INDEX join — never an all-pairs
+    product.
+
+    Exactness: similarity is compared as cos² in permille,
+    ``1000·dot² div (‖a‖²·‖b‖²)`` — a ratio of integer products (scores
+    are the fixed-point ``score_e6 div 1000`` from
+    :func:`tfidf_top_terms`), evaluated in 128-bit integer space
+    (DECIMAL(38,0) on Spark, HUGEINT in the DuckDB oracle), so the
+    ranking and the reported score are bit-identical across engines.
+    cos² is monotone in cosine for non-negative scores, so top-1 by
+    cos² IS top-1 by cosine.
+
+    Scale shape: candidate pairs come only from shared top-k terms —
+    the inverted index bounds work by posting-list sizes (prune further
+    with ``min_df``/stopword drop upstream); dot products partial-agg
+    before the one pair-keyed shuffle; the final top-1 is a
+    WindowGroupLimit, not a sort.
+    """
+    vecs = tfidf_top_terms(
+        df, k=k_terms, text_col=text_col, id_col=id_col
+    ).select(
+        F.col(id_col), "term", F.expr("score_e6 div 1000").alias("s3")
+    )
+    norms = vecs.groupBy(id_col).agg(
+        F.sum(F.col("s3") * F.col("s3")).alias("n2")
+    )
+    a = vecs.select(
+        F.col(id_col).alias("id_a"), "term", F.col("s3").alias("sa")
+    )
+    b = vecs.select(
+        F.col(id_col).alias("id_b"), "term", F.col("s3").alias("sb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("n2").alias("n2b"))
+    scored = (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "cos2_permille",
+            F.expr(
+                "CAST((CAST(1000 AS DECIMAL(38,0))"
+                " * CAST(dot AS DECIMAL(38,0)) * CAST(dot AS DECIMAL(38,0)))"
+                " div (CAST(n2a AS DECIMAL(38,0))"
+                "      * CAST(n2b AS DECIMAL(38,0))) AS BIGINT)"
+            ),
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(
+        F.desc("cos2_permille"), F.asc("id_b")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("id_a").alias(id_col),
+            F.col("id_b").alias("similar_doc"),
+            "cos2_permille",
+        )
+    )

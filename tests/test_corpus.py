@@ -388,3 +388,30 @@ def test_strip_html_amp_decoded_last(spark):
     df = spark.createDataFrame([("<p>&amp;lt;</p>",)], ["html"])
     out = df.select(strip_html(F.col("html")).alias("t")).collect()[0]["t"]
     assert out == "&lt;"
+
+
+def test_tfidf_doc_similarity_picks_matching_doc(spark):
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        tfidf_doc_similarity,
+    )
+
+    # docs 1 and 2 share their distinctive terms; doc 3 is unrelated
+    # but shares the common filler term with everyone.
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta filler"),
+            (2, "alpha beta filler"),
+            (3, "gamma delta filler"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r for r in tfidf_doc_similarity(docs, k_terms=5).collect()
+    }
+    assert out[1]["similar_doc"] == 2
+    assert out[2]["similar_doc"] == 1
+    # identical sparse vectors → cos² = 1 exactly
+    assert out[1]["cos2_permille"] == 1000
+    # doc 3 still finds a neighbor through the shared filler term,
+    # with strictly lower similarity
+    assert out[3]["cos2_permille"] < 1000
