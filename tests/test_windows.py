@@ -116,3 +116,106 @@ def test_streaming_shape_available_now(spark, sf_small, tmp_path):
     q.awaitTermination(120)
     total = spark.sql("SELECT SUM(n_events) FROM win_test").collect()[0][0]
     assert total == ev.count()
+
+
+def test_streaming_session_window_available_now(spark, sf_small, tmp_path):
+    # Gap-session aggregation under readStream: session_window carries
+    # per-key session state; watermark bounds it.  One availableNow
+    # batch over the whole fixture must reproduce the batch row total.
+    from blueforty___etl_data_pipeline_spark.streaming.windows import (
+        session_window_agg,
+        stream_from_parquet,
+    )
+
+    ev = load_table(spark, sf_small, "events")
+    src = str(tmp_path / "sess_src")
+    ev.write.parquet(src)
+    stream = stream_from_parquet(
+        spark, src, schema=ev.schema, watermark="2 hours"
+    )
+    agg = session_window_agg(stream, gap="30 minutes", keys=("user_id",))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    total = spark.sql("SELECT SUM(n_events) FROM sess_test").collect()[0][0]
+    assert total == ev.count()
+    # session invariant: end - start >= gap for every emitted session
+    bad = spark.sql(
+        "SELECT COUNT(*) FROM sess_test "
+        "WHERE session_end < session_start + INTERVAL 30 MINUTES"
+    ).collect()[0][0]
+    assert bad == 0
+
+
+def test_streaming_update_mode_incremental_counts(spark, sf_small, tmp_path):
+    # outputMode('update'): only groups changed by the micro-batch are
+    # emitted.  Split the fixture into two file batches; the union of
+    # update emissions must equal the full-batch result for every key
+    # (last emission per key wins).
+    import glob
+
+    from blueforty___etl_data_pipeline_spark.streaming.windows import (
+        tumbling_window_agg,
+    )
+
+    ev = load_table(spark, sf_small, "events")
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "upd_src")
+    half1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        # wider than the fixture's time span: batch 2 replays the odd
+        # half across the WHOLE timeline, and this test pins merge
+        # semantics, not late-drop (test_watermark_* covers dropping)
+        .withWatermark("ts", "3650 days")
+    )
+    agg = tumbling_window_agg(stream, "1 hour", keys=("event_type",))
+    rows = []
+
+    def sink(df, epoch_id):
+        rows.extend(df.collect())
+
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_first_run = len(rows)
+    # append the second half; the SAME checkpoint makes run 2 a purely
+    # incremental continuation — it reads only the new file and merges
+    # into restored state.
+    half2.coalesce(1).write.mode("append").parquet(src)
+    q2 = (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert n_first_run > 0 and len(rows) > n_first_run
+
+    # last emission per (window_start, event_type) must match batch truth
+    latest = {}
+    for r in rows:
+        latest[(r["window_start"], r["event_type"])] = r["n_events"]
+    truth = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in tumbling_window_agg(
+            ev, "1 hour", keys=("event_type",)
+        ).collect()
+    }
+    assert latest == truth
