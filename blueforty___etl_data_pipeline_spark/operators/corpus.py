@@ -45,26 +45,36 @@ def chunk_documents(
     if not 0 <= overlap < max_tokens:
         raise ValueError("need 0 <= overlap < max_tokens")
     step = max_tokens - overlap
-    toks = tokens_ws(F.col(text_col))
-    n = F.size(toks)
-    # ceil((n - max_tokens)/step) via integer floordiv: (a + step - 1) div step
-    extra = F.floor(
-        (n - F.lit(max_tokens) + F.lit(step - 1)) / F.lit(step)
-    ).cast("int")
-    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
-        F.lit(1) + F.greatest(F.lit(0), extra)
-    )
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.concat_ws(
-            " ", F.slice(toks, i * step + 1, max_tokens)
-        ),
+
+    # Bind the token array ONCE as a lambda variable (same HOF-inlining
+    # trap as functions/text.ngrams): otherwise the tokenizer re-splits
+    # the full document per chunk — quadratic on long web documents.
+    def chunks_of(arr):
+        n = F.size(arr)
+        # ceil((n - max_tokens)/step) via floordiv: (a + step - 1) div step
+        extra = F.floor(
+            (n - F.lit(max_tokens) + F.lit(step - 1)) / F.lit(step)
+        ).cast("int")
+        n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+            F.lit(1) + F.greatest(F.lit(0), extra)
+        )
+        return F.when(
+            n_chunks <= 0, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(arr, i * step + 1, max_tokens)
+                ),
+            )
+        )
+
+    chunks = F.flatten(
+        F.transform(F.array(tokens_ws(F.col(text_col))), chunks_of)
     )
     out = df.select(
         F.col(id_col),
-        F.posexplode(F.when(n_chunks > 0, chunks)).alias(
-            "chunk_idx", "chunk_text"
-        ),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
     )
     return out.withColumn(
         "n_chunk_tokens", F.size(tokens_ws(F.col("chunk_text"))).cast("bigint")
