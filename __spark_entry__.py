@@ -2836,6 +2836,40 @@ FROM orders GROUP BY 1, 2
 """
 
 
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift monitor: per-bin histogram comparison of the
+    events value distribution between click and view traffic, with the
+    bin's total-variation contribution in exact integer permille
+    (operators/profile.distribution_drift)."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return distribution_drift(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "view"),
+        "value",
+        width=8.0,
+    )
+
+
+_SQL_DRIFT = """
+WITH a AS (
+  SELECT CAST(FLOOR(value / 8.0) AS BIGINT) AS bin, COUNT(*) AS n_a
+  FROM events WHERE event_type = 'click' GROUP BY 1),
+b AS (
+  SELECT CAST(FLOOR(value / 8.0) AS BIGINT) AS bin, COUNT(*) AS n_b
+  FROM events WHERE event_type = 'view' GROUP BY 1),
+m AS (
+  SELECT COALESCE(a.bin, b.bin) AS bin,
+         COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+  FROM a FULL OUTER JOIN b ON a.bin = b.bin),
+t AS (SELECT SUM(n_a) AS tot_a, SUM(n_b) AS tot_b FROM m)
+SELECT bin, CAST(bin * 8.0 AS DOUBLE) AS bin_lo, n_a, n_b,
+       abs(n_a * tot_b - n_b * tot_a) * 1000 // (2 * tot_a * tot_b)
+         AS drift_contrib_permille
+FROM m CROSS JOIN t
+"""
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) encoding of a deterministic 2-D key over
     customers — pure bit interleaving (functions/zorder.zorder_value),
@@ -4656,6 +4690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "jaccard_prefix_join": q_jaccard_prefix_join,
         "embedding_dim_profile": q_embedding_dim_profile,
+        "distribution_drift": q_distribution_drift,
         "zorder_key": q_zorder_key,
         "gdpr_delete": q_gdpr_delete,
         "compact_roundtrip": q_compact_roundtrip,
@@ -4784,6 +4819,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _SQL_BM25,
         "jaccard_prefix_join": _SQL_JACCARD_PREFIX,
         "embedding_dim_profile": _SQL_EMBEDDING_DIM_PROFILE,
+        "distribution_drift": _SQL_DRIFT,
         "zorder_key": _SQL_ZORDER,
         "gdpr_delete": _SQL_GDPR_DELETE,
         "compact_roundtrip": _SQL_COMPACT,
