@@ -132,6 +132,7 @@ from blueforty___etl_data_pipeline_spark.operators.similarity import (
 )
 from blueforty___etl_data_pipeline_spark.operators.profile import (
     approx_profile,
+    distribution_drift,
     embedding_dim_profile,
     grouped_median_exact,
     grouped_quantiles_disc,
@@ -142,6 +143,7 @@ from blueforty___etl_data_pipeline_spark.operators.profile import (
 )
 from blueforty___etl_data_pipeline_spark.operators.text_ops import (
     assign_packs,
+    assign_packs_scalable,
     fingerprints,
     language_id,
     quality_filter,
@@ -176,6 +178,7 @@ from blueforty___etl_data_pipeline_spark.sources.xml import shred_xml_docs
 from blueforty___etl_data_pipeline_spark.streaming.windows import (
     session_window_agg,
     sliding_window_agg,
+    stream_from_parquet,
     tumbling_window_agg,
 )
 
@@ -1758,7 +1761,10 @@ GROUP BY 1
 
 # --- event-time windows -----------------------------------------------------
 
-_VAL_MICROS = "SUM(CAST(FLOOR(value * 1000000) AS BIGINT))"
+# CAST the outer SUM too: DuckDB's SUM(BIGINT) yields HUGEINT, whose
+# canonical repr differs from Spark's int64 in the driver's hasher even
+# when every value is equal (r2 red rows tumbling/session_window).
+_VAL_MICROS = "CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)"
 
 
 def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1866,6 +1872,52 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME tumbling-window aggregation as q_tumbling_window, but
+    executed by Structured Streaming: events are staged to a stream
+    source directory, read with ``readStream`` + watermark, aggregated
+    with ``F.window``, and drained into a memory sink under an
+    availableNow trigger.  The oracle is shared with the batch twin —
+    a hash match proves the streaming plan computes the identical
+    result (the first driver-verified streaming row; previously the
+    streaming modules had only pytest evidence).
+
+    The watermark is set far beyond the fixture's time span so no rows
+    are dropped across micro-batches; ``outputMode('complete')`` emits
+    the full window state at the end (bounded — one row per
+    (hour, event_type) pair)."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    src = os.path.join(SCRATCH, "stream_src_events")
+    ev.write.mode("overwrite").parquet(src)
+    stream = stream_from_parquet(
+        spark, src, schema=ev.schema, watermark="3650 days"
+    )
+    agg = tumbling_window_agg(
+        stream,
+        window_duration="1 hour",
+        keys=("event_type",),
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000000)).alias("value_micros"),
+        ],
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("q_streaming_tumbling_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table("q_streaming_tumbling_sink").select(
+        F.unix_micros(F.col("window_start")).alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "value_micros",
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline extension queries (dedup / similarity / text / multimodal)
 # ---------------------------------------------------------------------------
@@ -1933,29 +1985,52 @@ FROM red
 """, rows
 
 
+def _sql_minhash_sigs_exploded() -> str:
+    """Scalar (doc_id, pos, h) form of the signature oracle — the driver's
+    canonicalizer cannot hash list columns, so the correctness query
+    explodes the signature on both engines."""
+    sig_sql, _ = _sql_minhash_sigs()
+    return f"""
+WITH sigs AS ({sig_sql})
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, minhash_sig[i] AS h
+FROM sigs CROSS JOIN (SELECT unnest(range(1, {_MH_NUM} + 1)) AS i)
+WHERE minhash_sig IS NOT NULL
+"""
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures: per-row array math, shuffle-free."""
+    """MinHash signatures: per-row array math, shuffle-free.
+
+    The operator returns ``minhash_sig array<bigint>``; the driver's pandas
+    canonicalizer cannot sort list columns (r2 harness err), so this query
+    posexplodes to scalar (doc_id, pos, h) rows — same information, fully
+    hashable. Docs with no shingles (NULL signature) are dropped on both
+    sides."""
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
-    return minhash_signatures(docs, num_hashes=_MH_NUM)
+    sigs = minhash_signatures(docs, num_hashes=_MH_NUM)
+    return sigs.select(
+        "doc_id", F.posexplode("minhash_sig").alias("pos", "h")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "h")
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs: banded bucket equi-join, never
-    all-pairs."""
+    all-pairs.  Default impl is the vectorized Arrow/NumPy signature path
+    (~4.5× the JVM fold at sf0.1)."""
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, num_hashes=_MH_NUM, bands=_MH_BANDS)
 
 
-def q_minhash_lsh_pairs_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same LSH pairs via the vectorized NumPy signature path — shares
-    the oracle with the JVM-fold variant, so the driver verifies the two
+def q_minhash_lsh_pairs_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same LSH pairs via the pure-JVM column-fold fallback — shares the
+    oracle with the Arrow variant, so the driver verifies the two
     implementations agree bit-for-bit."""
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
-        docs, num_hashes=_MH_NUM, bands=_MH_BANDS, impl="arrow"
+        docs, num_hashes=_MH_NUM, bands=_MH_BANDS, impl="expr"
     )
 
 
@@ -2528,6 +2603,20 @@ FROM t
 """
 
 
+def q_assign_packs_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase distributed prefix-sum packing (text_ops.
+    assign_packs_scalable): per-chunk local cumulative sums + a global
+    chunk-offset pass — no single-partition window.  chunk_size=100
+    forces multiple chunks even at sf0.01, so the driver verifies the
+    offset arithmetic, not the degenerate one-chunk case.  Shares the
+    oracle with q_assign_packs: the scalable plan must produce the
+    IDENTICAL packing."""
+    _prep(spark)
+    return assign_packs_scalable(
+        _t(spark, sf_dir, "documents"), budget=2048, chunk_size=100
+    )
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5 content hash + rolling n-gram fingerprint per doc."""
     _prep(spark)
@@ -2674,6 +2763,68 @@ FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
              ORDER BY score DESC, neighbor_id) AS INTEGER) AS rn
       FROM scored)
 WHERE rn <= {k}
+"""
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality report: recall@5 of the two approximate ANN
+    paths (LSH random-hyperplane buckets, n_planes=8; IVF strided
+    centroids, nprobe=2) against the exact brute-force top-5, in
+    integer permille.  Closes the r2 gap that ann_lsh/ann_ivf were only
+    verified against their own bucketing definition (determinism, not
+    quality).  The recall floor itself is asserted in
+    tests/test_similarity.py; knobs: higher n_planes → smaller buckets,
+    cheaper + lower recall; higher nprobe → more lists probed, costlier
+    + higher recall."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = ann_brute_force(emb, queries, k=5, round_decimals=6).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = ann_lsh_bucketed(
+        emb, queries, k=5, n_planes=8, dim=64, round_decimals=6
+    ).select("query_id", "neighbor_id")
+    ivf = ann_ivf(emb, queries, k=5, centroid_stride=50, nprobe=2).select(
+        "query_id", "neighbor_id"
+    )
+    tot = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+
+    def _hits(approx: DataFrame, name: str) -> DataFrame:
+        return (
+            exact.join(approx, ["query_id", "neighbor_id"], "inner")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(name).alias("method"), "n_hits")
+        )
+
+    return (
+        _hits(lsh, "lsh")
+        .unionAll(_hits(ivf, "ivf"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "method",
+            "n_hits",
+            "n_exact",
+            F.expr("1000 * n_hits div n_exact").alias("recall_permille"),
+        )
+    )
+
+
+def _sql_ann_recall() -> str:
+    return f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({_SQL_ANN_BRUTE})),
+l AS (SELECT query_id, neighbor_id FROM ({_sql_ann_lsh()})),
+v AS (SELECT query_id, neighbor_id FROM ({_sql_ann_ivf()})),
+tot AS (SELECT COUNT(*) AS n_exact FROM exact),
+h AS (
+  SELECT 'lsh' AS method, COUNT(*) AS n_hits
+  FROM exact JOIN l USING (query_id, neighbor_id)
+  UNION ALL
+  SELECT 'ivf' AS method, COUNT(*) AS n_hits
+  FROM exact JOIN v USING (query_id, neighbor_id))
+SELECT method, n_hits, n_exact,
+       1000 * n_hits // n_exact AS recall_permille
+FROM h CROSS JOIN tot
 """
 
 
@@ -2864,7 +3015,9 @@ m AS (
   FROM a FULL OUTER JOIN b ON a.bin = b.bin),
 t AS (SELECT SUM(n_a) AS tot_a, SUM(n_b) AS tot_b FROM m)
 SELECT bin, CAST(bin * 8.0 AS DOUBLE) AS bin_lo, n_a, n_b,
-       abs(n_a * tot_b - n_b * tot_a) * 1000 // (2 * tot_a * tot_b)
+       CASE WHEN tot_a = 0 OR tot_b = 0 THEN NULL
+            ELSE abs(n_a * tot_b - n_b * tot_a) * 1000
+                 // (2 * tot_a * tot_b) END
          AS drift_contrib_permille
 FROM m CROSS JOIN t
 """
@@ -2926,12 +3079,9 @@ def q_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     path = os.path.join(SCRATCH, "gdpr_docs")
     write_table(docs, path, partition_by=("source",))
-    doomed = [
-        r[0]
-        for r in docs.filter(F.col("doc_id") % 37 == 0)
-        .select("doc_id")
-        .collect()
-    ]
+    # DataFrame-keys overload: the doomed set stays distributed (anti-
+    # join in delete_rows), never collected to the driver.
+    doomed = docs.filter(F.col("doc_id") % 37 == 0).select("doc_id")
     delete_rows(spark, path, key_col="doc_id", keys=doomed,
                 partition_col="source")
     out = read_back(spark, path)
@@ -4583,9 +4733,113 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordered so the driver's 50-query correctness window carries the
+    most NEW signal each round.  Round-3 layout:
+
+    - 4 sentinels that were driver-green in round 2 (regression canary);
+    - the 3 round-2 red rows, now fixed (HUGEINT cast, exploded
+      signatures) — kept inside the window to prove the fix;
+    - then every query that had NO driver signal in round 2 (positions
+      51+ last round): ANN + recall, kmeans, packing, contamination,
+      BM25, fuzzy/prefix joins, sink round-trips, sessionize/funnel/
+      cohort, pagerank, TPC-H analogs — plus the three new round-3
+      queries (streaming_tumbling, ann_recall, assign_packs_scalable).
+
+    Everything from position 51 on is either still-unverified overflow
+    (next round's window) or was already driver-green in round 2.
+    """
     return {
+        # -- sentinels (driver-green in r2) --------------------------------
         "order_totals": q_order_totals,
         "reconciliation": q_reconciliation,
+        "top1_per_group": q_top1_per_group,
+        "xml_shred": q_xml_shred,
+        # -- r2 red rows, fixed this round ---------------------------------
+        "tumbling_window": q_tumbling_window,
+        "session_window": q_session_window,
+        "minhash_signatures": q_minhash_signatures,
+        # -- first driver-checked streaming query --------------------------
+        "streaming_tumbling": q_streaming_tumbling,
+        # -- previously outside the driver window --------------------------
+        "ann_brute_force": q_ann_brute_force,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "ann_recall": q_ann_recall,
+        "embedding_near_dup": q_embedding_near_dup,
+        "kmeans_assign": q_kmeans_assign,
+        "kmeans_train": q_kmeans_train,
+        "quantize_embeddings": q_quantize_embeddings,
+        "assign_packs": q_assign_packs,
+        "assign_packs_scalable": q_assign_packs_scalable,
+        "contamination_hits": q_contamination_hits,
+        "decontaminate": q_decontaminate,
+        "bm25_search": q_bm25_search,
+        "fuzzy_join": q_fuzzy_join,
+        "jaccard_prefix_join": q_jaccard_prefix_join,
+        "stratified_sample": q_stratified_sample,
+        "multimodal_features": q_multimodal_features,
+        "frame_sample": q_frame_sample,
+        "csv_roundtrip": q_csv_roundtrip,
+        "filename_partition": q_filename_partition,
+        "ctas_roundtrip": q_ctas_roundtrip,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "orc_roundtrip": q_orc_roundtrip,
+        "compact_roundtrip": q_compact_roundtrip,
+        "merge_upsert": q_merge_upsert,
+        "gdpr_delete": q_gdpr_delete,
+        "sessionize": q_sessionize,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "pagerank": q_pagerank,
+        "scd2_history": q_scd2_history,
+        "grouping_sets": q_grouping_sets,
+        "resample_ffill": q_resample_ffill,
+        "order_by_limit": q_order_by_limit,
+        "word_stats": q_word_stats,
+        "cube_agg": q_cube_agg,
+        "grouped_median": q_grouped_median,
+        "histogram": q_histogram,
+        "profile_table": q_profile_table,
+        "volume_shipping": q_volume_shipping,
+        "market_share": q_market_share,
+        "waiting_suppliers": q_waiting_suppliers,
+        # ---- position 51+: unverified overflow (round-4 window) ----------
+        "product_profit": q_product_profit,
+        "grouped_quantiles": q_grouped_quantiles,
+        "iqr_outliers": q_iqr_outliers,
+        "constraint_violations": q_constraint_violations,
+        "having_filter": q_having_filter,
+        "count_distinct_agg": q_count_distinct_agg,
+        "null_safe_join": q_null_safe_join,
+        "below_avg_filter": q_below_avg_filter,
+        "collect_sorted": q_collect_sorted,
+        "range_frame_window": q_range_frame_window,
+        "exists_subquery": q_exists_subquery,
+        "scalar_subquery": q_scalar_subquery,
+        "line_dedup": q_line_dedup,
+        "ntile_windows": q_ntile_windows,
+        "salted_join": q_salted_join,
+        "repetition_signals": q_repetition_signals,
+        "build_vocab": q_build_vocab,
+        "zscore": q_zscore,
+        "html_extract": q_html_extract,
+        "rare_tokens": q_rare_tokens,
+        "embedding_dim_profile": q_embedding_dim_profile,
+        "distribution_drift": q_distribution_drift,
+        "zorder_key": q_zorder_key,
+        "variant_extract": q_variant_extract,
+        "returned_items": q_returned_items,
+        "priority_shipmode": q_priority_shipmode,
+        "customer_distribution": q_customer_distribution,
+        "promo_revenue": q_promo_revenue,
+        "top_supplier": q_top_supplier,
+        "min_cost_supplier": q_min_cost_supplier,
+        "disjunctive_pred": q_disjunctive_pred,
+        "forecast_revenue": q_forecast_revenue,
+        "important_parts": q_important_parts,
+        "promo_suppliers": q_promo_suppliers,
+        "approx_profile": q_approx_profile,
+        # ---- driver-green in round 2 -------------------------------------
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
@@ -4597,24 +4851,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot": q_pivot,
         "unpivot": q_unpivot,
         "distinct": q_distinct,
-        "top1_per_group": q_top1_per_group,
         "topk_per_group": q_topk_per_group,
         "argmin_agg": q_argmin_agg,
         "composite_key_join": q_composite_key_join,
         "closest_stations": q_closest_stations,
         "closest_stations_grid": q_closest_stations_grid,
         "cleaning_scalars": q_cleaning_scalars,
-        "xml_shred": q_xml_shred,
         "json_flatten": q_json_flatten,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
-        "tumbling_window": q_tumbling_window,
         "sliding_window": q_sliding_window,
-        "session_window": q_session_window,
         "exact_dup_groups": q_exact_dup_groups,
-        "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "minhash_lsh_pairs_arrow": q_minhash_lsh_pairs_arrow,
+        "minhash_lsh_pairs_expr": q_minhash_lsh_pairs_expr,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -4634,81 +4883,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "quota_cap": q_quota_cap,
         "quality_filter": q_quality_filter,
-        "assign_packs": q_assign_packs,
-        "ann_brute_force": q_ann_brute_force,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "embedding_near_dup": q_embedding_near_dup,
-        "multimodal_features": q_multimodal_features,
-        "frame_sample": q_frame_sample,
-        "csv_roundtrip": q_csv_roundtrip,
-        "filename_partition": q_filename_partition,
-        "ctas_roundtrip": q_ctas_roundtrip,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
-        "order_by_limit": q_order_by_limit,
-        "word_stats": q_word_stats,
-        "cube_agg": q_cube_agg,
-        "grouped_median": q_grouped_median,
-        "histogram": q_histogram,
-        "profile_table": q_profile_table,
-        "contamination_hits": q_contamination_hits,
-        "decontaminate": q_decontaminate,
-        "grouped_quantiles": q_grouped_quantiles,
-        "iqr_outliers": q_iqr_outliers,
-        "merge_upsert": q_merge_upsert,
-        "stratified_sample": q_stratified_sample,
-        "constraint_violations": q_constraint_violations,
-        "having_filter": q_having_filter,
-        "count_distinct_agg": q_count_distinct_agg,
-        "null_safe_join": q_null_safe_join,
-        "below_avg_filter": q_below_avg_filter,
-        "resample_ffill": q_resample_ffill,
-        "scd2_history": q_scd2_history,
-        "grouping_sets": q_grouping_sets,
-        "collect_sorted": q_collect_sorted,
-        "range_frame_window": q_range_frame_window,
-        "pagerank": q_pagerank,
-        "exists_subquery": q_exists_subquery,
-        "scalar_subquery": q_scalar_subquery,
-        "line_dedup": q_line_dedup,
-        "ntile_windows": q_ntile_windows,
-        "kmeans_assign": q_kmeans_assign,
-        "fuzzy_join": q_fuzzy_join,
-        "quantize_embeddings": q_quantize_embeddings,
-        "approx_profile": q_approx_profile,
-        "salted_join": q_salted_join,
-        "repetition_signals": q_repetition_signals,
-        "orc_roundtrip": q_orc_roundtrip,
-        "sessionize": q_sessionize,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "kmeans_train": q_kmeans_train,
-        "build_vocab": q_build_vocab,
-        "zscore": q_zscore,
-        "html_extract": q_html_extract,
-        "rare_tokens": q_rare_tokens,
-        "bm25_search": q_bm25_search,
-        "jaccard_prefix_join": q_jaccard_prefix_join,
-        "embedding_dim_profile": q_embedding_dim_profile,
-        "distribution_drift": q_distribution_drift,
-        "zorder_key": q_zorder_key,
-        "gdpr_delete": q_gdpr_delete,
-        "compact_roundtrip": q_compact_roundtrip,
-        "variant_extract": q_variant_extract,
-        "volume_shipping": q_volume_shipping,
-        "market_share": q_market_share,
-        "product_profit": q_product_profit,
-        "returned_items": q_returned_items,
-        "priority_shipmode": q_priority_shipmode,
-        "customer_distribution": q_customer_distribution,
-        "promo_revenue": q_promo_revenue,
-        "top_supplier": q_top_supplier,
-        "min_cost_supplier": q_min_cost_supplier,
-        "disjunctive_pred": q_disjunctive_pred,
-        "forecast_revenue": q_forecast_revenue,
-        "important_parts": q_important_parts,
-        "promo_suppliers": q_promo_suppliers,
-        "waiting_suppliers": q_waiting_suppliers,
     }
 
 
@@ -4741,10 +4915,12 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_window": _SQL_TUMBLING,
         "sliding_window": _SQL_SLIDING,
         "session_window": _SQL_SESSION,
+        # streaming twin shares the batch oracle — identical result set
+        "streaming_tumbling": _SQL_TUMBLING,
         "exact_dup_groups": _SQL_EXACT_DUP,
-        "minhash_signatures": _sql_minhash_sigs()[0],
+        "minhash_signatures": _sql_minhash_sigs_exploded(),
         "minhash_lsh_pairs": _sql_lsh_pairs(),
-        "minhash_lsh_pairs_arrow": _sql_lsh_pairs(),
+        "minhash_lsh_pairs_expr": _sql_lsh_pairs(),
         "ngram_jaccard_pairs": _SQL_JACCARD,
         "simhash": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),
@@ -4765,9 +4941,12 @@ def oracle_sql() -> dict[str, str]:
         "quota_cap": _sql_quota_cap(),
         "quality_filter": _SQL_QUALITY_FILTER,
         "assign_packs": _SQL_ASSIGN_PACKS,
+        # scalable two-phase packing must equal the single-window packing
+        "assign_packs_scalable": _SQL_ASSIGN_PACKS,
         "ann_brute_force": _SQL_ANN_BRUTE,
         "ann_lsh": _sql_ann_lsh(),
         "ann_ivf": _sql_ann_ivf(),
+        "ann_recall": _sql_ann_recall(),
         "embedding_near_dup": _sql_embedding_near_dup(),
         "multimodal_features": _SQL_MULTIMODAL,
         "frame_sample": _SQL_FRAME_SAMPLE,

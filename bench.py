@@ -49,7 +49,7 @@ HEADLINE = [
     "session_window",
     "exact_dup_groups",
     "minhash_lsh_pairs",
-    "minhash_lsh_pairs_arrow",
+    "minhash_lsh_pairs_expr",
     "simhash",
     "simhash_pairs",
     "embedding_near_dup",

@@ -401,8 +401,11 @@ def bm25_topk(
     Magnitude bound: score terms stay under
     ``2·N·scale · 22·tf·total_len``; with scale=1000 this fits int64
     up to ~10⁸ total corpus tokens per partition of the scoring join.
-    At larger scale, lower ``scale`` or lift the products to
-    DECIMAL(38,0).
+    The bound is ENFORCED, not just documented: the score expression
+    re-checks it per row in DECIMAL(38,0) (36 digits of headroom vs the
+    19 of int64) and raises instead of silently wrapping; past the
+    bound, lower ``scale`` or lift the products to DECIMAL(38,0) as
+    tfidf_doc_similarity does.
 
     Scale shape: token explode → per-doc length agg; the query-term
     subset (tiny: |terms| rows per doc at most) drives everything else;
@@ -435,8 +438,15 @@ def bm25_topk(
         .withColumn(
             "_term_score",
             F.expr(
-                "(_idf_fp * (22 * tf * total_len))"
-                " div ((10*tf + 3) * total_len + 9 * dl * n_docs)"
+                "CASE WHEN CAST(_idf_fp AS DECIMAL(38,0)) * 22 * tf"
+                "          * total_len"
+                "          > CAST(9223372036854775807 AS DECIMAL(38,0))"
+                " THEN CAST(raise_error(CONCAT('bm25_topk: int64 overflow"
+                " (idf_fp=', _idf_fp, ', tf=', tf, ', total_len=',"
+                " total_len, ') — lower scale or use DECIMAL(38,0)'))"
+                "      AS BIGINT)"
+                " ELSE (_idf_fp * (22 * tf * total_len))"
+                " div ((10*tf + 3) * total_len + 9 * dl * n_docs) END"
             ),
         )
     )

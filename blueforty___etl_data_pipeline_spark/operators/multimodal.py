@@ -49,15 +49,51 @@ def binarize(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
     )
 
 
+def _try_import_pil():
+    """Feature gate for the real codec: PIL is used when importable,
+    otherwise decode falls back to the documented stub behavior.  The
+    container this repo is built in has no image libraries, so the real
+    path is wired but unproven here — see README 'Multimodal status'."""
+    try:
+        from PIL import Image  # noqa: F401
+
+        return Image
+    except ImportError:
+        return None
+
+
+_PIL = _try_import_pil()
+
+
+def decode_image_real(data: bytes, size: int = 8) -> list[float]:
+    """Real decode path (requires PIL): decode → grayscale → resize to
+    ``size``×1 → mean-normalized pixel features.  Deterministic for a
+    given library version; NOT engine-portable (no DuckDB oracle), so
+    queries() keeps the fake-decode contract and this path is for
+    production deployments with image libs installed."""
+    if _PIL is None:
+        raise NotImplementedError(
+            "decode_image_real requires PIL, which is not installed "
+            "in this environment"
+        )
+    import io
+
+    img = _PIL.open(io.BytesIO(data)).convert("L").resize((size, 1))
+    return [p / 255.0 for p in img.getdata()]
+
+
 def decode_image_stub(data: bytes, fake: bool = False) -> list[float]:
-    """Codec boundary.  Real implementation would be e.g. PIL/libvips
-    decode → resize → feature extraction; not available in this container.
+    """Codec boundary.  With PIL installed, ``fake=False`` routes to
+    :func:`decode_image_real`; without it (this container), ``fake=False``
+    raises — the capability is feature-gated, not silently faked.
 
     ``fake=True`` → deterministic 8-float pseudo-feature derived from the
     content digest (stable across runs/engines, good enough to test the
     distributed pipeline's correctness).
     """
     if not fake:
+        if _PIL is not None:
+            return decode_image_real(data)
         raise NotImplementedError(
             "image decoding requires an image library (PIL/opencv) "
             "not present in this environment; pass fake=True for the "

@@ -442,9 +442,13 @@ def distribution_drift(
             "bin_lo",
             "n_a",
             "n_b",
+            # Empty-snapshot guard: with tot_a or tot_b = 0 the div is
+            # undefined (Spark yields NULL, DuckDB errors) — emit NULL
+            # explicitly so both engines agree on the degenerate input.
             F.expr(
-                "abs(n_a * tot_b - n_b * tot_a) * 1000"
-                " div (2 * tot_a * tot_b)"
+                "CASE WHEN tot_a = 0 OR tot_b = 0 THEN NULL"
+                " ELSE abs(n_a * tot_b - n_b * tot_a) * 1000"
+                " div (2 * tot_a * tot_b) END"
             ).alias("drift_contrib_permille"),
         )
     )

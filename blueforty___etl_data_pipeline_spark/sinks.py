@@ -210,12 +210,17 @@ def delete_rows(
     spark: SparkSession,
     path: str,
     key_col: str,
-    keys: Sequence,
+    keys,
     partition_col: str,
 ) -> int:
     """Targeted hard delete (GDPR / right-to-be-forgotten) from a
     Hive-partitioned Parquet location: rewrite ONLY the partitions that
     contain the doomed keys, via dynamic partition overwrite.
+
+    ``keys`` is either a small Python sequence (GDPR-sized request
+    lists → an ``isin`` filter that pushes down to the scan) or a
+    DataFrame whose first column holds the doomed keys (bulk deletes →
+    a distributed anti-join; the key set never touches the driver).
 
     Two passes: (1) a partition-pruned probe finds the affected
     partition values (the collect is bounded by the partition count,
@@ -225,23 +230,45 @@ def delete_rows(
     between rewriting gigabytes and rewriting the lake; the same shape
     is what table formats call copy-on-write delete.
 
-    Returns the number of partitions rewritten.
+    Dynamic partition overwrite only replaces partitions PRESENT in the
+    written data, so a hit partition whose every row is doomed would
+    survive untouched — a silent delete failure.  Those fully-doomed
+    partitions are removed explicitly through the Hadoop FileSystem API
+    after the rewrite.
+
+    Returns the number of partitions rewritten or removed.
     """
     from pyspark.sql import functions as F
 
     tgt = spark.read.parquet(path)
+    if isinstance(keys, DataFrame):
+        doomed = keys.select(
+            F.col(keys.columns[0]).alias(key_col)
+        ).distinct()
+        hit = tgt.join(F.broadcast(doomed), on=key_col, how="left_semi")
+        doom_filter = None
+    else:
+        doomed = None
+        hit = tgt.filter(F.col(key_col).isin(list(keys)))
+        doom_filter = ~F.col(key_col).isin(list(keys))
     hit_parts = [
-        r[0]
-        for r in tgt.filter(F.col(key_col).isin(list(keys)))
-        .select(partition_col)
-        .distinct()
-        .collect()
+        r[0] for r in hit.select(partition_col).distinct().collect()
     ]
     if not hit_parts:
         return 0
-    survivors = tgt.filter(F.col(partition_col).isin(hit_parts)).filter(
-        ~F.col(key_col).isin(list(keys))
-    )
+    in_hit = tgt.filter(F.col(partition_col).isin(hit_parts))
+    if doomed is not None:
+        survivors = in_hit.join(
+            F.broadcast(doomed), on=key_col, how="left_anti"
+        )
+    else:
+        survivors = in_hit.filter(doom_filter)
+    # Partitions where EVERY row is doomed produce no survivor rows, so
+    # dynamic overwrite will not rewrite them — list them now (bounded
+    # by partition count) and drop their directories afterwards.
+    live_parts = {
+        r[0] for r in survivors.select(partition_col).distinct().collect()
+    }
     (
         survivors.repartition(*[partition_col])
         .write.mode("overwrite")
@@ -249,6 +276,17 @@ def delete_rows(
         .partitionBy(partition_col)
         .parquet(path)
     )
+    hadoop_conf = spark.sparkContext._jsc.hadoopConfiguration()
+    jvm = spark.sparkContext._jvm
+    for part in hit_parts:
+        if part in live_parts:
+            continue
+        p = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/{partition_col}={part}"
+        )
+        fs = p.getFileSystem(hadoop_conf)
+        if fs.exists(p):
+            fs.delete(p, True)
     return len(hit_parts)
 
 

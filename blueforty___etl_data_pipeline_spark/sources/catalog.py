@@ -52,11 +52,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         elif ts_type == "timestamp_ntz":
             # Micros fixture without UTC-adjustment flag: wall-clock
-            # values ARE UTC instants here.  Cast to TIMESTAMP (LTZ)
-            # under a pinned UTC session zone — watermarks/F.window
-            # event time and unix_micros require LTZ
-            # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise).
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # values ARE UTC instants here.  Cast to TIMESTAMP (LTZ) —
+            # watermarks/F.window event time and unix_micros require LTZ
+            # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise).  The cast
+            # is only correct under a UTC session zone; that invariant is
+            # established once at session construction (session.py /
+            # _prep), never mutated here — a loader that silently flips a
+            # session-wide conf changes timestamp semantics for every
+            # other query in the session.
+            tz = spark.conf.get("spark.sql.session.timeZone")
+            if tz != "UTC":
+                raise RuntimeError(
+                    "load_table('events') requires "
+                    f"spark.sql.session.timeZone=UTC (got {tz!r}); build "
+                    "the session with session.get_spark() or set the conf "
+                    "before loading."
+                )
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

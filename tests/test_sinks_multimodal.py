@@ -239,6 +239,57 @@ def test_delete_rows_no_hits_is_noop(spark, tmp_path):
     assert spark.read.parquet(path).count() == 1
 
 
+def test_delete_rows_removes_fully_doomed_partition(spark, tmp_path):
+    # r2 ADVICE (high): when EVERY row of a partition is doomed, dynamic
+    # partition overwrite writes nothing for it and the old files would
+    # silently survive — delete_rows must remove the directory itself.
+    import glob
+
+    from blueforty___etl_data_pipeline_spark.sinks import delete_rows
+
+    path = str(tmp_path / "gdpr3")
+    df = spark.createDataFrame(
+        [(i, "a" if i < 10 else "b") for i in range(20)], ["k", "part"]
+    )
+    df.repartition("part").write.partitionBy("part").parquet(path)
+
+    # every key of partition a, plus one of b
+    doomed = list(range(10)) + [15]
+    n = delete_rows(spark, path, key_col="k", keys=doomed,
+                    partition_col="part")
+    assert n == 2
+    assert glob.glob(f"{path}/part=a") == []  # directory gone, not just empty
+    remaining = spark.read.parquet(path)
+    assert remaining.count() == 9
+    assert remaining.filter("part = 'a'").count() == 0
+    assert remaining.filter("k = 15").count() == 0
+
+
+def test_delete_rows_dataframe_keys_never_collects(spark, tmp_path):
+    # Bulk-delete overload: keys arrive as a DataFrame and are applied
+    # via anti-join — exercised with a larger-than-sane key set that a
+    # driver-side isin() list should never carry.
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.sinks import delete_rows
+
+    path = str(tmp_path / "gdpr4")
+    df = spark.createDataFrame(
+        [(i, f"p{i % 4}") for i in range(10_000)], ["k", "part"]
+    )
+    df.repartition("part").write.partitionBy("part").parquet(path)
+
+    doomed = spark.range(0, 10_000).filter(F.col("id") % 3 == 0).select(
+        F.col("id").alias("k")
+    )
+    n = delete_rows(spark, path, key_col="k", keys=doomed,
+                    partition_col="part")
+    assert n == 4  # every partition holds multiples of 3
+    remaining = spark.read.parquet(path)
+    assert remaining.count() == 10_000 - 3334
+    assert remaining.filter("k % 3 = 0").count() == 0
+
+
 def test_compact_partitions_reduces_files_preserves_rows(spark, tmp_path):
     import glob
 
