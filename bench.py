@@ -47,9 +47,14 @@ HEADLINE = [
     "tumbling_window",
     "sliding_window",
     "session_window",
+    "streaming_tumbling",
     "exact_dup_groups",
     "minhash_lsh_pairs",
-    "minhash_lsh_pairs_expr",
+    # minhash_lsh_pairs_expr (the no-Arrow JVM-fold fallback) stays
+    # correctness-gated against the shared oracle but is not benched:
+    # the engine's chosen path IS the Arrow default above (the fallback
+    # is ~4.5x slower by design and would only measure a path no
+    # deployment with Arrow ever takes).
     "simhash",
     "simhash_pairs",
     "embedding_near_dup",
@@ -67,6 +72,7 @@ HEADLINE = [
     "ann_brute_force",
     "ann_lsh",
     "ann_ivf",
+    "ann_recall",
     "multimodal_features",
     "word_stats",
     "chunk_documents",
@@ -92,6 +98,7 @@ HEADLINE = [
     "approx_profile",
     "salted_join",
     "repetition_signals",
+    "assign_packs_scalable",
     "sessionize",
     "funnel",
     "cohort_retention",

@@ -722,3 +722,133 @@ def jaccard_prefix_join(
             ).alias("jaccard_permille"),
         )
     )
+
+
+def _span_hashes(
+    df: DataFrame,
+    window: int,
+    stride: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, span_idx, span_h) for every full ``window``-token span at
+    ``stride``-token steps.  Docs shorter than ``window`` tokens emit no
+    spans.  The token array is bound ONCE as a lambda variable (the
+    HOF-inlining trap: naive per-span tokenization re-splits the whole
+    document per span — quadratic on long web documents)."""
+
+    def spans_of(arr: Column) -> Column:
+        n = F.size(arr)
+        n_spans = F.when(
+            n >= window,
+            (F.floor((n - F.lit(window)) / F.lit(stride)) + 1).cast("int"),
+        ).otherwise(F.lit(0))
+        return F.when(
+            n_spans <= 0, F.array().cast("array<bigint>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: md5_hash64(
+                    F.concat_ws(
+                        " ", F.slice(arr, i * F.lit(stride) + 1, window)
+                    )
+                ),
+            )
+        )
+
+    hashed = F.flatten(
+        F.transform(F.array(tokens_ws(F.col(text_col))), spans_of)
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(hashed).alias("span_idx", "span_h")
+    ).select(
+        F.col(id_col),
+        F.col("span_idx").cast("long").alias("span_idx"),
+        "span_h",
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    window: int = 16,
+    stride: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level EXACT duplicate detection — the substring-granularity
+    member of the dedup family (doc-level: exact_dup_groups; near-dup:
+    MinHash/SimHash).  Training corpora are full of cross-document
+    boilerplate (headers, licenses, navigation) that document-level
+    dedup cannot see; this is the Spark-native shape of the
+    "deduplicating training data" span approach: every ``window``-token
+    span (``stride``-token steps) is hashed, and spans whose hash occurs
+    in ≥ ``min_docs`` DISTINCT documents are flagged with their
+    positions → (id, span_idx, span_h, n_docs).
+
+    Scale shape: the explode emits ~n_tokens/stride rows per doc; the
+    sharer count is a partial-agged distinct on (span_h, doc) followed
+    by a hash-agg on span_h — shuffles keyed on the span hash, which is
+    uniform by construction (no skew).  The final join back is an
+    equi-join on span_h; candidates never pair up docs directly, so
+    there is no quadratic blowup anywhere.  True suffix-array substring
+    dedup finds *maximal* repeats; fixed windows + stride trade that
+    exactness for a pure hash-agg plan that scales linearly.
+    """
+    spans = _span_hashes(df, window, stride, text_col, id_col)
+    sharers = (
+        spans.select("span_h", id_col)
+        .distinct()
+        .groupBy("span_h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return spans.join(sharers, "span_h").select(
+        id_col, "span_idx", "span_h", "n_docs"
+    )
+
+
+def span_dup_stats(
+    df: DataFrame,
+    window: int = 16,
+    stride: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-span fraction — the boilerplate /
+    memorization-risk quality signal built on :func:`duplicate_spans`:
+    (id, n_spans, n_dup_spans, dup_permille), integer permille so both
+    engines agree exactly.  Docs shorter than ``window`` tokens emit no
+    spans and are absent (they carry no signal).
+
+    Use as a quality-filter input: a doc whose spans are mostly shared
+    with other documents is template debris, not content.
+    """
+    spans = _span_hashes(df, window, stride, text_col, id_col)
+    sharers = (
+        spans.select("span_h", id_col)
+        .distinct()
+        .groupBy("span_h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("span_h")
+    )
+    flagged = spans.join(
+        sharers.withColumn("_dup", F.lit(1)), "span_h", "left"
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0)))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_dup_spans",
+            F.expr("1000 * n_dup_spans div n_spans").alias("dup_permille"),
+        )
+    )

@@ -358,3 +358,55 @@ def test_jaccard_prefix_join_exact_pairs(spark):
     }
     assert set(out2) == {(1, 2), (1, 3), (2, 3)}
     assert out2[(1, 3)] == 600
+
+
+def test_duplicate_spans_flags_shared_boilerplate(spark):
+    from blueforty___etl_data_pipeline_spark.operators.dedup import (
+        duplicate_spans,
+        span_dup_stats,
+    )
+
+    boiler = "t0 t1 t2 t3"  # the shared 4-token block
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " u1 u2 u3 u4"),
+            (2, boiler + " v1 v2 v3 v4"),  # shares only the leading span
+            (3, "w1 w2 w3 w4 w5 w6 w7 w8"),  # no shared spans
+            (4, "short doc"),  # < window tokens → no spans at all
+        ],
+        ["doc_id", "text"],
+    )
+    out = duplicate_spans(docs, window=4, stride=4).collect()
+    # exactly the leading span of docs 1 and 2, nothing else
+    assert sorted((r["doc_id"], r["span_idx"]) for r in out) == [(1, 0), (2, 0)]
+    assert all(r["n_docs"] == 2 for r in out)
+
+    stats = {
+        r["doc_id"]: r for r in span_dup_stats(docs, window=4, stride=4).collect()
+    }
+    assert 4 not in stats  # too short to carry signal
+    assert stats[1]["n_spans"] == 2 and stats[1]["n_dup_spans"] == 1
+    assert stats[1]["dup_permille"] == 500
+    assert stats[3]["n_dup_spans"] == 0 and stats[3]["dup_permille"] == 0
+
+
+def test_duplicate_spans_stride_and_within_doc_repeat(spark):
+    from blueforty___etl_data_pipeline_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    # The same 2-token span repeats WITHIN doc 1 only: min_docs counts
+    # DISTINCT docs, so a within-doc repeat alone must not flag.
+    docs = spark.createDataFrame(
+        [(1, "p q p q"), (2, "r s r s")], ["doc_id", "text"]
+    )
+    assert duplicate_spans(docs, window=2, stride=2).count() == 0
+    # stride=1 slides over every offset: doc 1 spans are (p q), (q p),
+    # (p q) — still single-doc; across docs nothing matches.
+    assert duplicate_spans(docs, window=2, stride=1).count() == 0
+    # shared across docs → flagged at every position it occurs
+    docs2 = spark.createDataFrame(
+        [(1, "p q x"), (2, "y p q")], ["doc_id", "text"]
+    )
+    out = duplicate_spans(docs2, window=2, stride=1).collect()
+    assert sorted((r["doc_id"], r["span_idx"]) for r in out) == [(1, 0), (2, 1)]
