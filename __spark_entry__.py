@@ -119,7 +119,9 @@ from blueforty___etl_data_pipeline_spark.operators.constraints import (
 from blueforty___etl_data_pipeline_spark.operators.sampling import (
     hash_sample,
     hash_split,
+    mix_sources,
     quota_cap,
+    select_until_budget,
     stratified_sample,
 )
 from blueforty___etl_data_pipeline_spark.operators.similarity import (
@@ -3543,6 +3545,73 @@ WHERE CAST(('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))
 """
 
 
+_MIX_WEIGHTS = {"src0": 3, "src1": 2, "src2": 1, "src3": 1}
+
+
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixing (operators/sampling.mix_sources): hit target
+    per-source token shares 3:2:1:1 over four sources (the rest drop),
+    never upsampling — corpus size pinned by the scarcest source, each
+    source hash-sampled at an integer-derived cutoff."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return mix_sources(docs, weights=_MIX_WEIGHTS).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
+def _sql_mix_sources() -> str:
+    w_total = sum(_MIX_WEIGHTS.values())
+    weight_rows = ", ".join(
+        f"('{s}', {w})" for s, w in _MIX_WEIGHTS.items()
+    )
+    toks = _D_TOKENS.format(t="text")
+    bucket = (
+        "CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+        " AS BIGINT) % 10000"
+    )
+    return f"""
+WITH wt(source, w) AS (VALUES {weight_rows}),
+t AS (SELECT source, SUM(CAST(len({toks}) AS BIGINT)) AS tot
+      FROM documents GROUP BY 1),
+j AS (SELECT t.source, tot, w FROM t JOIN wt USING (source) WHERE w > 0),
+nc AS (SELECT MIN(tot * {w_total} // w) AS n_corpus FROM j),
+cut AS (SELECT source, (w * n_corpus * 10000) // ({w_total} * tot)
+          AS cutoff
+        FROM j CROSS JOIN nc)
+SELECT d.doc_id, d.source, d.lang, d.n_chars
+FROM documents d JOIN cut ON d.source = cut.source
+WHERE {bucket} < cutoff
+"""
+
+
+def q_select_until_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget curation (operators/sampling.
+    select_until_budget): longest documents first (n_chars desc, id
+    tiebreak) until a 6000-token budget is crossed — the two-phase
+    value-binned prefix sum, no single-partition window."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return select_until_budget(
+        docs, budget=6000, order_col="n_chars", bin_width=64
+    )
+
+
+def _sql_select_until_budget() -> str:
+    toks = _D_TOKENS.format(t="text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, n_chars, CAST(len({toks}) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT *, SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t)
+SELECT doc_id, n_chars, n_tokens, cum_tokens
+FROM c WHERE cum_tokens - n_tokens < 6000
+"""
+
+
 def q_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate: not-null / unique / range /
     accepted-values rules fused into ONE aggregate over one scan, plus
@@ -4879,6 +4948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- position 51+: unverified overflow (round-4 window) ----------
         "duplicate_spans": q_duplicate_spans,
         "span_dup_stats": q_span_dup_stats,
+        "mix_sources": q_mix_sources,
+        "select_until_budget": q_select_until_budget,
         "product_profit": q_product_profit,
         "grouped_quantiles": q_grouped_quantiles,
         "iqr_outliers": q_iqr_outliers,
@@ -5074,6 +5145,8 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_prefix_join": _SQL_JACCARD_PREFIX,
         "duplicate_spans": _sql_duplicate_spans(),
         "span_dup_stats": _sql_span_dup_stats(),
+        "mix_sources": _sql_mix_sources(),
+        "select_until_budget": _sql_select_until_budget(),
         "embedding_dim_profile": _SQL_EMBEDDING_DIM_PROFILE,
         "distribution_drift": _SQL_DRIFT,
         "zorder_key": _SQL_ZORDER,

@@ -130,3 +130,142 @@ def stratified_sample(
             F.lit(int(round(frac * _BUCKETS))),
         ).otherwise(cutoff)
     return df.filter(b < cutoff)
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, int],
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Training-data mixing: downsample each source so the OUTPUT token
+    distribution matches the target ``weights`` (integer shares, e.g.
+    ``{"web": 5, "wiki": 3, "code": 2}``) as closely as doc-granular
+    sampling allows, WITHOUT upsampling any source.
+
+    The achievable corpus size is pinned by the scarcest source
+    relative to its target: N = min_s floor(T_s · W / w_s) (T_s =
+    source token total, W = Σ weights).  Each source then keeps a
+    deterministic hash-sample at cutoff_s = floor(w_s · N · B / (W ·
+    T_s)) buckets of B — every arithmetic step is integer, so the kept
+    set is bit-reproducible by any engine.  Sources absent from
+    ``weights`` are dropped (weight 0).
+
+    Scale shape: one partial-agged token-total pass per source (the
+    per-source table is tiny), a broadcast join of the cutoffs back,
+    and a map-stage bucket filter — no global shuffle of the corpus.
+    Doc-granular sampling matches token shares in expectation; exact
+    token-level shares would require splitting documents (see
+    chunk_documents if that is acceptable).
+    """
+    from ..functions.text import token_count_ws
+
+    w_total = sum(weights.values())
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    toks = df.select(
+        F.col(group_col).alias("_g"),
+        token_count_ws(F.col(text_col)).alias("_n"),
+    )
+    per_source = (
+        toks.groupBy("_g")
+        .agg(F.sum("_n").alias("_tot"))
+        .withColumn("_w", wmap[F.col("_g")])
+        .filter(F.col("_w").isNotNull() & (F.col("_w") > 0))
+    )
+    # N = min_s floor(T_s * W / w_s), DECIMAL(38,0) head-room so web-
+    # scale token totals never wrap int64 mid-product.
+    n_corpus = per_source.agg(
+        F.min(
+            F.expr(
+                f"CAST(_tot AS DECIMAL(38,0)) * {w_total} DIV _w"
+            )
+        ).alias("_n_corpus")
+    )
+    cutoffs = per_source.crossJoin(F.broadcast(n_corpus)).select(
+        "_g",
+        F.expr(
+            f"CAST(_w AS DECIMAL(38,0)) * _n_corpus * {_BUCKETS}"
+            f" DIV (CAST({w_total} AS DECIMAL(38,0)) * _tot)"
+        )
+        .cast("long")
+        .alias("_cutoff"),
+    )
+    b = _bucket(F.col(id_col), salt)
+    return (
+        df.join(
+            F.broadcast(cutoffs), df[group_col] == F.col("_g"), "inner"
+        )
+        .filter(b < F.col("_cutoff"))
+        .drop("_g", "_cutoff")
+    )
+
+
+def select_until_budget(
+    df: DataFrame,
+    budget: int,
+    order_col: str,
+    bin_width: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy token-budget curation: take documents in priority order
+    (``order_col`` DESCENDING — quality score, length, recency) until
+    the token budget is exhausted; a document is kept iff the tokens
+    BEFORE it fit strictly inside ``budget``, so the crossing document
+    is included.  Ties break on ascending id — the kept set is total-
+    order deterministic.
+
+    Scale shape: the same two-phase distributed prefix sum as
+    assign_packs_scalable, but ordered by VALUE, not id: docs partition
+    into fixed-width ``bin_width`` bins of ``order_col`` (bin is
+    monotone in the score, so (bin desc, score desc, id) is the global
+    priority order), each bin computes its local cumulative sum in
+    parallel, and only the tiny per-bin totals see a global window.
+    No single-partition pass over the corpus; make ``bin_width`` small
+    enough that no one bin dominates (bins ≈ value range / width).
+
+    Returns (id, order value, n_tokens, cum_tokens) for the kept docs,
+    cum_tokens inclusive.
+    """
+    from ..functions.text import token_count_ws
+
+    base = df.select(
+        F.col(id_col),
+        F.col(order_col).alias("_ord"),
+        token_count_ws(F.col(text_col)).alias("n_tokens"),
+        F.floor(F.col(order_col) / F.lit(bin_width)).alias("_bin"),
+    )
+    w_local = (
+        Window.partitionBy("_bin")
+        .orderBy(F.desc("_ord"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("_local_cum", F.sum("n_tokens").over(w_local))
+    bin_totals = base.groupBy("_bin").agg(
+        F.sum("n_tokens").alias("_bin_tot")
+    )
+    w_bins = (
+        Window.orderBy(F.desc("_bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = bin_totals.select(
+        "_bin",
+        (F.sum("_bin_tot").over(w_bins) - F.col("_bin_tot")).alias(
+            "_offset"
+        ),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_bin")
+        .withColumn("cum_tokens", F.col("_offset") + F.col("_local_cum"))
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < F.lit(budget))
+        .select(
+            id_col,
+            F.col("_ord").alias(order_col),
+            "n_tokens",
+            "cum_tokens",
+        )
+    )

@@ -121,3 +121,75 @@ def test_stratified_sample_default_fraction_drops_unlisted(spark):
         ).count()
         == 100
     )
+
+
+def test_mix_sources_integer_cutoffs_and_drop(spark):
+    from blueforty___etl_data_pipeline_spark.functions.text import md5_hash64
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        mix_sources,
+    )
+
+    # A: 20 docs x 5 tokens = 100; B: 200 docs x 5 tokens = 1000;
+    # C: not in weights -> dropped entirely.
+    rows = (
+        [(i, "a b c d e", "A") for i in range(20)]
+        + [(100 + i, "a b c d e", "B") for i in range(200)]
+        + [(900 + i, "a b c d e", "C") for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = mix_sources(docs, weights={"A": 2, "B": 1}, group_col="source")
+    got = out.groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in got}
+    assert "C" not in by_src
+    # N = min(100*3/2, 1000*3/1) = 150; cutoff_A = 2*150*1e4/(3*100) =
+    # 10000 -> A kept whole; cutoff_B = 1*150*1e4/(3*1000) = 500.
+    assert by_src["A"] == 20
+    exp_b = (
+        docs.filter("source = 'B'")
+        .filter(
+            md5_hash64(
+                F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
+            )
+            % 10000
+            < 500
+        )
+        .count()
+    )
+    assert by_src["B"] == exp_b > 0
+    # deterministic: identical output on re-run
+    assert out.exceptAll(
+        mix_sources(docs, weights={"A": 2, "B": 1}, group_col="source")
+    ).count() == 0
+
+
+def test_select_until_budget_crossing_doc_and_bins(spark):
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        select_until_budget,
+    )
+
+    # 4 docs, 5 tokens each, priority = score desc; budget 12 keeps the
+    # crossing doc (cum_before 10 < 12) but not the next (15 >= 12).
+    docs = spark.createDataFrame(
+        [
+            (1, "t t t t t", 10),
+            (2, "t t t t t", 9),
+            (3, "t t t t t", 8),
+            (4, "t t t t t", 7),
+        ],
+        ["doc_id", "text", "score"],
+    )
+    out = select_until_budget(docs, budget=12, order_col="score").collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2, 3]
+    assert {r["doc_id"]: r["cum_tokens"] for r in out} == {1: 5, 2: 10, 3: 15}
+    # bin width must not change the kept set (two-phase == single pass)
+    wide = select_until_budget(
+        docs, budget=12, order_col="score", bin_width=100
+    ).collect()
+    assert sorted(r["doc_id"] for r in wide) == [1, 2, 3]
+    # id tiebreak at equal score: lower id first
+    ties = spark.createDataFrame(
+        [(7, "t t t", 5), (5, "t t t", 5), (6, "t t t", 5)],
+        ["doc_id", "text", "score"],
+    )
+    kept = select_until_budget(ties, budget=4, order_col="score").collect()
+    assert sorted(r["doc_id"] for r in kept) == [5, 6]
