@@ -2096,7 +2096,21 @@ FROM documents GROUP BY 1
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (single-fold bit-balance accumulation)."""
+    """SimHash fingerprints — Arrow/NumPy vectorized bit-balance (the
+    engine default, ~3× the interpreted fold)."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.dedup import (
+        simhash_arrow,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_arrow(docs)
+
+
+def q_simhash_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-JVM single-fold SimHash fallback — shares the oracle with
+    q_simhash, so the driver proves the two implementations produce
+    bit-identical fingerprints."""
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
@@ -4950,6 +4964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dup_stats": q_span_dup_stats,
         "mix_sources": q_mix_sources,
         "select_until_budget": q_select_until_budget,
+        "simhash_expr": q_simhash_expr,
         "product_profit": q_product_profit,
         "grouped_quantiles": q_grouped_quantiles,
         "iqr_outliers": q_iqr_outliers,
@@ -5069,6 +5084,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs_expr": _sql_lsh_pairs(),
         "ngram_jaccard_pairs": _SQL_JACCARD,
         "simhash": _sql_simhash(),
+        "simhash_expr": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),
         "near_dup_components": _sql_near_dup_components(),
         "near_dup_dedup": _sql_near_dup_dedup(),

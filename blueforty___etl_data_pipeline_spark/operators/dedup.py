@@ -446,11 +446,12 @@ def simhash_near_dup_pairs(
     n_bits: int = 60,
     max_hamming: int = 3,
     bands: int = 4,
-    impl: str = "expr",
+    impl: str = "arrow",
 ) -> DataFrame:
     """SimHash near-dup pairs: candidates via band-bucket equi-join,
-    verified by exact Hamming distance.  ``impl``: 'expr' (JVM fold) or
-    'arrow' (vectorized NumPy, bit-identical fingerprints).
+    verified by exact Hamming distance.  ``impl``: 'arrow' (default —
+    vectorized NumPy, ~3× the fold) or 'expr' (pure-JVM fold,
+    bit-identical fingerprints; the no-Arrow fallback).
 
     Pigeonhole blocking: two fingerprints within ``max_hamming`` bits of
     each other agree exactly on at least one of ``bands`` bit-bands when
