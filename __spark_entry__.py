@@ -2055,6 +2055,47 @@ FROM banded l JOIN banded r
 """
 
 
+def q_lsh_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (operators/dedup.lsh_dedup_incremental):
+    a 'new batch' (doc_id % 10 = 0) dedups against the 'existing corpus'
+    (the rest) via banded-LSH bucket equi-join — the continuous-feed
+    production shape; survivors of the new batch are returned."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.dedup import (
+        lsh_dedup_incremental,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    out = lsh_dedup_incremental(
+        new, corpus, num_hashes=_MH_NUM, bands=_MH_BANDS
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+def _sql_lsh_incremental() -> str:
+    sig_sql, rows = _sql_minhash_sigs()
+    return f"""
+WITH sigs AS ({sig_sql}),
+banded AS (
+  SELECT doc_id, band,
+         md5(array_to_string(list_transform(
+             minhash_sig[band * {rows} + 1 : band * {rows} + {rows}],
+             v -> CAST(v AS VARCHAR)), ',')) AS bucket
+  FROM sigs CROSS JOIN (SELECT unnest(range(0, {_MH_BANDS})) AS band)
+  WHERE minhash_sig IS NOT NULL),
+doomed AS (
+  SELECT DISTINCT n.doc_id
+  FROM banded n JOIN banded c
+    ON n.band = c.band AND n.bucket = c.bucket AND c.doc_id % 10 != 0
+  WHERE n.doc_id % 10 = 0)
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id % 10 = 0
+  AND doc_id NOT IN (SELECT doc_id FROM doomed)
+"""
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ 0.5 — the near-dup ground truth."""
     _prep(spark)
@@ -4965,6 +5006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sources": q_mix_sources,
         "select_until_budget": q_select_until_budget,
         "simhash_expr": q_simhash_expr,
+        "lsh_dedup_incremental": q_lsh_dedup_incremental,
         "product_profit": q_product_profit,
         "grouped_quantiles": q_grouped_quantiles,
         "iqr_outliers": q_iqr_outliers,
@@ -5082,6 +5124,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _sql_minhash_sigs_exploded(),
         "minhash_lsh_pairs": _sql_lsh_pairs(),
         "minhash_lsh_pairs_expr": _sql_lsh_pairs(),
+        "lsh_dedup_incremental": _sql_lsh_incremental(),
         "ngram_jaccard_pairs": _SQL_JACCARD,
         "simhash": _sql_simhash(),
         "simhash_expr": _sql_simhash(),

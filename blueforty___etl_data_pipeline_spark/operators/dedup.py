@@ -282,7 +282,6 @@ def minhash_lsh_pairs(
     whole job; its members are still paired through their other,
     non-degenerate bands).
     """
-    rows = num_hashes // bands
     make_sigs = (
         minhash_signatures_arrow if impl == "arrow" else minhash_signatures
     )
@@ -295,23 +294,7 @@ def minhash_lsh_pairs(
     # you would checkpoint to storage between the signature and pairing
     # stages anyway.
     sigs = sigs.persist()
-    banded = sigs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.md5(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("minhash_sig"), b * rows + 1, rows),
-                            lambda v: v.cast("string"),
-                        ),
-                    )
-                ),
-            )
-        ).alias("band", "bucket"),
-    )
+    banded = _banded_buckets(sigs, id_col, num_hashes, bands)
     if max_bucket_size is not None:
         small = (
             banded.groupBy("band", "bucket")
@@ -853,3 +836,84 @@ def span_dup_stats(
             F.expr("1000 * n_dup_spans div n_spans").alias("dup_permille"),
         )
     )
+
+
+def _banded_buckets(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, bucket) rows from a (id, minhash_sig) table: each
+    signature splits into ``bands`` row-slices, each slice md5-hashed to
+    a bucket key.  Shared by the self-join (minhash_lsh_pairs) and
+    incremental (lsh_dedup_incremental) LSH shapes."""
+    rows = num_hashes // bands
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col("minhash_sig"), b * rows + 1, rows
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+
+
+def lsh_dedup_incremental(
+    df_new: DataFrame,
+    df_corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Incremental ingest dedup: drop every NEW document that LSH-
+    collides with the EXISTING corpus — the production shape for a
+    continuously-fed training corpus, where each arriving batch dedups
+    against everything already accepted rather than re-pairing the whole
+    lake.
+
+    Candidates come from an equi-join of the new batch's band buckets
+    against the corpus's band buckets (never new × corpus all-pairs); a
+    left-semi collapses multi-band hits, and a left-anti keeps the
+    survivors.  Candidate-level filtering is deliberate: at the banded
+    (num_hashes/bands-row) threshold a bucket collision IS the near-dup
+    signal, and erring toward dropping a borderline new doc is the safe
+    direction for training data (recall over precision).  Chain
+    ``ngram_jaccard_pairs`` on the flagged subset if exact verification
+    is required.
+
+    At 100 TB the corpus side is the PRECOMPUTED signature/bucket table
+    you maintain as an index (persist + checkpoint of ``_banded_buckets``
+    output, partitioned by bucket); only the new batch computes
+    signatures per ingest.  Returns the surviving rows of ``df_new``.
+    """
+    make_sigs = (
+        minhash_signatures_arrow if impl == "arrow" else minhash_signatures
+    )
+    sig_new = make_sigs(df_new, text_col, id_col, n, num_hashes).filter(
+        F.col("minhash_sig").isNotNull()
+    )
+    sig_old = make_sigs(df_corpus, text_col, id_col, n, num_hashes).filter(
+        F.col("minhash_sig").isNotNull()
+    )
+    banded_new = _banded_buckets(sig_new, id_col, num_hashes, bands)
+    banded_old = _banded_buckets(
+        sig_old, id_col, num_hashes, bands
+    ).select("band", "bucket")
+    doomed = (
+        banded_new.join(banded_old, on=["band", "bucket"], how="left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return df_new.join(doomed, on=id_col, how="left_anti")

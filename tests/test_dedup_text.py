@@ -410,3 +410,40 @@ def test_duplicate_spans_stride_and_within_doc_repeat(spark):
     )
     out = duplicate_spans(docs2, window=2, stride=1).collect()
     assert sorted((r["doc_id"], r["span_idx"]) for r in out) == [(1, 0), (2, 1)]
+
+
+def test_lsh_dedup_incremental_drops_corpus_collisions(spark):
+    from blueforty___etl_data_pipeline_spark.operators.dedup import (
+        lsh_dedup_incremental,
+    )
+
+    body = " ".join(f"w{i}" for i in range(40))
+    corpus = spark.createDataFrame(
+        [(1, body), (2, "totally different corpus text " * 5)],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (100, body),                                   # exact dup of corpus 1
+            (101, body + " tail"),                         # near-dup
+            (102, " ".join(f"z{i}" for i in range(40))),   # novel
+            (103, "a b"),                                  # < 3 tokens: no sig → kept
+        ],
+        ["doc_id", "text"],
+    )
+    out = lsh_dedup_incremental(new, corpus, num_hashes=32, bands=8)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert 100 not in kept          # exact dup must collide on every band
+    assert 102 in kept and 103 in kept
+    # near-dup 101 shares most shingles — with 8 bands of 4 rows a
+    # collision is overwhelmingly likely but not guaranteed by
+    # construction, so assert only that the survivor set is a subset
+    assert set(kept) <= {101, 102, 103}
+    # impl parity: the JVM-fold fallback keeps the identical survivor set
+    expr_kept = sorted(
+        r["doc_id"]
+        for r in lsh_dedup_incremental(
+            new, corpus, num_hashes=32, bands=8, impl="expr"
+        ).collect()
+    )
+    assert expr_kept == kept
