@@ -179,6 +179,9 @@ from blueforty___etl_data_pipeline_spark.sources.csv import (
     with_filename_partition,
 )
 from blueforty___etl_data_pipeline_spark.sources.xml import shred_xml_docs
+from blueforty___etl_data_pipeline_spark.streaming.stateful import (
+    running_user_stats_exact,
+)
 from blueforty___etl_data_pipeline_spark.streaming.windows import (
     session_window_agg,
     sliding_window_agg,
@@ -1920,6 +1923,89 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "value_micros",
     )
+
+
+def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows under Structured Streaming: the same gap-based
+    per-user sessions as q_session_window, but computed by the streaming
+    engine (readStream + F.session_window state merge) and drained under
+    availableNow into a memory sink.  Shares the batch oracle — session
+    MERGING across micro-batches must converge to the identical result,
+    which is a stronger property than the tumbling twin exercises (gap
+    sessions are order-sensitive state, not a pure hash-agg)."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    src = os.path.join(SCRATCH, "stream_src_events_sess")
+    ev.write.mode("overwrite").parquet(src)
+    stream = stream_from_parquet(
+        spark, src, schema=ev.schema, watermark="3650 days"
+    )
+    agg = session_window_agg(
+        stream,
+        gap="30 minutes",
+        keys=("user_id",),
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000000)).alias("value_micros"),
+        ],
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("q_streaming_session_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table("q_streaming_session_sink").select(
+        "user_id",
+        F.unix_micros(F.col("session_start")).alias("session_start_us"),
+        F.unix_micros(F.col("session_end")).alias("session_end_us"),
+        "n_events",
+        "value_micros",
+    )
+
+
+def q_streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator under the driver's oracle:
+    lifetime per-user (count, Σ floor(value·10⁶)) via
+    ``applyInPandasWithState`` (streaming/stateful.
+    running_user_stats_exact), drained availableNow in update mode.
+    Update-mode sinks receive one row per (user, trigger); both state
+    fields are monotone integers, so MAX per user is the final state
+    and must equal the plain GROUP BY — the first driver-verified
+    arbitrary-stateful row (windows/sessions exercise built-in state;
+    this exercises user-defined state)."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    src = os.path.join(SCRATCH, "stream_src_events_stats")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = running_user_stats_exact(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("q_streaming_user_stats_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table("q_streaming_user_stats_sink")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("value_micros").alias("value_micros"),
+        )
+    )
+
+
+_SQL_STREAM_USER_STATS = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS value_micros
+FROM events GROUP BY 1
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -5007,6 +5093,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_until_budget": q_select_until_budget,
         "simhash_expr": q_simhash_expr,
         "lsh_dedup_incremental": q_lsh_dedup_incremental,
+        "streaming_session": q_streaming_session,
+        "streaming_user_stats": q_streaming_user_stats,
         "product_profit": q_product_profit,
         "grouped_quantiles": q_grouped_quantiles,
         "iqr_outliers": q_iqr_outliers,
@@ -5118,8 +5206,10 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_window": _SQL_TUMBLING,
         "sliding_window": _SQL_SLIDING,
         "session_window": _SQL_SESSION,
-        # streaming twin shares the batch oracle — identical result set
+        # streaming twins share the batch oracles — identical result sets
         "streaming_tumbling": _SQL_TUMBLING,
+        "streaming_session": _SQL_SESSION,
+        "streaming_user_stats": _SQL_STREAM_USER_STATS,
         "exact_dup_groups": _SQL_EXACT_DUP,
         "minhash_signatures": _sql_minhash_sigs_exploded(),
         "minhash_lsh_pairs": _sql_lsh_pairs(),

@@ -170,3 +170,58 @@ def streaming_upsert_sink(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+#: Output/state schemas of running_user_stats_exact (integer micros —
+#: order-independent sums, so the result is oracle-exact).
+_USER_STATS_EXACT_SCHEMA = "user_id long, n_events long, value_micros long"
+_USER_STATE_EXACT_SCHEMA = "n long, micros long"
+
+
+def _update_user_stats_exact(
+    key: tuple, batches: Iterator, state: GroupState
+) -> Iterator:
+    """Per-key update in INTEGER micros: int64 additions commute, so the
+    running totals are identical no matter how rows split across
+    micro-batches or partitions — unlike the float variant, whose sum
+    depends on accumulation order.  No timeout: state is never flushed
+    mid-run, so every emitted row is a true prefix total and the final
+    (max) row per key equals the batch aggregate."""
+    import pandas as pd
+
+    n, micros = state.get if state.exists else (0, 0)
+    for pdf in batches:
+        n += len(pdf)
+        micros += int(pdf["_vm"].sum())
+    state.update((n, micros))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "value_micros": [micros],
+        }
+    )
+
+
+def running_user_stats_exact(events: DataFrame) -> DataFrame:
+    """Lifetime running (count, Σ floor(value·10⁶)) per user via
+    ``applyInPandasWithState`` — the oracle-verifiable twin of
+    :func:`running_user_stats`: because state is integer, the LAST
+    update per user (select max, both fields are monotone) equals the
+    batch GROUP BY exactly, which is what lets a driver check a custom
+    stateful operator against plain SQL.
+
+    Scale: state is one (int, int) per user; each trigger touches only
+    the keys present in the micro-batch.
+    """
+    prepared = events.select(
+        "user_id",
+        F.floor(F.col("value") * 1000000).cast("long").alias("_vm"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _update_user_stats_exact,
+        outputStructType=_USER_STATS_EXACT_SCHEMA,
+        stateStructType=_USER_STATE_EXACT_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

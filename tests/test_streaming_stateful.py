@@ -184,3 +184,49 @@ def test_streaming_upsert_sink_merges_each_batch(spark, tmp_path):
         2: ("v2-2", 2),
         3: ("new-3", 1),
     }
+
+
+def test_running_user_stats_exact_matches_batch_group_by(spark, sf_small, tmp_path):
+    # Integer-micros state commutes across micro-batches: force MULTIPLE
+    # batches (maxFilesPerTrigger=1 over a multi-file source) and assert
+    # the final per-user state equals the plain batch GROUP BY exactly.
+    from blueforty___etl_data_pipeline_spark.sources.catalog import load_table
+    from blueforty___etl_data_pipeline_spark.streaming.stateful import (
+        running_user_stats_exact,
+    )
+
+    ev = load_table(spark, sf_small, "events")
+    src = str(tmp_path / "stats_src")
+    ev.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        running_user_stats_exact(stream)
+        .writeStream.format("memory")
+        .queryName("stats_exact_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n_events"], r["value_micros"])
+        for r in spark.sql(
+            "SELECT user_id, MAX(n_events) n_events,"
+            " MAX(value_micros) value_micros"
+            " FROM stats_exact_test GROUP BY 1"
+        ).collect()
+    }
+    exp = {
+        r["user_id"]: (r["n"], r["vm"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 1000000)).alias("vm"),
+        )
+        .collect()
+    }
+    assert got == exp
