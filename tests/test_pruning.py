@@ -83,3 +83,48 @@ def test_headline_scan_is_pruned(spark):
         assert m2 and int(m2.group(1)) >= 1, buf.getvalue()[:500]
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_round3_operators_have_no_cartesian_plans(spark, sf_small):
+    # Scale-claim pins for the round-3 operators: candidate generation
+    # must stay equi-join shaped — a CartesianProduct or a non-broadcast
+    # nested loop anywhere is a 100 TB regression.
+    from blueforty___etl_data_pipeline_spark.operators.dedup import (
+        duplicate_spans,
+        lsh_dedup_incremental,
+    )
+    from blueforty___etl_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    plans = {
+        "duplicate_spans": _formatted(duplicate_spans(docs)),
+        "lsh_dedup_incremental": _formatted(
+            lsh_dedup_incremental(
+                docs.filter("doc_id % 10 = 0"),
+                docs.filter("doc_id % 10 != 0"),
+                num_hashes=32,
+                bands=8,
+            )
+        ),
+    }
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_mix_sources_cutoffs_broadcast_not_shuffled(spark, sf_small):
+    # The per-source cutoff table must reach the corpus as a broadcast:
+    # a shuffle join here would re-partition the whole corpus to join
+    # against a handful of rows.
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        mix_sources,
+    )
+    from blueforty___etl_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    plan = _formatted(
+        mix_sources(docs, weights={"src0": 2, "src1": 1})
+    )
+    assert "BroadcastHashJoin" in plan
+    # the corpus side of the final filter join must not sort-merge
+    assert plan.count("SortMergeJoin") == 0
