@@ -2973,6 +2973,26 @@ FROM h CROSS JOIN tot
 """
 
 
+def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF ANN: build the inverted lists as a parquet table
+    partitioned by centroid cell, then probe it — the probes→lists join
+    keys on the partition column so dynamic partition pruning reads only
+    the probed cells' files.  Same parameters and scoring math as
+    q_ann_ivf, so it shares that oracle: the persisted index must
+    reproduce the in-memory pipeline bit-for-bit."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        probe_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = os.path.join(SCRATCH, "ivf_index")
+    build_ivf_index(emb, path, centroid_stride=50)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return probe_ivf_index(spark, path, queries, k=5, nprobe=2)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH-bucket blocking, exact
     cosine filter — the vector-content member of the dedup family."""
@@ -5095,6 +5115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_dedup_incremental": q_lsh_dedup_incremental,
         "streaming_session": q_streaming_session,
         "streaming_user_stats": q_streaming_user_stats,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
         "product_profit": q_product_profit,
         "grouped_quantiles": q_grouped_quantiles,
         "iqr_outliers": q_iqr_outliers,
@@ -5241,6 +5262,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_force": _SQL_ANN_BRUTE,
         "ann_lsh": _sql_ann_lsh(),
         "ann_ivf": _sql_ann_ivf(),
+        # persisted index must reproduce the in-memory IVF bit-for-bit
+        "ann_ivf_indexed": _sql_ann_ivf(),
         "ann_recall": _sql_ann_recall(),
         "embedding_near_dup": _sql_embedding_near_dup(),
         "multimodal_features": _SQL_MULTIMODAL,

@@ -547,3 +547,135 @@ def quantize_embeddings(
         .cast("long")
         .alias("max_err_micros"),
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    centroid_stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 6,
+) -> None:
+    """Materialize an IVF index as TABLES: the inverted lists (every
+    corpus vector with its nearest-centroid assignment) written as
+    parquet PARTITIONED BY ``centroid_id`` under ``{path}/lists``, and
+    the centroid vectors under ``{path}/centroids``.
+
+    This is the production ANN shape at 100 TB: the assignment pass runs
+    once per index build (broadcast centroids + windowed argmin), and
+    every subsequent probe touches only the probed cells' FILES —
+    Hive-partition layout turns cell selection into partition pruning,
+    so a 2-of-40-cells probe reads 5% of the index bytes.  Same scoring
+    math as :func:`ann_ivf`, so an index probe reproduces it exactly.
+    """
+    cent = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col),
+    )
+    ccn = cent.select(
+        "centroid_id",
+        F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_ccn"),
+    )
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    )
+    assigned = top1_per_group(
+        c.crossJoin(F.broadcast(ccn)).select(
+            id_col,
+            vec_col,
+            "centroid_id",
+            _rounded(
+                _paired_cosine(
+                    F.col(vec_col), F.col("_n"), F.col("_cv"), F.col("_ccn")
+                ),
+                round_decimals,
+            ).alias("_cscore"),
+        ),
+        partition_by=[id_col],
+        order_by=[F.desc("_cscore"), F.asc("centroid_id")],
+    ).select(id_col, vec_col, "centroid_id")
+    (
+        assigned.repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/lists")
+    )
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def probe_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Probe a persisted IVF index: assign each query to its ``nprobe``
+    nearest centroids (broadcast pass over the tiny centroid table),
+    then score ONLY the vectors in the probed cells.
+
+    The probes→lists join keys on the Hive partition column, so Spark's
+    dynamic partition pruning restricts the lists scan to the probed
+    cells' files (plan-asserted in tests) — the reads scale with nprobe,
+    not with index size.  Bit-identical results to :func:`ann_ivf` under
+    the same parameters (shared oracle).
+    """
+    lists = spark.read.parquet(f"{path}/lists").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+    )
+    cents = spark.read.parquet(f"{path}/centroids").select(
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_ccn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    )
+    probes = topk_per_group(
+        q.crossJoin(F.broadcast(cents)).select(
+            query_id_col,
+            "_qv",
+            "_qn",
+            "centroid_id",
+            _rounded(
+                _paired_cosine(
+                    F.col("_qv"), F.col("_qn"), F.col("_cv"), F.col("_ccn")
+                ),
+                round_decimals,
+            ).alias("_cscore"),
+        ),
+        partition_by=[query_id_col],
+        order_by=[F.desc("_cscore"), F.asc("centroid_id")],
+        k=nprobe,
+    ).select(query_id_col, "_qv", "_qn", "centroid_id")
+    scored = lists.join(F.broadcast(probes), on="centroid_id").select(
+        F.col(query_id_col),
+        F.col("neighbor_id"),
+        _rounded(
+            _paired_cosine(
+                F.col("_v"), F.col("_n"), F.col("_qv"), F.col("_qn")
+            ),
+            round_decimals,
+        ).alias("score"),
+    )
+    return topk_per_group(
+        scored,
+        partition_by=[query_id_col],
+        order_by=[F.desc("score"), F.asc("neighbor_id")],
+        k=k,
+        rank_col="rank",
+        keep_rank=True,
+    ).select(query_id_col, "neighbor_id", "score", "rank")

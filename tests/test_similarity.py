@@ -222,3 +222,31 @@ def test_kmeans_lloyd_converges_to_cluster_means(spark):
     # centroid 0 is the exact integer-micros mean of the x-cluster:
     # floor((1.0+0.9+0.8)e6/3) + floor((0+0.1+0.2)e6/3) = 900000 + 100000
     assert out[0]["centroid_sum"] == 1_000_000
+
+
+def test_ivf_index_probe_matches_in_memory_and_prunes(spark, sf_small, tmp_path):
+    # The persisted index must reproduce ann_ivf bit-for-bit, and the
+    # probe scan must be restricted to the probed cells via dynamic
+    # partition pruning on the centroid_id Hive partition column.
+    import contextlib
+    import io
+
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        ann_ivf,
+        build_ivf_index,
+        probe_ivf_index,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, centroid_stride=50)
+    probed = probe_ivf_index(spark, path, queries, k=5, nprobe=2)
+    direct = ann_ivf(emb, queries, k=5, centroid_stride=50, nprobe=2)
+    assert sorted(map(tuple, probed.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probed.explain("formatted")
+    assert "dynamicpruning" in buf.getvalue().lower()
