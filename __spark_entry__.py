@@ -3188,6 +3188,69 @@ FROM m CROSS JOIN t
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-recompute primitive: order-independent per-partition
+    content fingerprints (bit_xor of md5-derived row hashes) of two
+    snapshots, diffed to the added/removed/changed work list
+    (operators/profile.partition_fingerprints + changed_partitions).
+    Snapshot B deterministically deletes doc_id%97=0, rewrites lang for
+    doc_id%31=0, drops src19 entirely; A lacks src18 — so the diff must
+    classify all three statuses and drop untouched partitions."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        changed_partitions,
+        partition_fingerprints,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    snap_a = docs.filter(F.col("source") != "src18")
+    snap_b = (
+        docs.filter(F.col("source") != "src19")
+        .filter(F.col("doc_id") % 97 != 0)
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 31 == 0, F.lit("xx")).otherwise(
+                F.col("lang")
+            ),
+        )
+    )
+    cols = ["doc_id", "lang", "n_chars", "text"]
+    fpa = partition_fingerprints(snap_a, "source", cols=cols)
+    fpb = partition_fingerprints(snap_b, "source", cols=cols)
+    return changed_partitions(fpa, fpb, "source")
+
+
+def _sql_snapshot_diff() -> str:
+    fields = ", ".join(
+        f"COALESCE(CAST({c} AS VARCHAR), chr(0) || 'NULL')"
+        for c in ("doc_id", "lang", "n_chars", "text")
+    )
+    h = _d_md5h(f"concat_ws(chr(31), {fields})")
+    return f"""
+WITH a AS (SELECT * FROM documents WHERE source <> 'src18'),
+b AS (SELECT doc_id,
+             CASE WHEN doc_id % 31 = 0 THEN 'xx' ELSE lang END AS lang,
+             source, n_chars, text
+      FROM documents WHERE source <> 'src19' AND doc_id % 97 <> 0),
+fpa AS (SELECT source, COUNT(*) AS rows_old, bit_xor({h}) AS fo
+        FROM a GROUP BY 1),
+fpb AS (SELECT source, COUNT(*) AS rows_new, bit_xor({h}) AS fn
+        FROM b GROUP BY 1),
+j AS (SELECT COALESCE(fpa.source, fpb.source) AS source,
+             rows_old, rows_new, fo, fn
+      FROM fpa FULL OUTER JOIN fpb ON fpa.source = fpb.source)
+SELECT * FROM (
+  SELECT source,
+         CASE WHEN fo IS NULL THEN 'added'
+              WHEN fn IS NULL THEN 'removed'
+              WHEN fo != fn OR rows_old != rows_new THEN 'changed'
+         END AS status,
+         rows_old, rows_new
+  FROM j)
+WHERE status IS NOT NULL
+"""
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) encoding of a deterministic 2-D key over
     customers — pure bit interleaving (functions/zorder.zorder_value),
@@ -5116,6 +5179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session": q_streaming_session,
         "streaming_user_stats": q_streaming_user_stats,
         "ann_ivf_indexed": q_ann_ivf_indexed,
+        "snapshot_diff": q_snapshot_diff,
         "product_profit": q_product_profit,
         "grouped_quantiles": q_grouped_quantiles,
         "iqr_outliers": q_iqr_outliers,
@@ -5321,6 +5385,7 @@ def oracle_sql() -> dict[str, str]:
         "select_until_budget": _sql_select_until_budget(),
         "embedding_dim_profile": _SQL_EMBEDDING_DIM_PROFILE,
         "distribution_drift": _SQL_DRIFT,
+        "snapshot_diff": _sql_snapshot_diff(),
         "zorder_key": _SQL_ZORDER,
         "gdpr_delete": _SQL_GDPR_DELETE,
         "compact_roundtrip": _SQL_COMPACT,

@@ -276,3 +276,63 @@ def test_embedding_dim_profile_fixed_point(spark):
     assert (out[0]["min_fp"], out[0]["max_fp"]) == (500_000, 1_500_000)
     assert out[1]["sum_fp"] == 500_000
     assert (out[1]["min_fp"], out[1]["max_fp"]) == (-250_000, 750_000)
+
+
+def test_partition_fingerprints_order_independent_and_diff(spark):
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        changed_partitions,
+        partition_fingerprints,
+    )
+
+    a = spark.createDataFrame(
+        [
+            (1, "x", "p1"),
+            (2, "y", "p1"),
+            (3, "z", "p2"),   # unchanged partition
+            (4, "w", "p3"),   # will be removed
+        ],
+        ["id", "val", "part"],
+    )
+    b = spark.createDataFrame(
+        [
+            (2, "y", "p1"),   # same rows, DIFFERENT order
+            (1, "x", "p1"),
+            (3, "z", "p2"),
+            (5, "v", "p4"),   # added partition
+        ],
+        ["id", "val", "part"],
+    )
+    fpa = partition_fingerprints(a, "part")
+    fpb = partition_fingerprints(b, "part")
+    # order independence: p1 and p2 fingerprints identical across snapshots
+    fa = {r["part"]: (r["n_rows"], r["fingerprint"]) for r in fpa.collect()}
+    fb = {r["part"]: (r["n_rows"], r["fingerprint"]) for r in fpb.collect()}
+    assert fa["p1"] == fb["p1"] and fa["p2"] == fb["p2"]
+
+    diff = {
+        r["part"]: r["status"]
+        for r in changed_partitions(fpa, fpb, "part").collect()
+    }
+    assert diff == {"p3": "removed", "p4": "added"}
+
+    # a value change flips the fingerprint but not the count
+    b2 = spark.createDataFrame(
+        [(1, "x", "p1"), (2, "CHANGED", "p1")], ["id", "val", "part"]
+    )
+    diff2 = {
+        r["part"]: r["status"]
+        for r in changed_partitions(
+            fpa, partition_fingerprints(b2, "part"), "part"
+        ).collect()
+    }
+    assert diff2["p1"] == "changed"
+    # NULL vs the string 'NULL' vs '' are three distinct contents
+    schema = "id long, val string, part string"
+    n1 = spark.createDataFrame([(1, None, "p")], schema)
+    n2 = spark.createDataFrame([(1, "NULL", "p")], schema)
+    n3 = spark.createDataFrame([(1, "", "p")], schema)
+    fs = [
+        partition_fingerprints(x, "part").collect()[0]["fingerprint"]
+        for x in (n1, n2, n3)
+    ]
+    assert len(set(fs)) == 3
