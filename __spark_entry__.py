@@ -3637,6 +3637,78 @@ WHERE doc_id % 20 != 0
 """
 
 
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data pipeline as ONE composed lazy plan —
+    what a user of this engine actually runs nightly:
+
+        raw docs → quality gate (scan predicates) → exact dedup
+        (canonical min-id survivor) → decontaminate vs the eval set
+        (≥3 shared shingles, anti-join) → deterministic 98% train split
+        (hash bucket) → token-budget sequence packing (prefix sum).
+
+    Every stage is an already-verified operator; this query proves they
+    COMPOSE — one Catalyst plan end to end, no materialization between
+    stages, every intermediate remaining a DataFrame.  The oracle
+    replays the identical five stages in SQL, so the hash match
+    verifies the full pipeline, not just its parts."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.dedup import (
+        dedup_exact,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = quality_filter(
+        docs, min_tokens=20, max_punct_ratio=0.1, min_stopword_ratio=0.01
+    )
+    deduped = dedup_exact(kept)
+    eval_df = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = deduped.filter(F.col("doc_id") % 20 != 0)
+    clean = decontaminate(corpus, eval_df, min_hits=3)
+    train = hash_split(clean).filter(F.col("split") == "train").drop(
+        "split"
+    )
+    return assign_packs(train, budget=2048)
+
+
+def _sql_training_pipeline() -> str:
+    toks = _D_TOKENS.format(t="text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, {toks} AS toks,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+           AS n_punct
+  FROM documents),
+q AS (
+  SELECT doc_id, text FROM t
+  WHERE len(toks) >= 20
+    AND CAST(n_punct AS DOUBLE) / length(text) <= 0.1
+    AND CAST(len(list_filter(toks,
+          x -> list_contains(['the','and','of'], lower(x))))
+          AS DOUBLE) / len(toks) >= 0.01),
+canon AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+d AS (SELECT q.doc_id, q.text FROM q JOIN canon USING (doc_id)),
+{_D_SH_CTE},
+ev AS (SELECT DISTINCT unnest(shs) AS h FROM sh WHERE doc_id % 20 = 0),
+cx AS (SELECT sh.doc_id, unnest(shs) AS h
+       FROM sh JOIN d ON sh.doc_id = d.doc_id
+       WHERE sh.doc_id % 20 != 0),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_hits FROM cx JOIN ev USING (h) GROUP BY 1),
+clean AS (
+  SELECT d.doc_id, d.text FROM d
+  WHERE d.doc_id % 20 != 0
+    AND d.doc_id NOT IN (SELECT doc_id FROM hits WHERE n_hits >= 3)),
+train AS (
+  SELECT doc_id, text FROM clean WHERE {_d_bucket10k('split')} < 9800),
+tok AS (
+  SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens FROM train)
+SELECT doc_id, n_tokens,
+       (SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         - n_tokens) // 2048 AS pack_id
+FROM tok
+"""
+
+
 def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact discrete per-group quantiles (p25/p50/p75 of events.value
     per event_type): rank selection over DISTINCT values, no
@@ -5180,6 +5252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_user_stats": q_streaming_user_stats,
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "snapshot_diff": q_snapshot_diff,
+        "training_pipeline": q_training_pipeline,
         "product_profit": q_product_profit,
         "grouped_quantiles": q_grouped_quantiles,
         "iqr_outliers": q_iqr_outliers,
@@ -5386,6 +5459,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dim_profile": _SQL_EMBEDDING_DIM_PROFILE,
         "distribution_drift": _SQL_DRIFT,
         "snapshot_diff": _sql_snapshot_diff(),
+        "training_pipeline": _sql_training_pipeline(),
         "zorder_key": _SQL_ZORDER,
         "gdpr_delete": _SQL_GDPR_DELETE,
         "compact_roundtrip": _SQL_COMPACT,

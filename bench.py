@@ -99,6 +99,9 @@ HEADLINE = [
     "salted_join",
     "repetition_signals",
     "assign_packs_scalable",
+    # the composed 5-stage pipeline (quality→dedup→decon→split→pack):
+    # the engine's representative nightly workload, one lazy plan
+    "training_pipeline",
     "sessionize",
     "funnel",
     "cohort_retention",
