@@ -2997,6 +2997,43 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_ivf_index(spark, path, queries, k=5, nprobe=2)
 
 
+def q_ann_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the LSH and IVF
+    top-5 lists (operators/similarity.rrf_fuse) — items ranked well by
+    EITHER path surface without cross-list score calibration; integer
+    fixed-point fusion, engine-exact."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        rrf_fuse,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    lsh = ann_lsh_bucketed(
+        emb, queries, k=5, n_planes=8, dim=64, round_decimals=6
+    )
+    ivf = ann_ivf(emb, queries, k=5, centroid_stride=50, nprobe=2)
+    return rrf_fuse([lsh, ivf], k=5)
+
+
+def _sql_ann_rrf() -> str:
+    return f"""
+WITH l AS (SELECT query_id, neighbor_id, rank FROM ({_sql_ann_lsh()})),
+v AS (SELECT query_id, neighbor_id, rank FROM ({_sql_ann_ivf()})),
+u AS (SELECT * FROM l UNION ALL SELECT * FROM v),
+s AS (
+  SELECT query_id, neighbor_id,
+         CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_score,
+         COUNT(*) AS n_lists
+  FROM u GROUP BY 1, 2)
+SELECT query_id, neighbor_id, rrf_score, n_lists, rank
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY rrf_score DESC, neighbor_id) AS INTEGER) AS rank
+      FROM s)
+WHERE rank <= 5
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH-bucket blocking, exact
     cosine filter — the vector-content member of the dedup family."""
@@ -5257,6 +5294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "snapshot_diff": q_snapshot_diff,
         "training_pipeline": q_training_pipeline,
+        "ann_rrf": q_ann_rrf,
         "product_profit": q_product_profit,
         "grouped_quantiles": q_grouped_quantiles,
         "iqr_outliers": q_iqr_outliers,
@@ -5406,6 +5444,7 @@ def oracle_sql() -> dict[str, str]:
         # persisted index must reproduce the in-memory IVF bit-for-bit
         "ann_ivf_indexed": _sql_ann_ivf(),
         "ann_recall": _sql_ann_recall(),
+        "ann_rrf": _sql_ann_rrf(),
         "embedding_near_dup": _sql_embedding_near_dup(),
         "multimodal_features": _SQL_MULTIMODAL,
         "frame_sample": _SQL_FRAME_SAMPLE,

@@ -679,3 +679,48 @@ def probe_ivf_index(
         rank_col="rank",
         keep_rank=True,
     ).select(query_id_col, "neighbor_id", "score", "rank")
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k: int = 5,
+    rrf_k: int = 60,
+    query_id_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    scale: int = 1000000,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked retrieval results — the
+    standard hybrid-search combiner (e.g. dense ANN + keyword BM25, or
+    two ANN paths with different failure modes): each list contributes
+    ``scale div (rrf_k + rank)`` to a candidate's fused score, so items
+    ranked well by ANY list surface without score calibration across
+    lists.  Integer fixed-point end-to-end — fusion is engine-exact.
+
+    Scale shape: union of the (already small) top-k lists → one
+    hash-agg on (query, item) → per-query top-k window.  Cost is
+    O(queries × k × lists), independent of corpus size.
+    """
+    from functools import reduce
+
+    tagged = [
+        df.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.col(rank_col).alias("_r"),
+        )
+        for df in ranked
+    ]
+    union = reduce(lambda a, b: a.unionAll(b), tagged)
+    scored = union.groupBy(query_id_col, id_col).agg(
+        F.sum(F.expr(f"{scale} div ({rrf_k} + _r)")).alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    return topk_per_group(
+        scored,
+        partition_by=[query_id_col],
+        order_by=[F.desc("rrf_score"), F.asc(id_col)],
+        k=k,
+        rank_col="rank",
+        keep_rank=True,
+    ).select(query_id_col, id_col, "rrf_score", "n_lists", "rank")

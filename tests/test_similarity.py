@@ -250,3 +250,28 @@ def test_ivf_index_probe_matches_in_memory_and_prunes(spark, sf_small, tmp_path)
     with contextlib.redirect_stdout(buf):
         probed.explain("formatted")
     assert "dynamicpruning" in buf.getvalue().lower()
+
+
+def test_rrf_fuse_combines_lists_exactly(spark):
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        rrf_fuse,
+    )
+
+    schema = "query_id long, neighbor_id long, rank int"
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], schema
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], schema
+    )
+    out = {r["neighbor_id"]: r for r in rrf_fuse([a, b], k=4).collect()}
+    # 11 appears in both lists: 1e6//62 + 1e6//61 = 16129 + 16393
+    assert out[11]["rrf_score"] == 16129 + 16393
+    assert out[11]["n_lists"] == 2 and out[11]["rank"] == 1
+    # singles: 10 (rank1 in a) = 1e6//61; 13 (rank2 in b) = 1e6//62
+    assert out[10]["rrf_score"] == 16393
+    assert out[13]["rrf_score"] == 16129
+    assert out[12]["rrf_score"] == 1000000 // 63
+    # tie between 10... no tie here: full order 11 > 10 > 13 > 12
+    ranks = {nid: r["rank"] for nid, r in out.items()}
+    assert ranks == {11: 1, 10: 2, 13: 3, 12: 4}
