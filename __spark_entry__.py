@@ -3949,6 +3949,30 @@ FROM c WHERE cum_tokens - n_tokens < 6000
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance sampling (operators/sampling.
+    weighted_sample): keep probability ∝ n_chars (capped at 4000) — the
+    soft quality filter that preserves a distribution tail instead of a
+    hard cutoff."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs, weight_col="n_chars", max_weight=4000
+    ).select("doc_id", "source", "n_chars")
+
+
+def _sql_weighted_sample() -> str:
+    return f"""
+SELECT doc_id, source, n_chars FROM documents
+WHERE {_d_bucket10k('wsample')}
+      < least(CAST(n_chars AS BIGINT) * 10000 // 4000, 10000)
+"""
+
+
 def q_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate: not-null / unique / range /
     accepted-values rules fused into ONE aggregate over one scan, plus
@@ -5295,6 +5319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "training_pipeline": q_training_pipeline,
         "ann_rrf": q_ann_rrf,
+        "weighted_sample": q_weighted_sample,
         "product_profit": q_product_profit,
         "grouped_quantiles": q_grouped_quantiles,
         "iqr_outliers": q_iqr_outliers,
@@ -5433,6 +5458,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_doc_similarity": _sql_tfidf_doc_similarity(),
         "hash_sample": _sql_hash_sample(),
         "hash_split": _sql_hash_split(),
+        "weighted_sample": _sql_weighted_sample(),
         "quota_cap": _sql_quota_cap(),
         "quality_filter": _SQL_QUALITY_FILTER,
         "assign_packs": _SQL_ASSIGN_PACKS,

@@ -269,3 +269,29 @@ def select_until_budget(
             "cum_tokens",
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    max_weight: int,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic importance sampling: keep each row with probability
+    ``weight/max_weight`` (weights ≥ max_weight always keep; ≤ 0 always
+    drop) — the soft quality filter of LLM curation: instead of a hard
+    threshold, high-scoring documents survive proportionally more often,
+    preserving some distribution tail.
+
+    The keep decision is ``bucket(id) < weight·B div max_weight`` —
+    integer arithmetic on a salted id-hash, so it is RNG-free,
+    retry-reproducible, repartition-stable, and engine-exact (same shape
+    as hash_sample, with a per-row cutoff).  Pure map-stage filter: no
+    shuffle, pushes to the scan alongside other predicates.
+    """
+    b = _bucket(F.col(id_col), salt)
+    cutoff = F.expr(
+        f"CAST({weight_col} AS BIGINT) * {_BUCKETS} div {max_weight}"
+    )
+    return df.filter(b < F.least(cutoff, F.lit(_BUCKETS)))

@@ -193,3 +193,27 @@ def test_select_until_budget_crossing_doc_and_bins(spark):
     )
     kept = select_until_budget(ties, budget=4, order_col="score").collect()
     assert sorted(r["doc_id"] for r in kept) == [5, 6]
+
+
+def test_weighted_sample_extremes_and_determinism(spark):
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    schema = "doc_id long, w long"
+    df = spark.createDataFrame(
+        [(i, 0) for i in range(100)]
+        + [(100 + i, 1000) for i in range(100)]
+        + [(200 + i, 500) for i in range(1000)],
+        schema,
+    )
+    out = weighted_sample(df, weight_col="w", max_weight=1000)
+    got = out.groupBy("w").count().collect()
+    by_w = {r["w"]: r["count"] for r in got}
+    assert 0 not in by_w            # zero weight: always dropped
+    assert by_w[1000] == 100        # max weight: always kept
+    assert 300 < by_w[500] < 700    # ~half kept, hash-deterministic
+    # identical output on re-run (no RNG anywhere)
+    assert out.exceptAll(
+        weighted_sample(df, weight_col="w", max_weight=1000)
+    ).count() == 0
