@@ -7,6 +7,19 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and the matching
 - column names (sorted)
 - order-insensitive value hash (rows canonicalized to strings, sorted)
 
+DRIVER PARITY (round 4): both result sets are routed through pandas —
+``sdf.toPandas()`` on the Spark side and ``rel.df()`` on the DuckDB side —
+because that is what the driver does.  This surfaces two real traps the
+old ``fetchall()`` path hid:
+
+- DuckDB types ``SUM(BIGINT)`` as HUGEINT, which pandas coerces to
+  float64 — so an uncast oracle sum hashes as ``"3.0"`` against Spark's
+  ``"3"`` and the driver flags a false mismatch.  Oracle SQL must
+  ``CAST(... AS BIGINT)`` every HUGEINT-producing output column.
+- The driver's canonicalizer crashes on list/array-typed output columns
+  (``sort_values`` → "unhashable type: list").  Any list-valued cell on
+  either side is reported as a hard FAIL here.
+
 Usage:  python tools/check_correctness.py [--bare] [sf_dir] [query ...]
 
 ``--bare`` runs against a plain ``SparkSession.builder.getOrCreate()``
@@ -24,37 +37,76 @@ import time
 from datetime import date, datetime
 from decimal import Decimal
 
+import numpy as np
+import pandas as pd
+
 REPO = "/root/repo"
 sys.path.insert(0, REPO)
 
 
-def _canon_value(v) -> str:
+class ListColumnError(ValueError):
+    """A list/array/map-valued cell that would crash the driver."""
+
+
+def _canon_cell(v) -> str:
+    """Canonicalize one pandas cell to a comparison string.
+
+    Both engines' results pass through pandas first, so type families are
+    already coerced the way the driver sees them (HUGEINT→float64,
+    DATE→midnight Timestamp, nullable BIGINT→float64).  The rules here
+    only need to be *consistent across both sides*, plus normalize the
+    date-vs-midnight-timestamp split (Spark's toPandas keeps
+    ``datetime.date`` objects where DuckDB yields ``Timestamp``).
+    """
     if v is None:
         return "NULL"
-    if isinstance(v, bool):
+    if isinstance(v, (list, tuple, dict, np.ndarray)):
+        raise ListColumnError(
+            "list/array/map-typed output column — the driver canonicalizer "
+            "crashes on these; return scalar columns (posexplode arrays)"
+        )
+    if isinstance(v, (bool, np.bool_)):
         return "true" if v else "false"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "NULL"
+        return repr(f)
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
     if isinstance(v, Decimal):
         return repr(float(v))
+    if isinstance(v, pd.Timestamp):
+        if v is pd.NaT:
+            return "NULL"
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, date):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_canon_value(x) for x in v) + "]"
+        # DuckDB's .df() renders DATE as a midnight Timestamp; normalize
+        # Spark's datetime.date to the same string.
+        return v.strftime("%Y-%m-%d 00:00:00.000000")
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
     return str(v)
 
 
-def canon_rows(cols: list[str], rows: list[tuple]) -> tuple[list[str], str]:
+def canon_pdf(pdf: pd.DataFrame) -> tuple[list[str], list[str]]:
+    """Return (sorted column names, sorted canonical row lines)."""
+    cols = list(pdf.columns)
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
-        "\x01".join(_canon_value(r[i]) for i in order) for r in rows
+        "\x01".join(_canon_cell(row[i]) for i in order)
+        for row in pdf.itertuples(index=False, name=None)
     )
-    h = hashlib.md5("\n".join(lines).encode()).hexdigest()
-    return sorted(cols), h
+    return sorted(cols), lines
+
+
+def _hash(lines: list[str]) -> str:
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
 
 def main() -> None:
@@ -100,49 +152,47 @@ def main() -> None:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        try:
+            sc, slines = canon_pdf(spdf)
+        except ListColumnError as e:
+            print(f"FAIL {name}: spark result: {e}")
+            n_fail += 1
+            continue
         if name not in oracles:
-            print(f"rows-only {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            print(f"rows-only {name}: {len(spdf)} rows ({time.time()-t0:.1f}s)")
             n_rows_only += 1
             continue
         try:
-            ores = con.sql(oracles[name])
-            ocols = list(ores.columns)
-            orows = ores.fetchall()
+            opdf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
-        sc, sh = canon_rows(scols, srows)
-        oc, oh = canon_rows(ocols, orows)
-        ok_n = len(srows) == len(orows)
+        try:
+            oc, olines = canon_pdf(opdf)
+        except ListColumnError as e:
+            print(f"FAIL {name}: oracle result: {e}")
+            n_fail += 1
+            continue
+        ok_n = len(spdf) == len(opdf)
         ok_c = sc == oc
-        ok_h = sh == oh
+        ok_h = _hash(slines) == _hash(olines)
         if ok_n and ok_c and ok_h:
-            print(f"PASS {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            print(f"PASS {name}: {len(spdf)} rows ({time.time()-t0:.1f}s)")
             n_pass += 1
         else:
             print(
-                f"FAIL {name}: rows {len(srows)} vs {len(orows)} "
+                f"FAIL {name}: rows {len(spdf)} vs {len(opdf)} "
                 f"cols_match={ok_c} hash_match={ok_h}"
             )
             if not ok_c:
                 print(f"  spark cols:  {sc}\n  oracle cols: {oc}")
             elif not ok_h:
-                # show first differing canonical rows
-                sset = set()
-                order = sorted(range(len(sc)), key=lambda i: sc[i])
-                slines = sorted(
-                    "\x01".join(_canon_value(r[i]) for i in order) for r in srows
-                )
-                olines = sorted(
-                    "\x01".join(_canon_value(r[i]) for i in order) for r in orows
-                )
                 for a, b in zip(slines, olines):
                     if a != b:
                         print(f"  spark:  {a[:200]}\n  oracle: {b[:200]}")
