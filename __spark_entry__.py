@@ -1057,10 +1057,10 @@ def q_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_PRIORITY_SHIPMODE = """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
   AND l.l_shipdate < TIMESTAMP '1998-01-01'
@@ -2742,8 +2742,8 @@ WITH t AS (
          CAST(len({_D_TOKENS.format(t='text')}) AS BIGINT) AS n_tokens
   FROM documents)
 SELECT doc_id, n_tokens,
-       (SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-         - n_tokens) // 2048 AS pack_id
+       CAST((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         - n_tokens) // 2048 AS BIGINT) AS pack_id
 FROM t
 """
 
@@ -3221,10 +3221,10 @@ m AS (
   FROM a FULL OUTER JOIN b ON a.bin = b.bin),
 t AS (SELECT SUM(n_a) AS tot_a, SUM(n_b) AS tot_b FROM m)
 SELECT bin, CAST(bin * 8.0 AS DOUBLE) AS bin_lo, n_a, n_b,
-       CASE WHEN tot_a = 0 OR tot_b = 0 THEN NULL
+       CAST(CASE WHEN tot_a = 0 OR tot_b = 0 THEN NULL
             ELSE abs(n_a * tot_b - n_b * tot_a) * 1000
                  // (2 * tot_a * tot_b) END
-         AS drift_contrib_permille
+         AS BIGINT) AS drift_contrib_permille
 FROM m CROSS JOIN t
 """
 
@@ -3429,9 +3429,11 @@ WITH j AS (
   FROM events)
 SELECT json_extract_string(js, '$.meta.type') AS vtype,
        COUNT(*) AS n,
-       SUM(CAST(json_extract(js, '$.payload.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract(js, '$.payload.k') AS BIGINT))
+         AS BIGINT) AS sum_k,
        MAX(CAST(json_extract(js, '$.payload.k') AS BIGINT)) AS max_k,
-       SUM(CAST(json_extract(js, '$.meta.uid') AS BIGINT)) AS sum_uid
+       CAST(SUM(CAST(json_extract(js, '$.meta.uid') AS BIGINT))
+         AS BIGINT) AS sum_uid
 FROM j GROUP BY 1
 """
 
@@ -3496,7 +3498,7 @@ WITH words AS (
   SELECT doc_id, word, cnt,
          ROW_NUMBER() OVER (PARTITION BY doc_id
                             ORDER BY cnt DESC, word DESC) AS rn,
-         SUM(cnt) OVER (PARTITION BY doc_id) AS n_tokens,
+         CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tokens,
          COUNT(*) OVER (PARTITION BY doc_id) AS n_distinct
   FROM wc
 )
@@ -3553,7 +3555,7 @@ WITH counts AS (
          SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
   FROM counts
 )
-SELECT o_orderpriority, MAX(n) AS n_rows,
+SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n_rows,
        CAST((MAX(CASE WHEN cum - cnt < (n + 1) // 2
                        AND cum >= (n + 1) // 2 THEN c END)
              + MAX(CASE WHEN cum - cnt < n // 2 + 1
@@ -3575,7 +3577,7 @@ _SQL_HISTOGRAM = """
 SELECT CAST(FLOOR(value / 8.0) AS BIGINT) AS bin,
        CAST(FLOOR(value / 8.0) * 8.0 AS DOUBLE) AS bin_lo,
        COUNT(*) AS n,
-       SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS sum_micros
+       CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micros
 FROM events
 GROUP BY 1, 2
 """
@@ -3744,8 +3746,8 @@ train AS (
 tok AS (
   SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens FROM train)
 SELECT doc_id, n_tokens,
-       (SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-         - n_tokens) // 2048 AS pack_id
+       CAST((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         - n_tokens) // 2048 AS BIGINT) AS pack_id
 FROM tok
 """
 
@@ -3786,7 +3788,7 @@ cum AS (
 
 _SQL_GROUPED_QUANTILES = f"""
 WITH {_D_QUANT_CTE}
-SELECT event_type, MAX(n) AS n_rows,
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_rows,
        {_d_qsel(0.25, "p25")}, {_d_qsel(0.5, "p50")}, {_d_qsel(0.75, "p75")}
 FROM cum GROUP BY 1
 """
@@ -3944,7 +3946,7 @@ c AS (
   SELECT *, SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
   FROM t)
-SELECT doc_id, n_chars, n_tokens, cum_tokens
+SELECT doc_id, n_chars, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
 FROM c WHERE cum_tokens - n_tokens < 6000
 """
 
@@ -4296,7 +4298,9 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-type aggregation: per region, the sorted list of nation
     names (collect_list is unordered by contract — sort_array makes it
-    deterministic and engine-portable)."""
+    deterministic and engine-portable).  The list is emitted
+    scalar-encoded (comma-joined) because the driver's canonicalizer
+    cannot hash array columns — same contract as minhash_signatures."""
     _prep(spark)
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
@@ -4304,14 +4308,17 @@ def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.join(r, n["n_regionkey"] == r["r_regionkey"])
         .groupBy("r_name")
         .agg(
-            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias(
+                "nations"
+            ),
             F.count(F.lit(1)).alias("n_nations"),
         )
     )
 
 
 _SQL_COLLECT_SORTED = """
-SELECT r_name, list_sort(list(n_name)) AS nations, COUNT(*) AS n_nations
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY 1
 """
@@ -4989,7 +4996,8 @@ WITH e AS (
            AS vfp
   FROM embeddings
   JOIN generate_series(1, 64) AS gs(i) ON gs.i <= len(embedding))
-SELECT CAST(dim AS INT) AS dim, COUNT(*) AS n, SUM(vfp) AS sum_fp,
+SELECT CAST(dim AS INT) AS dim, COUNT(*) AS n,
+       CAST(SUM(vfp) AS BIGINT) AS sum_fp,
        MIN(vfp) AS min_fp, MAX(vfp) AS max_fp
 FROM e GROUP BY 1
 """
@@ -5070,9 +5078,10 @@ v AS (SELECT token FROM (
         SELECT token, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rn
         FROM c) WHERE rn <= 20)
 SELECT tt.doc_id, COUNT(*) AS n_tokens,
-       SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov,
-       SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1000
-         // COUNT(*) AS oov_permille
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1000
+         // COUNT(*) AS BIGINT) AS oov_permille
 FROM tt LEFT JOIN v ON tt.token = v.token
 GROUP BY 1
 """
@@ -5107,7 +5116,7 @@ scored AS (
            // ((10*tf + 3) * total_len + 9 * dl.dl * n_docs) AS term_score
   FROM tf JOIN dfreq USING (token) CROSS JOIN stats
   JOIN dl ON tf.doc_id = dl.doc_id)
-SELECT doc_id, SUM(term_score) AS score_fp,
+SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS score_fp,
        COUNT(*) AS n_terms_matched
 FROM scored GROUP BY 1
 ORDER BY score_fp DESC, doc_id LIMIT 10
