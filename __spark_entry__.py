@@ -1879,6 +1879,17 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def _await_streaming(q, timeout: int = 300) -> None:
+    """Block until an availableNow run finishes; a False return means
+    the memory sink would be read mid-run (a partial, inscrutable
+    oracle mismatch), so surface it as a hard timeout instead."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name!r} still running after {timeout}s"
+        )
+
+
 def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME tumbling-window aggregation as q_tumbling_window, but
     executed by Structured Streaming: events are staged to a stream
@@ -1916,7 +1927,7 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_streaming(q)
     return spark.table("q_streaming_tumbling_sink").select(
         F.unix_micros(F.col("window_start")).alias("window_start_us"),
         "event_type",
@@ -1956,7 +1967,7 @@ def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_streaming(q)
     return spark.table("q_streaming_session_sink").select(
         "user_id",
         F.unix_micros(F.col("session_start")).alias("session_start_us"),
@@ -1989,7 +2000,7 @@ def q_streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_streaming(q)
     return (
         spark.table("q_streaming_user_stats_sink")
         .groupBy("user_id")
@@ -3231,8 +3242,8 @@ FROM m CROSS JOIN t
 
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-recompute primitive: order-independent per-partition
-    content fingerprints (bit_xor of md5-derived row hashes) of two
-    snapshots, diffed to the added/removed/changed work list
+    content fingerprints (multiset SUM-mod-2^63 of md5-derived row
+    hashes) of two snapshots, diffed to the added/removed/changed list
     (operators/profile.partition_fingerprints + changed_partitions).
     Snapshot B deterministically deletes doc_id%97=0, rewrites lang for
     doc_id%31=0, drops src19 entirely; A lacks src18 — so the diff must
@@ -3267,15 +3278,22 @@ def _sql_snapshot_diff() -> str:
         for c in ("doc_id", "lang", "n_chars", "text")
     )
     h = _d_md5h(f"concat_ws(chr(31), {fields})")
+    # Multiset (SUM-mod-2^63) fingerprint matching
+    # operators/profile.partition_fingerprints — HUGEINT accumulation
+    # is exact, and ((x % m) + m) % m mirrors Spark's pmod.
+    m = "CAST('9223372036854775808' AS HUGEINT)"
+    fp = (
+        f"CAST(((SUM(CAST({h} AS HUGEINT)) % {m}) + {m}) % {m} AS BIGINT)"
+    )
     return f"""
 WITH a AS (SELECT * FROM documents WHERE source <> 'src18'),
 b AS (SELECT doc_id,
              CASE WHEN doc_id % 31 = 0 THEN 'xx' ELSE lang END AS lang,
              source, n_chars, text
       FROM documents WHERE source <> 'src19' AND doc_id % 97 <> 0),
-fpa AS (SELECT source, COUNT(*) AS rows_old, bit_xor({h}) AS fo
+fpa AS (SELECT source, COUNT(*) AS rows_old, {fp} AS fo
         FROM a GROUP BY 1),
-fpb AS (SELECT source, COUNT(*) AS rows_new, bit_xor({h}) AS fn
+fpb AS (SELECT source, COUNT(*) AS rows_new, {fp} AS fn
         FROM b GROUP BY 1),
 j AS (SELECT COALESCE(fpa.source, fpb.source) AS source,
              rows_old, rows_new, fo, fn
@@ -4669,14 +4687,26 @@ FROM s WHERE scale > 0
 def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch profiling (HLL distinct + KLL quantiles) of events per
     event_type.  Approximate by design → no cross-engine oracle; the
-    error bound vs the exact operators is pytest-asserted."""
+    error bound vs the exact operators is pytest-asserted.  The
+    quantile array is unpacked to scalar columns — the driver's
+    canonicalizer cannot handle array output even for rows-only
+    checks."""
     _prep(spark)
     ev = _t(spark, sf_dir, "events")
-    return approx_profile(
+    prof = approx_profile(
         ev,
         group_col="event_type",
         distinct_col="user_id",
         quantile_col="value",
+    )
+    q = F.col("approx_quantiles")
+    return prof.select(
+        "event_type",
+        "n_rows",
+        "approx_distinct",
+        q[0].alias("p50"),
+        q[1].alias("p90"),
+        q[2].alias("p99"),
     )
 
 
@@ -5246,76 +5276,40 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query correctness window carries the
-    most NEW signal each round.  Round-3 layout:
+    most NEW signal each round.  Round-4 layout:
 
-    - 4 sentinels that were driver-green in round 2 (regression canary);
-    - the 3 round-2 red rows, now fixed (HUGEINT cast, exploded
-      signatures) — kept inside the window to prove the fix;
-    - then every query that had NO driver signal in round 2 (positions
-      51+ last round): ANN + recall, kmeans, packing, contamination,
-      BM25, fuzzy/prefix joins, sink round-trips, sessionize/funnel/
-      cohort, pagerank, TPC-H analogs — plus the three new round-3
-      queries (streaming_tumbling, ann_recall, assign_packs_scalable).
+    - 2 sentinels that were driver-green in rounds 2+3 (regression
+      canary: one agg path, one source/shred path);
+    - the 6 round-3 red rows, now fixed (HUGEINT oracle casts) — kept
+      inside the window to prove the fix;
+    - then all 42 of the 48 queries that have NEVER had driver signal
+      (positions 51+ last round): span dedup, source mixing, budget
+      curation, incremental LSH, arbitrary-stateful streaming,
+      persisted IVF, snapshot diff, the composed training pipeline,
+      RRF, weighted sampling, quantiles/outliers/constraints, scalar
+      and window misc, variant extraction, and TPC-H analogs.
 
-    Everything from position 51 on is either still-unverified overflow
-    (next round's window) or was already driver-green in round 2.
+    Six TPC-H-analog join/agg queries (promo_revenue, top_supplier,
+    min_cost_supplier, forecast_revenue, important_parts,
+    promo_suppliers) spill to the round-5 window — they ride machinery
+    (equi-joins + grouped aggregates) already driver-green via
+    pricing_summary / market_share / volume_shipping / product_profit.
+
+    Everything from position 51 on is spilled overflow or was already
+    driver-green in rounds 2/3.
     """
     return {
-        # -- sentinels (driver-green in r2) --------------------------------
+        # -- sentinels (driver-green in r2+r3) -----------------------------
         "order_totals": q_order_totals,
-        "reconciliation": q_reconciliation,
-        "top1_per_group": q_top1_per_group,
         "xml_shred": q_xml_shred,
-        # -- r2 red rows, fixed this round ---------------------------------
-        "tumbling_window": q_tumbling_window,
-        "session_window": q_session_window,
-        "minhash_signatures": q_minhash_signatures,
-        # -- first driver-checked streaming query --------------------------
-        "streaming_tumbling": q_streaming_tumbling,
-        # -- previously outside the driver window --------------------------
-        "ann_brute_force": q_ann_brute_force,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "ann_recall": q_ann_recall,
-        "embedding_near_dup": q_embedding_near_dup,
-        "kmeans_assign": q_kmeans_assign,
-        "kmeans_train": q_kmeans_train,
-        "quantize_embeddings": q_quantize_embeddings,
+        # -- r3 red rows, fixed this round (HUGEINT oracle casts) ----------
         "assign_packs": q_assign_packs,
         "assign_packs_scalable": q_assign_packs_scalable,
-        "contamination_hits": q_contamination_hits,
-        "decontaminate": q_decontaminate,
-        "bm25_search": q_bm25_search,
-        "fuzzy_join": q_fuzzy_join,
-        "jaccard_prefix_join": q_jaccard_prefix_join,
-        "stratified_sample": q_stratified_sample,
-        "multimodal_features": q_multimodal_features,
-        "frame_sample": q_frame_sample,
-        "csv_roundtrip": q_csv_roundtrip,
-        "filename_partition": q_filename_partition,
-        "ctas_roundtrip": q_ctas_roundtrip,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
-        "orc_roundtrip": q_orc_roundtrip,
-        "compact_roundtrip": q_compact_roundtrip,
-        "merge_upsert": q_merge_upsert,
-        "gdpr_delete": q_gdpr_delete,
-        "sessionize": q_sessionize,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "pagerank": q_pagerank,
-        "scd2_history": q_scd2_history,
-        "grouping_sets": q_grouping_sets,
-        "resample_ffill": q_resample_ffill,
-        "order_by_limit": q_order_by_limit,
         "word_stats": q_word_stats,
-        "cube_agg": q_cube_agg,
         "grouped_median": q_grouped_median,
         "histogram": q_histogram,
-        "profile_table": q_profile_table,
-        "volume_shipping": q_volume_shipping,
-        "market_share": q_market_share,
-        "waiting_suppliers": q_waiting_suppliers,
-        # ---- position 51+: unverified overflow (round-4 window) ----------
+        "bm25_search": q_bm25_search,
+        # -- never driver-checked before this round ------------------------
         "duplicate_spans": q_duplicate_spans,
         "span_dup_stats": q_span_dup_stats,
         "mix_sources": q_mix_sources,
@@ -5356,14 +5350,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_items": q_returned_items,
         "priority_shipmode": q_priority_shipmode,
         "customer_distribution": q_customer_distribution,
+        "disjunctive_pred": q_disjunctive_pred,
+        "approx_profile": q_approx_profile,
+        # ---- position 51+: spilled to the round-5 window -----------------
         "promo_revenue": q_promo_revenue,
         "top_supplier": q_top_supplier,
         "min_cost_supplier": q_min_cost_supplier,
-        "disjunctive_pred": q_disjunctive_pred,
         "forecast_revenue": q_forecast_revenue,
         "important_parts": q_important_parts,
         "promo_suppliers": q_promo_suppliers,
-        "approx_profile": q_approx_profile,
+        # ---- driver-green in round 3 -------------------------------------
+        "reconciliation": q_reconciliation,
+        "top1_per_group": q_top1_per_group,
+        "tumbling_window": q_tumbling_window,
+        "session_window": q_session_window,
+        "minhash_signatures": q_minhash_signatures,
+        "streaming_tumbling": q_streaming_tumbling,
+        "ann_brute_force": q_ann_brute_force,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "ann_recall": q_ann_recall,
+        "embedding_near_dup": q_embedding_near_dup,
+        "kmeans_assign": q_kmeans_assign,
+        "kmeans_train": q_kmeans_train,
+        "quantize_embeddings": q_quantize_embeddings,
+        "contamination_hits": q_contamination_hits,
+        "decontaminate": q_decontaminate,
+        "fuzzy_join": q_fuzzy_join,
+        "jaccard_prefix_join": q_jaccard_prefix_join,
+        "stratified_sample": q_stratified_sample,
+        "multimodal_features": q_multimodal_features,
+        "frame_sample": q_frame_sample,
+        "csv_roundtrip": q_csv_roundtrip,
+        "filename_partition": q_filename_partition,
+        "ctas_roundtrip": q_ctas_roundtrip,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "orc_roundtrip": q_orc_roundtrip,
+        "compact_roundtrip": q_compact_roundtrip,
+        "merge_upsert": q_merge_upsert,
+        "gdpr_delete": q_gdpr_delete,
+        "sessionize": q_sessionize,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "pagerank": q_pagerank,
+        "scd2_history": q_scd2_history,
+        "grouping_sets": q_grouping_sets,
+        "resample_ffill": q_resample_ffill,
+        "order_by_limit": q_order_by_limit,
+        "cube_agg": q_cube_agg,
+        "profile_table": q_profile_table,
+        "volume_shipping": q_volume_shipping,
+        "market_share": q_market_share,
+        "waiting_suppliers": q_waiting_suppliers,
         # ---- driver-green in round 2 -------------------------------------
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,

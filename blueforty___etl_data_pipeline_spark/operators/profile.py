@@ -461,11 +461,15 @@ def partition_fingerprints(
 ) -> DataFrame:
     """Order-independent content fingerprint per partition:
     (partition, n_rows, fingerprint) where fingerprint =
-    ``bit_xor`` of a per-row md5-derived hash over ``cols`` (all
-    non-partition columns by default, sorted by name for a stable
-    definition).  XOR commutes and never overflows, so the fingerprint
-    is identical regardless of row order, partition split, or engine —
-    the property that makes it a cross-engine snapshot digest.
+    SUM of a per-row md5-derived hash over ``cols`` (all non-partition
+    columns by default, sorted by name for a stable definition),
+    accumulated exactly in DECIMAL(38,0) and reduced mod 2^63.
+    Addition commutes, so the fingerprint is identical regardless of
+    row order, partition split, or engine — the property that makes it
+    a cross-engine snapshot digest.  A SUM (multiset hash) rather than
+    XOR: XOR cancels duplicate rows pairwise, so two copies of row A
+    and two copies of row B would both fold to 0 and a real change
+    could classify as unchanged.
 
     NULLs fold as an out-of-band sentinel (0x00-prefixed, which no cast
     string produces), so NULL ≠ 'NULL' ≠ ''.
@@ -493,7 +497,14 @@ def partition_fingerprints(
         .groupBy(partition_col)
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.expr("bit_xor(_h)").alias("fingerprint"),
+            # Exact 38-digit accumulation (no int64 wrap, which is
+            # ANSI-mode- and engine-dependent), then mod 2^63 back into
+            # a non-negative BIGINT.  DuckDB mirrors this with a
+            # HUGEINT sum — see _sql_snapshot_diff.
+            F.expr(
+                "CAST(pmod(SUM(CAST(_h AS DECIMAL(38,0))), "
+                "9223372036854775808) AS BIGINT)"
+            ).alias("fingerprint"),
         )
     )
 

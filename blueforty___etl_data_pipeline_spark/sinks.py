@@ -220,7 +220,10 @@ def delete_rows(
     ``keys`` is either a small Python sequence (GDPR-sized request
     lists → an ``isin`` filter that pushes down to the scan) or a
     DataFrame whose first column holds the doomed keys (bulk deletes →
-    a distributed anti-join; the key set never touches the driver).
+    a distributed anti-join; the key set never touches the driver, so
+    the join is NOT broadcast-hinted here — AQE picks broadcast on its
+    own when the key set turns out small, and falls back to a shuffle
+    join when it is the bulk case this overload exists for).
 
     Two passes: (1) a partition-pruned probe finds the affected
     partition values (the collect is bounded by the partition count,
@@ -245,7 +248,7 @@ def delete_rows(
         doomed = keys.select(
             F.col(keys.columns[0]).alias(key_col)
         ).distinct()
-        hit = tgt.join(F.broadcast(doomed), on=key_col, how="left_semi")
+        hit = tgt.join(doomed, on=key_col, how="left_semi")
         doom_filter = None
     else:
         doomed = None
@@ -258,9 +261,7 @@ def delete_rows(
         return 0
     in_hit = tgt.filter(F.col(partition_col).isin(hit_parts))
     if doomed is not None:
-        survivors = in_hit.join(
-            F.broadcast(doomed), on=key_col, how="left_anti"
-        )
+        survivors = in_hit.join(doomed, on=key_col, how="left_anti")
     else:
         survivors = in_hit.filter(doom_filter)
     # Partitions where EVERY row is doomed produce no survivor rows, so
@@ -278,12 +279,25 @@ def delete_rows(
     )
     hadoop_conf = spark.sparkContext._jsc.hadoopConfiguration()
     jvm = spark.sparkContext._jvm
+    # Directory names use Hive path escaping ('%3A' for ':', etc.);
+    # build them with Spark's OWN escaper so the delete hits exactly
+    # the directory the writer created, even for values with spaces,
+    # slashes or colons.  NULL partition values land in the Hive
+    # default-partition directory.
+    catalog_utils = (
+        jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    )
     for part in hit_parts:
         if part in live_parts:
             continue
-        p = jvm.org.apache.hadoop.fs.Path(
-            f"{path}/{partition_col}={part}"
-        )
+        if part is None:
+            dirname = f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
+        else:
+            dirname = (
+                f"{catalog_utils.escapePathName(partition_col)}"
+                f"={catalog_utils.escapePathName(str(part))}"
+            )
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{dirname}")
         fs = p.getFileSystem(hadoop_conf)
         if fs.exists(p):
             fs.delete(p, True)

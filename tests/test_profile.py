@@ -336,3 +336,25 @@ def test_partition_fingerprints_order_independent_and_diff(spark):
         for x in (n1, n2, n3)
     ]
     assert len(set(fs)) == 3
+
+    # r3 ADVICE (low): duplicate rows must NOT cancel.  Under the old
+    # XOR fold, {A, A} and {B, B} both fingerprinted to 0 with equal
+    # n_rows, so a real change classified as unchanged.  The multiset
+    # SUM keeps them distinct.
+    da = spark.createDataFrame(
+        [(1, "x", "p"), (1, "x", "p")], ["id", "val", "part"]
+    )
+    db = spark.createDataFrame(
+        [(2, "y", "p"), (2, "y", "p")], ["id", "val", "part"]
+    )
+    fp_a = partition_fingerprints(da, "part")
+    fp_b = partition_fingerprints(db, "part")
+    assert (
+        fp_a.collect()[0]["fingerprint"]
+        != fp_b.collect()[0]["fingerprint"]
+    )
+    dup_diff = {
+        r["part"]: r["status"]
+        for r in changed_partitions(fp_a, fp_b, "part").collect()
+    }
+    assert dup_diff == {"p": "changed"}

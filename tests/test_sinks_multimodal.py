@@ -290,6 +290,36 @@ def test_delete_rows_dataframe_keys_never_collects(spark, tmp_path):
     assert remaining.filter("k % 3 = 0").count() == 0
 
 
+def test_delete_rows_fully_doomed_partition_with_special_chars(
+    spark, tmp_path
+):
+    # r3 ADVICE (low): partition values containing Hive-escaped
+    # characters (':' → '%3A') live in escaped directory names; the
+    # fully-doomed-partition cleanup must target the escaped path or
+    # the delete silently no-ops.
+    import glob
+
+    from blueforty___etl_data_pipeline_spark.sinks import delete_rows
+
+    path = str(tmp_path / "gdpr5")
+    df = spark.createDataFrame(
+        [(1, "a:b"), (2, "a:b"), (3, "c d"), (4, "keep")],
+        ["k", "part"],
+    )
+    df.repartition("part").write.partitionBy("part").parquet(path)
+    # sanity: the writer escaped the colon
+    assert glob.glob(f"{path}/part=a%3Ab")
+
+    n = delete_rows(
+        spark, path, key_col="k", keys=[1, 2, 3], partition_col="part"
+    )
+    assert n == 2
+    assert glob.glob(f"{path}/part=a%3Ab") == []
+    assert glob.glob(f"{path}/part=c d") == []
+    remaining = spark.read.parquet(path)
+    assert [r["k"] for r in remaining.collect()] == [4]
+
+
 def test_compact_partitions_reduces_files_preserves_rows(spark, tmp_path):
     import glob
 

@@ -58,7 +58,7 @@ def _canon_cell(v) -> str:
     date-vs-midnight-timestamp split (Spark's toPandas keeps
     ``datetime.date`` objects where DuckDB yields ``Timestamp``).
     """
-    if v is None:
+    if v is None or v is pd.NaT:
         return "NULL"
     if isinstance(v, (list, tuple, dict, np.ndarray)):
         raise ListColumnError(
@@ -77,8 +77,6 @@ def _canon_cell(v) -> str:
     if isinstance(v, Decimal):
         return repr(float(v))
     if isinstance(v, pd.Timestamp):
-        if v is pd.NaT:
-            return "NULL"
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
