@@ -3081,6 +3081,76 @@ FROM documents
 """
 
 
+def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL (non-fake) image decode under the driver's oracle: each
+    sampled document becomes an actual 16×4 grayscale PNG (pixels =
+    md5-digest bytes, encoded with the vendored pure-stdlib codec in
+    functions/png.py), which flows through the SAME Arrow-batched
+    extract_features stage with fake=False — PNG parse, CRC check,
+    zlib inflate, unfilter, box-average pooling all execute for real.
+
+    The pixel construction makes every feature integer-exact:
+    bucket i averages digest bytes d[2i], d[2i+1] over 4 identical
+    rows, so round(feat[i]·510) == d[2i]+d[2i+1], which DuckDB
+    reproduces from md5 hex pairs — a hash-checked oracle for a real
+    media decode, not just plumbing."""
+    _prep(spark)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 40 == 0)
+    )
+
+    def to_png(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.png import (
+            encode_png_gray,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for text in pdf["text"]:
+                d = _hl.md5(text.encode("utf-8")).digest()
+                blobs.append(
+                    encode_png_gray(
+                        [[d[x] for x in range(16)] for _ in range(4)]
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": blobs}
+            )
+
+    media = docs.mapInPandas(to_png, schema="doc_id long, content binary")
+    feats = extract_features(media, fake=False)
+    return feats.select(
+        "doc_id",
+        *[
+            F.round(F.col("feat")[i] * 510)
+            .cast("long")
+            .alias(f"f{i}")
+            for i in range(8)
+        ],
+    )
+
+
+def _sql_multimodal_decode_real() -> str:
+    def byte(k: int) -> str:
+        return f"CAST(('0x' || substr(h, {2 * k + 1}, 2)) AS INTEGER)"
+
+    cols = ", ".join(
+        f"CAST({byte(2 * i)} + {byte(2 * i + 1)} AS BIGINT) AS f{i}"
+        for i in range(8)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id % 40 = 0)
+SELECT doc_id, {cols} FROM t
+"""
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal 1→N expansion: per-frame rows from media blobs via
     mapInPandas (video frame-sampling plumbing, stubbed codec).  The
@@ -5353,6 +5423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_pred": q_disjunctive_pred,
         "approx_profile": q_approx_profile,
         # ---- position 51+: spilled to the round-5 window -----------------
+        "multimodal_decode_real": q_multimodal_decode_real,
         "promo_revenue": q_promo_revenue,
         "top_supplier": q_top_supplier,
         "min_cost_supplier": q_min_cost_supplier,
@@ -5575,6 +5646,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dim_profile": _SQL_EMBEDDING_DIM_PROFILE,
         "distribution_drift": _SQL_DRIFT,
         "snapshot_diff": _sql_snapshot_diff(),
+        "multimodal_decode_real": _sql_multimodal_decode_real(),
         "training_pipeline": _sql_training_pipeline(),
         "zorder_key": _SQL_ZORDER,
         "gdpr_delete": _SQL_GDPR_DELETE,

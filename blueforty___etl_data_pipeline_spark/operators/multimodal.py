@@ -2,11 +2,14 @@
 
 Media are opaque ``binary`` columns plus a typed metadata struct; the
 Spark-side contract — schema, Arrow batching, ``mapInPandas`` signatures,
-partition sizing — is real and tested.  The actual codec step is STUBBED
-(this container has no image/audio libraries): ``decode_image_stub``
-raises ``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder stands in so the distributed plumbing can be
-exercised end-to-end.
+partition sizing — is real and tested.  The codec step is REAL for PNG
+(vendored pure-stdlib grayscale codec, functions/png.py — decode, CRC
+check, inflate, unfilter, pooling all run in-container and under the
+driver's oracle via the ``multimodal_decode_real`` query); other formats
+(JPEG, audio, video) route through PIL when installed and raise
+``NotImplementedError`` otherwise — feature-gated, never silently faked.
+``fake=True`` keeps the deterministic digest-derived pseudo-decoder for
+engine-portable hash-checked tests of the distributed plumbing.
 
 Scale notes: media rows are large and variable — keep
 ``spark.sql.files.maxPartitionBytes`` modest so a partition of blobs fits
@@ -66,15 +69,24 @@ _PIL = _try_import_pil()
 
 
 def decode_image_real(data: bytes, size: int = 8) -> list[float]:
-    """Real decode path (requires PIL): decode → grayscale → resize to
-    ``size``×1 → mean-normalized pixel features.  Deterministic for a
-    given library version; NOT engine-portable (no DuckDB oracle), so
-    queries() keeps the fake-decode contract and this path is for
-    production deployments with image libs installed."""
+    """Real decode path: decode → grayscale → pool to ``size`` features
+    in [0, 1].
+
+    PNG blobs decode through the vendored pure-stdlib codec
+    (functions/png.py — open spec, zlib compression), so the real path
+    runs and is pytest-proven IN THIS CONTAINER, not just behind a PIL
+    gate.  Non-PNG formats (JPEG etc.) need PIL; with PIL installed it
+    handles every format it knows.  Deterministic per path; NOT
+    engine-portable (no DuckDB oracle), so queries() keeps the
+    fake-decode contract for hash-checked entries."""
+    from ..functions.png import PNG_SIGNATURE, png_gray_features
+
+    if data.startswith(PNG_SIGNATURE) and _PIL is None:
+        return png_gray_features(data, size=size)
     if _PIL is None:
         raise NotImplementedError(
-            "decode_image_real requires PIL, which is not installed "
-            "in this environment"
+            "non-PNG decode requires PIL, which is not installed in "
+            "this environment (PNG decodes via the vendored codec)"
         )
     import io
 
@@ -83,22 +95,17 @@ def decode_image_real(data: bytes, size: int = 8) -> list[float]:
 
 
 def decode_image_stub(data: bytes, fake: bool = False) -> list[float]:
-    """Codec boundary.  With PIL installed, ``fake=False`` routes to
-    :func:`decode_image_real`; without it (this container), ``fake=False``
-    raises — the capability is feature-gated, not silently faked.
+    """Codec boundary.  ``fake=False`` routes to
+    :func:`decode_image_real`, which handles PNG in pure stdlib and
+    everything else via PIL when installed; an undecodable blob raises —
+    the capability is feature-gated, not silently faked.
 
     ``fake=True`` → deterministic 8-float pseudo-feature derived from the
     content digest (stable across runs/engines, good enough to test the
     distributed pipeline's correctness).
     """
     if not fake:
-        if _PIL is not None:
-            return decode_image_real(data)
-        raise NotImplementedError(
-            "image decoding requires an image library (PIL/opencv) "
-            "not present in this environment; pass fake=True for the "
-            "deterministic test double"
-        )
+        return decode_image_real(data)
     digest = hashlib.sha1(data).digest()
     return [b / 255.0 for b in digest[:8]]
 
