@@ -102,6 +102,10 @@ from blueforty___etl_data_pipeline_spark.operators.corpus import (
     tfidf_top_terms,
     top_ngrams,
 )
+from blueforty___etl_data_pipeline_spark.operators.bpe import (
+    bpe_segment,
+    bpe_train,
+)
 from blueforty___etl_data_pipeline_spark.operators.skew import salted_join
 from blueforty___etl_data_pipeline_spark.operators.analytics import (
     cohort_retention,
@@ -4039,6 +4043,96 @@ FROM c WHERE cum_tokens - n_tokens < 6000
 """
 
 
+_BPE_MERGES = 8
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (operators/bpe.bpe_train): 8
+    merge rounds over the vocabulary-bounded word table; ties broken
+    (count DESC, lhs ASC, rhs ASC) so the oracle — the same rounds
+    unrolled as chained CTEs — reproduces the merge list exactly."""
+    _prep(spark)
+    return bpe_train(
+        _t(spark, sf_dir, "documents"),
+        num_merges=_BPE_MERGES,
+        min_count=2,
+    )
+
+
+def _d_bpe_chain(k: int, min_count: int) -> str:
+    """Shared oracle CTE chain: word counts → char state s0 →
+    (pair counts p_i → argmax m_i → replaced state s_{i+1}) × k."""
+    parts = [
+        f"""w AS MATERIALIZED (SELECT w, COUNT(*) AS cnt FROM (
+        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents) t
+      WHERE regexp_matches(w, '^[a-z]+$')
+      GROUP BY 1 HAVING COUNT(*) >= {min_count}),
+s0 AS MATERIALIZED (SELECT regexp_replace(regexp_replace(w, '(.)', '\\1' || chr(31),
+                                            'g'),
+                             chr(31) || '$', '') AS sym, cnt FROM w)"""
+    ]
+    for i in range(k):
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT ls[gs.i] AS lhs, ls[gs.i + 1] AS rhs, SUM(cnt) AS pair_count
+  FROM (SELECT string_split(sym, chr(31)) AS ls, cnt FROM s{i}) l
+  JOIN generate_series(1, 10000) AS gs(i) ON gs.i <= len(ls) - 1
+  GROUP BY 1, 2),
+m{i} AS MATERIALIZED (SELECT lhs, rhs, pair_count FROM p{i}
+         ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+s{i + 1} AS MATERIALIZED (SELECT replace(sym,
+                    (SELECT lhs || chr(31) || rhs FROM m{i}),
+                    (SELECT lhs || rhs FROM m{i})) AS sym, cnt
+             FROM s{i})"""
+        )
+    return ",\n".join(parts)
+
+
+def _sql_bpe_train() -> str:
+    k = _BPE_MERGES
+    selects = "\nUNION ALL ".join(
+        f"SELECT {i} AS step, lhs, rhs, lhs || rhs AS merged, "
+        f"CAST(pair_count AS BIGINT) AS pair_count FROM m{i}"
+        for i in range(k)
+    )
+    return f"WITH {_d_bpe_chain(k, 2)}\n{selects}"
+
+
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE segmentation with the merges learned from the same corpus:
+    per document, word count and BPE token count after replaying the
+    merge-priority list (operators/bpe.bpe_segment — the merge table
+    folds into one map-only replace chain, no shuffle)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=_BPE_MERGES, min_count=2)
+    return bpe_segment(docs, merges)
+
+
+def _sql_bpe_segment() -> str:
+    k = _BPE_MERGES
+    sym = (
+        "regexp_replace(regexp_replace(w, '(.)', '\\1' || chr(31), 'g'), "
+        "chr(31) || '$', '')"
+    )
+    for i in range(k):
+        sym = (
+            f"replace({sym}, (SELECT lhs || chr(31) || rhs FROM m{i}), "
+            f"(SELECT lhs || rhs FROM m{i}))"
+        )
+    return f"""WITH {_d_bpe_chain(k, 2)},
+dw AS MATERIALIZED (SELECT doc_id, w FROM (
+         SELECT doc_id,
+                unnest(string_split_regex(lower(text), '\\s+')) AS w
+         FROM documents) t
+       WHERE regexp_matches(w, '^[a-z]+$'))
+SELECT doc_id, COUNT(*) AS n_words,
+       CAST(SUM(len(string_split({sym}, chr(31)))) AS BIGINT) AS n_tokens
+FROM dw GROUP BY 1
+"""
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic importance sampling (operators/sampling.
     weighted_sample): keep probability ∝ n_chars (capped at 4000) — the
@@ -5424,6 +5518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_profile": q_approx_profile,
         # ---- position 51+: spilled to the round-5 window -----------------
         "multimodal_decode_real": q_multimodal_decode_real,
+        "bpe_train": q_bpe_train,
+        "bpe_segment": q_bpe_segment,
         "promo_revenue": q_promo_revenue,
         "top_supplier": q_top_supplier,
         "min_cost_supplier": q_min_cost_supplier,
@@ -5647,6 +5743,8 @@ def oracle_sql() -> dict[str, str]:
         "distribution_drift": _SQL_DRIFT,
         "snapshot_diff": _sql_snapshot_diff(),
         "multimodal_decode_real": _sql_multimodal_decode_real(),
+        "bpe_train": _sql_bpe_train(),
+        "bpe_segment": _sql_bpe_segment(),
         "training_pipeline": _sql_training_pipeline(),
         "zorder_key": _SQL_ZORDER,
         "gdpr_delete": _SQL_GDPR_DELETE,

@@ -109,6 +109,33 @@ HEADLINE = [
     "build_vocab",
     "zscore",
     "variant_extract",
+    # round-3 additions, benched since round 4 so regressions in new
+    # code are visible (VERDICT r3 item 7)
+    "duplicate_spans",
+    "span_dup_stats",
+    "mix_sources",
+    "select_until_budget",
+    "weighted_sample",
+    "lsh_dedup_incremental",
+    "ann_rrf",
+    "ann_ivf_indexed",
+    "snapshot_diff",
+    "simhash_expr",
+    "constraint_violations",
+    "distribution_drift",
+    "zorder_key",
+    "collect_sorted",
+    "range_frame_window",
+    "priority_shipmode",
+    "product_profit",
+    # arbitrary-stateful streaming twins (applyInPandasWithState)
+    "streaming_session",
+    "streaming_user_stats",
+    # round-4: real PNG decode through the multimodal stage
+    "multimodal_decode_real",
+    # round-4: distributed BPE tokenizer training + segmentation
+    "bpe_train",
+    "bpe_segment",
 ]
 
 
