@@ -147,6 +147,7 @@ from blueforty___etl_data_pipeline_spark.operators.profile import (
     histogram_fixed_width,
     iqr_outliers,
     profile_table,
+    winsorize,
     zscore_normalize,
 )
 from blueforty___etl_data_pipeline_spark.operators.text_ops import (
@@ -3911,6 +3912,32 @@ WHERE e.value < p25 - 1.5 * (p75 - p25)
 """
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization of events.value at the discrete
+    [p05, p95] band (operators/profile.winsorize): tails are clamped to
+    actual data values picked by rank selection, so the clamp is
+    bit-identical across engines; the bound table broadcasts and the
+    clamp itself is a shuffle-free map stage."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return winsorize(ev, ["event_type"], "value", p_lo=0.05, p_hi=0.95)
+
+
+_SQL_WINSORIZE = f"""
+WITH {_D_QUANT_CTE},
+q AS (
+  SELECT event_type, {_d_qsel(0.05, "p5")}, {_d_qsel(0.95, "p95")}
+  FROM cum GROUP BY 1)
+SELECT e.event_id, e.event_type, e.value,
+       CASE WHEN e.value < p5 THEN p5
+            WHEN e.value > p95 THEN p95
+            ELSE e.value END AS value_wins
+FROM events e JOIN q USING (event_type)
+"""
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO (CDC upsert) without a lakehouse format: target =
     orders with o_orderkey % 7 != 0 (v1); updates = doubled-price rows
@@ -5520,6 +5547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_real": q_multimodal_decode_real,
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
+        "winsorize": q_winsorize,
         "promo_revenue": q_promo_revenue,
         "top_supplier": q_top_supplier,
         "min_cost_supplier": q_min_cost_supplier,
@@ -5745,6 +5773,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode_real": _sql_multimodal_decode_real(),
         "bpe_train": _sql_bpe_train(),
         "bpe_segment": _sql_bpe_segment(),
+        "winsorize": _SQL_WINSORIZE,
         "training_pipeline": _sql_training_pipeline(),
         "zorder_key": _SQL_ZORDER,
         "gdpr_delete": _SQL_GDPR_DELETE,

@@ -136,6 +136,7 @@ HEADLINE = [
     # round-4: distributed BPE tokenizer training + segmentation
     "bpe_train",
     "bpe_segment",
+    "winsorize",
 ]
 
 

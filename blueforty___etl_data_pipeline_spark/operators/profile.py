@@ -328,6 +328,53 @@ def iqr_outliers(
     )
 
 
+def winsorize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group winsorization: clamp ``value_col`` into the discrete
+    ``[p_lo, p_hi]`` quantile band — the standard outlier-soft-limit
+    cleaning step (tail values are capped, not dropped, so row counts
+    and joins downstream are unaffected).
+
+    Deterministic across engines for the same reason as
+    :func:`iqr_outliers`: the clamp bounds are actual data values
+    picked by discrete rank selection, and ``CASE WHEN v < lo ...`` is
+    exact on identical inputs.
+
+    Scale: one (group, value)-bounded quantile pass; the per-group
+    bound table (one row per group) broadcasts back onto the fact scan,
+    so the clamp itself is a shuffle-free map stage.
+    """
+    gcols = list(group_cols)
+    out_col = out_col or f"{value_col}_wins"
+    q = grouped_quantiles_disc(df, gcols, value_col, ps=(p_lo, p_hi))
+    plo, phi = (
+        f"p{int(round(p_lo * 100))}",
+        f"p{int(round(p_hi * 100))}",
+    )
+    bounds = q.select(
+        *gcols,
+        F.col(plo).alias("_lo"),
+        F.col(phi).alias("_hi"),
+    )
+    v = F.col(value_col)
+    clamped = (
+        F.when(v < F.col("_lo"), F.col("_lo"))
+        .when(v > F.col("_hi"), F.col("_hi"))
+        .otherwise(v)
+    )
+    return (
+        df.join(F.broadcast(bounds), on=gcols)
+        .select(*df.columns, clamped.alias(out_col))
+        .drop("_lo", "_hi")
+    )
+
+
 def approx_profile(
     df: DataFrame,
     group_col: str,

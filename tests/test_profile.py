@@ -278,6 +278,30 @@ def test_embedding_dim_profile_fixed_point(spark):
     assert (out[1]["min_fp"], out[1]["max_fp"]) == (-250_000, 750_000)
 
 
+def test_winsorize_clamps_to_discrete_quantiles(spark):
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        winsorize,
+    )
+
+    # group g: values 1..20 → p5 = ceil(0.05·20)=1st value = 1,
+    # p95 = ceil(0.95·20)=19th value = 19; group h: constant column
+    rows = [("g", float(i)) for i in range(1, 21)] + [
+        ("h", 7.0) for _ in range(4)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = winsorize(df, ["grp"], "v", p_lo=0.05, p_hi=0.95)
+    got = {(r["grp"], r["v"]): r["v_wins"] for r in out.collect()}
+    assert len(got) == 21  # row count preserved (dup h-rows collapse key)
+    assert out.count() == 24
+    assert got[("g", 1.0)] == 1.0      # at the low bound, untouched
+    assert got[("g", 20.0)] == 19.0    # clamped DOWN to the p95 element
+    assert got[("g", 19.0)] == 19.0
+    assert got[("g", 10.0)] == 10.0
+    assert got[("h", 7.0)] == 7.0      # constant group is a no-op
+    # clamp bounds are actual data values: nothing outside [1, 19]
+    assert all(1.0 <= v <= 19.0 for (g, _), v in got.items() if g == "g")
+
+
 def test_partition_fingerprints_order_independent_and_diff(spark):
     from blueforty___etl_data_pipeline_spark.operators.profile import (
         changed_partitions,
