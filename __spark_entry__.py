@@ -184,6 +184,9 @@ from blueforty___etl_data_pipeline_spark.sources.csv import (
     with_filename_partition,
 )
 from blueforty___etl_data_pipeline_spark.sources.xml import shred_xml_docs
+from blueforty___etl_data_pipeline_spark.streaming.joins import (
+    stream_stream_join,
+)
 from blueforty___etl_data_pipeline_spark.streaming.stateful import (
     running_user_stats_exact,
 )
@@ -2021,6 +2024,64 @@ SELECT user_id, COUNT(*) AS n_events,
        CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)
          AS value_micros
 FROM events GROUP BY 1
+"""
+
+
+def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join under the driver's oracle
+    (streaming/joins.stream_stream_join): view events matched to click
+    events of the same user within the following 4 hours, both sides
+    watermarked so the state store evicts rows once they can no longer
+    match (state is O(rate × lag), not O(stream)).  Drained availableNow
+    in append mode; the oracle is the identical batch time-range join —
+    a hash match proves the streaming join emits exactly the batch
+    result."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    src = os.path.join(SCRATCH, "stream_src_events_join")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    views = stream.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), "ts"
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    joined = stream_stream_join(
+        views,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        watermark="3650 days",
+        max_lag="INTERVAL 4 HOURS",
+    )
+    out = joined.select(
+        "user_id",
+        "view_id",
+        F.col("click_id_r").alias("click_id"),
+        F.unix_micros(F.col("ts")).alias("view_ts_us"),
+        F.unix_micros(F.col("ts_r")).alias("click_ts_us"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("q_streaming_join_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_streaming(q)
+    return spark.table("q_streaming_join_sink")
+
+
+_SQL_STREAMING_JOIN = """
+SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+       CAST(epoch_us(v.ts) AS BIGINT) AS view_ts_us,
+       CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 4 HOUR
+WHERE v.event_type = 'view' AND c.event_type = 'click'
 """
 
 
@@ -5548,6 +5609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
         "winsorize": q_winsorize,
+        "streaming_join": q_streaming_join,
         "promo_revenue": q_promo_revenue,
         "top_supplier": q_top_supplier,
         "min_cost_supplier": q_min_cost_supplier,
@@ -5774,6 +5836,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _sql_bpe_train(),
         "bpe_segment": _sql_bpe_segment(),
         "winsorize": _SQL_WINSORIZE,
+        "streaming_join": _SQL_STREAMING_JOIN,
         "training_pipeline": _sql_training_pipeline(),
         "zorder_key": _SQL_ZORDER,
         "gdpr_delete": _SQL_GDPR_DELETE,

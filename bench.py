@@ -137,6 +137,8 @@ HEADLINE = [
     "bpe_train",
     "bpe_segment",
     "winsorize",
+    # stream-stream time-range join (watermark-bounded state)
+    "streaming_join",
 ]
 
 
