@@ -2027,6 +2027,61 @@ FROM events GROUP BY 1
 """
 
 
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling (operators/sampling.
+    negative_samples): k=3 pseudo-random other docs per anchor via
+    md5-bucket equi-join + smallest-pair-hash selection — RNG-free,
+    retry-reproducible, never an n² cross join."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    return negative_samples(
+        _t(spark, sf_dir, "documents"), id_col="doc_id", k=3, buckets=40
+    )
+
+
+def _sql_negative_samples() -> str:
+    h_id = _d_md5h("CAST(doc_id AS VARCHAR)")
+    pair = _d_md5h("CAST(anchor AS VARCHAR) || ':' || CAST(negative AS VARCHAR)")
+    return f"""
+WITH b AS (SELECT doc_id, {h_id} % 40 AS bk FROM documents),
+cand AS (
+  SELECT a.doc_id AS anchor, c.doc_id AS negative
+  FROM b a JOIN b c ON a.bk = c.bk AND a.doc_id <> c.doc_id),
+ranked AS (
+  SELECT anchor, negative,
+         ROW_NUMBER() OVER (PARTITION BY anchor
+                            ORDER BY {pair}, negative) AS rank
+  FROM cand)
+SELECT anchor, negative, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_action_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-sequence dataset construction (operators/analytics.
+    action_sequences): per user, the deterministic (ts, event_id)-
+    ordered action string — one groupBy aggregation, sequence folded
+    inside the object hash aggregate, scalar-encoded for the driver."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        action_sequences,
+    )
+
+    return action_sequences(_t(spark, sf_dir, "events"))
+
+
+_SQL_ACTION_SEQUENCES = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_ts_us,
+       CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_ts_us,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS actions
+FROM events GROUP BY 1
+"""
+
+
 def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join under the driver's oracle
     (streaming/joins.stream_stream_join): view events matched to click
@@ -5610,6 +5665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segment": q_bpe_segment,
         "winsorize": q_winsorize,
         "streaming_join": q_streaming_join,
+        "action_sequences": q_action_sequences,
+        "negative_samples": q_negative_samples,
         "promo_revenue": q_promo_revenue,
         "top_supplier": q_top_supplier,
         "min_cost_supplier": q_min_cost_supplier,
@@ -5837,6 +5894,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_segment": _sql_bpe_segment(),
         "winsorize": _SQL_WINSORIZE,
         "streaming_join": _SQL_STREAMING_JOIN,
+        "action_sequences": _SQL_ACTION_SEQUENCES,
+        "negative_samples": _sql_negative_samples(),
         "training_pipeline": _sql_training_pipeline(),
         "zorder_key": _SQL_ZORDER,
         "gdpr_delete": _SQL_GDPR_DELETE,

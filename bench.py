@@ -139,6 +139,9 @@ HEADLINE = [
     "winsorize",
     # stream-stream time-range join (watermark-bounded state)
     "streaming_join",
+    # training-pair / sequence-dataset construction
+    "negative_samples",
+    "action_sequences",
 ]
 
 

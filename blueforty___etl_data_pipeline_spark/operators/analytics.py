@@ -190,3 +190,48 @@ def cohort_retention(
         )
         .agg(F.count_distinct(F.col("_u")).alias("n_users"))
     )
+
+
+def action_sequences(
+    df: DataFrame,
+    user_col: str = "user_id",
+    action_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    sep: str = ">",
+) -> DataFrame:
+    """Behavioral-sequence dataset construction: per user, the full
+    action string in event order — the input shape for sequence-model
+    training (next-action prediction, session embeddings).
+
+    Returns (user, n_events, first_ts_us, last_ts_us, actions) with
+    ``actions`` scalar-encoded (``sep``-joined), not an array.  Order
+    is (ts, id) — the id tiebreak makes simultaneous events
+    deterministic, so the string is partition- and engine-invariant.
+
+    Plan: ONE aggregation — events fold into per-user sorted structs
+    (``sort_array(collect_list(struct(ts, id, action)))``) inside the
+    object hash aggregate, so the only shuffle is the groupBy on the
+    user key; no window, no second pass.  Per-user state is that
+    user's own event list — the same bound any sequence-model training
+    prep must accept (cap upstream with a per-user quota for
+    pathological keys).
+    """
+    us = F.unix_micros(F.col(ts_col))
+    packed = F.sort_array(
+        F.collect_list(
+            F.struct(
+                us.alias("_us"),
+                F.col(id_col).alias("_id"),
+                F.col(action_col).alias("_a"),
+            )
+        )
+    )
+    return df.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(us).alias("first_ts_us"),
+        F.max(us).alias("last_ts_us"),
+        F.array_join(
+            F.transform(packed, lambda s: s["_a"]), sep
+        ).alias("actions"),
+    )

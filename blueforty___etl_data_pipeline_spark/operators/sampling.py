@@ -295,3 +295,56 @@ def weighted_sample(
         f"CAST({weight_col} AS BIGINT) * {_BUCKETS} div {max_weight}"
     )
     return df.filter(b < F.least(cutoff, F.lit(_BUCKETS)))
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 3,
+    buckets: int = 40,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    each anchor gets ``k`` pseudo-random OTHER rows, reproducible under
+    retries, repartitioning, and engines (no RNG state anywhere).
+
+    Mechanics: rows hash into ``buckets`` md5-derived buckets; anchors
+    draw candidates from their own bucket via an equi-join (≈ n/buckets
+    candidates per anchor — NEVER the n² cross join), and the k kept
+    negatives are the candidates with the smallest pair hash
+    md5(anchor:candidate) — a deterministic stand-in for "uniform
+    without replacement".  Returns (anchor, negative, rank) with rank
+    1..k.
+
+    Scale: one bucket equi-join (both sides partial-projected to two
+    columns) + one per-anchor window over the bucket-bounded candidate
+    set.  Tune ``buckets`` so n/buckets stays comfortably above k but
+    far below memory — at 1e9 rows and buckets=1e6, candidates ≈ 1000
+    per anchor for k ≈ 5.
+    """
+    ids = F.col(id_col).cast("string")
+    b = md5_hash64(ids) % buckets
+    left = df.select(
+        F.col(id_col).alias("anchor"), b.alias("_b")
+    )
+    right = df.select(
+        F.col(id_col).alias("negative"), b.alias("_b")
+    )
+    cand = left.join(right, on="_b").filter(
+        F.col("anchor") != F.col("negative")
+    )
+    pair_h = md5_hash64(
+        F.concat(
+            F.col("anchor").cast("string"),
+            F.lit(":"),
+            F.col("negative").cast("string"),
+        )
+    )
+    w = Window.partitionBy("anchor").orderBy(pair_h, F.col("negative"))
+    return (
+        cand.select(
+            "anchor",
+            "negative",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+    )

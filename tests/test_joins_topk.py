@@ -275,3 +275,36 @@ def test_cohort_retention_offsets(spark):
     }
     offsets = {k[1]: v for k, v in out.items()}
     assert offsets == {0: 2, 2: 1}
+
+
+def test_action_sequences_order_and_ties(spark):
+    from datetime import datetime
+
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        action_sequences,
+    )
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    t1 = datetime(2024, 1, 1, 12, 5, 0)
+    rows = [
+        # user 1: tie at t0 broken by event_id (2 before 5), then t1
+        (1, 5, t0, "b"),
+        (1, 2, t0, "a"),
+        (1, 9, t1, "c"),
+        # user 2: single event
+        (2, 7, t1, "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    out = {r["user_id"]: r for r in action_sequences(df).collect()}
+    assert out[1]["actions"] == "a>b>c"
+    assert out[1]["n_events"] == 3
+    assert out[1]["first_ts_us"] < out[1]["last_ts_us"]
+    assert out[2]["actions"] == "x"
+    # partition-invariant: same strings after a shuffle
+    again = {
+        r["user_id"]: r["actions"]
+        for r in action_sequences(df.repartition(7)).collect()
+    }
+    assert again == {u: r["actions"] for u, r in out.items()}

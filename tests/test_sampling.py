@@ -217,3 +217,58 @@ def test_weighted_sample_extremes_and_determinism(spark):
     assert out.exceptAll(
         weighted_sample(df, weight_col="w", max_weight=1000)
     ).count() == 0
+
+
+def test_negative_samples_deterministic_bounded(spark):
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    out = negative_samples(df, id_col="doc_id", k=3, buckets=8)
+    rows = out.collect()
+    # no self-pairs, ranks in 1..k
+    assert all(r["anchor"] != r["negative"] for r in rows)
+    assert all(1 <= r["rank"] <= 3 for r in rows)
+    # every anchor with a non-singleton bucket gets min(k, bucket-1)
+    per_anchor = {}
+    for r in rows:
+        per_anchor.setdefault(r["anchor"], set()).add(r["negative"])
+    assert all(len(v) <= 3 for v in per_anchor.values())
+    # 200 ids over 8 buckets → every bucket has >> 4 members, so every
+    # anchor gets exactly k negatives
+    assert len(per_anchor) == 200
+    assert all(len(v) == 3 for v in per_anchor.values())
+    # deterministic: identical under re-run AND repartitioning
+    again = negative_samples(
+        df.repartition(13), id_col="doc_id", k=3, buckets=8
+    )
+    assert out.exceptAll(again).count() == 0
+    assert again.exceptAll(out).count() == 0
+
+
+def test_negative_samples_candidates_share_bucket_only(spark):
+    from blueforty___etl_data_pipeline_spark.functions.text import (
+        md5_hash64,
+    )
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        negative_samples,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+    buckets = 5
+    bk = {
+        r["doc_id"]: r["b"]
+        for r in df.select(
+            "doc_id",
+            (md5_hash64(F.col("doc_id").cast("string")) % buckets).alias(
+                "b"
+            ),
+        ).collect()
+    }
+    out = negative_samples(df, id_col="doc_id", k=2, buckets=buckets)
+    for r in out.collect():
+        assert bk[r["anchor"]] == bk[r["negative"]]
