@@ -2027,6 +2027,70 @@ FROM events GROUP BY 1
 """
 
 
+def q_ngram_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-linear-model quality scoring (operators/text_ops.
+    ngram_model_score): char-trigram hashing + synthetic deterministic
+    weights folded in a codegen aggregate — model inference as a
+    shuffle-free map stage, integer-exact under the oracle."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.text_ops import (
+        ngram_model_score,
+    )
+
+    return ngram_model_score(_t(spark, sf_dir, "documents"))
+
+
+def _sql_ngram_model_score(n_buckets: int = 1024) -> str:
+    h = _d_md5h("substr(text, gs.i, 3)")
+    b = f"(({h}) % {n_buckets} + {n_buckets}) % {n_buckets}"
+    w = f"((({b}) * 2654435761) % 2001 + 2001) % 2001 - 1000"
+    return f"""
+WITH g AS (
+  SELECT doc_id, {w} AS w
+  FROM documents
+  JOIN generate_series(1, 100000) AS gs(i)
+    ON gs.i <= length(text) - 2)
+SELECT d.doc_id,
+       CAST(GREATEST(length(d.text) - 2, 0) AS BIGINT) AS n_ngrams,
+       CAST(COALESCE(SUM(g.w), 0) AS BIGINT) AS score
+FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id
+GROUP BY 1, 2
+"""
+
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus data card (operators/corpus.corpus_report):
+    doc/token/char totals, language breadth, and globally-measured
+    exact-duplication per source — integer-exact end to end."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        corpus_report,
+    )
+
+    return corpus_report(_t(spark, sf_dir, "documents"))
+
+
+_SQL_CORPUS_REPORT = """
+WITH d AS (
+  SELECT source, lang, md5(text) AS h,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                              t -> t <> '')) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents),
+c AS (SELECT h, COUNT(*) AS copies FROM d GROUP BY 1)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(SUM(CASE WHEN copies >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       CAST(SUM(CASE WHEN copies >= 2 THEN 1 ELSE 0 END) * 1000
+            // COUNT(*) AS BIGINT) AS dup_permille
+FROM d JOIN c USING (h)
+GROUP BY 1
+"""
+
+
 def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive negative sampling (operators/sampling.
     negative_samples): k=3 pseudo-random other docs per anchor via
@@ -5667,6 +5731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_join": q_streaming_join,
         "action_sequences": q_action_sequences,
         "negative_samples": q_negative_samples,
+        "corpus_report": q_corpus_report,
+        "ngram_model_score": q_ngram_model_score,
         "promo_revenue": q_promo_revenue,
         "top_supplier": q_top_supplier,
         "min_cost_supplier": q_min_cost_supplier,
@@ -5896,6 +5962,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_join": _SQL_STREAMING_JOIN,
         "action_sequences": _SQL_ACTION_SEQUENCES,
         "negative_samples": _sql_negative_samples(),
+        "corpus_report": _SQL_CORPUS_REPORT,
+        "ngram_model_score": _sql_ngram_model_score(),
         "training_pipeline": _sql_training_pipeline(),
         "zorder_key": _SQL_ZORDER,
         "gdpr_delete": _SQL_GDPR_DELETE,

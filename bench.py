@@ -142,6 +142,9 @@ HEADLINE = [
     # training-pair / sequence-dataset construction
     "negative_samples",
     "action_sequences",
+    # corpus data card + hashed-linear quality model
+    "corpus_report",
+    "ngram_model_score",
 ]
 
 

@@ -532,3 +532,60 @@ def tfidf_doc_similarity(
             "cos2_permille",
         )
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source corpus data card — the one-table summary a dataset
+    release ships: (source, n_docs, total_tokens, total_chars,
+    n_langs, n_dup_docs, dup_permille).
+
+    A "dup doc" is one whose exact text (md5) appears ≥ 2 times
+    anywhere in the corpus — duplication is measured globally and
+    attributed per source, so two sources sharing boilerplate BOTH
+    report it (the cross-source contamination a per-source distinct
+    count would hide).
+
+    Plan: one hash-count aggregation over (md5 → n copies), joined
+    back on the hash (equi-join, hash-bounded), then ONE per-source
+    aggregation.  Everything is integer-exact: token counts are
+    whitespace counts, dup_permille is integer permille — the whole
+    card reproduces bit-for-bit on any engine.
+
+    Scale: the md5 aggregation is the exact-dedup shuffle the pipeline
+    already pays; the report adds one source-keyed aggregation whose
+    exchange carries one row per source per task.
+    """
+    from ..functions.text import token_count_ws
+
+    h = F.md5(F.col(text_col))
+    per_doc = df.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        token_count_ws(F.col(text_col)).alias("n_tokens"),
+        F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
+        h.alias("_h"),
+    )
+    copies = per_doc.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_copies")
+    )
+    return (
+        per_doc.join(copies, on="_h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.sum(
+                F.when(F.col("_copies") >= 2, 1).otherwise(0)
+            ).cast("bigint").alias("n_dup_docs"),
+        )
+        .withColumn(
+            "dup_permille", F.expr("n_dup_docs * 1000 div n_docs")
+        )
+    )

@@ -298,3 +298,47 @@ def rare_token_stats(
         "n_oov",
         F.expr("n_oov * 1000 div n_tokens").alias("oov_permille"),
     )
+
+
+def ngram_model_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Model-based quality scoring as a pure map stage: a hashed
+    linear model over character trigrams (the fastText-style shape —
+    hash each n-gram into a weight bucket, sum the weights).
+
+    The weight table here is synthetic-but-deterministic
+    (``w(b) = (b·2654435761) mod 2001 − 1000``, a Knuth-hash spread
+    over [−1000, 1000]) so the whole scorer is engine-reproducible and
+    oracle-checkable; a production deployment replaces ``w`` with
+    trained weights via a broadcast array lookup — the plan shape does
+    not change.
+
+    Everything runs inside whole-stage codegen: trigram enumeration is
+    a ``transform(sequence(...))`` over string positions and the dot
+    product is an ``aggregate`` fold — no explode (the per-doc shuffle
+    a Generate+groupBy scorer would pay), no UDF, no shuffle at all.
+    Returns (id, n_ngrams, score), integer-exact.
+    """
+    b = (
+        f"pmod(CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT), "
+        f"{n_buckets})"
+    )
+    w = f"pmod({b} * 2654435761, 2001) - 1000"
+    score = (
+        f"CASE WHEN length({text_col}) < 3 THEN CAST(0 AS BIGINT) "
+        f"ELSE aggregate("
+        f"  transform(sequence(1, length({text_col}) - 2), "
+        f"            i -> substring({text_col}, i, 3)), "
+        f"  CAST(0 AS BIGINT), (acc, g) -> acc + ({w})) END"
+    )
+    return df.select(
+        F.col(id_col),
+        F.greatest(
+            F.length(F.col(text_col)) - 2, F.lit(0)
+        ).cast("bigint").alias("n_ngrams"),
+        F.expr(score).alias("score"),
+    )

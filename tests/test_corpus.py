@@ -415,3 +415,34 @@ def test_tfidf_doc_similarity_picks_matching_doc(spark):
     # doc 3 still finds a neighbor through the shared filler term,
     # with strictly lower similarity
     assert out[3]["cos2_permille"] < 1000
+
+
+def test_corpus_report_global_dup_attribution(spark):
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        corpus_report,
+    )
+
+    rows = [
+        # boilerplate shared ACROSS sources: both must report it
+        (1, "a", "en", "same text"),
+        (2, "b", "en", "same text"),
+        # in-source duplicate pair
+        (3, "a", "en", "twin"),
+        (4, "a", "fr", "twin"),
+        # uniques
+        (5, "a", "en", "unique one two"),
+        (6, "b", "de", "other unique"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    )
+    out = {r["source"]: r for r in corpus_report(df).collect()}
+    a, b = out["a"], out["b"]
+    assert a["n_docs"] == 4 and b["n_docs"] == 2
+    # source a: doc1 (cross-source dup) + docs 3,4 → 3 dup docs
+    assert a["n_dup_docs"] == 3 and a["dup_permille"] == 750
+    # source b: doc2 is a dup even though its twin lives in source a
+    assert b["n_dup_docs"] == 1 and b["dup_permille"] == 500
+    assert a["n_langs"] == 2 and b["n_langs"] == 2
+    assert a["total_tokens"] == 2 + 1 + 1 + 3
+    assert b["total_tokens"] == 2 + 2

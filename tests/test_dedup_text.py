@@ -447,3 +447,29 @@ def test_lsh_dedup_incremental_drops_corpus_collisions(spark):
         ).collect()
     )
     assert expr_kept == kept
+
+
+def test_ngram_model_score_deterministic_and_bounded(spark):
+    from blueforty___etl_data_pipeline_spark.operators.text_ops import (
+        ngram_model_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abcdef"), (2, "ab"), (3, ""), (4, "abcdef")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_model_score(df).collect()}
+    # n_ngrams = max(len-2, 0)
+    assert out[1]["n_ngrams"] == 4
+    assert out[2]["n_ngrams"] == 0 and out[2]["score"] == 0
+    assert out[3]["n_ngrams"] == 0 and out[3]["score"] == 0
+    # identical text → identical score (pure function of content)
+    assert out[1]["score"] == out[4]["score"]
+    # per-trigram weights live in [-1000, 1000]
+    assert abs(out[1]["score"]) <= 4 * 1000
+    # stable under repartition (map-only, no state)
+    again = {
+        r["doc_id"]: r["score"]
+        for r in ngram_model_score(df.repartition(5)).collect()
+    }
+    assert again == {k: v["score"] for k, v in out.items()}
