@@ -2124,6 +2124,48 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded exact streaming dedup (streaming/stateful.
+    streaming_dedup → dropDuplicatesWithinWatermark): the staged stream
+    carries every event PLUS a duplicated 10% slice, and the output
+    must hash-match the clean batch table — each key emitted exactly
+    once, duplicates dropped in whatever micro-batch they arrive,
+    state bounded by the watermark."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.streaming.stateful import (
+        streaming_dedup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    doubled = ev.unionAll(ev.filter(F.col("user_id") % 10 == 0))
+    src = os.path.join(SCRATCH, "stream_src_events_dedup")
+    doubled.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = streaming_dedup(stream, ("event_id",), watermark="3650 days")
+    q = (
+        out.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        )
+        .writeStream.format("memory")
+        .queryName("q_streaming_dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_streaming(q)
+    return spark.table("q_streaming_dedup_sink")
+
+
+_SQL_STREAMING_DEDUP = """
+SELECT event_id, user_id, event_type,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us
+FROM events
+"""
+
+
 def q_action_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral-sequence dataset construction (operators/analytics.
     action_sequences): per user, the deterministic (ts, event_id)-
@@ -5733,6 +5775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_samples": q_negative_samples,
         "corpus_report": q_corpus_report,
         "ngram_model_score": q_ngram_model_score,
+        "streaming_dedup": q_streaming_dedup,
         "promo_revenue": q_promo_revenue,
         "top_supplier": q_top_supplier,
         "min_cost_supplier": q_min_cost_supplier,
@@ -5964,6 +6007,7 @@ def oracle_sql() -> dict[str, str]:
         "negative_samples": _sql_negative_samples(),
         "corpus_report": _SQL_CORPUS_REPORT,
         "ngram_model_score": _sql_ngram_model_score(),
+        "streaming_dedup": _SQL_STREAMING_DEDUP,
         "training_pipeline": _sql_training_pipeline(),
         "zorder_key": _SQL_ZORDER,
         "gdpr_delete": _SQL_GDPR_DELETE,

@@ -145,6 +145,8 @@ HEADLINE = [
     # corpus data card + hashed-linear quality model
     "corpus_report",
     "ngram_model_score",
+    # watermark-bounded streaming dedup (duplicate-injected stream)
+    "streaming_dedup",
 ]
 
 
