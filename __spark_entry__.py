@@ -72,6 +72,7 @@ from blueforty___etl_data_pipeline_spark.operators.dedup import (
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    remove_duplicate_spans,
     simhash64,
     simhash_near_dup_pairs,
     span_dup_stats,
@@ -137,6 +138,7 @@ from blueforty___etl_data_pipeline_spark.operators.similarity import (
     kmeans_lloyd,
     embedding_near_dup_pairs,
     quantize_embeddings,
+    semantic_dedup,
 )
 from blueforty___etl_data_pipeline_spark.operators.profile import (
     approx_profile,
@@ -5425,6 +5427,49 @@ GROUP BY 1
 """
 
 
+def q_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup REWRITE: tokens covered by any cross-doc
+    duplicated span are dropped and the survivors reassembled
+    (operators/dedup.remove_duplicate_spans) — the Lee-et-al-2022 span
+    removal step downstream of duplicate_spans."""
+    _prep(spark)
+    return remove_duplicate_spans(
+        _t(spark, sf_dir, "documents"),
+        window=_SPAN_WIN,
+        stride=_SPAN_STRIDE,
+    )
+
+
+def _sql_remove_duplicate_spans() -> str:
+    w, s = _SPAN_WIN, _SPAN_STRIDE
+    return f"""
+WITH {_sql_spans_cte()},
+dup AS (
+  SELECT DISTINCT sp.doc_id, sp.span_idx
+  FROM sp JOIN sharers sh ON sp.span_h = sh.span_h),
+cov AS (
+  SELECT DISTINCT doc_id, unnest(range(span_idx * {s},
+                                       span_idx * {s} + {w})) AS pos
+  FROM dup),
+tokpos AS (
+  SELECT doc_id, i AS pos, toks[i + 1] AS tok
+  FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i
+        FROM meta)),
+kept AS (
+  SELECT t.doc_id,
+         COALESCE(string_agg(t.tok, ' ' ORDER BY t.pos)
+                  FILTER (WHERE c.pos IS NULL), '') AS clean_text,
+         COUNT(c.pos) AS n_cov
+  FROM tokpos t LEFT JOIN cov c
+    ON t.doc_id = c.doc_id AND t.pos = c.pos
+  GROUP BY 1)
+SELECT m.doc_id, COALESCE(k.clean_text, '') AS clean_text,
+       CAST(len(m.toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(k.n_cov, 0) AS BIGINT) AS n_removed
+FROM meta m LEFT JOIN kept k ON m.doc_id = k.doc_id
+"""
+
+
 def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension fixed-point stats over the embedding corpus
     (operators/profile.embedding_dim_profile)."""
@@ -5681,6 +5726,41 @@ FROM wk JOIN first USING (u) GROUP BY 1, 2
 # Driver contract
 # ---------------------------------------------------------------------------
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: strided centroids route every embedding to a cluster;
+    within-cluster cosine >= 0.25 to a lower id marks a semantic dup.
+    Returns the full per-vector keep/drop verdict."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    return semantic_dedup(emb, centroids, threshold=0.25)
+
+
+def _sql_semantic_dedup(stride: int = 50, threshold: float = 0.25) -> str:
+    cos_vc = _d_cosine("x.v", "cent.cv")
+    cos_lr = _d_cosine("l.v", "r.v")
+    return f"""
+WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv
+              FROM embeddings WHERE vec_id % {stride} = 0),
+ca AS (SELECT x.vec_id, x.v, cent.centroid_id,
+              ROUND({cos_vc}, 6) AS cscore
+       FROM (SELECT vec_id, embedding AS v FROM embeddings) x
+       CROSS JOIN cent),
+assigned AS (
+  SELECT vec_id, v, centroid_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY cscore DESC, centroid_id) rn FROM ca)
+  WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT r.vec_id
+  FROM assigned l JOIN assigned r
+    ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id
+  WHERE ROUND({cos_lr}, 6) >= {threshold})
+SELECT a.vec_id, a.centroid_id, (d.vec_id IS NULL) AS keep
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -5869,6 +5949,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "quota_cap": q_quota_cap,
         "quality_filter": q_quality_filter,
+        # ---- round-4 session additions (next window) ---------------------
+        "semantic_dedup": q_semantic_dedup,
+        "remove_duplicate_spans": q_remove_duplicate_spans,
     }
 
 
@@ -6027,6 +6110,8 @@ def oracle_sql() -> dict[str, str]:
         "important_parts": _SQL_IMPORTANT_PARTS,
         "promo_suppliers": _SQL_PROMO_SUPPLIERS,
         "waiting_suppliers": _SQL_WAITING_SUPPLIERS,
+        "semantic_dedup": _sql_semantic_dedup(),
+        "remove_duplicate_spans": _sql_remove_duplicate_spans(),
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

@@ -147,6 +147,10 @@ HEADLINE = [
     "ngram_model_score",
     # watermark-bounded streaming dedup (duplicate-injected stream)
     "streaming_dedup",
+    # SemDeDup cluster-routed semantic dedup (round-4 session add)
+    "semantic_dedup",
+    # exact-substring dedup rewrite (span removal + reassembly)
+    "remove_duplicate_spans",
 ]
 
 

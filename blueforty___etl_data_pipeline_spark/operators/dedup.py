@@ -838,6 +838,57 @@ def span_dup_stats(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    window: int = 16,
+    stride: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The REWRITE step of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    :func:`duplicate_spans` finds cross-document boilerplate; this
+    removes it — every token covered by a duplicated span is dropped
+    and the survivors are reassembled in order.
+
+    Returns (id, clean_text, n_tokens, n_removed) for EVERY input doc
+    (docs with no duplicated spans pass through with n_removed = 0).
+
+    Scale shape: the only shuffles are the span-sharer hash-agg
+    inherited from duplicate_spans plus one equi-join of the per-doc
+    duplicated-span-index arrays back onto the doc table; the coverage
+    test and reassembly are a single map-side higher-order-function
+    pass (per-token cost is O(dup spans in the doc), and a doc has at
+    most n_tokens/stride spans).  No per-position explode of the
+    coverage set ever hits a shuffle.
+    """
+    spans = duplicate_spans(df, window, stride, min_docs, text_col, id_col)
+    dup_idx = spans.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("span_idx")).alias("_dup_idx")
+    )
+    toks = df.select(
+        F.col(id_col), tokens_ws(F.col(text_col)).alias("_toks")
+    )
+    j = toks.join(dup_idx, id_col, "left").withColumn(
+        "_dup_idx",
+        F.coalesce(F.col("_dup_idx"), F.array().cast("array<bigint>")),
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda x, i: ~F.exists(
+            F.col("_dup_idx"),
+            lambda s: (i >= s * stride) & (i <= s * stride + (window - 1)),
+        ),
+    )
+    return j.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
 def _banded_buckets(
     sigs: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:

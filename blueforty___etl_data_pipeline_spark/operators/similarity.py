@@ -724,3 +724,71 @@ def rrf_fuse(
         rank_col="rank",
         keep_rank=True,
     ).select(query_id_col, id_col, "rrf_score", "n_lists", "rank")
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): route
+    every vector to its nearest centroid, then prune within each cluster
+    any vector whose cosine similarity to a LOWER-ID cluster-mate reaches
+    ``threshold``.  The one-pass greedy keep rule (drop iff similar to
+    any lower id, whether or not that lower id itself survives) is the
+    standard SemDeDup policy — deterministic, order-free, and exactly
+    expressible as an EXISTS, so it verifies against a SQL oracle.
+
+    Returns (vec_id, centroid_id, keep) — one row per input vector.
+
+    Scale shape: the clustering bounds the quadratic term.  Centroids
+    (k rows) broadcast for the assignment pass; candidate pairs come
+    from a self-equi-join on ``centroid_id``, so the all-pairs product
+    never materializes — per-cluster cost is |cluster|², and k is grown
+    with the corpus to keep clusters bounded (SemDeDup uses ~100k
+    clusters at billion-doc scale).  The assigned projection (vector +
+    norm) is persisted once and read by both sides of the self-join.
+    """
+    assigned = assign_nearest_centroid(
+        emb, centroids, id_col=id_col, vec_col=vec_col,
+        round_decimals=round_decimals,
+    ).select(id_col, "centroid_id")
+    b = assigned.join(
+        emb.select(
+            F.col(id_col),
+            F.col(vec_col).alias("_v"),
+            l2_norm(F.col(vec_col)).alias("_n"),
+        ),
+        on=id_col,
+    ).persist()
+    left, right = b.alias("l"), b.alias("r")
+    score = _rounded(
+        _paired_cosine(
+            F.col("l._v"), F.col("l._n"), F.col("r._v"), F.col("r._n")
+        ),
+        round_decimals,
+    )
+    dropped = (
+        left.join(
+            right,
+            on=[
+                F.col("l.centroid_id") == F.col("r.centroid_id"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .filter(score >= threshold)
+        .select(F.col(f"r.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        b.join(dropped, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col("centroid_id"),
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
+        )
+    )

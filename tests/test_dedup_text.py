@@ -473,3 +473,30 @@ def test_ngram_model_score_deterministic_and_bounded(spark):
         for r in ngram_model_score(df.repartition(5)).collect()
     }
     assert again == {k: v["score"] for k, v in out.items()}
+
+
+def test_remove_duplicate_spans_rewrites_covered_tokens(spark):
+    from blueforty___etl_data_pipeline_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    # d1/d2 share the 4-token boilerplate prefix "a b c d" (span idx 0);
+    # their tails are unique.  d3 is shorter than the window -> no spans,
+    # passes through untouched.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d x y z"),
+            (2, "a b c d p q r"),
+            (3, "s t"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in remove_duplicate_spans(df, window=4, stride=2).collect()
+    }
+    assert out == {
+        1: ("x y z", 7, 4),
+        2: ("p q r", 7, 4),
+        3: ("s t", 2, 0),
+    }

@@ -275,3 +275,30 @@ def test_rrf_fuse_combines_lists_exactly(spark):
     # tie between 10... no tie here: full order 11 > 10 > 13 > 12
     ranks = {nid: r["rank"] for nid, r in out.items()}
     assert ranks == {11: 1, 10: 2, 13: 3, 12: 4}
+
+
+def test_semantic_dedup_greedy_keep_rule(spark):
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # Two well-separated clusters on orthogonal axes.  Cluster A holds an
+    # exact-dup chain (ids 1, 2) plus a dissimilar-enough member (id 3);
+    # cluster B holds a singleton (id 10).  Greedy rule: drop iff cosine
+    # >= threshold to ANY lower id in the cluster.
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),        # dup of 1 -> dropped
+        (3, [0.5, 0.0, 0.9]),        # cos to 1 = 0.486 < 0.5 -> kept
+        (10, [0.0, 1.0, 0.0]),       # own cluster, singleton -> kept
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (10, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: (r["centroid_id"], r["keep"])
+        for r in semantic_dedup(emb, cents, threshold=0.5).collect()
+    }
+    assert out == {1: (1, True), 2: (1, False), 3: (1, True), 10: (10, True)}
