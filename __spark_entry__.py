@@ -107,7 +107,10 @@ from blueforty___etl_data_pipeline_spark.operators.bpe import (
     bpe_segment,
     bpe_train,
 )
-from blueforty___etl_data_pipeline_spark.operators.skew import salted_join
+from blueforty___etl_data_pipeline_spark.operators.skew import (
+    salted_join,
+    skew_report,
+)
 from blueforty___etl_data_pipeline_spark.operators.analytics import (
     cohort_retention,
     funnel_counts,
@@ -128,6 +131,7 @@ from blueforty___etl_data_pipeline_spark.operators.sampling import (
     quota_cap,
     select_until_budget,
     stratified_sample,
+    temperature_mix,
 )
 from blueforty___etl_data_pipeline_spark.operators.similarity import (
     _hyperplanes,
@@ -4267,6 +4271,43 @@ WHERE {bucket} < cutoff
 """
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (α=1/2) source rebalancing (operators/sampling.
+    temperature_mix): target shares sqrt(T_s)/Σsqrt(T_j) derived from
+    the corpus itself, downsample-only, integer-exact throughout."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_mix(docs).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
+def _sql_temperature_mix() -> str:
+    toks = _D_TOKENS.format(t="text")
+    bucket = (
+        "CAST(('0x' || substr(md5('tmix:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+        " AS BIGINT) % 10000"
+    )
+    return f"""
+WITH t AS (SELECT source, SUM(CAST(len({toks}) AS BIGINT)) AS tot
+           FROM documents GROUP BY 1),
+w AS (SELECT source, tot,
+             CAST(FLOOR(SQRT(CAST(tot AS DOUBLE)) * 1000000) AS BIGINT)
+               AS wfp
+      FROM t WHERE tot > 0),
+ws AS (SELECT SUM(CAST(wfp AS HUGEINT)) AS wsum FROM w),
+nc AS (SELECT MIN(CAST(tot AS HUGEINT) * wsum // wfp) AS n_corpus
+       FROM w CROSS JOIN ws),
+cut AS (SELECT source,
+               LEAST(CAST(wfp AS HUGEINT) * n_corpus * 10000
+                     // (wsum * tot), 10000) AS cutoff
+        FROM w CROSS JOIN ws CROSS JOIN nc)
+SELECT d.doc_id, d.source, d.lang, d.n_chars
+FROM documents d JOIN cut ON d.source = cut.source
+WHERE {bucket} < cutoff
+"""
+
+
 def q_select_until_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy token-budget curation (operators/sampling.
     select_until_budget): longest documents first (n_chars desc, id
@@ -5125,6 +5166,27 @@ def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (operators/skew.skew_report): top-20
+    heaviest user_id values in events with integer-permille table share
+    and the ceil-div salt factor that caps each at 40 rows/reducer —
+    the number fed straight into salted_join."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return skew_report(ev, key="user_id", top=20, target_rows_per_task=40)
+
+
+_SQL_SKEW_REPORT = """
+WITH c AS (SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY 1),
+t AS (SELECT SUM(n_rows) AS total FROM c)
+SELECT user_id, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(1000 * n_rows // total AS BIGINT) AS share_permille,
+       CAST((n_rows + 39) // 40 AS BIGINT) AS suggested_salt
+FROM c CROSS JOIN t
+ORDER BY n_rows DESC, user_id LIMIT 20
+"""
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigated equi-join: the fact side salted 8 ways, the dim
     side exploded once per salt value, joined on (key, salt).  The salt
@@ -5952,6 +6014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round-4 session additions (next window) ---------------------
         "semantic_dedup": q_semantic_dedup,
         "remove_duplicate_spans": q_remove_duplicate_spans,
+        "temperature_mix": q_temperature_mix,
+        "skew_report": q_skew_report,
     }
 
 
@@ -6112,6 +6176,8 @@ def oracle_sql() -> dict[str, str]:
         "waiting_suppliers": _SQL_WAITING_SUPPLIERS,
         "semantic_dedup": _sql_semantic_dedup(),
         "remove_duplicate_spans": _sql_remove_duplicate_spans(),
+        "temperature_mix": _sql_temperature_mix(),
+        "skew_report": _SQL_SKEW_REPORT,
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

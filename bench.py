@@ -151,6 +151,9 @@ HEADLINE = [
     "semantic_dedup",
     # exact-substring dedup rewrite (span removal + reassembly)
     "remove_duplicate_spans",
+    # sqrt-temperature source rebalancing + join-key skew report
+    "temperature_mix",
+    "skew_report",
 ]
 
 

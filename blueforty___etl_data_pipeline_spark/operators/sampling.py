@@ -204,6 +204,71 @@ def mix_sources(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-based source rebalancing (the multilingual /
+    multi-domain smoothing of mC4 and XLM-R): target share of source s
+    is ``sqrt(T_s) / Σ sqrt(T_j)`` (temperature α = 1/2), which lifts
+    tail sources and damps head sources relative to their natural token
+    shares — WITHOUT upsampling anything.  Unlike :func:`mix_sources`
+    the targets are derived from the corpus itself, no weight dict.
+
+    Exactness across engines: ``sqrt`` is IEEE-correctly-rounded, so
+    ``FLOOR(sqrt(T_s)·1e6)`` is the same integer in any engine; from
+    there every step (share denominator, achievable corpus size
+    ``N = min_s floor(T_s · Σw / w_s)``, per-source bucket cutoff) is
+    integer/DECIMAL(38,0) arithmetic — the kept set is bit-reproducible.
+
+    Scale shape identical to mix_sources: one partial-agged token-total
+    pass, tiny per-source cutoff table broadcast back, map-stage bucket
+    filter.  No corpus shuffle.
+    """
+    from ..functions.text import token_count_ws
+
+    toks = df.select(
+        F.col(group_col).alias("_g"),
+        token_count_ws(F.col(text_col)).alias("_n"),
+    )
+    per_source = (
+        toks.groupBy("_g")
+        .agg(F.sum("_n").alias("_tot"))
+        .filter(F.col("_tot") > 0)
+        .withColumn(
+            "_wfp",
+            F.floor(F.sqrt(F.col("_tot")) * F.lit(1_000_000)).cast("long"),
+        )
+    )
+    wsum = per_source.agg(F.sum("_wfp").alias("_wsum"))
+    j = per_source.crossJoin(F.broadcast(wsum))
+    n_corpus = j.agg(
+        F.min(
+            F.expr("CAST(_tot AS DECIMAL(38,0)) * _wsum DIV _wfp")
+        ).alias("_n_corpus")
+    )
+    cutoffs = j.crossJoin(F.broadcast(n_corpus)).select(
+        "_g",
+        F.expr(
+            f"CAST(_wfp AS DECIMAL(38,0)) * _n_corpus * {_BUCKETS}"
+            f" DIV (CAST(_wsum AS DECIMAL(38,0)) * _tot)"
+        )
+        .cast("long")
+        .alias("_cutoff"),
+    )
+    b = _bucket(F.col(id_col), salt)
+    return (
+        df.join(
+            F.broadcast(cutoffs), df[group_col] == F.col("_g"), "inner"
+        )
+        .filter(b < F.least(F.col("_cutoff"), F.lit(_BUCKETS)))
+        .drop("_g", "_cutoff")
+    )
+
+
 def select_until_budget(
     df: DataFrame,
     budget: int,

@@ -60,3 +60,42 @@ def key_histogram(df: DataFrame, key: str, top: int = 20) -> DataFrame:
         .orderBy(F.desc("n_rows"))
         .limit(top)
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key: str,
+    top: int = 20,
+    target_rows_per_task: int = 1_000_000,
+) -> DataFrame:
+    """Actionable skew report for a prospective join/agg key: the
+    ``top`` heaviest values with their integer-permille share of the
+    table and the salt factor that would bring each hot key back under
+    ``target_rows_per_task`` rows per reducer
+    (``suggested_salt = ceil(n_rows / target)``, 1 = no salting
+    needed).  Feed the max suggested_salt straight into
+    :func:`salted_join`.
+
+    Scale shape: one partial-agged count per key + a 1-row grand-total
+    aggregate broadcast back; the top-k is a TakeOrdered, never a full
+    sort.  All outputs integer (permille / ceil-div) — engine-exact.
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.col(key),
+            F.col("n_rows"),
+            F.expr("1000 * n_rows div _total").alias("share_permille"),
+            # ceil(n/d) for positive n as (n + d − 1) div d — `div`
+            # truncates toward zero, so the -((-n) div d) idiom is NOT
+            # a ceiling here
+            F.expr(
+                f"CAST((n_rows + {target_rows_per_task - 1})"
+                f" div {target_rows_per_task} AS BIGINT)"
+            ).alias("suggested_salt"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc(key))
+        .limit(top)
+    )

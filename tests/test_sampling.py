@@ -272,3 +272,25 @@ def test_negative_samples_candidates_share_bucket_only(spark):
     out = negative_samples(df, id_col="doc_id", k=2, buckets=buckets)
     for r in out.collect():
         assert bk[r["anchor"]] == bk[r["negative"]]
+
+
+def test_temperature_mix_boosts_tail_sources(spark):
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    # Head source A: 900 tokens; tail source B: 100 tokens.  sqrt
+    # smoothing targets 3:1 (not the natural 9:1), and B is the
+    # scarcest-relative source so it is kept whole while A downsamples.
+    rows = [(i, "w " * 9 + "w", "A") for i in range(90)] + [
+        (100 + i, "w " * 9 + "w", "B") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = temperature_mix(df).groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in kept}
+    assert by_src["B"] == 10              # tail source never downsampled
+    assert 20 <= by_src["A"] <= 45        # ~1/3 of A survives (3:1 target)
+    # determinism: the kept id set is identical on re-run
+    ids1 = sorted(r["doc_id"] for r in temperature_mix(df).collect())
+    ids2 = sorted(r["doc_id"] for r in temperature_mix(df).collect())
+    assert ids1 == ids2

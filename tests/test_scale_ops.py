@@ -171,3 +171,18 @@ def test_runtime_bloom_filter_injected(spark, sf_small):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_skew_report_salt_factor_and_share(spark):
+    from blueforty___etl_data_pipeline_spark.operators.skew import skew_report
+
+    # key "hot" holds 75 of 100 rows -> 750 permille, salt ceil(75/20)=4;
+    # "cold" holds 25 -> 250 permille, salt ceil(25/20)=2.
+    df = spark.createDataFrame(
+        [("hot",)] * 75 + [("cold",)] * 25, "k string"
+    )
+    rows = {
+        r["k"]: (r["n_rows"], r["share_permille"], r["suggested_salt"])
+        for r in skew_report(df, key="k", target_rows_per_task=20).collect()
+    }
+    assert rows == {"hot": (75, 750, 4), "cold": (25, 250, 2)}
