@@ -166,6 +166,7 @@ from blueforty___etl_data_pipeline_spark.operators.text_ops import (
     scrub_pii,
     text_quality,
     token_counts,
+    token_entropy,
     word_stats,
 )
 from blueforty___etl_data_pipeline_spark.operators.topk import (
@@ -3802,6 +3803,32 @@ ORDER BY c_acctbal DESC, c_custkey LIMIT 10
 """
 
 
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the token distribution, fixed-point
+    nats x1e6 (operators/text_ops.token_entropy) — the gibberish /
+    degenerate-repetition quality signal."""
+    _prep(spark)
+    return token_entropy(_t(spark, sf_dir, "documents"))
+
+
+def _sql_token_entropy() -> str:
+    toks = _D_TOKENS.format(t="text")
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest({toks}) AS word FROM documents),
+wc AS (
+  SELECT doc_id, word, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+p AS (
+  SELECT doc_id, cnt, SUM(cnt) OVER (PARTITION BY doc_id) AS n
+  FROM wc)
+SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(CAST(FLOOR(1000000.0 * cnt *
+                           LN(CAST(n AS DOUBLE) / cnt)) AS BIGINT))
+            // MAX(n) AS BIGINT) AS entropy_e6
+FROM p GROUP BY 1
+"""
+
+
 def q_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-repetition quality signals per document (Gopher-style):
     token/distinct counts, type-token ratio, top word + fraction.
@@ -6016,6 +6043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_duplicate_spans": q_remove_duplicate_spans,
         "temperature_mix": q_temperature_mix,
         "skew_report": q_skew_report,
+        "token_entropy": q_token_entropy,
     }
 
 
@@ -6178,6 +6206,7 @@ def oracle_sql() -> dict[str, str]:
         "remove_duplicate_spans": _sql_remove_duplicate_spans(),
         "temperature_mix": _sql_temperature_mix(),
         "skew_report": _SQL_SKEW_REPORT,
+        "token_entropy": _sql_token_entropy(),
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

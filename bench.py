@@ -154,6 +154,8 @@ HEADLINE = [
     # sqrt-temperature source rebalancing + join-key skew report
     "temperature_mix",
     "skew_report",
+    # token-distribution entropy quality signal
+    "token_entropy",
 ]
 
 

@@ -342,3 +342,42 @@ def ngram_model_score(
         ).cast("bigint").alias("n_ngrams"),
         F.expr(score).alias("score"),
     )
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats,
+    fixed-point ×1e6) — the classic gibberish / degenerate-repetition
+    quality signal: near-zero entropy means one token dominates (boiler
+    spam, "aaaa…"), high entropy means natural vocabulary spread.
+
+    Engine-exact in two steps: each (doc, token) contributes
+    ``FLOOR(1e6 · cnt · ln(n / cnt))`` as an INTEGER, and the final
+    ``entropy_e6 = Σ contrib div n`` is integer division — so the
+    result never depends on float summation order (raw double sums are
+    partition-order-dependent; integer sums are not).
+
+    Shape: word-count hash-agg (map-side combine bounds the shuffle by
+    per-task vocabulary), one window over the doc for the token total,
+    one final per-doc agg.  Docs with no tokens are absent.
+    """
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col), F.explode(tokens_ws(F.col(text_col))).alias("word")
+    )
+    wc = words.groupBy(id_col, "word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    n = F.sum("cnt").over(Window.partitionBy(id_col))
+    contrib = F.floor(
+        F.col("cnt") * F.log(n.cast("double") / F.col("cnt")) * 1e6
+    ).cast("bigint")
+    per = wc.select(
+        F.col(id_col), n.alias("_n"), contrib.alias("_e")
+    )
+    return per.groupBy(id_col).agg(
+        F.max("_n").alias("n_tokens"),
+        F.expr("SUM(_e) div MAX(_n)").alias("entropy_e6"),
+    )

@@ -500,3 +500,27 @@ def test_remove_duplicate_spans_rewrites_covered_tokens(spark):
         2: ("p q r", 7, 4),
         3: ("s t", 2, 0),
     }
+
+
+def test_token_entropy_extremes(spark):
+    import math
+
+    from blueforty___etl_data_pipeline_spark.operators.text_ops import (
+        token_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # degenerate: entropy 0
+            (2, "a b c d"),          # uniform over 4: ln(4) nats
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["entropy_e6"])
+        for r in token_entropy(df).collect()
+    }
+    assert out[1] == (4, 0)
+    # uniform: contrib per token = floor(1e6*1*ln(4)); 4 of them div 4
+    expect = math.floor(1_000_000 * math.log(4))
+    assert out[2] == (4, expect)
