@@ -4452,6 +4452,47 @@ FROM dw GROUP BY 1
 """
 
 
+_TOKPACK_BUDGET = 2048
+
+
+def q_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed tokenizer-aware packing: train BPE merges on the
+    corpus, segment every document with them (map-only replace chain),
+    then pack documents into ~2048-BPE-token training sequences by
+    cumulative count — tokenize→pack as ONE lazy plan.  Integer `div`
+    on the running sum (not float floor) so pack ids stay exact past
+    2^53 cumulative tokens."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=_BPE_MERGES, min_count=2)
+    seg = bpe_segment(docs, merges)
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return seg.select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        F.expr(
+            f"(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN "
+            f"UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) "
+            f"div {_TOKPACK_BUDGET}"
+        ).alias("pack_id"),
+    )
+
+
+def _sql_tokenize_pack() -> str:
+    return f"""
+SELECT doc_id, n_words, n_tokens,
+       CAST((SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens)
+            // {_TOKPACK_BUDGET} AS BIGINT) AS pack_id
+FROM ({_sql_bpe_segment()}) seg
+"""
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic importance sampling (operators/sampling.
     weighted_sample): keep probability ∝ n_chars (capped at 4000) — the
@@ -6044,6 +6085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "skew_report": q_skew_report,
         "token_entropy": q_token_entropy,
+        "tokenize_pack": q_tokenize_pack,
     }
 
 
@@ -6207,6 +6249,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix": _sql_temperature_mix(),
         "skew_report": _SQL_SKEW_REPORT,
         "token_entropy": _sql_token_entropy(),
+        "tokenize_pack": _sql_tokenize_pack(),
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

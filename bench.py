@@ -156,6 +156,8 @@ HEADLINE = [
     "skew_report",
     # token-distribution entropy quality signal
     "token_entropy",
+    # composed tokenize->pack (BPE train + segment + packing, one plan)
+    "tokenize_pack",
 ]
 
 
