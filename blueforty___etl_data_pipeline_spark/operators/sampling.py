@@ -177,15 +177,19 @@ def mix_sources(
         .filter(F.col("_w").isNotNull() & (F.col("_w") > 0))
     )
     # N = min_s floor(T_s * W / w_s), DECIMAL(38,0) head-room so web-
-    # scale token totals never wrap int64 mid-product.
-    n_corpus = per_source.agg(
+    # scale token totals never wrap int64 mid-product.  Computed as a
+    # global window over the tiny per-source table (not a separate
+    # agg+crossJoin branch): Spark does not share subplans, so the
+    # branch form re-runs the corpus token aggregation — one extra full
+    # scan at 100 TB — while the window is a single-partition pass over
+    # |sources| rows.
+    g = Window.partitionBy(F.lit(1))
+    cutoffs = per_source.withColumn(
+        "_n_corpus",
         F.min(
-            F.expr(
-                f"CAST(_tot AS DECIMAL(38,0)) * {w_total} DIV _w"
-            )
-        ).alias("_n_corpus")
-    )
-    cutoffs = per_source.crossJoin(F.broadcast(n_corpus)).select(
+            F.expr(f"CAST(_tot AS DECIMAL(38,0)) * {w_total} DIV _w")
+        ).over(g),
+    ).select(
         "_g",
         F.expr(
             f"CAST(_w AS DECIMAL(38,0)) * _n_corpus * {_BUCKETS}"
@@ -243,21 +247,32 @@ def temperature_mix(
             F.floor(F.sqrt(F.col("_tot")) * F.lit(1_000_000)).cast("long"),
         )
     )
-    wsum = per_source.agg(F.sum("_wfp").alias("_wsum"))
-    j = per_source.crossJoin(F.broadcast(wsum))
-    n_corpus = j.agg(
-        F.min(
-            F.expr("CAST(_tot AS DECIMAL(38,0)) * _wsum DIV _wfp")
-        ).alias("_n_corpus")
-    )
-    cutoffs = j.crossJoin(F.broadcast(n_corpus)).select(
-        "_g",
-        F.expr(
-            f"CAST(_wfp AS DECIMAL(38,0)) * _n_corpus * {_BUCKETS}"
-            f" DIV (CAST(_wsum AS DECIMAL(38,0)) * _tot)"
+    # The share denominator and achievable corpus size are GLOBAL
+    # reductions over per_source — computed as windows over the tiny
+    # per-source table (one row per source) rather than separate
+    # agg+crossJoin branches: Spark does not share subplans, so the
+    # agg/crossJoin form re-runs the corpus token aggregation once per
+    # branch (3 extra full scans at 100 TB).  A global window over
+    # |sources| rows is one single-partition pass over a handful of
+    # rows.
+    g = Window.partitionBy(F.lit(1))
+    cutoffs = (
+        per_source.withColumn("_wsum", F.sum("_wfp").over(g))
+        .withColumn(
+            "_n_corpus",
+            F.min(
+                F.expr("CAST(_tot AS DECIMAL(38,0)) * _wsum DIV _wfp")
+            ).over(g),
         )
-        .cast("long")
-        .alias("_cutoff"),
+        .select(
+            "_g",
+            F.expr(
+                f"CAST(_wfp AS DECIMAL(38,0)) * _n_corpus * {_BUCKETS}"
+                f" DIV (CAST(_wsum AS DECIMAL(38,0)) * _tot)"
+            )
+            .cast("long")
+            .alias("_cutoff"),
+        )
     )
     b = _bucket(F.col(id_col), salt)
     return (

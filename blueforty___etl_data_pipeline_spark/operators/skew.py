@@ -81,7 +81,11 @@ def skew_report(
     sort.  All outputs integer (permille / ceil-div) — engine-exact.
     """
     counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
-    total = counts.agg(F.sum("n_rows").alias("_total"))
+    # Grand total straight off the input (zero columns read — a
+    # metadata-cheap count for columnar sources) instead of re-running
+    # the per-key aggregation: Spark does not share the counts subplan
+    # between the two branches.
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
     return (
         counts.crossJoin(F.broadcast(total))
         .select(
