@@ -118,6 +118,7 @@ from blueforty___etl_data_pipeline_spark.operators.analytics import (
 )
 from blueforty___etl_data_pipeline_spark.operators.presentation import top_n
 from blueforty___etl_data_pipeline_spark.operators.temporal import (
+    interval_concurrency,
     resample_ffill,
     scd2_history,
 )
@@ -1787,6 +1788,52 @@ GROUP BY 1
 # canonical repr differs from Spark's int64 in the driver's hasher even
 # when every value is equal (r2 red rows tumbling/session_window).
 _VAL_MICROS = "CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)"
+
+
+def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency per event_type: each event opens a
+    half-open interval of max(floor(value s), 1 µs) duration; +1/−1
+    deltas under ONE per-key window give the concurrency curve
+    (operators/temporal.interval_concurrency)."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    s = F.unix_micros(F.col("ts"))
+    iv = ev.select(
+        "event_type",
+        s.alias("s_us"),
+        (
+            s
+            + F.greatest(
+                F.floor(F.col("value") * 1e6).cast("long"), F.lit(1)
+            )
+        ).alias("e_us"),
+    )
+    return interval_concurrency(
+        iv, start_col="s_us", end_col="e_us", key_col="event_type"
+    ).withColumnRenamed("first_peak", "first_peak_us")
+
+
+_SQL_INTERVAL_CONCURRENCY = """
+WITH iv AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS s,
+         CAST(epoch_us(ts) AS BIGINT)
+           + GREATEST(CAST(FLOOR(value * 1000000) AS BIGINT), 1) AS e
+  FROM events),
+ev AS (
+  SELECT event_type, s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT event_type, e AS t, -1 AS d FROM iv),
+run AS (
+  SELECT event_type, t,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY t, d) AS r
+  FROM ev),
+mx AS (SELECT event_type, MAX(r) AS m FROM run GROUP BY 1)
+SELECT run.event_type, CAST(m AS BIGINT) AS max_concurrent,
+       MIN(t) AS first_peak_us
+FROM run JOIN mx ON run.event_type = mx.event_type AND run.r = mx.m
+GROUP BY 1, m
+"""
 
 
 def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6086,6 +6133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "token_entropy": q_token_entropy,
         "tokenize_pack": q_tokenize_pack,
+        "interval_concurrency": q_interval_concurrency,
     }
 
 
@@ -6250,6 +6298,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_report": _SQL_SKEW_REPORT,
         "token_entropy": _sql_token_entropy(),
         "tokenize_pack": _sql_tokenize_pack(),
+        "interval_concurrency": _SQL_INTERVAL_CONCURRENCY,
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

@@ -158,6 +158,8 @@ HEADLINE = [
     "token_entropy",
     # composed tokenize->pack (BPE train + segment + packing, one plan)
     "tokenize_pack",
+    # sweep-line interval concurrency
+    "interval_concurrency",
 ]
 
 

@@ -258,3 +258,60 @@ def scd2_history(
         F.col(ts_col).alias("valid_from"),
         F.lead(F.col(ts_col)).over(w2).alias("valid_to"),
     )
+
+
+def interval_concurrency(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Peak-concurrency profile per key over half-open intervals
+    ``[start, end)`` — the classic sweep-line reduced to ONE window:
+    sessions online at once, GPU jobs in flight, connections held.
+
+    Each interval emits (+1 at start, −1 at end); the per-key running
+    sum ordered by ``(t, delta)`` is the concurrency curve.  The
+    default RANGE window frame makes tie groups atomic (every row in an
+    equal-(t, delta) group sees the group-end running sum), and −1
+    sorts before +1, so a close and an open at the same instant never
+    overlap — both properties make the curve, its max, and the first
+    time the max is reached deterministic regardless of row order.
+
+    Returns (key, max_concurrent, first_peak) with first_peak the
+    earliest ``t`` at which the max is attained.
+
+    Scale shape: the explode doubles the row count map-side; ONE
+    shuffle keyed on ``key`` feeds a sort-based window, and the final
+    per-key agg reuses the window's partitioning — no second exchange.
+    Skewed keys (one tenant with billions of sessions) are inherent to
+    the semantics; pre-split by time range and merge curve maxima if a
+    single key outgrows a partition.
+    """
+    events = df.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(start_col).alias("t"), F.lit(1).alias("d")
+                ),
+                F.struct(F.col(end_col).alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("_e"),
+    ).select(key_col, F.col("_e.t").alias("t"), F.col("_e.d").alias("d"))
+    w = Window.partitionBy(key_col).orderBy("t", "d")
+    run = events.select(
+        F.col(key_col),
+        F.col("t"),
+        F.sum("d").over(w).cast("long").alias("_run"),
+    )
+    peak = Window.partitionBy(key_col)
+    return (
+        run.withColumn("_max", F.max("_run").over(peak))
+        .filter(F.col("_run") == F.col("_max"))
+        .groupBy(key_col)
+        .agg(
+            F.max("_max").alias("max_concurrent"),
+            F.min("t").alias("first_peak"),
+        )
+    )

@@ -181,3 +181,30 @@ def test_scd2_history_versions_and_intervals(spark):
         (1, "gold", 9, None),  # current version: open interval
         (2, "silver", 3, None),
     ]
+
+
+def test_interval_concurrency_sweep_line(spark):
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        interval_concurrency,
+    )
+
+    # key "a": [0,10), [5,15), [9,12) -> 3 concurrent first at t=9;
+    # half-open semantics: [0,5) and [5,8) never overlap (close before
+    # open at t=5) -> key "b" peaks at 1, first at t=0.
+    df = spark.createDataFrame(
+        [
+            ("a", 0, 10),
+            ("a", 5, 15),
+            ("a", 9, 12),
+            ("b", 0, 5),
+            ("b", 5, 8),
+        ],
+        "k string, s long, e long",
+    )
+    out = {
+        r["k"]: (r["max_concurrent"], r["first_peak"])
+        for r in interval_concurrency(
+            df, start_col="s", end_col="e", key_col="k"
+        ).collect()
+    }
+    assert out == {"a": (3, 9), "b": (1, 0)}
