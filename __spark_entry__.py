@@ -3732,6 +3732,75 @@ FROM documents WHERE doc_id % 37 <> 0
 """
 
 
+def q_incremental_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-diff incremental recompute (plans/incremental):
+    a per-source document stats table is derived from snapshot v1,
+    then v1→v2 mutates ONE source (drops doc_id % 11 = 0 rows in the
+    lexicographically first source) and adds a synthetic source; the
+    incremental pass recomputes just those partitions and removes
+    nothing else.  The oracle is a FULL recompute of v2 — the hash
+    match proves incremental == full."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.plans.incremental import (
+        incremental_recompute,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    # mirrored in the oracle as (SELECT MIN(source) FROM documents)
+    target = docs.select(F.min("source")).collect()[0][0]
+    v1 = docs
+    v2 = docs.filter(
+        ~((F.col("source") == target) & (F.col("doc_id") % 11 == 0))
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 97 == 0).withColumn(
+            "source", F.lit("synthetic_v2")
+        )
+    )
+
+    def transform(d: DataFrame) -> DataFrame:
+        return d.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+
+    path = os.path.join(SCRATCH, "incremental_derived")
+    # idempotent under re-runs in one session: rebuild v1 state fresh
+    _rm_scratch(spark, path)
+    incremental_recompute(spark, v1, transform, "source", path)
+    incremental_recompute(
+        spark, v2, transform, "source", path, old_df=v1
+    )
+    return read_back(spark, path).select(
+        "source", "n_docs", "sum_chars", "n_langs"
+    )
+
+
+_SQL_INCREMENTAL_RECOMPUTE = """
+WITH v2 AS (
+  SELECT * FROM documents
+  WHERE NOT (source = (SELECT MIN(source) FROM documents)
+             AND doc_id % 11 = 0)
+  UNION ALL
+  SELECT doc_id, text, lang, 'synthetic_v2' AS source, n_chars
+  FROM documents WHERE doc_id % 97 = 0)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM v2 GROUP BY 1
+"""
+
+
+def _rm_scratch(spark: SparkSession, path: str) -> None:
+    """Recursively drop a scratch location through the Hadoop FS API
+    (portable to any fs the session can reach, unlike shutil)."""
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
 def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction maintenance job: documents are written
     fragmented (8 shuffle partitions per source partition), compacted
@@ -6134,6 +6203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q_token_entropy,
         "tokenize_pack": q_tokenize_pack,
         "interval_concurrency": q_interval_concurrency,
+        "incremental_recompute": q_incremental_recompute,
     }
 
 
@@ -6299,6 +6369,7 @@ def oracle_sql() -> dict[str, str]:
         "token_entropy": _sql_token_entropy(),
         "tokenize_pack": _sql_tokenize_pack(),
         "interval_concurrency": _SQL_INTERVAL_CONCURRENCY,
+        "incremental_recompute": _SQL_INCREMENTAL_RECOMPUTE,
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

@@ -160,6 +160,9 @@ HEADLINE = [
     "tokenize_pack",
     # sweep-line interval concurrency
     "interval_concurrency",
+    # fingerprint-diff incremental recompute (writes scratch; measures
+    # the full v1-build + incremental-v2 maintenance cycle)
+    "incremental_recompute",
 ]
 
 

@@ -277,19 +277,37 @@ def delete_rows(
         .partitionBy(partition_col)
         .parquet(path)
     )
+    remove_partition_dirs(
+        spark,
+        path,
+        partition_col,
+        [p for p in hit_parts if p not in live_parts],
+    )
+    return len(hit_parts)
+
+
+def remove_partition_dirs(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    parts: Sequence,
+) -> None:
+    """Drop the Hive partition directories for ``parts`` under ``path``.
+
+    Directory names use Hive path escaping ('%3A' for ':', etc.);
+    built with Spark's OWN escaper so the delete hits exactly the
+    directory the writer created, even for values with spaces, slashes
+    or colons.  NULL partition values land in the Hive
+    default-partition directory.  Shared by ``delete_rows`` (fully-
+    doomed partitions, which dynamic overwrite cannot express) and
+    ``plans.incremental`` (removed-partition cleanup).
+    """
     hadoop_conf = spark.sparkContext._jsc.hadoopConfiguration()
     jvm = spark.sparkContext._jvm
-    # Directory names use Hive path escaping ('%3A' for ':', etc.);
-    # build them with Spark's OWN escaper so the delete hits exactly
-    # the directory the writer created, even for values with spaces,
-    # slashes or colons.  NULL partition values land in the Hive
-    # default-partition directory.
     catalog_utils = (
         jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     )
-    for part in hit_parts:
-        if part in live_parts:
-            continue
+    for part in parts:
         if part is None:
             dirname = f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
         else:
@@ -301,7 +319,6 @@ def delete_rows(
         fs = p.getFileSystem(hadoop_conf)
         if fs.exists(p):
             fs.delete(p, True)
-    return len(hit_parts)
 
 
 def compact_partitions(

@@ -448,3 +448,62 @@ def test_compact_partitions_reduces_files_preserves_rows(spark, tmp_path):
     out = spark.read.parquet(path)
     assert out.count() == 200
     assert out.agg({"k": "sum"}).collect()[0][0] == sum(range(200))
+
+
+def test_incremental_recompute_touches_only_changed(spark, tmp_path):
+    import glob
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.plans.incremental import (
+        incremental_recompute,
+    )
+
+    out = str(tmp_path / "derived")
+
+    def transform(df):
+        return df.groupBy("src").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        )
+
+    v1 = spark.createDataFrame(
+        [("A", 1), ("A", 2), ("B", 3), ("C", 4)], "src string, v long"
+    )
+    work1 = incremental_recompute(spark, v1, transform, "src", out)
+    assert sorted(r[0] for r in work1) == ["A", "B", "C"]
+    assert all(r[1] == "added" for r in work1)
+
+    a_files = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{out}/src=A/*.parquet")
+    }
+    assert a_files
+    time.sleep(1.1)
+
+    # B changed, C removed, D added, A identical
+    v2 = spark.createDataFrame(
+        [("A", 1), ("A", 2), ("B", 30), ("D", 5)], "src string, v long"
+    )
+    work2 = incremental_recompute(
+        spark, v2, transform, "src", out, old_df=v1
+    )
+    assert {r[0]: r[1] for r in work2} == {
+        "B": "changed",
+        "C": "removed",
+        "D": "added",
+    }
+    got = {
+        (r["src"], r["n"], r["s"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["src"], r["n"], r["s"]) for r in transform(v2).collect()
+    }
+    assert got == want
+    # untouched partition kept byte-for-byte; removed partition's
+    # derived output is gone
+    assert {
+        f: os.path.getmtime(f) for f in glob.glob(f"{out}/src=A/*.parquet")
+    } == a_files
+    assert not os.path.exists(f"{out}/src=C")
