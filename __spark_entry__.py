@@ -3432,6 +3432,67 @@ SELECT doc_id, {cols} FROM t
 """
 
 
+def q_audio_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode under the driver's oracle: each sampled
+    document becomes a genuine RIFF/WAVE blob (16 int16 PCM samples
+    derived from the text's md5 digest, serialized by the stdlib wave
+    writer), decoded back through the Arrow-batched
+    extract_audio_features stage — container walk, fmt parse, PCM
+    unpack all execute for real.  Sample construction
+    s_i = (d_i − 128)·256 keeps every feature integer-exact, so DuckDB
+    reproduces peak/sum from md5 hex pairs."""
+    _prep(spark)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 40 == 0)
+    )
+
+    def to_wav(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+            encode_wav_pcm16,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for text in pdf["text"]:
+                d = _hl.md5(text.encode("utf-8")).digest()
+                blobs.append(
+                    encode_wav_pcm16(
+                        [(d[i] - 128) * 256 for i in range(16)]
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": blobs}
+            )
+
+    media = docs.mapInPandas(to_wav, schema="doc_id long, content binary")
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    return extract_audio_features(media)
+
+
+_SQL_AUDIO_DECODE_REAL = """
+WITH t AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id % 40 = 0),
+s AS (SELECT doc_id,
+             ABS((CAST(('0x' || substr(h, CAST(2 * r.i + 1 AS INTEGER), 2))
+                       AS INTEGER) - 128) * 256) AS a
+      FROM t CROSS JOIN range(0, 16) r(i))
+SELECT doc_id, CAST(16 AS BIGINT) AS n_frames,
+       CAST(8000 AS BIGINT) AS framerate,
+       CAST(MAX(a) AS BIGINT) AS peak_abs,
+       CAST(SUM(a) AS BIGINT) AS sum_abs
+FROM s GROUP BY 1
+"""
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal 1→N expansion: per-frame rows from media blobs via
     mapInPandas (video frame-sampling plumbing, stubbed codec).  The
@@ -6204,6 +6265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_pack": q_tokenize_pack,
         "interval_concurrency": q_interval_concurrency,
         "incremental_recompute": q_incremental_recompute,
+        "audio_decode_real": q_audio_decode_real,
     }
 
 
@@ -6370,6 +6432,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenize_pack": _sql_tokenize_pack(),
         "interval_concurrency": _SQL_INTERVAL_CONCURRENCY,
         "incremental_recompute": _SQL_INCREMENTAL_RECOMPUTE,
+        "audio_decode_real": _SQL_AUDIO_DECODE_REAL,
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

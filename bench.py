@@ -163,6 +163,8 @@ HEADLINE = [
     # fingerprint-diff incremental recompute (writes scratch; measures
     # the full v1-build + incremental-v2 maintenance cycle)
     "incremental_recompute",
+    # real WAV audio decode through the Arrow-batched media stage
+    "audio_decode_real",
 ]
 
 

@@ -163,3 +163,82 @@ def frame_sample_stub(
     return media.select(id_col, "content").mapInPandas(
         run, schema="doc_id long, frame_no int, frame binary"
     )
+
+
+def encode_wav_pcm16(samples: list[int], framerate: int = 8000) -> bytes:
+    """Serialize int16 mono PCM to a real RIFF/WAVE blob (stdlib
+    ``wave`` writer) — the audio twin of functions/png.encode_png_gray,
+    used to build genuine media fixtures inside queries and tests."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_audio_real(data: bytes) -> tuple[int, int, int, int]:
+    """REAL audio decode: parse a RIFF/WAVE container with the stdlib
+    ``wave`` module (chunk walk, fmt validation) and the PCM payload
+    into int16 samples → (n_frames, framerate, peak_abs, sum_abs).
+    All-integer outputs, so the result is engine-exact and
+    oracle-checkable — unlike float spectral features.  Mono 16-bit
+    PCM only; anything else raises (feature-gated, never silently
+    faked)."""
+    import array
+    import io
+    import sys
+    import wave
+
+    with wave.open(io.BytesIO(data)) as w:
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise NotImplementedError(
+                "only mono 16-bit PCM WAV is supported without "
+                "external audio libraries"
+            )
+        n = w.getnframes()
+        rate = w.getframerate()
+        raw = w.readframes(n)
+    samples = array.array("h")
+    samples.frombytes(raw)
+    if sys.byteorder == "big":  # WAV payload is little-endian
+        samples.byteswap()
+    peak = max((abs(s) for s in samples), default=0)
+    sabs = sum(abs(s) for s in samples)
+    return n, rate, peak, sabs
+
+
+def extract_audio_features(
+    media: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched audio feature extraction over WAV blobs via
+    ``mapInPandas`` — same batch shape as :func:`extract_features`.
+    Output: (id, n_frames, framerate, peak_abs, sum_abs)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [decode_audio_real(b) for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_frames": [r[0] for r in rows],
+                    "framerate": [r[1] for r in rows],
+                    "peak_abs": [r[2] for r in rows],
+                    "sum_abs": [r[3] for r in rows],
+                }
+            )
+
+    return media.select(id_col, "content").mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, n_frames long, framerate long, "
+            "peak_abs long, sum_abs long"
+        ),
+    )

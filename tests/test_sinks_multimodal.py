@@ -507,3 +507,30 @@ def test_incremental_recompute_touches_only_changed(spark, tmp_path):
         f: os.path.getmtime(f) for f in glob.glob(f"{out}/src=A/*.parquet")
     } == a_files
     assert not os.path.exists(f"{out}/src=C")
+
+
+def test_wav_roundtrip_and_audio_features(spark):
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        decode_audio_real,
+        encode_wav_pcm16,
+        extract_audio_features,
+    )
+
+    samples = [0, 1000, -32768, 32767, -1]
+    blob = encode_wav_pcm16(samples, framerate=16000)
+    n, rate, peak, sabs = decode_audio_real(blob)
+    assert (n, rate) == (5, 16000)
+    assert peak == 32768
+    assert sabs == sum(abs(s) for s in samples)
+
+    media = spark.createDataFrame(
+        [(1, blob), (2, encode_wav_pcm16([0, 0], framerate=8000))],
+        "doc_id long, content binary",
+    )
+    out = {
+        r["doc_id"]: (
+            r["n_frames"], r["framerate"], r["peak_abs"], r["sum_abs"]
+        )
+        for r in extract_audio_features(media).collect()
+    }
+    assert out == {1: (5, 16000, 32768, 66536), 2: (2, 8000, 0, 0)}
