@@ -153,6 +153,7 @@ from blueforty___etl_data_pipeline_spark.operators.profile import (
     grouped_quantiles_disc,
     histogram_fixed_width,
     iqr_outliers,
+    mad_outliers,
     profile_table,
     winsorize,
     zscore_normalize,
@@ -4090,6 +4091,63 @@ FROM cum GROUP BY 1
 """
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outliers (operators/profile.mad_outliers): event
+    values more than 3·1.4826·MAD from their event-type-group median —
+    double exact-median passes, all-integer flag comparison (events.
+    value is heavy-tailed: ~5% flag at k=3, vs a mean/σ z-score that
+    the same tail inflates)."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return mad_outliers(ev, ["event_type"], "value")
+
+
+_SQL_MAD_OUTLIERS = """
+WITH base AS (
+  SELECT event_id, event_type, value,
+         CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS c
+  FROM events),
+cnt AS (SELECT event_type, c, COUNT(*) AS n FROM base GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, c, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY c
+                      ROWS UNBOUNDED PRECEDING) AS cumn,
+         SUM(n) OVER (PARTITION BY event_type) AS tot
+  FROM cnt),
+med AS (
+  SELECT event_type,
+         MAX(CASE WHEN cumn - n < (tot + 1) // 2
+                   AND cumn >= (tot + 1) // 2 THEN c END)
+         + MAX(CASE WHEN cumn - n < tot // 2 + 1
+                     AND cumn >= tot // 2 + 1 THEN c END) AS med2
+  FROM cum GROUP BY 1),
+dev AS (
+  SELECT b.*, m.med2, ABS(2 * b.c - m.med2) AS dev2
+  FROM base b JOIN med m USING (event_type)),
+dcnt AS (SELECT event_type, dev2, COUNT(*) AS n FROM dev GROUP BY 1, 2),
+dcum AS (
+  SELECT event_type, dev2, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY dev2
+                      ROWS UNBOUNDED PRECEDING) AS cumn,
+         SUM(n) OVER (PARTITION BY event_type) AS tot
+  FROM dcnt),
+dmed AS (
+  SELECT event_type,
+         MAX(CASE WHEN cumn - n < (tot + 1) // 2
+                   AND cumn >= (tot + 1) // 2 THEN dev2 END)
+         + MAX(CASE WHEN cumn - n < tot // 2 + 1
+                     AND cumn >= tot // 2 + 1 THEN dev2 END) AS mad4
+  FROM dcum GROUP BY 1)
+SELECT d.event_id, d.event_type, d.value,
+       CAST(d.med2 * 5 AS DOUBLE) / 1000.0 AS median,
+       CAST(m.mad4 * 25 AS DOUBLE) / 10000.0 AS mad
+FROM dev d JOIN dmed m USING (event_type)
+WHERE CAST(d.dev2 AS HUGEINT) * 20000 > CAST(m.mad4 AS HUGEINT) * 44478
+"""
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of events.value (power-of-two width for
     exact IEEE bin edges; order-free FLOOR-micros sums)."""
@@ -6266,6 +6324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_concurrency": q_interval_concurrency,
         "incremental_recompute": q_incremental_recompute,
         "audio_decode_real": q_audio_decode_real,
+        "mad_outliers": q_mad_outliers,
     }
 
 
@@ -6433,6 +6492,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_concurrency": _SQL_INTERVAL_CONCURRENCY,
         "incremental_recompute": _SQL_INCREMENTAL_RECOMPUTE,
         "audio_decode_real": _SQL_AUDIO_DECODE_REAL,
+        "mad_outliers": _SQL_MAD_OUTLIERS,
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

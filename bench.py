@@ -165,6 +165,8 @@ HEADLINE = [
     "incremental_recompute",
     # real WAV audio decode through the Arrow-batched media stage
     "audio_decode_real",
+    # robust MAD outliers (double exact-median pass)
+    "mad_outliers",
 ]
 
 

@@ -97,8 +97,26 @@ def grouped_median_exact(
     """
     gcols = list(group_cols)
     cents = F.col(value_col).cast(_DEC) * 100
+    out = _median2_int(
+        df.select(*gcols, cents.cast("long").alias("_c")), gcols, "_c"
+    )
+    return out.select(
+        *gcols,
+        "n_rows",
+        ((F.col("_m2") * 5).cast("double") / 1000.0).alias(alias),
+    )
+
+
+def _median2_int(
+    df: DataFrame, gcols: Sequence[str], int_col: str
+) -> DataFrame:
+    """TWICE the exact per-group median of an integer column (the
+    lo+hi rank-element sum, so no halving ever leaves the integers):
+    group cols + n_rows + ``_m2``.  The distinct-value window shape of
+    :func:`grouped_median_exact`, shared with :func:`mad_outliers`'s
+    double-median."""
     counts = (
-        df.select(*gcols, cents.cast("long").alias("_c"))
+        df.select(*gcols, F.col(int_col).alias("_c"))
         .groupBy(*gcols, "_c")
         .agg(F.count(F.lit(1)).alias("_cnt"))
     )
@@ -121,17 +139,64 @@ def grouped_median_exact(
     prev = F.col("_cum") - F.col("_cnt")
     covers_lo = (prev < lo_pos) & (F.col("_cum") >= lo_pos)
     covers_hi = (prev < hi_pos) & (F.col("_cum") >= hi_pos)
-    out = cum.groupBy(*gcols).agg(
+    return cum.groupBy(*gcols).agg(
         F.max("_n").alias("n_rows"),
-        F.max(F.when(covers_lo, F.col("_c"))).alias("_lo"),
-        F.max(F.when(covers_hi, F.col("_c"))).alias("_hi"),
+        (
+            F.max(F.when(covers_lo, F.col("_c")))
+            + F.max(F.when(covers_hi, F.col("_c")))
+        ).alias("_m2"),
     )
-    return out.select(
-        *gcols,
-        "n_rows",
-        (((F.col("_lo") + F.col("_hi")) * 5).cast("double") / 1000.0).alias(
-            alias
-        ),
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k_x14826: int = 44478,
+) -> DataFrame:
+    """Robust per-group outliers by median absolute deviation: flag
+    rows with ``|x − median| > k · 1.4826 · MAD`` (1.4826 = the normal
+    consistency constant; the default ``k_x14826 = 44478`` is k = 3 as
+    an integer permyriad).  MAD-based detection survives the heavy
+    tails that wreck mean/σ z-scores — the robust member of the outlier
+    family (zscore_normalize, iqr_outliers).
+
+    Entirely integer: values quantize to cents, both medians come from
+    :func:`_median2_int` as lo+hi rank-element SUMS (2× median and 4×
+    MAD — never halved, so nothing leaves the integers), and the flag
+    compares ``dev2 · 20000 > k_x14826 · mad4`` in DECIMAL(38,0).
+    Engine-exact with no float anywhere before the report columns.
+
+    Returns flagged rows: ``df`` columns + ``median`` + ``mad``
+    (exact doubles, report-only).
+
+    Scale shape: two distinct-value median passes (window input
+    bounded by the value domain, not row count) + two broadcast joins
+    of one-row-per-group tables back onto the fact scan — the flag
+    scan itself is shuffle-free.
+    """
+    gcols = list(group_cols)
+    cents = (F.col(value_col).cast(_DEC) * 100).cast("long")
+    base = df.withColumn("_c", cents)
+    med = _median2_int(base.select(*gcols, "_c"), gcols, "_c").select(
+        *gcols, F.col("_m2").alias("_med2")
+    )
+    with_dev = base.join(F.broadcast(med), on=gcols).withColumn(
+        "_dev2", F.abs(2 * F.col("_c") - F.col("_med2"))
+    )
+    mad4 = _median2_int(
+        with_dev.select(*gcols, "_dev2"), gcols, "_dev2"
+    ).select(*gcols, F.col("_m2").alias("_mad4"))
+    flagged = with_dev.join(F.broadcast(mad4), on=gcols).filter(
+        F.expr(
+            "CAST(_dev2 AS DECIMAL(38,0)) * 20000 > "
+            f"CAST(_mad4 AS DECIMAL(38,0)) * {k_x14826}"
+        )
+    )
+    return flagged.select(
+        *df.columns,
+        ((F.col("_med2") * 5).cast("double") / 1000.0).alias("median"),
+        ((F.col("_mad4") * 25).cast("double") / 10000.0).alias("mad"),
     )
 
 

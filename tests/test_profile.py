@@ -382,3 +382,22 @@ def test_partition_fingerprints_order_independent_and_diff(spark):
         for r in changed_partitions(fp_a, fp_b, "part").collect()
     }
     assert dup_diff == {"p": "changed"}
+
+
+def test_mad_outliers_hand_case_and_degenerate(spark):
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        mad_outliers,
+    )
+
+    # group "a": 1..7 plus 100 -> median 4.5, MAD 2.0; threshold
+    # 3*1.4826*2 = 8.8956, so only the 100 flags.
+    # group "b": four identical values plus one other -> MAD 0 (the
+    # classic degenerate), so ANY nonzero deviation flags.
+    rows = [("a", float(v)) for v in range(1, 8)] + [
+        ("a", 100.0),
+        ("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 9.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = mad_outliers(df, ["g"], "v").collect()
+    flagged = {(r["g"], r["v"], r["median"], r["mad"]) for r in out}
+    assert flagged == {("a", 100.0, 4.5, 2.0), ("b", 9.0, 5.0, 0.0)}
