@@ -1791,6 +1791,35 @@ GROUP BY 1
 _VAL_MICROS = "CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)"
 
 
+def q_action_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    (operators/analytics.action_transitions): next-action priors with
+    integer-permille shares."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        action_transitions,
+    )
+
+    return action_transitions(_t(spark, sf_dir, "events"))
+
+
+_SQL_ACTION_TRANSITIONS = """
+WITH nxt AS (
+  SELECT event_type AS action,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_action
+  FROM events),
+m AS (
+  SELECT action, next_action, COUNT(*) AS n_transitions
+  FROM nxt WHERE next_action IS NOT NULL GROUP BY 1, 2)
+SELECT action, next_action, n_transitions,
+       CAST(1000 * n_transitions
+            // SUM(n_transitions) OVER (PARTITION BY action) AS BIGINT)
+         AS share_permille
+FROM m
+"""
+
+
 def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sweep-line peak concurrency per event_type: each event opens a
     half-open interval of max(floor(value s), 1 µs) duration; +1/−1
@@ -3117,9 +3146,9 @@ WHERE rn <= 5
 _ANN_PLANES = _hyperplanes(64, 8)
 
 
-def _d_bucket(vec: str) -> str:
+def _d_bucket_for(vec: str, planes: list[list[float]]) -> str:
     terms = []
-    for r, plane in enumerate(_ANN_PLANES):
+    for r, plane in enumerate(planes):
         arr = "[" + ", ".join(repr(x) for x in plane) + "]"
         dot = (
             f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
@@ -3128,6 +3157,10 @@ def _d_bucket(vec: str) -> str:
         )
         terms.append(f"CASE WHEN ({dot}) >= 0 THEN {1 << r} ELSE 0 END")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _d_bucket(vec: str) -> str:
+    return _d_bucket_for(vec, _ANN_PLANES)
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3151,6 +3184,51 @@ scored AS (
   SELECT q.query_id, c.neighbor_id,
          ROUND({_d_cosine('c.cv', 'q.qv')}, 6) AS score
   FROM c JOIN q ON c.bucket = q.bucket)
+SELECT query_id, neighbor_id, score, rn AS rank
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS INTEGER) AS rn
+      FROM scored)
+WHERE rn <= 5
+"""
+
+
+def q_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified 3-table LSH ANN (operators/similarity.
+    ann_lsh_multitable): per-table miss probabilities multiply, so
+    recall rises geometrically at linear cost — one (table, bucket)
+    equi-join over posexploded bucket arrays."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        ann_lsh_multitable,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ann_lsh_multitable(
+        emb, queries, k=5, n_planes=8, n_tables=3, round_decimals=6
+    )
+
+
+def _sql_ann_lsh_multi(n_tables: int = 3) -> str:
+    joins = []
+    for t in range(n_tables):
+        planes = _hyperplanes(64, 8, seed=7 + t)
+        b = _d_bucket_for("embedding", planes)
+        joins.append(
+            f"SELECT q.query_id, c.vec_id AS neighbor_id, c.embedding AS cv,"
+            f" q.qv FROM (SELECT vec_id, embedding, {b} AS bkt"
+            f"            FROM embeddings) c"
+            f" JOIN (SELECT vec_id AS query_id, embedding AS qv, {b} AS bkt"
+            f"       FROM embeddings WHERE vec_id % 100 = 0)"
+            f" q ON c.bkt = q.bkt"
+        )
+    union = "\nUNION ALL\n".join(joins)
+    return f"""
+WITH cand AS ({union}),
+scored AS (
+  SELECT query_id, neighbor_id,
+         MAX(ROUND({_d_cosine('cv', 'qv')}, 6)) AS score
+  FROM cand GROUP BY 1, 2)
 SELECT query_id, neighbor_id, score, rn AS rank
 FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                 ORDER BY score DESC, neighbor_id) AS INTEGER) AS rn
@@ -4260,6 +4338,44 @@ WITH {_D_DECON_CTE}
 SELECT doc_id, lang, source FROM documents
 WHERE doc_id % 20 != 0
   AND doc_id NOT IN (SELECT doc_id FROM hits WHERE n_hits >= 3)
+"""
+
+
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination governance report: per SOURCE, how much of the
+    corpus shares eval shingles (any hit) and how much crosses the
+    removal threshold (≥3 hits) — the per-provider accountability view
+    a data-governance review asks for, built on the same broadcast
+    shingle join as contamination_hits."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 20 == 0)
+    hits = contamination_hits(corpus, eval_df)
+    joined = corpus.select("doc_id", "source").join(
+        hits, on="doc_id", how="left"
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("n_hits").alias("n_docs_hit"),
+        F.count(F.when(F.col("n_hits") >= 3, 1)).alias("n_docs_flagged"),
+        F.expr(
+            "CAST(1000 * COUNT(CASE WHEN n_hits >= 3 THEN 1 END) "
+            "div COUNT(*) AS BIGINT)"
+        ).alias("flagged_permille"),
+    )
+
+
+_SQL_CONTAMINATION_REPORT = f"""
+WITH {_D_DECON_CTE}
+SELECT d.source, COUNT(*) AS n_docs,
+       COUNT(h.doc_id) AS n_docs_hit,
+       COUNT(CASE WHEN h.n_hits >= 3 THEN 1 END) AS n_docs_flagged,
+       CAST(1000 * COUNT(CASE WHEN h.n_hits >= 3 THEN 1 END)
+            // COUNT(*) AS BIGINT) AS flagged_permille
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 20 != 0
+GROUP BY 1
 """
 
 
@@ -6325,6 +6441,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_recompute": q_incremental_recompute,
         "audio_decode_real": q_audio_decode_real,
         "mad_outliers": q_mad_outliers,
+        "ann_lsh_multi": q_ann_lsh_multi,
+        "action_transitions": q_action_transitions,
+        "contamination_report": q_contamination_report,
     }
 
 
@@ -6493,6 +6612,9 @@ def oracle_sql() -> dict[str, str]:
         "incremental_recompute": _SQL_INCREMENTAL_RECOMPUTE,
         "audio_decode_real": _SQL_AUDIO_DECODE_REAL,
         "mad_outliers": _SQL_MAD_OUTLIERS,
+        "ann_lsh_multi": _sql_ann_lsh_multi(),
+        "action_transitions": _SQL_ACTION_TRANSITIONS,
+        "contamination_report": _SQL_CONTAMINATION_REPORT,
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

@@ -167,6 +167,11 @@ HEADLINE = [
     "audio_decode_real",
     # robust MAD outliers (double exact-median pass)
     "mad_outliers",
+    # OR-amplified multi-table LSH + behavioral transition matrix +
+    # per-source contamination governance report
+    "ann_lsh_multi",
+    "action_transitions",
+    "contamination_report",
 ]
 
 

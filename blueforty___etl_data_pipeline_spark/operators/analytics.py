@@ -235,3 +235,46 @@ def action_sequences(
             F.transform(packed, lambda s: s["_a"]), sep
         ).alias("actions"),
     )
+
+
+def action_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    action_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: (action, next_action, n_transitions, share_permille) —
+    the behavioral-modeling twin of :func:`action_sequences`
+    (next-item prediction priors, funnel leak analysis, bot-pattern
+    detection).
+
+    Ordering is total — (ts, tiebreak) — so the lead pairing is
+    deterministic under any partitioning; shares are integer permille
+    per source action (engine-exact).
+
+    Scale shape: ONE user-keyed window (same shuffle a sessionize
+    already pays) → pair hash-agg with map-side combine (exchange
+    volume bounded by |actions|², not events) → per-action share via a
+    window over the tiny matrix itself.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        df.select(
+            F.col(action_col).alias("action"),
+            F.lead(action_col).over(w).alias("next_action"),
+        )
+        .filter(F.col("next_action").isNotNull())
+        .groupBy("action", "next_action")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    return pairs.select(
+        "action",
+        "next_action",
+        "n_transitions",
+        F.expr(
+            "1000 * n_transitions div SUM(n_transitions) "
+            "OVER (PARTITION BY action)"
+        ).alias("share_permille"),
+    )

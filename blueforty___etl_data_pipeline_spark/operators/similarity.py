@@ -177,6 +177,76 @@ def ann_lsh_bucketed(
     ).select(query_id_col, "neighbor_id", "score", "rank")
 
 
+def ann_lsh_multitable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_decimals: int = 9,
+) -> DataFrame:
+    """OR-amplified LSH ANN: ``n_tables`` independent hyperplane sets
+    (seeds 7, 8, …; table 0 IS the single-table :func:`ann_lsh_bucketed`
+    hashing), a candidate survives if it shares a bucket with the query
+    in ANY table.  Per-table miss probability (1 − sim_angle)^R
+    multiplies across tables, so recall rises geometrically while cost
+    grows only linearly — the standard recall/cost dial of hyperplane
+    LSH.
+
+    Scale shape: buckets are map-side per-row folds; candidates come
+    from ONE equi-join on (table, bucket) over the posexploded bucket
+    arrays (queries broadcast); duplicate pairs from multi-table hits
+    collapse in the same per-pair aggregate that carries the score, so
+    no re-join against the vectors is needed.  Touches ~n_tables ×
+    |C|/2^R corpus rows per query.
+    """
+    tables = [
+        _hyperplanes(dim, n_planes, seed=7 + t) for t in range(n_tables)
+    ]
+
+    def with_buckets(df: DataFrame, idc: str, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(idc).alias(out_id),
+            F.col(vec_col).alias("_v"),
+            l2_norm(F.col(vec_col)).alias("_n"),
+            F.posexplode(
+                F.array(
+                    *[lsh_bucket(F.col(vec_col), p) for p in tables]
+                )
+            ).alias("_t", "_bucket"),
+        )
+
+    c = with_buckets(corpus, id_col, "neighbor_id")
+    q = with_buckets(queries, id_col, query_id_col)
+    score = _rounded(
+        _paired_cosine(
+            F.col("c._v"), F.col("c._n"), F.col("q._v"), F.col("q._n")
+        ),
+        round_decimals,
+    )
+    pairs = (
+        c.alias("c")
+        .join(F.broadcast(q.alias("q")), on=["_t", "_bucket"])
+        .select(
+            F.col(query_id_col), F.col("neighbor_id"), score.alias("score")
+        )
+        .groupBy(query_id_col, "neighbor_id")
+        .agg(F.max("score").alias("score"))
+    )
+    return topk_per_group(
+        pairs,
+        partition_by=[query_id_col],
+        order_by=[F.desc("score"), F.asc("neighbor_id")],
+        k=k,
+        rank_col="rank",
+        keep_rank=True,
+    ).select(query_id_col, "neighbor_id", "score", "rank")
+
+
 def ann_ivf(
     corpus: DataFrame,
     queries: DataFrame,

@@ -308,3 +308,29 @@ def test_action_sequences_order_and_ties(spark):
         for r in action_sequences(df.repartition(7)).collect()
     }
     assert again == {u: r["actions"] for u, r in out.items()}
+
+
+def test_action_transitions_matrix_and_shares(spark):
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        action_transitions,
+    )
+
+    # user 1: A->B->A->C ; user 2: B->A.  No cross-user transitions.
+    rows = [
+        (1, 1, 10, "A"), (2, 1, 20, "B"), (3, 1, 30, "A"), (4, 1, 40, "C"),
+        (5, 2, 10, "B"), (6, 2, 20, "A"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string"
+    )
+    out = {
+        (r["action"], r["next_action"]): (
+            r["n_transitions"], r["share_permille"]
+        )
+        for r in action_transitions(df).collect()
+    }
+    assert out == {
+        ("A", "B"): (1, 500),
+        ("A", "C"): (1, 500),
+        ("B", "A"): (2, 1000),
+    }

