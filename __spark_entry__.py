@@ -1803,6 +1803,54 @@ def q_action_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return action_transitions(_t(spark, sf_dir, "events"))
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-/last-touch conversion attribution (operators/analytics.
+    conversion_attribution): per purchase, the earliest and latest
+    strictly-preceding click of the same user — one window, no
+    touches x conversions self-join.  Timestamps compared as
+    unix_micros per the repo convention."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        conversion_attribution,
+    )
+
+    out = conversion_attribution(
+        _t(spark, sf_dir, "events"),
+        touch_type="click",
+        conversion_type="purchase",
+    )
+    return out.select(
+        "user_id",
+        "conversion_id",
+        F.unix_micros("conversion_ts").alias("conversion_us"),
+        F.unix_micros("first_touch_ts").alias("first_touch_us"),
+        F.unix_micros("last_touch_ts").alias("last_touch_us"),
+    )
+
+
+_SQL_ATTRIBUTION = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS us
+  FROM events),
+w AS (
+  SELECT user_id, event_id AS conversion_id, event_type, us,
+         MIN(CASE WHEN event_type = 'click' THEN us END) OVER
+           (PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS first_touch_us,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN us END
+                    IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_touch_us
+  FROM e)
+SELECT user_id, conversion_id, us AS conversion_us,
+       first_touch_us, last_touch_us
+FROM w WHERE event_type = 'purchase'
+"""
+
+
 _SQL_ACTION_TRANSITIONS = """
 WITH nxt AS (
   SELECT event_type AS action,
@@ -6444,6 +6492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multi": q_ann_lsh_multi,
         "action_transitions": q_action_transitions,
         "contamination_report": q_contamination_report,
+        "attribution": q_attribution,
     }
 
 
@@ -6615,6 +6664,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_multi": _sql_ann_lsh_multi(),
         "action_transitions": _SQL_ACTION_TRANSITIONS,
         "contamination_report": _SQL_CONTAMINATION_REPORT,
+        "attribution": _SQL_ATTRIBUTION,
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

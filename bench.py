@@ -172,6 +172,8 @@ HEADLINE = [
     "ann_lsh_multi",
     "action_transitions",
     "contamination_report",
+    # first/last-touch conversion attribution (single-window form)
+    "attribution",
 ]
 
 

@@ -278,3 +278,44 @@ def action_transitions(
             "OVER (PARTITION BY action)"
         ).alias("share_permille"),
     )
+
+
+def conversion_attribution(
+    df: DataFrame,
+    touch_type: str = "click",
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    action_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-/last-touch attribution: for every conversion event, the
+    earliest and latest PRECEDING touch event of the same user →
+    (user, conversion_id, conversion_ts, first_touch_ts,
+    last_touch_ts) with NULLs for unattributed conversions.
+
+    One per-user window ordered by (ts, id) carries both running
+    aggregates — min and last-non-null of the conditional touch
+    timestamp — so attribution costs exactly the sessionize shuffle,
+    with no touches×conversions self-join (the naive SQL shape, which
+    is quadratic per user).  Strictly-preceding semantics: the frame
+    ends one row before the conversion, so a same-instant touch does
+    not attribute to it.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_ts = F.when(F.col(action_col) == touch_type, F.col(ts_col))
+    out = df.select(
+        F.col(user_col),
+        F.col(id_col).alias("conversion_id"),
+        F.col(action_col),
+        F.col(ts_col).alias("conversion_ts"),
+        F.min(touch_ts).over(w).alias("first_touch_ts"),
+        F.last(touch_ts, ignorenulls=True).over(w).alias("last_touch_ts"),
+    )
+    return out.filter(F.col(action_col) == conversion_type).drop(
+        action_col
+    )

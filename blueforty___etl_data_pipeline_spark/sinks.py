@@ -361,3 +361,31 @@ def compact_partitions(
         .partitionBy(partition_col)
         .parquet(path)
     )
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_col: str,
+    sort_cols: Sequence[str],
+    n_files: int | None = None,
+) -> None:
+    """Cluster-by + sort-within-files layout: all rows of a cluster key
+    land in ONE file, ordered by ``sort_cols`` inside it — the layout
+    that makes per-key history reads sequential (a user's event
+    timeline, a document's chunks) and run-length-friendly for
+    columnar encoding.
+
+    ``repartition(hash(cluster))`` co-locates each key;
+    ``sortWithinPartitions`` orders inside each task's file without any
+    global sort.  This is the write-side complement of
+    ``write_bucketed``: bucketing serves shuffle-free JOINS via catalog
+    metadata, clustering serves sequential per-key SCANS with plain
+    files any reader can consume.
+    """
+    from pyspark.sql import functions as F
+
+    out = df.repartition(
+        *([n_files] if n_files else []), F.col(cluster_col)
+    ).sortWithinPartitions(cluster_col, *sort_cols)
+    out.write.mode("overwrite").parquet(path)

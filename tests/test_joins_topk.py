@@ -334,3 +334,25 @@ def test_action_transitions_matrix_and_shares(spark):
         ("A", "C"): (1, 500),
         ("B", "A"): (2, 1000),
     }
+
+
+def test_conversion_attribution_strictly_preceding(spark):
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        conversion_attribution,
+    )
+
+    # user 1: click(10), click(20), purchase(30) -> first 10, last 20.
+    # user 2: purchase(10) with a click only AT the same instant
+    # (id-later) and after -> unattributed (strictly preceding).
+    rows = [
+        (1, 1, 10, "click"), (2, 1, 20, "click"), (3, 1, 30, "purchase"),
+        (4, 2, 10, "purchase"), (5, 2, 10, "click"), (6, 2, 20, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string"
+    )
+    out = {
+        r["conversion_id"]: (r["first_touch_ts"], r["last_touch_ts"])
+        for r in conversion_attribution(df).collect()
+    }
+    assert out == {3: (10, 20), 4: (None, None)}

@@ -534,3 +534,29 @@ def test_wav_roundtrip_and_audio_features(spark):
         for r in extract_audio_features(media).collect()
     }
     assert out == {1: (5, 16000, 32768, 66536), 2: (2, 8000, 0, 0)}
+
+
+def test_write_clustered_colocates_and_orders(spark, tmp_path):
+    import glob
+
+    from blueforty___etl_data_pipeline_spark.sinks import write_clustered
+
+    rows = [
+        (u, t, u * 100 + t) for u in range(20) for t in (3, 1, 2)
+    ]
+    df = spark.createDataFrame(rows, "user long, ts long, v long")
+    path = str(tmp_path / "clustered")
+    write_clustered(df, path, "user", ["ts"], n_files=4)
+
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    assert len(files) <= 4
+    seen_in = {}
+    for f in files:
+        pdf = spark.read.parquet(f"file://{f}").toPandas()
+        # in-file ordering by (user, ts)
+        keys = list(zip(pdf["user"], pdf["ts"]))
+        assert keys == sorted(keys)
+        for u in set(pdf["user"]):
+            # each cluster key lives in exactly one file
+            assert seen_in.setdefault(u, f) == f
+    assert set(seen_in) == set(range(20))
