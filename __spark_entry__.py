@@ -61,6 +61,7 @@ from blueforty___etl_data_pipeline_spark.functions.text import (
     FINGERPRINT_MOD,
     FINGERPRINT_MULT,
     strip_html,
+    tokens_ws,
 )
 from blueforty___etl_data_pipeline_spark.operators.dedup import (
     MERSENNE31,
@@ -151,6 +152,7 @@ from blueforty___etl_data_pipeline_spark.operators.profile import (
     embedding_dim_profile,
     grouped_median_exact,
     grouped_quantiles_disc,
+    heavy_hitters,
     histogram_fixed_width,
     iqr_outliers,
     mad_outliers,
@@ -4217,6 +4219,33 @@ FROM cum GROUP BY 1
 """
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass exact heavy hitters (operators/profile.heavy_hitters):
+    words covering > 1/100 of all document tokens, found with O(k)
+    memory per task (Misra-Gries candidates, provably no false
+    negatives) and an exact candidate-only recount — the oracle is the
+    plain GROUP BY/HAVING the bounded-memory plan replaces."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(tokens_ws(F.col("text"))).alias("word")
+    )
+    return heavy_hitters(words, "word", k=100)
+
+
+def _sql_heavy_hitters() -> str:
+    toks = _D_TOKENS.format(t="text")
+    return f"""
+WITH w AS (SELECT unnest({toks}) AS word FROM documents),
+t AS (SELECT COUNT(*) AS n FROM w)
+SELECT word, COUNT(*) AS n_rows,
+       CAST(1000 * COUNT(*) // MAX(t.n) AS BIGINT) AS share_permille
+FROM w CROSS JOIN t
+GROUP BY 1
+HAVING COUNT(*) * 100 > MAX(t.n)
+"""
+
+
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust MAD outliers (operators/profile.mad_outliers): event
     values more than 3·1.4826·MAD from their event-type-group median —
@@ -6493,6 +6522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "action_transitions": q_action_transitions,
         "contamination_report": q_contamination_report,
         "attribution": q_attribution,
+        "heavy_hitters": q_heavy_hitters,
     }
 
 
@@ -6665,6 +6695,7 @@ def oracle_sql() -> dict[str, str]:
         "action_transitions": _SQL_ACTION_TRANSITIONS,
         "contamination_report": _SQL_CONTAMINATION_REPORT,
         "attribution": _SQL_ATTRIBUTION,
+        "heavy_hitters": _sql_heavy_hitters(),
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

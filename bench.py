@@ -174,6 +174,8 @@ HEADLINE = [
     "contamination_report",
     # first/last-touch conversion attribution (single-window form)
     "attribution",
+    # bounded-memory exact heavy hitters (two-pass Misra-Gries)
+    "heavy_hitters",
 ]
 
 

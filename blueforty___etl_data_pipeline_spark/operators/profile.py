@@ -661,3 +661,70 @@ def changed_partitions(
         )
         .filter(F.col("status").isNotNull())
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """EXACT heavy hitters — every value occurring in more than
+    ``n/k`` of the rows, with exact counts — in two bounded-memory
+    passes (the classic distributed Misra-Gries shape):
+
+    1. Each partition streams through a local Misra-Gries summary of
+       ``k`` counters (Arrow-batched ``mapInPandas``; memory is O(k)
+       per task no matter how many rows).  If a value has global
+       frequency > n/k then by pigeonhole it beats n_p/k in at least
+       one partition, so the union of local candidates provably
+       contains every global heavy hitter — no false negatives.
+    2. The (tiny) candidate set broadcasts back as a semi-join filter
+       and ONLY candidate rows are exactly counted; the n·k > total
+       gate then drops the false positives.
+
+    The output is therefore exact and partitioning-independent —
+    verifiable against a plain GROUP BY/HAVING oracle — while the
+    full-cardinality shuffle of a naive word count never happens: the
+    count shuffle carries candidate values only (≤ k × partitions).
+    """
+    src = df.select(F.col(value_col).alias("_v"))
+
+    def mg(batches):
+        # Batched Misra-Gries via the mergeable-summaries rule
+        # (Agarwal et al., PODS'12): merge exact per-batch counts into
+        # the summary, then subtract the (k+1)-th largest counter and
+        # drop non-positives.  Counting is a vectorized value_counts
+        # per Arrow batch (no per-row Python loop); the merged summary
+        # keeps the f(v) ≥ n/(k+1) guarantee, which the n·k > total
+        # recount gate strictly dominates.
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf["_v"].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                sub = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    key: cnt - sub
+                    for key, cnt in counters.items()
+                    if cnt > sub
+                }
+        yield pd.DataFrame({"_v": list(counters.keys())})
+
+    cands = src.mapInPandas(mg, schema="_v string").distinct()
+    total = src.agg(F.count(F.lit(1)).alias("_n"))
+    counted = (
+        src.join(F.broadcast(cands), on="_v", how="left_semi")
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("n_rows") * k > F.col("_n"))
+        .select(
+            F.col("_v").alias(value_col),
+            "n_rows",
+            F.expr("1000 * n_rows div _n").alias("share_permille"),
+        )
+    )

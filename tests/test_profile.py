@@ -401,3 +401,23 @@ def test_mad_outliers_hand_case_and_degenerate(spark):
     out = mad_outliers(df, ["g"], "v").collect()
     flagged = {(r["g"], r["v"], r["median"], r["mad"]) for r in out}
     assert flagged == {("a", 100.0, 4.5, 2.0), ("b", 9.0, 5.0, 0.0)}
+
+
+def test_heavy_hitters_exact_under_scrambled_partitioning(spark):
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        heavy_hitters,
+    )
+
+    # 300/1000 occurrences of "hh" among 700 unique fillers; k=5 means
+    # the gate is freq > 200, so exactly {"hh": 300} must survive —
+    # regardless of how rows are scattered across partitions (the MG
+    # candidate pass must not lose it; the recount must be exact).
+    rows = [("hh",)] * 300 + [(f"u{i}",) for i in range(700)]
+    df = spark.createDataFrame(rows, "w string").repartition(7)
+    out = {
+        (r["w"], r["n_rows"], r["share_permille"])
+        for r in heavy_hitters(df, "w", k=5).collect()
+    }
+    assert out == {("hh", 300, 300)}
+    # no value crosses 1/2 of the stream -> empty result
+    assert heavy_hitters(df, "w", k=2).count() == 0
