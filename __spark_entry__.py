@@ -150,6 +150,7 @@ from blueforty___etl_data_pipeline_spark.operators.profile import (
     approx_profile,
     distribution_drift,
     embedding_dim_profile,
+    fk_containment,
     grouped_median_exact,
     grouped_quantiles_disc,
     heavy_hitters,
@@ -4219,6 +4220,57 @@ FROM cum GROUP BY 1
 """
 
 
+def q_fk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK-candidate profiling (operators/profile.fk_containment):
+    distinct-value containment permille for three column pairs — two
+    clean FKs and one non-FK control — the join-discovery signal."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    pairs = [
+        ("lineitem.l_orderkey->orders.o_orderkey",
+         fk_containment(li, "l_orderkey", o, "o_orderkey")),
+        ("lineitem.l_suppkey->supplier.s_suppkey",
+         fk_containment(li, "l_suppkey", s, "s_suppkey")),
+        ("orders.o_orderkey->supplier.s_suppkey",
+         fk_containment(o, "o_orderkey", s, "s_suppkey")),
+    ]
+    out = None
+    for label, df in pairs:
+        row = df.select(F.lit(label).alias("pair"), "*")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+_SQL_FK_CONTAINMENT = """
+WITH pair1 AS (
+  SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS pair,
+         (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem
+          WHERE l_orderkey IS NOT NULL) AS n_child_distinct,
+         (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM orders)) AS n_matched),
+pair2 AS (
+  SELECT 'lineitem.l_suppkey->supplier.s_suppkey' AS pair,
+         (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem
+          WHERE l_suppkey IS NOT NULL) AS n_child_distinct,
+         (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem
+          WHERE l_suppkey IN (SELECT s_suppkey FROM supplier)) AS n_matched),
+pair3 AS (
+  SELECT 'orders.o_orderkey->supplier.s_suppkey' AS pair,
+         (SELECT COUNT(DISTINCT o_orderkey) FROM orders
+          WHERE o_orderkey IS NOT NULL) AS n_child_distinct,
+         (SELECT COUNT(DISTINCT o_orderkey) FROM orders
+          WHERE o_orderkey IN (SELECT s_suppkey FROM supplier)) AS n_matched)
+SELECT pair, n_child_distinct, n_matched,
+       CASE WHEN n_child_distinct > 0
+            THEN CAST(1000 * n_matched // n_child_distinct AS BIGINT)
+            ELSE 0 END AS containment_permille
+FROM (SELECT * FROM pair1 UNION ALL SELECT * FROM pair2
+      UNION ALL SELECT * FROM pair3)
+"""
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-pass exact heavy hitters (operators/profile.heavy_hitters):
     words covering > 1/100 of all document tokens, found with O(k)
@@ -6523,6 +6575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_report": q_contamination_report,
         "attribution": q_attribution,
         "heavy_hitters": q_heavy_hitters,
+        "fk_containment": q_fk_containment,
     }
 
 
@@ -6696,6 +6749,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_report": _SQL_CONTAMINATION_REPORT,
         "attribution": _SQL_ATTRIBUTION,
         "heavy_hitters": _sql_heavy_hitters(),
+        "fk_containment": _SQL_FK_CONTAINMENT,
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

@@ -176,6 +176,8 @@ HEADLINE = [
     "attribution",
     # bounded-memory exact heavy hitters (two-pass Misra-Gries)
     "heavy_hitters",
+    # FK-candidate containment profiling
+    "fk_containment",
 ]
 
 

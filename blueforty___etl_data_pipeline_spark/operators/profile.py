@@ -728,3 +728,52 @@ def heavy_hitters(
             F.expr("1000 * n_rows div _n").alias("share_permille"),
         )
     )
+
+
+def fk_containment(
+    child: DataFrame,
+    child_col: str,
+    parent: DataFrame,
+    parent_col: str,
+) -> DataFrame:
+    """Foreign-key candidate profiling: what fraction of the child
+    column's DISTINCT values exist in the parent column — the
+    schema-discovery signal behind join recommendations and referential
+    data-quality scoring (containment 1000‰ = a clean FK; 0‰ = the
+    join the user is about to write returns nothing).
+
+    Returns one row: (n_child_distinct, n_matched,
+    containment_permille), NULL-safe (NULL child values are not
+    countable FK references and are excluded, matching SQL FK
+    semantics).
+
+    Scale shape: both sides reduce to distinct value sets FIRST
+    (partial-agged, so the shuffle carries unique values only), then
+    one left-semi equi-join between the distinct sets — never a join
+    of the raw tables.
+    """
+    c = (
+        child.select(F.col(child_col).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .distinct()
+    )
+    p = (
+        parent.select(F.col(parent_col).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .distinct()
+    )
+    matched = c.join(p, on="_v", how="left_semi")
+    return (
+        c.agg(F.count(F.lit(1)).alias("n_child_distinct"))
+        .crossJoin(
+            F.broadcast(matched.agg(F.count(F.lit(1)).alias("n_matched")))
+        )
+        .select(
+            "n_child_distinct",
+            "n_matched",
+            F.expr(
+                "CASE WHEN n_child_distinct > 0 THEN "
+                "1000 * n_matched div n_child_distinct ELSE 0 END"
+            ).alias("containment_permille"),
+        )
+    )

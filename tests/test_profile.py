@@ -421,3 +421,19 @@ def test_heavy_hitters_exact_under_scrambled_partitioning(spark):
     assert out == {("hh", 300, 300)}
     # no value crosses 1/2 of the stream -> empty result
     assert heavy_hitters(df, "w", k=2).count() == 0
+
+
+def test_fk_containment_clean_partial_and_null(spark):
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        fk_containment,
+    )
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (None,)], "k long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (9,)], "k long")
+    r = fk_containment(child, "k", parent, "k").collect()[0]
+    # distinct non-null child values {1,2,3}; matched {1,2} -> 666 permille
+    assert (
+        r["n_child_distinct"], r["n_matched"], r["containment_permille"]
+    ) == (3, 2, 666)
