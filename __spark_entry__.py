@@ -4220,6 +4220,45 @@ FROM cum GROUP BY 1
 """
 
 
+def q_flatten_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE analog (operators/graph.flatten_hierarchy):
+    pointer-chase a binary-tree hierarchy (child doc_id → parent
+    doc_id div 2) to (node, root, depth) by iterative equi-join —
+    rounds bounded by tree height; the oracle is DuckDB's actual
+    recursive CTE, proving parity with recursive SQL."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.graph import (
+        flatten_hierarchy,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.filter(F.col("doc_id") >= 2).select(
+        F.col("doc_id").alias("child"),
+        F.expr("doc_id div 2").alias("parent"),
+    )
+    return flatten_hierarchy(edges, max_depth=40)
+
+
+# NOTE: non-recursive CTEs inside WITH RECURSIVE get their anchor
+# re-evaluated by DuckDB 1.0.0 (row triplication) - hence the
+# inlined subqueries below.
+_SQL_FLATTEN_HIERARCHY = """
+WITH RECURSIVE walk AS (
+  SELECT n AS node, n AS anc, CAST(0 AS INTEGER) AS depth
+  FROM (SELECT DISTINCT x AS n FROM (
+          SELECT doc_id AS x FROM documents WHERE doc_id >= 2
+          UNION ALL
+          SELECT doc_id // 2 FROM documents WHERE doc_id >= 2))
+  UNION ALL
+  SELECT w.node, e.p, CAST(w.depth + 1 AS INTEGER)
+  FROM walk w JOIN (SELECT doc_id AS c, doc_id // 2 AS p
+                    FROM documents WHERE doc_id >= 2) e
+    ON w.anc = e.c)
+SELECT node, anc AS root, depth FROM walk
+WHERE anc NOT IN (SELECT doc_id FROM documents WHERE doc_id >= 2)
+"""
+
+
 def q_fk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FK-candidate profiling (operators/profile.fk_containment):
     distinct-value containment permille for three column pairs — two
@@ -6576,6 +6615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "heavy_hitters": q_heavy_hitters,
         "fk_containment": q_fk_containment,
+        "flatten_hierarchy": q_flatten_hierarchy,
     }
 
 
@@ -6750,6 +6790,7 @@ def oracle_sql() -> dict[str, str]:
         "attribution": _SQL_ATTRIBUTION,
         "heavy_hitters": _sql_heavy_hitters(),
         "fk_containment": _SQL_FK_CONTAINMENT,
+        "flatten_hierarchy": _SQL_FLATTEN_HIERARCHY,
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

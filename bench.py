@@ -178,6 +178,8 @@ HEADLINE = [
     "heavy_hitters",
     # FK-candidate containment profiling
     "fk_containment",
+    # WITH RECURSIVE analog (iterative pointer-chase)
+    "flatten_hierarchy",
 ]
 
 

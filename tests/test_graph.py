@@ -102,3 +102,29 @@ def test_pagerank_two_cycle_is_fixed_point(spark):
            pagerank_fixed_point(df, iterations=7).collect()}
     # rank = 0.15e9 + 0.85e9 = 1e9 every round: exact fixed point.
     assert got == {1: 10**9, 2: 10**9}
+
+
+def test_flatten_hierarchy_forest_and_cycle_guard(spark):
+    import pytest
+
+    from blueforty___etl_data_pipeline_spark.operators.graph import (
+        flatten_hierarchy,
+    )
+
+    # forest: tree rooted at 1 (2,3 under 1; 4 under 2) + isolated
+    # tree rooted at 10 (11 under 10)
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 2), (11, 10)], "child long, parent long"
+    )
+    out = {
+        r["node"]: (r["root"], r["depth"])
+        for r in flatten_hierarchy(edges).collect()
+    }
+    assert out == {
+        1: (1, 0), 2: (1, 1), 3: (1, 1), 4: (1, 2),
+        10: (10, 0), 11: (10, 1),
+    }
+
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "child long, parent long")
+    with pytest.raises(ValueError, match="max_depth"):
+        flatten_hierarchy(cyc, max_depth=5)
