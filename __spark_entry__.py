@@ -2770,6 +2770,89 @@ FROM documents
 """
 
 
+def q_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic-evaluation confusion matrix: marker-lexicon language
+    prediction vs the corpus's gold ``lang`` label, with per-gold-label
+    integer-permille recall — how a heuristic quality signal gets
+    validated before gating a 100 TB corpus on it."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    pred = language_id(docs).select("doc_id", "lang_pred")
+    m = (
+        docs.select("doc_id", "lang")
+        .join(pred, on="doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return m.select(
+        "lang",
+        "lang_pred",
+        "n_docs",
+        F.expr(
+            "1000 * n_docs div SUM(n_docs) OVER (PARTITION BY lang)"
+        ).alias("row_permille"),
+    )
+
+
+def _sql_language_confusion() -> str:
+    return f"""
+WITH pred AS ({_sql_language_id()}),
+m AS (
+  SELECT d.lang, p.lang_pred, COUNT(*) AS n_docs
+  FROM documents d JOIN pred p USING (doc_id)
+  GROUP BY 1, 2)
+SELECT lang, lang_pred, n_docs,
+       CAST(1000 * n_docs // SUM(n_docs) OVER (PARTITION BY lang)
+            AS BIGINT) AS row_permille
+FROM m
+"""
+
+
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup governance report: near-dup cluster-size histogram plus
+    the unpaired-singleton count — the reduction-ratio view reviewed
+    before committing a corpus-wide dedup (cluster_size 1 = docs no
+    LSH pair touched; kept docs per cluster = 1)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=_MH_NUM, bands=_MH_BANDS, impl="arrow"
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    paired = comp.select(F.count(F.lit(1)).alias("_n_in_clusters"))
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
+    singletons = total.crossJoin(F.broadcast(paired)).select(
+        F.lit(1).cast("long").alias("cluster_size"),
+        (F.col("_n_docs") - F.col("_n_in_clusters")).alias("n_clusters"),
+    )
+    return hist.unionByName(singletons).groupBy("cluster_size").agg(
+        F.sum("n_clusters").cast("long").alias("n_clusters")
+    )
+
+
+def _sql_dedup_report() -> str:
+    return f"""
+WITH RECURSIVE {_sql_components_cte()},
+sizes AS (
+  SELECT component_id, COUNT(*) AS cluster_size FROM comps GROUP BY 1),
+hist AS (
+  SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes GROUP BY 1),
+singles AS (
+  SELECT CAST(1 AS BIGINT) AS cluster_size,
+         (SELECT COUNT(*) FROM documents)
+           - (SELECT COUNT(*) FROM comps) AS n_clusters)
+SELECT cluster_size, CAST(SUM(n_clusters) AS BIGINT) AS n_clusters
+FROM (SELECT * FROM hist UNION ALL SELECT * FROM singles)
+GROUP BY 1
+"""
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-lexicon language ID with deterministic argmax."""
     _prep(spark)
@@ -6616,6 +6699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "fk_containment": q_fk_containment,
         "flatten_hierarchy": q_flatten_hierarchy,
+        "language_confusion": q_language_confusion,
+        "dedup_report": q_dedup_report,
     }
 
 
@@ -6791,6 +6876,8 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": _sql_heavy_hitters(),
         "fk_containment": _SQL_FK_CONTAINMENT,
         "flatten_hierarchy": _SQL_FLATTEN_HIERARCHY,
+        "language_confusion": _sql_language_confusion(),
+        "dedup_report": _sql_dedup_report(),
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

@@ -180,6 +180,9 @@ HEADLINE = [
     "fk_containment",
     # WITH RECURSIVE analog (iterative pointer-chase)
     "flatten_hierarchy",
+    # governance/evaluation reports (dedup clusters, language ID)
+    "dedup_report",
+    "language_confusion",
 ]
 
 
