@@ -3521,6 +3521,59 @@ def q_ann_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lsh, ivf], k=5)
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end HYBRID retrieval: integer BM25 keyword ranking over
+    document text fused with exact dense-cosine ranking over the
+    aligned embedding (doc_id = vec_id) via reciprocal-rank fusion —
+    the keyword+vector search stack, every stage integer-exact."""
+    _prep(spark)
+    from pyspark.sql import Window as _W
+
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        rrf_fuse,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    kw = bm25_topk(docs, terms=["spark", "merge", "vector"], k=10)
+    kw_ranked = kw.select(
+        F.lit(0).cast("long").alias("query_id"),
+        F.col("doc_id").alias("neighbor_id"),
+        F.row_number()
+        .over(_W.orderBy(F.desc("score_fp"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    dense = ann_brute_force(
+        emb, emb.filter(F.col("vec_id") == 0), k=5, round_decimals=6
+    ).select("query_id", "neighbor_id", "rank")
+    return rrf_fuse([kw_ranked, dense], k=10)
+
+
+def _sql_hybrid_search() -> str:
+    return f"""
+WITH kw AS (
+  SELECT CAST(0 AS BIGINT) AS query_id, doc_id AS neighbor_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id)
+              AS INTEGER) AS rank
+  FROM ({_SQL_BM25})),
+dn AS (
+  SELECT query_id, neighbor_id, rank FROM ({_SQL_ANN_BRUTE})
+  WHERE query_id = 0),
+u AS (SELECT * FROM kw UNION ALL SELECT * FROM dn),
+s AS (
+  SELECT query_id, neighbor_id,
+         CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_score,
+         COUNT(*) AS n_lists
+  FROM u GROUP BY 1, 2)
+SELECT query_id, neighbor_id, rrf_score, n_lists, rank
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY rrf_score DESC, neighbor_id) AS INTEGER)
+                AS rank
+      FROM s)
+WHERE rank <= 10
+"""
+
+
 def _sql_ann_rrf() -> str:
     return f"""
 WITH l AS (SELECT query_id, neighbor_id, rank FROM ({_sql_ann_lsh()})),
@@ -6701,6 +6754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatten_hierarchy": q_flatten_hierarchy,
         "language_confusion": q_language_confusion,
         "dedup_report": q_dedup_report,
+        "hybrid_search": q_hybrid_search,
     }
 
 
@@ -6878,6 +6932,7 @@ def oracle_sql() -> dict[str, str]:
         "flatten_hierarchy": _SQL_FLATTEN_HIERARCHY,
         "language_confusion": _sql_language_confusion(),
         "dedup_report": _sql_dedup_report(),
+        "hybrid_search": _sql_hybrid_search(),
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

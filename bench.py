@@ -183,6 +183,8 @@ HEADLINE = [
     # governance/evaluation reports (dedup clusters, language ID)
     "dedup_report",
     "language_confusion",
+    # hybrid keyword+vector retrieval (BM25 x dense, RRF-fused)
+    "hybrid_search",
 ]
 
 
