@@ -2301,6 +2301,41 @@ FROM events
 """
 
 
+def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed STREAMING ingest pipeline: a duplicate-injected
+    document stream flows through the stateless quality gate
+    (length/punct/stopword scan predicates — identical code to the
+    batch operator) and then watermark-bounded exact dedup, drained
+    availableNow.  The oracle is the BATCH quality filter over the
+    clean table — the hash match proves the streaming pipeline's gate
+    and dedup state together emit exactly the batch result."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.streaming.stateful import (
+        streaming_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    doubled = docs.unionAll(docs.filter(F.col("doc_id") % 7 == 0))
+    src = os.path.join(SCRATCH, "stream_src_docs_ingest")
+    doubled.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    gated = quality_filter(
+        stream, min_tokens=20, max_punct_ratio=0.1,
+        min_stopword_ratio=0.01,
+    ).withColumn("ts", F.current_timestamp())
+    deduped = streaming_dedup(gated, ("doc_id",), watermark="3650 days")
+    q = (
+        deduped.select("doc_id", "lang", "source", "n_chars")
+        .writeStream.format("memory")
+        .queryName("q_streaming_ingest_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_streaming(q)
+    return spark.table("q_streaming_ingest_sink")
+
+
 def q_action_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral-sequence dataset construction (operators/analytics.
     action_sequences): per user, the deterministic (ts, event_id)-
@@ -6755,6 +6790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_confusion": q_language_confusion,
         "dedup_report": q_dedup_report,
         "hybrid_search": q_hybrid_search,
+        "streaming_ingest": q_streaming_ingest,
     }
 
 
@@ -6933,6 +6969,9 @@ def oracle_sql() -> dict[str, str]:
         "language_confusion": _sql_language_confusion(),
         "dedup_report": _sql_dedup_report(),
         "hybrid_search": _sql_hybrid_search(),
+        # streaming ingest shares the batch quality-filter oracle —
+        # identical result set proves gate+dedup stream == batch
+        "streaming_ingest": _SQL_QUALITY_FILTER,
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

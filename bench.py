@@ -185,6 +185,8 @@ HEADLINE = [
     "language_confusion",
     # hybrid keyword+vector retrieval (BM25 x dense, RRF-fused)
     "hybrid_search",
+    # composed streaming ingest (gate -> dedup -> sink)
+    "streaming_ingest",
 ]
 
 
