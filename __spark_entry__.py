@@ -4023,6 +4023,95 @@ WHERE status IS NOT NULL
 """
 
 
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality evaluation (the text twin of ann_recall): MinHash
+    LSH candidate pairs scored against the EXACT n-gram-Jaccard ≥ 0.5
+    ground truth — recall/precision in integer permille.  This is the
+    measurement that justifies the banding parameters before a corpus
+    dedup run."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(docs, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    cand = minhash_lsh_pairs(
+        docs, num_hashes=_MH_NUM, bands=_MH_BANDS, impl="arrow"
+    ).select("id_a", "id_b")
+    hit = truth.join(cand, on=["id_a", "id_b"], how="inner")
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            F.expr(
+                "CASE WHEN n_truth > 0 THEN 1000 * n_hit div n_truth "
+                "ELSE 1000 END"
+            ).alias("recall_permille"),
+            F.expr(
+                "CASE WHEN n_candidates > 0 THEN "
+                "1000 * n_hit div n_candidates ELSE 1000 END"
+            ).alias("precision_permille"),
+        )
+    )
+
+
+def _sql_lsh_recall() -> str:
+    return f"""
+WITH truth AS (SELECT id_a, id_b FROM ({_SQL_JACCARD})),
+cand AS (SELECT id_a, id_b FROM ({_sql_lsh_pairs()})),
+hit AS (SELECT * FROM truth INTERSECT SELECT * FROM cand),
+c AS (SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+             (SELECT COUNT(*) FROM cand) AS n_candidates,
+             (SELECT COUNT(*) FROM hit) AS n_hit)
+SELECT n_truth, n_candidates, n_hit,
+       CASE WHEN n_truth > 0
+            THEN CAST(1000 * n_hit // n_truth AS BIGINT)
+            ELSE 1000 END AS recall_permille,
+       CASE WHEN n_candidates > 0
+            THEN CAST(1000 * n_hit // n_candidates AS BIGINT)
+            ELSE 1000 END AS precision_permille
+FROM c
+"""
+
+
+def q_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table content digest: one (n_rows, digest) row — the
+    data-contract primitive (publish the digest with a dataset release;
+    any engine can re-derive it to prove byte-level fidelity).  Same
+    order-independent multiset hash as partition_fingerprints, grouped
+    by a constant."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        partition_fingerprints,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn("_g", F.lit(1))
+    fp = partition_fingerprints(
+        docs, "_g", cols=["doc_id", "lang", "n_chars", "source", "text"]
+    )
+    return fp.select("n_rows", F.col("fingerprint").alias("digest"))
+
+
+def _sql_table_digest() -> str:
+    fields = ", ".join(
+        f"COALESCE(CAST({c} AS VARCHAR), chr(0) || 'NULL')"
+        for c in ("doc_id", "lang", "n_chars", "source", "text")
+    )
+    h = _d_md5h(f"concat_ws(chr(31), {fields})")
+    m = "CAST('9223372036854775808' AS HUGEINT)"
+    return f"""
+SELECT COUNT(*) AS n_rows,
+       CAST(((SUM(CAST({h} AS HUGEINT)) % {m}) + {m}) % {m} AS BIGINT)
+         AS digest
+FROM documents
+"""
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) encoding of a deterministic 2-D key over
     customers — pure bit interleaving (functions/zorder.zorder_value),
@@ -6791,6 +6880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_report": q_dedup_report,
         "hybrid_search": q_hybrid_search,
         "streaming_ingest": q_streaming_ingest,
+        "table_digest": q_table_digest,
+        "lsh_recall": q_lsh_recall,
     }
 
 
@@ -6972,6 +7063,8 @@ def oracle_sql() -> dict[str, str]:
         # streaming ingest shares the batch quality-filter oracle —
         # identical result set proves gate+dedup stream == batch
         "streaming_ingest": _SQL_QUALITY_FILTER,
+        "table_digest": _sql_table_digest(),
+        "lsh_recall": _sql_lsh_recall(),
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

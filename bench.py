@@ -187,6 +187,9 @@ HEADLINE = [
     "hybrid_search",
     # composed streaming ingest (gate -> dedup -> sink)
     "streaming_ingest",
+    # dedup-quality evaluation + table content digest
+    "lsh_recall",
+    "table_digest",
 ]
 
 
