@@ -6551,6 +6551,55 @@ FROM m JOIN s USING (event_type)
 """
 
 
+def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction by 3 rounds of distributed power
+    iteration (operators/similarity.top_principal_direction) —
+    integer-micros quantization, DECIMAL(38,0) Gram sums, and
+    max-component renormalization keep every round bit-exact; the
+    oracle unrolls all 3 rounds in HUGEINT SQL."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        top_principal_direction,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return top_principal_direction(emb, iters=3)
+
+
+def _sql_power_iteration(iters: int = 3) -> str:
+    ctes = [
+        "x AS (SELECT vec_id, gs.i AS d, "
+        "CAST(FLOOR(CAST(embedding[gs.i + 1] AS DOUBLE) * 1000000) "
+        "AS HUGEINT) AS xv "
+        "FROM embeddings CROSS JOIN range(0, 64) gs(i))",
+        "v0 AS (SELECT t.i AS d, CAST(1000000 AS HUGEINT) AS v "
+        "FROM range(0, 64) t(i))",
+    ]
+    for it in range(1, iters + 1):
+        prev = f"v{it - 1}"
+        ctes.append(
+            f"d{it} AS (SELECT vec_id, SUM(x.xv * p.v) AS dot "
+            f"FROM x JOIN {prev} p USING (d) GROUP BY 1)"
+        )
+        ctes.append(
+            f"w{it} AS (SELECT d, SUM(x.xv * dd.dot) AS w "
+            f"FROM x JOIN d{it} dd USING (vec_id) GROUP BY 1)"
+        )
+        ctes.append(
+            f"m{it} AS (SELECT MAX(ABS(w)) AS mx FROM w{it})"
+        )
+        ctes.append(
+            f"v{it} AS (SELECT d, w * 1000000 // mx AS v "
+            f"FROM w{it} CROSS JOIN m{it})"
+        )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT CAST(d AS INTEGER) AS dim, CAST(v AS BIGINT) AS v_fp "
+        f"FROM v{iters}"
+    )
+
+
 def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Lloyd k-means (2 update rounds + final assignment) in
     integer fixed-point — the oracle unrolls the SAME two iterations in
@@ -6882,6 +6931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ingest": q_streaming_ingest,
         "table_digest": q_table_digest,
         "lsh_recall": q_lsh_recall,
+        "power_iteration": q_power_iteration,
     }
 
 
@@ -7065,6 +7115,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_ingest": _SQL_QUALITY_FILTER,
         "table_digest": _sql_table_digest(),
         "lsh_recall": _sql_lsh_recall(),
+        "power_iteration": _sql_power_iteration(),
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

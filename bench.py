@@ -190,6 +190,8 @@ HEADLINE = [
     # dedup-quality evaluation + table content digest
     "lsh_recall",
     "table_digest",
+    # distributed power iteration (top principal direction)
+    "power_iteration",
 ]
 
 

@@ -862,3 +862,66 @@ def semantic_dedup(
             F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def top_principal_direction(
+    emb: DataFrame,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Distributed power iteration for the dominant principal direction
+    of the (uncentered) Gram matrix — the one-vector core of PCA
+    whitening / spectral outlier detection — made CROSS-ENGINE
+    BIT-EXACT by keeping every step in integers:
+
+    - vectors quantize once to integer micros (the kmeans_lloyd
+      convention);
+    - each round computes w = Σ_x x·(x·v) with per-row dots exact in
+      int64 and the per-dimension sums accumulated in DECIMAL(38,0);
+    - renormalization is ``v' = w·1e6 div max|w|`` — integer division
+      by the max component instead of the L2 norm (any positive
+      scaling preserves the power-iteration fixed point, and max-
+      normalization never leaves the integers, where an L2 norm
+      would drag >2^53 values through double division).
+
+    Returns (dim, v_fp): the direction in fixed-point micros,
+    max-component = ±1e6.
+
+    Scale shape per round: one map-side dot pass over the corpus →
+    posexplode → partial-agged per-dimension sums (shuffle carries
+    O(tasks × dims) rows) → a dims-row max broadcast back.  The corpus
+    micro-projection is persisted once across all rounds.
+    """
+    c = emb.select(_micro_vec(F.col(vec_col)).alias("_mv")).persist()
+    v = [1_000_000] * dim
+    for _ in range(iters):
+        varr = F.array(*[F.lit(float(x)) for x in v])
+        dot = F.aggregate(
+            F.zip_with(F.col("_mv"), varr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dims = c.select(
+            dot.alias("_dot"),
+            F.posexplode(F.col("_mv")).alias("_d", "_x"),
+        )
+        w = dims.groupBy("_d").agg(
+            F.sum(
+                F.expr("CAST(_x AS DECIMAL(38,0)) * CAST(_dot AS DECIMAL(38,0))")
+            ).alias("_w")
+        )
+        rows = sorted(
+            (r["_d"], int(r["_w"])) for r in w.collect()
+        )
+        mx = max(abs(val) for _, val in rows) or 1
+        # truncate-toward-zero division: SQL's `div`//`//` semantics
+        # (Python's // floors, which differs on negatives)
+        v = [
+            (abs(val) * 1_000_000 // mx) * (1 if val >= 0 else -1)
+            for _, val in rows
+        ]
+    c.unpersist()
+    out = [(d, int(val)) for d, val in enumerate(v)]
+    spark = emb.sparkSession
+    return spark.createDataFrame(out, "dim int, v_fp long")

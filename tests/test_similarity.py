@@ -335,3 +335,25 @@ def test_ann_lsh_multitable_recall_dominates_single(spark, sf_small):
     # stays exact): scores come from the same rounded cosine, so any
     # pair also in the exact set must carry identical rank semantics
     assert multi  # non-degenerate
+
+
+def test_power_iteration_finds_dominant_axis(spark):
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        top_principal_direction,
+    )
+
+    # Variance concentrated on axis 2 (magnitudes 1..10) with a weak
+    # axis-0 component: the dominant Gram eigenvector is e2, so the
+    # max-normalized fixed point puts +-1e6 on dim 2 and ~0 elsewhere.
+    rows = [
+        (i, [0.01 * (i % 3), 0.0, float(i % 10 + 1), 0.0])
+        for i in range(50)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["dim"]: r["v_fp"]
+        for r in top_principal_direction(emb, iters=4, dim=4).collect()
+    }
+    assert abs(out[2]) == 1_000_000
+    assert all(abs(out[d]) < 20_000 for d in (1, 3))
+    assert abs(out[0]) < 100_000
