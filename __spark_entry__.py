@@ -3082,6 +3082,35 @@ WHERE {_d_bucket10k('sample')} < 2500
 """
 
 
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe GROUP split: the split key is the source (not the
+    doc), so every document of one provider lands in the same split —
+    the ML-hygiene variant that prevents near-duplicate leakage across
+    train/test when duplicates cluster within a source.  Same
+    hash-range mechanics as hash_split, keyed on the group."""
+    _prep(spark)
+    return hash_split(
+        _t(spark, sf_dir, "documents"),
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        id_col="source",
+        salt="gsplit",
+    ).select("doc_id", "source", "split")
+
+
+def _sql_group_split() -> str:
+    bucket = (
+        "CAST(('0x' || substr(md5('gsplit:' || source), 1, 15))"
+        " AS BIGINT) % 10000"
+    )
+    return f"""
+SELECT doc_id, source,
+       CASE WHEN {bucket} < 8000 THEN 'train'
+            WHEN {bucket} < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test assignment (98/1/1) from contiguous hash-bucket
     ranges — pure map stage, stable under repartition and late data."""
@@ -6932,6 +6961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_digest": q_table_digest,
         "lsh_recall": q_lsh_recall,
         "power_iteration": q_power_iteration,
+        "group_split": q_group_split,
     }
 
 
@@ -7116,6 +7146,7 @@ def oracle_sql() -> dict[str, str]:
         "table_digest": _sql_table_digest(),
         "lsh_recall": _sql_lsh_recall(),
         "power_iteration": _sql_power_iteration(),
+        "group_split": _sql_group_split(),
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

@@ -192,6 +192,8 @@ HEADLINE = [
     "table_digest",
     # distributed power iteration (top principal direction)
     "power_iteration",
+    # leakage-safe group-keyed split
+    "group_split",
 ]
 
 
