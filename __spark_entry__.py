@@ -4281,6 +4281,39 @@ def _rm_scratch(spark: SparkSession, path: str) -> None:
         fs.delete(p, True)
 
 
+def q_merge_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance (plans/incremental.
+    merge_aggregate): per-source doc/char totals built from batch 1
+    (even doc_ids) then folded with batch 2 (odd doc_ids) — two
+    partial aggregations + a state merge, history never rescanned.
+    The oracle aggregates the WHOLE table in one shot: incremental
+    fold == full aggregate."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.plans.incremental import (
+        merge_aggregate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    path = os.path.join(SCRATCH, "agg_state")
+    _rm_scratch(spark, path)
+    merge_aggregate(
+        spark, path, docs.filter(F.col("doc_id") % 2 == 0),
+        keys=["source"], sum_cols=["n_chars"],
+    )
+    out = merge_aggregate(
+        spark, path, docs.filter(F.col("doc_id") % 2 == 1),
+        keys=["source"], sum_cols=["n_chars"],
+    )
+    return out
+
+
+_SQL_MERGE_AGGREGATE = """
+SELECT source, COUNT(*) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+FROM documents GROUP BY 1
+"""
+
+
 def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction maintenance job: documents are written
     fragmented (8 shuffle partitions per source partition), compacted
@@ -6962,6 +6995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall": q_lsh_recall,
         "power_iteration": q_power_iteration,
         "group_split": q_group_split,
+        "merge_aggregate": q_merge_aggregate,
     }
 
 
@@ -7147,6 +7181,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_recall": _sql_lsh_recall(),
         "power_iteration": _sql_power_iteration(),
         "group_split": _sql_group_split(),
+        "merge_aggregate": _SQL_MERGE_AGGREGATE,
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

@@ -194,6 +194,8 @@ HEADLINE = [
     "power_iteration",
     # leakage-safe group-keyed split
     "group_split",
+    # incremental rollup maintenance (additive state fold)
+    "merge_aggregate",
 ]
 
 

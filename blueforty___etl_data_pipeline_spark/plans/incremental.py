@@ -85,3 +85,63 @@ def incremental_recompute(
     if removed:
         remove_partition_dirs(spark, out_path, partition_col, removed)
     return work
+
+
+def merge_aggregate(
+    spark: SparkSession,
+    state_path: str,
+    batch: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Incremental ADDITIVE-aggregate maintenance: the stored state at
+    ``state_path`` holds (keys, n_rows, sum_<col>…); folding in a new
+    batch costs one partial aggregation of the BATCH plus a re-merge
+    against the (aggregate-sized) state — history is never rescanned.
+    This is the rollup-table complement of :func:`incremental_recompute`
+    (which re-derives changed partitions; this folds append-only
+    deltas).
+
+    Only decomposable aggregates belong here (COUNT/SUM fold by
+    addition — and from them AVG at read time); non-decomposable
+    metrics (exact medians, distinct counts) need the recompute path
+    or a mergeable sketch (see approx_profile).
+
+    The new state is staged and swapped with filesystem renames (the
+    merge_upsert snapshot pattern) so a concurrent reader never sees a
+    half-written state.  Returns the merged state DataFrame.
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")] + [
+        F.sum(c).cast("long").alias(f"sum_{c}") for c in sum_cols
+    ]
+    part = batch.groupBy(*keys).agg(*aggs)
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(state_path).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    if fs.exists(hpath(state_path)):
+        state = spark.read.parquet(state_path)
+        merged = (
+            state.unionByName(part)
+            .groupBy(*keys)
+            .agg(
+                F.sum("n_rows").cast("long").alias("n_rows"),
+                *[
+                    F.sum(f"sum_{c}").cast("long").alias(f"sum_{c}")
+                    for c in sum_cols
+                ],
+            )
+        )
+    else:
+        merged = part
+    staging = state_path.rstrip("/") + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
+    old = hpath(state_path.rstrip("/") + ".old")
+    if fs.exists(old):
+        fs.delete(old, True)
+    if fs.exists(hpath(state_path)):
+        fs.rename(hpath(state_path), old)
+    fs.rename(hpath(staging), hpath(state_path))
+    fs.delete(old, True)
+    return spark.read.parquet(state_path)

@@ -560,3 +560,35 @@ def test_write_clustered_colocates_and_orders(spark, tmp_path):
             # each cluster key lives in exactly one file
             assert seen_in.setdefault(u, f) == f
     assert set(seen_in) == set(range(20))
+
+
+def test_merge_aggregate_folds_batches_to_full_totals(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.plans.incremental import (
+        merge_aggregate,
+    )
+
+    path = str(tmp_path / "agg_state")
+    b1 = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5)], "k string, v long"
+    )
+    b2 = spark.createDataFrame(
+        [("a", 1), ("c", 7)], "k string, v long"
+    )
+    merge_aggregate(spark, path, b1, keys=["k"], sum_cols=["v"])
+    out = {
+        r["k"]: (r["n_rows"], r["sum_v"])
+        for r in merge_aggregate(
+            spark, path, b2, keys=["k"], sum_cols=["v"]
+        ).collect()
+    }
+    # equals a full aggregate over b1 union b2
+    full = {
+        r["k"]: (r["n"], r["s"])
+        for r in b1.unionByName(b2)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert out == full == {"a": (3, 31), "b": (1, 5), "c": (1, 7)}
