@@ -4458,6 +4458,40 @@ FROM p GROUP BY 1
 """
 
 
+def q_bucketed_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed sequence packing (operators/text_ops.
+    bucketed_packs): power-of-two token-length buckets (exact
+    bit-length arithmetic, no float log) + per-bucket prefix-sum pack
+    ids — the PARTITIONED packing window, no global ordering."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.text_ops import (
+        bucketed_packs,
+    )
+
+    return bucketed_packs(
+        _t(spark, sf_dir, "documents"), budget=2048
+    )
+
+
+def _sql_bucketed_packs() -> str:
+    toks = _D_TOKENS.format(t="text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n FROM documents),
+b AS (
+  SELECT doc_id, n,
+         CASE WHEN n <= 1 THEN n
+              ELSE (CAST(1 AS BIGINT) << length(bin(n - 1))) END
+           AS bucket
+  FROM t)
+SELECT doc_id, n AS n_tokens, bucket,
+       CAST((SUM(n) OVER (PARTITION BY bucket ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n) // 2048
+            AS BIGINT) AS pack_id
+FROM b
+"""
+
+
 def q_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-repetition quality signals per document (Gopher-style):
     token/distinct counts, type-token ratio, top word + fraction.
@@ -6996,6 +7030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "power_iteration": q_power_iteration,
         "group_split": q_group_split,
         "merge_aggregate": q_merge_aggregate,
+        "bucketed_packs": q_bucketed_packs,
     }
 
 
@@ -7182,6 +7217,7 @@ def oracle_sql() -> dict[str, str]:
         "power_iteration": _sql_power_iteration(),
         "group_split": _sql_group_split(),
         "merge_aggregate": _SQL_MERGE_AGGREGATE,
+        "bucketed_packs": _sql_bucketed_packs(),
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

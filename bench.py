@@ -196,6 +196,8 @@ HEADLINE = [
     "group_split",
     # incremental rollup maintenance (additive state fold)
     "merge_aggregate",
+    # length-bucketed partitioned packing
+    "bucketed_packs",
 ]
 
 

@@ -381,3 +381,48 @@ def token_entropy(
         F.max("_n").alias("n_tokens"),
         F.expr("SUM(_e) div MAX(_n)").alias("entropy_e6"),
     )
+
+
+def bucketed_packs(
+    df: DataFrame, budget: int, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed sequence packing — the PARTITIONED form of
+    :func:`assign_packs` that the dataloader actually wants: documents
+    group into power-of-two token-length buckets (batch-shape
+    homogeneity: padding waste is bounded by 2×) and pack ids are a
+    per-bucket prefix sum, so the window is partitioned — no global
+    single-partition ordering anywhere, the 100 TB-safe packing shape.
+
+    Returns (id, n_tokens, bucket, pack_id) with ``bucket`` the
+    power-of-two ceiling of the token count (0 stays 0) and ``pack_id``
+    local to the bucket.
+    """
+    from pyspark.sql import Window
+
+    n_tok = token_count_ws(F.col(text_col))
+    # power-of-two ceiling WITHOUT float log (LOG2/POWER round-trips
+    # are libm-dependent): ceil_log2(n) = length(bin(n-1)) for n >= 2,
+    # exact integer arithmetic in any engine
+    b = F.expr(
+        "CASE WHEN _n <= 1 THEN _n "
+        "ELSE shiftleft(CAST(1 AS BIGINT), length(bin(_n - 1))) END"
+    )
+    with_b = df.select(F.col(id_col), n_tok.alias("_n")).withColumn(
+        "bucket", b
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return with_b.select(
+        id_col,
+        F.col("_n").alias("n_tokens"),
+        "bucket",
+        F.expr(
+            f"(SUM(_n) OVER (PARTITION BY bucket ORDER BY {id_col} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - _n) "
+            f"div {budget}"
+        ).alias("pack_id"),
+    )

@@ -524,3 +524,32 @@ def test_token_entropy_extremes(spark):
     # uniform: contrib per token = floor(1e6*1*ln(4)); 4 of them div 4
     expect = math.floor(1_000_000 * math.log(4))
     assert out[2] == (4, expect)
+
+
+def test_bucketed_packs_power_of_two_and_local_ids(spark):
+    from blueforty___etl_data_pipeline_spark.operators.text_ops import (
+        bucketed_packs,
+    )
+
+    # 3 tokens -> bucket 4; 4 -> 4; 5 -> 8; 1 -> 1.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "a b c d"),
+            (3, "a b c d e"),
+            (4, "a"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["bucket"], r["pack_id"])
+        for r in bucketed_packs(df, budget=5).collect()
+    }
+    # bucket-4 docs pack together: doc1 cum-before 0 -> pack 0;
+    # doc2 cum-before 3 -> pack 0 (3 < 5)
+    assert out == {
+        1: (3, 4, 0),
+        2: (4, 4, 0),
+        3: (5, 8, 0),
+        4: (1, 1, 0),
+    }
