@@ -437,3 +437,44 @@ def test_fk_containment_clean_partial_and_null(spark):
     assert (
         r["n_child_distinct"], r["n_matched"], r["containment_permille"]
     ) == (3, 2, 666)
+
+
+def test_mad_outliers_randomized_vs_python_reference(spark):
+    import random
+
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        mad_outliers,
+    )
+
+    def ref_flags(vals, k_x14826=44478):
+        cents = [round(v * 100) for v in vals]
+
+        def med2(xs):
+            s = sorted(xs)
+            n = len(s)
+            return s[(n + 1) // 2 - 1] + s[n // 2]
+
+        m2 = med2(cents)
+        dev2 = [abs(2 * c - m2) for c in cents]
+        mad4 = med2(dev2)
+        return {
+            i
+            for i, d2 in enumerate(dev2)
+            if d2 * 20000 > mad4 * k_x14826
+        }
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        # two-decimal values with a heavy tail
+        vals = [round(rng.expovariate(0.1), 2) for _ in range(200)]
+        want = ref_flags(vals)
+        rows = [(i, "g", v) for i, v in enumerate(vals)]
+        got = {
+            r["i"]
+            for r in mad_outliers(
+                spark.createDataFrame(rows, "i long, g string, v double"),
+                ["g"],
+                "v",
+            ).collect()
+        }
+        assert got == want, f"seed {seed}"

@@ -186,3 +186,67 @@ def test_skew_report_salt_factor_and_share(spark):
         for r in skew_report(df, key="k", target_rows_per_task=20).collect()
     }
     assert rows == {"hot": (75, 750, 4), "cold": (25, 250, 2)}
+
+
+def test_heavy_hitters_randomized_vs_exact(spark):
+    import random
+    from collections import Counter
+
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        heavy_hitters,
+    )
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        # zipf-ish stream: few hot values, long unique tail
+        vals = (
+            [f"h{i}" for i in range(3) for _ in range(rng.randint(60, 120))]
+            + [f"u{seed}_{i}" for i in range(rng.randint(150, 250))]
+        )
+        rng.shuffle(vals)
+        k = 7
+        exact = {
+            v: c
+            for v, c in Counter(vals).items()
+            if c * k > len(vals)
+        }
+        got = {
+            r["w"]: r["n_rows"]
+            for r in heavy_hitters(
+                spark.createDataFrame([(v,) for v in vals], "w string")
+                .repartition(5),
+                "w",
+                k=k,
+            ).collect()
+        }
+        assert got == exact, f"seed {seed}"
+
+
+def test_interval_concurrency_randomized_vs_bruteforce(spark):
+    import random
+
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        interval_concurrency,
+    )
+
+    for seed in (0, 1):
+        rng = random.Random(seed)
+        ivs = [
+            (rng.randint(0, 50), rng.randint(1, 20)) for _ in range(60)
+        ]
+        rows = [("k", s, s + d) for s, d in ivs]
+        # brute force: evaluate concurrency of half-open intervals at
+        # every start point (peaks occur at starts)
+        def conc(t):
+            return sum(1 for s, d in ivs if s <= t < s + d)
+
+        peaks = [(conc(s), s) for s, _ in ivs]
+        best = max(peaks)
+        best_t = min(s for c, s in peaks if c == best[0])
+        out = interval_concurrency(
+            spark.createDataFrame(rows, "k string, s long, e long"),
+            start_col="s", end_col="e", key_col="k",
+        ).collect()[0]
+        assert (out["max_concurrent"], out["first_peak"]) == (
+            best[0], best_t,
+        ), f"seed {seed}"
