@@ -2033,6 +2033,41 @@ def _await_streaming(q, timeout: int = 300) -> None:
         )
 
 
+def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_sliding_window: overlapping 1h/30m windows
+    under Structured Streaming (every event updates TWO window states),
+    drained availableNow in complete mode.  Shares the batch oracle —
+    completes the streaming window family (tumbling/session twins are
+    already driver-verified)."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    src = os.path.join(SCRATCH, "stream_src_events_sliding")
+    ev.write.mode("overwrite").parquet(src)
+    stream = stream_from_parquet(
+        spark, src, schema=ev.schema, watermark="3650 days"
+    )
+    agg = sliding_window_agg(
+        stream,
+        window_duration="1 hour",
+        slide="30 minutes",
+        keys=("event_type",),
+        aggs=[F.count(F.lit(1)).alias("n_events")],
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("q_streaming_sliding_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_streaming(q)
+    return spark.table("q_streaming_sliding_sink").select(
+        F.unix_micros(F.col("window_start")).alias("window_start_us"),
+        "event_type",
+        "n_events",
+    )
+
+
 def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME tumbling-window aggregation as q_tumbling_window, but
     executed by Structured Streaming: events are staged to a stream
@@ -7031,6 +7066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_split": q_group_split,
         "merge_aggregate": q_merge_aggregate,
         "bucketed_packs": q_bucketed_packs,
+        "streaming_sliding": q_streaming_sliding,
     }
 
 
@@ -7218,6 +7254,7 @@ def oracle_sql() -> dict[str, str]:
         "group_split": _sql_group_split(),
         "merge_aggregate": _SQL_MERGE_AGGREGATE,
         "bucketed_packs": _sql_bucketed_packs(),
+        "streaming_sliding": _SQL_SLIDING,
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

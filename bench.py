@@ -198,6 +198,8 @@ HEADLINE = [
     "merge_aggregate",
     # length-bucketed partitioned packing
     "bucketed_packs",
+    # streaming sliding-window twin (two window states per event)
+    "streaming_sliding",
 ]
 
 
