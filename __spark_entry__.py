@@ -4527,6 +4527,41 @@ FROM b
 """
 
 
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-supervised positive-pair construction: adjacent chunks of
+    the SAME document form (anchor, positive) training pairs — the
+    standard contrastive-pretraining recipe (adjacent spans share
+    topic), with negatives drawn separately via negative_samples.  One
+    per-doc window over the chunk table; texts ship as md5 digests
+    (scalar, order-free compare)."""
+    _prep(spark)
+    from pyspark.sql import Window as _W
+
+    chunks = chunk_documents(
+        _t(spark, sf_dir, "documents"), max_tokens=16, overlap=4
+    )
+    w = _W.partitionBy("doc_id").orderBy("chunk_idx")
+    out = chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("anchor_idx"),
+        F.md5("chunk_text").alias("anchor_md5"),
+        F.md5(F.lead("chunk_text").over(w)).alias("positive_md5"),
+    )
+    return out.filter(F.col("positive_md5").isNotNull())
+
+
+def _sql_contrastive_pairs() -> str:
+    return f"""
+WITH ch AS ({_sql_chunk_documents()}),
+p AS (
+  SELECT doc_id, chunk_idx AS anchor_idx, md5(chunk_text) AS anchor_md5,
+         md5(LEAD(chunk_text) OVER (PARTITION BY doc_id
+                                    ORDER BY chunk_idx)) AS positive_md5
+  FROM ch)
+SELECT * FROM p WHERE positive_md5 IS NOT NULL
+"""
+
+
 def q_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-repetition quality signals per document (Gopher-style):
     token/distinct counts, type-token ratio, top word + fraction.
@@ -7067,6 +7102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_aggregate": q_merge_aggregate,
         "bucketed_packs": q_bucketed_packs,
         "streaming_sliding": q_streaming_sliding,
+        "contrastive_pairs": q_contrastive_pairs,
     }
 
 
@@ -7255,6 +7291,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_aggregate": _SQL_MERGE_AGGREGATE,
         "bucketed_packs": _sql_bucketed_packs(),
         "streaming_sliding": _SQL_SLIDING,
+        "contrastive_pairs": _sql_contrastive_pairs(),
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

@@ -200,6 +200,8 @@ HEADLINE = [
     "bucketed_packs",
     # streaming sliding-window twin (two window states per event)
     "streaming_sliding",
+    # contrastive positive pairs (adjacent same-doc chunks)
+    "contrastive_pairs",
 ]
 
 
