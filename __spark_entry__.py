@@ -6916,9 +6916,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-green in rounds 2/3.
     """
     return {
-        # -- sentinels (driver-green in r2+r3) -----------------------------
+        # -- sentinel (driver-green in r2+r3; dropped to ONE to make
+        # room for a first-signal row, per the r3 verdict's allowance) -----
         "order_totals": q_order_totals,
-        "xml_shred": q_xml_shred,
+        # -- flagship real-media decode: first driver signal ---------------
+        "multimodal_decode_real": q_multimodal_decode_real,
         # -- r3 red rows, fixed this round (HUGEINT oracle casts) ----------
         "assign_packs": q_assign_packs,
         "assign_packs_scalable": q_assign_packs_scalable,
@@ -6970,7 +6972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_pred": q_disjunctive_pred,
         "approx_profile": q_approx_profile,
         # ---- position 51+: spilled to the round-5 window -----------------
-        "multimodal_decode_real": q_multimodal_decode_real,
+        "xml_shred": q_xml_shred,
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
         "winsorize": q_winsorize,
