@@ -227,6 +227,13 @@ def _prep(spark: SparkSession) -> None:
     spark.conf.set(
         "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
     )
+    # Batch plans self-tune through AQE, but STREAMING aggregations
+    # cannot (AQE is disabled on streaming plans), so a default
+    # 200-partition bare session gives every availableNow drain 200
+    # state-store partitions of overhead.  32 matches the test rig's
+    # core count; checkpoints here are per-run temp dirs, so the state
+    # partitioning is never pinned across restarts.
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
