@@ -4534,6 +4534,34 @@ FROM b
 """
 
 
+_SQL_INTERFACE_TEXT = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l_discount AS DECIMAL(18,4))))
+            AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-SQL surface proof: the reference's users write SQL strings;
+    this runs a TPC-H-Q1-shaped ANSI query VERBATIM through
+    ``spark.sql`` over the registered temp views — the SAME text the
+    DuckDB oracle executes (one shared string, two engines).  Catalyst
+    parses/optimizes it identically to the DataFrame plans."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.sources.catalog import (
+        register_testdata,
+    )
+
+    register_testdata(spark, sf_dir, tables=("lineitem",))
+    return spark.sql(_SQL_INTERFACE_TEXT)
+
+
 def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-supervised positive-pair construction: adjacent chunks of
     the SAME document form (anchor, positive) training pairs — the
@@ -7112,6 +7140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_packs": q_bucketed_packs,
         "streaming_sliding": q_streaming_sliding,
         "contrastive_pairs": q_contrastive_pairs,
+        "sql_interface": q_sql_interface,
     }
 
 
@@ -7301,6 +7330,8 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_packs": _sql_bucketed_packs(),
         "streaming_sliding": _SQL_SLIDING,
         "contrastive_pairs": _sql_contrastive_pairs(),
+        # ONE string, two engines: the oracle IS the Spark query text
+        "sql_interface": _SQL_INTERFACE_TEXT,
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

@@ -202,6 +202,8 @@ HEADLINE = [
     "streaming_sliding",
     # contrastive positive pairs (adjacent same-doc chunks)
     "contrastive_pairs",
+    # raw-SQL surface (shared query text, both engines)
+    "sql_interface",
 ]
 
 
