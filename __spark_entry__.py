@@ -3804,6 +3804,67 @@ SELECT doc_id, {cols} FROM t
 """
 
 
+def q_image_augment_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image AUGMENTATION chain under the driver's oracle:
+    md5-pixel 16×4 PNGs (as in multimodal_decode_real) flow through
+    decode → center crop (4,1,8,2) → 2×2 box pooling inside the
+    Arrow-batched stage — spatial transform on the actual pixel
+    matrix, not just decode.  Rows of the fixture image are identical,
+    so pooled block i is exactly (d[4+2i] + d[5+2i]) div 2, which the
+    oracle reproduces from md5 hex pairs."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        augment_images,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 40 == 0)
+    )
+
+    def to_png(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.png import (
+            encode_png_gray,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for text in pdf["text"]:
+                d = _hl.md5(text.encode("utf-8")).digest()
+                blobs.append(
+                    encode_png_gray(
+                        [[d[x] for x in range(16)] for _ in range(4)]
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": blobs}
+            )
+
+    media = docs.mapInPandas(to_png, schema="doc_id long, content binary")
+    return augment_images(media, crop=(4, 1, 8, 2), pool=2)
+
+
+def _sql_image_augment_real() -> str:
+    def byte(k: int) -> str:
+        return f"CAST(('0x' || substr(h, {2 * k + 1}, 2)) AS INTEGER)"
+
+    cols = ", ".join(
+        f"CAST(({byte(4 + 2 * i)} + {byte(5 + 2 * i)}) // 2 AS BIGINT)"
+        f" AS f{i}"
+        for i in range(4)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id % 40 = 0)
+SELECT doc_id, {cols} FROM t
+"""
+
+
 def q_audio_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode under the driver's oracle: each sampled
     document becomes a genuine RIFF/WAVE blob (16 int16 PCM samples
@@ -7141,6 +7202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sliding": q_streaming_sliding,
         "contrastive_pairs": q_contrastive_pairs,
         "sql_interface": q_sql_interface,
+        "image_augment_real": q_image_augment_real,
     }
 
 
@@ -7332,6 +7394,7 @@ def oracle_sql() -> dict[str, str]:
         "contrastive_pairs": _sql_contrastive_pairs(),
         # ONE string, two engines: the oracle IS the Spark query text
         "sql_interface": _SQL_INTERFACE_TEXT,
+        "image_augment_real": _sql_image_augment_real(),
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

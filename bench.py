@@ -204,6 +204,8 @@ HEADLINE = [
     "contrastive_pairs",
     # raw-SQL surface (shared query text, both engines)
     "sql_interface",
+    # real image augmentation (decode -> crop -> pool)
+    "image_augment_real",
 ]
 
 

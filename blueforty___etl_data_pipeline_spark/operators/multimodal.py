@@ -242,3 +242,61 @@ def extract_audio_features(
             "peak_abs long, sum_abs long"
         ),
     )
+
+
+def transform_image_real(
+    data: bytes, crop: tuple[int, int, int, int], pool: int
+) -> list[int]:
+    """REAL image transform: decode PNG → crop (x0, y0, w, h) →
+    ``pool``×``pool`` box-average downsample → integer pixel means
+    (floor).  Every step runs on the vendored pure-stdlib codec's
+    pixel matrix, so the full augmentation chain (decode, spatial
+    crop, pooling) executes in-container; outputs are exact integers,
+    hence oracle-checkable."""
+    from ..functions.png import decode_png_gray
+
+    px = decode_png_gray(data)
+    x0, y0, w, h = crop
+    cropped = [row[x0 : x0 + w] for row in px[y0 : y0 + h]]
+    out: list[int] = []
+    for by in range(0, h, pool):
+        for bx in range(0, w, pool):
+            vals = [
+                cropped[y][x]
+                for y in range(by, min(by + pool, h))
+                for x in range(bx, min(bx + pool, w))
+            ]
+            out.append(sum(vals) // len(vals))
+    return out
+
+
+def augment_images(
+    media: DataFrame,
+    crop: tuple[int, int, int, int],
+    pool: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched image augmentation over PNG blobs: decode → crop →
+    box-pool per blob inside ``mapInPandas`` (one Python call per Arrow
+    batch — the multimodal hot-path contract).  Output: (id, f0..fk)
+    integer pooled means."""
+    x0, y0, w, h = crop
+    n_feats = (h // pool) * (w // pool)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [
+                transform_image_real(b, crop, pool)
+                for b in pdf["content"]
+            ]
+            cols = {id_col: pdf[id_col]}
+            for i in range(n_feats):
+                cols[f"f{i}"] = [f[i] for f in feats]
+            yield pd.DataFrame(cols)
+
+    schema = f"{id_col} long, " + ", ".join(
+        f"f{i} long" for i in range(n_feats)
+    )
+    return media.select(id_col, "content").mapInPandas(run, schema=schema)

@@ -592,3 +592,24 @@ def test_merge_aggregate_folds_batches_to_full_totals(spark, tmp_path):
         .collect()
     }
     assert out == full == {"a": (3, 31), "b": (1, 5), "c": (1, 7)}
+
+
+def test_transform_image_real_crop_and_pool():
+    from blueforty___etl_data_pipeline_spark.functions.png import (
+        encode_png_gray,
+    )
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        transform_image_real,
+    )
+
+    # 4x4 gradient; crop the right 2x2 block; pool=2 -> one feature =
+    # floor(mean of the 4 cropped pixels)
+    px = [[10, 20, 30, 40],
+          [11, 21, 31, 41],
+          [12, 22, 32, 42],
+          [13, 23, 33, 43]]
+    blob = encode_png_gray(px)
+    out = transform_image_real(blob, crop=(2, 1, 2, 2), pool=2)
+    assert out == [(31 + 41 + 32 + 42) // 4]
+    # pool=1 keeps the cropped pixels verbatim
+    assert transform_image_real(blob, crop=(0, 0, 2, 1), pool=1) == [10, 20]
