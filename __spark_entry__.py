@@ -4598,8 +4598,8 @@ FROM b
 _SQL_INTERFACE_TEXT = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                * (1 - CAST(l_discount AS DECIMAL(18,4))))
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
             AS DOUBLE) AS sum_disc_price,
        COUNT(*) AS count_order
 FROM lineitem
