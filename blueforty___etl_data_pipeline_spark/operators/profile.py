@@ -777,3 +777,33 @@ def fk_containment(
             ).alias("containment_permille"),
         )
     )
+
+
+def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Schema-contract diff between two snapshots: one row per column
+    that was added, removed, or changed type — the complement of the
+    CONTENT diff (:func:`partition_fingerprints`): fingerprints catch
+    value drift, this catches shape drift (a provider silently turning
+    an int64 into a string is the classic silent breaker of downstream
+    jobs).
+
+    Returns (column, status ∈ added|removed|type_changed, old_type,
+    new_type).  Purely metadata — no data is scanned; the result is a
+    driver-built DataFrame so it composes with the rest of a data-
+    quality report.
+    """
+    spark = old.sparkSession
+    o = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    rows = []
+    for c in sorted(set(o) | set(n)):
+        if c not in n:
+            rows.append((c, "removed", o[c], None))
+        elif c not in o:
+            rows.append((c, "added", None, n[c]))
+        elif o[c] != n[c]:
+            rows.append((c, "type_changed", o[c], n[c]))
+    return spark.createDataFrame(
+        rows,
+        "column string, status string, old_type string, new_type string",
+    )

@@ -478,3 +478,21 @@ def test_mad_outliers_randomized_vs_python_reference(spark):
             ).collect()
         }
         assert got == want, f"seed {seed}"
+
+
+def test_schema_drift_add_remove_retype(spark):
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        schema_drift,
+    )
+
+    old = spark.createDataFrame([(1, "x", 2.0)], "a long, b string, c double")
+    new = spark.createDataFrame([(1, 5, True)], "a long, b long, d boolean")
+    out = {
+        r["column"]: (r["status"], r["old_type"], r["new_type"])
+        for r in schema_drift(old, new).collect()
+    }
+    assert out == {
+        "b": ("type_changed", "string", "bigint"),
+        "c": ("removed", "double", None),
+        "d": ("added", None, "boolean"),
+    }
