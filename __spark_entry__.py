@@ -2659,6 +2659,27 @@ WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common)
 """
 
 
+def q_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (operators/dedup.dup_weights): every row weighted by
+    1000 div dup_count so each distinct content carries equal training
+    loss mass — preserves the popularity signal hard dedup destroys."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.dedup import (
+        dup_weights,
+    )
+
+    return dup_weights(_t(spark, sf_dir, "documents"))
+
+
+_SQL_DUP_WEIGHTS = """
+WITH c AS (SELECT md5(text) AS h, COUNT(*) AS dup_count
+           FROM documents GROUP BY 1)
+SELECT d.doc_id, c.dup_count,
+       CAST(1000 // c.dup_count AS BIGINT) AS weight_permille
+FROM documents d JOIN c ON md5(d.text) = c.h
+"""
+
+
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup clusters: one md5-keyed shuffle."""
     _prep(spark)
@@ -7203,6 +7224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_pairs": q_contrastive_pairs,
         "sql_interface": q_sql_interface,
         "image_augment_real": q_image_augment_real,
+        "dup_weights": q_dup_weights,
     }
 
 
@@ -7395,6 +7417,7 @@ def oracle_sql() -> dict[str, str]:
         # ONE string, two engines: the oracle IS the Spark query text
         "sql_interface": _SQL_INTERFACE_TEXT,
         "image_augment_real": _sql_image_augment_real(),
+        "dup_weights": _SQL_DUP_WEIGHTS,
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

@@ -206,6 +206,8 @@ HEADLINE = [
     "sql_interface",
     # real image augmentation (decode -> crop -> pool)
     "image_augment_real",
+    # duplicate-aware loss weighting (soft dedup)
+    "dup_weights",
 ]
 
 

@@ -968,3 +968,32 @@ def lsh_dedup_incremental(
         .distinct()
     )
     return df_new.join(doomed, on=id_col, how="left_anti")
+
+
+def dup_weights(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SOFT dedup: instead of dropping exact duplicates, weight each
+    row by the inverse of its duplicate-cluster size
+    (``weight_permille = 1000 div dup_count``) so every distinct
+    content contributes equal total loss mass during training —
+    preserves natural-distribution signal that hard dedup destroys
+    (duplicated text is often *popular* text).
+
+    Returns (id, dup_count, weight_permille) for every input row.
+
+    Scale shape: the same single hash-keyed partial-agg shuffle as
+    :func:`exact_dup_groups`, plus one equi-join of the (content_hash,
+    count) table back onto the hashed rows.
+    """
+    hashed = df.select(
+        F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col)
+    )
+    counts = hashed.groupBy("content_hash").agg(
+        F.count(F.lit(1)).alias("dup_count")
+    )
+    return hashed.join(counts, on="content_hash").select(
+        id_col,
+        "dup_count",
+        F.expr("1000 div dup_count").alias("weight_permille"),
+    )
