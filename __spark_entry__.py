@@ -2659,6 +2659,44 @@ WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common)
 """
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-ranked collocations (operators/corpus.collocations): top-20
+    within-doc co-occurring token pairs vs unigram expectation —
+    fixed-point log, pair volume bounded by per-doc distinct tokens."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        collocations,
+    )
+
+    return collocations(_t(spark, sf_dir, "documents"))
+
+
+def _sql_collocations() -> str:
+    toks = _D_TOKENS.format(t="text")
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_slice(list_sort(list_distinct({toks})), 1, 64) AS ts
+  FROM documents),
+n AS (SELECT COUNT(*) AS n_docs FROM t),
+u AS (SELECT tok, COUNT(*) AS c_uni
+      FROM (SELECT doc_id, unnest(ts) AS tok FROM t) GROUP BY 1),
+p AS (
+  SELECT a.tok AS a, b.tok AS b, COUNT(*) AS c_pair
+  FROM (SELECT doc_id, unnest(ts) AS tok FROM t) a
+  JOIN (SELECT doc_id, unnest(ts) AS tok FROM t) b
+    ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+SELECT p.a, p.b, c_pair, ua.c_uni AS c_a, ub.c_uni AS c_b,
+       CAST(FLOOR(1000000.0 * LN(CAST(n_docs AS DOUBLE) * c_pair
+                                 / (ua.c_uni * ub.c_uni)))
+            AS BIGINT) AS pmi_e6
+FROM p JOIN u ua ON p.a = ua.tok JOIN u ub ON p.b = ub.tok
+CROSS JOIN n
+ORDER BY pmi_e6 DESC, p.a, p.b LIMIT 20
+"""
+
+
 def q_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soft dedup (operators/dedup.dup_weights): every row weighted by
     1000 div dup_count so each distinct content carries equal training
@@ -7225,6 +7263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_interface": q_sql_interface,
         "image_augment_real": q_image_augment_real,
         "dup_weights": q_dup_weights,
+        "collocations": q_collocations,
     }
 
 
@@ -7418,6 +7457,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_interface": _SQL_INTERFACE_TEXT,
         "image_augment_real": _sql_image_augment_real(),
         "dup_weights": _SQL_DUP_WEIGHTS,
+        "collocations": _sql_collocations(),
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

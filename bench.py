@@ -208,6 +208,8 @@ HEADLINE = [
     "image_augment_real",
     # duplicate-aware loss weighting (soft dedup)
     "dup_weights",
+    # PMI collocations (phrase discovery)
+    "collocations",
 ]
 
 

@@ -589,3 +589,101 @@ def corpus_report(
             "dup_permille", F.expr("n_dup_docs * 1000 div n_docs")
         )
     )
+
+
+def collocations(
+    df: DataFrame,
+    k: int = 20,
+    min_pair_count: int = 3,
+    max_doc_tokens: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` collocations: token pairs that co-occur in documents
+    far more often than their unigram frequencies predict, ranked by
+    PMI — the classic phrase/topic-discovery signal
+    (``pmi_e6 = floor(1e6 · ln(N·c_ab / (c_a·c_b)))``, the established
+    fixed-point-log convention, tie-broken on the pair).
+
+    Scale shape: per-doc DISTINCT tokens (array_distinct, truncated to
+    ``max_doc_tokens`` — the documented skew cap for pathological
+    docs) explode to within-doc pairs a<b, so pair volume is bounded
+    by (distinct tokens per doc)²; pair and unigram counts partial-agg
+    before their shuffles; ``min_pair_count`` prunes the long tail
+    before the PMI join; final top-k is a TakeOrdered.
+    """
+    # sort before truncating: distinct-set ORDER is engine-specific
+    # (DuckDB's list_distinct reorders), so the skew-cap subset must be
+    # defined on the sorted set to be reproducible anywhere
+    toks = df.select(
+        F.col(id_col),
+        F.slice(
+            F.array_sort(F.array_distinct(tokens_ws(F.col(text_col)))),
+            1,
+            max_doc_tokens,
+        ).alias("_ts"),
+    )
+    n_docs = toks.agg(F.count(F.lit(1)).alias("_n"))
+    uni = (
+        toks.select(F.col(id_col), F.explode("_ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+    )
+    pairs = (
+        toks.select(
+            F.col(id_col),
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("_ts"),
+                            lambda a: F.transform(
+                                F.col("_ts"),
+                                lambda b: F.when(a < b, F.struct(
+                                    a.alias("a"), b.alias("b")
+                                )),
+                            ),
+                        )
+                    ),
+                    lambda s: s.isNotNull(),
+                )
+            ).alias("_p"),
+        )
+        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+        .filter(F.col("c_pair") >= min_pair_count)
+    )
+    scored = (
+        pairs.join(
+            uni.select(F.col("tok").alias("a"),
+                       F.col("c_uni").alias("c_a")),
+            on="a",
+        )
+        .join(
+            uni.select(F.col("tok").alias("b"),
+                       F.col("c_uni").alias("c_b")),
+            on="b",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "a",
+            "b",
+            "c_pair",
+            "c_a",
+            "c_b",
+            F.floor(
+                F.log(
+                    F.col("_n").cast("double")
+                    * F.col("c_pair")
+                    / (F.col("c_a") * F.col("c_b"))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("pmi_e6"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi_e6"), F.asc("a"), F.asc("b")
+    ).limit(k)

@@ -446,3 +446,32 @@ def test_corpus_report_global_dup_attribution(spark):
     assert a["n_langs"] == 2 and b["n_langs"] == 2
     assert a["total_tokens"] == 2 + 1 + 1 + 3
     assert b["total_tokens"] == 2 + 2
+
+
+def test_collocations_pmi_ranks_true_pair_first(spark):
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        collocations,
+    )
+
+    # "neural networks" co-occur in 4 docs and never apart; "the" is in
+    # every doc, so (neural, networks) must out-PMI any pair with "the".
+    docs = [
+        (i, "the neural networks paper") for i in range(4)
+    ] + [(10 + i, "the boring text here") for i in range(4)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    import math
+
+    rows = collocations(df, k=5, min_pair_count=2).collect()
+    top = rows[0]
+    # the two 3-token cliques tie at PMI ln2 (perfect association over
+    # half the docs); every clique pair must out-rank anything with
+    # "the" (PMI 0), and the top pair is never a "the" pair
+    assert "the" not in (top["a"], top["b"])
+    assert top["pmi_e6"] == math.floor(1_000_000 * math.log(2))
+    assert all(r["c_pair"] >= 2 for r in rows)
+    pmis = [r["pmi_e6"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    the_pmis = [
+        r["pmi_e6"] for r in rows if "the" in (r["a"], r["b"])
+    ]
+    assert all(p == 0 for p in the_pmis)
