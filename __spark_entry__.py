@@ -1924,6 +1924,31 @@ GROUP BY 1, m
 """
 
 
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly load-shape profile (operators/temporal.
+    seasonality_profile): (dow, hour) event counts + permille share —
+    pure integer epoch arithmetic, immune to DAYOFWEEK conventions."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        seasonality_profile,
+    )
+
+    return seasonality_profile(_t(spark, sf_dir, "events"))
+
+
+_SQL_SEASONALITY = """
+WITH b AS (
+  SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS INTEGER) AS dow,
+         CAST(epoch_us(ts) // 3600000000 % 24 AS INTEGER) AS hour
+  FROM events),
+m AS (SELECT dow, hour, COUNT(*) AS n_events FROM b GROUP BY 1, 2)
+SELECT dow, hour, n_events,
+       CAST(1000 * n_events // SUM(n_events) OVER () AS BIGINT)
+         AS share_permille
+FROM m
+"""
+
+
 def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1h event-time windows per event_type; the double measure is
     aggregated as FLOOR(value·10⁶) bigints (order-free, engine-exact)."""
@@ -7264,6 +7289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_augment_real": q_image_augment_real,
         "dup_weights": q_dup_weights,
         "collocations": q_collocations,
+        "seasonality": q_seasonality,
     }
 
 
@@ -7458,6 +7484,7 @@ def oracle_sql() -> dict[str, str]:
         "image_augment_real": _sql_image_augment_real(),
         "dup_weights": _SQL_DUP_WEIGHTS,
         "collocations": _sql_collocations(),
+        "seasonality": _SQL_SEASONALITY,
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

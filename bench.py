@@ -210,6 +210,8 @@ HEADLINE = [
     "dup_weights",
     # PMI collocations (phrase discovery)
     "collocations",
+    # weekly seasonality load-shape profile
+    "seasonality",
 ]
 
 

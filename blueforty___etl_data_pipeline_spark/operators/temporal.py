@@ -315,3 +315,40 @@ def interval_concurrency(
             F.min("t").alias("first_peak"),
         )
     )
+
+
+def seasonality_profile(
+    df: DataFrame, ts_col: str = "ts"
+) -> DataFrame:
+    """Weekly seasonality heat-map: event counts per (day-of-week,
+    hour-of-day) with integer-permille share — the load-shape profile
+    behind capacity planning and anomaly baselines.
+
+    Calendar buckets are PURE INTEGER arithmetic on epoch time
+    (``dow = (epoch_day + 4) % 7`` with 0 = Sunday — 1970-01-01 was a
+    Thursday; ``hour = epoch_us div 3600e6 mod 24``), immune to the
+    engines' differing DAYOFWEEK conventions and session time zones
+    (UTC by construction).
+
+    One partial-agged hash aggregation; output is ≤ 168 rows no matter
+    the input size, plus a window over those 168 for the share.
+    """
+    day = F.expr(f"unix_micros({ts_col}) div 86400000000")
+    out = (
+        df.select(
+            ((day + 4) % 7).cast("int").alias("dow"),
+            F.expr(
+                f"CAST(unix_micros({ts_col}) div 3600000000 % 24 AS INT)"
+            ).alias("hour"),
+        )
+        .groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return out.select(
+        "dow",
+        "hour",
+        "n_events",
+        F.expr(
+            "1000 * n_events div SUM(n_events) OVER ()"
+        ).alias("share_permille"),
+    )

@@ -208,3 +208,25 @@ def test_interval_concurrency_sweep_line(spark):
         ).collect()
     }
     assert out == {"a": (3, 9), "b": (1, 0)}
+
+
+def test_seasonality_profile_integer_buckets(spark):
+    from datetime import datetime, timezone
+
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        seasonality_profile,
+    )
+
+    # 1970-01-01 was a Thursday (dow 4 with Sunday=0); 1970-01-04 was
+    # a Sunday (dow 0).
+    rows = [
+        (datetime(1970, 1, 1, 5, 30, tzinfo=timezone.utc),),
+        (datetime(1970, 1, 1, 5, 45, tzinfo=timezone.utc),),
+        (datetime(1970, 1, 4, 23, 0, tzinfo=timezone.utc),),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = {
+        (r["dow"], r["hour"]): (r["n_events"], r["share_permille"])
+        for r in seasonality_profile(df).collect()
+    }
+    assert out == {(4, 5): (2, 666), (0, 23): (1, 333)}
