@@ -3516,6 +3516,94 @@ WHERE rn <= 5
 """
 
 
+def q_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-sensitive retrieval evaluation: Mean Reciprocal Rank of the
+    LSH and IVF lists against the exact nearest neighbor (excluding
+    self, which every cosine list ranks first) — complements
+    ann_recall's set-overlap view with WHERE the true neighbor lands.
+    Integer micro fixed-point: per query contribute 1e6 div rank (0 if
+    absent), MRR = sum div n_queries."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = ann_brute_force(emb, queries, k=2, round_decimals=6)
+    truth = exact.filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", F.col("neighbor_id").alias("_true"))
+
+    def mrr_of(ranked: DataFrame, label: str) -> DataFrame:
+        hit = truth.join(
+            ranked.filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.row_number()
+                .over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.desc("score"), F.asc("neighbor_id")
+                    )
+                )
+                .alias("_r"),
+            ),
+            on=["query_id"],
+            how="left",
+        ).filter(
+            (F.col("neighbor_id") == F.col("_true"))
+            | F.col("neighbor_id").isNull()
+        )
+        n = truth.agg(F.count(F.lit(1)).alias("_n"))
+        return (
+            hit.agg(
+                # SUM over zero hit rows is NULL — a list that never
+                # finds any true neighbor must score 0, not null
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("_r").isNotNull(),
+                            F.expr("1000000 div _r"),
+                        ).otherwise(F.lit(0))
+                    ),
+                    F.lit(0),
+                ).alias("_s")
+            )
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.lit(label).alias("method"),
+                F.expr("CAST(_s div _n AS BIGINT)").alias("mrr_e6"),
+            )
+        )
+
+    lsh = ann_lsh_bucketed(
+        emb, queries, k=6, n_planes=8, dim=64, round_decimals=6
+    )
+    ivf = ann_ivf(emb, queries, k=6, centroid_stride=50, nprobe=2)
+    return mrr_of(lsh, "lsh").unionByName(mrr_of(ivf, "ivf"))
+
+
+def _sql_ann_mrr() -> str:
+    def ranked(sub: str, label: str) -> str:
+        return f"""
+SELECT '{label}' AS method, CAST(SUM(CASE WHEN r IS NOT NULL
+           THEN 1000000 // r ELSE 0 END)
+       // (SELECT COUNT(*) FROM truth) AS BIGINT) AS mrr_e6
+FROM truth t LEFT JOIN (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS r
+  FROM ({sub}) WHERE query_id != neighbor_id) x
+  ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id
+"""
+
+    return f"""
+WITH truth AS (
+  SELECT query_id, neighbor_id FROM ({_SQL_ANN_BRUTE.replace("rn <= 5", "rn <= 2")})
+  WHERE query_id != neighbor_id)
+{ranked(_sql_ann_lsh().replace("rn <= 5", "rn <= 6"), "lsh")}
+UNION ALL
+{ranked(_sql_ann_ivf(k=6), "ivf")}
+"""
+
+
 def q_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OR-amplified 3-table LSH ANN (operators/similarity.
     ann_lsh_multitable): per-table miss probabilities multiply, so
@@ -7290,6 +7378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_weights": q_dup_weights,
         "collocations": q_collocations,
         "seasonality": q_seasonality,
+        "ann_mrr": q_ann_mrr,
     }
 
 
@@ -7485,6 +7574,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_weights": _SQL_DUP_WEIGHTS,
         "collocations": _sql_collocations(),
         "seasonality": _SQL_SEASONALITY,
+        "ann_mrr": _sql_ann_mrr(),
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

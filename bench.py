@@ -212,6 +212,8 @@ HEADLINE = [
     "collocations",
     # weekly seasonality load-shape profile
     "seasonality",
+    # rank-sensitive ANN evaluation (MRR)
+    "ann_mrr",
 ]
 
 
