@@ -2722,6 +2722,37 @@ ORDER BY pmi_e6 DESC, p.a, p.b LIMIT 20
 """
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment ≥ 800‰ (operators/dedup.
+    containment_pairs): near-subset detection — quotes and excerpts
+    that symmetric Jaccard misses."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    return containment_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _sql_containment_pairs() -> str:
+    return f"""
+WITH {_D_SH_CTE}, shx AS (
+  SELECT doc_id, unnest(shs) AS h FROM sh
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS s FROM shx GROUP BY 1
+), common AS (
+  SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+         COUNT(*) AS n_common
+  FROM shx a JOIN shx b ON a.h = b.h AND a.doc_id != b.doc_id
+  GROUP BY 1, 2)
+SELECT contained_id, container_id, n_common,
+       s AS size_contained,
+       CAST(1000 * n_common // s AS BIGINT) AS containment_permille
+FROM common JOIN sizes ON contained_id = sizes.doc_id
+WHERE s >= 5 AND 1000 * n_common // s >= 800
+"""
+
+
 def q_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soft dedup (operators/dedup.dup_weights): every row weighted by
     1000 div dup_count so each distinct content carries equal training
@@ -7379,6 +7410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "seasonality": q_seasonality,
         "ann_mrr": q_ann_mrr,
+        "containment_pairs": q_containment_pairs,
     }
 
 
@@ -7575,6 +7607,7 @@ def oracle_sql() -> dict[str, str]:
         "collocations": _sql_collocations(),
         "seasonality": _SQL_SEASONALITY,
         "ann_mrr": _sql_ann_mrr(),
+        "containment_pairs": _sql_containment_pairs(),
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

@@ -214,6 +214,8 @@ HEADLINE = [
     "seasonality",
     # rank-sensitive ANN evaluation (MRR)
     "ann_mrr",
+    # asymmetric containment (excerpt/quote detection)
+    "containment_pairs",
 ]
 
 

@@ -997,3 +997,67 @@ def dup_weights(
         "dup_count",
         F.expr("1000 div dup_count").alias("weight_permille"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_permille: int = 800,
+    min_shingles: int = 5,
+) -> DataFrame:
+    """ASYMMETRIC containment pairs: ``|A∩B| / |A| ≥ threshold`` flags
+    documents whose shingle set is (nearly) a SUBSET of another's —
+    quotes, excerpts, and expanded re-publications that symmetric
+    Jaccard misses entirely (a paragraph inside a book has Jaccard ≈ 0
+    but containment ≈ 1).
+
+    Returns (contained_id, container_id, n_common, size_contained,
+    containment_permille) for ordered pairs — integer permille, so the
+    threshold is engine-deterministic.  ``min_shingles`` skips trivially
+    small shingle sets (two shared trigrams prove nothing).
+
+    Scale shape: identical to ngram_jaccard_pairs — shingle-hash
+    equi-join, per-pair partial-agged counts; this is the exact
+    verification form (block with LSH upstream at corpus scale).
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(shingle_hashes(F.col(text_col), n)).alias("sh"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            on=[
+                F.col("a.sh") == F.col("b.sh"),
+                F.col(f"a.{id_col}") != F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("contained_id"),
+            F.col(f"b.{id_col}").alias("container_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("contained_id"),
+        F.col("set_size").alias("size_contained"),
+    )
+    return (
+        common.join(sa, "contained_id")
+        .filter(F.col("size_contained") >= min_shingles)
+        .select(
+            "contained_id",
+            "container_id",
+            "n_common",
+            "size_contained",
+            F.expr("1000 * n_common div size_contained").alias(
+                "containment_permille"
+            ),
+        )
+        .filter(F.col("containment_permille") >= threshold_permille)
+    )

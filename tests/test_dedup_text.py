@@ -553,3 +553,24 @@ def test_bucketed_packs_power_of_two_and_local_ids(spark):
         3: (5, 8, 0),
         4: (1, 1, 0),
     }
+
+
+def test_containment_pairs_detects_excerpt(spark):
+    from blueforty___etl_data_pipeline_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    book = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    excerpt = "gamma delta epsilon zeta eta theta iota"  # 7 tokens -> 5 shingles
+    other = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, book), (2, excerpt), (3, other)], "doc_id long, text string"
+    )
+    out = {
+        (r["contained_id"], r["container_id"]): r["containment_permille"]
+        for r in containment_pairs(df, threshold_permille=800).collect()
+    }
+    # the excerpt's 5 trigram shingles all appear in the book -> 1000
+    # permille one way; the book (8 shingles) is NOT contained in the
+    # excerpt (5/8 = 625 < 800); "other" shares nothing
+    assert out == {(2, 1): 1000}
