@@ -2722,6 +2722,39 @@ ORDER BY pmi_e6 DESC, p.a, p.b LIMIT 20
 """
 
 
+def q_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinguishing keywords: tfidf_top_terms with the
+    SOURCE as the 'document' — terms a provider over-uses relative to
+    the rest of the corpus (the data-card 'what is this source about'
+    line).  Zero new operator code: the tf-idf operator is
+    granularity-agnostic via id_col."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return tfidf_top_terms(docs, k=3, id_col="source", min_df=1)
+
+
+_SQL_SOURCE_KEYWORDS = r"""
+WITH tok AS (
+  SELECT source, unnest(list_filter(
+           regexp_split_to_array(trim(text), '\s+'), x -> x != ''))
+         AS term
+  FROM documents),
+tf AS (SELECT source, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(DISTINCT source) AS n_docs FROM documents),
+scored AS (
+  SELECT source, term,
+         CAST(FLOOR(tf * ln(CAST(n_docs AS DOUBLE) / df) * 1e6)
+              AS BIGINT) AS score_e6
+  FROM tf JOIN dfq USING (term) CROSS JOIN nd)
+SELECT source, term, score_e6, rk FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY source ORDER BY score_e6 DESC, term ASC) AS rk
+  FROM scored)
+WHERE rk <= 3
+"""
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle containment ≥ 800‰ (operators/dedup.
     containment_pairs): near-subset detection — quotes and excerpts
@@ -7411,6 +7444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonality": q_seasonality,
         "ann_mrr": q_ann_mrr,
         "containment_pairs": q_containment_pairs,
+        "source_keywords": q_source_keywords,
     }
 
 
@@ -7608,6 +7642,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonality": _SQL_SEASONALITY,
         "ann_mrr": _sql_ann_mrr(),
         "containment_pairs": _sql_containment_pairs(),
+        "source_keywords": _SQL_SOURCE_KEYWORDS,
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

@@ -216,6 +216,8 @@ HEADLINE = [
     "ann_mrr",
     # asymmetric containment (excerpt/quote detection)
     "containment_pairs",
+    # per-source distinguishing keywords (tf-idf at source granularity)
+    "source_keywords",
 ]
 
 
