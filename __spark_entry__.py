@@ -2722,6 +2722,50 @@ ORDER BY pmi_e6 DESC, p.a, p.b LIMIT 20
 """
 
 
+def q_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document FEATURE STORE assembly: the column-wise composition
+    shape (vs training_pipeline's filter-wise one) — token entropy,
+    duplicate-cluster weight, span-dup fraction, and predicted language
+    LEFT-JOINed onto the doc spine as ONE lazy plan.  Every signal is
+    an independently-verified operator; the oracle composes their SQL
+    twins the same way."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    from blueforty___etl_data_pipeline_spark.operators.dedup import (
+        dup_weights,
+    )
+
+    ent = token_entropy(docs).select("doc_id", "entropy_e6")
+    dw = dup_weights(docs).select("doc_id", "dup_count")
+    spans = span_dup_stats(
+        docs, window=_SPAN_WIN, stride=_SPAN_STRIDE
+    ).select("doc_id", "dup_permille")
+    lid = language_id(docs).select("doc_id", "lang_pred")
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .join(ent, "doc_id", "left")
+        .join(dw, "doc_id", "left")
+        .join(spans, "doc_id", "left")
+        .join(lid, "doc_id", "left")
+    )
+
+
+def _sql_doc_features() -> str:
+    return f"""
+WITH ent AS (SELECT doc_id, entropy_e6 FROM ({_sql_token_entropy()})),
+dw AS (SELECT doc_id, dup_count FROM ({_SQL_DUP_WEIGHTS})),
+spans AS (SELECT doc_id, dup_permille FROM ({_sql_span_dup_stats()})),
+lid AS (SELECT doc_id, lang_pred FROM ({_sql_language_id()}))
+SELECT d.doc_id, d.source, d.n_chars,
+       ent.entropy_e6, dw.dup_count, spans.dup_permille, lid.lang_pred
+FROM documents d
+LEFT JOIN ent USING (doc_id)
+LEFT JOIN dw USING (doc_id)
+LEFT JOIN spans USING (doc_id)
+LEFT JOIN lid USING (doc_id)
+"""
+
+
 def q_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distinguishing keywords: tfidf_top_terms with the
     SOURCE as the 'document' — terms a provider over-uses relative to
@@ -7445,6 +7489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_mrr": q_ann_mrr,
         "containment_pairs": q_containment_pairs,
         "source_keywords": q_source_keywords,
+        "doc_features": q_doc_features,
     }
 
 
@@ -7643,6 +7688,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_mrr": _sql_ann_mrr(),
         "containment_pairs": _sql_containment_pairs(),
         "source_keywords": _SQL_SOURCE_KEYWORDS,
+        "doc_features": _sql_doc_features(),
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

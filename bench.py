@@ -218,6 +218,8 @@ HEADLINE = [
     "containment_pairs",
     # per-source distinguishing keywords (tf-idf at source granularity)
     "source_keywords",
+    # per-doc feature-store assembly (column-wise composition)
+    "doc_features",
 ]
 
 
