@@ -2425,6 +2425,82 @@ FROM events GROUP BY 1
 """
 
 
+def q_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern query: users whose
+    (ts, id)-ordered action string matches view →…→ click →…→ purchase
+    (non-adjacent, ordered) — the row-pattern capability expressed as a
+    regex over the action_sequences fold; per matching user, the event
+    count and first/last times ride along."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        action_sequences,
+    )
+
+    seq = action_sequences(_t(spark, sf_dir, "events"))
+    pat = "(^|.*>)view(>.*)?>click(>.*)?>purchase(>.*|$)"
+    return seq.filter(F.col("actions").rlike(pat)).select(
+        "user_id", "n_events", "first_ts_us", "last_ts_us"
+    )
+
+
+_SQL_SEQUENCE_MATCH = """
+WITH seq AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_ts_us,
+         CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_ts_us,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS actions
+  FROM events GROUP BY 1)
+SELECT user_id, n_events, first_ts_us, last_ts_us
+FROM seq
+WHERE regexp_matches(actions,
+        '(^|.*>)view(>.*)?>click(>.*)?>purchase(>.*|$)')
+"""
+
+
+def q_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed popularity with EXACT integer arithmetic: each
+    event contributes ``floor(value·1e6) div 2^(age_days div
+    halflife)`` — the decay exponent quantizes to integer halving
+    steps, so the aggregate is engine-exact and order-free (a float
+    pow() decay is neither).  Age is measured from the corpus max
+    timestamp (deterministic; Date.now is banned)."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    mx = ev.agg(F.max(us).alias("_mx"))
+    halflife_days = 7
+    return (
+        ev.select(
+            "event_type",
+            us.alias("_us"),
+            F.floor(F.col("value") * 1e6).cast("long").alias("_v"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "event_type",
+            F.expr(
+                f"_v div CAST(pow(2, least((_mx - _us) div 86400000000"
+                f" div {halflife_days}, 62)) AS BIGINT)"
+            ).alias("_dv"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("_dv").cast("long").alias("decayed_micros"))
+    )
+
+
+_SQL_DECAYED_SUM = """
+WITH mx AS (SELECT MAX(CAST(epoch_us(ts) AS BIGINT)) AS m FROM events)
+SELECT event_type,
+       CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)
+                // CAST(pow(2, least((m - CAST(epoch_us(ts) AS BIGINT))
+                                     // 86400000000 // 7, 62))
+                        AS BIGINT))
+            AS BIGINT) AS decayed_micros
+FROM events CROSS JOIN mx
+GROUP BY 1
+"""
+
+
 def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join under the driver's oracle
     (streaming/joins.stream_stream_join): view events matched to click
@@ -7490,6 +7566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "source_keywords": q_source_keywords,
         "doc_features": q_doc_features,
+        "sequence_match": q_sequence_match,
+        "decayed_sum": q_decayed_sum,
     }
 
 
@@ -7689,6 +7767,8 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": _sql_containment_pairs(),
         "source_keywords": _SQL_SOURCE_KEYWORDS,
         "doc_features": _sql_doc_features(),
+        "sequence_match": _SQL_SEQUENCE_MATCH,
+        "decayed_sum": _SQL_DECAYED_SUM,
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

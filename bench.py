@@ -220,6 +220,9 @@ HEADLINE = [
     "source_keywords",
     # per-doc feature-store assembly (column-wise composition)
     "doc_features",
+    # MATCH_RECOGNIZE-style sequence pattern + integer decayed sum
+    "sequence_match",
+    "decayed_sum",
 ]
 
 

@@ -356,3 +356,37 @@ def test_conversion_attribution_strictly_preceding(spark):
         for r in conversion_attribution(df).collect()
     }
     assert out == {3: (10, 20), 4: (None, None)}
+
+
+def test_sequence_match_token_boundaries(spark):
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        action_sequences,
+    )
+
+    from datetime import datetime, timezone
+
+    def t(m):
+        return datetime(2024, 1, 1, 0, m, tzinfo=timezone.utc)
+
+    # user 1 completes view->click->purchase (with noise between);
+    # user 2 has them out of order; user 3's "preview" must NOT match
+    # the "view" token.
+    rows = [
+        (1, 1, t(10), "view"), (2, 1, t(20), "signup"),
+        (3, 1, t(30), "click"), (4, 1, t(40), "purchase"),
+        (5, 2, t(10), "click"), (6, 2, t(20), "view"),
+        (7, 2, t(30), "purchase"),
+        (8, 3, t(10), "preview"), (9, 3, t(20), "click"),
+        (10, 3, t(30), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    seq = action_sequences(df)
+    pat = "(^|.*>)view(>.*)?>click(>.*)?>purchase(>.*|$)"
+    hits = sorted(
+        r["user_id"] for r in seq.filter(F.col("actions").rlike(pat)).collect()
+    )
+    assert hits == [1]
