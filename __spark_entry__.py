@@ -2425,6 +2425,76 @@ FROM events GROUP BY 1
 """
 
 
+def q_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational anomaly detection: daily event volumes per type that
+    sit more than 2·1.4826·MAD from the type's median day — robust
+    day-over-day drift monitoring, composed from the verified exact-
+    median machinery (operators/profile.mad_outliers over a per-day
+    count rollup)."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    out = mad_outliers(daily, ["event_type"], "n", k_x14826=29652)
+    return out.select(
+        "event_type", "day", F.col("n").cast("long").alias("n_events"),
+        "median", "mad",
+    )
+
+
+_SQL_DAILY_ANOMALIES = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+base AS (SELECT event_type, day, n, CAST(n * 100 AS BIGINT) AS c
+         FROM daily),
+cnt AS (SELECT event_type, c, COUNT(*) AS nn FROM base GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, c, nn,
+         SUM(nn) OVER (PARTITION BY event_type ORDER BY c
+                       ROWS UNBOUNDED PRECEDING) AS cumn,
+         SUM(nn) OVER (PARTITION BY event_type) AS tot
+  FROM cnt),
+med AS (
+  SELECT event_type,
+         MAX(CASE WHEN cumn - nn < (tot + 1) // 2
+                   AND cumn >= (tot + 1) // 2 THEN c END)
+         + MAX(CASE WHEN cumn - nn < tot // 2 + 1
+                     AND cumn >= tot // 2 + 1 THEN c END) AS med2
+  FROM cum GROUP BY 1),
+dev AS (
+  SELECT b.*, m.med2, ABS(2 * b.c - m.med2) AS dev2
+  FROM base b JOIN med m USING (event_type)),
+dcnt AS (SELECT event_type, dev2, COUNT(*) AS nn FROM dev GROUP BY 1, 2),
+dcum AS (
+  SELECT event_type, dev2, nn,
+         SUM(nn) OVER (PARTITION BY event_type ORDER BY dev2
+                       ROWS UNBOUNDED PRECEDING) AS cumn,
+         SUM(nn) OVER (PARTITION BY event_type) AS tot
+  FROM dcnt),
+dmed AS (
+  SELECT event_type,
+         MAX(CASE WHEN cumn - nn < (tot + 1) // 2
+                   AND cumn >= (tot + 1) // 2 THEN dev2 END)
+         + MAX(CASE WHEN cumn - nn < tot // 2 + 1
+                     AND cumn >= tot // 2 + 1 THEN dev2 END) AS mad4
+  FROM dcum GROUP BY 1)
+SELECT d.event_type, d.day, CAST(d.n AS BIGINT) AS n_events,
+       CAST(d.med2 * 5 AS DOUBLE) / 1000.0 AS median,
+       CAST(m.mad4 * 25 AS DOUBLE) / 10000.0 AS mad
+FROM dev d JOIN dmed m USING (event_type)
+WHERE CAST(d.dev2 AS HUGEINT) * 20000 > CAST(m.mad4 AS HUGEINT) * 29652
+"""
+
+
 def q_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATCH_RECOGNIZE-style sequence pattern query: users whose
     (ts, id)-ordered action string matches view →…→ click →…→ purchase
@@ -7568,6 +7638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_features": q_doc_features,
         "sequence_match": q_sequence_match,
         "decayed_sum": q_decayed_sum,
+        "daily_anomalies": q_daily_anomalies,
     }
 
 
@@ -7769,6 +7840,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_features": _sql_doc_features(),
         "sequence_match": _SQL_SEQUENCE_MATCH,
         "decayed_sum": _SQL_DECAYED_SUM,
+        "daily_anomalies": _SQL_DAILY_ANOMALIES,
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

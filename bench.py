@@ -223,6 +223,8 @@ HEADLINE = [
     # MATCH_RECOGNIZE-style sequence pattern + integer decayed sum
     "sequence_match",
     "decayed_sum",
+    # robust daily volume anomaly monitor
+    "daily_anomalies",
 ]
 
 
