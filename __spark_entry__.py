@@ -3602,6 +3602,62 @@ FROM documents
 """
 
 
+def q_normalized_dup_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup GAIN from canonicalization: clusters whose members share
+    normalized text but differ in RAW text — the reformatted
+    duplicates (case / punctuation / whitespace variants) that exact
+    raw-hash dedup misses entirely.  Reports (canonical group, member
+    count, distinct raw variants) for groups with >1 raw variant."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.functions.text import (
+        normalize_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    # the synthetic corpus's duplicates are byte-identical, so inject
+    # deterministic reformatted variants (uppercase + padded spaces)
+    # for every 25th doc — the reformatted-dup population this report
+    # exists to expose; the oracle constructs the identical variants
+    variants = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.concat(F.lit("  "), F.upper(F.col("text")), F.lit("  ")).alias(
+            "text"
+        )
+    )
+    all_docs = docs.select("text").unionAll(variants)
+    h = all_docs.select(
+        F.md5(normalize_text(F.col("text"), strip_punct=True)).alias(
+            "canon_hash"
+        ),
+        F.md5("text").alias("raw_hash"),
+    )
+    return (
+        h.groupBy("canon_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("raw_hash").alias("n_raw_variants"),
+        )
+        .filter(F.col("n_raw_variants") > 1)
+    )
+
+
+_SQL_NORMALIZED_DUP_GAIN = """
+WITH all_docs AS (
+  SELECT text FROM documents
+  UNION ALL
+  SELECT '  ' || upper(text) || '  ' FROM documents
+  WHERE doc_id % 25 = 0),
+h AS (
+  SELECT md5(trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-zA-Z0-9\\s]', ' ', 'g'),
+           '\\s+', ' ', 'g'))) AS canon_hash,
+         md5(text) AS raw_hash
+  FROM all_docs)
+SELECT canon_hash, COUNT(*) AS n_docs,
+       COUNT(DISTINCT raw_hash) AS n_raw_variants
+FROM h GROUP BY 1 HAVING COUNT(DISTINCT raw_hash) > 1
+"""
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-training quality gate over documents (the standard
     length/punct/stopword heuristics as scan predicates)."""
@@ -7639,6 +7695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_match": q_sequence_match,
         "decayed_sum": q_decayed_sum,
         "daily_anomalies": q_daily_anomalies,
+        "normalized_dup_gain": q_normalized_dup_gain,
     }
 
 
@@ -7841,6 +7898,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_match": _SQL_SEQUENCE_MATCH,
         "decayed_sum": _SQL_DECAYED_SUM,
         "daily_anomalies": _SQL_DAILY_ANOMALIES,
+        "normalized_dup_gain": _SQL_NORMALIZED_DUP_GAIN,
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

@@ -225,6 +225,8 @@ HEADLINE = [
     "decayed_sum",
     # robust daily volume anomaly monitor
     "daily_anomalies",
+    # canonicalization dedup gain (reformatted duplicates)
+    "normalized_dup_gain",
 ]
 
 
