@@ -158,6 +158,7 @@ from blueforty___etl_data_pipeline_spark.operators.profile import (
     iqr_outliers,
     mad_outliers,
     profile_table,
+    quantile_bins,
     winsorize,
     zscore_normalize,
 )
@@ -2422,6 +2423,30 @@ SELECT user_id, COUNT(*) AS n_events,
        CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_ts_us,
        string_agg(event_type, '>' ORDER BY ts, event_id) AS actions
 FROM events GROUP BY 1
+"""
+
+
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth quantile binning (operators/profile.quantile_bins):
+    every event assigned its per-type quartile bucket via broadcast
+    boundaries — the map-stage discretization that replaces a per-row
+    NTILE sort."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return quantile_bins(ev, ["event_type"], "value")
+
+
+def _sql_quantile_bins() -> str:
+    return f"""
+WITH b AS ({_SQL_GROUPED_QUANTILES})
+SELECT e.event_id, e.event_type, e.value,
+       CAST(CASE WHEN e.value <= b.p25 THEN 1
+                 WHEN e.value <= b.p50 THEN 2
+                 WHEN e.value <= b.p75 THEN 3
+                 ELSE 4 END AS INTEGER) AS bin
+FROM events e JOIN b USING (event_type)
 """
 
 
@@ -7696,6 +7721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_sum": q_decayed_sum,
         "daily_anomalies": q_daily_anomalies,
         "normalized_dup_gain": q_normalized_dup_gain,
+        "quantile_bins": q_quantile_bins,
     }
 
 
@@ -7899,6 +7925,7 @@ def oracle_sql() -> dict[str, str]:
         "decayed_sum": _SQL_DECAYED_SUM,
         "daily_anomalies": _SQL_DAILY_ANOMALIES,
         "normalized_dup_gain": _SQL_NORMALIZED_DUP_GAIN,
+        "quantile_bins": _sql_quantile_bins(),
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

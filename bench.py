@@ -227,6 +227,8 @@ HEADLINE = [
     "daily_anomalies",
     # canonicalization dedup gain (reformatted duplicates)
     "normalized_dup_gain",
+    # equi-depth quantile binning (map-stage discretization)
+    "quantile_bins",
 ]
 
 

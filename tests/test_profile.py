@@ -496,3 +496,22 @@ def test_schema_drift_add_remove_retype(spark):
         "c": ("removed", "double", None),
         "d": ("added", None, "boolean"),
     }
+
+
+def test_quantile_bins_equi_depth(spark):
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        quantile_bins,
+    )
+
+    # values 1..8 in one group: quartile boundaries at 2, 4, 6 ->
+    # exactly two rows per bin; boundary values bin LOW
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 9)], "g string, v double"
+    )
+    out = {
+        r["v"]: r["bin"]
+        for r in quantile_bins(df, ["g"], "v").collect()
+    }
+    assert out == {
+        1.0: 1, 2.0: 1, 3.0: 2, 4.0: 2, 5.0: 3, 6.0: 3, 7.0: 4, 8.0: 4,
+    }
