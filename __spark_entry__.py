@@ -3143,6 +3143,43 @@ SELECT node, component_id FROM comps
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup dedup (operators/graph.dedup_keep_best):
+    each duplicate cluster keeps its LONGEST member (n_chars argmax,
+    id tiebreak) instead of the arbitrary min id — min-id
+    canonicalization throws away the best copy about half the time."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.graph import (
+        dedup_keep_best,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=_MH_NUM, bands=_MH_BANDS, impl="arrow"
+    )
+    return dedup_keep_best(docs, pairs, quality_col="n_chars").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def _sql_dedup_keep_best() -> str:
+    return f"""
+WITH RECURSIVE {_sql_components_cte()},
+scored AS (
+  SELECT c.node, c.component_id, d.n_chars
+  FROM comps c JOIN documents d ON c.node = d.doc_id),
+best AS (
+  SELECT node FROM (
+    SELECT node, ROW_NUMBER() OVER (PARTITION BY component_id
+                 ORDER BY n_chars DESC, node) AS rn
+    FROM scored) WHERE rn = 1)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+LEFT JOIN comps c ON c.node = d.doc_id
+WHERE c.node IS NULL OR d.doc_id IN (SELECT node FROM best)
+"""
+
+
 def q_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup dedup: LSH candidates → components → keep the
     min-id doc per cluster plus every unpaired doc."""
@@ -7722,6 +7759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_anomalies": q_daily_anomalies,
         "normalized_dup_gain": q_normalized_dup_gain,
         "quantile_bins": q_quantile_bins,
+        "dedup_keep_best": q_dedup_keep_best,
     }
 
 
@@ -7926,6 +7964,7 @@ def oracle_sql() -> dict[str, str]:
         "daily_anomalies": _SQL_DAILY_ANOMALIES,
         "normalized_dup_gain": _SQL_NORMALIZED_DUP_GAIN,
         "quantile_bins": _sql_quantile_bins(),
+        "dedup_keep_best": _sql_dedup_keep_best(),
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

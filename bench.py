@@ -229,6 +229,8 @@ HEADLINE = [
     "normalized_dup_gain",
     # equi-depth quantile binning (map-stage discretization)
     "quantile_bins",
+    # quality-aware near-dup survivor selection
+    "dedup_keep_best",
 ]
 
 

@@ -279,3 +279,44 @@ def flatten_hierarchy(
         )
     e.unpersist()
     return done
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Quality-aware near-dup dedup: within each duplicate cluster keep
+    the HIGHEST-``quality_col`` member (id as tiebreak) instead of the
+    arbitrary min-id — when near-duplicates differ in cleanliness or
+    length, min-id canonicalization throws away the best copy about
+    half the time.  Unpaired documents always survive.
+
+    Scale shape: the same label-propagation clustering as
+    :func:`dedup_near_duplicates`, plus ONE per-cluster argmax window
+    over the (tiny) paired-node set — never over the corpus.
+    """
+    from pyspark.sql import Window
+
+    comps = connected_components(pairs, src=src, dst=dst)
+    scored = comps.join(
+        df.select(F.col(id_col).alias("node"), F.col(quality_col)),
+        on="node",
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc(quality_col), F.asc("node")
+    )
+    best = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("node").alias(id_col))
+    )
+    unpaired = df.select(id_col).join(
+        comps.select(F.col("node").alias(id_col)),
+        on=id_col,
+        how="left_anti",
+    )
+    return df.join(best.union(unpaired), on=id_col, how="inner")

@@ -128,3 +128,24 @@ def test_flatten_hierarchy_forest_and_cycle_guard(spark):
     cyc = spark.createDataFrame([(1, 2), (2, 1)], "child long, parent long")
     with pytest.raises(ValueError, match="max_depth"):
         flatten_hierarchy(cyc, max_depth=5)
+
+
+def test_dedup_keep_best_prefers_quality_over_min_id(spark):
+    from blueforty___etl_data_pipeline_spark.operators.graph import (
+        dedup_keep_best,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (7, 5)],
+        "doc_id long, quality long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_keep_best(df, pairs, quality_col="quality").collect()
+    )
+    # cluster {1,2,3}: both 2 and 3 have quality 99 -> id tiebreak
+    # keeps 2 (NOT the min-id 1, whose quality is lower); 7 unpaired
+    assert kept == [2, 7]
