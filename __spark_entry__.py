@@ -2426,6 +2426,32 @@ FROM events GROUP BY 1
 """
 
 
+def q_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lang × source association table (operators/profile.
+    contingency_lift): observed counts with integer-permille lift vs
+    independence — which languages concentrate in which sources."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        contingency_lift,
+    )
+
+    return contingency_lift(
+        _t(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
+_SQL_CONTINGENCY = """
+WITH cells AS (
+  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2)
+SELECT lang, source, n,
+       CAST(CAST(1000 AS HUGEINT) * n * SUM(n) OVER ()
+            // (CAST(SUM(n) OVER (PARTITION BY lang) AS HUGEINT)
+                * SUM(n) OVER (PARTITION BY source)) AS BIGINT)
+         AS lift_permille
+FROM cells
+"""
+
+
 def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth quantile binning (operators/profile.quantile_bins):
     every event assigned its per-type quartile bucket via broadcast
@@ -7760,6 +7786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_dup_gain": q_normalized_dup_gain,
         "quantile_bins": q_quantile_bins,
         "dedup_keep_best": q_dedup_keep_best,
+        "contingency": q_contingency,
     }
 
 
@@ -7965,6 +7992,7 @@ def oracle_sql() -> dict[str, str]:
         "normalized_dup_gain": _SQL_NORMALIZED_DUP_GAIN,
         "quantile_bins": _sql_quantile_bins(),
         "dedup_keep_best": _sql_dedup_keep_best(),
+        "contingency": _SQL_CONTINGENCY,
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

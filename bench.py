@@ -231,6 +231,8 @@ HEADLINE = [
     "quantile_bins",
     # quality-aware near-dup survivor selection
     "dedup_keep_best",
+    # categorical association (lift vs independence)
+    "contingency",
 ]
 
 

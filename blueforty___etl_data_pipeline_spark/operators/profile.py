@@ -843,3 +843,37 @@ def quantile_bins(
         .withColumn(out_col, expr.cast("int"))
         .drop(*pcols)
     )
+
+
+def contingency_lift(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Contingency table with independence lift: for every
+    (row, column) category pair, the observed count and
+    ``lift_permille = 1000·n·N div (row_total·col_total)`` — the
+    observed/expected-under-independence ratio (1000 ≈ independent,
+    ≫1000 = the categories co-occur; the integer-permille cousin of a
+    χ² cell contribution).  The association-mining view of two
+    categorical columns (which languages concentrate in which sources,
+    which event types cluster on which days).
+
+    Scale shape: one hash-agg to the (row, col) cell table; marginals
+    and the grand total are windows over the CELL table (cardinality =
+    |rows|×|cols|, tiny), never re-scans of the input.
+    """
+    cells = df.groupBy(row_col, col_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # DECIMAL(38,0) headroom: n·N is rows² and wraps int64 past ~3e9
+    # rows; the marginal product likewise
+    return cells.select(
+        row_col,
+        col_col,
+        "n",
+        F.expr(
+            "CAST(CAST(1000 AS DECIMAL(38,0)) * n * "
+            "SUM(n) OVER (PARTITION BY 1) DIV "
+            f"(CAST(SUM(n) OVER (PARTITION BY {row_col}) AS DECIMAL(38,0))"
+            f" * SUM(n) OVER (PARTITION BY {col_col})) AS BIGINT)"
+        ).alias("lift_permille"),
+    )
