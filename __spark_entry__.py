@@ -2426,6 +2426,50 @@ FROM events GROUP BY 1
 """
 
 
+def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users reached per event type as of each day
+    (operators/analytics.running_distinct) — the COUNT(DISTINCT) OVER
+    that SQL engines refuse, via the first-occurrence-flag + running-
+    sum two-window form, rolled up to day granularity."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        running_distinct,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    )
+    r = running_distinct(
+        ev, key_col="event_type", order_col="day", distinct_col="user_id"
+    )
+    return r.groupBy("event_type", "day").agg(
+        F.max("n_distinct_so_far").alias("n_users_to_date")
+    )
+
+
+_SQL_RUNNING_DISTINCT = """
+WITH e AS (
+  SELECT event_type, user_id,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events),
+f AS (
+  SELECT event_type, day,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+                                      ORDER BY day) = 1
+              THEN 1 ELSE 0 END AS new_flag
+  FROM e),
+r AS (
+  SELECT event_type, day,
+         SUM(new_flag) OVER (PARTITION BY event_type ORDER BY day)
+           AS n_so_far
+  FROM f)
+SELECT event_type, day, CAST(MAX(n_so_far) AS BIGINT) AS n_users_to_date
+FROM r GROUP BY 1, 2
+"""
+
+
 def q_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lang × source association table (operators/profile.
     contingency_lift): observed counts with integer-permille lift vs
@@ -7787,6 +7831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bins": q_quantile_bins,
         "dedup_keep_best": q_dedup_keep_best,
         "contingency": q_contingency,
+        "running_distinct": q_running_distinct,
     }
 
 
@@ -7993,6 +8038,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_bins": _sql_quantile_bins(),
         "dedup_keep_best": _sql_dedup_keep_best(),
         "contingency": _SQL_CONTINGENCY,
+        "running_distinct": _SQL_RUNNING_DISTINCT,
         # approx_profile: sketch outputs are engine-specific by design —
         # rows-only check; error bound asserted in tests/test_profile.py
     }

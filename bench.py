@@ -233,6 +233,8 @@ HEADLINE = [
     "dedup_keep_best",
     # categorical association (lift vs independence)
     "contingency",
+    # running distinct (COUNT DISTINCT OVER via two windows)
+    "running_distinct",
 ]
 
 

@@ -319,3 +319,40 @@ def conversion_attribution(
     return out.filter(F.col(action_col) == conversion_type).drop(
         action_col
     )
+
+
+def running_distinct(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    distinct_col: str,
+    alias: str = "n_distinct_so_far",
+) -> DataFrame:
+    """Cumulative DISTINCT count per key in event order — the
+    ``COUNT(DISTINCT) OVER (ORDER BY …)`` SQL engines (Spark included)
+    refuse to evaluate, expressed with two windows: flag each row that
+    is the FIRST occurrence of its ``distinct_col`` value within the
+    key (row_number over (key, value) = 1), then a running sum of the
+    flags over the event order.  Classic use: distinct users reached
+    as of each event/day.
+
+    Ties in ``order_col`` share a RANGE-frame running value (the tie
+    group is atomic), so the result is row-order-invariant.
+
+    Scale shape: two window passes over the same key partition — the
+    first sorts by (value, order), the second by order; both shuffles
+    key on ``key_col`` and AQE reuses the exchange.
+    """
+    w_first = Window.partitionBy(key_col, distinct_col).orderBy(
+        order_col
+    )
+    w_run = Window.partitionBy(key_col).orderBy(order_col)
+    flagged = df.withColumn(
+        "_new",
+        F.when(F.row_number().over(w_first) == 1, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    return flagged.withColumn(
+        alias, F.sum("_new").over(w_run).cast("long")
+    ).drop("_new")

@@ -390,3 +390,28 @@ def test_sequence_match_token_boundaries(spark):
         r["user_id"] for r in seq.filter(F.col("actions").rlike(pat)).collect()
     )
     assert hits == [1]
+
+
+def test_running_distinct_counts_first_occurrences(spark):
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        running_distinct,
+    )
+
+    rows = [
+        ("a", 1, 10), ("a", 2, 20), ("a", 1, 30), ("a", 3, 30),
+        ("b", 9, 10),
+    ]
+    df = spark.createDataFrame(rows, "k string, u long, t long")
+    out = {
+        (r["k"], r["t"], r["u"]): r["n_distinct_so_far"]
+        for r in running_distinct(
+            df, key_col="k", order_col="t", distinct_col="u"
+        ).collect()
+    }
+    # t=30 is a tie group: both rows see the group-end value 3 (user 1
+    # repeat adds nothing, user 3 is new)
+    assert out == {
+        ("a", 10, 1): 1, ("a", 20, 2): 2,
+        ("a", 30, 1): 3, ("a", 30, 3): 3,
+        ("b", 10, 9): 1,
+    }
