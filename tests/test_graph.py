@@ -149,3 +149,38 @@ def test_dedup_keep_best_prefers_quality_over_min_id(spark):
     # cluster {1,2,3}: both 2 and 3 have quality 99 -> id tiebreak
     # keeps 2 (NOT the min-id 1, whose quality is lower); 7 unpaired
     assert kept == [2, 7]
+
+
+def test_flatten_hierarchy_randomized_vs_python_walk(spark):
+    import random
+
+    from blueforty___etl_data_pipeline_spark.operators.graph import (
+        flatten_hierarchy,
+    )
+
+    for seed in (0, 1):
+        rng = random.Random(seed)
+        # random forest: each node 1..60 parents to a strictly smaller
+        # id (or is a root with p=0.15)
+        edges = []
+        parent = {}
+        for n in range(1, 61):
+            if n > 0 and rng.random() > 0.15 and n > 1:
+                p = rng.randint(1, n - 1)
+                edges.append((n, p))
+                parent[n] = p
+        def walk(n):
+            d = 0
+            while n in parent:
+                n = parent[n]
+                d += 1
+            return n, d
+        nodes = {x for e in edges for x in e}
+        want = {n: walk(n) for n in nodes}
+        got = {
+            r["node"]: (r["root"], r["depth"])
+            for r in flatten_hierarchy(
+                spark.createDataFrame(edges, "child long, parent long")
+            ).collect()
+        }
+        assert got == want, f"seed {seed}"

@@ -357,3 +357,35 @@ def test_power_iteration_finds_dominant_axis(spark):
     assert abs(out[2]) == 1_000_000
     assert all(abs(out[d]) < 20_000 for d in (1, 3))
     assert abs(out[0]) < 100_000
+
+
+def test_power_iteration_matches_numpy_dominant_eigvec(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    # anisotropic cloud: dominant direction is a random unit vector u
+    u = rng.normal(size=6)
+    u /= np.linalg.norm(u)
+    pts = (
+        np.outer(rng.normal(scale=5.0, size=80), u)
+        + rng.normal(scale=0.3, size=(80, 6))
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        top_principal_direction,
+    )
+
+    out = top_principal_direction(emb, iters=6, dim=6).collect()
+    v = np.array([r["v_fp"] for r in sorted(out, key=lambda r: r["dim"])],
+                 dtype=float)
+    v /= np.linalg.norm(v)
+    # numpy reference: dominant eigenvector of the quantized Gram matrix
+    q = np.floor(pts * 1e6)
+    g = q.T @ q
+    w_, vec = np.linalg.eigh(g)
+    ref = vec[:, -1]
+    cos = abs(float(v @ ref))
+    assert cos > 0.999, cos

@@ -230,3 +230,42 @@ def test_seasonality_profile_integer_buckets(spark):
         for r in seasonality_profile(df).collect()
     }
     assert out == {(4, 5): (2, 666), (0, 23): (1, 333)}
+
+
+def test_bucketed_packs_randomized_vs_python_sim(spark):
+    import random
+
+    from blueforty___etl_data_pipeline_spark.operators.text_ops import (
+        bucketed_packs,
+    )
+
+    def p2ceil(n):
+        if n <= 1:
+            return n
+        return 1 << (n - 1).bit_length()
+
+    for seed in (0, 1):
+        rng = random.Random(seed)
+        docs = [
+            (i, " ".join("w" * 1 for _ in range(rng.randint(1, 40))))
+            for i in range(60)
+        ]
+        budget = 50
+        # python reference: per power-of-two bucket, id-ordered prefix sum
+        want = {}
+        cums = {}
+        for i, text in sorted(docs):
+            n = len(text.split())
+            b = p2ceil(n)
+            before = cums.get(b, 0)
+            want[i] = (n, b, before // budget)
+            cums[b] = before + n
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["bucket"], r["pack_id"])
+            for r in bucketed_packs(
+                spark.createDataFrame(docs, "doc_id long, text string")
+                .repartition(5),
+                budget=budget,
+            ).collect()
+        }
+        assert got == want, f"seed {seed}"
