@@ -294,3 +294,49 @@ def test_temperature_mix_boosts_tail_sources(spark):
     ids1 = sorted(r["doc_id"] for r in temperature_mix(df).collect())
     ids2 = sorted(r["doc_id"] for r in temperature_mix(df).collect())
     assert ids1 == ids2
+
+
+def test_temperature_mix_randomized_vs_python_sim(spark):
+    import hashlib
+    import math
+    import random
+
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    def bucket(doc_id):
+        h = hashlib.md5(f"tmix:{doc_id}".encode()).hexdigest()[:15]
+        return int(h, 16) % 10_000
+
+    for seed in (0, 1):
+        rng = random.Random(seed)
+        docs = []
+        i = 0
+        for s, lo, hi in (("A", 5, 30), ("B", 2, 10), ("C", 1, 4)):
+            for _ in range(rng.randint(10, 40)):
+                docs.append((i, "w " * rng.randint(lo, hi), s))
+                i += 1
+        # python reference of the exact integer pipeline
+        tot = {}
+        for _, text, s in docs:
+            tot[s] = tot.get(s, 0) + len(text.split())
+        wfp = {s: math.floor(math.sqrt(t) * 1_000_000) for s, t in tot.items()}
+        wsum = sum(wfp.values())
+        ncorp = min(t * wsum // wfp[s] for s, t in tot.items())
+        cut = {
+            s: min(wfp[s] * ncorp * 10_000 // (wsum * tot[s]), 10_000)
+            for s in tot
+        }
+        want = sorted(
+            d for d, _, s in docs if bucket(d) < cut[s]
+        )
+        got = sorted(
+            r["doc_id"]
+            for r in temperature_mix(
+                spark.createDataFrame(
+                    docs, "doc_id long, text string, source string"
+                ).repartition(4)
+            ).collect()
+        )
+        assert got == want, f"seed {seed}"
