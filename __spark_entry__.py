@@ -1847,13 +1847,13 @@ WITH e AS (
 w AS (
   SELECT user_id, event_id AS conversion_id, event_type, us,
          MIN(CASE WHEN event_type = 'click' THEN us END) OVER
-           (PARTITION BY user_id ORDER BY us, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           (PARTITION BY user_id ORDER BY us
+            RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
            AS first_touch_us,
          LAST_VALUE(CASE WHEN event_type = 'click' THEN us END
                     IGNORE NULLS) OVER
-           (PARTITION BY user_id ORDER BY us, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           (PARTITION BY user_id ORDER BY us
+            RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
            AS last_touch_us
   FROM e)
 SELECT user_id, conversion_id, us AS conversion_us,
@@ -3084,11 +3084,13 @@ def q_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_DUP_WEIGHTS = """
-WITH c AS (SELECT md5(text) AS h, COUNT(*) AS dup_count
-           FROM documents GROUP BY 1)
+WITH h AS (SELECT doc_id,
+                  md5(COALESCE(text, chr(0) || '__null_text__')) AS h
+           FROM documents),
+c AS (SELECT h, COUNT(*) AS dup_count FROM h GROUP BY 1)
 SELECT d.doc_id, c.dup_count,
        CAST(1000 // c.dup_count AS BIGINT) AS weight_permille
-FROM documents d JOIN c ON md5(d.text) = c.h
+FROM h d JOIN c USING (h)
 """
 
 
@@ -5336,7 +5338,7 @@ def q_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_GROUPED_MEDIAN = """
 WITH counts AS (
   SELECT o_orderpriority,
-         CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS c,
+         CAST(trunc(CAST(o_totalprice AS DECIMAL(18,4)) * 100) AS BIGINT) AS c,
          COUNT(*) AS cnt
   FROM orders GROUP BY 1, 2
 ), cum AS (
@@ -5489,7 +5491,7 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_MAD_OUTLIERS = """
 WITH base AS (
   SELECT event_id, event_type, value,
-         CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS c
+         CAST(trunc(CAST(value AS DECIMAL(18,4)) * 100) AS BIGINT) AS c
   FROM events),
 cnt AS (SELECT event_type, c, COUNT(*) AS n FROM base GROUP BY 1, 2),
 cum AS (

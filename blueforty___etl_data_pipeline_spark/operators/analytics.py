@@ -294,19 +294,26 @@ def conversion_attribution(
     (user, conversion_id, conversion_ts, first_touch_ts,
     last_touch_ts) with NULLs for unattributed conversions.
 
-    One per-user window ordered by (ts, id) carries both running
-    aggregates — min and last-non-null of the conditional touch
-    timestamp — so attribution costs exactly the sessionize shuffle,
-    with no touches×conversions self-join (the naive SQL shape, which
-    is quadratic per user).  Strictly-preceding semantics: the frame
-    ends one row before the conversion, so a same-instant touch does
-    not attribute to it.
+    One per-user window carries both running aggregates — min and
+    last-non-null of the conditional touch timestamp — so attribution
+    costs exactly the sessionize shuffle, with no touches×conversions
+    self-join (the naive SQL shape, which is quadratic per user).
+    TIME-strict semantics: the window orders by microseconds with a
+    RANGE frame ending at −1 µs, so the frame holds exactly the rows
+    with ``touch_ts < conversion_ts`` — a same-INSTANT touch never
+    attributes, regardless of how event ids tie-break the row order.
+    (Within an equal-µs tie group the attributed VALUE is still
+    deterministic: min is order-free, and last-non-null either comes
+    from the tie group — where every candidate carries the same µs —
+    or from strictly earlier rows.)
     """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w = (
         Window.partitionBy(user_col)
-        .orderBy(ts_col, id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .orderBy("_us")
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
+    df = df.withColumn("_us", us)
     touch_ts = F.when(F.col(action_col) == touch_type, F.col(ts_col))
     out = df.select(
         F.col(user_col),

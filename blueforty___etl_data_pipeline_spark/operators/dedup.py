@@ -980,14 +980,20 @@ def dup_weights(
     preserves natural-distribution signal that hard dedup destroys
     (duplicated text is often *popular* text).
 
-    Returns (id, dup_count, weight_permille) for every input row.
+    Returns (id, dup_count, weight_permille) for every input row —
+    including NULL-text rows, which hash a sentinel and so form their
+    own duplicate cluster instead of silently dropping out of the
+    null-unsafe equi-join below.
 
     Scale shape: the same single hash-keyed partial-agg shuffle as
     :func:`exact_dup_groups`, plus one equi-join of the (content_hash,
     count) table back onto the hashed rows.
     """
     hashed = df.select(
-        F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col)
+        F.md5(
+            F.coalesce(F.col(text_col), F.lit("\x00__null_text__"))
+        ).alias("content_hash"),
+        F.col(id_col),
     )
     counts = hashed.groupBy("content_hash").agg(
         F.count(F.lit(1)).alias("dup_count")

@@ -96,6 +96,11 @@ def grouped_median_exact(
     final division is a single IEEE op).
     """
     gcols = list(group_cols)
+    # Cents quantization rule (shared with mad_outliers and the DuckDB
+    # oracles): DECIMAL(18,4) cast, ×100, then TRUNCATE toward zero.
+    # Spark's decimal→long cast truncates; the oracles spell it
+    # trunc(...) explicitly so >2-decimal inputs quantize identically
+    # on both engines by construction.
     cents = F.col(value_col).cast(_DEC) * 100
     out = _median2_int(
         df.select(*gcols, cents.cast("long").alias("_c")), gcols, "_c"
@@ -712,7 +717,11 @@ def heavy_hitters(
                 }
         yield pd.DataFrame({"_v": list(counters.keys())})
 
-    cands = src.mapInPandas(mg, schema="_v string").distinct()
+    # Schema is derived from the input column, not hard-coded: the
+    # candidate frame must round-trip through Arrow with the SAME type
+    # as the source (bigint join keys are the typical input), or the
+    # broadcast semi-join below would compare mismatched types.
+    cands = src.mapInPandas(mg, schema=src.schema).distinct()
     total = src.agg(F.count(F.lit(1)).alias("_n"))
     counted = (
         src.join(F.broadcast(cands), on="_v", how="left_semi")

@@ -820,7 +820,12 @@ def semantic_dedup(
     never materializes — per-cluster cost is |cluster|², and k is grown
     with the corpus to keep clusters bounded (SemDeDup uses ~100k
     clusters at billion-doc scale).  The assigned projection (vector +
-    norm) is persisted once and read by both sides of the self-join.
+    norm) is persisted for the self-join only: the dropped-id set
+    (ids, no vectors) is materialized eagerly via localCheckpoint and
+    the projection is unpersisted BEFORE returning, so repeated calls
+    in a long-lived session do not accumulate cached vector blocks.
+    The returned plan reads only the cheap assignment pass (scan +
+    broadcast-centroid argmin) plus the checkpointed id set.
     """
     assigned = assign_nearest_centroid(
         emb, centroids, id_col=id_col, vec_col=vec_col,
@@ -853,9 +858,11 @@ def semantic_dedup(
         .select(F.col(f"r.{id_col}").alias(id_col))
         .distinct()
         .withColumn("_dropped", F.lit(True))
+        .localCheckpoint(eager=True)
     )
+    b.unpersist()
     return (
-        b.join(dropped, on=id_col, how="left")
+        assigned.join(dropped, on=id_col, how="left")
         .select(
             F.col(id_col),
             F.col("centroid_id"),

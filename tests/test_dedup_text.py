@@ -574,3 +574,24 @@ def test_containment_pairs_detects_excerpt(spark):
     # permille one way; the book (8 shingles) is NOT contained in the
     # excerpt (5/8 = 625 < 800); "other" shares nothing
     assert out == {(2, 1): 1000}
+
+
+def test_dup_weights_null_text_forms_own_cluster(spark):
+    # NULL-text rows hash a sentinel instead of dropping out of the
+    # null-unsafe content_hash equi-join: every input row appears in
+    # the output, and the NULLs cluster together.
+    from blueforty___etl_data_pipeline_spark.operators.dedup import (
+        dup_weights,
+    )
+
+    rows = [
+        (1, "same"), (2, "same"), (3, "unique"), (4, None), (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["dup_count"], r["weight_permille"])
+        for r in dup_weights(df).collect()
+    }
+    assert out == {
+        1: (2, 500), 2: (2, 500), 3: (1, 1000), 4: (2, 500), 5: (2, 500),
+    }

@@ -343,10 +343,15 @@ def test_conversion_attribution_strictly_preceding(spark):
 
     # user 1: click(10), click(20), purchase(30) -> first 10, last 20.
     # user 2: purchase(10) with a click only AT the same instant
-    # (id-later) and after -> unattributed (strictly preceding).
+    # (id-later) and after -> unattributed (time-strict).
+    # user 3: click AT the same instant with an EARLIER id -> still
+    # unattributed: the RANGE frame is time-strict (touch_ts <
+    # conversion_ts), not row-positional, so id tiebreaks never leak
+    # a same-instant touch into the frame.
     rows = [
         (1, 1, 10, "click"), (2, 1, 20, "click"), (3, 1, 30, "purchase"),
         (4, 2, 10, "purchase"), (5, 2, 10, "click"), (6, 2, 20, "click"),
+        (7, 3, 10, "click"), (8, 3, 10, "purchase"),
     ]
     df = spark.createDataFrame(
         rows, "event_id long, user_id long, ts long, event_type string"
@@ -355,7 +360,7 @@ def test_conversion_attribution_strictly_preceding(spark):
         r["conversion_id"]: (r["first_touch_ts"], r["last_touch_ts"])
         for r in conversion_attribution(df).collect()
     }
-    assert out == {3: (10, 20), 4: (None, None)}
+    assert out == {3: (10, 20), 4: (None, None), 8: (None, None)}
 
 
 def test_sequence_match_token_boundaries(spark):

@@ -423,6 +423,25 @@ def test_heavy_hitters_exact_under_scrambled_partitioning(spark):
     assert heavy_hitters(df, "w", k=2).count() == 0
 
 
+def test_heavy_hitters_non_string_column(spark):
+    # The candidate frame's mapInPandas schema is derived from the
+    # input column's type, so bigint keys (the typical heavy-hitter
+    # input) round-trip through Arrow and join back type-correctly.
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        heavy_hitters,
+    )
+
+    rows = [(42,)] * 300 + [(1000 + i,) for i in range(700)]
+    df = spark.createDataFrame(rows, "k long").repartition(7)
+    out = {
+        (r["k"], r["n_rows"], r["share_permille"])
+        for r in heavy_hitters(df, "k", k=5).collect()
+    }
+    assert out == {(42, 300, 300)}
+    dtypes = dict(heavy_hitters(df, "k", k=5).dtypes)
+    assert dtypes["k"] == "bigint"
+
+
 def test_fk_containment_clean_partial_and_null(spark):
     from blueforty___etl_data_pipeline_spark.operators.profile import (
         fk_containment,
