@@ -7605,42 +7605,109 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query correctness window carries the
-    most NEW signal each round.  Round-4 layout:
+    most NEW signal each round.  Round-5 layout:
 
-    - 2 sentinels that were driver-green in rounds 2+3 (regression
-      canary: one agg path, one source/shred path);
-    - the 6 round-3 red rows, now fixed (HUGEINT oracle casts) — kept
-      inside the window to prove the fix;
-    - then all 42 of the 48 queries that have NEVER had driver signal
-      (positions 51+ last round): span dedup, source mixing, budget
-      curation, incremental LSH, arbitrary-stateful streaming,
-      persisted IVF, snapshot diff, the composed training pipeline,
-      RRF, weighted sampling, quantiles/outliers/constraints, scalar
-      and window misc, variant extraction, and TPC-H analogs.
+    - 1 sentinel that was driver-green in rounds 2-4 (`order_totals`,
+      the agg-path regression canary);
+    - the 16 round-3-backlog queries that have spilled past position
+      50 twice (BPE, streaming join/dedup, TPC-H analogs,
+      minhash-expr twin);
+    - 33 of the 46 round-4 session additions — prioritizing the ones
+      whose behavior this round's advisor fixes changed
+      (mad_outliers, daily_anomalies, attribution, dup_weights,
+      heavy_hitters) plus every novel-machinery family (power
+      iteration, hierarchy flattening, hybrid search, real-media
+      augment/audio, table digest, SQL interface, collocations).
 
-    Six TPC-H-analog join/agg queries (promo_revenue, top_supplier,
-    min_cost_supplier, forecast_revenue, important_parts,
-    promo_suppliers) spill to the round-5 window — they ride machinery
-    (equi-joins + grouped aggregates) already driver-green via
-    pricing_summary / market_share / volume_shipping / product_profit.
-
-    Everything from position 51 on is spilled overflow or was already
-    driver-green in rounds 2/3.
+    The 13 spilled round-4 additions ride machinery already
+    driver-green via other rows (streaming_sliding via
+    streaming_tumbling + sliding_window; language_confusion via
+    language_id; quantile_bins via grouped_quantiles; …) and lead the
+    round-6 window, followed by this round's new session additions.
+    Everything after them was driver-green in rounds 2-4.
     """
     return {
-        # -- sentinel (driver-green in r2+r3; dropped to ONE to make
-        # room for a first-signal row, per the r3 verdict's allowance) -----
+        # -- sentinel (driver-green r2+r3+r4: the regression canary) ------
         "order_totals": q_order_totals,
-        # -- flagship real-media decode: first driver signal ---------------
+        # -- round-3 backlog: first driver signal (spilled twice) ----------
+        "bpe_train": q_bpe_train,
+        "bpe_segment": q_bpe_segment,
+        "winsorize": q_winsorize,
+        "streaming_join": q_streaming_join,
+        "action_sequences": q_action_sequences,
+        "negative_samples": q_negative_samples,
+        "corpus_report": q_corpus_report,
+        "ngram_model_score": q_ngram_model_score,
+        "streaming_dedup": q_streaming_dedup,
+        "promo_revenue": q_promo_revenue,
+        "top_supplier": q_top_supplier,
+        "min_cost_supplier": q_min_cost_supplier,
+        "forecast_revenue": q_forecast_revenue,
+        "important_parts": q_important_parts,
+        "promo_suppliers": q_promo_suppliers,
+        "minhash_lsh_pairs_expr": q_minhash_lsh_pairs_expr,
+        # -- round-4 additions: first driver signal ------------------------
+        # (every query touched by this round's advisor fixes — mad/
+        # daily quantization, attribution RANGE frame, dup_weights NULL
+        # cluster, heavy_hitters typed candidates — is kept inside the
+        # window so the driver signs off on the changed behavior)
+        "semantic_dedup": q_semantic_dedup,
+        "remove_duplicate_spans": q_remove_duplicate_spans,
+        "temperature_mix": q_temperature_mix,
+        "skew_report": q_skew_report,
+        "token_entropy": q_token_entropy,
+        "tokenize_pack": q_tokenize_pack,
+        "interval_concurrency": q_interval_concurrency,
+        "incremental_recompute": q_incremental_recompute,
+        "audio_decode_real": q_audio_decode_real,
+        "mad_outliers": q_mad_outliers,
+        "ann_lsh_multi": q_ann_lsh_multi,
+        "action_transitions": q_action_transitions,
+        "contamination_report": q_contamination_report,
+        "attribution": q_attribution,
+        "heavy_hitters": q_heavy_hitters,
+        "fk_containment": q_fk_containment,
+        "flatten_hierarchy": q_flatten_hierarchy,
+        "dedup_report": q_dedup_report,
+        "hybrid_search": q_hybrid_search,
+        "streaming_ingest": q_streaming_ingest,
+        "table_digest": q_table_digest,
+        "lsh_recall": q_lsh_recall,
+        "power_iteration": q_power_iteration,
+        "group_split": q_group_split,
+        "merge_aggregate": q_merge_aggregate,
+        "bucketed_packs": q_bucketed_packs,
+        "sql_interface": q_sql_interface,
+        "image_augment_real": q_image_augment_real,
+        "dup_weights": q_dup_weights,
+        "collocations": q_collocations,
+        "ann_mrr": q_ann_mrr,
+        "containment_pairs": q_containment_pairs,
+        "daily_anomalies": q_daily_anomalies,
+        # ---- position 51+: spilled to the round-6 window (ride machinery
+        # already driver-green: streaming/sliding twins, window/agg misc,
+        # tfidf/language-id derivatives) -----------------------------------
+        "streaming_sliding": q_streaming_sliding,
+        "contrastive_pairs": q_contrastive_pairs,
+        "language_confusion": q_language_confusion,
+        "seasonality": q_seasonality,
+        "source_keywords": q_source_keywords,
+        "doc_features": q_doc_features,
+        "sequence_match": q_sequence_match,
+        "decayed_sum": q_decayed_sum,
+        "normalized_dup_gain": q_normalized_dup_gain,
+        "quantile_bins": q_quantile_bins,
+        "dedup_keep_best": q_dedup_keep_best,
+        "contingency": q_contingency,
+        "running_distinct": q_running_distinct,
+        # ---- driver-green in rounds 2-4 ----------------------------------
         "multimodal_decode_real": q_multimodal_decode_real,
-        # -- r3 red rows, fixed this round (HUGEINT oracle casts) ----------
         "assign_packs": q_assign_packs,
         "assign_packs_scalable": q_assign_packs_scalable,
         "word_stats": q_word_stats,
         "grouped_median": q_grouped_median,
         "histogram": q_histogram,
         "bm25_search": q_bm25_search,
-        # -- never driver-checked before this round ------------------------
         "duplicate_spans": q_duplicate_spans,
         "span_dup_stats": q_span_dup_stats,
         "mix_sources": q_mix_sources,
@@ -7683,24 +7750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_distribution": q_customer_distribution,
         "disjunctive_pred": q_disjunctive_pred,
         "approx_profile": q_approx_profile,
-        # ---- position 51+: spilled to the round-5 window -----------------
         "xml_shred": q_xml_shred,
-        "bpe_train": q_bpe_train,
-        "bpe_segment": q_bpe_segment,
-        "winsorize": q_winsorize,
-        "streaming_join": q_streaming_join,
-        "action_sequences": q_action_sequences,
-        "negative_samples": q_negative_samples,
-        "corpus_report": q_corpus_report,
-        "ngram_model_score": q_ngram_model_score,
-        "streaming_dedup": q_streaming_dedup,
-        "promo_revenue": q_promo_revenue,
-        "top_supplier": q_top_supplier,
-        "min_cost_supplier": q_min_cost_supplier,
-        "forecast_revenue": q_forecast_revenue,
-        "important_parts": q_important_parts,
-        "promo_suppliers": q_promo_suppliers,
-        # ---- driver-green in round 3 -------------------------------------
         "reconciliation": q_reconciliation,
         "top1_per_group": q_top1_per_group,
         "tumbling_window": q_tumbling_window,
@@ -7743,7 +7793,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_shipping": q_volume_shipping,
         "market_share": q_market_share,
         "waiting_suppliers": q_waiting_suppliers,
-        # ---- driver-green in round 2 -------------------------------------
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
@@ -7767,7 +7816,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": q_sliding_window,
         "exact_dup_groups": q_exact_dup_groups,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "minhash_lsh_pairs_expr": q_minhash_lsh_pairs_expr,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -7787,53 +7835,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "quota_cap": q_quota_cap,
         "quality_filter": q_quality_filter,
-        # ---- round-4 session additions (next window) ---------------------
-        "semantic_dedup": q_semantic_dedup,
-        "remove_duplicate_spans": q_remove_duplicate_spans,
-        "temperature_mix": q_temperature_mix,
-        "skew_report": q_skew_report,
-        "token_entropy": q_token_entropy,
-        "tokenize_pack": q_tokenize_pack,
-        "interval_concurrency": q_interval_concurrency,
-        "incremental_recompute": q_incremental_recompute,
-        "audio_decode_real": q_audio_decode_real,
-        "mad_outliers": q_mad_outliers,
-        "ann_lsh_multi": q_ann_lsh_multi,
-        "action_transitions": q_action_transitions,
-        "contamination_report": q_contamination_report,
-        "attribution": q_attribution,
-        "heavy_hitters": q_heavy_hitters,
-        "fk_containment": q_fk_containment,
-        "flatten_hierarchy": q_flatten_hierarchy,
-        "language_confusion": q_language_confusion,
-        "dedup_report": q_dedup_report,
-        "hybrid_search": q_hybrid_search,
-        "streaming_ingest": q_streaming_ingest,
-        "table_digest": q_table_digest,
-        "lsh_recall": q_lsh_recall,
-        "power_iteration": q_power_iteration,
-        "group_split": q_group_split,
-        "merge_aggregate": q_merge_aggregate,
-        "bucketed_packs": q_bucketed_packs,
-        "streaming_sliding": q_streaming_sliding,
-        "contrastive_pairs": q_contrastive_pairs,
-        "sql_interface": q_sql_interface,
-        "image_augment_real": q_image_augment_real,
-        "dup_weights": q_dup_weights,
-        "collocations": q_collocations,
-        "seasonality": q_seasonality,
-        "ann_mrr": q_ann_mrr,
-        "containment_pairs": q_containment_pairs,
-        "source_keywords": q_source_keywords,
-        "doc_features": q_doc_features,
-        "sequence_match": q_sequence_match,
-        "decayed_sum": q_decayed_sum,
-        "daily_anomalies": q_daily_anomalies,
-        "normalized_dup_gain": q_normalized_dup_gain,
-        "quantile_bins": q_quantile_bins,
-        "dedup_keep_best": q_dedup_keep_best,
-        "contingency": q_contingency,
-        "running_distinct": q_running_distinct,
     }
 
 
