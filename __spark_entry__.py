@@ -5715,7 +5715,10 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = hash_split(clean).filter(F.col("split") == "train").drop(
         "split"
     )
-    return assign_packs(train, budget=2048)
+    # Scale path: the two-phase distributed prefix sum (no global
+    # single-partition window over the corpus); oracle-equal to the
+    # global-window assign_packs reference form.
+    return assign_packs_scalable(train, budget=2048)
 
 
 def _sql_training_pipeline() -> str:
@@ -6116,27 +6119,22 @@ def q_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed tokenizer-aware packing: train BPE merges on the
     corpus, segment every document with them (map-only replace chain),
     then pack documents into ~2048-BPE-token training sequences by
-    cumulative count — tokenize→pack as ONE lazy plan.  Integer `div`
-    on the running sum (not float floor) so pack ids stay exact past
-    2^53 cumulative tokens."""
+    cumulative count — tokenize→pack as ONE lazy plan.  The prefix sum
+    is the two-phase distributed form (operators/text_ops.
+    packs_from_counts): no single-partition window over the corpus,
+    and integer `div` on the running sum (not float floor) so pack ids
+    stay exact past 2^53 cumulative tokens."""
     _prep(spark)
-    from pyspark.sql import Window
+    from blueforty___etl_data_pipeline_spark.operators.text_ops import (
+        packs_from_counts,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     merges = bpe_train(docs, num_merges=_BPE_MERGES, min_count=2)
     seg = bpe_segment(docs, merges)
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return seg.select(
-        "doc_id",
-        "n_words",
-        "n_tokens",
-        F.expr(
-            f"(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN "
-            f"UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) "
-            f"div {_TOKPACK_BUDGET}"
-        ).alias("pack_id"),
+    return packs_from_counts(
+        seg.select("doc_id", "n_words", "n_tokens"),
+        budget=_TOKPACK_BUDGET,
     )
 
 

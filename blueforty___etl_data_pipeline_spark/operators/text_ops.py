@@ -117,10 +117,12 @@ def assign_packs(
     inherently sequential-stateful; that variant belongs in
     ``applyInPandasWithState`` if exact-fit packing is required).
 
-    Scale note: a single global cumulative window is one range-shuffle;
-    for 100 TB, pack within partition-sized chunks instead (add a
-    partition key to the window) — the global version is the
-    semantics-defining reference.
+    Scale note: a single global cumulative window is one range-shuffle
+    that collapses to ONE partition — this form exists as the
+    semantics-defining oracle twin only.  Composed pipelines
+    (``q_tokenize_pack``, ``q_training_pipeline``) use
+    :func:`packs_from_counts` / :func:`assign_packs_scalable`, the
+    two-phase distributed prefix sum with identical output.
     """
     from pyspark.sql import Window
 
@@ -137,19 +139,21 @@ def assign_packs(
     return with_cum.select(
         id_col,
         "n_tokens",
-        F.floor(F.col("_before") / budget).alias("pack_id"),
+        F.expr(f"_before div {int(budget)}").alias("pack_id"),
     )
 
 
-def assign_packs_scalable(
+def packs_from_counts(
     df: DataFrame,
     budget: int,
-    text_col: str = "text",
+    count_col: str = "n_tokens",
     id_col: str = "doc_id",
     chunk_size: int = 100_000,
 ) -> DataFrame:
-    """Scalable two-phase version of :func:`assign_packs` — identical
-    output (equivalence-tested), no single-partition window.
+    """Distributed prefix-sum packing over a PRECOMPUTED per-row token
+    count — the scale-path core shared by :func:`assign_packs_scalable`
+    and the composed tokenize→pack pipelines.  All input columns are
+    preserved; adds ``pack_id``.
 
     Phase 1: contiguous id-range chunks each compute their LOCAL
     cumulative token counts (window partitioned by chunk → fully
@@ -158,30 +162,27 @@ def assign_packs_scalable(
     global running total is ``chunk_offset + local_before``.  This is
     the standard distributed prefix-sum shape: the only serial work is
     over the chunk summary (rows ≈ corpus/chunk_size).
+
+    ``pack_id`` uses integer ``div`` on the running sum (not float
+    floor), so ids stay exact past 2^53 cumulative tokens.
     """
     from pyspark.sql import Window
 
-    n_tok = token_count_ws(F.col(text_col))
-    chunked = df.select(
-        F.col(id_col),
-        n_tok.alias("n_tokens"),
-        F.floor(F.col(id_col) / chunk_size).alias("_chunk"),
+    cols = df.columns
+    chunked = df.withColumn(
+        "_chunk", F.floor(F.col(id_col) / chunk_size)
     )
     w_local = (
         Window.partitionBy("_chunk")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = chunked.select(
-        id_col,
-        "n_tokens",
-        "_chunk",
-        (F.sum("n_tokens").over(w_local) - F.col("n_tokens")).alias(
-            "_local_before"
-        ),
+    local = chunked.withColumn(
+        "_local_before",
+        F.sum(count_col).over(w_local) - F.col(count_col),
     )
     totals = chunked.groupBy("_chunk").agg(
-        F.sum("n_tokens").alias("_chunk_total")
+        F.sum(count_col).alias("_chunk_total")
     )
     w_chunks = (
         Window.orderBy("_chunk")
@@ -196,12 +197,31 @@ def assign_packs_scalable(
     return (
         local.join(F.broadcast(offsets), on="_chunk")
         .select(
-            id_col,
-            "n_tokens",
-            F.floor(
-                (F.col("_chunk_offset") + F.col("_local_before")) / budget
+            *cols,
+            F.expr(
+                f"(_chunk_offset + _local_before) div {int(budget)}"
             ).alias("pack_id"),
         )
+    )
+
+
+def assign_packs_scalable(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 100_000,
+) -> DataFrame:
+    """Scalable two-phase version of :func:`assign_packs` — identical
+    output (equivalence-tested), no single-partition window over the
+    corpus.  Counts whitespace tokens, then delegates the prefix sum to
+    :func:`packs_from_counts`.
+    """
+    counted = df.select(
+        F.col(id_col), token_count_ws(F.col(text_col)).alias("n_tokens")
+    )
+    return packs_from_counts(
+        counted, budget, "n_tokens", id_col, chunk_size
     )
 
 

@@ -52,3 +52,91 @@ def test_no_row_udfs_or_cartesians_anywhere(spark):
         "scale anti-patterns in physical plans: "
         + "; ".join(f"{q}: {h}" for q, h in offenders.items())
     )
+
+
+def _tree_nodes(plan: str):
+    """Parse the formatted-explain tree into (node_id_or_None, name,
+    depth) triples, in tree order."""
+    import re
+
+    tree = plan.split("\n\n")[0]
+    nodes = []
+    for line in tree.splitlines():
+        m = re.match(r"^([:+\-\s]*)\*?\s*([A-Za-z][A-Za-z0-9 ]*?)\s*\((\d+)\)\s*$", line)
+        if not m:
+            continue
+        prefix, name, nid = m.groups()
+        nodes.append((int(nid), name.strip(), len(prefix)))
+    return nodes
+
+
+def _single_partition_ids(plan: str):
+    import re
+
+    return {
+        int(nid)
+        for nid in re.findall(
+            # non-empty lines only: a blank line ends the detail block,
+            # so the match can't leak into the next node's Arguments
+            r"\((\d+)\) Exchange\n(?:[^\n]+\n)*?Arguments: SinglePartition",
+            plan,
+        )
+    }
+
+
+def test_no_single_partition_window_over_unaggregated_input(spark):
+    """Third forbidden pattern: a partition-less Window (its shuffle is
+    Exchange SinglePartition) whose subtree contains NO aggregate —
+    i.e. a global running window directly over corpus-sized rows.
+    Windows over aggregated inputs (bins, vocabularies, chunk
+    summaries) are cardinality-bounded and allowed.
+
+    Allowlisted: the oracle-twin reference forms whose POINT is the
+    global-window semantics definition (their scalable twins are the
+    composed-path defaults and are swept here like everything else).
+    """
+    import __spark_entry__ as entrymod
+
+    ALLOW = {
+        # semantics-defining oracle twin of packs_from_counts
+        "assign_packs",
+        # presentation-layer global sorts/limits whose output IS the
+        # final ordered answer (bounded by LIMIT or explicitly a
+        # driver-facing ordered report, not a pipeline stage)
+        "order_by_limit",
+    }
+    offenders: dict[str, list[int]] = {}
+    checked = 0
+    for name, fn in entrymod.queries().items():
+        if name in ALLOW:
+            continue
+        df = fn(spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        nodes = _tree_nodes(plan)
+        single = _single_partition_ids(plan)
+        bad: list[int] = []
+        for i, (nid, nname, depth) in enumerate(nodes):
+            if nname != "Window":
+                continue
+            subtree = []
+            for nid2, nname2, depth2 in nodes[i + 1:]:
+                if depth2 <= depth:
+                    break
+                subtree.append((nid2, nname2, depth2))
+            has_single = any(
+                n2 in single for n2, nm2, _ in subtree if nm2 == "Exchange"
+            )
+            has_agg = any("Aggregate" in nm2 for _, nm2, _ in subtree)
+            if has_single and not has_agg:
+                bad.append(nid)
+        if bad:
+            offenders[name] = bad
+        checked += 1
+    assert checked > 130
+    assert not offenders, (
+        "single-partition Window over unaggregated input: "
+        + "; ".join(f"{q}: nodes {h}" for q, h in offenders.items())
+    )
