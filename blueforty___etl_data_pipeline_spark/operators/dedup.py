@@ -322,12 +322,34 @@ def minhash_lsh_pairs(
     )
 
 
+def _cap_hot_shingles(
+    sh: DataFrame, cap: int
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate-volume guard for the exact-verification operators: a
+    shingle shared by c documents generates O(c²) join pairs, so one
+    degenerate boilerplate shingle (a license header, a template
+    footer) can dwarf the entire join.  Shingles whose document count
+    exceeds ``cap`` are excluded from pair generation (the classic
+    stop-shingle rule — ultra-common shingles carry ~no similarity
+    signal anyway), and the number of dropped shingles is returned as
+    a one-row frame so callers can surface the drop EXPLICITLY in
+    their output instead of silently under-counting.
+    """
+    counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_c"))
+    hot = counts.filter(F.col("_c") > cap).select("sh")
+    dropped = hot.agg(
+        F.count(F.lit(1)).alias("n_shingles_dropped")
+    )
+    return sh.join(F.broadcast(hot), on="sh", how="left_anti"), dropped
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_candidates_per_shingle: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs.
 
@@ -336,11 +358,22 @@ def ngram_jaccard_pairs(
     worst case — this is the ground-truth/verification operator; MinHash
     LSH above is the scale path.  Jaccard is a ratio of exact integers, so
     thresholding is engine-deterministic.
+
+    ``max_candidates_per_shingle`` bounds the per-shingle join volume
+    (analog of LSH's ``max_bucket_size``): shingles shared by more
+    documents than the cap are dropped from pair generation, the
+    output gains a constant ``n_shingles_dropped`` column reporting
+    how many, and set sizes stay TRUE sizes — capped Jaccard is
+    therefore a lower bound, never an overestimate.  Default ``None``
+    keeps the exact uncapped semantics (and the uncapped schema).
     """
     sh = df.select(
         F.col(id_col), F.explode(shingle_hashes(F.col(text_col), n)).alias("sh")
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    dropped = None
+    if max_candidates_per_shingle is not None:
+        sh, dropped = _cap_hot_shingles(sh, max_candidates_per_shingle)
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -359,7 +392,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
-    return (
+    out = (
         common.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
@@ -372,6 +405,9 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    if dropped is not None:
+        out = out.crossJoin(F.broadcast(dropped))
+    return out
 
 
 def simhash_arrow(
@@ -1012,6 +1048,7 @@ def containment_pairs(
     n: int = 3,
     threshold_permille: int = 800,
     min_shingles: int = 5,
+    max_candidates_per_shingle: int | None = None,
 ) -> DataFrame:
     """ASYMMETRIC containment pairs: ``|A∩B| / |A| ≥ threshold`` flags
     documents whose shingle set is (nearly) a SUBSET of another's —
@@ -1027,12 +1064,20 @@ def containment_pairs(
     Scale shape: identical to ngram_jaccard_pairs — shingle-hash
     equi-join, per-pair partial-agged counts; this is the exact
     verification form (block with LSH upstream at corpus scale).
+    ``max_candidates_per_shingle`` bounds the per-shingle join volume
+    exactly as in :func:`ngram_jaccard_pairs` (stop-shingle drop,
+    reported via a constant ``n_shingles_dropped`` output column;
+    containment becomes a lower bound); ``None`` keeps the exact
+    semantics and schema.
     """
     sh = df.select(
         F.col(id_col),
         F.explode(shingle_hashes(F.col(text_col), n)).alias("sh"),
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    dropped = None
+    if max_candidates_per_shingle is not None:
+        sh, dropped = _cap_hot_shingles(sh, max_candidates_per_shingle)
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -1053,7 +1098,7 @@ def containment_pairs(
         F.col(id_col).alias("contained_id"),
         F.col("set_size").alias("size_contained"),
     )
-    return (
+    out = (
         common.join(sa, "contained_id")
         .filter(F.col("size_contained") >= min_shingles)
         .select(
@@ -1067,3 +1112,6 @@ def containment_pairs(
         )
         .filter(F.col("containment_permille") >= threshold_permille)
     )
+    if dropped is not None:
+        out = out.crossJoin(F.broadcast(dropped))
+    return out

@@ -595,3 +595,53 @@ def test_dup_weights_null_text_forms_own_cluster(spark):
     assert out == {
         1: (2, 500), 2: (2, 500), 3: (1, 1000), 4: (2, 500), 5: (2, 500),
     }
+
+
+def test_candidate_cap_drops_hot_shingles_and_reports(spark):
+    # Degenerate fixture: every doc shares one boilerplate sentence
+    # (its trigram shingles are in ALL docs -> O(n^2) join pairs);
+    # each doc also has unique content. The cap must kill the hot
+    # shingles, report how many were dropped, and only ever LOWER
+    # jaccard/containment (never overestimate).
+    from blueforty___etl_data_pipeline_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    boiler = "all rights reserved by the provider"
+    rows = [(i, f"{boiler} unique{i} alpha{i} beta{i} gamma{i}") for i in range(20)]
+    # plus one real near-dup pair sharing unique content
+    rows += [
+        (100, "the quick brown fox jumps over the lazy dog today"),
+        (101, "the quick brown fox jumps over the lazy dog tonight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = ngram_jaccard_pairs(df, threshold=0.5)
+    assert "n_shingles_dropped" not in uncapped.columns  # schema stable
+    un_pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in uncapped.collect()}
+
+    capped = ngram_jaccard_pairs(
+        df, threshold=0.5, max_candidates_per_shingle=5
+    )
+    rows_c = capped.collect()
+    assert rows_c and all(r["n_shingles_dropped"] > 0 for r in rows_c)
+    cap_pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows_c}
+    # the boilerplate-only pairs lose their shared shingles entirely;
+    # the genuine near-dup pair survives (its overlap is unique text)
+    assert (100, 101) in cap_pairs
+    for k, j in cap_pairs.items():
+        assert j <= un_pairs.get(k, 0.0) + 1e-12  # lower bound
+
+    capped_cont = containment_pairs(
+        df, threshold_permille=500, min_shingles=3,
+        max_candidates_per_shingle=5,
+    )
+    rc = capped_cont.collect()
+    assert all(r["n_shingles_dropped"] > 0 for r in rc)
+    uncapped_cont = containment_pairs(
+        df, threshold_permille=500, min_shingles=3
+    )
+    assert "n_shingles_dropped" not in uncapped_cont.columns
+    # capped containment pair volume can only shrink
+    assert len(rc) <= uncapped_cont.count()
