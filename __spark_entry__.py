@@ -4665,6 +4665,72 @@ FROM orders GROUP BY 1, 2
 """
 
 
+def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 JDBC extract under the driver's oracle (reference Postgres →
+    CSV → COPY detour, BlueForty.py:312-360, collapsed to a direct
+    executor-parallel JDBC scan): the supplier table is loaded into an
+    embedded Derby database, extracted back through the generic
+    parallel JDBC reader (4 range partitions on s_suppkey — the scale
+    contract: never a boundless single-task scan), and aggregated per
+    nation.  The oracle aggregates the same parquet directly, so the
+    hash match proves the extract is lossless end-to-end.  Idempotent:
+    the Derby write is mode('overwrite') into the scratch dir."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.sources.jdbc import (
+        read_jdbc_table,
+    )
+
+    # keep Derby's boot log inside the scratch dir, not the JVM cwd
+    os.makedirs(SCRATCH, exist_ok=True)
+    spark.sparkContext._jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", os.path.join(SCRATCH, "derby.log")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    url = f"jdbc:derby:{os.path.join(SCRATCH, 'jdbc_derby', 'db')};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    (
+        sup.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "supplier")
+        .option("driver", driver)
+        .mode("overwrite")
+        .save()
+    )
+    hi = sup.agg(F.max("s_suppkey")).collect()[0][0]
+    back = read_jdbc_table(
+        spark,
+        url,
+        "supplier",
+        driver=driver,
+        partition_column="s_suppkey",
+        lower_bound=0,
+        upper_bound=int(hi) + 1,
+        num_partitions=4,
+    )
+    cents = (F.col("s_acctbal").cast("decimal(18,4)") * 100).cast("long")
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(cents).alias("sum_acctbal_cents"),
+        )
+        .select(
+            F.col("s_nationkey").cast("long").alias("nationkey"),
+            "n_suppliers",
+            "sum_acctbal_cents",
+        )
+    )
+
+
+_SQL_JDBC_ROUNDTRIP = """
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+       COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(trunc(CAST(s_acctbal AS DECIMAL(18,4)) * 100)
+                     AS BIGINT)) AS BIGINT) AS sum_acctbal_cents
+FROM supplier GROUP BY 1
+"""
+
+
 def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot drift monitor: per-bin histogram comparison of the
     events value distribution between click and view traffic, with the
@@ -7698,6 +7764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "contingency": q_contingency,
         "running_distinct": q_running_distinct,
+        # ---- round-5 session additions (queue behind the spills) ---------
+        "jdbc_roundtrip": q_jdbc_roundtrip,
         # ---- driver-green in rounds 2-4 ----------------------------------
         "multimodal_decode_real": q_multimodal_decode_real,
         "assign_packs": q_assign_packs,
@@ -7911,6 +7979,7 @@ def oracle_sql() -> dict[str, str]:
         "csv_roundtrip": _SQL_CSV_ROUNDTRIP,
         "filename_partition": _SQL_FNAME_PARTITION,
         "ctas_roundtrip": _SQL_CTAS,
+        "jdbc_roundtrip": _SQL_JDBC_ROUNDTRIP,
         "jsonl_roundtrip": _SQL_JSONL_ROUNDTRIP,
         "order_by_limit": _SQL_ORDER_BY_LIMIT,
         "word_stats": _SQL_WORD_STATS,
