@@ -6931,28 +6931,91 @@ FROM s WHERE scale > 0
 
 def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch profiling (HLL distinct + KLL quantiles) of events per
-    event_type.  Approximate by design → no cross-engine oracle; the
-    error bound vs the exact operators is pytest-asserted.  The
-    quantile array is unpacked to scalar columns — the driver's
-    canonicalizer cannot handle array output even for rows-only
-    checks."""
+    event_type — as an ORACLE-CHECKABLE contract.  Sketch values are
+    engine-specific (merge-order-dependent), so instead of emitting
+    them raw, this query verifies the sketch error bounds IN-ENGINE at
+    check scale: exact distinct counts and exact ranks of the approx
+    quantile values ride alongside boolean `*_ok` columns
+    (HLL |approx−exact| ≤ max(1, 5%·exact); KLL rank error ≤
+    max(1, n/accuracy) with tie-aware <=/< double-counting).  The
+    DuckDB oracle pins the exact stats and TRUE for every bound — a
+    sketch regression flips a boolean and hash-mismatches.  The exact
+    passes exist for the CHECK only; the production 100 TB operator
+    remains operators/profile.approx_profile (single sketch pass)."""
     _prep(spark)
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.col("value").cast("double").alias("v")
+    )
     prof = approx_profile(
-        ev,
-        group_col="event_type",
-        distinct_col="user_id",
-        quantile_col="value",
+        ev, group_col="event_type", distinct_col="user_id",
+        quantile_col="v",
     )
     q = F.col("approx_quantiles")
-    return prof.select(
+    prof = prof.select(
+        "event_type",
+        "approx_distinct",
+        q[0].alias("_p50"),
+        q[1].alias("_p90"),
+        q[2].alias("_p99"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("exact_distinct"),
+    )
+    ranks = (
+        ev.join(F.broadcast(prof), "event_type")
+        .groupBy("event_type")
+        .agg(
+            *[
+                c
+                for p in (50, 90, 99)
+                for c in (
+                    F.sum(
+                        F.when(F.col("v") <= F.col(f"_p{p}"), 1).otherwise(0)
+                    ).alias(f"_le{p}"),
+                    F.sum(
+                        F.when(F.col("v") < F.col(f"_p{p}"), 1).otherwise(0)
+                    ).alias(f"_lt{p}"),
+                )
+            ]
+        )
+    )
+    out = exact.join(F.broadcast(prof), "event_type").join(
+        F.broadcast(ranks), "event_type"
+    )
+    tol = F.greatest(F.lit(1), F.ceil(F.col("n_rows") / 10000))
+
+    def _q_ok(p: int, frac: float):
+        target = F.col("n_rows") * frac
+        return (
+            (F.col(f"_le{p}") >= F.floor(target) - tol)
+            & (F.col(f"_lt{p}") <= F.ceil(target) + tol)
+        ).alias(f"p{p}_ok")
+
+    distinct_ok = (
+        F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+        <= F.greatest(
+            F.lit(1), F.ceil(F.col("exact_distinct") * F.lit(0.05))
+        )
+    ).alias("distinct_ok")
+    return out.select(
         "event_type",
         "n_rows",
-        "approx_distinct",
-        q[0].alias("p50"),
-        q[1].alias("p90"),
-        q[2].alias("p99"),
+        "exact_distinct",
+        distinct_ok,
+        _q_ok(50, 0.5),
+        _q_ok(90, 0.9),
+        _q_ok(99, 0.99),
     )
+
+
+_SQL_APPROX_PROFILE = """
+SELECT event_type, COUNT(*) AS n_rows,
+       COUNT(DISTINCT user_id) AS exact_distinct,
+       TRUE AS distinct_ok, TRUE AS p50_ok, TRUE AS p90_ok,
+       TRUE AS p99_ok
+FROM events GROUP BY 1
+"""
 
 
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7987,6 +8050,9 @@ def oracle_sql() -> dict[str, str]:
         "grouped_median": _SQL_GROUPED_MEDIAN,
         "histogram": _SQL_HISTOGRAM,
         "profile_table": _SQL_PROFILE,
+        # the sketch-contract harness: oracle pins exact stats + TRUE
+        # for every in-engine-verified error bound
+        "approx_profile": _SQL_APPROX_PROFILE,
         "contamination_hits": _SQL_CONTAMINATION_HITS,
         "decontaminate": _SQL_DECONTAMINATE,
         "grouped_quantiles": _SQL_GROUPED_QUANTILES,

@@ -235,6 +235,8 @@ HEADLINE = [
     "contingency",
     # running distinct (COUNT DISTINCT OVER via two windows)
     "running_distinct",
+    # round-5: lossless parallel JDBC extract (embedded Derby)
+    "jdbc_roundtrip",
 ]
 
 
@@ -281,17 +283,26 @@ def main() -> None:
         times[name] = round(time.time() - t0, 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    print(json.dumps(payload))
+    # The driver's BENCH_r{N}.json truncates long stdout tails, which
+    # lost round 4's per-query dict — so every run also persists the
+    # full JSON as a repo artifact for round-over-round comparison.
+    try:
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
         )
-    )
+        with open(full_path, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass  # artifact persistence must never sink the bench run
     spark.stop()
 
 
