@@ -4420,6 +4420,79 @@ SELECT doc_id, {cols} FROM t
 """
 
 
+def q_jpeg_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode under the driver's oracle: each
+    sampled document becomes an actual 16×16 grayscale JPEG — four
+    8×8 blocks, each CONSTANT at an md5-digest byte, encoded with the
+    vendored pure-stdlib codec in functions/jpeg.py — which flows
+    through the SAME Arrow-batched extract_features stage with
+    fake=False.  Marker parse, Huffman entropy decode, byte
+    unstuffing, dequantize, IDCT, and pooling all execute for real.
+
+    The fixture makes a LOSSY format oracle-checkable: a constant
+    block has only a DC coefficient 8·(v−128), and the flat q=8
+    quant table makes its quantized value exactly v−128 — so the
+    decode reproduces every pixel exactly and
+    round(feat[i]·510) == d0+d2 (left buckets) / d1+d3 (right
+    buckets), which DuckDB reproduces from md5 hex pairs."""
+    _prep(spark)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 40 == 0)
+    )
+
+    def to_jpeg(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.jpeg import (
+            encode_jpeg_gray,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for text in pdf["text"]:
+                d = _hl.md5(text.encode("utf-8")).digest()
+                img = [
+                    [d[(y // 8) * 2 + (x // 8)] for x in range(16)]
+                    for y in range(16)
+                ]
+                blobs.append(encode_jpeg_gray(img))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": blobs}
+            )
+
+    media = docs.mapInPandas(to_jpeg, schema="doc_id long, content binary")
+    feats = extract_features(media, fake=False)
+    return feats.select(
+        "doc_id",
+        *[
+            F.round(F.col("feat")[i] * 510)
+            .cast("long")
+            .alias(f"f{i}")
+            for i in range(8)
+        ],
+    )
+
+
+def _sql_jpeg_decode_real() -> str:
+    def byte(k: int) -> str:
+        return f"CAST(('0x' || substr(h, {2 * k + 1}, 2)) AS INTEGER)"
+
+    cols = ", ".join(
+        f"CAST({byte(0 if i < 4 else 1)} + {byte(2 if i < 4 else 3)} "
+        f"AS BIGINT) AS f{i}"
+        for i in range(8)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id % 40 = 0)
+SELECT doc_id, {cols} FROM t
+"""
+
+
 def q_image_augment_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image AUGMENTATION chain under the driver's oracle:
     md5-pixel 16×4 PNGs (as in multimodal_decode_real) flow through
@@ -7829,6 +7902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_distinct": q_running_distinct,
         # ---- round-5 session additions (queue behind the spills) ---------
         "jdbc_roundtrip": q_jdbc_roundtrip,
+        "jpeg_decode_real": q_jpeg_decode_real,
         # ---- driver-green in rounds 2-4 ----------------------------------
         "multimodal_decode_real": q_multimodal_decode_real,
         "assign_packs": q_assign_packs,
@@ -8098,6 +8172,7 @@ def oracle_sql() -> dict[str, str]:
         "distribution_drift": _SQL_DRIFT,
         "snapshot_diff": _sql_snapshot_diff(),
         "multimodal_decode_real": _sql_multimodal_decode_real(),
+        "jpeg_decode_real": _sql_jpeg_decode_real(),
         "bpe_train": _sql_bpe_train(),
         "bpe_segment": _sql_bpe_segment(),
         "winsorize": _SQL_WINSORIZE,

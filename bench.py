@@ -237,6 +237,8 @@ HEADLINE = [
     "running_distinct",
     # round-5: lossless parallel JDBC extract (embedded Derby)
     "jdbc_roundtrip",
+    # round-5: real baseline-JPEG decode (vendored stdlib codec)
+    "jpeg_decode_real",
 ]
 
 
