@@ -33,7 +33,6 @@ not approximate):
 
 from __future__ import annotations
 
-import csv
 import os
 from collections.abc import Callable
 
@@ -4641,23 +4640,27 @@ FROM documents
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1+S5+P1: write a deterministic sentinel-dirtied CSV from the
     supplier table, read it back through the engine's CSV reader
-    (multi-token NULL_IF, positional schema, try-cast contract)."""
+    (multi-token NULL_IF, positional schema, try-cast contract).
+
+    The dirtied fixture is produced by a DISTRIBUTED ``df.write.csv``
+    (sentinels injected as Column expressions), not a driver-side
+    collect — no table data ever materializes on the driver, and
+    Spark's shortest-round-trip double formatting parses back
+    bit-exact."""
     _prep(spark)
-    rows = sorted(
-        _t(spark, sf_dir, "supplier")
-        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
-        .collect(),
-        key=lambda r: r[0],
+    sup = _t(spark, sf_dir, "supplier")
+    dirty = sup.select(
+        F.col("s_suppkey").cast("string").alias("sk"),
+        F.when(F.col("s_suppkey") % 13 == 0, F.lit("\\N"))
+        .otherwise(F.col("s_name"))
+        .alias("name"),
+        F.col("s_nationkey").cast("string").alias("nk"),
+        F.when(F.col("s_suppkey") % 7 == 0, F.lit("N/A"))
+        .otherwise(F.col("s_acctbal").cast("string"))
+        .alias("bal"),
     )
-    path = os.path.join(SCRATCH, "csv_roundtrip", "suppliers.csv")
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "w", newline="", encoding="utf-8") as fh:
-        w = csv.writer(fh)
-        w.writerow(["sk", "name", "nk", "bal"])
-        for r in rows:
-            name = "\\N" if r[0] % 13 == 0 else r[1]
-            bal = "N/A" if r[0] % 7 == 0 else repr(r[3])
-            w.writerow([r[0], name, r[2], bal])
+    path = os.path.join(SCRATCH, "csv_roundtrip")
+    dirty.write.mode("overwrite").option("header", True).csv(path)
     schema = StructType(
         [
             StructField("sk", LongType()),
@@ -4666,7 +4669,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("bal", DoubleType()),
         ]
     )
-    return read_csv(spark, path, schema=schema)
+    return read_csv(spark, path, schema=schema, path_glob="*.csv")
 
 
 _SQL_CSV_ROUNDTRIP = """
@@ -4680,20 +4683,30 @@ FROM supplier
 
 def q_filename_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4+F20: yyyy/mm partition columns derived from the filename regex
-    (BlueForty.py:66-75); non-matching files land in misc/00."""
+    (BlueForty.py:66-75); non-matching files land in misc/00.
+
+    Fixture files are written by ``df.write.csv`` (single-part) and
+    renamed to the target filenames — the driver touches file METADATA
+    only, never row data (the specific-filename requirement is the one
+    thing Spark's writer cannot express directly)."""
     _prep(spark)
+    import glob as _glob
+    import shutil as _shutil
+
     base = os.path.join(SCRATCH, "fname_partition")
-    os.makedirs(base, exist_ok=True)
-    rows = sorted(
-        _t(spark, sf_dir, "region").select("r_regionkey").collect(),
-        key=lambda r: r[0],
+    _shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    ids = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("string").alias("id")
     )
+    tmp = os.path.join(SCRATCH, "fname_partition_tmp")
     for fname in ("purchases_2024-3.csv", "purchases_2024_11.csv", "misc.csv"):
-        with open(os.path.join(base, fname), "w", newline="") as fh:
-            w = csv.writer(fh)
-            w.writerow(["id"])
-            for r in rows:
-                w.writerow([r[0]])
+        ids.coalesce(1).write.mode("overwrite").option(
+            "header", True
+        ).csv(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+        os.replace(part, os.path.join(base, fname))
+    _shutil.rmtree(tmp, ignore_errors=True)
     schema = StructType([StructField("id", LongType())])
     df = read_csv(spark, base, schema=schema, path_glob="*.csv")
     return with_filename_partition(df).select("id", "yyyy", "mm")
