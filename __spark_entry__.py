@@ -33,6 +33,7 @@ not approximate):
 
 from __future__ import annotations
 
+import math as _math
 import os
 from collections.abc import Callable
 
@@ -4047,6 +4048,239 @@ UNION ALL
 """
 
 
+#: nDCG rank discounts in integer micros, computed ONCE in Python and
+#: inlined as literals into BOTH engines' queries — log2 never runs
+#: inside either engine, so the discount table is identical by
+#: construction (the float-libm-divergence trap the MRR/recall family
+#: avoids with pure reciprocals).
+_NDCG_D = tuple(
+    int(round(1_000_000 / _math.log2(r + 1))) for r in range(1, 6)
+)
+#: ideal DCG for the graded truth (gains 4/2/1 at ranks 1/2/3)
+_NDCG_IDCG = 4 * _NDCG_D[0] + 2 * _NDCG_D[1] + _NDCG_D[2]
+_NDCG_D_CASE = (
+    "CASE {r} "
+    + " ".join(f"WHEN {i + 1} THEN {d}" for i, d in enumerate(_NDCG_D))
+    + " END"
+)
+
+
+def q_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded ranking evaluation: nDCG@5 of the LSH and IVF candidate
+    lists against the exact top-3 neighbors (gains 4/2/1), completing
+    the retrieval-eval family (recall = set overlap, MRR = first-hit
+    position, nDCG = full graded ordering).  All integer: discounts
+    are precomputed micro literals shared verbatim with the oracle,
+    per-query nDCG is integer permille, and the mean is integer div —
+    engine-exact with zero in-engine logarithms."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    exact = ann_brute_force(emb, queries, k=4, round_decimals=6)
+    truth = (
+        exact.filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.row_number().over(wq).alias("_tr"),
+        )
+        .filter(F.col("_tr") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "CASE _tr WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END"
+            ).alias("_gain"),
+        )
+    )
+    qids = truth.select("query_id").distinct()
+
+    def ndcg_of(ranked: DataFrame, label: str) -> DataFrame:
+        cand = (
+            ranked.filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.row_number().over(wq).alias("_r"),
+            )
+            .filter(F.col("_r") <= 5)
+        )
+        scored = truth.join(cand, on=["query_id", "neighbor_id"]).select(
+            "query_id",
+            (
+                F.col("_gain") * F.expr(_NDCG_D_CASE.format(r="_r"))
+            ).alias("_dg"),
+        )
+        dcg = scored.groupBy("query_id").agg(F.sum("_dg").alias("_dcg"))
+        per = qids.join(dcg, "query_id", "left").select(
+            F.expr(
+                f"1000 * COALESCE(_dcg, 0) div {_NDCG_IDCG}"
+            ).alias("_np")
+        )
+        n = qids.agg(F.count(F.lit(1)).alias("_n"))
+        return (
+            per.agg(F.sum("_np").alias("_s"))
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.lit(label).alias("method"),
+                F.expr("CAST(_s div _n AS BIGINT)").alias(
+                    "ndcg_permille"
+                ),
+            )
+        )
+
+    lsh = ann_lsh_bucketed(
+        emb, queries, k=6, n_planes=8, dim=64, round_decimals=6
+    )
+    ivf = ann_ivf(emb, queries, k=6, centroid_stride=50, nprobe=2)
+    return ndcg_of(lsh, "lsh").unionByName(ndcg_of(ivf, "ivf"))
+
+
+def _sql_ann_ndcg() -> str:
+    d_case = _NDCG_D_CASE.format(r="c.r")
+
+    def blk(sub: str, label: str) -> str:
+        return f"""
+SELECT '{label}' AS method,
+       CAST(SUM(np) // (SELECT COUNT(*) FROM qids) AS BIGINT)
+         AS ndcg_permille
+FROM (
+  SELECT q.query_id,
+         1000 * COALESCE(SUM(t.gain * ({d_case})), 0) // {_NDCG_IDCG}
+           AS np
+  FROM qids q
+  LEFT JOIN (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS r
+    FROM ({sub}) WHERE query_id != neighbor_id
+    QUALIFY r <= 5) c ON q.query_id = c.query_id
+  LEFT JOIN truth t ON t.query_id = c.query_id
+                   AND t.neighbor_id = c.neighbor_id
+  GROUP BY 1) x
+"""
+
+    return f"""
+WITH ex AS (
+  SELECT query_id, neighbor_id, score
+  FROM ({_SQL_ANN_BRUTE.replace("rn <= 5", "rn <= 4")})
+  WHERE query_id != neighbor_id),
+truth0 AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS tr
+  FROM ex),
+truth AS (
+  SELECT query_id, neighbor_id,
+         CASE tr WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END AS gain
+  FROM truth0 WHERE tr <= 3),
+qids AS (SELECT DISTINCT query_id FROM truth)
+{blk(_sql_ann_lsh().replace("rn <= 5", "rn <= 6"), "lsh")}
+UNION ALL
+{blk(_sql_ann_ivf(k=6), "ivf")}
+"""
+
+
+def q_quality_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier threshold sweep (operators/analytics.
+    roc_sweep): the English-stopword-density permille score judged
+    against the corpus lang label, TPR/FPR at every 100-permille
+    threshold — the curve that picks a quality-filter cutoff.  One
+    partial-agged corpus pass into ≤11 score buckets; the per-threshold
+    cumulative counts come from a broadcast theta-join over the tiny
+    bucket table, so the corpus is never re-scanned per threshold."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.functions.text import (
+        LANG_MARKERS,
+        tokens_ws,
+    )
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        roc_sweep,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens_ws(F.col("text"))
+    stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.array_contains(stop, F.lower(t)))
+    ).cast("bigint")
+    n_tok = F.size(toks).cast("bigint")
+    scored = docs.select(
+        n_stop.alias("_ns"),
+        n_tok.alias("_nt"),
+        (F.col("lang") == "en").alias("label"),
+    ).select(
+        F.expr(
+            "CASE WHEN _nt > 0 THEN 1000 * _ns div _nt ELSE 0 END"
+        ).alias("score"),
+        "label",
+    )
+    return roc_sweep(scored, "score", "label", step=100, max_score=1000)
+
+
+def _sql_quality_roc() -> str:
+    toks = _D_TOKENS.format(t="text")
+    return f"""
+WITH s AS (
+  SELECT CASE WHEN len({toks}) > 0 THEN
+           1000 * CAST(len(list_filter({toks},
+             x -> list_contains(['the','and','of'], lower(x))))
+             AS BIGINT) // CAST(len({toks}) AS BIGINT)
+         ELSE 0 END AS score,
+         lang = 'en' AS l
+  FROM documents),
+b AS (
+  SELECT LEAST(score // 100, 10) AS b,
+         CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         CAST(SUM(CASE WHEN NOT l THEN 1 ELSE 0 END) AS BIGINT) AS neg
+  FROM s GROUP BY 1),
+tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS p,
+               CAST(SUM(neg) AS BIGINT) AS n FROM b),
+sp AS (SELECT CAST(generate_series AS BIGINT) AS tt
+       FROM generate_series(0, 10)),
+cum AS (
+  SELECT sp.tt,
+         CAST(COALESCE(SUM(b.pos), 0) AS BIGINT) AS tp,
+         CAST(COALESCE(SUM(b.neg), 0) AS BIGINT) AS fp
+  FROM sp LEFT JOIN b ON b.b >= sp.tt GROUP BY 1)
+SELECT tt * 100 AS threshold, tp + fp AS n_pred_pos, tp, fp,
+       CAST(CASE WHEN p > 0 THEN 1000 * tp // p ELSE 0 END AS BIGINT)
+         AS tpr_permille,
+       CAST(CASE WHEN n > 0 THEN 1000 * fp // n ELSE 0 END AS BIGINT)
+         AS fpr_permille
+FROM cum CROSS JOIN tot
+"""
+
+
+_SQL_SHUFFLE_SHARDS = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) AS h
+  FROM documents)
+SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY h % 8
+                               ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+FROM h
+"""
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training shuffle + shard layout (operators/
+    sampling.shuffle_shards): salted-md5 shard in [0,8) and 0-based
+    within-shard position, both pure functions of doc_id — the
+    reproducible no-RNG global shuffle a training job reads."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        shuffle_shards,
+    )
+
+    return shuffle_shards(_t(spark, sf_dir, "documents"), n_shards=8)
+
+
 def q_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OR-amplified 3-table LSH ANN (operators/similarity.
     ann_lsh_multitable): per-table miss probabilities multiply, so
@@ -7916,6 +8150,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round-5 session additions (queue behind the spills) ---------
         "jdbc_roundtrip": q_jdbc_roundtrip,
         "jpeg_decode_real": q_jpeg_decode_real,
+        "ann_ndcg": q_ann_ndcg,
+        "quality_roc": q_quality_roc,
+        "shuffle_shards": q_shuffle_shards,
         # ---- driver-green in rounds 2-4 ----------------------------------
         "multimodal_decode_real": q_multimodal_decode_real,
         "assign_packs": q_assign_packs,
@@ -8252,6 +8489,9 @@ def oracle_sql() -> dict[str, str]:
         "collocations": _sql_collocations(),
         "seasonality": _SQL_SEASONALITY,
         "ann_mrr": _sql_ann_mrr(),
+        "ann_ndcg": _sql_ann_ndcg(),
+        "quality_roc": _sql_quality_roc(),
+        "shuffle_shards": _SQL_SHUFFLE_SHARDS,
         "containment_pairs": _sql_containment_pairs(),
         "source_keywords": _SQL_SOURCE_KEYWORDS,
         "doc_features": _sql_doc_features(),

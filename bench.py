@@ -239,6 +239,11 @@ HEADLINE = [
     "jdbc_roundtrip",
     # round-5: real baseline-JPEG decode (vendored stdlib codec)
     "jpeg_decode_real",
+    # round-5: graded ranking eval, quality-filter threshold sweep,
+    # deterministic training-shard shuffle
+    "ann_ndcg",
+    "quality_roc",
+    "shuffle_shards",
 ]
 
 

@@ -363,3 +363,76 @@ def running_distinct(
     return flagged.withColumn(
         alias, F.sum("_new").over(w_run).cast("long")
     ).drop("_new")
+
+
+def roc_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    step: int = 100,
+    max_score: int = 1000,
+) -> DataFrame:
+    """Threshold sweep for a binary classifier over an INTEGER score
+    (e.g. a permille quality signal): for every threshold
+    ``t ∈ {0, step, …, max_score}``, the confusion counts and rates of
+    the rule "predict positive iff score ≥ t" — the curve a
+    training-data pipeline reads to pick its quality-filter cutoff.
+
+    Returns (threshold, n_pred_pos, tp, fp, tpr_permille,
+    fpr_permille), one row per threshold, rates in integer permille
+    (engine-deterministic).
+
+    Scale shape: ONE partial-agged pass buckets the corpus to
+    ``max_score/step + 1`` (bucket, pos, neg) rows; the cumulative
+    "≥ t" counts come from a broadcast theta-join of the tiny
+    threshold spine against the tiny bucket table — the corpus is
+    scanned once and never re-scanned per threshold.
+    """
+    n_t = max_score // step + 1
+    bucketed = (
+        df.select(
+            F.expr(
+                f"LEAST(CAST({score_col} div {int(step)} AS BIGINT), "
+                f"{n_t - 1})"
+            ).alias("_b"),
+            F.col(label_col).cast("boolean").alias("_l"),
+        )
+        .groupBy("_b")
+        .agg(
+            F.sum(F.when(F.col("_l"), 1).otherwise(0)).alias("_pos"),
+            F.sum(F.when(~F.col("_l"), 1).otherwise(0)).alias("_neg"),
+        )
+    )
+    spark = df.sparkSession
+    spine = spark.range(n_t).select(
+        (F.col("id") * step).cast("long").alias("threshold"),
+        F.col("id").alias("_t"),
+    )
+    cum = (
+        spine.join(
+            F.broadcast(bucketed), F.col("_b") >= F.col("_t"), "left"
+        )
+        .groupBy("threshold")
+        .agg(
+            F.coalesce(F.sum("_pos"), F.lit(0)).alias("tp"),
+            F.coalesce(F.sum("_neg"), F.lit(0)).alias("fp"),
+        )
+    )
+    totals = bucketed.agg(
+        F.sum("_pos").alias("_p"), F.sum("_neg").alias("_n")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            "threshold",
+            (F.col("tp") + F.col("fp")).alias("n_pred_pos"),
+            "tp",
+            "fp",
+            F.expr(
+                "CASE WHEN _p > 0 THEN 1000 * tp div _p ELSE 0 END"
+            ).alias("tpr_permille"),
+            F.expr(
+                "CASE WHEN _n > 0 THEN 1000 * fp div _n ELSE 0 END"
+            ).alias("fpr_permille"),
+        )
+    )

@@ -428,3 +428,43 @@ def negative_samples(
         )
         .filter(F.col("rank") <= k)
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic training-data shuffle + shard assignment: every
+    row gets a ``shard`` in [0, n_shards) and a 0-based ``pos`` within
+    its shard, both pure functions of the row id — the layout a
+    training job reads (shard files consumed round-robin give a
+    reproducible global shuffle without any RNG state).
+
+    ``shard`` and the within-shard order both derive from the salted
+    md5 bucket (order tiebreaks on id), so the "shuffle" is as good as
+    the hash and any engine can re-derive byte-identical shards.
+
+    Returns (id, shard, pos).
+
+    Scale shape: one shuffle partitioned by shard + a per-shard sort
+    for the rank — the standard shard-writing shape (each shard is
+    sorted by its own task set; pick ``n_shards`` ≥ cluster
+    parallelism so no reducer owns more than one shard's rows).
+    """
+    from pyspark.sql import Window
+
+    h = md5_hash64(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            (h % n_shards).alias("shard"),
+            h.alias("_h"),
+        )
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("_h")
+    )

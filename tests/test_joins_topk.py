@@ -420,3 +420,25 @@ def test_running_distinct_counts_first_occurrences(spark):
         ("a", 30, 1): 3, ("a", 30, 3): 3,
         ("b", 10, 9): 1,
     }
+
+
+def test_roc_sweep_known_confusion_counts(spark):
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        roc_sweep,
+    )
+
+    # scores: positives at 900, 700, 100; negatives at 800, 200, 0
+    rows = [
+        (900, True), (700, True), (100, True),
+        (800, False), (200, False), (0, False),
+    ]
+    df = spark.createDataFrame(rows, "score long, label boolean")
+    out = {
+        r["threshold"]: (r["tp"], r["fp"], r["tpr_permille"], r["fpr_permille"])
+        for r in roc_sweep(df, "score", "label").collect()
+    }
+    assert len(out) == 11
+    assert out[0] == (3, 3, 1000, 1000)     # everything predicted positive
+    assert out[800] == (1, 1, 333, 333)     # 900 and 800 survive
+    assert out[1000] == (0, 0, 0, 0)        # nothing reaches 1000
+    assert out[200] == (2, 2, 666, 666)     # >=200: 900,700 / 800,200

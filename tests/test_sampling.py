@@ -340,3 +340,25 @@ def test_temperature_mix_randomized_vs_python_sim(spark):
             ).collect()
         )
         assert got == want, f"seed {seed}"
+
+
+def test_shuffle_shards_dense_positions_and_determinism(spark):
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        shuffle_shards,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = shuffle_shards(df, n_shards=4).collect()
+    assert len(out) == 200
+    by_shard = {}
+    for r in out:
+        assert 0 <= r["shard"] < 4
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    # positions are dense 0..n-1 within every shard
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+    # partitioning-invariant: scrambling input partitions changes nothing
+    out2 = shuffle_shards(df.repartition(7), n_shards=4).collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in out} == {
+        (r["doc_id"], r["shard"], r["pos"]) for r in out2
+    }
