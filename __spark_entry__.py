@@ -7249,6 +7249,62 @@ FROM s WHERE scale > 0
 """
 
 
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (operators/similarity.pq_encode):
+    each 64-dim embedding compresses to 8 one-byte codes (8×8-dim
+    subspaces, 16-entry codebook = a strided corpus sample, the
+    ann_ivf convention) plus its total squared quantization error in
+    integer micros² — the IVF-PQ compression layout of billion-vector
+    ANN, argmin as a partial-combining min(struct) aggregate."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = emb.filter(
+        (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 160)
+    ).select((F.col("vec_id") / 10).cast("long").alias("code_id"), "embedding")
+    return pq_encode(emb, cb, n_subspaces=8, dim=64)
+
+
+_SQL_PQ_ENCODE = """
+WITH cb AS (
+  SELECT CAST(vec_id // 10 AS BIGINT) AS code_id, embedding AS cv
+  FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 160),
+subs AS (SELECT CAST(generate_series AS BIGINT) AS sub
+         FROM generate_series(0, 7)),
+corp AS (
+  SELECT e.vec_id, s.sub,
+         list_transform(range(1, 9), i -> FLOOR(
+           CAST(e.embedding[CAST(s.sub * 8 + i AS INTEGER)] AS DOUBLE)
+           * 1e6)) AS sv
+  FROM embeddings e CROSS JOIN subs s),
+cbe AS (
+  SELECT c.code_id, s.sub,
+         list_transform(range(1, 9), i -> FLOOR(
+           CAST(c.cv[CAST(s.sub * 8 + i AS INTEGER)] AS DOUBLE)
+           * 1e6)) AS cvv
+  FROM cb c CROSS JOIN subs s),
+scored AS (
+  SELECT corp.vec_id, corp.sub, cbe.code_id,
+         list_sum(list_transform(range(1, 9),
+           i -> (corp.sv[CAST(i AS INTEGER)] - cbe.cvv[CAST(i AS INTEGER)])
+              * (corp.sv[CAST(i AS INTEGER)] - cbe.cvv[CAST(i AS INTEGER)])))
+           AS d
+  FROM corp JOIN cbe ON corp.sub = cbe.sub),
+best AS (
+  SELECT vec_id, sub, code_id, d,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                            ORDER BY d, code_id) AS rn
+  FROM scored)
+SELECT vec_id,
+       string_agg(CAST(code_id AS VARCHAR), ',' ORDER BY sub) AS codes,
+       CAST(SUM(d) AS BIGINT) AS err_micros2
+FROM best WHERE rn = 1 GROUP BY 1
+"""
+
+
 def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch profiling (HLL distinct + KLL quantiles) of events per
     event_type — as an ORACLE-CHECKABLE contract.  Sketch values are
@@ -8153,6 +8209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ndcg": q_ann_ndcg,
         "quality_roc": q_quality_roc,
         "shuffle_shards": q_shuffle_shards,
+        "pq_encode": q_pq_encode,
         # ---- driver-green in rounds 2-4 ----------------------------------
         "multimodal_decode_real": q_multimodal_decode_real,
         "assign_packs": q_assign_packs,
@@ -8492,6 +8549,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ndcg": _sql_ann_ndcg(),
         "quality_roc": _sql_quality_roc(),
         "shuffle_shards": _SQL_SHUFFLE_SHARDS,
+        "pq_encode": _SQL_PQ_ENCODE,
         "containment_pairs": _sql_containment_pairs(),
         "source_keywords": _SQL_SOURCE_KEYWORDS,
         "doc_features": _sql_doc_features(),

@@ -244,6 +244,8 @@ HEADLINE = [
     "ann_ndcg",
     "quality_roc",
     "shuffle_shards",
+    # round-5: product-quantization encode (the IVF-PQ compression half)
+    "pq_encode",
 ]
 
 

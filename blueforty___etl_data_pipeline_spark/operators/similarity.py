@@ -932,3 +932,98 @@ def top_principal_direction(
     out = [(d, int(val)) for d, val in enumerate(v)]
     spark = emb.sparkSession
     return spark.createDataFrame(out, "dim int, v_fp long")
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    n_subspaces: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_id_col: str = "code_id",
+) -> DataFrame:
+    """Product-quantization encoding — the compression half of IVF-PQ,
+    the layout billion-vector ANN actually ships (a 64-dim float
+    vector becomes ``n_subspaces`` one-byte codes, 256 B → 8 B here):
+    split each vector into ``n_subspaces`` contiguous subvectors and
+    replace each with the id of its nearest codebook subvector by
+    squared L2.
+
+    ``codebook`` is (code_id, vector): a strided corpus sample for the
+    engine-reproducible form (the ann_ivf convention), or k-means
+    centroids at real scale — the plumbing is identical.
+
+    Returns (id, codes, err_micros2): ``codes`` scalar-encoded as a
+    comma-joined string in subspace order, ``err_micros2`` the total
+    squared quantization error in integer micros² — the audit signal
+    that decides codebook size.
+
+    Engine-exact: subvectors quantize to integer micros carried as
+    doubles (every intermediate an exact integer ≤ ~3·10¹³ < 2⁵³), and
+    the per-subspace argmin is a ``min(struct(dist, code))`` AGGREGATE
+    (partial-combining, lowest-code tiebreak) — not a window.
+
+    Scale shape: corpus explodes ×n_subspaces, joins the broadcast
+    exploded codebook on the subspace key, partial-agg argmin, then
+    one groupBy(id) fold back — two shuffles keyed on (id, sub)/(id),
+    both carrying partially-aggregated rows; the codebook (k × m
+    subvectors) broadcasts whole.
+    """
+    if dim % n_subspaces:
+        raise ValueError("dim must divide evenly into subspaces")
+    sub = dim // n_subspaces
+
+    def sub_micro(vec, j):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(sub - 1)),
+            lambda i: F.floor(
+                F.element_at(vec, (j * sub + i + 1).cast("int")).cast(
+                    "double"
+                )
+                * 1e6
+            ).cast("double"),
+        )
+
+    def exploded(df, idc, out_id):
+        return df.select(
+            F.col(idc).alias(out_id),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
+                    lambda j: sub_micro(F.col(vec_col), j),
+                )
+            ).alias("sub", "_sv"),
+        )
+
+    corp = exploded(corpus, id_col, "_id")
+    cb = exploded(codebook, code_id_col, "_code").select(
+        "_code", "sub", F.col("_sv").alias("_cv")
+    )
+    d = F.aggregate(
+        F.zip_with(F.col("_sv"), F.col("_cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        corp.join(F.broadcast(cb), on="sub")
+        .select("_id", "sub", d.alias("_d"), F.col("_code"))
+        .groupBy("_id", "sub")
+        .agg(F.min(F.struct(F.col("_d"), F.col("_code"))).alias("_m"))
+    )
+    return (
+        best.groupBy("_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("sub", F.col("_m._code")))
+                    ),
+                    lambda s: s["_code"].cast("string"),
+                ),
+            ).alias("codes"),
+            F.sum(F.col("_m._d")).cast("long").alias("err_micros2"),
+        )
+        .select(F.col("_id").alias(id_col), "codes", "err_micros2")
+    )

@@ -389,3 +389,51 @@ def test_power_iteration_matches_numpy_dominant_eigvec(spark):
     ref = vec[:, -1]
     cos = abs(float(v @ ref))
     assert cos > 0.999, cos
+
+
+def test_pq_encode_codebook_vectors_are_lossless(spark):
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        pq_encode,
+    )
+
+    # 4 codebook vectors over 8 dims, 2 subspaces of 4; corpus = the
+    # codebook itself plus one vector whose halves come from DIFFERENT
+    # codebook entries.
+    def vec(seed):
+        return [float((seed * 7 + i) % 5) for i in range(8)]
+
+    cb_rows = [(c, vec(c)) for c in range(4)]
+    cb = spark.createDataFrame(cb_rows, "code_id long, embedding array<float>")
+    corpus_rows = [(i, v) for i, v in cb_rows]
+    corpus_rows.append((100, vec(1)[:4] + vec(3)[4:]))
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<float>"
+    )
+    out = {
+        r["vec_id"]: (r["codes"], r["err_micros2"])
+        for r in pq_encode(corpus, cb, n_subspaces=2, dim=8).collect()
+    }
+    assert len(out) == 5
+    # every codebook vector encodes to itself with zero error
+    for c in range(4):
+        codes, err = out[c]
+        assert codes == f"{c},{c}" and err == 0
+    # the spliced vector picks each half's source code, still zero error
+    assert out[100] == ("1,3", 0)
+
+
+def test_pq_encode_error_is_reported(spark):
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        pq_encode,
+    )
+
+    cb = spark.createDataFrame(
+        [(0, [0.0] * 8), (1, [1.0] * 8)], "code_id long, embedding array<float>"
+    )
+    corpus = spark.createDataFrame(
+        [(7, [0.25] * 8)], "vec_id long, embedding array<float>"
+    )
+    [row] = pq_encode(corpus, cb, n_subspaces=2, dim=8).collect()
+    # nearest is the all-zero code; err = 8 * (250000)^2
+    assert row["codes"] == "0,0"
+    assert row["err_micros2"] == 8 * 250_000 ** 2
