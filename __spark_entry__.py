@@ -7305,6 +7305,82 @@ FROM best WHERE rn = 1 GROUP BY 1
 """
 
 
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-5 (operators/similarity.pq_search):
+    the query half of IVF-PQ — corpus PQ-encoded to 8 one-byte codes
+    (same 16-entry strided codebook as pq_encode), queries stay
+    un-quantized, distance = per-subspace LUT lookups summed, so the
+    corpus scan reads codes only, never the vectors.  The distance
+    LUT (queries × subspaces × codebook) broadcasts; one partial-agg
+    shuffle on (query, neighbor) folds subspace terms; top-5 is a
+    per-query WindowGroupLimit."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_search,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = emb.filter(
+        (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 160)
+    ).select((F.col("vec_id") / 10).cast("long").alias("code_id"), "embedding")
+    codes = pq_encode(emb, cb, n_subspaces=8, dim=64)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return pq_search(codes, cb, queries, n_subspaces=8, dim=64, k=5)
+
+
+_SQL_PQ_SEARCH = """
+WITH cb AS (
+  SELECT CAST(vec_id // 10 AS BIGINT) AS code_id, embedding AS cv
+  FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 160),
+subs AS (SELECT CAST(generate_series AS BIGINT) AS sub
+         FROM generate_series(0, 7)),
+corp AS (
+  SELECT e.vec_id, s.sub,
+         list_transform(range(1, 9), i -> FLOOR(
+           CAST(e.embedding[CAST(s.sub * 8 + i AS INTEGER)] AS DOUBLE)
+           * 1e6)) AS sv
+  FROM embeddings e CROSS JOIN subs s),
+cbe AS (
+  SELECT c.code_id, s.sub,
+         list_transform(range(1, 9), i -> FLOOR(
+           CAST(c.cv[CAST(s.sub * 8 + i AS INTEGER)] AS DOUBLE)
+           * 1e6)) AS cvv
+  FROM cb c CROSS JOIN subs s),
+scored AS (
+  SELECT corp.vec_id, corp.sub, cbe.code_id,
+         list_sum(list_transform(range(1, 9),
+           i -> (corp.sv[CAST(i AS INTEGER)] - cbe.cvv[CAST(i AS INTEGER)])
+              * (corp.sv[CAST(i AS INTEGER)] - cbe.cvv[CAST(i AS INTEGER)])))
+           AS d
+  FROM corp JOIN cbe ON corp.sub = cbe.sub),
+best AS (
+  SELECT vec_id, sub, code_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                            ORDER BY d, code_id) AS rn
+  FROM scored),
+lut AS (
+  SELECT q.vec_id AS query_id, c.sub, c.code_id,
+         list_sum(list_transform(range(1, 9),
+           i -> (q.sv[CAST(i AS INTEGER)] - c.cvv[CAST(i AS INTEGER)])
+              * (q.sv[CAST(i AS INTEGER)] - c.cvv[CAST(i AS INTEGER)])))
+           AS d
+  FROM corp q JOIN cbe c ON q.sub = c.sub
+  WHERE q.vec_id % 100 = 0),
+ad AS (
+  SELECT l.query_id, b.vec_id AS neighbor_id,
+         CAST(SUM(l.d) AS BIGINT) AS adist_micros2
+  FROM best b JOIN lut l ON b.sub = l.sub AND b.code_id = l.code_id
+  WHERE b.rn = 1
+  GROUP BY 1, 2)
+SELECT query_id, neighbor_id, adist_micros2, rn AS rank
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY adist_micros2, neighbor_id) AS INTEGER) AS rn
+      FROM ad)
+WHERE rn <= 5
+"""
+
+
 def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch profiling (HLL distinct + KLL quantiles) of events per
     event_type — as an ORACLE-CHECKABLE contract.  Sketch values are
@@ -8210,6 +8286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_roc": q_quality_roc,
         "shuffle_shards": q_shuffle_shards,
         "pq_encode": q_pq_encode,
+        "pq_search": q_pq_search,
         # ---- driver-green in rounds 2-4 ----------------------------------
         "multimodal_decode_real": q_multimodal_decode_real,
         "assign_packs": q_assign_packs,
@@ -8550,6 +8627,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_roc": _sql_quality_roc(),
         "shuffle_shards": _SQL_SHUFFLE_SHARDS,
         "pq_encode": _SQL_PQ_ENCODE,
+        "pq_search": _SQL_PQ_SEARCH,
         "containment_pairs": _sql_containment_pairs(),
         "source_keywords": _SQL_SOURCE_KEYWORDS,
         "doc_features": _sql_doc_features(),

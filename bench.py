@@ -246,6 +246,8 @@ HEADLINE = [
     "shuffle_shards",
     # round-5: product-quantization encode (the IVF-PQ compression half)
     "pq_encode",
+    # round-5: PQ asymmetric-distance top-k (the IVF-PQ query half)
+    "pq_search",
 ]
 
 

@@ -1027,3 +1027,99 @@ def pq_encode(
         )
         .select(F.col("_id").alias(id_col), "codes", "err_micros2")
     )
+
+
+def pq_search(
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    n_subspaces: int = 8,
+    dim: int = 64,
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    code_id_col: str = "code_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PQ-encoded corpus — the
+    query half of IVF-PQ (``pq_encode`` is the compression half): the
+    query stays un-quantized; each corpus vector's distance is the sum
+    over subspaces of d²(query subvector, codebook[code]) looked up
+    from a per-query distance table, so the scan touches only the
+    byte codes, never the original vectors.
+
+    Returns (query_id, neighbor_id, adist_micros2, rank): ``rank`` by
+    ascending ADC distance (neighbor id tiebreak), distance in exact
+    integer micros² — engine-exact because subvectors quantize to
+    integer micros exactly as in ``pq_encode``.
+
+    Scale shape: the distance LUT is queries × n_subspaces × codebook
+    rows (q·m·k_codes — tiny) built by joining the exploded query and
+    codebook sides on the subspace key and BROADCAST to the corpus
+    scan; the corpus side explodes its code string ×n_subspaces, maps
+    through the LUT, then one partial-agg shuffle on (query, id) folds
+    the per-subspace terms; top-k is a per-query WindowGroupLimit.
+    The original vector column is never read — at 100 TB the scan IO
+    is the code bytes (8 B/vector here vs 256 B raw).
+    """
+    if dim % n_subspaces:
+        raise ValueError("dim must divide evenly into subspaces")
+    sub = dim // n_subspaces
+
+    def sub_micro(vec, j):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(sub - 1)),
+            lambda i: F.floor(
+                F.element_at(vec, (j * sub + i + 1).cast("int")).cast(
+                    "double"
+                )
+                * 1e6
+            ).cast("double"),
+        )
+
+    def exploded(df, idc, out_id):
+        return df.select(
+            F.col(idc).alias(out_id),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
+                    lambda j: sub_micro(F.col(vec_col), j),
+                )
+            ).alias("sub", "_sv"),
+        )
+
+    qx = exploded(queries, id_col, query_id_col)
+    cb = exploded(codebook, code_id_col, "_code").select(
+        "_code", "sub", F.col("_sv").alias("_cv")
+    )
+    d = F.aggregate(
+        F.zip_with(F.col("_sv"), F.col("_cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = qx.join(cb, on="sub").select(
+        query_id_col, "sub", "_code", d.alias("_d")
+    )
+    corp = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(F.split(F.col(codes_col), ",")).alias("sub", "_c"),
+    ).select(
+        "neighbor_id", "sub", F.col("_c").cast("long").alias("_code")
+    )
+    adist = (
+        corp.join(F.broadcast(lut), on=["sub", "_code"])
+        .groupBy(query_id_col, "neighbor_id")
+        .agg(F.sum("_d").cast("long").alias("adist_micros2"))
+    )
+    ranked = topk_per_group(
+        adist,
+        partition_by=[query_id_col],
+        order_by=[F.asc("adist_micros2"), F.asc("neighbor_id")],
+        k=k,
+        rank_col="rank",
+        keep_rank=True,
+    )
+    return ranked.select(
+        query_id_col, "neighbor_id", "adist_micros2", "rank"
+    )

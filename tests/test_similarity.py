@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from blueforty___etl_data_pipeline_spark.functions.vectors import (
@@ -437,3 +439,62 @@ def test_pq_encode_error_is_reported(spark):
     # nearest is the all-zero code; err = 8 * (250000)^2
     assert row["codes"] == "0,0"
     assert row["err_micros2"] == 8 * 250_000 ** 2
+
+
+def test_pq_search_adc_exact_on_codebook_corpus(spark):
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_search,
+    )
+
+    # Corpus == codebook → every vector encodes losslessly, so ADC
+    # distance equals the exact quantized L2 distance and the top-1
+    # neighbor of each query (a corpus member) is itself at distance 0.
+    def vec(seed):
+        return [float((seed * 7 + i) % 5) for i in range(8)]
+
+    cb_rows = [(c, vec(c)) for c in range(4)]
+    cb = spark.createDataFrame(cb_rows, "code_id long, embedding array<float>")
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in cb_rows], "vec_id long, embedding array<float>"
+    )
+    codes = pq_encode(corpus, cb, n_subspaces=2, dim=8)
+    out = pq_search(codes, cb, corpus, n_subspaces=2, dim=8, k=4).collect()
+    assert len(out) == 16  # 4 queries x k=4
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert rows[0]["neighbor_id"] == qid
+        assert rows[0]["adist_micros2"] == 0
+        # exact quantized L2 reference for the rest
+        q = [math.floor(x * 1e6) for x in vec(qid)]
+        for r in rows:
+            c = [math.floor(x * 1e6) for x in vec(r["neighbor_id"])]
+            exact = sum((a - b) ** 2 for a, b in zip(q, c))
+            assert r["adist_micros2"] == exact
+
+
+def test_pq_search_reads_codes_not_vectors(spark):
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        pq_search,
+    )
+
+    # The corpus side carries ONLY (id, codes) — no vector column —
+    # proving the scan never needs the original embeddings.
+    cb = spark.createDataFrame(
+        [(0, [0.0] * 8), (1, [1.0] * 8)], "code_id long, embedding array<float>"
+    )
+    codes = spark.createDataFrame(
+        [(7, "0,1"), (8, "1,1")], "vec_id long, codes string"
+    )
+    queries = spark.createDataFrame(
+        [(42, [1.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    out = {
+        r["neighbor_id"]: r["adist_micros2"]
+        for r in pq_search(codes, cb, queries, n_subspaces=2, dim=8).collect()
+    }
+    # d(query_sub=[1e6]*4, code0=[0]*4) = 4e12 per subspace
+    assert out == {7: 4 * 10 ** 12, 8: 0}
