@@ -7381,6 +7381,92 @@ WHERE rn <= 5
 """
 
 
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (operators/linkage.record_linkage):
+    Fellegi–Sunter integer milli-log-odds scoring of blocked candidate
+    pairs — the warehouse entity-matching step next to the reference's
+    reconciliation (BlueForty.py:449 lines up purchase vs invoice
+    feeds by key; linkage is the same problem when keys are dirty).
+    The 'registry' side is a deterministic in-query perturbation of
+    customer (1-in-11 names dirtied 0→O, balance bands shifted by
+    custkey%7 steps); blocking on (segment, nation) keeps candidates
+    an equi-join, never all-pairs.  Matches = name agree (+4000) and
+    band agree (+1500) / disagree (−500) above the 2000 threshold;
+    dirty-name rows drop below it — the realistic missed-match tail a
+    second blocking pass would recover."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.linkage import (
+        record_linkage,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    left = cust.select(
+        F.col("c_custkey").alias("left_id"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").cast("long").alias("nat"),
+        F.upper(F.col("c_name")).alias("nm"),
+        F.floor((F.floor(F.col("c_acctbal")) + 1000) / 100)
+        .cast("long")
+        .alias("band"),
+    )
+    right = cust.select(
+        (F.col("c_custkey") + 1000000).alias("right_id"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").cast("long").alias("nat"),
+        F.when(
+            F.col("c_custkey") % 11 == 0,
+            F.replace(F.upper(F.col("c_name")), F.lit("0"), F.lit("O")),
+        )
+        .otherwise(F.upper(F.col("c_name")))
+        .alias("nm"),
+        F.floor(
+            (
+                F.floor(F.col("c_acctbal"))
+                + (F.col("c_custkey") % 7) * 20
+                + 1000
+            )
+            / 100
+        )
+        .cast("long")
+        .alias("band"),
+    )
+    return record_linkage(
+        left,
+        right,
+        block_cols=["seg", "nat"],
+        compare_weights=[("nm", 4000, -1000), ("band", 1500, -500)],
+        threshold_milli=2000,
+        max_block_size=100000,
+    )
+
+
+_SQL_RECORD_LINKAGE = """
+WITH l AS (
+  SELECT c_custkey AS left_id, c_mktsegment AS seg,
+         CAST(c_nationkey AS BIGINT) AS nat, upper(c_name) AS nm,
+         CAST(FLOOR((FLOOR(c_acctbal) + 1000) / 100) AS BIGINT) AS band
+  FROM customer),
+r AS (
+  SELECT c_custkey + 1000000 AS right_id, c_mktsegment AS seg,
+         CAST(c_nationkey AS BIGINT) AS nat,
+         CASE WHEN c_custkey % 11 = 0
+              THEN replace(upper(c_name), '0', 'O')
+              ELSE upper(c_name) END AS nm,
+         CAST(FLOOR((FLOOR(c_acctbal) + (c_custkey % 7) * 20 + 1000)
+                    / 100) AS BIGINT) AS band
+  FROM customer)
+SELECT left_id, right_id,
+       CAST(CASE WHEN l.nm = r.nm THEN 4000 ELSE -1000 END
+          + CASE WHEN l.band = r.band THEN 1500 ELSE -500 END
+          AS BIGINT) AS score_milli,
+       (CASE WHEN l.nm = r.nm THEN '1' ELSE '0' END) ||
+       (CASE WHEN l.band = r.band THEN '1' ELSE '0' END) AS agree_mask
+FROM l JOIN r ON l.seg = r.seg AND l.nat = r.nat
+WHERE CASE WHEN l.nm = r.nm THEN 4000 ELSE -1000 END
+    + CASE WHEN l.band = r.band THEN 1500 ELSE -500 END >= 2000
+"""
+
+
 def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch profiling (HLL distinct + KLL quantiles) of events per
     event_type — as an ORACLE-CHECKABLE contract.  Sketch values are
@@ -8287,6 +8373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": q_shuffle_shards,
         "pq_encode": q_pq_encode,
         "pq_search": q_pq_search,
+        "record_linkage": q_record_linkage,
         # ---- driver-green in rounds 2-4 ----------------------------------
         "multimodal_decode_real": q_multimodal_decode_real,
         "assign_packs": q_assign_packs,
@@ -8628,6 +8715,7 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_shards": _SQL_SHUFFLE_SHARDS,
         "pq_encode": _SQL_PQ_ENCODE,
         "pq_search": _SQL_PQ_SEARCH,
+        "record_linkage": _SQL_RECORD_LINKAGE,
         "containment_pairs": _sql_containment_pairs(),
         "source_keywords": _SQL_SOURCE_KEYWORDS,
         "doc_features": _sql_doc_features(),

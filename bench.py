@@ -248,6 +248,8 @@ HEADLINE = [
     "pq_encode",
     # round-5: PQ asymmetric-distance top-k (the IVF-PQ query half)
     "pq_search",
+    # round-5: Fellegi-Sunter record linkage (blocked integer scoring)
+    "record_linkage",
 ]
 
 

@@ -1,0 +1,111 @@
+"""Probabilistic record linkage (Fellegi–Sunter) over blocked pairs.
+
+The classic warehouse-ETL matching problem the reference's pipeline
+family sits next to (BlueForty.py loads purchase/invoice feeds that its
+reconciliation step must line up): decide which rows of two dirty
+sources describe the same real-world entity.  Fellegi–Sunter scores a
+candidate pair by summing per-field log-odds weights — a positive
+"agreement" weight when the field matches, a negative "disagreement"
+weight when it does not — and thresholds the total.
+
+Engine-exact by construction: weights are caller-supplied INTEGERS
+(milli-log-odds precomputed offline — the same inline-the-table pattern
+as the nDCG discount table), so the score is pure integer arithmetic
+with no in-engine logarithms.
+
+Scale shape: candidates come only from an equi-join on the blocking
+key (never all-pairs); a degenerate blocking value (one giant block is
+the skew risk — m_left × m_right pairs) is dropped up front by
+``max_block_size``, mirroring ``minhash_lsh_pairs``'s bucket cap.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def record_linkage(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: Sequence[str],
+    compare_weights: Sequence[tuple[str, int, int]],
+    left_id_col: str = "left_id",
+    right_id_col: str = "right_id",
+    threshold_milli: int | None = None,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Score blocked candidate pairs by integer Fellegi–Sunter weights.
+
+    ``left`` / ``right`` each carry their id column, the ``block_cols``,
+    and every compare column (pre-normalized by the caller — e.g.
+    upper-cased names, banded amounts; the comparator here is null-safe
+    equality).  ``compare_weights`` rows are
+    ``(col, agree_milli, disagree_milli)`` with ``agree_milli > 0 >
+    disagree_milli`` in milli-log-odds.  A field that is NULL on either
+    side contributes NEITHER weight (standard FS missing-data handling).
+
+    Returns (left_id, right_id, score_milli, agree_mask) — ``agree_mask``
+    is a '1'/'0'/'-' character per compare column in order (agree /
+    disagree / missing), the audit trail for threshold tuning.  Pairs
+    below ``threshold_milli`` (if given) are dropped.
+
+    Scale shape: one hash equi-join on the blocking key; scoring and the
+    threshold are map-side column arithmetic on the join output.  With
+    ``max_block_size`` set, blocks larger than the cap ON EITHER SIDE
+    are removed before the join (a block of m_l × m_r rows contributes
+    that many pairs — one boilerplate blocking value can dominate the
+    job at corpus scale; capped members can still match under a
+    different blocking pass, the standard multi-pass linkage design).
+    """
+    blocks = list(block_cols)
+    if not blocks:
+        raise ValueError("record_linkage requires at least one block col")
+
+    def side(df: DataFrame, idc: str, tag: str) -> DataFrame:
+        proj = df.select(
+            F.col(idc),
+            *[F.col(b) for b in blocks],
+            *[F.col(c).alias(f"{tag}_{c}") for c, _, _ in compare_weights],
+        )
+        if max_block_size is not None:
+            ok = (
+                proj.groupBy(*blocks)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") <= max_block_size)
+                .drop("_n")
+            )
+            proj = proj.join(ok, on=blocks, how="left_semi")
+        return proj
+
+    lhs = side(left, left_id_col, "_l")
+    rhs = side(right, right_id_col, "_r")
+    pairs = lhs.join(rhs, on=blocks)
+
+    score = F.lit(0).cast("long")
+    mask_parts = []
+    for col, agree, disagree in compare_weights:
+        lc, rc = F.col(f"_l_{col}"), F.col(f"_r_{col}")
+        missing = lc.isNull() | rc.isNull()
+        agreed = lc.eqNullSafe(rc) & ~missing
+        score = score + (
+            F.when(missing, F.lit(0))
+            .when(agreed, F.lit(int(agree)))
+            .otherwise(F.lit(int(disagree)))
+        )
+        mask_parts.append(
+            F.when(missing, F.lit("-")).when(agreed, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+        )
+    out = pairs.select(
+        F.col(left_id_col),
+        F.col(right_id_col),
+        score.alias("score_milli"),
+        F.concat(*mask_parts).alias("agree_mask"),
+    )
+    if threshold_milli is not None:
+        out = out.filter(F.col("score_milli") >= int(threshold_milli))
+    return out

@@ -1,0 +1,90 @@
+"""Fellegi–Sunter record linkage: scoring, missing fields, block cap."""
+
+from __future__ import annotations
+
+from blueforty___etl_data_pipeline_spark.operators.linkage import (
+    record_linkage,
+)
+
+
+def _sides(spark, left_rows, right_rows):
+    left = spark.createDataFrame(
+        left_rows, "left_id long, blk string, name string, band long"
+    )
+    right = spark.createDataFrame(
+        right_rows, "right_id long, blk string, name string, band long"
+    )
+    return left, right
+
+
+def test_linkage_scores_and_mask(spark):
+    left, right = _sides(
+        spark,
+        [(1, "a", "ALICE", 5), (2, "a", "BOB", 7)],
+        [(10, "a", "ALICE", 5), (20, "a", "BOB", 9), (30, "b", "BOB", 7)],
+    )
+    out = {
+        (r["left_id"], r["right_id"]): (r["score_milli"], r["agree_mask"])
+        for r in record_linkage(
+            left,
+            right,
+            block_cols=["blk"],
+            compare_weights=[("name", 4000, -1000), ("band", 1500, -500)],
+        ).collect()
+    }
+    # block 'a' pairs only — 30 (block 'b') never becomes a candidate
+    assert out == {
+        (1, 10): (5500, "11"),
+        (1, 20): (-1500, "00"),
+        (2, 10): (-1500, "00"),
+        (2, 20): (3500, "10"),
+    }
+
+
+def test_linkage_missing_field_contributes_neither_weight(spark):
+    left, right = _sides(
+        spark,
+        [(1, "a", None, 5)],
+        [(10, "a", "ALICE", 5)],
+    )
+    [r] = record_linkage(
+        left,
+        right,
+        block_cols=["blk"],
+        compare_weights=[("name", 4000, -1000), ("band", 1500, -500)],
+    ).collect()
+    assert (r["score_milli"], r["agree_mask"]) == (1500, "-1")
+
+
+def test_linkage_threshold_filters(spark):
+    left, right = _sides(
+        spark,
+        [(1, "a", "ALICE", 5), (2, "a", "BOB", 7)],
+        [(10, "a", "ALICE", 5), (20, "a", "CAROL", 7)],
+    )
+    out = record_linkage(
+        left,
+        right,
+        block_cols=["blk"],
+        compare_weights=[("name", 4000, -1000), ("band", 1500, -500)],
+        threshold_milli=2000,
+    ).collect()
+    assert {(r["left_id"], r["right_id"]) for r in out} == {(1, 10)}
+
+
+def test_linkage_block_cap_drops_degenerate_block(spark):
+    # block 'big' has 3 left rows (> cap 2) — all its pairs vanish;
+    # block 'ok' is untouched.
+    left, right = _sides(
+        spark,
+        [(i, "big", f"N{i}", i) for i in range(3)] + [(9, "ok", "X", 1)],
+        [(10 + i, "big", f"N{i}", i) for i in range(2)] + [(19, "ok", "X", 1)],
+    )
+    out = record_linkage(
+        left,
+        right,
+        block_cols=["blk"],
+        compare_weights=[("name", 4000, -1000)],
+        max_block_size=2,
+    ).collect()
+    assert {(r["left_id"], r["right_id"]) for r in out} == {(9, 19)}
