@@ -7467,6 +7467,49 @@ WHERE CASE WHEN l.nm = r.nm THEN 4000 ELSE -1000 END
 """
 
 
+def q_materialize_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch materialization (operators/sampling.materialize_epoch):
+    per-source repetition factors in permille become actual rows — 2300
+    permille = 2 copies of every doc plus a deterministic 30% hash
+    slice a third time.  The upsampling counterpart of mix_sources;
+    zero shuffles (literal weight map, map-side repeat count, one
+    Generate)."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        materialize_epoch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = materialize_epoch(
+        docs,
+        epochs_permille={
+            "src0": 2300,
+            "src1": 1000,
+            "src2": 500,
+            "src3": 1500,
+            "src4": 0,
+        },
+    )
+    return out.select("doc_id", "source", "n_chars", "copy_id")
+
+
+def _sql_materialize_epoch() -> str:
+    return f"""
+WITH w(src, wt) AS (VALUES
+  ('src0', 2300), ('src1', 1000), ('src2', 500),
+  ('src3', 1500), ('src4', 0)),
+d AS (
+  SELECT doc_id, source, n_chars,
+         CAST(wt // 1000 AS INTEGER) +
+         CASE WHEN ({_d_bucket10k('epoch')}) < (wt % 1000) * 10
+              THEN 1 ELSE 0 END AS reps
+  FROM documents JOIN w ON source = src)
+SELECT doc_id, source, n_chars,
+       CAST(unnest(range(0, reps)) AS INTEGER) AS copy_id
+FROM d WHERE reps > 0
+"""
+
+
 def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch profiling (HLL distinct + KLL quantiles) of events per
     event_type — as an ORACLE-CHECKABLE contract.  Sketch values are
@@ -8374,6 +8417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode": q_pq_encode,
         "pq_search": q_pq_search,
         "record_linkage": q_record_linkage,
+        "materialize_epoch": q_materialize_epoch,
         # ---- driver-green in rounds 2-4 ----------------------------------
         "multimodal_decode_real": q_multimodal_decode_real,
         "assign_packs": q_assign_packs,
@@ -8716,6 +8760,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_encode": _SQL_PQ_ENCODE,
         "pq_search": _SQL_PQ_SEARCH,
         "record_linkage": _SQL_RECORD_LINKAGE,
+        "materialize_epoch": _sql_materialize_epoch(),
         "containment_pairs": _sql_containment_pairs(),
         "source_keywords": _SQL_SOURCE_KEYWORDS,
         "doc_features": _sql_doc_features(),

@@ -250,6 +250,8 @@ HEADLINE = [
     "pq_search",
     # round-5: Fellegi-Sunter record linkage (blocked integer scoring)
     "record_linkage",
+    # round-5: epoch materialization (per-source upsampling, zero shuffle)
+    "materialize_epoch",
 ]
 
 

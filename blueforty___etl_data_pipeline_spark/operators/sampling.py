@@ -468,3 +468,50 @@ def shuffle_shards(
         .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
         .drop("_h")
     )
+
+
+def materialize_epoch(
+    df: DataFrame,
+    epochs_permille: dict[str, int],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "epoch",
+) -> DataFrame:
+    """Materialize one training epoch from per-source repetition
+    factors — the UPSAMPLING counterpart of :func:`mix_sources` (which
+    only ever downsamples) and the step that turns a computed mix into
+    an actual dataset: a source weighted 2300 permille contributes each
+    of its documents 2 times, plus a deterministic 30% hash-slice a
+    third time (fractional epochs via salted md5 buckets, not RNG — the
+    same id always gets the extra copy, on every run and engine).
+
+    Emits every input column plus ``copy_id`` (0-based repeat ordinal),
+    so downstream shard shuffling can decorrelate the copies (feed
+    (id, copy_id) to ``shuffle_shards``).  Sources absent from
+    ``epochs_permille`` are dropped — an epoch spec is total.
+
+    Scale shape: zero shuffles and zero aggregations — the weight map
+    is a literal, the repeat count is map-side arithmetic, and the
+    copies come from one Generate (explode of a 0..n-1 sequence) that
+    multiplies rows by at most ``ceil(max weight / 1000)``.  Output
+    size is exactly Σ_s rows_s · epochs_s — the planner sees the
+    explode and sizes downstream partitions accordingly.
+    """
+    wmap = F.create_map(
+        *[F.lit(x) for kv in epochs_permille.items() for x in kv]
+    )
+    w = wmap[F.col(group_col)].cast("long")
+    base = F.floor(w / 1000).cast("int")
+    extra = (
+        _bucket(F.col(id_col), salt) < (w % 1000) * (_BUCKETS // 1000)
+    ).cast("int")
+    repeats = (base + extra).alias("_reps")
+    return (
+        df.withColumn("_reps", repeats)
+        .filter(F.col("_reps") > 0)
+        .withColumn(
+            "copy_id",
+            F.explode(F.sequence(F.lit(0), F.col("_reps") - 1)),
+        )
+        .drop("_reps")
+    )

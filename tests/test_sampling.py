@@ -362,3 +362,58 @@ def test_shuffle_shards_dense_positions_and_determinism(spark):
     assert {(r["doc_id"], r["shard"], r["pos"]) for r in out} == {
         (r["doc_id"], r["shard"], r["pos"]) for r in out2
     }
+
+
+def test_materialize_epoch_repeats_and_fraction(spark):
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        _BUCKETS,
+        _bucket,
+        materialize_epoch,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, "a", f"t{i}") for i in range(40)] + [
+        (100 + i, "b", f"u{i}") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = materialize_epoch(
+        df, {"a": 2500, "b": 1000}, salt="ep-test"
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["copy_id"])
+    # source b: exactly one copy each, copy_id 0
+    for i in range(10):
+        assert by_doc[100 + i] == [0]
+    # source a: 2 or 3 copies, contiguous copy_ids from 0
+    n3 = 0
+    for i in range(40):
+        copies = sorted(by_doc[i])
+        assert copies == list(range(len(copies)))
+        assert len(copies) in (2, 3)
+        n3 += len(copies) == 3
+    # the fractional slice is the salted hash bucket rule, verifiably
+    expected3 = {
+        r["doc_id"]
+        for r in df.filter(F.col("source") == "a")
+        .select(
+            "doc_id", _bucket(F.col("doc_id"), "ep-test").alias("b")
+        )
+        .collect()
+        if r["b"] < 500 * (_BUCKETS // 1000)
+    }
+    assert {i for i in range(40) if len(by_doc[i]) == 3} == expected3
+    assert n3 == len(expected3)
+
+
+def test_materialize_epoch_drops_unlisted_and_zero_sources(spark):
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        materialize_epoch,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "zero", "y"), (3, "absent", "z")],
+        "doc_id long, source string, text string",
+    )
+    out = materialize_epoch(df, {"a": 1000, "zero": 0}).collect()
+    assert [(r["doc_id"], r["copy_id"]) for r in out] == [(1, 0)]
