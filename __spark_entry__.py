@@ -7510,6 +7510,95 @@ FROM d WHERE reps > 0
 """
 
 
+def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup detection under the driver's oracle
+    (operators/multimodal.image_dhash + dhash_pairs): each sampled
+    document becomes TWO real 16×4 grayscale PNGs — the original
+    (pixels = md5 digest bytes) and a twin with one pixel's low bit
+    flipped (sensor-noise analog).  Both decode through the vendored
+    stdlib codec, hash to 60-bit horizontal-gradient dHashes (twin
+    differs in ≤ 1 bit), and pair through a banded hamming join
+    (4×15-bit slices — pigeonhole-exact for hamming ≤ 3).  DuckDB
+    reproduces the gradient bits straight from md5 hex pairs — a
+    hash-checked oracle for the full decode→phash→block pipeline."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        dhash_pairs,
+        image_dhash,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 20 == 0)
+    )
+
+    def to_png(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.png import (
+            encode_png_gray,
+        )
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = list(_hl.md5(text.encode("utf-8")).digest())
+                ids.append(doc_id)
+                blobs.append(encode_png_gray([d[:] for _ in range(4)]))
+                twin = [d[:] for _ in range(4)]
+                twin[0][0] ^= 1
+                ids.append(doc_id + 1000000)
+                blobs.append(encode_png_gray(twin))
+            yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(to_png, schema="doc_id long, content binary")
+    hashes = image_dhash(media)
+    return dhash_pairs(hashes, bits=60, bands=4, max_hamming=3)
+
+
+_SQL_IMAGE_DHASH_PAIRS = """
+WITH base AS (
+  SELECT doc_id, md5(text) AS hx FROM documents WHERE doc_id % 20 = 0),
+b AS (
+  SELECT doc_id,
+         list_transform(range(0, 16), i -> CAST(('0x' ||
+           substr(hx, CAST(i * 2 + 1 AS INTEGER), 2)) AS BIGINT)) AS d
+  FROM base),
+h2 AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 15), c ->
+           CASE WHEN d[CAST(c + 2 AS INTEGER)] > d[CAST(c + 1 AS INTEGER)]
+                THEN CAST(1 AS BIGINT) << CAST(c AS INTEGER)
+                ELSE 0 END)) AS BIGINT) AS rowbits,
+         CASE WHEN d[2] > xor(d[1], 1) THEN 1 ELSE 0 END AS bit0_twin,
+         CASE WHEN d[2] > d[1] THEN 1 ELSE 0 END AS bit0_orig
+  FROM b),
+hh AS (
+  SELECT doc_id AS id,
+         rowbits + rowbits * 32768 + rowbits * 1073741824
+           + rowbits * 35184372088832 AS h
+  FROM h2
+  UNION ALL
+  SELECT doc_id + 1000000 AS id,
+         (rowbits - bit0_orig + bit0_twin) + rowbits * 32768
+           + rowbits * 1073741824 + rowbits * 35184372088832 AS h
+  FROM h2),
+subs AS (SELECT CAST(generate_series AS INTEGER) AS band
+         FROM generate_series(0, 3)),
+e AS (
+  SELECT id, h, band, (h >> (band * 15)) & 32767 AS slice
+  FROM hh CROSS JOIN subs)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+FROM e a JOIN e b ON a.band = b.band AND a.slice = b.slice
+                  AND a.id < b.id
+WHERE bit_count(xor(a.h, b.h)) <= 3
+"""
+
+
 def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch profiling (HLL distinct + KLL quantiles) of events per
     event_type — as an ORACLE-CHECKABLE contract.  Sketch values are
@@ -8418,6 +8507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_search": q_pq_search,
         "record_linkage": q_record_linkage,
         "materialize_epoch": q_materialize_epoch,
+        "image_dhash_pairs": q_image_dhash_pairs,
         # ---- driver-green in rounds 2-4 ----------------------------------
         "multimodal_decode_real": q_multimodal_decode_real,
         "assign_packs": q_assign_packs,
@@ -8761,6 +8851,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_search": _SQL_PQ_SEARCH,
         "record_linkage": _SQL_RECORD_LINKAGE,
         "materialize_epoch": _sql_materialize_epoch(),
+        "image_dhash_pairs": _SQL_IMAGE_DHASH_PAIRS,
         "containment_pairs": _sql_containment_pairs(),
         "source_keywords": _SQL_SOURCE_KEYWORDS,
         "doc_features": _sql_doc_features(),

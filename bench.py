@@ -252,6 +252,9 @@ HEADLINE = [
     "record_linkage",
     # round-5: epoch materialization (per-source upsampling, zero shuffle)
     "materialize_epoch",
+    # round-5: perceptual image near-dup (real PNG decode -> dHash ->
+    # banded hamming join)
+    "image_dhash_pairs",
 ]
 
 

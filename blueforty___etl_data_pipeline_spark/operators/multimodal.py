@@ -312,3 +312,135 @@ def augment_images(
         f"f{i} long" for i in range(n_feats)
     )
     return media.select(id_col, "content").mapInPandas(run, schema=schema)
+
+
+def image_dhash(
+    media: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) of PNG blobs — the image
+    analog of SimHash for near-duplicate image detection: bit
+    ``r·(w−1)+c`` is set iff pixel (r, c+1) is brighter than pixel
+    (r, c), so the hash captures the horizontal gradient structure and
+    survives brightness shifts, re-encodes, and small pixel noise that
+    break exact byte/content hashing.
+
+    Decode runs on the vendored pure-stdlib PNG codec inside one
+    Arrow-batched ``mapInPandas`` (the multimodal hot-path contract —
+    no per-row Python).  Requires (w−1)·h ≤ 63 so the hash packs into
+    one BIGINT (classic dHash resizes to 9×8 = 64 bits; pool larger
+    images down first via ``transform_image_real``).
+
+    Returns (id, dhash, width, height).  Pair near-duplicates with
+    :func:`dhash_pairs`.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from ..functions.png import decode_png_gray
+
+        for pdf in batches:
+            ids, hashes, ws, hs = [], [], [], []
+            for i, b in zip(pdf[id_col], pdf[content_col]):
+                px = decode_png_gray(b)
+                h, w = len(px), len(px[0])
+                if (w - 1) * h > 63:
+                    raise ValueError(
+                        f"dhash needs (w-1)*h <= 63 bits, got {w}x{h}"
+                    )
+                bits = 0
+                k = 0
+                for r in range(h):
+                    row = px[r]
+                    for c in range(w - 1):
+                        if row[c + 1] > row[c]:
+                            bits |= 1 << k
+                        k += 1
+                ids.append(i)
+                hashes.append(bits)
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {id_col: ids, "dhash": hashes, "width": ws, "height": hs}
+            )
+
+    return media.select(id_col, content_col).mapInPandas(
+        run, schema=f"{id_col} long, dhash long, width int, height int"
+    )
+
+
+def dhash_pairs(
+    hashes: DataFrame,
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate image pairs by banded hamming join over dHash
+    values: split the ``bits``-bit hash into ``bands`` equal bit
+    slices (pure integer div/mod — JVM column arithmetic, no UDF) and
+    equi-join on (band, slice value).  Pigeonhole guarantee: any pair
+    within hamming distance ``bands − 1`` shares at least one intact
+    band, so ``max_hamming ≤ bands − 1`` makes the blocking exact
+    (same contract as ``simhash_pairs``).
+
+    Returns (id_a, id_b, hamming) with ``id_a < id_b``, exact hamming
+    distance via ``bit_count(xor)``, filtered to ``max_hamming``.
+
+    Scale shape: explode ×bands, hash equi-join per bucket — never
+    all-pairs; one degenerate slice value (e.g. billions of flat
+    images hashing to 0) is dropped by ``max_bucket_size`` before it
+    generates m² candidates, mirroring ``minhash_lsh_pairs``.
+    """
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    if max_hamming > bands - 1:
+        raise ValueError(
+            "pigeonhole guarantee needs max_hamming <= bands - 1"
+        )
+    bw = bits // bands
+    slices = F.array(
+        *[
+            F.shiftright(F.col(hash_col), i * bw).bitwiseAND(
+                F.lit((1 << bw) - 1)
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = hashes.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.posexplode(slices).alias("band", "slice"),
+    )
+    if max_bucket_size is not None:
+        ok = (
+            banded.groupBy("band", "slice")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
+        banded = banded.join(ok, on=["band", "slice"], how="left_semi")
+    b = banded.persist()
+    lhs = b.select(
+        F.col("_id").alias("id_a"), F.col("_h").alias("_ha"), "band", "slice"
+    )
+    rhs = b.select(
+        F.col("_id").alias("id_b"), F.col("_h").alias("_hb"), "band", "slice"
+    )
+    return (
+        lhs.join(rhs, on=["band", "slice"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("_ha").bitwiseXOR(F.col("_hb"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

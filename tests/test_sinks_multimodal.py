@@ -613,3 +613,65 @@ def test_transform_image_real_crop_and_pool():
     assert out == [(31 + 41 + 32 + 42) // 4]
     # pool=1 keeps the cropped pixels verbatim
     assert transform_image_real(blob, crop=(0, 0, 2, 1), pool=1) == [10, 20]
+
+
+def test_image_dhash_known_gradient(spark):
+    from blueforty___etl_data_pipeline_spark.functions.png import (
+        encode_png_gray,
+    )
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        image_dhash,
+    )
+
+    # 4x3 image: row pattern [10, 20, 5] -> gradient bits (20>10)=1,
+    # (5>20)=0 per row; (w-1)*h = 8 bits, rows identical.
+    png = encode_png_gray([[10, 20, 5] for _ in range(4)])
+    df = spark.createDataFrame([(1, png)], "doc_id long, content binary")
+    [r] = image_dhash(df).collect()
+    # per-row bits 0b01 at offsets 0,2,4,6 -> 0b01010101 = 85
+    assert (r["dhash"], r["width"], r["height"]) == (85, 3, 4)
+
+
+def test_dhash_pairs_pigeonhole_and_cap(spark):
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        dhash_pairs,
+    )
+
+    base = (1 << 60) - 1
+    rows = [
+        (1, base),
+        (2, base ^ 0b111),            # hamming 3 from 1 -> pair found
+        (3, base ^ ((1 << 50) - 1)),  # hamming 50 -> no shared band
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, dhash long")
+    out = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dhash_pairs(df, bits=60, bands=4, max_hamming=3).collect()
+    }
+    assert out == {(1, 2): 3}
+    # cap: a degenerate slice shared by everyone is dropped before the
+    # join -- with all four bands identical across 3 docs and cap 2,
+    # every bucket of size 3 vanishes
+    allsame = spark.createDataFrame(
+        [(i, base) for i in range(3)], "doc_id long, dhash long"
+    )
+    assert (
+        dhash_pairs(
+            allsame, bits=60, bands=4, max_hamming=3, max_bucket_size=2
+        ).count()
+        == 0
+    )
+
+
+def test_dhash_pairs_rejects_unsafe_hamming(spark):
+    import pytest
+
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        dhash_pairs,
+    )
+
+    df = spark.createDataFrame([(1, 0)], "doc_id long, dhash long")
+    with pytest.raises(ValueError):
+        dhash_pairs(df, bits=60, bands=4, max_hamming=4)
