@@ -7599,6 +7599,80 @@ WHERE bit_count(xor(a.h, b.h)) <= 3
 """
 
 
+def q_epoch_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed epoch-construction pipeline, ONE lazy plan: quality
+    gate (scan predicates) → materialize_epoch (per-source permille
+    upsampling, map-side + one Generate) → shuffle_shards over the
+    (doc, copy) sample key (one shard-partitioned window).  The
+    nightly job that turns a curated corpus into the shard layout a
+    training run actually reads; Catalyst fuses the gate into the
+    scan and the only shuffle is the final shard partitioning."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        materialize_epoch,
+        shuffle_shards,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    gated = quality_filter(
+        docs, min_tokens=20, max_punct_ratio=0.1, min_stopword_ratio=0.01
+    )
+    weights = {f"src{i}": 500 + (i % 4) * 600 for i in range(20)}
+    epoch = materialize_epoch(gated, weights)
+    keyed = epoch.withColumn(
+        "sample_key", F.col("doc_id") * 10 + F.col("copy_id")
+    )
+    sh = shuffle_shards(keyed, n_shards=8, id_col="sample_key")
+    return sh.select(
+        F.expr("sample_key div 10").alias("doc_id"),
+        (F.col("sample_key") % 10).cast("int").alias("copy_id"),
+        "shard",
+        "pos",
+    )
+
+
+def _sql_epoch_pipeline() -> str:
+    vals = ", ".join(
+        f"('src{i}', {500 + (i % 4) * 600})" for i in range(20)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, text,
+         {_D_TOKENS.format(t='text')} AS toks,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+           AS n_punct
+  FROM documents),
+q AS (
+  SELECT doc_id, source FROM t
+  WHERE len(toks) >= 20
+    AND CAST(n_punct AS DOUBLE) / length(text) <= 0.1
+    AND CAST(len(list_filter(toks,
+          x -> list_contains(['the','and','of'], lower(x))))
+          AS DOUBLE) / len(toks) >= 0.01),
+w(src, wt) AS (VALUES {vals}),
+d AS (
+  SELECT doc_id,
+         CAST(wt // 1000 AS INTEGER) +
+         CASE WHEN ({_d_bucket10k('epoch')}) < (wt % 1000) * 10
+              THEN 1 ELSE 0 END AS reps
+  FROM q JOIN w ON source = src),
+m AS (
+  SELECT doc_id, CAST(unnest(range(0, reps)) AS INTEGER) AS copy_id
+  FROM d WHERE reps > 0),
+k AS (
+  SELECT doc_id, copy_id, doc_id * 10 + copy_id AS sk FROM m),
+h AS (
+  SELECT doc_id, copy_id, sk,
+         CAST(('0x' || substr(md5('shuffle:' || CAST(sk AS VARCHAR)),
+                              1, 15)) AS BIGINT) AS h
+  FROM k)
+SELECT doc_id, copy_id, CAST(h % 8 AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY h % 8
+                               ORDER BY h, sk) - 1 AS BIGINT) AS pos
+FROM h
+"""
+
+
 def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch profiling (HLL distinct + KLL quantiles) of events per
     event_type — as an ORACLE-CHECKABLE contract.  Sketch values are
@@ -8508,6 +8582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_linkage": q_record_linkage,
         "materialize_epoch": q_materialize_epoch,
         "image_dhash_pairs": q_image_dhash_pairs,
+        "epoch_pipeline": q_epoch_pipeline,
         # ---- driver-green in rounds 2-4 ----------------------------------
         "multimodal_decode_real": q_multimodal_decode_real,
         "assign_packs": q_assign_packs,
@@ -8852,6 +8927,7 @@ def oracle_sql() -> dict[str, str]:
         "record_linkage": _SQL_RECORD_LINKAGE,
         "materialize_epoch": _sql_materialize_epoch(),
         "image_dhash_pairs": _SQL_IMAGE_DHASH_PAIRS,
+        "epoch_pipeline": _sql_epoch_pipeline(),
         "containment_pairs": _sql_containment_pairs(),
         "source_keywords": _SQL_SOURCE_KEYWORDS,
         "doc_features": _sql_doc_features(),

@@ -255,6 +255,9 @@ HEADLINE = [
     # round-5: perceptual image near-dup (real PNG decode -> dHash ->
     # banded hamming join)
     "image_dhash_pairs",
+    # round-5: composed epoch construction (gate -> upsample -> shard),
+    # one lazy plan, one shuffle
+    "epoch_pipeline",
 ]
 
 
