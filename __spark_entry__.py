@@ -7673,6 +7673,102 @@ FROM h
 """
 
 
+def q_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot diff (operators/profile.row_diff): the CDC
+    extraction at row granularity — same snapshot derivation as
+    snapshot_diff (B deletes doc_id%97=0, rewrites lang for %31=0,
+    drops src19; A lacks src18) but classifying individual keys as
+    added/removed/changed via md5 row hashes and ONE full-outer join
+    on thin (key, hash) projections.  Output size is the churn, not
+    the table."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        row_diff,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    snap_a = docs.filter(F.col("source") != "src18")
+    snap_b = (
+        docs.filter(F.col("source") != "src19")
+        .filter(F.col("doc_id") % 97 != 0)
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 31 == 0, F.lit("xx")).otherwise(
+                F.col("lang")
+            ),
+        )
+    )
+    return row_diff(
+        snap_a, snap_b, key_cols=["doc_id"],
+        cols=["lang", "n_chars", "source", "text"],
+    )
+
+
+def _sql_row_diff() -> str:
+    fields = ", ".join(
+        f"COALESCE(CAST({c} AS VARCHAR), chr(0) || 'NULL')"
+        for c in ("lang", "n_chars", "source", "text")
+    )
+    h = _d_md5h(f"concat_ws(chr(31), {fields})")
+    return f"""
+WITH a AS (
+  SELECT doc_id, {h} AS h FROM documents WHERE source != 'src18'),
+bsrc AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 31 = 0 THEN 'xx' ELSE lang END AS lang,
+         n_chars, source, text
+  FROM documents WHERE source != 'src19' AND doc_id % 97 != 0),
+b AS (
+  SELECT doc_id, {h} AS h FROM bsrc)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM a FULL JOIN b ON a.doc_id = b.doc_id
+WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.h != b.h
+"""
+
+
+def q_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto front (operators/analytics.pareto_front_2d): parts
+    not dominated under (minimize retail price, maximize size) — the
+    skyline query.  The engine form is shuffle-bounded by the price
+    value domain (per-price max-size reduction → strictly-preceding
+    running max over the distinct-price table → broadcast join back);
+    the oracle is the naive quadratic NOT-EXISTS dominance self-join,
+    proving the two are equivalent."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        pareto_front_2d,
+    )
+
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey"),
+        F.round(F.col("p_retailprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+        F.col("p_size").cast("int").alias("size"),
+    )
+    return pareto_front_2d(
+        part, x_col="price_cents", y_col="size", id_col="p_partkey"
+    )
+
+
+_SQL_PARETO_FRONT = """
+WITH p AS (
+  SELECT p_partkey,
+         CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS price_cents,
+         CAST(p_size AS INTEGER) AS size
+  FROM part)
+SELECT p_partkey, price_cents, size
+FROM p
+WHERE NOT EXISTS (
+  SELECT 1 FROM p q
+  WHERE q.price_cents <= p.price_cents AND q.size >= p.size
+    AND (q.price_cents < p.price_cents OR q.size > p.size))
+"""
+
+
 def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch profiling (HLL distinct + KLL quantiles) of events per
     event_type — as an ORACLE-CHECKABLE contract.  Sketch values are
@@ -8583,6 +8679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "materialize_epoch": q_materialize_epoch,
         "image_dhash_pairs": q_image_dhash_pairs,
         "epoch_pipeline": q_epoch_pipeline,
+        "row_diff": q_row_diff,
+        "pareto_front": q_pareto_front,
         # ---- driver-green in rounds 2-4 ----------------------------------
         "multimodal_decode_real": q_multimodal_decode_real,
         "assign_packs": q_assign_packs,
@@ -8928,6 +9026,8 @@ def oracle_sql() -> dict[str, str]:
         "materialize_epoch": _sql_materialize_epoch(),
         "image_dhash_pairs": _SQL_IMAGE_DHASH_PAIRS,
         "epoch_pipeline": _sql_epoch_pipeline(),
+        "row_diff": _sql_row_diff(),
+        "pareto_front": _SQL_PARETO_FRONT,
         "containment_pairs": _sql_containment_pairs(),
         "source_keywords": _SQL_SOURCE_KEYWORDS,
         "doc_features": _sql_doc_features(),

@@ -258,6 +258,9 @@ HEADLINE = [
     # round-5: composed epoch construction (gate -> upsample -> shard),
     # one lazy plan, one shuffle
     "epoch_pipeline",
+    # round-5: row-level CDC diff; skyline via value-domain-bounded window
+    "row_diff",
+    "pareto_front",
 ]
 
 

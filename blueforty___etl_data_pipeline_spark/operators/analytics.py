@@ -436,3 +436,52 @@ def roc_sweep(
             ).alias("fpr_permille"),
         )
     )
+
+
+def pareto_front_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str = "id",
+) -> DataFrame:
+    """2-D Pareto front (skyline): rows not dominated under
+    (minimize ``x_col``, maximize ``y_col``) — r' dominates r when
+    x' ≤ x, y' ≥ y, and at least one is strict.  Ties on both axes are
+    mutually non-dominating, so equal points all survive.  Flip a sign
+    on the input to change an objective's direction.  Rows with a NULL
+    objective are excluded (dominance is undefined for them).
+
+    The naive skyline is a quadratic NOT-EXISTS self-join (that IS the
+    DuckDB oracle).  This form is shuffle-bounded by the x value
+    domain instead: per-x max(y) (one partial-agged reduction), a
+    strictly-preceding running max over the DISTINCT-x table (window
+    over |distinct x| rows, value-domain-bounded — the mad_outliers
+    argument), and a broadcast join back.  A row survives iff its y
+    equals its x-group max and strictly exceeds every smaller-x max.
+
+    Returns (id, x, y) for the surviving rows.
+    """
+    pts = df.select(
+        F.col(id_col), F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    gx = pts.groupBy("_x").agg(F.max("_y").alias("_maxy"))
+    w = (
+        Window.orderBy(F.asc("_x"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    front_x = (
+        gx.withColumn("_prev", F.max("_maxy").over(w))
+        .filter(
+            F.col("_prev").isNull() | (F.col("_maxy") > F.col("_prev"))
+        )
+        .select("_x", "_maxy")
+    )
+    return (
+        pts.join(F.broadcast(front_x), on="_x")
+        .filter(F.col("_y") == F.col("_maxy"))
+        .select(
+            F.col(id_col),
+            F.col("_x").alias(x_col),
+            F.col("_y").alias(y_col),
+        )
+    )

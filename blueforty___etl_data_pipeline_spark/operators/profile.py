@@ -886,3 +886,73 @@ def contingency_lift(
             f" * SUM(n) OVER (PARTITION BY {col_col})) AS BIGINT)"
         ).alias("lift_permille"),
     )
+
+
+def row_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level snapshot diff — the fine-grained companion of
+    :func:`changed_partitions`: classify every key as added / removed /
+    changed between two snapshots, dropping untouched rows.  This is
+    the change-data-capture extraction a downstream incremental
+    consumer replays (the work list at ROW granularity, where
+    ``changed_partitions`` gives it at partition granularity).
+
+    ``key_cols`` must be a primary key of both sides (one row per key;
+    duplicate keys make "changed" ill-defined).  Value comparison is
+    the same md5-derived row hash as :func:`partition_fingerprints`
+    (NULL folds as an out-of-band sentinel, so NULL ≠ 'NULL' ≠ '').
+    ``cols`` defaults to the sorted non-key columns common to both
+    sides.
+
+    Returns (key_cols..., status ∈ added|removed|changed).
+
+    Scale shape: each side reduces to (key, hash) at scan time — the
+    join carries two thin columns, not the row payload — then ONE
+    key-keyed full-outer hash join; the filter keeps only the changed
+    tail, so output size is the churn, not the table.
+    """
+    from ..functions.text import md5_hash64
+
+    if cols is None:
+        shared = set(old.columns) & set(new.columns)
+        cols = sorted(shared - set(key_cols))
+    sep = "\x1f"
+
+    def hashed(df: DataFrame, out: str) -> DataFrame:
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+            for c in cols
+        ]
+        return df.select(
+            *[F.col(k) for k in key_cols],
+            md5_hash64(F.concat_ws(sep, *parts)).alias(out),
+        )
+
+    o = hashed(old, "_ho")
+    n = hashed(new, "_hn")
+    for k in key_cols:
+        n = n.withColumnRenamed(k, f"_n_{k}")
+    cond = None
+    for k in key_cols:
+        c = o[k].eqNullSafe(n[f"_n_{k}"])
+        cond = c if cond is None else cond & c
+    joined = o.join(n, cond, "full_outer")
+    status = (
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") != F.col("_hn"), F.lit("changed"))
+    )
+    return (
+        joined.select(
+            *[
+                F.coalesce(o[k], n[f"_n_{k}"]).alias(k)
+                for k in key_cols
+            ],
+            status.alias("status"),
+        )
+        .filter(F.col("status").isNotNull())
+    )

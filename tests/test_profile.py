@@ -534,3 +534,58 @@ def test_quantile_bins_equi_depth(spark):
     assert out == {
         1.0: 1, 2.0: 1, 3.0: 2, 4.0: 2, 5.0: 3, 6.0: 3, 7.0: 4, 8.0: 4,
     }
+
+
+def test_row_diff_classifies_all_statuses(spark):
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        row_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)],
+        "k long, v string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (5, "e"), (4, "NULL")],
+        "k long, v string",
+    )
+    out = {r["k"]: r["status"] for r in row_diff(old, new, ["k"]).collect()}
+    # 1 untouched (absent), 2 changed, 3 removed, 5 added,
+    # 4: NULL -> 'NULL' must register as changed (sentinel != literal)
+    assert out == {2: "changed", 3: "removed", 5: "added", 4: "changed"}
+
+
+def test_pareto_front_matches_bruteforce(spark):
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        pareto_front_2d,
+    )
+
+    # deterministic pseudo-random points incl. x-ties and full-ties
+    pts = [(i, (i * 37) % 13, (i * 53) % 11) for i in range(60)]
+    pts.append((100, pts[0][1], pts[0][2]))  # exact duplicate point
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {
+        r["id"] for r in pareto_front_2d(df, "x", "y", id_col="id").collect()
+    }
+    expect = set()
+    for i, x, y in pts:
+        dominated = any(
+            (x2 <= x and y2 >= y and (x2 < x or y2 > y))
+            for _, x2, y2 in pts
+        )
+        if not dominated:
+            expect.add(i)
+    assert got == expect and expect
+
+
+def test_pareto_front_excludes_null_objectives(spark):
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        pareto_front_2d,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, 5), (2, None, 99), (3, 0, None)],
+        "id long, x long, y long",
+    )
+    out = [r["id"] for r in pareto_front_2d(df, "x", "y", id_col="id").collect()]
+    assert out == [1]
