@@ -7769,6 +7769,66 @@ WHERE NOT EXISTS (
 """
 
 
+def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket frequent pairs (operators/itemsets.frequent_pairs):
+    which part brands ship together in one order — support, both rule
+    confidences, and lift, all integer permille.  Baskets are orders,
+    items the brands of their lineitems; pair volume is bounded by the
+    basket-size cap (one 'everything' order cannot go quadratic), and
+    the corpus is scanned once with the single-item counts broadcast
+    back.  The text-domain sibling of collocations, on the warehouse
+    side of the house."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.itemsets import (
+        frequent_pairs,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
+        F.col("l_orderkey").alias("basket_id"),
+        F.col("p_brand").alias("item"),
+    )
+    return frequent_pairs(
+        b, min_support_permille=10, max_basket_size=20
+    )
+
+
+_SQL_FREQUENT_PAIRS = """
+WITH b AS (
+  SELECT l_orderkey AS bk, p_brand AS it
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+sets AS (
+  SELECT bk, list_sort(list_distinct(list(it))) AS items
+  FROM b GROUP BY bk),
+capped AS (SELECT * FROM sets WHERE len(items) <= 20),
+n AS (SELECT COUNT(*) AS nb FROM capped),
+ic AS (
+  SELECT it, COUNT(*) AS c
+  FROM (SELECT unnest(items) AS it FROM capped) GROUP BY 1),
+gs AS (SELECT CAST(generate_series AS INTEGER) AS i
+       FROM generate_series(1, 20)),
+pc AS (
+  SELECT c.items[i.i] AS item_a, c.items[j.i] AS item_b,
+         CAST(COUNT(*) AS BIGINT) AS pair_count
+  FROM capped c CROSS JOIN gs i CROSS JOIN gs j
+  WHERE i.i < j.i AND j.i <= len(c.items)
+  GROUP BY 1, 2)
+SELECT item_a, item_b, pair_count,
+       CAST(pair_count * 1000 // nb AS BIGINT) AS support_permille,
+       CAST(pair_count * 1000 // ca.c AS BIGINT)
+         AS conf_a_to_b_permille,
+       CAST(pair_count * 1000 // cb.c AS BIGINT)
+         AS conf_b_to_a_permille,
+       CAST(pair_count * nb * 1000 // (ca.c * cb.c) AS BIGINT)
+         AS lift_permille
+FROM pc CROSS JOIN n
+JOIN ic ca ON ca.it = pc.item_a
+JOIN ic cb ON cb.it = pc.item_b
+WHERE pair_count * 1000 // nb >= 10
+"""
+
+
 def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch profiling (HLL distinct + KLL quantiles) of events per
     event_type — as an ORACLE-CHECKABLE contract.  Sketch values are
@@ -8681,6 +8741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_pipeline": q_epoch_pipeline,
         "row_diff": q_row_diff,
         "pareto_front": q_pareto_front,
+        "frequent_pairs": q_frequent_pairs,
         # ---- driver-green in rounds 2-4 ----------------------------------
         "multimodal_decode_real": q_multimodal_decode_real,
         "assign_packs": q_assign_packs,
@@ -9028,6 +9089,7 @@ def oracle_sql() -> dict[str, str]:
         "epoch_pipeline": _sql_epoch_pipeline(),
         "row_diff": _sql_row_diff(),
         "pareto_front": _SQL_PARETO_FRONT,
+        "frequent_pairs": _SQL_FREQUENT_PAIRS,
         "containment_pairs": _sql_containment_pairs(),
         "source_keywords": _SQL_SOURCE_KEYWORDS,
         "doc_features": _sql_doc_features(),

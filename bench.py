@@ -261,6 +261,8 @@ HEADLINE = [
     # round-5: row-level CDC diff; skyline via value-domain-bounded window
     "row_diff",
     "pareto_front",
+    # round-5: market-basket association mining (cap-bounded pair Generate)
+    "frequent_pairs",
 ]
 
 

@@ -39,6 +39,11 @@ SLOW_SET = [
     "training_pipeline",
     "dedup_report",
     "semantic_dedup",
+    # round-5 session additions worth a scale datapoint: the
+    # mapInPandas-heavy image pipeline and the composed epoch job
+    "image_dhash_pairs",
+    "epoch_pipeline",
+    "record_linkage",
 ]
 
 
