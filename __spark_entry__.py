@@ -7829,6 +7829,114 @@ WHERE pair_count * 1000 // nb >= 10
 """
 
 
+def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF-PQ ANN (operators/similarity.ivf_pq_search):
+    centroid-cell routing (strided centroids, nprobe=2) composed with
+    product-quantization ADC ranking — the billion-vector index
+    layout, one integer-micros² L2 metric throughout (assignment,
+    probe, ADC), so every distance is exact and the whole
+    index-build + query pipeline hash-matches the DuckDB oracle.
+    Query cost: probed cells only, 8 B of codes per candidate."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        ivf_pq_search,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = emb.filter(
+        (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 160)
+    ).select((F.col("vec_id") / 10).cast("long").alias("code_id"), "embedding")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_pq_search(
+        emb, queries, cb, centroid_stride=50, nprobe=2,
+        n_subspaces=8, dim=64, k=5,
+    )
+
+
+_SQL_IVF_PQ_SEARCH = """
+WITH cb AS (
+  SELECT CAST(vec_id // 10 AS BIGINT) AS code_id, embedding AS cv
+  FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 160),
+subs AS (SELECT CAST(generate_series AS BIGINT) AS sub
+         FROM generate_series(0, 7)),
+corp AS (
+  SELECT e.vec_id, s.sub,
+         list_transform(range(1, 9), i -> FLOOR(
+           CAST(e.embedding[CAST(s.sub * 8 + i AS INTEGER)] AS DOUBLE)
+           * 1e6)) AS sv
+  FROM embeddings e CROSS JOIN subs s),
+cbe AS (
+  SELECT c.code_id, s.sub,
+         list_transform(range(1, 9), i -> FLOOR(
+           CAST(c.cv[CAST(s.sub * 8 + i AS INTEGER)] AS DOUBLE)
+           * 1e6)) AS cvv
+  FROM cb c CROSS JOIN subs s),
+scored AS (
+  SELECT corp.vec_id, corp.sub, cbe.code_id,
+         list_sum(list_transform(range(1, 9),
+           i -> (corp.sv[CAST(i AS INTEGER)] - cbe.cvv[CAST(i AS INTEGER)])
+              * (corp.sv[CAST(i AS INTEGER)] - cbe.cvv[CAST(i AS INTEGER)])))
+           AS d
+  FROM corp JOIN cbe ON corp.sub = cbe.sub),
+best AS (
+  SELECT vec_id, sub, code_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                            ORDER BY d, code_id) AS rn
+  FROM scored),
+fm AS (
+  SELECT vec_id, list_transform(range(1, 65), i -> FLOOR(
+           CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1e6)) AS fv
+  FROM embeddings),
+cent AS (
+  SELECT vec_id AS cid, fv AS cm FROM fm WHERE vec_id % 50 = 0),
+adist_cell AS (
+  SELECT f.vec_id, c.cid,
+         list_sum(list_transform(range(1, 65),
+           i -> (f.fv[CAST(i AS INTEGER)] - c.cm[CAST(i AS INTEGER)])
+              * (f.fv[CAST(i AS INTEGER)] - c.cm[CAST(i AS INTEGER)])))
+           AS d
+  FROM fm f CROSS JOIN cent c),
+assigned AS (
+  SELECT vec_id, cid AS cell
+  FROM (SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cid) AS rn
+        FROM adist_cell)
+  WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid AS cell
+  FROM (SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cid) AS rn
+        FROM adist_cell WHERE vec_id % 100 = 0)
+  WHERE rn <= 2),
+lut AS (
+  SELECT q.vec_id AS query_id, c.sub, c.code_id,
+         list_sum(list_transform(range(1, 9),
+           i -> (q.sv[CAST(i AS INTEGER)] - c.cvv[CAST(i AS INTEGER)])
+              * (q.sv[CAST(i AS INTEGER)] - c.cvv[CAST(i AS INTEGER)])))
+           AS d
+  FROM corp q JOIN cbe c ON q.sub = c.sub
+  WHERE q.vec_id % 100 = 0),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM assigned a JOIN probes p ON a.cell = p.cell),
+adc AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         CAST(SUM(l.d) AS BIGINT) AS adist_micros2
+  FROM cand cd
+  JOIN best b ON b.vec_id = cd.neighbor_id AND b.rn = 1
+  JOIN lut l ON l.query_id = cd.query_id AND l.sub = b.sub
+            AND l.code_id = b.code_id
+  GROUP BY 1, 2)
+SELECT query_id, neighbor_id, adist_micros2, rn AS rank
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY adist_micros2, neighbor_id) AS INTEGER) AS rn
+      FROM adc)
+WHERE rn <= 5
+"""
+
+
 def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch profiling (HLL distinct + KLL quantiles) of events per
     event_type — as an ORACLE-CHECKABLE contract.  Sketch values are
@@ -8742,6 +8850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_diff": q_row_diff,
         "pareto_front": q_pareto_front,
         "frequent_pairs": q_frequent_pairs,
+        "ivf_pq_search": q_ivf_pq_search,
         # ---- driver-green in rounds 2-4 ----------------------------------
         "multimodal_decode_real": q_multimodal_decode_real,
         "assign_packs": q_assign_packs,
@@ -9090,6 +9199,7 @@ def oracle_sql() -> dict[str, str]:
         "row_diff": _sql_row_diff(),
         "pareto_front": _SQL_PARETO_FRONT,
         "frequent_pairs": _SQL_FREQUENT_PAIRS,
+        "ivf_pq_search": _SQL_IVF_PQ_SEARCH,
         "containment_pairs": _sql_containment_pairs(),
         "source_keywords": _SQL_SOURCE_KEYWORDS,
         "doc_features": _sql_doc_features(),

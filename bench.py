@@ -263,6 +263,8 @@ HEADLINE = [
     "pareto_front",
     # round-5: market-basket association mining (cap-bounded pair Generate)
     "frequent_pairs",
+    # round-5: end-to-end IVF-PQ (cell routing + ADC ranking, one metric)
+    "ivf_pq_search",
 ]
 
 

@@ -1123,3 +1123,179 @@ def pq_search(
     return ranked.select(
         query_id_col, "neighbor_id", "adist_micros2", "rank"
     )
+
+
+def ivf_pq_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    centroid_stride: int = 50,
+    nprobe: int = 2,
+    n_subspaces: int = 8,
+    dim: int = 64,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_id_col: str = "code_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """End-to-end IVF-PQ — the layout billion-vector ANN ships,
+    composed from both halves already in this module: corpus vectors
+    are routed to centroid cells (IVF) AND compressed to
+    ``n_subspaces`` one-byte codes (PQ); a query probes its ``nprobe``
+    nearest cells and ranks ONLY those cells' members by
+    asymmetric-distance (ADC) lookups against its private distance
+    table — so query cost scales with nprobe/|cells| of the corpus,
+    and what it reads per candidate is 8 B of codes, not 256 B of
+    floats.
+
+    One metric everywhere: squared L2 over integer-micro quantized
+    vectors (cell assignment, probe ranking, ADC) — every distance an
+    exact integer, no rounding step anywhere.  Centroids are the
+    ``centroid_stride`` strided sample (ann_ivf's engine-reproducible
+    convention; k-means centroids slot in unchanged).
+
+    Returns (query_id, neighbor_id, adist_micros2, rank) — top-``k``
+    per query among probed candidates by ADC distance (an
+    approximation of exact L2 bounded by the quantization error
+    ``pq_encode`` reports).
+
+    Scale shape: assignment argmin and PQ encode are the INDEX BUILD —
+    at 100 TB both are the write-once tables ``ann_ivf_indexed``
+    persists (codes partitioned by cell; DPP then prunes the probe
+    scan).  The query side joins broadcast probes on the cell key,
+    explodes candidate codes, maps through the broadcast LUT, and
+    partial-aggs (query, id) — no full-corpus scan, no full-width
+    vectors.
+    """
+    if dim % n_subspaces:
+        raise ValueError("dim must divide evenly into subspaces")
+
+    def micros(vec):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.floor(
+                F.element_at(vec, (i + 1).cast("int")).cast("double") * 1e6
+            ).cast("double"),
+        )
+
+    def l2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cent = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("_cid"), micros(F.col(vec_col)).alias("_cm")
+    )
+    corpmv = corpus.select(
+        F.col(id_col).alias("_id"), micros(F.col(vec_col)).alias("_vm")
+    )
+    assigned = (
+        corpmv.join(F.broadcast(cent))
+        .select(
+            "_id",
+            F.struct(
+                l2(F.col("_vm"), F.col("_cm")).alias("_d"),
+                F.col("_cid").alias("_c"),
+            ).alias("_s"),
+        )
+        .groupBy("_id")
+        .agg(F.min("_s").alias("_m"))
+        .select("_id", F.col("_m._c").alias("_cell"))
+    )
+    qmv = queries.select(
+        F.col(id_col).alias(query_id_col),
+        micros(F.col(vec_col)).alias("_qm"),
+    )
+    probes = topk_per_group(
+        qmv.join(F.broadcast(cent)).select(
+            query_id_col,
+            F.col("_cid").alias("_cell"),
+            l2(F.col("_qm"), F.col("_cm")).alias("_d"),
+        ),
+        partition_by=[query_id_col],
+        order_by=[F.asc("_d"), F.asc("_cell")],
+        k=nprobe,
+    ).select(query_id_col, "_cell")
+
+    codes = pq_encode(
+        corpus,
+        codebook,
+        n_subspaces=n_subspaces,
+        dim=dim,
+        id_col=id_col,
+        code_id_col=code_id_col,
+    )
+    # per-query subspace distance LUT, same construction as pq_search
+    sub = dim // n_subspaces
+
+    def sub_micro(vec, j):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(sub - 1)),
+            lambda i: F.floor(
+                F.element_at(vec, (j * sub + i + 1).cast("int")).cast(
+                    "double"
+                )
+                * 1e6
+            ).cast("double"),
+        )
+
+    def exploded(df, idc, out_id):
+        return df.select(
+            F.col(idc).alias(out_id),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
+                    lambda j: sub_micro(F.col(vec_col), j),
+                )
+            ).alias("sub", "_sv"),
+        )
+
+    qx = exploded(queries, id_col, query_id_col)
+    cbx = exploded(codebook, code_id_col, "_code").select(
+        "_code", "sub", F.col("_sv").alias("_cv")
+    )
+    lut = qx.join(cbx, on="sub").select(
+        query_id_col,
+        "sub",
+        "_code",
+        F.aggregate(
+            F.zip_with(
+                F.col("_sv"), F.col("_cv"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_d"),
+    )
+    cand = (
+        codes.select(F.col(id_col).alias("_id"), "codes")
+        .join(assigned, on="_id")
+        .join(F.broadcast(probes), on="_cell")
+        .select(query_id_col, F.col("_id").alias("neighbor_id"), "codes")
+    )
+    adist = (
+        cand.select(
+            query_id_col,
+            "neighbor_id",
+            F.posexplode(F.split(F.col("codes"), ",")).alias("sub", "_c"),
+        )
+        .select(
+            query_id_col,
+            "neighbor_id",
+            "sub",
+            F.col("_c").cast("long").alias("_code"),
+        )
+        .join(F.broadcast(lut), on=[query_id_col, "sub", "_code"])
+        .groupBy(query_id_col, "neighbor_id")
+        .agg(F.sum("_d").cast("long").alias("adist_micros2"))
+    )
+    return topk_per_group(
+        adist,
+        partition_by=[query_id_col],
+        order_by=[F.asc("adist_micros2"), F.asc("neighbor_id")],
+        k=k,
+        rank_col="rank",
+        keep_rank=True,
+    ).select(query_id_col, "neighbor_id", "adist_micros2", "rank")

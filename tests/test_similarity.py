@@ -498,3 +498,38 @@ def test_pq_search_reads_codes_not_vectors(spark):
     }
     # d(query_sub=[1e6]*4, code0=[0]*4) = 4e12 per subspace
     assert out == {7: 4 * 10 ** 12, 8: 0}
+
+
+def test_ivf_pq_search_probes_restrict_and_adc_exact(spark):
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        ivf_pq_search,
+    )
+
+    # Two well-separated cells: centroids are ids 0 and 2 (stride 2).
+    # Codebook == corpus, so PQ codes are lossless and ADC == exact
+    # quantized L2.  A query at [2]*8 with nprobe=1 probes cell 0 only:
+    # ids 2 and 3 must be absent even though they have finite ADC.
+    rows = [
+        (0, [0.0] * 8),
+        (1, [1.0] * 8),
+        (2, [100.0] * 8),
+        (3, [99.0] * 8),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = spark.createDataFrame(
+        [(i, v) for i, v in rows], "code_id long, embedding array<float>"
+    )
+    queries = spark.createDataFrame(
+        [(42, [2.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    out = ivf_pq_search(
+        corpus, queries, cb, centroid_stride=2, nprobe=1,
+        n_subspaces=2, dim=8, k=4,
+    ).collect()
+    got = [(r["neighbor_id"], r["adist_micros2"], r["rank"]) for r in
+           sorted(out, key=lambda r: r["rank"])]
+    # only cell-0 members; exact integer micros^2 distances
+    assert got == [
+        (1, 8 * (1_000_000) ** 2, 1),
+        (0, 8 * (2_000_000) ** 2, 2),
+    ]
