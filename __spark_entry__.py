@@ -7559,8 +7559,11 @@ def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dhash_pairs(hashes, bits=60, bands=4, max_hamming=3)
 
 
-_SQL_IMAGE_DHASH_PAIRS = """
-WITH base AS (
+#: shared CTE chain producing hh(id, h): the 60-bit dHash of every
+#: sampled document's PNG and its one-LSB-noise twin, plus e(id, h,
+#: band, slice) — the banded-hamming explode (DuckDB twin of
+#: operators/multimodal.image_dhash + dhash_pairs' slicing).
+_D_IMG_HASH_CTES = """base AS (
   SELECT doc_id, md5(text) AS hx FROM documents WHERE doc_id % 20 = 0),
 b AS (
   SELECT doc_id,
@@ -7590,12 +7593,91 @@ subs AS (SELECT CAST(generate_series AS INTEGER) AS band
          FROM generate_series(0, 3)),
 e AS (
   SELECT id, h, band, (h >> (band * 15)) & 32767 AS slice
-  FROM hh CROSS JOIN subs)
+  FROM hh CROSS JOIN subs)"""
+
+_SQL_IMAGE_DHASH_PAIRS = f"""
+WITH {_D_IMG_HASH_CTES}
 SELECT DISTINCT a.id AS id_a, b.id AS id_b,
        CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
 FROM e a JOIN e b ON a.band = b.band AND a.slice = b.slice
                   AND a.id < b.id
 WHERE bit_count(xor(a.h, b.h)) <= 3
+"""
+
+
+def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal dedup: decode real PNGs → perceptual
+    dHash → banded hamming pairs → connected components → min-id
+    survivor per cluster (operators/multimodal + operators/graph
+    composed).  On the planted-twin fixture every (original, twin)
+    pair collapses to the original; the oracle replays the whole
+    chain including DuckDB's recursive-CTE components."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.graph import (
+        dedup_near_duplicates,
+    )
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        dhash_pairs,
+        image_dhash,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 20 == 0)
+    )
+
+    def to_png(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.png import (
+            encode_png_gray,
+        )
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = list(_hl.md5(text.encode("utf-8")).digest())
+                ids.append(doc_id)
+                blobs.append(encode_png_gray([d[:] for _ in range(4)]))
+                twin = [d[:] for _ in range(4)]
+                twin[0][0] ^= 1
+                ids.append(doc_id + 1000000)
+                blobs.append(encode_png_gray(twin))
+            yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(to_png, schema="doc_id long, content binary")
+    hashes = image_dhash(media).persist()
+    pairs = dhash_pairs(hashes, bits=60, bands=4, max_hamming=3)
+    return dedup_near_duplicates(
+        hashes.select("doc_id", "dhash"), pairs,
+        id_col="doc_id", src="id_a", dst="id_b",
+    )
+
+
+_SQL_IMAGE_DEDUP = f"""
+WITH RECURSIVE {_D_IMG_HASH_CTES},
+prs AS MATERIALIZED (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM e a JOIN e b ON a.band = b.band AND a.slice = b.slice
+                    AND a.id < b.id
+  WHERE bit_count(xor(a.h, b.h)) <= 3),
+edges AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM prs
+  UNION
+  SELECT id_b, id_a FROM prs),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e2.v, r.lab FROM reach r JOIN edges e2 ON e2.u = r.node),
+comps AS (
+  SELECT node, MIN(lab) AS cid FROM reach GROUP BY node)
+SELECT hh.id AS doc_id, hh.h AS dhash
+FROM hh LEFT JOIN comps c ON c.node = hh.id
+WHERE c.node IS NULL OR c.cid = hh.id
 """
 
 
@@ -8851,6 +8933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_front": q_pareto_front,
         "frequent_pairs": q_frequent_pairs,
         "ivf_pq_search": q_ivf_pq_search,
+        "image_dedup": q_image_dedup,
         # ---- driver-green in rounds 2-4 ----------------------------------
         "multimodal_decode_real": q_multimodal_decode_real,
         "assign_packs": q_assign_packs,
@@ -9200,6 +9283,7 @@ def oracle_sql() -> dict[str, str]:
         "pareto_front": _SQL_PARETO_FRONT,
         "frequent_pairs": _SQL_FREQUENT_PAIRS,
         "ivf_pq_search": _SQL_IVF_PQ_SEARCH,
+        "image_dedup": _SQL_IMAGE_DEDUP,
         "containment_pairs": _sql_containment_pairs(),
         "source_keywords": _SQL_SOURCE_KEYWORDS,
         "doc_features": _sql_doc_features(),

@@ -265,6 +265,8 @@ HEADLINE = [
     "frequent_pairs",
     # round-5: end-to-end IVF-PQ (cell routing + ADC ranking, one metric)
     "ivf_pq_search",
+    # round-5: end-to-end multimodal dedup (decode -> dHash -> pairs -> CC)
+    "image_dedup",
 ]
 
 
