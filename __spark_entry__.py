@@ -7605,6 +7605,44 @@ WHERE bit_count(xor(a.h, b.h)) <= 3
 """
 
 
+def q_versioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table time travel + CDC (versioned.py): persist
+    snapshot v1 (documents sans src18) and snapshot v2 (sans src19,
+    doc_id%97=0 deleted, lang rewritten for %31=0) as immutable
+    manifest-pointed versions, then diff the two PERSISTED versions
+    row-level.  Proves the storage roundtrip preserves content
+    exactly: the oracle computes the identical diff with no storage
+    at all (same SQL as row_diff)."""
+    _prep(spark)
+    import shutil as _shutil
+
+    from blueforty___etl_data_pipeline_spark.versioned import (
+        diff_versions,
+        write_version,
+    )
+
+    base = os.path.join(SCRATCH, "versioned_rt")
+    _shutil.rmtree(base, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents")
+    snap_a = docs.filter(F.col("source") != "src18")
+    snap_b = (
+        docs.filter(F.col("source") != "src19")
+        .filter(F.col("doc_id") % 97 != 0)
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 31 == 0, F.lit("xx")).otherwise(
+                F.col("lang")
+            ),
+        )
+    )
+    write_version(spark, base, snap_a)
+    write_version(spark, base, snap_b)
+    return diff_versions(
+        spark, base, 1, 2, key_cols=["doc_id"],
+        cols=["lang", "n_chars", "source", "text"],
+    )
+
+
 def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal dedup: decode real PNGs → perceptual
     dHash → banded hamming pairs → connected components → min-id
@@ -8934,6 +8972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_pairs": q_frequent_pairs,
         "ivf_pq_search": q_ivf_pq_search,
         "image_dedup": q_image_dedup,
+        "versioned_roundtrip": q_versioned_roundtrip,
         # ---- driver-green in rounds 2-4 ----------------------------------
         "multimodal_decode_real": q_multimodal_decode_real,
         "assign_packs": q_assign_packs,
@@ -9284,6 +9323,7 @@ def oracle_sql() -> dict[str, str]:
         "frequent_pairs": _SQL_FREQUENT_PAIRS,
         "ivf_pq_search": _SQL_IVF_PQ_SEARCH,
         "image_dedup": _SQL_IMAGE_DEDUP,
+        "versioned_roundtrip": _sql_row_diff(),
         "containment_pairs": _sql_containment_pairs(),
         "source_keywords": _SQL_SOURCE_KEYWORDS,
         "doc_features": _sql_doc_features(),

@@ -267,6 +267,8 @@ HEADLINE = [
     "ivf_pq_search",
     # round-5: end-to-end multimodal dedup (decode -> dHash -> pairs -> CC)
     "image_dedup",
+    # round-5: versioned-table time travel + persisted-snapshot CDC
+    "versioned_roundtrip",
 ]
 
 

@@ -1,0 +1,77 @@
+"""Versioned tables: snapshot write/read/time-travel/diff/vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from blueforty___etl_data_pipeline_spark.versioned import (
+    diff_versions,
+    list_versions,
+    read_version,
+    vacuum,
+    write_version,
+)
+
+
+@pytest.fixture
+def base(tmp_path):
+    return str(tmp_path / "vt")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_write_read_and_time_travel(spark, base):
+    v1 = write_version(spark, base, _df(spark, [(1, "a"), (2, "b")]))
+    v2 = write_version(spark, base, _df(spark, [(1, "a"), (2, "B"), (3, "c")]))
+    assert (v1, v2) == (1, 2)
+    assert list_versions(spark, base) == [1, 2]
+    # latest
+    assert {(r["k"], r["v"]) for r in read_version(spark, base).collect()} == {
+        (1, "a"), (2, "B"), (3, "c")
+    }
+    # time travel
+    assert {
+        (r["k"], r["v"]) for r in read_version(spark, base, 1).collect()
+    } == {(1, "a"), (2, "b")}
+    with pytest.raises(ValueError):
+        read_version(spark, base, 7)
+
+
+def test_diff_versions_is_row_level_cdc(spark, base):
+    write_version(spark, base, _df(spark, [(1, "a"), (2, "b"), (4, "d")]))
+    write_version(spark, base, _df(spark, [(1, "a"), (2, "B"), (3, "c")]))
+    out = {
+        r["k"]: r["status"]
+        for r in diff_versions(spark, base, 1, 2, key_cols=["k"]).collect()
+    }
+    assert out == {2: "changed", 3: "added", 4: "removed"}
+
+
+def test_vacuum_removes_old_snapshots_only(spark, base):
+    write_version(spark, base, _df(spark, [(1, "a")]))
+    write_version(spark, base, _df(spark, [(1, "b")]))
+    write_version(spark, base, _df(spark, [(1, "c")]))
+    removed = vacuum(spark, base, keep_last=1)
+    assert removed == [1, 2]
+    assert list_versions(spark, base) == [3]
+    # the doomed directories are gone from disk, the kept one remains
+    assert not os.path.isdir(os.path.join(base, "v1"))
+    assert os.path.isdir(os.path.join(base, "v3"))
+    with pytest.raises(ValueError):
+        read_version(spark, base, 1)
+    assert [r["v"] for r in read_version(spark, base).collect()] == ["c"]
+    # vacuuming again is a no-op
+    assert vacuum(spark, base, keep_last=1) == []
+
+
+def test_snapshot_directories_are_immutable(spark, base):
+    write_version(spark, base, _df(spark, [(1, "a")]))
+    # a second write never touches v1 (errorifexists on the data dir)
+    write_version(spark, base, _df(spark, [(1, "b")]))
+    assert {
+        r["v"] for r in read_version(spark, base, 1).collect()
+    } == {"a"}
