@@ -7643,6 +7643,107 @@ def q_versioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-driven incremental rollup over versioned snapshots: the
+    per-source (count, char-sum) rollup of snapshot v2 computed WITHOUT
+    scanning v2 in full — v1's rollup plus deltas derived from the
+    row-level version diff (removed/changed keys contribute their v1
+    values negatively, added/changed keys their v2 values positively).
+    The oracle aggregates the v2 derivation directly, so a hash match
+    PROVES incremental == full.  Refresh cost is O(churn + groups) —
+    at 100 TB the difference between reading the change feed and
+    re-reading the lake nightly."""
+    _prep(spark)
+    import shutil as _shutil
+
+    from blueforty___etl_data_pipeline_spark.versioned import (
+        diff_versions,
+        read_version,
+        write_version,
+    )
+
+    base = os.path.join(SCRATCH, "cdc_rollup")
+    _shutil.rmtree(base, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents")
+    snap_a = docs.filter(F.col("source") != "src18")
+    snap_b = (
+        docs.filter(F.col("source") != "src19")
+        .filter(F.col("doc_id") % 97 != 0)
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 31 == 0, F.lit("xx")).otherwise(
+                F.col("lang")
+            ),
+        )
+    )
+    write_version(spark, base, snap_a)
+    write_version(spark, base, snap_b)
+    v1 = read_version(spark, base, 1)
+    v2 = read_version(spark, base, 2)
+    r1 = v1.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    diff = diff_versions(
+        spark, base, 1, 2, key_cols=["doc_id"],
+        cols=["lang", "n_chars", "source", "text"],
+    )
+    neg = (
+        v1.join(
+            diff.filter(F.col("status").isin("removed", "changed"))
+            .select("doc_id"),
+            on="doc_id",
+        )
+        .groupBy("source")
+        .agg(
+            (-F.count(F.lit(1))).alias("_dn"),
+            (-F.sum("n_chars")).alias("_dc"),
+        )
+    )
+    pos = (
+        v2.join(
+            diff.filter(F.col("status").isin("added", "changed"))
+            .select("doc_id"),
+            on="doc_id",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("_dn"),
+            F.sum("n_chars").alias("_dc"),
+        )
+    )
+    deltas = (
+        neg.unionByName(pos)
+        .groupBy("source")
+        .agg(F.sum("_dn").alias("_dn"), F.sum("_dc").alias("_dc"))
+    )
+    return (
+        r1.join(deltas, on="source", how="full_outer")
+        .select(
+            "source",
+            (
+                F.coalesce(F.col("n_docs"), F.lit(0))
+                + F.coalesce(F.col("_dn"), F.lit(0))
+            ).alias("n_docs"),
+            (
+                F.coalesce(F.col("sum_chars"), F.lit(0))
+                + F.coalesce(F.col("_dc"), F.lit(0))
+            ).alias("sum_chars"),
+        )
+        .filter(F.col("n_docs") > 0)
+    )
+
+
+_SQL_CDC_ROLLUP = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE source != 'src19' AND doc_id % 97 != 0
+GROUP BY source
+"""
+
+
 def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal dedup: decode real PNGs → perceptual
     dHash → banded hamming pairs → connected components → min-id
@@ -8973,6 +9074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_search": q_ivf_pq_search,
         "image_dedup": q_image_dedup,
         "versioned_roundtrip": q_versioned_roundtrip,
+        "cdc_rollup": q_cdc_rollup,
         # ---- driver-green in rounds 2-4 ----------------------------------
         "multimodal_decode_real": q_multimodal_decode_real,
         "assign_packs": q_assign_packs,
@@ -9324,6 +9426,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_pq_search": _SQL_IVF_PQ_SEARCH,
         "image_dedup": _SQL_IMAGE_DEDUP,
         "versioned_roundtrip": _sql_row_diff(),
+        "cdc_rollup": _SQL_CDC_ROLLUP,
         "containment_pairs": _sql_containment_pairs(),
         "source_keywords": _SQL_SOURCE_KEYWORDS,
         "doc_features": _sql_doc_features(),

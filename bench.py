@@ -269,6 +269,8 @@ HEADLINE = [
     "image_dedup",
     # round-5: versioned-table time travel + persisted-snapshot CDC
     "versioned_roundtrip",
+    # round-5: CDC-driven incremental rollup (incremental == full, proven)
+    "cdc_rollup",
 ]
 
 
