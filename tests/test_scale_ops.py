@@ -250,3 +250,55 @@ def test_interval_concurrency_randomized_vs_bruteforce(spark):
         assert (out["max_concurrent"], out["first_peak"]) == (
             best[0], best_t,
         ), f"seed {seed}"
+
+
+def _fmt_plan(df):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_round5_query_plan_pins(spark):
+    """Per-query physical-shape pins for the round-5 additions — the
+    specific scale claims PLANS.md makes, as regression guards."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    sf = "/root/testdata/sf0.001"
+
+    # epoch_pipeline: exactly ONE exchange (the shard partitioning),
+    # one Generate, quality predicates pushed into the parquet scan
+    p = _fmt_plan(qs["epoch_pipeline"](spark, sf))
+    assert p.count("(1) Scan parquet") == 1
+    exchanges = [ln for ln in p.splitlines()
+                 if ln.strip().startswith("(") and "Exchange" in ln]
+    assert len(exchanges) == 1, exchanges
+    assert "PushedFilters" in p
+
+    # pq_search: every join broadcast (LUT is tiny), top-k group-limited
+    p = _fmt_plan(qs["pq_search"](spark, sf))
+    assert "SortMergeJoin" not in p
+    assert "WindowGroupLimit" in p
+
+    # ivf_pq_search: the LUT/probe joins broadcast and the top-k is
+    # group-limited; the one allowed shuffle join is codes ⋈ assigned
+    # (two corpus-sized index tables co-keyed on id — broadcast is
+    # impossible there by design)
+    p = _fmt_plan(qs["ivf_pq_search"](spark, sf))
+    assert "BroadcastHashJoin" in p
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+
+    # record_linkage: the block join is a broadcast hash join here
+    # (tiny sides at this sf) and scoring adds no exchange after it
+    p = _fmt_plan(qs["record_linkage"](spark, sf))
+    assert "BroadcastHashJoin" in p
+
+    # frequent_pairs: item-count joins broadcast onto the pair counts
+    p = _fmt_plan(qs["frequent_pairs"](spark, sf))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
