@@ -50,3 +50,47 @@ def test_frequent_pairs_basket_cap_drops_degenerate(spark):
     # basket 1 (5 items) dropped entirely; only basket 2's pair remains
     assert set(out) == {("i0", "i1")}
     assert out[("i0", "i1")]["support_permille"] == 1000
+
+
+def test_frequent_pairs_randomized_vs_python_reference(spark):
+    import itertools
+    import random
+
+    rng = random.Random(20260814)
+    rows = []
+    items = [f"i{k}" for k in range(7)]
+    baskets = {}
+    for b in range(40):
+        chosen = rng.sample(items, rng.randint(1, 5))
+        baskets[b] = set(chosen)
+        rows += [(b, it) for it in chosen]
+        # duplicate item mentions must collapse
+        rows.append((b, chosen[0]))
+    df = spark.createDataFrame(rows, "basket_id long, item string")
+    got = {
+        (r["item_a"], r["item_b"]): (
+            r["pair_count"],
+            r["support_permille"],
+            r["conf_a_to_b_permille"],
+            r["conf_b_to_a_permille"],
+            r["lift_permille"],
+        )
+        for r in frequent_pairs(df, min_support_permille=0).collect()
+    }
+    nb = len(baskets)
+    counts = {}
+    for s in baskets.values():
+        for it in s:
+            counts[it] = counts.get(it, 0) + 1
+    expect = {}
+    for a, b in itertools.combinations(sorted(items), 2):
+        pc = sum(1 for s in baskets.values() if a in s and b in s)
+        if pc:
+            expect[(a, b)] = (
+                pc,
+                pc * 1000 // nb,
+                pc * 1000 // counts[a],
+                pc * 1000 // counts[b],
+                pc * nb * 1000 // (counts[a] * counts[b]),
+            )
+    assert got == expect and expect

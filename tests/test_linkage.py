@@ -88,3 +88,48 @@ def test_linkage_block_cap_drops_degenerate_block(spark):
         max_block_size=2,
     ).collect()
     assert {(r["left_id"], r["right_id"]) for r in out} == {(9, 19)}
+
+
+def test_linkage_randomized_vs_python_reference(spark):
+    import random
+
+    rng = random.Random(99)
+    weights = [("f1", 3000, -700), ("f2", 1200, -400)]
+    lrows, rrows = [], []
+    for i in range(60):
+        blk = f"b{rng.randint(0, 4)}"
+        lrows.append((i, blk, f"n{rng.randint(0, 9)}", rng.randint(0, 3)))
+    for j in range(60):
+        blk = f"b{rng.randint(0, 4)}"
+        rrows.append((1000 + j, blk, f"n{rng.randint(0, 9)}",
+                      rng.randint(0, 3)))
+    left = spark.createDataFrame(
+        lrows, "left_id long, blk string, f1 string, f2 long"
+    )
+    right = spark.createDataFrame(
+        rrows, "right_id long, blk string, f1 string, f2 long"
+    )
+    got = {
+        (r["left_id"], r["right_id"]): (r["score_milli"], r["agree_mask"])
+        for r in record_linkage(
+            left, right, block_cols=["blk"], compare_weights=weights
+        ).collect()
+    }
+    expect = {}
+    for li, lb, lf1, lf2 in lrows:
+        for ri, rb, rf1, rf2 in rrows:
+            if lb != rb:
+                continue
+            score, mask = 0, ""
+            for lv, rv, (_, ag, dis) in (
+                (lf1, rf1, weights[0]),
+                (lf2, rf2, weights[1]),
+            ):
+                if lv == rv:
+                    score += ag
+                    mask += "1"
+                else:
+                    score += dis
+                    mask += "0"
+            expect[(li, ri)] = (score, mask)
+    assert got == expect and expect

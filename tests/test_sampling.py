@@ -417,3 +417,50 @@ def test_materialize_epoch_drops_unlisted_and_zero_sources(spark):
     )
     out = materialize_epoch(df, {"a": 1000, "zero": 0}).collect()
     assert [(r["doc_id"], r["copy_id"]) for r in out] == [(1, 0)]
+
+
+def test_materialize_epoch_randomized_vs_python_reference(spark):
+    import random
+
+    from blueforty___etl_data_pipeline_spark.functions.text import (
+        md5_hash64,
+    )
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        _BUCKETS,
+        materialize_epoch,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    weights = {"a": 0, "b": 700, "c": 1000, "d": 2400, "e": 3999}
+    rows = [
+        (i, rng.choice("abcde"), f"t{i}") for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {}
+    for r in materialize_epoch(df, weights, salt="rnd").collect():
+        got.setdefault(r["doc_id"], []).append(r["copy_id"])
+    # python reference: bucket via the engine's own md5 fold (collected
+    # once), then the permille rule
+    buckets = {
+        r["doc_id"]: r["b"]
+        for r in df.select(
+            "doc_id",
+            (
+                md5_hash64(
+                    F.concat(F.lit("rnd:"), F.col("doc_id").cast("string"))
+                )
+                % _BUCKETS
+            ).alias("b"),
+        ).collect()
+    }
+    expect = {}
+    for i, src, _ in rows:
+        w = weights[src]
+        reps = w // 1000 + (
+            1 if buckets[i] < (w % 1000) * (_BUCKETS // 1000) else 0
+        )
+        if reps:
+            expect[i] = list(range(reps))
+    assert {k: sorted(v) for k, v in got.items()} == expect
+    assert any(len(v) == 4 for v in expect.values())  # 3999 permille hits 3+1
