@@ -7643,6 +7643,42 @@ def q_versioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_augment_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic word-dropout augmentation (operators/text_ops.
+    augment_word_dropout): token i of doc d drops iff
+    md5(salt:d:i)%1000 < 150 — RNG-free, so the augmented corpus is
+    reproducible and independent per salt.  Pure map-stage column
+    program (indexed higher-order filter over the salted md5 fold):
+    augmentation at scan speed, zero shuffles."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.text_ops import (
+        augment_word_dropout,
+    )
+
+    return augment_word_dropout(
+        _t(spark, sf_dir, "documents"), rate_permille=150
+    )
+
+
+def _sql_augment_dropout() -> str:
+    h = _d_md5h(
+        "'aug:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)"
+    )
+    toks = _D_TOKENS.format(t="text")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+k AS (
+  SELECT doc_id, toks,
+         list_filter(toks, (x, i) -> ({h}) % 1000 >= 150) AS kept
+  FROM t)
+SELECT doc_id,
+       array_to_string(kept, ' ') AS aug_text,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(toks) - len(kept) AS BIGINT) AS n_dropped
+FROM k
+"""
+
+
 def q_cdc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-driven incremental rollup over versioned snapshots: the
     per-source (count, char-sum) rollup of snapshot v2 computed WITHOUT
@@ -9075,6 +9111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup": q_image_dedup,
         "versioned_roundtrip": q_versioned_roundtrip,
         "cdc_rollup": q_cdc_rollup,
+        "augment_dropout": q_augment_dropout,
         # ---- driver-green in rounds 2-4 ----------------------------------
         "multimodal_decode_real": q_multimodal_decode_real,
         "assign_packs": q_assign_packs,
@@ -9427,6 +9464,7 @@ def oracle_sql() -> dict[str, str]:
         "image_dedup": _SQL_IMAGE_DEDUP,
         "versioned_roundtrip": _sql_row_diff(),
         "cdc_rollup": _SQL_CDC_ROLLUP,
+        "augment_dropout": _sql_augment_dropout(),
         "containment_pairs": _sql_containment_pairs(),
         "source_keywords": _SQL_SOURCE_KEYWORDS,
         "doc_features": _sql_doc_features(),

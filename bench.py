@@ -271,6 +271,8 @@ HEADLINE = [
     "versioned_roundtrip",
     # round-5: CDC-driven incremental rollup (incremental == full, proven)
     "cdc_rollup",
+    # round-5: RNG-free word-dropout augmentation (scan-speed map stage)
+    "augment_dropout",
 ]
 
 

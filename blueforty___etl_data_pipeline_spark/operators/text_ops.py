@@ -446,3 +446,50 @@ def bucketed_packs(
             f"div {budget}"
         ).alias("pack_id"),
     )
+
+
+def augment_word_dropout(
+    df: DataFrame,
+    rate_permille: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "aug",
+) -> DataFrame:
+    """Deterministic word-dropout text augmentation — the robustness
+    transform training pipelines apply to multiply data (a la EDA /
+    SSMBA word dropping), made RNG-FREE: token ``i`` of document ``d``
+    drops iff ``md5(salt:d:i) % 1000 < rate_permille``, so the same
+    (doc, salt) always yields the same augmented text on every run and
+    engine, and different salts give independent augmentation passes
+    (generate 3 variants with 3 salts — each is reproducible).
+
+    Returns (id, aug_text, n_tokens, n_dropped).
+
+    Scale shape: a pure map-stage column program — whitespace split,
+    one indexed higher-order FILTER whose predicate is the salted md5
+    fold, array_join back.  No shuffle, no UDF; augmentation runs at
+    scan speed, which is what lets a 100 TB corpus be augmented in the
+    same pass that tokenizes it.
+    """
+    from ..functions.text import md5_hash64, tokens_ws
+
+    toks = tokens_ws(F.col(text_col))
+    keep = lambda t, i: (  # noqa: E731
+        md5_hash64(
+            F.concat(
+                F.lit(salt + ":"),
+                F.col(id_col).cast("string"),
+                F.lit(":"),
+                (i + 1).cast("string"),
+            )
+        )
+        % 1000
+        >= F.lit(int(rate_permille))
+    )
+    kept = F.filter(toks, keep)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("aug_text"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).cast("bigint").alias("n_dropped"),
+    )

@@ -645,3 +645,41 @@ def test_candidate_cap_drops_hot_shingles_and_reports(spark):
     assert "n_shingles_dropped" not in uncapped_cont.columns
     # capped containment pair volume can only shrink
     assert len(rc) <= uncapped_cont.count()
+
+
+def test_augment_word_dropout_deterministic_and_salted(spark):
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.operators.text_ops import (
+        augment_word_dropout,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "")],
+        "doc_id long, text string",
+    )
+    a1 = augment_word_dropout(df, rate_permille=300, salt="s1").collect()
+    a2 = augment_word_dropout(df, rate_permille=300, salt="s1").collect()
+    # bit-identical across runs
+    assert sorted(map(tuple, a1)) == sorted(map(tuple, a2))
+    by_id = {r["doc_id"]: r for r in a1}
+    r = by_id[1]
+    assert r["n_tokens"] == 9
+    assert r["n_dropped"] == 9 - len(r["aug_text"].split())
+    # kept tokens preserve original order (a subsequence)
+    orig = "the quick brown fox jumps over the lazy dog".split()
+    it = iter(orig)
+    assert all(tok in it for tok in r["aug_text"].split())
+    # empty doc: no tokens, nothing dropped
+    assert (by_id[2]["aug_text"], by_id[2]["n_tokens"],
+            by_id[2]["n_dropped"]) == ("", 0, 0)
+    # a second salt is its own deterministic variant
+    b1 = augment_word_dropout(df, rate_permille=300, salt="s2").collect()
+    b2 = augment_word_dropout(df, rate_permille=300, salt="s2").collect()
+    assert sorted(map(tuple, b1)) == sorted(map(tuple, b2))
+    # rate 0 keeps everything; rate 1000 drops everything
+    keep_all = augment_word_dropout(df, rate_permille=0).collect()
+    assert {r["doc_id"]: r["n_dropped"] for r in keep_all} == {1: 0, 2: 0}
+    drop_all = augment_word_dropout(df, rate_permille=1000).collect()
+    assert {r["doc_id"]: r["aug_text"] for r in drop_all} == {1: "", 2: ""}
