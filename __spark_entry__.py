@@ -7643,6 +7643,41 @@ def q_versioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (operators/constraints.k_anonymity): flag
+    every (nation, segment, balance-band) equivalence class of
+    customers smaller than k=5 — the privacy gate before a data
+    release, whose output drives suppression or further
+    generalization.  One partial-agged groupBy; the output is only
+    the violating tail."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.constraints import (
+        k_anonymity,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor((F.floor(F.col("c_acctbal")) + 1000) / 1000)
+        .cast("long")
+        .alias("bal_band"),
+    )
+    return k_anonymity(cust, ["nation", "segment", "bal_band"], k=5)
+
+
+_SQL_K_ANONYMITY = """
+SELECT CAST(c_nationkey AS BIGINT) AS nation,
+       c_mktsegment AS segment,
+       CAST(FLOOR((FLOOR(c_acctbal) + 1000) / 1000) AS BIGINT)
+         AS bal_band,
+       COUNT(*) AS class_size,
+       5 - COUNT(*) AS deficit
+FROM customer
+GROUP BY 1, 2, 3
+HAVING COUNT(*) < 5
+"""
+
+
 def q_augment_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic word-dropout augmentation (operators/text_ops.
     augment_word_dropout): token i of doc d drops iff
@@ -9112,6 +9147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_roundtrip": q_versioned_roundtrip,
         "cdc_rollup": q_cdc_rollup,
         "augment_dropout": q_augment_dropout,
+        "k_anonymity": q_k_anonymity,
         # ---- driver-green in rounds 2-4 ----------------------------------
         "multimodal_decode_real": q_multimodal_decode_real,
         "assign_packs": q_assign_packs,
@@ -9465,6 +9501,7 @@ def oracle_sql() -> dict[str, str]:
         "versioned_roundtrip": _sql_row_diff(),
         "cdc_rollup": _SQL_CDC_ROLLUP,
         "augment_dropout": _sql_augment_dropout(),
+        "k_anonymity": _SQL_K_ANONYMITY,
         "containment_pairs": _sql_containment_pairs(),
         "source_keywords": _SQL_SOURCE_KEYWORDS,
         "doc_features": _sql_doc_features(),

@@ -273,6 +273,8 @@ HEADLINE = [
     "cdc_rollup",
     # round-5: RNG-free word-dropout augmentation (scan-speed map stage)
     "augment_dropout",
+    # round-5: k-anonymity privacy audit (one grouped pass)
+    "k_anonymity",
 ]
 
 

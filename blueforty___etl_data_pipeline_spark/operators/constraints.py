@@ -116,3 +116,37 @@ def constraint_violations(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over quasi-identifier columns — the privacy
+    gate a dataset release (or training-corpus export) runs before
+    shipping rows that could re-identify people: every combination of
+    ``quasi_cols`` values must be shared by at least ``k`` rows, or
+    the rows in that equivalence class are individually distinguishable
+    by an adversary who knows those attributes (Sweeney 2002).
+
+    Returns one row per VIOLATING equivalence class:
+    (quasi_cols..., class_size, deficit) with ``deficit = k −
+    class_size`` — the audit trail that drives either suppression
+    (drop the class) or generalization (coarsen a column — rerun on
+    e.g. a banded version of the column until the audit is empty).
+    NULL counts as a value (an all-NULL class of size ≥ k passes).
+
+    Scale shape: ONE partial-aggregated groupBy over the
+    quasi-identifier tuple — COUNT(*) GROUP BY cost — and the output
+    is only the violating tail, which is the small end of the
+    distribution by construction.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2 for a meaningful audit")
+    return (
+        df.groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .filter(F.col("class_size") < k)
+        .withColumn("deficit", F.lit(int(k)) - F.col("class_size"))
+    )

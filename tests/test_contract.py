@@ -1,0 +1,39 @@
+"""Driver-contract invariants: the queries()/oracle_sql() surface."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_every_query_has_an_oracle_and_vice_versa():
+    import __spark_entry__ as entrymod
+
+    q = set(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    assert q == o, (
+        f"queries without oracle: {sorted(q - o)}; "
+        f"oracles without query: {sorted(o - q)}"
+    )
+    assert len(q) >= 216  # the surface only grows
+
+
+def test_query_names_are_stable_identifiers():
+    import re
+
+    import __spark_entry__ as entrymod
+
+    bad = [n for n in entrymod.queries()
+           if not re.fullmatch(r"[a-z][a-z0-9_]*", n)]
+    assert not bad, bad
+
+
+def test_oracle_sql_strings_are_nonempty_selects():
+    import __spark_entry__ as entrymod
+
+    for name, sql in entrymod.oracle_sql().items():
+        assert isinstance(sql, str) and sql.strip(), name
+        head = sql.strip().split(None, 1)[0].upper()
+        assert head in ("SELECT", "WITH"), (name, head)
