@@ -7643,6 +7643,49 @@ def q_versioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (operators/temporal.time_weighted_avg):
+    per (event_type, day) TWAP of the value series — each observation
+    holds until the next (step interpolation), weighted by its live
+    interval in unix micros, averaged as one DECIMAL(38,0) integer
+    division.  One key-keyed lead window + one partial-agged groupBy
+    on the same key — the metric a plain AVG gets wrong on unevenly
+    spaced observations."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        time_weighted_avg,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "ts", "value"
+    )
+    return time_weighted_avg(
+        ev, group_cols=["event_type", "day"], ts_col="ts",
+        value_col="value",
+    )
+
+
+_SQL_TWAP = """
+WITH t AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(epoch_us(ts) AS BIGINT) AS us, value,
+         CAST(FLOOR(value * 1e6) AS BIGINT) AS vm
+  FROM events),
+d AS (
+  SELECT event_type, day, vm,
+         LEAD(us) OVER (PARTITION BY event_type, day
+                        ORDER BY us, value) - us AS dt
+  FROM t)
+SELECT event_type, day,
+       CAST(SUM(CAST(vm AS HUGEINT) * dt)
+            // SUM(CAST(dt AS HUGEINT)) AS BIGINT) AS twap_micros,
+       CAST(SUM(dt) AS BIGINT) AS span_us,
+       CAST(COUNT(*) + 1 AS BIGINT) AS n_obs
+FROM d WHERE dt IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit (operators/constraints.k_anonymity): flag
     every (nation, segment, balance-band) equivalence class of
@@ -9148,6 +9191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_rollup": q_cdc_rollup,
         "augment_dropout": q_augment_dropout,
         "k_anonymity": q_k_anonymity,
+        "twap": q_twap,
         # ---- driver-green in rounds 2-4 ----------------------------------
         "multimodal_decode_real": q_multimodal_decode_real,
         "assign_packs": q_assign_packs,
@@ -9502,6 +9546,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_rollup": _SQL_CDC_ROLLUP,
         "augment_dropout": _sql_augment_dropout(),
         "k_anonymity": _SQL_K_ANONYMITY,
+        "twap": _SQL_TWAP,
         "containment_pairs": _sql_containment_pairs(),
         "source_keywords": _SQL_SOURCE_KEYWORDS,
         "doc_features": _sql_doc_features(),

@@ -275,6 +275,8 @@ HEADLINE = [
     "augment_dropout",
     # round-5: k-anonymity privacy audit (one grouped pass)
     "k_anonymity",
+    # round-5: time-weighted average (one lead window + one groupBy)
+    "twap",
 ]
 
 

@@ -352,3 +352,47 @@ def seasonality_profile(
             "1000 * n_events div SUM(n_events) OVER ()"
         ).alias("share_permille"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-weighted average (TWAP) per group — the metric/finance
+    aggregate a plain AVG gets wrong when observations are unevenly
+    spaced: each observation's value holds until the NEXT observation
+    (step interpolation), so its weight is the interval it was live,
+    not 1.  The last observation of a group carries no interval and
+    contributes nothing (the standard closed-interval TWAP over the
+    observed span).
+
+    Engine-exact: values quantize to integer micros, intervals are
+    unix-microsecond deltas, and the average is one integer division
+    of DECIMAL(38,0) sums — identical in any engine.  Returns
+    (group_cols..., twap_micros, span_us, n_obs); groups with a single
+    observation (zero span) are dropped rather than dividing by zero.
+
+    Scale shape: ONE key-keyed window (the lead) and ONE partial-agged
+    groupBy riding the same shuffle key — the sessionize cost.  No
+    self-joins, no global sort.
+    """
+    keys = [F.col(c) for c in group_cols]
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(*keys).orderBy(us.asc(), F.col(value_col))
+    dt = F.lead(us).over(w) - us
+    vm = F.floor(F.col(value_col).cast("double") * 1e6)
+    return (
+        df.select(*keys, vm.alias("_vm"), dt.alias("_dt"))
+        .filter(F.col("_dt").isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(_vm AS DECIMAL(38,0)) * _dt) "
+                "DIV SUM(CAST(_dt AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("twap_micros"),
+            F.sum("_dt").cast("long").alias("span_us"),
+            (F.count(F.lit(1)) + 1).cast("long").alias("n_obs"),
+        )
+    )

@@ -269,3 +269,49 @@ def test_bucketed_packs_randomized_vs_python_sim(spark):
             ).collect()
         }
         assert got == want, f"seed {seed}"
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    from datetime import datetime
+
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        time_weighted_avg,
+    )
+
+    def t(s):
+        return datetime(2026, 1, 1, 0, 0, s)
+
+    rows = [
+        # group g: 10 held for 2s, 20 held for 1s, 40 ends the span
+        ("g", t(0), 10.0),
+        ("g", t(2), 20.0),
+        ("g", t(3), 40.0),
+        # lone: single observation -> no span -> dropped
+        ("lone", t(0), 99.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = {
+        r["k"]: (r["twap_micros"], r["span_us"], r["n_obs"])
+        for r in time_weighted_avg(df, ["k"]).collect()
+    }
+    # twap = (10*2 + 20*1) / 3 = 13.333...; floor micros
+    assert out == {"g": (13_333_333, 3_000_000, 3)}
+
+
+def test_time_weighted_avg_differs_from_plain_avg(spark):
+    from datetime import datetime
+
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        time_weighted_avg,
+    )
+
+    # value spikes briefly: plain AVG = 50.5, TWAP stays near the base
+    rows = [
+        ("k", datetime(2026, 1, 1, 0, 0, 0), 1.0),
+        ("k", datetime(2026, 1, 1, 0, 0, 59), 100.0),
+        ("k", datetime(2026, 1, 1, 0, 1, 0), 1.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    [r] = time_weighted_avg(df, ["k"]).collect()
+    # (1*59s + 100*1s)/60s = 2.65
+    assert r["twap_micros"] == 2_650_000
