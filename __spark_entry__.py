@@ -7686,6 +7686,48 @@ GROUP BY 1, 2
 """
 
 
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars (operators/temporal.ohlc_bars): per
+    event_type and 60-minute bucket, the first/max/min/last value in
+    integer micros — five partial-combining aggregates in ONE groupBy
+    (open/close via min_by/max_by on a packed (ts, value) struct, so
+    same-instant ties break deterministically)."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        ohlc_bars,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return ohlc_bars(ev, group_cols=["event_type"], bucket_minutes=60)
+
+
+_SQL_OHLC = """
+WITH t AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT)
+           - CAST(epoch_us(ts) AS BIGINT) % 3600000000
+           AS bucket_start_us,
+         CAST(epoch_us(ts) AS BIGINT) AS us,
+         CAST(FLOOR(value * 1e6) AS BIGINT) AS vm
+  FROM events),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bucket_start_us
+                            ORDER BY us, vm) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bucket_start_us
+                            ORDER BY us DESC, vm DESC) AS rn_d
+  FROM t)
+SELECT event_type, bucket_start_us,
+       CAST(MAX(CASE WHEN rn_a = 1 THEN vm END) AS BIGINT) AS open_micros,
+       CAST(MAX(vm) AS BIGINT) AS high_micros,
+       CAST(MIN(vm) AS BIGINT) AS low_micros,
+       CAST(MAX(CASE WHEN rn_d = 1 THEN vm END) AS BIGINT)
+         AS close_micros,
+       COUNT(*) AS n_obs
+FROM r GROUP BY 1, 2
+"""
+
+
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit (operators/constraints.k_anonymity): flag
     every (nation, segment, balance-band) equivalence class of
@@ -9192,6 +9234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "augment_dropout": q_augment_dropout,
         "k_anonymity": q_k_anonymity,
         "twap": q_twap,
+        "ohlc": q_ohlc,
         # ---- driver-green in rounds 2-4 ----------------------------------
         "multimodal_decode_real": q_multimodal_decode_real,
         "assign_packs": q_assign_packs,
@@ -9547,6 +9590,7 @@ def oracle_sql() -> dict[str, str]:
         "augment_dropout": _sql_augment_dropout(),
         "k_anonymity": _SQL_K_ANONYMITY,
         "twap": _SQL_TWAP,
+        "ohlc": _SQL_OHLC,
         "containment_pairs": _sql_containment_pairs(),
         "source_keywords": _SQL_SOURCE_KEYWORDS,
         "doc_features": _sql_doc_features(),

@@ -277,6 +277,8 @@ HEADLINE = [
     "k_anonymity",
     # round-5: time-weighted average (one lead window + one groupBy)
     "twap",
+    # round-5: OHLC candlestick bars (five partial aggs, one groupBy)
+    "ohlc",
 ]
 
 

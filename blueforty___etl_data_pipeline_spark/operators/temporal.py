@@ -396,3 +396,42 @@ def time_weighted_avg(
             (F.count(F.lit(1)) + 1).cast("long").alias("n_obs"),
         )
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    bucket_minutes: int = 60,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """OHLC (open/high/low/close) bars — the candlestick rollup every
+    metrics/market store serves: per group and fixed time bucket, the
+    first, max, min, and last observed value.  Open/close are
+    ``min_by``/``max_by`` on the timestamp (event-id-free tiebreak on
+    the value itself for same-instant observations, deterministic),
+    high/low plain MIN/MAX — all five aggregates partial-combine in
+    ONE groupBy, so a bar table over 100 TB of ticks costs exactly one
+    COUNT(*)-GROUP-BY-shaped shuffle.
+
+    Values quantize to integer micros (engine-exact floor).  Returns
+    (group_cols..., bucket_start, open/high/low/close_micros, n_obs).
+    """
+    keys = [F.col(c) for c in group_cols]
+    us = F.unix_micros(F.col(ts_col))
+    bucket_us = int(bucket_minutes) * 60 * 1_000_000
+    bstart = (us - us % bucket_us).alias("bucket_start_us")
+    vm = F.floor(F.col(value_col).cast("double") * 1e6)
+    # same-instant tiebreak: order by (ts, value) via a packed struct
+    key = F.struct(us.alias("_us"), vm.alias("_vm"))
+    return (
+        df.select(*keys, bstart, vm.alias("_vm"), key.alias("_k"))
+        .groupBy(*group_cols, "bucket_start_us")
+        .agg(
+            F.min_by("_vm", "_k").cast("long").alias("open_micros"),
+            F.max("_vm").cast("long").alias("high_micros"),
+            F.min("_vm").cast("long").alias("low_micros"),
+            F.max_by("_vm", "_k").cast("long").alias("close_micros"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )

@@ -315,3 +315,35 @@ def test_time_weighted_avg_differs_from_plain_avg(spark):
     [r] = time_weighted_avg(df, ["k"]).collect()
     # (1*59s + 100*1s)/60s = 2.65
     assert r["twap_micros"] == 2_650_000
+
+
+def test_ohlc_bars_hand_computed_with_ties(spark):
+    from datetime import datetime, timedelta
+
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        ohlc_bars,
+    )
+
+    def t(m, s=0):
+        return datetime(2026, 1, 1) + timedelta(minutes=m, seconds=s)
+
+    rows = [
+        ("k", t(1), 5.0),
+        ("k", t(10), 9.0),
+        ("k", t(10), 2.0),   # same-instant tie: lower value is "earlier"
+        ("k", t(50), 7.0),
+        ("k", t(65), 3.0),   # next hour bucket
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = {
+        r["bucket_start_us"]: (
+            r["open_micros"], r["high_micros"], r["low_micros"],
+            r["close_micros"], r["n_obs"],
+        )
+        for r in ohlc_bars(df, ["k"], bucket_minutes=60).collect()
+    }
+    h0 = 1767225600000000  # 2026-01-01 00:00 UTC in micros
+    assert out[h0] == (5_000_000, 9_000_000, 2_000_000, 7_000_000, 4)
+    assert out[h0 + 3_600_000_000] == (
+        3_000_000, 3_000_000, 3_000_000, 3_000_000, 1
+    )
