@@ -7643,6 +7643,38 @@ def q_versioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini concentration of document sizes (operators/
+    profile.gini_concentration): the curation audit for 'is one dump
+    supplying most of a source's bytes' — exact integer rank formula
+    in DECIMAL(38,0), permille floor; one key-keyed rank window + one
+    partial-agged groupBy on the same key."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        gini_concentration,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    return gini_concentration(docs, ["source"], "n_chars")
+
+
+_SQL_GINI = """
+WITH r AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS x,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS i
+  FROM documents)
+SELECT source,
+       CAST((2 * SUM(CAST(i AS HUGEINT) * x)
+             - (COUNT(*) + 1) * SUM(x)) * 1000
+            // (CAST(COUNT(*) AS HUGEINT) * SUM(x)) AS BIGINT)
+         AS gini_permille,
+       COUNT(*) AS n_rows,
+       CAST(SUM(x) AS BIGINT) AS total
+FROM r GROUP BY source
+HAVING SUM(x) > 0
+"""
+
+
 def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average (operators/temporal.time_weighted_avg):
     per (event_type, day) TWAP of the value series — each observation
@@ -9235,6 +9267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "twap": q_twap,
         "ohlc": q_ohlc,
+        "gini": q_gini,
         # ---- driver-green in rounds 2-4 ----------------------------------
         "multimodal_decode_real": q_multimodal_decode_real,
         "assign_packs": q_assign_packs,
@@ -9591,6 +9624,7 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity": _SQL_K_ANONYMITY,
         "twap": _SQL_TWAP,
         "ohlc": _SQL_OHLC,
+        "gini": _SQL_GINI,
         "containment_pairs": _sql_containment_pairs(),
         "source_keywords": _SQL_SOURCE_KEYWORDS,
         "doc_features": _sql_doc_features(),

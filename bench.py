@@ -279,6 +279,8 @@ HEADLINE = [
     "twap",
     # round-5: OHLC candlestick bars (five partial aggs, one groupBy)
     "ohlc",
+    # round-5: per-group Gini concentration audit
+    "gini",
 ]
 
 

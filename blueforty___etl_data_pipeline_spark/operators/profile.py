@@ -956,3 +956,57 @@ def row_diff(
         )
         .filter(F.col("status").isNotNull())
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-group Gini coefficient of a value's distribution — the
+    concentration audit a curation pipeline runs on contribution sizes
+    (is one crawl dump / one author / one day supplying most of a
+    source's bytes?): 0 = perfectly even, →1 = one row owns
+    everything.
+
+    Exact integer form over the sorted values x_1 ≤ … ≤ x_n:
+    ``gini = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)``, computed in
+    DECIMAL(38,0) and floored to permille — ties contribute the same
+    Σ i·x_i under any tie order, so the result is deterministic on
+    every engine with no tiebreak column needed.  Groups with a
+    non-positive value total are dropped (Gini is undefined there).
+
+    Returns (group_cols..., gini_permille, n_rows, total).
+
+    Scale shape: ONE key-keyed rank window + ONE partial-agged groupBy
+    riding the same shuffle key (the sessionize cost); no self-joins,
+    no global sort — the rank is per group.
+    """
+    keys = [F.col(c) for c in group_cols]
+    w = Window.partitionBy(*keys).orderBy(F.col(value_col).asc())
+    ranked = df.select(
+        *keys,
+        F.col(value_col).cast("long").alias("_x"),
+        F.row_number().over(w).alias("_i"),
+    )
+    return (
+        ranked.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_x").cast("long").alias("total"),
+            F.expr(
+                "CAST(SUM(CAST(_i AS DECIMAL(38,0)) * _x) AS DECIMAL(38,0))"
+            ).alias("_ixsum"),
+        )
+        .filter(F.col("total") > 0)
+        .select(
+            *group_cols,
+            F.expr(
+                "CAST((2 * _ixsum - (CAST(n_rows AS DECIMAL(38,0)) + 1)"
+                " * total) * 1000 DIV (CAST(n_rows AS DECIMAL(38,0))"
+                " * total) AS BIGINT)"
+            ).alias("gini_permille"),
+            "n_rows",
+            "total",
+        )
+    )

@@ -589,3 +589,27 @@ def test_pareto_front_excludes_null_objectives(spark):
     )
     out = [r["id"] for r in pareto_front_2d(df, "x", "y", id_col="id").collect()]
     assert out == [1]
+
+
+def test_gini_concentration_extremes_and_formula(spark):
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        gini_concentration,
+    )
+
+    rows = (
+        [("even", 10)] * 4                    # perfectly even -> 0
+        + [("one", 0), ("one", 0), ("one", 0), ("one", 100)]  # max skew
+        + [("mix", 1), ("mix", 2), ("mix", 3)]
+        + [("zero", 0)]                       # undefined -> dropped
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {
+        r["g"]: (r["gini_permille"], r["n_rows"], r["total"])
+        for r in gini_concentration(df, ["g"], "v").collect()
+    }
+    assert out["even"] == (0, 4, 40)
+    # one owner of everything among n=4: gini = (n-1)/n = 0.75
+    assert out["one"] == (750, 4, 100)
+    # sorted 1,2,3: (2*(1+4+9) - 4*6)/(3*6) = 4/18 = 0.2222 -> 222
+    assert out["mix"] == (222, 3, 6)
+    assert "zero" not in out
