@@ -7643,6 +7643,42 @@ def q_versioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (operators/constraints.benford_audit)
+    of lineitem extended prices: digit from the integer-cents decimal
+    string (no in-engine logs or float formatting), observed vs the
+    precomputed log10(1+1/d) permille table, deviation per digit —
+    the forensic check for fabricated or truncated numeric feeds."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.constraints import (
+        benford_audit,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    return benford_audit(li, "l_extendedprice", scale=100)
+
+
+_SQL_BENFORD = """
+WITH q AS (
+  SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS qv
+  FROM lineitem WHERE l_extendedprice > 0),
+c AS (
+  SELECT CAST(substr(CAST(qv AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         COUNT(*) AS n
+  FROM q WHERE qv > 0 GROUP BY 1),
+e(digit, exp_permille) AS (VALUES
+  (1, 301), (2, 176), (3, 124), (4, 96), (5, 79),
+  (6, 66), (7, 57), (8, 51), (9, 45)),
+t AS (SELECT SUM(n) AS total FROM c)
+SELECT c.digit, c.n,
+       CAST(c.n * 1000 // t.total AS BIGINT) AS obs_permille,
+       CAST(e.exp_permille AS BIGINT) AS exp_permille,
+       CAST(c.n * 1000 // t.total - e.exp_permille AS BIGINT)
+         AS dev_permille
+FROM c CROSS JOIN t JOIN e ON e.digit = c.digit
+"""
+
+
 def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Gini concentration of document sizes (operators/
     profile.gini_concentration): the curation audit for 'is one dump
@@ -9268,6 +9304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twap": q_twap,
         "ohlc": q_ohlc,
         "gini": q_gini,
+        "benford": q_benford,
         # ---- driver-green in rounds 2-4 ----------------------------------
         "multimodal_decode_real": q_multimodal_decode_real,
         "assign_packs": q_assign_packs,
@@ -9625,6 +9662,7 @@ def oracle_sql() -> dict[str, str]:
         "twap": _SQL_TWAP,
         "ohlc": _SQL_OHLC,
         "gini": _SQL_GINI,
+        "benford": _SQL_BENFORD,
         "containment_pairs": _sql_containment_pairs(),
         "source_keywords": _SQL_SOURCE_KEYWORDS,
         "doc_features": _sql_doc_features(),

@@ -281,6 +281,8 @@ HEADLINE = [
     "ohlc",
     # round-5: per-group Gini concentration audit
     "gini",
+    # round-5: Benford first-digit forensic audit
+    "benford",
 ]
 
 

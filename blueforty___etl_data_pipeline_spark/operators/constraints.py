@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -149,4 +149,62 @@ def k_anonymity(
         .agg(F.count(F.lit(1)).alias("class_size"))
         .filter(F.col("class_size") < k)
         .withColumn("deficit", F.lit(int(k)) - F.col("class_size"))
+    )
+
+
+#: Benford first-digit expectation, floor(log10(1+1/d)·1000) —
+#: precomputed offline (the nDCG-table pattern: zero in-engine
+#: logarithms, both engines consume the same integers).
+_BENFORD_PERMILLE = {1: 301, 2: 176, 3: 124, 4: 96, 5: 79, 6: 66,
+                     7: 57, 8: 51, 9: 45}
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Benford's-law first-digit audit — the forensic data-quality
+    check for fabricated or truncated numeric feeds: naturally
+    occurring amounts follow P(d) = log10(1+1/d), and a feed whose
+    leading digits deviate hard (all 5s, uniform digits) was rounded,
+    capped, or invented.
+
+    Digit extraction avoids in-engine logarithms AND float formatting:
+    the value quantizes to an integer (``floor(value·scale)``,
+    positive rows only) and the first digit is the first character of
+    the INTEGER's decimal string — engine-stable where double→string
+    is not.  Expected shares are precomputed integers.
+
+    Returns one row per digit 1-9: (digit, n, obs_permille,
+    exp_permille, dev_permille = obs − exp).
+
+    Scale shape: one map-stage digit projection → 9-group partial agg
+    → total via a window over the 9-row digit table (no second scan).
+    """
+    q = df.filter(F.col(value_col) > 0).select(
+        F.floor(F.col(value_col).cast("double") * scale)
+        .cast("long")
+        .alias("_q")
+    ).filter(F.col("_q") > 0)
+    digit = F.substring(F.col("_q").cast("string"), 1, 1).cast("int")
+    counts = q.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy(F.lit(1))
+    exp_map = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_PERMILLE.items() for x in kv]
+    )
+    return (
+        counts.withColumn("_total", F.sum("n").over(w))
+        .select(
+            "digit",
+            "n",
+            F.expr("n * 1000 DIV _total").alias("obs_permille"),
+            exp_map[F.col("digit")].cast("long").alias("exp_permille"),
+            (
+                F.expr("n * 1000 DIV _total")
+                - exp_map[F.col("digit")].cast("long")
+            ).alias("dev_permille"),
+        )
     )

@@ -114,3 +114,22 @@ def test_k_anonymity_flags_small_classes_and_counts_null_as_value(spark):
     assert gen == {"de": 1, "fr": 4}
     with pytest.raises(ValueError):
         k_anonymity(df, ["country"], k=1)
+
+
+def test_benford_audit_digits_and_expectations(spark):
+    from blueforty___etl_data_pipeline_spark.operators.constraints import (
+        benford_audit,
+    )
+
+    # values chosen so integer-cents first digits are unambiguous:
+    # 1.23 -> 123 -> 1; 0.02 -> 2 -> 2; 9.99 -> 999 -> 9;
+    # non-positive and zero-cents rows are excluded
+    rows = [(1.23,), (0.02,), (9.99,), (1.0,), (-5.0,), (0.0,), (0.001,)]
+    df = spark.createDataFrame(rows, "v double")
+    out = {r["digit"]: r for r in benford_audit(df, "v").collect()}
+    assert set(out) == {1, 2, 9}
+    assert out[1]["n"] == 2 and out[1]["obs_permille"] == 500
+    assert out[1]["exp_permille"] == 301
+    assert out[1]["dev_permille"] == 199
+    assert out[2]["n"] == 1 and out[9]["n"] == 1
+    assert out[9]["exp_permille"] == 45
