@@ -2898,11 +2898,25 @@ WHERE doc_id % 10 = 0
 """
 
 
+# Default-on stop-shingle cap for the exact-verification quadratics
+# (r5 verdict item 3): a shingle shared by c documents generates O(c²)
+# join pairs, so one boilerplate shingle can dominate the whole join at
+# 100 TB.  The capped run reports the dropped volume explicitly via the
+# constant ``n_shingles_dropped`` output column — no silent truncation —
+# and the DuckDB oracles apply the IDENTICAL cap, so capped results
+# still hash-match capped oracles.
+_SHINGLE_CAP = 64
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs ≥ 0.5 — the near-dup ground truth."""
+    """Exact n-gram Jaccard pairs ≥ 0.5 — the near-dup ground truth.
+    Hot-shingle cap ON by default (``_SHINGLE_CAP`` docs/shingle):
+    capped Jaccard is a lower bound, dropped-shingle count reported."""
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, threshold=0.5)
+    return ngram_jaccard_pairs(
+        docs, threshold=0.5, max_candidates_per_shingle=_SHINGLE_CAP
+    )
 
 
 _SQL_JACCARD = f"""
@@ -2910,16 +2924,24 @@ WITH {_D_SH_CTE}, shx AS (
   SELECT doc_id, unnest(shs) AS h FROM sh
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS set_size FROM shx GROUP BY 1
+), hot AS (
+  SELECT h FROM shx GROUP BY h HAVING COUNT(*) > {_SHINGLE_CAP}
+), drp AS (
+  SELECT COUNT(*) AS n_shingles_dropped FROM hot
+), capped AS (
+  SELECT * FROM shx WHERE h NOT IN (SELECT h FROM hot)
 ), common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-  FROM shx a JOIN shx b ON a.h = b.h AND a.doc_id < b.doc_id
+  FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT id_a, id_b,
        CAST(n_common AS DOUBLE)
-         / (sa.set_size + sb.set_size - n_common) AS jaccard
+         / (sa.set_size + sb.set_size - n_common) AS jaccard,
+       n_shingles_dropped
 FROM common
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
+CROSS JOIN drp
 WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common)
         >= 0.5
 """
@@ -3043,13 +3065,18 @@ WHERE rk <= 3
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle containment ≥ 800‰ (operators/dedup.
     containment_pairs): near-subset detection — quotes and excerpts
-    that symmetric Jaccard misses."""
+    that symmetric Jaccard misses.  Hot-shingle cap ON by default
+    (``_SHINGLE_CAP``): containment becomes a lower bound, dropped
+    volume reported via ``n_shingles_dropped``."""
     _prep(spark)
     from blueforty___etl_data_pipeline_spark.operators.dedup import (
         containment_pairs,
     )
 
-    return containment_pairs(_t(spark, sf_dir, "documents"))
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"),
+        max_candidates_per_shingle=_SHINGLE_CAP,
+    )
 
 
 def _sql_containment_pairs() -> str:
@@ -3058,15 +3085,23 @@ WITH {_D_SH_CTE}, shx AS (
   SELECT doc_id, unnest(shs) AS h FROM sh
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS s FROM shx GROUP BY 1
+), hot AS (
+  SELECT h FROM shx GROUP BY h HAVING COUNT(*) > {_SHINGLE_CAP}
+), drp AS (
+  SELECT COUNT(*) AS n_shingles_dropped FROM hot
+), capped AS (
+  SELECT * FROM shx WHERE h NOT IN (SELECT h FROM hot)
 ), common AS (
   SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
          COUNT(*) AS n_common
-  FROM shx a JOIN shx b ON a.h = b.h AND a.doc_id != b.doc_id
+  FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id != b.doc_id
   GROUP BY 1, 2)
 SELECT contained_id, container_id, n_common,
        s AS size_contained,
-       CAST(1000 * n_common // s AS BIGINT) AS containment_permille
+       CAST(1000 * n_common // s AS BIGINT) AS containment_permille,
+       n_shingles_dropped
 FROM common JOIN sizes ON contained_id = sizes.doc_id
+CROSS JOIN drp
 WHERE s >= 5 AND 1000 * n_common // s >= 800
 """
 
@@ -5162,12 +5197,13 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH candidate pairs scored against the EXACT n-gram-Jaccard ≥ 0.5
     ground truth — recall/precision in integer permille.  This is the
     measurement that justifies the banding parameters before a corpus
-    dedup run."""
+    dedup run.  The exact ground truth runs with the default-on
+    hot-shingle cap (``_SHINGLE_CAP``), matching the capped oracle."""
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
-    truth = ngram_jaccard_pairs(docs, threshold=0.5).select(
-        "id_a", "id_b"
-    )
+    truth = ngram_jaccard_pairs(
+        docs, threshold=0.5, max_candidates_per_shingle=_SHINGLE_CAP
+    ).select("id_a", "id_b")
     cand = minhash_lsh_pairs(
         docs, num_hashes=_MH_NUM, bands=_MH_BANDS, impl="arrow"
     ).select("id_a", "id_b")
@@ -8012,7 +8048,10 @@ def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "content": blobs})
 
     media = docs.mapInPandas(to_png, schema="doc_id long, content binary")
-    hashes = image_dhash(media).persist()
+    # Lazy localCheckpoint (ContextCleaner-released), not persist: the
+    # dHash table is read by both the pair join and the survivor join,
+    # and a persist here would leak cached blocks across calls.
+    hashes = image_dhash(media).localCheckpoint(eager=False)
     pairs = dhash_pairs(hashes, bits=60, bands=4, max_hamming=3)
     return dedup_near_duplicates(
         hashes.select("doc_id", "dhash"), pairs,

@@ -315,7 +315,14 @@ def main() -> None:
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
 
+    # Sub-second queries are dominated by scheduler noise in a
+    # single-shot measurement (r5 saw 1.6-1.8x wobble on frequent_pairs
+    # / augment_dropout between same-session runs), so any query whose
+    # first measured run lands under 1 s is re-run twice more and the
+    # MEDIAN reported; >=1 s queries stay single-shot (data-bound, and
+    # tripling them would triple total bench wall time for no signal).
     times: dict[str, float] = {}
+    run_counts: dict[str, int] = {}
     for name in HEADLINE:
         fn = qs[name]
         try:
@@ -326,7 +333,16 @@ def main() -> None:
             pass  # a warm-up failure must not sink the measured run
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        times[name] = round(time.time() - t0, 3)
+        runs = [time.time() - t0]
+        if runs[0] < 1.0:
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                runs.append(time.time() - t0)
+        times[name] = round(sorted(runs)[len(runs) // 2], 3)
+        run_counts[name] = len(runs)
 
     total = round(sum(times.values()), 3)
     payload = {
@@ -334,6 +350,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "runs": run_counts,
         "sf": sf,
     }
     print(json.dumps(payload))

@@ -61,7 +61,11 @@ def frequent_pairs(
     )
     if max_basket_size is not None:
         baskets = baskets.filter(F.size("_items") <= max_basket_size)
-    baskets = baskets.persist()
+    # No persist: the three consumers (basket total, item counts, pair
+    # Generate) all hang off the IDENTICAL groupBy(basket) aggregate,
+    # so Spark's ReusedExchange shares one shuffle among them — a
+    # cache here would outlive the returned lazy plan and accumulate
+    # blocks across calls in a long-lived session (r5 advisor finding).
 
     n_baskets = baskets.select(
         F.count(F.lit(1)).alias("_n")

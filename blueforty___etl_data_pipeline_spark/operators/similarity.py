@@ -819,13 +819,14 @@ def semantic_dedup(
     from a self-equi-join on ``centroid_id``, so the all-pairs product
     never materializes — per-cluster cost is |cluster|², and k is grown
     with the corpus to keep clusters bounded (SemDeDup uses ~100k
-    clusters at billion-doc scale).  The assigned projection (vector +
-    norm) is persisted for the self-join only: the dropped-id set
-    (ids, no vectors) is materialized eagerly via localCheckpoint and
-    the projection is unpersisted BEFORE returning, so repeated calls
-    in a long-lived session do not accumulate cached vector blocks.
-    The returned plan reads only the cheap assignment pass (scan +
-    broadcast-centroid argmin) plus the checkpointed id set.
+    clusters at billion-doc scale).  Both sides of the self-join are
+    the IDENTICAL assignment subplan, so Spark's ReusedExchange shares
+    the shuffle instead of scanning twice — no persist needed.  The
+    dropped-id set (ids, no vectors) is cut from its lineage with a
+    LAZY localCheckpoint: nothing materializes at call time, the first
+    caller action runs the pairwise pass exactly once, and no
+    vector-bearing cache outlives the call (the checkpointed id set is
+    cardinality-bounded — ids only).
     """
     assigned = assign_nearest_centroid(
         emb, centroids, id_col=id_col, vec_col=vec_col,
@@ -838,7 +839,7 @@ def semantic_dedup(
             l2_norm(F.col(vec_col)).alias("_n"),
         ),
         on=id_col,
-    ).persist()
+    )
     left, right = b.alias("l"), b.alias("r")
     score = _rounded(
         _paired_cosine(
@@ -858,9 +859,8 @@ def semantic_dedup(
         .select(F.col(f"r.{id_col}").alias(id_col))
         .distinct()
         .withColumn("_dropped", F.lit(True))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    b.unpersist()
     return (
         assigned.join(dropped, on=id_col, how="left")
         .select(

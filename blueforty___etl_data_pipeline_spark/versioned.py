@@ -52,8 +52,20 @@ def _read_manifest(spark: SparkSession, base_path: str) -> list[dict]:
 def _write_manifest(
     spark: SparkSession, base_path: str, entries: list[dict]
 ) -> None:
-    # write-then-rename so a concurrent reader sees the old or the new
-    # manifest, never a partial one
+    # Write-then-ATOMIC-OVERWRITE-rename so a concurrent reader sees
+    # the old or the new manifest, never a partial one and never a
+    # missing one.  FileContext.rename with Options.Rename.OVERWRITE
+    # replaces the destination in a single namespace operation — the
+    # delete-then-rename fallback (filesystems with no FileContext
+    # support) leaves a tiny window where the manifest is absent, which
+    # a reader observes as an empty table.
+    #
+    # Concurrency contract: single writer.  Reader-vs-writer is safe
+    # (atomic pointer swap); concurrent WRITERS (or a writer racing
+    # vacuum) are not coordinated — the manifest read-modify-write is
+    # last-wins, exactly like a lakehouse table without a commit
+    # service.  Multi-writer coordination belongs to a catalog/lock
+    # layer above this module.
     fs, hpath = _fs(spark, base_path)
     root = base_path.rstrip("/")
     tmp = hpath(root + "/" + _MANIFEST + ".tmp")
@@ -63,9 +75,22 @@ def _write_manifest(
         out.write(json.dumps(entries).encode("utf-8"))
     finally:
         out.close()
-    if fs.exists(final):
-        fs.delete(final, False)
-    fs.rename(tmp, final)
+    jvm = spark._jvm
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            fs.getUri(), spark._jsc.hadoopConfiguration()
+        )
+        opts = spark._sc._gateway.new_array(
+            jvm.org.apache.hadoop.fs.Options.Rename, 1
+        )
+        opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(tmp, final, opts)
+    except Exception:
+        # e.g. a FileSystem with no AbstractFileSystem binding: fall
+        # back to the non-atomic swap (documented window above)
+        if fs.exists(final):
+            fs.delete(final, False)
+        fs.rename(tmp, final)
 
 
 def write_version(
