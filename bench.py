@@ -283,6 +283,23 @@ HEADLINE = [
     "gini",
     # round-5: Benford first-digit forensic audit
     "benford",
+    # round-6: write-side contracts (observed metrics ride the write
+    # job; clustered one-file-per-key layout; schema drift report)
+    "observed_write",
+    "clustered_write",
+    "schema_drift",
+    # round-6: triangle census (edge-iterator, id-ordered)
+    "triangle_count",
+    # round-6: l-diversity privacy audit (one grouped pass)
+    "l_diversity",
+    # round-6: one-pass exact-decimal Pearson correlation matrix
+    "corr_matrix",
+    # round-6: CUSUM change-point over daily volumes
+    "cusum_shift",
+    # round-6: DataSketches HLL distinct profile (error-bound contract)
+    "hll_distinct",
+    # round-6: codegen parse_url component extraction
+    "url_extract",
 ]
 
 

@@ -152,6 +152,46 @@ def k_anonymity(
     )
 
 
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    ell: int = 2,
+) -> DataFrame:
+    """l-diversity audit — the companion gate to :func:`k_anonymity`
+    (Machanavajjhala et al. 2007): k-anonymity alone fails when an
+    equivalence class, however large, carries only ONE sensitive value
+    (the homogeneity attack — every member is outed anyway).  Each
+    quasi-identifier class must contain at least ``ell`` DISTINCT
+    sensitive values.
+
+    Returns one row per VIOLATING equivalence class:
+    (quasi_cols..., class_size, n_sensitive, deficit) with ``deficit =
+    ell − n_sensitive``.  NULL sensitive values count as one value
+    (distinct-with-null semantics match the SQL oracle's
+    COUNT(DISTINCT) + a null-presence term).
+
+    Scale shape: ONE groupBy over the quasi tuple with a partial-agged
+    COUNT + COUNT DISTINCT — same single-pass cost as k_anonymity;
+    output is the violating tail only.
+    """
+    if ell < 2:
+        raise ValueError("ell must be >= 2 for a meaningful audit")
+    s = F.col(sensitive_col)
+    return (
+        df.groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            (
+                F.countDistinct(s)
+                + F.max(F.when(s.isNull(), 1).otherwise(0))
+            ).alias("n_sensitive"),
+        )
+        .filter(F.col("n_sensitive") < ell)
+        .withColumn("deficit", F.lit(int(ell)) - F.col("n_sensitive"))
+    )
+
+
 #: Benford first-digit expectation, floor(log10(1+1/d)·1000) —
 #: precomputed offline (the nDCG-table pattern: zero in-engine
 #: logarithms, both engines consume the same integers).

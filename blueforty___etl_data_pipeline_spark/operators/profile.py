@@ -1010,3 +1010,79 @@ def gini_concentration(
             "total",
         )
     )
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    cents: int = 2,
+) -> DataFrame:
+    """Pairwise Pearson correlation of numeric columns, cross-engine
+    deterministic: the per-column inputs are fixed-pointed to integers
+    (DECIMAL cast at ``cents`` decimals × 10^cents), every moment sum
+    (n, Σx, Σx², Σxy) is EXACT DECIMAL(38,0) arithmetic, and only the
+    final ratio touches floating point — decimal→double cast, one
+    multiply, one IEEE sqrt, one divide, then floor to 1e6 fixed point.
+    Identical exact sums → identical doubles → identical e6 integers on
+    any engine (the gini/collocations fixed-point discipline).
+
+    Returns one row per unordered column pair (col_a < col_b by the
+    order given): (col_a, col_b, n, corr_e6); pairs whose variance
+    term is zero are reported with corr_e6 NULL.
+
+    Scale shape: ONE whole-table aggregate computes every moment in a
+    single pass (k + k·(k+1)/2 partial-agged sums — map-side combine
+    does nearly all the work); the pair table is then unpivoted from
+    the single result row, so nothing beyond one scan + one 1-row
+    reshape ever runs.  This is the classic moments-based one-pass
+    correlation, numerically safe here because the sums are exact
+    decimals, not floats.
+    """
+    if len(cols) < 2:
+        raise ValueError("corr_matrix needs at least two columns")
+    scale = 10 ** cents
+
+    def _ival(c: str):
+        return F.expr(
+            f"CAST(CAST({c} AS DECIMAL(18,{cents})) * {scale}"
+            " AS DECIMAL(38,0))"
+        )
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(_ival(c)).alias(f"_s_{c}"))
+        aggs.append(F.sum(_ival(c) * _ival(c)).alias(f"_ss_{c}"))
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1:]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(_ival(a) * _ival(b)).alias(f"_sp_{a}_{b}"))
+    m = df.agg(*aggs)
+
+    out = None
+    for a, b in pairs:
+        num = F.expr(
+            f"CAST(_n AS DECIMAL(38,0)) * _sp_{a}_{b} - _s_{a} * _s_{b}"
+        )
+        dx = F.expr(
+            f"CAST(_n AS DECIMAL(38,0)) * _ss_{a} - _s_{a} * _s_{a}"
+        )
+        dy = F.expr(
+            f"CAST(_n AS DECIMAL(38,0)) * _ss_{b} - _s_{b} * _s_{b}"
+        )
+        corr = F.when(
+            (dx > 0) & (dy > 0),
+            F.floor(
+                F.lit(1000000.0)
+                * num.cast("double")
+                / F.sqrt(dx.cast("double") * dy.cast("double"))
+            ).cast("long"),
+        )
+        row = m.select(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col("_n").alias("n"),
+            corr.alias("corr_e6"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -435,3 +435,62 @@ def ohlc_bars(
             F.count(F.lit(1)).alias("n_obs"),
         )
     )
+
+
+def cusum_shift(
+    df: DataFrame,
+    ts_col: str = "ts",
+    bucket: str = "day",
+) -> DataFrame:
+    """CUSUM level-shift detection over per-bucket event counts — the
+    change-point monitor behind "did ingest volume step-change on some
+    day?" (Page 1954): the cumulative sum of deviations from the mean
+    drifts steadily while the level is stable and kinks sharply at a
+    regime change; the bucket where |CUSUM| peaks is the estimated
+    shift point.
+
+    Pure integer form (engine-exact, no mean division): with per-bucket
+    counts c_i over n buckets and total T = Σc, the deviation cumsum
+    scaled by n is ``S_k = Σ_{i≤k} (c_i·n − T)`` — integers only,
+    identical on any engine.  Returns one row per bucket:
+    (bucket_start_us, n_events, cusum_scaled, is_peak) with ``is_peak``
+    marking every bucket attaining max |S_k| (the shift estimate —
+    normally one bucket; exact ties all flagged, deterministically).
+
+    Scale shape: the raw scan collapses to ≤ one-row-per-bucket via a
+    partial-agged groupBy; the cumulative window then runs over the
+    BUCKET table (calendar-bounded — days in a year, not rows in the
+    corpus), so the unpartitioned window is cardinality-safe by
+    construction, like seasonality_profile's 168-row window.
+    """
+    us_per = {"day": 86_400_000_000, "hour": 3_600_000_000}[bucket]
+    us = F.unix_micros(F.col(ts_col))
+    counts = (
+        df.select((us - us % us_per).alias("bucket_start_us"))
+        .groupBy("bucket_start_us")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.orderBy("bucket_start_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    scored = counts.select(
+        "bucket_start_us",
+        "n_events",
+        (
+            F.sum(F.col("n_events")).over(w)
+            * F.count(F.lit(1)).over(tot)
+            - (F.row_number().over(Window.orderBy("bucket_start_us")))
+            * F.sum(F.col("n_events")).over(tot)
+        ).cast("long").alias("cusum_scaled"),
+    )
+    peak = Window.partitionBy()
+    return scored.select(
+        "bucket_start_us",
+        "n_events",
+        "cusum_scaled",
+        (
+            F.abs(F.col("cusum_scaled"))
+            == F.max(F.abs(F.col("cusum_scaled"))).over(peak)
+        ).alias("is_peak"),
+    )

@@ -133,3 +133,48 @@ def test_benford_audit_digits_and_expectations(spark):
     assert out[1]["dev_permille"] == 199
     assert out[2]["n"] == 1 and out[9]["n"] == 1
     assert out[9]["exp_permille"] == 45
+
+
+def test_l_diversity_flags_homogeneous_classes(spark):
+    from blueforty___etl_data_pipeline_spark.operators.constraints import (
+        l_diversity,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # class A: 3 rows, 1 distinct sensitive -> violates ell=2
+            ("A", 1, "s1"),
+            ("A", 1, "s1"),
+            ("A", 1, "s1"),
+            # class B: 2 distinct -> passes ell=2
+            ("B", 1, "s1"),
+            ("B", 1, "s2"),
+            # class C: one non-null + null -> null counts as a value
+            ("C", 1, "s1"),
+            ("C", 1, None),
+        ],
+        "q1 string, q2 int, s string",
+    )
+    out = {
+        (r["q1"], r["q2"]): (r["class_size"], r["n_sensitive"], r["deficit"])
+        for r in l_diversity(df, ["q1", "q2"], "s", ell=2).collect()
+    }
+    assert out == {("A", 1): (3, 1, 1)}
+    # ell=3 additionally flags B and C (null counted: C has 2 values)
+    out3 = {
+        (r["q1"], r["q2"]): r["n_sensitive"]
+        for r in l_diversity(df, ["q1", "q2"], "s", ell=3).collect()
+    }
+    assert out3 == {("A", 1): 1, ("B", 1): 2, ("C", 1): 2}
+
+
+def test_l_diversity_rejects_trivial_ell(spark):
+    import pytest as _pytest
+
+    from blueforty___etl_data_pipeline_spark.operators.constraints import (
+        l_diversity,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "q string, s int")
+    with _pytest.raises(ValueError):
+        l_diversity(df, ["q"], "s", ell=1)

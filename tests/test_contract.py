@@ -37,3 +37,30 @@ def test_oracle_sql_strings_are_nonempty_selects():
         assert isinstance(sql, str) and sql.strip(), name
         head = sql.strip().split(None, 1)[0].upper()
         assert head in ("SELECT", "WITH"), (name, head)
+
+
+def test_entry_runs_reconciliation_at_golden_row_count(spark):
+    """entry() is the first function a new user calls: it must return
+    the flagship reconciliation result over sf0.001 (VERDICT r5 item
+    8).  The golden row count pins the pipeline end-to-end."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    # reconciliation at sf0.001: one row per matched PO/invoice pair
+    # with a nonzero delta — pinned by the shared DuckDB oracle
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.sql(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'"
+        )
+    want = con.sql(
+        entrymod.oracle_sql()["reconciliation"]
+    ).df().shape[0]
+    assert len(rows) == want and want > 0

@@ -184,3 +184,32 @@ def test_flatten_hierarchy_randomized_vs_python_walk(spark):
             ).collect()
         }
         assert got == want, f"seed {seed}"
+
+
+def test_triangle_count_known_graph(spark):
+    from blueforty___etl_data_pipeline_spark.operators.graph import (
+        triangle_count,
+    )
+
+    # K4 on {1,2,3,4} has 4 triangles + a pendant edge (4,5); edges
+    # given unordered/duplicated to exercise canonicalization
+    edges = [
+        (1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (3, 2), (2, 4),
+        (3, 4), (5, 4),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = triangle_count(df).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (5, 7, 4)
+
+
+def test_triangle_count_triangle_free(spark):
+    from blueforty___etl_data_pipeline_spark.operators.graph import (
+        triangle_count,
+    )
+
+    # star graph: no triangles
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    r = triangle_count(df).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (6, 5, 0)

@@ -613,3 +613,37 @@ def test_gini_concentration_extremes_and_formula(spark):
     # sorted 1,2,3: (2*(1+4+9) - 4*6)/(3*6) = 4/18 = 0.2222 -> 222
     assert out["mix"] == (222, 3, 6)
     assert "zero" not in out
+
+
+def test_corr_matrix_exact_known_values(spark):
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        corr_matrix,
+    )
+
+    # y = 2x (perfect positive), z = -x (perfect negative),
+    # w constant (undefined -> NULL)
+    rows = [(float(x), 2.0 * x, -1.0 * x, 5.0) for x in range(1, 9)]
+    df = spark.createDataFrame(rows, "x double, y double, z double, w double")
+    out = {
+        (r["col_a"], r["col_b"]): r["corr_e6"]
+        for r in corr_matrix(df, ["x", "y", "z", "w"]).collect()
+    }
+    assert out[("x", "y")] == 1_000_000
+    # floor(-1.0 * 1e6) can land at -1000000 exactly (integers exact)
+    assert out[("x", "z")] == -1_000_000
+    assert out[("y", "z")] == -1_000_000
+    assert out[("x", "w")] is None
+    n = corr_matrix(df, ["x", "y"]).collect()[0]["n"]
+    assert n == 8
+
+
+def test_corr_matrix_requires_two_cols(spark):
+    import pytest as _pytest
+
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        corr_matrix,
+    )
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with _pytest.raises(ValueError):
+        corr_matrix(df, ["x"])

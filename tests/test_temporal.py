@@ -347,3 +347,36 @@ def test_ohlc_bars_hand_computed_with_ties(spark):
     assert out[h0 + 3_600_000_000] == (
         3_000_000, 3_000_000, 3_000_000, 3_000_000, 1
     )
+
+
+def test_cusum_shift_detects_level_change(spark):
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        cusum_shift,
+    )
+
+    # 4 days at 2 events/day then 4 days at 10/day: CUSUM |S| peaks at
+    # the last low-level day (day index 3)
+    rows = []
+    eid = 0
+    for d in range(8):
+        n = 2 if d < 4 else 10
+        for i in range(n):
+            rows.append((eid, d * 86400 + i * 60))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, sec long").select(
+        "event_id", F.timestamp_seconds(F.col("sec")).alias("ts")
+    )
+    out = sorted(
+        cusum_shift(df, ts_col="ts", bucket="day").collect(),
+        key=lambda r: r["bucket_start_us"],
+    )
+    assert [r["n_events"] for r in out] == [2, 2, 2, 2, 10, 10, 10, 10]
+    total, n_days = 48, 8
+    # S_k = n*cumsum_k - k*T, exact integers
+    cums = [2, 4, 6, 8, 18, 28, 38, 48]
+    expect = [n_days * c - (k + 1) * total for k, c in enumerate(cums)]
+    assert [r["cusum_scaled"] for r in out] == expect
+    peaks = [i for i, r in enumerate(out) if r["is_peak"]]
+    assert peaks == [3]
