@@ -4761,6 +4761,79 @@ SELECT doc_id, {cols} FROM t
 """
 
 
+def q_jpeg_progressive_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PROGRESSIVE-JPEG (SOF2) decode under the driver's oracle:
+    each sampled document becomes a 16×16 grayscale progressive JPEG
+    — four constant 8×8 blocks at md5-digest bytes, encoded by the
+    vendored 4-scan schedule (DC first + DC refinement + AC first +
+    AC refinement, functions/jpeg.py:encode_jpeg_gray_progressive) —
+    flowing through the SAME Arrow-batched extract_features stage
+    with fake=False.  Multi-scan marker parse, successive-
+    approximation bit merging, EOB-run and correction-bit decode all
+    execute for real; two approximation levels reconstruct every
+    coefficient exactly, so the block-constant fixture stays lossless
+    and the oracle reproduces the pooled features from md5 hex pairs
+    (same contract as jpeg_decode_real, disjoint document sample)."""
+    _prep(spark)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 40 == 20)
+    )
+
+    def to_pjpeg(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.jpeg import (
+            encode_jpeg_gray_progressive,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for text in pdf["text"]:
+                d = _hl.md5(text.encode("utf-8")).digest()
+                img = [
+                    [d[(y // 8) * 2 + (x // 8)] for x in range(16)]
+                    for y in range(16)
+                ]
+                blobs.append(encode_jpeg_gray_progressive(img))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": blobs}
+            )
+
+    media = docs.mapInPandas(
+        to_pjpeg, schema="doc_id long, content binary"
+    )
+    feats = extract_features(media, fake=False)
+    return feats.select(
+        "doc_id",
+        *[
+            F.round(F.col("feat")[i] * 510)
+            .cast("long")
+            .alias(f"f{i}")
+            for i in range(8)
+        ],
+    )
+
+
+def _sql_jpeg_progressive_real() -> str:
+    def byte(k: int) -> str:
+        return f"CAST(('0x' || substr(h, {2 * k + 1}, 2)) AS INTEGER)"
+
+    cols = ", ".join(
+        f"CAST({byte(0 if i < 4 else 1)} + {byte(2 if i < 4 else 3)} "
+        f"AS BIGINT) AS f{i}"
+        for i in range(8)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id % 40 = 20)
+SELECT doc_id, {cols} FROM t
+"""
+
+
 def q_image_augment_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image AUGMENTATION chain under the driver's oracle:
     md5-pixel 16×4 PNGs (as in multimodal_decode_real) flow through
@@ -9697,6 +9770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_shift": q_cusum_shift,
         "hll_distinct": q_hll_distinct,
         "url_extract": q_url_extract,
+        "jpeg_progressive_real": q_jpeg_progressive_real,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -9897,6 +9971,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_shift": _SQL_CUSUM_SHIFT,
         "hll_distinct": _SQL_HLL_DISTINCT,
         "url_extract": _SQL_URL_EXTRACT,
+        "jpeg_progressive_real": _sql_jpeg_progressive_real(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

@@ -300,6 +300,9 @@ HEADLINE = [
     "hll_distinct",
     # round-6: codegen parse_url component extraction
     "url_extract",
+    # round-6: real progressive-JPEG (SOF2) decode through the
+    # Arrow-batched media stage (4-scan successive approximation)
+    "jpeg_progressive_real",
 ]
 
 

@@ -450,3 +450,469 @@ def jpeg_gray_features(data: bytes, size: int = 8):
         total = sum(sum(row[lo:hi]) for row in rows)
         feats.append(total / ((hi - lo) * len(rows)) / 255.0)
     return feats
+
+
+# --- progressive (SOF2) support ---------------------------------------------
+#
+# Progressive JPEG (T.81 Annex G, Huffman flavor) splits the quantized
+# DCT coefficients across multiple scans: spectral selection (Ss..Se
+# band per scan) and successive approximation (coarse bits first —
+# Ah/Al point transform — then one refinement bit per scan).  The
+# encoder below emits the minimal legal 4-scan schedule that exercises
+# every decoder path (DC first + DC refine + AC first + AC refine);
+# the decoder handles general single-component progressive streams,
+# including EOBn run symbols with extra bits that the encoder itself
+# never emits.
+
+
+def _quantized_blocks(pixels, q):
+    """FDCT + quantize every 8×8 block (edge-replicated padding);
+    returns (height, width, bh, bw, blocks) with each block a 64-entry
+    NATURAL-order coefficient list."""
+    if not pixels or not pixels[0]:
+        raise ValueError("empty pixel grid")
+    height = len(pixels)
+    width = len(pixels[0])
+    if any(len(row) != width for row in pixels):
+        raise ValueError("ragged pixel grid")
+    h8 = (height + 7) // 8 * 8
+    w8 = (width + 7) // 8 * 8
+    grid = [
+        [pixels[min(y, height - 1)][min(x, width - 1)] for x in range(w8)]
+        for y in range(h8)
+    ]
+    blocks = []
+    for by in range(0, h8, 8):
+        for bx in range(0, w8, 8):
+            block = [
+                [grid[by + y][bx + x] - 128 for x in range(8)]
+                for y in range(8)
+            ]
+            coef = _fdct(block)
+            nat = [0] * 64
+            for v in range(64):
+                nat[v] = int(round(coef[v // 8][v % 8] / q[v]))
+            blocks.append(nat)
+    return height, width, h8 // 8, w8 // 8, blocks
+
+
+def _sos_progressive(ss: int, se: int, ah: int, al: int) -> bytes:
+    return b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes(
+        [1, 0x00, ss, se, (ah << 4) | al]
+    )
+
+
+def encode_jpeg_gray_progressive(pixels, quant=None) -> bytes:
+    """Encode a row-major 0-255 grid as a PROGRESSIVE (SOF2) 8-bit
+    grayscale JPEG with a 4-scan schedule:
+
+    1. DC first       (Ss=0 Se=0  Ah=0 Al=1) — Huffman diffs of dc>>1
+    2. DC refinement  (Ss=0 Se=0  Ah=1 Al=0) — one raw bit per block
+    3. AC first       (Ss=1 Se=63 Ah=0 Al=1) — magnitudes ÷2, per-
+       block EOB (the encoder never accumulates cross-block EOB runs;
+       run-of-1 EOBs are legal and keep correction-bit flushing local)
+    4. AC refinement  (Ss=1 Se=63 Ah=1 Al=0) — newly-significant
+       coefficients as (run<<4)|1 + sign, correction bits for
+       previously-significant ones (T.81 G.1.2.3)
+
+    Two approximation levels reconstruct every coefficient exactly
+    (|c| = 2·(|c|÷2) + (|c|&1)), so the progressive stream decodes to
+    the IDENTICAL pixels as :func:`encode_jpeg_gray` of the same input
+    — which is what makes a lossy-format oracle query possible.
+    """
+    q = list(quant) if quant is not None else list(DEFAULT_QUANT)
+    if len(q) != 64 or any(not (1 <= x <= 255) for x in q):
+        raise ValueError("quant table must be 64 entries in 1..255")
+    height, width, bh, bw_, blocks = _quantized_blocks(pixels, q)
+
+    # scan 1: DC first, Al=1 (arithmetic shift — floor — per spec)
+    w1 = _BitWriter()
+    pred = 0
+    for nat in blocks:
+        v = nat[0] >> 1
+        diff = v - pred
+        pred = v
+        cat = _bitlen(abs(diff))
+        if cat > 11:
+            raise ValueError("DC difference out of category range")
+        length, code = _DC_CODES[cat]
+        w1.write(code, length)
+        if cat:
+            mag = diff if diff > 0 else diff + (1 << cat) - 1
+            w1.write(mag, cat)
+    w1.flush()
+
+    # scan 2: DC refinement — the Al bit of each DC, raw
+    w2 = _BitWriter()
+    for nat in blocks:
+        w2.write(nat[0] & 1, 1)
+    w2.flush()
+
+    # scan 3: AC first, Al=1 — code t = c/2 truncated toward zero
+    w3 = _BitWriter()
+    for nat in blocks:
+        run = 0
+        for k in range(1, 64):
+            c = nat[ZIGZAG[k]]
+            t = -((-c) >> 1) if c < 0 else c >> 1
+            if t == 0:
+                run += 1
+                continue
+            while run > 15:
+                length, code = _AC_CODES[0xF0]
+                w3.write(code, length)
+                run -= 16
+            size = _bitlen(abs(t))
+            if size > 10:
+                raise ValueError(
+                    "AC coefficient too large for the 10-bit "
+                    "category limit; use a coarser quant table"
+                )
+            length, code = _AC_CODES[(run << 4) | size]
+            w3.write(code, length)
+            mag = t if t > 0 else t + (1 << size) - 1
+            w3.write(mag, size)
+            run = 0
+        if run:
+            length, code = _AC_CODES[0x00]  # EOB (run of 1)
+            w3.write(code, length)
+    w3.flush()
+
+    # scan 4: AC refinement (Ah=1, Al=0), per-block EOB flushing.
+    # The ZRL check runs at EVERY nonzero-history position, BEFORE a
+    # correction bit is buffered (libjpeg's invariant): that keeps the
+    # run ≤ 15 whenever a bit is buffered, so every buffered bit lies
+    # within the advance span of the symbol that flushes it — exactly
+    # what the decoder's interleaved bit-reads assume.  Runs past the
+    # LAST newly-significant coefficient fold into the EOB instead of
+    # ZRLs (the k ≤ eob guard).
+    w4 = _BitWriter()
+    for nat in blocks:
+        eob = 0
+        for k in range(1, 64):
+            if abs(nat[ZIGZAG[k]]) == 1:
+                eob = k
+        run = 0
+        pend: list[int] = []
+        for k in range(1, 64):
+            c = nat[ZIGZAG[k]]
+            a = abs(c)
+            if a == 0:
+                run += 1
+                continue
+            while run > 15 and k <= eob:
+                length, code = _AC_CODES[0xF0]
+                w4.write(code, length)
+                run -= 16
+                for b in pend:
+                    w4.write(b, 1)
+                pend = []
+            if a > 1:  # previously significant → correction bit
+                pend.append(a & 1)
+                continue
+            # newly significant (|c| == 1)
+            length, code = _AC_CODES[(run << 4) | 1]
+            w4.write(code, length)
+            w4.write(1 if c > 0 else 0, 1)
+            for b in pend:
+                w4.write(b, 1)
+            pend = []
+            run = 0
+        if run or pend:
+            length, code = _AC_CODES[0x00]  # EOB (run of 1)
+            w4.write(code, length)
+            for b in pend:
+                w4.write(b, 1)
+    w4.flush()
+
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        q[ZIGZAG[k]] for k in range(64)
+    )
+    sof2 = b"\xff\xc2" + struct.pack(
+        ">HBHHB", 11, 8, height, width, 1
+    ) + bytes([1, 0x11, 0])
+    return (
+        SOI
+        + dqt
+        + sof2
+        + _dht_segment(0, 0, _DC_SYMBOLS, 4)
+        + _dht_segment(1, 0, _AC_SYMBOLS, 8)
+        + _sos_progressive(0, 0, 0, 1)
+        + bytes(w1.buf)
+        + _sos_progressive(0, 0, 1, 0)
+        + bytes(w2.buf)
+        + _sos_progressive(1, 63, 0, 1)
+        + bytes(w3.buf)
+        + _sos_progressive(1, 63, 1, 0)
+        + bytes(w4.buf)
+        + b"\xff\xd9"
+    )
+
+
+def _refine_nonzero(br: _BitReader, coefs, zz_from: int, zz_to: int, al: int):
+    """Read one correction bit for every already-nonzero coefficient
+    in zigzag positions [zz_from, zz_to] and apply it toward the
+    coefficient's sign (G.1.2.3 refinement rule)."""
+    p1 = 1 << al
+    for k in range(zz_from, zz_to + 1):
+        nat = ZIGZAG[k]
+        cur = coefs[nat]
+        if cur == 0:
+            continue
+        if br.bit() and (abs(cur) >> al) & 1 == 0:
+            coefs[nat] = cur + p1 if cur > 0 else cur - p1
+
+
+def decode_jpeg_gray_progressive(data: bytes):
+    """Decode a PROGRESSIVE (SOF2) single-component 8-bit grayscale
+    JPEG to a row-major grid of 0-255 ints: multi-scan spectral
+    selection + successive approximation, DC refinement bits, AC EOBn
+    run symbols (with extra bits), ZRL and correction bits in
+    refinement scans, byte unstuffing, arbitrary stream-read DQT/DHT.
+    Raises ``ValueError`` outside that subset (color, restart
+    intervals, 16-bit quant tables, arithmetic coding, truncation)."""
+    if not data.startswith(SOI):
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    quant = {}
+    huff = {}
+    dims = None
+    sof_tq = None
+    coefs = None  # per block: 64 natural-order ints
+    while pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        if pos + 2 > len(data):
+            raise ValueError("truncated segment header")
+        seglen = struct.unpack(">H", data[pos:pos + 2])[0]
+        body = data[pos + 2:pos + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated segment")
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                if i + 65 > len(body):
+                    raise ValueError("truncated DQT")
+                tbl = [0] * 64
+                for k in range(64):
+                    tbl[ZIGZAG[k]] = body[i + 1 + k]
+                quant[tq] = tbl
+                i += 65
+        elif marker == 0xC4:  # DHT (tables may arrive between scans)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                counts = list(body[i + 1:i + 17])
+                n = sum(counts)
+                symbols = list(body[i + 17:i + 17 + n])
+                if len(symbols) != n:
+                    raise ValueError("truncated DHT")
+                huff[(tc, th)] = _build_huff(counts, symbols)
+                i += 17 + n
+        elif marker == 0xC2:  # SOF2 progressive
+            precision, height, width, ncomp = struct.unpack(
+                ">BHHB", body[:6]
+            )
+            if precision != 8:
+                raise ValueError("only 8-bit precision supported")
+            if ncomp != 1:
+                raise ValueError("only single-component (grayscale)")
+            hv, tq = body[7], body[8]
+            if hv != 0x11:
+                raise ValueError("only 1x1 sampling supported")
+            dims = (height, width)
+            sof_tq = tq
+            bh = (height + 7) // 8
+            bw_ = (width + 7) // 8
+            coefs = [[0] * 64 for _ in range(bh * bw_)]
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("not a progressive (SOF2) frame")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS — one scan
+            if coefs is None:
+                raise ValueError("SOS before SOF2")
+            ns = body[0]
+            if ns != 1:
+                raise ValueError("only single-component scans")
+            tdta = body[2]
+            ss, se, ahal = body[3], body[4], body[5]
+            ah, al = ahal >> 4, ahal & 0xF
+            br = _BitReader(data, pos + seglen)
+            _decode_progressive_scan(
+                br, coefs, huff, ss, se, ah, al, tdta >> 4, tdta & 0xF
+            )
+            # resync: skip residual entropy bytes up to the next marker
+            p = br.pos
+            while p + 1 < len(data) and not (
+                data[p] == 0xFF and data[p + 1] != 0x00
+            ):
+                p += 1
+            pos = p
+            continue
+        pos += seglen
+    if dims is None or coefs is None:
+        raise ValueError("missing SOF2 or SOS")
+    if sof_tq not in quant:
+        raise ValueError("missing quantization table")
+    q = quant[sof_tq]
+    height, width = dims
+    bh = (height + 7) // 8
+    bw_ = (width + 7) // 8
+    out = [[0] * (bw_ * 8) for _ in range(bh * 8)]
+    for bi, nat in enumerate(coefs):
+        byi, bxi = divmod(bi, bw_)
+        coef = [[0.0] * 8 for _ in range(8)]
+        for v in range(64):
+            coef[v // 8][v % 8] = nat[v] * q[v]
+        pix = _idct(coef)
+        for y in range(8):
+            row = out[byi * 8 + y]
+            for x in range(8):
+                val = int(round(pix[y][x])) + 128
+                row[bxi * 8 + x] = (
+                    0 if val < 0 else (255 if val > 255 else val)
+                )
+    return [row[:width] for row in out[:height]]
+
+
+def _decode_progressive_scan(
+    br, coefs, huff, ss, se, ah, al, dc_id, ac_id
+):
+    """Decode one progressive scan in place over every block."""
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan must have Se=0")
+        if ah == 0:  # DC first
+            tab = huff.get((0, dc_id))
+            if tab is None:
+                raise ValueError("missing huffman table")
+            pred = 0
+            for nat in coefs:
+                s = _decode_sym(br, tab)
+                pred += _extend(br.bits(s), s)
+                nat[0] = pred << al
+        else:  # DC refinement: one raw bit per block
+            for nat in coefs:
+                if br.bit():
+                    nat[0] |= 1 << al
+        return
+    # AC scan
+    tab = huff.get((1, ac_id))
+    if tab is None:
+        raise ValueError("missing huffman table")
+    eobrun = 0
+    if ah == 0:  # AC first (spectral selection at approximation al)
+        for nat in coefs:
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                sym = _decode_sym(br, tab)
+                r, s = sym >> 4, sym & 0xF
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1 + (br.bits(r) if r else 0)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC run past end of band")
+                nat[ZIGZAG[k]] = _extend(br.bits(s), s) << al
+                k += 1
+    else:  # AC refinement
+        p1, m1 = 1 << al, -(1 << al)
+        for nat in coefs:
+            if eobrun > 0:
+                eobrun -= 1
+                _refine_nonzero(br, nat, ss, se, al)
+                continue
+            k = ss
+            while k <= se:
+                sym = _decode_sym(br, tab)
+                r, s = sym >> 4, sym & 0xF
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) + (br.bits(r) if r else 0)
+                        break
+                    # ZRL: skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "refinement scan size must be 1"
+                        )
+                    newval = p1 if br.bit() else m1
+                while k <= se:
+                    nat_k = ZIGZAG[k]
+                    cur = nat[nat_k]
+                    if cur != 0:
+                        if br.bit() and (abs(cur) >> al) & 1 == 0:
+                            nat[nat_k] = (
+                                cur + p1 if cur > 0 else cur + m1
+                            )
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    nat[ZIGZAG[k]] = newval
+                k += 1
+            if eobrun > 0:
+                # EOBn covers THIS block too: refine its remainder
+                _refine_nonzero(br, nat, k, se, al)
+                eobrun -= 1
+
+
+def decode_jpeg_gray_any(data: bytes):
+    """Decode baseline (SOF0) or progressive (SOF2) single-component
+    grayscale JPEG — dispatches on the frame marker found in the
+    stream."""
+    if not data.startswith(SOI):
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    while pos + 3 < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("expected marker")
+        marker = data[pos + 1]
+        if marker == 0xC0:
+            return decode_jpeg_gray(data)
+        if marker == 0xC2:
+            return decode_jpeg_gray_progressive(data)
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9 or marker == 0xDA:
+            break
+        seglen = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+        pos += 2 + seglen
+    raise ValueError("no SOF0/SOF2 frame found")
+
+
+def jpeg_gray_features_any(data: bytes, size: int = 8):
+    """Pooled features over baseline OR progressive grayscale JPEG —
+    identical pooling to :func:`jpeg_gray_features`."""
+    rows = decode_jpeg_gray_any(data)
+    width = len(rows[0])
+    if width < size:
+        raise ValueError(f"image width {width} < feature size {size}")
+    feats = []
+    for i in range(size):
+        lo = i * width // size
+        hi = (i + 1) * width // size
+        total = sum(sum(row[lo:hi]) for row in rows)
+        feats.append(total / ((hi - lo) * len(rows)) / 255.0)
+    return feats

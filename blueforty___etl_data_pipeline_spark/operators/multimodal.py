@@ -73,26 +73,29 @@ def decode_image_real(data: bytes, size: int = 8) -> list[float]:
     in [0, 1].
 
     PNG blobs decode through the vendored pure-stdlib codec
-    (functions/png.py — open spec, zlib compression) and baseline
-    grayscale JPEG through its sibling (functions/jpeg.py — T.81
-    markers, Huffman entropy decode, dequantize + IDCT), so both real
-    paths run and are pytest-proven IN THIS CONTAINER, not just
-    behind a PIL gate.  Remaining formats/subsets (color or
-    progressive JPEG, WebP, …) need PIL; with PIL installed it
-    handles every format it knows.  Deterministic per path; the
-    block-constant JPEG/PNG fixture queries are DuckDB-hash-checked."""
-    from ..functions.jpeg import SOI, jpeg_gray_features
+    (functions/png.py — open spec, zlib compression) and grayscale
+    JPEG — baseline SOF0 *and* progressive SOF2 (multi-scan spectral
+    selection + successive approximation) — through its sibling
+    (functions/jpeg.py — T.81 markers, Huffman entropy decode,
+    dequantize + IDCT), so all three real paths run and are
+    pytest-proven IN THIS CONTAINER, not just behind a PIL gate.
+    Remaining formats/subsets (color JPEG, WebP, …) need PIL; with
+    PIL installed it handles every format it knows.  Deterministic
+    per path; the block-constant JPEG/PNG fixture queries are
+    DuckDB-hash-checked."""
+    from ..functions.jpeg import SOI, jpeg_gray_features_any
     from ..functions.png import PNG_SIGNATURE, png_gray_features
 
     if data.startswith(PNG_SIGNATURE) and _PIL is None:
         return png_gray_features(data, size=size)
     if data.startswith(SOI) and _PIL is None:
         try:
-            return jpeg_gray_features(data, size=size)
+            return jpeg_gray_features_any(data, size=size)
         except ValueError as e:
             raise NotImplementedError(
-                f"JPEG subset beyond baseline grayscale requires PIL, "
-                f"which is not installed in this environment ({e})"
+                f"JPEG subset beyond grayscale baseline/progressive "
+                f"requires PIL, which is not installed in this "
+                f"environment ({e})"
             ) from e
     if _PIL is None:
         raise NotImplementedError(

@@ -71,3 +71,138 @@ def test_features_and_decode_image_real_dispatch():
     exp = [(vals[0] + vals[2]) / 510.0] * 4 + [(vals[1] + vals[3]) / 510.0] * 4
     for feats in (jpeg_gray_features(blob), decode_image_real(blob)):
         assert feats == pytest.approx(exp, abs=1e-12)
+
+
+def test_progressive_roundtrip_matches_baseline_decode():
+    import random
+
+    from blueforty___etl_data_pipeline_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        decode_jpeg_gray_any,
+        decode_jpeg_gray_progressive,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    rng = random.Random(1234)
+    for _ in range(8):
+        h = rng.choice([8, 16, 17, 24])
+        w = rng.choice([8, 16, 19, 24])
+        img = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        base = decode_jpeg_gray(encode_jpeg_gray(img))
+        prog = decode_jpeg_gray_progressive(
+            encode_jpeg_gray_progressive(img)
+        )
+        assert prog == base
+        assert decode_jpeg_gray_any(encode_jpeg_gray_progressive(img)) == base
+        assert decode_jpeg_gray_any(encode_jpeg_gray(img)) == base
+
+
+def test_progressive_block_constant_lossless():
+    from blueforty___etl_data_pipeline_spark.functions.jpeg import (
+        decode_jpeg_gray_progressive,
+        encode_jpeg_gray_progressive,
+    )
+
+    for vals in [(0, 255, 128, 7), (200, 3, 99, 250)]:
+        img = [
+            [vals[(y // 8) * 2 + (x // 8)] for x in range(16)]
+            for y in range(16)
+        ]
+        assert decode_jpeg_gray_progressive(
+            encode_jpeg_gray_progressive(img)
+        ) == img
+
+
+def test_progressive_sparse_exercises_zrl_and_eob_runs():
+    import random
+
+    from blueforty___etl_data_pipeline_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        decode_jpeg_gray_progressive,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    rng = random.Random(7)
+    for _ in range(10):
+        img = [[128] * 40 for _ in range(16)]
+        for _ in range(6):
+            img[rng.randrange(16)][rng.randrange(40)] = rng.choice(
+                [0, 255]
+            )
+        assert decode_jpeg_gray_progressive(
+            encode_jpeg_gray_progressive(img)
+        ) == decode_jpeg_gray(encode_jpeg_gray(img))
+
+
+def test_progressive_decoder_rejects_baseline_and_vice_versa():
+    import pytest as _pytest
+
+    from blueforty___etl_data_pipeline_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        decode_jpeg_gray_progressive,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    img = [[128] * 8 for _ in range(8)]
+    with _pytest.raises(ValueError):
+        decode_jpeg_gray_progressive(encode_jpeg_gray(img))
+    with _pytest.raises(ValueError):
+        decode_jpeg_gray(encode_jpeg_gray_progressive(img))
+
+
+def test_decode_any_handles_foreign_eobn_runs():
+    """A hand-built progressive stream using an EOBn symbol with extra
+    bits (run of 3 all-zero-AC blocks) — the symbol our encoder never
+    emits but foreign encoders (libjpeg) do."""
+    import struct
+
+    from blueforty___etl_data_pipeline_spark.functions.jpeg import (
+        SOI,
+        ZIGZAG,
+        _BitWriter,
+        _dht_segment,
+        decode_jpeg_gray_progressive,
+    )
+
+    q = [8] * 64
+    # 32x8 image: 4 blocks, constant 136 -> dc = 1 per block, no AC
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        q[ZIGZAG[k]] for k in range(64)
+    )
+    sof2 = b"\xff\xc2" + struct.pack(
+        ">HBHHB", 11, 8, 8, 32, 1
+    ) + bytes([1, 0x11, 0])
+    dc_syms = tuple(range(12))
+    ac_syms = (0x00, 0xF0, 0x11, 0x21) + (0x10,)  # includes EOB1
+    dht = _dht_segment(0, 0, dc_syms, 4) + _dht_segment(1, 0, ac_syms, 8)
+
+    def sos(ss, se, ah, al):
+        return b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes(
+            [1, 0x00, ss, se, (ah << 4) | al]
+        )
+
+    # DC scan (Ah=0, Al=0): constant 136 -> dc = 8*(136-128)/q0 = 8,
+    # so diffs are 8,0,0,0 -> cat 4 (mag 8), then three cat-0s
+    w = _BitWriter()
+    w.write(4, 4)  # cat 4
+    w.write(8, 4)  # mag bits 1000 -> +8
+    for _ in range(3):
+        w.write(0, 4)  # cat 0
+    w.flush()
+    dc_scan = sos(0, 0, 0, 0) + bytes(w.buf)
+    # AC scan (Ss=1..63, Ah=0, Al=0): EOB1 symbol covers 2 blocks +
+    # 1 extra bit -> run of 2+1 = 3? EOB1 = (1<<1)+bits(1): set bit=1
+    # -> 3 blocks; then one more EOB0 for the last block
+    w = _BitWriter()
+    w.write(4, 8)  # ac_syms index 4 = 0x10 (EOB1)
+    w.write(1, 1)  # extra bit -> run covers 3 blocks
+    w.write(0, 8)  # EOB0 for 4th block
+    w.flush()
+    ac_scan = sos(1, 63, 0, 0) + bytes(w.buf)
+    data = SOI + dqt + sof2 + dht + dc_scan + ac_scan + b"\xff\xd9"
+    rows = decode_jpeg_gray_progressive(data)
+    assert len(rows) == 8 and len(rows[0]) == 32
+    assert all(v == 136 for row in rows for v in row)
