@@ -4975,6 +4975,70 @@ FROM documents
 """
 
 
+def q_gif_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF frame sampling under the driver's oracle:
+    each sampled document becomes a genuine 4-frame 8×8 GIF89a (frame
+    i constant at md5-digest byte d[i], real LZW compression —
+    functions/gif.py) and flows through the Arrow-batched
+    extract_gif_frames stage sampling every 2nd frame.  LZW decode,
+    palette mapping, and frame iteration all execute for real; a
+    constant frame's mean/min/max are exactly its digest byte, which
+    DuckDB reproduces from md5 hex pairs."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        extract_gif_frames,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 40 == 10)
+    )
+
+    def to_gif(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.gif import (
+            encode_gif_gray,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for text in pdf["text"]:
+                d = _hl.md5(text.encode("utf-8")).digest()
+                frames = [
+                    [[d[i]] * 8 for _ in range(8)] for i in range(4)
+                ]
+                blobs.append(encode_gif_gray(frames))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": blobs}
+            )
+
+    media = docs.mapInPandas(
+        to_gif, schema="doc_id long, content binary"
+    )
+    return extract_gif_frames(media, every_k=2)
+
+
+def _sql_gif_frames_real() -> str:
+    def byte(k: int) -> str:
+        return f"CAST(('0x' || substr(h, {2 * k + 1}, 2)) AS INTEGER)"
+
+    return f"""
+WITH t AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id % 40 = 10),
+f AS (SELECT doc_id, h, unnest([0, 2]) AS frame_no FROM t)
+SELECT doc_id, frame_no, 8 AS width, 8 AS height,
+       CAST(CASE frame_no WHEN 0 THEN {byte(0)} ELSE {byte(2)} END
+            AS BIGINT) AS mean_floor,
+       CASE frame_no WHEN 0 THEN {byte(0)} ELSE {byte(2)} END AS px_min,
+       CASE frame_no WHEN 0 THEN {byte(0)} ELSE {byte(2)} END AS px_max
+FROM f
+"""
+
+
 # ---------------------------------------------------------------------------
 # Source / sink round-trips (S1/S4/S5/S6/S9/S10, F20)
 # ---------------------------------------------------------------------------
@@ -9771,6 +9835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "url_extract": q_url_extract,
         "jpeg_progressive_real": q_jpeg_progressive_real,
+        "gif_frames_real": q_gif_frames_real,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -9972,6 +10037,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _SQL_HLL_DISTINCT,
         "url_extract": _SQL_URL_EXTRACT,
         "jpeg_progressive_real": _sql_jpeg_progressive_real(),
+        "gif_frames_real": _sql_gif_frames_real(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

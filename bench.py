@@ -303,6 +303,8 @@ HEADLINE = [
     # round-6: real progressive-JPEG (SOF2) decode through the
     # Arrow-batched media stage (4-scan successive approximation)
     "jpeg_progressive_real",
+    # round-6: real animated-GIF frame sampling (LZW decode)
+    "gif_frames_real",
 ]
 
 

@@ -180,6 +180,62 @@ def frame_sample_stub(
     )
 
 
+def extract_gif_frames(
+    media: DataFrame, every_k: int = 1, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL animated-container frame sampling: decode GIF blobs with
+    the vendored pure-stdlib codec (functions/gif.py — LZW with
+    dictionary growth, interlace, sub-rect composition, transparency)
+    and emit one row per SAMPLED frame (0, k, 2k, …) with all-integer
+    frame stats — the 1→N expansion :func:`frame_sample_stub` only
+    sketched, now with a genuine codec behind it.
+
+    Output: (id, frame_no, width, height, mean_floor, px_min, px_max).
+    Arrow-batched ``mapInPandas``; per-blob decode cost is the
+    accepted media-stage shape (partition sizing is the scale lever).
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from ..functions.gif import gif_frame_stats
+
+        for pdf in batches:
+            ids, fno, ws, hs, means, mins, maxs = (
+                [], [], [], [], [], [], []
+            )
+            for doc_id, blob in zip(pdf[id_col], pdf["content"]):
+                for (i, w, h, mean, lo, hi) in gif_frame_stats(
+                    blob, every_k=every_k
+                ):
+                    ids.append(doc_id)
+                    fno.append(i)
+                    ws.append(w)
+                    hs.append(h)
+                    means.append(mean)
+                    mins.append(lo)
+                    maxs.append(hi)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_no": fno,
+                    "width": ws,
+                    "height": hs,
+                    "mean_floor": means,
+                    "px_min": mins,
+                    "px_max": maxs,
+                }
+            )
+
+    return media.select(id_col, "content").mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, frame_no int, width int, height int, "
+            "mean_floor long, px_min int, px_max int"
+        ),
+    )
+
+
 def encode_wav_pcm16(samples: list[int], framerate: int = 8000) -> bytes:
     """Serialize int16 mono PCM to a real RIFF/WAVE blob (stdlib
     ``wave`` writer) — the audio twin of functions/png.encode_png_gray,

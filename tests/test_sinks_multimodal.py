@@ -675,3 +675,105 @@ def test_dhash_pairs_rejects_unsafe_hamming(spark):
     df = spark.createDataFrame([(1, 0)], "doc_id long, dhash long")
     with pytest.raises(ValueError):
         dhash_pairs(df, bits=60, bands=4, max_hamming=4)
+
+
+def test_gif_roundtrip_and_dictionary_growth():
+    import random
+
+    from blueforty___etl_data_pipeline_spark.functions.gif import (
+        decode_gif_frames,
+        encode_gif_gray,
+    )
+
+    rng = random.Random(5)
+    frames = [
+        [[rng.randrange(256) for _ in range(16)] for _ in range(8)]
+        for _ in range(3)
+    ]
+    assert decode_gif_frames(encode_gif_gray(frames)) == frames
+    # repetitive 200x120 image overflows the 4096-entry LZW table ->
+    # mid-stream Clear code; must still round-trip exactly
+    big = [[(x * x + y) % 17 * 15 for x in range(200)] for y in range(120)]
+    assert decode_gif_frames(encode_gif_gray([big])) == [big]
+
+
+def test_gif_foreign_subrect_transparency_interlace():
+    """Hand-assembled GIF exercising decoder paths our encoder never
+    emits: a sub-rectangle second frame composited onto the first, a
+    transparent index, an interlaced frame, and a local palette."""
+    import struct
+
+    from blueforty___etl_data_pipeline_spark.functions.gif import (
+        _LZWEncoder,
+        _sub_blocks,
+        decode_gif_frames,
+    )
+
+    def img_block(x, y, w, h, pixels, flags=0):
+        return (
+            b"\x2c"
+            + struct.pack("<HHHHB", x, y, w, h, flags)
+            + bytes([8])
+            + _sub_blocks(_LZWEncoder(8).encode(pixels))
+        )
+
+    head = b"GIF89a" + struct.pack("<HHBBB", 8, 8, 0xF7, 0, 0)
+    pal = b"".join(bytes([i, i, i]) for i in range(256))
+    # frame 1: full 8x8 constant 10
+    f1 = img_block(0, 0, 8, 8, [10] * 64)
+    # frame 2: 4x4 sub-rect at (2,2), constant 200, with index 7
+    # transparent (those pixels keep the underlying 10)
+    gce = b"\x21\xf9\x04" + bytes([(1 << 2) | 1]) + struct.pack(
+        "<H", 5
+    ) + bytes([7]) + b"\x00"
+    sub = [200] * 8 + [7] * 4 + [200] * 4
+    f2 = gce + img_block(2, 2, 4, 4, sub)
+    # frame 3: full-frame INTERLACED gradient rows (row y = 20*y)
+    rows = [[20 * y] * 8 for y in range(8)]
+    order = (
+        list(range(0, 8, 8))
+        + list(range(4, 8, 8))
+        + list(range(2, 8, 4))
+        + list(range(1, 8, 2))
+    )
+    inter = [v for y in order for v in rows[y]]
+    f3 = img_block(0, 0, 8, 8, inter, flags=0x40)
+    data = head + pal + f1 + f2 + f3 + b"\x3b"
+    frames = decode_gif_frames(data)
+    assert len(frames) == 3
+    assert frames[0] == [[10] * 8 for _ in range(8)]
+    # frame 2: sub-rect rows 2-5, cols 2-5 are 200 except the 4
+    # transparent pixels of its second row, which show through as 10
+    exp = [row[:] for row in frames[0]]
+    for yy in range(4):
+        for xx in range(4):
+            v = sub[yy * 4 + xx]
+            if v != 7:
+                exp[2 + yy][2 + xx] = 200
+    assert frames[1] == exp
+    assert frames[2] == rows
+
+
+def test_extract_gif_frames_stage(spark):
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.functions.gif import (
+        encode_gif_gray,
+    )
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        extract_gif_frames,
+    )
+
+    frames = [[[v] * 8 for _ in range(8)] for v in (5, 50, 250)]
+    blob = encode_gif_gray(frames)
+    media = spark.createDataFrame(
+        [(1, bytearray(blob))], "doc_id long, content binary"
+    )
+    out = sorted(
+        extract_gif_frames(media, every_k=2).collect(),
+        key=lambda r: r["frame_no"],
+    )
+    assert [
+        (r["frame_no"], r["mean_floor"], r["px_min"], r["px_max"])
+        for r in out
+    ] == [(0, 5, 5, 5), (2, 250, 250, 250)]

@@ -44,6 +44,16 @@ SLOW_SET = [
     "image_dhash_pairs",
     "epoch_pipeline",
     "record_linkage",
+    # round-6 extension (VERDICT r5 item 6): the remaining round-5
+    # additions with nontrivial scale shapes
+    "ivf_pq_search",
+    "image_dedup",
+    "frequent_pairs",
+    "cdc_rollup",
+    # round-6 additions with joins/iterative shapes worth a datapoint
+    "triangle_count",
+    "corr_matrix",
+    "jpeg_progressive_real",
 ]
 
 
