@@ -4895,6 +4895,83 @@ SELECT doc_id, {cols} FROM t
 """
 
 
+def q_flac_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED-audio decode under the driver's oracle: each
+    sampled document becomes a genuine FLAC stream (256-sample linear
+    ramp s_i = 100·d0 + (d1 mod 16)·i, encoded with the vendored
+    pure-stdlib codec's FIXED-order-2 + Rice path — a linear ramp has
+    zero residuals after warmup, so the stream really compresses) and
+    decodes back through the SAME Arrow-batched
+    extract_audio_features stage that handles WAV.  FLAC is lossless,
+    so peak/sum are closed-form in the digest bytes: peak = a + 255·b,
+    sum = 256·a + 32640·b — which DuckDB reproduces from md5 hex
+    pairs.  The ``compressed`` column asserts the blob is genuinely
+    smaller than raw PCM (real entropy coding, not a container
+    wrapper)."""
+    _prep(spark)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 40 == 30)
+    )
+
+    def flac_roundtrip(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.flac import (
+            encode_flac_mono16,
+        )
+        from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+            decode_audio_real,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = _hl.md5(text.encode("utf-8")).digest()
+                a, b = 100 * d[0], d[1] % 16
+                blob = encode_flac_mono16(
+                    [a + b * i for i in range(256)], 8000
+                )
+                n, sr, peak, sabs = decode_audio_real(blob)
+                rows.append(
+                    (doc_id, n, sr, peak, sabs, len(blob) < 2 * 256)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "framerate", "peak_abs",
+                    "sum_abs", "compressed",
+                ],
+            )
+
+    return docs.mapInPandas(
+        flac_roundtrip,
+        schema=(
+            "doc_id long, n_frames long, framerate long, "
+            "peak_abs long, sum_abs long, compressed boolean"
+        ),
+    )
+
+
+def _sql_flac_decode_real() -> str:
+    def byte(k: int) -> str:
+        return f"CAST(('0x' || substr(h, {2 * k + 1}, 2)) AS INTEGER)"
+
+    a, b = f"(100 * {byte(0)})", f"({byte(1)} % 16)"
+    return f"""
+WITH t AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id % 40 = 30)
+SELECT doc_id, 256 AS n_frames, 8000 AS framerate,
+       CAST({a} + 255 * {b} AS BIGINT) AS peak_abs,
+       CAST(256 * {a} + 32640 * {b} AS BIGINT) AS sum_abs,
+       TRUE AS compressed
+FROM t
+"""
+
+
 def q_audio_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode under the driver's oracle: each sampled
     document becomes a genuine RIFF/WAVE blob (16 int16 PCM samples
@@ -9836,6 +9913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_extract": q_url_extract,
         "jpeg_progressive_real": q_jpeg_progressive_real,
         "gif_frames_real": q_gif_frames_real,
+        "flac_decode_real": q_flac_decode_real,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -10038,6 +10116,7 @@ def oracle_sql() -> dict[str, str]:
         "url_extract": _SQL_URL_EXTRACT,
         "jpeg_progressive_real": _sql_jpeg_progressive_real(),
         "gif_frames_real": _sql_gif_frames_real(),
+        "flac_decode_real": _sql_flac_decode_real(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

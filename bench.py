@@ -305,6 +305,9 @@ HEADLINE = [
     "jpeg_progressive_real",
     # round-6: real animated-GIF frame sampling (LZW decode)
     "gif_frames_real",
+    # round-6: real compressed-audio (FLAC) decode through the
+    # Arrow-batched audio stage (Rice-coded prediction residuals)
+    "flac_decode_real",
 ]
 
 

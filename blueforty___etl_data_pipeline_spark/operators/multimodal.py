@@ -254,17 +254,23 @@ def encode_wav_pcm16(samples: list[int], framerate: int = 8000) -> bytes:
 
 
 def decode_audio_real(data: bytes) -> tuple[int, int, int, int]:
-    """REAL audio decode: parse a RIFF/WAVE container with the stdlib
-    ``wave`` module (chunk walk, fmt validation) and the PCM payload
-    into int16 samples → (n_frames, framerate, peak_abs, sum_abs).
-    All-integer outputs, so the result is engine-exact and
+    """REAL audio decode: RIFF/WAVE (stdlib ``wave`` chunk walk + PCM
+    unpack) or COMPRESSED lossless FLAC (vendored pure-stdlib codec,
+    functions/flac.py — Rice-coded prediction residuals), dispatched
+    on the container magic → (n_frames, framerate, peak_abs,
+    sum_abs).  All-integer outputs, so the result is engine-exact and
     oracle-checkable — unlike float spectral features.  Mono 16-bit
-    PCM only; anything else raises (feature-gated, never silently
-    faked)."""
+    only; other layouts/codecs (MP3/AAC lossy audio) raise
+    (feature-gated, never silently faked)."""
     import array
     import io
     import sys
     import wave
+
+    from ..functions.flac import FLAC_MAGIC, flac_audio_stats
+
+    if data.startswith(FLAC_MAGIC):
+        return flac_audio_stats(data)
 
     with wave.open(io.BytesIO(data)) as w:
         if w.getsampwidth() != 2 or w.getnchannels() != 1:

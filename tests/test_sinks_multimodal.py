@@ -777,3 +777,117 @@ def test_extract_gif_frames_stage(spark):
         (r["frame_no"], r["mean_floor"], r["px_min"], r["px_max"])
         for r in out
     ] == [(0, 5, 5, 5), (2, 250, 250, 250)]
+
+
+def test_flac_roundtrip_noise_sine_constant_and_boundaries():
+    import math
+    import random
+
+    from blueforty___etl_data_pipeline_spark.functions.flac import (
+        decode_flac_mono16,
+        encode_flac_mono16,
+    )
+
+    rng = random.Random(11)
+    for n in (100, 4096, 4097, 9000):
+        s = [rng.randrange(-32768, 32768) for _ in range(n)]
+        out, sr = decode_flac_mono16(encode_flac_mono16(s, 8000))
+        assert out == s and sr == 8000
+    # smooth signal must actually COMPRESS (real entropy coding)
+    s = [int(3000 * math.sin(i / 30)) for i in range(10000)]
+    blob = encode_flac_mono16(s, 16000)
+    assert decode_flac_mono16(blob) == (s, 16000)
+    assert len(blob) < 2 * len(s) / 2
+    # constant stream -> CONSTANT subframes, tiny stream
+    s = [1234] * 8192
+    blob = encode_flac_mono16(s)
+    assert decode_flac_mono16(blob)[0] == s
+    assert len(blob) < 100
+
+
+def test_flac_foreign_lpc_rice2_escape_and_wasted_bits():
+    """Hand-assembled FLAC frame exercising decoder paths our encoder
+    never emits: an LPC subframe (order 1, coef 2, shift 1), RICE2
+    residual method, partition order 1, an ESCAPE-coded partition,
+    and wasted bits."""
+    import struct
+
+    from blueforty___etl_data_pipeline_spark.functions.flac import (
+        FLAC_MAGIC,
+        _BitWriter,
+        _crc8,
+        _crc16,
+        _zigzag,
+        decode_flac_mono16,
+    )
+
+    # streaminfo: rate 8000, mono, 16-bit, 8 samples
+    si = _BitWriter()
+    si.write(8, 16)
+    si.write(8, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(8000, 20)
+    si.write(0, 3)
+    si.write(15, 5)
+    si.write(8, 36)
+    meta = bytes([0x80]) + struct.pack(">I", len(bytes(si.buf)) + 16)[1:] \
+        + bytes(si.buf) + b"\x00" * 16
+
+    w = _BitWriter()
+    w.write(0b11111111111110, 14)
+    w.write(0, 2)
+    w.write(0b0110, 4)  # blocksize: 8-bit field
+    w.write(0, 4)
+    w.write(0, 4)       # mono
+    w.write(0b100, 3)   # 16-bit
+    w.write(0, 1)
+    w.write(0, 8)       # frame number 0
+    w.write(7, 8)       # blocksize-1
+    w.align()
+    w.write(_crc8(bytes(w.buf)), 8)
+    # subframe: LPC order 1, wasted bits = 1 (samples stored >> 1)
+    w.write(0, 1)
+    w.write(0b100000, 6)  # LPC order 1
+    w.write(1, 1)         # wasted bits flag
+    w.write(1, 1)         # unary 0 -> wasted = 0+1 = 1
+    eff = 15
+    # true samples (all even so 1 wasted bit is exact):
+    # s = [10, 12, 14, 16, 18, 20, 22, 24]; stored = s >> 1
+    # predictor: pred = (2 * prev) >> 1 = prev; residual r_i = st_i - st_{i-1} = 1
+    w.write(5, eff)       # warmup: stored s0 = 5
+    w.write(3, 4)         # qlp precision - 1 -> 4 bits
+    w.write(1, 5)         # shift 1
+    w.write(2, 4)         # coef = 2
+    # residual: RICE2, partition order 1 -> 2 partitions
+    # part 1: 8/2 - order = 3 samples, rice2 param 0: r=1 -> zigzag 2
+    w.write(1, 2)         # method RICE2
+    w.write(1, 4)         # partition order 1
+    w.write(0, 5)         # param 0
+    for _ in range(3):
+        for _ in range(_zigzag(1)):
+            w.write(0, 1)
+        w.write(1, 1)
+    # part 2: 4 samples, ESCAPE (param 31): raw 5-bit signed residuals
+    w.write(31, 5)
+    w.write(5, 5)         # raw bitcount 5
+    for _ in range(4):
+        w.write(1, 5)
+    w.align()
+    frame = bytes(w.buf)
+    data = FLAC_MAGIC + meta + frame + struct.pack(">H", _crc16(frame))
+    samples, sr = decode_flac_mono16(data)
+    assert sr == 8000
+    assert samples == [10, 12, 14, 16, 18, 20, 22, 24]
+
+
+def test_decode_audio_real_dispatches_flac(spark):
+    from blueforty___etl_data_pipeline_spark.functions.flac import (
+        encode_flac_mono16,
+    )
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        decode_audio_real,
+    )
+
+    blob = encode_flac_mono16([0, 100, -200, 300], 8000)
+    assert decode_audio_real(blob) == (4, 8000, 300, 600)
