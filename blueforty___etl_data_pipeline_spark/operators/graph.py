@@ -342,7 +342,11 @@ def triangle_count(
     halves it, and the production refinement is orienting edges by
     DEGREE order instead of id order (cuts the hub term to the
     classic O(m^1.5) bound).  At 100 TB you'd also pre-bucket both
-    join sides on the wedge key to co-locate the closes.
+    join sides on the wedge key to co-locate the closes.  The
+    canonical edge table feeds FIVE plan branches (both wedge sides,
+    the close side, node count, edge count), so it is cut from its
+    lineage with a lazy localCheckpoint — materialized once at first
+    action, ContextCleaner-released, never five upstream scans.
     """
     lo = F.least(F.col(src), F.col(dst))
     hi = F.greatest(F.col(src), F.col(dst))
@@ -350,6 +354,7 @@ def triangle_count(
         edges.select(lo.alias("a"), hi.alias("b"))
         .filter(F.col("a") < F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     wedges = (
         e.alias("e1")

@@ -1033,10 +1033,11 @@ def corr_matrix(
     Scale shape: ONE whole-table aggregate computes every moment in a
     single pass (k + k·(k+1)/2 partial-agged sums — map-side combine
     does nearly all the work); the pair table is then unpivoted from
-    the single result row, so nothing beyond one scan + one 1-row
-    reshape ever runs.  This is the classic moments-based one-pass
-    correlation, numerically safe here because the sums are exact
-    decimals, not floats.
+    the single result row with ONE explode — not a union of selects,
+    which would re-plan (and at scale re-SCAN) the aggregate once per
+    pair.  This is the classic moments-based one-pass correlation,
+    numerically safe here because the sums are exact decimals, not
+    floats.
     """
     if len(cols) < 2:
         raise ValueError("corr_matrix needs at least two columns")
@@ -1059,7 +1060,7 @@ def corr_matrix(
         aggs.append(F.sum(_ival(a) * _ival(b)).alias(f"_sp_{a}_{b}"))
     m = df.agg(*aggs)
 
-    out = None
+    structs = []
     for a, b in pairs:
         num = F.expr(
             f"CAST(_n AS DECIMAL(38,0)) * _sp_{a}_{b} - _s_{a} * _s_{b}"
@@ -1078,11 +1079,13 @@ def corr_matrix(
                 / F.sqrt(dx.cast("double") * dy.cast("double"))
             ).cast("long"),
         )
-        row = m.select(
-            F.lit(a).alias("col_a"),
-            F.lit(b).alias("col_b"),
-            F.col("_n").alias("n"),
-            corr.alias("corr_e6"),
+        structs.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                corr.alias("corr_e6"),
+            )
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    return m.select(
+        F.col("_n").alias("n"), F.explode(F.array(*structs)).alias("_p")
+    ).select("_p.col_a", "_p.col_b", "n", "_p.corr_e6")
