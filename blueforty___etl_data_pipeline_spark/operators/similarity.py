@@ -819,14 +819,13 @@ def semantic_dedup(
     from a self-equi-join on ``centroid_id``, so the all-pairs product
     never materializes — per-cluster cost is |cluster|², and k is grown
     with the corpus to keep clusters bounded (SemDeDup uses ~100k
-    clusters at billion-doc scale).  Both sides of the self-join are
-    the IDENTICAL assignment subplan, so Spark's ReusedExchange shares
-    the shuffle instead of scanning twice — no persist needed.  The
-    dropped-id set (ids, no vectors) is cut from its lineage with a
-    LAZY localCheckpoint: nothing materializes at call time, the first
-    caller action runs the pairwise pass exactly once, and no
-    vector-bearing cache outlives the call (the checkpointed id set is
-    cardinality-bounded — ids only).
+    clusters at billion-doc scale).  The assignment projection feeds
+    THREE plan branches (both self-join sides and the returned verdict
+    spine), so it is cut from its lineage with a LAZY localCheckpoint:
+    nothing materializes at call time, the first caller action runs
+    the assignment pass exactly once, and the blocks are released by
+    the ContextCleaner when the returned plan is garbage collected —
+    no cache outlives its consumers (the r4→r5 leak is not back).
     """
     assigned = assign_nearest_centroid(
         emb, centroids, id_col=id_col, vec_col=vec_col,
@@ -839,7 +838,7 @@ def semantic_dedup(
             l2_norm(F.col(vec_col)).alias("_n"),
         ),
         on=id_col,
-    )
+    ).localCheckpoint(eager=False)
     left, right = b.alias("l"), b.alias("r")
     score = _rounded(
         _paired_cosine(
@@ -859,10 +858,10 @@ def semantic_dedup(
         .select(F.col(f"r.{id_col}").alias(id_col))
         .distinct()
         .withColumn("_dropped", F.lit(True))
-        .localCheckpoint(eager=False)
     )
     return (
-        assigned.join(dropped, on=id_col, how="left")
+        b.select(id_col, "centroid_id")
+        .join(dropped, on=id_col, how="left")
         .select(
             F.col(id_col),
             F.col("centroid_id"),
