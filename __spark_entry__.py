@@ -9833,6 +9833,107 @@ FROM documents
 """
 
 
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test readout (operators/analytics.
+    ab_proportion_test): users split into two deterministic variants
+    by id parity, success = purchase events — one COUNT-GROUP-BY
+    shuffle, exact integer counts, floats only in the final z ratio."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        ab_proportion_test,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        (F.col("event_type") == "purchase").cast("int").alias("converted"),
+    )
+    return ab_proportion_test(ev, "variant", "converted")
+
+
+_SQL_AB_TEST = """
+WITH agg AS (
+  SELECT CAST(user_id % 2 AS INTEGER) AS v, COUNT(*) AS n,
+         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS x
+  FROM events GROUP BY 1),
+two AS (
+  SELECT MIN(v) AS variant_a, MAX(v) AS variant_b,
+         MIN_BY(n, v) AS n_a, MIN_BY(x, v) AS x_a,
+         MAX_BY(n, v) AS n_b, MAX_BY(x, v) AS x_b,
+         COUNT(*) AS k
+  FROM agg),
+z AS (
+  SELECT *,
+         CAST(FLOOR(1000000 *
+           ((CAST(x_a AS DOUBLE)/n_a) - (CAST(x_b AS DOUBLE)/n_b))
+           / SQRT((CAST(x_a + x_b AS DOUBLE)/(n_a + n_b))
+                  * (1.0 - CAST(x_a + x_b AS DOUBLE)/(n_a + n_b))
+                  * (1.0/n_a + 1.0/n_b))) AS BIGINT) AS z_e6
+  FROM two WHERE k = 2)
+SELECT variant_a, variant_b, n_a, x_a, n_b, x_b, z_e6,
+       ABS(z_e6) >= 1959964 AS significant
+FROM z
+"""
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test LEAKAGE audit — the governance composition a
+    training pipeline runs before a release: near-duplicate candidate
+    pairs (MinHash LSH, the driver-verified generator) whose two sides
+    landed in DIFFERENT hash splits are evaluation contamination.
+    Returns per split-pair counts with a ``leaked`` flag; both stages
+    are independently-verified operators and the oracle composes their
+    SQL twins identically.  One extra broadcast join over the pair
+    table — the split table is a scan-cheap map stage."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    splits = hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=_MH_NUM, bands=_MH_BANDS, impl="arrow"
+    ).select("id_a", "id_b")
+    sa = splits.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("_sa")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("_sb")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn(
+            "leaked", F.col("split_a") != F.col("split_b")
+        )
+    )
+
+
+def _sql_split_leakage() -> str:
+    return f"""
+WITH pairs AS (SELECT id_a, id_b FROM ({_sql_lsh_pairs()})),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN b < 8000 THEN 'train'
+              WHEN b < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id, {_d_bucket10k('split')} AS b FROM documents))
+SELECT LEAST(sa.split, sb.split) AS split_a,
+       GREATEST(sa.split, sb.split) AS split_b,
+       COUNT(*) AS n_pairs,
+       LEAST(sa.split, sb.split) != GREATEST(sa.split, sb.split)
+         AS leaked
+FROM pairs
+JOIN sp sa ON pairs.id_a = sa.doc_id
+JOIN sp sb ON pairs.id_b = sb.doc_id
+GROUP BY 1, 2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -9914,6 +10015,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_progressive_real": q_jpeg_progressive_real,
         "gif_frames_real": q_gif_frames_real,
         "flac_decode_real": q_flac_decode_real,
+        # (positions 51-52: spill to the round-7 window — both ride
+        # machinery already driver-green via other rows: LSH pairs,
+        # hash_split, plain groupBy)
+        "ab_test": q_ab_test,
+        "split_leakage": q_split_leakage,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -10117,6 +10223,8 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_progressive_real": _sql_jpeg_progressive_real(),
         "gif_frames_real": _sql_gif_frames_real(),
         "flac_decode_real": _sql_flac_decode_real(),
+        "ab_test": _SQL_AB_TEST,
+        "split_leakage": _sql_split_leakage(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

@@ -308,6 +308,9 @@ HEADLINE = [
     # round-6: real compressed-audio (FLAC) decode through the
     # Arrow-batched audio stage (Rice-coded prediction residuals)
     "flac_decode_real",
+    # round-6: A/B readout + cross-split leakage governance audit
+    "ab_test",
+    "split_leakage",
 ]
 
 

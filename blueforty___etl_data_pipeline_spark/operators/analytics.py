@@ -485,3 +485,67 @@ def pareto_front_2d(
             F.col("_y").alias(y_col),
         )
     )
+
+
+def ab_proportion_test(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+    z_critical_e6: int = 1_959_964,
+) -> DataFrame:
+    """Two-proportion z-test between exactly two experiment variants —
+    the decision gate of every A/B readout: did variant B really
+    convert better, or is the delta noise?
+
+    ``variant_col`` must take exactly two values (checked at plan
+    level by the output shape: one row); ``success_col`` is 0/1.
+    Returns one row (variant_a, variant_b, n_a, x_a, n_b, x_b,
+    z_e6, significant) with
+
+        z = (p_a − p_b) / sqrt(p·(1−p)·(1/n_a + 1/n_b)),  p pooled
+
+    computed from EXACT integer counts; the only floats are the final
+    ratio/sqrt — identical rounding on any engine (the corr_matrix
+    discipline), floored to 1e6 fixed point.  ``significant`` is
+    |z| ≥ z_critical (default the two-sided 5% quantile 1.959964).
+
+    Scale shape: ONE partial-agged groupBy(variant) — COUNT-GROUP-BY
+    cost over any event volume — then a 1×1 self-product of the
+    two-row aggregate.  Nothing else shuffles.
+    """
+    agg = (
+        df.groupBy(F.col(variant_col).alias("_v"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col(success_col).cast("long")).alias("_x"),
+        )
+    )
+    # deterministic pairing without a second scan: min/max variant of
+    # the 2-row aggregate via a 1-row reshape
+    two = agg.agg(
+        F.min_by(F.struct("_n", "_x"), "_v").alias("_a"),
+        F.min("_v").alias("variant_a"),
+        F.max_by(F.struct("_n", "_x"), "_v").alias("_b"),
+        F.max("_v").alias("variant_b"),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    na, xa = F.col("_a._n"), F.col("_a._x")
+    nb, xb = F.col("_b._n"), F.col("_b._x")
+    pa = xa.cast("double") / na.cast("double")
+    pb = xb.cast("double") / nb.cast("double")
+    pp = (xa + xb).cast("double") / (na + nb).cast("double")
+    z = (pa - pb) / F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / na.cast("double") + F.lit(1.0) / nb.cast("double"))
+    )
+    z_e6 = F.floor(z * 1_000_000).cast("long")
+    return two.filter(F.col("_k") == 2).select(
+        "variant_a",
+        "variant_b",
+        na.alias("n_a"),
+        xa.alias("x_a"),
+        nb.alias("n_b"),
+        xb.alias("x_b"),
+        z_e6.alias("z_e6"),
+        (F.abs(z_e6) >= F.lit(int(z_critical_e6))).alias("significant"),
+    )

@@ -380,3 +380,33 @@ def test_cusum_shift_detects_level_change(spark):
     assert [r["cusum_scaled"] for r in out] == expect
     peaks = [i for i, r in enumerate(out) if r["is_peak"]]
     assert peaks == [3]
+
+
+def test_ab_proportion_test_hand_computed(spark):
+    import math
+
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        ab_proportion_test,
+    )
+
+    # variant 0: 60/100 convert; variant 1: 40/100 convert
+    rows = [(0, 1)] * 60 + [(0, 0)] * 40 + [(1, 1)] * 40 + [(1, 0)] * 60
+    df = spark.createDataFrame(rows, "variant int, converted int")
+    r = ab_proportion_test(df, "variant", "converted").collect()
+    assert len(r) == 1
+    r = r[0]
+    assert (r["variant_a"], r["variant_b"]) == (0, 1)
+    assert (r["n_a"], r["x_a"], r["n_b"], r["x_b"]) == (100, 60, 100, 40)
+    p = 0.5
+    z = (0.6 - 0.4) / math.sqrt(p * (1 - p) * (2 / 100))
+    assert r["z_e6"] == math.floor(z * 1_000_000)
+    assert r["significant"]  # z ~ 2.83
+
+
+def test_ab_proportion_test_requires_two_variants(spark):
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        ab_proportion_test,
+    )
+
+    df = spark.createDataFrame([(0, 1)] * 5, "variant int, converted int")
+    assert ab_proportion_test(df, "variant", "converted").count() == 0
