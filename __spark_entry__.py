@@ -9833,6 +9833,75 @@ FROM documents
 """
 
 
+def q_video_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL VIDEO frame sampling under the driver's oracle: each
+    sampled document becomes a genuine 4-frame MJPEG AVI (RIFF
+    container, functions/avi.py; frame i a 16×16 baseline JPEG
+    constant at md5 byte d[i]) flowing through the Arrow-batched
+    extract_video_frames stage sampling every 2nd frame — container
+    walk + per-frame T.81 Huffman/IDCT decode all execute for real.
+    Constant blocks decode losslessly, so frame means equal digest
+    bytes, which DuckDB reproduces from md5 hex pairs (the
+    gif_frames_real contract, video edition)."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        extract_video_frames,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 40 == 5)
+    )
+
+    def to_avi(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.avi import (
+            encode_avi_mjpeg,
+        )
+        from blueforty___etl_data_pipeline_spark.functions.jpeg import (
+            encode_jpeg_gray,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for text in pdf["text"]:
+                d = _hl.md5(text.encode("utf-8")).digest()
+                jpegs = [
+                    encode_jpeg_gray([[d[i]] * 16 for _ in range(16)])
+                    for i in range(4)
+                ]
+                blobs.append(encode_avi_mjpeg(jpegs, 16, 16))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": blobs}
+            )
+
+    media = docs.mapInPandas(
+        to_avi, schema="doc_id long, content binary"
+    )
+    return extract_video_frames(media, every_k=2)
+
+
+def _sql_video_frames_real() -> str:
+    def byte(k: int) -> str:
+        return f"CAST(('0x' || substr(h, {2 * k + 1}, 2)) AS INTEGER)"
+
+    return f"""
+WITH t AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id % 40 = 5),
+f AS (SELECT doc_id, h, unnest([0, 2]) AS frame_no FROM t)
+SELECT doc_id, frame_no, 16 AS width, 16 AS height,
+       CAST(CASE frame_no WHEN 0 THEN {byte(0)} ELSE {byte(2)} END
+            AS BIGINT) AS mean_floor,
+       CASE frame_no WHEN 0 THEN {byte(0)} ELSE {byte(2)} END AS px_min,
+       CASE frame_no WHEN 0 THEN {byte(0)} ELSE {byte(2)} END AS px_max
+FROM f
+"""
+
+
 def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion z-test readout (operators/analytics.
     ab_proportion_test): users split into two deterministic variants
@@ -10020,6 +10089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash_split, plain groupBy)
         "ab_test": q_ab_test,
         "split_leakage": q_split_leakage,
+        "video_frames_real": q_video_frames_real,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -10225,6 +10295,7 @@ def oracle_sql() -> dict[str, str]:
         "flac_decode_real": _sql_flac_decode_real(),
         "ab_test": _SQL_AB_TEST,
         "split_leakage": _sql_split_leakage(),
+        "video_frames_real": _sql_video_frames_real(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

@@ -311,6 +311,8 @@ HEADLINE = [
     # round-6: A/B readout + cross-split leakage governance audit
     "ab_test",
     "split_leakage",
+    # round-6: real MJPEG-AVI video frame sampling (RIFF walk + T.81)
+    "video_frames_real",
 ]
 
 

@@ -236,6 +236,56 @@ def extract_gif_frames(
     )
 
 
+def extract_video_frames(
+    media: DataFrame, every_k: int = 1, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL video frame sampling: walk MJPEG AVI containers
+    (functions/avi.py RIFF parse) and decode every sampled frame
+    through the vendored baseline/progressive JPEG codec — one row
+    per sampled frame with all-integer stats, same shape as
+    :func:`extract_gif_frames`.  Arrow-batched ``mapInPandas``."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from ..functions.avi import avi_frame_stats
+
+        for pdf in batches:
+            ids, fno, ws, hs, means, mins, maxs = (
+                [], [], [], [], [], [], []
+            )
+            for doc_id, blob in zip(pdf[id_col], pdf["content"]):
+                for (i, w, h, mean, lo, hi) in avi_frame_stats(
+                    blob, every_k=every_k
+                ):
+                    ids.append(doc_id)
+                    fno.append(i)
+                    ws.append(w)
+                    hs.append(h)
+                    means.append(mean)
+                    mins.append(lo)
+                    maxs.append(hi)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_no": fno,
+                    "width": ws,
+                    "height": hs,
+                    "mean_floor": means,
+                    "px_min": mins,
+                    "px_max": maxs,
+                }
+            )
+
+    return media.select(id_col, "content").mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, frame_no int, width int, height int, "
+            "mean_floor long, px_min int, px_max int"
+        ),
+    )
+
+
 def encode_wav_pcm16(samples: list[int], framerate: int = 8000) -> bytes:
     """Serialize int16 mono PCM to a real RIFF/WAVE blob (stdlib
     ``wave`` writer) — the audio twin of functions/png.encode_png_gray,

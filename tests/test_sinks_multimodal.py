@@ -891,3 +891,46 @@ def test_decode_audio_real_dispatches_flac(spark):
 
     blob = encode_flac_mono16([0, 100, -200, 300], 8000)
     assert decode_audio_real(blob) == (4, 8000, 300, 600)
+
+
+def test_avi_mjpeg_roundtrip_and_stats():
+    import random
+
+    from blueforty___etl_data_pipeline_spark.functions.avi import (
+        avi_frame_stats,
+        decode_avi_mjpeg_frames,
+        encode_avi_mjpeg,
+    )
+    from blueforty___etl_data_pipeline_spark.functions.jpeg import (
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    rng = random.Random(3)
+    px = [
+        [[rng.randrange(256) for _ in range(16)] for _ in range(16)]
+        for _ in range(5)
+    ]
+    jpegs = [encode_jpeg_gray(f) for f in px]
+    avi = encode_avi_mjpeg(jpegs, 16, 16, fps=5)
+    assert decode_avi_mjpeg_frames(avi) == jpegs
+    # frames may be PROGRESSIVE JPEGs too (decode_jpeg_gray_any path)
+    consts = [
+        encode_jpeg_gray_progressive([[v] * 16 for _ in range(16)])
+        for v in (7, 99, 200, 255)
+    ]
+    stats = avi_frame_stats(encode_avi_mjpeg(consts, 16, 16), every_k=2)
+    assert stats == [(0, 16, 16, 7, 7, 7), (2, 16, 16, 200, 200, 200)]
+
+
+def test_avi_rejects_non_avi():
+    import pytest as _pytest
+
+    from blueforty___etl_data_pipeline_spark.functions.avi import (
+        decode_avi_mjpeg_frames,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_avi_mjpeg_frames(b"RIFF\x04\x00\x00\x00WAVE")
+    with _pytest.raises(ValueError):
+        decode_avi_mjpeg_frames(b"not a riff at all")
