@@ -9833,6 +9833,68 @@ FROM documents
 """
 
 
+def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish release gate (versioned.wap_publish over
+    the snapshot/manifest core): a CLEAN per-priority rollup publishes
+    as v1; a CORRUPTED attempt (negative counts injected for URGENT
+    rows) fails its range audit and is rejected — the staging
+    directory is deleted and no version appears.  The returned table
+    is the LIVE published content joined with the workflow outcome
+    (live version count, rejected-attempt count), so a gate that
+    either leaked the bad version or failed the good one breaks the
+    hash match.  Idempotent: the table root is recreated per run."""
+    _prep(spark)
+    import shutil
+
+    from blueforty___etl_data_pipeline_spark.operators.constraints import (
+        constraint_violations,
+    )
+    from blueforty___etl_data_pipeline_spark.versioned import (
+        list_versions,
+        read_version,
+        wap_publish,
+    )
+
+    path = os.path.join(SCRATCH, "wap_orders")
+    shutil.rmtree(path, ignore_errors=True)
+    agg = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+    def audit(staged):
+        return constraint_violations(
+            staged,
+            not_null=("priority", "n_orders"),
+            in_range={"n_orders": (0, 10_000_000_000)},
+        ).filter(F.col("n_violations") > 0)
+
+    v1, nv1 = wap_publish(spark, path, agg, audit)
+    bad = agg.withColumn(
+        "n_orders",
+        F.when(
+            F.col("priority") == "1-URGENT", F.lit(-1).cast("long")
+        ).otherwise(F.col("n_orders")),
+    )
+    v2, nv2 = wap_publish(spark, path, bad, audit)
+    assert v1 == 1 and v2 is None and nv2 > 0
+    live = read_version(spark, path)
+    return live.select(
+        "priority",
+        "n_orders",
+        F.lit(len(list_versions(spark, path))).alias("n_live_versions"),
+        F.lit(1 if v2 is None else 0).alias("n_rejected"),
+    )
+
+
+_SQL_WAP_PUBLISH = """
+SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+       1 AS n_live_versions, 1 AS n_rejected
+FROM orders GROUP BY 1
+"""
+
+
 def q_video_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL VIDEO frame sampling under the driver's oracle: each
     sampled document becomes a genuine 4-frame MJPEG AVI (RIFF
@@ -10090,6 +10152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test": q_ab_test,
         "split_leakage": q_split_leakage,
         "video_frames_real": q_video_frames_real,
+        "wap_publish": q_wap_publish,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -10296,6 +10359,7 @@ def oracle_sql() -> dict[str, str]:
         "ab_test": _SQL_AB_TEST,
         "split_leakage": _sql_split_leakage(),
         "video_frames_real": _sql_video_frames_real(),
+        "wap_publish": _SQL_WAP_PUBLISH,
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

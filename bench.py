@@ -313,6 +313,8 @@ HEADLINE = [
     "split_leakage",
     # round-6: real MJPEG-AVI video frame sampling (RIFF walk + T.81)
     "video_frames_real",
+    # round-6: write-audit-publish release gate over versioned tables
+    "wap_publish",
 ]
 
 

@@ -166,6 +166,52 @@ def diff_versions(
     )
 
 
+def wap_publish(
+    spark: SparkSession,
+    base_path: str,
+    df: DataFrame,
+    audit,
+    fmt: str = "parquet",
+) -> tuple[int | None, int]:
+    """Write-Audit-Publish — the lakehouse release gate (Iceberg's WAP
+    pattern): the snapshot is fully WRITTEN to a staging directory,
+    the audit runs against the STAGED FILES (exactly the bytes readers
+    would see, not the in-flight DataFrame), and only a clean audit
+    promotes the directory into the manifest.  A dirty audit deletes
+    the staging directory and publishes nothing — readers never
+    observe a bad version, not even transiently.
+
+    ``audit`` is a callable ``staged_df -> violations_df`` (e.g.
+    :func:`operators.constraints.constraint_violations` filtered to
+    nonzero counts); any returned row blocks the publish.
+
+    Returns ``(version, 0)`` on publish or ``(None, n_violations)``
+    on rejection.
+
+    Scale shape: one write job + whatever the audit scans (typically
+    the one aggregate pass of constraint_violations); the publish
+    itself is a directory rename + manifest pointer swap — O(1) in
+    data size, exactly like the underlying snapshot commit.
+    """
+    entries = _read_manifest(spark, base_path)
+    version = (max((e["version"] for e in entries), default=0)) + 1
+    root = base_path.rstrip("/")
+    staging = f"{root}/_staging_v{version}"
+    df.write.mode("errorifexists").format(fmt).save(staging)
+    staged = spark.read.format(fmt).load(staging)
+    n_violations = audit(staged).count()
+    fs, hpath = _fs(spark, base_path)
+    if n_violations:
+        fs.delete(hpath(staging), True)
+        return None, int(n_violations)
+    vdir = f"v{version}"
+    if not fs.rename(hpath(staging), hpath(f"{root}/{vdir}")):
+        raise IOError(f"failed to promote staging dir to {vdir}")
+    entries.append({"version": version, "dir": vdir, "fmt": fmt})
+    _write_manifest(spark, base_path, entries)
+    return version, 0
+
+
 def vacuum(
     spark: SparkSession, base_path: str, keep_last: int = 1
 ) -> list[int]:

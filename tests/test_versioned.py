@@ -75,3 +75,40 @@ def test_snapshot_directories_are_immutable(spark, base):
     assert {
         r["v"] for r in read_version(spark, base, 1).collect()
     } == {"a"}
+
+
+def test_wap_publish_gates_bad_snapshots(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.versioned import (
+        list_versions,
+        read_version,
+        wap_publish,
+    )
+
+    base = str(tmp_path / "wap")
+
+    def audit(staged):
+        return (
+            staged.groupBy()
+            .agg(
+                F.count(F.when(F.col("v") < 0, 1)).alias("n_violations")
+            )
+            .filter(F.col("n_violations") > 0)
+        )
+
+    good = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    v, nv = wap_publish(spark, base, good, audit)
+    assert (v, nv) == (1, 0)
+    bad = spark.createDataFrame([(3, -5)], "k int, v int")
+    v2, nv2 = wap_publish(spark, base, bad, audit)
+    assert v2 is None and nv2 == 1
+    # only the clean version is live; no staging debris readable
+    assert list_versions(spark, base) == [1]
+    assert sorted(
+        (r["k"], r["v"]) for r in read_version(spark, base).collect()
+    ) == [(1, 10), (2, 20)]
+    # a later clean publish gets version 2 (the rejected attempt did
+    # not burn a visible version number)
+    v3, _ = wap_publish(spark, base, good, audit)
+    assert v3 == 2 and list_versions(spark, base) == [1, 2]
