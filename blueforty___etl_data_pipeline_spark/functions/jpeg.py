@@ -18,9 +18,9 @@ exactly the subset the pipeline needs:
   JPEGs from *other* encoders too: arbitrary DQT/DHT tables read
   from the stream, byte unstuffing, DC prediction, EOB/ZRL runs,
   dequantize → inverse zigzag → float IDCT → round + clamp.
-  Anything outside that subset (progressive, color, 16-bit quant
-  tables, restart intervals, arithmetic coding) raises
-  ``ValueError`` — the caller treats that as "needs PIL".
+  Restart intervals (DRI + RSTn) and 16-bit quantization tables are
+  handled; anything outside that subset (color, arithmetic coding)
+  raises ``ValueError`` — the caller treats that as "needs PIL".
 
 This is a decode path, not a performance path: it runs inside the
 Arrow-batched ``mapInPandas`` stage where the per-blob Python cost is
@@ -149,10 +149,13 @@ def _bitlen(v: int) -> int:
     return v.bit_length()
 
 
-def encode_jpeg_gray(pixels, quant=None) -> bytes:
+def encode_jpeg_gray(pixels, quant=None, restart_interval=0) -> bytes:
     """Encode a row-major grid of 0-255 ints as a baseline sequential
     8-bit grayscale JPEG (single component, 1×1 sampling).  ``quant``
-    is a 64-entry natural-order quantization table (default: flat 8s).
+    is a 64-entry natural-order quantization table (default: flat 8s);
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    every that-many blocks (DC prediction resets — the random-access /
+    error-resilience feature real encoders use on large images).
     Raises ``ValueError`` on ragged/empty input or if a quantized AC
     coefficient needs a magnitude category above 10 (the table limit —
     use a coarser quant table)."""
@@ -176,8 +179,16 @@ def encode_jpeg_gray(pixels, quant=None) -> bytes:
 
     bw = _BitWriter()
     dc_prev = 0
+    n_done = 0
     for by in range(0, h8, 8):
         for bx in range(0, w8, 8):
+            if restart_interval and n_done and n_done % restart_interval == 0:
+                bw.flush()
+                bw.buf += bytes(
+                    [0xFF, 0xD0 + (n_done // restart_interval - 1) % 8]
+                )
+                dc_prev = 0
+            n_done += 1
             block = [
                 [grid[by + y][bx + x] - 128 for x in range(8)]
                 for y in range(8)
@@ -230,10 +241,16 @@ def encode_jpeg_gray(pixels, quant=None) -> bytes:
         ">HBHHB", 11, 8, height, width, 1
     ) + bytes([1, 0x11, 0])
     sos = b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    dri = (
+        b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+        if restart_interval
+        else b""
+    )
     return (
         SOI
         + dqt
         + sof0
+        + dri
         + _dht_segment(0, 0, _DC_SYMBOLS, 4)
         + _dht_segment(1, 0, _AC_SYMBOLS, 8)
         + sos
@@ -273,6 +290,19 @@ class _BitReader:
         for _ in range(k):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self) -> None:
+        """Consume an RSTn restart marker: discard the partial byte
+        (the encoder pads with 1-bits before the marker), then expect
+        0xFFD0–0xFFD7."""
+        self._n = 0
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("truncated at restart marker")
+        if self.data[self.pos] != 0xFF or not (
+            0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected RSTn restart marker")
+        self.pos += 2
 
 
 def _build_huff(counts, symbols):
@@ -319,6 +349,7 @@ def decode_jpeg_gray(data: bytes):
     huff = {}
     dims = None  # (height, width)
     scan = None  # (dc_table_id, ac_table_id, quant_id, data_pos)
+    restart_interval = 0
     while pos + 1 < len(data):
         if data[pos] != 0xFF:
             raise ValueError("expected marker")
@@ -334,19 +365,23 @@ def decode_jpeg_gray(data: bytes):
         body = data[pos + 2:pos + seglen]
         if len(body) != seglen - 2:
             raise ValueError("truncated segment")
-        if marker == 0xDB:  # DQT
+        if marker == 0xDB:  # DQT (8- or 16-bit precision)
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0xF
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                if i + 65 > len(body):
+                w = 2 if pq else 1
+                if i + 1 + 64 * w > len(body):
                     raise ValueError("truncated DQT")
                 tbl = [0] * 64
                 for k in range(64):
-                    tbl[ZIGZAG[k]] = body[i + 1 + k]
+                    if pq:
+                        tbl[ZIGZAG[k]] = (
+                            body[i + 1 + 2 * k] << 8
+                        ) | body[i + 2 + 2 * k]
+                    else:
+                        tbl[ZIGZAG[k]] = body[i + 1 + k]
                 quant[tq] = tbl
-                i += 65
+                i += 1 + 64 * w
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
@@ -374,8 +409,8 @@ def decode_jpeg_gray(data: bytes):
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG frame unsupported")
-        elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = body[0]
             if ns != 1:
@@ -401,8 +436,13 @@ def decode_jpeg_gray(data: bytes):
     br = _BitReader(data, data_pos)
     out = [[0] * (bw_ * 8) for _ in range(bh * 8)]
     pred = 0
+    n_done = 0
     for byi in range(bh):
         for bxi in range(bw_):
+            if restart_interval and n_done and n_done % restart_interval == 0:
+                br.restart()
+                pred = 0
+            n_done += 1
             s = _decode_sym(br, dctab)
             diff = _extend(br.bits(s), s)
             pred += diff
@@ -679,6 +719,7 @@ def decode_jpeg_gray_progressive(data: bytes):
     dims = None
     sof_tq = None
     coefs = None  # per block: 64 natural-order ints
+    restart_interval = 0
     while pos + 1 < len(data):
         if data[pos] != 0xFF:
             raise ValueError("expected marker")
@@ -694,19 +735,23 @@ def decode_jpeg_gray_progressive(data: bytes):
         body = data[pos + 2:pos + seglen]
         if len(body) != seglen - 2:
             raise ValueError("truncated segment")
-        if marker == 0xDB:  # DQT
+        if marker == 0xDB:  # DQT (8- or 16-bit precision)
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0xF
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                if i + 65 > len(body):
+                w = 2 if pq else 1
+                if i + 1 + 64 * w > len(body):
                     raise ValueError("truncated DQT")
                 tbl = [0] * 64
                 for k in range(64):
-                    tbl[ZIGZAG[k]] = body[i + 1 + k]
+                    if pq:
+                        tbl[ZIGZAG[k]] = (
+                            body[i + 1 + 2 * k] << 8
+                        ) | body[i + 2 + 2 * k]
+                    else:
+                        tbl[ZIGZAG[k]] = body[i + 1 + k]
                 quant[tq] = tbl
-                i += 65
+                i += 1 + 64 * w
         elif marker == 0xC4:  # DHT (tables may arrive between scans)
             i = 0
             while i < len(body):
@@ -737,8 +782,8 @@ def decode_jpeg_gray_progressive(data: bytes):
         elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("not a progressive (SOF2) frame")
-        elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS — one scan
             if coefs is None:
                 raise ValueError("SOS before SOF2")
@@ -750,7 +795,8 @@ def decode_jpeg_gray_progressive(data: bytes):
             ah, al = ahal >> 4, ahal & 0xF
             br = _BitReader(data, pos + seglen)
             _decode_progressive_scan(
-                br, coefs, huff, ss, se, ah, al, tdta >> 4, tdta & 0xF
+                br, coefs, huff, ss, se, ah, al, tdta >> 4, tdta & 0xF,
+                restart_interval,
             )
             # resync: skip residual entropy bytes up to the next marker
             p = br.pos
@@ -787,9 +833,16 @@ def decode_jpeg_gray_progressive(data: bytes):
 
 
 def _decode_progressive_scan(
-    br, coefs, huff, ss, se, ah, al, dc_id, ac_id
+    br, coefs, huff, ss, se, ah, al, dc_id, ac_id, ri=0
 ):
-    """Decode one progressive scan in place over every block."""
+    """Decode one progressive scan in place over every block.  ``ri``
+    is the DRI restart interval: every ``ri`` blocks the entropy
+    stream byte-aligns to an RSTn marker and DC prediction / EOB runs
+    reset."""
+
+    def _restart_due(idx: int) -> bool:
+        return bool(ri) and idx > 0 and idx % ri == 0
+
     if ss == 0:
         if se != 0:
             raise ValueError("DC scan must have Se=0")
@@ -798,12 +851,17 @@ def _decode_progressive_scan(
             if tab is None:
                 raise ValueError("missing huffman table")
             pred = 0
-            for nat in coefs:
+            for bi, nat in enumerate(coefs):
+                if _restart_due(bi):
+                    br.restart()
+                    pred = 0
                 s = _decode_sym(br, tab)
                 pred += _extend(br.bits(s), s)
                 nat[0] = pred << al
         else:  # DC refinement: one raw bit per block
-            for nat in coefs:
+            for bi, nat in enumerate(coefs):
+                if _restart_due(bi):
+                    br.restart()
                 if br.bit():
                     nat[0] |= 1 << al
         return
@@ -813,7 +871,10 @@ def _decode_progressive_scan(
         raise ValueError("missing huffman table")
     eobrun = 0
     if ah == 0:  # AC first (spectral selection at approximation al)
-        for nat in coefs:
+        for bi, nat in enumerate(coefs):
+            if _restart_due(bi):
+                br.restart()
+                eobrun = 0
             if eobrun > 0:
                 eobrun -= 1
                 continue
@@ -834,7 +895,10 @@ def _decode_progressive_scan(
                 k += 1
     else:  # AC refinement
         p1, m1 = 1 << al, -(1 << al)
-        for nat in coefs:
+        for bi, nat in enumerate(coefs):
+            if _restart_due(bi):
+                br.restart()
+                eobrun = 0
             if eobrun > 0:
                 eobrun -= 1
                 _refine_nonzero(br, nat, ss, se, al)

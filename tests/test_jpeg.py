@@ -54,10 +54,10 @@ def test_unsupported_subsets_raise():
     blob = encode_jpeg_gray(img)
     with pytest.raises(ValueError):
         decode_jpeg_gray(blob[:40])  # truncated
-    # restart intervals are an explicit gate, not a silent wrong decode
+    # restart intervals are SUPPORTED since round 6: a DRI segment on
+    # a single-block image decodes identically (no RSTn ever due)
     dri = b"\xff\xdd\x00\x04\x00\x08"
-    with pytest.raises(ValueError):
-        decode_jpeg_gray(blob[:2] + dri + blob[2:])
+    assert decode_jpeg_gray(blob[:2] + dri + blob[2:]) == img
 
 
 def test_features_and_decode_image_real_dispatch():
@@ -205,4 +205,118 @@ def test_decode_any_handles_foreign_eobn_runs():
     data = SOI + dqt + sof2 + dht + dc_scan + ac_scan + b"\xff\xd9"
     rows = decode_jpeg_gray_progressive(data)
     assert len(rows) == 8 and len(rows[0]) == 32
+    assert all(v == 136 for row in rows for v in row)
+
+
+def test_restart_intervals_roundtrip_baseline():
+    import random
+
+    from blueforty___etl_data_pipeline_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = random.Random(9)
+    img = [[rng.randrange(256) for _ in range(40)] for _ in range(24)]
+    want = decode_jpeg_gray(encode_jpeg_gray(img))
+    for ri in (1, 2, 3, 7):
+        got = decode_jpeg_gray(
+            encode_jpeg_gray(img, restart_interval=ri)
+        )
+        assert got == want
+
+
+def test_16bit_quant_table_decode():
+    """Rewrite the 8-bit DQT of an encoded stream as pq=1 (16-bit
+    entries) — decode must be identical."""
+    import random
+    import struct
+
+    from blueforty___etl_data_pipeline_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = random.Random(10)
+    img = [[rng.randrange(256) for _ in range(16)] for _ in range(16)]
+    data = encode_jpeg_gray(img)
+    i = data.index(b"\xff\xdb")
+    seglen = struct.unpack(">H", data[i + 2 : i + 4])[0]
+    body = data[i + 4 : i + 2 + seglen]
+    q8 = body[1:65]
+    nb = bytes([0x10 | (body[0] & 0xF)]) + b"".join(
+        struct.pack(">H", v) for v in q8
+    )
+    data16 = (
+        data[:i]
+        + b"\xff\xdb"
+        + struct.pack(">H", len(nb) + 2)
+        + nb
+        + data[i + 2 + seglen :]
+    )
+    assert decode_jpeg_gray(data16) == decode_jpeg_gray(data)
+
+
+def test_progressive_restart_interval_dc_scan():
+    """Hand-built progressive stream with DRI=2: the DC-first scan
+    carries an RST0 marker after two blocks and the predictor resets
+    across it."""
+    import struct
+
+    from blueforty___etl_data_pipeline_spark.functions.jpeg import (
+        SOI,
+        ZIGZAG,
+        _BitWriter,
+        _dht_segment,
+        decode_jpeg_gray_progressive,
+    )
+
+    q = [8] * 64
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        q[ZIGZAG[k]] for k in range(64)
+    )
+    sof2 = b"\xff\xc2" + struct.pack(
+        ">HBHHB", 11, 8, 8, 32, 1
+    ) + bytes([1, 0x11, 0])
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 2)
+    dht = _dht_segment(0, 0, tuple(range(12)), 4) + _dht_segment(
+        1, 0, (0x00, 0xF0), 8
+    )
+
+    def sos(ss, se, ah, al):
+        return b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes(
+            [1, 0x00, ss, se, (ah << 4) | al]
+        )
+
+    # 4 blocks constant 136 -> dc 8 each.  With DRI=2 the predictor
+    # resets after block 2, so diffs are 8,0 | RST0 | 8,0
+    w = _BitWriter()
+    w.write(4, 4)
+    w.write(8, 4)
+    w.write(0, 4)
+    w.flush()
+    dc1 = bytes(w.buf)
+    w = _BitWriter()
+    w.write(4, 4)
+    w.write(8, 4)
+    w.write(0, 4)
+    w.flush()
+    dc2 = bytes(w.buf)
+    dc_scan = sos(0, 0, 0, 0) + dc1 + b"\xff\xd0" + dc2
+    # AC scan: all-zero AC -> EOB per block, with RST0 after 2 blocks
+    w = _BitWriter()
+    w.write(0, 8)
+    w.write(0, 8)
+    w.flush()
+    ac1 = bytes(w.buf)
+    w = _BitWriter()
+    w.write(0, 8)
+    w.write(0, 8)
+    w.flush()
+    ac2 = bytes(w.buf)
+    ac_scan = sos(1, 63, 0, 0) + ac1 + b"\xff\xd0" + ac2
+    data = (
+        SOI + dqt + sof2 + dri + dht + dc_scan + ac_scan + b"\xff\xd9"
+    )
+    rows = decode_jpeg_gray_progressive(data)
     assert all(v == 136 for row in rows for v in row)
