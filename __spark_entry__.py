@@ -4834,6 +4834,81 @@ SELECT doc_id, {cols} FROM t
 """
 
 
+def q_jpeg_color_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COLOR-JPEG decode under the driver's oracle: each sampled
+    document becomes an interleaved 4:2:0 YCbCr baseline JPEG — the
+    layout nearly every camera/web JPEG uses — with luma blocks
+    constant at md5-digest bytes and flat chroma, encoded by
+    functions/jpeg.py:encode_jpeg_color.  The full MCU machinery
+    (per-MCU 4Y+Cb+Cr block interleave, per-component DC prediction,
+    chroma entropy decode) runs inside the SAME Arrow-batched
+    extract_features stage (decode_jpeg_gray_any dispatches on the
+    3-component SOF0); block-constant luma decodes losslessly, so the
+    pooled features reproduce from md5 hex pairs exactly as in
+    jpeg_decode_real (disjoint document sample)."""
+    _prep(spark)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 40 == 25)
+    )
+
+    def to_cjpeg(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.jpeg import (
+            encode_jpeg_color,
+        )
+
+        for pdf in batches:
+            blobs = []
+            flat = [[128] * 8 for _ in range(8)]
+            for text in pdf["text"]:
+                d = _hl.md5(text.encode("utf-8")).digest()
+                y = [
+                    [d[(yy // 8) * 2 + (xx // 8)] for xx in range(16)]
+                    for yy in range(16)
+                ]
+                blobs.append(
+                    encode_jpeg_color(y, flat, flat, sampling="4:2:0")
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": blobs}
+            )
+
+    media = docs.mapInPandas(
+        to_cjpeg, schema="doc_id long, content binary"
+    )
+    feats = extract_features(media, fake=False)
+    return feats.select(
+        "doc_id",
+        *[
+            F.round(F.col("feat")[i] * 510)
+            .cast("long")
+            .alias(f"f{i}")
+            for i in range(8)
+        ],
+    )
+
+
+def _sql_jpeg_color_real() -> str:
+    def byte(k: int) -> str:
+        return f"CAST(('0x' || substr(h, {2 * k + 1}, 2)) AS INTEGER)"
+
+    cols = ", ".join(
+        f"CAST({byte(0 if i < 4 else 1)} + {byte(2 if i < 4 else 3)} "
+        f"AS BIGINT) AS f{i}"
+        for i in range(8)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id % 40 = 25)
+SELECT doc_id, {cols} FROM t
+"""
+
+
 def q_image_augment_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image AUGMENTATION chain under the driver's oracle:
     md5-pixel 16×4 PNGs (as in multimodal_decode_real) flow through
@@ -10153,6 +10228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "video_frames_real": q_video_frames_real,
         "wap_publish": q_wap_publish,
+        "jpeg_color_real": q_jpeg_color_real,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -10360,6 +10436,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": _sql_split_leakage(),
         "video_frames_real": _sql_video_frames_real(),
         "wap_publish": _SQL_WAP_PUBLISH,
+        "jpeg_color_real": _sql_jpeg_color_real(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

@@ -315,6 +315,9 @@ HEADLINE = [
     "video_frames_real",
     # round-6: write-audit-publish release gate over versioned tables
     "wap_publish",
+    # round-6: real color (4:2:0 YCbCr) JPEG decode — the layout
+    # nearly every camera/web JPEG uses
+    "jpeg_color_real",
 ]
 
 

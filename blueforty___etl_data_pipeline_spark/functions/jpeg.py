@@ -942,9 +942,11 @@ def _decode_progressive_scan(
 
 
 def decode_jpeg_gray_any(data: bytes):
-    """Decode baseline (SOF0) or progressive (SOF2) single-component
-    grayscale JPEG — dispatches on the frame marker found in the
-    stream."""
+    """Decode ANY supported JPEG flavor to a grayscale pixel grid,
+    dispatching on the frame marker and component count found in the
+    stream: baseline single-component (SOF0/ncomp=1), progressive
+    (SOF2), or interleaved baseline COLOR (SOF0/ncomp=3 — returns the
+    full-resolution luma plane)."""
     if not data.startswith(SOI):
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2
@@ -953,6 +955,9 @@ def decode_jpeg_gray_any(data: bytes):
             raise ValueError("expected marker")
         marker = data[pos + 1]
         if marker == 0xC0:
+            ncomp = data[pos + 4 + 5] if pos + 9 < len(data) else 1
+            if ncomp == 3:
+                return decode_jpeg_color_luma(data)
             return decode_jpeg_gray(data)
         if marker == 0xC2:
             return decode_jpeg_gray_progressive(data)
@@ -980,3 +985,297 @@ def jpeg_gray_features_any(data: bytes, size: int = 8):
         total = sum(sum(row[lo:hi]) for row in rows)
         feats.append(total / ((hi - lo) * len(rows)) / 255.0)
     return feats
+
+
+# --- color (multi-component) baseline support -------------------------------
+#
+# Real-world JPEGs are overwhelmingly 3-component YCbCr (4:2:0 or
+# 4:4:4).  The decoder below handles the general interleaved baseline
+# MCU layout (arbitrary Hi/Vi sampling factors, per-component
+# quant/Huffman tables, restart intervals) and returns the LUMA plane
+# — "decode to grayscale" for the feature pipeline, chroma entropy-
+# decoded to keep the stream in sync.  The encoder emits 4:4:4 or
+# 4:2:0 fixtures so the MCU path is round-trip-proven in-container.
+
+
+def encode_jpeg_color(y, cb, cr, sampling="4:2:0", quant=None) -> bytes:
+    """Encode YCbCr planes as an interleaved baseline color JPEG.
+    ``y`` is H×W; ``cb``/``cr`` are H×W for 4:4:4 or (H/2)×(W/2) for
+    4:2:0 (H, W multiples of 16 for 4:2:0).  One quant table and one
+    canonical Huffman table pair shared by all components."""
+    if sampling == "4:4:4":
+        factors = [(1, 1), (1, 1), (1, 1)]
+    elif sampling == "4:2:0":
+        factors = [(2, 2), (1, 1), (1, 1)]
+    else:
+        raise ValueError("sampling must be '4:4:4' or '4:2:0'")
+    q = list(quant) if quant is not None else list(DEFAULT_QUANT)
+    if len(q) != 64 or any(not (1 <= x <= 255) for x in q):
+        raise ValueError("quant table must be 64 entries in 1..255")
+    planes = [y, cb, cr]
+    height, width = len(y), len(y[0])
+    hmax = max(h for h, _ in factors)
+    vmax = max(v for _, v in factors)
+    if height % (8 * vmax) or width % (8 * hmax):
+        raise ValueError(
+            "plane dims must be multiples of the MCU size"
+        )
+    for (h, v), p in zip(factors, planes):
+        if len(p) != height * v // vmax or len(p[0]) != width * h // hmax:
+            raise ValueError("chroma plane dims do not match sampling")
+    mcu_rows = height // (8 * vmax)
+    mcu_cols = width // (8 * hmax)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+
+    def emit_block(plane, by, bx, ci):
+        block = [
+            [plane[by * 8 + yy][bx * 8 + xx] - 128 for xx in range(8)]
+            for yy in range(8)
+        ]
+        coef = _fdct(block)
+        zz = []
+        for k in range(64):
+            nat = ZIGZAG[k]
+            zz.append(int(round(coef[nat // 8][nat % 8] / q[nat])))
+        diff = zz[0] - preds[ci]
+        preds[ci] = zz[0]
+        cat = _bitlen(abs(diff))
+        if cat > 11:
+            raise ValueError("DC difference out of category range")
+        length, code = _DC_CODES[cat]
+        bw.write(code, length)
+        if cat:
+            mag = diff if diff > 0 else diff + (1 << cat) - 1
+            bw.write(mag, cat)
+        run = 0
+        for k in range(1, 64):
+            v = zz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                length, code = _AC_CODES[0xF0]
+                bw.write(code, length)
+                run -= 16
+            size = _bitlen(abs(v))
+            if size > 10:
+                raise ValueError("AC coefficient category > 10")
+            length, code = _AC_CODES[(run << 4) | size]
+            bw.write(code, length)
+            mag = v if v > 0 else v + (1 << size) - 1
+            bw.write(mag, size)
+            run = 0
+        if run:
+            length, code = _AC_CODES[0x00]
+            bw.write(code, length)
+
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
+            for ci, ((h, v), plane) in enumerate(zip(factors, planes)):
+                for vy in range(v):
+                    for hx in range(h):
+                        emit_block(plane, my * v + vy, mx * h + hx, ci)
+    bw.flush()
+
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        q[ZIGZAG[k]] for k in range(64)
+    )
+    comps = b"".join(
+        bytes([i + 1, (h << 4) | v, 0])
+        for i, (h, v) in enumerate(factors)
+    )
+    sof0 = b"\xff\xc0" + struct.pack(
+        ">HBHHB", 8 + 3 * 3, 8, height, width, 3
+    ) + comps
+    sos = (
+        b"\xff\xda"
+        + struct.pack(">HB", 6 + 2 * 3, 3)
+        + b"".join(bytes([i + 1, 0x00]) for i in range(3))
+        + bytes([0, 63, 0])
+    )
+    return (
+        SOI
+        + dqt
+        + sof0
+        + _dht_segment(0, 0, _DC_SYMBOLS, 4)
+        + _dht_segment(1, 0, _AC_SYMBOLS, 8)
+        + sos
+        + bytes(bw.buf)
+        + b"\xff\xd9"
+    )
+
+
+def decode_jpeg_color_luma(data: bytes):
+    """Decode an interleaved baseline COLOR (3-component YCbCr) JPEG
+    and return the full-resolution LUMA plane as 0-255 ints — the
+    "decode to grayscale" path for feature extraction.  Arbitrary
+    Hi/Vi sampling factors (4:4:4, 4:2:0, 4:2:2, …), per-component
+    quant/Huffman tables, 8/16-bit DQT, restart intervals.  Chroma
+    blocks are fully entropy-decoded (the stream cannot be skipped),
+    their pixels discarded.  Single-component streams raise — use
+    :func:`decode_jpeg_gray`; non-interleaved multi-scan color
+    raises."""
+    if not data.startswith(SOI):
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    quant = {}
+    huff = {}
+    dims = None
+    comps = None  # list of (comp_id, h, v, tq)
+    restart_interval = 0
+    scan = None
+    while pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        seglen = struct.unpack(">H", data[pos:pos + 2])[0]
+        body = data[pos + 2:pos + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated segment")
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                w = 2 if pq else 1
+                tbl = [0] * 64
+                for k in range(64):
+                    if pq:
+                        tbl[ZIGZAG[k]] = (
+                            body[i + 1 + 2 * k] << 8
+                        ) | body[i + 2 + 2 * k]
+                    else:
+                        tbl[ZIGZAG[k]] = body[i + 1 + k]
+                quant[tq] = tbl
+                i += 1 + 64 * w
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                counts = list(body[i + 1:i + 17])
+                n = sum(counts)
+                huff[(tc, th)] = _build_huff(
+                    counts, list(body[i + 17:i + 17 + n])
+                )
+                i += 17 + n
+        elif marker == 0xC0:
+            precision, height, width, ncomp = struct.unpack(
+                ">BHHB", body[:6]
+            )
+            if precision != 8:
+                raise ValueError("only 8-bit precision supported")
+            if ncomp != 3:
+                raise ValueError(
+                    "decode_jpeg_color_luma needs a 3-component frame"
+                )
+            dims = (height, width)
+            comps = []
+            for c in range(3):
+                cid = body[6 + 3 * c]
+                hv = body[7 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, body[8 + 3 * c]))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG frame unsupported")
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:
+            ns = body[0]
+            if comps is None:
+                raise ValueError("SOS before SOF0")
+            if ns != 3:
+                raise ValueError(
+                    "only interleaved 3-component scans supported"
+                )
+            tables = {}
+            for c in range(ns):
+                cid = body[1 + 2 * c]
+                t = body[2 + 2 * c]
+                tables[cid] = (t >> 4, t & 0xF)
+            scan = (tables, pos + seglen)
+            break
+        pos += seglen
+    if dims is None or scan is None:
+        raise ValueError("missing SOF0 or SOS")
+    tables, data_pos = scan
+    height, width = dims
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    mcu_rows = (height + 8 * vmax - 1) // (8 * vmax)
+    mcu_cols = (width + 8 * hmax - 1) // (8 * hmax)
+    luma_id, lh, lv, _ = comps[0]
+    luma = [
+        [0] * (mcu_cols * lh * 8) for _ in range(mcu_rows * lv * 8)
+    ]
+    br = _BitReader(data, data_pos)
+    preds = {cid: 0 for cid, _, _, _ in comps}
+    n_mcu = 0
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                br.restart()
+                preds = {cid: 0 for cid, _, _, _ in comps}
+            n_mcu += 1
+            for (cid, ch, cv, tq) in comps:
+                if tq not in quant:
+                    raise ValueError("missing quantization table")
+                dc_id, ac_id = tables[cid]
+                dctab = huff.get((0, dc_id))
+                actab = huff.get((1, ac_id))
+                if dctab is None or actab is None:
+                    raise ValueError("missing huffman table")
+                q = quant[tq]
+                for vy in range(cv):
+                    for hx in range(ch):
+                        s = _decode_sym(br, dctab)
+                        preds[cid] += _extend(br.bits(s), s)
+                        zz = [0] * 64
+                        zz[0] = preds[cid]
+                        k = 1
+                        while k < 64:
+                            sym = _decode_sym(br, actab)
+                            if sym == 0x00:
+                                break
+                            if sym == 0xF0:
+                                k += 16
+                                continue
+                            run, size = sym >> 4, sym & 0xF
+                            k += run
+                            if k > 63:
+                                raise ValueError(
+                                    "AC run past end of block"
+                                )
+                            zz[k] = _extend(br.bits(size), size)
+                            k += 1
+                        if cid != luma_id:
+                            continue  # chroma: stream consumed, done
+                        coef = [[0.0] * 8 for _ in range(8)]
+                        for idx in range(64):
+                            nat = ZIGZAG[idx]
+                            coef[nat // 8][nat % 8] = zz[idx] * q[nat]
+                        pix = _idct(coef)
+                        by = (my * cv + vy) * 8
+                        bx = (mx * ch + hx) * 8
+                        for yy in range(8):
+                            row = luma[by + yy]
+                            for xx in range(8):
+                                v = int(round(pix[yy][xx])) + 128
+                                row[bx + xx] = (
+                                    0 if v < 0
+                                    else (255 if v > 255 else v)
+                                )
+    # luma plane resolution: width * lh / hmax — upsample to full res
+    lw = width * lh // hmax
+    lhgt = height * lv // vmax
+    plane = [row[:lw] for row in luma[:lhgt]]
+    if lh == hmax and lv == vmax:
+        return plane
+    return [
+        [plane[yy * lv // vmax][xx * lh // hmax] for xx in range(width)]
+        for yy in range(height)
+    ]

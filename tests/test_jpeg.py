@@ -320,3 +320,60 @@ def test_progressive_restart_interval_dc_scan():
     )
     rows = decode_jpeg_gray_progressive(data)
     assert all(v == 136 for row in rows for v in row)
+
+
+def test_color_jpeg_luma_matches_gray_444_and_420():
+    import random
+
+    from blueforty___etl_data_pipeline_spark.functions.jpeg import (
+        decode_jpeg_color_luma,
+        decode_jpeg_gray,
+        decode_jpeg_gray_any,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
+
+    rng = random.Random(21)
+    y = [[rng.randrange(256) for _ in range(16)] for _ in range(16)]
+    flat16 = [[128] * 16 for _ in range(16)]
+    gray = decode_jpeg_gray(encode_jpeg_gray(y))
+    c444 = encode_jpeg_color(y, flat16, flat16, sampling="4:4:4")
+    assert decode_jpeg_color_luma(c444) == gray
+    y2 = [[rng.randrange(256) for _ in range(32)] for _ in range(16)]
+    cb = [[100] * 16 for _ in range(8)]
+    cr = [[150] * 16 for _ in range(8)]
+    c420 = encode_jpeg_color(y2, cb, cr, sampling="4:2:0")
+    want = decode_jpeg_gray(encode_jpeg_gray(y2))
+    assert decode_jpeg_color_luma(c420) == want
+    # the any-dispatch routes 3-component SOF0 to the color path
+    assert decode_jpeg_gray_any(c420) == want
+
+
+def test_color_jpeg_block_constant_lossless():
+    from blueforty___etl_data_pipeline_spark.functions.jpeg import (
+        decode_jpeg_color_luma,
+        encode_jpeg_color,
+    )
+
+    vals = (7, 200, 99, 255)
+    y = [
+        [vals[(yy // 8) * 2 + (xx // 8)] for xx in range(16)]
+        for yy in range(16)
+    ]
+    flat = [[128] * 8 for _ in range(8)]
+    c = encode_jpeg_color(y, flat, flat, sampling="4:2:0")
+    assert decode_jpeg_color_luma(c) == y
+
+
+def test_color_jpeg_rejects_gray_stream():
+    import pytest as _pytest
+
+    from blueforty___etl_data_pipeline_spark.functions.jpeg import (
+        decode_jpeg_color_luma,
+        encode_jpeg_gray,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_jpeg_color_luma(
+            encode_jpeg_gray([[0] * 8 for _ in range(8)])
+        )
