@@ -17,12 +17,12 @@ the subset the pipeline needs:
   other encoders too: global/local palettes, interlaced frames,
   sub-rectangle frames composited onto the logical screen (disposal
   "leave in place"), transparency via the graphic-control extension,
-  deferred clear codes.  Each yielded frame is the full logical
-  screen as a row-major grid of 0-255 GRAY values (palette mapped by
-  integer luminance (2·r + 5·g + b) // 8 — exact integer math, so
-  features derived from frames are engine-exact).  Disposal methods
-  2/3 (restore-to-background/previous) raise — out of scope, honest
-  gate.
+  deferred clear codes, and all four disposal methods (unspecified /
+  leave / restore-to-background / restore-to-previous).  Each yielded
+  frame is the full logical screen as a row-major grid of 0-255 GRAY
+  values (palette mapped by integer luminance (2·r + 5·g + b) // 8 —
+  exact integer math, so features derived from frames are
+  engine-exact).
 
 This is a decode path, not a performance path: it runs inside the
 Arrow-batched ``mapInPandas`` stage where per-blob Python cost is
@@ -219,9 +219,13 @@ def decode_gif_frames(data: bytes):
             for i in range(n)
         ]
         pos += 3 * n
-    canvas = [[0] * width for _ in range(height)]
+    bg_gray = 0
+    if global_pal is not None and _bg < len(global_pal):
+        bg_gray = global_pal[_bg]
+    canvas = [[bg_gray] * width for _ in range(height)]
     frames = []
     transparent = None
+    disposal = 0
     while pos < len(data):
         b = data[pos]
         pos += 1
@@ -234,11 +238,6 @@ def decode_gif_frames(data: bytes):
                 size = data[pos]
                 gflags = data[pos + 1]
                 disposal = (gflags >> 2) & 0x7
-                if disposal in (2, 3):
-                    raise ValueError(
-                        "GIF disposal restore-to-background/previous "
-                        "unsupported"
-                    )
                 # layout: size, flags, delay lo, delay hi, tindex
                 transparent = (
                     data[pos + size] if gflags & 1 else None
@@ -285,6 +284,9 @@ def decode_gif_frames(data: bytes):
                 order.extend(range(start, fh, step))
         else:
             order = list(range(fh))
+        saved = (
+            [row[:] for row in canvas] if disposal == 3 else None
+        )
         for src_row, dst_row in enumerate(order):
             base = src_row * fw
             row = canvas[fy + dst_row]
@@ -296,7 +298,17 @@ def decode_gif_frames(data: bytes):
                     raise ValueError("palette index out of range")
                 row[fx + x] = pal[v]
         frames.append([row[:] for row in canvas])
+        # disposal applies AFTER the frame is displayed, shaping what
+        # the NEXT frame composites onto
+        if disposal == 2:  # restore rect to background
+            for yy in range(fh):
+                row = canvas[fy + yy]
+                for xx in range(fw):
+                    row[fx + xx] = bg_gray
+        elif disposal == 3 and saved is not None:  # restore previous
+            canvas = saved
         transparent = None
+        disposal = 0
     if not frames:
         raise ValueError("GIF contains no image blocks")
     return frames

@@ -934,3 +934,48 @@ def test_avi_rejects_non_avi():
         decode_avi_mjpeg_frames(b"RIFF\x04\x00\x00\x00WAVE")
     with _pytest.raises(ValueError):
         decode_avi_mjpeg_frames(b"not a riff at all")
+
+
+def test_gif_disposal_background_and_previous():
+    """Hand-assembled GIF exercising disposal 2 (restore rect to
+    background) and 3 (restore to previous) between frames."""
+    import struct
+
+    from blueforty___etl_data_pipeline_spark.functions.gif import (
+        _LZWEncoder,
+        _sub_blocks,
+        decode_gif_frames,
+    )
+
+    def img_block(x, y, w, h, pixels, flags=0):
+        return (
+            b"\x2c"
+            + struct.pack("<HHHHB", x, y, w, h, flags)
+            + bytes([8])
+            + _sub_blocks(_LZWEncoder(8).encode(pixels))
+        )
+
+    def gce(disposal):
+        return b"\x21\xf9\x04" + bytes([disposal << 2]) + b"\x00\x00" \
+            + b"\x00\x00"
+
+    # background index 30 -> gray 30
+    head = b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0xF7, 30, 0)
+    pal = b"".join(bytes([i, i, i]) for i in range(256))
+    # f1: full 4x4 constant 50, disposal 2 (restore to background)
+    f1 = gce(2) + img_block(0, 0, 4, 4, [50] * 16)
+    # f2: 2x2 sub-rect at (1,1) constant 200 over the RESTORED
+    # background canvas, disposal 3 (restore to previous)
+    f2 = gce(3) + img_block(1, 1, 2, 2, [200] * 4)
+    # f3: 1x1 at (0,0) constant 99 over the canvas as it was BEFORE
+    # f2 drew (i.e. all-background again)
+    f3 = img_block(0, 0, 1, 1, [99])
+    data = head + pal + f1 + f2 + f3 + b"\x3b"
+    frames = decode_gif_frames(data)
+    assert frames[0] == [[50] * 4 for _ in range(4)]
+    exp2 = [[30] * 4 for _ in range(4)]
+    exp2[1][1] = exp2[1][2] = exp2[2][1] = exp2[2][2] = 200
+    assert frames[1] == exp2
+    exp3 = [[30] * 4 for _ in range(4)]
+    exp3[0][0] = 99
+    assert frames[2] == exp3
