@@ -4909,6 +4909,88 @@ SELECT doc_id, {cols} FROM t
 """
 
 
+def q_png_color_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TRUECOLOR-PNG decode under the driver's oracle: each
+    sampled document becomes an RGB PNG (color type 2) whose four 8×8
+    quadrants carry DISTINCT r/g/b channels from md5-digest bytes —
+    so the color→gray luminance mapping (2r + 5g + b) div 8, exact
+    integer math, actually executes, not just a gray passthrough.
+    Decodes through the SAME Arrow-batched extract_features stage
+    (decode_png_gray_any); PNG is lossless, so the oracle reproduces
+    pooled features from md5 hex triples exactly."""
+    _prep(spark)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 40 == 35)
+    )
+
+    def to_rgb_png(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.png import (
+            encode_png_rgb,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for text in pdf["text"]:
+                d = _hl.md5(text.encode("utf-8")).digest()
+                img = [
+                    [
+                        (
+                            d[3 * ((yy // 8) * 2 + (xx // 8))],
+                            d[3 * ((yy // 8) * 2 + (xx // 8)) + 1],
+                            d[3 * ((yy // 8) * 2 + (xx // 8)) + 2],
+                        )
+                        for xx in range(16)
+                    ]
+                    for yy in range(16)
+                ]
+                blobs.append(encode_png_rgb(img))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": blobs}
+            )
+
+    media = docs.mapInPandas(
+        to_rgb_png, schema="doc_id long, content binary"
+    )
+    feats = extract_features(media, fake=False)
+    return feats.select(
+        "doc_id",
+        *[
+            F.round(F.col("feat")[i] * 510)
+            .cast("long")
+            .alias(f"f{i}")
+            for i in range(8)
+        ],
+    )
+
+
+def _sql_png_color_real() -> str:
+    def byte(k: int) -> str:
+        return f"CAST(('0x' || substr(h, {2 * k + 1}, 2)) AS INTEGER)"
+
+    def gray(q: int) -> str:
+        return (
+            f"((2 * {byte(3 * q)} + 5 * {byte(3 * q + 1)}"
+            f" + {byte(3 * q + 2)}) // 8)"
+        )
+
+    cols = ", ".join(
+        f"CAST({gray(0 if i < 4 else 1)} + {gray(2 if i < 4 else 3)} "
+        f"AS BIGINT) AS f{i}"
+        for i in range(8)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id % 40 = 35)
+SELECT doc_id, {cols} FROM t
+"""
+
+
 def q_image_augment_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image AUGMENTATION chain under the driver's oracle:
     md5-pixel 16×4 PNGs (as in multimodal_decode_real) flow through
@@ -10229,6 +10311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames_real": q_video_frames_real,
         "wap_publish": q_wap_publish,
         "jpeg_color_real": q_jpeg_color_real,
+        "png_color_real": q_png_color_real,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -10437,6 +10520,7 @@ def oracle_sql() -> dict[str, str]:
         "video_frames_real": _sql_video_frames_real(),
         "wap_publish": _SQL_WAP_PUBLISH,
         "jpeg_color_real": _sql_jpeg_color_real(),
+        "png_color_real": _sql_png_color_real(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

@@ -318,6 +318,8 @@ HEADLINE = [
     # round-6: real color (4:2:0 YCbCr) JPEG decode — the layout
     # nearly every camera/web JPEG uses
     "jpeg_color_real",
+    # round-6: truecolor PNG decode (exact-integer luminance mapping)
+    "png_color_real",
 ]
 
 

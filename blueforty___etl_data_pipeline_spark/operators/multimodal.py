@@ -73,21 +73,23 @@ def decode_image_real(data: bytes, size: int = 8) -> list[float]:
     in [0, 1].
 
     PNG blobs decode through the vendored pure-stdlib codec
-    (functions/png.py — open spec, zlib compression) and grayscale
-    JPEG — baseline SOF0 *and* progressive SOF2 (multi-scan spectral
+    (functions/png.py — ALL color types, bit depths 1-16, Adam7
+    interlace, open spec, zlib compression) and grayscale
+    JPEG — baseline SOF0 (gray AND interleaved color, arbitrary
+    sampling factors) *and* progressive SOF2 (multi-scan spectral
     selection + successive approximation) — through its sibling
     (functions/jpeg.py — T.81 markers, Huffman entropy decode,
-    dequantize + IDCT), so all three real paths run and are
-    pytest-proven IN THIS CONTAINER, not just behind a PIL gate.
-    Remaining formats/subsets (color JPEG, WebP, …) need PIL; with
+    restart intervals, dequantize + IDCT), so the real paths run and
+    are pytest-proven IN THIS CONTAINER, not just behind a PIL gate.
+    Remaining formats (WebP, arithmetic-coded JPEG, …) need PIL; with
     PIL installed it handles every format it knows.  Deterministic
     per path; the block-constant JPEG/PNG fixture queries are
     DuckDB-hash-checked."""
     from ..functions.jpeg import SOI, jpeg_gray_features_any
-    from ..functions.png import PNG_SIGNATURE, png_gray_features
+    from ..functions.png import PNG_SIGNATURE, png_gray_features_any
 
     if data.startswith(PNG_SIGNATURE) and _PIL is None:
-        return png_gray_features(data, size=size)
+        return png_gray_features_any(data, size=size)
     if data.startswith(SOI) and _PIL is None:
         try:
             return jpeg_gray_features_any(data, size=size)

@@ -979,3 +979,60 @@ def test_gif_disposal_background_and_previous():
     exp3 = [[30] * 4 for _ in range(4)]
     exp3[0][0] = 99
     assert frames[2] == exp3
+
+
+def test_png_any_variant_decode():
+    """Color types 0/2/3, sub-8-bit depths, and Adam7 interlace all
+    decode; gray results match the exact integer luminance mapping."""
+    import random
+    import struct
+    import zlib
+
+    from blueforty___etl_data_pipeline_spark.functions import png as P
+
+    rng = random.Random(8)
+    img = [[rng.randrange(256) for _ in range(16)] for _ in range(12)]
+    assert P.decode_png_gray_any(P.encode_png_gray(img)) == img
+    rgb = [
+        [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(10)
+        ]
+        for _ in range(7)
+    ]
+    assert P.decode_png_gray_any(P.encode_png_rgb(rgb)) == [
+        [(2 * r + 5 * g + b) // 8 for (r, g, b) in row] for row in rgb
+    ]
+    # hand-built palette PNG (color type 3)
+    pal = b"".join(bytes([i, 255 - i, i // 2]) for i in range(4))
+    idx = [[rng.randrange(4) for _ in range(6)] for _ in range(5)]
+    raw = b"".join(b"\x00" + bytes(r) for r in idx)
+    png = (
+        P.PNG_SIGNATURE
+        + P._chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 5, 8, 3, 0, 0, 0))
+        + P._chunk(b"PLTE", pal)
+        + P._chunk(b"IDAT", zlib.compress(raw))
+        + P._chunk(b"IEND", b"")
+    )
+    pg = [
+        (2 * pal[3 * i] + 5 * pal[3 * i + 1] + pal[3 * i + 2]) // 8
+        for i in range(4)
+    ]
+    assert P.decode_png_gray_any(png) == [[pg[v] for v in r] for r in idx]
+    # hand-built Adam7 interlaced 8x8 grayscale
+    img8 = [[rng.randrange(256) for _ in range(8)] for _ in range(8)]
+    passes = []
+    for (x0, y0, dx, dy) in P._ADAM7:
+        rows = [
+            bytes(img8[y][x] for x in range(x0, 8, dx))
+            for y in range(y0, 8, dy)
+        ]
+        if rows and rows[0]:
+            passes.append(b"".join(b"\x00" + r for r in rows))
+    png7 = (
+        P.PNG_SIGNATURE
+        + P._chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 1))
+        + P._chunk(b"IDAT", zlib.compress(b"".join(passes)))
+        + P._chunk(b"IEND", b"")
+    )
+    assert P.decode_png_gray_any(png7) == img8
