@@ -3827,6 +3827,68 @@ FROM h GROUP BY 1 HAVING COUNT(DISTINCT raw_hash) > 1
 """
 
 
+def q_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed dedup-cluster evaluation (operators/corpus.bcubed_eval):
+    the canonicalization clustering (md5 of normalized text, over the
+    variant-injected corpus of normalized_dup_gain) scored against the
+    exact raw-hash gold standard.  Normalization only MERGES gold
+    groups, so recall is exactly 1e6 and precision quantifies the
+    merge cost — the number every dedup-threshold decision needs."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.functions.text import (
+        normalize_text,
+    )
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        bcubed_eval,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    variants = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.concat(
+            F.lit("  "), F.upper(F.col("text")), F.lit("  ")
+        ).alias("text")
+    )
+    all_docs = docs.select("text").unionAll(variants)
+    a = all_docs.select(
+        F.md5("text").alias("gold"),
+        F.md5(
+            normalize_text(F.col("text"), strip_punct=True)
+        ).alias("pred"),
+    )
+    return bcubed_eval(a, "gold", "pred")
+
+
+_SQL_CLUSTER_EVAL = """
+WITH all_docs AS (
+  SELECT text FROM documents
+  UNION ALL
+  SELECT '  ' || upper(text) || '  ' FROM documents
+  WHERE doc_id % 25 = 0),
+a AS (
+  SELECT md5(text) AS g,
+         md5(trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-zA-Z0-9\\s]', ' ', 'g'),
+           '\\s+', ' ', 'g'))) AS c
+  FROM all_docs),
+cell AS (SELECT g, c, COUNT(*) AS ngc FROM a GROUP BY 1, 2),
+gs AS (SELECT g, SUM(ngc) AS ng FROM cell GROUP BY 1),
+cs AS (SELECT c, SUM(ngc) AS nc FROM cell GROUP BY 1),
+f AS (
+  SELECT CAST(SUM(ngc) AS BIGINT) AS n_items,
+         CAST(SUM(ngc * (1000000 * ngc // nc)) AS BIGINT) AS sp,
+         CAST(SUM(ngc * (1000000 * ngc // ng)) AS BIGINT) AS sr
+  FROM cell JOIN gs USING (g) JOIN cs USING (c))
+SELECT n_items,
+       sp // n_items AS bcubed_p_e6,
+       sr // n_items AS bcubed_r_e6,
+       CASE WHEN sp // n_items + sr // n_items > 0 THEN
+         2 * (sp // n_items) * (sr // n_items)
+           // (sp // n_items + sr // n_items)
+       ELSE 0 END AS bcubed_f1_e6
+FROM f
+"""
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-training quality gate over documents (the standard
     length/punct/stopword heuristics as scan predicates)."""
@@ -10312,6 +10374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wap_publish": q_wap_publish,
         "jpeg_color_real": q_jpeg_color_real,
         "png_color_real": q_png_color_real,
+        "cluster_eval": q_cluster_eval,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -10521,6 +10584,7 @@ def oracle_sql() -> dict[str, str]:
         "wap_publish": _SQL_WAP_PUBLISH,
         "jpeg_color_real": _sql_jpeg_color_real(),
         "png_color_real": _sql_png_color_real(),
+        "cluster_eval": _SQL_CLUSTER_EVAL,
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

@@ -320,6 +320,8 @@ HEADLINE = [
     "jpeg_color_real",
     # round-6: truecolor PNG decode (exact-integer luminance mapping)
     "png_color_real",
+    # round-6: B-cubed dedup-cluster quality evaluation
+    "cluster_eval",
 ]
 
 

@@ -687,3 +687,58 @@ def collocations(
     return scored.orderBy(
         F.desc("pmi_e6"), F.asc("a"), F.asc("b")
     ).limit(k)
+
+
+def bcubed_eval(
+    assignments: DataFrame,
+    gold_col: str = "gold",
+    pred_col: str = "pred",
+) -> DataFrame:
+    """B-cubed clustering evaluation (Bagga & Baldwin 1998) — the
+    standard extrinsic metric for dedup/entity-resolution cluster
+    quality: per-ELEMENT precision |C(e) ∩ G(e)| / |C(e)| and recall
+    |C(e) ∩ G(e)| / |G(e)|, averaged over all elements.  Unlike pair
+    counting it is not dominated by the largest cluster.
+
+    Engine-exact integer form: because pred and gold are functions of
+    the element, every element of a (gold, pred) CELL shares the same
+    intersection (the cell size itself), so the metric needs only the
+    cell-count table.  Per-element ratios quantize to floor-1e6 and
+    the average is an integer division — identical on any engine.
+
+    Returns one row: (n_items, bcubed_p_e6, bcubed_r_e6,
+    bcubed_f1_e6) with F1 derived from the two quantized averages.
+
+    Scale shape: ONE groupBy(gold, pred) over the assignment scan
+    (partial-agged), then size rollups of the CELL table (bounded by
+    distinct cluster pairs, not rows) and a 1-row fold.
+    """
+    g = F.col(gold_col)
+    c = F.col(pred_col)
+    cell = assignments.groupBy(
+        g.alias("_g"), c.alias("_c")
+    ).agg(F.count(F.lit(1)).alias("_ngc"))
+    gsz = cell.groupBy("_g").agg(F.sum("_ngc").alias("_ng"))
+    csz = cell.groupBy("_c").agg(F.sum("_ngc").alias("_nc"))
+    j = cell.join(gsz, "_g").join(csz, "_c")
+    folded = j.agg(
+        F.sum("_ngc").alias("n_items"),
+        F.sum(
+            F.col("_ngc")
+            * F.expr("1000000 * _ngc DIV _nc")
+        ).alias("_sp"),
+        F.sum(
+            F.col("_ngc")
+            * F.expr("1000000 * _ngc DIV _ng")
+        ).alias("_sr"),
+    )
+    return folded.select(
+        "n_items",
+        F.expr("_sp DIV n_items").alias("bcubed_p_e6"),
+        F.expr("_sr DIV n_items").alias("bcubed_r_e6"),
+        F.expr(
+            "CASE WHEN _sp DIV n_items + _sr DIV n_items > 0 THEN "
+            "2 * (_sp DIV n_items) * (_sr DIV n_items) "
+            "DIV (_sp DIV n_items + _sr DIV n_items) ELSE 0 END"
+        ).alias("bcubed_f1_e6"),
+    )

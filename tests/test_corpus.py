@@ -475,3 +475,37 @@ def test_collocations_pmi_ranks_true_pair_first(spark):
         r["pmi_e6"] for r in rows if "the" in (r["a"], r["b"])
     ]
     assert all(p == 0 for p in the_pmis)
+
+
+def test_bcubed_eval_hand_computed(spark):
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        bcubed_eval,
+    )
+
+    # gold {a,a,b,b}; pred merges everything into one cluster:
+    # per-element P = 2/4, R = 2/2 -> P=0.5, R=1.0, F1=2/3
+    rows = [("a", "x"), ("a", "x"), ("b", "x"), ("b", "x")]
+    df = spark.createDataFrame(rows, "gold string, pred string")
+    r = bcubed_eval(df).collect()[0]
+    assert r["n_items"] == 4
+    assert r["bcubed_p_e6"] == 500_000
+    assert r["bcubed_r_e6"] == 1_000_000
+    assert r["bcubed_f1_e6"] == 666_666
+
+    # perfect clustering -> all 1e6
+    rows = [("a", "x"), ("a", "x"), ("b", "y")]
+    df = spark.createDataFrame(rows, "gold string, pred string")
+    r = bcubed_eval(df).collect()[0]
+    assert (
+        r["bcubed_p_e6"],
+        r["bcubed_r_e6"],
+        r["bcubed_f1_e6"],
+    ) == (1_000_000, 1_000_000, 1_000_000)
+
+    # pred splits one gold group: P=1, R = (1/2+1/2+1)/3 avg per
+    # element: elements of g=a have R=1/2 each, g=b element R=1
+    rows = [("a", "x"), ("a", "y"), ("b", "z")]
+    df = spark.createDataFrame(rows, "gold string, pred string")
+    r = bcubed_eval(df).collect()[0]
+    assert r["bcubed_p_e6"] == 1_000_000
+    assert r["bcubed_r_e6"] == 666_666
