@@ -5988,6 +5988,39 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
 """
 
 
+def q_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet compression-codec control (the storage-cost knob a
+    100 TB lakehouse tunes first): the per-nation customer rollup is
+    written as ZSTD-compressed parquet and read back; the oracle
+    recomputes the rollup from source, so a codec-induced corruption
+    or loss breaks the hash.  Codec presence in the footers is
+    pytest-asserted (test_sinks_multimodal)."""
+    _prep(spark)
+    c = _t(spark, sf_dir, "customer")
+    agg = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.expr(
+            "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)) * 100)"
+            " AS BIGINT)"
+        ).alias("acctbal_cents"),
+    )
+    path = os.path.join(SCRATCH, "zstd_customers")
+    (
+        agg.write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(path)
+    )
+    return spark.read.parquet(path)
+
+
+_SQL_ZSTD_ROUNDTRIP = """
+SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)) * 100) AS BIGINT)
+         AS acctbal_cents
+FROM customer GROUP BY 1
+"""
+
+
 def q_order_by_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1: global ORDER BY + LIMIT (TakeOrderedAndProject — scale-safe,
     unlike a full sort).  Deterministic tiebreak on the key."""
@@ -10375,6 +10408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_color_real": q_jpeg_color_real,
         "png_color_real": q_png_color_real,
         "cluster_eval": q_cluster_eval,
+        "zstd_roundtrip": q_zstd_roundtrip,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -10585,6 +10619,7 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_color_real": _sql_jpeg_color_real(),
         "png_color_real": _sql_png_color_real(),
         "cluster_eval": _SQL_CLUSTER_EVAL,
+        "zstd_roundtrip": _SQL_ZSTD_ROUNDTRIP,
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

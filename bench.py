@@ -322,6 +322,8 @@ HEADLINE = [
     "png_color_real",
     # round-6: B-cubed dedup-cluster quality evaluation
     "cluster_eval",
+    # round-6: zstd-compressed parquet roundtrip (codec control)
+    "zstd_roundtrip",
 ]
 
 

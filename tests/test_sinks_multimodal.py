@@ -1036,3 +1036,30 @@ def test_png_any_variant_decode():
         + P._chunk(b"IEND", b"")
     )
     assert P.decode_png_gray_any(png7) == img8
+
+
+def test_zstd_parquet_codec_actually_used(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "zstd_t")
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    df.write.mode("overwrite").option("compression", "zstd").parquet(
+        path
+    )
+    import glob
+
+    files = glob.glob(path + "/*.parquet")
+    assert files
+    md = pq.ParquetFile(files[0]).metadata
+    codecs = {
+        md.row_group(g).column(c).compression
+        for g in range(md.num_row_groups)
+        for c in range(md.row_group(g).num_columns)
+    }
+    assert codecs == {"ZSTD"}
+    # and DuckDB (the oracle engine) reads it back losslessly
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.sql(f"SELECT COUNT(*) FROM '{path}/*.parquet'").fetchone()[0]
+    assert n == 1000
