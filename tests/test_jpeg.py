@@ -377,3 +377,59 @@ def test_color_jpeg_rejects_gray_stream():
         decode_jpeg_color_luma(
             encode_jpeg_gray([[0] * 8 for _ in range(8)])
         )
+
+
+def test_property_progressive_equals_baseline():
+    """Hypothesis: for ANY pixel grid, the progressive stream decodes
+    to exactly the baseline decode of the same input (the 2-level
+    successive approximation reconstructs every coefficient)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from blueforty___etl_data_pipeline_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        decode_jpeg_gray_progressive,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.integers(0, 255), min_size=9, max_size=9),
+            min_size=10,
+            max_size=10,
+        )
+    )
+    def check(img):
+        assert decode_jpeg_gray_progressive(
+            encode_jpeg_gray_progressive(img)
+        ) == decode_jpeg_gray(encode_jpeg_gray(img))
+
+    check()
+
+
+def test_property_restart_interval_invariant():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from blueforty___etl_data_pipeline_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.integers(0, 255), min_size=17, max_size=17),
+            min_size=17,
+            max_size=17,
+        ),
+        st.integers(1, 9),
+    )
+    def check(img, ri):
+        assert decode_jpeg_gray(
+            encode_jpeg_gray(img, restart_interval=ri)
+        ) == decode_jpeg_gray(encode_jpeg_gray(img))
+
+    check()

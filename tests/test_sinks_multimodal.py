@@ -1063,3 +1063,85 @@ def test_zstd_parquet_codec_actually_used(spark, tmp_path):
     con = duckdb.connect()
     n = con.sql(f"SELECT COUNT(*) FROM '{path}/*.parquet'").fetchone()[0]
     assert n == 1000
+
+
+def test_property_gif_lossless_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from blueforty___etl_data_pipeline_spark.functions.gif import (
+        decode_gif_frames,
+        encode_gif_gray,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.lists(st.integers(0, 255), min_size=5, max_size=5),
+                min_size=4,
+                max_size=4,
+            ),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    def check(frames):
+        assert decode_gif_frames(encode_gif_gray(frames)) == frames
+
+    check()
+
+
+def test_property_flac_lossless_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from blueforty___etl_data_pipeline_spark.functions.flac import (
+        decode_flac_mono16,
+        encode_flac_mono16,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.integers(-32768, 32767), min_size=1, max_size=200
+        ),
+        st.sampled_from([16, 64, 4096]),
+    )
+    def check(samples, bs):
+        out, sr = decode_flac_mono16(
+            encode_flac_mono16(samples, 8000, block_size=bs)
+        )
+        assert out == samples and sr == 8000
+
+    check()
+
+
+def test_property_png_rgb_exact_luminance():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from blueforty___etl_data_pipeline_spark.functions.png import (
+        decode_png_gray_any,
+        encode_png_rgb,
+    )
+
+    px = st.tuples(
+        st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.lists(px, min_size=6, max_size=6),
+            min_size=5,
+            max_size=5,
+        )
+    )
+    def check(rgb):
+        assert decode_png_gray_any(encode_png_rgb(rgb)) == [
+            [(2 * r + 5 * g + b) // 8 for (r, g, b) in row]
+            for row in rgb
+        ]
+
+    check()
