@@ -5191,6 +5191,70 @@ FROM t
 """
 
 
+def q_g711_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 µ-law decode under the driver's oracle: each
+    sampled document becomes a genuine telephony WAV (format tag 7,
+    one companded byte per sample — the 16 md5-digest bytes) flowing
+    through the SAME Arrow-batched extract_audio_features stage.
+    G.711 is ANALYTICALLY specified, so the DuckDB oracle expands the
+    identical ITU segment formula ((m·8+132)·2^e − 132, signed) from
+    md5 hex — both engines compute the codec, not a pasted table."""
+    _prep(spark)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 40 == 15)
+    )
+
+    def to_g711(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.g711 import (
+            encode_wav_g711,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for text in pdf["text"]:
+                d = _hl.md5(text.encode("utf-8")).digest()
+                blobs.append(encode_wav_g711(d, 8000, law="ulaw"))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": blobs}
+            )
+
+    media = docs.mapInPandas(
+        to_g711, schema="doc_id long, content binary"
+    )
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    return extract_audio_features(media)
+
+
+def _sql_g711_decode_real() -> str:
+    def sample(k: int) -> str:
+        byte = f"CAST(('0x' || substr(h, {2 * k + 1}, 2)) AS INTEGER)"
+        return (
+            f"(SELECT CASE WHEN b >= 128 THEN -mag ELSE mag END FROM ("
+            f"SELECT b, (((b % 16) * 8 + 132) * (1 << ((b // 16) % 8)))"
+            f" - 132 AS mag FROM (SELECT 255 - {byte} AS b)))"
+        )
+
+    samples = ", ".join(sample(k) for k in range(16))
+    return f"""
+WITH t AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id % 40 = 15),
+s AS (SELECT doc_id, unnest([{samples}]) AS smp FROM t)
+SELECT doc_id, 16 AS n_frames, 8000 AS framerate,
+       CAST(MAX(ABS(smp)) AS BIGINT) AS peak_abs,
+       CAST(SUM(ABS(smp)) AS BIGINT) AS sum_abs
+FROM s GROUP BY doc_id
+"""
+
+
 def q_audio_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode under the driver's oracle: each sampled
     document becomes a genuine RIFF/WAVE blob (16 int16 PCM samples
@@ -10409,6 +10473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_color_real": q_png_color_real,
         "cluster_eval": q_cluster_eval,
         "zstd_roundtrip": q_zstd_roundtrip,
+        "g711_decode_real": q_g711_decode_real,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -10620,6 +10685,7 @@ def oracle_sql() -> dict[str, str]:
         "png_color_real": _sql_png_color_real(),
         "cluster_eval": _SQL_CLUSTER_EVAL,
         "zstd_roundtrip": _SQL_ZSTD_ROUNDTRIP,
+        "g711_decode_real": _sql_g711_decode_real(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

@@ -324,6 +324,8 @@ HEADLINE = [
     "cluster_eval",
     # round-6: zstd-compressed parquet roundtrip (codec control)
     "zstd_roundtrip",
+    # round-6: G.711 mu-law telephony decode (formula-exact oracle)
+    "g711_decode_real",
 ]
 
 

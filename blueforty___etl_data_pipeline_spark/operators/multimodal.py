@@ -306,40 +306,87 @@ def encode_wav_pcm16(samples: list[int], framerate: int = 8000) -> bytes:
 
 
 def decode_audio_real(data: bytes) -> tuple[int, int, int, int]:
-    """REAL audio decode: RIFF/WAVE (stdlib ``wave`` chunk walk + PCM
-    unpack) or COMPRESSED lossless FLAC (vendored pure-stdlib codec,
-    functions/flac.py — Rice-coded prediction residuals), dispatched
-    on the container magic → (n_frames, framerate, peak_abs,
-    sum_abs).  All-integer outputs, so the result is engine-exact and
-    oracle-checkable — unlike float spectral features.  Mono 16-bit
-    only; other layouts/codecs (MP3/AAC lossy audio) raise
-    (feature-gated, never silently faked)."""
+    """REAL audio decode → (n_frames, framerate, peak_abs, sum_abs),
+    all-integer so the result is engine-exact and oracle-checkable —
+    unlike float spectral features.  Dispatch on container magic /
+    format tag:
+
+    - FLAC (vendored pure-stdlib codec, functions/flac.py —
+      Rice-coded prediction residuals);
+    - RIFF/WAVE linear PCM: 16-bit or unsigned 8-bit (scaled ×256),
+      mono or stereo (floor-mixdown (l+r)//2 per frame);
+    - RIFF/WAVE G.711 µ-law / A-law (format tags 7/6 — the telephony
+      compander, expanded by the exact ITU segment formula in
+      functions/g711.py).
+
+    Anything else (MP3/AAC lossy codecs, >2 channels, float PCM)
+    raises — feature-gated, never silently faked."""
     import array
     import io
+    import struct
     import sys
     import wave
 
     from ..functions.flac import FLAC_MAGIC, flac_audio_stats
+    from ..functions.g711 import alaw_decode_sample, ulaw_decode_sample
 
     if data.startswith(FLAC_MAGIC):
         return flac_audio_stats(data)
 
+    def stats(samples, rate):
+        peak = max((abs(s) for s in samples), default=0)
+        return len(samples), rate, peak, sum(abs(s) for s in samples)
+
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        # peek the fmt tag: the stdlib wave module only accepts PCM
+        pos = 12
+        fmt_tag = None
+        fmt_body = b""
+        payload = b""
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+            body = data[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                fmt_body = body
+                fmt_tag = struct.unpack("<H", body[:2])[0]
+            elif cid == b"data":
+                payload = body
+            pos += 8 + size + (size & 1)
+        if fmt_tag in (6, 7):  # G.711 A-law / mu-law
+            _, nch, rate = struct.unpack("<HHI", fmt_body[:8])
+            if nch != 1:
+                raise NotImplementedError(
+                    "only mono G.711 WAV is supported"
+                )
+            dec = ulaw_decode_sample if fmt_tag == 7 else alaw_decode_sample
+            return stats([dec(b) for b in payload], rate)
+
     with wave.open(io.BytesIO(data)) as w:
-        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+        width = w.getsampwidth()
+        nch = w.getnchannels()
+        if width not in (1, 2) or nch not in (1, 2):
             raise NotImplementedError(
-                "only mono 16-bit PCM WAV is supported without "
-                "external audio libraries"
+                "only mono/stereo 8- or 16-bit PCM WAV is supported "
+                "without external audio libraries"
             )
         n = w.getnframes()
         rate = w.getframerate()
         raw = w.readframes(n)
-    samples = array.array("h")
-    samples.frombytes(raw)
-    if sys.byteorder == "big":  # WAV payload is little-endian
-        samples.byteswap()
-    peak = max((abs(s) for s in samples), default=0)
-    sabs = sum(abs(s) for s in samples)
-    return n, rate, peak, sabs
+    if width == 1:  # unsigned 8-bit -> centered, scaled to int16 range
+        samples = [(b - 128) * 256 for b in raw]
+    else:
+        arr = array.array("h")
+        arr.frombytes(raw)
+        if sys.byteorder == "big":  # WAV payload is little-endian
+            arr.byteswap()
+        samples = list(arr)
+    if nch == 2:  # floor-mixdown to mono
+        samples = [
+            (samples[i] + samples[i + 1]) // 2
+            for i in range(0, len(samples), 2)
+        ]
+    return stats(samples, rate)
 
 
 def extract_audio_features(

@@ -1145,3 +1145,76 @@ def test_property_png_rgb_exact_luminance():
         ]
 
     check()
+
+
+def test_g711_decode_known_values():
+    from blueforty___etl_data_pipeline_spark.functions.g711 import (
+        alaw_decode_sample,
+        ulaw_decode_sample,
+    )
+
+    # CCITT reference convention: the byte is ones-complemented, then
+    # bit 0x80 set means NEGATIVE.  0xFF/0x7F are the two zeros;
+    # 0x80 is max positive, 0x00 max negative (-8159 * 4 = 32124).
+    assert ulaw_decode_sample(0xFF) == 0
+    assert ulaw_decode_sample(0x7F) == 0
+    assert ulaw_decode_sample(0x80) == 32124
+    assert ulaw_decode_sample(0x00) == -32124
+    # A-law (even bits inverted): 0xD5 -> +8 smallest positive step,
+    # 0x55 its negative twin; 0xAA -> max positive segment (32256)
+    assert alaw_decode_sample(0xD5) == 8
+    assert alaw_decode_sample(0x55) == -8
+    assert alaw_decode_sample(0xAA) == 32256
+    assert alaw_decode_sample(0x2A) == -32256
+    # magnitude decreases monotonically from 0x80 toward 0xFF (+)
+    vals = [ulaw_decode_sample(0x80 + i) for i in range(128)]
+    assert vals == sorted(vals, reverse=True)
+    assert all(v >= 0 for v in vals)
+
+
+def test_g711_wav_roundtrip_through_decode_audio_real():
+    from blueforty___etl_data_pipeline_spark.functions.g711 import (
+        encode_wav_g711,
+        ulaw_decode_sample,
+    )
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        decode_audio_real,
+    )
+
+    comp = bytes(range(0, 250, 13))
+    want = [ulaw_decode_sample(b) for b in comp]
+    n, rate, peak, sabs = decode_audio_real(
+        encode_wav_g711(comp, 16000, law="ulaw")
+    )
+    assert n == len(comp) and rate == 16000
+    assert peak == max(abs(s) for s in want)
+    assert sabs == sum(abs(s) for s in want)
+
+
+def test_wav_stereo_and_8bit_pcm_decode():
+    import io
+    import struct
+    import wave
+
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        decode_audio_real,
+    )
+
+    # stereo 16-bit: frames (100, -50), (-200, 300) -> mixdown 25, 50
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<4h", 100, -50, -200, 300))
+    n, rate, peak, sabs = decode_audio_real(buf.getvalue())
+    assert (n, rate, peak, sabs) == (2, 8000, 50, 75)
+    # unsigned 8-bit mono: bytes 128, 130, 126 -> 0, 512, -512
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([128, 130, 126]))
+    n, rate, peak, sabs = decode_audio_real(buf.getvalue())
+    assert (n, rate, peak, sabs) == (3, 8000, 512, 1024)
