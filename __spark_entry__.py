@@ -5255,6 +5255,82 @@ FROM s GROUP BY doc_id
 """
 
 
+def q_raster_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL simple-raster decode under the driver's oracle: each
+    sampled document becomes an 8-bit palette BMP (even docs — DIB
+    header, bottom-up 4-byte-padded rows, BGRA palette) or a binary
+    PGM (odd docs), both 16×16 with md5-digest quadrant constants,
+    decoded through functions/rasters.py inside an Arrow-batched
+    stage.  Lossless formats, so the oracle reproduces per-image
+    stats (quadrant-sum mean, byte min/max) from md5 hex pairs."""
+    _prep(spark)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 40 == 2)
+    )
+
+    def roundtrip(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.rasters import (
+            encode_bmp_gray,
+            encode_pgm,
+            raster_gray_stats,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = _hl.md5(text.encode("utf-8")).digest()
+                img = [
+                    [d[(y // 8) * 2 + (x // 8)] for x in range(16)]
+                    for y in range(16)
+                ]
+                enc = (
+                    encode_bmp_gray if doc_id % 80 == 2 else encode_pgm
+                )
+                fmt = "bmp" if doc_id % 80 == 2 else "pgm"
+                w, h, mean, lo, hi = raster_gray_stats(enc(img))
+                rows.append((doc_id, fmt, w, h, mean, lo, hi))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "fmt", "width", "height",
+                    "mean_floor", "px_min", "px_max",
+                ],
+            )
+
+    return docs.mapInPandas(
+        roundtrip,
+        schema=(
+            "doc_id long, fmt string, width int, height int, "
+            "mean_floor long, px_min int, px_max int"
+        ),
+    )
+
+
+def _sql_raster_decode_real() -> str:
+    def byte(k: int) -> str:
+        return f"CAST(('0x' || substr(h, {2 * k + 1}, 2)) AS INTEGER)"
+
+    quads = " + ".join(byte(k) for k in range(4))
+    mins = ", ".join(byte(k) for k in range(4))
+    return f"""
+WITH t AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id % 40 = 2)
+SELECT doc_id,
+       CASE WHEN doc_id % 80 = 2 THEN 'bmp' ELSE 'pgm' END AS fmt,
+       16 AS width, 16 AS height,
+       CAST(({quads}) // 4 AS BIGINT) AS mean_floor,
+       LEAST({mins}) AS px_min,
+       GREATEST({mins}) AS px_max
+FROM t
+"""
+
+
 def q_audio_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode under the driver's oracle: each sampled
     document becomes a genuine RIFF/WAVE blob (16 int16 PCM samples
@@ -10474,6 +10550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_eval": q_cluster_eval,
         "zstd_roundtrip": q_zstd_roundtrip,
         "g711_decode_real": q_g711_decode_real,
+        "raster_decode_real": q_raster_decode_real,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -10686,6 +10763,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_eval": _SQL_CLUSTER_EVAL,
         "zstd_roundtrip": _SQL_ZSTD_ROUNDTRIP,
         "g711_decode_real": _sql_g711_decode_real(),
+        "raster_decode_real": _sql_raster_decode_real(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

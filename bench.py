@@ -326,6 +326,8 @@ HEADLINE = [
     "zstd_roundtrip",
     # round-6: G.711 mu-law telephony decode (formula-exact oracle)
     "g711_decode_real",
+    # round-6: BMP / Netpbm raster decode
+    "raster_decode_real",
 ]
 
 

@@ -1218,3 +1218,64 @@ def test_wav_stereo_and_8bit_pcm_decode():
         w.writeframes(bytes([128, 130, 126]))
     n, rate, peak, sabs = decode_audio_real(buf.getvalue())
     assert (n, rate, peak, sabs) == (3, 8000, 512, 1024)
+
+
+def test_raster_codecs_roundtrip_and_variants():
+    import random
+
+    from blueforty___etl_data_pipeline_spark.functions.rasters import (
+        decode_bmp_gray,
+        decode_pnm_gray,
+        encode_bmp_gray,
+        encode_pgm,
+    )
+
+    rng = random.Random(2)
+    for h, w in [(16, 16), (5, 7), (3, 10)]:
+        img = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        assert decode_bmp_gray(encode_bmp_gray(img)) == img
+        assert decode_pnm_gray(encode_pgm(img)) == img
+    # ASCII P2 with a comment line
+    assert decode_pnm_gray(
+        b"P2\n# a comment\n3 2\n255\n1 2 3\n4 5 6\n"
+    ) == [[1, 2, 3], [4, 5, 6]]
+    # binary P6 RGB -> integer luminance
+    p6 = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 200, 100, 50])
+    assert decode_pnm_gray(p6) == [
+        [(2 * 10 + 5 * 20 + 30) // 8, (2 * 200 + 5 * 100 + 50) // 8]
+    ]
+    # hand-built 24-bit top-down BMP (negative height, BGR order)
+    import struct
+
+    w, h = 2, 2
+    px = [[(10, 20, 30), (40, 50, 60)], [(70, 80, 90), (1, 2, 3)]]
+    stride_pad = (-w * 3) % 4
+    rows = b"".join(
+        b"".join(bytes([b, g, r]) for (r, g, b) in row)
+        + b"\x00" * stride_pad
+        for row in px
+    )
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(rows), 0, 0, 0, 0
+    )
+    head = b"BM" + struct.pack(
+        "<IHHI", 14 + len(dib) + len(rows), 0, 0, 14 + len(dib)
+    )
+    got = decode_bmp_gray(head + dib + rows)
+    assert got == [
+        [(2 * r + 5 * g + b) // 8 for (r, g, b) in row] for row in px
+    ]
+
+
+def test_raster_rejects_unsupported():
+    import pytest as _pytest
+
+    from blueforty___etl_data_pipeline_spark.functions.rasters import (
+        decode_bmp_gray,
+        decode_pnm_gray,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_bmp_gray(b"not a bmp")
+    with _pytest.raises(ValueError):
+        decode_pnm_gray(b"P7\nwhatever")
