@@ -4481,12 +4481,13 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    # The exact result feeds BOTH recall joins and the totals agg —
-    # persist it or the full brute-force scan runs three times.
+    # The exact result feeds BOTH recall joins and the totals agg — a
+    # lazy localCheckpoint materializes the brute-force scan once
+    # (ContextCleaner-released; a persist here would leak across calls)
     exact = (
         ann_brute_force(emb, queries, k=5, round_decimals=6)
         .select("query_id", "neighbor_id")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     lsh = ann_lsh_bucketed(
         emb, queries, k=5, n_planes=8, dim=64, round_decimals=6

@@ -289,11 +289,13 @@ def minhash_lsh_pairs(
         F.col("minhash_sig").isNotNull()
     )
     # The bucket join is a SELF-join: without materialization both sides
-    # re-run the tokenize→shingle→md5→fold signature computation.  Persist
-    # the (id, signature) projection — at corpus scale this is the table
-    # you would checkpoint to storage between the signature and pairing
-    # stages anyway.
-    sigs = sigs.persist()
+    # re-run the tokenize→shingle→md5→fold signature computation.  A
+    # lazy localCheckpoint materializes the (id, signature) projection
+    # once at first action and the ContextCleaner releases it with the
+    # plan (a bare persist leaks cached blocks across calls in a
+    # long-lived session — the r5 advisor's leak class).  At corpus
+    # scale this is the table you would checkpoint to storage anyway.
+    sigs = sigs.localCheckpoint(eager=False)
     banded = _banded_buckets(sigs, id_col, num_hashes, bands)
     if max_bucket_size is not None:
         small = (
@@ -481,14 +483,17 @@ def simhash_near_dup_pairs(
     assert max_hamming < bands, "pigeonhole guarantee needs max_hamming < bands"
     width = n_bits // bands
     mask = (1 << width) - 1
-    # Persisted: the band join is a self-join, and the fingerprint fold
+    # Lazily checkpointed (ContextCleaner-released, never a leaked
+    # persist): the band join is a self-join, and the fingerprint fold
     # would otherwise run once per side (see minhash_lsh_pairs).
     if impl == "arrow":
-        sh = simhash_arrow(df, text_col, id_col, n_bits).persist()
+        sh = simhash_arrow(df, text_col, id_col, n_bits).localCheckpoint(
+            eager=False
+        )
     else:
         sh = df.select(
             F.col(id_col), simhash64(F.col(text_col), n_bits).alias("simhash")
-        ).persist()
+        ).localCheckpoint(eager=False)
     banded = sh.select(
         F.col(id_col),
         F.col("simhash"),

@@ -203,6 +203,11 @@ def pagerank_fixed_point(
         )
         ranks.count()  # materialize before dropping the parent
         old.unpersist()
+    # the final ranks are checkpointed (lineage cut), so the loop's
+    # cached inputs can be released before returning
+    e.unpersist()
+    out_edges.unpersist()
+    nodes.unpersist()
     return ranks
 
 

@@ -505,7 +505,11 @@ def kmeans_lloyd(
     c = corpus.select(
         F.col(id_col), _micro_vec(F.col(vec_col)).alias("_mv")
     )
-    c = c.withColumn("_n", l2_norm(F.col("_mv"))).persist()
+    # lazy checkpoint, not persist: the returned plan still reads the
+    # projection (ContextCleaner releases the blocks with the plan)
+    c = c.withColumn("_n", l2_norm(F.col("_mv"))).localCheckpoint(
+        eager=False
+    )
     k = centroids.select(
         F.col(id_col).alias(centroid_id_col),
         _micro_vec(F.col(vec_col)).alias("_kv"),
