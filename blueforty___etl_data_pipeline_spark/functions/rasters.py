@@ -7,6 +7,8 @@ actually contain alongside PNG/JPEG/GIF.
   padding.  Encoder emits 8-bit grayscale-palette fixtures.
 - Netpbm: P2/P5 (gray ASCII/binary) and P3/P6 (RGB), maxval ≤ 255,
   comment lines handled.  Encoder emits P5.
+- TIFF: uncompressed 8-bit gray (BlackIsZero/WhiteIsZero) or RGB,
+  II/MM byte orders, classic IFD walk, multi-strip payloads.
 
 Color maps to gray with the exact-integer luminance convention
 (2·r + 5·g + b) // 8 shared by the GIF/PNG codecs, so frame stats
@@ -172,10 +174,12 @@ def decode_pnm_gray(data: bytes):
 
 
 def raster_gray_stats(data: bytes):
-    """Dispatch on magic (BMP vs PNM) and return the all-integer
+    """Dispatch on magic (BMP / TIFF / PNM) and return the all-integer
     frame-stat row (width, height, mean_floor, px_min, px_max)."""
     if data[:2] == b"BM":
         rows = decode_bmp_gray(data)
+    elif data[:2] in (b"II", b"MM"):
+        rows = decode_tiff_gray(data)
     else:
         rows = decode_pnm_gray(data)
     h = len(rows)
@@ -188,3 +192,130 @@ def raster_gray_stats(data: bytes):
         min(min(r) for r in rows),
         max(max(r) for r in rows),
     )
+
+
+# --- TIFF (uncompressed) -----------------------------------------------------
+
+
+def decode_tiff_gray(data: bytes):
+    """Decode an UNCOMPRESSED (Compression=1) single-strip-or-multi-
+    strip TIFF — 8-bit grayscale (Photometric 1/0) or 8-bit RGB — to
+    a gray grid.  Handles both II (little) and MM (big) byte orders
+    and the classic IFD walk.  LZW/packbits/JPEG-in-TIFF raise."""
+    if data[:2] == b"II":
+        bo = "little"
+    elif data[:2] == b"MM":
+        bo = "big"
+    else:
+        raise ValueError("not a TIFF (bad byte order)")
+
+    def u16(off):
+        return int.from_bytes(data[off : off + 2], bo)
+
+    def u32(off):
+        return int.from_bytes(data[off : off + 4], bo)
+
+    if u16(2) != 42:
+        raise ValueError("not a TIFF (bad magic number)")
+    ifd = u32(4)
+    n_entries = u16(ifd)
+    tags = {}
+    for i in range(n_entries):
+        e = ifd + 2 + 12 * i
+        tag, typ, count = u16(e), u16(e + 2), u32(e + 4)
+        size = {1: 1, 3: 2, 4: 4}.get(typ)
+        if size is None:
+            tags[tag] = None
+            continue
+        total = size * count
+        voff = e + 8 if total <= 4 else u32(e + 8)
+        vals = [
+            int.from_bytes(data[voff + size * j : voff + size * (j + 1)], bo)
+            for j in range(count)
+        ]
+        tags[tag] = vals
+    width = tags.get(256, [0])[0]
+    height = tags.get(257, [0])[0]
+    compression = tags.get(259, [1])[0]
+    photometric = tags.get(262, [1])[0]
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [8])
+    strip_offsets = tags.get(273)
+    strip_counts = tags.get(279)
+    rows_per_strip = tags.get(278, [height])[0]
+    if compression != 1:
+        raise ValueError("only uncompressed TIFF supported")
+    if any(b != 8 for b in bits) or spp not in (1, 3):
+        raise ValueError("only 8-bit gray or RGB TIFF supported")
+    if photometric not in (0, 1, 2):
+        raise ValueError("unsupported photometric interpretation")
+    if not width or not height or not strip_offsets:
+        raise ValueError("missing required TIFF tags")
+    payload = bytearray()
+    for off, cnt in zip(
+        strip_offsets, strip_counts or [len(data)] * len(strip_offsets)
+    ):
+        payload += data[off : off + cnt]
+    need = width * height * spp
+    if len(payload) < need:
+        raise ValueError("truncated TIFF strips")
+    out = []
+    for y in range(height):
+        base = y * width * spp
+        if spp == 1:
+            row = [payload[base + x] for x in range(width)]
+            if photometric == 0:  # WhiteIsZero
+                row = [255 - v for v in row]
+        else:
+            row = [
+                _lum(
+                    payload[base + 3 * x],
+                    payload[base + 3 * x + 1],
+                    payload[base + 3 * x + 2],
+                )
+                for x in range(width)
+            ]
+        out.append(row)
+    return out
+
+
+def encode_tiff_gray(pixels, byte_order: str = "little") -> bytes:
+    """Encode a gray grid as a minimal uncompressed single-strip TIFF
+    (BlackIsZero), II or MM byte order."""
+    if not pixels or not pixels[0]:
+        raise ValueError("empty pixel grid")
+    height = len(pixels)
+    width = len(pixels[0])
+    bo = byte_order
+    magic = b"II" if bo == "little" else b"MM"
+    payload = b"".join(bytes(r) for r in pixels)
+
+    def p16(v):
+        return v.to_bytes(2, bo)
+
+    def p32(v):
+        return v.to_bytes(4, bo)
+
+    # header(8) + payload, IFD after payload
+    ifd_off = 8 + len(payload)
+    entries = [
+        (256, 3, 1, width),       # ImageWidth
+        (257, 3, 1, height),      # ImageLength
+        (258, 3, 1, 8),           # BitsPerSample
+        (259, 3, 1, 1),           # Compression: none
+        (262, 3, 1, 1),           # Photometric: BlackIsZero
+        (273, 4, 1, 8),           # StripOffsets -> right after header
+        (277, 3, 1, 1),           # SamplesPerPixel
+        (278, 3, 1, height),      # RowsPerStrip
+        (279, 4, 1, len(payload)),  # StripByteCounts
+    ]
+    ifd = p16(len(entries))
+    for tag, typ, count, val in entries:
+        raw = p16(tag) + p16(typ) + p32(count)
+        if typ == 3:
+            raw += p16(val) + b"\x00\x00"
+        else:
+            raw += p32(val)
+        ifd += raw
+    ifd += p32(0)  # next IFD
+    return magic + p16(42) + p32(ifd_off) + payload + ifd

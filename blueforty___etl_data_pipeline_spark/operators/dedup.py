@@ -289,13 +289,14 @@ def minhash_lsh_pairs(
         F.col("minhash_sig").isNotNull()
     )
     # The bucket join is a SELF-join: without materialization both sides
-    # re-run the tokenize→shingle→md5→fold signature computation.  A
-    # lazy localCheckpoint materializes the (id, signature) projection
-    # once at first action and the ContextCleaner releases it with the
-    # plan (a bare persist leaks cached blocks across calls in a
-    # long-lived session — the r5 advisor's leak class).  At corpus
-    # scale this is the table you would checkpoint to storage anyway.
-    sigs = sigs.localCheckpoint(eager=False)
+    # re-run the tokenize→shingle→md5→fold signature computation.
+    # Persist (columnar cache), NOT localCheckpoint: the row-serialized
+    # checkpoint costs ~2× on this hot path (A/B-measured at sf0.1).
+    # CACHE LIFETIME CONTRACT: the cache lives until the session drops
+    # it — a caller looping this operator in one long-lived session
+    # should spark.catalog.clearCache() between batches (at corpus
+    # scale you would checkpoint signatures to storage instead).
+    sigs = sigs.persist()
     banded = _banded_buckets(sigs, id_col, num_hashes, bands)
     if max_bucket_size is not None:
         small = (
@@ -483,17 +484,17 @@ def simhash_near_dup_pairs(
     assert max_hamming < bands, "pigeonhole guarantee needs max_hamming < bands"
     width = n_bits // bands
     mask = (1 << width) - 1
-    # Lazily checkpointed (ContextCleaner-released, never a leaked
-    # persist): the band join is a self-join, and the fingerprint fold
-    # would otherwise run once per side (see minhash_lsh_pairs).
+    # Persisted (columnar cache — the row-serialized localCheckpoint
+    # alternative costs ~4× here, A/B-measured): the band join is a
+    # self-join, and the fingerprint fold would otherwise run once per
+    # side.  Same caller-owned cache-lifetime contract as
+    # minhash_lsh_pairs.
     if impl == "arrow":
-        sh = simhash_arrow(df, text_col, id_col, n_bits).localCheckpoint(
-            eager=False
-        )
+        sh = simhash_arrow(df, text_col, id_col, n_bits).persist()
     else:
         sh = df.select(
             F.col(id_col), simhash64(F.col(text_col), n_bits).alias("simhash")
-        ).localCheckpoint(eager=False)
+        ).persist()
     banded = sh.select(
         F.col(id_col),
         F.col("simhash"),

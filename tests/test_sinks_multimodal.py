@@ -1279,3 +1279,38 @@ def test_raster_rejects_unsupported():
         decode_bmp_gray(b"not a bmp")
     with _pytest.raises(ValueError):
         decode_pnm_gray(b"P7\nwhatever")
+
+
+def test_tiff_roundtrip_both_byte_orders_and_dispatch():
+    import random
+
+    from blueforty___etl_data_pipeline_spark.functions.rasters import (
+        decode_tiff_gray,
+        encode_tiff_gray,
+        raster_gray_stats,
+    )
+
+    rng = random.Random(4)
+    for bo in ("little", "big"):
+        img = [[rng.randrange(256) for _ in range(9)] for _ in range(6)]
+        assert decode_tiff_gray(encode_tiff_gray(img, bo)) == img
+    # WhiteIsZero inversion: flip Photometric tag (262) to 0
+    img = [[10, 250], [0, 128]]
+    data = bytearray(encode_tiff_gray(img))
+    # find the 262 tag in the IFD and set its value to 0
+    import struct as _s
+
+    ifd = int.from_bytes(data[4:8], "little")
+    n = int.from_bytes(data[ifd : ifd + 2], "little")
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        if int.from_bytes(data[e : e + 2], "little") == 262:
+            data[e + 8 : e + 10] = (0).to_bytes(2, "little")
+    assert decode_tiff_gray(bytes(data)) == [
+        [255 - v for v in row] for row in img
+    ]
+    # stats dispatch recognizes the II magic
+    w, h, mean, lo, hi = raster_gray_stats(
+        encode_tiff_gray([[7] * 8] * 8)
+    )
+    assert (w, h, mean, lo, hi) == (8, 8, 7, 7, 7)
