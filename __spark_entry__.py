@@ -5878,6 +5878,55 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key (functions/zorder.hilbert_value)
+    over the same deterministic 2-D customer key as zorder_key — the
+    locality-tighter curve (no Morton diagonal jumps) behind Delta's
+    OPTIMIZE clustering.  12 unrolled rotate/reflect levels of pure
+    integer arithmetic, reproduced bit-for-bit by the oracle's
+    identically-unrolled SQL."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.functions.zorder import (
+        hilbert_value,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") % 4096).cast("bigint").alias("x"),
+        ((F.col("c_custkey") * 2654435761) % 4096)
+        .cast("bigint")
+        .alias("y"),
+    )
+    return hilbert_value(c, "x", "y", bits=12, out_col="h")
+
+
+def _sql_hilbert_key(bits: int = 12) -> str:
+    steps = ["h0 AS (SELECT c_custkey, x, y, x AS hx, y AS hy, "
+             "CAST(0 AS BIGINT) AS d FROM base)"]
+    for i, level in enumerate(range(bits - 1, -1, -1)):
+        s = 1 << level
+        rx = f"((hx >> {level}) & 1)"
+        ry = f"((hy >> {level}) & 1)"
+        steps.append(
+            f"h{i + 1} AS (SELECT c_custkey, x, y, "
+            f"CASE WHEN {ry} = 1 THEN hx "
+            f"WHEN {rx} = 1 THEN {s - 1} - hy ELSE hy END AS hx, "
+            f"CASE WHEN {ry} = 1 THEN hy "
+            f"WHEN {rx} = 1 THEN {s - 1} - hx ELSE hx END AS hy, "
+            f"d + {s * s} * xor(3 * {rx}, {ry}) AS d FROM h{i})"
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH base AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 4096 AS BIGINT) AS x,
+         CAST((c_custkey * 2654435761) % 4096 AS BIGINT) AS y
+  FROM customer),
+{chain}
+SELECT c_custkey, x, y, CAST(d AS BIGINT) AS h FROM h{bits}
+"""
+
+
 def _d_zterms() -> str:
     parts = []
     for i in range(12):
@@ -10552,6 +10601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zstd_roundtrip": q_zstd_roundtrip,
         "g711_decode_real": q_g711_decode_real,
         "raster_decode_real": q_raster_decode_real,
+        "hilbert_key": q_hilbert_key,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -10765,6 +10815,7 @@ def oracle_sql() -> dict[str, str]:
         "zstd_roundtrip": _SQL_ZSTD_ROUNDTRIP,
         "g711_decode_real": _sql_g711_decode_real(),
         "raster_decode_real": _sql_raster_decode_real(),
+        "hilbert_key": _sql_hilbert_key(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

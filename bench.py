@@ -328,6 +328,8 @@ HEADLINE = [
     "g711_decode_real",
     # round-6: BMP / Netpbm raster decode
     "raster_decode_real",
+    # round-6: Hilbert-curve clustering key (locality-tighter z-order)
+    "hilbert_key",
 ]
 
 

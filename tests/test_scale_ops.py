@@ -302,3 +302,39 @@ def test_round5_query_plan_pins(spark):
     p = _fmt_plan(qs["frequent_pairs"](spark, sf))
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_hilbert_value_matches_reference_and_is_bijective(spark):
+    from blueforty___etl_data_pipeline_spark.functions.zorder import (
+        hilbert_value,
+    )
+
+    def xy2d(bits, x, y):
+        rx = ry = d = 0
+        s = 1 << (bits - 1)
+        while s > 0:
+            rx = 1 if (x & s) else 0
+            ry = 1 if (y & s) else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s >>= 1
+        return d
+
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["h"]
+        for r in hilbert_value(df, "x", "y", bits=4).collect()
+    }
+    assert all(got[(x, y)] == xy2d(4, x, y) for x, y in rows)
+    # bijective over the full 4-bit grid
+    assert sorted(got.values()) == list(range(256))
+    # locality: consecutive curve positions are grid-adjacent (the
+    # property Morton does NOT have)
+    inv = {d: xy for xy, d in got.items()}
+    for d in range(255):
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
