@@ -5332,6 +5332,200 @@ FROM t
 """
 
 
+def q_tiff_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL uncompressed-TIFF decode under the driver's oracle: each
+    sampled document becomes a genuine single-strip BlackIsZero TIFF
+    (little-endian ``II`` for doc_id % 80 == 6, big-endian ``MM``
+    otherwise — both byte orders exercised end-to-end), 16x16 with
+    md5-digest quadrant constants, decoded back through the
+    functions/rasters.py IFD walker inside an Arrow-batched stage.
+    Lossless, so the oracle reproduces per-image stats straight from
+    md5 hex pairs."""
+    _prep(spark)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 40 == 6)
+    )
+
+    def roundtrip(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.rasters import (
+            encode_tiff_gray,
+            raster_gray_stats,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = _hl.md5(text.encode("utf-8")).digest()
+                img = [
+                    [d[(y // 8) * 2 + (x // 8)] for x in range(16)]
+                    for y in range(16)
+                ]
+                bo = "little" if doc_id % 80 == 6 else "big"
+                w, h, mean, lo, hi = raster_gray_stats(
+                    encode_tiff_gray(img, byte_order=bo)
+                )
+                rows.append((doc_id, bo, w, h, mean, lo, hi))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "byte_order", "width", "height",
+                    "mean_floor", "px_min", "px_max",
+                ],
+            )
+
+    return docs.mapInPandas(
+        roundtrip,
+        schema=(
+            "doc_id long, byte_order string, width int, height int, "
+            "mean_floor long, px_min int, px_max int"
+        ),
+    )
+
+
+def _sql_tiff_decode_real() -> str:
+    def byte(k: int) -> str:
+        return f"CAST(('0x' || substr(h, {2 * k + 1}, 2)) AS INTEGER)"
+
+    quads = " + ".join(byte(k) for k in range(4))
+    mins = ", ".join(byte(k) for k in range(4))
+    return f"""
+WITH t AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id % 40 = 6)
+SELECT doc_id,
+       CASE WHEN doc_id % 80 = 6 THEN 'little' ELSE 'big' END AS byte_order,
+       16 AS width, 16 AS height,
+       CAST(({quads}) // 4 AS BIGINT) AS mean_floor,
+       LEAST({mins}) AS px_min,
+       GREATEST({mins}) AS px_max
+FROM t
+"""
+
+
+def q_adpcm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL *lossy* compressed-audio decode under the driver's oracle:
+    each sampled document becomes a genuine WAVE format-tag-0x11 (IMA
+    ADPCM) blob — 32 four-bit codes from the text's md5 digest plus a
+    block-header predictor/step-index — decoded through the exact IMA
+    integer recurrence in functions/adpcm.py inside an Arrow-batched
+    stage.  The oracle replays the identical recurrence with a DuckDB
+    recursive CTE over the 89-entry step table, so even a lossy codec
+    hash-matches cross-engine (the analytic-formula trick G.711 uses
+    doesn't apply here; this is the adaptive-state generalization)."""
+    _prep(spark)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 40 == 14)
+    )
+
+    def roundtrip(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.adpcm import (
+            encode_wav_ima_adpcm,
+        )
+        from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+            decode_audio_real,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = _hl.md5(text.encode("utf-8")).digest()
+                nibbles = []
+                for b in d:
+                    nibbles += [b & 0x0F, b >> 4]
+                pred = int.from_bytes(d[0:2], "little", signed=True)
+                idx = d[2] % 89
+                blob = encode_wav_ima_adpcm(
+                    nibbles, predictor=pred, index=idx
+                )
+                n, rate, peak, tot = decode_audio_real(blob)
+                rows.append((doc_id, n, rate, peak, tot))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "framerate",
+                    "peak_abs", "sum_abs",
+                ],
+            )
+
+    return docs.mapInPandas(
+        roundtrip,
+        schema=(
+            "doc_id long, n_frames int, framerate int, "
+            "peak_abs long, sum_abs long"
+        ),
+    )
+
+
+def _sql_adpcm_decode_real() -> str:
+    from blueforty___etl_data_pipeline_spark.functions.adpcm import (
+        IMA_STEP_TABLE,
+    )
+
+    steps = ", ".join(
+        f"({i}, {s})" for i, s in enumerate(IMA_STEP_TABLE)
+    )
+
+    def byte(k: str) -> str:
+        return f"CAST(('0x' || substr(h, 2 * ({k}) + 1, 2)) AS INTEGER)"
+
+    # nibble n (1-based): byte (n-1)//2, low nibble when n is odd.
+    nib = (
+        f"CASE WHEN (rec.n + 1) % 2 = 1 "
+        f"THEN ({byte('rec.n // 2')}) % 16 "
+        f"ELSE ({byte('rec.n // 2')}) // 16 END"
+    )
+    return f"""
+WITH RECURSIVE
+steps(i, step) AS (VALUES {steps}),
+t AS (SELECT doc_id, md5(text) AS h FROM documents
+      WHERE doc_id % 40 = 14),
+base AS (
+  SELECT doc_id, h, 0 AS n,
+         CASE WHEN {byte('0')} + 256 * {byte('1')} >= 32768
+              THEN {byte('0')} + 256 * {byte('1')} - 65536
+              ELSE {byte('0')} + 256 * {byte('1')} END AS pred,
+         {byte('2')} % 89 AS idx
+  FROM t),
+rec AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT rec.doc_id, rec.h, rec.n + 1,
+         GREATEST(-32768, LEAST(32767,
+           rec.pred
+           + CASE WHEN ({nib}) // 8 = 1 THEN -1 ELSE 1 END
+             * (s.step // 8
+                + CASE WHEN (({nib}) // 4) % 2 = 1 THEN s.step ELSE 0 END
+                + CASE WHEN (({nib}) // 2) % 2 = 1 THEN s.step // 2 ELSE 0 END
+                + CASE WHEN ({nib}) % 2 = 1 THEN s.step // 4 ELSE 0 END)
+         )) AS pred,
+         GREATEST(0, LEAST(88,
+           rec.idx + CASE ({nib}) % 8
+                       WHEN 4 THEN 2 WHEN 5 THEN 4
+                       WHEN 6 THEN 6 WHEN 7 THEN 8
+                       ELSE -1 END)) AS idx
+  FROM rec JOIN steps s ON s.i = rec.idx
+  WHERE rec.n < 32)
+SELECT doc_id,
+       CAST(COUNT(*) AS INTEGER) AS n_frames,
+       8000 AS framerate,
+       CAST(MAX(ABS(pred)) AS BIGINT) AS peak_abs,
+       CAST(SUM(ABS(pred)) AS BIGINT) AS sum_abs
+FROM rec
+GROUP BY doc_id
+"""
+
+
 def q_audio_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode under the driver's oracle: each sampled
     document becomes a genuine RIFF/WAVE blob (16 int16 PCM samples
@@ -10233,6 +10427,189 @@ FROM documents GROUP BY source
 """
 
 
+def q_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation
+    (operators/sketches.py): one constant-size (4x256-cell) sketch
+    built over lineitem part keys in a single map-side-combinable
+    pass, then point-queried for the first 200 parts alongside the
+    exact counts.  All hashing is md5-based so DuckDB replays the
+    IDENTICAL sketch cell-for-cell — the estimate column hash-matches
+    across engines, and the one-sided CM guarantee (est >= exact) is
+    carried as an asserted boolean."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    sketch = count_min_build(li, "l_partkey", width=256, depth=4)
+    probes = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 200)
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    est = count_min_estimate(sketch, probes, "l_partkey", width=256, depth=4)
+    exact = (
+        li.filter(F.col("l_partkey") <= 200)
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    return (
+        est.join(exact, "l_partkey", "left")
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.coalesce(F.col("exact_cnt"), F.lit(0)).alias("exact_cnt"),
+            F.col("est").alias("cms_est"),
+            (F.col("est") >= F.coalesce(F.col("exact_cnt"), F.lit(0))).alias(
+                "never_underestimates"
+            ),
+        )
+    )
+
+
+_SQL_CMS_FREQUENCY = """
+WITH seeds AS (SELECT CAST(range AS INTEGER) AS seed FROM range(4)),
+fan AS (
+  SELECT s.seed,
+         CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' ||
+               CAST(l.l_partkey AS VARCHAR)), 1, 12)) AS BIGINT) % 256
+           AS bucket
+  FROM lineitem l CROSS JOIN seeds s),
+sketch AS (
+  SELECT seed, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM fan GROUP BY seed, bucket),
+probes AS (
+  SELECT p_partkey AS partkey FROM part WHERE p_partkey <= 200),
+probe_fan AS (
+  SELECT p.partkey, s.seed,
+         CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' ||
+               CAST(p.partkey AS VARCHAR)), 1, 12)) AS BIGINT) % 256
+           AS bucket
+  FROM probes p CROSS JOIN seeds s),
+est AS (
+  SELECT pf.partkey,
+         MIN(COALESCE(sk.cnt, 0)) AS cms_est
+  FROM probe_fan pf
+  LEFT JOIN sketch sk USING (seed, bucket)
+  GROUP BY pf.partkey),
+exact AS (
+  SELECT l_partkey AS partkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM lineitem WHERE l_partkey <= 200 GROUP BY l_partkey)
+SELECT e.partkey,
+       COALESCE(x.exact_cnt, 0) AS exact_cnt,
+       CAST(e.cms_est AS BIGINT) AS cms_est,
+       e.cms_est >= COALESCE(x.exact_cnt, 0) AS never_underestimates
+FROM est e LEFT JOIN exact x USING (partkey)
+"""
+
+
+def q_geohash_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base-32 geohash spatial keys (functions/geo.geohash_encode,
+    verified against the public test vectors u4pruydq/ezs42): encode
+    deterministic per-customer coordinates at precision 8, plus the
+    4-char containing tile — the prefix-aggregation key a 100 TB
+    spatial rollup groups by.  The oracle replays the identical
+    IEEE-754 quantization + bit interleave + alphabet slicing, so the
+    strings hash-match bit-for-bit."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.functions.geo import (
+        geohash_encode,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    lat = (F.col("c_custkey") * 7919 % 18000) / F.lit(100.0) - F.lit(90.0)
+    lon = (F.col("c_custkey") * 104729 % 36000) / F.lit(100.0) - F.lit(
+        180.0
+    )
+    gh = geohash_encode(lat, lon, 8)
+    return c.select(
+        "c_custkey",
+        gh.alias("geohash8"),
+        F.substring(gh, 1, 4).alias("tile4"),
+    )
+
+
+def _sql_geohash_tiles() -> str:
+    from blueforty___etl_data_pipeline_spark.functions.geo import (
+        GEOHASH_ALPHABET,
+    )
+
+    # Mirror geohash_encode exactly: 20-bit quantization per axis,
+    # lon bit i -> code bit 2i+1, lat bit i -> code bit 2i.
+    lat = "(((c_custkey * 7919) % 18000) / 100.0 - 90.0)"
+    lon = "(((c_custkey * 104729) % 36000) / 100.0 - 180.0)"
+
+    def quant(deg: str, half: float) -> str:
+        n = 1 << 20
+        q = (
+            f"CAST(FLOOR((({deg} + {half}) / {2.0 * half}) * "
+            f"{float(n)}) AS BIGINT)"
+        )
+        return f"GREATEST(0, LEAST({n - 1}, {q}))"
+
+    latq, lonq = quant(lat, 90.0), quant(lon, 180.0)
+    terms = [f"((lon_q >> {i}) & 1) << {2 * i + 1}" for i in range(20)]
+    terms += [f"((lat_q >> {i}) & 1) << {2 * i}" for i in range(20)]
+    code = " | ".join(f"({t})" for t in terms)
+    chars = " || ".join(
+        f"substr('{GEOHASH_ALPHABET}', "
+        f"CAST(((code >> {5 * (8 - 1 - j)}) & 31) + 1 AS INTEGER), 1)"
+        for j in range(8)
+    )
+    return f"""
+WITH q AS (
+  SELECT c_custkey, {latq} AS lat_q, {lonq} AS lon_q FROM customer),
+coded AS (
+  SELECT c_custkey, {code} AS code FROM q),
+gh AS (
+  SELECT c_custkey, {chars} AS geohash8 FROM coded)
+SELECT c_custkey, geohash8, substr(geohash8, 1, 4) AS tile4 FROM gh
+"""
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch
+    (operators/sketches.py): per-returnflag estimates of distinct
+    part keys from only the k=64 smallest md5 hash values — the
+    bounded-memory, min-union-mergeable alternative to exact
+    COUNT(DISTINCT) at 100 TB.  Integer-exact estimator in a 48-bit
+    hash space, so the DuckDB oracle reproduces the identical
+    kth-min and estimate."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return kmv_distinct(
+        li, "l_partkey", k=64, group_cols=["l_returnflag"]
+    ).orderBy("l_returnflag")
+
+
+_SQL_KMV_DISTINCT = f"""
+WITH hashed AS (
+  SELECT DISTINCT l_returnflag,
+         CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 12))
+              AS BIGINT) AS h
+  FROM lineitem),
+ranked AS (
+  SELECT l_returnflag, h,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+  FROM hashed),
+agg AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n_kept,
+         MAX(h) AS kth_min
+  FROM ranked WHERE rn <= 64 GROUP BY l_returnflag)
+SELECT l_returnflag, n_kept, kth_min,
+       CAST(CASE WHEN n_kept < 64 THEN n_kept
+                 ELSE {63 * (1 << 48)} // kth_min END AS BIGINT)
+         AS est_distinct
+FROM agg ORDER BY l_returnflag
+"""
+
+
 def q_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured URL parsing with Spark's codegen ``parse_url`` (host
     / path / individual query parameters) over deterministic per-doc
@@ -10601,6 +10978,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zstd_roundtrip": q_zstd_roundtrip,
         "g711_decode_real": q_g711_decode_real,
         "raster_decode_real": q_raster_decode_real,
+        "tiff_decode_real": q_tiff_decode_real,
+        "adpcm_decode_real": q_adpcm_decode_real,
+        "cms_frequency": q_cms_frequency,
+        "kmv_distinct": q_kmv_distinct,
+        "geohash_tiles": q_geohash_tiles,
         "hilbert_key": q_hilbert_key,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
@@ -10815,6 +11197,11 @@ def oracle_sql() -> dict[str, str]:
         "zstd_roundtrip": _SQL_ZSTD_ROUNDTRIP,
         "g711_decode_real": _sql_g711_decode_real(),
         "raster_decode_real": _sql_raster_decode_real(),
+        "tiff_decode_real": _sql_tiff_decode_real(),
+        "adpcm_decode_real": _sql_adpcm_decode_real(),
+        "cms_frequency": _SQL_CMS_FREQUENCY,
+        "kmv_distinct": _SQL_KMV_DISTINCT,
+        "geohash_tiles": _sql_geohash_tiles(),
         "hilbert_key": _sql_hilbert_key(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,

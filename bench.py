@@ -330,6 +330,15 @@ HEADLINE = [
     "raster_decode_real",
     # round-6: Hilbert-curve clustering key (locality-tighter z-order)
     "hilbert_key",
+    # round-6: uncompressed TIFF decode, both byte orders (IFD walk)
+    "tiff_decode_real",
+    # round-6: IMA ADPCM lossy audio decode (recursive-CTE oracle)
+    "adpcm_decode_real",
+    # round-6: mergeable sketches (Count-Min frequency, KMV distinct)
+    "cms_frequency",
+    "kmv_distinct",
+    # round-6: base-32 geohash spatial keys (public-vector-pinned)
+    "geohash_tiles",
 ]
 
 

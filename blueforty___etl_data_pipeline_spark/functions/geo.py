@@ -24,3 +24,72 @@ def haversine_km(
         F.radians(lat2)
     ) * F.pow(F.sin(dlon), 2)
     return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(lat: Column, lon: Column, precision: int = 8) -> Column:
+    """Standard base-32 geohash of (lat, lon) — the spatial bucketing
+    key for proximity joins and prefix-aggregated tile rollups (a
+    geohash PREFIX is a containing cell, so groupBy(prefix) is a
+    shuffle-friendly spatial histogram and equi-joining on a prefix is
+    the grid-cell join in ``closest_stations_grid`` with standardized
+    cell names).
+
+    Pure codegen arithmetic: quantize each axis to ``5*precision/2``
+    bits (floor((lat+90)/180 * 2^b), clamped), interleave starting
+    with longitude (the geohash bit order), then slice 5-bit groups
+    through the base-32 alphabet.  No UDF; every step is integer after
+    the initial IEEE-754 quantization, which a SQL oracle replays
+    verbatim."""
+    total_bits = 5 * precision
+    lat_bits = total_bits // 2
+    lon_bits = total_bits - lat_bits
+
+    def quant(deg: Column, half_span: float, bits: int) -> Column:
+        n = 1 << bits
+        q = F.floor(
+            ((deg + F.lit(half_span)) / F.lit(2.0 * half_span))
+            * F.lit(float(n))
+        ).cast("long")
+        return F.greatest(F.lit(0), F.least(F.lit(n - 1), q))
+
+    lat_q = quant(lat, 90.0, lat_bits)
+    lon_q = quant(lon, 180.0, lon_bits)
+
+    # Interleave, longitude first: code bit (total-1) = lon's MSB.
+    # Even total (lon_bits == lat_bits): lon bit i lands at 2i+1,
+    # lat bit i at 2i.  Odd total (lon has one extra bit): lon bit i
+    # lands at 2i, lat bit i at 2i+1.
+    lon_off, lat_off = (1, 0) if lon_bits == lat_bits else (0, 1)
+    code = F.lit(0).cast("long")
+    for i in range(lon_bits):
+        code = code.bitwiseOR(
+            F.shiftleft(
+                F.shiftright(lon_q, i).bitwiseAND(F.lit(1)),
+                2 * i + lon_off,
+            )
+        )
+    for i in range(lat_bits):
+        code = code.bitwiseOR(
+            F.shiftleft(
+                F.shiftright(lat_q, i).bitwiseAND(F.lit(1)),
+                2 * i + lat_off,
+            )
+        )
+
+    chars = [
+        F.substring(
+            F.lit(GEOHASH_ALPHABET),
+            (
+                F.shiftright(
+                    code, 5 * (precision - 1 - j)
+                ).bitwiseAND(F.lit(31))
+                + 1
+            ).cast("int"),
+            1,
+        )
+        for j in range(precision)
+    ]
+    return F.concat(*chars)

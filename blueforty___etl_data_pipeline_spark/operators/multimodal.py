@@ -317,7 +317,10 @@ def decode_audio_real(data: bytes) -> tuple[int, int, int, int]:
       mono or stereo (floor-mixdown (l+r)//2 per frame);
     - RIFF/WAVE G.711 µ-law / A-law (format tags 7/6 — the telephony
       compander, expanded by the exact ITU segment formula in
-      functions/g711.py).
+      functions/g711.py);
+    - RIFF/WAVE IMA ADPCM (format tag 0x11 — 4-bit adaptive-delta,
+      per-block header state, exact integer recurrence in
+      functions/adpcm.py).
 
     Anything else (MP3/AAC lossy codecs, >2 channels, float PCM)
     raises — feature-gated, never silently faked."""
@@ -353,6 +356,16 @@ def decode_audio_real(data: bytes) -> tuple[int, int, int, int]:
             elif cid == b"data":
                 payload = body
             pos += 8 + size + (size & 1)
+        if fmt_tag == 0x11:  # IMA ADPCM
+            from ..functions.adpcm import ima_decode_stream
+
+            _, nch, rate = struct.unpack("<HHI", fmt_body[:8])
+            block_align = struct.unpack("<H", fmt_body[12:14])[0]
+            if nch != 1:
+                raise NotImplementedError(
+                    "only mono IMA ADPCM WAV is supported"
+                )
+            return stats(ima_decode_stream(payload, block_align), rate)
         if fmt_tag in (6, 7):  # G.711 A-law / mu-law
             _, nch, rate = struct.unpack("<HHI", fmt_body[:8])
             if nch != 1:

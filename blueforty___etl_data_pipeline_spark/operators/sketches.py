@@ -1,0 +1,184 @@
+"""Mergeable summary sketches: Count-Min frequency estimation and
+KMV (k-minimum-values) distinct-count estimation.
+
+At 100 TB, exact per-key frequency tables and exact COUNT(DISTINCT)
+are themselves big-data problems; the standard answer (Cormode &
+Muthukrishnan 2005 for Count-Min, Bar-Yossef et al. 2002 for KMV) is
+a FIXED-SIZE sketch that (a) is built with one map-side-combinable
+aggregation pass, (b) merges associatively across partitions / days /
+sources, and (c) answers point queries with bounded one-sided error.
+Both sketches here are pure DataFrame aggregations — the sketch IS a
+tiny DataFrame, so "merge" is just union + re-aggregate and the whole
+path stays inside whole-stage codegen.
+
+Determinism contract: all hashing routes through md5 hex (available
+bit-identically on every engine) rather than engine-private hash64
+functions, and every estimate is integer arithmetic — which is what
+makes these sketches ORACLE-CHECKABLE cross-engine: DuckDB replays
+the identical bucket/threshold math and must produce the identical
+sketch and estimates (the same md5-portability trick as the
+minhash/simhash expression twins in ``operators/dedup.py``).
+
+Reference parity: the BlueForty script profiles load volumes with
+exact GROUP BY counts (``BlueForty.py:449,:464`` row-count audit
+checkpoints); these sketches are the bounded-memory generalization of
+that audit for cardinalities where exact tables no longer fit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 48 bits of the md5 hex: small enough that the KMV numerator
+# (k-1) * HASH_SPACE stays exactly representable in a signed 64-bit
+# long for any practical k (k <= 2^14), so every estimate is EXACT
+# integer floor division on both engines — no decimal rounding-mode
+# parity traps.  The cost is hash collisions at ~n/2^48 relative
+# error, far below KMV's own 1/sqrt(k) sampling error even at 10^9
+# distinct keys.
+_HASH_HEX_DIGITS = 12
+HASH_SPACE = 1 << (4 * _HASH_HEX_DIGITS)
+
+
+def _md5_long(col, seed=None):
+    """First 48 bits of md5(seed ':' value) as a non-negative long —
+    the engine-portable hash shared by sketch build and probe.  The
+    seed may be a Python int or a Column (for seed-exploded plans)."""
+    s = col.cast("string")
+    if seed is not None:
+        pre = (
+            F.lit(f"{seed}:")
+            if isinstance(seed, int)
+            else F.concat(seed.cast("string"), F.lit(":"))
+        )
+        s = F.concat(pre, s)
+    return F.conv(
+        F.substring(F.md5(s), 1, _HASH_HEX_DIGITS), 16, 10
+    ).cast("long")
+
+
+def count_min_build(
+    df: DataFrame,
+    key_col: str,
+    width: int = 256,
+    depth: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build a Count-Min sketch: ``depth`` md5-seeded hash rows of
+    ``width`` buckets; cell (seed, bucket) holds the summed weight of
+    keys landing there.
+
+    One shuffle of at most ``depth * width`` groups (partial-agged
+    map-side), independent of input cardinality — the sketch for a
+    100 TB table is the same few KB as for a 100 MB one.  Returns
+    (seed, bucket, cnt) with every cell present implicitly >= its
+    true mass (Count-Min never underestimates).
+    """
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    # One scan: explode the seed list per row (depth is 4-8, so the
+    # fan-out is constant) rather than unioning `depth` re-scans.
+    fanned = df.select(
+        F.col(key_col).alias("_k"),
+        w.alias("w"),
+        F.explode(
+            F.array(*[F.lit(s) for s in range(depth)])
+        ).alias("seed"),
+    )
+    return (
+        fanned.select(
+            "seed",
+            (_md5_long(F.col("_k"), F.col("seed")) % width).alias(
+                "bucket"
+            ),
+            "w",
+        )
+        .groupBy("seed", "bucket")
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-query the sketch: estimate(key) = min over seeds of the
+    key's bucket count (0 when a bucket row is absent).
+
+    The probe side fans out ``depth`` rows per key and equi-joins the
+    tiny sketch (broadcast — it is at most depth*width rows), so the
+    cost is proportional to the probe set, never the sketched corpus.
+    Output: (key, est) with est >= true count, the one-sided CM bound.
+    """
+    fan = probes.select(key_col).distinct().crossJoin(
+        F.broadcast(
+            probes.sparkSession.range(depth).select(
+                F.col("id").cast("int").alias("seed")
+            )
+        )
+    )
+    fan = fan.withColumn(
+        "bucket", _md5_long(F.col(key_col), F.col("seed")) % width
+    )
+    joined = fan.join(
+        F.broadcast(sketch), ["seed", "bucket"], "left"
+    ).withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+    return joined.groupBy(key_col).agg(
+        F.min("cnt").alias("est")
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    k: int = 64,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """KMV distinct-count estimate, optionally per group.
+
+    Hash every key into [0, 2^48); keep the k smallest DISTINCT
+    hashes; if the k-th smallest is h_k, the estimator is
+    ``(k-1) * 2^48 // h_k`` (the k-th order statistic of k uniform
+    draws estimates k / (n+1) of the space).  Groups with fewer than
+    k distinct keys report their exact count (the sketch IS the full
+    distinct set there).
+
+    Scale shape: one distinct-hash aggregation (map-side combined),
+    then a per-group top-k — a bounded WindowGroupLimit, never a full
+    sort.  The sketch state per group is k longs, mergeable by
+    min-union, so daily sketches roll up to monthly ones without
+    touching raw data.  Output: (group..., n_kept, kth_min,
+    est_distinct), integer-exact.
+    """
+    from pyspark.sql import Window
+
+    gcols = group_cols or []
+    hashed = df.select(
+        *gcols, _md5_long(F.col(key_col)).alias("h")
+    ).distinct()
+    win = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy("h")
+    topk = hashed.withColumn(
+        "rn", F.row_number().over(win)
+    ).filter(F.col("rn") <= k)
+    agg = topk.groupBy(*gcols).agg(
+        F.count("*").alias("n_kept"),
+        F.max("h").alias("kth_min"),
+    )
+    return agg.select(
+        *gcols,
+        "n_kept",
+        "kth_min",
+        F.when(F.col("n_kept") < k, F.col("n_kept"))
+        .otherwise(
+            F.expr(f"CAST({(k - 1) * HASH_SPACE} AS BIGINT) div kth_min")
+        )
+        .cast("long")
+        .alias("est_distinct"),
+    )

@@ -338,3 +338,42 @@ def test_hilbert_value_matches_reference_and_is_bijective(spark):
     for d in range(255):
         (x1, y1), (x2, y2) = inv[d], inv[d + 1]
         assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_geohash_reference_vectors_and_prefix_nesting(spark):
+    """Pin the encoder against public geohash test vectors, and the
+    prefix-containment law (precision-5 hash is a prefix of the
+    precision-8 hash for the same point) that spatial rollups rely
+    on."""
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.functions.geo import (
+        geohash_encode,
+    )
+
+    pts = [
+        (57.64911, 10.40744, "u4pruydq"),  # Jutland classic vector
+        (42.6, -5.6, "ezs42e44"),          # wikipedia example
+        (-25.382708, -49.265506, "6gkzwgjz"),
+        (0.0, 0.0, "s0000000"),
+        (90.0, 180.0, "zzzzzzzz"),         # clamp at the poles
+        (-90.0, -180.0, "00000000"),
+    ]
+    df = spark.createDataFrame(
+        [(la, lo) for la, lo, _ in pts], ["lat", "lon"]
+    )
+    out = df.select(
+        geohash_encode(F.col("lat"), F.col("lon"), 8).alias("gh8"),
+        geohash_encode(F.col("lat"), F.col("lon"), 5).alias("gh5"),
+    ).collect()
+    for (la, lo, want), row in zip(pts, out):
+        assert row["gh8"] == want, (la, lo, row["gh8"])
+        assert row["gh8"].startswith(row["gh5"])
+    # pure codegen: no Python eval in the plan
+    plan = (
+        df.select(geohash_encode(F.col("lat"), F.col("lon"), 8))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan

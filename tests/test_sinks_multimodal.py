@@ -1314,3 +1314,77 @@ def test_tiff_roundtrip_both_byte_orders_and_dispatch():
         encode_tiff_gray([[7] * 8] * 8)
     )
     assert (w, h, mean, lo, hi) == (8, 8, 7, 7, 7)
+
+
+def test_ima_adpcm_decode_reference_vectors():
+    """Pin the IMA recurrence against hand-computed reference steps
+    (step table entry 0 = 7, index adaptation, int16 clamping)."""
+    from blueforty___etl_data_pipeline_spark.functions.adpcm import (
+        IMA_INDEX_TABLE,
+        IMA_STEP_TABLE,
+        ima_decode_block,
+        ima_decode_nibble,
+    )
+
+    assert len(IMA_STEP_TABLE) == 89
+    assert IMA_STEP_TABLE[0] == 7 and IMA_STEP_TABLE[88] == 32767
+    assert IMA_INDEX_TABLE == [-1, -1, -1, -1, 2, 4, 6, 8]
+
+    # code 0 at index 0: diff = 7 >> 3 = 0, index clamps at 0
+    assert ima_decode_nibble(0, 100, 0) == (100, 0)
+    # code 7 at index 0: diff = 0 + 7//2 + 7//4 = 0+3+1... plus step>>3
+    # diff = (7>>3) + 7 + (7>>1) + (7>>2) = 0 + 7 + 3 + 1 = 11
+    assert ima_decode_nibble(7, 0, 0) == (11, 8)
+    # sign bit subtracts; clamping to int16 floor
+    assert ima_decode_nibble(0xF, -32760, 0) == (-32768, 8)
+    # index never exceeds 88
+    assert ima_decode_nibble(7, 0, 88)[1] == 88
+
+    # block decode: header predictor is sample 0, low nibble first
+    import struct
+
+    block = struct.pack("<hBB", 1000, 0, 0) + bytes([0x70])  # codes 0,7
+    assert ima_decode_block(block) == [1000, 1000, 1011]
+
+
+def test_ima_adpcm_wav_roundtrip_through_decode_audio_real():
+    """Greedy-encode a PCM ramp, wrap as tag-0x11 WAV, decode through
+    the real dispatch; reconstruction must track the encoder's own
+    decoder state exactly (encode→decode determinism), and multi-block
+    streams restart state per block."""
+    from blueforty___etl_data_pipeline_spark.functions.adpcm import (
+        encode_wav_ima_adpcm,
+        ima_decode_nibble,
+        ima_decode_stream,
+        ima_encode_samples,
+    )
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        decode_audio_real,
+    )
+
+    pcm = [int(3000 * ((i % 20) - 10) / 10) for i in range(32)]
+    codes = ima_encode_samples(pcm, predictor=0, index=0)
+    # replay the decoder to get the expected reconstruction
+    pred, idx, recon = 0, 0, [0]
+    for c in codes:
+        pred, idx = ima_decode_nibble(c, pred, idx)
+        recon.append(pred)
+    blob = encode_wav_ima_adpcm(codes, framerate=16000)
+    n, rate, peak, tot = decode_audio_real(blob)
+    assert (n, rate) == (33, 16000)
+    assert peak == max(abs(s) for s in recon)
+    assert tot == sum(abs(s) for s in recon)
+    # lossy but tracking: once the step size has adapted, the smooth
+    # segment of the sawtooth is followed closely (the 5700-sample jump
+    # at the period boundary is unreachable in one 4-bit step — that
+    # transient is inherent to ADPCM, not an implementation defect)
+    errs = [abs(a - b) for a, b in zip(pcm, recon[1:])]
+    assert max(errs[6:20]) < 100
+    assert max(errs[22:]) < 500
+
+    # two independent 20-byte blocks -> 66 samples, state restarts
+    import struct
+
+    block = struct.pack("<hBB", 500, 3, 0) + bytes(16)
+    assert len(ima_decode_stream(block * 2, 20)) == 66
+    assert ima_decode_stream(block * 2, 20)[33] == 500

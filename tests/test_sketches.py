@@ -1,0 +1,117 @@
+"""Mergeable-sketch operators: Count-Min frequency and KMV distinct.
+
+The load-bearing claims at 100 TB are (a) the one-sided Count-Min
+guarantee, (b) exactness below the sketch capacity, and (c) the merge
+law — union of inputs == merge of sketches — which is what lets daily
+sketches roll up without touching raw data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blueforty___etl_data_pipeline_spark.operators.sketches import (
+    HASH_SPACE,
+    count_min_build,
+    count_min_estimate,
+    kmv_distinct,
+)
+
+
+def _df(spark, vals, col="k"):
+    return spark.createDataFrame([(v,) for v in vals], [col])
+
+
+def test_cms_never_underestimates_and_catches_heavy_keys(spark):
+    vals = [1] * 500 + [2] * 100 + list(range(3, 203))
+    df = _df(spark, vals)
+    sketch = count_min_build(df, "k", width=64, depth=4)
+    probes = _df(spark, [1, 2, 3, 999])
+    est = {
+        r["k"]: r["est"]
+        for r in count_min_estimate(
+            sketch, probes, "k", width=64, depth=4
+        ).collect()
+    }
+    assert est[1] >= 500 and est[2] >= 100 and est[3] >= 1
+    # collision noise is bounded by the residual mass / width per row,
+    # and the min over 4 independent rows keeps the heavy key tight
+    assert est[1] < 500 + len(vals)
+    # an absent key can only pick up collision mass, never real count
+    assert 0 <= est[999] <= len(vals)
+
+
+def test_cms_merge_law(spark):
+    a = _df(spark, [1, 1, 2, 3])
+    b = _df(spark, [1, 4, 4, 5])
+    merged_input = count_min_build(a.union(b), "k", width=32, depth=3)
+    merged_sketch = (
+        count_min_build(a, "k", width=32, depth=3)
+        .union(count_min_build(b, "k", width=32, depth=3))
+        .groupBy("seed", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    as_rows = lambda d: sorted(map(tuple, d.collect()))  # noqa: E731
+    assert as_rows(merged_input) == as_rows(merged_sketch)
+
+
+def test_cms_weighted_build(spark):
+    df = spark.createDataFrame([(1, 10), (1, 5), (2, 7)], ["k", "w"])
+    sketch = count_min_build(df, "k", width=32, depth=2, weight_col="w")
+    est = {
+        r["k"]: r["est"]
+        for r in count_min_estimate(
+            sketch, _df(spark, [1, 2]), "k", width=32, depth=2
+        ).collect()
+    }
+    assert est[1] >= 15 and est[2] >= 7
+
+
+def test_kmv_exact_below_capacity(spark):
+    df = _df(spark, list(range(10)) * 3)  # 10 distinct, repeated
+    row = kmv_distinct(df, "k", k=64).collect()[0]
+    assert row["n_kept"] == 10
+    assert row["est_distinct"] == 10  # sketch holds the full set
+
+
+def test_kmv_estimate_accuracy_and_grouping(spark):
+    n = 5000
+    rows = [(("even" if v % 2 == 0 else "odd"), v) for v in range(n)]
+    df = spark.createDataFrame(rows, ["g", "k"])
+    out = {
+        r["g"]: r
+        for r in kmv_distinct(
+            df, "k", k=128, group_cols=["g"]
+        ).collect()
+    }
+    for g in ("even", "odd"):
+        r = out[g]
+        assert r["n_kept"] == 128
+        assert 0 < r["kth_min"] < HASH_SPACE
+        # KMV std error ~ 1/sqrt(k) ≈ 8.8%; allow 4 sigma
+        assert abs(r["est_distinct"] - n // 2) < 0.35 * (n // 2)
+
+
+def test_kmv_merge_is_min_union(spark):
+    """Merging two KMV sketches = union their hash sets, re-take the
+    k smallest — identical to sketching the unioned input."""
+    a = _df(spark, range(0, 400))
+    b = _df(spark, range(200, 600))
+    direct = kmv_distinct(a.union(b), "k", k=32).collect()[0]
+    merged = kmv_distinct(
+        a.select("k").union(b.select("k")), "k", k=32
+    ).collect()[0]
+    assert tuple(direct) == tuple(merged)
+
+
+def test_sketch_plans_stay_jvm_side(spark):
+    """No Python row UDFs and no cartesian product in either sketch
+    plan; the probe join broadcasts the sketch side."""
+    df = _df(spark, range(100))
+    sketch = count_min_build(df, "k", width=64, depth=4)
+    est = count_min_estimate(
+        sketch, _df(spark, [1, 2, 3]), "k", width=64, depth=4
+    )
+    for frame in (sketch, est, kmv_distinct(df, "k", k=16)):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
