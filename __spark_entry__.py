@@ -10504,6 +10504,72 @@ FROM est e LEFT JOIN exact x USING (partkey)
 """
 
 
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (operators/temporal.acf) of daily
+    order revenue at lags 1..14 — the periodicity detector (weekly
+    cycles peak at lag 7).  Raw orders roll up to a bounded daily
+    series first (the 100 TB-heavy pass); the ACF itself runs exact
+    DECIMAL(38,0) moments with floats only in the final ratio, so
+    DuckDB reproduces acf_e6 exactly via HUGEINT."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.temporal import acf
+
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias(
+                "t"
+            ),
+            (
+                F.col("o_totalprice").cast("decimal(18,2)") * 100
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("t")
+        .agg(F.expr("sum(cents) div 100").alias("dollars"))
+    )
+    return acf(daily, "t", "dollars", max_lag=14)
+
+
+_SQL_ACF_DAILY = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1992-01-01',
+                        CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           // 100 AS x
+  FROM orders GROUP BY 1),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT)
+           AS ss
+  FROM daily),
+lags AS (SELECT CAST(range AS INTEGER) + 1 AS lag FROM range(14)),
+per_lag AS (
+  SELECT l.lag,
+         CAST(COUNT(*) AS HUGEINT) AS n_k,
+         CAST(SUM(CAST(a.x AS HUGEINT) * CAST(b.x AS HUGEINT))
+              AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(a.x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(b.x AS HUGEINT)) AS HUGEINT) AS sy
+  FROM lags l
+  JOIN daily a ON TRUE
+  JOIN daily b ON b.t = a.t + l.lag
+  GROUP BY l.lag)
+SELECT CAST(p.lag AS INTEGER) AS lag,
+       CAST(p.n_k AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN m.n * (m.n * m.ss - m.s * m.s) > 0 THEN
+         FLOOR(1000000.0 *
+           CAST(m.n * m.n * p.sxy - m.n * m.s * (p.sx + p.sy)
+                + p.n_k * m.s * m.s AS DOUBLE)
+           / CAST(m.n * (m.n * m.ss - m.s * m.s) AS DOUBLE))
+       END AS BIGINT) AS acf_e6
+FROM per_lag p CROSS JOIN m
+ORDER BY lag
+"""
+
+
 def q_geohash_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Base-32 geohash spatial keys (functions/geo.geohash_encode,
     verified against the public test vectors u4pruydq/ezs42): encode
@@ -10983,6 +11049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_frequency": q_cms_frequency,
         "kmv_distinct": q_kmv_distinct,
         "geohash_tiles": q_geohash_tiles,
+        "acf_daily": q_acf_daily,
         "hilbert_key": q_hilbert_key,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
@@ -11202,6 +11269,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_frequency": _SQL_CMS_FREQUENCY,
         "kmv_distinct": _SQL_KMV_DISTINCT,
         "geohash_tiles": _sql_geohash_tiles(),
+        "acf_daily": _SQL_ACF_DAILY,
         "hilbert_key": _sql_hilbert_key(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,

@@ -339,6 +339,8 @@ HEADLINE = [
     "kmv_distinct",
     # round-6: base-32 geohash spatial keys (public-vector-pinned)
     "geohash_tiles",
+    # round-6: autocorrelation function over the daily revenue series
+    "acf_daily",
 ]
 
 

@@ -494,3 +494,90 @@ def cusum_shift(
             == F.max(F.abs(F.col("cusum_scaled"))).over(peak)
         ).alias("is_peak"),
     )
+
+
+def acf(
+    series: DataFrame,
+    t_col: str,
+    v_col: str,
+    max_lag: int = 14,
+) -> DataFrame:
+    """Autocorrelation function of a regular series at lags 1..max_lag
+    — the periodicity detector behind seasonality discovery (a weekly
+    cycle shows as a peak at lag 7) and change-monitoring.
+
+    ``series`` must hold ONE row per integer period index ``t_col``
+    with an integer-valued ``v_col`` (pre-aggregate first — at 100 TB
+    the raw-to-period rollup is the heavy, map-side-combinable pass;
+    this function then runs on the bounded period table).
+
+    Exactness contract (the corr_matrix pattern): all moment sums are
+    exact DECIMAL(38,0); the classic estimator
+
+        r_k = sum_{t<=n-k} (x_t - mean)(x_{t+k} - mean)
+              / sum_t (x_t - mean)^2
+
+    is cleared of the 1/n mean by multiplying through by n^2:
+
+        r_k = N_k / (n * D),   with
+        N_k = n^2*S_xy(k) - n*S*(S_x(k) + S_y(k)) + n_k*S^2
+        D   = n*SS - S^2
+
+    so floats appear only in the final ratio of two already-exact
+    scalars — deterministic on every engine.  Output: (lag, n_pairs,
+    acf_e6) with acf_e6 = floor(1e6 * r_k).
+
+    Scale shape: the lag fan-out explodes max_lag rows per period and
+    equi-joins the series to itself on the shifted index — shuffle
+    volume max_lag * |periods|, never touching raw rows.
+    """
+    d38 = "decimal(38,0)"
+    v = F.col(v_col).cast(d38)
+    base = series.select(
+        F.col(t_col).cast("long").alias("t"), v.alias("x")
+    )
+    moments = base.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    lags = F.array(*[F.lit(k) for k in range(1, max_lag + 1)])
+    left = base.select(
+        "t", F.col("x").alias("x_t"), F.explode(lags).alias("lag")
+    ).withColumn("t_pair", F.col("t") + F.col("lag"))
+    right = base.select(
+        F.col("t").alias("t_pair"), F.col("x").alias("x_tk")
+    )
+    per_lag = (
+        left.join(right, "t_pair")
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast(d38).alias("n_k"),
+            F.sum(F.col("x_t") * F.col("x_tk")).alias("sxy"),
+            F.sum("x_t").alias("sx"),
+            F.sum("x_tk").alias("sy"),
+        )
+    )
+    j = per_lag.crossJoin(F.broadcast(moments))
+    num = (
+        F.col("n") * F.col("n") * F.col("sxy")
+        - F.col("n") * F.col("s") * (F.col("sx") + F.col("sy"))
+        + F.col("n_k") * F.col("s") * F.col("s")
+    )
+    den = F.col("n") * (
+        F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    )
+    return j.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n_k").cast("long").alias("n_pairs"),
+        F.when(
+            den > 0,
+            F.floor(
+                F.lit(1000000.0)
+                * num.cast("double")
+                / den.cast("double")
+            ),
+        )
+        .cast("long")
+        .alias("acf_e6"),
+    ).orderBy("lag")

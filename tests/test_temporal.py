@@ -410,3 +410,35 @@ def test_ab_proportion_test_requires_two_variants(spark):
 
     df = spark.createDataFrame([(0, 1)] * 5, "variant int, converted int")
     assert ab_proportion_test(df, "variant", "converted").count() == 0
+
+
+def test_acf_alternating_and_periodic_series(spark):
+    """ACF ground truths: a strict alternation has r_1 = -1 and
+    r_2 = +1 (up to the finite-sample end effect), a period-4 cycle
+    peaks at lag 4, and a constant series has NULL acf (zero
+    variance)."""
+    from blueforty___etl_data_pipeline_spark.operators.temporal import acf
+
+    alt = spark.createDataFrame(
+        [(t, 100 if t % 2 == 0 else -100) for t in range(40)],
+        ["t", "v"],
+    )
+    out = {r["lag"]: r for r in acf(alt, "t", "v", max_lag=4).collect()}
+    assert out[1]["n_pairs"] == 39
+    # finite-sample: |r_1 + 1| small, |r_2 - 1| small (e6 scale)
+    assert out[1]["acf_e6"] < -900000
+    assert out[2]["acf_e6"] > 900000
+
+    per4 = spark.createDataFrame(
+        [(t, [10, 0, -10, 0][t % 4]) for t in range(48)], ["t", "v"]
+    )
+    r = {
+        row["lag"]: row["acf_e6"]
+        for row in acf(per4, "t", "v", max_lag=4).collect()
+    }
+    assert r[4] > r[1] and r[4] > r[2] and r[4] > r[3]
+    assert r[4] > 900000 and r[2] < -900000
+
+    const = spark.createDataFrame([(t, 7) for t in range(10)], ["t", "v"])
+    rows = acf(const, "t", "v", max_lag=2).collect()
+    assert all(row["acf_e6"] is None for row in rows)
