@@ -10504,6 +10504,84 @@ FROM est e LEFT JOIN exact x USING (partkey)
 """
 
 
+def q_midi_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Standard-MIDI-File parse under the driver's oracle (the
+    symbolic-music corpus modality): each sampled document becomes a
+    genuine format-0 SMF — VLQ delta times, a tempo meta event, and
+    RUNNING-STATUS note-offs — parsed back through functions/midi.py
+    inside an Arrow-batched stage.  Lossless integer container, so
+    the oracle reproduces every stat from md5 hex pairs."""
+    _prep(spark)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 40 == 18)
+    )
+
+    def roundtrip(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.midi import (
+            encode_midi,
+            midi_stats,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = _hl.md5(text.encode("utf-8")).digest()
+                notes = [
+                    (
+                        d[i] % 128,
+                        64,
+                        d[i + 8] % 100,
+                        d[i + 8] % 480 + 1,
+                    )
+                    for i in range(8)
+                ]
+                blob = encode_midi(notes)
+                nt, div, tempo, nn, sp, tt = midi_stats(blob)
+                rows.append((doc_id, nt, div, tempo, nn, sp, tt))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_tracks", "division", "tempo_us",
+                    "n_notes", "sum_pitch", "total_ticks",
+                ],
+            )
+
+    return docs.mapInPandas(
+        roundtrip,
+        schema=(
+            "doc_id long, n_tracks int, division int, tempo_us int, "
+            "n_notes int, sum_pitch long, total_ticks long"
+        ),
+    )
+
+
+def _sql_midi_decode_real() -> str:
+    def byte(k: int) -> str:
+        return f"CAST(('0x' || substr(h, {2 * k + 1}, 2)) AS INTEGER)"
+
+    sum_pitch = " + ".join(f"({byte(i)} % 128)" for i in range(8))
+    total_ticks = " + ".join(
+        f"(({byte(i + 8)} % 100) + ({byte(i + 8)} % 480 + 1))"
+        for i in range(8)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id % 40 = 18)
+SELECT doc_id,
+       1 AS n_tracks, 480 AS division, 500000 AS tempo_us,
+       8 AS n_notes,
+       CAST({sum_pitch} AS BIGINT) AS sum_pitch,
+       CAST({total_ticks} AS BIGINT) AS total_ticks
+FROM t
+"""
+
+
 def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation function (operators/temporal.acf) of daily
     order revenue at lags 1..14 — the periodicity detector (weekly
@@ -11050,6 +11128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "geohash_tiles": q_geohash_tiles,
         "acf_daily": q_acf_daily,
+        "midi_decode_real": q_midi_decode_real,
         "hilbert_key": q_hilbert_key,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
@@ -11270,6 +11349,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": _SQL_KMV_DISTINCT,
         "geohash_tiles": _sql_geohash_tiles(),
         "acf_daily": _SQL_ACF_DAILY,
+        "midi_decode_real": _sql_midi_decode_real(),
         "hilbert_key": _sql_hilbert_key(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,

@@ -341,6 +341,8 @@ HEADLINE = [
     "geohash_tiles",
     # round-6: autocorrelation function over the daily revenue series
     "acf_daily",
+    # round-6: Standard MIDI File parse (symbolic-music modality)
+    "midi_decode_real",
 ]
 
 

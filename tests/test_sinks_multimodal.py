@@ -1388,3 +1388,58 @@ def test_ima_adpcm_wav_roundtrip_through_decode_audio_real():
     block = struct.pack("<hBB", 500, 3, 0) + bytes(16)
     assert len(ima_decode_stream(block * 2, 20)) == 66
     assert ima_decode_stream(block * 2, 20)[33] == 500
+
+
+def test_midi_vlq_running_status_and_multitrack():
+    """SMF parser edge cases: VLQ boundaries, running status, sysex
+    and unknown-meta skipping, format-1 multitrack max-ticks."""
+    import struct
+
+    from blueforty___etl_data_pipeline_spark.functions.midi import (
+        HEADER_MAGIC,
+        TRACK_MAGIC,
+        encode_midi,
+        midi_stats,
+        read_vlq,
+        write_vlq,
+    )
+
+    for v in (0, 1, 127, 128, 16383, 16384, 0x0FFFFFFF):
+        assert read_vlq(write_vlq(v), 0)[0] == v
+    assert write_vlq(128) == b"\x81\x00"  # two-byte boundary
+
+    notes = [(60, 100, 0, 480), (64, 100, 0, 480), (67, 100, 240, 960)]
+    blob = encode_midi(notes, tempo_us=600_000, division=96)
+    nt, div, tempo, nn, sp, tt = midi_stats(blob)
+    assert (nt, div, tempo, nn) == (1, 96, 600_000, 3)
+    assert sp == 60 + 64 + 67
+    assert tt == (0 + 480) + (0 + 480) + (240 + 960)
+
+    # hand-build a format-1 file: track A has a sysex + unknown meta,
+    # track B is longer in ticks; parser must skip unknowns and take
+    # the max track length
+    def track(events: bytes) -> bytes:
+        body = events + write_vlq(0) + bytes([0xFF, 0x2F, 0x00])
+        return TRACK_MAGIC + struct.pack(">I", len(body)) + body
+
+    ta = (
+        write_vlq(0) + bytes([0xF0]) + write_vlq(3) + b"\x01\x02\xf7"
+        + write_vlq(10) + bytes([0xFF, 0x7F]) + write_vlq(2) + b"ab"
+        + write_vlq(5) + bytes([0x90, 60, 80])
+        + write_vlq(0) + bytes([60, 0])  # running-status off
+    )
+    tb = write_vlq(2000) + bytes([0xC5, 7])  # program change, 1 data byte
+    head = HEADER_MAGIC + struct.pack(">IHHH", 6, 1, 2, 480)
+    nt, div, tempo, nn, sp, tt = midi_stats(head + track(ta) + track(tb))
+    assert (nt, div, tempo) == (2, 480, 0)
+    assert (nn, sp) == (1, 60)
+    assert tt == 2000  # track B is the longest
+
+    # feature gates: refuse non-SMF and format 2
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        midi_stats(b"RIFFxxxx")
+    bad = HEADER_MAGIC + struct.pack(">IHHH", 6, 2, 1, 480)
+    with _pt.raises(NotImplementedError):
+        midi_stats(bad + track(tb))
