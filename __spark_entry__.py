@@ -10504,6 +10504,56 @@ FROM est e LEFT JOIN exact x USING (partkey)
 """
 
 
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend (operators/temporal.theil_sen_slope)
+    of monthly order revenue — median of pairwise slopes, immune to
+    ~29% outlier months.  Pair slopes are floored integer permille
+    and the even-count median takes the lower middle, so the single
+    output row is engine-exact."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        theil_sen_slope,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = (
+        o.select(
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+            ).alias("t"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("t")
+        .agg(F.expr("sum(cents) div 100").alias("dollars"))
+    )
+    return theil_sen_slope(monthly, "t", "dollars")
+
+
+_SQL_THEIL_SEN = """
+WITH monthly AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS t,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           // 100 AS v
+  FROM orders GROUP BY 1),
+pairs AS (
+  SELECT CAST(FLOOR(1000.0 * (b.v - a.v) / (b.t - a.t)) AS BIGINT)
+           AS slope_pm
+  FROM monthly a JOIN monthly b ON b.t > a.t),
+ranked AS (
+  SELECT slope_pm,
+         ROW_NUMBER() OVER (ORDER BY slope_pm) AS rn,
+         COUNT(*) OVER () AS m
+  FROM pairs)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM monthly) AS n_periods,
+       CAST(m AS BIGINT) AS n_pairs,
+       slope_pm AS slope_permille
+FROM ranked WHERE rn = CAST(FLOOR((m + 1) / 2) AS BIGINT)
+"""
+
+
 def q_midi_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Standard-MIDI-File parse under the driver's oracle (the
     symbolic-music corpus modality): each sampled document becomes a
@@ -11129,6 +11179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_tiles": q_geohash_tiles,
         "acf_daily": q_acf_daily,
         "midi_decode_real": q_midi_decode_real,
+        "theil_sen": q_theil_sen,
         "hilbert_key": q_hilbert_key,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
@@ -11350,6 +11401,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash_tiles": _sql_geohash_tiles(),
         "acf_daily": _SQL_ACF_DAILY,
         "midi_decode_real": _sql_midi_decode_real(),
+        "theil_sen": _SQL_THEIL_SEN,
         "hilbert_key": _sql_hilbert_key(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,

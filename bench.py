@@ -343,6 +343,8 @@ HEADLINE = [
     "acf_daily",
     # round-6: Standard MIDI File parse (symbolic-music modality)
     "midi_decode_real",
+    # round-6: Theil-Sen robust trend (median of pairwise slopes)
+    "theil_sen",
 ]
 
 

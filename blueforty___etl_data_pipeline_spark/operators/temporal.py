@@ -581,3 +581,62 @@ def acf(
         .cast("long")
         .alias("acf_e6"),
     ).orderBy("lag")
+
+
+def theil_sen_slope(
+    series: DataFrame,
+    t_col: str,
+    v_col: str,
+) -> DataFrame:
+    """Theil-Sen robust trend: the median of all pairwise slopes
+    (v_j - v_i) / (t_j - t_i), i < j — the estimator that shrugs off
+    ~29% outlier contamination where least squares folds at one bad
+    point.
+
+    Like :func:`acf`, this runs on a PRE-AGGREGATED period series
+    (one row per integer period): the pair set is |periods|²/2, which
+    is bounded by the calendar, not the corpus — the 100 TB-heavy
+    raw-to-period rollup happens upstream as a map-side-combinable
+    aggregation.  The small series side is broadcast, so the pair
+    generation is a BroadcastNestedLoopJoin, never a shuffled
+    cartesian.
+
+    Exactness contract: each pair slope is floored to integer
+    permille (FLOOR(1000.0 * dv / dt), IEEE-identical on any engine),
+    and the median of an even count takes the LOWER middle — so the
+    output is a single deterministic integer, not an engine-dependent
+    float average.  Output: one row (n_periods, n_pairs,
+    slope_permille).
+    """
+    a = series.select(
+        F.col(t_col).cast("long").alias("t1"),
+        F.col(v_col).cast("long").alias("v1"),
+    )
+    b = series.select(
+        F.col(t_col).cast("long").alias("t2"),
+        F.col(v_col).cast("long").alias("v2"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("t2") > F.col("t1")).select(
+        F.floor(
+            F.lit(1000.0)
+            * (F.col("v2") - F.col("v1")).cast("double")
+            / (F.col("t2") - F.col("t1")).cast("double")
+        ).alias("slope_pm")
+    )
+    ranked = pairs.select(
+        "slope_pm",
+        F.row_number()
+        .over(Window.orderBy("slope_pm"))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("m"),
+    )
+    n_row = series.agg(F.count("*").cast("long").alias("n_periods"))
+    return (
+        ranked.filter(F.col("rn") == F.floor((F.col("m") + 1) / 2))
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "n_periods",
+            F.col("m").cast("long").alias("n_pairs"),
+            F.col("slope_pm").cast("long").alias("slope_permille"),
+        )
+    )

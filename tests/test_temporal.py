@@ -442,3 +442,35 @@ def test_acf_alternating_and_periodic_series(spark):
     const = spark.createDataFrame([(t, 7) for t in range(10)], ["t", "v"])
     rows = acf(const, "t", "v", max_lag=2).collect()
     assert all(row["acf_e6"] is None for row in rows)
+
+
+def test_theil_sen_robust_to_outliers(spark):
+    """Ground truth: a clean line v = 5t + 3 gives slope 5000
+    permille even when 25% of points are wrecked by huge outliers
+    (where OLS would be pulled far off); even-count median takes the
+    lower middle deterministically."""
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        theil_sen_slope,
+    )
+
+    clean = [(t, 5 * t + 3) for t in range(20)]
+    r = theil_sen_slope(
+        spark.createDataFrame(clean, ["t", "v"]), "t", "v"
+    ).collect()[0]
+    assert r["n_periods"] == 20
+    assert r["n_pairs"] == 190
+    assert r["slope_permille"] == 5000
+
+    wrecked = [
+        (t, (5 * t + 3 + (10_000_000 if t % 4 == 0 else 0)))
+        for t in range(20)
+    ]
+    r2 = theil_sen_slope(
+        spark.createDataFrame(wrecked, ["t", "v"]), "t", "v"
+    ).collect()[0]
+    assert r2["slope_permille"] == 5000  # median shrugs off 25% junk
+
+    # two points: single pair, slope floor(1000 * dv / dt)
+    two = spark.createDataFrame([(0, 0), (3, 10)], ["t", "v"])
+    r3 = theil_sen_slope(two, "t", "v").collect()[0]
+    assert (r3["n_pairs"], r3["slope_permille"]) == (1, 3333)
