@@ -10504,6 +10504,54 @@ FROM est e LEFT JOIN exact x USING (partkey)
 """
 
 
+def q_webdataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar shard export (sinks.write_webdataset_shards):
+    sampled documents shard 4 ways and materialize as byte-
+    deterministic USTAR tars under .tmp/; the returned manifest's
+    tar_bytes column is exact USTAR arithmetic (512-byte headers,
+    512 payload padding, 1024 end marker, 10240 record padding), so
+    the oracle verifies the physical tar sizes without reading a
+    byte of tar."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.sinks import (
+        write_webdataset_shards,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 40 == 22)
+        .select(
+            "doc_id",
+            F.col("text").cast("string").alias("payload"),
+            (F.expr("doc_id div 40") % 4).cast("int").alias("shard_id"),
+        )
+    )
+    return write_webdataset_shards(
+        docs,
+        "/root/repo/.tmp/webdataset",
+        key_col="doc_id",
+        payload_col="payload",
+    ).orderBy("shard_id")
+
+
+_SQL_WEBDATASET_EXPORT = """
+WITH items AS (
+  SELECT CAST((doc_id // 40) % 4 AS INTEGER) AS shard_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS nb
+  FROM documents WHERE doc_id % 40 = 22),
+shards AS (
+  SELECT shard_id,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(nb) AS BIGINT) AS payload_bytes,
+         CAST(SUM(512 + ((nb + 511) // 512) * 512) + 1024 AS BIGINT)
+           AS raw_bytes
+  FROM items GROUP BY shard_id)
+SELECT shard_id, n_items, payload_bytes,
+       ((raw_bytes + 10239) // 10240) * 10240 AS tar_bytes
+FROM shards ORDER BY shard_id
+"""
+
+
 def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust trend (operators/temporal.theil_sen_slope)
     of monthly order revenue — median of pairwise slopes, immune to
@@ -11180,6 +11228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_daily": q_acf_daily,
         "midi_decode_real": q_midi_decode_real,
         "theil_sen": q_theil_sen,
+        "webdataset_export": q_webdataset_export,
         "hilbert_key": q_hilbert_key,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
@@ -11402,6 +11451,7 @@ def oracle_sql() -> dict[str, str]:
         "acf_daily": _SQL_ACF_DAILY,
         "midi_decode_real": _sql_midi_decode_real(),
         "theil_sen": _SQL_THEIL_SEN,
+        "webdataset_export": _SQL_WEBDATASET_EXPORT,
         "hilbert_key": _sql_hilbert_key(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,

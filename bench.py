@@ -345,6 +345,8 @@ HEADLINE = [
     "midi_decode_real",
     # round-6: Theil-Sen robust trend (median of pairwise slopes)
     "theil_sen",
+    # round-6: WebDataset tar shard export (USTAR-arithmetic oracle)
+    "webdataset_export",
 ]
 
 

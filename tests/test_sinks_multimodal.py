@@ -1443,3 +1443,59 @@ def test_midi_vlq_running_status_and_multitrack():
     bad = HEADER_MAGIC + struct.pack(">IHHH", 6, 2, 1, 480)
     with _pt.raises(NotImplementedError):
         midi_stats(bad + track(tb))
+
+
+def test_webdataset_shards_readable_and_deterministic(spark, tmp_path):
+    """The written tars are REAL tars: readable by stdlib tarfile,
+    members sorted by key with the exact payload bytes, manifest
+    tar_bytes equals the physical file size, and a re-run produces
+    byte-identical shards (content-addressable export)."""
+    import hashlib
+    import tarfile
+
+    from blueforty___etl_data_pipeline_spark.sinks import (
+        write_webdataset_shards,
+    )
+
+    rows = [
+        (i, f"document-{i} " * (i + 1), i % 2) for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload string, shard_id int"
+    )
+    out = str(tmp_path / "wds")
+    manifest = {
+        r["shard_id"]: r
+        for r in write_webdataset_shards(
+            df, out, key_col="doc_id", payload_col="payload"
+        ).collect()
+    }
+    assert set(manifest) == {0, 1}
+    digests = {}
+    for sid, m in manifest.items():
+        p = f"{out}/shard-{sid:06d}.tar"
+        import os
+
+        assert os.path.getsize(p) == m["tar_bytes"]
+        with tarfile.open(p) as tar:
+            names = tar.getnames()
+            assert names == sorted(names)
+            assert len(names) == m["n_items"]
+            total = 0
+            for name in names:
+                data = tar.extractfile(name).read()
+                doc_id = int(name.split(".")[0])
+                assert data.decode() == f"document-{doc_id} " * (
+                    doc_id + 1
+                )
+                total += len(data)
+            assert total == m["payload_bytes"]
+        digests[sid] = hashlib.md5(open(p, "rb").read()).hexdigest()
+
+    # re-run: atomic overwrite with byte-identical content
+    write_webdataset_shards(
+        df, out, key_col="doc_id", payload_col="payload"
+    ).collect()
+    for sid, d in digests.items():
+        p = f"{out}/shard-{sid:06d}.tar"
+        assert hashlib.md5(open(p, "rb").read()).hexdigest() == d
