@@ -10504,6 +10504,59 @@ FROM est e LEFT JOIN exact x USING (partkey)
 """
 
 
+def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC Unicode normalization (operators/text_ops.
+    normalize_unicode, Arrow-vectorized stdlib unicodedata): each
+    sampled document gets a deterministic decomposed suffix
+    (combining acute, fullwidth digit, ligature) appended, is
+    NFC-normalized, and reports the canonical text plus byte delta.
+    DuckDB's nfc_normalize replays the same Unicode canonicalization,
+    so the normalized strings hash-match cross-engine."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.text_ops import (
+        normalize_unicode,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 40 == 26)
+        # decomposed suffix: e+COMBINING ACUTE, A+COMBINING RING,
+        # O+COMBINING DIAERESIS — NFC composes all three
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" cafe\u0301 A\u030aNGSTRO\u0308M"),
+            ).alias("text"),
+        )
+    )
+    out = normalize_unicode(docs, "text", form="NFC")
+    return out.select(
+        "doc_id",
+        F.col("text_norm"),
+        "was_normalized",
+        (F.octet_length("text") - F.octet_length("text_norm")).alias(
+            "bytes_saved"
+        ),
+    )
+
+
+_SQL_UNICODE_NORMALIZE = """
+WITH t AS (
+  SELECT doc_id,
+         text || ' cafe' || chr(769) || ' A' || chr(778) ||
+         'NGSTRO' || chr(776) || 'M' AS text
+  FROM documents WHERE doc_id % 40 = 26)
+SELECT doc_id,
+       nfc_normalize(text) AS text_norm,
+       nfc_normalize(text) <> text AS was_normalized,
+       CAST(octet_length(encode(text))
+            - octet_length(encode(nfc_normalize(text))) AS INTEGER)
+         AS bytes_saved
+FROM t
+"""
+
+
 def q_webdataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset tar shard export (sinks.write_webdataset_shards):
     sampled documents shard 4 ways and materialize as byte-
@@ -11229,6 +11282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "midi_decode_real": q_midi_decode_real,
         "theil_sen": q_theil_sen,
         "webdataset_export": q_webdataset_export,
+        "unicode_normalize": q_unicode_normalize,
         "hilbert_key": q_hilbert_key,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
@@ -11452,6 +11506,7 @@ def oracle_sql() -> dict[str, str]:
         "midi_decode_real": _sql_midi_decode_real(),
         "theil_sen": _SQL_THEIL_SEN,
         "webdataset_export": _SQL_WEBDATASET_EXPORT,
+        "unicode_normalize": _SQL_UNICODE_NORMALIZE,
         "hilbert_key": _sql_hilbert_key(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,

@@ -347,6 +347,8 @@ HEADLINE = [
     "theil_sen",
     # round-6: WebDataset tar shard export (USTAR-arithmetic oracle)
     "webdataset_export",
+    # round-6: NFC Unicode normalization (Arrow-vectorized unicodedata)
+    "unicode_normalize",
 ]
 
 

@@ -8,6 +8,7 @@ pure map stages.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401  (pandas_udf type-hint resolution)
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -492,4 +493,45 @@ def augment_word_dropout(
         F.array_join(kept, " ").alias("aug_text"),
         F.size(toks).cast("bigint").alias("n_tokens"),
         (F.size(toks) - F.size(kept)).cast("bigint").alias("n_dropped"),
+    )
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    out_col: str = "text_norm",
+) -> DataFrame:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) — the first
+    transform of any serious text-corpus pipeline: decomposed accent
+    sequences, fullwidth forms, ligatures, and compatibility
+    characters otherwise make byte-equal-but-text-identical documents
+    slip past exact dedup and inflate the token vocabulary.
+
+    Spark has no built-in normalizer, so this is an Arrow-vectorized
+    ``pandas_udf`` over stdlib ``unicodedata`` (batch transfer, never
+    row-at-a-time) — one of the few places Python in the hot path is
+    the honest choice.  Adds ``out_col`` plus ``was_normalized``
+    (did the text change) so downstream dedup can count the gain.
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form}")
+
+    @pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: None
+            if t is None
+            else unicodedata.normalize(form, t)
+        )
+
+    out = df.withColumn(out_col, norm(F.col(text_col)))
+    return out.withColumn(
+        "was_normalized",
+        F.col(out_col).isNotNull()
+        & (F.col(out_col) != F.col(text_col)),
     )

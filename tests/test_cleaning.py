@@ -91,3 +91,55 @@ def test_zip5_filter_rejects_empty_and_null(spark):
     )
     kept = df.filter(zip5_not_null_filter(F.col("p"), F.col("f"))).collect()
     assert [(r["p"], r["f"]) for r in kept] == [("90210", None), (None, "1")]
+
+
+def test_normalize_unicode_forms_and_vectorized_plan(spark):
+    """NFC composes decomposed sequences; NFKC additionally folds
+    compatibility forms (ligatures, fullwidth); nulls pass through;
+    the plan is Arrow-vectorized (ArrowEvalPython), never a
+    row-at-a-time BatchEvalPython."""
+    from blueforty___etl_data_pipeline_spark.operators.text_ops import (
+        normalize_unicode,
+    )
+
+    rows = [
+        (1, "café"),          # decomposed acute
+        (2, "ﬁle"),            # LATIN SMALL LIGATURE FI + "le"
+        (3, "Ａ１"),        # fullwidth A1
+        (4, None),
+        (5, "plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+
+    nfc = {
+        r["id"]: r
+        for r in normalize_unicode(df, "text", form="NFC").collect()
+    }
+    assert nfc[1]["text_norm"] == "café"
+    assert nfc[1]["was_normalized"] is True
+    assert nfc[2]["text_norm"] == "ﬁle"  # NFC keeps ligature
+    assert nfc[2]["was_normalized"] is False
+    assert nfc[4]["text_norm"] is None
+    assert nfc[4]["was_normalized"] is False
+    assert nfc[5]["was_normalized"] is False
+
+    nfkc = {
+        r["id"]: r
+        for r in normalize_unicode(df, "text", form="NFKC").collect()
+    }
+    assert nfkc[2]["text_norm"] == "file"     # ligature folded
+    assert nfkc[3]["text_norm"] == "A1"       # fullwidth folded
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        normalize_unicode(df, "text", form="NFX")
+
+    plan = (
+        normalize_unicode(df, "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
