@@ -10504,6 +10504,70 @@ FROM est e LEFT JOIN exact x USING (partkey)
 """
 
 
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (operators/analytics.cohens_kappa) between two
+    independent document labelers — a char-length tercile rater and a
+    whitespace-word-count tercile rater: correlated but not
+    identical, so kappa lands strictly between chance (0) and perfect
+    (1e6).  Exact-integer kappa = (A*n - P)/(n^2 - P); the oracle
+    replays the contingency arithmetic."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        cohens_kappa,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.when(F.col("n_chars") < 150, "short")
+        .when(F.col("n_chars") < 400, "mid")
+        .otherwise("long")
+        .alias("rater_len"),
+        F.when(
+            F.expr("length(text) - length(replace(text, ' ', ''))") < 25,
+            "short",
+        )
+        .when(
+            F.expr("length(text) - length(replace(text, ' ', ''))") < 70,
+            "mid",
+        )
+        .otherwise("long")
+        .alias("rater_wc"),
+    )
+    return cohens_kappa(docs, "rater_len", "rater_wc")
+
+
+_SQL_COHENS_KAPPA = """
+WITH pairs AS (
+  SELECT CASE WHEN n_chars < 150 THEN 'short'
+              WHEN n_chars < 400 THEN 'mid' ELSE 'long' END AS a,
+         CASE WHEN length(text) - length(replace(text, ' ', '')) < 25
+                THEN 'short'
+              WHEN length(text) - length(replace(text, ' ', '')) < 70
+                THEN 'mid' ELSE 'long' END AS b
+  FROM documents),
+marg AS (
+  SELECT CAST(COALESCE(SUM(na * nb), 0) AS BIGINT) AS p
+  FROM (SELECT a, CAST(COUNT(*) AS BIGINT) AS na FROM pairs GROUP BY a) x
+  JOIN (SELECT b, CAST(COUNT(*) AS BIGINT) AS nb FROM pairs GROUP BY b) y
+    ON x.a = y.b),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+  FROM pairs)
+SELECT n, agree,
+       CAST(FLOOR(1e6 * CAST(agree AS DOUBLE) / CAST(n AS DOUBLE))
+            AS BIGINT) AS po_e6,
+       CAST(FLOOR(1e6 * CAST(p AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+            AS BIGINT) AS pe_e6,
+       CAST(FLOOR(1e6 * (CAST(agree AS DOUBLE) * CAST(n AS DOUBLE)
+                         - CAST(p AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                     - CAST(p AS DOUBLE)))
+            AS BIGINT) AS kappa_e6
+FROM base CROSS JOIN marg
+"""
+
+
 def q_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delete-d jackknife standard error of mean order value
     (operators/profile.jackknife_mean): 20 md5-hashed folds, exact
@@ -11338,6 +11402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webdataset_export": q_webdataset_export,
         "unicode_normalize": q_unicode_normalize,
         "jackknife_se": q_jackknife_se,
+        "cohens_kappa": q_cohens_kappa,
         "hilbert_key": q_hilbert_key,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
@@ -11563,6 +11628,7 @@ def oracle_sql() -> dict[str, str]:
         "webdataset_export": _SQL_WEBDATASET_EXPORT,
         "unicode_normalize": _SQL_UNICODE_NORMALIZE,
         "jackknife_se": _SQL_JACKKNIFE_SE,
+        "cohens_kappa": _SQL_COHENS_KAPPA,
         "hilbert_key": _sql_hilbert_key(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,

@@ -351,6 +351,8 @@ HEADLINE = [
     "unicode_normalize",
     # round-6: delete-d jackknife standard error (mergeable fold table)
     "jackknife_se",
+    # round-6: Cohen's kappa chance-corrected labeler agreement
+    "cohens_kappa",
 ]
 
 

@@ -549,3 +549,60 @@ def ab_proportion_test(
         z_e6.alias("z_e6"),
         (F.abs(z_e6) >= F.lit(int(z_critical_e6))).alias("significant"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two
+    categorical labelers, the standard quality gate when two
+    annotation pipelines (a heuristic and a model, or two model
+    versions) label the same corpus: raw agreement flatters whenever
+    the label distribution is skewed; kappa subtracts the agreement
+    two independent raters would reach by luck.
+
+    Exact-integer formulation: with A = # agreeing rows,
+    P = sum_c n_a(c) * n_b(c) (the chance-agreement mass), and n rows,
+
+        kappa = (A*n - P) / (n^2 - P)
+
+    — every term an exact integer from two aggregations (one over
+    rows, one over the label-pair contingency, both map-side
+    combinable; the per-label marginal join is a broadcast of
+    |labels| rows).  Output: one row (n, agree, po_e6, pe_e6,
+    kappa_e6), all floors of exact-integer ratios.
+    """
+    pairs = df.select(
+        F.col(rater_a).alias("a"), F.col(rater_b).alias("b")
+    )
+    marg_a = pairs.groupBy("a").agg(F.count("*").alias("na"))
+    marg_b = pairs.groupBy("b").agg(F.count("*").alias("nb"))
+    chance = (
+        marg_a.join(
+            F.broadcast(marg_b), marg_a["a"] == marg_b["b"], "inner"
+        )
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("p"))
+    )
+    base = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("a") == F.col("b"), 1).otherwise(0)
+        ).alias("agree"),
+    )
+    j = base.crossJoin(F.broadcast(chance)).withColumn(
+        "p", F.coalesce(F.col("p"), F.lit(0))
+    )
+    n = F.col("n").cast("double")
+    a = F.col("agree").cast("double")
+    p = F.col("p").cast("double")
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("agree").cast("long").alias("agree"),
+        F.floor(F.lit(1e6) * a / n).cast("long").alias("po_e6"),
+        F.floor(F.lit(1e6) * p / (n * n)).cast("long").alias("pe_e6"),
+        F.floor(
+            F.lit(1e6) * (a * n - p) / (n * n - p)
+        ).cast("long").alias("kappa_e6"),
+    )

@@ -442,3 +442,42 @@ def test_roc_sweep_known_confusion_counts(spark):
     assert out[800] == (1, 1, 333, 333)     # 900 and 800 survive
     assert out[1000] == (0, 0, 0, 0)        # nothing reaches 1000
     assert out[200] == (2, 2, 666, 666)     # >=200: 900,700 / 800,200
+
+
+def test_cohens_kappa_ground_truths(spark):
+    """Kappa sanity anchors: identical raters -> 1e6 exactly;
+    independent raters with matching marginals -> ~0; a textbook
+    2x2 example reproduces its closed-form value."""
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        cohens_kappa,
+    )
+
+    same = spark.createDataFrame(
+        [("x", "x")] * 30 + [("y", "y")] * 70, ["a", "b"]
+    )
+    r = cohens_kappa(same, "a", "b").collect()[0]
+    assert (r["po_e6"], r["kappa_e6"]) == (1000000, 1000000)
+
+    # classic example: 2 raters, 100 items, agree on 20 yes + 15 no;
+    # marginals 25/75 and 30/70 -> po=.35?? use the standard one:
+    # a=20, b=5, c=10, d=15  (n=50)  po=.7  pe=.5  kappa=.4
+    rows = (
+        [("yes", "yes")] * 20
+        + [("yes", "no")] * 5
+        + [("no", "yes")] * 10
+        + [("no", "no")] * 15
+    )
+    df = spark.createDataFrame(rows, ["a", "b"])
+    r2 = cohens_kappa(df, "a", "b").collect()[0]
+    assert r2["n"] == 50 and r2["agree"] == 35
+    assert r2["po_e6"] == 700000
+    # pe = (25*30 + 25*20)/2500 = .5
+    assert r2["pe_e6"] == 500000
+    assert r2["kappa_e6"] == 400000
+
+    # disjoint label sets: zero chance mass, kappa = po
+    disj = spark.createDataFrame(
+        [("p", "q")] * 10, ["a", "b"]
+    )
+    r3 = cohens_kappa(disj, "a", "b").collect()[0]
+    assert r3["pe_e6"] == 0 and r3["kappa_e6"] == r3["po_e6"] == 0
