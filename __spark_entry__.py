@@ -10504,6 +10504,43 @@ FROM est e LEFT JOIN exact x USING (partkey)
 """
 
 
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorizer (operators/corpus.hashed_features):
+    sampled documents project into a fixed 64-dim signed-hash space
+    with NO vocabulary pass — the stateless, mergeable-by-
+    construction embedding a 100 TB featurizer actually uses.  md5
+    bucketing and sign hashing, so DuckDB reproduces the exact
+    sparse vectors."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        hashed_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 40 == 34
+    )
+    return hashed_features(docs, dim=64, signed=True)
+
+
+_SQL_HASHED_FEATURES = """
+WITH tok AS (
+  SELECT doc_id, t.tok
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split(text, ' ')) AS tok) t
+  WHERE doc_id % 40 = 34 AND t.tok <> ''),
+mapped AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) % 64
+           AS dim_idx,
+         (CAST(('0x' || substr(md5('s:' || tok), 1, 2)) AS BIGINT) % 2)
+           * 2 - 1 AS s
+  FROM tok)
+SELECT doc_id, dim_idx, CAST(SUM(s) AS BIGINT) AS val
+FROM mapped GROUP BY doc_id, dim_idx
+HAVING SUM(s) <> 0
+"""
+
+
 def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa (operators/analytics.cohens_kappa) between two
     independent document labelers — a char-length tercile rater and a
@@ -11403,6 +11440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_normalize": q_unicode_normalize,
         "jackknife_se": q_jackknife_se,
         "cohens_kappa": q_cohens_kappa,
+        "hashed_features": q_hashed_features,
         "hilbert_key": q_hilbert_key,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
@@ -11629,6 +11667,7 @@ def oracle_sql() -> dict[str, str]:
         "unicode_normalize": _SQL_UNICODE_NORMALIZE,
         "jackknife_se": _SQL_JACKKNIFE_SE,
         "cohens_kappa": _SQL_COHENS_KAPPA,
+        "hashed_features": _SQL_HASHED_FEATURES,
         "hilbert_key": _sql_hilbert_key(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,

@@ -353,6 +353,8 @@ HEADLINE = [
     "jackknife_se",
     # round-6: Cohen's kappa chance-corrected labeler agreement
     "cohens_kappa",
+    # round-6: hashing-trick vectorizer (no-vocabulary featurization)
+    "hashed_features",
 ]
 
 

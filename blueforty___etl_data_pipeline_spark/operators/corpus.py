@@ -742,3 +742,63 @@ def bcubed_eval(
             "DIV (_sp DIV n_items + _sr DIV n_items) ELSE 0 END"
         ).alias("bcubed_f1_e6"),
     )
+
+
+def hashed_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 1024,
+    signed: bool = True,
+) -> DataFrame:
+    """Hashing-trick text vectorizer (Weinberger et al. 2009): map
+    each whitespace token straight to one of ``dim`` buckets by hash
+    — NO vocabulary pass, no fit step, no dictionary to broadcast.
+    That absence is the 100 TB point: a vocabulary-based vectorizer
+    needs a second pass plus a giant shared dict; the hashed one is a
+    single stateless projection whose output schema is fixed before
+    the first byte is read, and two corpora vectorized independently
+    land in the SAME space (mergeable by construction).
+
+    ``signed`` applies the standard +/-1 sign hash so collisions
+    cancel in expectation instead of accumulating.
+
+    Hashing routes through md5 (engine-portable, like
+    ``operators/sketches.py``), so an external engine reproduces the
+    exact sparse vectors.  Output: (id, dim_idx, val) long-format
+    sparse rows — one groupBy(id, bucket) with map-side combine, no
+    arrays (driver-canonicalizer-safe).
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 12), 16, 10).cast(
+            "long"
+        )
+        % dim
+    )
+    if signed:
+        sign = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("s:"), F.col("tok"))), 1, 2
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ) * 2 - 1
+    else:
+        sign = F.lit(1)
+    return (
+        tok.select(
+            F.col(id_col),
+            bucket.alias("dim_idx"),
+            sign.alias("s"),
+        )
+        .groupBy(id_col, "dim_idx")
+        .agg(F.sum("s").alias("val"))
+        .filter(F.col("val") != 0)
+    )

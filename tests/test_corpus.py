@@ -509,3 +509,43 @@ def test_bcubed_eval_hand_computed(spark):
     r = bcubed_eval(df).collect()[0]
     assert r["bcubed_p_e6"] == 1_000_000
     assert r["bcubed_r_e6"] == 666_666
+
+
+def test_hashed_features_stateless_and_mergeable(spark):
+    """The hashing-trick invariants that matter at scale: no fit step
+    (same token always lands in the same signed bucket), two corpora
+    vectorized independently agree with their union (mergeable), the
+    sign hash gives cancellation (a token and its 'negated' collision
+    sum, not stack), and zero-sum cells are dropped."""
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        hashed_features,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "alpha gamma")],
+        ["doc_id", "text"],
+    )
+    b = spark.createDataFrame(
+        [(3, "alpha  beta")], ["doc_id", "text"]  # double space -> filtered
+    )
+    va = hashed_features(a, dim=32).collect()
+    vb = hashed_features(b, dim=32).collect()
+    vu = hashed_features(a.union(b), dim=32).collect()
+    as_map = lambda rows: {  # noqa: E731
+        (r["doc_id"], r["dim_idx"]): r["val"] for r in rows
+    }
+    assert as_map(va) | as_map(vb) == as_map(vu)  # stateless merge
+
+    # same token, same bucket across docs; |val| counts occurrences
+    ma = as_map(va)
+    alpha_cells = [
+        k for k, v in ma.items() if k[0] == 2 and abs(v) == 1
+    ]
+    assert len(alpha_cells) == 2  # alpha + gamma (no collision at 32)
+    beta_cell = [v for (d, _), v in ma.items() if d == 1 and abs(v) == 2]
+    assert len(beta_cell) == 1  # beta appears twice -> magnitude 2
+
+    # unsigned mode: all values positive token counts
+    vu2 = hashed_features(a, dim=32, signed=False).collect()
+    assert all(r["val"] > 0 for r in vu2)
+    assert sum(r["val"] for r in vu2) == 5  # total tokens
