@@ -10504,6 +10504,75 @@ FROM est e LEFT JOIN exact x USING (partkey)
 """
 
 
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic two-sample permutation test (operators/profile.
+    permutation_test): URGENT vs LOW mean order value over 64
+    md5-parity reassignments — distribution-free significance with
+    the package's RNG-free discipline, map-side-combined so the
+    shuffle is O(tasks x permutations).  Exact-integer sums; the
+    oracle replays every permutation bit-for-bit."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        permutation_test,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return permutation_test(
+        o,
+        "o_totalprice",
+        "o_orderpriority",
+        "o_orderkey",
+        "1-URGENT",
+        "5-LOW",
+        n_perm=64,
+        scale=100,
+    )
+
+
+_SQL_PERMUTATION_TEST = """
+WITH base AS (
+  SELECT CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)
+           AS v,
+         o_orderpriority = '1-URGENT' AS is_a,
+         CAST(o_orderkey AS VARCHAR) AS k
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+obs AS (
+  SELECT CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT)
+           AS nb,
+         CAST(SUM(CASE WHEN is_a THEN v END) AS DOUBLE)
+           / SUM(CASE WHEN is_a THEN 1 ELSE 0 END)
+         - CAST(SUM(CASE WHEN NOT is_a THEN v END) AS DOUBLE)
+           / SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS diff_obs
+  FROM base),
+perms AS (
+  SELECT b.b, base.v,
+         CAST(('0x' || substr(md5(base.k || ':' ||
+              CAST(b.b AS VARCHAR)), 1, 2)) AS BIGINT) % 2 = 0 AS to_a
+  FROM base CROSS JOIN
+       (SELECT CAST(range AS INTEGER) AS b FROM range(64)) b),
+per_b AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN to_a THEN v END) AS DOUBLE)
+           / SUM(CASE WHEN to_a THEN 1 ELSE 0 END)
+         - CAST(SUM(CASE WHEN NOT to_a THEN v END) AS DOUBLE)
+           / SUM(CASE WHEN NOT to_a THEN 1 ELSE 0 END) AS diff_b
+  FROM perms GROUP BY b
+  HAVING SUM(CASE WHEN to_a THEN 1 ELSE 0 END) > 0
+     AND SUM(CASE WHEN NOT to_a THEN 1 ELSE 0 END) > 0)
+SELECT o.na AS n_a, o.nb AS n_b,
+       CAST(FLOOR(10000.0 * o.diff_obs) AS BIGINT) AS diff_e6,
+       CAST(SUM(CASE WHEN ABS(p.diff_b) >= ABS(o.diff_obs)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+       CAST(FLOOR(1000000.0 *
+            (1 + SUM(CASE WHEN ABS(p.diff_b) >= ABS(o.diff_obs)
+                          THEN 1 ELSE 0 END))
+            / (COUNT(*) + 1)) AS BIGINT) AS p_e6
+FROM per_b p CROSS JOIN obs o
+GROUP BY o.na, o.nb, o.diff_obs
+"""
+
+
 def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick vectorizer (operators/corpus.hashed_features):
     sampled documents project into a fixed 64-dim signed-hash space
@@ -11441,6 +11510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jackknife_se": q_jackknife_se,
         "cohens_kappa": q_cohens_kappa,
         "hashed_features": q_hashed_features,
+        "permutation_test": q_permutation_test,
         "hilbert_key": q_hilbert_key,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
@@ -11668,6 +11738,7 @@ def oracle_sql() -> dict[str, str]:
         "jackknife_se": _SQL_JACKKNIFE_SE,
         "cohens_kappa": _SQL_COHENS_KAPPA,
         "hashed_features": _SQL_HASHED_FEATURES,
+        "permutation_test": _SQL_PERMUTATION_TEST,
         "hilbert_key": _sql_hilbert_key(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,

@@ -355,6 +355,8 @@ HEADLINE = [
     "cohens_kappa",
     # round-6: hashing-trick vectorizer (no-vocabulary featurization)
     "hashed_features",
+    # round-6: deterministic two-sample permutation test
+    "permutation_test",
 ]
 
 

@@ -1180,3 +1180,119 @@ def jackknife_mean(
             )
         ).cast("long").alias("se_e6"),
     )
+
+
+def permutation_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    key_col: str,
+    group_a,
+    group_b,
+    n_perm: int = 64,
+    scale: int = 100,
+) -> DataFrame:
+    """Two-sample permutation test for a difference in means —
+    distribution-free significance without normality assumptions,
+    the honest test when 100 TB of skewed data laughs at a t-test.
+
+    DETERMINISTIC randomization: permutation b reassigns each row by
+    the parity of md5(key ':' b) — no RNG state, reproducible on any
+    engine and any partitioning (the same RNG-free discipline as
+    ``operators/sampling.py``).  The p-value uses the standard
+    add-one correction: p = (1 + #{b : |diff_b| >= |diff_obs|}) /
+    (n_perm + 1).
+
+    Scale shape: the observed stat is one aggregation; the
+    permutation fan-out explodes ``n_perm`` rows per input row but
+    map-side combine collapses each task to ``2 * n_perm`` partial
+    sums before the shuffle — the exchange is O(tasks * n_perm),
+    independent of row count.  All sums are exact integers; doubles
+    appear only in the per-permutation mean difference (same-op
+    determinism).
+
+    Output: one row (n_a, n_b, diff_e6, n_extreme, p_e6).
+    """
+    base = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+    ).select(
+        F.floor(F.col(value_col).cast("double") * scale)
+        .cast("long")
+        .alias("v"),
+        (F.col(group_col) == group_a).alias("is_a"),
+        F.col(key_col).cast("string").alias("k"),
+    )
+    obs = base.agg(
+        F.sum(F.when(F.col("is_a"), F.col("v"))).alias("sa"),
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(~F.col("is_a"), F.col("v"))).alias("sb"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("nb"),
+    ).select(
+        "na",
+        "nb",
+        (
+            F.col("sa").cast("double") / F.col("na").cast("double")
+            - F.col("sb").cast("double") / F.col("nb").cast("double")
+        ).alias("diff_obs"),
+    )
+    perms = base.select(
+        "v",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(n_perm)])
+        ).alias("b"),
+        "k",
+    ).withColumn(
+        "to_a",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("k"), F.lit(":"), F.col("b"))),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+    )
+    per_b = perms.groupBy("b").agg(
+        F.sum(F.when(F.col("to_a"), F.col("v"))).alias("s1"),
+        F.sum(F.when(F.col("to_a"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(~F.col("to_a"), F.col("v"))).alias("s0"),
+        F.sum(F.when(~F.col("to_a"), 1).otherwise(0)).alias("n0"),
+    )
+    diffs = per_b.filter(
+        (F.col("n1") > 0) & (F.col("n0") > 0)
+    ).select(
+        "b",
+        (
+            F.col("s1").cast("double") / F.col("n1").cast("double")
+            - F.col("s0").cast("double") / F.col("n0").cast("double")
+        ).alias("diff_b"),
+    )
+    j = diffs.crossJoin(F.broadcast(obs))
+    counted = j.agg(
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.max("diff_obs").alias("diff_obs"),
+        F.sum(
+            F.when(
+                F.abs(F.col("diff_b")) >= F.abs(F.col("diff_obs")), 1
+            ).otherwise(0)
+        ).alias("n_extreme"),
+        F.count("*").alias("n_used"),
+    )
+    e6 = 1000000.0 / scale
+    return counted.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.floor(F.lit(e6) * F.col("diff_obs")).cast("long").alias(
+            "diff_e6"
+        ),
+        F.col("n_extreme").cast("long").alias("n_extreme"),
+        F.floor(
+            F.lit(1000000.0)
+            * (1 + F.col("n_extreme")).cast("double")
+            / (F.col("n_used") + 1).cast("double")
+        ).cast("long").alias("p_e6"),
+    )

@@ -676,3 +676,33 @@ def test_jackknife_mean_matches_closed_form(spark):
     # determinism: same input, same answer
     r2 = jackknife_mean(df, "v", "k", folds=20, scale=100).collect()[0]
     assert tuple(r) == tuple(r2)
+
+
+def test_permutation_test_detects_and_rejects(spark):
+    """Power + calibration anchors: a huge real group difference is
+    flagged significant (no permutation beats it -> p = 1/(B+1));
+    identical groups are insignificant (p well above 0.05); the
+    add-one correction keeps p > 0."""
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        permutation_test,
+    )
+
+    strong = [(i, "a", 1000.0 + (i % 7)) for i in range(300)] + [
+        (i + 1000, "b", 2000.0 + (i % 7)) for i in range(300)
+    ]
+    df = spark.createDataFrame(strong, ["k", "g", "v"])
+    r = permutation_test(
+        df, "v", "g", "k", "a", "b", n_perm=32
+    ).collect()[0]
+    assert r["n_a"] == 300 and r["n_b"] == 300
+    assert r["diff_e6"] < 0  # a-mean minus b-mean is -1000
+    assert r["n_extreme"] == 0
+    assert r["p_e6"] == 1000000 // 33  # 1/(B+1), floored e6
+
+    null = [(i, "a" if i % 2 == 0 else "b", float(i % 50)) for i in range(600)]
+    r2 = permutation_test(
+        spark.createDataFrame(null, ["k", "g", "v"]),
+        "v", "g", "k", "a", "b", n_perm=32,
+    ).collect()[0]
+    assert r2["p_e6"] > 50000  # nowhere near significant
+    assert r2["n_extreme"] > 0
