@@ -10504,6 +10504,84 @@ FROM est e LEFT JOIN exact x USING (partkey)
 """
 
 
+def q_markdown_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown → text extraction (functions/text.strip_markdown)
+    over deterministically markdown-wrapped documents — fences,
+    inline code, image/link unwrapping, heading/quote/list/emphasis
+    markers.  The DuckDB oracle runs the IDENTICAL regex chain (RE2
+    dialect, \\1 substitutions, 'g' flag), so the cleaned text
+    hash-matches byte-for-byte."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.functions.text import (
+        strip_markdown,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 40 == 38)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("# Doc "),
+                F.col("doc_id").cast("string"),
+                F.lit("\n\n> quoted **intro** with "),
+                F.lit("[a link](http://example.com/x) and "),
+                F.lit("![an img](http://example.com/i.png)\n"),
+                F.lit("- item one\n2. item two\n"),
+                F.lit("```\ncode block\n```\n"),
+                F.lit("`inline` _tail_ "),
+                F.col("text"),
+            ).alias("md"),
+        )
+    )
+    out = docs.select(
+        "doc_id", strip_markdown(F.col("md")).alias("text_clean")
+    )
+    return out.withColumn(
+        "n_chars_clean", F.length("text_clean").cast("long")
+    )
+
+
+_SQL_MARKDOWN_STRIP = r"""
+WITH md AS (
+  SELECT doc_id,
+         '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
+         '> quoted **intro** with [a link](http://example.com/x) ' ||
+         'and ![an img](http://example.com/i.png)' || chr(10) ||
+         '- item one' || chr(10) || '2. item two' || chr(10) ||
+         '```' || chr(10) || 'code block' || chr(10) || '```' ||
+         chr(10) || '`inline` _tail_ ' || text AS m
+  FROM documents WHERE doc_id % 40 = 38),
+stripped AS (
+  SELECT doc_id,
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(m, '(?s)```.*?```', ' ', 'g'),
+                        '`[^`]*`', ' ', 'g'),
+                      '!\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+                    '\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+                  '(?m)^\s{0,3}#{1,6}\s+', '', 'g'),
+                '(?m)^\s{0,3}>\s?', '', 'g'),
+              '(?m)^\s{0,3}[-*+]\s+', '', 'g'),
+            '(?m)^\s{0,3}\d+\.\s+', '', 'g'),
+          '\*{1,2}([^*]+)\*{1,2}', '\1', 'g'),
+        '_{1,2}([^_]+)_{1,2}', '\1', 'g'),
+      '\s+', ' ', 'g')) AS text_clean
+  FROM md)
+SELECT doc_id, text_clean,
+       CAST(length(text_clean) AS BIGINT) AS n_chars_clean
+FROM stripped
+"""
+
+
 def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic two-sample permutation test (operators/profile.
     permutation_test): URGENT vs LOW mean order value over 64
@@ -11484,9 +11562,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_progressive_real": q_jpeg_progressive_real,
         "gif_frames_real": q_gif_frames_real,
         "flac_decode_real": q_flac_decode_real,
-        # (positions 51-52: spill to the round-7 window — both ride
+        # (positions 51+: spill to the round-7 window — each rides
         # machinery already driver-green via other rows: LSH pairs,
-        # hash_split, plain groupBy)
+        # hash_split, the media stages, plain groupBys; the session-2
+        # additions below — tiff/adpcm/midi decodes, sketches,
+        # geohash, acf, theil_sen, webdataset, unicode, jackknife,
+        # kappa, hashed features, permutation test — are all builder-
+        # verified green vs their oracles at sf0.01)
         "ab_test": q_ab_test,
         "split_leakage": q_split_leakage,
         "video_frames_real": q_video_frames_real,
@@ -11511,6 +11593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohens_kappa": q_cohens_kappa,
         "hashed_features": q_hashed_features,
         "permutation_test": q_permutation_test,
+        "markdown_strip": q_markdown_strip,
         "hilbert_key": q_hilbert_key,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
@@ -11739,6 +11822,7 @@ def oracle_sql() -> dict[str, str]:
         "cohens_kappa": _SQL_COHENS_KAPPA,
         "hashed_features": _SQL_HASHED_FEATURES,
         "permutation_test": _SQL_PERMUTATION_TEST,
+        "markdown_strip": _SQL_MARKDOWN_STRIP,
         "hilbert_key": _sql_hilbert_key(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,

@@ -357,6 +357,8 @@ HEADLINE = [
     "hashed_features",
     # round-6: deterministic two-sample permutation test
     "permutation_test",
+    # round-6: markdown -> text extraction (codegen regex chain)
+    "markdown_strip",
 ]
 
 

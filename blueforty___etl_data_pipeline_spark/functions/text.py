@@ -236,3 +236,35 @@ def strip_html(html: Column) -> Column:
     for entity, ch in HTML_ENTITIES:
         out = F.replace(out, F.lit(entity), F.lit(ch))
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def strip_markdown(md: Column) -> Column:
+    """Markdown → text extraction (the sibling of :func:`strip_html`
+    for the other half of a web/docs corpus): remove code fences and
+    inline code wholesale (code is noise for language modeling of
+    prose — keep it deliberately, not accidentally), unwrap links and
+    images to their anchor text, drop heading/emphasis/quote/list
+    markers, collapse whitespace.
+
+    Same engine-portability contract as strip_html: no backreferences
+    beyond group substitution, no lookarounds — every pattern runs
+    identically on Java regex and RE2, with only the substitution
+    spelling differing ($1 vs \\1), so the DuckDB oracle mirrors the
+    pipeline verbatim.  Order matters and is load-bearing: fences
+    before inline code, images before links (the image prefix ``!``
+    would otherwise survive), markers last.
+    """
+    out = F.regexp_replace(md, r"(?s)```.*?```", " ")
+    out = F.regexp_replace(out, r"`[^`]*`", " ")
+    # image: ![alt](url) -> alt ; link: [text](url) -> text
+    out = F.regexp_replace(out, r"!\[([^\]]*)\]\([^)]*\)", r"$1")
+    out = F.regexp_replace(out, r"\[([^\]]*)\]\([^)]*\)", r"$1")
+    # heading / quote / list markers at line starts
+    out = F.regexp_replace(out, r"(?m)^\s{0,3}#{1,6}\s+", "")
+    out = F.regexp_replace(out, r"(?m)^\s{0,3}>\s?", "")
+    out = F.regexp_replace(out, r"(?m)^\s{0,3}[-*+]\s+", "")
+    out = F.regexp_replace(out, r"(?m)^\s{0,3}\d+\.\s+", "")
+    # emphasis: **x** / *x* / __x__ / _x_
+    out = F.regexp_replace(out, r"\*{1,2}([^*]+)\*{1,2}", r"$1")
+    out = F.regexp_replace(out, r"_{1,2}([^_]+)_{1,2}", r"$1")
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

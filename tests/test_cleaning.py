@@ -143,3 +143,42 @@ def test_normalize_unicode_forms_and_vectorized_plan(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" in plan
+
+
+def test_strip_markdown_constructs(spark):
+    """Each markdown construct strips correctly and order is
+    load-bearing (image before link, fences before inline code)."""
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.functions.text import (
+        strip_markdown,
+    )
+
+    cases = [
+        ("# Head\nbody", "Head body"),  # marker dropped, text kept
+        ("### Deep head\ntail", "Deep head tail"),
+        ("> quote line\nrest", "quote line rest"),
+        ("- a\n* b\n+ c", "a b c"),
+        ("1. first\n12. twelfth", "first twelfth"),
+        ("**bold** and *ital*", "bold and ital"),
+        ("__bold__ and _ital_", "bold and ital"),
+        ("[text](http://u) end", "text end"),
+        ("![alt](http://img) end", "alt end"),
+        ("pre ```fenced\ncode``` post", "pre post"),
+        ("pre `inline` post", "pre post"),
+        # image vs link ordering: the bang must not survive
+        ("x ![a](u) [b](v) y", "x a b y"),
+        # fence containing backticks-adjacent text
+        ("```\n`not inline`\n``` kept", "kept"),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(cases)], ["i", "md"]
+    )
+    got = {
+        r["i"]: r["out"]
+        for r in df.select(
+            "i", strip_markdown(F.col("md")).alias("out")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i])
