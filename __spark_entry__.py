@@ -10504,6 +10504,62 @@ FROM est e LEFT JOIN exact x USING (partkey)
 """
 
 
+def q_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-quantile sketch with an in-engine error-bound
+    contract (the hll_distinct/approx_profile pattern): per
+    returnflag, Spark's percentile_approx(0.5, accuracy=1000) — the
+    Greenwald-Khanna-family mergeable sketch a 100 TB quantile
+    actually uses — must land within the guaranteed rank epsilon of
+    the exact median's rank.  The row carries the EXACT rank bounds
+    of the sketch answer plus the asserted boolean; the oracle
+    recomputes the exact rank interval and expects the contract to
+    hold, so a broken sketch fails the hash gate."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    cents = (
+        F.col("l_extendedprice").cast("decimal(18,2)") * 100
+    ).cast("long")
+    base = li.select("l_returnflag", cents.alias("c"))
+    approx = base.groupBy("l_returnflag").agg(
+        F.percentile_approx("c", 0.5, 1000).alias("q_approx"),
+        F.count("*").alias("n"),
+    )
+    # exact rank of the sketch's answer: how many values are <= it
+    ranked = (
+        base.join(
+            approx.select("l_returnflag", "q_approx"), "l_returnflag"
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                F.when(F.col("c") <= F.col("q_approx"), 1).otherwise(0)
+            ).alias("rank_le"),
+            F.sum(
+                F.when(F.col("c") < F.col("q_approx"), 1).otherwise(0)
+            ).alias("rank_lt"),
+        )
+    )
+    out = approx.join(ranked, "l_returnflag")
+    # GK guarantee at accuracy=1000: rank error <= n/1000 (+1 slack)
+    eps = (F.col("n") / 1000 + 1).cast("long")
+    target = (F.col("n") + 1) / 2
+    ok = (F.col("rank_le") >= F.floor(target) - eps) & (
+        F.col("rank_lt") <= F.ceil(target) + eps
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        ok.alias("within_rank_eps"),
+    ).orderBy("l_returnflag")
+
+
+_SQL_APPROX_QUANTILE_CONTRACT = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       TRUE AS within_rank_eps
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q_markdown_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markdown → text extraction (functions/text.strip_markdown)
     over deterministically markdown-wrapped documents — fences,
@@ -11594,6 +11650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_features": q_hashed_features,
         "permutation_test": q_permutation_test,
         "markdown_strip": q_markdown_strip,
+        "approx_quantile_contract": q_approx_quantile_contract,
         "hilbert_key": q_hilbert_key,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
@@ -11823,6 +11880,7 @@ def oracle_sql() -> dict[str, str]:
         "hashed_features": _SQL_HASHED_FEATURES,
         "permutation_test": _SQL_PERMUTATION_TEST,
         "markdown_strip": _SQL_MARKDOWN_STRIP,
+        "approx_quantile_contract": _SQL_APPROX_QUANTILE_CONTRACT,
         "hilbert_key": _sql_hilbert_key(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,

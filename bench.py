@@ -359,6 +359,8 @@ HEADLINE = [
     "permutation_test",
     # round-6: markdown -> text extraction (codegen regex chain)
     "markdown_strip",
+    # round-6: percentile_approx rank-epsilon contract
+    "approx_quantile_contract",
 ]
 
 
