@@ -10504,6 +10504,78 @@ FROM est e LEFT JOIN exact x USING (partkey)
 """
 
 
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round k-core peel (operators/graph.k_core_peel) over
+    the co-purchase graph (parts sharing an order with quantity >=
+    45), k=3, exactly 8 peel rounds plus a converged flag — the
+    fixed-round contract makes an ITERATIVE graph algorithm
+    hash-checkable: the oracle unrolls the identical 8 rounds as
+    nested CTEs (the ADPCM-recurrence trick applied to graphs)."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.graph import (
+        k_core_peel,
+    )
+
+    it = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    edges = (
+        it.alias("x")
+        .join(
+            it.alias("y"),
+            on=[
+                F.col("x.o") == F.col("y.o"),
+                F.col("x.p") < F.col("y.p"),
+            ],
+        )
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+        .distinct()
+    )
+    return k_core_peel(edges, k=3, rounds=8).orderBy("node")
+
+
+def _sql_k_core(k: int = 3, rounds: int = 8) -> str:
+    parts = [
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT x.p AS src, y.p AS dst
+  FROM it x JOIN it y ON x.o = y.o AND x.p < y.p)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT v, COUNT(*) AS deg FROM (
+    SELECT src AS v FROM e{r - 1}
+    UNION ALL SELECT dst AS v FROM e{r - 1}) GROUP BY v),
+k{r} AS MATERIALIZED (SELECT v FROM d{r} WHERE deg >= {k}),
+e{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{r - 1} e
+  WHERE e.src IN (SELECT v FROM k{r})
+    AND e.dst IN (SELECT v FROM k{r}))"""
+        )
+    return f"""
+WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_quantity >= 45),
+{",".join(parts)},
+fd AS (
+  SELECT v, COUNT(*) AS degree FROM (
+    SELECT src AS v FROM e{rounds}
+    UNION ALL SELECT dst AS v FROM e{rounds}) GROUP BY v
+  HAVING COUNT(*) >= {k}),
+dropped AS (
+  SELECT COUNT(*) AS n_dropped FROM k{rounds}
+  WHERE v NOT IN (SELECT v FROM fd))
+SELECT fd.v AS node, CAST(fd.degree AS BIGINT) AS degree,
+       d.n_dropped = 0 AS converged
+FROM fd CROSS JOIN dropped d
+ORDER BY node
+"""
+
+
 def q_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-quantile sketch with an in-engine error-bound
     contract (the hll_distinct/approx_profile pattern): per
@@ -11651,6 +11723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "permutation_test": q_permutation_test,
         "markdown_strip": q_markdown_strip,
         "approx_quantile_contract": q_approx_quantile_contract,
+        "k_core": q_k_core,
         "hilbert_key": q_hilbert_key,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
@@ -11881,6 +11954,7 @@ def oracle_sql() -> dict[str, str]:
         "permutation_test": _SQL_PERMUTATION_TEST,
         "markdown_strip": _SQL_MARKDOWN_STRIP,
         "approx_quantile_contract": _SQL_APPROX_QUANTILE_CONTRACT,
+        "k_core": _sql_k_core(),
         "hilbert_key": _sql_hilbert_key(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,

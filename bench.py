@@ -361,6 +361,8 @@ HEADLINE = [
     "markdown_strip",
     # round-6: percentile_approx rank-epsilon contract
     "approx_quantile_contract",
+    # round-6: bounded-round k-core peel (unrolled-CTE oracle)
+    "k_core",
 ]
 
 

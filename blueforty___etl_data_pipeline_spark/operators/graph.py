@@ -396,3 +396,73 @@ def triangle_count(
         .crossJoin(F.broadcast(tri))
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+def k_core_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 8,
+) -> DataFrame:
+    """Bounded-round k-core peel: repeatedly remove nodes of degree
+    < k (with the edges they carry) for EXACTLY ``rounds`` rounds —
+    the dense-subgraph extractor behind community mining and spam/
+    bot-ring detection.
+
+    The round count is part of the CONTRACT, not an optimization
+    stop: a fixed unrollable recurrence is engine-replayable (an
+    unrolled-CTE oracle can mirror it exactly, like the ADPCM
+    recursive decode), whereas iterate-to-fixpoint is not.  The
+    ``converged`` flag reports whether round ``rounds`` changed
+    nothing — when TRUE, the output IS the exact k-core; when FALSE
+    the caller raises ``rounds`` (each round is one degree
+    aggregation + one semi-join, so cost is linear in rounds).
+
+    Input: undirected edges as (src, dst) with src < dst, both
+    directions implied.  Output: surviving (node, degree) plus the
+    converged flag on every row.  Per round: one map-side-combinable
+    degree count and two broadcast-friendly semi-joins — no
+    all-pairs anything; lineage stays bounded because each round
+    materializes only the shrinking edge set.
+    """
+    # Each round references the previous edge set five times (degree
+    # union + two semi-joins), so without lineage cuts the LOGICAL
+    # plan grows ~5^rounds and the analyzer itself OOMs long before
+    # execution.  localCheckpoint per round truncates it — the same
+    # bounded-iteration discipline as connected_components/pagerank.
+    cur = edges.select("src", "dst").localCheckpoint()
+    prev_nodes = None
+    for _ in range(rounds):
+        deg = (
+            cur.select(F.col("src").alias("v"))
+            .unionAll(cur.select(F.col("dst").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("v")
+        cur = (
+            cur.join(
+                keep.withColumnRenamed("v", "src"), "src", "left_semi"
+            ).join(
+                keep.withColumnRenamed("v", "dst"), "dst", "left_semi"
+            )
+        ).select("src", "dst").localCheckpoint()
+        prev_nodes = keep.localCheckpoint()
+    final_deg = (
+        cur.select(F.col("src").alias("v"))
+        .unionAll(cur.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("degree"))
+        .filter(F.col("degree") >= k)
+    )
+    # converged iff no node that survived the last peel now falls
+    # below k (i.e. one more round would remove nothing)
+    dropped = prev_nodes.join(
+        final_deg.withColumnRenamed("v", "_v"),
+        prev_nodes["v"] == F.col("_v"),
+        "left_anti",
+    ).agg(F.count("*").alias("n_dropped"))
+    return final_deg.crossJoin(F.broadcast(dropped)).select(
+        F.col("v").alias("node"),
+        F.col("degree").cast("long").alias("degree"),
+        (F.col("n_dropped") == 0).alias("converged"),
+    )

@@ -213,3 +213,32 @@ def test_triangle_count_triangle_free(spark):
     )
     r = triangle_count(df).collect()[0]
     assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (6, 5, 0)
+
+
+def test_k_core_peel_ground_truth(spark):
+    """Hand-built graph: a K4 clique (4-node complete) wired to a
+    tail path.  The 3-core is exactly the clique (each clique node
+    has degree 3 inside it); the tail peels away over multiple
+    rounds, proving the cascade; converged flags the fixpoint."""
+    from blueforty___etl_data_pipeline_spark.operators.graph import (
+        k_core_peel,
+    )
+
+    clique = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    tail = [(4, 5), (5, 6), (6, 7)]  # chain hanging off the clique
+    edges = spark.createDataFrame(clique + tail, ["src", "dst"])
+
+    out = k_core_peel(edges, k=3, rounds=8).collect()
+    assert sorted(r["node"] for r in out) == [1, 2, 3, 4]
+    assert all(r["degree"] == 3 for r in out)
+    assert all(r["converged"] for r in out)
+
+    # k=2: the chain still peels (endpoints cascade), clique survives
+    out2 = k_core_peel(edges, k=2, rounds=8).collect()
+    assert sorted(r["node"] for r in out2) == [1, 2, 3, 4]
+
+    # insufficient rounds: the 3-node chain needs 3 peels at k=2;
+    # with rounds=1 the cascade is incomplete and converged is False
+    out3 = k_core_peel(edges, k=2, rounds=1).collect()
+    assert sorted(r["node"] for r in out3) != [1, 2, 3, 4]
+    assert not any(r["converged"] for r in out3)
