@@ -54,6 +54,16 @@ SLOW_SET = [
     "triangle_count",
     "corr_matrix",
     "jpeg_progressive_real",
+    # round-6 session-2 additions: sketch builds over the full fact
+    # table, permutation fan-out, token-stream projection, iterative
+    # graph peel, pre-agg + self-join stats
+    "cms_frequency",
+    "kmv_distinct",
+    "permutation_test",
+    "hashed_features",
+    "k_core",
+    "acf_daily",
+    "jackknife_se",
 ]
 
 
