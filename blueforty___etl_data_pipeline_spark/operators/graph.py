@@ -446,7 +446,10 @@ def k_core_peel(
                 keep.withColumnRenamed("v", "dst"), "dst", "left_semi"
             )
         ).select("src", "dst").localCheckpoint()
-        prev_nodes = keep.localCheckpoint()
+        # keep's own lineage is one aggregation off the checkpointed
+        # edge set — small enough to stay lazy (no extra blocks held
+        # in the 1g-heap bare sessions the driver runs)
+        prev_nodes = keep
     final_deg = (
         cur.select(F.col("src").alias("v"))
         .unionAll(cur.select(F.col("dst").alias("v")))
