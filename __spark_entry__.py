@@ -10751,11 +10751,13 @@ obs AS (
          - CAST(SUM(CASE WHEN NOT is_a THEN v END) AS DOUBLE)
            / SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS diff_obs
   FROM base),
+hashed AS (
+  SELECT v, md5(k) AS h FROM base),
 perms AS (
-  SELECT b.b, base.v,
-         CAST(('0x' || substr(md5(base.k || ':' ||
-              CAST(b.b AS VARCHAR)), 1, 2)) AS BIGINT) % 2 = 0 AS to_a
-  FROM base CROSS JOIN
+  SELECT b.b, hashed.v,
+         (CAST(('0x' || substr(hashed.h, (b.b // 4) + 1, 1)) AS INTEGER)
+          // (1 << (b.b % 4))) % 2 = 0 AS to_a
+  FROM hashed CROSS JOIN
        (SELECT CAST(range AS INTEGER) AS b FROM range(64)) b),
 per_b AS (
   SELECT b,

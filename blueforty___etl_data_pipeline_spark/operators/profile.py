@@ -1196,10 +1196,12 @@ def permutation_test(
     distribution-free significance without normality assumptions,
     the honest test when 100 TB of skewed data laughs at a t-test.
 
-    DETERMINISTIC randomization: permutation b reassigns each row by
-    the parity of md5(key ':' b) — no RNG state, reproducible on any
-    engine and any partitioning (the same RNG-free discipline as
-    ``operators/sampling.py``).  The p-value uses the standard
+    DETERMINISTIC randomization: the key hashes ONCE per row
+    (md5, engine-portable); permutation b reassigns the row by BIT b
+    of that 128-bit digest (hex digit b//4, bit b%4) — no RNG state,
+    reproducible on any engine and any partitioning (the same
+    RNG-free discipline as ``operators/sampling.py``), and the md5
+    cost is per ROW, not per row-permutation (n_perm <= 128).  The p-value uses the standard
     add-one correction: p = (1 + #{b : |diff_b| >= |diff_obs|}) /
     (n_perm + 1).
 
@@ -1235,24 +1237,23 @@ def permutation_test(
             - F.col("sb").cast("double") / F.col("nb").cast("double")
         ).alias("diff_obs"),
     )
+    if not 1 <= n_perm <= 128:
+        raise ValueError("n_perm must be in [1, 128] (md5 bit budget)")
     perms = base.select(
         "v",
+        F.md5(F.col("k")).alias("h"),
+    ).select(
+        "v",
+        "h",
         F.explode(
             F.array(*[F.lit(b) for b in range(n_perm)])
         ).alias("b"),
-        "k",
     ).withColumn(
         "to_a",
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("k"), F.lit(":"), F.col("b"))),
-                1,
-                2,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 2
+        F.expr(
+            "(cast(conv(substring(h, cast(b div 4 as int) + 1, 1),"
+            " 16, 10) as int) div shiftleft(1, cast(b % 4 as int))) % 2"
+        )
         == 0,
     )
     per_b = perms.groupBy("b").agg(
