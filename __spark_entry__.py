@@ -10504,6 +10504,54 @@ FROM est e LEFT JOIN exact x USING (partkey)
 """
 
 
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen (operators/analytics.
+    chi2_independence) of document source vs language — the
+    categorical-drift statistic over the contingency table, exact
+    DECIMAL(38,0) arithmetic with per-cell e6 floors so chi2 itself
+    hash-matches the oracle."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        chi2_independence,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.coalesce(F.col("lang"), F.lit("und")).alias("lang")
+    )
+    return chi2_independence(docs, "source", "lang")
+
+
+_SQL_CHI2_INDEPENDENCE = """
+WITH cells AS (
+  SELECT source AS a, COALESCE(lang, 'und') AS b,
+         CAST(COUNT(*) AS HUGEINT) AS o
+  FROM documents GROUP BY 1, 2),
+ra AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY a),
+cb AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY b),
+tot AS (
+  SELECT SUM(o) AS n,
+         COUNT(DISTINCT a) AS ka, COUNT(DISTINCT b) AS kb
+  FROM cells),
+grid AS (
+  SELECT r.a, x.b, r.ra, x.cb,
+         COALESCE(c.o, 0) AS o
+  FROM ra r CROSS JOIN cb x
+  LEFT JOIN cells c ON c.a = r.a AND c.b = x.b),
+per_cell AS (
+  SELECT t.n, t.ka, t.kb,
+         CAST(FLOOR(1e6 *
+           CAST((g.o * t.n - g.ra * g.cb)
+                * (g.o * t.n - g.ra * g.cb) AS DOUBLE)
+           / CAST(t.n * g.ra * g.cb AS DOUBLE)) AS HUGEINT) AS cell_e6
+  FROM grid g CROSS JOIN tot t)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(COUNT(*) AS INTEGER) AS n_cells,
+       CAST((ka - 1) * (kb - 1) AS INTEGER) AS dof,
+       CAST(SUM(cell_e6) AS BIGINT) AS chi2_e6
+FROM per_cell GROUP BY n, ka, kb
+"""
+
+
 def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-round k-core peel (operators/graph.k_core_peel) over
     the co-purchase graph (parts sharing an order with quantity >=
@@ -11726,6 +11774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markdown_strip": q_markdown_strip,
         "approx_quantile_contract": q_approx_quantile_contract,
         "k_core": q_k_core,
+        "chi2_independence": q_chi2_independence,
         "hilbert_key": q_hilbert_key,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
@@ -11957,6 +12006,7 @@ def oracle_sql() -> dict[str, str]:
         "markdown_strip": _SQL_MARKDOWN_STRIP,
         "approx_quantile_contract": _SQL_APPROX_QUANTILE_CONTRACT,
         "k_core": _sql_k_core(),
+        "chi2_independence": _SQL_CHI2_INDEPENDENCE,
         "hilbert_key": _sql_hilbert_key(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,

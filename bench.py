@@ -363,6 +363,8 @@ HEADLINE = [
     "approx_quantile_contract",
     # round-6: bounded-round k-core peel (unrolled-CTE oracle)
     "k_core",
+    # round-6: chi-square independence over the full contingency grid
+    "chi2_independence",
 ]
 
 

@@ -606,3 +606,78 @@ def cohens_kappa(
             F.lit(1e6) * (a * n - p) / (n * n - p)
         ).cast("long").alias("kappa_e6"),
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two
+    categorical columns — the drift/association screen over label
+    pairs (source vs language, split vs quality bucket) that the
+    contingency table feeds.
+
+    Exact-arithmetic contract: for each cell, (O-E)^2/E is cleared of
+    the rational expectation by the identity
+
+        (O - Ra*Cb/n)^2 / (Ra*Cb/n)  =  (O*n - Ra*Cb)^2 / (n*Ra*Cb)
+
+    — every term an exact DECIMAL(38,0) integer; each cell's
+    contribution floors to e6 fixed-point BEFORE the exact sum (the
+    jackknife discipline), so the statistic is engine-exact.  The sum
+    runs over the FULL |A| x |B| grid including structural zeros (a
+    zero cell still contributes its expectation).  Output: one row
+    (n, n_cells, dof, chi2_e6) with dof = (|A|-1)(|B|-1).
+
+    Scale shape: one partial-agged contingency aggregation; marginals
+    are two more aggregations of the CELL table (bounded by label
+    cardinality, not rows) joined broadcast.
+    """
+    d38 = "decimal(38,0)"
+    cells = (
+        df.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast(d38).alias("o"))
+    )
+    ra = cells.groupBy("a").agg(F.sum("o").alias("ra"))
+    cb = cells.groupBy("b").agg(F.sum("o").alias("cb"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("a").alias("ka"),
+        F.countDistinct("b").alias("kb"),
+    )
+    # The statistic runs over the FULL |A| x |B| grid: cells absent
+    # from the observed contingency are structural zeros contributing
+    # E = Ra*Cb/n each — dropping them silently understates chi2
+    # (caught by the perfect-association ground-truth test).
+    grid = ra.crossJoin(F.broadcast(cb))
+    j = (
+        grid.join(cells, ["a", "b"], "left")
+        .withColumn(
+            "o", F.coalesce(F.col("o"), F.lit(0).cast("decimal(38,0)"))
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    num = F.col("o") * F.col("n") - F.col("ra") * F.col("cb")
+    den = F.col("n") * F.col("ra") * F.col("cb")
+    cell_e6 = F.floor(
+        F.lit(1e6)
+        * (num * num).cast("double")
+        / den.cast("double")
+    ).cast(d38)
+    return (
+        j.groupBy("n", "ka", "kb")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum(cell_e6).alias("chi2_e6"),
+        )
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("n_cells").cast("int").alias("n_cells"),
+            ((F.col("ka") - 1) * (F.col("kb") - 1))
+            .cast("int")
+            .alias("dof"),
+            F.col("chi2_e6").cast("long").alias("chi2_e6"),
+        )
+    )

@@ -481,3 +481,42 @@ def test_cohens_kappa_ground_truths(spark):
     )
     r3 = cohens_kappa(disj, "a", "b").collect()[0]
     assert r3["pe_e6"] == 0 and r3["kappa_e6"] == r3["po_e6"] == 0
+
+
+def test_chi2_independence_ground_truths(spark):
+    """Chi-square anchors: perfectly independent uniform 2x2 -> 0;
+    perfectly dependent (diagonal) 2x2 -> n; a textbook asymmetric
+    table reproduces its closed-form statistic."""
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        chi2_independence,
+    )
+
+    indep = (
+        [("x", "p")] * 25 + [("x", "q")] * 25
+        + [("y", "p")] * 25 + [("y", "q")] * 25
+    )
+    r = chi2_independence(
+        spark.createDataFrame(indep, ["a", "b"]), "a", "b"
+    ).collect()[0]
+    assert (r["n"], r["n_cells"], r["dof"]) == (100, 4, 1)
+    assert r["chi2_e6"] == 0
+
+    dep = [("x", "p")] * 50 + [("y", "q")] * 50
+    r2 = chi2_independence(
+        spark.createDataFrame(dep, ["a", "b"]), "a", "b"
+    ).collect()[0]
+    # perfect association in a 2x2: chi2 = n
+    assert r2["chi2_e6"] == 100 * 1000000
+    assert r2["dof"] == 1 and r2["n_cells"] == 4  # incl. zero cells
+
+    # textbook: O = [[10, 20], [30, 40]]; E = [[12,18],[28,42]]
+    # chi2 = 4/12 + 4/18 + 4/28 + 4/42 = 0.79365...
+    book = (
+        [("r1", "c1")] * 10 + [("r1", "c2")] * 20
+        + [("r2", "c1")] * 30 + [("r2", "c2")] * 40
+    )
+    r3 = chi2_independence(
+        spark.createDataFrame(book, ["a", "b"]), "a", "b"
+    ).collect()[0]
+    expect = 4 / 12 + 4 / 18 + 4 / 28 + 4 / 42
+    assert abs(r3["chi2_e6"] / 1e6 - expect) < 1e-5
