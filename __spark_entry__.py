@@ -10504,6 +10504,69 @@ FROM est e LEFT JOIN exact x USING (partkey)
 """
 
 
+def q_luhn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-gated PII masking (functions/cleaning.luhn_valid /
+    mask_pan): synthetic 16-digit candidates — only those passing the
+    ISO-7812 mod-10 checksum mask to last-four, the rest pass through
+    (regex-only scrubbers can't make that distinction).  Unrolled
+    pure-codegen digit arithmetic; the oracle runs the identical
+    unrolled expression."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.functions.cleaning import (
+        luhn_valid,
+        mask_pan,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 100 == 7
+    )
+    pan = F.concat(
+        F.lpad(
+            (F.col("o_orderkey") * 37 % 1000000000000000).cast(
+                "string"
+            ),
+            15,
+            "0",
+        ),
+        (F.col("o_orderkey") % 10).cast("string"),
+    )
+    return o.select(
+        "o_orderkey",
+        pan.alias("candidate"),
+        luhn_valid(pan).alias("is_pan"),
+        mask_pan(pan).alias("masked"),
+    )
+
+
+def _sql_luhn_mask(n_digits: int = 16) -> str:
+    terms = []
+    for i in range(1, n_digits + 1):
+        d = f"CAST(substr(pan, {i}, 1) AS INTEGER)"
+        if (n_digits - i) % 2 == 1:
+            terms.append(
+                f"(CASE WHEN {d} * 2 > 9 THEN {d} * 2 - 9 "
+                f"ELSE {d} * 2 END)"
+            )
+        else:
+            terms.append(d)
+    total = " + ".join(terms)
+    return f"""
+WITH cand AS (
+  SELECT o_orderkey,
+         lpad(CAST((o_orderkey * 37) % 1000000000000000 AS VARCHAR),
+              15, '0')
+         || CAST(o_orderkey % 10 AS VARCHAR) AS pan
+  FROM orders WHERE o_orderkey % 100 = 7),
+checked AS (
+  SELECT o_orderkey, pan, ({total}) % 10 = 0 AS is_pan FROM cand)
+SELECT o_orderkey, pan AS candidate, is_pan,
+       CASE WHEN is_pan
+            THEN '{"*" * (n_digits - 4)}' || substr(pan, {n_digits - 3}, 4)
+            ELSE pan END AS masked
+FROM checked
+"""
+
+
 def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence screen (operators/analytics.
     chi2_independence) of document source vs language — the
@@ -11775,6 +11838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_quantile_contract": q_approx_quantile_contract,
         "k_core": q_k_core,
         "chi2_independence": q_chi2_independence,
+        "luhn_mask": q_luhn_mask,
         "hilbert_key": q_hilbert_key,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
@@ -12007,6 +12071,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_quantile_contract": _SQL_APPROX_QUANTILE_CONTRACT,
         "k_core": _sql_k_core(),
         "chi2_independence": _SQL_CHI2_INDEPENDENCE,
+        "luhn_mask": _sql_luhn_mask(),
         "hilbert_key": _sql_hilbert_key(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,

@@ -365,6 +365,8 @@ HEADLINE = [
     "k_core",
     # round-6: chi-square independence over the full contingency grid
     "chi2_independence",
+    # round-6: Luhn checksum-gated PII masking (pure codegen)
+    "luhn_mask",
 ]
 
 

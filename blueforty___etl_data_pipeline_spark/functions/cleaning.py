@@ -59,3 +59,45 @@ def zip5_not_null_filter(primary: Column, fallback: Column) -> Column:
     code IS NOT NULL AND != ''."""
     joined = F.coalesce(primary.cast("string"), fallback.cast("string"))
     return joined.isNotNull() & (joined != F.lit(""))
+
+
+def luhn_valid(pan: Column, n_digits: int = 16) -> Column:
+    """Luhn (ISO/IEC 7812 mod-10) checksum validation of a fixed-width
+    digit string — the step that separates REAL payment-card numbers
+    from random 16-digit sequences in PII scrubbing: regex-only
+    scrubbers redact phone numbers and order ids as "cards" (false
+    positives) while a checksum gate masks only what could actually
+    be a PAN.
+
+    Unrolled pure-codegen arithmetic: digit i (1-based from the left)
+    doubles when its distance from the rightmost digit is odd, with
+    the classic >9 fold (2d - 9).  No UDF, and the identical unrolled
+    expression runs on any SQL engine.  NULL/short/non-digit inputs
+    return false, not null."""
+    terms = []
+    for i in range(1, n_digits + 1):
+        d = F.substring(pan, i, 1).cast("int")
+        dist = n_digits - i  # distance from the rightmost digit
+        if dist % 2 == 1:
+            terms.append(
+                F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+            )
+        else:
+            terms.append(d)
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    ok_shape = pan.rlike(f"^[0-9]{{{n_digits}}}$")
+    return F.when(ok_shape, total % 10 == 0).otherwise(F.lit(False))
+
+
+def mask_pan(pan: Column, n_digits: int = 16) -> Column:
+    """Mask a Luhn-VALID digit string to its last four
+    (``************1234``); checksum-failing strings pass through
+    untouched — the false-positive-free PII redaction composite."""
+    return F.when(
+        luhn_valid(pan, n_digits),
+        F.concat(
+            F.lit("*" * (n_digits - 4)), F.substring(pan, n_digits - 3, 4)
+        ),
+    ).otherwise(pan)

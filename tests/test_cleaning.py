@@ -182,3 +182,48 @@ def test_strip_markdown_constructs(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, cases[i][0], got[i])
+
+
+def test_luhn_valid_and_mask(spark):
+    """Known test vectors: the canonical valid PANs pass, a one-digit
+    perturbation fails, shape violations (short, non-digit, null) are
+    false not null, and masking touches only checksum-valid strings."""
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.functions.cleaning import (
+        luhn_valid,
+        mask_pan,
+    )
+
+    rows = [
+        ("4532015112830366", True),   # canonical Visa test number
+        ("4532015112830367", False),  # last digit perturbed
+        ("5425233430109903", True),   # canonical Mastercard test
+        ("1234567812345670", True),   # constructed valid
+        ("1234567812345678", False),
+        ("123456781234567a", False),  # non-digit
+        ("12345678", False),          # short
+        (None, False),
+    ]
+    df = spark.createDataFrame(
+        [(p,) for p, _ in rows], ["pan"]
+    )
+    got = df.select(
+        "pan",
+        luhn_valid(F.col("pan")).alias("ok"),
+        mask_pan(F.col("pan")).alias("m"),
+    ).collect()
+    for (pan, want), r in zip(rows, got):
+        assert r["ok"] is want, (pan, r["ok"])
+        if want:
+            assert r["m"] == "*" * 12 + pan[-4:]
+        else:
+            assert r["m"] == pan
+    # pure codegen: no Python in the plan
+    plan = (
+        df.select(mask_pan(F.col("pan")))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
