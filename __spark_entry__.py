@@ -10504,6 +10504,83 @@ FROM est e LEFT JOIN exact x USING (partkey)
 """
 
 
+def q_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity GENERALIZATION (operators/constraints.
+    k_anonymize): every document gets the smallest coarsening level
+    — (source, lang, chars/100) → (source, lang, chars/1000) →
+    (source, *, *) → full suppression — at which its quasi-
+    identifier group reaches k=5.  Row count preserved, minimum
+    information lost; the oracle replays the ladder with identical
+    CASE logic."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.constraints import (
+        k_anonymize,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ladder = [
+        [
+            F.col("source"),
+            F.col("lang"),
+            F.expr("n_chars div 100"),
+        ],
+        [
+            F.col("source"),
+            F.col("lang"),
+            F.expr("n_chars div 1000"),
+        ],
+        [F.col("source"), F.lit("*"), F.lit("*")],
+    ]
+    return k_anonymize(docs, ladder, k=5, id_col="doc_id")
+
+
+_SQL_K_ANONYMIZE = """
+WITH base AS (
+  SELECT doc_id, source, lang,
+         CAST(n_chars // 100 AS VARCHAR) AS c0,
+         CAST(n_chars // 1000 AS VARCHAR) AS c1
+  FROM documents),
+n0 AS (SELECT source, lang, c0, COUNT(*) AS n FROM base
+       GROUP BY source, lang, c0),
+n1 AS (SELECT source, lang, c1, COUNT(*) AS n FROM base
+       GROUP BY source, lang, c1),
+n2 AS (SELECT source, COUNT(*) AS n FROM base GROUP BY source),
+j AS (
+  SELECT b.doc_id, b.source, b.lang, b.c0, b.c1,
+         a0.n AS k0, a1.n AS k1, a2.n AS k2
+  FROM base b
+  LEFT JOIN n0 a0 ON a0.source = b.source
+       AND a0.lang IS NOT DISTINCT FROM b.lang AND a0.c0 = b.c0
+  LEFT JOIN n1 a1 ON a1.source = b.source
+       AND a1.lang IS NOT DISTINCT FROM b.lang AND a1.c1 = b.c1
+  LEFT JOIN n2 a2 ON a2.source = b.source),
+lvl AS (
+  SELECT doc_id, source, lang, c0, c1,
+         CASE WHEN k0 >= 5 THEN 0
+              WHEN k1 >= 5 THEN 1
+              WHEN k2 >= 5 THEN 2
+              ELSE 3 END AS anon_level
+  FROM j)
+SELECT doc_id, CAST(anon_level AS INTEGER) AS anon_level,
+       CASE anon_level
+         WHEN 0 THEN COALESCE(source, '*')
+         WHEN 1 THEN COALESCE(source, '*')
+         WHEN 2 THEN COALESCE(source, '*')
+         ELSE '*' END AS g0,
+       CASE anon_level
+         WHEN 0 THEN COALESCE(lang, '*')
+         WHEN 1 THEN COALESCE(lang, '*')
+         WHEN 2 THEN '*'
+         ELSE '*' END AS g1,
+       CASE anon_level
+         WHEN 0 THEN COALESCE(c0, '*')
+         WHEN 1 THEN COALESCE(c1, '*')
+         WHEN 2 THEN '*'
+         ELSE '*' END AS g2
+FROM lvl
+"""
+
+
 def q_luhn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checksum-gated PII masking (functions/cleaning.luhn_valid /
     mask_pan): synthetic 16-digit candidates — only those passing the
@@ -11839,6 +11916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core": q_k_core,
         "chi2_independence": q_chi2_independence,
         "luhn_mask": q_luhn_mask,
+        "k_anonymize": q_k_anonymize,
         "hilbert_key": q_hilbert_key,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
@@ -12072,6 +12150,7 @@ def oracle_sql() -> dict[str, str]:
         "k_core": _sql_k_core(),
         "chi2_independence": _SQL_CHI2_INDEPENDENCE,
         "luhn_mask": _sql_luhn_mask(),
+        "k_anonymize": _SQL_K_ANONYMIZE,
         "hilbert_key": _sql_hilbert_key(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,

@@ -367,6 +367,8 @@ HEADLINE = [
     "chi2_independence",
     # round-6: Luhn checksum-gated PII masking (pure codegen)
     "luhn_mask",
+    # round-6: k-anonymity generalization (minimal-coarsening ladder)
+    "k_anonymize",
 ]
 
 

@@ -248,3 +248,74 @@ def benford_audit(
             ).alias("dev_permille"),
         )
     )
+
+
+def k_anonymize(
+    df: DataFrame,
+    ladder: "Sequence[Sequence[Column]]",
+    k: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """k-anonymity GENERALIZATION (the enforcement sibling of the
+    :func:`k_anonymity` audit): assign every record the SMALLEST
+    generalization level at which its quasi-identifier group reaches
+    size >= k — progressive coarsening (full value → bucket → wider
+    bucket → suppressed) instead of dropping rows, so the released
+    table keeps its row count and loses the minimum information.
+
+    ``ladder`` is a list of levels, each a list of generalized
+    quasi-identifier Columns (level 0 = finest).  An implicit final
+    level suppresses everything (one global group), so every record
+    terminates.  Levels must be PRE-AGREED coarsenings — monotonic by
+    construction in the caller's ladder.
+
+    Plan shape: one partial-agged group count per level (the count
+    tables are bounded by group cardinality, not rows) joined back
+    broadcast; the level choice is a COALESCE over the joined counts
+    — no shuffle of the fact table beyond the count aggregations.
+    Output: ``id_col``, ``anon_level`` (0-based; len(ladder) =
+    suppressed), and the chosen level's generalized columns as
+    strings (``g0, g1, ...``; suppressed level renders '*').
+    """
+    n_q = len(ladder[0])
+    if any(len(level) != n_q for level in ladder):
+        raise ValueError("all ladder levels need the same column count")
+
+    work = df.select(F.col(id_col), *df.columns)
+    lvl_counts = []
+    for li, level in enumerate(ladder):
+        keyed = df.select(
+            F.col(id_col),
+            *[
+                c.cast("string").alias(f"_l{li}_{j}")
+                for j, c in enumerate(level)
+            ],
+        )
+        cols = [f"_l{li}_{j}" for j in range(n_q)]
+        counts = keyed.groupBy(*cols).agg(
+            F.count("*").alias(f"_n{li}")
+        )
+        keyed = keyed.join(counts, cols, "left")
+        lvl_counts.append(keyed)
+
+    out = lvl_counts[0]
+    for li in range(1, len(ladder)):
+        out = out.join(lvl_counts[li], id_col)
+
+    level_expr = F.lit(len(ladder))  # implicit suppression level
+    for li in reversed(range(len(ladder))):
+        level_expr = F.when(
+            F.col(f"_n{li}") >= k, F.lit(li)
+        ).otherwise(level_expr)
+    out = out.withColumn("anon_level", level_expr)
+
+    g_cols = []
+    for j in range(n_q):
+        expr = F.lit("*")  # suppressed
+        for li in reversed(range(len(ladder))):
+            expr = F.when(
+                F.col("anon_level") == li,
+                F.coalesce(F.col(f"_l{li}_{j}"), F.lit("*")),
+            ).otherwise(expr)
+        g_cols.append(expr.alias(f"g{j}"))
+    return out.select(F.col(id_col), F.col("anon_level"), *g_cols)

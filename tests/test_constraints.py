@@ -178,3 +178,50 @@ def test_l_diversity_rejects_trivial_ell(spark):
     df = spark.createDataFrame([("a", 1)], "q string, s int")
     with _pytest.raises(ValueError):
         l_diversity(df, ["q"], "s", ell=1)
+
+
+def test_k_anonymize_minimal_generalization(spark):
+    """Records in big fine-grained groups stay at level 0; rare
+    combinations climb exactly as far as needed; a singleton in a
+    singleton source suppresses fully; row count is preserved."""
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.operators.constraints import (
+        k_anonymize,
+    )
+
+    rows = (
+        # 6 identical fine-grained rows -> level 0 at k=5
+        [(i, "web", "en", 150) for i in range(6)]
+        # 3 rows whose fine bucket is rare but coarse bucket (en,
+        # chars//1000 == 0) pools with the 6 above -> level 1
+        + [(10 + i, "web", "en", 450 + i) for i in range(3)]
+        # rare lang in a big source -> (source, *, *) level 2
+        + [(20, "web", "xx", 99999)]
+        # singleton source -> full suppression
+        + [(30, "lone", "en", 100)]
+    )
+    df = spark.createDataFrame(
+        rows, ["doc_id", "source", "lang", "n_chars"]
+    )
+    ladder = [
+        [F.col("source"), F.col("lang"), F.expr("n_chars div 100")],
+        [F.col("source"), F.col("lang"), F.expr("n_chars div 1000")],
+        [F.col("source"), F.lit("*"), F.lit("*")],
+    ]
+    out = {r["doc_id"]: r for r in k_anonymize(df, ladder, k=5).collect()}
+    assert len(out) == len(rows)  # row count preserved
+    for i in range(6):
+        assert out[i]["anon_level"] == 0
+        assert (out[i]["g0"], out[i]["g1"], out[i]["g2"]) == (
+            "web", "en", "1",
+        )
+    for i in range(10, 13):
+        assert out[i]["anon_level"] == 1
+        assert out[i]["g2"] == "0"  # coarse bucket
+    assert out[20]["anon_level"] == 2
+    assert (out[20]["g1"], out[20]["g2"]) == ("*", "*")
+    assert out[30]["anon_level"] == 3
+    assert (out[30]["g0"], out[30]["g1"], out[30]["g2"]) == (
+        "*", "*", "*",
+    )
