@@ -10470,12 +10470,13 @@ def q_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_CMS_FREQUENCY = """
 WITH seeds AS (SELECT CAST(range AS INTEGER) AS seed FROM range(4)),
+hashed AS (
+  SELECT md5(CAST(l_partkey AS VARCHAR)) AS h FROM lineitem),
 fan AS (
   SELECT s.seed,
-         CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' ||
-               CAST(l.l_partkey AS VARCHAR)), 1, 12)) AS BIGINT) % 256
+         CAST(('0x' || substr(t.h, s.seed * 4 + 1, 4)) AS BIGINT) % 256
            AS bucket
-  FROM lineitem l CROSS JOIN seeds s),
+  FROM hashed t CROSS JOIN seeds s),
 sketch AS (
   SELECT seed, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
   FROM fan GROUP BY seed, bucket),
@@ -10483,9 +10484,8 @@ probes AS (
   SELECT p_partkey AS partkey FROM part WHERE p_partkey <= 200),
 probe_fan AS (
   SELECT p.partkey, s.seed,
-         CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' ||
-               CAST(p.partkey AS VARCHAR)), 1, 12)) AS BIGINT) % 256
-           AS bucket
+         CAST(('0x' || substr(md5(CAST(p.partkey AS VARCHAR)),
+               s.seed * 4 + 1, 4)) AS BIGINT) % 256 AS bucket
   FROM probes p CROSS JOIN seeds s),
 est AS (
   SELECT pf.partkey,

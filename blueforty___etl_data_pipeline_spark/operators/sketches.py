@@ -58,6 +58,20 @@ def _md5_long(col, seed=None):
     ).cast("long")
 
 
+def _slice_long(h_name: str = "_h", seed_name: str = "seed"):
+    """Hash row ``seed``'s value: the disjoint 16-bit slice of the
+    md5 hex at character offset 4*seed (depth <= 8 fits the 32 hex
+    chars).  One digest per row serves every hash row — the same
+    one-digest-many-draws scheme as ``profile.permutation_test``."""
+    return F.conv(
+        F.expr(
+            f"substring({h_name}, cast({seed_name} as int) * 4 + 1, 4)"
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
 def count_min_build(
     df: DataFrame,
     key_col: str,
@@ -80,10 +94,12 @@ def count_min_build(
         if weight_col
         else F.lit(1).cast("long")
     )
-    # One scan: explode the seed list per row (depth is 4-8, so the
-    # fan-out is constant) rather than unioning `depth` re-scans.
+    # One scan AND one digest per row: the key hashes once (md5);
+    # hash row s reads the disjoint 16-bit slice at hex offset 4s —
+    # the same one-digest-many-draws scheme as permutation_test, 4x
+    # cheaper than seed-prefixed re-hashing and identically portable.
     fanned = df.select(
-        F.col(key_col).alias("_k"),
+        F.md5(F.col(key_col).cast("string")).alias("_h"),
         w.alias("w"),
         F.explode(
             F.array(*[F.lit(s) for s in range(depth)])
@@ -92,9 +108,7 @@ def count_min_build(
     return (
         fanned.select(
             "seed",
-            (_md5_long(F.col("_k"), F.col("seed")) % width).alias(
-                "bucket"
-            ),
+            (_slice_long() % width).alias("bucket"),
             "w",
         )
         .groupBy("seed", "bucket")
@@ -117,16 +131,16 @@ def count_min_estimate(
     cost is proportional to the probe set, never the sketched corpus.
     Output: (key, est) with est >= true count, the one-sided CM bound.
     """
-    fan = probes.select(key_col).distinct().crossJoin(
+    fan = probes.select(
+        key_col, F.md5(F.col(key_col).cast("string")).alias("_h")
+    ).distinct().crossJoin(
         F.broadcast(
             probes.sparkSession.range(depth).select(
                 F.col("id").cast("int").alias("seed")
             )
         )
     )
-    fan = fan.withColumn(
-        "bucket", _md5_long(F.col(key_col), F.col("seed")) % width
-    )
+    fan = fan.withColumn("bucket", _slice_long() % width)
     joined = fan.join(
         F.broadcast(sketch), ["seed", "bucket"], "left"
     ).withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
