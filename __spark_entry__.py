@@ -10504,6 +10504,59 @@ FROM est e LEFT JOIN exact x USING (partkey)
 """
 
 
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (operators/profile.spearman_corr)
+    of lineitem quantity vs extended price — average ranks assigned
+    through distinct-value cumulative counts (no global sort of raw
+    rows), then the corr_matrix exact-decimal moment pass over
+    integer doubled ranks.  The oracle replays rank maps and moments
+    through HUGEINT."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        spearman_corr,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return spearman_corr(li, "l_quantity", "l_extendedprice")
+
+
+_SQL_SPEARMAN = """
+WITH fact AS (
+  SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+cx AS (SELECT x AS v, CAST(COUNT(*) AS HUGEINT) AS cnt
+       FROM fact GROUP BY x),
+rx AS (
+  SELECT v,
+         2 * (SUM(cnt) OVER (ORDER BY v
+              ROWS UNBOUNDED PRECEDING) - cnt) + cnt + 1 AS rx2
+  FROM cx),
+cy AS (SELECT y AS v, CAST(COUNT(*) AS HUGEINT) AS cnt
+       FROM fact GROUP BY y),
+ry AS (
+  SELECT v,
+         2 * (SUM(cnt) OVER (ORDER BY v
+              ROWS UNBOUNDED PRECEDING) - cnt) + cnt + 1 AS ry2
+  FROM cy),
+ranked AS (
+  SELECT CAST(rx.rx2 AS HUGEINT) AS rx2, CAST(ry.ry2 AS HUGEINT) AS ry2
+  FROM fact JOIN rx ON rx.v = fact.x JOIN ry ON ry.v = fact.y),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(rx2) AS sx, SUM(ry2) AS sy,
+         SUM(rx2 * rx2) AS sxx, SUM(ry2 * ry2) AS syy,
+         SUM(rx2 * ry2) AS sxy
+  FROM ranked)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+         THEN FLOOR(1000000.0 *
+           CAST(n * sxy - sx * sy AS DOUBLE)
+           / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS BIGINT) AS spearman_e6
+FROM m
+"""
+
+
 def q_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity GENERALIZATION (operators/constraints.
     k_anonymize): every document gets the smallest coarsening level
@@ -11917,6 +11970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_independence": q_chi2_independence,
         "luhn_mask": q_luhn_mask,
         "k_anonymize": q_k_anonymize,
+        "spearman": q_spearman,
         "hilbert_key": q_hilbert_key,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
@@ -12151,6 +12205,7 @@ def oracle_sql() -> dict[str, str]:
         "chi2_independence": _SQL_CHI2_INDEPENDENCE,
         "luhn_mask": _sql_luhn_mask(),
         "k_anonymize": _SQL_K_ANONYMIZE,
+        "spearman": _SQL_SPEARMAN,
         "hilbert_key": _sql_hilbert_key(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,

@@ -369,6 +369,8 @@ HEADLINE = [
     "luhn_mask",
     # round-6: k-anonymity generalization (minimal-coarsening ladder)
     "k_anonymize",
+    # round-6: Spearman rank correlation (distinct-value rank maps)
+    "spearman",
 ]
 
 

@@ -1297,3 +1297,85 @@ def permutation_test(
             / (F.col("n_used") + 1).cast("double")
         ).cast("long").alias("p_e6"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+) -> DataFrame:
+    """Spearman rank correlation — Pearson on average ranks, the
+    robust association measure that survives the outliers and
+    nonlinearity that wreck raw Pearson (its sibling
+    :func:`corr_matrix` covers the linear case).
+
+    Scalable ranking WITHOUT sorting raw rows (the
+    ``grouped_median_exact`` argument): each column aggregates to its
+    DISTINCT-VALUE table with counts, a cumulative window over those
+    bounded distinct values assigns every value its doubled average
+    rank ``2*prev_cum + cnt + 1`` (doubled so midpoint ranks stay
+    integer), and the fact table equi-joins the two rank maps.  The
+    correlation then runs the corr_matrix exact-decimal moment pass
+    over the integer doubled ranks, floats only in the final ratio.
+    (DECIMAL(38,0) bounds the exact moment pass at roughly n <= 1e8
+    rows; beyond that, rank on a pre-aggregated value table.)
+
+    Output: one row (n, spearman_e6).
+    """
+    d38 = "decimal(38,0)"
+
+    def rank2_map(col: str, out: str) -> DataFrame:
+        counts = (
+            df.select(F.col(col).alias("_v"))
+            .groupBy("_v")
+            .agg(F.count("*").alias("_cnt"))
+        )
+        w = Window.orderBy("_v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return counts.select(
+            "_v",
+            (
+                2 * (F.sum("_cnt").over(w) - F.col("_cnt"))
+                + F.col("_cnt")
+                + 1
+            ).alias(out),
+        )
+
+    rx = rank2_map(col_x, "rx2")
+    ry = rank2_map(col_y, "ry2")
+    ranked = (
+        df.select(
+            F.col(col_x).alias("_x"), F.col(col_y).alias("_y")
+        )
+        .join(rx.withColumnRenamed("_v", "_x"), "_x")
+        .join(ry.withColumnRenamed("_v", "_y"), "_y")
+        .select(
+            F.col("rx2").cast(d38).alias("rx2"),
+            F.col("ry2").cast(d38).alias("ry2"),
+        )
+    )
+    m = ranked.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            F.floor(
+                F.lit(1000000.0)
+                * num.cast("double")
+                / F.sqrt(dx.cast("double") * dy.cast("double"))
+            ),
+        )
+        .cast("long")
+        .alias("spearman_e6"),
+    )

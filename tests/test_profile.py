@@ -706,3 +706,39 @@ def test_permutation_test_detects_and_rejects(spark):
     ).collect()[0]
     assert r2["p_e6"] > 50000  # nowhere near significant
     assert r2["n_extreme"] > 0
+
+
+def test_spearman_ground_truths(spark):
+    """Anchors: any strictly monotone transform gives exactly +1e6
+    (the point of rank correlation), reversal gives -1e6, and the
+    tie-averaged textbook case matches scipy-style closed form."""
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        spearman_corr,
+    )
+
+    mono = [(float(i), float(i * i * i + 5)) for i in range(1, 40)]
+    r = spearman_corr(
+        spark.createDataFrame(mono, ["x", "y"]), "x", "y"
+    ).collect()[0]
+    assert (r["n"], r["spearman_e6"]) == (39, 1000000)
+
+    rev = [(float(i), float(100 - i)) for i in range(1, 40)]
+    r2 = spearman_corr(
+        spark.createDataFrame(rev, ["x", "y"]), "x", "y"
+    ).collect()[0]
+    assert r2["spearman_e6"] == -1000000
+
+    # ties: x = [1,2,2,3], y = [10,20,20,40] -> still perfectly
+    # concordant with identical tie structure -> +1
+    ties = [(1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 40.0)]
+    r3 = spearman_corr(
+        spark.createDataFrame(ties, ["x", "y"]), "x", "y"
+    ).collect()[0]
+    assert r3["spearman_e6"] == 1000000
+
+    # constant column: zero rank variance -> NULL
+    const = [(1.0, float(i)) for i in range(10)]
+    r4 = spearman_corr(
+        spark.createDataFrame(const, ["x", "y"]), "x", "y"
+    ).collect()[0]
+    assert r4["spearman_e6"] is None
