@@ -10736,12 +10736,20 @@ per_cell AS (
            CAST((g.o * t.n - g.ra * g.cb)
                 * (g.o * t.n - g.ra * g.cb) AS DOUBLE)
            / CAST(t.n * g.ra * g.cb AS DOUBLE)) AS HUGEINT) AS cell_e6
-  FROM grid g CROSS JOIN tot t)
-SELECT CAST(n AS BIGINT) AS n,
-       CAST(COUNT(*) AS INTEGER) AS n_cells,
-       CAST((ka - 1) * (kb - 1) AS INTEGER) AS dof,
-       CAST(SUM(cell_e6) AS BIGINT) AS chi2_e6
-FROM per_cell GROUP BY n, ka, kb
+  FROM grid g CROSS JOIN tot t),
+agg AS (
+  SELECT CAST(n AS BIGINT) AS n,
+         CAST(COUNT(*) AS INTEGER) AS n_cells,
+         CAST((ka - 1) * (kb - 1) AS INTEGER) AS dof,
+         CAST(SUM(cell_e6) AS BIGINT) AS chi2_e6,
+         LEAST(ka, kb) AS kmin
+  FROM per_cell GROUP BY n, ka, kb)
+SELECT n, n_cells, dof, chi2_e6,
+       CAST(CASE WHEN kmin > 1 THEN
+         FLOOR(1e6 * SQRT(CAST(chi2_e6 AS DOUBLE) / 1e6
+               / (CAST(n AS DOUBLE) * CAST(kmin - 1 AS DOUBLE))))
+       END AS BIGINT) AS cramers_v_e6
+FROM agg
 """
 
 

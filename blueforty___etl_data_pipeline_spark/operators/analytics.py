@@ -628,7 +628,11 @@ def chi2_independence(
     jackknife discipline), so the statistic is engine-exact.  The sum
     runs over the FULL |A| x |B| grid including structural zeros (a
     zero cell still contributes its expectation).  Output: one row
-    (n, n_cells, dof, chi2_e6) with dof = (|A|-1)(|B|-1).
+    (n, n_cells, dof, chi2_e6, cramers_v_e6) with
+    dof = (|A|-1)(|B|-1) and Cramer's V = sqrt(chi2 / (n * min(|A|-1,
+    |B|-1))) — the [0,1] effect size that makes chi2 comparable
+    across table sizes (V derives from the already-floored chi2_e6,
+    so it inherits the determinism contract).
 
     Scale shape: one partial-agged contingency aggregation; marginals
     are two more aggregations of the CELL table (bounded by label
@@ -679,5 +683,23 @@ def chi2_independence(
             .cast("int")
             .alias("dof"),
             F.col("chi2_e6").cast("long").alias("chi2_e6"),
+            F.when(
+                F.least(F.col("ka"), F.col("kb")) > 1,
+                F.floor(
+                    F.lit(1e6)
+                    * F.sqrt(
+                        F.col("chi2_e6").cast("double")
+                        / 1e6
+                        / (
+                            F.col("n").cast("double")
+                            * (
+                                F.least(F.col("ka"), F.col("kb")) - 1
+                            ).cast("double")
+                        )
+                    )
+                ),
+            )
+            .cast("long")
+            .alias("cramers_v_e6"),
         )
     )

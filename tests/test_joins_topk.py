@@ -500,14 +500,16 @@ def test_chi2_independence_ground_truths(spark):
     ).collect()[0]
     assert (r["n"], r["n_cells"], r["dof"]) == (100, 4, 1)
     assert r["chi2_e6"] == 0
+    assert r["cramers_v_e6"] == 0
 
     dep = [("x", "p")] * 50 + [("y", "q")] * 50
     r2 = chi2_independence(
         spark.createDataFrame(dep, ["a", "b"]), "a", "b"
     ).collect()[0]
-    # perfect association in a 2x2: chi2 = n
+    # perfect association in a 2x2: chi2 = n, Cramer's V = 1
     assert r2["chi2_e6"] == 100 * 1000000
     assert r2["dof"] == 1 and r2["n_cells"] == 4  # incl. zero cells
+    assert r2["cramers_v_e6"] == 1000000
 
     # textbook: O = [[10, 20], [30, 40]]; E = [[12,18],[28,42]]
     # chi2 = 4/12 + 4/18 + 4/28 + 4/42 = 0.79365...
