@@ -10504,6 +10504,58 @@ FROM est e LEFT JOIN exact x USING (partkey)
 """
 
 
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (operators/profile.
+    mann_whitney_u): URGENT vs LOW order values — the closed-form
+    nonparametric sibling of permutation_test (one ranking pass, no
+    permutation fan-out).  Pooled ranks via distinct-value
+    cumulative counts, tie-corrected variance from the bounded
+    distinct table; the oracle replays ranks and the z through
+    HUGEINT."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        mann_whitney_u,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return mann_whitney_u(
+        o, "o_totalprice", "o_orderpriority", "1-URGENT", "5-LOW"
+    )
+
+
+_SQL_MANN_WHITNEY = """
+WITH base AS (
+  SELECT o_totalprice AS v, o_orderpriority = '1-URGENT' AS is_a
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+counts AS (
+  SELECT v, CAST(COUNT(*) AS HUGEINT) AS cnt,
+         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS HUGEINT) AS ca
+  FROM base GROUP BY v),
+ranked AS (
+  SELECT cnt, ca,
+         2 * (SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              - cnt) + cnt + 1 AS rank2
+  FROM counts),
+m AS (
+  SELECT SUM(cnt) AS n, SUM(ca) AS na,
+         SUM(ca * rank2) AS r2a,
+         SUM(cnt * cnt * cnt - cnt) AS tie3
+  FROM ranked)
+SELECT CAST(na AS BIGINT) AS n_a,
+       CAST(n - na AS BIGINT) AS n_b,
+       CAST(r2a - na * (na + 1) AS BIGINT) AS u2,
+       CAST(CASE WHEN na > 0 AND n - na > 0 THEN
+         FLOOR(1000000.0 *
+           (CAST(r2a - na * (na + 1) - na * (n - na) AS DOUBLE) / 2.0)
+           / SQRT(CAST(na AS DOUBLE) * CAST(n - na AS DOUBLE) / 12.0
+                  * ((CAST(n AS DOUBLE) + 1.0)
+                     - CAST(tie3 AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))))
+       END AS BIGINT) AS z_e6
+FROM m
+"""
+
+
 def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation (operators/profile.spearman_corr)
     of lineitem quantity vs extended price — average ranks assigned
@@ -11979,6 +12031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "luhn_mask": q_luhn_mask,
         "k_anonymize": q_k_anonymize,
         "spearman": q_spearman,
+        "mann_whitney": q_mann_whitney,
         "hilbert_key": q_hilbert_key,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
@@ -12214,6 +12267,7 @@ def oracle_sql() -> dict[str, str]:
         "luhn_mask": _sql_luhn_mask(),
         "k_anonymize": _SQL_K_ANONYMIZE,
         "spearman": _SQL_SPEARMAN,
+        "mann_whitney": _SQL_MANN_WHITNEY,
         "hilbert_key": _sql_hilbert_key(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,

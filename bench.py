@@ -371,6 +371,8 @@ HEADLINE = [
     "k_anonymize",
     # round-6: Spearman rank correlation (distinct-value rank maps)
     "spearman",
+    # round-6: Mann-Whitney U rank-sum test (closed-form null)
+    "mann_whitney",
 ]
 
 

@@ -1379,3 +1379,96 @@ def spearman_corr(
         .cast("long")
         .alias("spearman_e6"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test — the rank-based
+    two-sample location test: unlike the t-test it needs no
+    normality, and unlike :func:`permutation_test` it has a
+    closed-form null, so it costs ONE ranking pass instead of B
+    permutation sums.
+
+    Ranks come from the pooled DISTINCT-VALUE table with cumulative
+    counts (the spearman_corr machinery — never a global sort of raw
+    rows), doubled so tie midpoints stay integer.  U, its null mean,
+    and the tie-corrected variance
+
+        var = na*nb/12 * [(n+1) - sum(t^3 - t) / (n*(n-1))]
+
+    all evaluate from exact integers (the tie term aggregates over
+    the bounded distinct-value table); the standardized z floors to
+    e6 from exact operands only at the end.
+
+    Output: one row (n_a, n_b, u2 — doubled U so tie halves stay
+    integer — and z_e6).
+    """
+    d38 = "decimal(38,0)"
+    base = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+    ).select(
+        F.col(value_col).alias("_v"),
+        (F.col(group_col) == group_a).alias("is_a"),
+    )
+    counts = base.groupBy("_v").agg(
+        F.count("*").alias("_cnt"),
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("_ca"),
+    )
+    w = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = counts.select(
+        "_cnt",
+        "_ca",
+        (
+            2 * (F.sum("_cnt").over(w) - F.col("_cnt"))
+            + F.col("_cnt")
+            + 1
+        ).alias("rank2"),
+    )
+    m = ranked.agg(
+        F.sum(F.col("_cnt")).cast(d38).alias("n"),
+        F.sum(F.col("_ca")).cast(d38).alias("na"),
+        F.sum(F.col("_ca") * F.col("rank2")).cast(d38).alias("r2a"),
+        F.sum(
+            F.col("_cnt") * F.col("_cnt") * F.col("_cnt")
+            - F.col("_cnt")
+        )
+        .cast(d38)
+        .alias("tie3"),
+    )
+    nb = F.col("n") - F.col("na")
+    # doubled U: U = R_a - na(na+1)/2  ->  U2 = R2_a - na(na+1)
+    u2 = F.col("r2a") - F.col("na") * (F.col("na") + 1)
+    mean_u2 = F.col("na") * nb  # doubled null mean (2 * na*nb/2)
+    # var(U) with tie correction, computed in doubles of exact ints
+    n_d = F.col("n").cast("double")
+    var_u = (
+        F.col("na").cast("double")
+        * nb.cast("double")
+        / 12.0
+        * (
+            (n_d + 1.0)
+            - F.col("tie3").cast("double") / (n_d * (n_d - 1.0))
+        )
+    )
+    return m.select(
+        F.col("na").cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        u2.cast("long").alias("u2"),
+        F.when(
+            var_u > 0,
+            F.floor(
+                F.lit(1000000.0)
+                * ((u2 - mean_u2).cast("double") / 2.0)
+                / F.sqrt(var_u)
+            ),
+        )
+        .cast("long")
+        .alias("z_e6"),
+    )

@@ -742,3 +742,40 @@ def test_spearman_ground_truths(spark):
         spark.createDataFrame(const, ["x", "y"]), "x", "y"
     ).collect()[0]
     assert r4["spearman_e6"] is None
+
+
+def test_mann_whitney_ground_truths(spark):
+    """Anchors against the closed form: complete separation gives
+    U = na*nb (u2 = 2*na*nb) with large positive z; identical
+    distributions give u2 near its null mean and |z| small; the
+    statistic matches a hand-computed small example with ties."""
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        mann_whitney_u,
+    )
+
+    sep = [("a", float(100 + i)) for i in range(20)] + [
+        ("b", float(i)) for i in range(20)
+    ]
+    df = spark.createDataFrame(sep, ["g", "v"])
+    r = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (20, 20)
+    assert r["u2"] == 2 * 20 * 20  # every a beats every b
+    assert r["z_e6"] > 5_000_000  # z > 5
+
+    same = [("a", float(i % 10)) for i in range(50)] + [
+        ("b", float(i % 10)) for i in range(50)
+    ]
+    r2 = mann_whitney_u(
+        spark.createDataFrame(same, ["g", "v"]), "v", "g", "a", "b"
+    ).collect()[0]
+    assert r2["u2"] == 2 * 50 * 50 // 2  # exactly the null mean
+    assert abs(r2["z_e6"]) < 100_000
+
+    # hand example: a = [1, 3], b = [2, 2]
+    # pooled sorted: 1(a) 2(b) 2(b) 3(a); avg ranks: 1, 2.5, 2.5, 4
+    # R_a = 1 + 4 = 5 -> U = 5 - 2*3/2 = 2 -> u2 = 4
+    hand = [("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 2.0)]
+    r3 = mann_whitney_u(
+        spark.createDataFrame(hand, ["g", "v"]), "v", "g", "a", "b"
+    ).collect()[0]
+    assert r3["u2"] == 4
