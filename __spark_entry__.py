@@ -10504,6 +10504,58 @@ FROM est e LEFT JOIN exact x USING (partkey)
 """
 
 
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov (operators/profile.
+    ks_two_sample): URGENT vs LOW order-value distributions — the
+    any-difference screen over pooled empirical CDFs, exact integer
+    gap maxima over the bounded distinct-value table, with the 95%
+    critical value carried for a self-contained readout."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        ks_two_sample,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return ks_two_sample(
+        o, "o_totalprice", "o_orderpriority", "1-URGENT", "5-LOW"
+    )
+
+
+_SQL_KS_TEST = """
+WITH base AS (
+  SELECT o_totalprice AS v, o_orderpriority = '1-URGENT' AS is_a
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+counts AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS HUGEINT) AS ca,
+         CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS HUGEINT)
+           AS cb
+  FROM base GROUP BY v),
+cum AS (
+  SELECT SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+         SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+  FROM counts),
+tot AS (
+  SELECT CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+         CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS HUGEINT)
+           AS nb
+  FROM base),
+agg AS (
+  SELECT t.na, t.nb,
+         MAX(ABS(c.cum_a * t.nb - c.cum_b * t.na)) AS max_gap
+  FROM cum c CROSS JOIN tot t GROUP BY t.na, t.nb)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(FLOOR(1000000.0 * CAST(max_gap AS DOUBLE)
+            / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT)
+         AS d_e6,
+       CAST(FLOOR(1000000.0 * 1.358 *
+            SQRT((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))))
+            AS BIGINT) AS crit_ks_e6
+FROM agg
+"""
+
+
 def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U rank-sum test (operators/profile.
     mann_whitney_u): URGENT vs LOW order values — the closed-form
@@ -12032,6 +12084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymize": q_k_anonymize,
         "spearman": q_spearman,
         "mann_whitney": q_mann_whitney,
+        "ks_test": q_ks_test,
         "hilbert_key": q_hilbert_key,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
@@ -12268,6 +12321,7 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymize": _SQL_K_ANONYMIZE,
         "spearman": _SQL_SPEARMAN,
         "mann_whitney": _SQL_MANN_WHITNEY,
+        "ks_test": _SQL_KS_TEST,
         "hilbert_key": _sql_hilbert_key(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,

@@ -373,6 +373,8 @@ HEADLINE = [
     "spearman",
     # round-6: Mann-Whitney U rank-sum test (closed-form null)
     "mann_whitney",
+    # round-6: two-sample Kolmogorov-Smirnov over pooled CDFs
+    "ks_test",
 ]
 
 

@@ -1472,3 +1472,78 @@ def mann_whitney_u(
         .cast("long")
         .alias("z_e6"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic — the any-difference
+    detector (location, scale, OR shape) that complements the
+    location-only rank tests: D = max_x |F_a(x) - F_b(x)| over the
+    pooled empirical CDFs.
+
+    Exact-integer formulation on the distinct-value table: at each
+    distinct value, |cum_a * n_b - cum_b * n_a| is an exact integer;
+    D = max of that over values, divided by n_a*n_b only in the final
+    e6 floor.  One aggregation + one bounded cumulative window —
+    the same never-sort-raw-rows shape as spearman/mann-whitney.
+
+    Output: one row (n_a, n_b, d_e6, crit_ks_e6) where crit_ks_e6 is
+    the 95% two-sided critical value 1.358*sqrt((na+nb)/(na*nb)) —
+    carried so the row is a self-contained accept/reject readout.
+    """
+    d38 = "decimal(38,0)"
+    base = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+    ).select(
+        F.col(value_col).alias("_v"),
+        (F.col(group_col) == group_a).alias("is_a"),
+    )
+    counts = base.groupBy("_v").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("_ca"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("_cb"),
+    )
+    w = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.select(
+        F.sum("_ca").over(w).cast(d38).alias("cum_a"),
+        F.sum("_cb").over(w).cast(d38).alias("cum_b"),
+    )
+    tot = base.agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+        .cast(d38)
+        .alias("na"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0))
+        .cast(d38)
+        .alias("nb"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    gap = F.abs(
+        F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na")
+    )
+    out = j.groupBy("na", "nb").agg(F.max(gap).alias("max_gap"))
+    na_d = F.col("na").cast("double")
+    nb_d = F.col("nb").cast("double")
+    return out.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.col("max_gap").cast("double")
+            / (na_d * nb_d)
+        )
+        .cast("long")
+        .alias("d_e6"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.lit(1.358)
+            * F.sqrt((na_d + nb_d) / (na_d * nb_d))
+        )
+        .cast("long")
+        .alias("crit_ks_e6"),
+    )

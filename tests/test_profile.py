@@ -779,3 +779,38 @@ def test_mann_whitney_ground_truths(spark):
         spark.createDataFrame(hand, ["g", "v"]), "v", "g", "a", "b"
     ).collect()[0]
     assert r3["u2"] == 4
+
+
+def test_ks_two_sample_ground_truths(spark):
+    """Anchors: disjoint supports give D = 1e6 exactly; identical
+    samples give D = 0; a half-shifted example matches the
+    hand-computed CDF gap."""
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        ks_two_sample,
+    )
+
+    disjoint = [("a", float(i)) for i in range(10)] + [
+        ("b", float(100 + i)) for i in range(10)
+    ]
+    r = ks_two_sample(
+        spark.createDataFrame(disjoint, ["g", "v"]), "v", "g", "a", "b"
+    ).collect()[0]
+    assert r["d_e6"] == 1000000
+
+    same = [("a", float(i % 5)) for i in range(20)] + [
+        ("b", float(i % 5)) for i in range(20)
+    ]
+    r2 = ks_two_sample(
+        spark.createDataFrame(same, ["g", "v"]), "v", "g", "a", "b"
+    ).collect()[0]
+    assert r2["d_e6"] == 0
+    assert r2["crit_ks_e6"] > 0
+
+    # a = {1,2,3,4}, b = {3,4,5,6}: max gap at v=2: F_a=.5, F_b=0
+    half = [("a", float(v)) for v in (1, 2, 3, 4)] + [
+        ("b", float(v)) for v in (3, 4, 5, 6)
+    ]
+    r3 = ks_two_sample(
+        spark.createDataFrame(half, ["g", "v"]), "v", "g", "a", "b"
+    ).collect()[0]
+    assert r3["d_e6"] == 500000
