@@ -10504,6 +10504,45 @@ FROM est e LEFT JOIN exact x USING (partkey)
 """
 
 
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding (operators/aggregate.target_encode):
+    customer market segment → m=20-smoothed mean account balance —
+    the workhorse categorical feature at cardinalities where one-hot
+    explodes, shrunk toward the global mean so rare categories don't
+    memorize.  Exact integer sums, one division, e6 floor."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.aggregate import (
+        target_encode,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    return target_encode(
+        c, "c_mktsegment", "c_acctbal", smoothing=20, scale=100
+    ).orderBy("c_mktsegment")
+
+
+_SQL_TARGET_ENCODE = """
+WITH base AS (
+  SELECT c_mktsegment AS c,
+         CAST(FLOOR(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT) AS y
+  FROM customer),
+per_cat AS (
+  SELECT c, CAST(SUM(y) AS BIGINT) AS s_c,
+         CAST(COUNT(*) AS BIGINT) AS n_c
+  FROM base GROUP BY c),
+g_tot AS (
+  SELECT CAST(SUM(y) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM base)
+SELECT p.c AS c_mktsegment, p.n_c,
+       CAST(FLOOR(10000.0 *
+         (CAST(p.s_c AS DOUBLE)
+          + 20.0 * CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))
+         / CAST(p.n_c + 20 AS DOUBLE)) AS BIGINT) AS enc_e6
+FROM per_cat p CROSS JOIN g_tot g
+ORDER BY c_mktsegment
+"""
+
+
 def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov (operators/profile.
     ks_two_sample): URGENT vs LOW order-value distributions — the
@@ -12085,6 +12124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman": q_spearman,
         "mann_whitney": q_mann_whitney,
         "ks_test": q_ks_test,
+        "target_encode": q_target_encode,
         "hilbert_key": q_hilbert_key,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
@@ -12322,6 +12362,7 @@ def oracle_sql() -> dict[str, str]:
         "spearman": _SQL_SPEARMAN,
         "mann_whitney": _SQL_MANN_WHITNEY,
         "ks_test": _SQL_KS_TEST,
+        "target_encode": _SQL_TARGET_ENCODE,
         "hilbert_key": _sql_hilbert_key(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,

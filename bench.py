@@ -375,6 +375,8 @@ HEADLINE = [
     "mann_whitney",
     # round-6: two-sample Kolmogorov-Smirnov over pooled CDFs
     "ks_test",
+    # round-6: smoothed target encoding (categorical feature)
+    "target_encode",
 ]
 
 

@@ -50,3 +50,78 @@ def preagg_join(
     """
     aggregated = fact.groupBy(*agg_keys).agg(*agg_exprs)
     return aggregated.join(other, on=on, how=how)
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: int = 20,
+    scale: int = 100,
+    leave_one_out: bool = False,
+) -> DataFrame:
+    """Target encoding of a categorical column — replace each
+    category with the (smoothed) mean of a numeric target, the
+    workhorse categorical feature for tabular models at cardinalities
+    where one-hot explodes.
+
+    Two leakage regimes:
+
+    - smoothed (default): enc(c) = (sum_c + m * global_mean) /
+      (cnt_c + m) — the m-sample prior shrinks rare categories
+      toward the global mean instead of memorizing them;
+    - ``leave_one_out``: each ROW's own target is excluded,
+      enc = (sum_c - y_row) / (cnt_c - 1) (falling back to the
+      global mean for singletons) — the train-time variant that
+      keeps the row's label out of its own feature.
+
+    Exactness: targets quantize to exact integers (``scale``); both
+    encodings are single divisions of exact integers, floored to e6
+    — engine-portable like every fixed-point op here.  Plan: one
+    partial-agged category aggregation + a broadcast-able join back
+    (category cardinality bounds the join side); LOO adds no extra
+    shuffle — it reuses the same joined sums row-wise.
+
+    Output: df's ``cat_col`` + row id columns are NOT carried;
+    returns (cat value, n_c, enc_e6) in grouped mode, or per-row
+    (cat, y, enc_e6) in LOO mode.
+    """
+    y = F.floor(F.col(target_col).cast("double") * scale).cast("long")
+    base = df.select(F.col(cat_col).alias("c"), y.alias("y"))
+    per_cat = base.groupBy("c").agg(
+        F.sum("y").alias("s_c"), F.count("*").alias("n_c")
+    )
+    glob = base.agg(
+        F.sum("y").alias("s"), F.count("*").alias("n")
+    )
+    e6 = 1000000.0 / scale
+    if not leave_one_out:
+        j = per_cat.crossJoin(F.broadcast(glob))
+        # (s_c + m * s / n) / (n_c + m), all exact until the division
+        num = (
+            F.col("s_c").cast("double")
+            + F.lit(float(smoothing))
+            * F.col("s").cast("double")
+            / F.col("n").cast("double")
+        )
+        den = (F.col("n_c") + smoothing).cast("double")
+        return j.select(
+            F.col("c").alias(cat_col),
+            F.col("n_c").cast("long").alias("n_c"),
+            F.floor(F.lit(e6) * num / den).cast("long").alias("enc_e6"),
+        )
+    j = base.join(F.broadcast(per_cat), "c").crossJoin(
+        F.broadcast(glob)
+    )
+    loo = F.when(
+        F.col("n_c") > 1,
+        (F.col("s_c") - F.col("y")).cast("double")
+        / (F.col("n_c") - 1).cast("double"),
+    ).otherwise(
+        F.col("s").cast("double") / F.col("n").cast("double")
+    )
+    return j.select(
+        F.col("c").alias(cat_col),
+        F.col("y").alias("y_scaled"),
+        F.floor(F.lit(e6) * loo).cast("long").alias("enc_e6"),
+    )

@@ -535,3 +535,4 @@ def normalize_unicode(
         F.col(out_col).isNotNull()
         & (F.col(out_col) != F.col(text_col)),
     )
+

@@ -814,3 +814,44 @@ def test_ks_two_sample_ground_truths(spark):
         spark.createDataFrame(half, ["g", "v"]), "v", "g", "a", "b"
     ).collect()[0]
     assert r3["d_e6"] == 500000
+
+
+def test_target_encode_smoothing_and_loo(spark):
+    """Smoothing anchors: an m-sample prior pulls a rare category
+    toward the global mean while a huge category barely moves; LOO
+    excludes each row's own label and falls back to the global mean
+    for singletons."""
+    from blueforty___etl_data_pipeline_spark.operators.aggregate import (
+        target_encode,
+    )
+
+    rows = (
+        [("big", 100.0)] * 200
+        + [("rare", 900.0)] * 2
+        + [("solo", 500.0)]
+    )
+    df = spark.createDataFrame(rows, ["c", "y"])
+    glob_mean = (200 * 100 + 2 * 900 + 500) / 203
+
+    enc = {
+        r["c"]: r
+        for r in target_encode(df, "c", "y", smoothing=20).collect()
+    }
+    assert abs(enc["big"]["enc_e6"] / 1e6 - 100) < 10  # barely moves
+    rare = enc["rare"]["enc_e6"] / 1e6
+    # rare shrinks most of the way to the global mean
+    assert glob_mean < rare < 900
+    assert rare - glob_mean < 0.15 * (900 - glob_mean)
+
+    loo = target_encode(
+        df, "c", "y", smoothing=20, leave_one_out=True
+    ).collect()
+    by_cat = {}
+    for r in loo:
+        by_cat.setdefault(r["c"], []).append(r["enc_e6"] / 1e6)
+    # big: each row's LOO mean is still 100 (identical targets)
+    assert all(abs(v - 100) < 1e-6 for v in by_cat["big"])
+    # rare pair: each row sees only the OTHER row -> exactly 900
+    assert all(abs(v - 900) < 1e-6 for v in by_cat["rare"])
+    # singleton: falls back to the global mean
+    assert abs(by_cat["solo"][0] - glob_mean) < 0.01
