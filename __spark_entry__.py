@@ -12003,6 +12003,137 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-6 session-3 additions
+# ---------------------------------------------------------------------------
+
+
+def q_mp3_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-audio (MP3) container parse under the driver's
+    oracle: each sampled document becomes a spec-valid MPEG-1 Layer
+    III frame chain (genuine sync bits, bitrate/samplerate table
+    indices, per-ISO-11172-3 frame lengths, an ID3v2 syncsafe tag and
+    an ID3v1 trailer) built by functions/mp3.encode_mp3_stream, then
+    parsed back by the real header-walking parser inside an
+    Arrow-batched stage — exactly the ffprobe-class metadata pass a
+    100 TB audio corpus runs before any transcode.  MP3 is lossy so
+    PCM decode stays an honest gate (operators/multimodal); every
+    byte the PARSER inspects here is spec-true.  All stats are
+    closed-form in the md5 digest bytes, so DuckDB reproduces them
+    from hex pairs (bitrate table as a CASE, frame lengths as the
+    same integer formula)."""
+    _prep(spark)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 40 == 22)
+    )
+
+    def mp3_roundtrip(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.mp3 import (
+            encode_mp3_stream,
+            parse_mp3_stream,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = _hl.md5(text.encode("utf-8")).digest()
+                n = 4 + d[2] % 8
+                br = [d[4 + i] % 14 + 1 for i in range(n)]
+                pad = [(d[4 + i] >> 4) & 1 for i in range(n)]
+                tag = b"T" * (d[3] % 64 + 4)
+                blob = encode_mp3_stream(
+                    br, pad, 44100, tag_payload=tag, id3v1=bool(d[0] & 1)
+                )
+                m = parse_mp3_stream(blob)
+                assert m["parsed_bytes"] == len(blob)
+                rows.append(
+                    (
+                        doc_id,
+                        m["n_frames"],
+                        m["samplerate"],
+                        m["duration_ms"],
+                        m["sum_bitrate_kbps"],
+                        m["n_distinct_bitrates"] == 1,
+                        m["tag_bytes"],
+                        m["has_id3v1"],
+                        m["parsed_bytes"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "samplerate", "duration_ms",
+                    "sum_bitrate_kbps", "cbr", "tag_bytes", "has_id3v1",
+                    "stream_bytes",
+                ],
+            )
+
+    return docs.mapInPandas(
+        mp3_roundtrip,
+        schema=(
+            "doc_id long, n_frames int, samplerate int, duration_ms long, "
+            "sum_bitrate_kbps long, cbr boolean, tag_bytes int, "
+            "has_id3v1 boolean, stream_bytes long"
+        ),
+    )
+
+
+def _sql_mp3_meta_real() -> str:
+    def byte(k: str | int) -> str:
+        if isinstance(k, int):
+            return f"CAST(('0x' || substr(h, {2 * k + 1}, 2)) AS INTEGER)"
+        return (
+            f"CAST(('0x' || substr(h, 2 * ({k}) + 1, 2)) AS INTEGER)"
+        )
+
+    kbps_case = "CASE br_idx " + " ".join(
+        f"WHEN {i} THEN {v}"
+        for i, v in enumerate(
+            (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+            start=1,
+        )
+    ) + " END"
+    return f"""
+WITH t AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id % 40 = 22),
+docs AS (
+  SELECT doc_id, h,
+         4 + {byte(2)} % 8 AS n_frames,
+         {byte(3)} % 64 + 4 AS tag_payload,
+         {byte(0)} % 2 AS v1
+  FROM t),
+frames AS (
+  SELECT d.doc_id, d.n_frames, d.tag_payload, d.v1,
+         {byte('4 + g.range')} % 14 + 1 AS br_idx,
+         ({byte('4 + g.range')} // 16) % 2 AS pad
+  FROM docs d JOIN range(12) g ON g.range < d.n_frames),
+per AS (
+  SELECT doc_id, n_frames, tag_payload, v1,
+         {kbps_case} AS kbps,
+         (144000 * {kbps_case}) // 44100 + pad AS flen
+  FROM frames)
+SELECT doc_id,
+       CAST(ANY_VALUE(n_frames) AS INTEGER) AS n_frames,
+       44100 AS samplerate,
+       CAST(ANY_VALUE(n_frames) * 1152 * 1000 // 44100 AS BIGINT)
+         AS duration_ms,
+       CAST(SUM(kbps) AS BIGINT) AS sum_bitrate_kbps,
+       COUNT(DISTINCT kbps) = 1 AS cbr,
+       CAST(10 + ANY_VALUE(tag_payload) AS INTEGER) AS tag_bytes,
+       ANY_VALUE(v1) = 1 AS has_id3v1,
+       CAST(10 + ANY_VALUE(tag_payload) + SUM(flen)
+            + ANY_VALUE(v1) * 128 AS BIGINT) AS stream_bytes
+FROM per
+GROUP BY doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -12126,6 +12257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_test": q_ks_test,
         "target_encode": q_target_encode,
         "hilbert_key": q_hilbert_key,
+        "mp3_meta_real": q_mp3_meta_real,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -12364,6 +12496,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_test": _SQL_KS_TEST,
         "target_encode": _SQL_TARGET_ENCODE,
         "hilbert_key": _sql_hilbert_key(),
+        "mp3_meta_real": _sql_mp3_meta_real(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

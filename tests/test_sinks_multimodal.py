@@ -1499,3 +1499,60 @@ def test_webdataset_shards_readable_and_deterministic(spark, tmp_path):
     for sid, d in digests.items():
         p = f"{out}/shard-{sid:06d}.tar"
         assert hashlib.md5(open(p, "rb").read()).hexdigest() == d
+
+
+def test_mp3_header_chain_parse_and_gates():
+    import pytest
+
+    from blueforty___etl_data_pipeline_spark.functions.mp3 import (
+        BITRATES_V1_L3,
+        encode_mp3_stream,
+        frame_length,
+        parse_id3v2,
+        parse_mp3_stream,
+        syncsafe,
+        unsyncsafe,
+    )
+
+    # syncsafe integers are an exact involution across the 28-bit range
+    for n in (0, 1, 127, 128, 0x0FFFFFFF, 123456):
+        assert unsyncsafe(syncsafe(n)) == n
+
+    # mixed-bitrate VBR stream with tag + trailer parses losslessly
+    br = [1, 14, 9, 9, 5]
+    pad = [0, 1, 0, 1, 1]
+    blob = encode_mp3_stream(
+        br, pad, 44100, tag_payload=b"hello-id3", id3v1=True
+    )
+    m = parse_mp3_stream(blob)
+    assert m["n_frames"] == 5
+    assert m["samplerate"] == 44100
+    assert m["sum_bitrate_kbps"] == sum(BITRATES_V1_L3[i] for i in br)
+    assert m["n_distinct_bitrates"] == 4
+    assert m["tag_bytes"] == 10 + len(b"hello-id3")
+    assert m["has_id3v1"] and m["parsed_bytes"] == len(blob)
+    assert m["duration_ms"] == 5 * 1152 * 1000 // 44100
+    assert parse_id3v2(blob) == (10 + 9, 4)
+
+    # CBR stream at 48 kHz, no tags
+    blob = encode_mp3_stream([9, 9, 9], [0, 0, 0], 48000)
+    m = parse_mp3_stream(blob)
+    assert m["n_distinct_bitrates"] == 1 and m["samplerate"] == 48000
+    assert m["tag_bytes"] == 0 and not m["has_id3v1"]
+    # spec formula: 128 kbps @ 48 kHz -> 384-byte frames
+    assert frame_length(128, 48000, 0) == 384
+    assert m["parsed_bytes"] == 3 * 384
+
+    # gates: lost sync, truncation, samplerate change, free bitrate
+    with pytest.raises(ValueError, match="lost sync"):
+        parse_mp3_stream(b"\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="truncated|no MPEG|overruns"):
+        parse_mp3_stream(encode_mp3_stream([9], [0])[:-200] + b"\xff")
+    a = encode_mp3_stream([9], [0], 44100)
+    b = encode_mp3_stream([9], [0], 48000)
+    with pytest.raises(ValueError, match="samplerate change"):
+        parse_mp3_stream(a + b)
+    bad = bytearray(encode_mp3_stream([9], [0]))
+    bad[2] &= 0x0F  # bitrate idx -> 0 (free)
+    with pytest.raises(ValueError, match="free/bad"):
+        parse_mp3_stream(bytes(bad))
