@@ -12134,6 +12134,113 @@ GROUP BY doc_id
 """
 
 
+def q_bmp_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP (24-bpp DIB) decode under the driver's oracle: each
+    sampled document becomes a genuine Windows bitmap — file + info
+    headers, BGR byte order, 4-byte row stride padding, and BOTH row
+    orientations (bottom-up and negative-height top-down, chosen by
+    a digest bit) — encoded and decoded by functions/bmp.py inside an
+    Arrow-batched stage.  BMP is lossless, so every channel sum and
+    the orientation-sensitive top-row-weighted checksum are
+    closed-form in the md5 digest bytes and DuckDB reproduces them
+    from hex pairs over a 2-D range join."""
+    _prep(spark)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 40 == 26)
+    )
+
+    def bmp_roundtrip(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.bmp import (
+            bmp_stats,
+            encode_bmp24,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = _hl.md5(text.encode("utf-8")).digest()
+                w, h = 3 + d[0] % 6, 2 + d[1] % 5
+                px = [
+                    [
+                        (
+                            (d[(x * 3 + y * 5) % 16] + y) % 256,
+                            (d[(x * 5 + y * 11) % 16] + x) % 256,
+                            d[(x * 7 + y * 3) % 16],
+                        )
+                        for x in range(w)
+                    ]
+                    for y in range(h)
+                ]
+                blob = encode_bmp24(px, topdown=bool(d[2] & 1))
+                s = bmp_stats(blob)
+                rows.append(
+                    (
+                        doc_id, s["width"], s["height"], s["sum_r"],
+                        s["sum_g"], s["sum_b"], s["wsum_r"],
+                        s["file_bytes"], bool(d[2] & 1),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "sum_r", "sum_g",
+                    "sum_b", "wsum_r", "file_bytes", "topdown",
+                ],
+            )
+
+    return docs.mapInPandas(
+        bmp_roundtrip,
+        schema=(
+            "doc_id long, width int, height int, sum_r long, sum_g long, "
+            "sum_b long, wsum_r long, file_bytes long, topdown boolean"
+        ),
+    )
+
+
+def _sql_bmp_decode_real() -> str:
+    def byte(k: str) -> str:
+        return f"CAST(('0x' || substr(h, 2 * ({k}) + 1, 2)) AS INTEGER)"
+
+    return f"""
+WITH t AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id % 40 = 26),
+docs AS (
+  SELECT doc_id, h,
+         3 + {byte('0')} % 6 AS w,
+         2 + {byte('1')} % 5 AS hh,
+         {byte('2')} % 2 AS td
+  FROM t),
+px AS (
+  SELECT d.doc_id, d.w, d.hh, d.td, gx.range AS x, gy.range AS y,
+         ({byte('(gx.range * 3 + gy.range * 5) % 16')} + gy.range) % 256
+           AS r,
+         ({byte('(gx.range * 5 + gy.range * 11) % 16')} + gx.range) % 256
+           AS g,
+         {byte('(gx.range * 7 + gy.range * 3) % 16')} AS b
+  FROM docs d
+  JOIN range(8) gx ON gx.range < d.w
+  JOIN range(7) gy ON gy.range < d.hh)
+SELECT doc_id,
+       CAST(ANY_VALUE(w) AS INTEGER) AS width,
+       CAST(ANY_VALUE(hh) AS INTEGER) AS height,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(y * r) AS BIGINT) AS wsum_r,
+       CAST(54 + ANY_VALUE(hh) * ((3 * ANY_VALUE(w) + 3) // 4 * 4)
+            AS BIGINT) AS file_bytes,
+       ANY_VALUE(td) = 1 AS topdown
+FROM px
+GROUP BY doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -12258,6 +12365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode": q_target_encode,
         "hilbert_key": q_hilbert_key,
         "mp3_meta_real": q_mp3_meta_real,
+        "bmp_decode_real": q_bmp_decode_real,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -12497,6 +12605,7 @@ def oracle_sql() -> dict[str, str]:
         "target_encode": _SQL_TARGET_ENCODE,
         "hilbert_key": _sql_hilbert_key(),
         "mp3_meta_real": _sql_mp3_meta_real(),
+        "bmp_decode_real": _sql_bmp_decode_real(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

@@ -85,11 +85,14 @@ def decode_image_real(data: bytes, size: int = 8) -> list[float]:
     PIL installed it handles every format it knows.  Deterministic
     per path; the block-constant JPEG/PNG fixture queries are
     DuckDB-hash-checked."""
+    from ..functions.bmp import BMP_MAGIC, bmp_gray_features
     from ..functions.jpeg import SOI, jpeg_gray_features_any
     from ..functions.png import PNG_SIGNATURE, png_gray_features_any
 
     if data.startswith(PNG_SIGNATURE) and _PIL is None:
         return png_gray_features_any(data, size=size)
+    if data.startswith(BMP_MAGIC) and _PIL is None:
+        return bmp_gray_features(data, size=size)
     if data.startswith(SOI) and _PIL is None:
         try:
             return jpeg_gray_features_any(data, size=size)

@@ -1556,3 +1556,52 @@ def test_mp3_header_chain_parse_and_gates():
     bad[2] &= 0x0F  # bitrate idx -> 0 (free)
     with pytest.raises(ValueError, match="free/bad"):
         parse_mp3_stream(bytes(bad))
+
+
+def test_bmp24_roundtrip_orientations_and_gates():
+    import pytest
+
+    from blueforty___etl_data_pipeline_spark.functions.bmp import (
+        bmp_gray_features,
+        bmp_stats,
+        decode_bmp24,
+        encode_bmp24,
+    )
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        decode_image_real,
+    )
+
+    px = [
+        [((x * 11 + y * 7) % 256, (x + y) % 256, (x * y) % 256)
+         for x in range(5)]
+        for y in range(4)
+    ]
+    # both stored orientations decode to the SAME top-first rows
+    for td in (False, True):
+        blob = encode_bmp24(px, topdown=td)
+        assert decode_bmp24(blob) == px
+        s = bmp_stats(blob)
+        assert (s["width"], s["height"]) == (5, 4)
+        assert s["file_bytes"] == len(blob) == 54 + 4 * 16  # stride 16
+    # orientation checksum is row-position sensitive
+    assert bmp_stats(encode_bmp24(px))["wsum_r"] == sum(
+        y * sum(p[0] for p in row) for y, row in enumerate(px)
+    )
+    # dispatch: decode_image_real recognizes the BM magic
+    feats = decode_image_real(encode_bmp24(px), size=4)
+    assert len(feats) == 4 and all(0.0 <= f <= 1.0 for f in feats)
+    assert feats == bmp_gray_features(encode_bmp24(px), size=4)
+
+    # gates: magic, header variant, bpp, truncation
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp24(b"XX" + bytes(60))
+    blob = bytearray(encode_bmp24(px))
+    blob[14] = 108  # pretend V4 header
+    with pytest.raises(ValueError, match="BITMAPINFOHEADER"):
+        decode_bmp24(bytes(blob))
+    blob = bytearray(encode_bmp24(px))
+    blob[28] = 32  # 32 bpp
+    with pytest.raises(ValueError, match="24-bpp"):
+        decode_bmp24(bytes(blob))
+    with pytest.raises(ValueError, match="overruns"):
+        decode_bmp24(encode_bmp24(px)[:-8])
