@@ -12241,6 +12241,103 @@ GROUP BY doc_id
 """
 
 
+def q_exif_extract_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL EXIF metadata extraction under the driver's oracle: each
+    sampled document becomes a genuine JPEG marker stream (SOI, a
+    decoy APP0 the scanner must skip by its length field, an APP1
+    Exif payload with real TIFF IFD offsets in BOTH byte orders
+    chosen by a digest bit, EOI) built by functions/exif.py and
+    parsed back through the real marker-scan + IFD walk — the
+    camera/orientation/geo pass an image corpus runs before any pixel
+    decode.  Pure integer container, so every tag is closed-form in
+    the md5 digest bytes for DuckDB."""
+    _prep(spark)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 40 == 34)
+    )
+
+    def exif_roundtrip(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.exif import (
+            build_exif_jpeg,
+            parse_exif,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = _hl.md5(text.encode("utf-8")).digest()
+                blob = build_exif_jpeg(
+                    make=f"Cam{d[0] % 10}",
+                    orientation=d[1] % 8 + 1,
+                    iso=50 + 10 * d[2],
+                    exposure=(1, 1 << (d[3] % 10)),
+                    pixel_xy=(100 + d[4], 100 + d[5]),
+                    datetime_s=(
+                        f"2020:{d[6] % 12 + 1:02d}:{d[7] % 28 + 1:02d} "
+                        f"10:30:00"
+                    ),
+                    gps_dms=(d[8] % 90, d[9] % 60, d[10] % 60),
+                    big_endian=bool(d[11] & 1),
+                )
+                m = parse_exif(blob)
+                rows.append(
+                    (
+                        doc_id, m["make"], m["orientation"], m["iso"],
+                        m["exposure"][1], m["pixel_x"], m["pixel_y"],
+                        m["datetime"], m["lat_arcsec"], m["lat_ref"],
+                        m["big_endian"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "make", "orientation", "iso",
+                    "exposure_den", "px_w", "px_h", "dt", "lat_arcsec",
+                    "lat_ref", "big_endian",
+                ],
+            )
+
+    return docs.mapInPandas(
+        exif_roundtrip,
+        schema=(
+            "doc_id long, make string, orientation int, iso int, "
+            "exposure_den long, px_w long, px_h long, dt string, "
+            "lat_arcsec long, lat_ref string, big_endian boolean"
+        ),
+    )
+
+
+def _sql_exif_extract_real() -> str:
+    def byte(k: int) -> str:
+        return f"CAST(('0x' || substr(h, {2 * k + 1}, 2)) AS INTEGER)"
+
+    return f"""
+WITH t AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id % 40 = 34)
+SELECT doc_id,
+       'Cam' || CAST({byte(0)} % 10 AS VARCHAR) AS make,
+       CAST({byte(1)} % 8 + 1 AS INTEGER) AS orientation,
+       CAST(50 + 10 * {byte(2)} AS INTEGER) AS iso,
+       CAST(1 << ({byte(3)} % 10) AS BIGINT) AS exposure_den,
+       CAST(100 + {byte(4)} AS BIGINT) AS px_w,
+       CAST(100 + {byte(5)} AS BIGINT) AS px_h,
+       '2020:' || lpad(CAST({byte(6)} % 12 + 1 AS VARCHAR), 2, '0')
+           || ':' || lpad(CAST({byte(7)} % 28 + 1 AS VARCHAR), 2, '0')
+           || ' 10:30:00' AS dt,
+       CAST(({byte(8)} % 90) * 3600 + ({byte(9)} % 60) * 60
+            + ({byte(10)} % 60) AS BIGINT) AS lat_arcsec,
+       'N' AS lat_ref,
+       {byte(11)} % 2 = 1 AS big_endian
+FROM t
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -12366,6 +12463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_key": q_hilbert_key,
         "mp3_meta_real": q_mp3_meta_real,
         "bmp_decode_real": q_bmp_decode_real,
+        "exif_extract_real": q_exif_extract_real,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -12606,6 +12704,7 @@ def oracle_sql() -> dict[str, str]:
         "hilbert_key": _sql_hilbert_key(),
         "mp3_meta_real": _sql_mp3_meta_real(),
         "bmp_decode_real": _sql_bmp_decode_real(),
+        "exif_extract_real": _sql_exif_extract_real(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

@@ -1605,3 +1605,53 @@ def test_bmp24_roundtrip_orientations_and_gates():
         decode_bmp24(bytes(blob))
     with pytest.raises(ValueError, match="overruns"):
         decode_bmp24(encode_bmp24(px)[:-8])
+
+
+def test_exif_build_parse_both_endians_and_gates():
+    import pytest
+
+    from blueforty___etl_data_pipeline_spark.functions.exif import (
+        build_exif_jpeg,
+        parse_exif,
+    )
+
+    for be in (False, True):
+        blob = build_exif_jpeg(
+            make="CamX",
+            orientation=6,
+            iso=400,
+            exposure=(1, 250),
+            pixel_xy=(4032, 3024),
+            datetime_s="2021:07:04 12:00:00",
+            gps_dms=(47, 36, 35),
+            big_endian=be,
+        )
+        m = parse_exif(blob)
+        assert m["make"] == "CamX"
+        assert m["orientation"] == 6
+        assert m["iso"] == 400
+        assert m["exposure"] == (1, 250)
+        assert (m["pixel_x"], m["pixel_y"]) == (4032, 3024)
+        assert m["datetime"] == "2021:07:04 12:00:00"
+        assert m["lat_arcsec"] == 47 * 3600 + 36 * 60 + 35
+        assert m["lat_ref"] == "N"
+        assert m["big_endian"] is be
+
+    # rationals with non-unit denominators floor to whole arc-seconds
+    blob = build_exif_jpeg(
+        "C", 1, 100, (1, 60), (10, 10), "x", (0, 0, 0)
+    )
+    assert parse_exif(blob)["lat_arcsec"] == 0
+
+    # gates: not a JPEG, no Exif APP1, bad byte-order mark
+    with pytest.raises(ValueError, match="not a JPEG"):
+        parse_exif(b"\x00\x00")
+    with pytest.raises(ValueError, match="no APP1"):
+        parse_exif(b"\xff\xd8\xff\xd9")
+    blob = bytearray(
+        build_exif_jpeg("C", 1, 100, (1, 60), (10, 10), "x", (1, 2, 3))
+    )
+    i = bytes(blob).index(b"Exif\x00\x00") + 6
+    blob[i : i + 2] = b"ZZ"
+    with pytest.raises(ValueError, match="byte-order"):
+        parse_exif(bytes(blob))
