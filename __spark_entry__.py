@@ -12338,6 +12338,73 @@ FROM t
 """
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC (Common Crawl container, ISO 28500) export → distributed
+    re-parse (sources/warc.py): sampled documents shard 4 ways into
+    real WARC files (warcinfo lead record, Content-Length-framed
+    response records, spec version lines) under .tmp/, then read back
+    through the binaryFile → Arrow record walk and aggregated per
+    source derived from the WARC-Target-URI.  The oracle recomputes
+    every stat straight from the documents table, so the whole
+    container cycle — framing, URIs, payload byte counts — must be
+    lossless.  Scale shape: file-level parallelism, the real CC job
+    layout (no intra-file splits; ~1 GB/file convention bounds task
+    memory)."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.sources.warc import (
+        read_warc,
+        write_warc_shards,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 3)
+        .select(
+            "doc_id",
+            "text",
+            "source",
+            (F.expr("doc_id div 10") % 4).cast("int").alias("shard_id"),
+        )
+    )
+    out = f"{SCRATCH}/warc"
+    write_warc_shards(docs, out, uri_cols=("source",)).collect()
+    recs = read_warc(spark, f"{out}/*.warc")
+    resp = recs.filter(F.col("warc_type") == "response").select(
+        F.regexp_extract("target_uri", r"corpus\.example/([^/]+)/", 1)
+        .alias("source"),
+        F.regexp_extract("target_uri", r"/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "payload_bytes",
+        "record_id",
+    )
+    return (
+        resp.groupBy("source")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum("payload_bytes").alias("payload_bytes"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.countDistinct("record_id").alias("n_distinct_ids"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_WARC_ROUNDTRIP = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS payload_bytes,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_ids
+FROM documents
+WHERE doc_id % 10 = 3
+GROUP BY source
+ORDER BY source
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -12464,6 +12531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp3_meta_real": q_mp3_meta_real,
         "bmp_decode_real": q_bmp_decode_real,
         "exif_extract_real": q_exif_extract_real,
+        "warc_roundtrip": q_warc_roundtrip,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -12705,6 +12773,7 @@ def oracle_sql() -> dict[str, str]:
         "mp3_meta_real": _sql_mp3_meta_real(),
         "bmp_decode_real": _sql_bmp_decode_real(),
         "exif_extract_real": _sql_exif_extract_real(),
+        "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

@@ -305,3 +305,63 @@ def test_read_csv_with_badrows_quarantines(spark, tmp_path):
     ]
     bad_rows = [r["_corrupt_record"] for r in bad.collect()]
     assert bad_rows == ["not_a_number,beta"]  # raw line preserved
+
+
+def test_warc_framing_and_gates(spark, tmp_path):
+    import pytest
+
+    from blueforty___etl_data_pipeline_spark.sources.warc import (
+        parse_warc_bytes,
+        read_warc,
+        write_warc_shards,
+    )
+
+    # payload that CONTAINS a WARC version line — Content-Length
+    # framing must carry the parser straight over it
+    tricky = "before\r\nWARC/1.0\r\nWARC-Type: fake\r\n\r\nafter"
+    df = spark.createDataFrame(
+        [
+            (1, tricky, "web", 0),
+            (2, "plain text", "web", 0),
+            (3, "unicode é中", "news", 1),
+        ],
+        "doc_id long, text string, source string, shard_id int",
+    )
+    out = str(tmp_path / "warc")
+    manifest = {
+        r["shard_id"]: r.asDict()
+        for r in write_warc_shards(df, out).collect()
+    }
+    assert manifest[0]["n_records"] == 2
+    assert manifest[1]["payload_bytes"] == len(
+        "unicode é中".encode("utf-8")
+    )
+
+    # raw parse: warcinfo + responses, framing exact
+    blob = open(f"{out}/shard-000000.warc", "rb").read()
+    recs = parse_warc_bytes(blob)
+    assert [r["warc_type"] for r in recs] == [
+        "warcinfo", "response", "response",
+    ]
+    assert recs[1]["payload"].decode() == tricky
+    assert recs[1]["target_uri"].endswith("/web/1")
+    assert all(r["content_length"] == len(r["payload"]) for r in recs)
+
+    # distributed read-back agrees
+    got = read_warc(spark, f"{out}/*.warc")
+    assert got.filter("warc_type = 'response'").count() == 3
+    uni = got.filter("target_uri LIKE '%/news/3'").collect()[0]
+    assert uni["payload_bytes"] == len("unicode é中".encode())
+
+    # idempotent re-run: byte-identical files
+    write_warc_shards(df, out).collect()
+    assert open(f"{out}/shard-000000.warc", "rb").read() == blob
+
+    # gates: bad version line, missing Content-Length, overrun
+    with pytest.raises(ValueError, match="bad version line"):
+        parse_warc_bytes(b"HTTP/1.1 200\r\n\r\n")
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc_bytes(b"WARC/1.0\r\nWARC-Type: x\r\n\r\n")
+    trunc = blob[: len(blob) - 40]
+    with pytest.raises(ValueError, match="overruns|unterminated"):
+        parse_warc_bytes(trunc)
