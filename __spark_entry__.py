@@ -12405,6 +12405,78 @@ ORDER BY source
 """
 
 
+def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression (operators/analytics.ols_fit):
+    floor-dollar extended price regressed on quantity and discount
+    permille via EXACT integer normal equations — X'X/X'y reduce in
+    one map-side-combined aggregate (no data shuffle; the only
+    exchange is the 1-row fan-in), and the 3×3 Cramer solve runs in
+    arbitrary-precision integers on the driver.  The oracle replays
+    the same moments and determinants through HUGEINT with an
+    explicit floor-division (DuckDB's ``//`` truncates; Python
+    floors)."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        ols_fit,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " div 100"
+        ).alias("price_dollars"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.expr(
+            "CAST(CAST(l_discount AS DECIMAL(8,3)) * 1000 AS BIGINT)"
+        ).alias("disc_permille"),
+    )
+    return ols_fit(li, "price_dollars", ["qty", "disc_permille"])
+
+
+_SQL_OLS_REGRESSION = """
+WITH base AS (
+  SELECT CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              // 100 AS HUGEINT) AS y,
+         CAST(l_quantity AS HUGEINT) AS x1,
+         CAST(CAST(CAST(l_discount AS DECIMAL(8,3)) * 1000 AS BIGINT)
+              AS HUGEINT) AS x2
+  FROM lineitem),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+         SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12,
+         SUM(x2 * x2) AS s22,
+         SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y
+  FROM base),
+d AS (
+  SELECT n,
+         n * (s11 * s22 - s12 * s12)
+           - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2) AS det,
+         sy * (s11 * s22 - s12 * s12)
+           - s1 * (s1y * s22 - s12 * s2y)
+           + s2 * (s1y * s12 - s11 * s2y) AS det0,
+         n * (s1y * s22 - s12 * s2y)
+           - sy * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s2y - s1y * s2) AS det1,
+         n * (s11 * s2y - s1y * s12)
+           - s1 * (s1 * s2y - s1y * s2)
+           + sy * (s1 * s12 - s11 * s2) AS det2
+  FROM m)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST((1000000 * det0
+             - ((1000000 * det0 % det + det) % det)) / det AS BIGINT)
+         AS beta_intercept_e6,
+       CAST((1000000 * det1
+             - ((1000000 * det1 % det + det) % det)) / det AS BIGINT)
+         AS beta_qty_e6,
+       CAST((1000000 * det2
+             - ((1000000 * det2 % det + det) % det)) / det AS BIGINT)
+         AS beta_disc_permille_e6
+FROM d
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -12532,6 +12604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bmp_decode_real": q_bmp_decode_real,
         "exif_extract_real": q_exif_extract_real,
         "warc_roundtrip": q_warc_roundtrip,
+        "ols_regression": q_ols_regression,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -12774,6 +12847,7 @@ def oracle_sql() -> dict[str, str]:
         "bmp_decode_real": _sql_bmp_decode_real(),
         "exif_extract_real": _sql_exif_extract_real(),
         "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
+        "ols_regression": _SQL_OLS_REGRESSION,
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

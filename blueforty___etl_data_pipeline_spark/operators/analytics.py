@@ -703,3 +703,97 @@ def chi2_independence(
             .alias("cramers_v_e6"),
         )
     )
+
+
+def ols_fit(
+    df: DataFrame,
+    y_col: str,
+    x_cols: Sequence[str],
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Multiple linear regression (intercept + ``x_cols``) by EXACT
+    integer normal equations.
+
+    All inputs must already be integer-valued columns (cast upstream —
+    cents, permille, counts); the sufficient statistics X'X and X'y
+    are exact ``decimal(38,0)`` sums, so the whole reduction is one
+    map-side-combined aggregate with no shuffle beyond the final
+    1-row fan-in — the textbook 100 TB shape for regression (the data
+    is never iterated, only summed).
+
+    The (p+1)×(p+1) solve runs on the DRIVER over the single collected
+    moments row using arbitrary-precision Python integers
+    (fraction-free Bareiss/Cramer — no float anywhere), then each
+    coefficient is returned as ``floor(scale · det_j / det)``.  A
+    driver-side solve over a 1-row aggregate is cardinality-bounded by
+    p, not by data size.
+
+    Output: one row — ``n``, then ``beta_<name>_e6`` for intercept and
+    every feature.  Degenerate design (det = 0, e.g. a constant
+    feature) raises ``ValueError`` rather than returning garbage.
+    """
+    p = len(x_cols)
+    # inputs at decimal(18,0): pairwise products land at (37,0) — still
+    # inside Spark's 38-digit cap (a (38,0)·(38,0) product overflows to
+    # null under non-ANSI), and the 38-digit SUM headroom bounds scale
+    cols = [F.lit(1).cast("decimal(18,0)").alias("_one")] + [
+        F.col(c).cast("decimal(18,0)").alias(f"_x{i}")
+        for i, c in enumerate(x_cols)
+    ]
+    y = F.col(y_col).cast("decimal(18,0)")
+    base = df.select(*cols, y.alias("_y"))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    names = ["_one"] + [f"_x{i}" for i in range(p)]
+    for i in range(p + 1):
+        for j in range(i, p + 1):
+            aggs.append(
+                F.sum(
+                    (F.col(names[i]) * F.col(names[j])).cast(
+                        "decimal(38,0)"
+                    )
+                ).alias(f"m_{i}_{j}")
+            )
+        aggs.append(
+            F.sum(
+                (F.col(names[i]) * F.col("_y")).cast("decimal(38,0)")
+            ).alias(f"v_{i}")
+        )
+    row = base.agg(*aggs).collect()[0]
+
+    n = int(row["n"])
+    A = [
+        [
+            int(row[f"m_{min(i, j)}_{max(i, j)}"])
+            for j in range(p + 1)
+        ]
+        for i in range(p + 1)
+    ]
+    b = [int(row[f"v_{i}"]) for i in range(p + 1)]
+
+    def det(m: list[list[int]]) -> int:
+        # exact cofactor expansion; p+1 <= 4 in practice
+        k = len(m)
+        if k == 1:
+            return m[0][0]
+        total = 0
+        for j in range(k):
+            minor = [r[:j] + r[j + 1 :] for r in m[1:]]
+            total += (-1) ** j * m[0][j] * det(minor)
+        return total
+
+    d = det(A)
+    if d == 0:
+        raise ValueError("singular design matrix (degenerate features)")
+    out_cols, out_vals = ["n"], [n]
+    labels = ["intercept"] + list(x_cols)
+    for j in range(p + 1):
+        Aj = [
+            [b[i] if c == j else A[i][c] for c in range(p + 1)]
+            for i in range(p + 1)
+        ]
+        out_cols.append(f"beta_{labels[j]}_e6")
+        out_vals.append((scale * det(Aj)) // d)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [tuple(out_vals)], ", ".join(f"{c} long" for c in out_cols)
+    )

@@ -855,3 +855,45 @@ def test_target_encode_smoothing_and_loo(spark):
     assert all(abs(v - 900) < 1e-6 for v in by_cat["rare"])
     # singleton: falls back to the global mean
     assert abs(by_cat["solo"][0] - glob_mean) < 0.01
+
+
+def test_ols_fit_exact_recovery_and_gates(spark):
+    import pytest
+
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        ols_fit,
+    )
+
+    # y = 7 + 3*x1 - 2*x2 exactly -> coefficients recovered exactly
+    rows = [
+        (x1, x2, 7 + 3 * x1 - 2 * x2)
+        for x1 in range(6)
+        for x2 in range(5)
+    ]
+    df = spark.createDataFrame(rows, "x1 long, x2 long, y long")
+    got = ols_fit(df, "y", ["x1", "x2"]).collect()[0]
+    assert got["n"] == 30
+    assert got["beta_intercept_e6"] == 7_000_000
+    assert got["beta_x1_e6"] == 3_000_000
+    assert got["beta_x2_e6"] == -2_000_000
+
+    # floor semantics for a negative non-integer coefficient:
+    # y = -x/2 over x in {0,1,2,3} -> slope -0.5 -> floor(-500000.?)
+    df2 = spark.createDataFrame(
+        [(0, 0), (1, -1), (2, -1), (3, -2)], "x long, y long"
+    )
+    r = ols_fit(df2, "y", ["x"]).collect()[0]
+    assert r["beta_x_e6"] == -600_000  # exact Cramer: slope -3/5
+
+    # single-feature simple regression agrees with closed form
+    df3 = spark.createDataFrame(
+        [(i, 10 * i + 1) for i in range(10)], "x long, y long"
+    )
+    r3 = ols_fit(df3, "y", ["x"]).collect()[0]
+    assert r3["beta_x_e6"] == 10_000_000
+    assert r3["beta_intercept_e6"] == 1_000_000
+
+    # degenerate design (constant feature collinear with intercept)
+    dfc = spark.createDataFrame([(5, 1), (5, 2)], "x long, y long")
+    with pytest.raises(ValueError, match="singular"):
+        ols_fit(dfc, "y", ["x"])
