@@ -12477,6 +12477,58 @@ FROM d
 """
 
 
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link prediction (operators/graph.
+    resource_allocation_pairs) over the part co-purchase graph: parts
+    sharing ≥2 customers scored by Σ 1/deg(customer) in exact e6
+    fixed-point.  Candidate pairs come from a hub self-join with the
+    DEFAULT-ON super-hub degree cap; the oracle replays the same
+    distinct-edge → degree → pair aggregation."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.graph import (
+        resource_allocation_pairs,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    edges = li.join(
+        o, li.l_orderkey == o.o_orderkey
+    ).select(
+        F.col("o_custkey").alias("cust"),
+        F.col("l_partkey").alias("part"),
+    )
+    return resource_allocation_pairs(
+        edges, "cust", "part", min_common=2
+    ).select(
+        F.col("item_a").alias("part_a"),
+        F.col("item_b").alias("part_b"),
+        "n_common",
+        "ra_score_e6",
+    )
+
+
+_SQL_LINK_PREDICTION = """
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_custkey % 10 = 0),
+deg AS (
+  SELECT cust, COUNT(*) AS d FROM edges GROUP BY cust
+  HAVING COUNT(*) <= 1000),
+w AS (SELECT cust, 1000000 // d AS w FROM deg),
+pairs AS (
+  SELECT a.part AS part_a, b.part AS part_b, w.w
+  FROM edges a
+  JOIN edges b ON a.cust = b.cust AND a.part < b.part
+  JOIN w ON w.cust = a.cust)
+SELECT part_a, part_b,
+       CAST(COUNT(*) AS BIGINT) AS n_common,
+       CAST(SUM(w) AS BIGINT) AS ra_score_e6
+FROM pairs GROUP BY part_a, part_b
+HAVING COUNT(*) >= 2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -12605,6 +12657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exif_extract_real": q_exif_extract_real,
         "warc_roundtrip": q_warc_roundtrip,
         "ols_regression": q_ols_regression,
+        "link_prediction": q_link_prediction,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -12848,6 +12901,7 @@ def oracle_sql() -> dict[str, str]:
         "exif_extract_real": _sql_exif_extract_real(),
         "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
         "ols_regression": _SQL_OLS_REGRESSION,
+        "link_prediction": _SQL_LINK_PREDICTION,
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

@@ -469,3 +469,51 @@ def k_core_peel(
         F.col("degree").cast("long").alias("degree"),
         (F.col("n_dropped") == 0).alias("converged"),
     )
+
+
+def resource_allocation_pairs(
+    edges: DataFrame,
+    hub_col: str,
+    item_col: str,
+    min_common: int = 2,
+    max_degree: int = 1000,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Link prediction over a bipartite graph by the Resource
+    Allocation index (Zhou, Lu, Zhang 2009): for each item pair, sum
+    ``1/deg(hub)`` over the hubs they share — the standard
+    co-occurrence affinity score (co-purchase, co-citation,
+    user-item).  Integer fixed-point: each hub contributes
+    ``floor(scale / deg)``, so the pair score is an exact BIGINT sum
+    with no float summation order anywhere.
+
+    Scale shape: candidate pairs come from a self-join on the hub key
+    — per-hub work is quadratic in hub degree, which is why
+    ``max_degree`` drops super-hubs (a hub shared by thousands of
+    items contributes ~0 weight each but ~millions of pairs; every
+    published RA/LSH pipeline caps or down-weights them).  The cap is
+    DEFAULT-ON; pass ``None`` to disable.  Everything else is
+    hash-partitioned groupBys on bounded keys.
+
+    Returns (item_a, item_b, n_common, ra_score_e6) with
+    ``item_a < item_b``, filtered to ``n_common >= min_common``.
+    """
+    e = edges.select(
+        F.col(hub_col).alias("hub"), F.col(item_col).alias("item")
+    ).distinct()
+    deg = e.groupBy("hub").agg(F.count(F.lit(1)).alias("deg"))
+    if max_degree is not None:
+        deg = deg.filter(F.col("deg") <= max_degree)
+    w = deg.withColumn("w", F.expr(f"{scale} div deg"))
+    ew = e.join(w, "hub")
+    a = ew.select("hub", F.col("item").alias("item_a"), "w")
+    b = ew.select("hub", F.col("item").alias("item_b"))
+    pairs = a.join(b, "hub").filter(F.col("item_a") < F.col("item_b"))
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("w").alias("ra_score_e6"),
+        )
+        .filter(F.col("n_common") >= min_common)
+    )

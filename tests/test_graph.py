@@ -242,3 +242,40 @@ def test_k_core_peel_ground_truth(spark):
     out3 = k_core_peel(edges, k=2, rounds=1).collect()
     assert sorted(r["node"] for r in out3) != [1, 2, 3, 4]
     assert not any(r["converged"] for r in out3)
+
+
+def test_resource_allocation_pairs_weights_and_cap(spark):
+    from blueforty___etl_data_pipeline_spark.operators.graph import (
+        resource_allocation_pairs,
+    )
+
+    # hub h1 {a,b,c} deg3, h2 {a,b} deg2, h3 {a,b,c,d} deg4
+    edges = spark.createDataFrame(
+        [("h1", x) for x in "abc"]
+        + [("h2", x) for x in "ab"]
+        + [("h3", x) for x in "abcd"]
+        + [("h2", "a")],  # duplicate edge must collapse
+        "hub string, item string",
+    )
+    got = {
+        (r["item_a"], r["item_b"]): (r["n_common"], r["ra_score_e6"])
+        for r in resource_allocation_pairs(
+            edges, "hub", "item", min_common=2
+        ).collect()
+    }
+    # (a,b): shared by all three hubs -> 1/3 + 1/2 + 1/4
+    assert got[("a", "b")] == (3, 333333 + 500000 + 250000)
+    # (a,c): h1 + h3
+    assert got[("a", "c")] == (2, 333333 + 250000)
+    # (c,d): only h3 -> below min_common, absent
+    assert ("c", "d") not in got
+
+    # super-hub cap: with max_degree=3, h3's contributions vanish
+    capped = {
+        (r["item_a"], r["item_b"]): (r["n_common"], r["ra_score_e6"])
+        for r in resource_allocation_pairs(
+            edges, "hub", "item", min_common=2, max_degree=3
+        ).collect()
+    }
+    assert capped[("a", "b")] == (2, 333333 + 500000)
+    assert ("a", "c") not in capped
