@@ -12529,6 +12529,55 @@ HAVING COUNT(*) >= 2
 """
 
 
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b (operators/profile.kendall_tau) of lineitem
+    quantity vs discount permille — concordant/discordant counting
+    over the bounded (x, y) contingency grid (≤ 50×11 cells), never
+    the raw-row quadratic.  Exact integer C/D/tie sums; the oracle
+    replays the identical grid self-join through HUGEINT and the
+    same final double expression."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        kendall_tau,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.expr(
+            "CAST(CAST(l_discount AS DECIMAL(8,3)) * 1000 AS BIGINT)"
+        ).alias("disc"),
+    )
+    return kendall_tau(li, "qty", "disc")
+
+
+_SQL_KENDALL_TAU = """
+WITH fact AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(CAST(l_discount AS DECIMAL(8,3)) * 1000 AS BIGINT) AS y
+  FROM lineitem),
+cells AS (
+  SELECT x, y, CAST(COUNT(*) AS HUGEINT) AS c FROM fact GROUP BY x, y),
+p AS (
+  SELECT SUM(CASE WHEN a.x < b.x AND a.y < b.y THEN a.c * b.c
+             ELSE 0 END) AS conc,
+         SUM(CASE WHEN a.x < b.x AND a.y > b.y THEN a.c * b.c
+             ELSE 0 END) AS disc,
+         SUM(CASE WHEN a.x = b.x THEN a.c * b.c ELSE 0 END) AS tx,
+         SUM(CASE WHEN a.y = b.y THEN a.c * b.c ELSE 0 END) AS ty
+  FROM cells a JOIN cells b
+    ON a.x < b.x OR (a.x = b.x AND a.y < b.y)),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM fact)
+SELECT n,
+       CAST(conc AS BIGINT) AS n_concordant,
+       CAST(disc AS BIGINT) AS n_discordant,
+       CAST(FLOOR(1000000.0 * CAST(conc - disc AS DOUBLE) /
+            SQRT(CAST(conc + disc + tx AS DOUBLE) *
+                 CAST(conc + disc + ty AS DOUBLE))) AS BIGINT)
+         AS tau_b_e6
+FROM nn, p
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -12658,6 +12707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "ols_regression": q_ols_regression,
         "link_prediction": q_link_prediction,
+        "kendall_tau": q_kendall_tau,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -12902,6 +12952,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
         "ols_regression": _SQL_OLS_REGRESSION,
         "link_prediction": _SQL_LINK_PREDICTION,
+        "kendall_tau": _SQL_KENDALL_TAU,
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

@@ -1547,3 +1547,74 @@ def ks_two_sample(
         .cast("long")
         .alias("crit_ks_e6"),
     )
+
+
+def kendall_tau(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Kendall's tau-b — rank association by concordant/discordant
+    pair counting, the third member of the association family
+    (:func:`corr_matrix` linear, :func:`spearman_corr` monotone-rank).
+
+    Scalable shape: NEVER the naive O(n²) over raw rows.  The fact
+    table folds to its (x, y) CONTINGENCY grid first (bounded by the
+    product of distinct-value counts, not row count), then one
+    self-join over grid cells — each cell pair classified
+    concordant / discordant / x-tie / y-tie with exact integer
+    products of cell counts.  Within-cell pairs are ties in both and
+    drop out of tau-b by definition.  Floats appear only in the final
+    ratio: ``tau_b = (C − D) / sqrt((C+D+Tx) · (C+D+Ty))``, emitted
+    as ``floor(1e6·…)`` with both engines computing the identical
+    double expression.
+
+    Output: one row (n, n_concordant, n_discordant, tau_b_e6).
+    """
+    cells = (
+        df.select(F.col(col_x).alias("x"), F.col(col_y).alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = cells.select(
+        F.col("x").alias("xa"), F.col("y").alias("ya"),
+        F.col("c").alias("ca"),
+    )
+    b = cells.select(
+        F.col("x").alias("xb"), F.col("y").alias("yb"),
+        F.col("c").alias("cb"),
+    )
+    # each unordered cell pair once: lexicographic (x, y) order
+    pairs = a.join(
+        b,
+        (F.col("xa") < F.col("xb"))
+        | ((F.col("xa") == F.col("xb")) & (F.col("ya") < F.col("yb"))),
+    )
+    prod = (F.col("ca") * F.col("cb")).cast("long")
+    agg = pairs.agg(
+        F.sum(
+            F.when(
+                (F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb")),
+                prod,
+            ).otherwise(F.lit(0))
+        ).alias("conc"),
+        F.sum(
+            F.when(
+                (F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb")),
+                prod,
+            ).otherwise(F.lit(0))
+        ).alias("disc"),
+        F.sum(
+            F.when(F.col("xa") == F.col("xb"), prod).otherwise(F.lit(0))
+        ).alias("tx"),
+        F.sum(
+            F.when(F.col("ya") == F.col("yb"), prod).otherwise(F.lit(0))
+        ).alias("ty"),
+    )
+    n = df.agg(F.count(F.lit(1)).alias("n"))
+    return n.crossJoin(F.broadcast(agg)).select(
+        "n",
+        F.col("conc").alias("n_concordant"),
+        F.col("disc").alias("n_discordant"),
+        F.expr(
+            "CAST(FLOOR(1000000.0 * (conc - disc) / "
+            "SQRT(CAST(conc + disc + tx AS DOUBLE) * "
+            "CAST(conc + disc + ty AS DOUBLE))) AS BIGINT)"
+        ).alias("tau_b_e6"),
+    )

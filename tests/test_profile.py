@@ -897,3 +897,40 @@ def test_ols_fit_exact_recovery_and_gates(spark):
     dfc = spark.createDataFrame([(5, 1), (5, 2)], "x long, y long")
     with pytest.raises(ValueError, match="singular"):
         ols_fit(dfc, "y", ["x"])
+
+
+def test_kendall_tau_known_values(spark):
+    import math
+
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        kendall_tau,
+    )
+
+    # perfectly monotone, no ties -> tau = 1
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(8)], "x long, y long"
+    )
+    r = kendall_tau(df, "x", "y").collect()[0]
+    assert r["n"] == 8 and r["tau_b_e6"] == 1_000_000
+    assert r["n_concordant"] == 28 and r["n_discordant"] == 0
+
+    # perfectly reversed -> tau = -1
+    df = spark.createDataFrame(
+        [(i, -i) for i in range(8)], "x long, y long"
+    )
+    assert (
+        kendall_tau(df, "x", "y").collect()[0]["tau_b_e6"] == -1_000_000
+    )
+
+    # tied data, cross-checked against the closed form:
+    # x = [1,1,2,2,3], y = [1,2,1,2,3]
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (2, 2), (3, 3)], "x long, y long"
+    )
+    r = kendall_tau(df, "x", "y").collect()[0]
+    c, d, tx, ty = 5, 1, 2, 2  # hand count
+    expect = math.floor(
+        1_000_000.0 * (c - d) / math.sqrt((c + d + tx) * (c + d + ty))
+    )
+    assert (r["n_concordant"], r["n_discordant"]) == (c, d)
+    assert r["tau_b_e6"] == expect
