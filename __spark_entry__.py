@@ -12578,6 +12578,63 @@ FROM nn, p
 """
 
 
+def q_gini_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-impurity feature ranking (operators/profile.gini_gain):
+    which document feature — source, length bucket, or a keyword flag
+    — best predicts the language label.  Gini is rational in the
+    counts so the whole ranking is exact integer arithmetic (the
+    entropy variant would hang engine-exactness on ln ulps); the
+    oracle replays the melt as a UNION ALL with the identical
+    two-level floor-division contract."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        gini_gain,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("lang"),
+        F.col("source"),
+        F.expr("CAST(n_chars div 300 AS STRING)").alias("chars_bucket"),
+        F.expr("CAST(text LIKE '%query%' AS STRING)").alias("has_query"),
+    )
+    return gini_gain(docs, "lang", ["source", "chars_bucket", "has_query"])
+
+
+_SQL_GINI_GAIN = """
+WITH melted AS (
+  SELECT lang AS label, 'source' AS feature, source AS value
+  FROM documents
+  UNION ALL
+  SELECT lang, 'chars_bucket', CAST(n_chars // 300 AS VARCHAR)
+  FROM documents
+  UNION ALL
+  SELECT lang, 'has_query',
+         CASE WHEN text LIKE '%query%' THEN 'true' ELSE 'false' END
+  FROM documents),
+vc AS (
+  SELECT feature, value, label, CAST(COUNT(*) AS BIGINT) AS nvc
+  FROM melted GROUP BY feature, value, label),
+pv AS (
+  SELECT feature, value, SUM(nvc * nvc) AS sumsq, SUM(nvc) AS nv
+  FROM vc GROUP BY feature, value),
+pf AS (
+  SELECT feature, CAST(COUNT(*) AS BIGINT) AS n_values,
+         SUM((1000000 * sumsq) // nv) AS s, SUM(nv) AS n
+  FROM pv GROUP BY feature),
+root AS (
+  SELECT CAST(1000000 - (CAST(1000000 AS HUGEINT) * SUM(nc * nc))
+              // (CAST(SUM(nc) AS HUGEINT) * SUM(nc)) AS BIGINT)
+           AS gini_root_e6
+  FROM (SELECT CAST(COUNT(*) AS HUGEINT) AS nc
+        FROM documents GROUP BY lang))
+SELECT feature, n_values, gini_root_e6,
+       CAST(1000000 - s // n AS BIGINT) AS gini_split_e6,
+       CAST(s // n - (1000000 - gini_root_e6) AS BIGINT) AS gain_e6
+FROM pf, root
+ORDER BY gain_e6 DESC, feature
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -12708,6 +12765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_regression": q_ols_regression,
         "link_prediction": q_link_prediction,
         "kendall_tau": q_kendall_tau,
+        "gini_gain": q_gini_gain,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -12953,6 +13011,7 @@ def oracle_sql() -> dict[str, str]:
         "ols_regression": _SQL_OLS_REGRESSION,
         "link_prediction": _SQL_LINK_PREDICTION,
         "kendall_tau": _SQL_KENDALL_TAU,
+        "gini_gain": _SQL_GINI_GAIN,
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

@@ -1618,3 +1618,84 @@ def kendall_tau(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
             "CAST(conc + disc + ty AS DOUBLE))) AS BIGINT)"
         ).alias("tau_b_e6"),
     )
+
+
+def gini_gain(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: list[str],
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Gini-impurity feature ranking — the decision-tree split
+    criterion as a feature-importance report: for each candidate
+    feature, the impurity drop ``Gini(root) − Σ_v (n_v/n)·Gini(v)``.
+
+    Gini (unlike entropy) is RATIONAL in the counts, so the whole
+    computation stays in exact integer arithmetic — no ``ln`` whose
+    last-ulp could differ across engines.  Quantization contract
+    (identical-by-construction on both engines): each value's purity
+    term is ``floor(scale·Σ_c n_vc² / n_v)`` and the weighted sum
+    floor-divides by ``n`` once more; root purity is
+    ``floor(scale·Σ_c n_c² / n²)`` in 38-digit decimals.
+
+    Scale shape: one melt (``stack``) pass over the fact table, one
+    groupBy on (feature, value, label) — cardinality bounded by the
+    value domains, not rows — then two bounded reductions.  Features
+    with high-cardinality values should be bucketed upstream (as any
+    tree library requires).
+
+    Output: one row per feature — (feature, n_values, gini_root_e6,
+    gini_split_e6, gain_e6), descending gain.
+    """
+    k = len(feature_cols)
+    stack_expr = "stack({}, {}) as (feature, value)".format(
+        k,
+        ", ".join(
+            f"'{c}', CAST(`{c}` AS STRING)" for c in feature_cols
+        ),
+    )
+    melted = df.select(
+        F.col(label_col).alias("_label"), F.expr(stack_expr)
+    )
+    vc = (
+        melted.groupBy("feature", "value", "_label")
+        .agg(F.count(F.lit(1)).alias("nvc"))
+    )
+    per_value = vc.groupBy("feature", "value").agg(
+        F.sum(F.col("nvc") * F.col("nvc")).alias("sumsq"),
+        F.sum("nvc").alias("nv"),
+    )
+    per_feature = per_value.groupBy("feature").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum(F.expr(f"({scale} * sumsq) div nv")).alias("s"),
+        F.sum("nv").alias("n"),
+    )
+    root = (
+        df.groupBy(F.col(label_col).alias("_label"))
+        .agg(F.count(F.lit(1)).alias("nc"))
+        .agg(
+            F.sum(F.expr("CAST(nc AS DECIMAL(38,0)) * nc")).alias("sq"),
+            F.sum("nc").alias("n_root"),
+        )
+        .select(
+            F.expr(
+                f"CAST({scale} - (CAST({scale} AS DECIMAL(38,0)) * sq)"
+                " div (CAST(n_root AS DECIMAL(38,0)) * n_root)"
+                " AS BIGINT)"
+            ).alias("gini_root_e6")
+        )
+    )
+    return (
+        per_feature.crossJoin(F.broadcast(root))
+        .select(
+            "feature",
+            "n_values",
+            "gini_root_e6",
+            (F.lit(scale) - F.expr("s div n")).alias("gini_split_e6"),
+            (
+                F.expr("s div n")
+                - (F.lit(scale) - F.col("gini_root_e6"))
+            ).alias("gain_e6"),
+        )
+        .orderBy(F.desc("gain_e6"), "feature")
+    )

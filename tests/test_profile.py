@@ -934,3 +934,27 @@ def test_kendall_tau_known_values(spark):
     )
     assert (r["n_concordant"], r["n_discordant"]) == (c, d)
     assert r["tau_b_e6"] == expect
+
+
+def test_gini_gain_perfect_vs_useless_feature(spark):
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        gini_gain,
+    )
+
+    # label perfectly determined by f_good; f_bad is constant
+    rows = [(lab, lab, "k") for lab in ["a"] * 6 + ["b"] * 6]
+    df = spark.createDataFrame(rows, "y string, f_good string, f_bad string")
+    got = {r["feature"]: r for r in gini_gain(df, "y", ["f_good", "f_bad"]).collect()}
+    # root gini of a 50/50 split = 0.5
+    assert got["f_good"]["gini_root_e6"] == 500_000
+    # perfect split -> child purity 1, split gini 0, gain = root
+    assert got["f_good"]["gini_split_e6"] == 0
+    assert got["f_good"]["gain_e6"] == 500_000
+    # constant feature -> no information
+    assert got["f_bad"]["gini_split_e6"] == 500_000
+    assert got["f_bad"]["gain_e6"] == 0
+    assert got["f_good"]["n_values"] == 2 and got["f_bad"]["n_values"] == 1
+
+    # ordering: best gain first
+    ordered = [r["feature"] for r in gini_gain(df, "y", ["f_bad", "f_good"]).collect()]
+    assert ordered == ["f_good", "f_bad"]
