@@ -12635,6 +12635,53 @@ ORDER BY gain_e6 DESC, feature
 """
 
 
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit (operators/analytics.calibration_report) of
+    a length-based "is-English" scorer over documents: predicted
+    probability = min(n_chars, 1000)·1000 e6, label = lang = 'en';
+    10 reliability bins with mean-predicted vs observed rate and the
+    aggregate ECE, all in exact integer floor-division arithmetic the
+    oracle replays verbatim."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        calibration_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.least(F.col("n_chars"), F.lit(1000)) * 1000).alias("pred_e6"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return calibration_report(docs, "pred_e6", "is_en", n_bins=10)
+
+
+_SQL_CALIBRATION = """
+WITH base AS (
+  SELECT LEAST(n_chars, 1000) * 1000 AS pred,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents),
+per_bin AS (
+  SELECT LEAST(pred // 100000, 9) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pred) AS BIGINT) AS sum_pred,
+         CAST(SUM(pos) AS BIGINT) AS n_pos
+  FROM base GROUP BY 1),
+bins AS (
+  SELECT CAST(bin AS INTEGER) AS bin, n,
+         sum_pred // n AS mean_pred_e6,
+         (1000000 * n_pos) // n AS obs_rate_e6,
+         ABS(sum_pred // n - (1000000 * n_pos) // n) AS gap_e6
+  FROM per_bin),
+e AS (SELECT SUM(n * gap_e6) // SUM(n) AS ece_e6 FROM bins)
+SELECT bin, n,
+       CAST(mean_pred_e6 AS BIGINT) AS mean_pred_e6,
+       CAST(obs_rate_e6 AS BIGINT) AS obs_rate_e6,
+       CAST(gap_e6 AS BIGINT) AS gap_e6,
+       CAST(ece_e6 AS BIGINT) AS ece_e6
+FROM bins, e
+ORDER BY bin
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -12766,6 +12813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "kendall_tau": q_kendall_tau,
         "gini_gain": q_gini_gain,
+        "calibration": q_calibration,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -13012,6 +13060,7 @@ def oracle_sql() -> dict[str, str]:
         "link_prediction": _SQL_LINK_PREDICTION,
         "kendall_tau": _SQL_KENDALL_TAU,
         "gini_gain": _SQL_GINI_GAIN,
+        "calibration": _SQL_CALIBRATION,
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

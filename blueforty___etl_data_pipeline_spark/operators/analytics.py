@@ -797,3 +797,55 @@ def ols_fit(
     return spark.createDataFrame(
         [tuple(out_vals)], ", ".join(f"{c} long" for c in out_cols)
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    pred_e6_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Model calibration (reliability diagram + Expected Calibration
+    Error) — the standard audit before a learned quality/filter score
+    is trusted to gate a training corpus.
+
+    Inputs are integer-e6 predicted probabilities (0..1e6) and a
+    boolean label; everything downstream is exact integer arithmetic
+    with the house floor-division contract: per bin,
+    ``mean_pred_e6 = Σpred // n_b`` and ``obs_rate_e6 = 1e6·pos //
+    n_b``; ``ece_e6 = Σ_b n_b·|gap_b| // n``.
+
+    Scale shape: one groupBy on the bin key (≤ ``n_bins`` groups,
+    map-side combined), then a broadcast of the 1-row ECE back onto
+    the bin rows — no window, no second pass over raw data.
+
+    Output: (bin, n, mean_pred_e6, obs_rate_e6, gap_e6, ece_e6) per
+    bin, ordered by bin.
+    """
+    width = 1_000_000 // n_bins
+    binned = df.select(
+        F.least(
+            F.expr(f"CAST({pred_e6_col} div {width} AS INT)"),
+            F.lit(n_bins - 1),
+        ).alias("bin"),
+        F.col(pred_e6_col).cast("long").alias("pred"),
+        F.col(label_col).cast("long").alias("pos"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pred").alias("sum_pred"),
+        F.sum("pos").alias("n_pos"),
+    )
+    bins = per_bin.select(
+        "bin",
+        "n",
+        F.expr("sum_pred div n").alias("mean_pred_e6"),
+        F.expr("(1000000 * n_pos) div n").alias("obs_rate_e6"),
+        F.expr(
+            "abs(sum_pred div n - (1000000 * n_pos) div n)"
+        ).alias("gap_e6"),
+    )
+    ece = bins.agg(
+        F.expr("sum(n * gap_e6) div sum(n)").alias("ece_e6")
+    )
+    return bins.crossJoin(F.broadcast(ece)).orderBy("bin")

@@ -958,3 +958,27 @@ def test_gini_gain_perfect_vs_useless_feature(spark):
     # ordering: best gain first
     ordered = [r["feature"] for r in gini_gain(df, "y", ["f_bad", "f_good"]).collect()]
     assert ordered == ["f_good", "f_bad"]
+
+
+def test_calibration_report_exact_bins_and_ece(spark):
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        calibration_report,
+    )
+
+    # bin 0: preds 50000/50000, labels 1,0 -> mean 50000, obs 500000
+    # bin 9: preds 950000 & 1000000 (clamped into bin 9), labels 1,1
+    rows = [
+        (50_000, True), (50_000, False),
+        (950_000, True), (1_000_000, True),
+    ]
+    df = spark.createDataFrame(rows, "pred_e6 long, y boolean")
+    got = {r["bin"]: r for r in calibration_report(df, "pred_e6", "y").collect()}
+    assert set(got) == {0, 9}
+    assert got[0]["mean_pred_e6"] == 50_000
+    assert got[0]["obs_rate_e6"] == 500_000
+    assert got[0]["gap_e6"] == 450_000
+    assert got[9]["mean_pred_e6"] == 975_000
+    assert got[9]["obs_rate_e6"] == 1_000_000
+    assert got[9]["gap_e6"] == 25_000
+    # ECE = (2*450000 + 2*25000) // 4, same on every row
+    assert {r["ece_e6"] for r in got.values()} == {237_500}
