@@ -12741,6 +12741,38 @@ GROUP BY mean
 """
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch readability per document (operators/text_ops.
+    readability_scores): regexp word/sentence/vowel-group folds at
+    scan speed, score in the two-level integer floor contract the
+    oracle replays with DuckDB regexp counts."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.text_ops import (
+        readability_scores,
+    )
+
+    return readability_scores(_t(spark, sf_dir, "documents"))
+
+
+_SQL_READABILITY = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+           AS n_words,
+         CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS n_sentences,
+         CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+              AS BIGINT) AS n_syllables
+  FROM documents)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CAST(CASE WHEN n_words > 0 THEN
+         206835 - (1015 * ((1000 * n_words) // n_sentences)) // 1000
+                - (84600 * ((1000 * n_syllables) // n_words)) // 1000
+       END AS BIGINT) AS flesch_e3
+FROM c
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -12874,6 +12906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_gain": q_gini_gain,
         "calibration": q_calibration,
         "bootstrap_ci": q_bootstrap_ci,
+        "readability": q_readability,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -13122,6 +13155,7 @@ def oracle_sql() -> dict[str, str]:
         "gini_gain": _SQL_GINI_GAIN,
         "calibration": _SQL_CALIBRATION,
         "bootstrap_ci": _sql_bootstrap_ci(),
+        "readability": _SQL_READABILITY,
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

@@ -536,3 +536,50 @@ def normalize_unicode(
         & (F.col(out_col) != F.col(text_col)),
     )
 
+
+
+def readability_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch Reading Ease per document — the classic readability
+    screen (word length / sentence length proxies) used as a cheap
+    quality dimension next to :func:`text_quality`.
+
+    Counts are pure JVM regexp folds (scan-speed, zero shuffle):
+    words = ``[A-Za-z]+`` runs, sentences = ``[.!?]+`` runs clamped
+    to ≥ 1 (corpora stripped of punctuation degrade to one sentence
+    per doc rather than dividing by zero), syllables = vowel-group
+    runs ``[aeiouyAEIOUY]+`` (the standard cheap approximation).
+
+    Engine-exact fixed point: the two ratios quantize FIRST
+    (``r = 1000·a div b``), then scale — ``flesch_e3 = 206835 −
+    (1015·r_ws) div 1000 − (84600·r_sw) div 1000`` — a two-level
+    floor contract identical on any integer engine (the float
+    formula's 206.835 − 1.015·… would hang on multiplication
+    rounding).
+    """
+    words = F.size(F.expr(f"regexp_extract_all({text_col}, '[A-Za-z]+', 0)"))
+    sents = F.greatest(
+        F.size(F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)")),
+        F.lit(1),
+    )
+    syll = F.size(
+        F.expr(f"regexp_extract_all({text_col}, '[aeiouyAEIOUY]+', 0)")
+    )
+    return df.select(
+        F.col(id_col),
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        syll.cast("long").alias("n_syllables"),
+    ).select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(
+            "CAST(CASE WHEN n_words > 0 THEN "
+            "206835 - (1015 * ((1000 * n_words) div n_sentences)) div 1000"
+            " - (84600 * ((1000 * n_syllables) div n_words)) div 1000 "
+            "END AS BIGINT)"
+        ).alias("flesch_e3"),
+    )

@@ -549,3 +549,28 @@ def test_hashed_features_stateless_and_mergeable(spark):
     vu2 = hashed_features(a, dim=32, signed=False).collect()
     assert all(r["val"] > 0 for r in vu2)
     assert sum(r["val"] for r in vu2) == 5  # total tokens
+
+
+def test_readability_flesch_contract(spark):
+    from blueforty___etl_data_pipeline_spark.operators.text_ops import (
+        readability_scores,
+    )
+
+    rows = [
+        (1, "The cat sat. The dog ran! Did it?"),  # 8 words, 3 sentences
+        (2, "word " * 4),                          # no punctuation -> 1 sent
+        (3, ""),                                   # empty -> null score
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in readability_scores(df).collect()}
+
+    r1 = got[1]
+    assert (r1["n_words"], r1["n_sentences"]) == (8, 3)
+    # vowel groups: The(1) cat(1) sat(1) The(1) dog(1) ran(1) Did(1) it(1) = 8
+    assert r1["n_syllables"] == 8
+    ws = (1000 * 8) // 3          # 2666
+    sw = (1000 * 8) // 8          # 1000
+    assert r1["flesch_e3"] == 206835 - (1015 * ws) // 1000 - (84600 * sw) // 1000
+
+    assert got[2]["n_sentences"] == 1 and got[2]["n_words"] == 4
+    assert got[3]["flesch_e3"] is None
