@@ -12773,6 +12773,101 @@ FROM c
 """
 
 
+def q_srt_parse_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL SubRip subtitle parse under the driver's oracle (the
+    video-text alignment modality): each sampled document becomes a
+    genuine SRT stream — numbered cues, zero-padded
+    ``HH:MM:SS,mmm --> …`` time lines, CRLF blocks — encoded and
+    re-parsed by functions/subtitles.py inside an Arrow-batched
+    stage, then folded to alignment stats (cue count, span, speech
+    time, overlap count).  Millisecond-integer container, so DuckDB
+    reproduces everything from md5 hex pairs over a range join."""
+    _prep(spark)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 40 == 38)
+    )
+
+    def srt_roundtrip(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.subtitles import (
+            encode_srt,
+            srt_stats,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = _hl.md5(text.encode("utf-8")).digest()
+                n = 2 + d[0] % 4
+                cues = []
+                for i in range(n):
+                    start = i * 3000 + d[i + 1] * 10
+                    end = start + 400 + d[i + 2] * 7
+                    cues.append((start, end, "c" * (1 + d[i + 3] % 9)))
+                s = srt_stats(encode_srt(cues))
+                rows.append(
+                    (
+                        doc_id, s["n_cues"], s["first_start_ms"],
+                        s["last_end_ms"], s["speech_ms"],
+                        s["n_overlaps"], s["text_chars"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_cues", "first_start_ms", "last_end_ms",
+                    "speech_ms", "n_overlaps", "text_chars",
+                ],
+            )
+
+    return docs.mapInPandas(
+        srt_roundtrip,
+        schema=(
+            "doc_id long, n_cues int, first_start_ms long, "
+            "last_end_ms long, speech_ms long, n_overlaps long, "
+            "text_chars long"
+        ),
+    )
+
+
+def _sql_srt_parse_real() -> str:
+    def byte(k: str) -> str:
+        return f"CAST(('0x' || substr(h, 2 * ({k}) + 1, 2)) AS INTEGER)"
+
+    return f"""
+WITH t AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id % 40 = 38),
+docs AS (SELECT doc_id, h, 2 + {byte('0')} % 4 AS n FROM t),
+cues AS (
+  SELECT d.doc_id, d.n, g.range AS i,
+         g.range * 3000 + {byte('g.range + 1')} * 10 AS start_ms,
+         g.range * 3000 + {byte('g.range + 1')} * 10
+           + 400 + {byte('g.range + 2')} * 7 AS end_ms,
+         1 + {byte('g.range + 3')} % 9 AS chars
+  FROM docs d JOIN range(5) g ON g.range < d.n),
+nxt AS (
+  SELECT c.*,
+         LEAD(start_ms) OVER (PARTITION BY doc_id ORDER BY i)
+           AS next_start
+  FROM cues c)
+SELECT doc_id,
+       CAST(ANY_VALUE(n) AS INTEGER) AS n_cues,
+       CAST(MIN(start_ms) AS BIGINT) AS first_start_ms,
+       CAST(MAX(end_ms) AS BIGINT) AS last_end_ms,
+       CAST(SUM(end_ms - start_ms) AS BIGINT) AS speech_ms,
+       CAST(SUM(CASE WHEN next_start < end_ms THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overlaps,
+       CAST(SUM(chars) AS BIGINT) AS text_chars
+FROM nxt
+GROUP BY doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -12907,6 +13002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration": q_calibration,
         "bootstrap_ci": q_bootstrap_ci,
         "readability": q_readability,
+        "srt_parse_real": q_srt_parse_real,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -13156,6 +13252,7 @@ def oracle_sql() -> dict[str, str]:
         "calibration": _SQL_CALIBRATION,
         "bootstrap_ci": _sql_bootstrap_ci(),
         "readability": _SQL_READABILITY,
+        "srt_parse_real": _sql_srt_parse_real(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

@@ -1655,3 +1655,42 @@ def test_exif_build_parse_both_endians_and_gates():
     blob[i : i + 2] = b"ZZ"
     with pytest.raises(ValueError, match="byte-order"):
         parse_exif(bytes(blob))
+
+
+def test_srt_codec_roundtrip_and_gates():
+    import pytest
+
+    from blueforty___etl_data_pipeline_spark.functions.subtitles import (
+        encode_srt,
+        parse_srt,
+        srt_stats,
+    )
+
+    cues = [
+        (0, 1500, "hello"),
+        (1400, 3000, "over\nlap"),   # overlaps previous, multi-line
+        (3_600_000 + 61_000 + 5, 3_700_000, "hour mark"),
+    ]
+    text = encode_srt(cues)
+    got = parse_srt(text)
+    assert [(c["start_ms"], c["end_ms"], c["text"]) for c in got] == cues
+    assert [c["idx"] for c in got] == [1, 2, 3]
+
+    s = srt_stats(text)
+    assert s["n_cues"] == 3 and s["n_overlaps"] == 1
+    assert s["first_start_ms"] == 0 and s["last_end_ms"] == 3_700_000
+    assert s["speech_ms"] == 1500 + 1600 + (3_700_000 - 3_661_005)
+    assert s["text_chars"] == len("hello") + len("over\nlap") + len("hour mark")
+
+    # LF-only input parses identically
+    assert parse_srt(text.replace("\r\n", "\n")) == got
+
+    # gates
+    with pytest.raises(ValueError, match="bad cue index"):
+        parse_srt("x\n00:00:00,000 --> 00:00:01,000\nhi\n")
+    with pytest.raises(ValueError, match="bad time line"):
+        parse_srt("1\n00:00:00.000 --> 00:00:01,000\nhi\n")
+    with pytest.raises(ValueError, match="ends before"):
+        parse_srt("1\n00:00:02,000 --> 00:00:01,000\nhi\n")
+    with pytest.raises(ValueError, match="truncated"):
+        parse_srt("1\n")
