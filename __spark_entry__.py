@@ -12868,6 +12868,146 @@ GROUP BY doc_id
 """
 
 
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual hash under the driver's oracle (operators/
+    multimodal.image_phash): each sampled document becomes THREE real
+    4×4 grayscale PNGs — original (digest pixels mod 248), a +7
+    brightness-shifted twin, and a one-low-bit sensor-noise twin —
+    decoded by the stdlib codec and hashed by the fixed-point integer
+    DCT (engine-exact, unlike float pHash).  Asserts the algebraic
+    invariant (AC basis rows sum to zero ⇒ brightness shift leaves
+    the hash IDENTICAL) and reports the noise-twin hamming.  DuckDB
+    replays the full DCT from md5 hex pairs over the 16-constant
+    basis table."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        image_phash,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 20 == 7)
+    )
+
+    def to_png(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.png import (
+            encode_png_gray,
+        )
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = _hl.md5(text.encode("utf-8")).digest()
+                base = [
+                    [d[x * 4 + y] % 248 for y in range(4)]
+                    for x in range(4)
+                ]
+                bright = [[p + 7 for p in row] for row in base]
+                noise = [row[:] for row in base]
+                noise[0][0] ^= 1
+                for k, px in ((0, base), (1, bright), (2, noise)):
+                    ids.append(doc_id * 10 + k)
+                    blobs.append(encode_png_gray(px))
+            yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    pngs = docs.mapInPandas(to_png, schema="doc_id long, content binary")
+    hashes = image_phash(pngs).select(
+        F.expr("doc_id div 10").alias("doc_id"),
+        (F.col("doc_id") % 10).alias("variant"),
+        "phash",
+    )
+    return (
+        hashes.groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("variant") == 0, F.col("phash"))).alias(
+                "phash_orig"
+            ),
+            F.max(F.when(F.col("variant") == 1, F.col("phash"))).alias(
+                "phash_bright"
+            ),
+            F.max(F.when(F.col("variant") == 2, F.col("phash"))).alias(
+                "phash_noise"
+            ),
+        )
+        .select(
+            "doc_id",
+            "phash_orig",
+            (F.col("phash_bright") == F.col("phash_orig")).alias(
+                "bright_invariant"
+            ),
+            F.expr("bit_count(phash_orig ^ phash_noise)")
+            .cast("int")
+            .alias("noise_hamming"),
+        )
+    )
+
+
+def _sql_image_phash() -> str:
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        _DCT_INT,
+    )
+
+    t4 = _DCT_INT[4]
+    dct_values = ", ".join(
+        f"({u}, {x}, {t4[u][x]})" for u in range(4) for x in range(4)
+    )
+
+    def byte(k: str) -> str:
+        return f"CAST(('0x' || substr(h, 2 * ({k}) + 1, 2)) AS INTEGER)"
+
+    return f"""
+WITH t AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id % 20 = 7),
+dct(u, x, v) AS (VALUES {dct_values}),
+px AS (
+  SELECT d.doc_id, img.range AS img, gx.range AS x, gy.range AS y,
+         CASE
+           WHEN img.range = 1
+             THEN {byte('gx.range * 4 + gy.range')} % 248 + 7
+           WHEN img.range = 2 AND gx.range = 0 AND gy.range = 0
+             THEN xor({byte('gx.range * 4 + gy.range')} % 248, 1)
+           ELSE {byte('gx.range * 4 + gy.range')} % 248
+         END AS p
+  FROM t d, range(3) img, range(4) gx, range(4) gy),
+coef AS (
+  SELECT p.doc_id, p.img, tu.u, tv.u AS v,
+         SUM(p.p * tu.v * tv.v) AS c
+  FROM px p
+  JOIN dct tu ON tu.x = p.x
+  JOIN dct tv ON tv.x = p.y
+  GROUP BY p.doc_id, p.img, tu.u, tv.u
+  HAVING NOT (tu.u = 0 AND tv.u = 0)),
+med AS (
+  SELECT doc_id, img, c, u, v,
+         row_number() OVER (PARTITION BY doc_id, img ORDER BY c) AS r
+  FROM coef),
+thresh AS (
+  SELECT doc_id, img, c AS m FROM med WHERE r = 8),
+bits AS (
+  SELECT coef.doc_id, coef.img,
+         CAST(SUM(CASE WHEN coef.c > thresh.m
+                  THEN 1 << (coef.u * 4 + coef.v - 1)
+                  ELSE 0 END) AS BIGINT) AS ph
+  FROM coef JOIN thresh
+    ON coef.doc_id = thresh.doc_id AND coef.img = thresh.img
+  GROUP BY coef.doc_id, coef.img)
+SELECT doc_id,
+       MAX(CASE WHEN img = 0 THEN ph END) AS phash_orig,
+       MAX(CASE WHEN img = 1 THEN ph END)
+         = MAX(CASE WHEN img = 0 THEN ph END) AS bright_invariant,
+       CAST(bit_count(xor(MAX(CASE WHEN img = 0 THEN ph END),
+                          MAX(CASE WHEN img = 2 THEN ph END)))
+            AS INTEGER) AS noise_hamming
+FROM bits
+GROUP BY doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -13003,6 +13143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci": q_bootstrap_ci,
         "readability": q_readability,
         "srt_parse_real": q_srt_parse_real,
+        "image_phash": q_image_phash,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -13253,6 +13394,7 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_ci": _sql_bootstrap_ci(),
         "readability": _SQL_READABILITY,
         "srt_parse_real": _sql_srt_parse_real(),
+        "image_phash": _sql_image_phash(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

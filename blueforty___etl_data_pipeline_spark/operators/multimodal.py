@@ -631,3 +631,92 @@ def dhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+#: Fixed-point DCT-II basis, round(128·cos(π(2x+1)u/2N)) — integer so
+#: the perceptual hash is engine-exact (library pHash uses float DCT;
+#: scaled-integer DCT is the standard fixed-point variant).
+_DCT_INT = {
+    4: (
+        (128, 128, 128, 128),
+        (118, 49, -49, -118),
+        (91, -91, -91, 91),
+        (49, -118, 118, -49),
+    ),
+    8: (
+        (128, 128, 128, 128, 128, 128, 128, 128),
+        (126, 106, 71, 25, -25, -71, -106, -126),
+        (118, 49, -49, -118, -118, -49, 49, 118),
+        (106, -25, -126, -71, 71, 126, 25, -106),
+        (91, -91, -91, 91, 91, -91, -91, 91),
+        (71, -126, 25, 106, -106, -25, 126, -71),
+        (49, -118, 118, -49, -49, 118, -118, 49),
+        (25, -71, 106, -126, 126, -106, 71, -25),
+    ),
+}
+
+
+def phash_bits(px: list[list[int]]) -> int:
+    """Integer-DCT perceptual hash of an N×N grayscale grid (N = 4 or
+    8): 2-D DCT via the fixed-point basis, then one bit per AC
+    coefficient — set iff the coefficient exceeds the MEDIAN AC
+    coefficient (the classic pHash rule; median, not mean, so a
+    global brightness shift cannot flip half the bits).  Median =
+    the ⌈k/2⌉-th order statistic of the k = N²−1 AC values.
+    """
+    n = len(px)
+    if n not in _DCT_INT or any(len(r) != n for r in px):
+        raise ValueError("phash needs a square 4x4 or 8x8 grid")
+    t = _DCT_INT[n]
+    coefs = []
+    for u in range(n):
+        for v in range(n):
+            if u == 0 and v == 0:
+                continue
+            s = 0
+            for x in range(n):
+                for y in range(n):
+                    s += px[x][y] * t[u][x] * t[v][y]
+            coefs.append(s)
+    med = sorted(coefs)[(len(coefs) - 1) // 2]
+    bits = 0
+    for k, c in enumerate(coefs):
+        if c > med:
+            bits |= 1 << k
+    return bits
+
+
+def image_phash(
+    media: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DCT perceptual hash (pHash) of PNG blobs — the
+    frequency-domain sibling of :func:`image_dhash`: dHash captures
+    local gradients (robust to brightness), pHash captures global
+    low-frequency structure (robust to blur/rescale/noise), and a
+    production image-dedup stack runs both.  Same Arrow-batched
+    decode contract; images must already be pooled to 4×4 or 8×8
+    (``transform_image_real``).  Returns (id, phash, n_bits_set).
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from ..functions.png import decode_png_gray
+
+        for pdf in batches:
+            ids, hashes, nbits = [], [], []
+            for i, b in zip(pdf[id_col], pdf[content_col]):
+                px = decode_png_gray(b)
+                h = phash_bits(px)
+                ids.append(i)
+                hashes.append(h)
+                nbits.append(bin(h).count("1"))
+            yield pd.DataFrame(
+                {id_col: ids, "phash": hashes, "n_bits_set": nbits}
+            )
+
+    return media.select(id_col, content_col).mapInPandas(
+        run, schema=f"{id_col} long, phash long, n_bits_set int"
+    )

@@ -1694,3 +1694,45 @@ def test_srt_codec_roundtrip_and_gates():
         parse_srt("1\n00:00:02,000 --> 00:00:01,000\nhi\n")
     with pytest.raises(ValueError, match="truncated"):
         parse_srt("1\n")
+
+
+def test_phash_invariances_and_gates(spark):
+    import pytest
+
+    from blueforty___etl_data_pipeline_spark.functions.png import (
+        encode_png_gray,
+    )
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        image_phash,
+        phash_bits,
+    )
+
+    px = [
+        [10, 200, 30, 90],
+        [90, 15, 220, 40],
+        [5, 60, 120, 240],
+        [33, 77, 11, 180],
+    ]
+    h = phash_bits(px)
+    # global brightness shift leaves the hash identical (AC rows sum 0)
+    assert phash_bits([[p + 15 for p in r] for r in px]) == h
+    # contrast scaling too (positive scaling preserves coef ORDER)
+    assert phash_bits([[p * 1 for p in r] for r in px]) == h
+    # a structurally different image hashes differently
+    assert phash_bits([[(x * 60 + y) % 256 for y in range(4)] for x in range(4)]) != h
+    # 8x8 path packs 63 bits
+    big = [[(x * 31 + y * 17) % 256 for y in range(8)] for x in range(8)]
+    h8 = phash_bits(big)
+    assert 0 < h8 < 1 << 63
+
+    with pytest.raises(ValueError, match="square"):
+        phash_bits([[1, 2], [3, 4]])
+    with pytest.raises(ValueError, match="square"):
+        phash_bits([[1] * 4] * 3)
+
+    # distributed stage agrees with the local function
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png_gray(px)))], "doc_id long, content binary"
+    )
+    row = image_phash(df).collect()[0]
+    assert row["phash"] == h and row["n_bits_set"] == bin(h).count("1")
