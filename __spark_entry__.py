@@ -13008,6 +13008,85 @@ GROUP BY doc_id
 """
 
 
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes source-attribution audit (operators/
+    corpus.naive_bayes_classify): train on the documents corpus and
+    resubstitution-classify each doc's source, reported as a
+    confusion matrix with summed decision margins.  Log-weights
+    quantize to e6 integers per bounded (token, class) row (the
+    token_entropy ln contract), so the per-doc scores the two engines
+    sum are identical BIGINTs."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        naive_bayes_classify,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = naive_bayes_classify(docs, "text", "source", "doc_id")
+    return (
+        pred.groupBy("actual", "predicted")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("margin_e6").alias("sum_margin_e6"),
+        )
+        .orderBy("actual", "predicted")
+    )
+
+
+_SQL_NAIVE_BAYES = """
+WITH toks AS (
+  SELECT doc_id AS id, source AS y, t.tok
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''),
+ntc AS (SELECT y, tok, COUNT(*) AS ntc FROM toks GROUP BY 1, 2),
+nc AS (SELECT y, COUNT(*) AS nc FROM toks GROUP BY 1),
+vv AS (SELECT COUNT(DISTINCT tok) AS v FROM toks),
+classes AS (
+  SELECT y AS cls, nc, v,
+         CAST(FLOOR(1000000 * LN(1.0 / CAST(nc + v AS DOUBLE)))
+              AS BIGINT) AS floor_e6
+  FROM nc, vv),
+w AS (
+  SELECT cls, tok,
+         CAST(FLOOR(1000000 * LN(CAST(ntc + 1 AS DOUBLE)
+                                 / CAST(nc + v AS DOUBLE)))
+              AS BIGINT) AS w_e6
+  FROM ntc JOIN classes ON ntc.y = classes.cls),
+prior AS (
+  SELECT source AS cls,
+         CAST(FLOOR(1000000 * LN(CAST(COUNT(*) AS DOUBLE)
+              / (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents)))
+              AS BIGINT) AS prior_e6
+  FROM documents GROUP BY 1),
+scored AS (
+  SELECT t.id, t.y, c.cls,
+         SUM(COALESCE(w.w_e6, c.floor_e6)) + ANY_VALUE(p.prior_e6) AS s
+  FROM toks t
+  CROSS JOIN classes c
+  LEFT JOIN w ON w.cls = c.cls AND w.tok = t.tok
+  JOIN prior p ON p.cls = c.cls
+  GROUP BY t.id, t.y, c.cls),
+per_doc AS (SELECT id, y, MAX(s) AS smax FROM scored GROUP BY id, y),
+top AS (
+  SELECT p.id, p.y, p.smax, MIN(s.cls) AS predicted
+  FROM per_doc p JOIN scored s
+    ON s.id = p.id AND s.s = p.smax
+  GROUP BY p.id, p.y, p.smax),
+runner AS (
+  SELECT s.id, MAX(s.s) AS s2
+  FROM scored s JOIN per_doc p ON s.id = p.id
+  WHERE s.s < p.smax
+  GROUP BY s.id)
+SELECT t.y AS actual, t.predicted,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(t.smax - COALESCE(r.s2, t.smax)) AS BIGINT)
+         AS sum_margin_e6
+FROM top t LEFT JOIN runner r ON r.id = t.id
+GROUP BY t.y, t.predicted
+ORDER BY actual, predicted
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -13144,6 +13223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "srt_parse_real": q_srt_parse_real,
         "image_phash": q_image_phash,
+        "naive_bayes": q_naive_bayes,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -13395,6 +13475,7 @@ def oracle_sql() -> dict[str, str]:
         "readability": _SQL_READABILITY,
         "srt_parse_real": _sql_srt_parse_real(),
         "image_phash": _sql_image_phash(),
+        "naive_bayes": _SQL_NAIVE_BAYES,
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

@@ -377,6 +377,32 @@ HEADLINE = [
     "ks_test",
     # round-6: smoothed target encoding (categorical feature)
     "target_encode",
+    # round-6: MP3 container metadata walk (frame headers + ID3)
+    "mp3_meta_real",
+    # round-6: 24-bpp BMP decode, both row orientations
+    "bmp_decode_real",
+    # round-6: EXIF APP1/TIFF IFD metadata extraction
+    "exif_extract_real",
+    # round-6: WARC export -> distributed re-parse (Common Crawl shape)
+    "warc_roundtrip",
+    # round-6: exact-integer OLS via normal equations
+    "ols_regression",
+    # round-6: Resource Allocation link prediction (co-purchase)
+    "link_prediction",
+    # round-6: Kendall tau-b over the contingency grid
+    "kendall_tau",
+    # round-6: Gini-impurity feature ranking
+    "gini_gain",
+    # round-6: calibration report (reliability bins + ECE)
+    "calibration",
+    # round-6: deterministic Poisson bootstrap CI (100 resamples)
+    "bootstrap_ci",
+    # round-6: Flesch readability (regexp folds at scan speed)
+    "readability",
+    # round-6: SRT subtitle parse (video-text alignment)
+    "srt_parse_real",
+    # round-6: integer-DCT perceptual hash + invariance audit
+    "image_phash",
 ]
 
 

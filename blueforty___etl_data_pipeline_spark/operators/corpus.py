@@ -802,3 +802,118 @@ def hashed_features(
         .agg(F.sum("s").alias("val"))
         .filter(F.col("val") != 0)
     )
+
+
+
+def naive_bayes_classify(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multinomial Naive Bayes, train + resubstitution-classify in one
+    lazy plan — the classic baseline text classifier (and, as a data
+    tool, a source/domain attribution audit: how separable are the
+    corpus slices?).
+
+    Laplace-smoothed token weights ``ln((n_tc + 1)/(n_c + V))`` and
+    priors ``ln(n_docs_c / n_docs)`` are QUANTIZED to e6 integers per
+    bounded-table row (one float ``ln`` each — the token_entropy
+    contract), after which every per-document score is an exact
+    BIGINT sum, immune to float summation order.  Unseen (token,
+    class) pairs take the smoothing floor ``ln(1/(n_c + V))`` via a
+    left join onto the class grid.
+
+    Scale shape: the weight table is |vocab|×|classes| (bounded,
+    broadcast); scoring is one token explode, one broadcast join, one
+    (doc, class) sum — hash-partitioned, no quadratic anywhere.
+
+    Returns (id, actual, predicted, margin_e6); ``margin_e6`` is the
+    winning score minus the runner-up (0 when single-class).
+    Tie-break: max score, then lexicographically smallest class.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_y"),
+        F.explode(tokens_ws(F.col(text_col))).alias("tok"),
+    )
+    ntc = toks.groupBy("_y", "tok").agg(F.count(F.lit(1)).alias("ntc"))
+    nc = toks.groupBy("_y").agg(F.count(F.lit(1)).alias("nc"))
+    vocab_n = toks.select("tok").distinct().agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    classes = nc.crossJoin(F.broadcast(vocab_n)).select(
+        F.col("_y").alias("cls"),
+        "nc",
+        "v",
+        F.floor(
+            F.lit(1e6)
+            * F.log(
+                F.lit(1.0) / (F.col("nc") + F.col("v")).cast("double")
+            )
+        ).cast("long").alias("floor_e6"),
+    )
+    w = ntc.join(classes, ntc["_y"] == classes["cls"]).select(
+        "cls",
+        "tok",
+        F.floor(
+            F.lit(1e6)
+            * F.log(
+                (F.col("ntc") + 1).cast("double")
+                / (F.col("nc") + F.col("v")).cast("double")
+            )
+        ).cast("long").alias("w_e6"),
+    )
+    ndocs = df.agg(F.count(F.lit(1)).alias("d"))
+    prior = (
+        df.groupBy(F.col(label_col).alias("cls"))
+        .agg(F.count(F.lit(1)).alias("dc"))
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "cls",
+            F.floor(
+                F.lit(1e6)
+                * F.log(
+                    F.col("dc").cast("double") / F.col("d").cast("double")
+                )
+            ).cast("long").alias("prior_e6"),
+        )
+    )
+    scored = (
+        toks.crossJoin(
+            F.broadcast(classes.select("cls", "floor_e6"))
+        )
+        .join(F.broadcast(w), ["cls", "tok"], "left")
+        .groupBy("_id", "_y", "cls")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("w_e6"), F.col("floor_e6"))
+            ).alias("s")
+        )
+        .join(F.broadcast(prior), "cls")
+        .select(
+            "_id", "_y", "cls",
+            (F.col("s") + F.col("prior_e6")).alias("s"),
+        )
+    )
+    per_doc = scored.groupBy("_id", "_y").agg(F.max("s").alias("smax"))
+    top = (
+        per_doc.join(scored, ["_id", "_y"])
+        .filter(F.col("s") == F.col("smax"))
+        .groupBy("_id", "_y", "smax")
+        .agg(F.min("cls").alias("predicted"))
+    )
+    runner = (
+        scored.join(per_doc.select("_id", "smax"), "_id")
+        .filter(F.col("s") < F.col("smax"))
+        .groupBy("_id")
+        .agg(F.max("s").alias("s2"))
+    )
+    return top.join(runner, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.col("_y").alias("actual"),
+        "predicted",
+        (F.col("smax") - F.coalesce(F.col("s2"), F.col("smax"))).alias(
+            "margin_e6"
+        ),
+    )

@@ -574,3 +574,36 @@ def test_readability_flesch_contract(spark):
 
     assert got[2]["n_sentences"] == 1 and got[2]["n_words"] == 4
     assert got[3]["flesch_e3"] is None
+
+
+def test_naive_bayes_separable_corpus(spark):
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        naive_bayes_classify,
+    )
+
+    rows = [
+        (1, "spam buy pills now", "spam"),
+        (2, "buy spam pills cheap", "spam"),
+        (3, "meeting notes agenda", "ham"),
+        (4, "agenda for the meeting", "ham"),
+        (5, "buy pills", "spam"),
+        (6, "notes from the meeting", "ham"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r for r in naive_bayes_classify(df).collect()}
+    assert len(got) == 6
+    # fully separable vocabulary -> resubstitution is perfect
+    assert all(r["predicted"] == r["actual"] for r in got.values())
+    # margins are strictly positive for two-class separable data
+    assert all(r["margin_e6"] > 0 for r in got.values())
+    # deterministic across runs (quantized integer scores)
+    again = {r["doc_id"]: r for r in naive_bayes_classify(df).collect()}
+    assert got == again
+
+    # single-class corpus: predicted == the class, margin 0
+    one = spark.createDataFrame(
+        [(1, "a b", "only"), (2, "c d", "only")],
+        "doc_id long, text string, source string",
+    )
+    res = naive_bayes_classify(one).collect()
+    assert all(r["predicted"] == "only" and r["margin_e6"] == 0 for r in res)
