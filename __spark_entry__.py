@@ -13087,6 +13087,65 @@ ORDER BY actual, predicted
 """
 
 
+def q_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-DBSCAN density clustering (operators/graph.
+    grid_density_clusters) over the first two embedding dimensions:
+    power-of-two cell binning (exact IEEE ×16), dense-cell
+    8-neighborhood graph, connected components, plus a noise row.
+    The oracle resolves the same dense-cell graph with a recursive
+    transitive-closure CTE — the component labels must agree cell for
+    cell."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.graph import (
+        grid_density_clusters,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("embedding").getItem(0).alias("x"),
+        F.col("embedding").getItem(1).alias("y"),
+    )
+    return grid_density_clusters(emb, "x", "y", scale=16, min_pts=4)
+
+
+_SQL_DENSITY_CLUSTERS = """
+WITH RECURSIVE pts AS (
+  SELECT CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 16) AS BIGINT) AS cx,
+         CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 16) AS BIGINT) AS cy
+  FROM embeddings),
+cells AS (SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n
+          FROM pts GROUP BY 1, 2),
+dense AS (
+  SELECT cx, cy, n, (cx + 1024) * 4096 + cy + 1024 AS cell_id
+  FROM cells WHERE n >= 4),
+edges AS (
+  SELECT a.cell_id AS src, b.cell_id AS dst
+  FROM dense a JOIN dense b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1),
+reach AS (
+  SELECT cell_id AS node, cell_id AS root FROM dense
+  UNION
+  SELECT e.dst AS node, r.root
+  FROM reach r JOIN edges e ON e.src = r.node),
+comp AS (SELECT node, MIN(root) AS cluster_id FROM reach GROUP BY node),
+per AS (
+  SELECT comp.cluster_id,
+         CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(SUM(d.n) AS BIGINT) AS n_points,
+         CAST(MIN(d.cx) AS BIGINT) AS min_cx,
+         CAST(MAX(d.cx) AS BIGINT) AS max_cx,
+         CAST(MIN(d.cy) AS BIGINT) AS min_cy,
+         CAST(MAX(d.cy) AS BIGINT) AS max_cy
+  FROM dense d JOIN comp ON comp.node = d.cell_id
+  GROUP BY comp.cluster_id)
+SELECT * FROM per
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(COALESCE(SUM(n), 0) AS BIGINT),
+       NULL, NULL, NULL, NULL
+FROM cells WHERE n < 4
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -13224,6 +13283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srt_parse_real": q_srt_parse_real,
         "image_phash": q_image_phash,
         "naive_bayes": q_naive_bayes,
+        "density_clusters": q_density_clusters,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -13476,6 +13536,7 @@ def oracle_sql() -> dict[str, str]:
         "srt_parse_real": _sql_srt_parse_real(),
         "image_phash": _sql_image_phash(),
         "naive_bayes": _SQL_NAIVE_BAYES,
+        "density_clusters": _SQL_DENSITY_CLUSTERS,
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

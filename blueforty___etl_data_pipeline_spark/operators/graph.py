@@ -517,3 +517,93 @@ def resource_allocation_pairs(
         )
         .filter(F.col("n_common") >= min_common)
     )
+
+
+def grid_density_clusters(
+    points: DataFrame,
+    x_col: str,
+    y_col: str,
+    scale: int = 16,
+    min_pts: int = 4,
+) -> DataFrame:
+    """Density-based clustering in the GRID approximation of DBSCAN:
+    bucket points into cells of side ``1/scale``, keep cells holding
+    ≥ ``min_pts`` points (the core-density test), connect dense cells
+    that touch (8-neighborhood), and resolve clusters as connected
+    components.  Points in sparse cells are noise.
+
+    This is the form of DBSCAN that actually distributes: the
+    ε-neighbor search becomes an equi-join on cell keys (9 bounded
+    offsets), never a distance self-join, and the component loop runs
+    over the DENSE-CELL graph — whose size is bounded by the occupied
+    value domain, not by row count.  ``scale`` MUST be a power of two:
+    float×2^k is exact in IEEE doubles, so cell assignment has no
+    rounding ambiguity across engines.
+
+    Output: one row per cluster — (cluster_id = min cell id in the
+    component, n_cells, n_points, min_cx, max_cx, min_cy, max_cy) —
+    plus one ``cluster_id = -1`` noise row with the sparse-cell point
+    count.  Single dense cells with no dense neighbor form their own
+    singleton cluster.
+    """
+    if scale & (scale - 1):
+        raise ValueError("scale must be a power of two (exact binning)")
+    pts = points.select(
+        F.floor(F.col(x_col).cast("double") * scale)
+        .cast("long")
+        .alias("cx"),
+        F.floor(F.col(y_col).cast("double") * scale)
+        .cast("long")
+        .alias("cy"),
+    )
+    cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n"))
+    dense = cells.filter(F.col("n") >= min_pts).withColumn(
+        "cell_id", (F.col("cx") + 1024) * 4096 + F.col("cy") + 1024
+    )
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    shifted = None
+    for dx, dy in offsets:
+        s = dense.select(
+            (F.col("cx") + dx).alias("ncx"),
+            (F.col("cy") + dy).alias("ncy"),
+            F.col("cell_id").alias("id_a"),
+        )
+        shifted = s if shifted is None else shifted.unionByName(s)
+    edges = (
+        shifted.join(
+            dense.select(
+                F.col("cx").alias("ncx"),
+                F.col("cy").alias("ncy"),
+                F.col("cell_id").alias("id_b"),
+            ),
+            ["ncx", "ncy"],
+        )
+        .select("id_a", "id_b")  # includes self-loops: keeps singleton
+        .distinct()              # dense cells in the component output
+    )
+    comp = connected_components(edges, "id_a", "id_b")
+    clustered = dense.join(
+        comp, dense["cell_id"] == comp["node"]
+    ).select("cx", "cy", "n", F.col("component_id").alias("cluster_id"))
+    per_cluster = clustered.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n").alias("n_points"),
+        F.min("cx").alias("min_cx"),
+        F.max("cx").alias("max_cx"),
+        F.min("cy").alias("min_cy"),
+        F.max("cy").alias("max_cy"),
+    )
+    noise = (
+        cells.filter(F.col("n") < min_pts)
+        .agg(F.sum("n").alias("n_points"))
+        .select(
+            F.lit(-1).cast("long").alias("cluster_id"),
+            F.lit(0).cast("long").alias("n_cells"),
+            F.coalesce(F.col("n_points"), F.lit(0)).alias("n_points"),
+            F.lit(None).cast("long").alias("min_cx"),
+            F.lit(None).cast("long").alias("max_cx"),
+            F.lit(None).cast("long").alias("min_cy"),
+            F.lit(None).cast("long").alias("max_cy"),
+        )
+    )
+    return per_cluster.unionByName(noise)

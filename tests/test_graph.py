@@ -279,3 +279,40 @@ def test_resource_allocation_pairs_weights_and_cap(spark):
     }
     assert capped[("a", "b")] == (2, 333333 + 500000)
     assert ("a", "c") not in capped
+
+
+def test_grid_density_clusters_shapes(spark):
+    import pytest
+
+    from blueforty___etl_data_pipeline_spark.operators.graph import (
+        grid_density_clusters,
+    )
+
+    # two dense blobs joined by an adjacent dense cell; one far dense
+    # singleton; a couple of sparse noise points
+    def blob(cx, cy, k):
+        # k points inside cell (cx, cy) at scale 16
+        return [((cx + 0.5) / 16.0, (cy + 0.5) / 16.0)] * k
+
+    pts = (
+        blob(0, 0, 5) + blob(1, 0, 5)      # adjacent -> one cluster
+        + blob(5, 5, 6)                     # far singleton cluster
+        + [(0.9, 0.9), (-0.7, 0.3)]         # noise (sparse cells)
+    )
+    df = spark.createDataFrame(pts, "x double, y double")
+    rows = {r["cluster_id"]: r for r in grid_density_clusters(
+        df, "x", "y", scale=16, min_pts=4
+    ).collect()}
+
+    noise = rows.pop(-1)
+    assert noise["n_points"] == 2 and noise["n_cells"] == 0
+    assert len(rows) == 2
+    by_cells = sorted(rows.values(), key=lambda r: r["n_cells"])
+    assert by_cells[1]["n_cells"] == 2 and by_cells[1]["n_points"] == 10
+    assert by_cells[0]["n_cells"] == 1 and by_cells[0]["n_points"] == 6
+    # bounding boxes
+    assert (by_cells[1]["min_cx"], by_cells[1]["max_cx"]) == (0, 1)
+    assert (by_cells[0]["min_cx"], by_cells[0]["max_cx"]) == (5, 5)
+
+    with pytest.raises(ValueError, match="power of two"):
+        grid_density_clusters(df, "x", "y", scale=10)
