@@ -13146,6 +13146,66 @@ FROM cells WHERE n < 4
 """
 
 
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (operators/temporal.
+    holt_smoothing) of daily order revenue: the raw table rolls up to
+    the bounded daily series (the acf_daily shape), then the
+    level+trend recurrence folds in ONE JVM aggregate expression in
+    exact integer permille arithmetic (Spark ``div`` and DuckDB
+    ``//`` both truncate, so the engines replay the identical
+    trajectory — checksummed over every intermediate level).  The
+    oracle unrolls the recurrence with a recursive CTE."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        holt_smoothing,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias(
+                "t"
+            ),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("t")
+        .agg(F.expr("sum(cents) div 100").alias("dollars"))
+    )
+    return holt_smoothing(daily, "t", "dollars")
+
+
+_SQL_HOLT_FORECAST = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(date_diff('day', DATE '1992-01-01',
+                        CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           // 100 AS x
+  FROM orders GROUP BY 1),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY t) AS i FROM daily),
+n AS (SELECT COUNT(*) AS n FROM ranked),
+rec AS (
+  SELECT CAST(1 AS BIGINT) AS i, x AS s, CAST(0 AS BIGINT) AS b,
+         x AS ck
+  FROM ranked WHERE i = 1
+  UNION ALL
+  SELECT r.i + 1,
+         (200 * d.x + 800 * (r.s + r.b)) // 1000,
+         (100 * ((200 * d.x + 800 * (r.s + r.b)) // 1000 - r.s)
+          + 900 * r.b) // 1000,
+         r.ck + (200 * d.x + 800 * (r.s + r.b)) // 1000
+  FROM rec r JOIN ranked d ON d.i = r.i + 1)
+SELECT CAST(n.n AS BIGINT) AS n_periods,
+       CAST(r.s AS BIGINT) AS level,
+       CAST(r.b AS BIGINT) AS trend,
+       CAST(r.s + 7 * r.b AS BIGINT) AS forecast_7,
+       CAST(r.ck AS BIGINT) AS level_checksum
+FROM rec r, n WHERE r.i = n.n
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -13284,6 +13344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash": q_image_phash,
         "naive_bayes": q_naive_bayes,
         "density_clusters": q_density_clusters,
+        "holt_forecast": q_holt_forecast,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -13537,6 +13598,7 @@ def oracle_sql() -> dict[str, str]:
         "image_phash": _sql_image_phash(),
         "naive_bayes": _SQL_NAIVE_BAYES,
         "density_clusters": _SQL_DENSITY_CLUSTERS,
+        "holt_forecast": _SQL_HOLT_FORECAST,
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

@@ -640,3 +640,74 @@ def theil_sen_slope(
             F.col("slope_pm").cast("long").alias("slope_permille"),
         )
     )
+
+
+def holt_smoothing(
+    daily: DataFrame,
+    t_col: str,
+    x_col: str,
+    alpha_permille: int = 200,
+    beta_permille: int = 100,
+    horizon: int = 7,
+) -> DataFrame:
+    """Holt's double exponential smoothing (level + trend) — the
+    workhorse short-range forecaster one step up from the single-EMA
+    ``forecast_revenue`` shape.
+
+    The recurrence is inherently sequential, so the scalable split is
+    the same as :func:`acf`: raw rows roll up to the BOUNDED series
+    upstream (daily/hourly keys), and the recurrence folds over that
+    bounded series inside ONE JVM ``aggregate`` expression on a
+    sorted ``collect_list`` — no Python, no window over raw rows, and
+    the folded array is |days|, not |rows|.
+
+    Exact integer fixed point (both engines replay it step for step):
+      level' = (α·x + (1000−α)·(level + trend)) div 1000
+      trend' = (β·(level' − level) + (1000−β)·trend) div 1000
+    seeded level = first x, trend = 0.  ``div`` floors (Spark `div`
+    on BIGINT; the oracle uses the explicit floor formula), and a
+    ``checksum`` column sums every intermediate level so the FULL
+    trajectory is verified, not just the endpoint.
+
+    Output: one row — (n_periods, level, trend,
+    forecast_h = level + horizon·trend, level_checksum).
+    """
+    a, b = alpha_permille, beta_permille
+    series = daily.select(
+        F.col(t_col).cast("long").alias("_t"),
+        F.col(x_col).cast("long").alias("_x"),
+    )
+    folded = series.agg(
+        F.expr(
+            f"""
+            aggregate(
+              transform(
+                array_sort(collect_list(struct(_t, _x))), p -> p._x),
+              named_struct(
+                'n', CAST(0 AS BIGINT), 's', CAST(0 AS BIGINT),
+                'b', CAST(0 AS BIGINT), 'ck', CAST(0 AS BIGINT)),
+              (acc, x) -> IF(
+                acc.n = 0,
+                named_struct('n', CAST(1 AS BIGINT), 's', x,
+                             'b', CAST(0 AS BIGINT), 'ck', x),
+                named_struct(
+                  'n', acc.n + 1,
+                  's', ({a} * x + {1000 - a} * (acc.s + acc.b)) div 1000,
+                  'b', ({b} * ((({a} * x + {1000 - a} * (acc.s + acc.b))
+                               div 1000) - acc.s)
+                        + {1000 - b} * acc.b) div 1000,
+                  'ck', acc.ck
+                    + ({a} * x + {1000 - a} * (acc.s + acc.b)) div 1000)),
+              acc -> acc)
+            """
+        ).alias("r")
+    )
+    return folded.select(
+        F.col("r.n").alias("n_periods"),
+        F.col("r.s").alias("level"),
+        F.col("r.b").alias("trend"),
+        (F.col("r.s") + horizon * F.col("r.b")).alias(
+            f"forecast_{horizon}"
+        ),
+        F.col("r.ck").alias("level_checksum"),
+    )

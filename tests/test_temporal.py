@@ -474,3 +474,38 @@ def test_theil_sen_robust_to_outliers(spark):
     two = spark.createDataFrame([(0, 0), (3, 10)], ["t", "v"])
     r3 = theil_sen_slope(two, "t", "v").collect()[0]
     assert (r3["n_pairs"], r3["slope_permille"]) == (1, 3333)
+
+
+def test_holt_smoothing_recurrence_and_checksum(spark):
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        holt_smoothing,
+    )
+
+    xs = [100, 120, 90, 150, 130, 200]
+    df = spark.createDataFrame(
+        list(enumerate(xs)), "t long, x long"
+    )
+    got = holt_smoothing(df, "t", "x").collect()[0]
+
+    # replay the integer recurrence locally (trunc division like
+    # Spark's div)
+    def tdiv(a, b):
+        return int(a / b) if a * b > 0 or a % b == 0 else -((-a) // b)
+
+    s, b, ck = xs[0], 0, xs[0]
+    for x in xs[1:]:
+        s2 = tdiv(200 * x + 800 * (s + b), 1000)
+        b = tdiv(100 * (s2 - s) + 900 * b, 1000)
+        s = s2
+        ck += s
+    assert got["n_periods"] == 6
+    assert got["level"] == s and got["trend"] == b
+    assert got["forecast_7"] == s + 7 * b
+    assert got["level_checksum"] == ck
+
+    # constant series: level == the constant, zero trend
+    dfc = spark.createDataFrame(
+        [(i, 500) for i in range(10)], "t long, x long"
+    )
+    rc = holt_smoothing(dfc, "t", "x").collect()[0]
+    assert rc["level"] == 500 and rc["trend"] == 0
