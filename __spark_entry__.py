@@ -13206,6 +13206,102 @@ FROM rec r, n WHERE r.i = n.n
 """
 
 
+def q_xlsx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLSX spreadsheet cycle (sources/xlsx.py): an orders subset
+    shards 4 ways, each shard writes a spec-valid Office Open XML
+    workbook (ZIP parts, shared-string table, A1 cell refs) inside
+    its own applyInPandas group, and the distributed reader unzips +
+    walks the XML back into cells — header skipped, types dispatched
+    (numbers inline, strings via the shared table), aggregated per
+    order status.  The oracle recomputes from the orders table, so
+    the whole container cycle must be lossless."""
+    _prep(spark)
+    import pandas as pd  # noqa: F401
+
+    from blueforty___etl_data_pipeline_spark.sources.xlsx import (
+        read_xlsx,
+    )
+
+    out = f"{SCRATCH}/xlsx"
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 4)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 "
+                "AS BIGINT)"
+            ).alias("cents"),
+            (F.col("o_orderkey") % 4).cast("int").alias("shard_id"),
+        )
+    )
+
+    def write_shard(pdf):
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.sources.xlsx import (
+            write_xlsx,
+        )
+
+        pdf = pdf.sort_values("o_orderkey")
+        shard = int(pdf["shard_id"].iloc[0])
+        rows = [["orderkey", "status", "cents"]]
+        for _, r in pdf.iterrows():
+            rows.append(
+                [int(r["o_orderkey"]), str(r["o_orderstatus"]),
+                 int(r["cents"])]
+            )
+        n_shared = write_xlsx(rows, f"{out}/orders-{shard:03d}.xlsx")
+        return pd.DataFrame(
+            [[shard, len(pdf), n_shared]],
+            columns=["shard_id", "n_rows", "n_shared_strings"],
+        )
+
+    orders.groupBy("shard_id").applyInPandas(
+        write_shard, "shard_id int, n_rows long, n_shared_strings long"
+    ).collect()
+
+    cells = read_xlsx(spark, f"{out}/*.xlsx").filter(F.col("row") > 0)
+    wide = (
+        cells.groupBy("file", "row")
+        .agg(
+            F.max(F.when(F.col("col") == 0, F.col("value"))).alias("ok"),
+            F.max(F.when(F.col("col") == 1, F.col("value"))).alias("st"),
+            F.max(F.when(F.col("col") == 2, F.col("value"))).alias("ce"),
+        )
+        .select(
+            F.col("ok").cast("long").alias("orderkey"),
+            F.col("st").alias("status"),
+            F.col("ce").cast("long").alias("cents"),
+        )
+    )
+    return (
+        wide.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("orderkey").alias("min_key"),
+            F.max("orderkey").alias("max_key"),
+        )
+        .orderBy("status")
+    )
+
+
+_SQL_XLSX_ROUNDTRIP = """
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+WHERE o_orderkey % 10 = 4
+GROUP BY o_orderstatus
+ORDER BY status
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -13345,6 +13441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "naive_bayes": q_naive_bayes,
         "density_clusters": q_density_clusters,
         "holt_forecast": q_holt_forecast,
+        "xlsx_roundtrip": q_xlsx_roundtrip,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -13599,6 +13696,7 @@ def oracle_sql() -> dict[str, str]:
         "naive_bayes": _SQL_NAIVE_BAYES,
         "density_clusters": _SQL_DENSITY_CLUSTERS,
         "holt_forecast": _SQL_HOLT_FORECAST,
+        "xlsx_roundtrip": _SQL_XLSX_ROUNDTRIP,
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

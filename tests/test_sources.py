@@ -365,3 +365,70 @@ def test_warc_framing_and_gates(spark, tmp_path):
     trunc = blob[: len(blob) - 40]
     with pytest.raises(ValueError, match="overruns|unterminated"):
         parse_warc_bytes(trunc)
+
+
+def test_xlsx_package_roundtrip_and_gates(spark, tmp_path):
+    import zipfile
+
+    import pytest
+
+    from blueforty___etl_data_pipeline_spark.sources.xlsx import (
+        col_letter,
+        parse_ref,
+        parse_xlsx_cells,
+        read_xlsx,
+        write_xlsx,
+    )
+
+    assert col_letter(0) == "A" and col_letter(25) == "Z"
+    assert col_letter(26) == "AA" and col_letter(702) == "AAA"
+    assert parse_ref("AA12") == (11, 26)
+    with pytest.raises(ValueError, match="bad cell reference"):
+        parse_ref("12A")
+
+    p = str(tmp_path / "wb" / "t.xlsx")
+    rows = [
+        ["id", "name", "amount"],
+        [1, "alpha & <beta>", 100],
+        [2, "alpha & <beta>", -50],   # repeated string dedups
+        [3, "gamma", 0],
+    ]
+    n_shared = write_xlsx(rows, p)
+    assert n_shared == 5  # 3 header + 2 distinct data strings
+
+    blob = open(p, "rb").read()
+    # genuinely a zip package with the spec parts
+    with zipfile.ZipFile(p) as z:
+        assert "xl/worksheets/sheet1.xml" in z.namelist()
+        assert "[Content_Types].xml" in z.namelist()
+
+    cells = parse_xlsx_cells(blob)
+    got = {(r, c): (t, v) for r, c, t, v in cells}
+    assert got[(1, 1)] == ("s", "alpha & <beta>")  # XML escapes survive
+    assert got[(2, 2)] == ("n", "-50")
+    assert got[(0, 0)] == ("s", "id")
+
+    # byte-deterministic rewrite
+    write_xlsx(rows, p)
+    assert open(p, "rb").read() == blob
+
+    # distributed read-back
+    df = read_xlsx(spark, str(tmp_path / "wb" / "*.xlsx"))
+    assert df.count() == 12
+    assert df.filter("cell_type = 's'").count() == 6
+
+    # unsupported cell type gates (rewrite the zip properly so only
+    # the cell type tag changes, not the stored CRC)
+    import io
+
+    with zipfile.ZipFile(p) as z:
+        parts = {n: z.read(n) for n in z.namelist()}
+    parts["xl/worksheets/sheet1.xml"] = parts[
+        "xl/worksheets/sheet1.xml"
+    ].replace(b't="s"', b't="e"', 1)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for n, data in parts.items():
+            z.writestr(n, data)
+    with pytest.raises(ValueError, match="unsupported cell type"):
+        parse_xlsx_cells(buf.getvalue())
