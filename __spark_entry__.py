@@ -13302,6 +13302,61 @@ ORDER BY status
 """
 
 
+def q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain (eTLD+1) rollup (functions/text.
+    registrable_domain): per-doc hosts spanning the shapes that break
+    naive last-two-label grouping — multi-label public suffixes
+    (co.uk, org.au), private registries (github.io, where every
+    subdomain is its own publisher), unknown TLDs, and www prefixes —
+    grouped by their PSL-correct registrable domain.  Pure codegen
+    longest-suffix match; the oracle states the GROUND-TRUTH mapping
+    per suffix class, so the algorithm is checked against
+    expectations, not against itself."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.functions.text import (
+        registrable_domain,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(".com"))
+        .when(F.col("doc_id") % 5 == 1, F.lit(".co.uk"))
+        .when(F.col("doc_id") % 5 == 2, F.lit(".github.io"))
+        .when(F.col("doc_id") % 5 == 3, F.lit(".unknowntld"))
+        .otherwise(F.lit(".org.au"))
+    )
+    host = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(
+            F.lit("")
+        ),
+        F.col("source"),
+        suffix,
+    )
+    return (
+        docs.select(
+            registrable_domain(host).alias("domain"),
+        )
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("domain")
+    )
+
+
+_SQL_DOMAIN_ROLLUP = """
+WITH expected AS (
+  SELECT CASE
+           WHEN doc_id % 5 = 0 THEN source || '.com'
+           WHEN doc_id % 5 = 1 THEN source || '.co.uk'
+           WHEN doc_id % 5 = 2 THEN source || '.github.io'
+           WHEN doc_id % 5 = 3 THEN NULL
+           ELSE source || '.org.au'
+         END AS domain
+  FROM documents)
+SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM expected GROUP BY domain ORDER BY domain
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -13442,6 +13497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "density_clusters": q_density_clusters,
         "holt_forecast": q_holt_forecast,
         "xlsx_roundtrip": q_xlsx_roundtrip,
+        "domain_rollup": q_domain_rollup,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -13697,6 +13753,7 @@ def oracle_sql() -> dict[str, str]:
         "density_clusters": _SQL_DENSITY_CLUSTERS,
         "holt_forecast": _SQL_HOLT_FORECAST,
         "xlsx_roundtrip": _SQL_XLSX_ROUNDTRIP,
+        "domain_rollup": _SQL_DOMAIN_ROLLUP,
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

@@ -268,3 +268,64 @@ def strip_markdown(md: Column) -> Column:
     out = F.regexp_replace(out, r"\*{1,2}([^*]+)\*{1,2}", r"$1")
     out = F.regexp_replace(out, r"_{1,2}([^_]+)_{1,2}", r"$1")
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+#: Embedded public-suffix subset: the high-traffic entries, including
+#: the multi-label and private-registry shapes that make naive
+#: "last two labels" grouping wrong.  A production deployment swaps in
+#: the full ~9k-rule publicsuffix.org list as a broadcast join; the
+#: LOGIC (longest-suffix-wins over 1..3-label candidates) is identical.
+PUBLIC_SUFFIXES = (
+    "com", "org", "net", "edu", "gov", "mil", "int", "io", "ai", "co",
+    "de", "fr", "jp", "cn", "ru", "br", "in", "uk", "au", "nz", "it",
+    "nl", "es", "se", "ch", "info", "biz", "dev", "app",
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk",
+    "com.au", "net.au", "org.au", "edu.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp",
+    "com.br", "net.br", "org.br",
+    "co.in", "net.in", "org.in", "ac.in",
+    "co.nz", "net.nz", "org.nz",
+    "com.cn", "net.cn", "org.cn",
+    # private registries (PSL private section): each customer
+    # subdomain is its own registrable domain
+    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
+    "s3.amazonaws.com",
+)
+
+
+def registrable_domain(host: Column) -> Column:
+    """eTLD+1 (the "registrable domain") of a hostname — the correct
+    grouping key for per-site corpus rollups, crawl budgets, and
+    domain-level dedup.  Naive "last two labels" is wrong twice over:
+    it merges every ``*.co.uk`` site into one, and it splits nothing
+    under private registries like ``github.io`` where each subdomain
+    is a distinct publisher.
+
+    Longest-match over the embedded suffix table, evaluated entirely
+    in codegen (no join, no UDF): for k = 3, 2, 1 the last-k-label
+    candidate is tested against the table and the first hit wins;
+    the registrable domain is one label more than the winning suffix.
+    Hosts that ARE a public suffix, or single-label hosts, yield NULL
+    (no registrable domain — the PSL contract).
+    """
+    psl = F.array(*[F.lit(s) for s in PUBLIC_SUFFIXES])
+    parts = F.split(F.lower(host), r"\.")
+    n = F.size(parts)
+
+    def last_k(k: int) -> Column:
+        # slice() needs a positive literal-free start; element_at-based
+        # join keeps the whole thing one codegen expression
+        return F.array_join(F.slice(parts, n - k + 1, k), ".")
+
+    # longest matching suffix WINS AND STOPS: if the host itself is
+    # that suffix there is no registrable domain (NULL) — falling
+    # through to a shorter suffix (which would mint "co.uk" as a
+    # domain) is exactly the naive bug the PSL exists to prevent
+    result = None
+    for k in (3, 2, 1):
+        cond = (n >= k) & F.array_contains(psl, last_k(k))
+        val = F.when(n >= k + 1, last_k(k + 1))
+        result = (
+            F.when(cond, val) if result is None else result.when(cond, val)
+        )
+    return result.alias("registrable_domain")

@@ -227,3 +227,32 @@ def test_luhn_valid_and_mask(spark):
         .toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_registrable_domain_psl_shapes(spark):
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.functions.text import (
+        registrable_domain,
+    )
+
+    cases = {
+        "www.example.com": "example.com",
+        "a.b.co.uk": "b.co.uk",
+        "deep.sub.x.github.io": "x.github.io",   # private registry
+        "me.blogspot.com": "me.blogspot.com",
+        "api.S3.AMAZONAWS.com": "api.s3.amazonaws.com",  # 3-label suffix
+        "co.uk": None,        # host IS a public suffix -> no domain
+        "blogspot.com": None,
+        "uk": None,
+        "localhost": None,
+        "foo.unknowntld": None,
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "h string")
+    got = {
+        r["h"]: r["registrable_domain"]
+        for r in df.select(
+            "h", registrable_domain(F.col("h"))
+        ).collect()
+    }
+    assert got == cases
