@@ -13357,6 +13357,107 @@ FROM expected GROUP BY domain ORDER BY domain
 """
 
 
+def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro Object Container cycle (sources/avro.py — vendored
+    stdlib codec, since spark-avro's external jar isn't shipped):
+    a customer subset shards 4 ways, each shard writes a spec-valid
+    container (zigzag varints, metadata map, per-block sync markers,
+    a nullable union field exercised by negative-balance rows) inside
+    its applyInPandas group; the distributed reader walks blocks and
+    verifies every sync.  Aggregated per market segment; the oracle
+    recomputes from the customer table, so the binary cycle must be
+    lossless including nulls and negative longs."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.sources.avro import (
+        read_avro,
+    )
+
+    out = f"{SCRATCH}/avro"
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 5 == 2)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.expr(
+                "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("bal_cents"),
+            (F.col("c_custkey") % 4).cast("int").alias("shard_id"),
+        )
+    )
+
+    def write_shard(pdf):
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.sources.avro import (
+            write_avro,
+        )
+
+        schema = {
+            "type": "record",
+            "name": "customer",
+            "fields": [
+                {"name": "custkey", "type": "long"},
+                {"name": "segment", "type": "string"},
+                {"name": "bal_cents", "type": "long"},
+                {"name": "credit_note", "type": ["null", "string"]},
+            ],
+        }
+        pdf = pdf.sort_values("c_custkey")
+        shard = int(pdf["shard_id"].iloc[0])
+        recs = [
+            {
+                "custkey": int(r["c_custkey"]),
+                "segment": str(r["c_mktsegment"]),
+                "bal_cents": int(r["bal_cents"]),
+                "credit_note": (
+                    "negative" if int(r["bal_cents"]) < 0 else None
+                ),
+            }
+            for _, r in pdf.iterrows()
+        ]
+        nb = write_avro(recs, schema, f"{out}/cust-{shard:03d}.avro")
+        return pd.DataFrame(
+            [[shard, len(recs), nb]],
+            columns=["shard_id", "n_records", "n_blocks"],
+        )
+
+    cust.groupBy("shard_id").applyInPandas(
+        write_shard, "shard_id int, n_records long, n_blocks long"
+    ).collect()
+
+    back = read_avro(spark, f"{out}/*.avro")
+    return (
+        back.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("bal_cents").alias("sum_cents"),
+            F.min("custkey").alias("min_key"),
+            F.max("custkey").alias("max_key"),
+            F.sum(
+                F.when(F.col("credit_note") == "negative", 1).otherwise(0)
+            ).alias("n_negative"),
+        )
+        .orderBy("segment")
+    )
+
+
+_SQL_AVRO_ROUNDTRIP = """
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS sum_cents,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_key,
+       CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negative
+FROM customer
+WHERE c_custkey % 5 = 2
+GROUP BY c_mktsegment
+ORDER BY segment
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -13498,6 +13599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_forecast": q_holt_forecast,
         "xlsx_roundtrip": q_xlsx_roundtrip,
         "domain_rollup": q_domain_rollup,
+        "avro_roundtrip": q_avro_roundtrip,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -13754,6 +13856,7 @@ def oracle_sql() -> dict[str, str]:
         "holt_forecast": _SQL_HOLT_FORECAST,
         "xlsx_roundtrip": _SQL_XLSX_ROUNDTRIP,
         "domain_rollup": _SQL_DOMAIN_ROLLUP,
+        "avro_roundtrip": _SQL_AVRO_ROUNDTRIP,
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

@@ -432,3 +432,67 @@ def test_xlsx_package_roundtrip_and_gates(spark, tmp_path):
             z.writestr(n, data)
     with pytest.raises(ValueError, match="unsupported cell type"):
         parse_xlsx_cells(buf.getvalue())
+
+
+def test_avro_container_codec_and_gates(spark, tmp_path):
+    import pytest
+
+    from blueforty___etl_data_pipeline_spark.sources.avro import (
+        parse_avro,
+        read_avro,
+        write_avro,
+        zigzag_decode,
+        zigzag_encode,
+    )
+
+    # zigzag involution across sign/size edges
+    for n in (0, -1, 1, 63, -64, 2**40, -(2**40), 2**62 - 1, -(2**62)):
+        assert zigzag_decode(zigzag_encode(n), 0)[0] == n
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "note", "type": ["null", "string"]},
+        ],
+    }
+    recs = [
+        {"id": i - 5, "name": f"n-{i} é中", "note": None if i % 3 else "x"}
+        for i in range(257)  # spans 3 blocks at the default block size
+    ]
+    p = str(tmp_path / "a" / "t.avro")
+    assert write_avro(recs, schema, p) == 3
+    blob = open(p, "rb").read()
+    s2, r2 = parse_avro(blob)
+    assert r2 == recs and s2["name"] == "r"
+
+    # deterministic rewrite
+    write_avro(recs, schema, p)
+    assert open(p, "rb").read() == blob
+
+    # distributed read-back agrees, nulls preserved
+    df = read_avro(spark, str(tmp_path / "a" / "*.avro"))
+    assert df.count() == 257
+    assert df.filter("note IS NULL").count() == sum(
+        1 for r in recs if r["note"] is None
+    )
+    assert df.schema.simpleString() == (
+        "struct<id:bigint,name:string,note:string>"
+    )
+
+    # gates: magic, corrupt sync, unsupported schema/codec
+    with pytest.raises(ValueError, match="not an Avro"):
+        parse_avro(b"PAR1" + blob[4:])
+    bad = bytearray(blob)
+    bad[-1] ^= 0xFF  # trailing sync marker
+    with pytest.raises(ValueError, match="sync marker"):
+        parse_avro(bytes(bad))
+    with pytest.raises(ValueError, match="unsupported field type"):
+        write_avro([], {"type": "record", "name": "x",
+                        "fields": [{"name": "f", "type": "double"}]}, p)
+    with pytest.raises(ValueError, match="unsupported union"):
+        write_avro([], {"type": "record", "name": "x",
+                        "fields": [{"name": "f",
+                                    "type": ["string", "long"]}]}, p)
