@@ -13458,6 +13458,106 @@ ORDER BY segment
 """
 
 
+def q_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (mainframe COBOL-extract) cycle (sources/
+    fixed_width.py): a lineitem subset renders to positional
+    space-padded lines with a rpad/concat projection (pure codegen,
+    fully distributed write through the text sink), reads back
+    through the substring-layout scan — including a NULL sentinel
+    field — and aggregates per return flag.  The oracle recomputes
+    from lineitem, so padding, byte ranges, trimming, sentinel
+    nulling, and the date/long casts must all be lossless."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.sources.fixed_width import (
+        read_fixed_width,
+    )
+
+    out = f"{SCRATCH}/fixed_width"
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 20 == 6
+    )
+    lines = li.select(
+        F.concat(
+            F.rpad(F.col("l_orderkey").cast("string"), 12, " "),
+            F.rpad(F.col("l_returnflag"), 2, " "),
+            F.rpad(
+                F.expr(
+                    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 "
+                    "AS BIGINT)"
+                ).cast("string"),
+                14,
+                " ",
+            ),
+            F.rpad(
+                F.date_format(F.col("l_shipdate"), "yyyy-MM-dd"), 10, " "
+            ),
+            F.rpad(
+                F.when(
+                    F.expr(
+                        "CAST(CAST(l_discount AS DECIMAL(8,3)) * 1000 "
+                        "AS BIGINT)"
+                    )
+                    == 0,
+                    F.lit("N/A"),
+                ).otherwise(
+                    F.concat(
+                        F.lit("d"),
+                        F.expr(
+                            "CAST(CAST(l_discount AS DECIMAL(8,3)) * 1000"
+                            " AS BIGINT)"
+                        ).cast("string"),
+                    )
+                ),
+                6,
+                " ",
+            ),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+
+    layout = [
+        ("orderkey", 1, 12, "long"),
+        ("flag", 13, 2, "string"),
+        ("cents", 15, 14, "long"),
+        ("shipdate", 29, 10, "date"),
+        ("disc_tag", 39, 6, "string"),
+    ]
+    back = read_fixed_width(spark, out, layout)
+    return (
+        back.groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("orderkey").alias("min_key"),
+            F.max("orderkey").alias("max_key"),
+            F.countDistinct("shipdate").alias("n_ship_days"),
+            F.sum(
+                F.when(F.col("disc_tag").isNull(), 1).otherwise(0)
+            ).alias("n_zero_disc"),
+        )
+        .orderBy("flag")
+    )
+
+
+_SQL_FIXED_WIDTH_ROUNDTRIP = """
+SELECT l_returnflag AS flag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(l_orderkey) AS BIGINT) AS max_key,
+       CAST(COUNT(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT)
+         AS n_ship_days,
+       CAST(SUM(CASE WHEN CAST(CAST(l_discount AS DECIMAL(8,3)) * 1000
+                          AS BIGINT) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_disc
+FROM lineitem
+WHERE l_orderkey % 20 = 6
+GROUP BY l_returnflag
+ORDER BY flag
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -13600,6 +13700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xlsx_roundtrip": q_xlsx_roundtrip,
         "domain_rollup": q_domain_rollup,
         "avro_roundtrip": q_avro_roundtrip,
+        "fixed_width_roundtrip": q_fixed_width_roundtrip,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -13857,6 +13958,7 @@ def oracle_sql() -> dict[str, str]:
         "xlsx_roundtrip": _SQL_XLSX_ROUNDTRIP,
         "domain_rollup": _SQL_DOMAIN_ROLLUP,
         "avro_roundtrip": _SQL_AVRO_ROUNDTRIP,
+        "fixed_width_roundtrip": _SQL_FIXED_WIDTH_ROUNDTRIP,
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

@@ -496,3 +496,54 @@ def test_avro_container_codec_and_gates(spark, tmp_path):
         write_avro([], {"type": "record", "name": "x",
                         "fields": [{"name": "f",
                                     "type": ["string", "long"]}]}, p)
+
+
+def test_fixed_width_layout_header_and_gates(spark, tmp_path):
+    import pytest
+
+    from blueforty___etl_data_pipeline_spark.sources.fixed_width import (
+        read_fixed_width,
+        write_fixed_width_line,
+    )
+
+    layout = [
+        ("id", 1, 6, "long"),
+        ("name", 7, 10, "string"),
+        ("amt", 17, 12, "decimal(18,2)"),
+        ("d", 29, 10, "date"),
+    ]
+    widths = [6, 10, 12, 10]
+    lines = [
+        write_fixed_width_line(["id", "name", "amt", "d"], widths),
+        write_fixed_width_line(
+            ["42", "alpha", "12.50", "2013-01-05"], widths
+        ),
+        write_fixed_width_line(["7", "  padded", "N/A", "\\N"], widths),
+    ]
+    p = tmp_path / "fw"
+    p.mkdir()
+    (p / "a.txt").write_text("\n".join(lines) + "\n")
+
+    df = read_fixed_width(
+        spark, str(p), layout, skip_header_lines=1
+    )
+    rows = {r["id"]: r for r in df.collect()}
+    assert len(rows) == 2  # header dropped
+    import datetime
+    from decimal import Decimal
+
+    assert rows[42]["name"] == "alpha"
+    assert rows[42]["amt"] == Decimal("12.50")
+    assert rows[42]["d"] == datetime.date(2013, 1, 5)
+    assert rows[7]["name"] == "padded"   # trimmed
+    assert rows[7]["amt"] is None        # N/A sentinel
+    assert rows[7]["d"] is None          # \\N sentinel
+
+    with pytest.raises(ValueError, match="exceeds field width"):
+        write_fixed_width_line(["too-wide-for-field"], [5])
+    with pytest.raises(ValueError, match="overlaps"):
+        read_fixed_width(
+            spark, str(p), [("a", 1, 6, "long"), ("b", 3, 4, "long")]
+        )
+    with pytest.raises(ValueError, match="unsupported dtype"):
+        read_fixed_width(spark, str(p), [("a", 1, 6, "float")])
