@@ -13558,6 +13558,81 @@ ORDER BY flag
 """
 
 
+def q_parquet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer-statistics audit (sinks.parquet_footer_stats): a
+    lineitem projection writes to scratch parquet, then the report
+    reads ONLY the footers (distributed pyarrow metadata walk — no
+    data pages) and folds to per-column totals and global extrema.
+    The oracle recomputes the same totals from the raw data, so the
+    footer stats every data-skipping decision relies on are checked
+    against ground truth — including the null count of a sentinel
+    column."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.sinks import (
+        parquet_footer_stats,
+    )
+
+    out = f"{SCRATCH}/pq_stats"
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 8 == 3
+    )
+    proj = li.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+        F.when(
+            F.expr(
+                "CAST(CAST(l_discount AS DECIMAL(8,3)) * 1000 AS BIGINT)"
+            )
+            > 0,
+            F.expr(
+                "CAST(CAST(l_discount AS DECIMAL(8,3)) * 1000 AS BIGINT)"
+            ),
+        ).alias("disc_or_null"),
+    )
+    proj.repartition(4, "orderkey").write.mode("overwrite").parquet(out)
+
+    stats = parquet_footer_stats(spark, out)
+    return (
+        stats.groupBy("column")
+        .agg(
+            F.sum("n_rows").alias("total_rows"),
+            F.sum("n_nulls").alias("total_nulls"),
+            F.min(F.col("min_val").cast("long")).alias("global_min"),
+            F.max(F.col("max_val").cast("long")).alias("global_max"),
+        )
+        .orderBy("column")
+    )
+
+
+_SQL_PARQUET_STATS = """
+WITH proj AS (
+  SELECT l_orderkey AS orderkey,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents,
+         CASE WHEN CAST(CAST(l_discount AS DECIMAL(8,3)) * 1000
+                   AS BIGINT) > 0
+              THEN CAST(CAST(l_discount AS DECIMAL(8,3)) * 1000
+                   AS BIGINT) END AS disc_or_null
+  FROM lineitem WHERE l_orderkey % 8 = 3),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM proj)
+SELECT col AS "column", total AS total_rows,
+       CAST(nnull AS BIGINT) AS total_nulls,
+       CAST(mn AS BIGINT) AS global_min, CAST(mx AS BIGINT) AS global_max
+FROM n, (
+  SELECT 'orderkey' AS col, 0 AS nnull,
+         MIN(orderkey) AS mn, MAX(orderkey) AS mx FROM proj
+  UNION ALL
+  SELECT 'cents', 0, MIN(cents), MAX(cents) FROM proj
+  UNION ALL
+  SELECT 'disc_or_null',
+         SUM(CASE WHEN disc_or_null IS NULL THEN 1 ELSE 0 END),
+         MIN(disc_or_null), MAX(disc_or_null) FROM proj)
+ORDER BY col
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -13701,6 +13776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_rollup": q_domain_rollup,
         "avro_roundtrip": q_avro_roundtrip,
         "fixed_width_roundtrip": q_fixed_width_roundtrip,
+        "parquet_stats": q_parquet_stats,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -13959,6 +14035,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_rollup": _SQL_DOMAIN_ROLLUP,
         "avro_roundtrip": _SQL_AVRO_ROUNDTRIP,
         "fixed_width_roundtrip": _SQL_FIXED_WIDTH_ROUNDTRIP,
+        "parquet_stats": _SQL_PARQUET_STATS,
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

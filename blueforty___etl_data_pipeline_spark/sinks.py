@@ -468,3 +468,72 @@ def write_webdataset_shards(
         )
 
     return df.groupBy(shard_col).applyInPandas(write_shard, schema)
+
+
+def parquet_footer_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Data-skipping audit: per-(file, row group, column) statistics
+    read from PARQUET FOOTERS ONLY — no data pages are decoded.
+
+    This is the report that tells you whether a layout actually skips
+    at 100 TB: a predicate can prune a row group iff its footer
+    [min, max] excludes the value, so footer stats that match the
+    true column extrema (and nulls that are actually counted) are the
+    contract the clustered/Z-order writers are buying.  The check
+    that footer stats EQUAL recomputed truth is exactly what the
+    oracle does to this report's aggregate.
+
+    Distributed: binaryFile scan → pyarrow ``ParquetFile`` per task —
+    footer parsing fans out with the file listing, the way a catalog
+    stats-collection job runs.  Returns (file, row_group, column,
+    n_rows, n_nulls, min_val, max_val) with values stringified (one
+    schema for all column types).
+    """
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(path)
+    )
+
+    def read_footers(batches):
+        import io
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                pf = pq.ParquetFile(io.BytesIO(bytes(content)))
+                for rg in range(pf.metadata.num_row_groups):
+                    g = pf.metadata.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        st = col.statistics
+                        rows.append(
+                            (
+                                fpath,
+                                rg,
+                                col.path_in_schema,
+                                g.num_rows,
+                                None if st is None else st.null_count,
+                                None if st is None or not st.has_min_max
+                                else str(st.min),
+                                None if st is None or not st.has_min_max
+                                else str(st.max),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file", "row_group", "column", "n_rows",
+                    "n_nulls", "min_val", "max_val",
+                ],
+            )
+
+    return files.select("path", "content").mapInPandas(
+        read_footers,
+        schema=(
+            "file string, row_group int, column string, n_rows long, "
+            "n_nulls long, min_val string, max_val string"
+        ),
+    )

@@ -377,3 +377,40 @@ def test_geohash_reference_vectors_and_prefix_nesting(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan
+
+
+def test_parquet_footer_stats_match_truth(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.sinks import (
+        parquet_footer_stats,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") * 3 % 97).alias("v"),
+        F.when(F.col("id") % 4 == 0, F.col("id")).alias("maybe"),
+    )
+    out = str(tmp_path / "pq")
+    df.repartition(3, "id").write.parquet(out)
+
+    stats = parquet_footer_stats(spark, out)
+    per_col = {
+        r["column"]: r
+        for r in stats.groupBy("column")
+        .agg(
+            F.sum("n_rows").alias("rows"),
+            F.sum("n_nulls").alias("nulls"),
+            F.min(F.col("min_val").cast("long")).alias("mn"),
+            F.max(F.col("max_val").cast("long")).alias("mx"),
+        )
+        .collect()
+    }
+    assert per_col["id"]["rows"] == 1000
+    assert (per_col["id"]["mn"], per_col["id"]["mx"]) == (0, 999)
+    assert (per_col["v"]["mn"], per_col["v"]["mx"]) == (0, 96)
+    assert per_col["maybe"]["nulls"] == 750
+    assert per_col["maybe"]["mn"] == 0 and per_col["maybe"]["mx"] == 996
+
+    # footer-only contract: row-group granularity exists (>= 3 files)
+    assert stats.select("file").distinct().count() == 3
