@@ -13633,6 +13633,77 @@ ORDER BY col
 """
 
 
+#: Fixture regions for the spatial containment join — convex CCW,
+#: integer vertices (validated by validate_convex_ccw in pytest).
+_POLYGONS = {
+    "triangle": [(0, 0), (600, 0), (0, 600)],
+    "square": [(300, 300), (800, 300), (800, 800), (300, 800)],
+    "hexagon": [
+        (800, 500), (650, 760), (350, 760),
+        (200, 500), (350, 240), (650, 240),
+    ],
+}
+
+
+def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial containment join (functions/geo.
+    point_in_convex_polygon): customers mapped to deterministic
+    integer grid points, tested against three convex regions
+    (overlapping — a point can land in several) with exact BIGINT
+    half-plane cross products; one scan-side predicate per region, no
+    join at all (regions are literals folded into codegen).  The
+    oracle writes out the same cross-product inequalities from the
+    vertex constants — ground-truth math, not a replay of the Spark
+    fold."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.functions.geo import (
+        point_in_convex_polygon,
+    )
+
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        (F.col("c_custkey") % 1000).alias("x"),
+        ((F.col("c_custkey") * 37) % 1000).alias("y"),
+    )
+    out = None
+    for name, verts in _POLYGONS.items():
+        hit = pts.filter(
+            point_in_convex_polygon(F.col("x"), F.col("y"), verts)
+        ).agg(
+            F.lit(name).alias("region"),
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("key").alias("sum_keys"),
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out.orderBy("region")
+
+
+def _sql_point_in_polygon() -> str:
+    blocks = []
+    for name, verts in _POLYGONS.items():
+        conds = []
+        n = len(verts)
+        for i in range(n):
+            x1, y1 = verts[i]
+            x2, y2 = verts[(i + 1) % n]
+            conds.append(
+                f"({x2 - x1}) * (y - {y1}) - ({y2 - y1}) * (x - {x1})"
+                " >= 0"
+            )
+        blocks.append(
+            f"SELECT '{name}' AS region,"
+            " CAST(COUNT(*) AS BIGINT) AS n_points,"
+            " CAST(SUM(key) AS BIGINT) AS sum_keys"
+            " FROM pts WHERE " + " AND ".join(conds)
+        )
+    return (
+        "WITH pts AS (SELECT c_custkey AS key, c_custkey % 1000 AS x,"
+        " (c_custkey * 37) % 1000 AS y FROM customer)\n"
+        + "\nUNION ALL\n".join(blocks)
+        + "\nORDER BY region"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -13777,6 +13848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_roundtrip": q_avro_roundtrip,
         "fixed_width_roundtrip": q_fixed_width_roundtrip,
         "parquet_stats": q_parquet_stats,
+        "point_in_polygon": q_point_in_polygon,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -14036,6 +14108,7 @@ def oracle_sql() -> dict[str, str]:
         "avro_roundtrip": _SQL_AVRO_ROUNDTRIP,
         "fixed_width_roundtrip": _SQL_FIXED_WIDTH_ROUNDTRIP,
         "parquet_stats": _SQL_PARQUET_STATS,
+        "point_in_polygon": _sql_point_in_polygon(),
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

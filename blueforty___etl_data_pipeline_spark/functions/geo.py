@@ -93,3 +93,57 @@ def geohash_encode(lat: Column, lon: Column, precision: int = 8) -> Column:
         for j in range(precision)
     ]
     return F.concat(*chars)
+
+
+def point_in_convex_polygon(
+    x: Column, y: Column, vertices: list[tuple[int, int]]
+) -> Column:
+    """Containment test against a CONVEX polygon with integer vertices
+    (counter-clockwise winding): the point is inside iff it lies on
+    the left of (or on) every directed edge — one integer cross
+    product per edge, folded into a single codegen conjunction.  All
+    arithmetic is exact BIGINT, so there is no epsilon and no
+    engine divergence (the float orientation tests that plague
+    geometry libraries need adaptive arithmetic for this; integers
+    sidestep it).
+
+    Convexity + winding are the CALLER's contract (validated by
+    :func:`validate_convex_ccw`); concave polygons need a ray-cast or
+    a convex decomposition.
+
+    Spatial-join shape: polygons are tiny and broadcast; this
+    predicate runs scan-side against every point — for selective
+    regions, pre-filter with a bounding-box (or geohash cell)
+    condition so row groups prune before the exact test.
+    """
+    n = len(vertices)
+    conds = []
+    for i in range(n):
+        x1, y1 = vertices[i]
+        x2, y2 = vertices[(i + 1) % n]
+        cross = (x2 - x1) * (y - F.lit(y1)) - (y2 - y1) * (
+            x - F.lit(x1)
+        )
+        conds.append(cross >= 0)
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def validate_convex_ccw(vertices: list[tuple[int, int]]) -> None:
+    """Raise unless ``vertices`` form a strictly convex CCW polygon
+    (every consecutive edge pair turns left) — the precondition of
+    :func:`point_in_convex_polygon`."""
+    n = len(vertices)
+    if n < 3:
+        raise ValueError("polygon needs at least 3 vertices")
+    for i in range(n):
+        x1, y1 = vertices[i]
+        x2, y2 = vertices[(i + 1) % n]
+        x3, y3 = vertices[(i + 2) % n]
+        cross = (x2 - x1) * (y3 - y2) - (y2 - y1) * (x3 - x2)
+        if cross <= 0:
+            raise ValueError(
+                f"not strictly convex CCW at vertex {i} (cross={cross})"
+            )

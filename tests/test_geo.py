@@ -66,3 +66,49 @@ def test_grid_falls_back_when_block_is_empty(spark):
     out = closest_stations_grid(zips, stations, cell_deg=2.0, round_decimals=6)
     got = {r["zip_code"]: r["station_id"] for r in out.collect()}
     assert got == {1: 7, 2: 7}
+
+
+def test_point_in_convex_polygon_and_validator(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.functions.geo import (
+        point_in_convex_polygon,
+        validate_convex_ccw,
+    )
+
+    tri = [(0, 0), (10, 0), (0, 10)]
+    validate_convex_ccw(tri)
+    pts = spark.createDataFrame(
+        [
+            (1, 1, 1),    # interior
+            (2, 0, 0),    # vertex (boundary counts as inside)
+            (3, 5, 5),    # on the hypotenuse
+            (4, 6, 5),    # outside
+            (5, -1, 0),   # outside
+        ],
+        "id long, x long, y long",
+    )
+    got = {
+        r["id"]
+        for r in pts.filter(
+            point_in_convex_polygon(F.col("x"), F.col("y"), tri)
+        ).collect()
+    }
+    assert got == {1, 2, 3}
+
+    # winding/convexity gates
+    with pytest.raises(ValueError, match="convex"):
+        validate_convex_ccw([(0, 0), (0, 10), (10, 0)])  # clockwise
+    with pytest.raises(ValueError, match="convex"):
+        validate_convex_ccw(
+            [(0, 0), (10, 0), (5, 2), (10, 10), (0, 10)]  # dent
+        )
+    with pytest.raises(ValueError, match="at least 3"):
+        validate_convex_ccw([(0, 0), (1, 1)])
+
+    # every fixture polygon in the oracle query is valid
+    import __spark_entry__ as e
+
+    for verts in e._POLYGONS.values():
+        validate_convex_ccw(verts)
