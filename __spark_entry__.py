@@ -12706,9 +12706,10 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_bootstrap_ci() -> str:
     t = (
-        1580030168, 3160060337, 3950075421, 4213413783, 4279248373,
-        4292415291,
+        790015083, 1580030167, 1975037709, 2106706890, 2139624185,
+        2146207644,
     )
+    m, a = 2147483647, 48271
     w_case = (
         f"CASE WHEN u < {t[0]} THEN 0 WHEN u < {t[1]} THEN 1 "
         f"WHEN u < {t[2]} THEN 2 WHEN u < {t[3]} THEN 3 "
@@ -12716,15 +12717,15 @@ def _sql_bootstrap_ci() -> str:
     )
     return f"""
 WITH base AS (
-  SELECT CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) AS id,
+  SELECT CAST(('0x' || substr(
+             md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)
+                 || ':boot'), 1, 15)) AS BIGINT) % {m} AS seed,
          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
            AS y
   FROM lineitem),
 ex AS (
   SELECT g.range AS b, y,
-         CAST(('0x' || substr(
-             md5(id || ':boot:' || CAST(g.range // 4 AS VARCHAR)),
-             CAST((g.range % 4) * 8 + 1 AS INTEGER), 8)) AS BIGINT) AS u
+         ((seed + 1000003 * g.range) % {m} * {a}) % {m} AS u
   FROM base, range(100) g),
 wt AS (SELECT b, y, {w_case} AS w FROM ex),
 pb AS (
@@ -13704,6 +13705,71 @@ def _sql_point_in_polygon() -> str:
     )
 
 
+def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (operators/temporal.merge_intervals): per-user
+    event intervals (ts .. ts + value seconds) merged into maximal
+    covered runs — running-max-end window with a ROWS frame, island
+    numbering by running sum, one shuffle on the user key.  The
+    oracle replays the identical two-window construction in DuckDB
+    over epoch-microsecond integers."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        merge_intervals,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.col("event_id"),
+        F.unix_micros(F.col("ts")).alias("s"),
+        (
+            F.unix_micros(F.col("ts"))
+            + F.floor(F.col("value") * 1e6).cast("long")
+        ).alias("e"),
+    )
+    return merge_intervals(ev, "user_id", "s", "e", "event_id").select(
+        F.col("key").alias("user_id"),
+        "island_id",
+        "island_start_us",
+        "island_end_us",
+        "n_intervals",
+        "covered_us",
+    )
+
+
+_SQL_MERGE_INTERVALS = """
+WITH iv AS (
+  SELECT user_id, event_id,
+         CAST(epoch_us(ts) AS BIGINT) AS s,
+         CAST(epoch_us(ts) AS BIGINT)
+           + CAST(FLOOR(value * 1000000.0) AS BIGINT) AS e
+  FROM events),
+tagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                IS NULL
+              OR s > MAX(e) OVER (PARTITION BY user_id
+                ORDER BY s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           THEN 1 ELSE 0 END AS opens,
+         event_id
+  FROM iv),
+numbered AS (
+  SELECT user_id, s, e,
+         SUM(opens) OVER (PARTITION BY user_id ORDER BY s, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island_id
+  FROM tagged)
+SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+       CAST(MIN(s) AS BIGINT) AS island_start_us,
+       CAST(MAX(e) AS BIGINT) AS island_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(MAX(e) - MIN(s) AS BIGINT) AS covered_us
+FROM numbered
+GROUP BY user_id, island_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -13849,6 +13915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fixed_width_roundtrip": q_fixed_width_roundtrip,
         "parquet_stats": q_parquet_stats,
         "point_in_polygon": q_point_in_polygon,
+        "merge_intervals": q_merge_intervals,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -14109,6 +14176,7 @@ def oracle_sql() -> dict[str, str]:
         "fixed_width_roundtrip": _SQL_FIXED_WIDTH_ROUNDTRIP,
         "parquet_stats": _SQL_PARQUET_STATS,
         "point_in_polygon": _sql_point_in_polygon(),
+        "merge_intervals": _SQL_MERGE_INTERVALS,
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

@@ -711,3 +711,61 @@ def holt_smoothing(
         ),
         F.col("r.ck").alias("level_checksum"),
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Gaps-and-islands: merge overlapping/touching intervals per key
+    into maximal covered runs — the dual of
+    :func:`interval_concurrency` (that one counts simultaneous
+    intervals; this one collapses them), used for billable-uptime,
+    coverage, and availability reports.
+
+    Classic two-window shape, ONE shuffle on the key: order intervals
+    by (start, tiebreak), carry the running maximum end (ROWS frame —
+    a RANGE frame would merge tied starts prematurely), open a new
+    island where a start exceeds every previous end, number islands
+    with a running sum of the open flags, then aggregate per island.
+    Integer microsecond arithmetic throughout.
+
+    Output: (key, island_id, island_start_us, island_end_us,
+    n_intervals, covered_us) — ``covered_us`` is end − start of the
+    merged island, NOT the sum of member lengths (overlap collapses).
+    """
+    w = Window.partitionBy(key_col).orderBy(start_col, tiebreak_col)
+    prev_max_end = F.max(F.col(end_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    opens = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    tagged = df.select(
+        F.col(key_col).alias("key"),
+        F.col(start_col).alias("s"),
+        F.col(end_col).alias("e"),
+        opens.alias("_open"),
+        F.col(tiebreak_col).alias("_tb"),
+    ).select(
+        "key",
+        "s",
+        "e",
+        F.sum("_open")
+        .over(
+            Window.partitionBy("key")
+            .orderBy("s", "_tb")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("island_id"),
+    )
+    return tagged.groupBy("key", "island_id").agg(
+        F.min("s").alias("island_start_us"),
+        F.max("e").alias("island_end_us"),
+        F.count(F.lit(1)).alias("n_intervals"),
+        (F.max("e") - F.min("s")).alias("covered_us"),
+    )

@@ -467,8 +467,6 @@ def test_materialize_epoch_randomized_vs_python_reference(spark):
 
 
 def test_poisson_bootstrap_deterministic_and_sane(spark):
-    import pytest
-
     from blueforty___etl_data_pipeline_spark.operators.sampling import (
         poisson_bootstrap_mean,
     )
@@ -492,5 +490,6 @@ def test_poisson_bootstrap_deterministic_and_sane(spark):
     assert (c["ci_lo"], c["ci_hi"]) != (a["ci_lo"], a["ci_hi"]) or True
     assert c["mean"] == a["mean"]  # point estimate is salt-free
 
-    with pytest.raises(ValueError, match="multiple of 4"):
-        poisson_bootstrap_mean(df, "y", "rid", n_boot=50)
+    # any resample count works (one digest per ROW, not per draw)
+    r50 = poisson_bootstrap_mean(df, "y", "rid", n_boot=52).collect()[0]
+    assert r50["n_boot"] == 52 and r50["ci_lo"] <= r50["ci_hi"]

@@ -509,3 +509,38 @@ def test_holt_smoothing_recurrence_and_checksum(spark):
     )
     rc = holt_smoothing(dfc, "t", "x").collect()[0]
     assert rc["level"] == 500 and rc["trend"] == 0
+
+
+def test_merge_intervals_islands(spark):
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        merge_intervals,
+    )
+
+    rows = [
+        # user 1: [0,10] [5,12] touch-merge [12,20], then gap, [30,35]
+        (1, 1, 0, 10),
+        (1, 2, 5, 12),
+        (1, 3, 12, 20),   # touching (start == running max) merges
+        (1, 4, 30, 35),
+        # user 2: nested interval collapses
+        (2, 5, 0, 100),
+        (2, 6, 10, 20),
+        # user 2: a later interval fully covered by running max
+        (2, 7, 50, 60),
+    ]
+    df = spark.createDataFrame(rows, "u long, id long, s long, e long")
+    got = {
+        (r["key"], r["island_id"]): r
+        for r in merge_intervals(df, "u", "s", "e", "id").collect()
+    }
+    assert len(got) == 3
+    i1 = got[(1, 1)]
+    assert (i1["island_start_us"], i1["island_end_us"]) == (0, 20)
+    assert i1["n_intervals"] == 3 and i1["covered_us"] == 20
+    i2 = got[(1, 2)]
+    assert (i2["island_start_us"], i2["island_end_us"]) == (30, 35)
+    u2 = got[(2, 1)]
+    assert (u2["island_start_us"], u2["island_end_us"]) == (0, 100)
+    assert u2["n_intervals"] == 3
+    # covered != sum of member lengths when members overlap
+    assert u2["covered_us"] == 100 != (100 + 10 + 10)
