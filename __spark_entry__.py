@@ -13770,6 +13770,77 @@ GROUP BY user_id, island_id
 """
 
 
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-registry pre-flight (sources/avro.schema_compat): the
+    Avro schema-resolution rules evaluated over the canonical feed-
+    evolution cases — add-with-default, add-without-default, drop
+    field, widen to nullable, narrow from nullable, rename — each
+    verdict plus its violation count.  The oracle states the expected
+    verdicts from the spec, so the checker is tested against ground
+    truth; this is the gate that turns mid-job decode errors into
+    pre-flight failures."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.sources.avro import (
+        schema_compat,
+    )
+
+    def rec(fields):
+        return {"type": "record", "name": "r", "fields": fields}
+
+    base = [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+    ]
+    cases = {
+        "identical": (rec(base), rec(base)),
+        "add_with_default": (
+            rec(base + [{"name": "tag", "type": "string",
+                         "default": ""}]),
+            rec(base),
+        ),
+        "add_without_default": (
+            rec(base + [{"name": "tag", "type": "string"}]),
+            rec(base),
+        ),
+        "drop_field": (rec(base[:1]), rec(base)),
+        "widen_to_nullable": (
+            rec([base[0], {"name": "name",
+                           "type": ["null", "string"]}]),
+            rec(base),
+        ),
+        "narrow_from_nullable": (
+            rec(base),
+            rec([base[0], {"name": "name",
+                           "type": ["null", "string"]}]),
+        ),
+        "rename_field": (
+            rec([base[0], {"name": "title", "type": "string"}]),
+            rec(base),
+        ),
+    }
+    rows = []
+    for name, (reader, writer) in sorted(cases.items()):
+        ok, reasons = schema_compat(reader, writer)
+        rows.append((name, ok, len(reasons)))
+    return spark.createDataFrame(
+        rows, "evolution_case string, compatible boolean, n_violations int"
+    ).orderBy("evolution_case")
+
+
+_SQL_SCHEMA_EVOLUTION = """
+SELECT * FROM (VALUES
+  ('add_with_default',     TRUE,  0),
+  ('add_without_default',  FALSE, 1),
+  ('drop_field',           TRUE,  0),
+  ('identical',            TRUE,  0),
+  ('narrow_from_nullable', FALSE, 1),
+  ('rename_field',         FALSE, 1),
+  ('widen_to_nullable',    TRUE,  0)
+) AS t(evolution_case, compatible, n_violations)
+ORDER BY evolution_case
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -13916,6 +13987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parquet_stats": q_parquet_stats,
         "point_in_polygon": q_point_in_polygon,
         "merge_intervals": q_merge_intervals,
+        "schema_evolution": q_schema_evolution,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -14177,6 +14249,7 @@ def oracle_sql() -> dict[str, str]:
         "parquet_stats": _SQL_PARQUET_STATS,
         "point_in_polygon": _sql_point_in_polygon(),
         "merge_intervals": _SQL_MERGE_INTERVALS,
+        "schema_evolution": _SQL_SCHEMA_EVOLUTION,
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

@@ -403,6 +403,26 @@ HEADLINE = [
     "srt_parse_real",
     # round-6: integer-DCT perceptual hash + invariance audit
     "image_phash",
+    # round-6: multinomial Naive Bayes train + classify
+    "naive_bayes",
+    # round-6: grid-DBSCAN density clustering over embeddings
+    "density_clusters",
+    # round-6: Holt double exponential smoothing (bounded fold)
+    "holt_forecast",
+    # round-6: XLSX workbook write -> distributed re-parse
+    "xlsx_roundtrip",
+    # round-6: eTLD+1 registrable-domain rollup (PSL longest-match)
+    "domain_rollup",
+    # round-6: Avro object-container cycle (stdlib codec)
+    "avro_roundtrip",
+    # round-6: fixed-width positional text cycle (pure codegen)
+    "fixed_width_roundtrip",
+    # round-6: parquet footer-stats audit (metadata-only scan)
+    "parquet_stats",
+    # round-6: convex-polygon containment (integer half-planes)
+    "point_in_polygon",
+    # round-6: gaps-and-islands interval merge
+    "merge_intervals",
 ]
 
 

@@ -233,3 +233,49 @@ def read_avro(spark: SparkSession, path_glob: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=names)
 
     return files.select("content").mapInPandas(parse, schema=out_schema)
+
+
+def schema_compat(reader: dict, writer: dict) -> tuple[bool, list[str]]:
+    """Avro schema-resolution check (the spec's "Schema Resolution"
+    rules, restricted to this module's flat subset): can data written
+    with ``writer`` be read under ``reader``?
+
+    Rules applied:
+    - a reader field missing from the writer is OK iff it has a
+      ``default`` (the reader fills it in);
+    - a writer field missing from the reader is OK (ignored);
+    - matching fields resolve iff base types are equal, or the writer
+      type is a member of the reader's nullable union (``long`` →
+      ``["null","long"]`` widens); the reverse (union → plain) does
+      NOT resolve — the null branch has nowhere to go.
+
+    Returns (compatible, reasons) with one reason string per
+    violation — the report a schema-registry gate logs.  This is the
+    check that belongs in the INGEST path: feeds evolve, and a
+    registry-less pipeline that skips it discovers incompatibility as
+    a mid-job decode error instead of a pre-flight verdict.
+    """
+    r_fields = {f["name"]: f for f in reader["fields"]}
+    w_fields = {f["name"]: f for f in writer["fields"]}
+    reasons = []
+
+    def norm(t):
+        return t if isinstance(t, list) else [t]
+
+    for name, rf in r_fields.items():
+        if name not in w_fields:
+            if "default" not in rf:
+                reasons.append(
+                    f"reader field '{name}' missing from writer and "
+                    "has no default"
+                )
+            continue
+        rt, wt = norm(rf["type"]), norm(w_fields[name]["type"])
+        # every writer branch must be readable under some reader branch
+        for branch in wt:
+            if branch not in rt:
+                reasons.append(
+                    f"field '{name}': writer type {branch!r} not "
+                    f"accepted by reader type {rf['type']!r}"
+                )
+    return not reasons, reasons

@@ -547,3 +547,45 @@ def test_fixed_width_layout_header_and_gates(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="unsupported dtype"):
         read_fixed_width(spark, str(p), [("a", 1, 6, "float")])
+
+
+def test_avro_schema_compat_rules():
+    from blueforty___etl_data_pipeline_spark.sources.avro import (
+        schema_compat,
+    )
+
+    def rec(fields):
+        return {"type": "record", "name": "r", "fields": fields}
+
+    v1 = rec([
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+    ])
+
+    ok, why = schema_compat(v1, v1)
+    assert ok and why == []
+
+    # multiple simultaneous violations are all reported
+    bad_reader = rec([
+        {"name": "id", "type": "long"},
+        {"name": "renamed", "type": "string"},
+        {"name": "extra", "type": "long"},
+    ])
+    ok, why = schema_compat(bad_reader, v1)
+    assert not ok and len(why) == 2
+
+    # nullable widening one way only
+    widened = rec([
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": ["null", "string"]},
+    ])
+    assert schema_compat(widened, v1)[0]
+    assert not schema_compat(v1, widened)[0]
+
+    # type change is a violation even with same name
+    retyped = rec([
+        {"name": "id", "type": "string"},
+        {"name": "name", "type": "string"},
+    ])
+    ok, why = schema_compat(retyped, v1)
+    assert not ok and "writer type 'long'" in why[0]
