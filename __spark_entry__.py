@@ -13841,6 +13841,60 @@ ORDER BY evolution_case
 """
 
 
+def q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation-aware outlier screen (operators/profile.
+    mahalanobis_outliers) over (quantity, price-in-hundreds): exact
+    integer Mahalanobis distances d² = q/det(C) from n-scaled
+    residuals — a point inside both marginal ranges but off the joint
+    ellipse is caught, which z-score/IQR/MAD cannot do.  The oracle
+    replays the identical HUGEINT algebra."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        mahalanobis_outliers,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " div 10000"
+        ).alias("price_h"),
+    )
+    return mahalanobis_outliers(li, "qty", "price_h")
+
+
+_SQL_MAHALANOBIS = """
+WITH base AS (
+  SELECT CAST(l_quantity AS HUGEINT) AS x,
+         CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+              AS BIGINT) // 10000 AS HUGEINT) AS y
+  FROM lineitem),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM base),
+c AS (
+  SELECT n, sx, sy,
+         n * sxx - sx * sx AS cxx,
+         n * sxy - sx * sy AS cxy,
+         n * syy - sy * sy AS cyy
+  FROM m),
+scored AS (
+  SELECT (1000 * (c.cyy * (c.n * b.x - c.sx) * (c.n * b.x - c.sx)
+          - 2 * c.cxy * (c.n * b.x - c.sx) * (c.n * b.y - c.sy)
+          + c.cxx * (c.n * b.y - c.sy) * (c.n * b.y - c.sy)))
+         // (c.cxx * c.cyy - c.cxy * c.cxy) AS d2
+  FROM base b, c)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN d2 > 13816 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(MAX(d2) AS BIGINT) AS max_d2_e3,
+       CAST(SUM(d2) AS BIGINT) AS sum_d2_e3
+FROM scored
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -13988,6 +14042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_in_polygon": q_point_in_polygon,
         "merge_intervals": q_merge_intervals,
         "schema_evolution": q_schema_evolution,
+        "mahalanobis": q_mahalanobis,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -14250,6 +14305,7 @@ def oracle_sql() -> dict[str, str]:
         "point_in_polygon": _sql_point_in_polygon(),
         "merge_intervals": _SQL_MERGE_INTERVALS,
         "schema_evolution": _SQL_SCHEMA_EVOLUTION,
+        "mahalanobis": _SQL_MAHALANOBIS,
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

@@ -1699,3 +1699,75 @@ def gini_gain(
         )
         .orderBy(F.desc("gain_e6"), "feature")
     )
+
+
+def mahalanobis_outliers(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    threshold_e3: int = 13_816,
+) -> DataFrame:
+    """Bivariate Mahalanobis outlier screen — the correlation-aware
+    upgrade of the marginal z-score/IQR/MAD family: a point can sit
+    inside both 1-D ranges yet be wildly off the joint ellipse, and
+    only the covariance-scaled distance catches it.
+
+    Exact integer algebra end to end: with n-scaled residuals
+    ``u = n·x − Sx`` and the unnormalized covariance entries
+    ``Cxx = n·Sxx − Sx²`` (etc.), the squared distance is EXACTLY
+    ``d² = (Cyy·u² − 2·Cxy·u·v + Cxx·v²) / det(C)`` — no means, no
+    float covariance inverse — emitted as ``floor(1000·q / det)``.
+    Inputs must be integer columns pre-scaled so the 38-digit decimal
+    budget holds (|value| ≲ 1e4 at 1e7 rows; the overflow math is in
+    the caller's docstring contract).  Default threshold = χ²(2) at
+    99.9% (13.816).
+
+    Plan: ONE moments aggregate (map-side combined) broadcast back
+    over the scan — two passes over data, zero shuffles of raw rows.
+    Degenerate covariance (det ≤ 0: constant or collinear columns)
+    raises.
+
+    Output: one row — (n, n_outliers, max_d2_e3, sum_d2_e3).
+    """
+    d38 = "decimal(38,0)"
+    base = df.select(
+        F.col(col_x).cast(d38).alias("x"),
+        F.col(col_y).cast(d38).alias("y"),
+    )
+    m = base.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    ).select(
+        "n", "sx", "sy",
+        F.expr("n * sxx - sx * sx").alias("cxx"),
+        F.expr("n * sxy - sx * sy").alias("cxy"),
+        F.expr("n * syy - sy * sy").alias("cyy"),
+    )
+    row = m.collect()[0]
+    det = int(row["cxx"]) * int(row["cyy"]) - int(row["cxy"]) ** 2
+    if det <= 0:
+        raise ValueError(
+            "degenerate covariance (constant or collinear columns)"
+        )
+    scored = base.crossJoin(F.broadcast(m)).select(
+        F.expr(
+            "(1000 * (cyy * (n * x - sx) * (n * x - sx)"
+            " - 2 * cxy * (n * x - sx) * (n * y - sy)"
+            " + cxx * (n * y - sy) * (n * y - sy)))"
+            " div (cxx * cyy - cxy * cxy)"
+        )
+        .cast("long")
+        .alias("d2_e3")
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("d2_e3") > threshold_e3, 1).otherwise(0)
+        ).alias("n_outliers"),
+        F.max("d2_e3").alias("max_d2_e3"),
+        F.sum("d2_e3").alias("sum_d2_e3"),
+    )

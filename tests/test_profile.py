@@ -982,3 +982,41 @@ def test_calibration_report_exact_bins_and_ece(spark):
     assert got[9]["gap_e6"] == 25_000
     # ECE = (2*450000 + 2*25000) // 4, same on every row
     assert {r["ece_e6"] for r in got.values()} == {237_500}
+
+
+def test_mahalanobis_outliers_joint_vs_marginal(spark):
+    import pytest
+
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        mahalanobis_outliers,
+    )
+
+    # tight x=y cloud plus one point INSIDE both marginal ranges but
+    # far off the joint diagonal — only the covariance-aware distance
+    # flags it
+    cloud = [(i, i + (1 if i % 2 else -1)) for i in range(200)]
+    rows = cloud + [(30, 170)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    r = mahalanobis_outliers(df, "x", "y").collect()[0]
+    assert r["n"] == 201
+    assert r["n_outliers"] == 1
+    # the anti-diagonal point dominates every cloud member's distance
+    assert r["max_d2_e3"] > 100 * 1000
+
+    # the flagged point is within BOTH marginal ranges (sanity: a
+    # z-score screen at 3 sigma would NOT flag x=30 or y=170 here)
+    xs = [x for x, _ in rows]
+    ys = [y for _, y in rows]
+    assert min(xs) <= 30 <= max(xs) and min(ys) <= 170 <= max(ys)
+
+    # degenerate gates
+    with pytest.raises(ValueError, match="degenerate"):
+        mahalanobis_outliers(
+            spark.createDataFrame([(1, 1), (2, 2)], "x long, y long"),
+            "x", "y",
+        )  # perfectly collinear
+    with pytest.raises(ValueError, match="degenerate"):
+        mahalanobis_outliers(
+            spark.createDataFrame([(5, 1), (5, 2)], "x long, y long"),
+            "x", "y",
+        )  # constant column
