@@ -13895,6 +13895,66 @@ FROM scored
 """
 
 
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge (operators/aggregate.golden_record): orders
+    act as sparse multi-system observations of each customer — a
+    priority attribute only some orders carry, a status attribute
+    others carry — and the golden record takes the freshest NON-NULL
+    value per attribute independently (latest-row-wins would null out
+    fields the newest record lacks).  One max_by aggregation per
+    attribute over a composed total order; the oracle replays it with
+    arg_max under the same not-null guard."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.aggregate import (
+        golden_record,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey"),
+        (
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")) * 100
+            + F.col("o_orderkey") % 100
+        ).alias("ord"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_orderpriority")
+        ).alias("priority_obs"),
+        F.when(
+            F.col("o_orderkey") % 5 == 1, F.col("o_orderstatus")
+        ).alias("status_obs"),
+    )
+    return golden_record(
+        o, "o_custkey", "ord", ["priority_obs", "status_obs"]
+    ).orderBy("entity")
+
+
+_SQL_GOLDEN_RECORD = """
+WITH obs AS (
+  SELECT o_custkey AS entity,
+         CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) * 100
+           + o_orderkey % 100 AS ord,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority END
+           AS priority_obs,
+         CASE WHEN o_orderkey % 5 = 1 THEN o_orderstatus END
+           AS status_obs
+  FROM orders)
+SELECT entity,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       arg_max(priority_obs,
+               CASE WHEN priority_obs IS NOT NULL THEN ord END)
+         AS priority_obs,
+       CAST(SUM(CASE WHEN priority_obs IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS priority_obs_n_obs,
+       arg_max(status_obs,
+               CASE WHEN status_obs IS NOT NULL THEN ord END)
+         AS status_obs,
+       CAST(SUM(CASE WHEN status_obs IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS status_obs_n_obs
+FROM obs
+GROUP BY entity
+ORDER BY entity
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -14043,6 +14103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_intervals": q_merge_intervals,
         "schema_evolution": q_schema_evolution,
         "mahalanobis": q_mahalanobis,
+        "golden_record": q_golden_record,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -14306,6 +14367,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_intervals": _SQL_MERGE_INTERVALS,
         "schema_evolution": _SQL_SCHEMA_EVOLUTION,
         "mahalanobis": _SQL_MAHALANOBIS,
+        "golden_record": _SQL_GOLDEN_RECORD,
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

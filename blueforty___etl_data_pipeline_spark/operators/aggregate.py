@@ -125,3 +125,39 @@ def target_encode(
         F.col("y").alias("y_scaled"),
         F.floor(F.lit(e6) * loo).cast("long").alias("enc_e6"),
     )
+
+
+def golden_record(
+    df: DataFrame,
+    entity_col: str,
+    order_col: str,
+    attr_cols: Sequence[str],
+) -> DataFrame:
+    """Survivorship merge (the MDM "golden record"): one row per
+    entity where EACH attribute independently takes its MOST RECENT
+    NON-NULL observation — the standard rule when records arrive
+    sparse from many systems and the freshest known value per field
+    wins (a plain "latest row wins" would null out fields the latest
+    record did not carry).
+
+    ``order_col`` must be a TOTAL order per entity (compose
+    ts·K + tiebreak upstream); per attribute the survivor is
+    ``max_by(attr, order WHERE attr IS NOT NULL)`` — one hash
+    aggregation, map-side combined, no window and no self-join.
+    Observation counts per attribute ride along for lineage audits.
+
+    Output: (entity, n_records, then per attribute: <a> and
+    <a>_n_obs).
+    """
+    aggs = [F.count(F.lit(1)).alias("n_records")]
+    for a in attr_cols:
+        key = F.when(
+            F.col(a).isNotNull(), F.col(order_col)
+        )
+        aggs.append(F.max_by(F.col(a), key).alias(a))
+        aggs.append(
+            F.sum(
+                F.when(F.col(a).isNotNull(), 1).otherwise(0)
+            ).alias(f"{a}_n_obs")
+        )
+    return df.groupBy(F.col(entity_col).alias("entity")).agg(*aggs)

@@ -522,3 +522,36 @@ def test_chi2_independence_ground_truths(spark):
     ).collect()[0]
     expect = 4 / 12 + 4 / 18 + 4 / 28 + 4 / 42
     assert abs(r3["chi2_e6"] / 1e6 - expect) < 1e-5
+
+
+def test_golden_record_survivorship(spark):
+    from blueforty___etl_data_pipeline_spark.operators.aggregate import (
+        golden_record,
+    )
+
+    rows = [
+        # entity 1: phone arrives early, email arrives late with the
+        # LATEST record carrying no phone — latest-row-wins would
+        # lose the phone; survivorship must keep it
+        (1, 10, "555-1", None),
+        (1, 20, None, "a@x"),
+        (1, 30, None, "b@x"),
+        # entity 2: conflicting phones — freshest wins
+        (2, 10, "111", None),
+        (2, 40, "222", "c@y"),
+        # entity 3: never observed either attribute
+        (3, 5, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "ent long, ord long, phone string, email string"
+    )
+    got = {
+        r["entity"]: r
+        for r in golden_record(df, "ent", "ord", ["phone", "email"])
+        .collect()
+    }
+    assert got[1]["phone"] == "555-1" and got[1]["email"] == "b@x"
+    assert got[1]["n_records"] == 3
+    assert got[1]["phone_n_obs"] == 1 and got[1]["email_n_obs"] == 2
+    assert got[2]["phone"] == "222" and got[2]["email"] == "c@y"
+    assert got[3]["phone"] is None and got[3]["phone_n_obs"] == 0
