@@ -13955,6 +13955,105 @@ ORDER BY entity
 """
 
 
+def q_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte media triage (operators/multimodal.
+    sniff_media_type): every sampled document becomes a REAL blob of
+    one of eight vendored formats (PNG, BMP, FLAC, MIDI, MP3, WARC,
+    Avro, fixed-junk) chosen by doc_id — each built by the actual
+    encoder — then classified by the pure-codegen magic dispatcher
+    and counted per detected type.  The oracle states the expected
+    residue→type mapping, so every magic rule is checked against a
+    genuine instance of its format."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        sniff_media_type,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 5 == 1)
+    )
+
+    def make_blobs(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.bmp import (
+            encode_bmp24,
+        )
+        from blueforty___etl_data_pipeline_spark.functions.flac import (
+            encode_flac_mono16,
+        )
+        from blueforty___etl_data_pipeline_spark.functions.midi import (
+            encode_midi,
+        )
+        from blueforty___etl_data_pipeline_spark.functions.mp3 import (
+            encode_mp3_stream,
+        )
+        from blueforty___etl_data_pipeline_spark.functions.png import (
+            encode_png_gray,
+        )
+        from blueforty___etl_data_pipeline_spark.sources.warc import (
+            _record,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = _hl.md5(text.encode("utf-8")).digest()
+                k = doc_id % 40  # doc_id % 5 == 1 -> k in {1,6,...,36}
+                if k == 1:
+                    blob = encode_png_gray([list(d[:4])] * 4)
+                elif k == 6:
+                    blob = encode_bmp24([[(d[0], d[1], d[2])] * 3] * 3)
+                elif k == 11:
+                    blob = encode_flac_mono16(
+                        [100 * d[0] + i for i in range(64)], 8000
+                    )
+                elif k == 16:
+                    blob = encode_midi([(60, 64, 0, 480)])
+                elif k == 21:
+                    blob = encode_mp3_stream(
+                        [d[0] % 14 + 1], [0], 44100, tag_payload=b"T"
+                    )
+                elif k == 26:
+                    blob = _record(
+                        [("WARC-Type", "response")], b"hello"
+                    )
+                elif k == 31:
+                    blob = b"Obj\x01" + bytes(d)
+                else:
+                    # k == 36: junk -> unknown (0x00 lead byte can
+                    # never collide with any magic in the table)
+                    blob = b"\x00" + bytes(d)
+                rows.append((doc_id, bytearray(blob)))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    blobs = docs.mapInPandas(
+        make_blobs, schema="doc_id long, content binary"
+    )
+    return (
+        blobs.select(sniff_media_type(F.col("content")).alias("kind"))
+        .groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("kind")
+    )
+
+
+_SQL_MEDIA_SNIFF = """
+WITH t AS (
+  SELECT CASE doc_id % 40
+           WHEN 1 THEN 'png' WHEN 6 THEN 'bmp' WHEN 11 THEN 'flac'
+           WHEN 16 THEN 'midi' WHEN 21 THEN 'mp3' WHEN 26 THEN 'warc'
+           WHEN 31 THEN 'avro' ELSE 'unknown' END AS kind
+  FROM documents WHERE doc_id % 5 = 1)
+SELECT kind, CAST(COUNT(*) AS BIGINT) AS n
+FROM t GROUP BY kind ORDER BY kind
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -14104,6 +14203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution": q_schema_evolution,
         "mahalanobis": q_mahalanobis,
         "golden_record": q_golden_record,
+        "media_sniff": q_media_sniff,
         # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
@@ -14368,6 +14468,7 @@ def oracle_sql() -> dict[str, str]:
         "schema_evolution": _SQL_SCHEMA_EVOLUTION,
         "mahalanobis": _SQL_MAHALANOBIS,
         "golden_record": _SQL_GOLDEN_RECORD,
+        "media_sniff": _SQL_MEDIA_SNIFF,
         "reconciliation": _SQL_RECONCILIATION,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "shipping_priority": _SQL_SHIPPING_PRIORITY,

@@ -720,3 +720,57 @@ def image_phash(
     return media.select(id_col, content_col).mapInPandas(
         run, schema=f"{id_col} long, phash long, n_bits_set int"
     )
+
+
+def sniff_media_type(content: "F.Column") -> "F.Column":
+    """File-type detection from magic bytes as a PURE CODEGEN
+    expression over a binary column — the dispatch step in front of
+    every decode stage (decode_image_real / decode_audio_real /
+    container readers), runnable at scan speed over petabytes because
+    it never leaves the JVM and touches only a fixed-length prefix.
+
+    Covers every container this engine decodes: PNG, JPEG, GIF, BMP,
+    TIFF (both byte orders), WAV and AVI (RIFF subtypes — bytes 9-12
+    disambiguate), FLAC, MIDI, MP3 (ID3v2 or a bare MPEG sync), Avro,
+    ZIP (xlsx/webdataset-zip), WARC, XML, SRT-ish digit+CRLF text;
+    everything else → 'unknown'.  Magic tables are the formats' open
+    specs; longest/most-specific patterns test first (RIFF before
+    generic prefixes, ID3 before the 0xFFEx sync).
+    """
+    def pfx(k: int):
+        return F.substring(content, 1, k)
+
+    h2 = F.hex(F.substring(content, 1, 2))
+    riff_type = F.substring(content, 9, 4)
+    return (
+        F.when(pfx(8) == F.expr("X'89504E470D0A1A0A'"), "png")
+        .when(pfx(4) == F.expr("X'47494638'"), "gif")
+        .when(
+            (pfx(4) == F.expr("X'52494646'"))
+            & (riff_type == F.expr("X'57415645'")),
+            "wav",
+        )
+        .when(
+            (pfx(4) == F.expr("X'52494646'"))
+            & (riff_type == F.expr("X'41564920'")),
+            "avi",
+        )
+        .when(pfx(4) == F.expr("X'664C6143'"), "flac")
+        .when(pfx(4) == F.expr("X'4D546864'"), "midi")
+        .when(pfx(4) == F.expr("X'4F626A01'"), "avro")
+        .when(pfx(3) == F.expr("X'494433'"), "mp3")
+        .when(pfx(2) == F.expr("X'424D'"), "bmp")
+        .when(pfx(2) == F.expr("X'FFD8'"), "jpeg")
+        .when(
+            (pfx(4) == F.expr("X'49492A00'"))
+            | (pfx(4) == F.expr("X'4D4D002A'")),
+            "tiff",
+        )
+        .when(pfx(2) == F.expr("X'504B'"), "zip")
+        .when(pfx(5) == F.expr("X'574152432F'"), "warc")
+        .when(pfx(5) == F.expr("X'3C3F786D6C'"), "xml")
+        .when(
+            (h2 >= "FFE0") & (h2 <= "FFFF"), "mp3"
+        )
+        .otherwise("unknown")
+    )

@@ -1736,3 +1736,61 @@ def test_phash_invariances_and_gates(spark):
     )
     row = image_phash(df).collect()[0]
     assert row["phash"] == h and row["n_bits_set"] == bin(h).count("1")
+
+
+def test_sniff_media_type_all_magics(spark):
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.functions.bmp import (
+        encode_bmp24,
+    )
+    from blueforty___etl_data_pipeline_spark.functions.exif import (
+        build_exif_jpeg,
+    )
+    from blueforty___etl_data_pipeline_spark.functions.flac import (
+        encode_flac_mono16,
+    )
+    from blueforty___etl_data_pipeline_spark.functions.mp3 import (
+        encode_mp3_stream,
+    )
+    from blueforty___etl_data_pipeline_spark.functions.png import (
+        encode_png_gray,
+    )
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        encode_wav_pcm16,
+        sniff_media_type,
+    )
+
+    cases = [
+        (encode_png_gray([[1, 2], [3, 4]]), "png"),
+        (encode_bmp24([[(1, 2, 3)]]), "bmp"),
+        (build_exif_jpeg("C", 1, 100, (1, 8), (2, 2), "x", (1, 2, 3)),
+         "jpeg"),
+        (encode_flac_mono16([0] * 16, 8000), "flac"),
+        (encode_wav_pcm16([0, 1, -1], 8000), "wav"),
+        (encode_mp3_stream([9], [0], 44100), "mp3"),          # bare sync
+        (encode_mp3_stream([9], [0], 44100, tag_payload=b"t"), "mp3"),
+        (b"GIF89a" + bytes(10), "gif"),
+        (b"MThd" + bytes(10), "midi"),
+        (b"II*\x00" + bytes(8), "tiff"),
+        (b"MM\x00*" + bytes(8), "tiff"),
+        (b"Obj\x01" + bytes(8), "avro"),
+        (b"PK\x03\x04" + bytes(8), "zip"),
+        (b"WARC/1.0\r\n", "warc"),
+        (b"<?xml version='1.0'?>", "xml"),
+        (b"RIFF\x00\x00\x00\x00AVI " + bytes(4), "avi"),
+        (b"\x00garbage", "unknown"),
+        (b"FE\xff", "unknown"),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, (b, _) in enumerate(cases)],
+        "i int, content binary",
+    )
+    got = {
+        r["i"]: r["kind"]
+        for r in df.select(
+            "i", sniff_media_type(F.col("content")).alias("kind")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
