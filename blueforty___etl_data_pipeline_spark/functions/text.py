@@ -329,3 +329,37 @@ def registrable_domain(host: Column) -> Column:
             F.when(cond, val) if result is None else result.when(cond, val)
         )
     return result.alias("registrable_domain")
+
+
+def ipv4_to_long(ip: Column) -> Column:
+    """Dotted-quad IPv4 → BIGINT (null for malformed input) — pure
+    codegen split/cast, the normalization every IP-range filter
+    starts from."""
+    parts = F.split(ip, r"\.")
+    octets = [parts.getItem(i).cast("long") for i in range(4)]
+    cond = F.size(parts) == 4
+    for o in octets:
+        cond = cond & o.isNotNull() & (o >= 0) & (o <= 255)
+    val = (
+        octets[0] * 16777216 + octets[1] * 65536
+        + octets[2] * 256 + octets[3]
+    )
+    return F.when(cond, val)
+
+
+def in_cidr(ip_long: Column, cidr: str) -> Column:
+    """Membership of a numeric IP in a CIDR block ``a.b.c.d/p`` —
+    integer prefix compare (``ip div 2^(32−p) == net div 2^(32−p)``),
+    exact and codegen-folded.  Broadcast a small CIDR list as a chain
+    of these; a full routing-table-scale match would sort prefixes
+    into a longest-prefix lookup table instead."""
+    net_s, _, plen_s = cidr.partition("/")
+    plen = int(plen_s)
+    if not 0 <= plen <= 32:
+        raise ValueError(f"bad prefix length in {cidr!r}")
+    a, b, c, d = (int(x) for x in net_s.split("."))
+    net = a * 16777216 + b * 65536 + c * 256 + d
+    shift = 1 << (32 - plen)
+    return (
+        F.floor(ip_long / F.lit(shift)) == net // shift
+    )
