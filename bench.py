@@ -423,6 +423,14 @@ HEADLINE = [
     "point_in_polygon",
     # round-6: gaps-and-islands interval merge
     "merge_intervals",
+    # round-6: reader-side schema evolution (add/drop/widen mergeSchema)
+    "schema_evolution",
+    # round-6: Mahalanobis 2-D outlier screen (one moment pass)
+    "mahalanobis",
+    # round-6: survivorship golden-record merge (linkage consumer)
+    "golden_record",
+    # round-6: magic-byte media-type sniffer (pure codegen over binary)
+    "media_sniff",
 ]
 
 
