@@ -13116,7 +13116,8 @@ WITH RECURSIVE pts AS (
 cells AS (SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n
           FROM pts GROUP BY 1, 2),
 dense AS (
-  SELECT cx, cy, n, (cx + 1024) * 4096 + cy + 1024 AS cell_id
+  SELECT cx, cy, n,
+         (cx + 1073741824) * 2147483648 + cy + 1073741824 AS cell_id
   FROM cells WHERE n >= 4),
 edges AS (
   SELECT a.cell_id AS src, b.cell_id AS dst

@@ -557,8 +557,32 @@ def grid_density_clusters(
         .alias("cy"),
     )
     cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n"))
+    # Collision-free cell key: (cx + 2^30)·2^31 + cy + 2^30 is
+    # injective for cx, cy ∈ [−2^30, 2^30) and fits a signed 64-bit
+    # long (max ≈ 2^62) — coordinates to ±6.7e7 at scale=16.  It is
+    # also ORDER-compatible with (cx, cy), so min-cell_id cluster ids
+    # keep their meaning.  Coordinates outside the encodable range
+    # raise instead of silently merging distinct cells (the old
+    # (cx+1024)·4096 pack collided beyond ±64 at scale=16).
+    _lim = 1 << 30
+    _guard = (
+        (F.col("cx") < -_lim) | (F.col("cx") >= _lim)
+        | (F.col("cy") < -_lim) | (F.col("cy") >= _lim)
+    )
     dense = cells.filter(F.col("n") >= min_pts).withColumn(
-        "cell_id", (F.col("cx") + 1024) * 4096 + F.col("cy") + 1024
+        "cell_id",
+        F.when(
+            _guard,
+            F.raise_error(
+                F.format_string(
+                    "grid_density_clusters: cell (%s, %s) outside the "
+                    "encodable range [-2^30, 2^30); rescale the inputs",
+                    F.col("cx"), F.col("cy"),
+                )
+            ).cast("long"),
+        ).otherwise(
+            (F.col("cx") + _lim) * F.lit(1 << 31) + F.col("cy") + _lim
+        ),
     )
     offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
     shifted = None

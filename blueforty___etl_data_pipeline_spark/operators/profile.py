@@ -1661,13 +1661,22 @@ def gini_gain(
         melted.groupBy("feature", "value", "_label")
         .agg(F.count(F.lit(1)).alias("nvc"))
     )
+    # nvc² and scale·sumsq in 38-digit decimals, matching the root-
+    # purity path: BIGINT would wrap silently (Java overflow, non-ANSI)
+    # once a (feature, value) bucket exceeds ~3e6 rows.
     per_value = vc.groupBy("feature", "value").agg(
-        F.sum(F.col("nvc") * F.col("nvc")).alias("sumsq"),
+        F.sum(
+            F.expr("CAST(nvc AS DECIMAL(38,0)) * nvc")
+        ).alias("sumsq"),
         F.sum("nvc").alias("nv"),
     )
     per_feature = per_value.groupBy("feature").agg(
         F.count(F.lit(1)).alias("n_values"),
-        F.sum(F.expr(f"({scale} * sumsq) div nv")).alias("s"),
+        F.sum(
+            F.expr(
+                f"(CAST({scale} AS DECIMAL(38,0)) * sumsq) div nv"
+            )
+        ).alias("s"),
         F.sum("nv").alias("n"),
     )
     root = (
@@ -1691,11 +1700,15 @@ def gini_gain(
             "feature",
             "n_values",
             "gini_root_e6",
-            (F.lit(scale) - F.expr("s div n")).alias("gini_split_e6"),
+            (F.lit(scale) - F.expr("s div n"))
+            .cast("long")
+            .alias("gini_split_e6"),
             (
                 F.expr("s div n")
                 - (F.lit(scale) - F.col("gini_root_e6"))
-            ).alias("gain_e6"),
+            )
+            .cast("long")
+            .alias("gain_e6"),
         )
         .orderBy(F.desc("gain_e6"), "feature")
     )
@@ -1718,9 +1731,18 @@ def mahalanobis_outliers(
     ``d² = (Cyy·u² − 2·Cxy·u·v + Cxx·v²) / det(C)`` — no means, no
     float covariance inverse — emitted as ``floor(1000·q / det)``.
     Inputs must be integer columns pre-scaled so the 38-digit decimal
-    budget holds (|value| ≲ 1e4 at 1e7 rows; the overflow math is in
-    the caller's docstring contract).  Default threshold = χ²(2) at
-    99.9% (13.816).
+    budget holds: with ``C ≈ n²·V²`` and ``|u| ≤ n·V`` the largest
+    term is ``1000·C·u² ≈ 1000·n⁴·V⁴``, so the safe range is
+    ``n·max|value| ≲ 5e8`` (e.g. 1e7 rows at |value| ≤ 50, or 1e5
+    rows at |value| ≤ 5e3 — NOT 1e4 at 1e7 rows, which overflows).
+    The bound is ENFORCED, not assumed: the moments pass also folds
+    min/max, and the driver computes the exact worst-case term sum in
+    arbitrary-precision ints from (C, n·min−S, n·max−S); if it would
+    exceed the 38-digit cap the call raises with the required rescale
+    factor instead of letting non-ANSI decimal overflow null the
+    scores out (nulls are excluded from aggregates, which would
+    silently report 0 outliers on big data while small tests pass).
+    Default threshold = χ²(2) at 99.9% (13.816).
 
     Plan: ONE moments aggregate (map-side combined) broadcast back
     over the scan — two passes over data, zero shuffles of raw rows.
@@ -1741,8 +1763,12 @@ def mahalanobis_outliers(
         F.sum(F.expr("x * x")).alias("sxx"),
         F.sum(F.expr("x * y")).alias("sxy"),
         F.sum(F.expr("y * y")).alias("syy"),
+        F.min("x").alias("mnx"),
+        F.max("x").alias("mxx"),
+        F.min("y").alias("mny"),
+        F.max("y").alias("mxy_"),
     ).select(
-        "n", "sx", "sy",
+        "n", "sx", "sy", "mnx", "mxx", "mny", "mxy_",
         F.expr("n * sxx - sx * sx").alias("cxx"),
         F.expr("n * sxy - sx * sy").alias("cxy"),
         F.expr("n * syy - sy * sy").alias("cyy"),
@@ -1753,6 +1779,37 @@ def mahalanobis_outliers(
         raise ValueError(
             "degenerate covariance (constant or collinear columns)"
         )
+    # Exact decimal-budget validation (arbitrary-precision ints): the
+    # per-row expression's largest value is 1000·(Cyy·u² + 2|Cxy||u||v|
+    # + Cxx·v²) at the extreme residuals.  Non-ANSI decimal overflow
+    # would NULL the score (silently dropping rows from n_outliers /
+    # max / sum), so refuse up front with the needed rescale factor.
+    n_i = int(row["n"])
+    bx = max(
+        abs(n_i * int(row["mnx"]) - int(row["sx"])),
+        abs(n_i * int(row["mxx"]) - int(row["sx"])),
+    )
+    by = max(
+        abs(n_i * int(row["mny"]) - int(row["sy"])),
+        abs(n_i * int(row["mxy_"]) - int(row["sy"])),
+    )
+    worst = 1000 * (
+        int(row["cyy"]) * bx * bx
+        + 2 * abs(int(row["cxy"])) * bx * by
+        + int(row["cxx"]) * by * by
+    )
+    budget = 10**38 - 1
+    if worst > budget:
+        # each factor-of-10 input downscale shrinks `worst` by 1e4
+        import math
+
+        rescale = 10 ** math.ceil(math.log10(worst / budget) / 4)
+        raise ValueError(
+            "mahalanobis_outliers: decimal(38,0) budget exceeded "
+            f"(worst-case term {worst:.3e} > 1e38); pre-divide both "
+            f"input columns by ~{rescale} and rerun"
+        )
+    m = m.drop("mnx", "mxx", "mny", "mxy_")
     scored = base.crossJoin(F.broadcast(m)).select(
         F.expr(
             "(1000 * (cyy * (n * x - sx) * (n * x - sx)"

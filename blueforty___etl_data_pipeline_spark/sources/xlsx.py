@@ -155,7 +155,9 @@ def write_xlsx(rows: list[list], path: str) -> int:
 def parse_xlsx_cells(data: bytes) -> list[tuple[int, int, str, str]]:
     """One workbook's cells as (row, col, cell_type, value) with
     shared strings resolved.  ``cell_type`` is 'n' (number) or 's'
-    (string)."""
+    (string); shared (t="s"), formula-cached (t="str") and inline
+    (t="inlineStr") strings all normalize to 's'.  Other cell types
+    (error, boolean) raise."""
     with zipfile.ZipFile(io.BytesIO(data)) as z:
         strings: list[str] = []
         if "xl/sharedStrings.xml" in z.namelist():
@@ -172,13 +174,30 @@ def parse_xlsx_cells(data: bytes) -> list[tuple[int, int, str, str]]:
         for cell in sheet.iter(f"{{{_NS}}}c"):
             ref = cell.get("r")
             ctype = cell.get("t", "n")
+            row, col = parse_ref(ref)
+            if ctype == "inlineStr":
+                # inline strings carry <is><t>…</t></is>, no <v>
+                is_el = cell.find(f"{{{_NS}}}is")
+                if is_el is None:
+                    continue  # empty inline cell
+                out.append((
+                    row, col, "s",
+                    "".join(
+                        t.text or "" for t in is_el.iter(f"{{{_NS}}}t")
+                    ),
+                ))
+                continue
             vel = cell.find(f"{{{_NS}}}v")
             if vel is None:
-                continue
-            row, col = parse_ref(ref)
+                continue  # genuinely empty cell
             if ctype == "s":
                 out.append((row, col, "s", strings[int(vel.text)]))
-            elif ctype in ("n", "str"):
+            elif ctype == "str":
+                # formula-cached STRING result: the value is arbitrary
+                # text, so it must surface as 's', never 'n' (numeric
+                # consumers of 'n' would choke on it)
+                out.append((row, col, "s", vel.text or ""))
+            elif ctype == "n":
                 out.append((row, col, "n", vel.text))
             else:
                 raise ValueError(f"unsupported cell type {ctype!r}")

@@ -316,3 +316,43 @@ def test_grid_density_clusters_shapes(spark):
 
     with pytest.raises(ValueError, match="power of two"):
         grid_density_clusters(df, "x", "y", scale=10)
+
+
+def test_grid_density_clusters_far_coords_no_collision(spark):
+    """Cells far beyond the old ±64-coordinate pack limit must stay
+    distinct clusters (the retired (cx+1024)·4096 encoding collided
+    there and silently merged them)."""
+    from blueforty___etl_data_pipeline_spark.operators.graph import (
+        grid_density_clusters,
+    )
+
+    def blob(cx, cy, k):
+        return [((cx + 0.5) / 16.0, (cy + 0.5) / 16.0)] * k
+
+    # (cx=5000, cy=0) vs (cx=0, cy=5000·4096-ish offsets) — under the
+    # old pack, (cx+1024)*4096 + cy + 1024 collides for e.g.
+    # (2, 10) vs (1, 4106).  Use exactly that colliding pair.
+    pts = blob(2, 10, 5) + blob(1, 4106, 5)
+    df = spark.createDataFrame(pts, "x double, y double")
+    rows = [
+        r
+        for r in grid_density_clusters(
+            df, "x", "y", scale=16, min_pts=4
+        ).collect()
+        if r["cluster_id"] != -1
+    ]
+    assert len(rows) == 2  # two singleton clusters, never merged
+    assert sorted(r["n_points"] for r in rows) == [5, 5]
+
+
+def test_grid_density_clusters_out_of_range_raises(spark):
+    import pytest
+
+    from blueforty___etl_data_pipeline_spark.operators.graph import (
+        grid_density_clusters,
+    )
+
+    big = (float(1 << 31), 0.0)  # cx = 2^35 at scale 16 — unencodable
+    df = spark.createDataFrame([big] * 5, "x double, y double")
+    with pytest.raises(Exception, match="encodable range"):
+        grid_density_clusters(df, "x", "y", scale=16, min_pts=4).collect()

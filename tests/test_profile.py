@@ -1020,3 +1020,21 @@ def test_mahalanobis_outliers_joint_vs_marginal(spark):
             spark.createDataFrame([(5, 1), (5, 2)], "x long, y long"),
             "x", "y",
         )  # constant column
+
+
+def test_mahalanobis_outliers_decimal_budget_raises(spark):
+    """Moment magnitudes that would overflow decimal(38,0) in the
+    per-row quadratic must raise up front (non-ANSI overflow would
+    silently NULL the scores and report 0 outliers), with the rescale
+    factor in the message."""
+    import pytest
+
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        mahalanobis_outliers,
+    )
+
+    v = 10**9
+    rows = [(0, 0), (v, v // 2), (v // 2, v), (v // 3, v // 7)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    with pytest.raises(ValueError, match="pre-divide"):
+        mahalanobis_outliers(df, "x", "y")

@@ -433,6 +433,32 @@ def test_xlsx_package_roundtrip_and_gates(spark, tmp_path):
     with pytest.raises(ValueError, match="unsupported cell type"):
         parse_xlsx_cells(buf.getvalue())
 
+    # formula-cached strings (t="str") and inline strings
+    # (t="inlineStr") both normalize to cell_type 's'
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    parts2 = dict(parts)
+    parts2["xl/worksheets/sheet1.xml"] = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1">'
+        '<c r="A1" t="str"><v>=cached text</v></c>'
+        '<c r="B1" t="inlineStr"><is><t>in</t><t>line</t></is></c>'
+        '<c r="C1"><v>7</v></c>'
+        '<c r="D1" t="inlineStr"/>'  # empty inline cell: skipped
+        "</row></sheetData></worksheet>"
+    ).encode()
+    buf2 = io.BytesIO()
+    with zipfile.ZipFile(buf2, "w") as z:
+        for n, data in parts2.items():
+            z.writestr(n, data)
+    got2 = {
+        (r, c): (t, v) for r, c, t, v in parse_xlsx_cells(buf2.getvalue())
+    }
+    assert got2[(0, 0)] == ("s", "=cached text")
+    assert got2[(0, 1)] == ("s", "inline")
+    assert got2[(0, 2)] == ("n", "7")
+    assert (0, 3) not in got2
+
 
 def test_avro_container_codec_and_gates(spark, tmp_path):
     import pytest
