@@ -325,25 +325,87 @@ def minhash_lsh_pairs(
     )
 
 
-def _cap_hot_shingles(
-    sh: DataFrame, cap: int
-) -> tuple[DataFrame, DataFrame]:
-    """Candidate-volume guard for the exact-verification operators: a
-    shingle shared by c documents generates O(c²) join pairs, so one
-    degenerate boilerplate shingle (a license header, a template
-    footer) can dwarf the entire join.  Shingles whose document count
-    exceeds ``cap`` are excluded from pair generation (the classic
+def _shingle_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    cap: int | None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """(id, set_size, sh) exploded shingle rows for the exact pair
+    operators — sized map-side and, when ``cap`` is set, hot-shingle
+    filtered on the SAME exchange the pair self-join uses.
+
+    The cap is the candidate-volume guard: a shingle shared by c
+    documents generates O(c²) join pairs, so one degenerate
+    boilerplate shingle (a license header, a template footer) can
+    dwarf the entire join.  Shingles whose document count exceeds
+    ``cap`` are excluded from pair generation (the classic
     stop-shingle rule — ultra-common shingles carry ~no similarity
-    signal anyway), and the number of dropped shingles is returned as
-    a one-row frame so callers can surface the drop EXPLICITLY in
-    their output instead of silently under-counting.
+    signal), and the number dropped is returned as a one-row frame so
+    callers surface the drop EXPLICITLY instead of silently
+    under-counting.
+
+    Two fusions over the naive three-pass form:
+
+    - ``set_size`` is ``size(shingle_hashes(...))`` evaluated in the
+      scan projection (the shingle array is distinct by construction),
+      so the per-doc groupBy shuffle and the downstream sizes joins
+      disappear — the true set size rides along every exploded row.
+    - the hot-shingle count is a count window over hash-partitioning
+      by ``sh`` — exactly the partitioning both sides of the pair
+      self-join need — so ONE exchange of the exploded table feeds the
+      cap filter, the dropped-shingles report, and (via ReusedExchange
+      + preserved output partitioning) the join itself.  The previous
+      form paid a second full shuffle for a separate
+      ``groupBy("sh")`` count pass.
+
+    The window buffers one shingle's rows per group; a degenerate
+    boilerplate shingle spills rather than OOMs (WindowExec is
+    spill-aware), and its rows are dropped right after counting.
     """
-    counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_c"))
-    hot = counts.filter(F.col("_c") > cap).select("sh")
-    dropped = hot.agg(
-        F.count(F.lit(1)).alias("n_shingles_dropped")
+    arr = df.select(
+        F.col(id_col), shingle_hashes(F.col(text_col), n).alias("_arr")
     )
-    return sh.join(F.broadcast(hot), on="sh", how="left_anti"), dropped
+    sh = arr.select(
+        F.col(id_col),
+        F.size("_arr").alias("set_size"),
+        F.explode("_arr").alias("sh"),
+    )
+    if cap is None:
+        return sh, None
+    from pyspark.sql import Window
+
+    part = sh.repartition("sh").withColumn(
+        "_c", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+    )
+    kept = part.filter(F.col("_c") <= cap).drop("_c")
+    # The dropped-count branch deliberately REFERENCES id and set_size
+    # (max-folded away) so column pruning leaves its exchange subtree
+    # canonically identical to the join sides' — that is what lets
+    # ReusedExchange collapse all of them into one physical shuffle.
+    # A plain .select("sh").distinct() here prunes the other columns
+    # below the exchange and forfeits the reuse.
+    dropped = (
+        part.filter(F.col("_c") > cap)
+        .groupBy("sh")
+        .agg(
+            F.max(F.col(id_col)).alias("_i"),
+            F.max("set_size").alias("_s"),
+        )
+        # n_shingles_dropped == count(*); the CASE on min(_s) (always
+        # true: set sizes are positive, and both branches agree anyway)
+        # exists only to keep _i/_s REFERENCED so the optimizer cannot
+        # prune them — pruning would shrink this branch's exchange
+        # projection below [id, set_size, sh] and break the canonical
+        # equality that lets it reuse the join sides' shuffle.
+        .agg(
+            F.when(F.min("_s") >= 0, F.count(F.lit(1)))
+            .otherwise(F.count(F.least("_i", "_s")))
+            .alias("n_shingles_dropped")
+        )
+    )
+    return kept, dropped
 
 
 def ngram_jaccard_pairs(
@@ -370,16 +432,12 @@ def ngram_jaccard_pairs(
     therefore a lower bound, never an overestimate.  Default ``None``
     keeps the exact uncapped semantics (and the uncapped schema).
     """
-    sh = df.select(
-        F.col(id_col), F.explode(shingle_hashes(F.col(text_col), n)).alias("sh")
+    sh, dropped = _shingle_rows(
+        df, text_col, id_col, n, max_candidates_per_shingle
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    dropped = None
-    if max_candidates_per_shingle is not None:
-        sh, dropped = _cap_hot_shingles(sh, max_candidates_per_shingle)
     a = sh.alias("a")
     b = sh.alias("b")
-    common = (
+    out = (
         a.join(
             b,
             on=[
@@ -387,17 +445,16 @@ def ngram_jaccard_pairs(
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
             ],
         )
+        # set sizes are functionally dependent on the ids, so folding
+        # them into the grouping key replaces the two sizes joins of
+        # the naive form with zero extra work
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
-    out = (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -1076,17 +1133,12 @@ def containment_pairs(
     containment becomes a lower bound); ``None`` keeps the exact
     semantics and schema.
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode(shingle_hashes(F.col(text_col), n)).alias("sh"),
+    sh, dropped = _shingle_rows(
+        df, text_col, id_col, n, max_candidates_per_shingle
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    dropped = None
-    if max_candidates_per_shingle is not None:
-        sh, dropped = _cap_hot_shingles(sh, max_candidates_per_shingle)
     a = sh.alias("a")
     b = sh.alias("b")
-    common = (
+    out = (
         a.join(
             b,
             on=[
@@ -1094,18 +1146,18 @@ def containment_pairs(
                 F.col(f"a.{id_col}") != F.col(f"b.{id_col}"),
             ],
         )
+        # the contained side's true set size rides the grouping key —
+        # no post-agg sizes join (see _shingle_rows).  b's set_size is
+        # grouped too (functionally dependent, zero extra groups) so
+        # both join sides keep the SAME projection and their exchanges
+        # canonicalize equal — ReusedExchange then shares one shuffle.
         .groupBy(
             F.col(f"a.{id_col}").alias("contained_id"),
             F.col(f"b.{id_col}").alias("container_id"),
+            F.col("a.set_size").alias("size_contained"),
+            F.col("b.set_size").alias("_size_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(
-        F.col(id_col).alias("contained_id"),
-        F.col("set_size").alias("size_contained"),
-    )
-    out = (
-        common.join(sa, "contained_id")
         .filter(F.col("size_contained") >= min_shingles)
         .select(
             "contained_id",
