@@ -11771,6 +11771,63 @@ FROM documents
 """
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed crawl dedup (functions/text.canonicalize_url): each
+    document pair (doc_id // 2) publishes the SAME page under two
+    surface forms — clean https vs SHOUTING scheme/host + www. +
+    explicit :443 + shuffled query + tracking params + fragment — and
+    canonicalization must collapse every pair to one key, entirely in
+    codegen (regexp + higher-order array ops, no UDF).  One
+    hash-partial groupBy on the canonical key; the oracle states the
+    ground-truth canonical form directly from the source columns, so
+    every normalization rule is value-checked at corpus scale."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.functions.text import (
+        canonicalize_url,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    page = (F.col("doc_id") / 2).cast("long")
+    clean = F.concat(
+        F.lit("https://crawl.example.org/page/"),
+        page.cast("string"),
+        F.lit("?a=1&b=2"),
+    )
+    noisy = F.concat(
+        F.lit("HTTPS://WWW.CRAWL.EXAMPLE.ORG:443/page/"),
+        page.cast("string"),
+        F.lit("/?b=2&utm_source=feed&a=1&fbclid=x#middle"),
+    )
+    urls = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, clean)
+        .otherwise(noisy)
+        .alias("raw_url"),
+    )
+    return (
+        urls.select(
+            "doc_id", canonicalize_url(F.col("raw_url")).alias("canon")
+        )
+        .groupBy("canon")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+    )
+
+
+_SQL_URL_DEDUP = """
+WITH c AS (
+  SELECT doc_id,
+         'https://crawl.example.org/page/'
+           || CAST(doc_id // 2 AS VARCHAR) || '?a=1&b=2' AS canon
+  FROM documents)
+SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_dups,
+       MIN(doc_id) AS keep_doc
+FROM c GROUP BY canon
+"""
+
+
 def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-Audit-Publish release gate (versioned.wap_publish over
     the snapshot/manifest core): a CLEAN per-priority rollup publishes
@@ -11892,6 +11949,80 @@ def _sql_video_frames_real() -> str:
     return f"""
 WITH t AS (SELECT doc_id, md5(text) AS h FROM documents
            WHERE doc_id % 40 = 5),
+f AS (SELECT doc_id, h, unnest([0, 2]) AS frame_no FROM t)
+SELECT doc_id, frame_no, 16 AS width, 16 AS height,
+       CAST(CASE frame_no WHEN 0 THEN {byte(0)} ELSE {byte(2)} END
+            AS BIGINT) AS mean_floor,
+       CASE frame_no WHEN 0 THEN {byte(0)} ELSE {byte(2)} END AS px_min,
+       CASE frame_no WHEN 0 THEN {byte(0)} ELSE {byte(2)} END AS px_max
+FROM f
+"""
+
+
+def q_mp4_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 (ISO BMFF) frame sampling under the driver's oracle:
+    each sampled document becomes a genuine 4-frame Motion-JPEG MP4
+    (functions/mp4.py — full moov sample tables, frames laid out in
+    3-sample chunks so the reader resolves a genuine multi-run stsc)
+    flowing through the Arrow-batched extract_mp4_frames stage
+    sampling every 2nd frame — box walk, stsc×stco×stsz offset
+    arithmetic, and per-frame T.81 Huffman/IDCT decode all execute
+    for real.  Constant blocks decode losslessly, so frame means
+    equal md5 digest bytes, which DuckDB reproduces from the hex
+    (the video_frames_real contract, ISO-BMFF edition)."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        extract_mp4_frames,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 40 == 7)
+    )
+
+    def to_mp4(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.jpeg import (
+            encode_jpeg_gray,
+        )
+        from blueforty___etl_data_pipeline_spark.functions.mp4 import (
+            encode_mp4_mjpeg,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for text in pdf["text"]:
+                d = _hl.md5(text.encode("utf-8")).digest()
+                jpegs = [
+                    encode_jpeg_gray([[d[i]] * 16 for _ in range(16)])
+                    for i in range(4)
+                ]
+                # 3-sample chunks over 4 frames -> chunks [3, 1]:
+                # a real two-run stsc for the demuxer to expand
+                blobs.append(
+                    encode_mp4_mjpeg(jpegs, 16, 16, samples_per_chunk=3)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": blobs}
+            )
+
+    media = docs.mapInPandas(
+        to_mp4, schema="doc_id long, content binary"
+    )
+    return extract_mp4_frames(media, every_k=2)
+
+
+def _sql_mp4_frames_real() -> str:
+    def byte(k: int) -> str:
+        return f"CAST(('0x' || substr(h, {2 * k + 1}, 2)) AS INTEGER)"
+
+    return f"""
+WITH t AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id % 40 = 7),
 f AS (SELECT doc_id, h, unnest([0, 2]) AS frame_no FROM t)
 SELECT doc_id, frame_no, 16 AS width, 16 AS height,
        CAST(CASE frame_no WHEN 0 THEN {byte(0)} ELSE {byte(2)} END
@@ -13959,12 +14090,13 @@ ORDER BY entity
 def q_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Magic-byte media triage (operators/multimodal.
     sniff_media_type): every sampled document becomes a REAL blob of
-    one of eight vendored formats (PNG, BMP, FLAC, MIDI, MP3, WARC,
-    Avro, fixed-junk) chosen by doc_id — each built by the actual
-    encoder — then classified by the pure-codegen magic dispatcher
-    and counted per detected type.  The oracle states the expected
-    residue→type mapping, so every magic rule is checked against a
-    genuine instance of its format."""
+    one of nine vendored formats (PNG, BMP, FLAC, MIDI, MP3, WARC,
+    Avro, MP4, fixed-junk) chosen by doc_id — each built by the
+    actual encoder — then classified by the pure-codegen magic
+    dispatcher and counted per detected type.  The oracle states the
+    expected residue→type mapping, so every magic rule is checked
+    against a genuine instance of its format (including the one magic
+    not at offset 0: MP4's ``ftyp`` at byte 4)."""
     _prep(spark)
     from blueforty___etl_data_pipeline_spark.operators.multimodal import (
         sniff_media_type,
@@ -14004,7 +14136,7 @@ def q_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 d = _hl.md5(text.encode("utf-8")).digest()
-                k = doc_id % 40  # doc_id % 5 == 1 -> k in {1,6,...,36}
+                k = doc_id % 45  # doc_id % 5 == 1 -> k in {1,6,...,41}
                 if k == 1:
                     blob = encode_png_gray([list(d[:4])] * 4)
                 elif k == 6:
@@ -14025,6 +14157,17 @@ def q_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 elif k == 31:
                     blob = b"Obj\x01" + bytes(d)
+                elif k == 41:
+                    from blueforty___etl_data_pipeline_spark.functions.jpeg import (  # noqa: E501
+                        encode_jpeg_gray,
+                    )
+                    from blueforty___etl_data_pipeline_spark.functions.mp4 import (  # noqa: E501
+                        encode_mp4_mjpeg,
+                    )
+
+                    blob = encode_mp4_mjpeg(
+                        [encode_jpeg_gray([[d[0]] * 16] * 16)], 16, 16
+                    )
                 else:
                     # k == 36: junk -> unknown (0x00 lead byte can
                     # never collide with any magic in the table)
@@ -14045,10 +14188,11 @@ def q_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_MEDIA_SNIFF = """
 WITH t AS (
-  SELECT CASE doc_id % 40
+  SELECT CASE doc_id % 45
            WHEN 1 THEN 'png' WHEN 6 THEN 'bmp' WHEN 11 THEN 'flac'
            WHEN 16 THEN 'midi' WHEN 21 THEN 'mp3' WHEN 26 THEN 'warc'
-           WHEN 31 THEN 'avro' ELSE 'unknown' END AS kind
+           WHEN 31 THEN 'avro' WHEN 41 THEN 'mp4'
+           ELSE 'unknown' END AS kind
   FROM documents WHERE doc_id % 5 = 1)
 SELECT kind, CAST(COUNT(*) AS BIGINT) AS n
 FROM t GROUP BY kind ORDER BY kind
@@ -14140,8 +14284,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mahalanobis": q_mahalanobis,
         "golden_record": q_golden_record,
         "media_sniff": q_media_sniff,
-        # -- round-7 session additions (never driver-checked; queue for
-        # the round-8 window behind the 12-name spill above) ---------------
+        # -- round-8 session additions (never driver-checked; queue
+        # behind the 62-name backlog above — the r7 driver window never
+        # ran, so the whole backlog is still awaiting its first
+        # driver-signed row) ------------------------------------------------
+        "mp4_frames_real": q_mp4_frames_real,
+        "url_dedup": q_url_dedup,
         # ---- driver-green in round 6 (the r6 window, 50/50 green) --------
         "order_totals": q_order_totals,
         "streaming_sliding": q_streaming_sliding,
@@ -14399,6 +14547,8 @@ def oracle_sql() -> dict[str, str]:
         "ab_test": _SQL_AB_TEST,
         "split_leakage": _sql_split_leakage(),
         "video_frames_real": _sql_video_frames_real(),
+        "mp4_frames_real": _sql_mp4_frames_real(),
+        "url_dedup": _SQL_URL_DEDUP,
         "wap_publish": _SQL_WAP_PUBLISH,
         "jpeg_color_real": _sql_jpeg_color_real(),
         "png_color_real": _sql_png_color_real(),

@@ -431,6 +431,12 @@ HEADLINE = [
     "golden_record",
     # round-6: magic-byte media-type sniffer (pure codegen over binary)
     "media_sniff",
+    # round-8: real MP4/ISO-BMFF frame sampling (box walk + sample-table
+    # offset arithmetic + T.81 decode)
+    "mp4_frames_real",
+    # round-8: URL canonicalization dedup (pure-codegen crawl-key
+    # normalization + one hash-partial groupBy)
+    "url_dedup",
 ]
 
 

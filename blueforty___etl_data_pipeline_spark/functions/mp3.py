@@ -25,8 +25,22 @@ Implemented:
   gate in :mod:`operators.multimodal` — but every byte the PARSER
   inspects is spec-true, so the parse path exercised is the real one.
 
-Reference scope: the reference pipeline (BlueForty.py) has no media
-path at all; this extends the engine's multimodal ingest surface.
+DOCUMENTED BOUNDARY — metadata only, no PCM decode.  Sample-level
+MPEG-1 audio synthesis (any layer) requires the tabulated
+coefficients of ISO/IEC 11172-3 Annex B (the 512-tap synthesis
+window, layer bit-allocation tables, Layer III Huffman code tables):
+values that are published as NUMERIC TABLES, not derivable from a
+closed-form formula, so a stdlib-only reimplementation cannot be
+independently verified the way this repo's other codecs are (FLAC's
+Rice coding, JPEG's DCT, ADPCM's integer recurrence all follow from
+spec formulas).  Rather than embed a thousand unverifiable constants,
+the engine draws the line at the container: everything above the
+audio-synthesis layer is real and oracle-checked; PCM extraction
+raises ``NotImplementedError`` in ``operators.multimodal.
+decode_audio_real`` naming this boundary.  A 100 TB pipeline
+transcodes lossy audio to WAV/FLAC upstream (the normal corpus
+normalization step) and uses this module to TRIAGE: find MP3s, read
+their duration/bitrate/tags at scan speed, route them.
 """
 
 from __future__ import annotations

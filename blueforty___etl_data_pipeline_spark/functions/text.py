@@ -363,3 +363,81 @@ def in_cidr(ip_long: Column, cidr: str) -> Column:
     return (
         F.floor(ip_long / F.lit(shift)) == net // shift
     )
+
+
+#: Query parameters that carry tracking/session state, not content
+#: identity — the standard strip set for URL-keyed dedup (utm_* is
+#: matched as a prefix; these are exact names).
+TRACKING_PARAMS = (
+    "gclid", "fbclid", "msclkid", "dclid", "twclid", "igshid",
+    "mc_cid", "mc_eid", "ref", "ref_src", "ref_url", "_ga", "yclid",
+    "sessionid", "phpsessid", "jsessionid", "sid",
+)
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an http(s) URL for URL-KEYED DEDUP — the
+    normalization step every crawl-corpus pipeline runs before
+    grouping by URL, entirely in codegen (split / higher-order array
+    functions / regexp — no UDF, so it runs at scan speed over a
+    100 TB crawl table):
+
+    - scheme and host lowercased; a leading ``www.`` label dropped
+      (the near-universal duplicate publisher alias);
+    - explicit default ports removed (``:80`` for http, ``:443`` for
+      https); non-default ports kept;
+    - fragment (``#...``) dropped — never sent to the server;
+    - tracking query parameters removed: any ``utm_*`` plus the
+      :data:`TRACKING_PARAMS` set (matched on the name, case-lowered);
+    - surviving query parameters SORTED bytewise (param order is not
+      content identity), joined with ``&``; an emptied query drops
+      its ``?``;
+    - trailing slash stripped from non-root paths; an empty path
+      becomes ``/``.
+
+    Non-http(s) or unparseable inputs yield NULL so callers can route
+    them to a quarantine rather than dedup on garbage keys.
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    # authority = [userinfo@]host[:port]; keep userinfo out of the key
+    authority = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(authority, r"^(?:[^@]*@)?([^:]*)", 1)),
+        r"^www\.",
+        "",
+    )
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", "/").otherwise(
+        F.regexp_replace(path, r"(?<=.)/$", "")
+    )
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (p != "")
+                & ~F.lower(F.regexp_extract(p, r"^([^=]*)", 1)).startswith(
+                    "utm_"
+                )
+                & ~F.lower(F.regexp_extract(p, r"^([^=]*)", 1)).isin(
+                    *TRACKING_PARAMS
+                ),
+            )
+        ),
+        "&",
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(""),
+        path,
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(""),
+    )
+    return F.when(scheme.isin("http", "https") & (host != ""), canon)

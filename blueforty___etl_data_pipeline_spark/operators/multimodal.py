@@ -291,6 +291,59 @@ def extract_video_frames(
     )
 
 
+def extract_mp4_frames(
+    media: DataFrame, every_k: int = 1, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL MP4 frame sampling: walk ISO BMFF box trees
+    (functions/mp4.py — moov/trak/stbl sample tables, stsc×stco×stsz
+    offset arithmetic) and decode every sampled Motion-JPEG frame
+    through the vendored T.81 codec — one row per sampled frame with
+    all-integer stats, same shape as :func:`extract_video_frames`
+    (the AVI twin).  Compressed codecs (H.264/HEVC/VP9/AV1) raise
+    ``NotImplementedError`` by name inside the batch — an honest
+    gate.  Arrow-batched ``mapInPandas``; zero Exchange."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from ..functions.mp4 import mp4_frame_stats
+
+        for pdf in batches:
+            ids, fno, ws, hs, means, mins, maxs = (
+                [], [], [], [], [], [], []
+            )
+            for doc_id, blob in zip(pdf[id_col], pdf["content"]):
+                for (i, w, h, mean, lo, hi) in mp4_frame_stats(
+                    blob, every_k=every_k
+                ):
+                    ids.append(doc_id)
+                    fno.append(i)
+                    ws.append(w)
+                    hs.append(h)
+                    means.append(mean)
+                    mins.append(lo)
+                    maxs.append(hi)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_no": fno,
+                    "width": ws,
+                    "height": hs,
+                    "mean_floor": means,
+                    "px_min": mins,
+                    "px_max": maxs,
+                }
+            )
+
+    return media.select(id_col, "content").mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, frame_no int, width int, height int, "
+            "mean_floor long, px_min int, px_max int"
+        ),
+    )
+
+
 def encode_wav_pcm16(samples: list[int], framerate: int = 8000) -> bytes:
     """Serialize int16 mono PCM to a real RIFF/WAVE blob (stdlib
     ``wave`` writer) — the audio twin of functions/png.encode_png_gray,
@@ -338,6 +391,24 @@ def decode_audio_real(data: bytes) -> tuple[int, int, int, int]:
 
     if data.startswith(FLAC_MAGIC):
         return flac_audio_stats(data)
+
+    # MP3: explicit, documented boundary (ID3v2 tag or bare MPEG sync).
+    # The engine parses MP3 CONTAINER METADATA for real (frame chain,
+    # duration, CBR/VBR profile — functions/mp3.py, `mp3_meta_real`),
+    # but PCM decode needs the ISO 11172-3 tabulated synthesis-window
+    # and Huffman tables, which this engine does not vendor.
+    if data[:3] == b"ID3" or (
+        len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+    ):
+        raise NotImplementedError(
+            "MP3 PCM decode is out of scope: MPEG-1 audio synthesis "
+            "requires the ISO/IEC 11172-3 tabulated filterbank/Huffman "
+            "tables, which this engine does not vendor. MP3 container "
+            "METADATA (frame chain, duration, bitrate profile, ID3 "
+            "envelope) is fully supported via functions/mp3.py "
+            "(`mp3_meta_real`); transcode to WAV/FLAC upstream for "
+            "sample-level features."
+        )
 
     def stats(samples, rate):
         peak = max((abs(s) for s in samples), default=0)
@@ -731,11 +802,12 @@ def sniff_media_type(content: "F.Column") -> "F.Column":
 
     Covers every container this engine decodes: PNG, JPEG, GIF, BMP,
     TIFF (both byte orders), WAV and AVI (RIFF subtypes — bytes 9-12
-    disambiguate), FLAC, MIDI, MP3 (ID3v2 or a bare MPEG sync), Avro,
-    ZIP (xlsx/webdataset-zip), WARC, XML, SRT-ish digit+CRLF text;
-    everything else → 'unknown'.  Magic tables are the formats' open
-    specs; longest/most-specific patterns test first (RIFF before
-    generic prefixes, ID3 before the 0xFFEx sync).
+    disambiguate), MP4/ISO-BMFF (``ftyp`` at offset 4 — the one magic
+    that is NOT at offset 0), FLAC, MIDI, MP3 (ID3v2 or a bare MPEG
+    sync), Avro, ZIP (xlsx/webdataset-zip), WARC, XML, SRT-ish
+    digit+CRLF text; everything else → 'unknown'.  Magic tables are
+    the formats' open specs; longest/most-specific patterns test
+    first (RIFF before generic prefixes, ID3 before the 0xFFEx sync).
     """
     def pfx(k: int):
         return F.substring(content, 1, k)
@@ -744,6 +816,7 @@ def sniff_media_type(content: "F.Column") -> "F.Column":
     riff_type = F.substring(content, 9, 4)
     return (
         F.when(pfx(8) == F.expr("X'89504E470D0A1A0A'"), "png")
+        .when(F.substring(content, 5, 4) == F.expr("X'66747970'"), "mp4")
         .when(pfx(4) == F.expr("X'47494638'"), "gif")
         .when(
             (pfx(4) == F.expr("X'52494646'"))

@@ -256,3 +256,35 @@ def test_registrable_domain_psl_shapes(spark):
         ).collect()
     }
     assert got == cases
+
+
+def test_canonicalize_url_shapes(spark):
+    from blueforty___etl_data_pipeline_spark.functions.text import (
+        canonicalize_url,
+    )
+
+    cases = {
+        # case, www, default port, tracking params, param sort, fragment
+        "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#f":
+            "https://example.com/a/b?a=1&b=2",
+        # non-default port and userinfo: port kept, userinfo dropped
+        "http://user:pw@www.site.co.uk:8080/p?fbclid=z&z=9&A=2":
+            "http://site.co.uk:8080/p?A=2&z=9",
+        # default http port dropped
+        "http://example.com:80/x": "http://example.com/x",
+        # empty path -> '/'; all-tracking query drops its '?'
+        "https://example.com?utm_a=1&gclid=2": "https://example.com/",
+        # root path keeps its slash
+        "https://example.com/": "https://example.com/",
+        # non-http(s) and garbage -> NULL (quarantine, not a dedup key)
+        "ftp://example.com/x": None,
+        "not a url": None,
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "u string")
+    got = {
+        r["u"]: r["c"]
+        for r in df.select(
+            "u", canonicalize_url(F.col("u")).alias("c")
+        ).collect()
+    }
+    assert got == cases

@@ -881,6 +881,29 @@ def test_flac_foreign_lpc_rice2_escape_and_wasted_bits():
     assert samples == [10, 12, 14, 16, 18, 20, 22, 24]
 
 
+def test_decode_audio_real_gates_mp3_by_name():
+    """The MP3 boundary is a DOCUMENTED gate, not an opaque wave.Error:
+    both ID3v2-tagged and bare-sync MP3 blobs raise NotImplementedError
+    pointing at the metadata path (functions/mp3.py)."""
+    import pytest as _pytest
+
+    from blueforty___etl_data_pipeline_spark.functions.mp3 import (
+        encode_mp3_stream,
+    )
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        decode_audio_real,
+    )
+
+    tagged = encode_mp3_stream([9], [0], 44100, tag_payload=b"T")
+    assert tagged[:3] == b"ID3"
+    with _pytest.raises(NotImplementedError, match="functions/mp3"):
+        decode_audio_real(tagged)
+    bare = encode_mp3_stream([9], [0], 44100)
+    assert bare[0] == 0xFF and (bare[1] & 0xE0) == 0xE0
+    with _pytest.raises(NotImplementedError, match="METADATA"):
+        decode_audio_real(bare)
+
+
 def test_decode_audio_real_dispatches_flac(spark):
     from blueforty___etl_data_pipeline_spark.functions.flac import (
         encode_flac_mono16,
@@ -934,6 +957,69 @@ def test_avi_rejects_non_avi():
         decode_avi_mjpeg_frames(b"RIFF\x04\x00\x00\x00WAVE")
     with _pytest.raises(ValueError):
         decode_avi_mjpeg_frames(b"not a riff at all")
+
+
+def test_mp4_mjpeg_roundtrip_and_stats():
+    import random
+
+    from blueforty___etl_data_pipeline_spark.functions.jpeg import (
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+    from blueforty___etl_data_pipeline_spark.functions.mp4 import (
+        decode_mp4_frames,
+        encode_mp4_mjpeg,
+        mp4_frame_stats,
+    )
+
+    rng = random.Random(5)
+    px = [
+        [[rng.randrange(256) for _ in range(16)] for _ in range(16)]
+        for _ in range(5)
+    ]
+    jpegs = [encode_jpeg_gray(f) for f in px]
+    # 5 frames in 2-sample chunks -> chunks [2,2,1], two stsc runs
+    mp4 = encode_mp4_mjpeg(jpegs, 16, 16, fps=5, samples_per_chunk=2)
+    assert decode_mp4_frames(mp4) == jpegs
+    # single-chunk layout (spc > n) must also resolve
+    assert decode_mp4_frames(
+        encode_mp4_mjpeg(jpegs, 16, 16, samples_per_chunk=9)
+    ) == jpegs
+    # frames may be PROGRESSIVE JPEGs too (decode_jpeg_gray_any path)
+    consts = [
+        encode_jpeg_gray_progressive([[v] * 16 for _ in range(16)])
+        for v in (7, 99, 200, 255)
+    ]
+    stats = mp4_frame_stats(
+        encode_mp4_mjpeg(consts, 16, 16, samples_per_chunk=3), every_k=2
+    )
+    assert stats == [(0, 16, 16, 7, 7, 7), (2, 16, 16, 200, 200, 200)]
+
+
+def test_mp4_rejects_non_mp4_and_gates_compressed_codecs():
+    import pytest as _pytest
+
+    from blueforty___etl_data_pipeline_spark.functions.jpeg import (
+        encode_jpeg_gray,
+    )
+    from blueforty___etl_data_pipeline_spark.functions.mp4 import (
+        decode_mp4_frames,
+        encode_mp4_mjpeg,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_mp4_frames(b"RIFF\x04\x00\x00\x00AVI ")
+    with _pytest.raises(ValueError):
+        decode_mp4_frames(b"not an mp4 at all, honest")
+    # an H.264 stsd entry must raise NotImplementedError BY NAME,
+    # never silently return garbage frames
+    mp4 = bytearray(
+        encode_mp4_mjpeg([encode_jpeg_gray([[1] * 16] * 16)], 16, 16)
+    )
+    idx = bytes(mp4).find(b"jpeg", bytes(mp4).find(b"stsd"))
+    mp4[idx : idx + 4] = b"avc1"
+    with _pytest.raises(NotImplementedError, match="avc1"):
+        decode_mp4_frames(bytes(mp4))
 
 
 def test_gif_disposal_background_and_previous():

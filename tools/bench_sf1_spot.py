@@ -64,6 +64,16 @@ SLOW_SET = [
     "k_core",
     "acf_daily",
     "jackknife_se",
+    # round-8 extension (VERDICT r6 item 6): remaining round-6
+    # scale-sensitive additions — grid-bucketed DBSCAN, model train +
+    # broadcast inference, graph feature join, islands window, WARC
+    # container roundtrip; plus the new MP4 sample-table walk
+    "density_clusters",
+    "naive_bayes",
+    "link_prediction",
+    "merge_intervals",
+    "warc_roundtrip",
+    "mp4_frames_real",
 ]
 
 
