@@ -12033,6 +12033,331 @@ FROM f
 """
 
 
+def q_mkv_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Matroska (EBML) frame sampling under the driver's oracle:
+    each sampled document becomes a genuine 4-frame V_MJPEG MKV
+    (functions/mkv.py — RFC 8794 varint tree, 2-frame Clusters so the
+    reader does the real cluster-timestamp + 16-bit-relative-offset
+    arithmetic) flowing through the Arrow-batched extract_mkv_frames
+    stage sampling every 2nd frame.  Constant blocks decode
+    losslessly through the T.81 codec, so frame means equal md5
+    digest bytes and block timestamps equal frame_no×100 ms — all
+    reproduced by DuckDB from the hex (the video_frames_real
+    contract, EBML edition)."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        extract_mkv_frames,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 40 == 17)
+    )
+
+    def to_mkv(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.jpeg import (
+            encode_jpeg_gray,
+        )
+        from blueforty___etl_data_pipeline_spark.functions.mkv import (
+            encode_mkv_mjpeg,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for text in pdf["text"]:
+                d = _hl.md5(text.encode("utf-8")).digest()
+                jpegs = [
+                    encode_jpeg_gray([[d[i]] * 16 for _ in range(16)])
+                    for i in range(4)
+                ]
+                blobs.append(
+                    encode_mkv_mjpeg(
+                        jpegs, 16, 16, fps=10, frames_per_cluster=2
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": blobs}
+            )
+
+    media = docs.mapInPandas(
+        to_mkv, schema="doc_id long, content binary"
+    )
+    return extract_mkv_frames(media, every_k=2)
+
+
+def _sql_mkv_frames_real() -> str:
+    def byte(k: int) -> str:
+        return f"CAST(('0x' || substr(h, {2 * k + 1}, 2)) AS INTEGER)"
+
+    return f"""
+WITH t AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id % 40 = 17),
+f AS (SELECT doc_id, h, unnest([0, 2]) AS frame_no FROM t)
+SELECT doc_id, frame_no, CAST(frame_no * 100 AS BIGINT) AS ts_ticks,
+       16 AS width, 16 AS height,
+       CAST(CASE frame_no WHEN 0 THEN {byte(0)} ELSE {byte(2)} END
+            AS BIGINT) AS mean_floor,
+       CASE frame_no WHEN 0 THEN {byte(0)} ELSE {byte(2)} END AS px_min,
+       CASE frame_no WHEN 0 THEN {byte(0)} ELSE {byte(2)} END AS px_max
+FROM f
+"""
+
+
+def q_m4a_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL .m4a (ISO BMFF audio) metadata triage under the driver's
+    oracle: each sampled document becomes a spec-valid M4A container
+    (functions/mp4.py encode_m4a_aac — real esds descriptor chain,
+    real 1024-sample AAC frame timing) whose shape derives from the
+    doc's md5, then flows through the Arrow-batched
+    extract_track_meta stage: box walk, mdhd timescale/duration,
+    AudioSampleEntry channels/rate, and the esds objectTypeIndication
+    refinement (codec 'mp4a.40' = AAC) all execute for real.  The
+    oracle recomputes every field from the same md5 bytes."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        extract_track_meta,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 40 == 11)
+    )
+
+    def to_m4a(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.mp4 import (
+            encode_m4a_aac,
+        )
+
+        rates = (48000, 44100, 32000, 22050)
+        for pdf in batches:
+            blobs = []
+            for text in pdf["text"]:
+                d = _hl.md5(text.encode("utf-8")).digest()
+                n_frames = 2 + d[1] % 3
+                blobs.append(
+                    encode_m4a_aac(
+                        [60 + d[2] % 40] * n_frames,
+                        samplerate=rates[d[0] % 4],
+                        channels=1 + d[0] % 2,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": blobs}
+            )
+
+    media = docs.mapInPandas(
+        to_m4a, schema="doc_id long, content binary"
+    )
+    return extract_track_meta(media).select(
+        "doc_id", "handler", "codec", "timescale", "duration",
+        "n_samples", "channels", "samplerate",
+    )
+
+
+def _sql_m4a_meta_real() -> str:
+    def byte(k: int) -> str:
+        return f"CAST(('0x' || substr(h, {2 * k + 1}, 2)) AS INTEGER)"
+
+    return f"""
+WITH t AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id % 40 = 11),
+s AS (SELECT doc_id,
+             CASE {byte(0)} % 4 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+                  WHEN 2 THEN 32000 ELSE 22050 END AS rate,
+             2 + {byte(1)} % 3 AS n_frames,
+             1 + {byte(0)} % 2 AS ch
+      FROM t)
+SELECT doc_id, 'soun' AS handler, 'mp4a.40' AS codec,
+       CAST(rate AS BIGINT) AS timescale,
+       CAST(n_frames * 1024 AS BIGINT) AS duration,
+       n_frames AS n_samples, ch AS channels, rate AS samplerate
+FROM s
+"""
+
+
+def q_robots_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots.txt crawl-governance audit (operators/crawl.
+    robots_decisions): every source becomes a host publishing a
+    robots.txt whose groups derive from md5(source) — a ``*`` group
+    disallowing /private/ (with a longer Allow carve-out for
+    /private/press/ on even d0) and, on even d1, a trainer-bot group
+    disallowing /docs/ — and every document becomes a page under one
+    of the three path classes.  The REAL parser (group expansion,
+    agent selection by longest product token, longest-prefix decision
+    with Allow winning ties) runs host-side and the per-page decision
+    is a broadcast pure-codegen fold; the oracle states the RFC
+    outcome for every (group-shape, path-class) cell, so each
+    decision rule is value-checked.  Scale: robots stay
+    host-cardinality, pages never shuffle (broadcast join only)."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.crawl import (
+        robots_decisions,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    pages = docs.select(
+        "doc_id",
+        "source",
+        F.concat(F.col("source"), F.lit(".example.org")).alias("host"),
+        F.concat(
+            F.element_at(
+                F.array(
+                    F.lit("/private/press/"),
+                    F.lit("/private/"),
+                    F.lit("/docs/"),
+                ),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ),
+            F.col("doc_id").cast("string"),
+        ).alias("path"),
+    )
+
+    hosts = docs.select("source").distinct()
+
+    def to_robots(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for src in pdf["source"]:
+                d = _hl.md5(src.encode("utf-8")).digest()
+                lines = ["User-agent: *", "Disallow: /private/"]
+                if d[0] % 2 == 0:
+                    lines.append("Allow: /private/press/")
+                if d[1] % 2 == 0:
+                    lines += [
+                        "",
+                        "User-agent: trainer-bot",
+                        "Disallow: /docs/",
+                    ]
+                rows.append(
+                    (src + ".example.org", "\n".join(lines) + "\n")
+                )
+            yield pd.DataFrame(rows, columns=["host", "robots_txt"])
+
+    robots = hosts.mapInPandas(
+        to_robots, schema="host string, robots_txt string"
+    )
+    decided = robots_decisions(pages, robots, agent="trainer-bot/1.0")
+    return decided.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(F.col("allowed").cast("int")).alias("n_allowed"),
+    )
+
+
+_SQL_ROBOTS_AUDIT = """
+WITH f AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(source), 1, 2)) AS INTEGER) % 2 = 0
+           AS press_allow,
+         CAST(('0x' || substr(md5(source), 3, 2)) AS INTEGER) % 2 = 0
+           AS trainer_group
+  FROM (SELECT DISTINCT source FROM documents)),
+d AS (
+  SELECT doc_id, source, doc_id % 3 AS c FROM documents),
+dec AS (
+  SELECT d.source,
+         CASE WHEN f.trainer_group THEN (d.c <> 2)
+              ELSE CASE d.c WHEN 0 THEN f.press_allow
+                            WHEN 1 THEN FALSE
+                            ELSE TRUE END
+         END AS allowed
+  FROM d JOIN f USING (source))
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_allowed
+FROM dec GROUP BY source
+"""
+
+
+def q_ogg_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Ogg Opus metadata triage under the driver's oracle: each
+    sampled document becomes a spec-valid Ogg stream (functions/
+    ogg.py encode_ogg_opus — real page CRCs over the unreflected
+    0x04C11DB7 polynomial, real lacing tables, real OpusHead) whose
+    shape derives from its md5, then the parser re-walks every page
+    VERIFYING each CRC and reads codec/channels/rate/pre-skip and the
+    exact granule-position duration.  DuckDB recomputes every field
+    from the same md5 bytes."""
+    _prep(spark)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 40 == 23)
+    )
+
+    def roundtrip(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.ogg import (
+            encode_ogg_opus,
+            ogg_meta,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = _hl.md5(text.encode("utf-8")).digest()
+                blob = encode_ogg_opus(
+                    n_frames=1 + d[0] % 5,
+                    samplerate=48000,
+                    channels=1 + d[1] % 2,
+                    pre_skip=300 + d[2],
+                )
+                codec, serial, n_pages, ch, rate, skip, dur = ogg_meta(
+                    blob
+                )
+                rows.append(
+                    (doc_id, codec, n_pages, ch, rate, skip, dur)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "codec", "n_pages", "channels",
+                    "samplerate", "pre_skip", "duration_samples",
+                ],
+            )
+
+    return docs.mapInPandas(
+        roundtrip,
+        schema=(
+            "doc_id long, codec string, n_pages int, channels int, "
+            "samplerate int, pre_skip int, duration_samples long"
+        ),
+    )
+
+
+def _sql_ogg_meta_real() -> str:
+    def byte(k: int) -> str:
+        return f"CAST(('0x' || substr(h, {2 * k + 1}, 2)) AS INTEGER)"
+
+    return f"""
+WITH t AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id % 40 = 23)
+SELECT doc_id, 'opus' AS codec,
+       2 + 1 + {byte(0)} % 5 AS n_pages,
+       1 + {byte(1)} % 2 AS channels,
+       48000 AS samplerate,
+       300 + {byte(2)} AS pre_skip,
+       CAST((1 + {byte(0)} % 5) * 960 AS BIGINT) AS duration_samples
+FROM t
+"""
+
+
 def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion z-test readout (operators/analytics.
     ab_proportion_test): users split into two deterministic variants
@@ -12995,6 +13320,123 @@ SELECT doc_id,
        CAST(SUM(CASE WHEN next_start < end_ms THEN 1 ELSE 0 END)
             AS BIGINT) AS n_overlaps,
        CAST(SUM(chars) AS BIGINT) AS text_chars
+FROM nxt
+GROUP BY doc_id
+"""
+
+
+def q_vtt_parse_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebVTT parse under the driver's oracle — the W3C sibling
+    of `srt_parse_real`, exercising everything VTT adds over SRT: the
+    signature line, a NOTE comment block (skipped), cue identifier
+    lines, dot-millisecond times, and per-cue settings after the end
+    time.  Each sampled document becomes a hand-assembled VTT stream
+    whose shape derives from its md5; functions/subtitles.parse_vtt
+    re-parses it inside an Arrow-batched stage and folds to alignment
+    stats plus a parsed-settings count, all millisecond-integers, so
+    DuckDB reproduces every field from md5 hex pairs."""
+    _prep(spark)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 40 == 14)
+    )
+
+    def vtt_roundtrip(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.subtitles import (
+            _fmt_vtt,
+            parse_vtt,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = _hl.md5(text.encode("utf-8")).digest()
+                n = 2 + d[0] % 4
+                blocks = ["WEBVTT - fixture", "NOTE md5-derived\ncues"]
+                for i in range(n):
+                    start = i * 3000 + d[i + 1] * 10
+                    end = start + 400 + d[i + 2] * 7
+                    settings = (
+                        " align:start" if d[i + 3] % 2 == 0 else ""
+                    )
+                    blocks.append(
+                        f"cue-{i + 1}\n{_fmt_vtt(start)} --> "
+                        f"{_fmt_vtt(end)}{settings}\n"
+                        + "c" * (1 + d[i + 3] % 9)
+                    )
+                cues = parse_vtt("\n\n".join(blocks) + "\n")
+                overlaps = sum(
+                    1
+                    for a, b in zip(cues, cues[1:])
+                    if b["start_ms"] < a["end_ms"]
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        len(cues),
+                        cues[0]["start_ms"],
+                        cues[-1]["end_ms"],
+                        sum(c["end_ms"] - c["start_ms"] for c in cues),
+                        overlaps,
+                        sum(len(c["text"]) for c in cues),
+                        sum(1 for c in cues if c["settings"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_cues", "first_start_ms", "last_end_ms",
+                    "speech_ms", "n_overlaps", "text_chars",
+                    "n_with_settings",
+                ],
+            )
+
+    return docs.mapInPandas(
+        vtt_roundtrip,
+        schema=(
+            "doc_id long, n_cues int, first_start_ms long, "
+            "last_end_ms long, speech_ms long, n_overlaps long, "
+            "text_chars long, n_with_settings long"
+        ),
+    )
+
+
+def _sql_vtt_parse_real() -> str:
+    def byte(k: str) -> str:
+        return f"CAST(('0x' || substr(h, 2 * ({k}) + 1, 2)) AS INTEGER)"
+
+    return f"""
+WITH t AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id % 40 = 14),
+docs AS (SELECT doc_id, h, 2 + {byte('0')} % 4 AS n FROM t),
+cues AS (
+  SELECT d.doc_id, d.n, g.range AS i,
+         g.range * 3000 + {byte('g.range + 1')} * 10 AS start_ms,
+         g.range * 3000 + {byte('g.range + 1')} * 10
+           + 400 + {byte('g.range + 2')} * 7 AS end_ms,
+         1 + {byte('g.range + 3')} % 9 AS chars,
+         CASE WHEN {byte('g.range + 3')} % 2 = 0 THEN 1 ELSE 0 END
+           AS has_settings
+  FROM docs d JOIN range(5) g ON g.range < d.n),
+nxt AS (
+  SELECT c.*,
+         LEAD(start_ms) OVER (PARTITION BY doc_id ORDER BY i)
+           AS next_start
+  FROM cues c)
+SELECT doc_id,
+       CAST(ANY_VALUE(n) AS INTEGER) AS n_cues,
+       CAST(MIN(start_ms) AS BIGINT) AS first_start_ms,
+       CAST(MAX(end_ms) AS BIGINT) AS last_end_ms,
+       CAST(SUM(end_ms - start_ms) AS BIGINT) AS speech_ms,
+       CAST(SUM(CASE WHEN next_start < end_ms THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overlaps,
+       CAST(SUM(chars) AS BIGINT) AS text_chars,
+       CAST(SUM(has_settings) AS BIGINT) AS n_with_settings
 FROM nxt
 GROUP BY doc_id
 """
@@ -14207,17 +14649,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query correctness window carries the
-    most NEW signal each round.  Round-7 layout (VERDICT r6 item 1):
+    most NEW signal each round.  Round-8 layout:
 
     - the 62 queries that have never carried a driver-signed
-      CORRECTNESS row lead (the round-6 session additions that
-      spilled past position 50; exact list = the r6 judge sweep set,
-      all 62 judge-verified green).  50 land in this round's window;
-      the remaining 12 (positions 51-62) lead the round-8 window.
-    - round-7 session additions queue right after the backlog
-      (positions 63+), then everything driver-green in rounds 2-6.
-
-    After round 8 the whole surface carries a driver-signed row.
+      CORRECTNESS row still lead (round 7 ended after 106 turns and
+      its driver window never ran — no CORRECTNESS_r07.json exists —
+      so the whole 62-name backlog from VERDICT r6 item 1 is intact;
+      all 62 were judge-verified green in the r6 sweep and re-verified
+      by the full 296/296 differential this session).  50 land in the
+      round-8 window; the remaining 12 plus the round-8 session
+      additions (positions 63+) queue for round 9.
+    - then everything driver-green in rounds 2-6.
     """
     return {
         # -- never-driver-checked backlog (62): positions 1-50 fill the
@@ -14290,6 +14732,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-signed row) ------------------------------------------------
         "mp4_frames_real": q_mp4_frames_real,
         "url_dedup": q_url_dedup,
+        "m4a_meta_real": q_m4a_meta_real,
+        "vtt_parse_real": q_vtt_parse_real,
+        "mkv_frames_real": q_mkv_frames_real,
+        "ogg_meta_real": q_ogg_meta_real,
+        "robots_audit": q_robots_audit,
         # ---- driver-green in round 6 (the r6 window, 50/50 green) --------
         "order_totals": q_order_totals,
         "streaming_sliding": q_streaming_sliding,
@@ -14549,6 +14996,11 @@ def oracle_sql() -> dict[str, str]:
         "video_frames_real": _sql_video_frames_real(),
         "mp4_frames_real": _sql_mp4_frames_real(),
         "url_dedup": _SQL_URL_DEDUP,
+        "m4a_meta_real": _sql_m4a_meta_real(),
+        "vtt_parse_real": _sql_vtt_parse_real(),
+        "mkv_frames_real": _sql_mkv_frames_real(),
+        "ogg_meta_real": _sql_ogg_meta_real(),
+        "robots_audit": _SQL_ROBOTS_AUDIT,
         "wap_publish": _SQL_WAP_PUBLISH,
         "jpeg_color_real": _sql_jpeg_color_real(),
         "png_color_real": _sql_png_color_real(),

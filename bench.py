@@ -437,6 +437,16 @@ HEADLINE = [
     # round-8: URL canonicalization dedup (pure-codegen crawl-key
     # normalization + one hash-partial groupBy)
     "url_dedup",
+    # round-8: ISO-BMFF audio track metadata (esds descriptor walk)
+    "m4a_meta_real",
+    # round-8: WebVTT subtitle parse (NOTE blocks, cue ids, settings)
+    "vtt_parse_real",
+    # round-8: Matroska/EBML frame sampling (varint tree + T.81)
+    "mkv_frames_real",
+    # round-8: Ogg Opus metadata with per-page CRC verification
+    "ogg_meta_real",
+    # round-8: RFC 9309 robots.txt governance (broadcast codegen fold)
+    "robots_audit",
 ]
 
 

@@ -349,3 +349,255 @@ def mp4_frame_stats(data: bytes, every_k: int = 1):
             )
         )
     return out
+
+
+# ---------------------------------------------------------------------
+# Track-level metadata (video AND audio tracks) — the ffprobe-class
+# readout a multimodal corpus pipeline runs to TRIAGE ISO-BMFF media
+# (.mp4/.m4a/.mov) before any decode: codec, timescale-exact duration,
+# sample count, dimensions or channel layout.  Like functions/mp3.py,
+# this is a METADATA boundary for compressed codecs: AAC synthesis
+# needs the ISO/IEC 14496-3 tabulated Huffman/MDCT-window tables this
+# engine does not vendor, so sample-level audio decode stays an honest
+# NotImplementedError in operators.multimodal.decode_audio_real.
+# ---------------------------------------------------------------------
+
+#: ISO/IEC 14496-3 sampling-frequency index (AudioSpecificConfig).
+AAC_SAMPLERATES = (
+    96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350,
+)
+
+
+def _esds(samplerate: int, channels: int) -> bytes:
+    """Real MPEG-4 ES_Descriptor chain for AAC-LC: ES(0x03) →
+    DecoderConfig(0x04, objectTypeIndication 0x40, streamType audio) →
+    DecoderSpecificInfo(0x05, AudioSpecificConfig: 5-bit AOT=2,
+    4-bit frequency index, 4-bit channel configuration)."""
+    freq_idx = AAC_SAMPLERATES.index(samplerate)
+    asc_bits = (2 << 11) | (freq_idx << 7) | (channels << 3)
+    asc = struct.pack(">H", asc_bits)
+    dsi = bytes([0x05, len(asc)]) + asc
+    dcd_body = (
+        bytes([0x40, (0x05 << 2) | 1])  # OTI=AAC, streamType=audio
+        + (0).to_bytes(3, "big")        # bufferSizeDB
+        + struct.pack(">II", 0, 0)      # max/avg bitrate (unset)
+        + dsi
+    )
+    dcd = bytes([0x04, len(dcd_body)]) + dcd_body
+    es_body = struct.pack(">HB", 1, 0) + dcd  # ES_ID=1, no flags
+    es = bytes([0x03, len(es_body)]) + es_body
+    return _full(b"esds", 0, 0, es)
+
+
+def _audio_sample_entry(
+    fmt: bytes, channels: int, samplerate: int, extra: bytes = b""
+) -> bytes:
+    body = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)           # data_reference_index
+        + b"\x00" * 8                    # reserved[2]
+        + struct.pack(">HH", channels, 16)
+        + struct.pack(">HH", 0, 0)       # pre_defined, reserved
+        + struct.pack(">I", samplerate << 16)
+        + extra
+    )
+    return _box(fmt, body)
+
+
+def encode_m4a_aac(
+    frame_sizes,
+    samplerate: int = 44100,
+    channels: int = 2,
+) -> bytes:
+    """Build a spec-valid .m4a container around AAC-LC-shaped frames:
+    M4A ftyp, mdat holding one filler payload per frame (the PAYLOAD
+    is not real AAC entropy data — sample-level decode stays an honest
+    gate — but every byte the METADATA path inspects is spec-true:
+    real esds descriptor chain, real sample tables, 1024-sample AAC
+    frame timing).  The fixture twin of functions/mp3.py's
+    encode_mp3_stream, container edition."""
+    if not frame_sizes:
+        raise ValueError("need at least one frame")
+    if samplerate not in AAC_SAMPLERATES:
+        raise ValueError(f"not an AAC sampling rate: {samplerate}")
+    if not 1 <= channels <= 7:
+        raise ValueError("AAC channel configuration must be 1..7")
+    n = len(frame_sizes)
+    frames = [bytes((i + j) & 0xFF for j in range(sz))
+              for i, sz in enumerate(frame_sizes)]
+
+    ftyp = _box(b"ftyp", b"M4A " + struct.pack(">I", 0) + b"M4A mp42isom")
+    mdat_start = len(ftyp) + 8
+    duration = n * 1024  # AAC-LC frame = 1024 PCM samples
+
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, samplerate, duration)
+        + struct.pack(">iH", 0x00010000, 0x0100)
+        + b"\x00" * 10
+        + struct.pack(
+            ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000,
+        )
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = _full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0x0100, 0)
+        + struct.pack(
+            ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000,
+        )
+        + struct.pack(">II", 0, 0),
+    )
+    mdhd = _full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, samplerate, duration)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _full(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"soun" + b"\x00" * 12 + b"aac\x00",
+    )
+    smhd = _full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
+    dinf = _box(b"dinf", dref)
+    stsd = _full(
+        b"stsd", 0, 0,
+        struct.pack(">I", 1)
+        + _audio_sample_entry(
+            b"mp4a", channels, samplerate, _esds(samplerate, channels)
+        ),
+    )
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, 1024))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    stco = _full(b"stco", 0, 0, struct.pack(">II", 1, mdat_start))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", smhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + _box(b"mdat", b"".join(frames)) + moov
+
+
+def _read_descriptor(data: bytes, pos: int):
+    """MPEG-4 descriptor header: tag byte + expandable length (7 bits
+    per byte, high bit = continue).  Returns (tag, length, body_pos)."""
+    tag = data[pos]
+    pos += 1
+    length = 0
+    for _ in range(4):
+        b = data[pos]
+        pos += 1
+        length = (length << 7) | (b & 0x7F)
+        if not b & 0x80:
+            break
+    return tag, length, pos
+
+
+def _aac_object_type(esds_payload: bytes) -> int | None:
+    """objectTypeIndication from an esds box payload (after the
+    version/flags word), or None if the chain is malformed."""
+    pos = 0
+    tag, ln, pos = _read_descriptor(esds_payload, pos)
+    if tag != 0x03:
+        return None
+    pos += 3  # ES_ID + flags byte (no optional fields in our profile)
+    tag, ln, pos = _read_descriptor(esds_payload, pos)
+    if tag != 0x04:
+        return None
+    return esds_payload[pos]
+
+
+def mp4_track_meta(data: bytes):
+    """ffprobe-class track readout from an ISO BMFF file: one tuple
+    per trak —
+
+    ``(track_id, handler, codec, timescale, duration, n_samples,
+    width, height, channels, samplerate)``
+
+    with width/height populated for ``vide`` tracks, channels /
+    samplerate for ``soun`` tracks (the other pair -1), and for
+    ``mp4a`` entries the codec refined via the real esds descriptor
+    walk (objectTypeIndication 0x40 → ``'mp4a.40'``, AAC).  Duration
+    is exact in the track's own timescale — no float seconds."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF file (no ftyp box)")
+    moov = _find(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("ISO BMFF file has no moov box")
+
+    out = []
+    for fcc, ps, pe in _walk_children(data, moov[0], moov[1]):
+        if fcc != b"trak":
+            continue
+        tkhd = _find(data, ps, pe, b"tkhd")
+        if tkhd is None:
+            raise ValueError("trak missing tkhd")
+        track_id = struct.unpack(">I", data[tkhd[0] + 12 : tkhd[0] + 16])[0]
+        mdia = _find(data, ps, pe, b"mdia")
+        if mdia is None:
+            raise ValueError("trak missing mdia")
+        mdhd = _find(data, mdia[0], mdia[1], b"mdhd")
+        hdlr = _find(data, mdia[0], mdia[1], b"hdlr")
+        if mdhd is None or hdlr is None:
+            raise ValueError("mdia missing mdhd/hdlr")
+        version = data[mdhd[0]]
+        if version == 1:
+            timescale, duration = struct.unpack(
+                ">IQ", data[mdhd[0] + 20 : mdhd[0] + 32]
+            )
+        else:
+            timescale, duration = struct.unpack(
+                ">II", data[mdhd[0] + 12 : mdhd[0] + 20]
+            )
+        handler = data[hdlr[0] + 8 : hdlr[0] + 12].decode("ascii")
+
+        stbl = _find(data, mdia[0], mdia[1], b"minf", b"stbl")
+        if stbl is None:
+            raise ValueError("trak missing sample table")
+        boxes = {
+            f: (a, b) for f, a, b in _walk_children(data, stbl[0], stbl[1])
+        }
+        es, ee = boxes[b"stsd"]
+        entry_fmt = data[es + 12 : es + 16]
+        codec = entry_fmt.decode("ascii", "replace")
+        n_samples = struct.unpack(
+            ">I", data[boxes[b"stsz"][0] + 8 : boxes[b"stsz"][0] + 12]
+        )[0]
+
+        width = height = channels = samplerate = -1
+        entry_body = es + 16  # past size+fourcc of the sample entry
+        if handler == "vide":
+            width, height = struct.unpack(
+                ">HH", data[entry_body + 24 : entry_body + 28]
+            )
+        elif handler == "soun":
+            channels = struct.unpack(
+                ">H", data[entry_body + 16 : entry_body + 18]
+            )[0]
+            samplerate = struct.unpack(
+                ">I", data[entry_body + 24 : entry_body + 28]
+            )[0] >> 16
+            if entry_fmt == b"mp4a":
+                esds = _find(data, entry_body + 28, ee, b"esds")
+                if esds is not None:
+                    oti = _aac_object_type(data[esds[0] + 4 : esds[1]])
+                    if oti is not None:
+                        codec = f"mp4a.{oti:02x}"
+        out.append(
+            (
+                track_id, handler, codec, timescale, duration,
+                n_samples, width, height, channels, samplerate,
+            )
+        )
+    if not out:
+        raise ValueError("ISO BMFF file has no tracks")
+    return out

@@ -92,3 +92,105 @@ def srt_stats(text: str) -> dict:
         "n_overlaps": overlaps,
         "text_chars": sum(len(c["text"]) for c in cues),
     }
+
+
+# ---------------------------------------------------------------------
+# WebVTT — the W3C web-native sibling of SRT (the format YouTube/the
+# <track> element serve).  Differences the parser must honor: a
+# mandatory ``WEBVTT`` signature line, ``.`` (not ``,``) before the
+# milliseconds, OPTIONAL hours, an optional cue identifier line above
+# the time line, cue settings after the end time (``align:start``
+# etc.), and NOTE/STYLE/REGION comment blocks that must be skipped.
+# ---------------------------------------------------------------------
+
+_VTT_TIME = re.compile(
+    r"^(?:(\d{2,}):)?([0-5]\d):([0-5]\d)\.(\d{3})"
+    r" --> "
+    r"(?:(\d{2,}):)?([0-5]\d):([0-5]\d)\.(\d{3})"
+    r"(?:[ \t]+(.*))?$"
+)
+
+
+def _fmt_vtt(ms: int) -> str:
+    h, rem = divmod(ms, 3_600_000)
+    m, rem = divmod(rem, 60_000)
+    s, milli = divmod(rem, 1000)
+    return f"{h:02d}:{m:02d}:{s:02d}.{milli:03d}"
+
+
+def encode_vtt(
+    cues: list[tuple[int, int, str]], with_ids: bool = False
+) -> str:
+    """``cues`` = [(start_ms, end_ms, text), ...] → canonical WebVTT
+    (LF line endings per the W3C spec's serialization examples)."""
+    blocks = []
+    for i, (start, end, text) in enumerate(cues, start=1):
+        head = f"cue-{i}\n" if with_ids else ""
+        blocks.append(f"{head}{_fmt_vtt(start)} --> {_fmt_vtt(end)}\n{text}")
+    return "WEBVTT\n\n" + "\n\n".join(blocks) + "\n"
+
+
+def parse_vtt(text: str) -> list[dict]:
+    """Parse WebVTT to [{idx, cue_id, start_ms, end_ms, settings,
+    text}, ...] (idx = 1-based document order).  Strict where the spec
+    is strict — missing WEBVTT signature, malformed time lines, and
+    end-before-start all raise — and tolerant where the wild is wild:
+    BOM, CRLF, NOTE/STYLE/REGION blocks, header metadata after the
+    signature on the same block."""
+    norm = text.lstrip("﻿").replace("\r\n", "\n")
+    blocks = re.split(r"\n\s*\n", norm.strip())
+    if not blocks or not blocks[0].split("\n")[0].startswith("WEBVTT"):
+        raise ValueError("not WebVTT (missing WEBVTT signature line)")
+    cues = []
+    for block in blocks[1:]:
+        lines = block.split("\n")
+        if lines[0].split(" ")[0] in ("NOTE", "STYLE", "REGION"):
+            continue
+        cue_id = ""
+        ti = 0
+        if "-->" not in lines[0]:
+            cue_id = lines[0].strip()
+            ti = 1
+            if len(lines) < 2:
+                raise ValueError(f"cue block with no time line: {block!r}")
+        m = _VTT_TIME.match(lines[ti].strip())
+        if not m:
+            raise ValueError(f"bad WebVTT time line: {lines[ti]!r}")
+        g = m.groups()
+        start = (
+            (int(g[0] or 0) * 60 + int(g[1])) * 60 + int(g[2])
+        ) * 1000 + int(g[3])
+        end = (
+            (int(g[4] or 0) * 60 + int(g[5])) * 60 + int(g[6])
+        ) * 1000 + int(g[7])
+        if end < start:
+            raise ValueError("cue ends before it starts")
+        cues.append(
+            {
+                "idx": len(cues) + 1,
+                "cue_id": cue_id,
+                "start_ms": start,
+                "end_ms": end,
+                "settings": (g[8] or "").strip(),
+                "text": "\n".join(lines[ti + 1 :]),
+            }
+        )
+    return cues
+
+
+def vtt_stats(text: str) -> dict:
+    """Same alignment-audit row shape as :func:`srt_stats`."""
+    cues = parse_vtt(text)
+    overlaps = sum(
+        1
+        for a, b in zip(cues, cues[1:])
+        if b["start_ms"] < a["end_ms"]
+    )
+    return {
+        "n_cues": len(cues),
+        "first_start_ms": cues[0]["start_ms"] if cues else None,
+        "last_end_ms": cues[-1]["end_ms"] if cues else None,
+        "speech_ms": sum(c["end_ms"] - c["start_ms"] for c in cues),
+        "n_overlaps": overlaps,
+        "text_chars": sum(len(c["text"]) for c in cues),
+    }

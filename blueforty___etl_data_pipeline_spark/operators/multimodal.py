@@ -344,6 +344,79 @@ def extract_mp4_frames(
     )
 
 
+def extract_mkv_frames(
+    media: DataFrame, every_k: int = 1, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL Matroska/WebM frame sampling: walk the EBML element tree
+    (functions/mkv.py — RFC 8794 varints, Cluster/SimpleBlock
+    two-level timestamps) and decode every sampled V_MJPEG frame
+    through the vendored T.81 codec — the EBML sibling of
+    :func:`extract_mp4_frames`, with the block timestamp as an extra
+    column.  Arrow-batched ``mapInPandas``; zero Exchange."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from ..functions.mkv import mkv_frame_stats
+
+        cols = (
+            "frame_no", "ts_ticks", "width", "height",
+            "mean_floor", "px_min", "px_max",
+        )
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf["content"]):
+                for t in mkv_frame_stats(blob, every_k=every_k):
+                    rows.append((doc_id,) + t)
+            yield pd.DataFrame(rows, columns=(id_col,) + cols)
+
+    return media.select(id_col, "content").mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, frame_no int, ts_ticks long, width int, "
+            "height int, mean_floor long, px_min int, px_max int"
+        ),
+    )
+
+
+def extract_track_meta(
+    media: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """ffprobe-class ISO-BMFF track triage over a binary column
+    (functions/mp4.py mp4_track_meta): one row per (document, track)
+    with handler, codec (esds-refined for AAC), timescale-exact
+    duration, sample count, and the video-or-audio shape fields.
+    This is the metadata stage a 100 TB media corpus runs BEFORE
+    deciding what to transcode — Arrow-batched ``mapInPandas``,
+    zero Exchange, no decode of compressed payloads."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from ..functions.mp4 import mp4_track_meta
+
+        cols = (
+            "track_id", "handler", "codec", "timescale", "duration",
+            "n_samples", "width", "height", "channels", "samplerate",
+        )
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf["content"]):
+                for t in mp4_track_meta(blob):
+                    rows.append((doc_id,) + t)
+            yield pd.DataFrame(rows, columns=(id_col,) + cols)
+
+    return media.select(id_col, "content").mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, track_id int, handler string, "
+            "codec string, timescale long, duration long, "
+            "n_samples int, width int, height int, channels int, "
+            "samplerate int"
+        ),
+    )
+
+
 def encode_wav_pcm16(samples: list[int], framerate: int = 8000) -> bytes:
     """Serialize int16 mono PCM to a real RIFF/WAVE blob (stdlib
     ``wave`` writer) — the audio twin of functions/png.encode_png_gray,
@@ -391,6 +464,35 @@ def decode_audio_real(data: bytes) -> tuple[int, int, int, int]:
 
     if data.startswith(FLAC_MAGIC):
         return flac_audio_stats(data)
+
+    # ISO-BMFF audio (.m4a/.mp4): same documented boundary as MP3 —
+    # container metadata is fully supported (functions/mp4.py
+    # mp4_track_meta, `m4a_meta_real`), but AAC synthesis needs the
+    # ISO/IEC 14496-3 tabulated Huffman/window tables this engine
+    # does not vendor.
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        raise NotImplementedError(
+            "AAC/M4A PCM decode is out of scope (ISO/IEC 14496-3 "
+            "tabulated codebooks are not vendored); ISO-BMFF track "
+            "METADATA (codec, exact duration, channels, sample rate) "
+            "is fully supported via functions/mp4.py mp4_track_meta "
+            "(`m4a_meta_real`); transcode to WAV/FLAC upstream for "
+            "sample-level features."
+        )
+
+    # Ogg (Opus/Vorbis): same documented boundary — container walk,
+    # CRC verification, and exact duration are real
+    # (functions/ogg.py, `ogg_meta_real`); CELT/MDCT synthesis tables
+    # are not vendored.
+    if data[:4] == b"OggS":
+        raise NotImplementedError(
+            "Opus/Vorbis PCM decode is out of scope (tabulated "
+            "range-coder/MDCT codebooks are not vendored); Ogg "
+            "container METADATA (codec id, channels, sample rate, "
+            "exact granule duration, per-page CRC check) is fully "
+            "supported via functions/ogg.py (`ogg_meta_real`); "
+            "transcode to WAV/FLAC upstream for sample-level features."
+        )
 
     # MP3: explicit, documented boundary (ID3v2 tag or bare MPEG sync).
     # The engine parses MP3 CONTAINER METADATA for real (frame chain,
@@ -803,7 +905,9 @@ def sniff_media_type(content: "F.Column") -> "F.Column":
     Covers every container this engine decodes: PNG, JPEG, GIF, BMP,
     TIFF (both byte orders), WAV and AVI (RIFF subtypes — bytes 9-12
     disambiguate), MP4/ISO-BMFF (``ftyp`` at offset 4 — the one magic
-    that is NOT at offset 0), FLAC, MIDI, MP3 (ID3v2 or a bare MPEG
+    that is NOT at offset 0), Matroska/WebM (EBML 0x1A45DFA3), Ogg
+    (OggS capture pattern), FLAC,
+    MIDI, MP3 (ID3v2 or a bare MPEG
     sync), Avro, ZIP (xlsx/webdataset-zip), WARC, XML, SRT-ish
     digit+CRLF text; everything else → 'unknown'.  Magic tables are
     the formats' open specs; longest/most-specific patterns test
@@ -828,6 +932,8 @@ def sniff_media_type(content: "F.Column") -> "F.Column":
             & (riff_type == F.expr("X'41564920'")),
             "avi",
         )
+        .when(pfx(4) == F.expr("X'1A45DFA3'"), "mkv")
+        .when(pfx(4) == F.expr("X'4F676753'"), "ogg")
         .when(pfx(4) == F.expr("X'664C6143'"), "flac")
         .when(pfx(4) == F.expr("X'4D546864'"), "midi")
         .when(pfx(4) == F.expr("X'4F626A01'"), "avro")

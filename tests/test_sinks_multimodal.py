@@ -996,6 +996,47 @@ def test_mp4_mjpeg_roundtrip_and_stats():
     assert stats == [(0, 16, 16, 7, 7, 7), (2, 16, 16, 200, 200, 200)]
 
 
+def test_mp4_track_meta_video_and_audio():
+    from blueforty___etl_data_pipeline_spark.functions.jpeg import (
+        encode_jpeg_gray,
+    )
+    from blueforty___etl_data_pipeline_spark.functions.mp4 import (
+        encode_m4a_aac,
+        encode_mp4_mjpeg,
+        mp4_track_meta,
+    )
+
+    m4a = encode_m4a_aac([100, 120, 90], samplerate=22050, channels=1)
+    assert mp4_track_meta(m4a) == [
+        (1, "soun", "mp4a.40", 22050, 3 * 1024, 3, -1, -1, 1, 22050)
+    ]
+    vid = encode_mp4_mjpeg(
+        [encode_jpeg_gray([[5] * 16] * 16)] * 4, 16, 16, fps=10
+    )
+    assert mp4_track_meta(vid) == [
+        (1, "vide", "jpeg", 10, 4, 4, 16, 16, -1, -1)
+    ]
+
+
+def test_m4a_encoder_validates_and_audio_decode_gates_aac():
+    import pytest as _pytest
+
+    from blueforty___etl_data_pipeline_spark.functions.mp4 import (
+        encode_m4a_aac,
+    )
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        decode_audio_real,
+    )
+
+    with _pytest.raises(ValueError):
+        encode_m4a_aac([100], samplerate=44000)  # not an AAC rate
+    with _pytest.raises(ValueError):
+        encode_m4a_aac([])
+    m4a = encode_m4a_aac([100], samplerate=48000, channels=2)
+    with _pytest.raises(NotImplementedError, match="mp4_track_meta"):
+        decode_audio_real(m4a)
+
+
 def test_mp4_rejects_non_mp4_and_gates_compressed_codecs():
     import pytest as _pytest
 
@@ -1880,3 +1921,146 @@ def test_sniff_media_type_all_magics(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_vtt_codec_roundtrip_and_gates():
+    import pytest as _pytest
+
+    from blueforty___etl_data_pipeline_spark.functions.subtitles import (
+        encode_vtt,
+        parse_vtt,
+        vtt_stats,
+    )
+
+    cues = [(0, 1500, "hello"), (1200, 3000, "two\nlines")]
+    v = encode_vtt(cues, with_ids=True)
+    parsed = parse_vtt(v)
+    assert [(c["start_ms"], c["end_ms"], c["text"]) for c in parsed] == cues
+    assert [c["cue_id"] for c in parsed] == ["cue-1", "cue-2"]
+    s = vtt_stats(v)
+    assert s["n_cues"] == 2 and s["n_overlaps"] == 1
+    assert s["speech_ms"] == 3300 and s["text_chars"] == 14
+
+    # the wild-tolerance set: BOM, CRLF, NOTE block, hourless times,
+    # cue settings — all in one stream
+    raw = (
+        "﻿WEBVTT - header\r\n\r\nNOTE a comment\r\nspanning\r\n\r\n"
+        "05:00.250 --> 05:01.000 align:start position:50%\r\nshort\r\n"
+    )
+    (c,) = parse_vtt(raw)
+    assert (c["start_ms"], c["end_ms"]) == (300250, 301000)
+    assert c["settings"] == "align:start position:50%"
+    assert c["cue_id"] == ""
+
+    # strictness: SRT input (comma millis, no signature) must raise,
+    # as must end-before-start
+    with _pytest.raises(ValueError, match="WEBVTT"):
+        parse_vtt("1\n00:00:00,000 --> 00:00:01,000\nx\n")
+    with _pytest.raises(ValueError):
+        parse_vtt("WEBVTT\n\n00:10.000 --> 00:05.000\nx\n")
+
+
+def test_mkv_mjpeg_roundtrip_meta_and_stats():
+    import random
+
+    from blueforty___etl_data_pipeline_spark.functions.jpeg import (
+        encode_jpeg_gray,
+    )
+    from blueforty___etl_data_pipeline_spark.functions.mkv import (
+        decode_mkv_frames,
+        encode_mkv_mjpeg,
+        mkv_frame_stats,
+        mkv_meta,
+    )
+
+    rng = random.Random(11)
+    px = [
+        [[rng.randrange(256) for _ in range(16)] for _ in range(16)]
+        for _ in range(5)
+    ]
+    jpegs = [encode_jpeg_gray(f) for f in px]
+    mkv = encode_mkv_mjpeg(jpegs, 16, 16, fps=10, frames_per_cluster=2)
+    doctype, scale, dur, tracks, n_clusters, n_blocks = mkv_meta(mkv)
+    assert doctype == "matroska" and scale == 1_000_000
+    assert dur == 500 and n_clusters == 3 and n_blocks == 5
+    assert tracks == [(1, 1, "V_MJPEG", 16, 16, -1, -1)]
+    fr = decode_mkv_frames(mkv)
+    # two-level timestamp arithmetic: cluster base + signed rel offset
+    assert [t for t, _ in fr] == [0, 100, 200, 300, 400]
+    assert [b for _, b in fr] == jpegs
+
+    consts = [
+        encode_jpeg_gray([[v] * 16 for _ in range(16)])
+        for v in (7, 99, 200)
+    ]
+    stats = mkv_frame_stats(
+        encode_mkv_mjpeg(consts, 16, 16, fps=10), every_k=2
+    )
+    assert stats == [
+        (0, 0, 16, 16, 7, 7, 7),
+        (2, 200, 16, 16, 200, 200, 200),
+    ]
+
+
+def test_mkv_rejects_non_mkv_and_gates_compressed_codecs():
+    import pytest as _pytest
+
+    from blueforty___etl_data_pipeline_spark.functions.jpeg import (
+        encode_jpeg_gray,
+    )
+    from blueforty___etl_data_pipeline_spark.functions.mkv import (
+        decode_mkv_frames,
+        encode_mkv_mjpeg,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_mkv_frames(b"RIFF\x04\x00\x00\x00AVI ")
+    with _pytest.raises(ValueError):
+        decode_mkv_frames(b"\x00not ebml")
+    # a VP9 CodecID must raise NotImplementedError BY NAME
+    mkv = bytearray(
+        encode_mkv_mjpeg([encode_jpeg_gray([[1] * 16] * 16)], 16, 16)
+    )
+    idx = bytes(mkv).find(b"V_MJPEG")
+    # CodecID element: \x86 size-varint payload; rewrite in place with
+    # a shorter codec id (V_VP9, 5 bytes) by patching id+size+payload
+    assert mkv[idx - 2 : idx] == b"\x86\x87"  # 0x87 = size 7, marker bit
+    mkv[idx - 2 : idx + 7] = b"\x86\x85" + b"V_VP9" + b"\xec\x80"
+    # (\xec\x80 = empty Void element, absorbing the 2 freed bytes)
+    with _pytest.raises(NotImplementedError, match="V_VP9"):
+        decode_mkv_frames(bytes(mkv))
+
+
+def test_ogg_opus_pages_crc_and_meta():
+    import pytest as _pytest
+
+    from blueforty___etl_data_pipeline_spark.functions.ogg import (
+        encode_ogg_opus,
+        ogg_crc,
+        ogg_meta,
+    )
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        decode_audio_real,
+    )
+
+    # the catalog check value for the unreflected 0x04C11DB7, init 0
+    assert ogg_crc(b"123456789") == 0x89A1897F
+
+    ogg = encode_ogg_opus(5, samplerate=48000, channels=2, pre_skip=312)
+    assert ogg_meta(ogg) == ("opus", 1, 7, 2, 48000, 312, 5 * 960)
+    # any flipped payload byte must fail the page CRC
+    bad = bytearray(ogg)
+    bad[60] ^= 1
+    with _pytest.raises(ValueError, match="CRC"):
+        ogg_meta(bytes(bad))
+    # PCM synthesis is the documented boundary, gated BY NAME
+    with _pytest.raises(NotImplementedError, match="functions/ogg"):
+        decode_audio_real(ogg)
+    # a Vorbis BOS packet parses too (ident header fields)
+    import struct as _struct
+
+    from blueforty___etl_data_pipeline_spark.functions.ogg import _page
+
+    ident = b"\x01vorbis" + _struct.pack("<IBI", 0, 2, 44100) + b"\x00" * 9
+    vorb = _page(9, 0, 0, [ident], 0x02) + _page(9, 1, 12345, [b"x"], 0x04)
+    assert ogg_meta(vorb) == ("vorbis", 9, 2, 2, 44100, 0, 12345)
