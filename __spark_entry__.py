@@ -11429,6 +11429,180 @@ FROM shards ORDER BY shard_id
 """
 
 
+def q_id3_tags_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ID3v2.4 FRAME parse under the driver's oracle: each
+    sampled document becomes an MP3 whose tag carries a TIT2 title
+    (with a non-ASCII char) and a TPE1 artist, each in one of the
+    three wild text encodings (ISO-8859-1 / UTF-16+BOM / UTF-8)
+    chosen by md5 — encoded and re-parsed by functions/mp3.py inside
+    an Arrow-batched stage, with the MPEG frame chain parsed behind
+    the tag.  The reported tag_bytes is a FUNCTION OF THE ENCODING
+    (latin-1 = chars, UTF-16 = 2·chars+BOM, UTF-8 = octets), so the
+    oracle verifies not just the decoded strings but that each
+    encoding branch really produced its spec byte layout."""
+    _prep(spark)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .filter(F.col("doc_id") % 40 == 29)
+    )
+
+    def roundtrip(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.mp3 import (
+            encode_id3v2_frames,
+            encode_mp3_stream,
+            parse_id3v2_frames,
+            parse_mp3_stream,
+        )
+
+        encs = (0, 1, 3)
+        for pdf in batches:
+            rows = []
+            for doc_id, source, text in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                d = _hl.md5(text.encode("utf-8")).digest()
+                title = f"Tïtle-{doc_id}"
+                tag = encode_id3v2_frames(
+                    [
+                        ("TIT2", title, encs[d[0] % 3]),
+                        ("TPE1", source, encs[d[1] % 3]),
+                    ]
+                )
+                blob = tag + encode_mp3_stream(
+                    [1 + d[2] % 14] * 3, [0, 1, 0], 44100
+                )
+                frames = dict(parse_id3v2_frames(blob))
+                meta = parse_mp3_stream(blob)
+                rows.append(
+                    (
+                        doc_id,
+                        frames["TIT2"],
+                        frames["TPE1"],
+                        len(frames),
+                        meta["tag_bytes"],
+                        meta["n_frames"],
+                        meta["duration_ms"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "title", "artist", "n_text_frames",
+                    "tag_bytes", "n_mpeg_frames", "duration_ms",
+                ],
+            )
+
+    return docs.mapInPandas(
+        roundtrip,
+        schema=(
+            "doc_id long, title string, artist string, "
+            "n_text_frames int, tag_bytes long, n_mpeg_frames int, "
+            "duration_ms long"
+        ),
+    )
+
+
+_SQL_ID3_TAGS_REAL = """
+WITH t AS (
+  SELECT doc_id, source, md5(text) AS h,
+         'Tïtle-' || CAST(doc_id AS VARCHAR) AS title
+  FROM documents WHERE doc_id % 40 = 29),
+enc AS (
+  SELECT *,
+         CAST(('0x' || substr(h, 1, 2)) AS INTEGER) % 3 AS e_title,
+         CAST(('0x' || substr(h, 3, 2)) AS INTEGER) % 3 AS e_artist
+  FROM t),
+sz AS (
+  SELECT *,
+         CASE e_title WHEN 0 THEN 1 + length(title) + 1
+                      WHEN 1 THEN 1 + 2 + 2 * length(title) + 2
+                      ELSE 1 + octet_length(encode(title)) + 1 END
+           AS p_title,
+         CASE e_artist WHEN 0 THEN 1 + length(source) + 1
+                       WHEN 1 THEN 1 + 2 + 2 * length(source) + 2
+                       ELSE 1 + octet_length(encode(source)) + 1 END
+           AS p_artist
+  FROM enc)
+SELECT doc_id, title, source AS artist, 2 AS n_text_frames,
+       CAST(10 + (10 + p_title) + (10 + p_artist) AS BIGINT)
+         AS tag_bytes,
+       3 AS n_mpeg_frames,
+       CAST(3 * 1152 * 1000 // 44100 AS BIGINT) AS duration_ms
+FROM sz
+"""
+
+
+def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset full LOOP: export sampled documents as
+    byte-deterministic USTAR shards (sinks.write_webdataset_shards),
+    then READ THE TARS BACK with the distributed reader
+    (sources/webdataset.read_webdataset — binaryFile scan + Arrow
+    tarfile walk, one task per shard, zero shuffle before the
+    integrity groupBy) and reassemble samples.  The returned
+    per-shard integrity view (samples, members, payload bytes, key
+    span) comes entirely from re-parsed tar bytes; the oracle
+    recomputes it from the source table, so a writer/reader
+    disagreement of even one byte breaks the hash.  Idempotent:
+    shards are overwritten per run."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.sinks import (
+        write_webdataset_shards,
+    )
+    from blueforty___etl_data_pipeline_spark.sources.webdataset import (
+        assemble_samples,
+        read_webdataset,
+    )
+
+    out = os.path.join(SCRATCH, "webdataset_rt")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 40 == 26)
+        .select(
+            "doc_id",
+            F.col("text").cast("string").alias("payload"),
+            (F.expr("doc_id div 40") % 4).cast("int").alias("shard_id"),
+        )
+    )
+    write_webdataset_shards(
+        docs, out, key_col="doc_id", payload_col="payload"
+    ).collect()
+
+    members = read_webdataset(spark, os.path.join(out, "*.tar"))
+    samples = assemble_samples(members)
+    return (
+        samples.join(members.select("shard", "key", "size"), ["shard", "key"])
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("n_members").alias("n_members"),
+            F.sum("size").alias("payload_bytes"),
+            F.min(F.col("key").cast("long")).alias("min_key"),
+            F.max(F.col("key").cast("long")).alias("max_key"),
+        )
+        .orderBy("shard")
+    )
+
+
+_SQL_WEBDATASET_ROUNDTRIP = """
+WITH items AS (
+  SELECT doc_id,
+         CAST((doc_id // 40) % 4 AS INTEGER) AS shard_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS nb
+  FROM documents WHERE doc_id % 40 = 26)
+SELECT printf('shard-%06d.tar', shard_id) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(nb) AS BIGINT) AS payload_bytes,
+       MIN(doc_id) AS min_key, MAX(doc_id) AS max_key
+FROM items GROUP BY shard_id ORDER BY shard
+"""
+
+
 def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust trend (operators/temporal.theil_sen_slope)
     of monthly order revenue — median of pairwise slopes, immune to
@@ -14737,6 +14911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mkv_frames_real": q_mkv_frames_real,
         "ogg_meta_real": q_ogg_meta_real,
         "robots_audit": q_robots_audit,
+        "webdataset_roundtrip": q_webdataset_roundtrip,
+        "id3_tags_real": q_id3_tags_real,
         # ---- driver-green in round 6 (the r6 window, 50/50 green) --------
         "order_totals": q_order_totals,
         "streaming_sliding": q_streaming_sliding,
@@ -15001,6 +15177,8 @@ def oracle_sql() -> dict[str, str]:
         "mkv_frames_real": _sql_mkv_frames_real(),
         "ogg_meta_real": _sql_ogg_meta_real(),
         "robots_audit": _SQL_ROBOTS_AUDIT,
+        "webdataset_roundtrip": _SQL_WEBDATASET_ROUNDTRIP,
+        "id3_tags_real": _SQL_ID3_TAGS_REAL,
         "wap_publish": _SQL_WAP_PUBLISH,
         "jpeg_color_real": _sql_jpeg_color_real(),
         "png_color_real": _sql_png_color_real(),

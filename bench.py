@@ -447,6 +447,10 @@ HEADLINE = [
     "ogg_meta_real",
     # round-8: RFC 9309 robots.txt governance (broadcast codegen fold)
     "robots_audit",
+    # round-8: WebDataset write->read-back loop (binaryFile + tarfile)
+    "webdataset_roundtrip",
+    # round-8: ID3v2.4 frame parse, all three text encodings byte-pinned
+    "id3_tags_real",
 ]
 
 

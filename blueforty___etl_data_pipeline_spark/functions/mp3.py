@@ -199,3 +199,75 @@ def encode_mp3_stream(
     if id3v1:
         out += b"TAG" + bytes(125)
     return bytes(out)
+
+
+# ---------------------------------------------------------------------
+# ID3v2.4 FRAME-level tags (title/artist/album …) — the envelope
+# parse_id3v2 sizes, now opened up: real frame headers (4-char ID,
+# syncsafe size, 2 flag bytes) and the three text-frame encodings the
+# wild actually uses (ISO-8859-1, UTF-16 with BOM, UTF-8).  This is
+# what a corpus TRIAGE reads to attribute/catalog audio before any
+# transcode — all from the public id3v2.4 structure document.
+# ---------------------------------------------------------------------
+
+
+def encode_id3v2_frames(frames: list[tuple[str, str, int]]) -> bytes:
+    """[(frame_id, text, encoding)] → a complete ID3v2.4 tag.
+    ``encoding``: 0 = ISO-8859-1, 1 = UTF-16 (with BOM), 3 = UTF-8
+    (the v2.4 set minus UTF-16BE).  Text frames carry the encoding
+    byte, the encoded text, and a terminator per spec."""
+    body = b""
+    for fid, text, enc in frames:
+        if len(fid) != 4 or not fid.isascii():
+            raise ValueError(f"bad frame id {fid!r}")
+        if enc == 0:
+            payload = bytes([0]) + text.encode("latin-1") + b"\x00"
+        elif enc == 1:
+            payload = bytes([1]) + text.encode("utf-16") + b"\x00\x00"
+        elif enc == 3:
+            payload = bytes([3]) + text.encode("utf-8") + b"\x00"
+        else:
+            raise ValueError(f"unsupported ID3v2.4 text encoding {enc}")
+        body += fid.encode("ascii") + syncsafe(len(payload)) + b"\x00\x00"
+        body += payload
+    return b"ID3" + bytes((4, 0, 0)) + syncsafe(len(body)) + body
+
+
+def parse_id3v2_frames(data: bytes) -> list[tuple[str, str]]:
+    """Walk the ID3v2 tag at the head of ``data`` → [(frame_id,
+    text), ...] for text (``T…``) frames, decoding all three v2.4
+    encodings; non-text frames are skipped structurally (their size
+    still advances the walk).  v2.3 tags (plain 32-bit frame sizes)
+    are handled too — the one structural difference that matters."""
+    total, ver = parse_id3v2(data)
+    if total == 0:
+        return []
+    if ver not in (3, 4):
+        raise ValueError(f"unsupported ID3v2.{ver} tag")
+    pos = 10
+    out = []
+    while pos + 10 <= total:
+        fid = data[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        raw = data[pos + 4 : pos + 8]
+        size = unsyncsafe(raw) if ver == 4 else struct.unpack(">I", raw)[0]
+        frame_end = pos + 10 + size
+        if frame_end > total:
+            raise ValueError("ID3v2 frame overruns tag")
+        if fid.startswith(b"T") and size >= 1:
+            enc = data[pos + 10]
+            body = data[pos + 11 : frame_end]
+            if enc == 0:
+                text = body.decode("latin-1")
+            elif enc == 1:
+                text = body.decode("utf-16")
+            elif enc == 2:
+                text = body.decode("utf-16-be")
+            elif enc == 3:
+                text = body.decode("utf-8")
+            else:
+                raise ValueError(f"bad ID3v2 text encoding {enc}")
+            out.append((fid.decode("ascii"), text.rstrip("\x00")))
+        pos = frame_end
+    return out

@@ -2064,3 +2064,76 @@ def test_ogg_opus_pages_crc_and_meta():
     ident = b"\x01vorbis" + _struct.pack("<IBI", 0, 2, 44100) + b"\x00" * 9
     vorb = _page(9, 0, 0, [ident], 0x02) + _page(9, 1, 12345, [b"x"], 0x04)
     assert ogg_meta(vorb) == ("vorbis", 9, 2, 2, 44100, 0, 12345)
+
+
+def test_id3v2_frames_all_encodings_and_v23():
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from blueforty___etl_data_pipeline_spark.functions.mp3 import (
+        encode_id3v2_frames,
+        encode_mp3_stream,
+        parse_id3v2_frames,
+        parse_mp3_stream,
+    )
+
+    frames = [
+        ("TIT2", "Tïtle 42", 1),   # UTF-16 + BOM
+        ("TPE1", "plain", 0),      # ISO-8859-1
+        ("TALB", "Ælbum ✓", 3),   # UTF-8 (non-latin1 char)
+    ]
+    tag = encode_id3v2_frames(frames)
+    blob = tag + encode_mp3_stream([9], [0], 44100)
+    assert parse_id3v2_frames(blob) == [
+        (fid, txt) for fid, txt, _e in frames
+    ]
+    # the stream parser still walks the MPEG chain behind the tag
+    meta = parse_mp3_stream(blob)
+    assert meta["n_frames"] == 1 and meta["tag_bytes"] == len(tag)
+    # no tag -> no frames; v2.3 (32-bit frame sizes) parses too
+    assert parse_id3v2_frames(b"\xff\xfbnot a tag") == []
+    body = b"TIT2" + _struct.pack(">I", 6) + b"\x00\x00" + b"\x00hi23\x00"
+    v23 = b"ID3" + bytes((3, 0, 0)) + bytes(
+        ((len(body) >> s) & 0x7F) for s in (21, 14, 7, 0)
+    ) + body
+    assert parse_id3v2_frames(v23) == [("TIT2", "hi23")]
+    with _pytest.raises(ValueError):
+        encode_id3v2_frames([("TIT2", "x", 2)])  # UTF-16BE not emitted
+
+
+def test_webdataset_reader_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.sinks import (
+        write_webdataset_shards,
+    )
+    from blueforty___etl_data_pipeline_spark.sources.webdataset import (
+        assemble_samples,
+        read_webdataset,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"payload-{i}" * (i + 1), i % 2) for i in range(10)],
+        "doc_id long, payload string, shard_id int",
+    )
+    out = str(tmp_path / "wds")
+    write_webdataset_shards(
+        df, out, key_col="doc_id", payload_col="payload"
+    ).collect()
+
+    members = read_webdataset(spark, out + "/*.tar")
+    rows = {
+        (r["shard"], r["key"], r["ext"]): bytes(r["payload"])
+        for r in members.collect()
+    }
+    assert len(rows) == 10
+    assert rows[("shard-000000.tar", "00000004", "txt")] == (
+        b"payload-4" * 5
+    )
+    samples = assemble_samples(members).collect()
+    assert all(r["exts"] == ["txt"] and r["n_members"] == 1 for r in samples)
+    assert (
+        members.groupBy().agg(F.sum("size")).collect()[0][0]
+        == df.select(F.sum(F.octet_length("payload"))).collect()[0][0]
+    )
