@@ -11429,6 +11429,70 @@ FROM shards ORDER BY shard_id
 """
 
 
+def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset triage under the driver's oracle (operators/text_ops.
+    decode_text_auto): each sampled document serializes under one of
+    four wild encodings chosen by md5 — pure-ASCII bytes, UTF-8 with
+    a forced multi-byte char, BOM'd UTF-16, and a latin-1 byte string
+    that is INVALID UTF-8 (0xFC followed by ASCII) — then the
+    detector (BOM scan → strict UTF-8 validation → latin-1 fallback)
+    labels and decodes every blob.  Decoded lengths are exact
+    character counts, so the oracle value-checks every branch."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.text_ops import (
+        decode_text_auto,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 40 == 31)
+    )
+
+    def to_bytes(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = _hl.md5(text.encode("utf-8")).digest()
+                k = d[0] % 4
+                if k == 0:
+                    raw = f"A{doc_id}".encode("ascii")
+                elif k == 1:
+                    raw = ("é" + text).encode("utf-8")
+                elif k == 2:
+                    raw = f"Ж{doc_id}".encode("utf-16")
+                else:
+                    raw = f"ü{doc_id}".encode("latin-1")
+                blobs.append((doc_id, bytearray(raw)))
+            yield pd.DataFrame(blobs, columns=["doc_id", "content"])
+
+    media = docs.mapInPandas(
+        to_bytes, schema="doc_id long, content binary"
+    )
+    return decode_text_auto(media).select(
+        "doc_id", "charset", "n_chars"
+    )
+
+
+_SQL_CHARSET_SNIFF = """
+WITH t AS (
+  SELECT doc_id, text,
+         CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) % 4 AS k
+  FROM documents WHERE doc_id % 40 = 31)
+SELECT doc_id,
+       CASE k WHEN 0 THEN 'ascii' WHEN 1 THEN 'utf-8'
+              WHEN 2 THEN 'utf-16' ELSE 'latin-1' END AS charset,
+       CAST(CASE WHEN k = 1 THEN 1 + length(text)
+                 ELSE 1 + length(CAST(doc_id AS VARCHAR)) END
+            AS INTEGER) AS n_chars
+FROM t
+"""
+
+
 def q_id3_tags_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL ID3v2.4 FRAME parse under the driver's oracle: each
     sampled document becomes an MP3 whose tag carries a TIT2 title
@@ -14913,6 +14977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_audit": q_robots_audit,
         "webdataset_roundtrip": q_webdataset_roundtrip,
         "id3_tags_real": q_id3_tags_real,
+        "charset_sniff": q_charset_sniff,
         # ---- driver-green in round 6 (the r6 window, 50/50 green) --------
         "order_totals": q_order_totals,
         "streaming_sliding": q_streaming_sliding,
@@ -15179,6 +15244,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_audit": _SQL_ROBOTS_AUDIT,
         "webdataset_roundtrip": _SQL_WEBDATASET_ROUNDTRIP,
         "id3_tags_real": _SQL_ID3_TAGS_REAL,
+        "charset_sniff": _SQL_CHARSET_SNIFF,
         "wap_publish": _SQL_WAP_PUBLISH,
         "jpeg_color_real": _sql_jpeg_color_real(),
         "png_color_real": _sql_png_color_real(),

@@ -451,6 +451,8 @@ HEADLINE = [
     "webdataset_roundtrip",
     # round-8: ID3v2.4 frame parse, all three text encodings byte-pinned
     "id3_tags_real",
+    # round-8: charset triage (BOM scan -> UTF-8 validation -> fallback)
+    "charset_sniff",
 ]
 
 

@@ -8,6 +8,8 @@ pure map stages.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd  # noqa: F401  (pandas_udf type-hint resolution)
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -582,4 +584,70 @@ def readability_scores(
             " - (84600 * ((1000 * n_syllables) div n_words)) div 1000 "
             "END AS BIGINT)"
         ).alias("flesch_e3"),
+    )
+
+
+def detect_charset(blob: bytes) -> tuple[str, str]:
+    """Charset detection + decode for a raw text blob — the ingest
+    normalization every crawl corpus needs before any text operator
+    (Spark reads bytes; the wild serves UTF-8, legacy 8-bit, and
+    BOM'd UTF-16 side by side).  Detection order, most-specific
+    first, all from public encoding specs:
+
+    1. BOMs: UTF-8-sig, UTF-16 LE/BE (UTF-32 BOMs are a UTF-16 BOM
+       prefix and are checked first);
+    2. strict UTF-8 validation (the only multi-byte encoding whose
+       validity is self-evident); pure 7-bit input reports 'ascii';
+    3. ISO-8859-1 fallback (total: every byte string decodes).
+
+    Returns ``(charset_label, decoded_text)``.  Deterministic, no
+    heuristics beyond the spec checks — the same bytes always yield
+    the same label, which is what makes the operator oracle-checkable.
+    """
+    if blob[:4] in (b"\xff\xfe\x00\x00", b"\x00\x00\xfe\xff"):
+        label = "utf-32"
+        return label, blob.decode("utf-32")
+    if blob[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig", blob.decode("utf-8-sig")
+    if blob[:2] == b"\xff\xfe":
+        return "utf-16", blob.decode("utf-16")
+    if blob[:2] == b"\xfe\xff":
+        return "utf-16", blob.decode("utf-16")
+    try:
+        text = blob.decode("utf-8")
+        return ("ascii" if all(b < 0x80 for b in blob) else "utf-8"), text
+    except UnicodeDecodeError:
+        return "latin-1", blob.decode("latin-1")
+
+
+def decode_text_auto(
+    media: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """Arrow-batched charset triage over a binary column: one row per
+    blob with the detected ``charset``, the decoded ``text`` and its
+    character length — :func:`detect_charset` per blob inside
+    ``mapInPandas``, zero Exchange (pipelines with the scan)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            labels, texts, lens = [], [], []
+            for blob in pdf[content_col]:
+                label, text = detect_charset(bytes(blob))
+                labels.append(label)
+                texts.append(text)
+                lens.append(len(text))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "charset": labels,
+                    "text": texts,
+                    "n_chars": lens,
+                }
+            )
+
+    return media.select(id_col, content_col).mapInPandas(
+        run,
+        schema=f"{id_col} long, charset string, text string, n_chars int",
     )

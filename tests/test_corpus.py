@@ -607,3 +607,24 @@ def test_naive_bayes_separable_corpus(spark):
     )
     res = naive_bayes_classify(one).collect()
     assert all(r["predicted"] == "only" and r["margin_e6"] == 0 for r in res)
+
+
+def test_detect_charset_branches():
+    from blueforty___etl_data_pipeline_spark.operators.text_ops import (
+        detect_charset,
+    )
+
+    assert detect_charset(b"plain ascii") == ("ascii", "plain ascii")
+    assert detect_charset("héllo".encode("utf-8")) == ("utf-8", "héllo")
+    assert detect_charset("x".encode("utf-8-sig") and b"\xef\xbb\xbfx") == (
+        "utf-8-sig", "x"
+    )
+    assert detect_charset("Жуки".encode("utf-16")) == ("utf-16", "Жуки")
+    assert detect_charset("Жуки".encode("utf-16-be") and
+                          b"\xfe\xff" + "Жуки".encode("utf-16-be")) == (
+        "utf-16", "Жуки"
+    )
+    assert detect_charset("αβ".encode("utf-32")) == ("utf-32", "αβ")
+    # invalid UTF-8 falls back to latin-1 (total decode)
+    assert detect_charset(b"\xfc42") == ("latin-1", "ü42")
+    assert detect_charset(b"\xff\x00\x01") == ("latin-1", "ÿ\x00\x01")
