@@ -11429,6 +11429,98 @@ FROM shards ORDER BY shard_id
 """
 
 
+def q_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX (WordprocessingML) document cycle (sources/docx.py):
+    sampled documents shard 4 ways, each shard writes ONE real .docx
+    package (ZIP parts + word/document.xml, one paragraph per source
+    row carrying a genuine ``<w:tab/>`` between key and text) inside
+    its own applyInPandas group, then the distributed reader
+    (binaryFile + Arrow XML walk) extracts paragraphs back and
+    aggregates per file.  The oracle recomputes from the documents
+    table, so the whole OOXML text cycle — escaping, tab controls,
+    space preservation — must be lossless."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.sources.docx import (
+        read_docx,
+    )
+
+    import shutil
+
+    out = f"{SCRATCH}/docx"
+    shutil.rmtree(out, ignore_errors=True)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 40 == 34)
+        .select(
+            "doc_id",
+            "text",
+            (F.expr("doc_id div 40") % 4).cast("int").alias("shard_id"),
+        )
+    )
+
+    def write_shard(pdf):
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.sources.docx import (
+            write_docx,
+        )
+
+        pdf = pdf.sort_values("doc_id")
+        shard = int(pdf["shard_id"].iloc[0])
+        paragraphs = [
+            f"{int(r['doc_id'])}\t{r['text']}"
+            for _, r in pdf.iterrows()
+        ]
+        blob = write_docx(paragraphs)
+        import os
+
+        os.makedirs(out, exist_ok=True)
+        with open(f"{out}/docs-{shard:03d}.docx", "wb") as f:
+            f.write(blob)
+        return pd.DataFrame(
+            [[shard, len(paragraphs)]], columns=["shard_id", "n"]
+        )
+
+    docs.groupBy("shard_id").applyInPandas(
+        write_shard, "shard_id int, n long"
+    ).collect()
+
+    paras = read_docx(spark, f"{out}/*.docx")
+    parsed = paras.select(
+        "file",
+        F.split_part(F.col("text"), F.lit("\t"), F.lit(1))
+        .cast("long")
+        .alias("doc_id"),
+        (
+            F.col("n_chars")
+            - F.length(
+                F.split_part(F.col("text"), F.lit("\t"), F.lit(1))
+            )
+            - 1
+        ).alias("text_chars"),
+    )
+    return (
+        parsed.groupBy("file")
+        .agg(
+            F.count(F.lit(1)).alias("n_paragraphs"),
+            F.sum("text_chars").alias("sum_text_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("file")
+    )
+
+
+_SQL_DOCX_EXTRACT = """
+SELECT printf('docs-%03d.docx', CAST((doc_id // 40) % 4 AS INTEGER)) AS file,
+       CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_text_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents WHERE doc_id % 40 = 34
+GROUP BY 1 ORDER BY file
+"""
+
+
 def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset triage under the driver's oracle (operators/text_ops.
     decode_text_auto): each sampled document serializes under one of
@@ -14978,6 +15070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webdataset_roundtrip": q_webdataset_roundtrip,
         "id3_tags_real": q_id3_tags_real,
         "charset_sniff": q_charset_sniff,
+        "docx_extract": q_docx_extract,
         # ---- driver-green in round 6 (the r6 window, 50/50 green) --------
         "order_totals": q_order_totals,
         "streaming_sliding": q_streaming_sliding,
@@ -15245,6 +15338,7 @@ def oracle_sql() -> dict[str, str]:
         "webdataset_roundtrip": _SQL_WEBDATASET_ROUNDTRIP,
         "id3_tags_real": _SQL_ID3_TAGS_REAL,
         "charset_sniff": _SQL_CHARSET_SNIFF,
+        "docx_extract": _SQL_DOCX_EXTRACT,
         "wap_publish": _SQL_WAP_PUBLISH,
         "jpeg_color_real": _sql_jpeg_color_real(),
         "png_color_real": _sql_png_color_real(),

@@ -453,6 +453,8 @@ HEADLINE = [
     "id3_tags_real",
     # round-8: charset triage (BOM scan -> UTF-8 validation -> fallback)
     "charset_sniff",
+    # round-8: DOCX write->read cycle (OOXML zip + WordprocessingML)
+    "docx_extract",
 ]
 
 

@@ -615,3 +615,57 @@ def test_avro_schema_compat_rules():
     ])
     ok, why = schema_compat(retyped, v1)
     assert not ok and "writer type 'long'" in why[0]
+
+
+def test_docx_codec_roundtrip_and_gates():
+    import io
+    import zipfile
+
+    import pytest as _pytest
+
+    from blueforty___etl_data_pipeline_spark.sources.docx import (
+        parse_docx_text,
+        write_docx,
+    )
+
+    paras = [
+        "Hello world",
+        "key\tvalue & <tag>",     # tab control + XML escaping
+        "line1\nline2",           # break control
+        "  preserved  spaces  ",  # xml:space handling
+        "",                       # empty paragraph survives
+    ]
+    blob = write_docx(paras)
+    assert parse_docx_text(blob) == list(enumerate(paras))
+    # byte-deterministic fixture (zeroed zip timestamps)
+    assert write_docx(paras) == blob
+    # a ZIP without word/document.xml is not a docx
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("other.xml", "<x/>")
+    with _pytest.raises(ValueError, match="word/document.xml"):
+        parse_docx_text(buf.getvalue())
+
+
+def test_read_docx_distributed(spark, tmp_path):
+    from blueforty___etl_data_pipeline_spark.sources.docx import (
+        read_docx,
+        write_docx,
+    )
+
+    for i in range(3):
+        (tmp_path / f"f{i}.docx").write_bytes(
+            write_docx([f"doc {i} para {j}" for j in range(i + 1)])
+        )
+    got = read_docx(spark, str(tmp_path / "*.docx")).collect()
+    assert len(got) == 6  # 1 + 2 + 3 paragraphs
+    by_file = {}
+    for r in got:
+        by_file.setdefault(r["file"], []).append(
+            (r["paragraph"], r["text"], r["n_chars"])
+        )
+    assert by_file["f2.docx"] == [
+        (0, "doc 2 para 0", 12),
+        (1, "doc 2 para 1", 12),
+        (2, "doc 2 para 2", 12),
+    ]
