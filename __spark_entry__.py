@@ -13191,6 +13191,72 @@ ORDER BY source
 """
 
 
+def q_warc_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """warc.gz cycle — the layout Common Crawl actually ships
+    (sources/warc.py write_warc_gz_shards / read_warc_gz): every WARC
+    record its OWN gzip member, members concatenated per shard, the
+    reader splitting members EXACTLY via zlib unused_data framing
+    (never a magic-byte scan) before the record walk.  The returned
+    per-source rollup adds a per-record-member integrity check: each
+    response's member ordinal must be unique within its shard (one
+    record = one member = one random-access unit), folded into
+    n_distinct_members.  Oracle recomputes from the documents table."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.sources.warc import (
+        read_warc_gz,
+        write_warc_gz_shards,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 7)
+        .select(
+            "doc_id",
+            "text",
+            "source",
+            (F.expr("doc_id div 10") % 4).cast("int").alias("shard_id"),
+        )
+    )
+    out = f"{SCRATCH}/warc_gz"
+    write_warc_gz_shards(docs, out, uri_cols=("source",)).collect()
+    recs = read_warc_gz(spark, f"{out}/*.warc.gz")
+    resp = recs.filter(F.col("warc_type") == "response").select(
+        F.regexp_extract("target_uri", r"corpus\.example/([^/]+)/", 1)
+        .alias("source"),
+        F.regexp_extract("target_uri", r"/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "payload_bytes",
+        "file",
+        "member",
+    )
+    return (
+        resp.groupBy("source")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum("payload_bytes").alias("payload_bytes"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.countDistinct("file", "member").alias("n_distinct_members"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_WARC_GZ_ROUNDTRIP = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS payload_bytes,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_members
+FROM documents
+WHERE doc_id % 10 = 7
+GROUP BY source
+ORDER BY source
+"""
+
+
 def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiple linear regression (operators/analytics.ols_fit):
     floor-dollar extended price regressed on quantity and discount
@@ -15071,6 +15137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "id3_tags_real": q_id3_tags_real,
         "charset_sniff": q_charset_sniff,
         "docx_extract": q_docx_extract,
+        "warc_gz_roundtrip": q_warc_gz_roundtrip,
         # ---- driver-green in round 6 (the r6 window, 50/50 green) --------
         "order_totals": q_order_totals,
         "streaming_sliding": q_streaming_sliding,
@@ -15339,6 +15406,7 @@ def oracle_sql() -> dict[str, str]:
         "id3_tags_real": _SQL_ID3_TAGS_REAL,
         "charset_sniff": _SQL_CHARSET_SNIFF,
         "docx_extract": _SQL_DOCX_EXTRACT,
+        "warc_gz_roundtrip": _SQL_WARC_GZ_ROUNDTRIP,
         "wap_publish": _SQL_WAP_PUBLISH,
         "jpeg_color_real": _sql_jpeg_color_real(),
         "png_color_real": _sql_png_color_real(),

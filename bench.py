@@ -455,6 +455,8 @@ HEADLINE = [
     "charset_sniff",
     # round-8: DOCX write->read cycle (OOXML zip + WordprocessingML)
     "docx_extract",
+    # round-8: warc.gz cycle (per-record gzip members, exact framing)
+    "warc_gz_roundtrip",
 ]
 
 

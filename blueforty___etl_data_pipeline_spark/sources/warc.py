@@ -221,3 +221,174 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
             "payload_bytes long"
         ),
     )
+
+
+# ---------------------------------------------------------------------
+# warc.gz — the layout Common Crawl actually ships: each WARC record
+# is its OWN gzip member and the members are concatenated, so a
+# consumer can seek to any record boundary and decompress one record
+# without touching the rest of the file (the cdx-index access
+# pattern).  The member split below is exact — a zlib decompressobj
+# consumes one member to EOF and hands back ``unused_data`` as the
+# next member's start — never a heuristic scan for 0x1F8B magics
+# (which legitimately occur INSIDE deflate streams).
+# ---------------------------------------------------------------------
+
+
+def write_warc_gz_shards(
+    df: DataFrame,
+    out_dir: str,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    uri_cols: tuple[str, ...] = ("source",),
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Like :func:`write_warc_shards` but per-record-gzip'd
+    (``shard-{id:06d}.warc.gz``); members use mtime 0 so shard bytes
+    stay content-deterministic.  Manifest adds ``gz_bytes``."""
+    import pandas as pd
+
+    schema = (
+        f"{shard_col} int, n_records long, payload_bytes long, "
+        "gz_bytes long"
+    )
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        import gzip
+        import os
+
+        pdf = pdf.sort_values(key_col)
+        shard_id = int(pdf[shard_col].iloc[0])
+
+        def gz(record: bytes) -> bytes:
+            return gzip.compress(record, compresslevel=6, mtime=0)
+
+        blob = bytearray(
+            gz(
+                _record(
+                    [
+                        ("WARC-Type", "warcinfo"),
+                        ("WARC-Date", _DATE),
+                        (
+                            "WARC-Record-ID",
+                            f"<urn:uuid:{_fake_uuid(f'info-{shard_id}')}>",
+                        ),
+                        ("Content-Type", "application/warc-fields"),
+                    ],
+                    f"software: engine-warc-writer/1.0{_CRLF}".encode(),
+                )
+            )
+        )
+        payload_total = 0
+        for _, row in pdf.iterrows():
+            key = int(row[key_col])
+            path = "/".join(str(row[c]) for c in uri_cols)
+            payload = str(row[text_col]).encode("utf-8")
+            payload_total += len(payload)
+            blob += gz(
+                _record(
+                    [
+                        ("WARC-Type", "response"),
+                        ("WARC-Date", _DATE),
+                        (
+                            "WARC-Record-ID",
+                            f"<urn:uuid:{_fake_uuid(f'rec-{key}')}>",
+                        ),
+                        (
+                            "WARC-Target-URI",
+                            f"https://corpus.example/{path}/{key}",
+                        ),
+                        ("Content-Type", "text/plain"),
+                    ],
+                    payload,
+                )
+            )
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = os.path.join(out_dir, f".shard-{shard_id:06d}.tmp")
+        final = os.path.join(out_dir, f"shard-{shard_id:06d}.warc.gz")
+        with open(tmp, "wb") as f:
+            f.write(bytes(blob))
+        os.replace(tmp, final)
+        return pd.DataFrame(
+            [[shard_id, len(pdf), payload_total, len(blob)]],
+            columns=[shard_col, "n_records", "payload_bytes", "gz_bytes"],
+        )
+
+    return df.groupBy(shard_col).applyInPandas(write_shard, schema)
+
+
+def split_gzip_members(data: bytes) -> list[bytes]:
+    """Concatenated gzip members → list of decompressed payloads.
+    Exact member framing via ``zlib.decompressobj(wbits=31)`` +
+    ``unused_data`` — every member must decompress cleanly to EOF
+    (truncated trailing members raise)."""
+    import zlib
+
+    out = []
+    rest = data
+    while rest:
+        d = zlib.decompressobj(wbits=31)
+        payload = d.decompress(rest)
+        if not d.eof:
+            raise ValueError("truncated gzip member")
+        out.append(payload + d.flush())
+        rest = d.unused_data
+    return out
+
+
+def read_warc_gz(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Distributed warc.gz scan: binaryFile per shard → exact gzip
+    member split → record parse per member; same row shape as
+    :func:`read_warc` plus ``member`` (the record's member ordinal,
+    i.e. its random-access index in the shard)."""
+    import os
+
+    base, leaf = os.path.split(path_glob)
+    if any(c in leaf for c in "*?["):
+        files = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", leaf)
+            .load(base)
+        )
+    else:
+        files = spark.read.format("binaryFile").load(path_glob)
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for mi, member in enumerate(
+                    split_gzip_members(bytes(content))
+                ):
+                    for r in parse_warc_bytes(member):
+                        rows.append(
+                            (
+                                path,
+                                mi,
+                                r["warc_type"],
+                                r["record_id"],
+                                r["target_uri"],
+                                r["warc_date"],
+                                r["content_length"],
+                                len(r["payload"]),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file", "member", "warc_type", "record_id",
+                    "target_uri", "warc_date", "content_length",
+                    "payload_bytes",
+                ],
+            )
+
+    return files.select("path", "content").mapInPandas(
+        parse,
+        schema=(
+            "file string, member int, warc_type string, "
+            "record_id string, target_uri string, warc_date string, "
+            "content_length long, payload_bytes long"
+        ),
+    )

@@ -669,3 +669,53 @@ def test_read_docx_distributed(spark, tmp_path):
         (1, "doc 2 para 1", 12),
         (2, "doc 2 para 2", 12),
     ]
+
+
+def test_warc_gz_member_framing(spark, tmp_path, sf_small):
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.sources.warc import (
+        read_warc_gz,
+        split_gzip_members,
+        write_warc_gz_shards,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_small}/documents.parquet")
+        .filter(F.col("doc_id") % 20 == 1)
+        .select(
+            "doc_id", "text", "source",
+            (F.col("doc_id") % 2).cast("int").alias("shard_id"),
+        )
+    )
+    out = str(tmp_path / "wgz")
+    manifest = {
+        r["shard_id"]: r
+        for r in write_warc_gz_shards(docs, out).collect()
+    }
+    n_docs = docs.count()
+    assert sum(m["n_records"] for m in manifest.values()) == n_docs
+
+    # file-level check: member count == records + warcinfo lead
+    import glob as _glob
+
+    for path in _glob.glob(out + "/*.warc.gz"):
+        members = split_gzip_members(open(path, "rb").read())
+        shard = int(path.rsplit("-", 1)[1].split(".")[0])
+        assert len(members) == manifest[shard]["n_records"] + 1
+        assert members[0].startswith(b"WARC/1.0")
+
+    recs = read_warc_gz(spark, out + "/*.warc.gz")
+    resp = recs.filter(F.col("warc_type") == "response")
+    assert resp.count() == n_docs
+    # one record per member, ordinals unique within a file
+    assert (
+        resp.select("file", "member").distinct().count() == n_docs
+    )
+    # payload byte counts survive the gzip cycle
+    assert (
+        resp.agg(F.sum("payload_bytes")).collect()[0][0]
+        == docs.agg(
+            F.sum(F.octet_length("text"))
+        ).collect()[0][0]
+    )
