@@ -11429,6 +11429,51 @@ FROM shards ORDER BY shard_id
 """
 
 
+def q_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split with an embargo gap (operators/
+    sampling.time_embargo_split) — the purged-split leakage control:
+    events before cutoff−3d train, events from the cutoff on test,
+    the 3-day gap is excluded from both.  Pure codegen map stage +
+    one COUNT-GROUP-BY; the audit row shape (events, users, day span
+    per split) lets the oracle verify both boundary comparisons to
+    the second."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        time_embargo_split,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    labeled = time_embargo_split(
+        ev, "ts", "2024-01-24 00:00:00", embargo="3 days"
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min(F.to_date("ts")).alias("min_day"),
+            F.max(F.to_date("ts")).alias("max_day"),
+        )
+        .orderBy("split")
+    )
+
+
+_SQL_EMBARGO_SPLIT = """
+WITH lab AS (
+  SELECT *,
+         CASE WHEN ts < TIMESTAMP '2024-01-24 00:00:00'
+                        - INTERVAL 3 DAY THEN 'train'
+              WHEN ts >= TIMESTAMP '2024-01-24 00:00:00' THEN 'test'
+              ELSE 'embargo' END AS split
+  FROM events)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       MIN(CAST(ts AS DATE)) AS min_day,
+       MAX(CAST(ts AS DATE)) AS max_day
+FROM lab GROUP BY split ORDER BY split
+"""
+
+
 def q_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOCX (WordprocessingML) document cycle (sources/docx.py):
     sampled documents shard 4 ways, each shard writes ONE real .docx
@@ -15138,6 +15183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_sniff": q_charset_sniff,
         "docx_extract": q_docx_extract,
         "warc_gz_roundtrip": q_warc_gz_roundtrip,
+        "embargo_split": q_embargo_split,
         # ---- driver-green in round 6 (the r6 window, 50/50 green) --------
         "order_totals": q_order_totals,
         "streaming_sliding": q_streaming_sliding,
@@ -15407,6 +15453,7 @@ def oracle_sql() -> dict[str, str]:
         "charset_sniff": _SQL_CHARSET_SNIFF,
         "docx_extract": _SQL_DOCX_EXTRACT,
         "warc_gz_roundtrip": _SQL_WARC_GZ_ROUNDTRIP,
+        "embargo_split": _SQL_EMBARGO_SPLIT,
         "wap_publish": _SQL_WAP_PUBLISH,
         "jpeg_color_real": _sql_jpeg_color_real(),
         "png_color_real": _sql_png_color_real(),

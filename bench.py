@@ -457,6 +457,8 @@ HEADLINE = [
     "docx_extract",
     # round-8: warc.gz cycle (per-record gzip members, exact framing)
     "warc_gz_roundtrip",
+    # round-8: purged temporal split (leakage-controlled embargo gap)
+    "embargo_split",
 ]
 
 

@@ -619,3 +619,34 @@ def poisson_bootstrap_mean(
         "ci_lo",
         "ci_hi",
     )
+
+
+def time_embargo_split(
+    df: DataFrame,
+    ts_col: str,
+    cutoff: str,
+    embargo: str = "7 days",
+) -> DataFrame:
+    """Temporal train/test split with an EMBARGO gap — the leakage
+    control for time-series / event models (finance calls it purged
+    splitting): everything before ``cutoff − embargo`` trains,
+    everything from ``cutoff`` on tests, and rows inside the gap are
+    labeled ``embargo`` and EXCLUDED from both, so features computed
+    with lookback windows near the boundary cannot leak test-period
+    signal into training.
+
+    Pure map stage (two timestamp comparisons, codegen) — no shuffle,
+    no RNG; late-arriving rows land in consistent splits.  ``cutoff``
+    is an ANSI timestamp string, ``embargo`` an INTERVAL literal
+    (e.g. ``'7 days'``, ``'36 hours'``)."""
+    cut = F.to_timestamp(F.lit(cutoff))
+    start_gap = F.expr(
+        f"to_timestamp('{cutoff}') - INTERVAL {embargo}"
+    )
+    ts = F.col(ts_col)
+    return df.withColumn(
+        "split",
+        F.when(ts < start_gap, "train")
+        .when(ts >= cut, "test")
+        .otherwise("embargo"),
+    )

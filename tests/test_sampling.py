@@ -493,3 +493,30 @@ def test_poisson_bootstrap_deterministic_and_sane(spark):
     # any resample count works (one digest per ROW, not per draw)
     r50 = poisson_bootstrap_mean(df, "y", "rid", n_boot=52).collect()[0]
     assert r50["n_boot"] == 52 and r50["ci_lo"] <= r50["ci_hi"]
+
+
+def test_time_embargo_split_boundaries(spark):
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        time_embargo_split,
+    )
+
+    rows = [
+        ("2024-01-20 23:59:59", "train"),    # last second before gap
+        ("2024-01-21 00:00:00", "embargo"),  # gap start inclusive
+        ("2024-01-23 23:59:59", "embargo"),  # last gap second
+        ("2024-01-24 00:00:00", "test"),     # cutoff inclusive
+        ("2024-01-01 00:00:00", "train"),
+        ("2024-01-30 12:00:00", "test"),
+    ]
+    df = spark.createDataFrame(
+        [(t,) for t, _ in rows], "raw string"
+    ).select(F.to_timestamp("raw").alias("ts"))
+    got = [
+        r["split"]
+        for r in time_embargo_split(
+            df, "ts", "2024-01-24 00:00:00", embargo="3 days"
+        ).collect()
+    ]
+    assert got == [want for _, want in rows]
