@@ -11429,6 +11429,257 @@ FROM shards ORDER BY shard_id
 """
 
 
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting feature matrix (operators/temporal.lag_features)
+    over the daily per-event-type event count series: day-RANGE lags
+    (gap days NULL, never the previous row — the classic lag bug) and
+    a trailing 7-day rolling sum EXCLUDING the current day (no target
+    leakage).  One shuffle on event_type; all windows share one sort.
+    Counts are exact integers, so every feature cell hash-matches."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        lag_features,
+    )
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = lag_features(
+        daily, "event_type", "day", "n", lags=(1, 7), roll_days=7
+    )
+    return out.select(
+        "event_type", "day", "n", "lag_1", "lag_7", "roll_sum", "roll_n"
+    )
+
+
+_SQL_LAG_FEATURES = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+d AS (SELECT *, datediff('day', DATE '1970-01-01', day) AS dd FROM daily)
+SELECT event_type, day, n,
+       MAX(n) OVER (PARTITION BY event_type ORDER BY dd
+                    RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS lag_1,
+       MAX(n) OVER (PARTITION BY event_type ORDER BY dd
+                    RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS lag_7,
+       SUM(n) OVER (PARTITION BY event_type ORDER BY dd
+                    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS roll_sum,
+       COUNT(n) OVER (PARTITION BY event_type ORDER BY dd
+                    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS roll_n
+FROM d
+"""
+
+
+def q_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval eval: how much of the exact
+    full-dimension top-5 survives when embeddings are TRUNCATED to
+    their leading 32 / 16 dims (the MRL deployment question — serve
+    shorter vectors, keep which recall?).  Exact brute-force top-5 at
+    each width (broadcast cross-join + windowed top-k, the ann_brute
+    plan), overlap joined per query, recall folded to integer
+    permille.  At 100 TB the truncated widths reuse the same scan —
+    slice() is a zero-copy array projection, and the eval fan-in is
+    query-count-bounded."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 50)
+
+    full = (
+        ann_brute_force(emb, queries, k=5, round_decimals=6)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    tot = full.agg(F.count(F.lit(1)).alias("n_exact"))
+
+    def truncated(dim: int) -> DataFrame:
+        cut = lambda df: df.select(  # noqa: E731
+            "vec_id", F.slice("embedding", 1, dim).alias("embedding")
+        )
+        approx = ann_brute_force(
+            cut(emb), cut(queries), k=5, round_decimals=6
+        ).select("query_id", "neighbor_id")
+        return (
+            full.join(approx, ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(dim).alias("dims"), "n_hits")
+        )
+
+    return (
+        truncated(32)
+        .unionAll(truncated(16))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dims",
+            "n_hits",
+            "n_exact",
+            F.expr("1000 * n_hits div n_exact").alias("recall_permille"),
+        )
+    )
+
+
+def _sql_matryoshka_eval() -> str:
+    def dot(a: str, b: str, dim: int) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(range(1, {dim + 1}), i -> "
+            f"CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+            "(x, y) -> x + y)"
+        )
+
+    def cosine(a: str, b: str, dim: int) -> str:
+        na = f"SQRT({dot(a, a, dim)})"
+        nb = f"SQRT({dot(b, b, dim)})"
+        return (
+            f"CASE WHEN {na} * {nb} > 0 "
+            f"THEN ({dot(a, b, dim)}) / ({na} * {nb}) END"
+        )
+
+    def brute(dim: int) -> str:
+        return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id % 100 = 50),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND({cosine('c.embedding', 'q.qv', dim)}, 6) AS score
+  FROM embeddings c CROSS JOIN q)
+SELECT query_id, neighbor_id
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id) AS rn FROM scored)
+WHERE rn <= 5
+"""
+
+    full = brute(64)
+    d32 = brute(32)
+    d16 = brute(16)
+    return f"""
+WITH fullk AS ({full}),
+a32 AS ({d32}),
+a16 AS ({d16}),
+tot AS (SELECT COUNT(*) AS n_exact FROM fullk),
+h AS (
+  SELECT 32 AS dims, COUNT(*) AS n_hits
+  FROM fullk JOIN a32 USING (query_id, neighbor_id)
+  UNION ALL
+  SELECT 16 AS dims, COUNT(*) AS n_hits
+  FROM fullk JOIN a16 USING (query_id, neighbor_id))
+SELECT dims, CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       1000 * n_hits // n_exact AS recall_permille
+FROM h CROSS JOIN tot
+"""
+
+
+def q_ip_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-preserving IP pseudonymization (functions/text.
+    anonymize_ipv4_prefix): every event synthesizes a flow-log IPv4
+    from its ids, the keyed octet-shift chain anonymizes it at scan
+    speed (pure codegen md5/conv/pmod — no UDF), and the rollup
+    groups by ANONYMIZED /16 prefix.  Because the oracle recomputes
+    the exact same keyed arithmetic in DuckDB, the query verifies all
+    three properties at once: determinism, prefix preservation (the
+    /16 rollup is well-defined), and per-level bijectivity (distinct
+    anon count equals distinct raw count)."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.functions.text import (
+        anonymize_ipv4_prefix,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat_ws(
+            ".",
+            F.lit(10),
+            (F.col("user_id") % 200).cast("string"),
+            (F.expr("user_id div 200") % 250).cast("string"),
+            (F.col("event_id") % 256).cast("string"),
+        ).alias("ip")
+    )
+    anon = ev.select(
+        "ip",
+        anonymize_ipv4_prefix(F.col("ip"), "corpus-key").alias("anon_ip"),
+    )
+    p16 = F.concat_ws(
+        ".",
+        F.split_part(F.col("anon_ip"), F.lit("."), F.lit(1)),
+        F.split_part(F.col("anon_ip"), F.lit("."), F.lit(2)),
+    )
+    return (
+        anon.groupBy(p16.alias("anon_p16"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("ip").alias("n_raw_ips"),
+            F.countDistinct("anon_ip").alias("n_anon_ips"),
+        )
+        .orderBy("anon_p16")
+    )
+
+
+_SQL_IP_ANONYMIZE = """
+WITH ips AS (
+  SELECT 10 AS o1, user_id % 200 AS o2,
+         (user_id // 200) % 250 AS o3, event_id % 256 AS o4
+  FROM events),
+anon AS (
+  SELECT o1, o2, o3, o4,
+         (o1 + CAST(('0x' || substr(md5('corpus-key'), 1, 6))
+               AS BIGINT)) % 256 AS a1,
+         (o2 + CAST(('0x' || substr(md5('corpus-key' || '.' ||
+               CAST(o1 AS VARCHAR)), 1, 6)) AS BIGINT)) % 256 AS a2,
+         (o3 + CAST(('0x' || substr(md5('corpus-key' || '.' ||
+               CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR)),
+               1, 6)) AS BIGINT)) % 256 AS a3,
+         (o4 + CAST(('0x' || substr(md5('corpus-key' || '.' ||
+               CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR)
+               || '.' || CAST(o3 AS VARCHAR)), 1, 6))
+               AS BIGINT)) % 256 AS a4
+  FROM ips)
+SELECT CAST(a1 AS VARCHAR) || '.' || CAST(a2 AS VARCHAR) AS anon_p16,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT (o1, o2, o3, o4)) AS BIGINT) AS n_raw_ips,
+       CAST(COUNT(DISTINCT (a1, a2, a3, a4)) AS BIGINT) AS n_anon_ips
+FROM anon GROUP BY 1 ORDER BY anon_p16
+"""
+
+
+def q_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-skew PLANNING diagnostic (operators/profile.
+    join_skew_report): the exact output cardinality and dominant keys
+    of the events⋈events self-join on user_id, computed WITHOUT
+    running the join — two partial-agged key-count tables joined on
+    the key, contribution = n_left·n_right.  The report names the
+    keys worth salting before a cluster-day gets burned discovering
+    them; shuffle volume is distinct keys, never rows."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        join_skew_report,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    return join_skew_report(ev, ev, "user_id", top=5)
+
+
+_SQL_JOIN_SKEW = """
+WITH c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events
+  GROUP BY user_id),
+contrib AS (
+  SELECT user_id, n AS n_left, n AS n_right, n * n AS contrib FROM c),
+tot AS (
+  SELECT CAST(SUM(contrib) AS BIGINT) AS total_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_join_keys
+  FROM contrib)
+SELECT user_id, n_left, n_right, CAST(contrib AS BIGINT) AS contrib,
+       total_rows, n_join_keys,
+       CAST(contrib * 1000 // total_rows AS BIGINT) AS permille
+FROM contrib, tot
+ORDER BY contrib DESC, user_id LIMIT 5
+"""
+
+
 def q_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal train/test split with an embargo gap (operators/
     sampling.time_embargo_split) — the purged-split leakage control:
@@ -13299,6 +13550,96 @@ FROM documents
 WHERE doc_id % 10 = 7
 GROUP BY source
 ORDER BY source
+"""
+
+
+def q_warc_http_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC with the HTTP layer OPENED — real Common Crawl record
+    shape (sources/warc.py build_http_response / read_warc_http):
+    every response record's payload is a spec-valid RFC 9112 HTTP/1.1
+    message (status line from md5 among 200/301/404, headers,
+    Content-Length-checked body), written through the WARC shard
+    writer and re-parsed by the distributed reader that walks BOTH
+    framings (WARC Content-Length, then HTTP header/body split).
+    Rollup per status; the oracle recomputes status mix and body
+    bytes from the documents table."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.sources.warc import (
+        read_warc_http,
+        write_warc_shards,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+        .filter(F.col("doc_id") % 10 == 9)
+    )
+
+    def to_http(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.sources.warc import (
+            build_http_response,
+        )
+
+        statuses = ((200, "OK"), (301, "Moved"), (404, "NotFound"))
+        for pdf in batches:
+            rows = []
+            for doc_id, text, source in zip(
+                pdf["doc_id"], pdf["text"], pdf["source"]
+            ):
+                d = _hl.md5(text.encode("utf-8")).digest()
+                st, reason = statuses[d[0] % 3]
+                http = build_http_response(
+                    st,
+                    [("Content-Type", "text/plain")],
+                    text.encode("utf-8"),
+                    reason=reason,
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        http.decode("utf-8"),
+                        source,
+                        int(doc_id // 10) % 4,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "text", "source", "shard_id"]
+            )
+
+    http_docs = docs.mapInPandas(
+        to_http,
+        schema="doc_id long, text string, source string, shard_id int",
+    )
+    out = f"{SCRATCH}/warc_http"
+    write_warc_shards(http_docs, out, uri_cols=("source",)).collect()
+    recs = read_warc_http(spark, f"{out}/*.warc")
+    return (
+        recs.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("body_bytes").alias("body_bytes"),
+            F.countDistinct("content_type").alias("n_content_types"),
+            F.max("header_count").alias("max_headers"),
+        )
+        .orderBy("status")
+    )
+
+
+_SQL_WARC_HTTP_ROUNDTRIP = """
+WITH t AS (
+  SELECT doc_id, text,
+         CASE CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) % 3
+              WHEN 0 THEN 200 WHEN 1 THEN 301 ELSE 404 END AS status
+  FROM documents WHERE doc_id % 10 = 9)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS body_bytes,
+       CAST(1 AS BIGINT) AS n_content_types,
+       2 AS max_headers
+FROM t GROUP BY status ORDER BY status
 """
 
 
@@ -15184,6 +15525,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docx_extract": q_docx_extract,
         "warc_gz_roundtrip": q_warc_gz_roundtrip,
         "embargo_split": q_embargo_split,
+        "ip_anonymize": q_ip_anonymize,
+        "join_skew": q_join_skew,
+        "matryoshka_eval": q_matryoshka_eval,
+        "lag_features": q_lag_features,
+        "warc_http_roundtrip": q_warc_http_roundtrip,
         # ---- driver-green in round 6 (the r6 window, 50/50 green) --------
         "order_totals": q_order_totals,
         "streaming_sliding": q_streaming_sliding,
@@ -15454,6 +15800,11 @@ def oracle_sql() -> dict[str, str]:
         "docx_extract": _SQL_DOCX_EXTRACT,
         "warc_gz_roundtrip": _SQL_WARC_GZ_ROUNDTRIP,
         "embargo_split": _SQL_EMBARGO_SPLIT,
+        "ip_anonymize": _SQL_IP_ANONYMIZE,
+        "join_skew": _SQL_JOIN_SKEW,
+        "matryoshka_eval": _sql_matryoshka_eval(),
+        "lag_features": _SQL_LAG_FEATURES,
+        "warc_http_roundtrip": _SQL_WARC_HTTP_ROUNDTRIP,
         "wap_publish": _SQL_WAP_PUBLISH,
         "jpeg_color_real": _sql_jpeg_color_real(),
         "png_color_real": _sql_png_color_real(),

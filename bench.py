@@ -459,6 +459,16 @@ HEADLINE = [
     "warc_gz_roundtrip",
     # round-8: purged temporal split (leakage-controlled embargo gap)
     "embargo_split",
+    # round-8: prefix-preserving keyed IP pseudonymization (codegen)
+    "ip_anonymize",
+    # round-8: pre-join skew diagnostic (exact cardinality, no join run)
+    "join_skew",
+    # round-8: Matryoshka truncation retrieval eval (32/16-dim recall)
+    "matryoshka_eval",
+    # round-8: forecasting lag/rolling features (RANGE windows, one sort)
+    "lag_features",
+    # round-8: WARC with the HTTP layer opened (RFC 9112 framing)
+    "warc_http_roundtrip",
 ]
 
 

@@ -441,3 +441,41 @@ def canonicalize_url(url: Column) -> Column:
         F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(""),
     )
     return F.when(scheme.isin("http", "https") & (host != ""), canon)
+
+
+def anonymize_ipv4_prefix(ip: Column, key: str) -> Column:
+    """Prefix-preserving IPv4 pseudonymization (the Crypto-PAn
+    property, realized at octet granularity with keyed-hash offsets):
+    octet ``i`` is shifted by a value derived ONLY from the key and
+    the preceding prefix —
+
+        a_i = (o_i + H(key, o_1..o_{i-1})) mod 256
+
+    so (a) equal prefixes map to equal prefixes — subnet structure,
+    joins and GROUP BYs on network prefixes keep working on the
+    pseudonymized column; (b) each level's mapping is a BIJECTION
+    (a constant shift mod 256), so distinct addresses never collide;
+    (c) without the key the mapping is as hard to invert as the hash.
+    Entirely codegen (md5/conv/pmod chain) — scan-speed over a
+    petabyte flow log, no UDF.
+
+    Malformed addresses yield NULL (the ipv4_to_long contract).
+    """
+    parts = F.split(ip, r"\.")
+    octets = [parts.getItem(i).cast("long") for i in range(4)]
+    valid = F.size(parts) == 4
+    for o in octets:
+        valid = valid & o.isNotNull() & (o >= 0) & (o <= 255)
+
+    anon = []
+    prefix: Column = F.lit(key)
+    for i in range(4):
+        offset = F.conv(
+            F.substring(F.md5(prefix), 1, 6), 16, 10
+        ).cast("long")
+        anon.append(F.pmod(octets[i] + offset, F.lit(256)))
+        prefix = F.concat(
+            prefix, F.lit("."), octets[i].cast("string")
+        )
+    joined = F.concat_ws(".", *[a.cast("string") for a in anon])
+    return F.when(valid, joined)

@@ -1828,3 +1828,54 @@ def mahalanobis_outliers(
         F.max("d2_e3").alias("max_d2_e3"),
         F.sum("d2_e3").alias("sum_d2_e3"),
     )
+
+
+def join_skew_report(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    top: int = 5,
+) -> DataFrame:
+    """Pre-join SKEW diagnostic — the planning pass a 100 TB join
+    deserves before it runs: exact output cardinality and the keys
+    that dominate it, computed WITHOUT executing the join.
+
+    Both sides reduce to (key, count) tables (two partial-agged
+    COUNT-GROUP-BYs — shuffle volume is distinct keys, never rows),
+    the count tables join on the key (inner: keys on one side only
+    contribute 0 output rows), and each key's output contribution is
+    ``n_left·n_right``.  Returns the ``top`` keys by contribution
+    with their permille share of the exact total — if the top key
+    carries 300‰ of a trillion-row join output, that is the key to
+    salt (operators/joins.salted_join) or AQE-skew-split BEFORE
+    burning a cluster-day discovering it.
+
+    Output: (key, n_left, n_right, contrib, total_rows, n_join_keys,
+    permille) — one row per hot key, total/keys repeated for a
+    single-pass read."""
+    lc = left.groupBy(F.col(key).alias("k")).agg(
+        F.count(F.lit(1)).alias("n_left")
+    )
+    rc = right.groupBy(F.col(key).alias("k")).agg(
+        F.count(F.lit(1)).alias("n_right")
+    )
+    contrib = lc.join(rc, "k").select(
+        "k", "n_left", "n_right",
+        (F.col("n_left") * F.col("n_right")).alias("contrib"),
+    )
+    totals = contrib.agg(
+        F.sum("contrib").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_join_keys"),
+    )
+    ranked = (
+        contrib.orderBy(
+            F.col("contrib").desc(), F.col("k").asc()
+        )
+        .limit(top)
+        .crossJoin(F.broadcast(totals))
+    )
+    return ranked.select(
+        F.col("k").alias(key),
+        "n_left", "n_right", "contrib", "total_rows", "n_join_keys",
+        F.expr("contrib * 1000 div total_rows").alias("permille"),
+    )

@@ -769,3 +769,38 @@ def merge_intervals(
         F.count(F.lit(1)).alias("n_intervals"),
         (F.max("e") - F.min("s")).alias("covered_us"),
     )
+
+
+def lag_features(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+    lags: Sequence[int] = (1, 7),
+    roll_days: int = 7,
+) -> DataFrame:
+    """Forecasting feature matrix over a (key, day, value) series:
+    per row add ``lag_{n}`` columns (value ``n`` DAYS earlier — a
+    RANGE-offset lookup, so gap days yield NULL rather than the
+    previous ROW's value, the classic lag-feature bug) and
+    ``roll_sum``/``roll_n`` over the trailing ``roll_days``-day
+    window EXCLUDING the current day (features must be computable
+    before the label's day closes — no target leakage).
+
+    Scale shape: one Exchange on ``key_col``; every lag and the
+    rolling window share that single sort (Spark fuses same-spec
+    windows), and windows are RANGE-bounded over integer day
+    offsets so per-row state is the sliding aggregate, never a
+    buffered partition."""
+    days = F.datediff(F.col(day_col), F.lit("1970-01-01"))
+    base = df.withColumn("_d", days)
+    w_ordered = Window.partitionBy(key_col).orderBy("_d")
+    out = base
+    for n in lags:
+        w_lag = w_ordered.rangeBetween(-n, -n)
+        out = out.withColumn(f"lag_{n}", F.max(value_col).over(w_lag))
+    w_roll = w_ordered.rangeBetween(-roll_days, -1)
+    out = out.withColumn(
+        "roll_sum", F.sum(value_col).over(w_roll)
+    ).withColumn("roll_n", F.count(value_col).over(w_roll))
+    return out.drop("_d")

@@ -288,3 +288,44 @@ def test_canonicalize_url_shapes(spark):
         ).collect()
     }
     assert got == cases
+
+
+def test_anonymize_ipv4_prefix_properties(spark):
+    from blueforty___etl_data_pipeline_spark.functions.text import (
+        anonymize_ipv4_prefix,
+    )
+
+    ips = [
+        "10.0.0.1", "10.0.0.2", "10.0.1.1", "10.1.0.1",
+        "192.168.5.77", "192.168.5.78", "255.255.255.255", "0.0.0.0",
+        "not.an.ip.x", "1.2.3",
+    ]
+    df = spark.createDataFrame([(ip,) for ip in ips], "ip string")
+    got = {
+        r["ip"]: r["anon"]
+        for r in df.select(
+            "ip", anonymize_ipv4_prefix(F.col("ip"), "k1").alias("anon")
+        ).collect()
+    }
+    # malformed -> NULL
+    assert got["not.an.ip.x"] is None and got["1.2.3"] is None
+    valid = {k: v for k, v in got.items() if v is not None}
+    # bijective: distinct in -> distinct out
+    assert len(set(valid.values())) == len(valid)
+    # prefix-preserving: shared /24 stays shared, split /16 stays split
+    a = {k: v.split(".") for k, v in valid.items()}
+    assert a["10.0.0.1"][:3] == a["10.0.0.2"][:3]
+    assert a["10.0.0.1"][:2] == a["10.0.1.1"][:2]
+    assert a["10.0.0.1"][:1] == a["10.1.0.1"][:1]
+    assert a["10.0.0.1"][2] != a["10.0.1.1"][2]
+    assert a["10.0.0.1"][1] != a["10.1.0.1"][1]
+    assert a["192.168.5.77"][:3] == a["192.168.5.78"][:3]
+    # keyed: a different key produces a different mapping somewhere
+    got2 = {
+        r["ip"]: r["anon"]
+        for r in df.select(
+            "ip", anonymize_ipv4_prefix(F.col("ip"), "k2").alias("anon")
+        ).collect()
+        if r["anon"] is not None
+    }
+    assert any(valid[k] != got2[k] for k in valid)

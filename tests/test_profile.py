@@ -1038,3 +1038,27 @@ def test_mahalanobis_outliers_decimal_budget_raises(spark):
     df = spark.createDataFrame(rows, "x long, y long")
     with pytest.raises(ValueError, match="pre-divide"):
         mahalanobis_outliers(df, "x", "y")
+
+
+def test_join_skew_report_exact_cardinality(spark):
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        join_skew_report,
+    )
+
+    left = spark.createDataFrame(
+        [(k,) for k in [1] * 5 + [2] * 3 + [3] * 1 + [4] * 2],
+        "k long",
+    )
+    right = spark.createDataFrame(
+        [(k,) for k in [1] * 4 + [2] * 2 + [3] * 7 + [9] * 3],
+        "k long",
+    )
+    rows = join_skew_report(left, right, "k", top=2).collect()
+    # exact join cardinality without running the join
+    true_n = left.join(right, "k").count()
+    assert rows[0]["total_rows"] == true_n == 5 * 4 + 3 * 2 + 1 * 7
+    assert rows[0]["n_join_keys"] == 3  # keys 1,2,3 (4 and 9 no match)
+    assert [(r["k"], r["contrib"]) for r in rows] == [(1, 20), (3, 7)]
+    assert rows[0]["permille"] == 20 * 1000 // 33

@@ -719,3 +719,37 @@ def test_warc_gz_member_framing(spark, tmp_path, sf_small):
             F.sum(F.octet_length("text"))
         ).collect()[0][0]
     )
+
+
+def test_http_response_codec_and_gates():
+    import pytest as _pytest
+
+    from blueforty___etl_data_pipeline_spark.sources.warc import (
+        build_http_response,
+        parse_http_response,
+    )
+
+    r = build_http_response(
+        301,
+        [("Location", "https://x.example/"), ("Content-Type", "text/html")],
+        b"moved",
+        reason="Moved Permanently",
+    )
+    p = parse_http_response(r)
+    assert (p["status"], p["reason"]) == (301, "Moved Permanently")
+    assert p["headers"]["location"] == "https://x.example/"
+    assert p["headers"]["content-length"] == "5" and p["body"] == b"moved"
+    # CRLFCRLF inside the body must not confuse the split
+    body = b"a\r\n\r\nb"
+    p2 = parse_http_response(build_http_response(200, [], body))
+    assert p2["body"] == body
+    with _pytest.raises(NotImplementedError, match="chunked"):
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nx"
+        )
+    with _pytest.raises(ValueError, match="Content-Length"):
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\nContent-Length: 99\r\n\r\nshort"
+        )
+    with _pytest.raises(ValueError, match="status line"):
+        parse_http_response(b"NOTHTTP\r\n\r\n")

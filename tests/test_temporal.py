@@ -544,3 +544,36 @@ def test_merge_intervals_islands(spark):
     assert u2["n_intervals"] == 3
     # covered != sum of member lengths when members overlap
     assert u2["covered_us"] == 100 != (100 + 10 + 10)
+
+
+def test_lag_features_gap_days_and_no_leakage(spark):
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        lag_features,
+    )
+
+    rows = [
+        ("a", "2024-01-01", 10),
+        ("a", "2024-01-02", 20),
+        ("a", "2024-01-04", 40),   # Jan 3 missing
+        ("a", "2024-01-09", 90),
+        ("b", "2024-01-01", 1),
+    ]
+    df = spark.createDataFrame(rows, "k string, day string, n long").select(
+        "k", F.to_date("day").alias("day"), "n"
+    )
+    got = {
+        (r["k"], str(r["day"])): (
+            r["lag_1"], r["lag_7"], r["roll_sum"], r["roll_n"]
+        )
+        for r in lag_features(df, "k", "day", "n").collect()
+    }
+    # gap day: Jan 4's lag_1 is NULL (Jan 3 absent), NOT Jan 2's value
+    assert got[("a", "2024-01-04")] == (None, None, 30, 2)
+    assert got[("a", "2024-01-02")] == (10, None, 10, 1)
+    # rolling window excludes the current day (no target leakage) and
+    # honors the 7-day range: Jan 9 sees Jan 2 (d-7) and Jan 4 only
+    assert got[("a", "2024-01-09")] == (None, 20, 60, 2)
+    # keys are independent
+    assert got[("b", "2024-01-01")] == (None, None, None, 0)
