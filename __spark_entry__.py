@@ -13553,6 +13553,103 @@ ORDER BY source
 """
 
 
+def q_sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLite database-file cycle (sources/sqlite.py): an orders
+    subset shards 4 ways, each shard writes a REAL .sqlite database
+    (stdlib driver — the format's reference implementation) inside
+    its own applyInPandas group, then the distributed reader
+    (binaryFile → task-local scratch → B-tree cursor) pulls the table
+    back out of every file and aggregates per order status.  The
+    oracle recomputes from orders, so the whole database cycle must
+    be lossless.  One file per task — the single-file format's
+    natural parallelism."""
+    _prep(spark)
+    import shutil
+
+    from blueforty___etl_data_pipeline_spark.sources.sqlite import (
+        read_sqlite,
+    )
+
+    out = f"{SCRATCH}/sqlite"
+    shutil.rmtree(out, ignore_errors=True)
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 6)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 "
+                "AS BIGINT)"
+            ).alias("cents"),
+            (F.col("o_orderkey") % 4).cast("int").alias("shard_id"),
+        )
+    )
+
+    def write_shard(pdf):
+        import os
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.sources.sqlite import (
+            write_sqlite,
+        )
+
+        pdf = pdf.sort_values("o_orderkey")
+        shard = int(pdf["shard_id"].iloc[0])
+        os.makedirs(out, exist_ok=True)
+        n = write_sqlite(
+            f"{out}/orders-{shard:03d}.sqlite",
+            "orders",
+            ["orderkey", "status", "cents"],
+            (
+                (int(r["o_orderkey"]), str(r["o_orderstatus"]),
+                 int(r["cents"]))
+                for _, r in pdf.iterrows()
+            ),
+        )
+        return pd.DataFrame([[shard, n]], columns=["shard_id", "n"])
+
+    orders.groupBy("shard_id").applyInPandas(
+        write_shard, "shard_id int, n long"
+    ).collect()
+
+    rows = read_sqlite(
+        spark,
+        f"{out}/*.sqlite",
+        "orders",
+        ["orderkey", "status", "cents"],
+    )
+    return (
+        rows.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("cents").cast("long")).alias("sum_cents"),
+            F.min(F.col("orderkey").cast("long")).alias("min_key"),
+            F.max(F.col("orderkey").cast("long")).alias("max_key"),
+            F.countDistinct("file").alias("n_files"),
+        )
+        .orderBy("status")
+    )
+
+
+_SQL_SQLITE_ROUNDTRIP = """
+WITH t AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents,
+         o_orderkey % 4 AS shard
+  FROM orders WHERE o_orderkey % 10 = 6)
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+       CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_files
+FROM t GROUP BY status ORDER BY status
+"""
+
+
 def q_warc_http_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC with the HTTP layer OPENED — real Common Crawl record
     shape (sources/warc.py build_http_response / read_warc_http):
@@ -15530,6 +15627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matryoshka_eval": q_matryoshka_eval,
         "lag_features": q_lag_features,
         "warc_http_roundtrip": q_warc_http_roundtrip,
+        "sqlite_roundtrip": q_sqlite_roundtrip,
         # ---- driver-green in round 6 (the r6 window, 50/50 green) --------
         "order_totals": q_order_totals,
         "streaming_sliding": q_streaming_sliding,
@@ -15805,6 +15903,7 @@ def oracle_sql() -> dict[str, str]:
         "matryoshka_eval": _sql_matryoshka_eval(),
         "lag_features": _SQL_LAG_FEATURES,
         "warc_http_roundtrip": _SQL_WARC_HTTP_ROUNDTRIP,
+        "sqlite_roundtrip": _SQL_SQLITE_ROUNDTRIP,
         "wap_publish": _SQL_WAP_PUBLISH,
         "jpeg_color_real": _sql_jpeg_color_real(),
         "png_color_real": _sql_png_color_real(),

@@ -469,6 +469,8 @@ HEADLINE = [
     "lag_features",
     # round-8: WARC with the HTTP layer opened (RFC 9112 framing)
     "warc_http_roundtrip",
+    # round-8: SQLite database-file cycle (stdlib reference driver)
+    "sqlite_roundtrip",
 ]
 
 

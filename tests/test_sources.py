@@ -753,3 +753,37 @@ def test_http_response_codec_and_gates():
         )
     with _pytest.raises(ValueError, match="status line"):
         parse_http_response(b"NOTHTTP\r\n\r\n")
+
+
+def test_sqlite_codec_and_distributed_read(spark, tmp_path):
+    import pytest as _pytest
+
+    from blueforty___etl_data_pipeline_spark.sources.sqlite import (
+        read_sqlite,
+        sqlite_tables,
+        write_sqlite,
+    )
+
+    p = str(tmp_path / "a.sqlite")
+    n = write_sqlite(
+        p, "t", ["k", "name", "x"],
+        [(1, "alpha", 1.5), (2, "béta", None), (3, "c,c", -7)],
+    )
+    assert n == 3
+    blob = open(p, "rb").read()
+    assert sqlite_tables(blob) == [("t", 3)]
+    with _pytest.raises(ValueError, match="magic"):
+        sqlite_tables(b"not a database at all----")
+
+    write_sqlite(
+        str(tmp_path / "b.sqlite"), "t", ["k", "name", "x"],
+        [(9, "zeta", 0)],
+    )
+    got = read_sqlite(
+        spark, str(tmp_path / "*.sqlite"), "t", ["k", "name", "x"]
+    ).collect()
+    rows = {(r["file"], r["k"]): (r["name"], r["x"]) for r in got}
+    assert len(rows) == 4
+    assert rows[("a.sqlite", "2")] == ("béta", None)  # NULL survives
+    assert rows[("a.sqlite", "3")] == ("c,c", "-7")
+    assert rows[("b.sqlite", "9")] == ("zeta", "0")
