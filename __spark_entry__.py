@@ -13553,6 +13553,94 @@ ORDER BY source
 """
 
 
+def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text-extraction cycle (sources/pdf.py): sampled documents
+    shard 4 ways; each shard writes ONE real PDF 1.4 — catalog, page
+    tree, FlateDecode content streams, correct xref table — with one
+    PAGE per source row (two text lines: the doc key, then the text
+    through Tj with ()-escaping).  The distributed reader re-walks
+    the whole structural chain (startxref → xref → trailer → page
+    tree → stream inflate → text-operator execution) and aggregates
+    per file.  The oracle recomputes from the documents table, so a
+    one-byte xref or escape error breaks the hash."""
+    _prep(spark)
+    import shutil
+
+    from blueforty___etl_data_pipeline_spark.sources.pdf import read_pdf
+
+    out = f"{SCRATCH}/pdf"
+    shutil.rmtree(out, ignore_errors=True)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 40 == 39)
+        .select(
+            "doc_id",
+            "text",
+            (F.expr("doc_id div 40") % 4).cast("int").alias("shard_id"),
+        )
+    )
+
+    def write_shard(pdf):
+        import os
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.sources.pdf import (
+            write_pdf,
+        )
+
+        pdf = pdf.sort_values("doc_id")
+        shard = int(pdf["shard_id"].iloc[0])
+        pages = [
+            [f"doc:{int(r['doc_id'])}", str(r["text"])]
+            for _, r in pdf.iterrows()
+        ]
+        os.makedirs(out, exist_ok=True)
+        with open(f"{out}/docs-{shard:03d}.pdf", "wb") as f:
+            f.write(write_pdf(pages))
+        return pd.DataFrame(
+            [[shard, len(pages)]], columns=["shard_id", "n"]
+        )
+
+    docs.groupBy("shard_id").applyInPandas(
+        write_shard, "shard_id int, n long"
+    ).collect()
+
+    pages = read_pdf(spark, f"{out}/*.pdf")
+    parsed = pages.select(
+        "file",
+        F.regexp_extract("text", r"^doc:(\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        (
+            F.col("n_chars")
+            - F.length(F.regexp_extract("text", r"^doc:\d+", 0))
+            - 1
+        ).alias("text_chars"),
+    )
+    return (
+        parsed.groupBy("file")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("text_chars").alias("sum_text_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("file")
+    )
+
+
+_SQL_PDF_EXTRACT = """
+SELECT printf('docs-%03d.pdf', CAST((doc_id // 40) % 4 AS INTEGER))
+         AS file,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_text_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents WHERE doc_id % 40 = 39
+GROUP BY 1 ORDER BY file
+"""
+
+
 def q_sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQLite database-file cycle (sources/sqlite.py): an orders
     subset shards 4 ways, each shard writes a REAL .sqlite database
@@ -15628,6 +15716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_features": q_lag_features,
         "warc_http_roundtrip": q_warc_http_roundtrip,
         "sqlite_roundtrip": q_sqlite_roundtrip,
+        "pdf_extract": q_pdf_extract,
         # ---- driver-green in round 6 (the r6 window, 50/50 green) --------
         "order_totals": q_order_totals,
         "streaming_sliding": q_streaming_sliding,
@@ -15904,6 +15993,7 @@ def oracle_sql() -> dict[str, str]:
         "lag_features": _SQL_LAG_FEATURES,
         "warc_http_roundtrip": _SQL_WARC_HTTP_ROUNDTRIP,
         "sqlite_roundtrip": _SQL_SQLITE_ROUNDTRIP,
+        "pdf_extract": _SQL_PDF_EXTRACT,
         "wap_publish": _SQL_WAP_PUBLISH,
         "jpeg_color_real": _sql_jpeg_color_real(),
         "png_color_real": _sql_png_color_real(),

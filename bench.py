@@ -471,6 +471,9 @@ HEADLINE = [
     "warc_http_roundtrip",
     # round-8: SQLite database-file cycle (stdlib reference driver)
     "sqlite_roundtrip",
+    # round-8: PDF structural chain (xref -> page tree -> Flate ->
+    # text operators)
+    "pdf_extract",
 ]
 
 

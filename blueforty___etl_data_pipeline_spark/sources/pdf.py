@@ -1,0 +1,511 @@
+"""PDF text extraction (ISO 32000 subset) — the remaining
+heavyweight document modality of a text corpus after HTML/DOCX, all
+stdlib (``zlib`` handles FlateDecode, the filter nearly every
+text-bearing PDF uses).
+
+What is REAL here — the full structural chain every PDF reader
+implements:
+
+- header check, ``startxref`` → classic cross-reference TABLE parse
+  (multi-subsection), trailer dictionary;
+- an object parser for the actual COS syntax: dictionaries, arrays,
+  names, numbers, literal strings with escapes/octal/nested parens,
+  hex strings, booleans/null, indirect references, and
+  ``stream``/``endstream`` framing with ``/Length`` resolved through
+  indirection;
+- the page TREE walk (``/Pages`` nodes with ``/Kids``, nested) in
+  document order; per page ``/Contents`` as one stream or an array;
+- FlateDecode; and a content-stream tokenizer that executes the text
+  operators — ``BT/ET``, ``Tj``, ``'``, ``TJ`` (kerning arrays),
+  ``Td/TD/T*`` line movement → newlines.
+
+Honest gates, by name: cross-reference STREAMS (PDF 1.5
+``/Type/XRef``), non-Flate filters (DCTDecode/LZWDecode/ASCII85),
+and encrypted files raise ``NotImplementedError``/``ValueError`` —
+never silently-empty text.
+
+Reference parity: the reference pipeline (BlueForty.py) has no
+document-format surface; this extends the engine's corpus ingest.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+def _esc_pdf_string(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def write_pdf(pages: list[list[str]]) -> bytes:
+    """[[line, ...] per page] → a real PDF 1.4: catalog, page tree,
+    Helvetica font, one FlateDecode-compressed content stream per
+    page (``BT``/``Tf``/``Td``/``Tj``/``ET``), a correct xref table
+    and trailer.  Deterministic bytes for fixed input."""
+    objs: dict[int, bytes] = {}
+    n_pages = len(pages)
+    # object numbering: 1 catalog, 2 pages, 3 font,
+    # then per page i: 4+2i page, 5+2i content
+    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n_pages))
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
+    ).encode()
+    objs[3] = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    for i, lines in enumerate(pages):
+        ops = ["BT", "/F1 12 Tf", "72 720 Td"]
+        for j, line in enumerate(lines):
+            if j:
+                ops.append("0 -14 Td")
+            ops.append(f"({_esc_pdf_string(line)}) Tj")
+        ops.append("ET")
+        content = zlib.compress("\n".join(ops).encode("latin-1"), 6)
+        objs[4 + 2 * i] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {5 + 2 * i} 0 R >>"
+        ).encode()
+        objs[5 + 2 * i] = (
+            f"<< /Length {len(content)} /Filter /FlateDecode >>\n"
+            "stream\n"
+        ).encode() + content + b"\nendstream"
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    xref_pos = len(out)
+    n_objs = max(objs) + 1
+    out += f"xref\n0 {n_objs}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, n_objs):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {n_objs} /Root 1 0 R >>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+class _Lexer:
+    """COS-syntax tokenizer over bytes."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            c = self.data[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # % comment
+                e = d.find(b"\n", self.pos)
+                self.pos = n if e < 0 else e + 1
+            else:
+                return
+
+    def next_token(self):
+        self._skip_ws()
+        d, n = self.data, len(self.data)
+        if self.pos >= n:
+            return None
+        c = d[self.pos]
+        if c == 0x2F:  # /Name
+            s = self.pos + 1
+            e = s
+            while e < n and d[e] not in _WS and d[e] not in _DELIM:
+                e += 1
+            self.pos = e
+            return ("name", d[s:e].decode("latin-1"))
+        if d[self.pos : self.pos + 2] == b"<<":
+            self.pos += 2
+            return ("dict_open", None)
+        if d[self.pos : self.pos + 2] == b">>":
+            self.pos += 2
+            return ("dict_close", None)
+        if c == 0x5B:
+            self.pos += 1
+            return ("arr_open", None)
+        if c == 0x5D:
+            self.pos += 1
+            return ("arr_close", None)
+        if c == 0x28:  # ( literal string
+            return ("string", self._lit_string())
+        if c == 0x3C:  # < hex string
+            e = d.find(b">", self.pos)
+            if e < 0:
+                raise ValueError("unterminated hex string")
+            hx = re.sub(rb"\s", b"", d[self.pos + 1 : e])
+            if len(hx) % 2:
+                hx += b"0"
+            self.pos = e + 1
+            return ("string", bytes.fromhex(hx.decode("ascii")))
+        # number / keyword / operator
+        s = self.pos
+        e = s
+        while e < n and d[e] not in _WS and d[e] not in _DELIM:
+            e += 1
+        if e == s:
+            raise ValueError(f"lex error at byte {s}: {d[s:s+8]!r}")
+        self.pos = e
+        word = d[s:e]
+        try:
+            if b"." in word:
+                return ("number", float(word))
+            return ("number", int(word))
+        except ValueError:
+            return ("keyword", word.decode("latin-1"))
+
+    def _lit_string(self) -> bytes:
+        d = self.data
+        assert d[self.pos] == 0x28
+        self.pos += 1
+        out = bytearray()
+        depth = 1
+        while True:
+            if self.pos >= len(d):
+                raise ValueError("unterminated literal string")
+            c = d[self.pos]
+            if c == 0x5C:  # backslash
+                nxt = d[self.pos + 1 : self.pos + 2]
+                esc = {
+                    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
+                    b"f": b"\x0c", b"(": b"(", b")": b")", b"\\": b"\\",
+                }
+                if nxt in esc:
+                    out += esc[nxt]
+                    self.pos += 2
+                elif nxt.isdigit():
+                    oct_s = d[self.pos + 1 : self.pos + 4]
+                    m = re.match(rb"[0-7]{1,3}", oct_s)
+                    out.append(int(m.group(0), 8) & 0xFF)
+                    self.pos += 1 + len(m.group(0))
+                else:
+                    self.pos += 1  # line continuation / unknown: drop
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                self.pos += 1
+            elif c == 0x29:
+                depth -= 1
+                self.pos += 1
+                if depth == 0:
+                    return bytes(out)
+                out.append(0x29)
+            else:
+                out.append(c)
+                self.pos += 1
+
+
+def _parse_value(lex: _Lexer, tok=None):
+    """One COS value; ``(num, num, 'R')`` folds to a ref tuple."""
+    tok = tok or lex.next_token()
+    if tok is None:
+        raise ValueError("unexpected end of PDF object data")
+    kind, val = tok
+    if kind == "dict_open":
+        d = {}
+        while True:
+            t = lex.next_token()
+            if t is None:
+                raise ValueError("unterminated dictionary")
+            if t[0] == "dict_close":
+                return d
+            if t[0] != "name":
+                raise ValueError(f"dict key must be a name, got {t}")
+            d[t[1]] = _parse_value(lex)
+        return d
+    if kind == "arr_open":
+        arr = []
+        while True:
+            t = lex.next_token()
+            if t is None:
+                raise ValueError("unterminated array")
+            if t[0] == "arr_close":
+                return _fold_refs(arr)
+            arr.append(_parse_value(lex, t))
+    if kind == "number":
+        # might start an indirect reference: num gen R
+        save = lex.pos
+        t2 = lex.next_token()
+        if t2 and t2[0] == "number":
+            t3 = lex.next_token()
+            if t3 and t3 == ("keyword", "R"):
+                return ("ref", int(val), int(t2[1]))
+            lex.pos = save
+            return val
+        lex.pos = save
+        return val
+    if kind == "keyword":
+        if val == "true":
+            return True
+        if val == "false":
+            return False
+        if val == "null":
+            return None
+        return ("kw", val)
+    return val
+
+
+def _fold_refs(arr):
+    """Fold trailing ``num num R`` triples inside already-parsed
+    arrays (array elements parse one by one, so refs arrive folded
+    already — this is a no-op guard)."""
+    return arr
+
+
+class PdfFile:
+    def __init__(self, data: bytes):
+        if not data.startswith(b"%PDF-"):
+            raise ValueError("not a PDF (missing %PDF- header)")
+        self.data = data
+        self.offsets: dict[int, int] = {}
+        self.trailer: dict = {}
+        self._parse_xref()
+        if "Encrypt" in self.trailer:
+            raise NotImplementedError(
+                "encrypted PDFs are not supported (no RC4/AES vendored)"
+            )
+
+    def _parse_xref(self) -> None:
+        d = self.data
+        m = re.search(rb"startxref\s+(\d+)\s*%%EOF\s*$", d[-256:], re.S)
+        if not m:
+            raise ValueError("PDF has no startxref trailer")
+        pos = int(m.group(1))
+        seen = set()
+        while True:
+            if pos in seen:
+                raise ValueError("circular xref chain")
+            seen.add(pos)
+            lex = _Lexer(d, pos)
+            tok = lex.next_token()
+            if tok != ("keyword", "xref"):
+                raise NotImplementedError(
+                    "cross-reference STREAM (PDF 1.5 /Type/XRef) is not "
+                    "supported; classic xref tables only"
+                )
+            while True:
+                save = lex.pos
+                t = lex.next_token()
+                if t == ("keyword", "trailer"):
+                    break
+                if t is None or t[0] != "number":
+                    raise ValueError("malformed xref subsection header")
+                start = int(t[1])
+                t2 = lex.next_token()
+                count = int(t2[1])
+                lex._skip_ws()
+                for i in range(count):
+                    entry = d[lex.pos : lex.pos + 20]
+                    off = int(entry[0:10])
+                    typ = entry[17:18]
+                    num = start + i
+                    if typ == b"n" and num not in self.offsets:
+                        self.offsets[num] = off
+                    lex.pos += 20
+                del save
+            trailer = _parse_value(lex)
+            for k, v in trailer.items():
+                self.trailer.setdefault(k, v)
+            prev = trailer.get("Prev")
+            if prev is None:
+                return
+            pos = int(prev)
+
+    def obj(self, num: int):
+        """Parse object ``num``; streams return (dict, raw_bytes)."""
+        off = self.offsets[num]
+        lex = _Lexer(self.data, off)
+        t1 = lex.next_token()
+        t2 = lex.next_token()
+        t3 = lex.next_token()
+        if not (t1[0] == "number" and int(t1[1]) == num
+                and t3 == ("keyword", "obj")):
+            raise ValueError(f"object {num}: bad header at byte {off}")
+        del t2
+        val = _parse_value(lex)
+        save = lex.pos
+        t = lex.next_token()
+        if t == ("keyword", "stream"):
+            # EOL after 'stream' keyword: CRLF or LF
+            p = lex.pos
+            if self.data[p : p + 2] == b"\r\n":
+                p += 2
+            elif self.data[p : p + 1] == b"\n":
+                p += 1
+            length = self.resolve(val.get("Length"))
+            raw = self.data[p : p + int(length)]
+            return val, raw
+        lex.pos = save
+        return val
+
+    def resolve(self, v):
+        while isinstance(v, tuple) and len(v) == 3 and v[0] == "ref":
+            got = self.obj(v[1])
+            v = got[0] if isinstance(got, tuple) else got
+        return v
+
+    def stream_bytes(self, ref) -> bytes:
+        got = self.obj(ref[1])
+        if not isinstance(got, tuple):
+            raise ValueError("referenced object is not a stream")
+        sdict, raw = got
+        filt = self.resolve(sdict.get("Filter"))
+        if filt is None:
+            return raw
+        filters = filt if isinstance(filt, list) else [filt]
+        for f in filters:
+            name = f[1] if isinstance(f, tuple) else f
+            if name == "FlateDecode":
+                raw = zlib.decompress(raw)
+            else:
+                raise NotImplementedError(
+                    f"PDF stream filter {name} is not supported "
+                    "(FlateDecode only)"
+                )
+        return raw
+
+    def pages(self) -> list[dict]:
+        root = self.resolve(self.trailer["Root"])
+        out: list[dict] = []
+
+        def walk(node_ref):
+            node = self.resolve(node_ref)
+            t = node.get("Type")
+            tname = t[1] if isinstance(t, tuple) else t
+            if tname == "Pages":
+                for kid in node["Kids"]:
+                    walk(kid)
+            elif tname == "Page":
+                out.append(node)
+            else:
+                raise ValueError(f"unexpected page-tree node {tname!r}")
+
+        walk(root["Pages"])
+        return out
+
+
+def _extract_text_ops(content: bytes) -> str:
+    """Execute the text operators of one content stream: Tj / ' / TJ
+    emit strings; Td/TD/T* between emissions become newlines."""
+    lex = _Lexer(content)
+    parts: list[str] = []
+    stack: list = []
+    pending_newline = False
+
+    def emit(b: bytes) -> None:
+        nonlocal pending_newline
+        if pending_newline and parts:
+            parts.append("\n")
+        pending_newline = False
+        parts.append(b.decode("latin-1"))
+
+    while True:
+        tok = lex.next_token()
+        if tok is None:
+            break
+        kind, val = tok
+        if kind in ("number", "string", "name"):
+            stack.append((kind, val))
+            continue
+        if kind == "arr_open":
+            arr = []
+            while True:
+                t = lex.next_token()
+                if t is None:
+                    raise ValueError("unterminated TJ array")
+                if t[0] == "arr_close":
+                    break
+                arr.append(t)
+            stack.append(("array", arr))
+            continue
+        if kind == "dict_open":
+            # inline property dicts (BDC etc.) — parse and discard
+            depth = 1
+            while depth:
+                t = lex.next_token()
+                if t is None:
+                    raise ValueError("unterminated dict in content")
+                if t[0] == "dict_open":
+                    depth += 1
+                elif t[0] == "dict_close":
+                    depth -= 1
+            stack.append(("dict", None))
+            continue
+        if kind == "keyword":
+            op = val
+            if op == "Tj" or op == "'":
+                if stack and stack[-1][0] == "string":
+                    if op == "'":
+                        pending_newline = True
+                    emit(stack[-1][1])
+            elif op == "TJ":
+                if stack and stack[-1][0] == "array":
+                    for t in stack[-1][1]:
+                        if t[0] == "string":
+                            emit(t[1])
+            elif op in ("Td", "TD", "T*"):
+                if parts:
+                    pending_newline = True
+            stack.clear()
+    return "".join(parts)
+
+
+def extract_pdf_text(data: bytes) -> list[tuple[int, str]]:
+    """PDF bytes → [(page_index, text), ...] in page-tree order."""
+    pdf = PdfFile(data)
+    out = []
+    for i, page in enumerate(pdf.pages()):
+        contents = page.get("Contents")
+        refs = contents if isinstance(contents, list) else [contents]
+        blob = b"\n".join(pdf.stream_bytes(r) for r in refs if r)
+        out.append((i, _extract_text_ops(blob)))
+    return out
+
+
+def read_pdf(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Distributed PDF ingest: ``binaryFile`` scan → Arrow-batched
+    structural parse → one row per page ``(file, page, text,
+    n_chars)``.  Zero shuffle."""
+    import os
+
+    base, leaf = os.path.split(path_glob)
+    if any(c in leaf for c in "*?["):
+        files = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", leaf)
+            .load(base)
+        )
+    else:
+        files = spark.read.format("binaryFile").load(path_glob)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf_batch in batches:
+            rows = []
+            for path, blob in zip(pdf_batch["path"], pdf_batch["content"]):
+                name = os.path.basename(path)
+                for idx, text in extract_pdf_text(bytes(blob)):
+                    rows.append((name, idx, text, len(text)))
+            yield pd.DataFrame(
+                rows, columns=["file", "page", "text", "n_chars"]
+            )
+
+    return files.select("path", "content").mapInPandas(
+        run,
+        schema="file string, page int, text string, n_chars int",
+    )

@@ -787,3 +787,77 @@ def test_sqlite_codec_and_distributed_read(spark, tmp_path):
     assert rows[("a.sqlite", "2")] == ("béta", None)  # NULL survives
     assert rows[("a.sqlite", "3")] == ("c,c", "-7")
     assert rows[("b.sqlite", "9")] == ("zeta", "0")
+
+
+def test_pdf_codec_roundtrip_and_operators():
+    import zlib as _zlib
+
+    import pytest as _pytest
+
+    from blueforty___etl_data_pipeline_spark.sources.pdf import (
+        PdfFile,
+        _extract_text_ops,
+        extract_pdf_text,
+        write_pdf,
+    )
+
+    pages = [
+        ["Hello PDF world", "second (line) with \\ escapes"],
+        ["page two"],
+    ]
+    blob = write_pdf(pages)
+    assert extract_pdf_text(blob) == [
+        (0, "Hello PDF world\nsecond (line) with \\ escapes"),
+        (1, "page two"),
+    ]
+    # byte-deterministic writer
+    assert write_pdf(pages) == blob
+
+    # content-stream operator coverage beyond the writer's output:
+    # TJ kerning arrays, hex strings, the ' (quote) operator, octal
+    ops = (
+        b"BT /F1 12 Tf 72 720 Td "
+        b"[(ab) -120 (cd)] TJ "
+        b"T* (next) Tj "
+        b"(quoted) ' "
+        b"<48454C4C4F> Tj "
+        b"(\\101\\102) Tj "
+        b"ET"
+    )
+    assert _extract_text_ops(ops) == "abcd\nnext\nquotedHELLOAB"
+
+    # gates, by name
+    with _pytest.raises(ValueError, match="%PDF-"):
+        extract_pdf_text(b"not a pdf at all")
+    with _pytest.raises(NotImplementedError, match="xref"):
+        # startxref points at an object, not a classic xref table ->
+        # the PDF 1.5 xref-stream shape
+        extract_pdf_text(
+            b"%PDF-1.5\n1 0 obj\n<< >>\nendobj\n"
+            b"startxref\n9\n%%EOF\n"
+        )
+    bad_filter = blob.replace(b"FlateDecode", b"LZWDecodexx", 1)
+    with _pytest.raises((NotImplementedError, ValueError)):
+        extract_pdf_text(bad_filter)
+    # uncompressed stream (no /Filter) also decodes
+    raw_ops = b"BT (plain) Tj ET"
+    comp = _zlib.compress(raw_ops)
+    del comp
+    pdf = PdfFile(blob)
+    assert len(pdf.pages()) == 2
+
+
+def test_read_pdf_distributed(spark, tmp_path):
+    from blueforty___etl_data_pipeline_spark.sources.pdf import (
+        read_pdf,
+        write_pdf,
+    )
+
+    for i in range(2):
+        (tmp_path / f"f{i}.pdf").write_bytes(
+            write_pdf([[f"file {i} page {j}"] for j in range(i + 2)])
+        )
+    got = read_pdf(spark, str(tmp_path / "*.pdf")).collect()
+    assert len(got) == 5  # 2 + 3 pages
+    by = {(r["file"], r["page"]): r["text"] for r in got}
+    assert by[("f1.pdf", 2)] == "file 1 page 2"
