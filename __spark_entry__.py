@@ -13553,6 +13553,181 @@ ORDER BY source
 """
 
 
+def q_mbox_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mbox mailing-list cycle (sources/mbox.py): sampled documents
+    shard 4 ways; each shard becomes one RFC 4155 mbox whose
+    messages carry the doc text as body PREFIXED with a literal
+    ``From the start`` line — so the mboxrd quoting path (quote on
+    write, separator-only-after-blank + unquote on read) is
+    genuinely load-bearing: a naive splitter would shear every
+    message in two.  Stdlib email parses headers; rollup per file.
+    The oracle recomputes from the documents table."""
+    _prep(spark)
+    import shutil
+
+    from blueforty___etl_data_pipeline_spark.sources.mbox import (
+        read_mbox,
+    )
+
+    out = f"{SCRATCH}/mbox"
+    shutil.rmtree(out, ignore_errors=True)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 40 == 13)
+        .select(
+            "doc_id",
+            "text",
+            "source",
+            (F.expr("doc_id div 40") % 4).cast("int").alias("shard_id"),
+        )
+    )
+
+    def write_shard(pdf):
+        import os
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.sources.mbox import (
+            build_mbox,
+        )
+
+        pdf = pdf.sort_values("doc_id")
+        shard = int(pdf["shard_id"].iloc[0])
+        msgs = [
+            (
+                f"{r['source']}@lists.example.org",
+                "Thu Jan  1 00:00:00 2026",
+                f"doc {int(r['doc_id'])}",
+                "From the start\n" + str(r["text"]),
+            )
+            for _, r in pdf.iterrows()
+        ]
+        os.makedirs(out, exist_ok=True)
+        with open(f"{out}/list-{shard:03d}.mbox", "wb") as f:
+            f.write(build_mbox(msgs))
+        return pd.DataFrame(
+            [[shard, len(msgs)]], columns=["shard_id", "n"]
+        )
+
+    docs.groupBy("shard_id").applyInPandas(
+        write_shard, "shard_id int, n long"
+    ).collect()
+
+    msgs = read_mbox(spark, f"{out}/*.mbox")
+    return (
+        msgs.groupBy("file")
+        .agg(
+            F.count(F.lit(1)).alias("n_messages"),
+            F.sum("body_chars").alias("body_chars"),
+            F.countDistinct("from_addr").alias("n_senders"),
+            F.min(
+                F.regexp_extract("subject", r"doc (\d+)", 1).cast("long")
+            ).alias("min_doc"),
+        )
+        .orderBy("file")
+    )
+
+
+_SQL_MBOX_EXTRACT = """
+SELECT printf('list-%03d.mbox', CAST((doc_id // 40) % 4 AS INTEGER))
+         AS file,
+       CAST(COUNT(*) AS BIGINT) AS n_messages,
+       CAST(SUM(15 + length(text)) AS BIGINT) AS body_chars,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_senders,
+       MIN(doc_id) AS min_doc
+FROM documents WHERE doc_id % 40 = 13
+GROUP BY 1 ORDER BY file
+"""
+
+
+def q_arrow_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC (Feather V2) file cycle (sources/arrow_ipc.py): a
+    customer subset shards 4 ways, each shard writes a real
+    footer-indexed IPC file via pyarrow inside its applyInPandas
+    group, and the distributed reader re-opens every footer,
+    projects two columns, and aggregates per market segment.  The
+    oracle recomputes from customer — the interchange cycle must be
+    lossless.  One self-contained file per task."""
+    _prep(spark)
+    import shutil
+
+    from blueforty___etl_data_pipeline_spark.sources.arrow_ipc import (
+        read_arrow_ipc,
+    )
+
+    out = f"{SCRATCH}/arrow_ipc"
+    shutil.rmtree(out, ignore_errors=True)
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 5 == 2)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.expr(
+                "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("bal_cents"),
+            (F.col("c_custkey") % 4).cast("int").alias("shard_id"),
+        )
+    )
+
+    def write_shard(pdf):
+        import os
+
+        import pandas as pd
+        import pyarrow as pa
+
+        from blueforty___etl_data_pipeline_spark.sources.arrow_ipc import (
+            write_arrow_ipc,
+        )
+
+        pdf = pdf.sort_values("c_custkey")
+        shard = int(pdf["shard_id"].iloc[0])
+        os.makedirs(out, exist_ok=True)
+        tbl = pa.table(
+            {
+                "custkey": pa.array(pdf["c_custkey"], pa.int64()),
+                "segment": pa.array(pdf["c_mktsegment"], pa.string()),
+                "bal_cents": pa.array(pdf["bal_cents"], pa.int64()),
+            }
+        )
+        n = write_arrow_ipc(f"{out}/cust-{shard:03d}.arrow", tbl)
+        return pd.DataFrame([[shard, n]], columns=["shard_id", "n"])
+
+    cust.groupBy("shard_id").applyInPandas(
+        write_shard, "shard_id int, n long"
+    ).collect()
+
+    rows = read_arrow_ipc(
+        spark, f"{out}/*.arrow", ["custkey", "segment", "bal_cents"]
+    )
+    return (
+        rows.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("bal_cents").cast("long")).alias("sum_cents"),
+            F.min(F.col("custkey").cast("long")).alias("min_key"),
+            F.countDistinct("file").alias("n_files"),
+        )
+        .orderBy("segment")
+    )
+
+
+_SQL_ARROW_IPC_ROUNDTRIP = """
+WITH t AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents,
+         c_custkey % 4 AS shard
+  FROM customer WHERE c_custkey % 5 = 2)
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+       CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_files
+FROM t GROUP BY 1 ORDER BY segment
+"""
+
+
 def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF text-extraction cycle (sources/pdf.py): sampled documents
     shard 4 ways; each shard writes ONE real PDF 1.4 — catalog, page
@@ -15717,6 +15892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_http_roundtrip": q_warc_http_roundtrip,
         "sqlite_roundtrip": q_sqlite_roundtrip,
         "pdf_extract": q_pdf_extract,
+        "arrow_ipc_roundtrip": q_arrow_ipc_roundtrip,
+        "mbox_extract": q_mbox_extract,
         # ---- driver-green in round 6 (the r6 window, 50/50 green) --------
         "order_totals": q_order_totals,
         "streaming_sliding": q_streaming_sliding,
@@ -15994,6 +16171,8 @@ def oracle_sql() -> dict[str, str]:
         "warc_http_roundtrip": _SQL_WARC_HTTP_ROUNDTRIP,
         "sqlite_roundtrip": _SQL_SQLITE_ROUNDTRIP,
         "pdf_extract": _SQL_PDF_EXTRACT,
+        "arrow_ipc_roundtrip": _SQL_ARROW_IPC_ROUNDTRIP,
+        "mbox_extract": _SQL_MBOX_EXTRACT,
         "wap_publish": _SQL_WAP_PUBLISH,
         "jpeg_color_real": _sql_jpeg_color_real(),
         "png_color_real": _sql_png_color_real(),

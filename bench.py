@@ -474,6 +474,10 @@ HEADLINE = [
     # round-8: PDF structural chain (xref -> page tree -> Flate ->
     # text operators)
     "pdf_extract",
+    # round-8: Arrow IPC (Feather V2) interchange cycle
+    "arrow_ipc_roundtrip",
+    # round-8: mbox mailing-list cycle (RFC 4155 framing + mboxrd)
+    "mbox_extract",
 ]
 
 

@@ -861,3 +861,60 @@ def test_read_pdf_distributed(spark, tmp_path):
     assert len(got) == 5  # 2 + 3 pages
     by = {(r["file"], r["page"]): r["text"] for r in got}
     assert by[("f1.pdf", 2)] == "file 1 page 2"
+
+
+def test_mbox_framing_quoting_and_parse():
+    import pytest as _pytest
+
+    from blueforty___etl_data_pipeline_spark.sources.mbox import (
+        build_mbox,
+        parse_message,
+        split_mbox,
+    )
+
+    body = "line one\nFrom the start\n>From already quoted\nend"
+    mb = build_mbox(
+        [
+            ("a@x.org", "Thu Jan  1 00:00:00 2026", "hello", body),
+            ("b@y.org", "Fri Jan  2 00:00:00 2026", "ok", "short"),
+        ]
+    )
+    msgs = split_mbox(mb)
+    assert len(msgs) == 2  # the body From_ lines did NOT shear it
+    p0 = parse_message(msgs[0])
+    assert p0["from_addr"] == "a@x.org" and p0["body_text"] == body
+    assert parse_message(msgs[1])["subject"] == "ok"
+    with _pytest.raises(ValueError, match="mbox"):
+        split_mbox(b"not a mailbox")
+
+
+def test_arrow_ipc_roundtrip_and_magic_gate(spark, tmp_path):
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from blueforty___etl_data_pipeline_spark.sources.arrow_ipc import (
+        arrow_ipc_schema,
+        read_arrow_ipc,
+        write_arrow_ipc,
+    )
+
+    t = pa.table(
+        {"k": pa.array([1, 2, None], pa.int64()),
+         "v": pa.array(["a", "b", "c"])}
+    )
+    p = str(tmp_path / "x.arrow")
+    assert write_arrow_ipc(p, t) == 3
+    blob = open(p, "rb").read()
+    assert arrow_ipc_schema(blob) == [("k", "int64"), ("v", "string")]
+    with _pytest.raises(ValueError, match="ARROW1"):
+        arrow_ipc_schema(b"PAR1 not arrow")
+    got = {
+        (r["file"], r["v"]): r["k"]
+        for r in read_arrow_ipc(
+            spark, str(tmp_path / "*.arrow"), ["k", "v"]
+        ).collect()
+    }
+    assert got == {
+        ("x.arrow", "a"): "1", ("x.arrow", "b"): "2",
+        ("x.arrow", "c"): None,
+    }
