@@ -13553,6 +13553,64 @@ ORDER BY source
 """
 
 
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier retention curve (operators/analytics.
+    kaplan_meier) over per-user lifetimes: duration = days from a
+    user's first to last event, event = the user ever purchased
+    (others are CENSORED — still "alive" when observation ended, the
+    case naive retention math miscounts).  One groupBy collapses
+    events to users, one to the distinct-duration table; the survival
+    product is an ordered double fold the DuckDB oracle replays
+    bit-for-bit with a windowed PRODUCT, floored at e6."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        kaplan_meier,
+    )
+
+    users = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.max(F.to_date("ts")), F.min(F.to_date("ts"))
+            ).alias("duration"),
+            F.max(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("event"),
+        )
+    )
+    return kaplan_meier(users, "duration", "event")
+
+
+_SQL_KAPLAN_MEIER = """
+WITH users AS (
+  SELECT user_id,
+         datediff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+           AS duration,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS event
+  FROM events GROUP BY user_id),
+per_t AS (
+  SELECT duration,
+         CAST(SUM(event) AS BIGINT) AS n_events,
+         CAST(SUM(1 - event) AS BIGINT) AS n_censored,
+         COUNT(*) AS n_total
+  FROM users GROUP BY duration),
+risk AS (
+  SELECT *,
+         CAST(SUM(n_total) OVER ()
+              - COALESCE(SUM(n_total) OVER (ORDER BY duration
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_risk
+  FROM per_t)
+SELECT duration, n_risk, n_events, n_censored,
+       CAST(FLOOR(1000000 * PRODUCT(1.0 - CAST(n_events AS DOUBLE)
+                                          / n_risk)
+                  OVER (ORDER BY duration)) AS BIGINT) AS survival_e6
+FROM risk ORDER BY duration
+"""
+
+
 def q_mbox_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mbox mailing-list cycle (sources/mbox.py): sampled documents
     shard 4 ways; each shard becomes one RFC 4155 mbox whose
@@ -15894,6 +15952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": q_pdf_extract,
         "arrow_ipc_roundtrip": q_arrow_ipc_roundtrip,
         "mbox_extract": q_mbox_extract,
+        "kaplan_meier": q_kaplan_meier,
         # ---- driver-green in round 6 (the r6 window, 50/50 green) --------
         "order_totals": q_order_totals,
         "streaming_sliding": q_streaming_sliding,
@@ -16173,6 +16232,7 @@ def oracle_sql() -> dict[str, str]:
         "pdf_extract": _SQL_PDF_EXTRACT,
         "arrow_ipc_roundtrip": _SQL_ARROW_IPC_ROUNDTRIP,
         "mbox_extract": _SQL_MBOX_EXTRACT,
+        "kaplan_meier": _SQL_KAPLAN_MEIER,
         "wap_publish": _SQL_WAP_PUBLISH,
         "jpeg_color_real": _sql_jpeg_color_real(),
         "png_color_real": _sql_png_color_real(),

@@ -478,6 +478,8 @@ HEADLINE = [
     "arrow_ipc_roundtrip",
     # round-8: mbox mailing-list cycle (RFC 4155 framing + mboxrd)
     "mbox_extract",
+    # round-8: Kaplan-Meier retention with censoring (ordered e6 fold)
+    "kaplan_meier",
 ]
 
 

@@ -849,3 +849,75 @@ def calibration_report(
         F.expr("sum(n * gap_e6) div sum(n)").alias("ece_e6")
     )
     return bins.crossJoin(F.broadcast(ece)).orderBy("bin")
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan–Meier survival estimate over (duration, event) rows —
+    the churn/retention curve with CENSORING handled correctly
+    (a user still active at observation end is not a death; naive
+    retention curves get this wrong): at each distinct event time t,
+
+        S(t) = Π_{t' ≤ t} (1 − d_{t'} / n_{t'})
+
+    with d = events at t' and n = subjects still at risk entering t'.
+
+    Distributed shape: ONE partial-agged groupBy collapses the corpus
+    to the distinct-duration table (calendar-bounded, never
+    row-bounded); risk counts are a cumulative window over that tiny
+    table; the product is a per-row ordered fold over the ≤|T| factor
+    array — a value-domain quadratic, the grouped_median argument.
+    The fold multiplies doubles in ascending-time order, so any
+    engine replaying the same ordered product (e.g. DuckDB's windowed
+    PRODUCT) reproduces it bit-for-bit; the reported ``survival_e6``
+    floors that product.
+
+    Returns (duration, n_risk, n_events, n_censored, survival_e6)
+    for durations with ≥1 event or censor, ordered by duration."""
+    ev = F.col(event_col).cast("int")
+    per_t = df.groupBy(F.col(duration_col).alias("duration")).agg(
+        F.sum(ev).alias("n_events"),
+        F.sum(1 - ev).alias("n_censored"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    w = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    at_risk = per_t.withColumn(
+        "n_risk",
+        F.sum("n_total").over(
+            Window.orderBy("duration").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        - F.coalesce(F.sum("n_total").over(w), F.lit(0)),
+    )
+    # ordered factor list once (tiny table), then per-row prefix fold
+    factors = at_risk.select(
+        "duration", "n_risk", "n_events", "n_censored",
+        (1.0 - F.col("n_events") / F.col("n_risk")).alias("factor"),
+    )
+    all_f = factors.agg(
+        F.array_sort(
+            F.collect_list(F.struct("duration", "factor"))
+        ).alias("_all")
+    )
+    joined = factors.crossJoin(F.broadcast(all_f))
+    surv = F.aggregate(
+        F.filter(
+            F.col("_all"),
+            lambda s: s["duration"] <= F.col("duration"),
+        ),
+        F.lit(1.0),
+        lambda acc, s: acc * s["factor"],
+    )
+    return (
+        joined.select(
+            "duration", "n_risk", "n_events", "n_censored",
+            F.floor(surv * 1000000).cast("long").alias("survival_e6"),
+        )
+        .orderBy("duration")
+    )

@@ -1062,3 +1062,26 @@ def test_join_skew_report_exact_cardinality(spark):
     assert rows[0]["n_join_keys"] == 3  # keys 1,2,3 (4 and 9 no match)
     assert [(r["k"], r["contrib"]) for r in rows] == [(1, 20), (3, 7)]
     assert rows[0]["permille"] == 20 * 1000 // 33
+
+
+def test_kaplan_meier_textbook_example(spark):
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        kaplan_meier,
+    )
+
+    # classic toy: deaths at t=1 (1 of 5), t=3 (1 of 3);
+    # censored at t=2 and t=3; survivor to t=4
+    rows = [(1, 1), (2, 0), (3, 1), (3, 0), (4, 0)]
+    df = spark.createDataFrame(rows, "duration int, event int")
+    got = {
+        r["duration"]: (
+            r["n_risk"], r["n_events"], r["n_censored"],
+            r["survival_e6"],
+        )
+        for r in kaplan_meier(df, "duration", "event").collect()
+    }
+    # S(1) = 4/5 = .8; S(3) = .8 * (1 - 1/3) = .533333...
+    assert got[1] == (5, 1, 0, 800000)
+    assert got[2] == (4, 0, 1, 800000)      # censoring leaves S flat
+    assert got[3] == (3, 1, 1, 533333)
+    assert got[4] == (1, 0, 1, 533333)
