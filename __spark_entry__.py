@@ -13553,6 +13553,68 @@ ORDER BY source
 """
 
 
+def q_webp_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebP metadata triage (functions/webp.py): each sampled
+    document becomes a WebP whose VARIANT (VP8L lossless vs VP8
+    lossy) and dimensions derive from its md5; the parser re-walks
+    the RIFF chunks and reads the bit-packed VP8L 14+14-bit dims or
+    the VP8 sync-coded 14-bit dims.  Pixel decode stays a documented
+    named gate.  The oracle recomputes variant and dims from the
+    same md5 bytes."""
+    _prep(spark)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 40 == 33)
+    )
+
+    def roundtrip(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.webp import (
+            encode_webp_lossless_header,
+            encode_webp_lossy_header,
+            webp_meta,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = _hl.md5(text.encode("utf-8")).digest()
+                w, h = 16 + d[0] * 4, 16 + d[1] * 4
+                blob = (
+                    encode_webp_lossless_header(w, h)
+                    if d[2] % 2 == 0
+                    else encode_webp_lossy_header(w, h)
+                )
+                variant, pw, ph, alpha, n = webp_meta(blob)
+                rows.append((doc_id, variant, pw, ph))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "variant", "width", "height"]
+            )
+
+    return docs.mapInPandas(
+        roundtrip,
+        schema="doc_id long, variant string, width int, height int",
+    )
+
+
+def _sql_webp_meta_real() -> str:
+    def byte(k: int) -> str:
+        return f"CAST(('0x' || substr(md5(text), {2 * k + 1}, 2)) AS INTEGER)"
+
+    return f"""
+SELECT doc_id,
+       CASE WHEN {byte(2)} % 2 = 0 THEN 'lossless' ELSE 'lossy' END
+         AS variant,
+       16 + {byte(0)} * 4 AS width,
+       16 + {byte(1)} * 4 AS height
+FROM documents WHERE doc_id % 40 = 33
+"""
+
+
 def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan–Meier retention curve (operators/analytics.
     kaplan_meier) over per-user lifetimes: duration = days from a
@@ -15953,6 +16015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrow_ipc_roundtrip": q_arrow_ipc_roundtrip,
         "mbox_extract": q_mbox_extract,
         "kaplan_meier": q_kaplan_meier,
+        "webp_meta_real": q_webp_meta_real,
         # ---- driver-green in round 6 (the r6 window, 50/50 green) --------
         "order_totals": q_order_totals,
         "streaming_sliding": q_streaming_sliding,
@@ -16233,6 +16296,7 @@ def oracle_sql() -> dict[str, str]:
         "arrow_ipc_roundtrip": _SQL_ARROW_IPC_ROUNDTRIP,
         "mbox_extract": _SQL_MBOX_EXTRACT,
         "kaplan_meier": _SQL_KAPLAN_MEIER,
+        "webp_meta_real": _sql_webp_meta_real(),
         "wap_publish": _SQL_WAP_PUBLISH,
         "jpeg_color_real": _sql_jpeg_color_real(),
         "png_color_real": _sql_png_color_real(),

@@ -480,6 +480,8 @@ HEADLINE = [
     "mbox_extract",
     # round-8: Kaplan-Meier retention with censoring (ordered e6 fold)
     "kaplan_meier",
+    # round-8: WebP container metadata (VP8/VP8L/VP8X bit-packed dims)
+    "webp_meta_real",
 ]
 
 

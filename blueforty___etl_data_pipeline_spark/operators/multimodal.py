@@ -932,6 +932,11 @@ def sniff_media_type(content: "F.Column") -> "F.Column":
             & (riff_type == F.expr("X'41564920'")),
             "avi",
         )
+        .when(
+            (pfx(4) == F.expr("X'52494646'"))
+            & (riff_type == F.expr("X'57454250'")),
+            "webp",
+        )
         .when(pfx(4) == F.expr("X'1A45DFA3'"), "mkv")
         .when(pfx(4) == F.expr("X'4F676753'"), "ogg")
         .when(pfx(4) == F.expr("X'664C6143'"), "flac")

@@ -2137,3 +2137,75 @@ def test_webdataset_reader_roundtrip(spark, tmp_path):
         members.groupBy().agg(F.sum("size")).collect()[0][0]
         == df.select(F.sum(F.octet_length("payload"))).collect()[0][0]
     )
+
+
+def test_webp_meta_variants_and_gates():
+    import pytest as _pytest
+
+    from blueforty___etl_data_pipeline_spark.functions.webp import (
+        decode_webp_pixels,
+        encode_webp_lossless_header,
+        encode_webp_lossy_header,
+        webp_meta,
+    )
+    import struct as _struct
+
+    assert webp_meta(encode_webp_lossless_header(800, 600)) == (
+        "lossless", 800, 600, 0, 1
+    )
+    assert webp_meta(encode_webp_lossy_header(1920, 1080)) == (
+        "lossy", 1920, 1080, 0, 1
+    )
+    # VP8X extended canvas with alpha flag
+    body = bytes([0x10]) + b"\x00\x00\x00" + (639).to_bytes(3, "little") \
+        + (479).to_bytes(3, "little")
+    chunk = b"VP8X" + _struct.pack("<I", len(body)) + body
+    riff = b"WEBP" + chunk
+    blob = b"RIFF" + _struct.pack("<I", len(riff)) + riff
+    assert webp_meta(blob) == ("extended", 640, 480, 1, 1)
+    with _pytest.raises(NotImplementedError, match="webp_meta"):
+        decode_webp_pixels(encode_webp_lossless_header(8, 8))
+    with _pytest.raises(ValueError):
+        webp_meta(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_sniffer_detects_webp_mkv_ogg_mp4(spark):
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.functions.jpeg import (
+        encode_jpeg_gray,
+    )
+    from blueforty___etl_data_pipeline_spark.functions.mkv import (
+        encode_mkv_mjpeg,
+    )
+    from blueforty___etl_data_pipeline_spark.functions.mp4 import (
+        encode_mp4_mjpeg,
+    )
+    from blueforty___etl_data_pipeline_spark.functions.ogg import (
+        encode_ogg_opus,
+    )
+    from blueforty___etl_data_pipeline_spark.functions.webp import (
+        encode_webp_lossless_header,
+    )
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        sniff_media_type,
+    )
+
+    j = encode_jpeg_gray([[1] * 16] * 16)
+    blobs = {
+        "webp": encode_webp_lossless_header(8, 8),
+        "mkv": encode_mkv_mjpeg([j], 16, 16),
+        "ogg": encode_ogg_opus(1),
+        "mp4": encode_mp4_mjpeg([j], 16, 16),
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in blobs.items()],
+        "want string, content binary",
+    )
+    got = {
+        r["want"]: r["kind"]
+        for r in df.select(
+            "want", sniff_media_type(F.col("content")).alias("kind")
+        ).collect()
+    }
+    assert got == {k: k for k in blobs}
