@@ -13553,6 +13553,59 @@ ORDER BY source
 """
 
 
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth (operators/corpus.
+    vocabulary_growth): vocab / token / doc counts after each of 10
+    id-range prefixes of the documents table — the
+    is-more-data-still-buying-vocabulary diagnostic.  Pure map-stage
+    checkpoint bucketing (no global ordinal window), per-word
+    first-occurrence via one partial-agged groupBy, cumulative sums
+    over the 10-row result."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        vocabulary_growth,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return vocabulary_growth(docs, "doc_id", "text", n_checkpoints=10)
+
+
+_SQL_HEAPS_LAW = """
+WITH span AS (SELECT MAX(doc_id) + 1 AS s FROM documents),
+base AS (
+  SELECT LEAST(CAST(FLOOR(doc_id * 10.0 / s) AS INTEGER) + 1, 10)
+           AS ckpt,
+         doc_id, text
+  FROM documents, span),
+toks AS (
+  SELECT ckpt, w AS word
+  FROM base, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+  WHERE w <> ''),
+first_seen AS (
+  SELECT word, MIN(ckpt) AS first_ckpt FROM toks GROUP BY word),
+vocab_per AS (
+  SELECT first_ckpt AS ckpt, COUNT(*) AS new_words
+  FROM first_seen GROUP BY 1),
+tokens_per AS (SELECT ckpt, COUNT(*) AS toks FROM toks GROUP BY ckpt),
+docs_per AS (SELECT ckpt, COUNT(*) AS docs FROM base GROUP BY ckpt),
+merged AS (
+  SELECT d.ckpt AS checkpoint, d.docs,
+         COALESCE(t.toks, 0) AS toks,
+         COALESCE(v.new_words, 0) AS new_words
+  FROM docs_per d
+  LEFT JOIN tokens_per t ON d.ckpt = t.ckpt
+  LEFT JOIN vocab_per v ON d.ckpt = v.ckpt)
+SELECT checkpoint,
+       CAST(SUM(docs) OVER (ORDER BY checkpoint) AS BIGINT)
+         AS docs_seen,
+       CAST(SUM(toks) OVER (ORDER BY checkpoint) AS BIGINT)
+         AS tokens_seen,
+       CAST(SUM(new_words) OVER (ORDER BY checkpoint) AS BIGINT)
+         AS vocab_seen
+FROM merged ORDER BY checkpoint
+"""
+
+
 def q_webp_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WebP metadata triage (functions/webp.py): each sampled
     document becomes a WebP whose VARIANT (VP8L lossless vs VP8
@@ -16016,6 +16069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mbox_extract": q_mbox_extract,
         "kaplan_meier": q_kaplan_meier,
         "webp_meta_real": q_webp_meta_real,
+        "heaps_law": q_heaps_law,
         # ---- driver-green in round 6 (the r6 window, 50/50 green) --------
         "order_totals": q_order_totals,
         "streaming_sliding": q_streaming_sliding,
@@ -16297,6 +16351,7 @@ def oracle_sql() -> dict[str, str]:
         "mbox_extract": _SQL_MBOX_EXTRACT,
         "kaplan_meier": _SQL_KAPLAN_MEIER,
         "webp_meta_real": _sql_webp_meta_real(),
+        "heaps_law": _SQL_HEAPS_LAW,
         "wap_publish": _SQL_WAP_PUBLISH,
         "jpeg_color_real": _sql_jpeg_color_real(),
         "png_color_real": _sql_png_color_real(),

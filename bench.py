@@ -482,6 +482,8 @@ HEADLINE = [
     "kaplan_meier",
     # round-8: WebP container metadata (VP8/VP8L/VP8X bit-packed dims)
     "webp_meta_real",
+    # round-8: Heaps-law vocabulary growth (first-occurrence bucketing)
+    "heaps_law",
 ]
 
 

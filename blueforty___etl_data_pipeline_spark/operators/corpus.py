@@ -917,3 +917,71 @@ def naive_bayes_classify(
             "margin_e6"
         ),
     )
+
+
+def vocabulary_growth(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_checkpoints: int = 10,
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve — the corpus diagnostic that
+    says whether more data still buys new vocabulary (V(n) ≈ K·n^β;
+    a flattening curve means the crawl is saturating its domain):
+    distinct vocabulary, token and document counts after each of
+    ``n_checkpoints`` id-range prefixes (checkpoint k covers ids up
+    to k/n of the max id — a pure map-stage bucketing; NO global
+    row-ordinal window, which would be the unpartitioned-sort
+    anti-pattern at corpus scale).
+
+    One pass, no growing state: explode tokens → per-word FIRST
+    OCCURRENCE checkpoint (min — a partial-agged groupBy over the
+    vocabulary, never a running distinct), then a cumulative sum over
+    the ≤n_checkpoints-row result.  Returns (checkpoint, docs_seen,
+    tokens_seen, vocab_seen)."""
+    max_id = df.agg(F.max(F.col(id_col))).collect()[0][0]
+    span = int(max_id) + 1
+    ckpt = F.least(
+        (F.col(id_col) * n_checkpoints / span).cast("int") + 1,
+        F.lit(n_checkpoints),
+    )
+    base = df.select(
+        ckpt.alias("_ckpt"), tokens_ws(F.col(text_col)).alias("_toks")
+    )
+    toks = base.select("_ckpt", F.explode("_toks").alias("word"))
+    first_seen = toks.groupBy("word").agg(
+        F.min("_ckpt").alias("first_ckpt")
+    )
+    vocab_per = first_seen.groupBy("first_ckpt").agg(
+        F.count(F.lit(1)).alias("new_words")
+    )
+    tokens_per = toks.groupBy("_ckpt").agg(
+        F.count(F.lit(1)).alias("toks")
+    )
+    docs_per = base.groupBy("_ckpt").agg(
+        F.count(F.lit(1)).alias("docs")
+    )
+    merged = (
+        docs_per.join(
+            tokens_per, docs_per["_ckpt"] == tokens_per["_ckpt"], "left"
+        )
+        .select(docs_per["_ckpt"].alias("checkpoint"), "docs", "toks")
+        .join(
+            vocab_per,
+            F.col("checkpoint") == vocab_per["first_ckpt"],
+            "left",
+        )
+        .select(
+            "checkpoint", "docs", "toks",
+            F.coalesce("new_words", F.lit(0)).alias("new_words"),
+        )
+    )
+    w = Window.orderBy("checkpoint").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return merged.select(
+        "checkpoint",
+        F.sum("docs").over(w).alias("docs_seen"),
+        F.sum("toks").over(w).alias("tokens_seen"),
+        F.sum("new_words").over(w).alias("vocab_seen"),
+    ).orderBy("checkpoint")

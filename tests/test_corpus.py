@@ -628,3 +628,25 @@ def test_detect_charset_branches():
     # invalid UTF-8 falls back to latin-1 (total decode)
     assert detect_charset(b"\xfc42") == ("latin-1", "ü42")
     assert detect_charset(b"\xff\x00\x01") == ("latin-1", "ÿ\x00\x01")
+
+
+def test_vocabulary_growth_monotone_and_exact(spark):
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        vocabulary_growth,
+    )
+
+    docs = [
+        (0, "a b c"),       # ckpt 1 with span 4, n=2: ids 0,1 -> 1
+        (1, "a b d"),
+        (2, "d e"),         # ids 2,3 -> ckpt 2
+        (3, "a f f"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        (r["checkpoint"], r["docs_seen"], r["tokens_seen"],
+         r["vocab_seen"])
+        for r in vocabulary_growth(df, n_checkpoints=2).collect()
+    ]
+    # ckpt1: docs 0,1 -> 6 tokens, vocab {a,b,c,d}
+    # ckpt2: +docs 2,3 -> +5 tokens, new vocab {e,f}
+    assert got == [(1, 2, 6, 4), (2, 4, 11, 6)]
