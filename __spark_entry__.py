@@ -13553,6 +13553,97 @@ ORDER BY source
 """
 
 
+def q_xz_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed JSONL drop cycle (sources/compressed_text.py):
+    sampled documents shard 4 ways, each shard serializing JSONL
+    under a DIFFERENT codec — gzip, xz (the codec Spark's built-in
+    line reader cannot open), bzip2, and plain — then the
+    magic-dispatched reader (never filename-dispatched: every file
+    is named .jsonl.zz) decompresses, line-splits, and the JSON
+    fields aggregate per detected codec.  The oracle recomputes codec
+    assignment and totals from the documents table."""
+    _prep(spark)
+    import shutil
+
+    from blueforty___etl_data_pipeline_spark.sources.compressed_text import (
+        read_compressed_lines,
+    )
+
+    out = f"{SCRATCH}/compressed_jsonl"
+    shutil.rmtree(out, ignore_errors=True)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 40 == 2)
+        .select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            (F.expr("doc_id div 40") % 4).cast("int").alias("shard_id"),
+        )
+    )
+
+    def write_shard(pdf):
+        import json as _json
+        import os
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.sources.compressed_text import (  # noqa: E501
+            write_compressed_lines,
+        )
+
+        pdf = pdf.sort_values("doc_id")
+        shard = int(pdf["shard_id"].iloc[0])
+        codec = ("gzip", "xz", "bzip2", "none")[shard]
+        lines = [
+            _json.dumps(
+                {"doc_id": int(r["doc_id"]), "n_chars": int(r["n_chars"])},
+                sort_keys=True,
+            )
+            for _, r in pdf.iterrows()
+        ]
+        os.makedirs(out, exist_ok=True)
+        nb = write_compressed_lines(
+            f"{out}/part-{shard:03d}.jsonl.zz", lines, codec
+        )
+        return pd.DataFrame(
+            [[shard, len(lines), nb]], columns=["shard_id", "n", "nb"]
+        )
+
+    docs.groupBy("shard_id").applyInPandas(
+        write_shard, "shard_id int, n long, nb long"
+    ).collect()
+
+    lines = read_compressed_lines(spark, f"{out}/*.jsonl.zz")
+    parsed = lines.select(
+        "codec",
+        F.get_json_object("line", "$.doc_id").cast("long").alias("doc_id"),
+        F.get_json_object("line", "$.n_chars").cast("long").alias("n_chars"),
+    )
+    return (
+        parsed.groupBy("codec")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .orderBy("codec")
+    )
+
+
+_SQL_XZ_JSONL_ROUNDTRIP = """
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars,
+         CASE CAST((doc_id // 40) % 4 AS INTEGER)
+              WHEN 0 THEN 'gzip' WHEN 1 THEN 'xz'
+              WHEN 2 THEN 'bzip2' ELSE 'none' END AS codec
+  FROM documents WHERE doc_id % 40 = 2)
+SELECT codec, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc
+FROM t GROUP BY codec ORDER BY codec
+"""
+
+
 def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary growth (operators/corpus.
     vocabulary_growth): vocab / token / doc counts after each of 10
@@ -16070,6 +16161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier": q_kaplan_meier,
         "webp_meta_real": q_webp_meta_real,
         "heaps_law": q_heaps_law,
+        "xz_jsonl_roundtrip": q_xz_jsonl_roundtrip,
         # ---- driver-green in round 6 (the r6 window, 50/50 green) --------
         "order_totals": q_order_totals,
         "streaming_sliding": q_streaming_sliding,
@@ -16352,6 +16444,7 @@ def oracle_sql() -> dict[str, str]:
         "kaplan_meier": _SQL_KAPLAN_MEIER,
         "webp_meta_real": _sql_webp_meta_real(),
         "heaps_law": _SQL_HEAPS_LAW,
+        "xz_jsonl_roundtrip": _SQL_XZ_JSONL_ROUNDTRIP,
         "wap_publish": _SQL_WAP_PUBLISH,
         "jpeg_color_real": _sql_jpeg_color_real(),
         "png_color_real": _sql_png_color_real(),

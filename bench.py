@@ -484,6 +484,8 @@ HEADLINE = [
     "webp_meta_real",
     # round-8: Heaps-law vocabulary growth (first-occurrence bucketing)
     "heaps_law",
+    # round-8: compressed JSONL drop (gzip/xz/bzip2 magic dispatch)
+    "xz_jsonl_roundtrip",
 ]
 
 

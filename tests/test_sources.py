@@ -918,3 +918,38 @@ def test_arrow_ipc_roundtrip_and_magic_gate(spark, tmp_path):
         ("x.arrow", "a"): "1", ("x.arrow", "b"): "2",
         ("x.arrow", "c"): None,
     }
+
+
+def test_compressed_lines_magic_dispatch(spark, tmp_path):
+    import pytest as _pytest
+
+    from blueforty___etl_data_pipeline_spark.sources.compressed_text import (
+        decompress_auto,
+        read_compressed_lines,
+        sniff_compression,
+        write_compressed_lines,
+    )
+
+    lines = ["alpha", "", "gamma with spaces"]  # empty line is a record
+    for i, codec in enumerate(("gzip", "xz", "bzip2", "none")):
+        write_compressed_lines(
+            str(tmp_path / f"p{i}.jsonl.zz"), lines, codec
+        )
+    # magic sniff, not filename
+    blob = open(tmp_path / "p1.jsonl.zz", "rb").read()
+    assert sniff_compression(blob) == "xz"
+    assert decompress_auto(blob) == ("\n".join(lines) + "\n").encode()
+    # truncated stream raises, never silently-short
+    with _pytest.raises(Exception):
+        decompress_auto(blob[:-3])
+
+    got = read_compressed_lines(
+        spark, str(tmp_path / "*.jsonl.zz")
+    ).collect()
+    assert len(got) == 12  # 3 lines x 4 files (empty line kept)
+    by = {}
+    for r in got:
+        by.setdefault(r["codec"], []).append((r["line_no"], r["line"]))
+    assert set(by) == {"gzip", "xz", "bzip2", "none"}
+    for v in by.values():
+        assert sorted(v) == [(0, "alpha"), (1, ""), (2, "gamma with spaces")]
