@@ -13553,6 +13553,160 @@ ORDER BY source
 """
 
 
+def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED multimodal curation pipeline — the round-8 capstone:
+    a mixed-media corpus (real PNG / WAV / MJPEG-MP4 / WebP blobs,
+    one per sampled doc by md5) flows through magic-byte SNIFFING,
+    is ROUTED on the DETECTED type (not on any fixture knowledge),
+    and each route runs its real stage — PNG inflate+unfilter, WAV
+    PCM stats, MP4 sample-table walk + T.81 decode, WebP bit-packed
+    dims — emitting one integer feature per doc; the four branches
+    union into a per-type rollup.  Every stage is the same operator
+    the standalone queries verify; the capstone verifies their
+    COMPOSITION end to end against one oracle."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        sniff_media_type,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 5 == 4)
+    )
+
+    def make_blobs(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.jpeg import (
+            encode_jpeg_gray,
+        )
+        from blueforty___etl_data_pipeline_spark.functions.mp4 import (
+            encode_mp4_mjpeg,
+        )
+        from blueforty___etl_data_pipeline_spark.functions.png import (
+            encode_png_gray,
+        )
+        from blueforty___etl_data_pipeline_spark.functions.webp import (
+            encode_webp_lossless_header,
+        )
+        from blueforty___etl_data_pipeline_spark.operators.multimodal import (  # noqa: E501
+            encode_wav_pcm16,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = _hl.md5(text.encode("utf-8")).digest()
+                k = doc_id % 20
+                if k == 4:
+                    blob = encode_png_gray([[d[0] % 250] * 4] * 4)
+                elif k == 9:
+                    blob = encode_wav_pcm16([d[1], -d[1]], 8000)
+                elif k == 14:
+                    blob = encode_mp4_mjpeg(
+                        [encode_jpeg_gray([[d[0]] * 16] * 16)], 16, 16
+                    )
+                else:  # k == 19
+                    blob = encode_webp_lossless_header(
+                        16 + d[0] * 4, 16 + d[1] * 4
+                    )
+                rows.append((doc_id, bytearray(blob)))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    media = docs.mapInPandas(
+        make_blobs, schema="doc_id long, content binary"
+    ).withColumn("kind", sniff_media_type(F.col("content")))
+
+    def branch(kind: str, fn):
+        def run(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                feats = [fn(bytes(b)) for b in pdf["content"]]
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "feature": feats}
+                )
+
+        return (
+            media.filter(F.col("kind") == kind)
+            .select("doc_id", "content")
+            .mapInPandas(run, schema="doc_id long, feature long")
+            .select(F.lit(kind).alias("kind"), "doc_id", "feature")
+        )
+
+    def png_mean(b):
+        from blueforty___etl_data_pipeline_spark.functions.png import (
+            decode_png_gray,
+        )
+
+        px = decode_png_gray(b)
+        return sum(map(sum, px)) // (len(px) * len(px[0]))
+
+    def wav_peak(b):
+        from blueforty___etl_data_pipeline_spark.operators.multimodal import (  # noqa: E501
+            decode_audio_real,
+        )
+
+        return decode_audio_real(b)[2]
+
+    def mp4_mean0(b):
+        from blueforty___etl_data_pipeline_spark.functions.mp4 import (
+            mp4_frame_stats,
+        )
+
+        return mp4_frame_stats(b)[0][3]
+
+    def webp_width(b):
+        from blueforty___etl_data_pipeline_spark.functions.webp import (
+            webp_meta,
+        )
+
+        return webp_meta(b)[1]
+
+    routed = (
+        branch("png", png_mean)
+        .unionAll(branch("wav", wav_peak))
+        .unionAll(branch("mp4", mp4_mean0))
+        .unionAll(branch("webp", webp_width))
+    )
+    return (
+        routed.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("feature").alias("sum_feature"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .orderBy("kind")
+    )
+
+
+def _sql_media_pipeline() -> str:
+    def byte(k: int) -> str:
+        return f"CAST(('0x' || substr(md5(text), {2 * k + 1}, 2)) AS INTEGER)"
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, doc_id % 20 AS k FROM documents
+  WHERE doc_id % 5 = 4),
+f AS (
+  SELECT doc_id,
+         CASE k WHEN 4 THEN 'png' WHEN 9 THEN 'wav'
+                WHEN 14 THEN 'mp4' ELSE 'webp' END AS kind,
+         CASE k WHEN 4 THEN {byte(0)} % 250
+                WHEN 9 THEN {byte(1)}
+                WHEN 14 THEN {byte(0)}
+                ELSE 16 + {byte(0)} * 4 END AS feature
+  FROM t)
+SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(feature) AS BIGINT) AS sum_feature,
+       MIN(doc_id) AS min_doc
+FROM f GROUP BY kind ORDER BY kind
+"""
+
+
 def q_xz_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed JSONL drop cycle (sources/compressed_text.py):
     sampled documents shard 4 ways, each shard serializing JSONL
@@ -16162,6 +16316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webp_meta_real": q_webp_meta_real,
         "heaps_law": q_heaps_law,
         "xz_jsonl_roundtrip": q_xz_jsonl_roundtrip,
+        "media_pipeline": q_media_pipeline,
         # ---- driver-green in round 6 (the r6 window, 50/50 green) --------
         "order_totals": q_order_totals,
         "streaming_sliding": q_streaming_sliding,
@@ -16445,6 +16600,7 @@ def oracle_sql() -> dict[str, str]:
         "webp_meta_real": _sql_webp_meta_real(),
         "heaps_law": _SQL_HEAPS_LAW,
         "xz_jsonl_roundtrip": _SQL_XZ_JSONL_ROUNDTRIP,
+        "media_pipeline": _sql_media_pipeline(),
         "wap_publish": _SQL_WAP_PUBLISH,
         "jpeg_color_real": _sql_jpeg_color_real(),
         "png_color_real": _sql_png_color_real(),

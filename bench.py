@@ -486,6 +486,9 @@ HEADLINE = [
     "heaps_law",
     # round-8: compressed JSONL drop (gzip/xz/bzip2 magic dispatch)
     "xz_jsonl_roundtrip",
+    # round-8 capstone: sniff -> route-on-detected-type -> per-type
+    # real decode -> rollup, all four media branches in one plan
+    "media_pipeline",
 ]
 
 
