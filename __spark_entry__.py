@@ -16209,21 +16209,69 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query correctness window carries the
-    most NEW signal each round.  Round-8 layout:
+    most NEW signal each round.  Round-9 layout:
 
-    - the 62 queries that have never carried a driver-signed
-      CORRECTNESS row still lead (round 7 ended after 106 turns and
-      its driver window never ran — no CORRECTNESS_r07.json exists —
-      so the whole 62-name backlog from VERDICT r6 item 1 is intact;
-      all 62 were judge-verified green in the r6 sweep and re-verified
-      by the full 296/296 differential this session).  50 land in the
-      round-8 window; the remaining 12 plus the round-8 session
-      additions (positions 63+) queue for round 9.
-    - then everything driver-green in rounds 2-6.
+    - the 39 queries that have never carried a driver-signed
+      CORRECTNESS row lead (the 12 that spilled past the round-8
+      window plus the 27 round-8 session additions — all 39 were
+      judge-verified green in VERDICT r8's 40-query sweep), then
+      ``approx_profile`` (position 40), whose only driver row is the
+      stale ``no_oracle`` from r04 and which now has a full
+      hash-match oracle (judge-verified green in r8).
+    - new round-9 queries are inserted right after, so they also land
+      inside the 50-query window.
+    - then everything driver-signed green in rounds 2-8, prior order
+      preserved.
     """
     return {
-        # -- never-driver-checked backlog (62): positions 1-50 fill the
-        # round-7 driver window; 51-62 spill to round 8 -------------------
+        # -- round-9 driver window: the 39 queries never driver-signed
+        # (12 spill from the r6 backlog + 27 round-8 session additions;
+        # all judge-verified green in VERDICT r8) plus approx_profile,
+        # whose only CORRECTNESS row is the stale r04 no_oracle --------
+        "holt_forecast": q_holt_forecast,
+        "xlsx_roundtrip": q_xlsx_roundtrip,
+        "domain_rollup": q_domain_rollup,
+        "avro_roundtrip": q_avro_roundtrip,
+        "fixed_width_roundtrip": q_fixed_width_roundtrip,
+        "parquet_stats": q_parquet_stats,
+        "point_in_polygon": q_point_in_polygon,
+        "merge_intervals": q_merge_intervals,
+        "schema_evolution": q_schema_evolution,
+        "mahalanobis": q_mahalanobis,
+        "golden_record": q_golden_record,
+        "media_sniff": q_media_sniff,
+        "mp4_frames_real": q_mp4_frames_real,
+        "url_dedup": q_url_dedup,
+        "m4a_meta_real": q_m4a_meta_real,
+        "vtt_parse_real": q_vtt_parse_real,
+        "mkv_frames_real": q_mkv_frames_real,
+        "ogg_meta_real": q_ogg_meta_real,
+        "robots_audit": q_robots_audit,
+        "webdataset_roundtrip": q_webdataset_roundtrip,
+        "id3_tags_real": q_id3_tags_real,
+        "charset_sniff": q_charset_sniff,
+        "docx_extract": q_docx_extract,
+        "warc_gz_roundtrip": q_warc_gz_roundtrip,
+        "embargo_split": q_embargo_split,
+        "ip_anonymize": q_ip_anonymize,
+        "join_skew": q_join_skew,
+        "matryoshka_eval": q_matryoshka_eval,
+        "lag_features": q_lag_features,
+        "warc_http_roundtrip": q_warc_http_roundtrip,
+        "sqlite_roundtrip": q_sqlite_roundtrip,
+        "pdf_extract": q_pdf_extract,
+        "arrow_ipc_roundtrip": q_arrow_ipc_roundtrip,
+        "mbox_extract": q_mbox_extract,
+        "kaplan_meier": q_kaplan_meier,
+        "webp_meta_real": q_webp_meta_real,
+        "heaps_law": q_heaps_law,
+        "xz_jsonl_roundtrip": q_xz_jsonl_roundtrip,
+        "media_pipeline": q_media_pipeline,
+        "approx_profile": q_approx_profile,
+        # -- ROUND9_NEW_INSERTION_POINT (new round-9 queries go here so
+        # they land inside the 50-query driver window) -----------------
+        # ---- driver-signed green (r2-r6 windows + the full r08 window;
+        # prior order preserved) ---------------------------------------
         "ab_test": q_ab_test,
         "split_leakage": q_split_leakage,
         "video_frames_real": q_video_frames_real,
@@ -16274,50 +16322,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash": q_image_phash,
         "naive_bayes": q_naive_bayes,
         "density_clusters": q_density_clusters,
-        "holt_forecast": q_holt_forecast,
-        "xlsx_roundtrip": q_xlsx_roundtrip,
-        "domain_rollup": q_domain_rollup,
-        "avro_roundtrip": q_avro_roundtrip,
-        "fixed_width_roundtrip": q_fixed_width_roundtrip,
-        "parquet_stats": q_parquet_stats,
-        "point_in_polygon": q_point_in_polygon,
-        "merge_intervals": q_merge_intervals,
-        "schema_evolution": q_schema_evolution,
-        "mahalanobis": q_mahalanobis,
-        "golden_record": q_golden_record,
-        "media_sniff": q_media_sniff,
-        # -- round-8 session additions (never driver-checked; queue
-        # behind the 62-name backlog above — the r7 driver window never
-        # ran, so the whole backlog is still awaiting its first
-        # driver-signed row) ------------------------------------------------
-        "mp4_frames_real": q_mp4_frames_real,
-        "url_dedup": q_url_dedup,
-        "m4a_meta_real": q_m4a_meta_real,
-        "vtt_parse_real": q_vtt_parse_real,
-        "mkv_frames_real": q_mkv_frames_real,
-        "ogg_meta_real": q_ogg_meta_real,
-        "robots_audit": q_robots_audit,
-        "webdataset_roundtrip": q_webdataset_roundtrip,
-        "id3_tags_real": q_id3_tags_real,
-        "charset_sniff": q_charset_sniff,
-        "docx_extract": q_docx_extract,
-        "warc_gz_roundtrip": q_warc_gz_roundtrip,
-        "embargo_split": q_embargo_split,
-        "ip_anonymize": q_ip_anonymize,
-        "join_skew": q_join_skew,
-        "matryoshka_eval": q_matryoshka_eval,
-        "lag_features": q_lag_features,
-        "warc_http_roundtrip": q_warc_http_roundtrip,
-        "sqlite_roundtrip": q_sqlite_roundtrip,
-        "pdf_extract": q_pdf_extract,
-        "arrow_ipc_roundtrip": q_arrow_ipc_roundtrip,
-        "mbox_extract": q_mbox_extract,
-        "kaplan_meier": q_kaplan_meier,
-        "webp_meta_real": q_webp_meta_real,
-        "heaps_law": q_heaps_law,
-        "xz_jsonl_roundtrip": q_xz_jsonl_roundtrip,
-        "media_pipeline": q_media_pipeline,
-        # ---- driver-green in round 6 (the r6 window, 50/50 green) --------
         "order_totals": q_order_totals,
         "streaming_sliding": q_streaming_sliding,
         "contrastive_pairs": q_contrastive_pairs,
@@ -16368,7 +16372,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_progressive_real": q_jpeg_progressive_real,
         "gif_frames_real": q_gif_frames_real,
         "flac_decode_real": q_flac_decode_real,
-        # ---- driver-green in rounds 2-5 ----------------------------------
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
         "winsorize": q_winsorize,
@@ -16466,7 +16469,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_shipmode": q_priority_shipmode,
         "customer_distribution": q_customer_distribution,
         "disjunctive_pred": q_disjunctive_pred,
-        "approx_profile": q_approx_profile,
         "xml_shred": q_xml_shred,
         "reconciliation": q_reconciliation,
         "top1_per_group": q_top1_per_group,
