@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import math as _math
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -2058,12 +2059,54 @@ FROM s GROUP BY user_id, sid
 def _await_streaming(q, timeout: int = 300) -> None:
     """Block until an availableNow run finishes; a False return means
     the memory sink would be read mid-run (a partial, inscrutable
-    oracle mismatch), so surface it as a hard timeout instead."""
+    oracle mismatch), so surface it as a hard timeout instead.
+
+    After a clean drain the query is stopped and the manager's
+    terminated-query list is cleared: StreamingQueryManager retains a
+    reference to EVERY terminated query for ``spark.streams.get()``,
+    so a 275-query bench session that exercises the streaming family
+    repeatedly accumulates dead query objects (and their progress
+    histories) in the driver for the life of the JVM — one of the
+    in-session fixed-cost growth vectors flagged in VERDICT r8 item 4."""
     if not q.awaitTermination(timeout):
         q.stop()
         raise TimeoutError(
             f"streaming query {q.name!r} still running after {timeout}s"
         )
+    q.stop()
+    try:
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.streams.resetTerminated()
+    except Exception:
+        pass  # cleanup must never fail a green drain
+
+
+#: parquet staging dirs already materialized by THIS process —
+#: see _stage_stream_source.
+_STAGED_STREAM_SOURCES: set[str] = set()
+
+
+def _stage_stream_source(df: DataFrame, name: str, sf_dir: str) -> str:
+    """Materialize a batch DF as the parquet source of a streaming
+    query, once per (name, scale dir) per process, and return its path.
+
+    The staged copy is fixture plumbing (Structured Streaming needs a
+    file source to drain), not engine work — yet it was re-written on
+    every invocation, wasting 0.6-2.7 s per streaming query and
+    injecting a variable write cost into what should be a fixed-cost
+    measurement (VERDICT r8 item 4 requires back-to-back bench runs to
+    be flat).  Reuse within a process can never serve stale data: the
+    inputs under /root/testdata are read-only, the projection is
+    deterministic, and the path is keyed by the scale dir so sf0.01
+    correctness runs and sf0.1 bench runs sharing a session never
+    collide."""
+    slug = re.sub(r"[^A-Za-z0-9_.-]+", "_", os.path.abspath(sf_dir))
+    src = os.path.join(SCRATCH, f"stream_src_{name}__{slug.strip('_')}")
+    if src not in _STAGED_STREAM_SOURCES:
+        df.write.mode("overwrite").parquet(src)
+        _STAGED_STREAM_SOURCES.add(src)
+    return src
 
 
 def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2074,8 +2117,7 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     already driver-verified)."""
     _prep(spark)
     ev = _t(spark, sf_dir, "events")
-    src = os.path.join(SCRATCH, "stream_src_events_sliding")
-    ev.write.mode("overwrite").parquet(src)
+    src = _stage_stream_source(ev, "events_sliding", sf_dir)
     stream = stream_from_parquet(
         spark, src, schema=ev.schema, watermark="3650 days"
     )
@@ -2117,8 +2159,7 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hour, event_type) pair)."""
     _prep(spark)
     ev = _t(spark, sf_dir, "events")
-    src = os.path.join(SCRATCH, "stream_src_events")
-    ev.write.mode("overwrite").parquet(src)
+    src = _stage_stream_source(ev, "events", sf_dir)
     stream = stream_from_parquet(
         spark, src, schema=ev.schema, watermark="3650 days"
     )
@@ -2157,8 +2198,7 @@ def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions are order-sensitive state, not a pure hash-agg)."""
     _prep(spark)
     ev = _t(spark, sf_dir, "events")
-    src = os.path.join(SCRATCH, "stream_src_events_sess")
-    ev.write.mode("overwrite").parquet(src)
+    src = _stage_stream_source(ev, "events_sess", sf_dir)
     stream = stream_from_parquet(
         spark, src, schema=ev.schema, watermark="3650 days"
     )
@@ -2200,8 +2240,7 @@ def q_streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     this exercises user-defined state)."""
     _prep(spark)
     ev = _t(spark, sf_dir, "events")
-    src = os.path.join(SCRATCH, "stream_src_events_stats")
-    ev.write.mode("overwrite").parquet(src)
+    src = _stage_stream_source(ev, "events_stats", sf_dir)
     stream = spark.readStream.schema(ev.schema).parquet(src)
     out = running_user_stats_exact(stream)
     q = (
@@ -2341,8 +2380,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     doubled = ev.unionAll(ev.filter(F.col("user_id") % 10 == 0))
-    src = os.path.join(SCRATCH, "stream_src_events_dedup")
-    doubled.write.mode("overwrite").parquet(src)
+    src = _stage_stream_source(doubled, "events_dedup", sf_dir)
     stream = spark.readStream.schema(ev.schema).parquet(src)
     out = streaming_dedup(stream, ("event_id",), watermark="3650 days")
     q = (
@@ -2384,8 +2422,7 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     doubled = docs.unionAll(docs.filter(F.col("doc_id") % 7 == 0))
-    src = os.path.join(SCRATCH, "stream_src_docs_ingest")
-    doubled.write.mode("overwrite").parquet(src)
+    src = _stage_stream_source(doubled, "docs_ingest", sf_dir)
     stream = spark.readStream.schema(docs.schema).parquet(src)
     gated = quality_filter(
         stream, min_tokens=20, max_punct_ratio=0.1,
@@ -2677,8 +2714,7 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     result."""
     _prep(spark)
     ev = _t(spark, sf_dir, "events")
-    src = os.path.join(SCRATCH, "stream_src_events_join")
-    ev.write.mode("overwrite").parquet(src)
+    src = _stage_stream_source(ev, "events_join", sf_dir)
     stream = spark.readStream.schema(ev.schema).parquet(src)
     views = stream.filter(F.col("event_type") == "view").select(
         "user_id", F.col("event_id").alias("view_id"), "ts"
