@@ -12582,6 +12582,13 @@ def q_video_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .filter(F.col("doc_id") % 40 == 5)
+        # The sampled set is tiny (1 in 40 docs) but every row costs
+        # ~10ms of pure-Python codec work downstream; without this the
+        # whole encode+decode chain runs on however few input splits
+        # the scan yields (ONE at sf0.1 — fully serial on 32 cores).
+        # One narrow exchange of (id, text) rows buys full-core
+        # parallelism for the Arrow-batched decode stages.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def to_avi(batches):
@@ -12652,6 +12659,13 @@ def q_mp4_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .filter(F.col("doc_id") % 40 == 7)
+        # The sampled set is tiny (1 in 40 docs) but every row costs
+        # ~10ms of pure-Python codec work downstream; without this the
+        # whole encode+decode chain runs on however few input splits
+        # the scan yields (ONE at sf0.1 — fully serial on 32 cores).
+        # One narrow exchange of (id, text) rows buys full-core
+        # parallelism for the Arrow-batched decode stages.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def to_mp4(batches):
@@ -12726,6 +12740,13 @@ def q_mkv_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .filter(F.col("doc_id") % 40 == 17)
+        # The sampled set is tiny (1 in 40 docs) but every row costs
+        # ~10ms of pure-Python codec work downstream; without this the
+        # whole encode+decode chain runs on however few input splits
+        # the scan yields (ONE at sf0.1 — fully serial on 32 cores).
+        # One narrow exchange of (id, text) rows buys full-core
+        # parallelism for the Arrow-batched decode stages.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def to_mkv(batches):
