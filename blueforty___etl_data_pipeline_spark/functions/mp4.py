@@ -541,7 +541,13 @@ def mp4_track_meta(data: bytes):
         tkhd = _find(data, ps, pe, b"tkhd")
         if tkhd is None:
             raise ValueError("trak missing tkhd")
-        track_id = struct.unpack(">I", data[tkhd[0] + 12 : tkhd[0] + 16])[0]
+        # version-1 tkhd carries 64-bit creation/modification times, so
+        # track_id sits at +20 instead of +12 (ISO 14496-12 §8.3.2) —
+        # real-world files use v1, and reading +12 there returns the
+        # low half of modification_time as a garbage id.
+        tkhd_version = data[tkhd[0]]
+        tid_off = tkhd[0] + (20 if tkhd_version == 1 else 12)
+        track_id = struct.unpack(">I", data[tid_off : tid_off + 4])[0]
         mdia = _find(data, ps, pe, b"mdia")
         if mdia is None:
             raise ValueError("trak missing mdia")

@@ -416,7 +416,11 @@ def canonicalize_url(url: Column) -> Column:
     path = F.when(path == "", "/").otherwise(
         F.regexp_replace(path, r"(?<=.)/$", "")
     )
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # Anchor the query to the PRE-fragment portion: a '?' inside the
+    # fragment ('https://h/p#/route?x=1', common SPA routing) is not a
+    # query string, and letting it leak into the dedup key makes
+    # identical pages that differ only in fragment fail to collapse.
+    query = F.regexp_extract(url, r"^[^#]*?\?([^#]*)", 1)
     kept = F.array_join(
         F.array_sort(
             F.filter(

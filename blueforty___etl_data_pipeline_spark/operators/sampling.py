@@ -15,6 +15,8 @@ rows), which is a driver-side head, not a statistical sample.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -638,11 +640,22 @@ def time_embargo_split(
     Pure map stage (two timestamp comparisons, codegen) — no shuffle,
     no RNG; late-arriving rows land in consistent splits.  ``cutoff``
     is an ANSI timestamp string, ``embargo`` an INTERVAL literal
-    (e.g. ``'7 days'``, ``'36 hours'``)."""
+    (e.g. ``'7 days'``, ``'36 hours'``).
+
+    ``cutoff`` is parsed exactly once (as a literal through
+    ``to_timestamp``, never interpolated into SQL text), and
+    ``embargo`` is validated against the digits/unit-words shape
+    before entering an ``INTERVAL`` expression — a quote or stray
+    token raises a clean ``ValueError`` here instead of an opaque
+    parser error (or worse, an injected expression) at analysis time."""
+    if not re.fullmatch(r"[0-9]+(\s+[A-Za-z]+)(\s+[0-9]+\s+[A-Za-z]+)*",
+                        embargo.strip()):
+        raise ValueError(
+            f"embargo must be an INTERVAL body like '7 days' or "
+            f"'1 days 12 hours', got {embargo!r}"
+        )
     cut = F.to_timestamp(F.lit(cutoff))
-    start_gap = F.expr(
-        f"to_timestamp('{cutoff}') - INTERVAL {embargo}"
-    )
+    start_gap = cut - F.expr(f"INTERVAL {embargo.strip()}")
     ts = F.col(ts_col)
     return df.withColumn(
         "split",

@@ -187,7 +187,11 @@ class _Lexer:
                 if nxt in esc:
                     out += esc[nxt]
                     self.pos += 2
-                elif nxt.isdigit():
+                elif nxt in (b"0", b"1", b"2", b"3", b"4", b"5", b"6", b"7"):
+                    # gate on octal digits specifically: \8 and \9 are
+                    # not octal escapes and must fall to the
+                    # drop-backslash branch (PDF 32000-1 §7.3.4.2),
+                    # not crash on a failed regex match
                     oct_s = d[self.pos + 1 : self.pos + 4]
                     m = re.match(rb"[0-7]{1,3}", oct_s)
                     out.append(int(m.group(0), 8) & 0xFF)

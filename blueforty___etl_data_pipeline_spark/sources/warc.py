@@ -436,9 +436,26 @@ def parse_http_response(payload: bytes) -> dict:
     status = int(parts[1])
     reason = parts[2] if len(parts) > 2 else ""
     headers: dict[str, str] = {}
+    last_key: str | None = None
     for ln in lines[1:]:
+        if ln[:1] in (" ", "\t"):
+            # obs-fold continuation (RFC 9112 §5.2): the line extends
+            # the PREVIOUS field value — treating it as a new header
+            # would mint a garbage name from the folded text
+            if last_key is None:
+                raise ValueError(f"continuation line before any header: {ln!r}")
+            headers[last_key] += " " + ln.strip()
+            continue
         k, _, v = ln.partition(":")
-        headers[k.strip().lower()] = v.strip()
+        key = k.strip().lower()
+        if key in headers:
+            # repeated fields (Set-Cookie, Via, Warning — legal per
+            # RFC 9110 §5.2) combine as a comma-joined list instead of
+            # silently keeping only the last value
+            headers[key] += ", " + v.strip()
+        else:
+            headers[key] = v.strip()
+        last_key = key
     if headers.get("transfer-encoding", "").lower() == "chunked":
         raise NotImplementedError(
             "chunked transfer-encoding is not supported (Common Crawl "

@@ -279,6 +279,11 @@ def test_canonicalize_url_shapes(spark):
         # non-http(s) and garbage -> NULL (quarantine, not a dedup key)
         "ftp://example.com/x": None,
         "not a url": None,
+        # '?' INSIDE the fragment (SPA routing) is not a query string:
+        # pages differing only in fragment must collapse to one key
+        "https://h.example/p#/route?x=1": "https://h.example/p",
+        # real query followed by a fragment that also contains '?'
+        "https://h.example/p?a=1#frag?x=2": "https://h.example/p?a=1",
     }
     df = spark.createDataFrame([(u,) for u in cases], "u string")
     got = {

@@ -520,3 +520,20 @@ def test_time_embargo_split_boundaries(spark):
         ).collect()
     ]
     assert got == [want for _, want in rows]
+
+    # malformed embargo strings raise a clean argument error up front,
+    # never reach the SQL parser (expression-injection guard)
+    import pytest as _pytest
+
+    for bad in ("3' days", "DROP TABLE x", "", "days 3", "3 days;"):
+        with _pytest.raises(ValueError, match="embargo"):
+            time_embargo_split(df, "ts", "2024-01-24 00:00:00", embargo=bad)
+    # compound interval bodies stay accepted
+    assert (
+        time_embargo_split(
+            df, "ts", "2024-01-24 00:00:00", embargo="2 days 24 hours"
+        )
+        .filter(F.col("split") == "embargo")
+        .count()
+        == 2
+    )

@@ -1017,6 +1017,38 @@ def test_mp4_track_meta_video_and_audio():
         (1, "vide", "jpeg", 10, 4, 4, 16, 16, -1, -1)
     ]
 
+    # version-1 tkhd (64-bit times, ISO 14496-12 §8.3.2) puts track_id
+    # at +20 — upgrade the writer's v0 tkhd by byte surgery and check
+    # the id still reads back correctly instead of the low half of
+    # modification_time
+    import struct as _st
+
+    def _box(blob, fourcc, start=0):
+        i = blob.index(fourcc, start) - 4
+        size = _st.unpack(">I", blob[i : i + 4])[0]
+        return i, size
+
+    ti, tsize = _box(vid, b"tkhd")
+    body = vid[ti + 8 : ti + tsize]  # ver/flags + v0 payload
+    v1_body = (
+        b"\x01" + body[1:4]                     # version=1, flags kept
+        + (8 * b"\x00") + (8 * b"\x00")         # ctime64, mtime64
+        + body[12:20]                           # track_id + reserved
+        + _st.pack(">Q", _st.unpack(">I", body[20:24])[0])  # duration64
+        + body[24:]
+    )
+    v1 = bytearray(
+        vid[:ti] + _st.pack(">I", len(v1_body) + 8) + b"tkhd" + v1_body
+        + vid[ti + tsize :]
+    )
+    grew = len(v1) - len(vid)
+    for anc in (b"moov", b"trak"):
+        ai, asize = _box(bytes(v1), anc)
+        v1[ai : ai + 4] = _st.pack(">I", asize + grew)
+    assert mp4_track_meta(bytes(v1)) == [
+        (1, "vide", "jpeg", 10, 4, 4, 16, 16, -1, -1)
+    ]
+
 
 def test_m4a_encoder_validates_and_audio_decode_gates_aac():
     import pytest as _pytest

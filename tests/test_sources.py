@@ -753,6 +753,26 @@ def test_http_response_codec_and_gates():
         )
     with _pytest.raises(ValueError, match="status line"):
         parse_http_response(b"NOTHTTP\r\n\r\n")
+    # repeated fields combine per RFC 9110 §5.2 instead of keeping
+    # only the last value (Set-Cookie/Via/Warning are legal repeats)
+    p3 = parse_http_response(
+        b"HTTP/1.1 200 OK\r\n"
+        b"Set-Cookie: a=1\r\n"
+        b"Via: 1.1 front\r\n"
+        b"Set-Cookie: b=2\r\n\r\nok"
+    )
+    assert p3["headers"]["set-cookie"] == "a=1, b=2"
+    assert p3["headers"]["via"] == "1.1 front"
+    # obs-fold continuation lines extend the previous value rather
+    # than minting a garbage header name
+    p4 = parse_http_response(
+        b"HTTP/1.1 200 OK\r\n"
+        b"Warning: 199 misc\r\n"
+        b"\tfolded tail\r\n\r\nok"
+    )
+    assert p4["headers"]["warning"] == "199 misc folded tail"
+    with _pytest.raises(ValueError, match="continuation"):
+        parse_http_response(b"HTTP/1.1 200 OK\r\n folded first\r\n\r\nok")
 
 
 def test_sqlite_codec_and_distributed_read(spark, tmp_path):
@@ -825,6 +845,11 @@ def test_pdf_codec_roundtrip_and_operators():
         b"ET"
     )
     assert _extract_text_ops(ops) == "abcd\nnext\nquotedHELLOAB"
+
+    # \8 and \9 are NOT octal escapes (PDF 32000-1 §7.3.4.2): the
+    # backslash drops and the digit survives — previously an
+    # AttributeError from the failed octal regex match
+    assert _extract_text_ops(b"BT (\\8\\9ok\\101) Tj ET") == "89okA"
 
     # gates, by name
     with _pytest.raises(ValueError, match="%PDF-"):
