@@ -16269,6 +16269,352 @@ FROM t GROUP BY kind ORDER BY kind
 """
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shingle novelty vs everything earlier in corpus
+    order (operators/corpus.ngram_novelty): the share of a doc's
+    distinct trigrams whose FIRST corpus occurrence is this doc — the
+    Heaps-law saturation signal that flags low-contribution tails for
+    down-sampling.  Integer permille; the oracle replays the identical
+    min-id attribution over the shared shingle-hash CTE."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        ngram_novelty,
+    )
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"))
+
+
+_SQL_NGRAM_NOVELTY = f"""
+WITH {_D_SH_CTE}, shx AS (
+  SELECT doc_id, unnest(shs) AS h FROM sh
+), firsts AS (
+  SELECT h, MIN(doc_id) AS first_id FROM shx GROUP BY h)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(1000 * SUM(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS novelty_permille
+FROM shx s JOIN firsts f ON s.h = f.h
+GROUP BY s.doc_id
+"""
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/sampling.dsir_importance):
+    hashed-bigram likelihood ratios score every NON-target document by
+    how target-like its n-gram profile is — the pretraining-mix
+    selection trick, integer-exact (permille frequency ratios, no
+    log-space floats).  Target domain here: source = 'src0'."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        dsir_importance,
+    )
+
+    return dsir_importance(
+        _t(spark, sf_dir, "documents"), F.col("source") == "src0"
+    )
+
+
+def _sql_dsir_importance(n_buckets: int = 4096) -> str:
+    th = "list_transform(" + _D_TOKENS.format(t="text") + \
+        ", t -> " + _d_md5h("t") + ")"
+    bh = f"xor({_d_rotl60('th[i]', 4)}, th[i+1])"
+    bucket = f"(({bh}) % {n_buckets} + {n_buckets}) % {n_buckets}"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source = 'src0' AS tgt, {th} AS th FROM documents),
+feats AS (
+  SELECT doc_id, tgt, {bucket} AS b
+  FROM toks JOIN generate_series(1, 100000) AS gs(i)
+    ON gs.i <= len(th) - 1),
+w AS (
+  SELECT b,
+         1000 * (SUM(CASE WHEN tgt THEN 1 ELSE 0 END) + 1)
+           // (SUM(CASE WHEN tgt THEN 0 ELSE 1 END) + 1) AS w
+  FROM feats GROUP BY b)
+SELECT f.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_feats,
+       CAST(SUM(w.w) // COUNT(*) AS BIGINT) AS importance_permille
+FROM feats f JOIN w ON f.b = w.b
+WHERE NOT f.tgt
+GROUP BY f.doc_id
+"""
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (operators/constraints.t_closeness): per
+    market-segment Earth Mover's Distance between the class and global
+    account-balance distributions ($1000 bins) — the skewness-attack
+    gate that k-anonymity and l-diversity miss.  Integer-exact EMD via
+    the common-denominator form; completes the anonymization-gate
+    family (k_anonymity, l_diversity)."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.constraints import (
+        t_closeness,
+    )
+
+    return t_closeness(
+        _t(spark, sf_dir, "customer"),
+        quasi_cols=["c_mktsegment"],
+        sensitive_col="c_acctbal",
+        bin_width=1000,
+        t_permille=20,
+    )
+
+
+_SQL_T_CLOSENESS = """
+WITH b AS (
+  SELECT c_mktsegment AS seg,
+         CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT) AS bin
+  FROM customer),
+pc AS (SELECT seg, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+gl AS (
+  SELECT bin, COUNT(*) AS gc FROM b GROUP BY 1),
+glc AS (
+  SELECT bin, SUM(gc) OVER (ORDER BY bin) AS gcum,
+         SUM(gc) OVER () AS n_all, COUNT(*) OVER () AS m
+  FROM gl),
+cls AS (SELECT seg, SUM(c) AS class_size FROM pc GROUP BY 1),
+grid AS (SELECT cls.seg, cls.class_size, glc.bin, glc.gcum,
+                glc.n_all, glc.m
+         FROM cls CROSS JOIN glc),
+filled AS (
+  SELECT g.seg, g.class_size, g.bin, g.gcum, g.n_all, g.m,
+         SUM(COALESCE(pc.c, 0))
+           OVER (PARTITION BY g.seg ORDER BY g.bin) AS ccum
+  FROM grid g LEFT JOIN pc ON pc.seg = g.seg AND pc.bin = g.bin)
+SELECT seg AS c_mktsegment,
+       CAST(class_size AS BIGINT) AS class_size,
+       CAST(CASE WHEN MAX(m) <= 1 THEN 0 ELSE
+         1000 * SUM(ABS(ccum * n_all - gcum * class_size))
+           // ((MAX(m) - 1) * class_size * MAX(n_all)) END AS BIGINT)
+         AS emd_permille,
+       CAST(CASE WHEN MAX(m) <= 1 THEN 0 ELSE
+         1000 * SUM(ABS(ccum * n_all - gcum * class_size))
+           // ((MAX(m) - 1) * class_size * MAX(n_all)) END > 20
+         AS BOOLEAN) AS violates
+FROM filled
+GROUP BY seg, class_size
+"""
+
+
+def q_audio_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-granular audio features under the driver's oracle
+    (operators/multimodal.audio_frame_features): real WAV blobs (16
+    int16 samples from the text md5, the audio_decode_real contract)
+    decode into 4-sample analysis windows — per-window energy, peak
+    and strict-sign zero crossings, all integer, reproduced by DuckDB
+    from md5 hex pairs with a lag window."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        audio_frame_features,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 40 == 9)
+    )
+
+    def to_wav(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+            encode_wav_pcm16,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for text in pdf["text"]:
+                d = _hl.md5(text.encode("utf-8")).digest()
+                blobs.append(
+                    encode_wav_pcm16(
+                        [(d[i] - 128) * 256 for i in range(16)]
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": blobs}
+            )
+
+    media = docs.mapInPandas(to_wav, schema="doc_id long, content binary")
+    return audio_frame_features(media, frame_len=4)
+
+
+_SQL_AUDIO_FRAMES_REAL = """
+WITH t AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id % 40 = 9),
+s AS (SELECT doc_id, r.i AS i,
+             (CAST(('0x' || substr(h, CAST(2 * r.i + 1 AS INTEGER), 2))
+                   AS INTEGER) - 128) * 256 AS v
+      FROM t CROSS JOIN range(0, 16) r(i)),
+lagged AS (
+  SELECT doc_id, i, v,
+         LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM s)
+SELECT doc_id, CAST(i // 4 AS INTEGER) AS frame_no,
+       CAST(4 AS INTEGER) AS n_samples,
+       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs,
+       CAST(SUM(CASE WHEN i % 4 <> 0 AND v * pv < 0 THEN 1 ELSE 0 END)
+            AS INTEGER) AS zero_crossings
+FROM lagged GROUP BY doc_id, i // 4
+"""
+
+
+def q_image_histogram_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram statistics from REAL PNG decode (operators/multimodal.
+    image_histogram_stats): 4×4 grayscale PNGs from md5 pixels decode
+    through the vendored codec into per-image histogram facts —
+    distinct values, modal count, and the Rényi-2 collision sum (the
+    no-logarithm entropy proxy that stays bit-exact across engines).
+    The blank/boilerplate-image filter of a multimodal curation pass."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        image_histogram_stats,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 40 == 13)
+    )
+
+    def to_png(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.png import (
+            encode_png_gray,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for text in pdf["text"]:
+                d = _hl.md5(text.encode("utf-8")).digest()
+                blobs.append(
+                    encode_png_gray(
+                        [[d[x * 4 + y] for y in range(4)]
+                         for x in range(4)]
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": blobs}
+            )
+
+    media = docs.mapInPandas(to_png, schema="doc_id long, content binary")
+    return image_histogram_stats(media)
+
+
+_SQL_IMAGE_HISTOGRAM_REAL = """
+WITH t AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id % 40 = 13),
+px AS (SELECT doc_id,
+              CAST(('0x' || substr(h, CAST(2 * r.i + 1 AS INTEGER), 2))
+                   AS INTEGER) AS v
+       FROM t CROSS JOIN range(0, 16) r(i)),
+hist AS (SELECT doc_id, v, COUNT(*) AS c FROM px GROUP BY 1, 2)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_pixels,
+       CAST(COUNT(*) AS INTEGER) AS n_distinct,
+       CAST(MAX(c) AS BIGINT) AS modal_count,
+       CAST(SUM(c * c) AS BIGINT) AS collision_sum
+FROM hist GROUP BY doc_id
+"""
+
+
+def q_zip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic ZIP-shard roundtrip (sources/zip_archive): documents
+    export as one deterministic STORED zip per source (member =
+    ``{doc_id}.txt``), re-read via the distributed central-directory
+    scan, and prove content preservation against the identity oracle —
+    the archive-container sibling of webdataset_roundtrip."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.sources.zip_archive import (
+        read_zip,
+        write_zip_shards,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 9 == 2)
+    out = os.path.join(SCRATCH, "zip_shards")
+    write_zip_shards(
+        docs.select(
+            F.col("source").alias("shard"),
+            F.concat(F.col("doc_id").cast("string"), F.lit(".txt")).alias(
+                "member"
+            ),
+            F.encode(F.col("text"), "utf-8").alias("payload"),
+        ),
+        out,
+        name_col="member",
+        payload_col="payload",
+        shard_col="shard",
+    )
+    members = read_zip(spark, os.path.join(out, "*.zip"))
+    return members.select(
+        F.regexp_extract(F.col("name"), r"^(\d+)\.txt$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("n_bytes"),
+        F.md5(F.col("payload")).alias("content_md5"),
+    )
+
+
+_SQL_ZIP_ROUNDTRIP = """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents WHERE doc_id % 9 = 2
+"""
+
+
+def q_mase_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive MASE (operators/temporal.seasonal_naive_mase)
+    over daily order revenue with season = 7 — the integer-rational
+    go/no-go gate on weekly seasonality before fitting holt_forecast /
+    seasonality; completes the forecast-eval family."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        seasonal_naive_mase,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias(
+                "t"
+            ),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("t")
+        .agg(F.expr("sum(cents) div 100").alias("dollars"))
+    )
+    return seasonal_naive_mase(daily, "t", "dollars", season=7)
+
+
+_SQL_MASE_EVAL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1992-01-01', o_orderdate) AS t,
+         SUM(CAST(o_totalprice * 100 AS BIGINT)) // 100 AS dollars
+  FROM orders GROUP BY 1),
+lagged AS (
+  SELECT t, dollars,
+         LAG(dollars, 1) OVER (ORDER BY t) AS y1,
+         LAG(dollars, 7) OVER (ORDER BY t) AS ys
+  FROM daily)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(COUNT(ys) AS BIGINT) AS n_seasonal_terms,
+       CAST(COUNT(y1) AS BIGINT) AS n_naive_terms,
+       CAST(1000 * SUM(ABS(dollars - ys)) * COUNT(y1)
+            // (SUM(ABS(dollars - y1)) * COUNT(ys)) AS BIGINT)
+         AS mase_permille
+FROM lagged
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -16336,8 +16682,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xz_jsonl_roundtrip": q_xz_jsonl_roundtrip,
         "media_pipeline": q_media_pipeline,
         "approx_profile": q_approx_profile,
-        # -- ROUND9_NEW_INSERTION_POINT (new round-9 queries go here so
-        # they land inside the 50-query driver window) -----------------
+        # -- round-9 session additions (inside the driver window) -------
+        "ngram_novelty": q_ngram_novelty,
+        "dsir_importance": q_dsir_importance,
+        "t_closeness": q_t_closeness,
+        "audio_frames_real": q_audio_frames_real,
+        "image_histogram_real": q_image_histogram_real,
+        "zip_roundtrip": q_zip_roundtrip,
+        "mase_eval": q_mase_eval,
         # ---- driver-signed green (r2-r6 windows + the full r08 window;
         # prior order preserved) ---------------------------------------
         "ab_test": q_ab_test,
@@ -16628,6 +16980,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "order_totals": _SQL_PO_TOTALS,
+        # -- round-9 additions --------------------------------------------
+        "ngram_novelty": _SQL_NGRAM_NOVELTY,
+        "dsir_importance": _sql_dsir_importance(),
+        "t_closeness": _SQL_T_CLOSENESS,
+        "audio_frames_real": _SQL_AUDIO_FRAMES_REAL,
+        "image_histogram_real": _SQL_IMAGE_HISTOGRAM_REAL,
+        "zip_roundtrip": _SQL_ZIP_ROUNDTRIP,
+        "mase_eval": _SQL_MASE_EVAL,
         # -- round-6 additions --------------------------------------------
         "observed_write": _SQL_OBSERVED_WRITE,
         "schema_drift": _SQL_SCHEMA_DRIFT,

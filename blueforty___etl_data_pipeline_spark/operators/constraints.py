@@ -319,3 +319,104 @@ def k_anonymize(
             ).otherwise(expr)
         g_cols.append(expr.alias(f"g{j}"))
     return out.select(F.col(id_col), F.col("anon_level"), *g_cols)
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    bin_width: int,
+    t_permille: int = 200,
+) -> DataFrame:
+    """t-closeness audit — the third rung of the anonymization-gate
+    ladder after :func:`k_anonymity` and :func:`l_diversity` (Li,
+    Li & Venkatasubramanian 2007): a class can be large AND diverse yet
+    still leak when its sensitive-value DISTRIBUTION differs sharply
+    from the table's (the skewness attack — "this class is 90% high
+    earners").  For an ORDERED numeric attribute the distance is the
+    Earth Mover's Distance between the class distribution and the
+    global one: EMD = Σ|P_cum − Q_cum| / (m − 1) over ``m`` ordered
+    value bins of width ``bin_width``.
+
+    Integer-exact: with class size g and table size N, the per-bin term
+    |cum_class/g − cum_all/N| becomes |cum_class·N − cum_all·g| over a
+    common denominator g·N, so
+
+        emd_permille = 1000·Σ|cum_class·N − cum_all·g| div ((m−1)·g·N)
+
+    — every step integer, both engines agree bit-for-bit.  Returns one
+    row per equivalence class: (quasi_cols…, class_size, emd_permille,
+    violates = emd_permille > t_permille).
+
+    Scale shape: one groupBy to the (class, bin) histogram (map-side
+    combine collapses rows to at most classes×bins), cumulative sums as
+    windows PARTITIONED BY class over the bounded bin axis — never a
+    window over raw rows — and a broadcast of the m-row global
+    histogram.  Output is |classes| rows.
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    qcols = [F.col(c) for c in quasi_cols]
+    binned = df.select(
+        *qcols,
+        F.floor(F.col(sensitive_col).cast("double") / bin_width)
+        .cast("bigint")
+        .alias("_bin"),
+    ).filter(F.col("_bin").isNotNull())
+    per_class = binned.groupBy(*qcols, F.col("_bin")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    glob = (
+        binned.groupBy("_bin")
+        .agg(F.count(F.lit(1)).alias("_gc"))
+        .withColumn(
+            "_gcum",
+            F.sum("_gc").over(
+                Window.orderBy("_bin").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+        .withColumn("_n_all", F.sum("_gc").over(Window.partitionBy(F.lit(1))))
+        .withColumn(
+            "_m", F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
+        )
+        .select("_bin", "_gcum", "_n_all", "_m")
+    )
+    # every class must be evaluated over ALL m bins (a bin the class
+    # never hits still contributes |0·N − cum_all·g|), so the class
+    # histogram right-joins the global bin axis per class
+    classes = per_class.groupBy(*qcols).agg(
+        F.sum("_c").alias("class_size")
+    )
+    grid = classes.crossJoin(F.broadcast(glob.select("_bin")))
+    filled = grid.join(
+        per_class, on=[*quasi_cols, "_bin"], how="left"
+    ).fillna({"_c": 0})
+    cum = filled.withColumn(
+        "_ccum",
+        F.sum("_c").over(
+            Window.partitionBy(*qcols)
+            .orderBy("_bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    scored = (
+        cum.join(F.broadcast(glob), on="_bin")
+        .groupBy(*qcols, "class_size")
+        .agg(
+            # m = 1 (all values in one bin) means every distribution is
+            # identical — EMD 0 by definition, not a division by zero
+            F.expr(
+                "CASE WHEN max(_m) <= 1 THEN 0 ELSE "
+                "1000 * sum(abs(_ccum * _n_all - _gcum * class_size)) "
+                "div ((max(_m) - 1) * class_size * max(_n_all)) END"
+            ).alias("emd_permille")
+        )
+    )
+    return scored.select(
+        *quasi_cols,
+        "class_size",
+        "emd_permille",
+        (F.col("emd_permille") > t_permille).alias("violates"),
+    )

@@ -985,3 +985,53 @@ def vocabulary_growth(
         F.sum("toks").over(w).alias("tokens_seen"),
         F.sum("new_words").over(w).alias("vocab_seen"),
     ).orderBy("checkpoint")
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against everything earlier in corpus
+    order: the share of a document's distinct shingles whose FIRST
+    occurrence (minimum id) is this document.  The curation signal a
+    dedup pass can't give you — a doc can be far from any single
+    neighbor yet contribute almost nothing new (novelty → 0 as the
+    corpus saturates, the Heaps-law view at shingle granularity);
+    low-novelty tails are prime candidates for down-sampling before
+    training.
+
+    Returns (id, n_shingles, n_novel, novelty_permille) per document
+    with at least one shingle.  Integer permille — engine-exact.
+
+    Scale shape: explode → one shuffle keyed on shingle hash for the
+    MIN(id) partial agg (map-side combine does the heavy lifting —
+    duplicated shingles collapse before the exchange), one shuffle back
+    on id for the per-doc rollup.  MIN is mergeable, so incremental
+    corpus appends only fold new batches against the persisted
+    first-occurrence table instead of rescanning history.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(shingle_hashes(F.col(text_col), n)).alias("_sh"),
+    )
+    first = sh.groupBy("_sh").agg(F.min(id_col).alias("_first"))
+    return (
+        sh.join(first, on="_sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("_first") == F.col(id_col), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_novel",
+            F.expr("1000 * n_novel div n_shingles").alias(
+                "novelty_permille"
+            ),
+        )
+    )

@@ -958,3 +958,147 @@ def sniff_media_type(content: "F.Column") -> "F.Column":
         )
         .otherwise("unknown")
     )
+
+
+def wav_pcm16_samples(data: bytes) -> tuple[list[int], int]:
+    """Raw int16 sample list + framerate from a mono 16-bit RIFF/WAVE
+    blob (stdlib ``wave`` reader).  The sample-level entry point for
+    frame-granular features; other encodings (stereo, 8-bit, G.711,
+    ADPCM, FLAC) go through :func:`decode_audio_real`'s aggregate path
+    or get converted upstream — raising here is the honest gate, not a
+    silent mixdown that would change feature values."""
+    import array
+    import io
+    import sys
+    import wave
+
+    with wave.open(io.BytesIO(data)) as w:
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise NotImplementedError(
+                "audio frame features support mono 16-bit PCM; convert "
+                "or mix down upstream"
+            )
+        arr = array.array("h", w.readframes(w.getnframes()))
+        if sys.byteorder == "big":  # pragma: no cover - LE containers
+            arr.byteswap()
+        return list(arr), w.getframerate()
+
+
+def audio_frame_features(
+    media: DataFrame, frame_len: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Frame-granular audio features — the windowed analysis shape
+    (VAD, silence trimming, energy-based segmentation) that per-file
+    aggregates (:func:`extract_audio_features`) cannot express: each
+    non-overlapping window of ``frame_len`` samples becomes one row
+
+        (id, frame_no, n_samples, sum_abs, peak_abs, zero_crossings)
+
+    with ``zero_crossings`` counting strict sign flips between
+    consecutive samples INSIDE the window (s_{i−1}·s_i < 0; zeros never
+    cross).  All-integer → engine-exact, unlike float spectral
+    features.
+
+    Scale shape: Arrow-batched ``mapInPandas`` 1→N expansion — decode
+    runs executor-side pipelined with the scan, zero exchange; the
+    short tail window is emitted with its true ``n_samples`` so energy
+    normalization downstream stays exact."""
+    if frame_len <= 0:
+        raise ValueError("frame_len must be positive")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fno, ns, sa, pa, zc = [], [], [], [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf["content"]):
+                samples, _rate = wav_pcm16_samples(bytes(blob))
+                for f0 in range(0, len(samples), frame_len):
+                    win = samples[f0 : f0 + frame_len]
+                    ids.append(doc_id)
+                    fno.append(f0 // frame_len)
+                    ns.append(len(win))
+                    sa.append(sum(abs(s) for s in win))
+                    pa.append(max((abs(s) for s in win), default=0))
+                    zc.append(
+                        sum(
+                            1
+                            for a, b in zip(win, win[1:])
+                            if a * b < 0
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_no": fno,
+                    "n_samples": ns,
+                    "sum_abs": sa,
+                    "peak_abs": pa,
+                    "zero_crossings": zc,
+                }
+            )
+
+    return media.select(id_col, "content").mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, frame_no int, n_samples int, "
+            "sum_abs long, peak_abs long, zero_crossings int"
+        ),
+    )
+
+
+def image_histogram_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-image grayscale histogram statistics from REAL PNG decode —
+    the integer-exact stand-ins for histogram entropy:
+
+        (id, n_pixels, n_distinct, modal_count, collision_sum)
+
+    ``collision_sum`` = Σ c_v² over the 256-bin histogram is the
+    unnormalized Rényi-2 collision statistic: a monotone inverse proxy
+    for histogram entropy (flat histogram → minimal, constant image →
+    n_pixels²) that needs NO logarithm, so both engines agree
+    bit-for-bit where a float entropy would drift in the last ulp.
+    Low-entropy (high-collision) images are the blank/boilerplate
+    candidates a multimodal curation pass drops first.
+
+    Scale shape: Arrow-batched ``mapInPandas`` over the vendored
+    pure-stdlib PNG codec — executor-side, zero exchange, one output
+    row per image."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from ..functions.png import decode_png_gray
+
+        for pdf in batches:
+            ids, np_, nd, mc, cs = [], [], [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf["content"]):
+                px = decode_png_gray(bytes(blob))
+                counts: dict[int, int] = {}
+                n = 0
+                for row in px:
+                    for v in row:
+                        counts[v] = counts.get(v, 0) + 1
+                        n += 1
+                ids.append(doc_id)
+                np_.append(n)
+                nd.append(len(counts))
+                mc.append(max(counts.values(), default=0))
+                cs.append(sum(c * c for c in counts.values()))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_pixels": np_,
+                    "n_distinct": nd,
+                    "modal_count": mc,
+                    "collision_sum": cs,
+                }
+            )
+
+    return media.select(id_col, "content").mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, n_pixels long, n_distinct int, "
+            "modal_count long, collision_sum long"
+        ),
+    )

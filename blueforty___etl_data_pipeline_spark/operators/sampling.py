@@ -20,7 +20,7 @@ import re
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import md5_hash64
+from ..functions.text import md5_hash64, tokens_ws
 
 #: Hash-bucket resolution for fractions/splits: 1e-4 granularity.
 _BUCKETS = 10_000
@@ -662,4 +662,66 @@ def time_embargo_split(
         F.when(ts < start_gap, "train")
         .when(ts >= cut, "test")
         .otherwise("embargo"),
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (the DSIR recipe:
+    hashed n-gram bag-of-features, importance weight = target/source
+    likelihood ratio per feature) realized integer-exact: each word
+    BIGRAM hashes into ``n_buckets`` buckets, every bucket gets an
+    add-one-smoothed frequency ratio in permille
+
+        w_b = 1000·(target_count_b + 1) // (source_count_b + 1)
+
+    and a SOURCE document's importance is the mean bucket weight over
+    its bigram occurrences (``importance_permille``, integer division).
+    Rank-descending and take the head to select source data that looks
+    like the target domain — the standard pretraining-mix trick when
+    curated target data is scarce.
+
+    Returns (id, n_feats, importance_permille) for source-side rows
+    with ≥1 bigram.  All arithmetic is integer, so the ranking is
+    bit-stable across engines (no log-space float drift; the permille
+    ratio is a monotone transform of the smoothed likelihood ratio).
+
+    Scale shape: the bucket table is AT MOST ``n_buckets`` rows however
+    large the corpus — it aggregates with map-side combine, then
+    BROADCASTS to the per-doc scoring join; the corpus never shuffles.
+    Bigram hashing reuses the md5-per-token + 60-bit-rotation
+    composition of the dedup shingles (one md5 per token, not per
+    feature)."""
+    from .dedup import _rotl60
+
+    th = F.transform(tokens_ws(F.col(text_col)), md5_hash64)
+    big = F.zip_with(
+        F.slice(th, 1, F.greatest(F.size(th) - 1, F.lit(0))),
+        F.slice(th, 2, F.greatest(F.size(th) - 1, F.lit(0))),
+        lambda a, b: F.pmod(_rotl60(a, 4).bitwiseXOR(b), F.lit(n_buckets)),
+    )
+    feats = df.select(
+        F.col(id_col), is_target.alias("_tgt"), F.explode(big).alias("_b")
+    )
+    buckets = feats.groupBy("_b").agg(
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("_tc"),
+        F.sum(F.when(F.col("_tgt"), 0).otherwise(1)).alias("_sc"),
+    )
+    w = buckets.select(
+        "_b",
+        F.expr("1000 * (_tc + 1) div (_sc + 1)").alias("_w"),
+    )
+    return (
+        feats.filter(~F.col("_tgt"))
+        .join(F.broadcast(w), on="_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.expr("sum(_w) div count(1)").alias("importance_permille"),
+        )
     )

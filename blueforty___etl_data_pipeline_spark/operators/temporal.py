@@ -804,3 +804,47 @@ def lag_features(
         "roll_sum", F.sum(value_col).over(w_roll)
     ).withColumn("roll_n", F.count(value_col).over(w_roll))
     return out.drop("_d")
+
+
+def seasonal_naive_mase(
+    df: DataFrame,
+    t_col: str,
+    value_col: str,
+    season: int = 7,
+) -> DataFrame:
+    """MASE evaluation of the seasonal-naive forecast (Hyndman &
+    Koehler 2006) over a regular integer-time series: how much better
+    does "same as one season ago" predict than "same as yesterday"?
+
+        mase_permille = 1000 · Σ|y_t − y_{t−season}| ·  n₁
+                        ─────────────────────────────────────
+                        Σ|y_t − y_{t−1}| · n_s
+
+    (each sum over the timestamps where its lag exists; n₁/n_s are the
+    respective term counts, so both means are exact rationals and the
+    ratio is computed in one integer division).  < 1000 means the
+    seasonal pattern is real — the go/no-go gate before fitting
+    anything fancier (holt_forecast, seasonality) on a 100 TB event
+    stream's rollups.
+
+    Returns one row: (n_points, n_seasonal_terms, n_naive_terms,
+    mase_permille).  Input must already be rolled up to the bounded
+    series (days, hours) — the lag windows here order a |series|-sized
+    table, never raw events.
+    """
+    w = Window.orderBy(t_col)
+    lagged = df.select(
+        F.col(t_col).alias("_t"),
+        F.col(value_col).alias("_y"),
+        F.lag(value_col, 1).over(w).alias("_y1"),
+        F.lag(value_col, season).over(w).alias("_ys"),
+    )
+    return lagged.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.count("_ys").alias("n_seasonal_terms"),
+        F.count("_y1").alias("n_naive_terms"),
+        F.expr(
+            "1000 * sum(abs(_y - _ys)) * count(_y1) "
+            "div (sum(abs(_y - _y1)) * count(_ys))"
+        ).alias("mase_permille"),
+    )

@@ -225,3 +225,33 @@ def test_k_anonymize_minimal_generalization(spark):
     assert (out[30]["g0"], out[30]["g1"], out[30]["g2"]) == (
         "*", "*", "*",
     )
+
+
+def test_t_closeness_emd_flags_skewed_class(spark):
+    from blueforty___etl_data_pipeline_spark.operators.constraints import (
+        t_closeness,
+    )
+
+    # two equal-size classes are always symmetric (global = their sum,
+    # so |cum_c·N − cum_all·g| is identical for complements) — three
+    # classes break the tie: a/b uniform over bins 0..3, c concentrated
+    # in bin 3.  Global cum = [2,4,6,12], N = 12, m = 4.
+    uni = [(g, v) for g in ("a", "b") for v in (0, 1500, 2500, 3500)]
+    conc = [("c", v) for v in (3000, 3200, 3500, 3900)]
+    df = spark.createDataFrame(uni + conc, "grp string, val long")
+    got = {
+        r["grp"]: (r["class_size"], r["emd_permille"], r["violates"])
+        for r in t_closeness(
+            df, ["grp"], "val", bin_width=1000, t_permille=200
+        ).collect()
+    }
+    # a: cum [1,2,3,4] → Σ|cum·12 − cum_all·4| = 4+8+12+0 = 24 →
+    # 1000·24 // (3·4·12) = 166; c: cum [0,0,0,4] → 8+16+24 = 48 → 333
+    assert got["a"] == (4, 166, False)
+    assert got["b"] == (4, 166, False)
+    assert got["c"] == (4, 333, True)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bin_width"):
+        t_closeness(df, ["grp"], "val", bin_width=0)

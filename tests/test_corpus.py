@@ -650,3 +650,24 @@ def test_vocabulary_growth_monotone_and_exact(spark):
     # ckpt1: docs 0,1 -> 6 tokens, vocab {a,b,c,d}
     # ckpt2: +docs 2,3 -> +5 tokens, new vocab {e,f}
     assert got == [(1, 2, 6, 4), (2, 4, 11, 6)]
+
+
+def test_ngram_novelty_first_occurrence_attribution(spark):
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        ngram_novelty,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d"),      # shingles abc, bcd — both first here
+            (1, "a b c e"),      # abc seen in doc 0; bce novel
+            (2, "a b c d"),      # exact repeat: nothing novel
+            (3, "x"),            # < 3 tokens: no shingles, drops out
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty_permille"])
+        for r in ngram_novelty(df).collect()
+    }
+    assert got == {0: (2, 2, 1000), 1: (2, 1, 500), 2: (2, 0, 0)}

@@ -537,3 +537,27 @@ def test_time_embargo_split_boundaries(spark):
         .count()
         == 2
     )
+
+
+def test_dsir_importance_ranks_target_like_sources(spark):
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        dsir_importance,
+    )
+
+    rows = [
+        (0, "tgt", "alpha beta alpha beta alpha beta"),
+        (1, "tgt", "alpha beta gamma"),
+        (2, "src", "alpha beta alpha beta"),   # looks like the target
+        (3, "src", "zeta eta theta iota"),     # looks nothing like it
+        (4, "src", "q"),                       # no bigrams: drops out
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: r["importance_permille"]
+        for r in dsir_importance(df, F.col("source") == "tgt").collect()
+    }
+    assert set(got) == {2, 3}          # only source docs with bigrams
+    assert got[2] > got[3]             # target-like source outranks
+    assert got[3] <= 1000              # unseen-in-target buckets stay low

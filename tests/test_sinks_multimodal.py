@@ -2241,3 +2241,75 @@ def test_sniffer_detects_webp_mkv_ogg_mp4(spark):
         ).collect()
     }
     assert got == {k: k for k in blobs}
+
+
+def test_audio_frame_features_windows_and_gate(spark):
+    import pytest as _pytest
+
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        audio_frame_features,
+        encode_wav_pcm16,
+        wav_pcm16_samples,
+    )
+
+    # 6 samples, frame_len 4: full window + 2-sample tail; one sign
+    # flip inside each window (and the boundary pair 3→4 must NOT
+    # count toward either window)
+    samples = [100, -200, -300, 400, -500, 600]
+    blob = encode_wav_pcm16(samples)
+    assert wav_pcm16_samples(blob) == (samples, 8000)
+    media = spark.createDataFrame(
+        [(1, bytearray(blob))], "doc_id long, content binary"
+    )
+    rows = {
+        r["frame_no"]: (
+            r["n_samples"], r["sum_abs"], r["peak_abs"], r["zero_crossings"]
+        )
+        for r in audio_frame_features(media, frame_len=4).collect()
+    }
+    assert rows == {
+        0: (4, 1000, 400, 2),   # flips 100→-200 and -300→400
+        1: (2, 1100, 600, 1),   # tail window, flip -500→600
+    }
+    with _pytest.raises(ValueError, match="frame_len"):
+        audio_frame_features(media, frame_len=0)
+
+    # honest gate: stereo/8-bit blobs raise rather than silently mix
+    import io
+    import wave as _wave
+
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01\x00\x01")
+    with _pytest.raises(NotImplementedError, match="mono"):
+        wav_pcm16_samples(buf.getvalue())
+
+
+def test_image_histogram_stats_collision_proxy(spark):
+    from blueforty___etl_data_pipeline_spark.functions.png import (
+        encode_png_gray,
+    )
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        image_histogram_stats,
+    )
+
+    flat = encode_png_gray([[7] * 4] * 4)          # constant image
+    varied = encode_png_gray(
+        [[x * 4 + y for y in range(4)] for x in range(4)]
+    )                                               # all-distinct image
+    media = spark.createDataFrame(
+        [(1, bytearray(flat)), (2, bytearray(varied))],
+        "doc_id long, content binary",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_pixels"], r["n_distinct"], r["modal_count"],
+            r["collision_sum"],
+        )
+        for r in image_histogram_stats(media).collect()
+    }
+    assert got[1] == (16, 1, 16, 256)   # constant: max collision n²
+    assert got[2] == (16, 16, 1, 16)    # flat histogram: min collision n

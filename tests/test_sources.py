@@ -978,3 +978,47 @@ def test_compressed_lines_magic_dispatch(spark, tmp_path):
     assert set(by) == {"gzip", "xz", "bzip2", "none"}
     for v in by.values():
         assert sorted(v) == [(0, "alpha"), (1, ""), (2, "gamma with spaces")]
+
+
+def test_zip_codec_deterministic_and_distributed_read(spark, tmp_path):
+    import zlib as _zlib
+
+    import pytest as _pytest
+
+    from blueforty___etl_data_pipeline_spark.sources.zip_archive import (
+        parse_zip_members,
+        read_zip,
+        write_zip,
+        write_zip_shards,
+    )
+
+    entries = [("b.txt", b"beta"), ("a.txt", b"alpha")]
+    blob = write_zip(entries)
+    assert write_zip(entries) == blob  # byte-deterministic
+    got = parse_zip_members(blob)
+    assert [(n, p) for n, _, _, p in got] == entries
+    assert all(crc == _zlib.crc32(p) for _, _, crc, p in got)
+    with _pytest.raises(ValueError, match="duplicate"):
+        write_zip([("x", b"1"), ("x", b"2")])
+
+    # stdlib zipfile must read our writer's output (interop proof)
+    import io
+    import zipfile as _zf
+
+    with _zf.ZipFile(io.BytesIO(blob)) as z:
+        assert z.read("a.txt") == b"alpha"
+
+    # distributed shard write + central-directory scan
+    rows = [(f"s{i % 2}", f"{i}.txt", f"payload-{i}".encode()) for i in range(6)]
+    df = spark.createDataFrame(rows, "shard string, member string, payload binary")
+    out = str(tmp_path / "zips")
+    write_zip_shards(df, out, "member", "payload", "shard")
+    members = read_zip(spark, out + "/*.zip").collect()
+    assert len(members) == 6
+    by_name = {r["name"]: r for r in members}
+    for i in range(6):
+        r = by_name[f"{i}.txt"]
+        assert bytes(r["payload"]) == f"payload-{i}".encode()
+        assert r["n_bytes"] == len(f"payload-{i}")
+        assert r["crc32"] == _zlib.crc32(f"payload-{i}".encode())
+        assert r["archive"] == f"s{i % 2}.zip"

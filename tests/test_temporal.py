@@ -577,3 +577,25 @@ def test_lag_features_gap_days_and_no_leakage(spark):
     assert got[("a", "2024-01-09")] == (None, 20, 60, 2)
     # keys are independent
     assert got[("b", "2024-01-01")] == (None, None, None, 0)
+
+
+def test_seasonal_naive_mase_hand_computed(spark):
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        seasonal_naive_mase,
+    )
+
+    # perfectly 2-periodic series: seasonal-naive (season=2) errors are
+    # ALL zero, naive lag-1 errors are all 10 → mase 0
+    rows = [(t, 100 if t % 2 == 0 else 110) for t in range(8)]
+    df = spark.createDataFrame(rows, "t long, y long")
+    r = seasonal_naive_mase(df, "t", "y", season=2).collect()[0]
+    assert (
+        r["n_points"], r["n_seasonal_terms"], r["n_naive_terms"],
+        r["mase_permille"],
+    ) == (8, 6, 7, 0)
+
+    # trending series y=t: seasonal error |t-(t-2)|=2 (6 terms), naive
+    # error 1 (7 terms) → 1000*2*6*7 // (1*7*6) = 2000
+    df2 = spark.createDataFrame([(t, t) for t in range(8)], "t long, y long")
+    r2 = seasonal_naive_mase(df2, "t", "y", season=2).collect()[0]
+    assert r2["mase_permille"] == 2000
