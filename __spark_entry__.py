@@ -16615,6 +16615,152 @@ FROM lagged
 """
 
 
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime pruning with an explicit false-positive
+    audit (operators/sketches.bloom_semi_join): high-balance suppliers
+    seed a 3-hash/64Ki-bit filter, the lineitem supplier-key domain is
+    probed against it, and the kept set is reconciled with the exact
+    semi-join — no false negatives by construction, FPs counted, all
+    bits derived from the portable md5 chain so DuckDB re-derives the
+    identical filter."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.sketches import (
+        bloom_semi_join,
+    )
+
+    dim = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") > 9000
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    return bloom_semi_join(
+        _t(spark, sf_dir, "lineitem"), dim, key_col="l_suppkey"
+    )
+
+
+def _sql_bloom_semi_join(n_bits: int = 1 << 16, n_hashes: int = 3) -> str:
+    def pos(i: int, k: str) -> str:
+        h = _d_md5h(f"'bloom{i}:' || CAST({k} AS VARCHAR)")
+        return f"(({h}) % {n_bits} + {n_bits}) % {n_bits}"
+
+    dim_pos = ", ".join(pos(i, "k") for i in range(n_hashes))
+    return f"""
+WITH dim AS (
+  SELECT DISTINCT s_suppkey AS k FROM supplier WHERE s_acctbal > 9000),
+bits AS (
+  SELECT DISTINCT unnest([{dim_pos}]) AS bit FROM dim),
+fk AS (SELECT DISTINCT l_suppkey AS k FROM lineitem),
+probes AS (
+  SELECT k, unnest([{dim_pos}]) AS bit FROM fk),
+kept AS (
+  SELECT k FROM probes
+  GROUP BY k
+  HAVING SUM(CASE WHEN bit IN (SELECT bit FROM bits)
+             THEN 0 ELSE 1 END) = 0)
+SELECT CAST((SELECT COUNT(*) FROM fk) AS BIGINT) AS n_fact_keys,
+       CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS n_kept_keys,
+       CAST((SELECT COUNT(*) FROM fk WHERE k IN (SELECT k FROM dim))
+            AS BIGINT) AS n_true_keys,
+       CAST((SELECT COUNT(*) FROM kept)
+            - (SELECT COUNT(*) FROM fk WHERE k IN (SELECT k FROM dim))
+            AS BIGINT) AS n_false_positive
+"""
+
+
+def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupKFold assignment (operators/sampling.group_kfold): every
+    document folds by its SOURCE hash, so a provider's near-duplicates
+    can never straddle a fold boundary.  Output: per-fold row and
+    group counts — group exclusivity is structural (fold is a function
+    of the group), which the oracle re-derives bit-identically."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        group_kfold,
+    )
+
+    return (
+        group_kfold(_t(spark, sf_dir, "documents"), "source", k=5)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("source").alias("n_groups"),
+        )
+    )
+
+
+def _sql_group_kfold(k: int = 5) -> str:
+    h = _d_md5h("'kfold:' || source")
+    return f"""
+SELECT CAST((({h}) % {k} + {k}) % {k} AS INTEGER) AS fold,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_groups
+FROM documents GROUP BY 1
+"""
+
+
+def q_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile of the event stream (operators/
+    temporal.lateness_profile): per-user running-max event time in
+    arrival (event_id) order measures every event's lateness; the
+    power-of-two bucket histogram reads off "watermark = X drops Y
+    events" for every X at once — the empirical basis for the
+    watermark delays the streaming twins assume."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        lateness_profile,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    from blueforty___etl_data_pipeline_spark.functions.text import (
+        md5_hash64,
+    )
+
+    # deterministic "network jitter": arrival order = event_id plus a
+    # 0..31 salted-hash delay (tie-broken by event_id) — the fixture's
+    # event_ids are already in timestamp order, so the unjittered
+    # profile is degenerate (every event in bucket 0)
+    arrived = ev.withColumn(
+        "arrival",
+        F.col("event_id")
+        + F.pmod(
+            md5_hash64(
+                F.concat(F.lit("jit:"), F.col("event_id").cast("string"))
+            ),
+            F.lit(32),
+        ),
+    )
+    return lateness_profile(
+        arrived,
+        ts_col="ts",
+        order_col=["arrival", "event_id"],
+        key_col="user_id",
+    )
+
+
+_SQL_LATENESS_PROFILE = f"""
+WITH j AS (
+  SELECT user_id, event_id, ts,
+         event_id
+           + ((({_d_md5h("'jit:' || CAST(event_id AS VARCHAR)")}) % 32
+               + 32) % 32) AS arr
+  FROM events),
+late AS (
+  SELECT user_id,
+         epoch_us(MAX(ts) OVER (PARTITION BY user_id
+                                ORDER BY arr, event_id
+                                ROWS UNBOUNDED PRECEDING))
+           - epoch_us(ts) AS late_us
+  FROM j),
+b AS (
+  SELECT user_id,
+         CASE WHEN late_us <= 0 THEN 0
+              ELSE (1::BIGINT << (length(bin(late_us // 1000000 + 1)) - 1))
+         END AS bucket_s
+  FROM late)
+SELECT bucket_s, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys
+FROM b GROUP BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -16690,6 +16836,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_histogram_real": q_image_histogram_real,
         "zip_roundtrip": q_zip_roundtrip,
         "mase_eval": q_mase_eval,
+        "bloom_semi_join": q_bloom_semi_join,
+        "group_kfold": q_group_kfold,
+        "lateness_profile": q_lateness_profile,
         # ---- driver-signed green (r2-r6 windows + the full r08 window;
         # prior order preserved) ---------------------------------------
         "ab_test": q_ab_test,
@@ -16988,6 +17137,9 @@ def oracle_sql() -> dict[str, str]:
         "image_histogram_real": _SQL_IMAGE_HISTOGRAM_REAL,
         "zip_roundtrip": _SQL_ZIP_ROUNDTRIP,
         "mase_eval": _SQL_MASE_EVAL,
+        "bloom_semi_join": _sql_bloom_semi_join(),
+        "group_kfold": _sql_group_kfold(),
+        "lateness_profile": _SQL_LATENESS_PROFILE,
         # -- round-6 additions --------------------------------------------
         "observed_write": _SQL_OBSERVED_WRITE,
         "schema_drift": _SQL_SCHEMA_DRIFT,

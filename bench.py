@@ -489,6 +489,26 @@ HEADLINE = [
     # round-8 capstone: sniff -> route-on-detected-type -> per-type
     # real decode -> rollup, all four media branches in one plan
     "media_pipeline",
+    # round-9: shingle first-occurrence novelty (two-shuffle min-id)
+    "ngram_novelty",
+    # round-9: DSIR hashed-bigram importance (bounded broadcast weights)
+    "dsir_importance",
+    # round-9: integer-EMD t-closeness audit
+    "t_closeness",
+    # round-9: windowed RMS/ZCR frames from real WAV decode
+    "audio_frames_real",
+    # round-9: PNG histogram facts + Renyi-2 collision entropy proxy
+    "image_histogram_real",
+    # round-9: deterministic STORED zip shards, central-directory scan
+    "zip_roundtrip",
+    # round-9: seasonal-naive MASE gate on the daily revenue series
+    "mase_eval",
+    # round-9: Bloom runtime-filter pruning with FP audit
+    "bloom_semi_join",
+    # round-9: GroupKFold leakage-safe fold assignment
+    "group_kfold",
+    # round-9: watermark-delay evidence (power-of-two lateness buckets)
+    "lateness_profile",
 ]
 
 

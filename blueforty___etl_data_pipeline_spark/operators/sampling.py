@@ -725,3 +725,34 @@ def dsir_importance(
             F.expr("sum(_w) div count(1)").alias("importance_permille"),
         )
     )
+
+
+def group_kfold(
+    df: DataFrame,
+    group_col: str,
+    k: int = 5,
+    salt: str = "kfold",
+) -> DataFrame:
+    """Deterministic GroupKFold assignment: every row gets ``fold =
+    hash(salt:group) mod k``, so ALL rows of a group share one fold —
+    the cross-validation analog of :func:`hash_split`'s group variant,
+    preventing near-duplicate leakage between a fold's train and eval
+    halves when duplicates cluster within a group (same source, same
+    user, same crawl domain).
+
+    Pure map stage — no shuffle, no RNG, stable under repartitioning
+    and late-arriving data; any engine re-derives the same folds.
+    Returns ``df`` plus a ``fold`` column (0..k−1)."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    return df.withColumn(
+        "fold",
+        F.pmod(
+            md5_hash64(
+                F.concat(
+                    F.lit(salt + ":"), F.col(group_col).cast("string")
+                )
+            ),
+            F.lit(k),
+        ).cast("int"),
+    )

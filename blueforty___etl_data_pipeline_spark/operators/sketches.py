@@ -196,3 +196,90 @@ def kmv_distinct(
         .cast("long")
         .alias("est_distinct"),
     )
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim_keys: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter runtime pruning — the engine-level trick behind
+    Spark's own runtime row-group filters, surfaced as an operator so a
+    pipeline can pre-prune a 100 TB fact scan against a selective dim
+    BEFORE the real join: build ``n_hashes`` bit positions per dim key
+    (salted md5, mod ``n_bits``), and keep a fact row only when ALL its
+    positions are set.  No false negatives ever (every true match
+    survives); false positives are bounded by the classic
+    (1−e^{−kn/m})^k and get audited explicitly here.
+
+    Returns the audit row — (n_fact, n_kept, n_true, n_false_positive)
+    — comparing the Bloom-kept set with the exact distinct-key
+    semi-join, because a pruning operator whose FP rate is not measured
+    is a silent data-quality risk.  All hashing is the portable
+    md5_hash64 chain, so any engine (and the DuckDB oracle) re-derives
+    identical bits.
+
+    The keep/drop decision is a function of the KEY, so the audit runs
+    over the distinct fact-key domain (n_fact_keys, n_kept_keys,
+    n_true_keys, n_false_positive) — in production the same bit set is
+    applied as a map-stage row filter on the raw fact scan (zero
+    shuffle); here the key-domain distinct makes the FP count
+    well-defined instead of conflating key FPs with row multiplicity.
+
+    Scale shape: the bit-position table is at most ``n_bits`` rows
+    REGARDLESS of dim size (distinct-collapsed before broadcast); the
+    set membership test is an array check against the broadcast bit
+    set — a map-stage expression, the exact shape a runtime filter
+    compiles to."""
+    from ..functions.text import md5_hash64
+
+    def positions(col: Column) -> Column:
+        return F.array(
+            *[
+                F.pmod(
+                    md5_hash64(
+                        F.concat(
+                            F.lit(f"bloom{i}:"), col.cast("string")
+                        )
+                    ),
+                    F.lit(n_bits),
+                )
+                for i in range(n_hashes)
+            ]
+        )
+
+    dim = dim_keys.select(F.col(key_col).alias("_k")).distinct()
+    bits = (
+        dim.select(F.explode(positions(F.col("_k"))).alias("_bit"))
+        .distinct()
+    )
+    fkeys = fact.select(F.col(key_col).alias("_fk")).distinct()
+    probes = fkeys.select(
+        "_fk", F.explode(positions(F.col("_fk"))).alias("_bit")
+    )
+    # a key survives iff EVERY one of its n_hashes positions is set:
+    # count distinct matched positions (duplicate positions for one key
+    # can only arise from hash collisions within the key, where the
+    # distinct count still equals the distinct-position requirement)
+    misses = probes.join(F.broadcast(bits), on="_bit", how="left_anti")
+    kept = fkeys.join(
+        misses.select("_fk").distinct(), on="_fk", how="left_anti"
+    )
+    truth = fkeys.join(
+        F.broadcast(dim), F.col("_fk") == F.col("_k"), "left_semi"
+    )
+    return (
+        fkeys.agg(F.count(F.lit(1)).alias("n_fact_keys"))
+        .crossJoin(kept.agg(F.count(F.lit(1)).alias("n_kept_keys")))
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_true_keys")))
+        .select(
+            "n_fact_keys",
+            "n_kept_keys",
+            "n_true_keys",
+            (F.col("n_kept_keys") - F.col("n_true_keys")).alias(
+                "n_false_positive"
+            ),
+        )
+    )

@@ -848,3 +848,57 @@ def seasonal_naive_mase(
             "div (sum(abs(_y - _y1)) * count(_ys))"
         ).alias("mase_permille"),
     )
+
+
+def lateness_profile(
+    df: DataFrame,
+    ts_col: str,
+    order_col: str | list[str],
+    key_col: str,
+) -> DataFrame:
+    """Empirical out-of-orderness profile — the measurement that picks
+    a streaming watermark delay FROM THE DATA instead of folklore: for
+    every event, lateness = (running max of event time in ARRIVAL
+    order, per key) − its own event time; the distribution's tail is
+    exactly the state a watermark of that delay would have dropped.
+
+    Returns one row per power-of-two lateness bucket (seconds):
+    (bucket_s = 0, 1, 2, 4, …, n_events, n_keys) — bucket 0 is the
+    in-order mass; reading the cumulative tail off this table answers
+    "watermark = X loses Y events" for every X at once.
+
+    Scale shape: the running max is a window PARTITIONED BY key in
+    arrival order — state O(1) per key, partitions bounded by the key
+    domain, never a global ordering of the stream; the bucket rollup
+    is a partial-agged groupBy over ≤ ~40 buckets."""
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    late = df.select(
+        F.col(key_col).alias("_k"),
+        (
+            F.unix_micros(F.max(ts_col).over(w))
+            - F.unix_micros(F.col(ts_col))
+        ).alias("_late_us"),
+    )
+    # integer power-of-two bucket: 2^floor(log2(late_s+1)) computed via
+    # binary-string bit length (bin/length), NEVER float log2/pow — a
+    # last-ulp log difference at a boundary value would bucket the same
+    # event differently across engines
+    bucket = F.when(F.col("_late_us") <= 0, F.lit(0)).otherwise(
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), "
+            "CAST(length(bin(_late_us div 1000000 + 1)) - 1 AS INT))"
+        )
+    )
+    return (
+        late.select("_k", bucket.alias("bucket_s"))
+        .groupBy("bucket_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("_k").alias("n_keys"),
+        )
+    )

@@ -561,3 +561,32 @@ def test_dsir_importance_ranks_target_like_sources(spark):
     assert set(got) == {2, 3}          # only source docs with bigrams
     assert got[2] > got[3]             # target-like source outranks
     assert got[3] <= 1000              # unseen-in-target buckets stay low
+
+
+def test_group_kfold_exclusive_and_deterministic(spark):
+    import pytest as _pytest
+
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        group_kfold,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 7}") for i in range(140)], "doc_id long, grp string"
+    )
+    out = group_kfold(df, "grp", k=3)
+    # every group lands in exactly one fold
+    spans = (
+        out.groupBy("grp")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .filter(F.col("nf") > 1)
+        .count()
+    )
+    assert spans == 0
+    folds = {r["fold"] for r in out.select("fold").distinct().collect()}
+    assert folds <= {0, 1, 2} and len(folds) >= 2
+    # deterministic across calls
+    a = {(r["doc_id"], r["fold"]) for r in out.collect()}
+    b = {(r["doc_id"], r["fold"]) for r in group_kfold(df, "grp", k=3).collect()}
+    assert a == b
+    with _pytest.raises(ValueError, match="k must"):
+        group_kfold(df, "grp", k=1)

@@ -115,3 +115,29 @@ def test_sketch_plans_stay_jvm_side(spark):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_bloom_semi_join_no_false_negatives(spark):
+    from blueforty___etl_data_pipeline_spark.operators.sketches import (
+        bloom_semi_join,
+    )
+
+    fact = spark.createDataFrame(
+        [(i % 50,) for i in range(500)], "k long"
+    )
+    dim = spark.createDataFrame([(i,) for i in range(0, 50, 5)], "k long")
+    r = bloom_semi_join(fact, dim, key_col="k").collect()[0]
+    assert r["n_fact_keys"] == 50
+    assert r["n_true_keys"] == 10
+    # no false negatives: kept ⊇ true
+    assert r["n_kept_keys"] >= r["n_true_keys"]
+    assert r["n_false_positive"] == r["n_kept_keys"] - r["n_true_keys"]
+    # 10 keys × 3 hashes in 64Ki bits → FP probability ≈ 9e-14 per key;
+    # any FP here means the hash chain broke
+    assert r["n_false_positive"] == 0
+
+    # tiny filter forces false positives but never negatives
+    r2 = bloom_semi_join(fact, dim, key_col="k", n_bits=16, n_hashes=2)
+    row2 = r2.collect()[0]
+    assert row2["n_kept_keys"] >= row2["n_true_keys"]
+    assert row2["n_false_positive"] > 0  # 40 non-members vs 16 bits

@@ -599,3 +599,28 @@ def test_seasonal_naive_mase_hand_computed(spark):
     df2 = spark.createDataFrame([(t, t) for t in range(8)], "t long, y long")
     r2 = seasonal_naive_mase(df2, "t", "y", season=2).collect()[0]
     assert r2["mase_permille"] == 2000
+
+
+def test_lateness_profile_buckets(spark):
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        lateness_profile,
+    )
+
+    # one user, arrival order k: timestamps 0s, 10s, 5s, 3s, 20s
+    # → lateness 0, 0, 5s, 7s, 0 → buckets 0 (×3), 4, 4
+    rows = [(1, 0, 0), (1, 1, 10), (1, 2, 5), (1, 3, 3), (1, 4, 20)]
+    df = spark.createDataFrame(
+        rows, "user_id long, k long, sec long"
+    ).select(
+        "user_id", "k", F.timestamp_seconds(F.col("sec")).alias("ts")
+    )
+    got = {
+        r["bucket_s"]: (r["n_events"], r["n_keys"])
+        for r in lateness_profile(
+            df, ts_col="ts", order_col="k", key_col="user_id"
+        ).collect()
+    }
+    # 5s late → late_s+1 = 6 → bucket 4; 7s late → 8 → bucket 8
+    assert got == {0: (3, 1), 4: (1, 1), 8: (1, 1)}
