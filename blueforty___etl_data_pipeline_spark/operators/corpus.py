@@ -1005,27 +1005,42 @@ def ngram_novelty(
     Returns (id, n_shingles, n_novel, novelty_permille) per document
     with at least one shingle.  Integer permille — engine-exact.
 
-    Scale shape: explode → one shuffle keyed on shingle hash for the
-    MIN(id) partial agg (map-side combine does the heavy lifting —
-    duplicated shingles collapse before the exchange), one shuffle back
-    on id for the per-doc rollup.  MIN is mergeable, so incremental
-    corpus appends only fold new batches against the persisted
-    first-occurrence table instead of rescanning history.
+    Scale shape — no join ever runs at exploded-shingle cardinality
+    (the naive exploded-rows ⋈ first-occurrence join shuffles the
+    whole exploded corpus a second time; ``.explain`` showed it):
+
+    - per-doc shingle counts are ``size(shingle_hashes(...))`` in the
+      scan projection — a map-side column, no explode for the
+      denominator (the corpus is scanned twice map-side, which at
+      100 TB beats materializing or shuffling exploded rows);
+    - the explode feeds a single MIN(id)-per-shingle aggregate
+      (map-side combine collapses duplicates before the exchange), and
+      the novel count per doc is then just ``GROUP BY first_id`` over
+      that table — shingle-domain cardinality, no corpus re-scan;
+    - the final join matches two DOC-cardinality tables on id.
+
+    MIN is mergeable, so incremental corpus appends fold new batches
+    against the persisted first-occurrence table instead of rescanning
+    history.
     """
-    sh = df.select(
+    sizes = df.select(
         F.col(id_col),
-        F.explode(shingle_hashes(F.col(text_col), n)).alias("_sh"),
-    )
-    first = sh.groupBy("_sh").agg(F.min(id_col).alias("_first"))
-    return (
-        sh.join(first, on="_sh")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(
-                F.when(F.col("_first") == F.col(id_col), 1).otherwise(0)
-            ).alias("n_novel"),
+        F.size(shingle_hashes(F.col(text_col), n)).alias("n_shingles"),
+    ).filter(F.col("n_shingles") > 0)
+    first = (
+        df.select(
+            F.col(id_col),
+            F.explode(shingle_hashes(F.col(text_col), n)).alias("_sh"),
         )
+        .groupBy("_sh")
+        .agg(F.min(id_col).alias("_first"))
+    )
+    novel = first.groupBy(F.col("_first").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    return (
+        sizes.join(novel, on=id_col, how="left")
+        .fillna({"n_novel": 0})
         .select(
             id_col,
             "n_shingles",

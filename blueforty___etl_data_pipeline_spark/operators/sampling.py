@@ -691,12 +691,16 @@ def dsir_importance(
     bit-stable across engines (no log-space float drift; the permille
     ratio is a monotone transform of the smoothed likelihood ratio).
 
-    Scale shape: the bucket table is AT MOST ``n_buckets`` rows however
-    large the corpus — it aggregates with map-side combine, then
-    BROADCASTS to the per-doc scoring join; the corpus never shuffles.
-    Bigram hashing reuses the md5-per-token + 60-bit-rotation
-    composition of the dedup shingles (one md5 per token, not per
-    feature)."""
+    Scale shape — the corpus is hashed and exploded ONCE (the naive
+    form fed both the bucket-count agg and the scoring join from
+    separate explodes, re-scanning the corpus; ``.explain`` showed the
+    double scan).  The explode collapses immediately to per-(doc,
+    bucket) occurrence counts — one shuffle; the global bucket table
+    (AT MOST ``n_buckets`` rows however large the corpus) derives from
+    THAT table with a second tiny aggregate and BROADCASTS back to the
+    scoring join, so the corpus itself never shuffles again.  Bigram
+    hashing reuses the md5-per-token + 60-bit-rotation composition of
+    the dedup shingles (one md5 per token, not per feature)."""
     from .dedup import _rotl60
 
     th = F.transform(tokens_ws(F.col(text_col)), md5_hash64)
@@ -705,24 +709,39 @@ def dsir_importance(
         F.slice(th, 2, F.greatest(F.size(th) - 1, F.lit(0))),
         lambda a, b: F.pmod(_rotl60(a, 4).bitwiseXOR(b), F.lit(n_buckets)),
     )
-    feats = df.select(
-        F.col(id_col), is_target.alias("_tgt"), F.explode(big).alias("_b")
+    doc_bucket = (
+        df.select(
+            F.col(id_col),
+            is_target.alias("_tgt"),
+            F.explode(big).alias("_b"),
+        )
+        .groupBy(id_col, "_tgt", "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        # two consumers (global bucket weights + scoring join): cut the
+        # lineage so the md5/explode/agg pass runs once, not per branch
+        .localCheckpoint(eager=False)
     )
-    buckets = feats.groupBy("_b").agg(
-        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("_tc"),
-        F.sum(F.when(F.col("_tgt"), 0).otherwise(1)).alias("_sc"),
-    )
-    w = buckets.select(
-        "_b",
-        F.expr("1000 * (_tc + 1) div (_sc + 1)").alias("_w"),
+    w = (
+        doc_bucket.groupBy("_b")
+        .agg(
+            F.sum(F.when(F.col("_tgt"), F.col("_n")).otherwise(0)).alias(
+                "_tc"
+            ),
+            F.sum(F.when(F.col("_tgt"), 0).otherwise(F.col("_n"))).alias(
+                "_sc"
+            ),
+        )
+        .select("_b", F.expr("1000 * (_tc + 1) div (_sc + 1)").alias("_w"))
     )
     return (
-        feats.filter(~F.col("_tgt"))
+        doc_bucket.filter(~F.col("_tgt"))
         .join(F.broadcast(w), on="_b")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.expr("sum(_w) div count(1)").alias("importance_permille"),
+            F.sum("_n").alias("n_feats"),
+            F.expr("sum(_w * _n) div sum(_n)").alias(
+                "importance_permille"
+            ),
         )
     )
 

@@ -255,7 +255,14 @@ def bloom_semi_join(
         dim.select(F.explode(positions(F.col("_k"))).alias("_bit"))
         .distinct()
     )
-    fkeys = fact.select(F.col(key_col).alias("_fk")).distinct()
+    # three consumers (probes, kept anti-join, exact-truth semi-join):
+    # cut the lineage after the distinct so the fact table is scanned
+    # once, not once per audit leg (.explain showed four fact scans)
+    fkeys = (
+        fact.select(F.col(key_col).alias("_fk"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     probes = fkeys.select(
         "_fk", F.explode(positions(F.col("_fk"))).alias("_bit")
     )
