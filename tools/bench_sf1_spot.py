@@ -74,6 +74,13 @@ SLOW_SET = [
     "merge_intervals",
     "warc_roundtrip",
     "mp4_frames_real",
+    # round-9 additions with shuffle/join shapes worth a datapoint:
+    # the shingle min-id pass, the DSIR explode→broadcast scoring, the
+    # Bloom probe legs, and the per-key lateness window
+    "ngram_novelty",
+    "dsir_importance",
+    "bloom_semi_join",
+    "lateness_profile",
 ]
 
 
