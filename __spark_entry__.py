@@ -16761,6 +16761,233 @@ FROM b GROUP BY 1
 """
 
 
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact-duplicate matrix (operators/dedup.
+    cross_source_dup_matrix): per unordered source pair, how many
+    distinct contents both carry and how many doc-level pairs a
+    cross-source dedup would touch — the provenance/licensing
+    governance table, computed on the per-content SOURCE LIST so the
+    pair expansion never runs at doc cardinality."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.dedup import (
+        cross_source_dup_matrix,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    # the fixture has no exact cross-source duplicates, so the matrix
+    # over raw documents is empty on both engines — inject a
+    # deterministic MIRROR source (every doc_id % 10 == 3 re-published
+    # under source 'mirror', same content, fresh ids), the
+    # normalized_dup_gain injection pattern, replayed by the oracle
+    mirrored = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 3).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "text",
+            "lang",
+            F.lit("mirror").alias("source"),
+            "n_chars",
+        )
+    )
+    return cross_source_dup_matrix(mirrored)
+
+
+_SQL_CROSS_SOURCE_DUPS = """
+WITH d AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, 'mirror' FROM documents
+  WHERE doc_id % 10 = 3),
+ps AS (
+  SELECT md5(text) AS h, source AS s, COUNT(*) AS n
+  FROM d GROUP BY 1, 2)
+SELECT a.s AS source_a, b.s AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_contents,
+       CAST(SUM(a.n * b.n) AS BIGINT) AS n_shared_doc_pairs
+FROM ps a JOIN ps b ON a.h = b.h AND a.s < b.s
+GROUP BY 1, 2
+"""
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap estimation from merged KMV sketches
+    (operators/sketches.kmv_overlap) over the trigram-shingle sets —
+    Jaccard/union/intersection estimates for EVERY source pair from
+    one corpus pass and |sources| tiny mergeable sketches; the scale
+    substitute for the exact cross_source_dups matrix."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.dedup import (
+        shingle_hashes,
+    )
+    from blueforty___etl_data_pipeline_spark.operators.sketches import (
+        kmv_overlap,
+    )
+
+    sh = _t(spark, sf_dir, "documents").select(
+        "source", F.explode(shingle_hashes(F.col("text"))).alias("sh")
+    )
+    return kmv_overlap(sh, group_col="source", key_col="sh", k=64)
+
+
+def _sql_kmv_overlap(k: int = 64) -> str:
+    space = 1 << 48
+    h12 = "CAST(('0x' || substr(md5(CAST(sh AS VARCHAR)), 1, 12)) AS BIGINT)"
+    return f"""
+WITH {_D_SH_CTE}, shx AS (
+  SELECT doc_id, source, unnest(shs) AS sh
+  FROM sh JOIN documents USING (doc_id)),
+hh AS (SELECT DISTINCT source AS s, {h12} AS h FROM shx),
+ske AS (SELECT s, h, ROW_NUMBER() OVER (PARTITION BY s ORDER BY h) AS rn
+        FROM hh),
+kk AS (SELECT s, h FROM ske WHERE rn <= {k}),
+srcs AS (SELECT DISTINCT s FROM kk),
+pr AS (SELECT a.s AS sa, b.s AS sb FROM srcs a JOIN srcs b ON a.s < b.s),
+u AS (SELECT pr.sa, pr.sb, kk.h, COUNT(DISTINCT kk.s) AS nin
+      FROM pr JOIN kk ON kk.s = pr.sa OR kk.s = pr.sb
+      GROUP BY 1, 2, 3),
+ur AS (SELECT sa, sb, h, nin,
+              ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+       FROM u),
+uk AS (SELECT sa, sb, h, nin, rn FROM ur WHERE rn <= {k}),
+agg AS (
+  SELECT sa, sb, COUNT(*) AS nu, MAX(h) AS kth,
+         SUM(CASE WHEN nin = 2 THEN 1 ELSE 0 END) AS nboth
+  FROM uk GROUP BY 1, 2),
+est AS (
+  SELECT sa, sb,
+         1000 * nboth // nu AS jac,
+         CASE WHEN nu < {k} THEN nu
+              ELSE CAST({(k - 1) * space} AS BIGINT) // kth END AS ue
+  FROM agg)
+SELECT sa AS group_a, sb AS group_b,
+       CAST(jac AS BIGINT) AS jaccard_permille_est,
+       CAST(ue AS BIGINT) AS union_est,
+       CAST(jac * ue // 1000 AS BIGINT) AS intersection_est
+FROM est
+"""
+
+
+def q_ngram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index phrase search (operators/corpus.
+    ngram_index_search): the query's trigram postings intersect, the
+    ALL-shingles gate prunes, and token-boundary verification on just
+    the candidates makes the result EXACTLY the brute-force scan's —
+    which is what the oracle runs."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        ngram_index_search,
+    )
+
+    return ngram_index_search(
+        _t(spark, sf_dir, "documents"), phrase="a a the"
+    )
+
+
+_SQL_NGRAM_SEARCH = f"""
+SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars
+FROM documents
+WHERE contains(
+  ' ' || array_to_string({_D_TOKENS.format(t='text')}, ' ') || ' ',
+  ' a a the ')
+"""
+
+
+def q_latex_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LaTeX → text extraction (functions/text.strip_latex): every
+    document is wrapped in a deterministic LaTeX skeleton (preamble,
+    comment, section, nested formatting commands, inline math) and
+    stripped back at scan speed; the oracle PREDICTS the exact clean
+    string rather than replaying the regexes — a stronger contract
+    than regex-parity."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.functions.text import (
+        strip_latex,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    latex = F.concat(
+        F.lit("\\documentclass{article} % generated\n"),
+        F.lit("\\begin{document}\\section{D"),
+        F.col("doc_id").cast("string"),
+        F.lit("} \\textbf{\\emph{"),
+        F.col("text"),
+        F.lit("}} $x^2 + y_i$ \\end{document}"),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(strip_latex(latex)).alias("clean_md5"),
+        F.length(strip_latex(latex)).alias("n_chars_clean"),
+    )
+
+
+_SQL_LATEX_STRIP = """
+SELECT doc_id,
+       md5('article D' || CAST(doc_id AS VARCHAR) || ' ' || text)
+         AS clean_md5,
+       CAST(length('article D' || CAST(doc_id AS VARCHAR) || ' ' || text)
+            AS INTEGER) AS n_chars_clean
+FROM documents
+"""
+
+
+def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based candidate mining (operators/similarity.
+    margin_mine, the Artetxe & Schwenk ratio margin): even vec_ids
+    mine their best odd-id counterpart, scored against BOTH sides'
+    top-4 neighborhoods so hub vectors cannot clear the ratio —
+    integer-micros cosines, permille margins, bit-exact across
+    engines."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        margin_mine,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return margin_mine(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=4,
+    )
+
+
+def _sql_bitext_mine(k: int = 4, thr: int = 1050) -> str:
+    cos = _d_mcos("l.mv", "r.mv")
+    return f"""
+WITH mv AS (
+  SELECT vec_id,
+         list_transform(range(1, 65),
+           i -> CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                           * 1e6) AS DOUBLE)) AS mv
+  FROM embeddings),
+l AS (SELECT vec_id AS lid, mv FROM mv WHERE vec_id % 2 = 0),
+r AS (SELECT vec_id AS rid, mv FROM mv WHERE vec_id % 2 = 1),
+sc AS (
+  SELECT l.lid, r.rid,
+         CAST(ROUND(({cos}) * 1e6, 0) AS BIGINT) AS c
+  FROM l CROSS JOIN r
+  WHERE ({cos}) IS NOT NULL),
+wl AS (SELECT lid, rid, c,
+              ROW_NUMBER() OVER (PARTITION BY lid ORDER BY c DESC, rid)
+                AS rk
+       FROM sc),
+wr AS (SELECT lid, rid, c,
+              ROW_NUMBER() OVER (PARTITION BY rid ORDER BY c DESC, lid)
+                AS rk
+       FROM sc),
+lsum AS (SELECT lid, SUM(c) AS suma FROM wl WHERE rk <= {k} GROUP BY 1),
+rsum AS (SELECT rid, SUM(c) AS sumb FROM wr WHERE rk <= {k} GROUP BY 1),
+best AS (SELECT lid, rid, c FROM wl WHERE rk = 1)
+SELECT best.lid AS src_id, best.rid AS dst_id,
+       CAST(best.c AS BIGINT) AS cos_e6,
+       CAST(1000 * {2 * k} * best.c // (lsum.suma + rsum.sumb)
+            AS BIGINT) AS margin_permille,
+       CAST(1000 * {2 * k} * best.c // (lsum.suma + rsum.sumb) > {thr}
+            AS BOOLEAN) AS accepted
+FROM best
+JOIN lsum ON best.lid = lsum.lid
+JOIN rsum ON best.rid = rsum.rid
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -16839,6 +17066,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join": q_bloom_semi_join,
         "group_kfold": q_group_kfold,
         "lateness_profile": q_lateness_profile,
+        "cross_source_dups": q_cross_source_dups,
+        "kmv_overlap": q_kmv_overlap,
+        "ngram_search": q_ngram_search,
+        "latex_strip": q_latex_strip,
+        "bitext_mine": q_bitext_mine,
         # ---- driver-signed green (r2-r6 windows + the full r08 window;
         # prior order preserved) ---------------------------------------
         "ab_test": q_ab_test,
@@ -17140,6 +17372,11 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semi_join": _sql_bloom_semi_join(),
         "group_kfold": _sql_group_kfold(),
         "lateness_profile": _SQL_LATENESS_PROFILE,
+        "cross_source_dups": _SQL_CROSS_SOURCE_DUPS,
+        "kmv_overlap": _sql_kmv_overlap(),
+        "ngram_search": _SQL_NGRAM_SEARCH,
+        "latex_strip": _SQL_LATEX_STRIP,
+        "bitext_mine": _sql_bitext_mine(),
         # -- round-6 additions --------------------------------------------
         "observed_write": _SQL_OBSERVED_WRITE,
         "schema_drift": _SQL_SCHEMA_DRIFT,

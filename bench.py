@@ -509,6 +509,13 @@ HEADLINE = [
     "group_kfold",
     # round-9: watermark-delay evidence (power-of-two lateness buckets)
     "lateness_profile",
+    # round-9 wave 2: source-pair governance, sketch overlap, indexed
+    # phrase search, LaTeX extraction, margin mining
+    "cross_source_dups",
+    "kmv_overlap",
+    "ngram_search",
+    "latex_strip",
+    "bitext_mine",
 ]
 
 

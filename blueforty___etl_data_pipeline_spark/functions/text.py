@@ -483,3 +483,36 @@ def anonymize_ipv4_prefix(ip: Column, key: str) -> Column:
         )
     joined = F.concat_ws(".", *[a.cast("string") for a in anon])
     return F.when(valid, joined)
+
+
+def strip_latex(col: Column) -> Column:
+    """LaTeX source → plain text, entirely in codegen regexp chains
+    (scan-speed over an arXiv-scale corpus, no UDF) — the extraction
+    step scientific-text pipelines run before any quality/dedup pass:
+
+    1. comments: ``%`` to end of line (TeX comments; ``\\%`` escapes
+       survive via a preceding-char class);
+    2. display/inline math: ``$$…$$`` then ``$…$`` → one space (math
+       is not prose — keeping it poisons n-gram statistics);
+    3. ``\\begin{env}`` / ``\\end{env}`` markers drop;
+    4. argument-taking formatting commands unwrap their braces
+       (``\\textbf{x}`` → ``x``), applied twice so one nesting level
+       of ``\\emph{\\textbf{x}}`` resolves;
+    5. remaining bare commands (``\\alpha``, ``\\newline``) → space;
+    6. stray braces drop, whitespace collapses, ends trim.
+
+    Every regex stays inside the RE2-safe subset (no backreferences,
+    no lookaround), so the DuckDB oracle replays the identical chain.
+    """
+    out = F.regexp_replace(col, r"(^|[^\\])%[^\n]*", r"$1")
+    out = F.regexp_replace(out, r"\$\$[^$]*\$\$", " ")
+    out = F.regexp_replace(out, r"\$[^$\n]*\$", " ")
+    out = F.regexp_replace(out, r"\\(begin|end)\{[^}]*\}", " ")
+    for _ in range(2):
+        out = F.regexp_replace(
+            out, r"\\[A-Za-z]+\*?(\[[^\]]*\])?\{([^{}]*)\}", r"$2"
+        )
+    out = F.regexp_replace(out, r"\\[A-Za-z]+\*?", " ")
+    out = F.regexp_replace(out, r"[{}]", " ")
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)

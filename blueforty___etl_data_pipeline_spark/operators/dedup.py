@@ -1173,3 +1173,65 @@ def containment_pairs(
     if dropped is not None:
         out = out.crossJoin(F.broadcast(dropped))
     return out
+
+
+def cross_source_dup_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-source exact-duplicate matrix — the provenance view of
+    :func:`exact_dup_groups`: for every UNORDERED source pair (a < b),
+    how many distinct contents appear in BOTH.  The governance table
+    behind licensing and mixing decisions (a mirror site shows up as a
+    near-total row; a syndication feed as a band), and the cheap first
+    look before any near-dup machinery.
+
+    Returns (source_a, source_b, n_shared_contents,
+    n_shared_doc_pairs) — the second counts doc-level pairs
+    (mult_a × mult_b summed over shared contents), bounding the exact
+    volume a cross-source dedup would remove.
+
+    Scale shape: one partial-agged shuffle to (content_hash, source,
+    count) — duplicates collapse map-side; the pair expansion happens
+    on the per-content SOURCE LIST (array combinations over ≤
+    |sources| entries), never on doc rows; the final rollup is a
+    source-pair-cardinality aggregate."""
+    per_src = (
+        df.select(
+            F.md5(F.col(text_col)).alias("_h"),
+            F.col(group_col).alias("_s"),
+        )
+        .groupBy("_h", "_s")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    lists = per_src.groupBy("_h").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_s"), F.col("_n")))
+        ).alias("_sl")
+    ).filter(F.size("_sl") > 1)
+    # unordered pairs from the per-content source list: flatten the
+    # upper triangle via a double transform (array-domain, ≤|sources|²)
+    pairs = lists.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(_sl, (x, i) -> "
+                    "transform(slice(_sl, i + 2, size(_sl)), "
+                    "y -> struct(x._s AS sa, y._s AS sb, "
+                    "x._n * y._n AS np)))"
+                )
+            )
+        ).alias("_p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("_p.sa").alias("source_a"),
+            F.col("_p.sb").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_contents"),
+            F.sum("_p.np").alias("n_shared_doc_pairs"),
+        )
+    )

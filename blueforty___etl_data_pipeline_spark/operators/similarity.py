@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import dot, l2_norm
@@ -1309,3 +1309,109 @@ def ivf_pq_search(
         rank_col="rank",
         keep_rank=True,
     ).select(query_id_col, "neighbor_id", "adist_micros2", "rank")
+
+
+def margin_mine(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    margin_threshold_permille: int = 1050,
+) -> DataFrame:
+    """Margin-based candidate mining between two embedding sets — the
+    ratio-margin criterion of large-scale bitext mining (Artetxe &
+    Schwenk 2019; the CCMatrix recipe): a pair (a, b) is a mining hit
+    not when its cosine is high in absolute terms, but when it stands
+    OUT against each side's own neighborhood:
+
+        margin(a, b) = cos(a, b) / ((Σ topk(a) + Σ topk(b)) / 2k)
+
+    Hubs — vectors close to everything — have fat neighborhood sums
+    and never clear the ratio, which is exactly why the margin beats a
+    raw cosine threshold on real embedding spaces.
+
+    Integer-exact: vectors quantize to micros (the kmeans_lloyd
+    convention), per-pair cosines round to e6 integers, neighborhood
+    sums are integer sums, and
+
+        margin_permille = 1000 · 2k · cos_e6 div (Σ_a + Σ_b)
+
+    so both engines agree bit-for-bit.  Returns, per left vector, its
+    best right candidate: (src_id, dst_id, cos_e6, margin_permille,
+    accepted = margin > threshold).
+
+    Scale shape: ONE scored table (left ⨯ broadcast right, each side's
+    norm projected below the join) feeds the best-pair window AND both
+    neighborhood sums — rank-k selection uses (score, id) tiebreaks so
+    every aggregate is deterministic.  Brute-force scoring is the
+    exact baseline; at corpus scale, block candidates first with the
+    LSH/IVF operators in this module and feed the surviving pairs
+    through the same margin arithmetic."""
+    lv = left.select(
+        F.col(id_col).alias("_lid"), _micro_vec(F.col(vec_col)).alias("_lv")
+    ).withColumn("_ln", l2_norm(F.col("_lv")))
+    rv = right.select(
+        F.col(id_col).alias("_rid"), _micro_vec(F.col(vec_col)).alias("_rv")
+    ).withColumn("_rn", l2_norm(F.col("_rv")))
+    scored = (
+        lv.crossJoin(F.broadcast(rv))
+        .select(
+            "_lid",
+            "_rid",
+            F.round(
+                _paired_cosine(
+                    F.col("_lv"), F.col("_ln"), F.col("_rv"), F.col("_rn")
+                )
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("_c"),
+        )
+        .filter(F.col("_c").isNotNull())
+        # one scored table, three consumers (best pair + two
+        # neighborhood sums): cut the lineage so the cross join and
+        # cosine arithmetic run once
+        .localCheckpoint(eager=False)
+    )
+    wl = Window.partitionBy("_lid").orderBy(F.desc("_c"), F.asc("_rid"))
+    wr = Window.partitionBy("_rid").orderBy(F.desc("_c"), F.asc("_lid"))
+    lsum = (
+        scored.withColumn("_rk", F.row_number().over(wl))
+        .filter(F.col("_rk") <= k)
+        .groupBy("_lid")
+        .agg(F.sum("_c").alias("_suma"))
+    )
+    rsum = (
+        scored.withColumn("_rk", F.row_number().over(wr))
+        .filter(F.col("_rk") <= k)
+        .groupBy("_rid")
+        .agg(F.sum("_c").alias("_sumb"))
+    )
+    best = (
+        scored.withColumn("_rk", F.row_number().over(wl))
+        .filter(F.col("_rk") == 1)
+        .select("_lid", "_rid", "_c")
+    )
+    return (
+        best.join(lsum, on="_lid")
+        .join(rsum, on="_rid")
+        .select(
+            F.col("_lid").alias("src_id"),
+            F.col("_rid").alias("dst_id"),
+            F.col("_c").alias("cos_e6"),
+            F.expr(f"1000 * {2 * k} * _c div (_suma + _sumb)").alias(
+                "margin_permille"
+            ),
+        )
+        .select(
+            "src_id",
+            "dst_id",
+            "cos_e6",
+            "margin_permille",
+            (F.col("margin_permille") > margin_threshold_permille).alias(
+                "accepted"
+            ),
+        )
+    )

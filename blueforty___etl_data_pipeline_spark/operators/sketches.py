@@ -290,3 +290,82 @@ def bloom_semi_join(
             ),
         )
     )
+
+
+def kmv_overlap(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise set-overlap estimation between groups from MERGED KMV
+    sketches (Beyer et al. 2007): each group keeps its k smallest
+    distinct key hashes; for a pair, the union sketch is the k
+    smallest of the merged arrays, and the Jaccard estimate is the
+    fraction of those union samples present in BOTH sketches.  The
+    pairwise-overlap workhorse when the exact intersection
+    (dedup.cross_source_dup_matrix) is too expensive — sketches are
+    tiny, mergeable, and built in ONE corpus pass for ALL pairs.
+
+    Returns (group_a, group_b, jaccard_permille_est, union_est,
+    intersection_est) per unordered pair — all integer (the same
+    (k−1)·2^48 // h_k estimator as :func:`kmv_distinct` on the union
+    sketch; sub-k unions report their exact size).
+
+    Scale shape: one partial-agged distinct-hash pass → per-group
+    k-array (|groups| rows total); the pairwise stage is an
+    array-domain broadcast self-join over |groups|² sketch pairs —
+    corpus size never enters it."""
+    from pyspark.sql import Window
+
+    hashed = df.select(
+        F.col(group_col).alias("_g"),
+        _md5_long(F.col(key_col)).alias("_h"),
+    ).distinct()
+    win = Window.partitionBy("_g").orderBy("_h")
+    sk = (
+        hashed.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+        .groupBy("_g")
+        .agg(F.array_sort(F.collect_list("_h")).alias("_sk"))
+    )
+    a = sk.select(F.col("_g").alias("group_a"), F.col("_sk").alias("_ska"))
+    b = sk.select(F.col("_g").alias("group_b"), F.col("_sk").alias("_skb"))
+    pairs = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+    facts = pairs.select(
+        "group_a",
+        "group_b",
+        F.slice(
+            F.array_sort(F.array_union("_ska", "_skb")), 1, k
+        ).alias("_uk"),
+        "_ska",
+        "_skb",
+    ).select(
+        "group_a",
+        "group_b",
+        F.size("_uk").alias("_nu"),
+        F.element_at(F.col("_uk"), F.size("_uk")).alias("_kth"),
+        F.size(
+            F.array_intersect(
+                F.array_intersect("_uk", "_ska"), F.col("_skb")
+            )
+        ).alias("_both"),
+    )
+    return facts.select(
+        "group_a",
+        "group_b",
+        F.expr("1000 * _both div _nu").alias("jaccard_permille_est"),
+        F.when(F.col("_nu") < k, F.col("_nu").cast("long"))
+        .otherwise(
+            F.expr(f"CAST({(k - 1) * HASH_SPACE} AS BIGINT) div _kth")
+        )
+        .alias("union_est"),
+    ).select(
+        "group_a",
+        "group_b",
+        "jaccard_permille_est",
+        "union_est",
+        F.expr("jaccard_permille_est * union_est div 1000").alias(
+            "intersection_est"
+        ),
+    )

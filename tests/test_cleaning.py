@@ -334,3 +334,25 @@ def test_anonymize_ipv4_prefix_properties(spark):
         if r["anon"] is not None
     }
     assert any(valid[k] != got2[k] for k in valid)
+
+
+def test_strip_latex_chain(spark):
+    from blueforty___etl_data_pipeline_spark.functions.text import (
+        strip_latex,
+    )
+
+    cases = {
+        # comments, env markers, nested commands, inline + display math
+        "\\documentclass{article} % note\n\\begin{document}"
+        "\\section{Intro} hello \\textbf{bold \\emph{nested}} world "
+        "$x^2$ and $$\\int f$$ \\alpha tail\\end{document}":
+            "article Intro hello bold nested world and tail",
+        # escaped percent survives; optional args drop with the command
+        "keep 100\\% \\cite[p.~3]{ref} done": "keep 100\\% ref done",
+        "plain stays plain": "plain stays plain",
+    }
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(t,) for t in cases], "t string")
+    got = [r["s"] for r in df.select(strip_latex(F.col("t")).alias("s")).collect()]
+    assert got == list(cases.values())

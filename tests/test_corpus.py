@@ -671,3 +671,27 @@ def test_ngram_novelty_first_occurrence_attribution(spark):
         for r in ngram_novelty(df).collect()
     }
     assert got == {0: (2, 2, 1000), 1: (2, 1, 500), 2: (2, 0, 0)}
+
+
+def test_ngram_index_search_token_boundaries(spark):
+    import pytest as _pytest
+
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        ngram_index_search,
+    )
+
+    rows = [
+        (1, "the big red fox jumps"),
+        (2, "big red foxes everywhere"),      # token-boundary miss
+        (3, "a big red fox appears twice big red fox"),
+        (4, "nothing relevant"),
+        (5, "big  red   fox with odd   spacing"),  # whitespace-normal hit
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        r["doc_id"]
+        for r in ngram_index_search(df, "big red fox").collect()
+    )
+    assert got == [1, 3, 5]
+    with _pytest.raises(ValueError, match="tokens"):
+        ngram_index_search(df, "too short")

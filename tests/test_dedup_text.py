@@ -683,3 +683,26 @@ def test_augment_word_dropout_deterministic_and_salted(spark):
     assert {r["doc_id"]: r["n_dropped"] for r in keep_all} == {1: 0, 2: 0}
     drop_all = augment_word_dropout(df, rate_permille=1000).collect()
     assert {r["doc_id"]: r["aug_text"] for r in drop_all} == {1: "", 2: ""}
+
+
+def test_cross_source_dup_matrix_pairs_and_counts(spark):
+    from blueforty___etl_data_pipeline_spark.operators.dedup import (
+        cross_source_dup_matrix,
+    )
+
+    rows = [
+        (1, "shared one", "a"),
+        (2, "shared one", "b"),    # a-b share content "shared one"
+        (3, "shared one", "b"),    # twice in b -> 1x2 doc pairs
+        (4, "shared two", "a"),
+        (5, "shared two", "c"),
+        (6, "only a", "a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["n_shared_contents"], r["n_shared_doc_pairs"]
+        )
+        for r in cross_source_dup_matrix(df).collect()
+    }
+    assert got == {("a", "b"): (1, 2), ("a", "c"): (1, 1)}

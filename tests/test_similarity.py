@@ -533,3 +533,41 @@ def test_ivf_pq_search_probes_restrict_and_adc_exact(spark):
         (1, 8 * (1_000_000) ** 2, 1),
         (0, 8 * (2_000_000) ** 2, 2),
     ]
+
+
+def test_margin_mine_hub_suppression(spark):
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        margin_mine,
+    )
+
+    # right side: b1 is a perfect partner for a0 only; b_hub is
+    # moderately close to EVERYTHING (a classic hub) — raw cosine
+    # would pair a2 with b_hub confidently, the margin must not
+    left = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (4, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),       # exact partner of 0
+            (3, [0.5, 0.5, 0.5, 0.5]),       # hub: cos 0.5 to every axis
+            (5, [0.6, 0.51, 0.5, 0.5]),      # second hub, slightly tilted
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["src_id"]: r
+        for r in margin_mine(left, right, k=2).collect()
+    }
+    # a0 finds its exact partner with a margin clearly above the hubs'
+    assert got[0]["dst_id"] == 1
+    assert got[0]["cos_e6"] == 1000000
+    assert got[0]["margin_permille"] > got[2]["margin_permille"]
+    assert got[0]["margin_permille"] > got[4]["margin_permille"]
+    assert got[0]["accepted"]
+    # hub-paired rows exist but margins hover near 1000 (no standout)
+    assert got[2]["margin_permille"] < 1300

@@ -141,3 +141,28 @@ def test_bloom_semi_join_no_false_negatives(spark):
     row2 = r2.collect()[0]
     assert row2["n_kept_keys"] >= row2["n_true_keys"]
     assert row2["n_false_positive"] > 0  # 40 non-members vs 16 bits
+
+
+def test_kmv_overlap_identical_disjoint_and_exact_small(spark):
+    from blueforty___etl_data_pipeline_spark.operators.sketches import (
+        kmv_overlap,
+    )
+
+    rows = (
+        [("x", i) for i in range(40)]
+        + [("y", i) for i in range(40)]          # y identical to x
+        + [("z", 1000 + i) for i in range(40)]   # z disjoint
+    )
+    df = spark.createDataFrame(rows, "grp string, k long")
+    got = {
+        (r["group_a"], r["group_b"]): r
+        for r in kmv_overlap(df, "grp", "k", k=64).collect()
+    }
+    # sub-k sketches are exact: identical sets -> jaccard 1000 and
+    # exact union; disjoint -> 0, union = 80
+    assert got[("x", "y")]["jaccard_permille_est"] == 1000
+    assert got[("x", "y")]["union_est"] == 40
+    assert got[("x", "y")]["intersection_est"] == 40
+    assert got[("x", "z")]["jaccard_permille_est"] == 0
+    assert got[("x", "z")]["union_est"] == 80
+    assert got[("y", "z")]["intersection_est"] == 0
