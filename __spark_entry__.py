@@ -16988,6 +16988,219 @@ JOIN rsum ON best.rid = rsum.rid
 """
 
 
+def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust additive decomposition of daily revenue (operators/
+    temporal.stl_lite): rolling-median trend, per-weekday-phase median
+    seasonal (re-centered), integer residual — the STL idea with exact
+    lower-medians instead of loess, so every component hash-matches
+    the oracle."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        stl_lite,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias(
+                "t"
+            ),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("t")
+        .agg(F.expr("sum(cents) div 100").alias("dollars"))
+    )
+    return stl_lite(daily, "t", "dollars", season=7, trend_window=7)
+
+
+_SQL_STL_DECOMPOSE = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1992-01-01', o_orderdate) AS t,
+         SUM(CAST(o_totalprice * 100 AS BIGINT)) // 100 AS y
+  FROM orders GROUP BY 1),
+wt AS (
+  SELECT t, y,
+         list_sort(list(y) OVER (ORDER BY t
+                                 ROWS BETWEEN 3 PRECEDING
+                                 AND 3 FOLLOWING)) AS arr
+  FROM daily),
+tr AS (SELECT t, y, arr[(len(arr) + 1) // 2] AS trend FROM wt),
+dt AS (SELECT t, y, trend, y - trend AS d FROM tr),
+se AS (
+  SELECT ((t % 7) + 7) % 7 AS ph, list_sort(list(d)) AS arr
+  FROM dt GROUP BY 1),
+sr AS (SELECT ph, arr[(len(arr) + 1) // 2] AS s_raw FROM se),
+ctr AS (SELECT list_sort(list(s_raw)) AS arr FROM sr),
+cm AS (SELECT arr[(len(arr) + 1) // 2] AS s_med FROM ctr),
+sc AS (SELECT ph, s_raw - (SELECT s_med FROM cm) AS seasonal FROM sr)
+SELECT dt.t, CAST(dt.y AS BIGINT) AS dollars,
+       CAST(dt.trend AS BIGINT) AS trend,
+       CAST(sc.seasonal AS BIGINT) AS seasonal,
+       CAST(dt.y - dt.trend - sc.seasonal AS BIGINT) AS residual
+FROM dt JOIN sc ON ((dt.t % 7) + 7) % 7 = sc.ph
+"""
+
+
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (operators/similarity.kcenter_coreset,
+    Gonzalez 2-approx): 8 farthest-point rounds over the embedding
+    table in exact integer-micros squared-L2; the oracle unrolls the
+    same 8 rounds, so every selected center and every coverage radius
+    must match bit-for-bit."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    return kcenter_coreset(_t(spark, sf_dir, "embeddings"), k=8)
+
+
+def _sql_kcenter_coreset(k: int = 8) -> str:
+    def dist(m: str, c: str) -> str:
+        return (
+            "list_sum(list_transform(range(1, 65), i -> "
+            f"({m}.v[CAST(i AS INTEGER)] - {c}.v[CAST(i AS INTEGER)])"
+            f" * ({m}.v[CAST(i AS INTEGER)] - {c}.v[CAST(i AS INTEGER)])))"
+        )
+
+    ctes = ["""mv AS (
+  SELECT vec_id,
+         list_transform(range(1, 65),
+           i -> CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                           * 1e6) AS DOUBLE)) AS v
+  FROM embeddings)""",
+            "s0 AS (SELECT MIN(vec_id) AS id FROM mv)",
+            f"""d0 AS (
+  SELECT m.vec_id, m.v, {dist('m', 'c')} AS d
+  FROM mv m JOIN mv c ON c.vec_id = (SELECT id FROM s0))"""]
+    selects = ["SELECT 0 AS round, (SELECT id FROM s0) AS vec_id, "
+               "CAST(0 AS BIGINT) AS radius_sq"]
+    for r in range(1, k):
+        ctes.append(
+            f"""s{r} AS (
+  SELECT vec_id AS id, d FROM d{r - 1}
+  ORDER BY d DESC, vec_id LIMIT 1)"""
+        )
+        selects.append(
+            f"SELECT {r}, (SELECT id FROM s{r}), "
+            f"CAST((SELECT d FROM s{r}) AS BIGINT)"
+        )
+        if r < k - 1:
+            ctes.append(
+                f"""d{r} AS (
+  SELECT m.vec_id, m.v, LEAST(m.d, {dist('m', 'c')}) AS d
+  FROM d{r - 1} m JOIN mv c ON c.vec_id = (SELECT id FROM s{r}))"""
+            )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by source (BPE tokens per word, permille):
+    train the corpus BPE, segment every doc (operators/bpe — map-only
+    replace chain), roll up per source.  The go-to diagnostic for "is
+    this tokenizer wasting context budget on this domain"."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=_BPE_MERGES, min_count=2)
+    seg = bpe_segment(docs, merges)
+    return (
+        seg.join(docs.select("doc_id", "source"), on="doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_tokens",
+            F.expr("1000 * n_tokens div n_words").alias(
+                "fertility_permille"
+            ),
+        )
+    )
+
+
+def _sql_bpe_fertility() -> str:
+    inner = _sql_bpe_segment()
+    return f"""
+WITH seg AS ({inner})
+SELECT d.source,
+       CAST(SUM(seg.n_words) AS BIGINT) AS n_words,
+       CAST(SUM(seg.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(1000 * SUM(seg.n_tokens) // SUM(seg.n_words) AS BIGINT)
+         AS fertility_permille
+FROM seg JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+
+
+def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality report (operators/linkage.blocking_eval):
+    reduction ratio vs pair completeness for a length-bucket blocking
+    scheme against a deterministic dirty republication (every
+    doc_id % 10 == 3 doc re-appears with one appended token, so some
+    true pairs cross a bucket boundary and the completeness honestly
+    drops below 1000)."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.linkage import (
+        blocking_eval,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    left = docs.select(
+        F.col("doc_id").alias("lid"),
+        F.col("doc_id").alias("truth"),
+        F.expr("length(text) div 50").alias("blk"),
+    )
+    right = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 1000000).alias("rid"),
+        F.col("doc_id").alias("truth"),
+        F.expr("(length(text) + 8) div 50").alias("blk"),
+    )
+    return blocking_eval(
+        left, right, block_col="blk", truth_col="truth"
+    )
+
+
+_SQL_BLOCKING_EVAL = """
+WITH l AS (
+  SELECT doc_id AS lid, doc_id AS truth, length(text) // 50 AS blk
+  FROM documents),
+r AS (
+  SELECT doc_id + 1000000 AS rid, doc_id AS truth,
+         (length(text) + 8) // 50 AS blk
+  FROM documents WHERE doc_id % 10 = 3),
+cand AS (
+  SELECT COALESCE(SUM(a.n * b.n), 0) AS n_candidates
+  FROM (SELECT blk, COUNT(*) n FROM l GROUP BY 1) a
+  JOIN (SELECT blk, COUNT(*) n FROM r GROUP BY 1) b USING (blk)),
+tru AS (
+  SELECT COALESCE(SUM(a.n * b.n), 0) AS n_true
+  FROM (SELECT truth, COUNT(*) n FROM l GROUP BY 1) a
+  JOIN (SELECT truth, COUNT(*) n FROM r GROUP BY 1) b USING (truth)),
+tib AS (
+  SELECT COALESCE(SUM(a.n * b.n), 0) AS n_true_in_blocks
+  FROM (SELECT blk, truth, COUNT(*) n FROM l GROUP BY 1, 2) a
+  JOIN (SELECT blk, truth, COUNT(*) n FROM r GROUP BY 1, 2) b
+    USING (blk, truth))
+SELECT CAST((SELECT COUNT(*) FROM l) AS BIGINT) AS n_left,
+       CAST((SELECT COUNT(*) FROM r) AS BIGINT) AS n_right,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_true_in_blocks AS BIGINT) AS n_true_in_blocks,
+       CAST(1000 - 1000 * n_candidates
+            // ((SELECT COUNT(*) FROM l) * (SELECT COUNT(*) FROM r))
+            AS BIGINT) AS reduction_ratio_permille,
+       CAST(CASE WHEN n_true = 0 THEN 1000
+            ELSE 1000 * n_true_in_blocks // n_true END AS BIGINT)
+         AS pair_completeness_permille
+FROM cand, tru, tib
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -17071,6 +17284,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_search": q_ngram_search,
         "latex_strip": q_latex_strip,
         "bitext_mine": q_bitext_mine,
+        "stl_decompose": q_stl_decompose,
+        "kcenter_coreset": q_kcenter_coreset,
+        "bpe_fertility": q_bpe_fertility,
+        "blocking_eval": q_blocking_eval,
         # ---- driver-signed green (r2-r6 windows + the full r08 window;
         # prior order preserved) ---------------------------------------
         "ab_test": q_ab_test,
@@ -17377,6 +17594,10 @@ def oracle_sql() -> dict[str, str]:
         "ngram_search": _SQL_NGRAM_SEARCH,
         "latex_strip": _SQL_LATEX_STRIP,
         "bitext_mine": _sql_bitext_mine(),
+        "stl_decompose": _SQL_STL_DECOMPOSE,
+        "kcenter_coreset": _sql_kcenter_coreset(),
+        "bpe_fertility": _sql_bpe_fertility(),
+        "blocking_eval": _SQL_BLOCKING_EVAL,
         # -- round-6 additions --------------------------------------------
         "observed_write": _SQL_OBSERVED_WRITE,
         "schema_drift": _SQL_SCHEMA_DRIFT,

@@ -516,6 +516,12 @@ HEADLINE = [
     "ngram_search",
     "latex_strip",
     "bitext_mine",
+    # round-9 wave 3: robust decomposition, coreset selection,
+    # tokenizer fertility, blocking quality
+    "stl_decompose",
+    "kcenter_coreset",
+    "bpe_fertility",
+    "blocking_eval",
 ]
 
 

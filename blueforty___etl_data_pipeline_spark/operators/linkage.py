@@ -109,3 +109,86 @@ def record_linkage(
     if threshold_milli is not None:
         out = out.filter(F.col("score_milli") >= int(threshold_milli))
     return out
+
+
+def blocking_eval(
+    left: DataFrame,
+    right: DataFrame,
+    block_col: str,
+    truth_col: str,
+    left_id: str = "lid",
+    right_id: str = "rid",
+) -> DataFrame:
+    """Blocking-quality report — the two numbers every record-linkage
+    blocking scheme must publish (Christen 2012): REDUCTION RATIO
+    (what fraction of the full cross product the blocks avoided) and
+    PAIR COMPLETENESS (what fraction of true matches survive
+    blocking).  A scheme scoring high on one and silently low on the
+    other is how linkage pipelines lose matches at scale — this makes
+    the trade explicit and oracle-checkable.
+
+    ``truth_col`` names a column present on BOTH sides whose equality
+    defines a true match (at fixture scale truth is exact; in
+    production it is a labeled sample).  Returns one row:
+    (n_left, n_right, n_candidates, n_true, n_true_in_blocks,
+    reduction_ratio_permille, pair_completeness_permille).
+
+    Scale shape: candidate counts come from per-block COUNT products
+    (block-cardinality join, never materializing candidate pairs);
+    true-match counts the same way on the truth key — the report costs
+    two small aggregates regardless of corpus size."""
+    lb = left.groupBy(F.col(block_col).alias("_b")).agg(
+        F.count(F.lit(1)).alias("_nl")
+    )
+    rb = right.groupBy(F.col(block_col).alias("_b")).agg(
+        F.count(F.lit(1)).alias("_nr")
+    )
+    cand = lb.join(rb, on="_b").agg(
+        F.coalesce(F.sum(F.col("_nl") * F.col("_nr")), F.lit(0)).alias(
+            "n_candidates"
+        )
+    )
+    lt = left.groupBy(F.col(truth_col).alias("_t")).agg(
+        F.count(F.lit(1)).alias("_nl")
+    )
+    rt = right.groupBy(F.col(truth_col).alias("_t")).agg(
+        F.count(F.lit(1)).alias("_nr")
+    )
+    true_all = lt.join(rt, on="_t").agg(
+        F.coalesce(F.sum(F.col("_nl") * F.col("_nr")), F.lit(0)).alias(
+            "n_true"
+        )
+    )
+    ltb = left.groupBy(
+        F.col(block_col).alias("_b"), F.col(truth_col).alias("_t")
+    ).agg(F.count(F.lit(1)).alias("_nl"))
+    rtb = right.groupBy(
+        F.col(block_col).alias("_b"), F.col(truth_col).alias("_t")
+    ).agg(F.count(F.lit(1)).alias("_nr"))
+    true_in = ltb.join(rtb, on=["_b", "_t"]).agg(
+        F.coalesce(F.sum(F.col("_nl") * F.col("_nr")), F.lit(0)).alias(
+            "n_true_in_blocks"
+        )
+    )
+    totals = left.agg(F.count(F.lit(1)).alias("n_left")).crossJoin(
+        right.agg(F.count(F.lit(1)).alias("n_right"))
+    )
+    return (
+        totals.crossJoin(cand)
+        .crossJoin(true_all)
+        .crossJoin(true_in)
+        .select(
+            "n_left",
+            "n_right",
+            "n_candidates",
+            "n_true",
+            "n_true_in_blocks",
+            F.expr(
+                "1000 - 1000 * n_candidates div (n_left * n_right)"
+            ).alias("reduction_ratio_permille"),
+            F.expr(
+                "CASE WHEN n_true = 0 THEN 1000 "
+                "ELSE 1000 * n_true_in_blocks div n_true END"
+            ).alias("pair_completeness_permille"),
+        )
+    )

@@ -1415,3 +1415,68 @@ def margin_mine(
             ),
         )
     )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 — the 2-approx
+    farthest-point heuristic): pick the minimum-id vector, then k−1
+    times the vector FARTHEST from everything selected so far.  The
+    data-selection workhorse for "cover the embedding space with a
+    tiny representative set" (active learning seeds, eval-set
+    construction, diversity-balanced subsampling) — where similarity
+    dedup removes redundancy, the coreset keeps spread.
+
+    Integer-exact: vectors quantize to micros; distances are exact
+    integer-valued doubles (squared L2 of micro vectors, < 2^53 for
+    64-dim micro embeddings); argmax ties break on id — every round is
+    bit-reproducible and the DuckDB oracle unrolls the same k rounds.
+
+    Returns (round, vec_id, radius_sq) — the selected center per round
+    and the coverage radius BEFORE adding it (max over the corpus of
+    min-distance to the previous centers; round 0 reports 0).
+
+    Scale shape per round: the running min-distance is a per-row
+    column updated by ONE broadcast of the newly selected center
+    (O(dim) work per row), the argmax is a 1-row aggregate, and the
+    min-dist projection is lazily checkpointed so round r never
+    replays rounds 0..r−1.  Total: k corpus passes, k tiny collects —
+    the canonical distributed farthest-point shape."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    mv = df.select(
+        F.col(id_col).alias("_id"), _micro_vec(F.col(vec_col)).alias("_v")
+    ).localCheckpoint(eager=False)
+
+    def dist_to(center_vec):
+        arr = F.array(*[F.lit(float(x)) for x in center_vec])
+        return F.aggregate(
+            F.zip_with(F.col("_v"), arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    first = mv.orderBy("_id").limit(1).collect()[0]
+    selected = [(0, first["_id"], 0)]
+    cur = mv.withColumn("_d", dist_to(first["_v"]))
+    for r in range(1, k):
+        far = (
+            cur.orderBy(F.desc("_d"), F.asc("_id")).limit(1).collect()[0]
+        )
+        selected.append((r, far["_id"], int(far["_d"])))
+        if r < k - 1:
+            cur = cur.withColumn(
+                "_nd", dist_to(far["_v"])
+            ).select(
+                "_id",
+                "_v",
+                F.least(F.col("_d"), F.col("_nd")).alias("_d"),
+            ).localCheckpoint(eager=False)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        selected, "round int, vec_id long, radius_sq long"
+    )

@@ -902,3 +902,72 @@ def lateness_profile(
             F.countDistinct("_k").alias("n_keys"),
         )
     )
+
+
+def stl_lite(
+    df: DataFrame,
+    t_col: str,
+    value_col: str,
+    season: int = 7,
+    trend_window: int = 7,
+) -> DataFrame:
+    """Robust additive decomposition of a regular integer-time series —
+    the STL idea (trend + seasonal + residual) with MEDIANS instead of
+    loess so every component is an exact integer and the result is
+    engine-reproducible:
+
+    - ``trend``   = centered rolling median over ``trend_window`` rows
+      (odd window; the first/last half-windows shrink symmetrically);
+    - ``seasonal`` = per-phase (t mod season) median of the detrended
+      series, re-centered so the seasonal component sums to ~0 (its
+      own median is subtracted — the additive-identifiability fix);
+    - ``residual`` = value − trend − seasonal.
+
+    Medians are lower-medians (element at ``(n+1) div 2`` of the
+    sorted run) so even-sized sets stay integer.  Returns one row per
+    input point: (t, value, trend, seasonal, residual).
+
+    Scale shape: the rolling median runs as a windowed
+    ``array_sort(collect_list)`` over the BOUNDED series (days/hours —
+    the input contract here, as in :func:`seasonal_naive_mase`, is a
+    rolled-up series, never raw events); the seasonal medians are a
+    ``season``-row aggregate joined back broadcast."""
+    if trend_window % 2 != 1 or trend_window < 3:
+        raise ValueError("trend_window must be odd and >= 3")
+    half = trend_window // 2
+    w = Window.orderBy("_t").rowsBetween(-half, half)
+    lower_median = (
+        "element_at(_arr, CAST((size(_arr) + 1) / 2 AS INT))"
+    )
+    with_trend = (
+        df.select(F.col(t_col).alias("_t"), F.col(value_col).alias("_y"))
+        .withColumn("_arr", F.array_sort(F.collect_list("_y").over(w)))
+        .selectExpr("_t", "_y", f"{lower_median} AS _trend")
+    )
+    detr = with_trend.withColumn("_d", F.col("_y") - F.col("_trend"))
+    seas = (
+        detr.groupBy(F.pmod(F.col("_t"), F.lit(season)).alias("_ph"))
+        .agg(F.array_sort(F.collect_list("_d")).alias("_arr"))
+        .selectExpr("_ph", f"{lower_median} AS _s_raw")
+    )
+    center = seas.agg(
+        F.array_sort(F.collect_list("_s_raw")).alias("_arr")
+    ).selectExpr(f"{lower_median} AS _s_med")
+    seas_c = seas.crossJoin(F.broadcast(center)).select(
+        "_ph", (F.col("_s_raw") - F.col("_s_med")).alias("_seasonal")
+    )
+    return (
+        detr.join(
+            F.broadcast(seas_c),
+            F.pmod(F.col("_t"), F.lit(season)) == F.col("_ph"),
+        )
+        .select(
+            F.col("_t").alias(t_col),
+            F.col("_y").alias(value_col),
+            F.col("_trend").alias("trend"),
+            F.col("_seasonal").alias("seasonal"),
+            (F.col("_y") - F.col("_trend") - F.col("_seasonal")).alias(
+                "residual"
+            ),
+        )
+    )

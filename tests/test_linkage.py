@@ -133,3 +133,27 @@ def test_linkage_randomized_vs_python_reference(spark):
                     mask += "0"
             expect[(li, ri)] = (score, mask)
     assert got == expect and expect
+
+
+def test_blocking_eval_reduction_vs_completeness(spark):
+    from blueforty___etl_data_pipeline_spark.operators.linkage import (
+        blocking_eval,
+    )
+
+    # 4 left rows in 2 blocks; right has 2 true partners, one of which
+    # lands in the WRONG block (completeness 500); candidates 2x1 + 2x1
+    left = spark.createDataFrame(
+        [(1, 1, "b0"), (2, 2, "b0"), (3, 3, "b1"), (4, 4, "b1")],
+        "lid long, truth long, blk string",
+    )
+    right = spark.createDataFrame(
+        [(101, 1, "b0"), (103, 3, "b0")],  # 3's partner misblocked
+        "rid long, truth long, blk string",
+    )
+    r = blocking_eval(left, right, block_col="blk", truth_col="truth").collect()[0]
+    assert (r["n_left"], r["n_right"]) == (4, 2)
+    assert r["n_candidates"] == 4      # block b0: 2 left x 2 right
+    assert r["n_true"] == 2
+    assert r["n_true_in_blocks"] == 1
+    assert r["reduction_ratio_permille"] == 500   # 4 of 8 pairs avoided
+    assert r["pair_completeness_permille"] == 500

@@ -571,3 +571,28 @@ def test_margin_mine_hub_suppression(spark):
     assert got[0]["accepted"]
     # hub-paired rows exist but margins hover near 1000 (no standout)
     assert got[2]["margin_permille"] < 1300
+
+
+def test_kcenter_coreset_farthest_point_rounds(spark):
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    # three well-separated clusters on axes; one outlier far away —
+    # greedy k-center must pick the outlier before densifying clusters
+    rows = [
+        (0, [0.0, 0.0]), (1, [0.1, 0.0]),          # cluster A
+        (10, [10.0, 0.0]), (11, [10.1, 0.0]),      # cluster B
+        (20, [0.0, 50.0]),                          # outlier
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = kcenter_coreset(df, k=3).orderBy("round").collect()
+    assert [r["round"] for r in got] == [0, 1, 2]
+    assert got[0]["vec_id"] == 0 and got[0]["radius_sq"] == 0
+    # farthest from id 0 is the outlier (50^2 in micros^2)
+    assert got[1]["vec_id"] == 20
+    assert got[1]["radius_sq"] == (50_000_000) ** 2
+    # then cluster B — id 11 (at 10.1) is strictly farther from
+    # center 0 than id 10, so greedy argmax picks it
+    assert got[2]["vec_id"] == 11
+    assert got[2]["radius_sq"] == (10_100_000) ** 2 + 0
