@@ -17209,6 +17209,236 @@ FROM cand, tru, tib
 """
 
 
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment under the batch oracle (streaming/
+    joins.stream_static_join): the event stream joins the BROADCAST
+    customer dimension per micro-batch (stateless — the standard
+    lakehouse enrichment shape) and rolls up value by market segment
+    and event type; the oracle is the identical batch join, so the
+    hash match proves per-batch enrichment loses nothing."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.streaming.joins import (
+        stream_static_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    src = _stage_stream_source(ev, "events_enrich", sf_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    enriched = stream_static_join(stream, dim, on="user_id")
+    agg = enriched.groupBy("segment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.expr("CAST(FLOOR(value * 1000000) AS BIGINT)")).alias(
+            "value_micros"
+        ),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("q_streaming_enrich_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_streaming(q)
+    return spark.table("q_streaming_enrich_sink")
+
+
+_SQL_STREAMING_ENRICH = """
+SELECT c.c_mktsegment AS segment, e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(e.value * 1000000) AS BIGINT)) AS BIGINT)
+         AS value_micros
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert under the batch oracle (streaming/
+    stateful.streaming_upsert_sink): the event stream foreachBatch-
+    merges into a parquet target (latest event_id per user wins, the
+    merge_upsert window), target and checkpoint wiped per run so the
+    drain is deterministic; the oracle computes the same last-event
+    state in one batch window — proving the per-batch MERGE chain
+    converges to exactly the batch answer."""
+    _prep(spark)
+    import shutil
+
+    from blueforty___etl_data_pipeline_spark.streaming.stateful import (
+        streaming_upsert_sink,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    src = _stage_stream_source(ev, "events_upsert", sf_dir)
+    slug = re.sub(r"[^A-Za-z0-9_.-]+", "_", os.path.abspath(sf_dir))
+    target = os.path.join(SCRATCH, f"upsert_target__{slug.strip('_')}")
+    ckpt = os.path.join(SCRATCH, f"upsert_ckpt__{slug.strip('_')}")
+    for p in (target, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    # merge_upsert MERGEs into an existing snapshot — seed an empty
+    # one (schema only), the "create table" step of a CDC pipeline
+    spark.createDataFrame(
+        [], "user_id long, event_id long, event_type string, ts_us long"
+    ).write.parquet(target)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")  # force a multi-batch drain
+        .parquet(src)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        )
+    )
+    q = streaming_upsert_sink(
+        stream,
+        target,
+        key_cols=("user_id",),
+        order_col="event_id",
+        checkpoint_dir=ckpt,
+        trigger_available_now=True,
+    )
+    _await_streaming(q)
+    return spark.read.parquet(target).select(
+        "user_id", "event_id", "event_type", "ts_us"
+    )
+
+
+_SQL_STREAMING_UPSERT = """
+SELECT user_id, event_id, event_type,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def q_image_patches_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch extraction from REAL PNG decode (operators/
+    multimodal.extract_image_patches): 4×4 md5-pixel images tile into
+    four 2×2 patches, one row each with integer sum/min/max — the
+    image-token preprocessing shape, reproduced by DuckDB from md5 hex
+    pairs."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        extract_image_patches,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 40 == 21)
+    )
+
+    def to_png(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.png import (
+            encode_png_gray,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for text in pdf["text"]:
+                d = _hl.md5(text.encode("utf-8")).digest()
+                blobs.append(
+                    encode_png_gray(
+                        [[d[x * 4 + y] for y in range(4)]
+                         for x in range(4)]
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": blobs}
+            )
+
+    media = docs.mapInPandas(to_png, schema="doc_id long, content binary")
+    return extract_image_patches(media, patch=2)
+
+
+_SQL_IMAGE_PATCHES_REAL = """
+WITH t AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id % 40 = 21),
+px AS (SELECT doc_id, CAST(r.i AS INTEGER) AS x, CAST(c.i AS INTEGER) AS y,
+              CAST(('0x' || substr(h, CAST(2 * (r.i * 4 + c.i) + 1
+                                           AS INTEGER), 2))
+                   AS INTEGER) AS v
+       FROM t CROSS JOIN range(0, 4) r(i) CROSS JOIN range(0, 4) c(i))
+SELECT doc_id,
+       CAST(x // 2 AS INTEGER) AS patch_row,
+       CAST(y // 2 AS INTEGER) AS patch_col,
+       CAST(SUM(v) AS BIGINT) AS p_sum,
+       CAST(MIN(v) AS INTEGER) AS p_min,
+       CAST(MAX(v) AS INTEGER) AS p_max
+FROM px GROUP BY doc_id, x // 2, y // 2
+"""
+
+
+def q_audio_resample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer 2× decimation through decode→average→re-encode→decode
+    (operators/multimodal.downsample_audio_2x): pair-averaged samples
+    with floor division, container rewritten at half rate and decoded
+    AGAIN — DuckDB reproduces the decimated stats from md5 hex pairs,
+    proving the full processing chain, not just the arithmetic."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        downsample_audio_2x,
+        encode_wav_pcm16,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 40 == 25)
+    )
+
+    def to_wav(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for text in pdf["text"]:
+                d = _hl.md5(text.encode("utf-8")).digest()
+                blobs.append(
+                    encode_wav_pcm16(
+                        [(d[i] - 128) * 256 for i in range(16)]
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": blobs}
+            )
+
+    media = docs.mapInPandas(to_wav, schema="doc_id long, content binary")
+    return downsample_audio_2x(media)
+
+
+_SQL_AUDIO_RESAMPLE_REAL = """
+WITH t AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id % 40 = 25),
+s AS (SELECT doc_id, r.i AS i,
+             (CAST(('0x' || substr(h, CAST(2 * r.i + 1 AS INTEGER), 2))
+                   AS INTEGER) - 128) * 256 AS v
+      FROM t CROSS JOIN range(0, 16) r(i)),
+d AS (SELECT a.doc_id,
+             CAST(FLOOR((a.v + b.v) / 2.0) AS BIGINT) AS y
+      FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      WHERE a.i % 2 = 0)
+SELECT doc_id, CAST(16 AS BIGINT) AS n_in, CAST(8 AS BIGINT) AS n_out,
+       CAST(8000 AS BIGINT) AS rate_in, CAST(4000 AS BIGINT) AS rate_out,
+       CAST(SUM(ABS(y)) AS BIGINT) AS sum_abs_out,
+       CAST(MAX(ABS(y)) AS BIGINT) AS peak_abs_out
+FROM d GROUP BY doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -17296,6 +17526,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter_coreset": q_kcenter_coreset,
         "bpe_fertility": q_bpe_fertility,
         "blocking_eval": q_blocking_eval,
+        "streaming_enrich": q_streaming_enrich,
+        "streaming_upsert": q_streaming_upsert,
+        "image_patches_real": q_image_patches_real,
+        "audio_resample_real": q_audio_resample_real,
         # ---- driver-signed green (r2-r6 windows + the full r08 window;
         # prior order preserved) ---------------------------------------
         "ab_test": q_ab_test,
@@ -17606,6 +17840,10 @@ def oracle_sql() -> dict[str, str]:
         "kcenter_coreset": _sql_kcenter_coreset(),
         "bpe_fertility": _sql_bpe_fertility(),
         "blocking_eval": _SQL_BLOCKING_EVAL,
+        "streaming_enrich": _SQL_STREAMING_ENRICH,
+        "streaming_upsert": _SQL_STREAMING_UPSERT,
+        "image_patches_real": _SQL_IMAGE_PATCHES_REAL,
+        "audio_resample_real": _SQL_AUDIO_RESAMPLE_REAL,
         # -- round-6 additions --------------------------------------------
         "observed_write": _SQL_OBSERVED_WRITE,
         "schema_drift": _SQL_SCHEMA_DRIFT,

@@ -522,6 +522,12 @@ HEADLINE = [
     "kcenter_coreset",
     "bpe_fertility",
     "blocking_eval",
+    # round-9 wave 4: streaming enrichment + CDC upsert, image patch
+    # tokens, integer audio decimation
+    "streaming_enrich",
+    "streaming_upsert",
+    "image_patches_real",
+    "audio_resample_real",
 ]
 
 

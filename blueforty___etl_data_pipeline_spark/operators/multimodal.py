@@ -1102,3 +1102,137 @@ def image_histogram_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame
             "modal_count long, collision_sum long"
         ),
     )
+
+
+def extract_image_patches(
+    media: DataFrame, patch: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Non-overlapping patch extraction from REAL PNG decode — the
+    ViT-style preprocessing shape (image → grid of patch tokens), as a
+    1→N ``mapInPandas`` expansion: one row per patch with integer
+    stats
+
+        (id, patch_row, patch_col, p_sum, p_min, p_max)
+
+    (sums not means, so downstream normalization chooses its own
+    rounding exactly once).  Images whose sides are not multiples of
+    ``patch`` raise — silent edge-padding changes model inputs, the
+    caller pads explicitly.
+
+    Scale shape: Arrow-batched, executor-side, zero exchange — the
+    same contract as every *_real media stage; output cardinality is
+    (H·W)/patch² rows per image."""
+    if patch <= 0:
+        raise ValueError("patch must be positive")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from ..functions.png import decode_png_gray
+
+        for pdf in batches:
+            ids, pr, pc, ps, pmin, pmax = [], [], [], [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf["content"]):
+                px = decode_png_gray(bytes(blob))
+                h, w = len(px), len(px[0]) if px else 0
+                if h % patch or w % patch:
+                    raise ValueError(
+                        f"image {h}x{w} not divisible by patch {patch}; "
+                        "pad upstream"
+                    )
+                for r in range(0, h, patch):
+                    for c in range(0, w, patch):
+                        vals = [
+                            px[y][x]
+                            for y in range(r, r + patch)
+                            for x in range(c, c + patch)
+                        ]
+                        ids.append(doc_id)
+                        pr.append(r // patch)
+                        pc.append(c // patch)
+                        ps.append(sum(vals))
+                        pmin.append(min(vals))
+                        pmax.append(max(vals))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "patch_row": pr,
+                    "patch_col": pc,
+                    "p_sum": ps,
+                    "p_min": pmin,
+                    "p_max": pmax,
+                }
+            )
+
+    return media.select(id_col, "content").mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, patch_row int, patch_col int, "
+            "p_sum long, p_min int, p_max int"
+        ),
+    )
+
+
+def downsample_audio_2x(
+    media: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Integer 2× audio decimation through a REAL decode→process→
+    re-encode→decode chain: mono 16-bit WAV samples pair-average with
+    floor division (``y[i] = (x[2i] + x[2i+1]) div 2`` — the simplest
+    anti-alias prefilter, exact in integers), re-encode at half the
+    frame rate, decode AGAIN, and report both sides' integer stats:
+
+        (id, n_in, n_out, rate_in, rate_out, sum_abs_out, peak_abs_out)
+
+    The double decode proves the rewritten container, not just the
+    in-memory array.  Odd tails keep their final unpaired sample.
+
+    Scale shape: Arrow-batched ``mapInPandas``, zero exchange."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf["content"]):
+                samples, rate = wav_pcm16_samples(bytes(blob))
+                out = []
+                i = 0
+                while i < len(samples):
+                    if i + 1 < len(samples):
+                        # floor toward negative infinity (int div), so
+                        # the oracle's // reproduces negatives exactly
+                        out.append((samples[i] + samples[i + 1]) // 2)
+                        i += 2
+                    else:
+                        out.append(samples[i])
+                        i += 1
+                blob2 = encode_wav_pcm16(out, framerate=rate // 2)
+                back, rate2 = wav_pcm16_samples(blob2)
+                assert back == out  # container round-trip is exact
+                rows.append(
+                    (
+                        doc_id,
+                        len(samples),
+                        len(back),
+                        rate,
+                        rate2,
+                        sum(abs(s) for s in back),
+                        max((abs(s) for s in back), default=0),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_in", "n_out", "rate_in", "rate_out",
+                    "sum_abs_out", "peak_abs_out",
+                ],
+            )
+
+    return media.select(id_col, "content").mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, n_in long, n_out long, rate_in long, "
+            "rate_out long, sum_abs_out long, peak_abs_out long"
+        ),
+    )

@@ -2313,3 +2313,63 @@ def test_image_histogram_stats_collision_proxy(spark):
     }
     assert got[1] == (16, 1, 16, 256)   # constant: max collision n²
     assert got[2] == (16, 16, 1, 16)    # flat histogram: min collision n
+
+
+def test_extract_image_patches_grid_and_gate(spark):
+    import pytest as _pytest
+
+    from blueforty___etl_data_pipeline_spark.functions.png import (
+        encode_png_gray,
+    )
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        extract_image_patches,
+    )
+
+    # 4x4 ramp: pixel value = x*4 + y, so each 2x2 patch's sum/min/max
+    # is hand-computable
+    img = encode_png_gray([[x * 4 + y for y in range(4)] for x in range(4)])
+    media = spark.createDataFrame(
+        [(1, bytearray(img))], "doc_id long, content binary"
+    )
+    got = {
+        (r["patch_row"], r["patch_col"]): (r["p_sum"], r["p_min"], r["p_max"])
+        for r in extract_image_patches(media, patch=2).collect()
+    }
+    assert got == {
+        (0, 0): (0 + 1 + 4 + 5, 0, 5),
+        (0, 1): (2 + 3 + 6 + 7, 2, 7),
+        (1, 0): (8 + 9 + 12 + 13, 8, 13),
+        (1, 1): (10 + 11 + 14 + 15, 10, 15),
+    }
+    with _pytest.raises(ValueError, match="patch"):
+        extract_image_patches(media, patch=0)
+    # non-divisible sides raise inside the batch (honest gate)
+    img3 = encode_png_gray([[0] * 3] * 3)
+    bad = spark.createDataFrame(
+        [(2, bytearray(img3))], "doc_id long, content binary"
+    )
+    import py4j.protocol
+
+    with _pytest.raises(Exception, match="not divisible"):
+        extract_image_patches(bad, patch=2).collect()
+
+
+def test_downsample_audio_2x_pairs_and_roundtrip(spark):
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        downsample_audio_2x,
+        encode_wav_pcm16,
+    )
+
+    # odd count: final sample survives unpaired; negative pair floors
+    # toward -inf ((-5 + 2) // 2 = -2 in python → -2? no: -3//... )
+    samples = [100, 200, -5, 2, 7]
+    blob = encode_wav_pcm16(samples, framerate=8000)
+    media = spark.createDataFrame(
+        [(1, bytearray(blob))], "doc_id long, content binary"
+    )
+    r = downsample_audio_2x(media).collect()[0]
+    # pairs: (100+200)//2=150, (-5+2)//2=-2 (floor: -1.5 -> -2), tail 7
+    assert (r["n_in"], r["n_out"]) == (5, 3)
+    assert (r["rate_in"], r["rate_out"]) == (8000, 4000)
+    assert r["sum_abs_out"] == 150 + 2 + 7
+    assert r["peak_abs_out"] == 150
