@@ -597,6 +597,13 @@ def main() -> None:
         "queries": times,
         "runs": run_counts,
         "sf": sf,
+        "note": (
+            "single in-session run; the committed round-9 baseline is "
+            "the median-of-3-fresh-sessions artifact "
+            "BENCH_MEDIANS_r9.json (protocol + variance in "
+            "BENCH_DELTA_r9.md) - host drift up to 1.41x between "
+            "identical-code runs makes single runs non-comparable"
+        ),
     }
     # The full per-query payload (~12 KB for 275 queries) is persisted
     # as a repo artifact for round-over-round comparison …
