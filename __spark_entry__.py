@@ -17439,6 +17439,49 @@ FROM d GROUP BY doc_id
 """
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM behavioral segmentation (operators/analytics.rfm_segments):
+    per-user recency/frequency/monetary quartiles with total tie order
+    (metric, user id) so NTILE boundaries are engine-exact; windows run
+    over the user-cardinality rollup, never raw events."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        rfm_segments,
+    )
+
+    return rfm_segments(_t(spark, sf_dir, "events"))
+
+
+_SQL_RFM_SEGMENTS = """
+WITH pu AS (
+  SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS frequency,
+         CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)
+           AS monetary_micros
+  FROM events GROUP BY 1),
+b AS (
+  SELECT user_id,
+         date_diff('day', CAST(last_ts AS DATE),
+                   CAST((SELECT MAX(ts) FROM events) AS DATE))
+           AS recency_days,
+         frequency, monetary_micros
+  FROM pu),
+t AS (
+  SELECT user_id, recency_days, frequency, monetary_micros,
+         NTILE(4) OVER (ORDER BY recency_days DESC, user_id) AS r_tile,
+         NTILE(4) OVER (ORDER BY frequency, user_id) AS f_tile,
+         NTILE(4) OVER (ORDER BY monetary_micros, user_id) AS m_tile
+  FROM b)
+SELECT user_id, CAST(recency_days AS INTEGER) AS recency_days,
+       CAST(frequency AS BIGINT) AS frequency, monetary_micros,
+       CAST(r_tile AS INTEGER) AS r_tile,
+       CAST(f_tile AS INTEGER) AS f_tile,
+       CAST(m_tile AS INTEGER) AS m_tile,
+       CAST(r_tile AS VARCHAR) || CAST(f_tile AS VARCHAR)
+         || CAST(m_tile AS VARCHAR) AS segment
+FROM t
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -17530,6 +17573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_upsert": q_streaming_upsert,
         "image_patches_real": q_image_patches_real,
         "audio_resample_real": q_audio_resample_real,
+        "rfm_segments": q_rfm_segments,
         # ---- driver-signed green (r2-r6 windows + the full r08 window;
         # prior order preserved) ---------------------------------------
         "ab_test": q_ab_test,
@@ -17844,6 +17888,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_upsert": _SQL_STREAMING_UPSERT,
         "image_patches_real": _SQL_IMAGE_PATCHES_REAL,
         "audio_resample_real": _SQL_AUDIO_RESAMPLE_REAL,
+        "rfm_segments": _SQL_RFM_SEGMENTS,
         # -- round-6 additions --------------------------------------------
         "observed_write": _SQL_OBSERVED_WRITE,
         "schema_drift": _SQL_SCHEMA_DRIFT,

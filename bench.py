@@ -528,6 +528,8 @@ HEADLINE = [
     "streaming_upsert",
     "image_patches_real",
     "audio_resample_real",
+    # round-9 wave 5: classic behavioral segmentation
+    "rfm_segments",
 ]
 
 

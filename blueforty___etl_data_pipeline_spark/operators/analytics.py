@@ -921,3 +921,64 @@ def kaplan_meier(
         )
         .orderBy("duration")
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_tiles: int = 4,
+) -> DataFrame:
+    """RFM segmentation — the classic behavioral partitioning (Hughes
+    1994) every activation/churn pipeline starts from: per user,
+    RECENCY (days since last event, against the table's own horizon),
+    FREQUENCY (event count) and MONETARY (integer-micros value sum),
+    each quantile-bucketed into ``n_tiles`` tiles, concatenated into a
+    segment label ('444' = recent, frequent, high-value).
+
+    Determinism: tiles are ``ntile`` over (metric, user id) — the tie
+    order is total, so bucket boundaries are engine-exact (both Spark
+    and the oracle define NTILE by row position); recency ranks
+    DESCENDING (most recent = highest tile) so all three digits read
+    "bigger is better".
+
+    Returns (user, recency_days, frequency, monetary_micros, r_tile,
+    f_tile, m_tile, segment).
+
+    Scale shape: one partial-agged per-user rollup (user-cardinality),
+    then three NTILE windows sharing that table — windows run on users,
+    never events; the global horizon is a broadcast 1-row aggregate."""
+    per_user = df.groupBy(F.col(user_col).alias("_u")).agg(
+        F.max(ts_col).alias("_last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.expr(f"CAST(FLOOR({value_col} * 1000000) AS BIGINT)"))
+        .alias("monetary_micros"),
+    )
+    horizon = df.agg(F.max(ts_col).alias("_h"))
+    base = per_user.crossJoin(F.broadcast(horizon)).select(
+        "_u",
+        F.datediff(F.col("_h"), F.col("_last")).alias("recency_days"),
+        "frequency",
+        "monetary_micros",
+    )
+    r_w = Window.orderBy(F.desc("recency_days"), F.asc("_u"))
+    f_w = Window.orderBy(F.asc("frequency"), F.asc("_u"))
+    m_w = Window.orderBy(F.asc("monetary_micros"), F.asc("_u"))
+    return (
+        base.withColumn("r_tile", F.ntile(n_tiles).over(r_w))
+        .withColumn("f_tile", F.ntile(n_tiles).over(f_w))
+        .withColumn("m_tile", F.ntile(n_tiles).over(m_w))
+        .select(
+            F.col("_u").alias(user_col),
+            "recency_days",
+            "frequency",
+            "monetary_micros",
+            "r_tile",
+            "f_tile",
+            "m_tile",
+            F.concat_ws(
+                "", F.col("r_tile"), F.col("f_tile"), F.col("m_tile")
+            ).alias("segment"),
+        )
+    )

@@ -219,3 +219,29 @@ def test_streaming_update_mode_incremental_counts(spark, sf_small, tmp_path):
         ).collect()
     }
     assert latest == truth
+
+
+def test_rfm_segments_tiles_and_label(spark):
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        rfm_segments,
+    )
+
+    # 4 users with strictly ordered recency/frequency/monetary so every
+    # quartile holds exactly one user and the label is predictable
+    rows = []
+    for u in range(4):
+        # user u: last event at day u (user 3 most recent), u+1 events
+        # of value 10*(u+1)
+        for k in range(u + 1):
+            rows.append((u, f"2024-01-0{u + 1}", 10.0 * (u + 1)))
+    df = spark.createDataFrame(
+        rows, "user_id long, d string, value double"
+    ).select("user_id", F.to_timestamp("d").alias("ts"), "value")
+    got = {r["user_id"]: r for r in rfm_segments(df).collect()}
+    # user 3: most recent (r 4), most frequent (f 4), highest value (m 4)
+    assert got[3]["segment"] == "444"
+    assert got[0]["segment"] == "111"
+    assert got[0]["recency_days"] == 3 and got[3]["recency_days"] == 0
+    assert [got[u]["f_tile"] for u in range(4)] == [1, 2, 3, 4]
