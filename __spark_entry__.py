@@ -17490,25 +17490,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query correctness window carries the
-    most NEW signal each round.  Round-9 layout:
+    most NEW signal each round.  Round-10 layout:
 
-    - the 39 queries that have never carried a driver-signed
-      CORRECTNESS row lead (the 12 that spilled past the round-8
-      window plus the 27 round-8 session additions — all 39 were
-      judge-verified green in VERDICT r8's 40-query sweep), then
-      ``approx_profile`` (position 40), whose only driver row is the
-      stale ``no_oracle`` from r04 and which now has a full
-      hash-match oracle (judge-verified green in r8).
-    - new round-9 queries are inserted right after, so they also land
+    - the 14 round-9 late additions that have never carried a
+      driver-signed CORRECTNESS row lead (all 14 judge-verified green
+      in VERDICT r9's bare-session sweep).
+    - new round-10 queries are inserted right after, so they also land
       inside the 50-query window.
-    - then everything driver-signed green in rounds 2-8, prior order
-      preserved.
+    - then everything driver-signed green in rounds 2-9, prior order
+      preserved (the round-9 window block first, then the r2-r8
+      queue).
     """
     return {
-        # -- round-9 driver window: the 39 queries never driver-signed
-        # (12 spill from the r6 backlog + 27 round-8 session additions;
-        # all judge-verified green in VERDICT r8) plus approx_profile,
-        # whose only CORRECTNESS row is the stale r04 no_oracle --------
+        # -- round-10 driver window: the 14 round-9 late additions
+        # never driver-signed (judge-verified green in VERDICT r9) ----
+        "cross_source_dups": q_cross_source_dups,
+        "kmv_overlap": q_kmv_overlap,
+        "ngram_search": q_ngram_search,
+        "latex_strip": q_latex_strip,
+        "bitext_mine": q_bitext_mine,
+        "stl_decompose": q_stl_decompose,
+        "kcenter_coreset": q_kcenter_coreset,
+        "bpe_fertility": q_bpe_fertility,
+        "blocking_eval": q_blocking_eval,
+        "streaming_enrich": q_streaming_enrich,
+        "streaming_upsert": q_streaming_upsert,
+        "image_patches_real": q_image_patches_real,
+        "audio_resample_real": q_audio_resample_real,
+        "rfm_segments": q_rfm_segments,
+        # -- round-10 session additions land here (inside the window) --
+        # ---- driver-signed green r2-r9; prior order preserved --------
         "holt_forecast": q_holt_forecast,
         "xlsx_roundtrip": q_xlsx_roundtrip,
         "domain_rollup": q_domain_rollup,
@@ -17560,22 +17571,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join": q_bloom_semi_join,
         "group_kfold": q_group_kfold,
         "lateness_profile": q_lateness_profile,
-        "cross_source_dups": q_cross_source_dups,
-        "kmv_overlap": q_kmv_overlap,
-        "ngram_search": q_ngram_search,
-        "latex_strip": q_latex_strip,
-        "bitext_mine": q_bitext_mine,
-        "stl_decompose": q_stl_decompose,
-        "kcenter_coreset": q_kcenter_coreset,
-        "bpe_fertility": q_bpe_fertility,
-        "blocking_eval": q_blocking_eval,
-        "streaming_enrich": q_streaming_enrich,
-        "streaming_upsert": q_streaming_upsert,
-        "image_patches_real": q_image_patches_real,
-        "audio_resample_real": q_audio_resample_real,
-        "rfm_segments": q_rfm_segments,
-        # ---- driver-signed green (r2-r6 windows + the full r08 window;
-        # prior order preserved) ---------------------------------------
         "ab_test": q_ab_test,
         "split_leakage": q_split_leakage,
         "video_frames_real": q_video_frames_real,
