@@ -16938,18 +16938,20 @@ def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     _prep(spark)
     from blueforty___etl_data_pipeline_spark.operators.similarity import (
-        margin_mine,
+        margin_mine_blocked,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     # FIXED query batch (even ids < 500 — a no-op at the sf0.01
     # fixture, max vec_id 499): mining runs a bounded query set
-    # against a growing corpus, so the brute-force exact baseline
-    # scales linearly in corpus size; an unbounded left side made the
-    # cross join quadratic (sf1 spot measured 38x wall at 10x data).
-    # At true corpus scale, block candidates with the LSH/IVF
-    # operators and feed survivors through the same margin arithmetic.
-    return margin_mine(
+    # against a growing corpus.  The blocked miner's plane count
+    # adapts to corpus size: at the oracle gate (250 right vectors ≤
+    # target_bucket) it is 0 planes = the exact brute baseline, so the
+    # brute-force oracle SQL is a strict equality check (blocking
+    # provably complete at gate scale); past target_bucket the LSH
+    # tables engage and per-query work stays ~n_tables·target_bucket,
+    # constant in corpus size where the brute form was linear.
+    return margin_mine_blocked(
         emb.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 500)),
         emb.filter(F.col("vec_id") % 2 == 1),
         k=4,
@@ -17482,6 +17484,110 @@ FROM t
 """
 
 
+# ---------------------------------------------------------------------------
+# round-10 session additions
+# ---------------------------------------------------------------------------
+
+
+def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global rank / percent-rank / decile of EVERY lineitem by
+    price (operators/analytics.exact_global_rank): the distributed
+    two-phase rank — approx-percentile range chunks, per-chunk parallel
+    row_number, broadcast chunk offsets — where a bare
+    ``Window.orderBy`` would sort the whole fact table in ONE task.
+    Rank arithmetic (percent, NTILE decile) is pure integer math on
+    (rank, n), bit-identical to the oracle's window functions."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        exact_global_rank,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias(
+            "price_cents"
+        ),
+        F.expr("l_orderkey * 8 + l_linenumber").alias("_tie"),
+    )
+    ranked, n = exact_global_rank(li, "price_cents", "_tie", out_col="rnk")
+    q10, r10 = divmod(n, 10)
+    cut, qq = r10 * (q10 + 1), max(q10, 1)
+    return ranked.select(
+        "l_orderkey",
+        "l_linenumber",
+        "price_cents",
+        F.col("rnk").alias("price_rank"),
+        F.expr(
+            f"CAST((rnk - 1) * 1000000 DIV {max(n - 1, 1)} AS BIGINT)"
+        ).alias("pct_e6"),
+        F.expr(
+            f"CAST(CASE WHEN rnk <= {cut} THEN ({q10} + rnk) DIV {q10 + 1}"
+            f" ELSE {r10} + (rnk - {cut} + {qq} - 1) DIV {qq} END AS INT)"
+        ).alias("decile"),
+    )
+
+
+_SQL_GLOBAL_RANK = """
+WITH b AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+         CAST(l_linenumber AS INTEGER) AS l_linenumber,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         l_orderkey * 8 + l_linenumber AS tie
+  FROM lineitem),
+r AS (
+  SELECT l_orderkey, l_linenumber, price_cents,
+         ROW_NUMBER() OVER (ORDER BY price_cents, tie) AS rnk,
+         NTILE(10) OVER (ORDER BY price_cents, tie) AS dec,
+         COUNT(*) OVER () AS n
+  FROM b)
+SELECT l_orderkey, l_linenumber, price_cents,
+       CAST(rnk AS BIGINT) AS price_rank,
+       CAST((rnk - 1) * 1000000 // GREATEST(n - 1, 1) AS BIGINT) AS pct_e6,
+       CAST(dec AS INTEGER) AS decile
+FROM r
+"""
+
+
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle restructuring (operators/corpus.
+    fim_transform — the Bavarian et al. 2022 infilling transform):
+    every document splits at two md5-derived cut points into PSM order
+    ``<PRE>prefix<SUF>suffix<MID>middle``; short docs pass through.
+    Pure map stage, engine-exact cuts."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        fim_transform,
+    )
+
+    return fim_transform(_t(spark, sf_dir, "documents"))
+
+
+def _sql_fim_transform() -> str:
+    ha = _d_md5h("'fim_a:' || CAST(doc_id AS VARCHAR)")
+    hb = _d_md5h("'fim_b:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH b AS (
+  SELECT doc_id, text, length(text) AS n,
+         {ha} AS ha, {hb} AS hb
+  FROM documents),
+c AS (
+  SELECT doc_id, text, n,
+         CAST(LEAST(ha % (n - 1) + 1, hb % (n - 1) + 1) AS INTEGER) AS a,
+         CAST(GREATEST(ha % (n - 1) + 1, hb % (n - 1) + 1) AS INTEGER) AS b2
+  FROM b WHERE n >= 16)
+SELECT doc_id, CAST(n AS INTEGER) AS n_chars, a AS cut_a, b2 AS cut_b,
+       '<PRE>' || substr(text, 1, a) || '<SUF>'
+         || substr(text, b2 + 1, n - b2) || '<MID>'
+         || substr(text, a + 1, b2 - a) AS fim_text
+FROM c
+UNION ALL
+SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+       0 AS cut_a, 0 AS cut_b, text AS fim_text
+FROM documents WHERE length(text) < 16
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -17519,6 +17625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_resample_real": q_audio_resample_real,
         "rfm_segments": q_rfm_segments,
         # -- round-10 session additions land here (inside the window) --
+        "global_rank": q_global_rank,
+        "fim_transform": q_fim_transform,
         # ---- driver-signed green r2-r9; prior order preserved --------
         "holt_forecast": q_holt_forecast,
         "xlsx_roundtrip": q_xlsx_roundtrip,
@@ -17884,6 +17992,9 @@ def oracle_sql() -> dict[str, str]:
         "image_patches_real": _SQL_IMAGE_PATCHES_REAL,
         "audio_resample_real": _SQL_AUDIO_RESAMPLE_REAL,
         "rfm_segments": _SQL_RFM_SEGMENTS,
+        # round-10 session additions
+        "global_rank": _SQL_GLOBAL_RANK,
+        "fim_transform": _sql_fim_transform(),
         # -- round-6 additions --------------------------------------------
         "observed_write": _SQL_OBSERVED_WRITE,
         "schema_drift": _SQL_SCHEMA_DRIFT,

@@ -923,6 +923,66 @@ def kaplan_meier(
     )
 
 
+def exact_global_rank(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    out_col: str = "rank",
+    n_chunks: int = 64,
+) -> tuple[DataFrame, int]:
+    """Exact global ROW_NUMBER over the total order (``value_col`` ASC,
+    ``tie_col`` ASC) WITHOUT the single-partition sort a bare
+    ``Window.orderBy`` pays — the reusable core of the distributed-rank
+    pattern (also fused three-way inside :func:`rfm_segments`).
+
+    Phase 1: range-chunk rows by ``n_chunks`` approx-percentile
+    boundaries of the value (boundary placement only affects BALANCE,
+    never the result: any order-respecting chunking yields the same
+    exact ranks).  Phase 2: per-chunk parallel ``row_number`` plus a
+    broadcast literal chunk-offset map (the cumulative chunk counts).
+    Ranks are exact integers 1..n; ``percent_rank``/``ntile``/``cume``
+    are pure arithmetic on (rank, n) downstream.
+
+    Returns ``(df + out_col, n_total)``.  Two bounded driver actions
+    during plan build (one percentile probe, one ≤ n_chunks-row count
+    table); the output plan itself is shuffle-parallel over chunks.
+
+    ``tie_col`` must be unique per row or the total order (and the
+    rank) is nondeterministic under parallel execution."""
+    ps = [i / n_chunks for i in range(1, n_chunks)]
+    probe = df.agg(
+        F.percentile_approx(F.col(value_col), ps, 10_000).alias("b")
+    ).collect()[0]
+    bounds = sorted({b for b in (probe["b"] or []) if b is not None})
+    if bounds:
+        arr = F.array(*[F.lit(b) for b in bounds])
+        chunk = F.size(F.filter(arr, lambda b: F.col(value_col) > b))
+    else:
+        chunk = F.lit(0)
+    chunked = df.withColumn("_gr_chunk", chunk)
+    cnts = (
+        chunked.groupBy("_gr_chunk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    run, items = 0, []
+    for row in sorted(cnts, key=lambda r: r["_gr_chunk"]):
+        items += [F.lit(row["_gr_chunk"]), F.lit(run)]
+        run += row["n"]
+    offsets = F.create_map(*items) if items else F.create_map()
+    w = Window.partitionBy("_gr_chunk").orderBy(
+        F.asc(value_col), F.asc(tie_col)
+    )
+    out = chunked.withColumn(
+        out_col,
+        (
+            F.element_at(offsets, F.col("_gr_chunk"))
+            + F.row_number().over(w)
+        ).cast("long"),
+    ).drop("_gr_chunk")
+    return out, run
+
+
 def rfm_segments(
     df: DataFrame,
     user_col: str = "user_id",
@@ -937,18 +997,26 @@ def rfm_segments(
     each quantile-bucketed into ``n_tiles`` tiles, concatenated into a
     segment label ('444' = recent, frequent, high-value).
 
-    Determinism: tiles are ``ntile`` over (metric, user id) — the tie
-    order is total, so bucket boundaries are engine-exact (both Spark
-    and the oracle define NTILE by row position); recency ranks
-    DESCENDING (most recent = highest tile) so all three digits read
-    "bigger is better".
+    Determinism: tiles follow NTILE semantics over the TOTAL order
+    (metric, user id) — first ``n mod k`` tiles get ``ceil(n/k)`` rows —
+    so the output is engine-exact (identical to ``NTILE(k) OVER (ORDER
+    BY metric, user)``); recency ranks DESCENDING (most recent =
+    highest tile) so all three digits read "bigger is better".
 
     Returns (user, recency_days, frequency, monetary_micros, r_tile,
     f_tile, m_tile, segment).
 
-    Scale shape: one partial-agged per-user rollup (user-cardinality),
-    then three NTILE windows sharing that table — windows run on users,
-    never events; the global horizon is a broadcast 1-row aggregate."""
+    Scale shape: one partial-agged per-user rollup (user-cardinality);
+    tiles are NOT computed with a global unpartitioned window (which
+    moves every user to one task) but with the distributed exact-rank
+    pattern: each metric is range-chunked by approx-percentile
+    boundaries (boundary placement only affects balance, never the
+    result — ranks are exact under ANY order-respecting chunking),
+    ranks are a per-chunk parallel ``row_number`` plus a broadcast
+    literal chunk-offset map, and the tile is pure integer arithmetic
+    on (rank, n).  Two bounded driver actions during plan build (one
+    3-array percentile probe, one ≤ 3·(chunks+1)-row count table);
+    at production scale persist the per-user rollup before calling."""
     per_user = df.groupBy(F.col(user_col).alias("_u")).agg(
         F.max(ts_col).alias("_last"),
         F.count(F.lit(1)).alias("frequency"),
@@ -962,23 +1030,103 @@ def rfm_segments(
         "frequency",
         "monetary_micros",
     )
-    r_w = Window.orderBy(F.desc("recency_days"), F.asc("_u"))
-    f_w = Window.orderBy(F.asc("frequency"), F.asc("_u"))
-    m_w = Window.orderBy(F.asc("monetary_micros"), F.asc("_u"))
-    return (
-        base.withColumn("r_tile", F.ntile(n_tiles).over(r_w))
-        .withColumn("f_tile", F.ntile(n_tiles).over(f_w))
-        .withColumn("m_tile", F.ntile(n_tiles).over(m_w))
-        .select(
-            F.col("_u").alias(user_col),
-            "recency_days",
-            "frequency",
-            "monetary_micros",
-            "r_tile",
-            "f_tile",
-            "m_tile",
-            F.concat_ws(
-                "", F.col("r_tile"), F.col("f_tile"), F.col("m_tile")
-            ).alias("segment"),
+
+    n_chunks = 64
+    ps = [i / n_chunks for i in range(1, n_chunks)]
+    # ascending NTILE sort value per metric (recency is DESC → negate)
+    metrics = {
+        "r": (-F.col("recency_days")).cast("long"),
+        "f": F.col("frequency").cast("long"),
+        "m": F.col("monetary_micros").cast("long"),
+    }
+    probe = base.agg(
+        *[
+            F.percentile_approx(v, ps, 10_000).alias(d)
+            for d, v in metrics.items()
+        ]
+    ).collect()[0]
+
+    def _chunk(value: Column, bounds: list[int]) -> Column:
+        if not bounds:
+            return F.lit(0)
+        arr = F.array(*[F.lit(b) for b in bounds])
+        return F.size(F.filter(arr, lambda b: value > b))
+
+    bounds = {
+        d: sorted({int(b) for b in (probe[d] or [])}) for d in metrics
+    }
+    chunked = base.select(
+        "*",
+        *[
+            _chunk(v, bounds[d]).alias(f"_c{d}")
+            for d, v in metrics.items()
+        ],
+    )
+    cnt_rows = (
+        chunked.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            F.col(f"_c{d}").alias("c"),
+                        )
+                        for d in metrics
+                    ]
+                )
+            ).alias("p")
         )
+        .groupBy("p.d", "p.c")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    per_dim: dict[str, dict[int, int]] = {d: {} for d in metrics}
+    for row in cnt_rows:
+        per_dim[row["d"]][row["c"]] = row["n"]
+    n_total = sum(per_dim["r"].values())
+    offset_maps = {}
+    for d in metrics:
+        run, items = 0, []
+        for c in sorted(per_dim[d]):
+            items += [F.lit(c), F.lit(run)]
+            run += per_dim[d][c]
+        offset_maps[d] = F.create_map(*items)
+
+    ranked = chunked
+    for d, order in (
+        ("r", [F.desc("recency_days"), F.asc("_u")]),
+        ("f", [F.asc("frequency"), F.asc("_u")]),
+        ("m", [F.asc("monetary_micros"), F.asc("_u")]),
+    ):
+        w = Window.partitionBy(f"_c{d}").orderBy(*order)
+        ranked = ranked.withColumn(
+            f"_rank_{d}",
+            F.element_at(offset_maps[d], F.col(f"_c{d}"))
+            + F.row_number().over(w),
+        )
+    q, r = divmod(n_total, n_tiles)
+    cut, qq = r * (q + 1), max(q, 1)
+    tiles = ranked.select(
+        "*",
+        *[
+            F.expr(
+                f"CAST(CASE WHEN _rank_{d} <= {cut}"
+                f" THEN ({q} + _rank_{d}) DIV {q + 1}"
+                f" ELSE {r} + (_rank_{d} - {cut} + {qq} - 1) DIV {qq}"
+                f" END AS INT)"
+            ).alias(f"{d}_tile")
+            for d in metrics
+        ],
+    )
+    return tiles.select(
+        F.col("_u").alias(user_col),
+        "recency_days",
+        "frequency",
+        "monetary_micros",
+        "r_tile",
+        "f_tile",
+        "m_tile",
+        F.concat_ws(
+            "", F.col("r_tile"), F.col("f_tile"), F.col("m_tile")
+        ).alias("segment"),
     )

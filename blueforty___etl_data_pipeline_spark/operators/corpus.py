@@ -81,6 +81,67 @@ def chunk_documents(
     )
 
 
+def fim_transform(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 16,
+    pre_tok: str = "<PRE>",
+    suf_tok: str = "<SUF>",
+    mid_tok: str = "<MID>",
+) -> DataFrame:
+    """Fill-in-the-middle restructuring (Bavarian et al. 2022 — the
+    infilling pretraining transform behind code models): split each
+    document at two DETERMINISTIC cut points into (prefix, middle,
+    suffix) and emit the PSM ordering ``<PRE>prefix<SUF>suffix<MID>
+    middle`` — the model reads both context sides, then predicts the
+    middle.
+
+    Cut points derive from the portable md5 hash of the doc id (two
+    salts), each uniform over [1, n−1], sorted — so the transform is
+    reproducible on any engine, stable under repartition, and the
+    middle may be legitimately empty (both cuts equal).  Documents
+    shorter than ``min_chars`` pass through untransformed (cut 0/0,
+    ``fim_text = text``) — the standard "FIM rate" gate expressed as a
+    length floor rather than a sampled fraction, so it stays
+    deterministic.
+
+    Returns (id, n_chars, cut_a, cut_b, fim_text).
+
+    Scale shape: pure map stage — two hashes and three substrings per
+    row, no shuffle, no UDF."""
+    from ..functions.text import md5_hash64
+
+    n = F.length(F.col(text_col))
+
+    def cut(salt: str):
+        h = md5_hash64(
+            F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+        )
+        return (h % (n - 1) + 1).cast("int")
+
+    a_raw, b_raw = cut("fim_a"), cut("fim_b")
+    a = F.least(a_raw, b_raw)
+    b = F.greatest(a_raw, b_raw)
+    t = F.col(text_col)
+    psm = F.concat(
+        F.lit(pre_tok),
+        t.substr(F.lit(1), a),
+        F.lit(suf_tok),
+        t.substr(b + 1, n - b),
+        F.lit(mid_tok),
+        t.substr(a + 1, b - a),
+    )
+    short = n < min_chars
+    return df.select(
+        F.col(id_col),
+        n.cast("int").alias("n_chars"),
+        F.when(short, F.lit(0)).otherwise(a).alias("cut_a"),
+        F.when(short, F.lit(0)).otherwise(b).alias("cut_b"),
+        F.when(short, t).otherwise(psm).alias("fim_text"),
+    )
+
+
 def top_ngrams(
     df: DataFrame,
     n: int = 2,

@@ -1345,9 +1345,10 @@ def margin_mine(
     norm projected below the join) feeds the best-pair window AND both
     neighborhood sums — rank-k selection uses (score, id) tiebreaks so
     every aggregate is deterministic.  Brute-force scoring is the
-    exact baseline; at corpus scale, block candidates first with the
-    LSH/IVF operators in this module and feed the surviving pairs
-    through the same margin arithmetic."""
+    exact baseline; at corpus scale :func:`margin_mine_blocked` routes
+    candidates through adaptive multi-table LSH and feeds survivors
+    through the same margin arithmetic (this function's scored table
+    IS its ``n_planes = 0`` degenerate case)."""
     lv = left.select(
         F.col(id_col).alias("_lid"), _micro_vec(F.col(vec_col)).alias("_lv")
     ).withColumn("_ln", l2_norm(F.col("_lv")))
@@ -1375,6 +1376,18 @@ def margin_mine(
         # cosine arithmetic run once
         .localCheckpoint(eager=False)
     )
+    return _margin_from_scored(scored, k, margin_threshold_permille)
+
+
+def _margin_from_scored(
+    scored: DataFrame, k: int, margin_threshold_permille: int
+) -> DataFrame:
+    """Shared margin arithmetic over a (_lid, _rid, _c) candidate
+    table: per-side top-k neighborhood sums, best pair per left id,
+    integer permille ratio margin.  Exact over the candidates it is
+    given — brute candidates (``margin_mine``) make it the exact
+    baseline, blocked candidates (``margin_mine_blocked``) the
+    approximate scale path."""
     wl = Window.partitionBy("_lid").orderBy(F.desc("_c"), F.asc("_rid"))
     wr = Window.partitionBy("_rid").orderBy(F.desc("_c"), F.asc("_lid"))
     lsum = (
@@ -1415,6 +1428,100 @@ def margin_mine(
             ),
         )
     )
+
+
+def margin_mine_blocked(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    margin_threshold_permille: int = 1050,
+    n_tables: int = 8,
+    target_bucket: int = 512,
+    dim: int = 64,
+) -> DataFrame:
+    """:func:`margin_mine` behind adaptive multi-table LSH blocking —
+    the corpus-scale path of the Artetxe & Schwenk ratio-margin miner.
+
+    The hyperplane count ADAPTS to the corpus: ``n_planes =
+    ceil(log2(n_right / target_bucket))`` (capped at 16), so per-table
+    buckets hold ~``target_bucket`` vectors regardless of corpus size
+    and per-query candidate work stays ~``n_tables · target_bucket``
+    — CONSTANT in corpus size where the brute baseline is linear.  At
+    or below ``target_bucket`` vectors the plane count is 0 (one
+    bucket = every pair scored), which makes this function bit-exact
+    to :func:`margin_mine` at oracle-gate scale — the blocking is
+    provably complete there, and the recall/cost dial only engages
+    once the corpus outgrows a single bucket.  Candidate survivors
+    feed the SAME integer margin arithmetic
+    (:func:`_margin_from_scored`), so accepted pairs are exact over
+    whatever candidate set the blocking admits.
+
+    Scale shape: per-table buckets are map-side folds over the vector
+    (posexploded to (table, bucket)); candidates come from ONE
+    equi-join on (table, bucket) with the bounded query side
+    broadcast; duplicate multi-table hits collapse in the same
+    per-pair aggregate that carries the cosine.  One bounded driver
+    action (the right-side count that sizes the plane count)."""
+    n_right = right.count()
+    n_planes = 0
+    while n_planes < 16 and (n_right >> n_planes) > target_bucket:
+        n_planes += 1
+    if n_planes < 3:
+        # below 3 planes the per-table buckets are halves/quarters of
+        # the corpus: the candidate union is ~the full cross product,
+        # so the (lid, rid) dedup shuffle costs more than the brute
+        # cross join it would replace — stay on the exact path until
+        # the blocking can actually prune
+        n_planes = 0
+    lv = left.select(
+        F.col(id_col).alias("_lid"), _micro_vec(F.col(vec_col)).alias("_lv")
+    ).withColumn("_ln", l2_norm(F.col("_lv")))
+    rv = right.select(
+        F.col(id_col).alias("_rid"), _micro_vec(F.col(vec_col)).alias("_rv")
+    ).withColumn("_rn", l2_norm(F.col("_rv")))
+    cos = (
+        F.round(
+            _paired_cosine(
+                F.col("_lv"), F.col("_ln"), F.col("_rv"), F.col("_rn")
+            )
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("_c")
+    )
+    if n_planes == 0:
+        cand = lv.crossJoin(F.broadcast(rv)).select("_lid", "_rid", cos)
+    else:
+        tables = [
+            _hyperplanes(dim, n_planes, seed=101 + t)
+            for t in range(n_tables)
+        ]
+
+        def bucketed(df: DataFrame) -> DataFrame:
+            vc = "_lv" if "_lv" in df.columns else "_rv"
+            return df.select(
+                "*",
+                F.posexplode(
+                    F.array(
+                        *[lsh_bucket(F.col(vc), p) for p in tables]
+                    )
+                ).alias("_t", "_bucket"),
+            )
+
+        cand = (
+            bucketed(rv)
+            .join(F.broadcast(bucketed(lv)), on=["_t", "_bucket"])
+            .select("_lid", "_rid", cos)
+            .groupBy("_lid", "_rid")
+            .agg(F.max("_c").alias("_c"))
+        )
+    scored = cand.filter(F.col("_c").isNotNull()).localCheckpoint(
+        eager=False
+    )
+    return _margin_from_scored(scored, k, margin_threshold_permille)
 
 
 def kcenter_coreset(

@@ -573,6 +573,73 @@ def test_margin_mine_hub_suppression(spark):
     assert got[2]["margin_permille"] < 1300
 
 
+def test_margin_mine_blocked_degenerates_to_exact_brute(spark):
+    """Below target_bucket the adaptive plane count is 0 and the
+    blocked miner must be BIT-EXACT to margin_mine — this equality is
+    what makes the brute-force oracle a strict gate for the blocked
+    query at sf0.01."""
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        margin_mine,
+        margin_mine_blocked,
+    )
+
+    import random
+
+    rng = random.Random(13)
+    mk = lambda: [rng.uniform(-1, 1) for _ in range(8)]
+    left = spark.createDataFrame(
+        [(i, mk()) for i in range(0, 40, 2)],
+        "vec_id long, embedding array<float>",
+    )
+    right = spark.createDataFrame(
+        [(i, mk()) for i in range(1, 40, 2)],
+        "vec_id long, embedding array<float>",
+    )
+    brute = sorted(
+        tuple(r) for r in margin_mine(left, right, k=3).collect()
+    )
+    blocked = sorted(
+        tuple(r)
+        for r in margin_mine_blocked(
+            left, right, k=3, target_bucket=512, dim=8
+        ).collect()
+    )
+    assert blocked == brute
+
+
+def test_margin_mine_blocked_lsh_path_finds_exact_partners(spark):
+    """Past target_bucket the LSH tables engage; identical vectors
+    hash to the same bucket in EVERY table, so an exact partner is
+    always a candidate and surfaces as the best pair."""
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        margin_mine_blocked,
+    )
+
+    import random
+
+    rng = random.Random(29)
+    mk = lambda: [rng.uniform(-1, 1) for _ in range(8)]
+    rights = [(2 * i + 1, mk()) for i in range(64)]
+    right = spark.createDataFrame(
+        rights, "vec_id long, embedding array<float>"
+    )
+    # each left vector IS one right vector (ids 1, 21, 41, 61)
+    left = spark.createDataFrame(
+        [(rid - 1, v) for rid, v in rights[::10][:4]],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["src_id"]: r
+        for r in margin_mine_blocked(
+            left, right, k=2, target_bucket=8, dim=8
+        ).collect()
+    }
+    assert len(out) == 4
+    for rid, _ in rights[::10][:4]:
+        assert out[rid - 1]["dst_id"] == rid
+        assert out[rid - 1]["cos_e6"] == 1_000_000
+
+
 def test_kcenter_coreset_farthest_point_rounds(spark):
     from blueforty___etl_data_pipeline_spark.operators.similarity import (
         kcenter_coreset,

@@ -245,3 +245,32 @@ def test_rfm_segments_tiles_and_label(spark):
     assert got[0]["segment"] == "111"
     assert got[0]["recency_days"] == 3 and got[3]["recency_days"] == 0
     assert [got[u]["f_tile"] for u in range(4)] == [1, 2, 3, 4]
+
+
+def test_exact_global_rank_matches_window_row_number(spark):
+    """The distributed two-phase rank must equal a bare global
+    ROW_NUMBER bit-for-bit, including NTILE-relevant tie handling and
+    the uneven-bucket edge (n not divisible by the chunk count)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        exact_global_rank,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    # heavy ties: values drawn from a tiny domain, unique tie ids
+    rows = [(i, rng.randrange(5)) for i in range(137)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got, n = exact_global_rank(df, "v", "id", out_col="r", n_chunks=8)
+    assert n == 137
+    w = Window.orderBy(F.asc("v"), F.asc("id"))
+    want = {
+        (r["id"], r["v"]): r["r"]
+        for r in df.select(
+            "id", "v", F.row_number().over(w).cast("long").alias("r")
+        ).collect()
+    }
+    assert {(r["id"], r["v"]): r["r"] for r in got.collect()} == want
