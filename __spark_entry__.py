@@ -17549,6 +17549,83 @@ FROM r
 """
 
 
+def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join (streaming/joins.
+    stream_stream_join, how='leftOuter'): views matched to clicks of
+    the same user within the following 4 hours; a view with NO click
+    emits once the watermark proves a match impossible (null right
+    side).  Emission semantics pinned against the engine: an unmatched
+    left row is emitted iff ``view_ts + lag < final watermark`` with
+    the final watermark = LEAST(max view ts, max click ts) under a
+    0-second delay — the oracle is the batch left join with exactly
+    that strict-inequality filter on its null tail, so a hash match
+    proves both the join result AND the eviction boundary."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    src = _stage_stream_source(ev, "events_join", sf_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    views = stream.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), "ts"
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    joined = stream_stream_join(
+        views,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        watermark="0 seconds",
+        max_lag="INTERVAL 4 HOURS",
+        how="leftOuter",
+    )
+    out = joined.select(
+        "user_id",
+        "view_id",
+        F.col("click_id_r").alias("click_id"),
+        F.unix_micros(F.col("ts")).alias("view_ts_us"),
+        F.unix_micros(F.col("ts_r")).alias("click_ts_us"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("q_streaming_outer_join_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_streaming(q)
+    return spark.table("q_streaming_outer_join_sink")
+
+
+_SQL_STREAMING_OUTER_JOIN = """
+WITH v AS (
+  SELECT user_id, event_id AS view_id, ts FROM events
+  WHERE event_type = 'view'),
+c AS (
+  SELECT user_id, event_id AS click_id, ts FROM events
+  WHERE event_type = 'click'),
+wm AS (
+  SELECT LEAST((SELECT MAX(ts) FROM v), (SELECT MAX(ts) FROM c)) AS w)
+SELECT v.user_id, v.view_id, c.click_id,
+       CAST(epoch_us(v.ts) AS BIGINT) AS view_ts_us,
+       CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us
+FROM v JOIN c
+  ON v.user_id = c.user_id
+ AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 4 HOUR
+UNION ALL
+SELECT v.user_id, v.view_id, NULL AS click_id,
+       CAST(epoch_us(v.ts) AS BIGINT) AS view_ts_us,
+       NULL AS click_ts_us
+FROM v CROSS JOIN wm
+WHERE v.ts + INTERVAL 4 HOUR < wm.w
+  AND NOT EXISTS (
+    SELECT 1 FROM c
+    WHERE c.user_id = v.user_id
+      AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 4 HOUR)
+"""
+
+
 def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fill-in-the-middle restructuring (operators/corpus.
     fim_transform — the Bavarian et al. 2022 infilling transform):
@@ -17627,6 +17704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-10 session additions land here (inside the window) --
         "global_rank": q_global_rank,
         "fim_transform": q_fim_transform,
+        "streaming_outer_join": q_streaming_outer_join,
         # ---- driver-signed green r2-r9; prior order preserved --------
         "holt_forecast": q_holt_forecast,
         "xlsx_roundtrip": q_xlsx_roundtrip,
@@ -17995,6 +18073,7 @@ def oracle_sql() -> dict[str, str]:
         # round-10 session additions
         "global_rank": _SQL_GLOBAL_RANK,
         "fim_transform": _sql_fim_transform(),
+        "streaming_outer_join": _SQL_STREAMING_OUTER_JOIN,
         # -- round-6 additions --------------------------------------------
         "observed_write": _SQL_OBSERVED_WRITE,
         "schema_drift": _SQL_SCHEMA_DRIFT,

@@ -35,8 +35,9 @@ def stream_stream_join(
     watermark: str = "1 hour",
     max_lag: str = "INTERVAL 30 MINUTES",
     suffix: str = "_r",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner equi-join on ``key`` where the right event arrives within
+    """Equi-join on ``key`` where the right event arrives within
     ``(left_ts, left_ts + max_lag]`` — watermarked on both sides so the
     state store can evict rows once they can no longer match.
 
@@ -44,6 +45,15 @@ def stream_stream_join(
     bound is REQUIRED for streaming state cleanup: without it Spark
     must keep every row forever (it cannot know a future match is
     impossible).
+
+    ``how="leftOuter"`` emits each unmatched left row (right columns
+    null) once the watermark passes ``left_ts + max_lag`` — i.e. once
+    a future match is provably impossible.  Left rows whose
+    no-match-possible point the final watermark never crosses stay in
+    state unemitted; on a bounded availableNow drain the emitted
+    outer set is therefore exactly ``{unmatched left | left_ts +
+    max_lag < min(max left_ts, max right_ts) - delay}`` — the batch
+    twin every outer fixture pins against its oracle.
     """
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
@@ -63,7 +73,7 @@ def stream_stream_join(
             <= F.col(left_ts) + F.expr(max_lag)
         )
     )
-    return lw.join(rw, on=cond, how="inner")
+    return lw.join(rw, on=cond, how=how)
 
 
 def stream_static_join(

@@ -89,3 +89,44 @@ def test_stream_static_join_enriches_per_batch(spark, tmp_path):
         for r in spark.sql("SELECT user_id, segment FROM ss_static").collect()
     }
     assert got == {1: "paid", 9: None}  # left join keeps unmatched
+
+
+def test_stream_stream_left_outer_emission_boundary(spark, tmp_path):
+    """leftOuter: an unmatched left row emits (null right) iff the
+    FINAL watermark strictly passes left_ts + lag.  Pins the strict
+    inequality at the knife edge (ts + lag == watermark stays in
+    state, unemitted) — the eviction contract the streaming_outer_join
+    oracle encodes."""
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    # watermark (delay 0) = min(max left ts, max right ts) = minute 50.
+    # left@0: +30 = 30 < 50  -> emits unmatched
+    # left@20: +30 = 50 == 50 -> knife edge, stays in state
+    # left@55: +30 = 85 > 50 -> stays in state
+    _write(
+        spark, lp, [(_t(0), 1, "imp"), (_t(20), 1, "imp"), (_t(55), 1, "imp")]
+    )
+    # the only click is another user's: sets the right watermark only
+    _write(spark, rp, [(_t(50), 2, "click")])
+    left = spark.readStream.schema(SCHEMA).parquet(lp)
+    right = spark.readStream.schema(SCHEMA).parquet(rp)
+    joined = stream_stream_join(
+        left,
+        right,
+        key="user_id",
+        watermark="0 seconds",
+        max_lag="INTERVAL 30 MINUTES",
+        how="leftOuter",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = sorted(
+        (r["ts"].minute, r["user_id_r"]) for r in spark.table("ss_outer").collect()
+    )
+    assert got == [(0, None)]
