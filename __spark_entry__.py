@@ -17549,6 +17549,99 @@ FROM r
 """
 
 
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) recalibration (operators/analytics.
+    isotonic_calibration) of the length-based is-English scorer over
+    20 score bins: the monotone corrected probability per bin, exact
+    integer PAV.  The oracle replays it as the minimax window average
+    ``max_{j≤i} min_{k≥i} floor_e6(avg(j,k))`` over bin prefix sums —
+    equal to floored PAV because floor commutes with min/max."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        isotonic_calibration,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.least(F.col("n_chars"), F.lit(1000)) * 1000).alias("pred_e6"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return isotonic_calibration(docs, "pred_e6", "is_en", n_bins=20)
+
+
+_SQL_ISOTONIC_CALIBRATION = """
+WITH base AS (
+  SELECT LEAST(n_chars, 1000) * 1000 AS pred,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents),
+agg AS (
+  SELECT LEAST(pred // 50000, 19) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos
+  FROM base GROUP BY 1),
+p AS (
+  SELECT bin, n, n_pos,
+         ROW_NUMBER() OVER (ORDER BY bin) AS i,
+         SUM(n) OVER (ORDER BY bin) AS cn,
+         SUM(n_pos) OVER (ORDER BY bin) AS cpos
+  FROM agg),
+w AS (
+  SELECT j.i AS j, k.i AS k,
+         1000000 * (k.cpos - COALESCE(jm.cpos, 0))
+           // (k.cn - COALESCE(jm.cn, 0)) AS avg_e6
+  FROM p j JOIN p k ON k.i >= j.i
+  LEFT JOIN p jm ON jm.i = j.i - 1),
+inner_min AS (
+  SELECT w.j, p.i, MIN(w.avg_e6) AS minv
+  FROM w JOIN p ON w.k >= p.i AND w.j <= p.i
+  GROUP BY 1, 2),
+iso AS (SELECT i, MAX(minv) AS iso_rate_e6 FROM inner_min GROUP BY 1)
+SELECT CAST(p.bin AS INTEGER) AS bin, p.n, p.n_pos,
+       1000000 * p.n_pos // p.n AS raw_rate_e6,
+       CAST(iso.iso_rate_e6 AS BIGINT) AS iso_rate_e6
+FROM p JOIN iso ON p.i = iso.i
+"""
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing local fingerprints (operators/dedup.
+    winnow_fingerprints — the MOSS algorithm): per-window rightmost
+    minimum of trigram hashes, guaranteeing any shared ≥6-token run
+    between documents shares a fingerprint.  Per-row array math +
+    one distinct; fingerprint volume ≈ 2/(w+1) of full shingling."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def _sql_winnow_fingerprints(window: int = 4) -> str:
+    toks = _D_TOKENS.format(t="text")
+    gram = "array_to_string(toks[i:i+2], ' ')"
+    we = f"least({window}, m)"
+    win = f"gh[i:i+{window - 1}]"
+    return f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+gh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                        i -> {_d_md5h(gram)}) AS gh
+  FROM tok),
+m AS (SELECT doc_id, gh, len(gh) AS m FROM gh WHERE len(gh) > 0),
+fps AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, m - {we} + 2), i -> struct_pack(
+           pos := i + len({win})
+                    - list_position(list_reverse({win}),
+                                    list_min({win})),
+           fp := list_min({win})))) AS f
+  FROM m)
+SELECT DISTINCT doc_id, CAST(f.pos AS BIGINT) AS pos,
+       CAST(f.fp AS BIGINT) AS fp_hash
+FROM fps
+"""
+
+
 def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream LEFT OUTER join (streaming/joins.
     stream_stream_join, how='leftOuter'): views matched to clicks of
@@ -17705,6 +17798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_rank": q_global_rank,
         "fim_transform": q_fim_transform,
         "streaming_outer_join": q_streaming_outer_join,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "isotonic_calibration": q_isotonic_calibration,
         # ---- driver-signed green r2-r9; prior order preserved --------
         "holt_forecast": q_holt_forecast,
         "xlsx_roundtrip": q_xlsx_roundtrip,
@@ -18074,6 +18169,8 @@ def oracle_sql() -> dict[str, str]:
         "global_rank": _SQL_GLOBAL_RANK,
         "fim_transform": _sql_fim_transform(),
         "streaming_outer_join": _SQL_STREAMING_OUTER_JOIN,
+        "winnow_fingerprints": _sql_winnow_fingerprints(),
+        "isotonic_calibration": _SQL_ISOTONIC_CALIBRATION,
         # -- round-6 additions --------------------------------------------
         "observed_write": _SQL_OBSERVED_WRITE,
         "schema_drift": _SQL_SCHEMA_DRIFT,

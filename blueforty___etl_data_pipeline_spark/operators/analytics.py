@@ -923,6 +923,69 @@ def kaplan_meier(
     )
 
 
+def isotonic_calibration(
+    df: DataFrame,
+    pred_e6_col: str,
+    label_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Isotonic recalibration (pool-adjacent-violators, Ayer et al.
+    1955) of a score→probability map over equi-width score bins — the
+    monotone-fit companion of :func:`calibration_report`: where the
+    report MEASURES miscalibration, this produces the corrected,
+    provably nondecreasing probability per bin that a filter threshold
+    can be read off from.
+
+    Exact integer contract: PAV pools bins by rational rate comparison
+    (``p₁·n₂ ≥ p₂·n₁`` — no floats), and the output rate is
+    ``1e6·pooled_pos // pooled_n``.  Because floor is monotone and the
+    PAV value equals the minimax window average ``max_{j≤i} min_{k≥i}
+    avg(j,k)``, the floored output is identical to the minimax over
+    floored window averages — which is how an engine without a PAV
+    primitive (the oracle) replays it exactly.
+
+    Returns (bin, n, n_pos, raw_rate_e6, iso_rate_e6) ordered by bin.
+
+    Scale shape: ONE hash aggregation to ≤ ``n_bins`` rows, PAV over
+    the collected bin table on the driver (bounded — same contract as
+    the BPE merge table), result rebroadcast as a literal frame."""
+    width = 1_000_000 // n_bins
+    per_bin = (
+        df.select(
+            F.least(
+                F.expr(f"CAST({pred_e6_col} div {width} AS INT)"),
+                F.lit(n_bins - 1),
+            ).alias("bin"),
+            F.col(label_col).cast("long").alias("pos"),
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos"))
+        .collect()
+    )
+    rows = sorted((r["bin"], r["n"], r["n_pos"]) for r in per_bin)
+    blocks: list[list] = []  # [pooled_pos, pooled_n, [(bin, n, pos)]]
+    for b, nb, pb in rows:
+        blocks.append([pb, nb, [(b, nb, pb)]])
+        while (
+            len(blocks) >= 2
+            and blocks[-2][0] * blocks[-1][1]
+            >= blocks[-1][0] * blocks[-2][1]
+        ):
+            p2, n2, l2 = blocks.pop()
+            p1, n1, l1 = blocks.pop()
+            blocks.append([p1 + p2, n1 + n2, l1 + l2])
+    out = [
+        (b, nb, pb, 1_000_000 * pb // nb, 1_000_000 * bp // bn)
+        for bp, bn, members in blocks
+        for b, nb, pb in members
+    ]
+    return df.sparkSession.createDataFrame(
+        out,
+        "bin int, n bigint, n_pos bigint, "
+        "raw_rate_e6 bigint, iso_rate_e6 bigint",
+    )
+
+
 def exact_global_rank(
     df: DataFrame,
     value_col: str,

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import md5_hash64, tokens_ws
+from ..functions.text import md5_hash64, ngrams, tokens_ws
 
 #: Mersenne prime 2^31-1 — modulus for the universal-hash family.
 MERSENNE31 = 2147483647
@@ -693,6 +693,68 @@ def fuzzy_key_pairs(
         "key_b",
         F.levenshtein("key_a", "key_b").cast("int").alias("dist"),
     ).filter(F.col("dist") <= 1)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash every
+    word ``k``-gram, slide a ``window`` over the hash sequence, and
+    select each window's minimum (rightmost on ties).  The selection
+    guarantee: any shared token run of at least ``window + k − 1``
+    tokens between two documents yields at least one shared
+    fingerprint — so a fingerprint equi-join finds partial-overlap
+    plagiarism/boilerplate that whole-document hashing misses, at
+    ~1/((window+1)/2) the volume of full k-gram shingling.
+
+    Documents with fewer than ``window`` k-grams emit the minimum of
+    what they have (one fingerprint); empty/sub-k docs emit none.
+    Returns distinct (id, pos, fp_hash) — pos is the 1-based k-gram
+    index of the selected hash (adjacent windows picking the same
+    position collapse, per the paper).
+
+    Scale shape: per-row array expressions (no shuffle) → posexplode →
+    ONE distinct.  Output rows ≈ 2·tokens/(window+1).
+    """
+    th = F.transform(
+        ngrams(tokens_ws(F.col(text_col)), k), md5_hash64
+    )
+
+    def fps_of(gh: Column) -> Column:
+        m = F.size(gh)
+        we = F.least(F.lit(window), m)
+        starts = F.when(
+            m <= 0, F.array().cast("array<int>")
+        ).otherwise(F.sequence(F.lit(1), (m - we + 1).cast("int")))
+
+        def fp_at(i: Column) -> Column:
+            win = F.slice(gh, i, window)
+            mn = F.array_min(win)
+            posrev = F.array_position(F.reverse(win), mn)
+            return F.struct(
+                (i.cast("bigint") + F.size(win) - posrev).alias("pos"),
+                mn.alias("fp_hash"),
+            )
+
+        return F.transform(starts, fp_at)
+
+    # bind the gram-hash array ONCE (single-element transform wrapper;
+    # same HOF-inlining trap as functions/text.ngrams)
+    fps = F.flatten(F.transform(F.array(th), fps_of))
+    return (
+        df.select(F.col(id_col), F.explode(fps).alias("f"))
+        .select(
+            id_col,
+            F.col("f.pos").alias("pos"),
+            F.col("f.fp_hash").alias("fp_hash"),
+        )
+        .distinct()
+    )
 
 
 def jaccard_prefix_join(

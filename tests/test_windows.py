@@ -274,3 +274,57 @@ def test_exact_global_rank_matches_window_row_number(spark):
         ).collect()
     }
     assert {(r["id"], r["v"]): r["r"] for r in got.collect()} == want
+
+
+def test_isotonic_calibration_pools_violations(spark):
+    """PAV must pool adjacent bins whose raw rates violate
+    monotonicity, with the pooled rate = pooled_pos/pooled_n, and
+    leave already-monotone runs untouched."""
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        isotonic_calibration,
+    )
+
+    # 4 bins of 10 rows: raw rates 0.2, 0.6, 0.4, 0.9 -- bins 1 and 2
+    # violate (0.6 > 0.4) and pool to (6+4)/20 = 0.5
+    rows = []
+    for b, npos in [(0, 2), (1, 6), (2, 4), (3, 9)]:
+        pred = b * 250_000 + 1  # lands in bin b at n_bins=4
+        rows += [(pred, i < npos) for i in range(10)]
+    df = spark.createDataFrame(rows, "pred_e6 long, y boolean")
+    got = {
+        r["bin"]: (r["raw_rate_e6"], r["iso_rate_e6"])
+        for r in isotonic_calibration(df, "pred_e6", "y", n_bins=4).collect()
+    }
+    assert got[0] == (200000, 200000)
+    assert got[1] == (600000, 500000)
+    assert got[2] == (400000, 500000)
+    assert got[3] == (900000, 900000)
+    iso = [got[b][1] for b in range(4)]
+    assert iso == sorted(iso)
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """Winnowing guarantee (Schleimer et al. 2003): two documents
+    sharing a token run of >= window + k - 1 tokens share at least one
+    fingerprint; and selection volume is far below full shingling."""
+    from blueforty___etl_data_pipeline_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 = 4 + 3 - 1
+    df = spark.createDataFrame(
+        [
+            (1, "one two three " + shared + " four five six"),
+            (2, "uno dos " + shared + " tres quatro cinco seis"),
+            (3, "completely different words everywhere here today"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert by_doc[1] & by_doc[2], "shared 6-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    # volume: doc 3 has 8 tokens -> 6 grams -> 3 windows -> <= 3 fps
+    assert len(by_doc[3]) <= 3
