@@ -17549,6 +17549,42 @@ FROM r
 """
 
 
+def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous/HRW consistent sharding (operators/sampling.
+    rendezvous_shards): per doc, the highest-salted-hash shard at S=8
+    and S=9 plus the migration flag — scale-out moves only the rows
+    the NEW shard wins (~1/9), never rows between survivors.  Pure
+    map stage; the oracle replays the argmax via first-position-of-max
+    over the same md5 list."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        rendezvous_shards,
+    )
+
+    return rendezvous_shards(_t(spark, sf_dir, "documents"), n_shards=8)
+
+
+def _sql_rendezvous_shards(n_shards: int = 8) -> str:
+    def arr(n: int) -> str:
+        hs = ", ".join(
+            _d_md5h(f"'hrw:{s}:' || CAST(doc_id AS VARCHAR)")
+            for s in range(n)
+        )
+        return f"[{hs}]"
+
+    return f"""
+WITH h AS (
+  SELECT doc_id, {arr(n_shards)} AS h8, {arr(n_shards + 1)} AS h9
+  FROM documents)
+SELECT doc_id,
+       CAST(list_position(h8, list_max(h8)) - 1 AS INTEGER) AS shard,
+       CAST(list_position(h9, list_max(h9)) - 1 AS INTEGER) AS shard_next,
+       list_position(h8, list_max(h8)) != list_position(h9, list_max(h9))
+         AS moved
+FROM h
+"""
+
+
 def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic (PAV) recalibration (operators/analytics.
     isotonic_calibration) of the length-based is-English scorer over
@@ -17800,6 +17836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_outer_join": q_streaming_outer_join,
         "winnow_fingerprints": q_winnow_fingerprints,
         "isotonic_calibration": q_isotonic_calibration,
+        "rendezvous_shards": q_rendezvous_shards,
         # ---- driver-signed green r2-r9; prior order preserved --------
         "holt_forecast": q_holt_forecast,
         "xlsx_roundtrip": q_xlsx_roundtrip,
@@ -18171,6 +18208,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_outer_join": _SQL_STREAMING_OUTER_JOIN,
         "winnow_fingerprints": _sql_winnow_fingerprints(),
         "isotonic_calibration": _SQL_ISOTONIC_CALIBRATION,
+        "rendezvous_shards": _sql_rendezvous_shards(),
         # -- round-6 additions --------------------------------------------
         "observed_write": _SQL_OBSERVED_WRITE,
         "schema_drift": _SQL_SCHEMA_DRIFT,

@@ -432,6 +432,53 @@ def negative_samples(
     )
 
 
+def rendezvous_shards(
+    df: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight, Thaler & Ravishankar 1996)
+    shard assignment with a scale-out audit: each row goes to the
+    shard whose salted hash of (shard, id) is highest — the
+    consistent-hashing discipline under which growing the fleet from
+    S to S+1 shards moves EXACTLY the rows the new shard wins
+    (expected 1/(S+1) of the corpus) and never reshuffles rows between
+    surviving shards.  The property :func:`shuffle_shards`' mod-S
+    layout lacks: there, S→S+1 moves ~S/(S+1) of everything.
+
+    Ties (astronomically unlikely on 60-bit hashes) break to the
+    LOWEST shard index — first-position-of-max in both engines.
+
+    Returns (id, shard, shard_next, moved): the assignment at
+    ``n_shards``, at ``n_shards + 1``, and whether the row migrates.
+    Pure map stage — no shuffle, no state; reassignment under scale-out
+    is a filter on ``moved``."""
+
+    def harr(n: int) -> Column:
+        return F.array(
+            *[
+                md5_hash64(
+                    F.concat(
+                        F.lit(f"hrw:{s}:"), F.col(id_col).cast("string")
+                    )
+                )
+                for s in range(n)
+            ]
+        )
+
+    def shard_of(n: int) -> Column:
+        arr = harr(n)
+        return (
+            F.array_position(arr, F.array_max(arr)) - 1
+        ).cast("int")
+
+    return df.select(
+        F.col(id_col),
+        shard_of(n_shards).alias("shard"),
+        shard_of(n_shards + 1).alias("shard_next"),
+    ).withColumn("moved", F.col("shard") != F.col("shard_next"))
+
+
 def shuffle_shards(
     df: DataFrame,
     n_shards: int,

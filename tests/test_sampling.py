@@ -590,3 +590,25 @@ def test_group_kfold_exclusive_and_deterministic(spark):
     assert a == b
     with _pytest.raises(ValueError, match="k must"):
         group_kfold(df, "grp", k=1)
+
+
+def test_rendezvous_shards_minimal_disruption(spark):
+    """HRW's defining property: growing S -> S+1 only moves rows the
+    NEW shard wins — a moved row's shard_next is ALWAYS the new index,
+    and unmoved rows keep their shard identically."""
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        rendezvous_shards,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = rendezvous_shards(df, n_shards=8).collect()
+    assert len(out) == 500
+    moved = [r for r in out if r["moved"]]
+    assert all(r["shard_next"] == 8 for r in moved)
+    assert all(
+        r["shard"] == r["shard_next"] for r in out if not r["moved"]
+    )
+    # expected migration ~ 1/9 of rows; allow generous slack
+    assert 20 <= len(moved) <= 120
+    # all 8 original shards populated
+    assert len({r["shard"] for r in out}) == 8
