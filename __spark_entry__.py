@@ -17549,6 +17549,71 @@ FROM r
 """
 
 
+def q_aiff_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL AIFF parse under the driver's oracle (functions/aiff.py):
+    each sampled document becomes a genuine big-endian IFF FORM with a
+    COMM chunk whose sample rate is an 80-bit IEEE EXTENDED float —
+    encoded and decoded for real, with the rate varying by doc
+    (6000 << doc_id%3) so THREE different extended-float exponents
+    round-trip — plus big-endian PCM stats from SSND.  Sample
+    construction (dᵢ−128)·256 keeps every stat integer-exact, so
+    DuckDB reproduces peak/sum from md5 hex pairs."""
+    _prep(spark)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 40 == 21)
+    )
+
+    def to_aiff(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.aiff import (
+            encode_aiff_pcm16,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = _hl.md5(text.encode("utf-8")).digest()
+                blobs.append(
+                    encode_aiff_pcm16(
+                        [(d[i] - 128) * 256 for i in range(16)],
+                        sample_rate=6000 << (int(doc_id) % 3),
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": blobs}
+            )
+
+    media = docs.mapInPandas(to_aiff, schema="doc_id long, content binary")
+    from blueforty___etl_data_pipeline_spark.operators.multimodal import (
+        extract_aiff_meta,
+    )
+
+    return extract_aiff_meta(media)
+
+
+_SQL_AIFF_META_REAL = """
+WITH t AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id % 40 = 21),
+s AS (SELECT doc_id,
+             ABS((CAST(('0x' || substr(h, CAST(2 * r.i + 1 AS INTEGER), 2))
+                       AS INTEGER) - 128) * 256) AS a
+      FROM t CROSS JOIN range(0, 16) r(i))
+SELECT doc_id, CAST(1 AS INTEGER) AS n_channels,
+       CAST(16 AS BIGINT) AS n_frames,
+       CAST(16 AS INTEGER) AS sample_bits,
+       CAST(6000 * (1 << CAST(doc_id % 3 AS INTEGER)) AS BIGINT)
+         AS sample_rate,
+       CAST(MAX(a) AS BIGINT) AS peak_abs,
+       CAST(SUM(a) AS BIGINT) AS sum_abs
+FROM s GROUP BY doc_id
+"""
+
+
 def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rendezvous/HRW consistent sharding (operators/sampling.
     rendezvous_shards): per doc, the highest-salted-hash shard at S=8
@@ -17837,6 +17902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "isotonic_calibration": q_isotonic_calibration,
         "rendezvous_shards": q_rendezvous_shards,
+        "aiff_meta_real": q_aiff_meta_real,
         # ---- driver-signed green r2-r9; prior order preserved --------
         "holt_forecast": q_holt_forecast,
         "xlsx_roundtrip": q_xlsx_roundtrip,
@@ -18209,6 +18275,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _sql_winnow_fingerprints(),
         "isotonic_calibration": _SQL_ISOTONIC_CALIBRATION,
         "rendezvous_shards": _sql_rendezvous_shards(),
+        "aiff_meta_real": _SQL_AIFF_META_REAL,
         # -- round-6 additions --------------------------------------------
         "observed_write": _SQL_OBSERVED_WRITE,
         "schema_drift": _SQL_SCHEMA_DRIFT,

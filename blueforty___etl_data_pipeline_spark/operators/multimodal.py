@@ -609,6 +609,44 @@ def extract_audio_features(
     )
 
 
+def extract_aiff_meta(
+    media: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched AIFF metadata + PCM stats over big-endian IFF
+    blobs (functions/aiff.py) via ``mapInPandas`` — the AIFF twin of
+    :func:`extract_audio_features`, including the 80-bit extended-float
+    sample-rate decode.  Output: (id, n_channels, n_frames,
+    sample_bits, sample_rate, peak_abs, sum_abs)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from ..functions.aiff import parse_aiff_meta
+
+        for pdf in batches:
+            rows = [parse_aiff_meta(bytes(b)) for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_channels": [r["n_channels"] for r in rows],
+                    "n_frames": [r["n_frames"] for r in rows],
+                    "sample_bits": [r["sample_bits"] for r in rows],
+                    "sample_rate": [r["sample_rate"] for r in rows],
+                    "peak_abs": [r["peak_abs"] for r in rows],
+                    "sum_abs": [r["sum_abs"] for r in rows],
+                }
+            )
+
+    return media.select(id_col, "content").mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, n_channels int, n_frames long, "
+            "sample_bits int, sample_rate long, peak_abs long, "
+            "sum_abs long"
+        ),
+    )
+
+
 def transform_image_real(
     data: bytes, crop: tuple[int, int, int, int], pool: int
 ) -> list[int]:

@@ -2373,3 +2373,36 @@ def test_downsample_audio_2x_pairs_and_roundtrip(spark):
     assert (r["rate_in"], r["rate_out"]) == (8000, 4000)
     assert r["sum_abs_out"] == 150 + 2 + 7
     assert r["peak_abs_out"] == 150
+
+
+def test_aiff_roundtrip_and_extended_float_rates():
+    """AIFF codec (functions/aiff.py): PCM round-trips big-endian, and
+    the 80-bit extended-float sample rate survives encode->decode for
+    exponents across the integer range (the format's famous quirk)."""
+    from blueforty___etl_data_pipeline_spark.functions.aiff import (
+        _f80_decode,
+        _f80_encode,
+        encode_aiff_pcm16,
+        parse_aiff_meta,
+    )
+
+    import pytest
+
+    for rate in (1, 7, 8000, 11025, 22050, 44100, 48000, 96000, 192000,
+                 6000, 12000, 24000, (1 << 40) + 12345):
+        assert _f80_decode(_f80_encode(rate)) == rate
+
+    samples = [0, 1, -1, 32767, -32768, 1000, -999, 12345]
+    blob = encode_aiff_pcm16(samples, sample_rate=44100)
+    meta = parse_aiff_meta(blob)
+    assert meta["n_channels"] == 1
+    assert meta["n_frames"] == len(samples)
+    assert meta["sample_bits"] == 16
+    assert meta["sample_rate"] == 44100
+    assert meta["peak_abs"] == 32768
+    assert meta["sum_abs"] == sum(abs(s) for s in samples)
+
+    with pytest.raises(ValueError):
+        parse_aiff_meta(b"RIFF....WAVE")
+    with pytest.raises(ValueError):
+        parse_aiff_meta(b"FORM\x00\x00\x00\x04AIFF")  # no COMM
