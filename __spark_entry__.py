@@ -17549,6 +17549,136 @@ FROM r
 """
 
 
+def q_pcap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pcap capture round-trip (functions/pcap.py): each sampled
+    user's events become one classic libpcap blob of Ethernet/IPv4/UDP
+    packets — the IPv4 header carries a genuine RFC 1071
+    ones-complement checksum — then the parse stage walks records,
+    unpacks the stack, and RECOMPUTES the checksum.  The oracle derives
+    the stored checksum value independently from the header fields
+    (fold-the-carries integer math in SQL), so the hash match proves
+    the byte-level header arithmetic on both engines."""
+    _prep(spark)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 20 == 3)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        )
+    )
+
+    def build(pdf):
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.pcap import (
+            encode_pcap,
+        )
+
+        pdf = pdf.sort_values("event_id")
+        uid = int(pdf["user_id"].iloc[0])
+        pkts = [
+            {
+                "ts_us": int(tus),
+                "ident": i,
+                "src_ip": (10 << 24) | (uid & 0xFFFFFF),
+                "dst_ip": 0xC0A80001,
+                "sport": 40000 + uid % 1000,
+                "dport": 4242,
+                "payload": int(eid).to_bytes(8, "big")
+                + str(etype).encode("utf-8"),
+            }
+            for i, (eid, tus, etype) in enumerate(
+                zip(pdf["event_id"], pdf["ts_us"], pdf["event_type"]),
+                start=1,
+            )
+        ]
+        return pd.DataFrame(
+            {"user_id": [uid], "content": [encode_pcap(pkts)]}
+        )
+
+    captures = ev.groupBy("user_id").applyInPandas(
+        build, schema="user_id long, content binary"
+    )
+
+    def parse(batches):
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.pcap import (
+            parse_pcap,
+        )
+
+        for pdf in batches:
+            rows = []
+            for uid, blob in zip(pdf["user_id"], pdf["content"]):
+                for p in parse_pcap(bytes(blob)):
+                    rows.append(
+                        (
+                            int(uid),
+                            int.from_bytes(p["payload"][:8], "big"),
+                            p["ident"],
+                            p["ts_us"],
+                            p["src_ip"],
+                            p["sport"],
+                            p["dport"],
+                            p["udp_len"],
+                            p["ip_checksum"],
+                            bool(p["checksum_ok"]),
+                            p["payload"][8:].decode("utf-8"),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "user_id", "event_id", "ident", "ts_us", "src_ip",
+                    "sport", "dport", "udp_len", "ip_checksum",
+                    "checksum_ok", "event_type",
+                ],
+            )
+
+    return captures.mapInPandas(
+        parse,
+        schema=(
+            "user_id long, event_id long, ident int, ts_us long, "
+            "src_ip long, sport int, dport int, udp_len int, "
+            "ip_checksum int, checksum_ok boolean, event_type string"
+        ),
+    )
+
+
+_SQL_PCAP_EXTRACT = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+              AS INTEGER) AS ident
+  FROM events WHERE user_id % 20 = 3),
+f AS (
+  SELECT *,
+         167772160 + user_id % 16777216 AS src,
+         28 + 8 + length(event_type) AS total_len
+  FROM e),
+c AS (
+  SELECT *,
+         17664 + total_len + ident + 16401
+           + (src // 65536) + (src % 65536) + 49320 + 1 AS s1
+  FROM f),
+c2 AS (SELECT *, (s1 % 65536) + (s1 // 65536) AS s2 FROM c),
+c3 AS (SELECT *, (s2 % 65536) + (s2 // 65536) AS s3 FROM c2)
+SELECT user_id, event_id, ident, ts_us,
+       CAST(src AS BIGINT) AS src_ip,
+       CAST(40000 + user_id % 1000 AS INTEGER) AS sport,
+       CAST(4242 AS INTEGER) AS dport,
+       CAST(16 + length(event_type) AS INTEGER) AS udp_len,
+       CAST(65535 - s3 AS INTEGER) AS ip_checksum,
+       TRUE AS checksum_ok,
+       event_type
+FROM c3
+"""
+
+
 def q_aiff_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL AIFF parse under the driver's oracle (functions/aiff.py):
     each sampled document becomes a genuine big-endian IFF FORM with a
@@ -17903,6 +18033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_calibration": q_isotonic_calibration,
         "rendezvous_shards": q_rendezvous_shards,
         "aiff_meta_real": q_aiff_meta_real,
+        "pcap_extract": q_pcap_extract,
         # ---- driver-signed green r2-r9; prior order preserved --------
         "holt_forecast": q_holt_forecast,
         "xlsx_roundtrip": q_xlsx_roundtrip,
@@ -18276,6 +18407,7 @@ def oracle_sql() -> dict[str, str]:
         "isotonic_calibration": _SQL_ISOTONIC_CALIBRATION,
         "rendezvous_shards": _sql_rendezvous_shards(),
         "aiff_meta_real": _SQL_AIFF_META_REAL,
+        "pcap_extract": _SQL_PCAP_EXTRACT,
         # -- round-6 additions --------------------------------------------
         "observed_write": _SQL_OBSERVED_WRITE,
         "schema_drift": _SQL_SCHEMA_DRIFT,

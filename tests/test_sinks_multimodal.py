@@ -2406,3 +2406,44 @@ def test_aiff_roundtrip_and_extended_float_rates():
         parse_aiff_meta(b"RIFF....WAVE")
     with pytest.raises(ValueError):
         parse_aiff_meta(b"FORM\x00\x00\x00\x04AIFF")  # no COMM
+
+
+def test_pcap_roundtrip_checksum_and_corruption():
+    """pcap codec (functions/pcap.py): fields round-trip, the IPv4
+    checksum recomputation validates a clean capture, and a corrupted
+    TTL byte flips checksum_ok without breaking the walk."""
+    from blueforty___etl_data_pipeline_spark.functions.pcap import (
+        encode_pcap,
+        parse_pcap,
+    )
+
+    import pytest
+
+    pkts = [
+        {"ts_us": 1_700_000_000_123_456, "ident": 1,
+         "src_ip": (10 << 24) | 7, "dst_ip": 0xC0A80001,
+         "sport": 40007, "dport": 4242,
+         "payload": (99).to_bytes(8, "big") + b"click"},
+        {"ts_us": 1_700_000_001_000_001, "ident": 2,
+         "src_ip": (10 << 24) | 8, "dst_ip": 0xC0A80001,
+         "sport": 40008, "dport": 53, "payload": b""},
+    ]
+    blob = encode_pcap(pkts)
+    out = parse_pcap(blob)
+    assert [p["ts_us"] for p in out] == [pk["ts_us"] for pk in pkts]
+    assert [p["ident"] for p in out] == [1, 2]
+    assert all(p["checksum_ok"] for p in out)
+    assert out[0]["payload"] == pkts[0]["payload"]
+    assert out[1]["udp_len"] == 8
+
+    # corrupt the first packet's TTL (eth 14 + ip offset 8 after the
+    # 24B global header + 16B record header)
+    bad = bytearray(blob)
+    bad[24 + 16 + 14 + 8] ^= 0xFF
+    out2 = parse_pcap(bytes(bad))
+    assert not out2[0]["checksum_ok"] and out2[1]["checksum_ok"]
+
+    with pytest.raises(ValueError):
+        parse_pcap(b"\x00" * 30)
+    with pytest.raises(ValueError):
+        parse_pcap(blob[:40])  # truncated record
