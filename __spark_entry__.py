@@ -17549,6 +17549,90 @@ FROM r
 """
 
 
+def q_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TFRecord shard round-trip (functions/tfrecord.py — the
+    training-loader container): sampled documents shard by doc_id%4,
+    each shard serialized with genuine masked-CRC32C record framing
+    (Castagnoli polynomial + the TF rotate-add mask), then the read
+    stage walks records and RECOMPUTES both checksums.  The oracle
+    rebuilds record ordinals and byte lengths from the table, so the
+    gate proves framing layout + payload byte counts; corruption
+    detection is unit-tested."""
+    _prep(spark)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 4)
+        .select("doc_id", "text", (F.col("doc_id") % 4).alias("shard"))
+    )
+
+    def build(pdf):
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.tfrecord import (
+            encode_tfrecords,
+        )
+
+        pdf = pdf.sort_values("doc_id")
+        payloads = [
+            int(did).to_bytes(8, "big") + str(t).encode("utf-8")
+            for did, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "content": [encode_tfrecords(payloads)],
+            }
+        )
+
+    shards = docs.groupBy("shard").applyInPandas(
+        build, schema="shard long, content binary"
+    )
+
+    def parse(batches):
+        import pandas as pd
+
+        from blueforty___etl_data_pipeline_spark.functions.tfrecord import (
+            parse_tfrecords,
+        )
+
+        for pdf in batches:
+            rows = []
+            for shard, blob in zip(pdf["shard"], pdf["content"]):
+                for r in parse_tfrecords(bytes(blob)):
+                    rows.append(
+                        (
+                            int(shard),
+                            r["idx"],
+                            int.from_bytes(r["payload"][:8], "big"),
+                            r["length"],
+                            bool(r["len_crc_ok"] and r["data_crc_ok"]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["shard", "rec_idx", "doc_id", "rec_len", "crc_ok"],
+            )
+
+    return shards.mapInPandas(
+        parse,
+        schema=(
+            "shard long, rec_idx int, doc_id long, rec_len bigint, "
+            "crc_ok boolean"
+        ),
+    )
+
+
+_SQL_TFRECORD_ROUNDTRIP = """
+SELECT doc_id % 4 AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id)
+            - 1 AS INTEGER) AS rec_idx,
+       doc_id,
+       CAST(8 + octet_length(encode(text)) AS BIGINT) AS rec_len,
+       TRUE AS crc_ok
+FROM documents WHERE doc_id % 10 = 4
+"""
+
+
 def q_pcap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pcap capture round-trip (functions/pcap.py): each sampled
     user's events become one classic libpcap blob of Ethernet/IPv4/UDP
@@ -18034,6 +18118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rendezvous_shards": q_rendezvous_shards,
         "aiff_meta_real": q_aiff_meta_real,
         "pcap_extract": q_pcap_extract,
+        "tfrecord_roundtrip": q_tfrecord_roundtrip,
         # ---- driver-signed green r2-r9; prior order preserved --------
         "holt_forecast": q_holt_forecast,
         "xlsx_roundtrip": q_xlsx_roundtrip,
@@ -18408,6 +18493,7 @@ def oracle_sql() -> dict[str, str]:
         "rendezvous_shards": _sql_rendezvous_shards(),
         "aiff_meta_real": _SQL_AIFF_META_REAL,
         "pcap_extract": _SQL_PCAP_EXTRACT,
+        "tfrecord_roundtrip": _SQL_TFRECORD_ROUNDTRIP,
         # -- round-6 additions --------------------------------------------
         "observed_write": _SQL_OBSERVED_WRITE,
         "schema_drift": _SQL_SCHEMA_DRIFT,

@@ -2447,3 +2447,36 @@ def test_pcap_roundtrip_checksum_and_corruption():
         parse_pcap(b"\x00" * 30)
     with pytest.raises(ValueError):
         parse_pcap(blob[:40])  # truncated record
+
+
+def test_tfrecord_crc32c_vectors_and_corruption():
+    """TFRecord codec (functions/tfrecord.py): CRC32C matches the
+    public test vectors, records round-trip, and flipping one payload
+    byte is caught by the data CRC while the length CRC stays green."""
+    from blueforty___etl_data_pipeline_spark.functions.tfrecord import (
+        crc32c,
+        encode_tfrecords,
+        parse_tfrecords,
+    )
+
+    import pytest
+
+    # RFC 3720 / public Castagnoli vectors
+    assert crc32c(b"") == 0
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+
+    payloads = [b"hello", b"", b"x" * 1000]
+    blob = encode_tfrecords(payloads)
+    out = parse_tfrecords(blob)
+    assert [r["payload"] for r in out] == payloads
+    assert all(r["len_crc_ok"] and r["data_crc_ok"] for r in out)
+
+    bad = bytearray(blob)
+    bad[12] ^= 0xFF  # first byte of record 0's payload
+    out2 = parse_tfrecords(bytes(bad))
+    assert not out2[0]["data_crc_ok"] and out2[0]["len_crc_ok"]
+    assert out2[1]["data_crc_ok"]
+
+    with pytest.raises(ValueError):
+        parse_tfrecords(blob[:10])
