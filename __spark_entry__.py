@@ -17549,6 +17549,59 @@ FROM r
 """
 
 
+def q_ulid_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ULID assignment (functions/ids.ulid_from_parts):
+    26-char Crockford-base32 ids whose first 10 chars encode the
+    48-bit event millisecond — ids sort by creation time, the
+    append-friendly alternative to scattering UUIDv4s — with the 80
+    entropy bits derived from md5(event_id) so assignment is
+    reproducible and retry-stable.  Pure bit-shift + literal-alphabet
+    Column expressions; the oracle rebuilds every char."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.functions.ids import (
+        ulid_from_parts,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        ulid_from_parts(
+            F.unix_millis(F.col("ts")), F.col("event_id")
+        ).alias("ulid"),
+    )
+
+
+def _sql_ulid_generate() -> str:
+    alphabet = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+    terms = []
+    for i in range(10):
+        terms.append(
+            f"substr('{alphabet}', CAST((t48 // {1 << (45 - 5 * i)})"
+            f" % 32 + 1 AS INTEGER), 1)"
+        )
+    for half, off in (("r_hi", 35), ("r_lo", 35)):
+        for j in range(8):
+            terms.append(
+                f"substr('{alphabet}', CAST(({half} // {1 << (off - 5 * j)})"
+                f" % 32 + 1 AS INTEGER), 1)"
+            )
+    concat = " || ".join(terms)
+    return f"""
+WITH b AS (
+  SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+         md5(CAST(event_id AS VARCHAR)) AS h
+  FROM events),
+p AS (
+  SELECT event_id, ts_ms,
+         ts_ms % {1 << 48} AS t48,
+         CAST(('0x' || substr(h, 1, 10)) AS BIGINT) AS r_hi,
+         CAST(('0x' || substr(h, 11, 10)) AS BIGINT) AS r_lo
+  FROM b)
+SELECT event_id, ts_ms, {concat} AS ulid FROM p
+"""
+
+
 def q_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL TFRecord shard round-trip (functions/tfrecord.py — the
     training-loader container): sampled documents shard by doc_id%4,
@@ -18119,6 +18172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aiff_meta_real": q_aiff_meta_real,
         "pcap_extract": q_pcap_extract,
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
+        "ulid_generate": q_ulid_generate,
         # ---- driver-signed green r2-r9; prior order preserved --------
         "holt_forecast": q_holt_forecast,
         "xlsx_roundtrip": q_xlsx_roundtrip,
@@ -18494,6 +18548,7 @@ def oracle_sql() -> dict[str, str]:
         "aiff_meta_real": _SQL_AIFF_META_REAL,
         "pcap_extract": _SQL_PCAP_EXTRACT,
         "tfrecord_roundtrip": _SQL_TFRECORD_ROUNDTRIP,
+        "ulid_generate": _sql_ulid_generate(),
         # -- round-6 additions --------------------------------------------
         "observed_write": _SQL_OBSERVED_WRITE,
         "schema_drift": _SQL_SCHEMA_DRIFT,

@@ -356,3 +356,32 @@ def test_strip_latex_chain(spark):
     df = spark.createDataFrame([(t,) for t in cases], "t string")
     got = [r["s"] for r in df.select(strip_latex(F.col("t")).alias("s")).collect()]
     assert got == list(cases.values())
+
+
+def test_ulid_time_ordering_and_spec_shape(spark):
+    """ULIDs (functions/ids.py): 26 Crockford chars, lexicographic
+    order follows timestamp order, and a known timestamp encodes to
+    the spec's time prefix."""
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.functions.ids import (
+        ulid_from_parts,
+    )
+
+    rows = [(i, 1_700_000_000_000 + i * 60_000) for i in range(50)]
+    df = spark.createDataFrame(rows, "k long, ts_ms long")
+    out = df.select(
+        "ts_ms", ulid_from_parts(F.col("ts_ms"), F.col("k")).alias("u")
+    ).collect()
+    assert all(len(r["u"]) == 26 for r in out)
+    assert all(
+        set(r["u"]) <= set("0123456789ABCDEFGHJKMNPQRSTVWXYZ")
+        for r in out
+    )
+    by_ts = [r["u"] for r in sorted(out, key=lambda r: r["ts_ms"])]
+    assert by_ts == sorted(by_ts)  # time-ordered ids sort lexically
+    # spec vector: ms 1469918176385 encodes to time prefix 01ARYZ6S41
+    one = df.sparkSession.createDataFrame(
+        [(7, 1469918176385)], "k long, ts_ms long"
+    ).select(ulid_from_parts(F.col("ts_ms"), F.col("k")).alias("u"))
+    assert one.collect()[0]["u"][:10] == "01ARYZ6S41"
