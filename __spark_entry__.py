@@ -4411,7 +4411,9 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         shuffle_shards,
     )
 
-    return shuffle_shards(_t(spark, sf_dir, "documents"), n_shards=8)
+    return shuffle_shards(
+        _t(spark, sf_dir, "documents"), n_shards=8
+    ).select("doc_id", "shard", "pos")
 
 
 def q_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -17549,6 +17551,46 @@ FROM r
 """
 
 
+def q_shuffle_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-quality audit (operators/sampling.shuffle_quality):
+    per shard, the adjacent-pair same-source rate of the deterministic
+    shuffle layout vs the independence expectation Σshare² — the
+    readout that catches a bad shuffle before a loss spike gets blamed
+    on the data.  One lag on the layout's own (shard, pos) order."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        shuffle_quality,
+    )
+
+    return shuffle_quality(_t(spark, sf_dir, "documents"), n_shards=8)
+
+
+def _sql_shuffle_quality(n_shards: int = 8) -> str:
+    hh = _d_md5h("'shuffle:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH h AS (
+  SELECT doc_id, source, {hh} AS hh FROM documents),
+l AS (
+  SELECT source, hh % {n_shards} AS shard,
+         LAG(source) OVER (PARTITION BY hh % {n_shards}
+                           ORDER BY hh, doc_id) AS prev
+  FROM h),
+p AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN prev = source THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_same
+  FROM l WHERE prev IS NOT NULL GROUP BY 1),
+e AS (
+  SELECT CAST(1000 * SUM(CAST(n AS DECIMAL(38,0)) * n)
+              // (SUM(CAST(n AS DECIMAL(38,0))) * SUM(n)) AS BIGINT)
+           AS expected_permille
+  FROM (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1))
+SELECT shard, n_pairs, n_same,
+       1000 * n_same // n_pairs AS same_permille, expected_permille
+FROM p CROSS JOIN e
+"""
+
+
 def q_ulid_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ULID assignment (functions/ids.ulid_from_parts):
     26-char Crockford-base32 ids whose first 10 chars encode the
@@ -18173,6 +18215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pcap_extract": q_pcap_extract,
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "ulid_generate": q_ulid_generate,
+        "shuffle_quality": q_shuffle_quality,
         # ---- driver-signed green r2-r9; prior order preserved --------
         "holt_forecast": q_holt_forecast,
         "xlsx_roundtrip": q_xlsx_roundtrip,
@@ -18549,6 +18592,7 @@ def oracle_sql() -> dict[str, str]:
         "pcap_extract": _SQL_PCAP_EXTRACT,
         "tfrecord_roundtrip": _SQL_TFRECORD_ROUNDTRIP,
         "ulid_generate": _sql_ulid_generate(),
+        "shuffle_quality": _sql_shuffle_quality(),
         # -- round-6 additions --------------------------------------------
         "observed_write": _SQL_OBSERVED_WRITE,
         "schema_drift": _SQL_SCHEMA_DRIFT,

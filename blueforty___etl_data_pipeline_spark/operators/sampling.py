@@ -495,7 +495,7 @@ def shuffle_shards(
     md5 bucket (order tiebreaks on id), so the "shuffle" is as good as
     the hash and any engine can re-derive byte-identical shards.
 
-    Returns (id, shard, pos).
+    Returns the input columns + (shard, pos).
 
     Scale shape: one shuffle partitioned by shard + a per-shard sort
     for the rank — the standard shard-writing shape (each shard is
@@ -510,12 +510,66 @@ def shuffle_shards(
     w = Window.partitionBy("shard").orderBy("_h", id_col)
     return (
         df.select(
-            F.col(id_col),
+            "*",
             (h % n_shards).alias("shard"),
             h.alias("_h"),
         )
         .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
         .drop("_h")
+    )
+
+
+def shuffle_quality(
+    df: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Shuffle-quality audit of the :func:`shuffle_shards` layout: a
+    training shuffle is good when CONSECUTIVE reads are uncorrelated,
+    so per shard this measures the adjacent-pair same-group rate and
+    sets it against the independence expectation Σ share² (the rate a
+    perfect shuffle converges to; a sorted-by-source layout reads
+    ~1000 permille).  The curriculum/debugging readout before anyone
+    blames the data order for a loss spike.
+
+    Returns one row per shard: (shard, n_pairs, n_same,
+    same_permille, expected_permille) — expected is global, broadcast
+    onto the shard rows.
+
+    Scale shape: the layout's own per-shard window gives each row its
+    predecessor (one lag on the existing (shard, pos) order — no new
+    shuffle beyond the layout's); the expectation is a group-share
+    aggregate in DECIMAL(38,0) (share² sums overflow int64 past ~3e9
+    rows)."""
+    laid = shuffle_shards(
+        df.select(id_col, group_col), n_shards, id_col=id_col, salt=salt
+    )
+    w = Window.partitionBy("shard").orderBy("pos")
+    pairs = laid.select(
+        "shard",
+        (F.lag(group_col).over(w) == F.col(group_col))
+        .cast("long")
+        .alias("same"),
+    ).filter(F.col("same").isNotNull())
+    per_shard = pairs.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("same").alias("n_same"),
+    )
+    shares = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    expected = shares.agg(
+        F.expr(
+            "CAST(1000 * SUM(CAST(n AS DECIMAL(38,0)) * n)"
+            " DIV (SUM(CAST(n AS DECIMAL(38,0))) * SUM(n)) AS BIGINT)"
+        ).alias("expected_permille")
+    )
+    return per_shard.crossJoin(F.broadcast(expected)).select(
+        "shard",
+        "n_pairs",
+        "n_same",
+        F.expr("1000 * n_same div n_pairs").alias("same_permille"),
+        "expected_permille",
     )
 
 
