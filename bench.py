@@ -530,6 +530,20 @@ HEADLINE = [
     "audio_resample_real",
     # round-9 wave 5: classic behavioral segmentation
     "rfm_segments",
+    # round-10: distributed exact rank, FIM restructuring, outer stream
+    # join, winnowing, PAV calibration, HRW sharding, AIFF/pcap/TFRecord
+    # containers, ULID assignment, shuffle audit
+    "global_rank",
+    "fim_transform",
+    "streaming_outer_join",
+    "winnow_fingerprints",
+    "isotonic_calibration",
+    "rendezvous_shards",
+    "aiff_meta_real",
+    "pcap_extract",
+    "tfrecord_roundtrip",
+    "ulid_generate",
+    "shuffle_quality",
 ]
 
 

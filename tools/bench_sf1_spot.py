@@ -81,6 +81,17 @@ SLOW_SET = [
     "dsir_importance",
     "bloom_semi_join",
     "lateness_profile",
+    # round-10 additions with shuffle/explode/group shapes worth a
+    # datapoint: the distributed global rank, winnowing explode +
+    # distinct, per-group container assembly, blocked margin mining,
+    # and the shuffle-layout audit
+    "global_rank",
+    "winnow_fingerprints",
+    "tfrecord_roundtrip",
+    "pcap_extract",
+    "bitext_mine",
+    "shuffle_quality",
+    "rfm_segments",
 ]
 
 
