@@ -17563,6 +17563,104 @@ FROM r
 """
 
 
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators/dedup.cdc_chunks — the
+    rsync/FastCDC discipline at token level): boundaries fire where
+    the local 4-gram hash % 64 == 0, so an edit only disturbs chunks
+    in its ±window neighborhood and chunk-hash dedup keeps matching
+    the untouched remainder.  Per-chunk rows with corpus-wide copy
+    counts; per-row array math + one hash-keyed window."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.dedup import (
+        cdc_chunks,
+    )
+
+    return cdc_chunks(_t(spark, sf_dir, "documents"))
+
+
+def _sql_cdc_chunks(window: int = 4, mask: int = 64) -> str:
+    toks = _D_TOKENS.format(t="text")
+    gram = f"array_to_string(toks[i:i+{window - 1}], ' ')"
+    return f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+gh AS (
+  SELECT doc_id, toks, len(toks) AS m,
+         list_transform(range(1, greatest(len(toks) - {window - 1}, 0) + 1),
+                        i -> {_d_md5h(gram)}) AS gh
+  FROM tok),
+cu AS (
+  SELECT doc_id, toks, m,
+         list_filter(
+           list_transform(range(1, len(gh) + 1),
+             i -> CASE WHEN gh[i] % {mask} = 0
+                       THEN i + {window - 1} END),
+           c -> c IS NOT NULL AND c < m) AS cuts
+  FROM gh),
+se AS (
+  SELECT doc_id, toks, list_prepend(0, cuts) AS starts,
+         list_append(cuts, m) AS ends
+  FROM cu),
+ch AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(starts) + 1),
+           j -> struct_pack(
+             chunk_idx := j - 1,
+             start_tok := starts[j],
+             n_toks := ends[j] - starts[j],
+             chunk_hash := md5(array_to_string(
+               toks[(starts[j] + 1):(ends[j])], ' '))))) AS c
+  FROM se)
+SELECT doc_id, CAST(c.chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(c.start_tok AS INTEGER) AS start_tok,
+       CAST(c.n_toks AS INTEGER) AS n_toks,
+       c.chunk_hash,
+       CAST(COUNT(*) OVER (PARTITION BY c.chunk_hash) AS BIGINT)
+         AS n_copies
+FROM ch WHERE c.n_toks > 0
+"""
+
+
+def q_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner randomized response (operators/constraints.
+    randomized_response): per source, the p=0.25 hash-coin-flipped
+    is-English rate and its debiased estimate ``(obs−p)/(1−2p)``
+    alongside the true rate — local-DP collection with the estimator
+    consistency audit, all integer permille, no RNG."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.constraints import (
+        randomized_response,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", (F.col("lang") == "en").alias("is_en")
+    )
+    return randomized_response(docs, "is_en", "source")
+
+
+def _sql_randomized_response(p: int = 250) -> str:
+    coin = _d_md5h("'rr:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH b AS (
+  SELECT source,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t,
+         CASE WHEN ({coin}) % 10000 % 1000 < {p}
+              THEN 1 - CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+              ELSE CASE WHEN lang = 'en' THEN 1 ELSE 0 END END AS r
+  FROM documents),
+a AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(r) AS BIGINT) AS obs_pos,
+         CAST(SUM(t) AS BIGINT) AS true_pos
+  FROM b GROUP BY 1)
+SELECT source, n, obs_pos,
+       1000 * obs_pos // n AS obs_permille,
+       LEAST(1000, GREATEST(0, 1000 * (1000 * obs_pos - {p} * n))
+                     // ({1000 - 2 * p} * n)) AS est_true_permille,
+       1000 * true_pos // n AS true_permille
+FROM a
+"""
+
+
 def q_shuffle_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-quality audit (operators/sampling.shuffle_quality):
     per shard, the adjacent-pair same-source rate of the deterministic
@@ -18228,6 +18326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "ulid_generate": q_ulid_generate,
         "shuffle_quality": q_shuffle_quality,
+        "randomized_response": q_randomized_response,
+        "cdc_chunks": q_cdc_chunks,
         # ---- driver-signed green r2-r9; prior order preserved --------
         "holt_forecast": q_holt_forecast,
         "xlsx_roundtrip": q_xlsx_roundtrip,
@@ -18605,6 +18705,8 @@ def oracle_sql() -> dict[str, str]:
         "tfrecord_roundtrip": _SQL_TFRECORD_ROUNDTRIP,
         "ulid_generate": _sql_ulid_generate(),
         "shuffle_quality": _sql_shuffle_quality(),
+        "randomized_response": _sql_randomized_response(),
+        "cdc_chunks": _sql_cdc_chunks(),
         # -- round-6 additions --------------------------------------------
         "observed_write": _SQL_OBSERVED_WRITE,
         "schema_drift": _SQL_SCHEMA_DRIFT,

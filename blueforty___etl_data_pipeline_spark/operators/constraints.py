@@ -420,3 +420,62 @@ def t_closeness(
         "emd_permille",
         (F.col("emd_permille") > t_permille).alias("violates"),
     )
+
+
+def randomized_response(
+    df: DataFrame,
+    label_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+    flip_permille: int = 250,
+    salt: str = "rr",
+) -> DataFrame:
+    """Warner's randomized response (1965) — the local-differential-
+    privacy mechanism for collecting a sensitive boolean: each record
+    reports its TRUE label with probability 1−p and the FLIPPED label
+    with probability p, then the aggregate debiases the observed rate
+    back to an unbiased estimate ``t̂ = (obs − p) / (1 − 2p)``.  No
+    record's reported bit reveals its true bit beyond the p-governed
+    plausible deniability (ε = ln((1−p)/p) per-record).
+
+    The "coin" is the salted md5 bucket of the record id — the house
+    no-RNG discipline — so the mechanism is reproducible on any engine
+    and stable under retry (a re-run leaks nothing new, unlike a fresh
+    RNG draw).  All arithmetic is integer permille; the estimate is
+    clamped to [0, 1000] BEFORE division sees a negative numerator
+    (Spark ``div`` truncates, DuckDB ``//`` floors — clamping keeps
+    both on the identical nonnegative path).
+
+    Returns per group: (group, n, obs_pos, obs_permille,
+    est_true_permille, true_permille) — the true rate rides along as
+    the debiasing audit (in production the true column never leaves
+    the client; here it demonstrates estimator consistency).
+
+    Scale shape: one map stage (hash coin + conditional flip) + one
+    partial-agged groupBy; nothing else."""
+    from .sampling import _bucket
+
+    p = int(flip_permille)
+    if not 0 < p < 500:
+        raise ValueError("flip_permille must be in (0, 500)")
+    coin = _bucket(F.col(id_col), salt) % 1000
+    lab = F.col(label_col).cast("boolean")
+    reported = F.when(coin < p, ~lab).otherwise(lab)
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(reported.cast("long")).alias("obs_pos"),
+        F.sum(lab.cast("long")).alias("true_pos"),
+    )
+    return agg.select(
+        group_col,
+        "n",
+        "obs_pos",
+        F.expr("1000 * obs_pos div n").alias("obs_permille"),
+        F.expr(
+            f"least(CAST(1000 AS BIGINT),"
+            f" greatest(CAST(0 AS BIGINT),"
+            f" 1000 * (1000 * obs_pos - {p} * n))"
+            f" div ({1000 - 2 * p} * n))"
+        ).alias("est_true_permille"),
+        F.expr("1000 * true_pos div n").alias("true_permille"),
+    )

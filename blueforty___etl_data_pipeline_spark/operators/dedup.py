@@ -17,7 +17,7 @@ engine-portable and verifiable against the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import md5_hash64, ngrams, tokens_ws
@@ -754,6 +754,83 @@ def winnow_fingerprints(
             F.col("f.fp_hash").alias("fp_hash"),
         )
         .distinct()
+    )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+    mask_bits: int = 6,
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/FastCDC discipline):
+    cut a document into chunks wherever the hash of the LOCAL
+    ``window``-gram fires (``h % 2^mask_bits == 0`` → expected chunk
+    ≈ 2^mask_bits tokens), so boundaries depend only on nearby
+    content.  The property fixed-size chunking lacks: inserting one
+    token shifts every fixed-size boundary after it, but CDC
+    boundaries outside the edit's ±window neighborhood are UNCHANGED —
+    chunk-hash dedup keeps matching the untouched remainder
+    (unit-tested).  This is byte-level-dedup's token-level analog and
+    the storage-dedup complement of :func:`duplicate_spans`.
+
+    Returns one row per chunk: (id, chunk_idx, start_tok, n_toks,
+    chunk_hash, n_copies) — n_copies counts corpus-wide occurrences of
+    the chunk hash.  Docs shorter than ``window`` grams form a single
+    chunk; empty docs emit none.
+
+    Scale shape: boundaries/slices/hashes are per-row array
+    expressions (token and gram-hash arrays each bound ONCE via the
+    array-wrapper — the HOF-inlining trap); one posexplode; the only
+    shuffle is the chunk-hash window for the dedup count."""
+    m_mask = 1 << mask_bits
+
+    def per_th(th: Column, arr: Column) -> Column:
+        m = F.size(arr)
+        cuts = F.filter(
+            F.transform(
+                th,
+                lambda x, i: F.when(
+                    x % m_mask == 0, (i + window).cast("int")
+                ),
+            ),
+            lambda c: c.isNotNull() & (c < m),
+        )
+        starts = F.concat(F.array(F.lit(0)), cuts)
+        ends = F.concat(cuts, F.array(m.cast("int")))
+
+        def chunk_at(j: Column) -> Column:
+            s = F.element_at(starts, j)
+            e = F.element_at(ends, j)
+            return F.struct(
+                (j - 1).cast("int").alias("chunk_idx"),
+                s.cast("int").alias("start_tok"),
+                (e - s).cast("int").alias("n_toks"),
+                F.md5(F.concat_ws(" ", F.slice(arr, s + 1, e - s))).alias(
+                    "chunk_hash"
+                ),
+            )
+
+        return F.transform(F.sequence(F.lit(1), F.size(starts)), chunk_at)
+
+    def per_doc(arr: Column) -> Column:
+        th = F.transform(ngrams(arr, window), md5_hash64)
+        return F.flatten(
+            F.transform(F.array(th), lambda t: per_th(t, arr))
+        )
+
+    chunks = F.flatten(
+        F.transform(F.array(tokens_ws(F.col(text_col))), per_doc)
+    )
+    exploded = (
+        df.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(id_col, "c.*")
+        .filter(F.col("n_toks") > 0)
+    )
+    w = Window.partitionBy("chunk_hash")
+    return exploded.withColumn(
+        "n_copies", F.count(F.lit(1)).over(w)
     )
 
 

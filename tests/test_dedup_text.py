@@ -706,3 +706,35 @@ def test_cross_source_dup_matrix_pairs_and_counts(spark):
         for r in cross_source_dup_matrix(df).collect()
     }
     assert got == {("a", "b"): (1, 2), ("a", "c"): (1, 1)}
+
+
+def test_cdc_chunks_shift_resistance(spark):
+    """The CDC property: prepending tokens to a document changes only
+    chunks in the edit's neighborhood — chunk hashes strictly after
+    the first post-edit boundary are IDENTICAL, where fixed-size
+    chunking would shift every one of them."""
+    from blueforty___etl_data_pipeline_spark.operators.dedup import (
+        cdc_chunks,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    base = " ".join(f"w{rng.randrange(5000)}" for _ in range(400))
+    edited = "inserted tokens at the front " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    out = cdc_chunks(df, mask_bits=4).collect()
+    h1 = [r["chunk_hash"] for r in sorted(
+        (r for r in out if r["doc_id"] == 1), key=lambda r: r["chunk_idx"])]
+    h2 = [r["chunk_hash"] for r in sorted(
+        (r for r in out if r["doc_id"] == 2), key=lambda r: r["chunk_idx"])]
+    # every chunk of doc 1 except possibly its first (the edit
+    # neighborhood) reappears verbatim in doc 2's chunk stream
+    shared = set(h1[1:]) & set(h2)
+    assert len(h1) > 5  # the fixture really chunked
+    assert shared == set(h1[1:])
+    # and those shared chunks carry n_copies == 2
+    copies = {r["chunk_hash"]: r["n_copies"] for r in out}
+    assert all(copies[h] == 2 for h in shared)
