@@ -544,6 +544,8 @@ HEADLINE = [
     "tfrecord_roundtrip",
     "ulid_generate",
     "shuffle_quality",
+    "randomized_response",
+    "cdc_chunks",
 ]
 
 

@@ -1014,36 +1014,54 @@ def exact_global_rank(
     rank) is nondeterministic under parallel execution."""
     ps = [i / n_chunks for i in range(1, n_chunks)]
     probe = df.agg(
-        F.percentile_approx(F.col(value_col), ps, 10_000).alias("b")
+        F.percentile_approx(F.col(value_col), ps, 500).alias("b")
     ).collect()[0]
     bounds = sorted({b for b in (probe["b"] or []) if b is not None})
-    if bounds:
-        arr = F.array(*[F.lit(b) for b in bounds])
-        chunk = F.size(F.filter(arr, lambda b: F.col(value_col) > b))
-    else:
-        chunk = F.lit(0)
+    # when-chain, not an array HOF: higher-order functions are
+    # interpreted per row (no codegen) — the same boundary-assignment
+    # choice as operators/profile.quantile_bins
+    chunk = _when_chain_bucket(F.col(value_col), bounds)
     chunked = df.withColumn("_gr_chunk", chunk)
     cnts = (
         chunked.groupBy("_gr_chunk")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
-    run, items = 0, []
+    run, offs = 0, {}
     for row in sorted(cnts, key=lambda r: r["_gr_chunk"]):
-        items += [F.lit(row["_gr_chunk"]), F.lit(run)]
+        offs[row["_gr_chunk"]] = run
         run += row["n"]
-    offsets = F.create_map(*items) if items else F.create_map()
     w = Window.partitionBy("_gr_chunk").orderBy(
         F.asc(value_col), F.asc(tie_col)
     )
     out = chunked.withColumn(
         out_col,
         (
-            F.element_at(offsets, F.col("_gr_chunk"))
+            _when_chain_lookup(F.col("_gr_chunk"), offs)
             + F.row_number().over(w)
         ).cast("long"),
     ).drop("_gr_chunk")
     return out, run
+
+
+def _when_chain_bucket(value: Column, bounds: list) -> Column:
+    """``count(b in bounds : value > b)`` as a codegen-able CASE chain
+    over the sorted boundary literals (bucket 0 = value ≤ bounds[0])."""
+    if not bounds:
+        return F.lit(0)
+    expr = F.lit(len(bounds))
+    for i in range(len(bounds) - 1, -1, -1):
+        expr = F.when(value <= F.lit(bounds[i]), F.lit(i)).otherwise(expr)
+    return expr.cast("int")
+
+
+def _when_chain_lookup(key: Column, mapping: dict) -> Column:
+    """Literal int→int lookup as a CASE chain (codegen) instead of a
+    per-row ``create_map`` construction."""
+    expr: Column = F.lit(None).cast("bigint")
+    for k, v in mapping.items():
+        expr = F.when(key == F.lit(k), F.lit(v)).otherwise(expr)
+    return expr
 
 
 def rfm_segments(
@@ -1104,16 +1122,10 @@ def rfm_segments(
     }
     probe = base.agg(
         *[
-            F.percentile_approx(v, ps, 10_000).alias(d)
+            F.percentile_approx(v, ps, 500).alias(d)
             for d, v in metrics.items()
         ]
     ).collect()[0]
-
-    def _chunk(value: Column, bounds: list[int]) -> Column:
-        if not bounds:
-            return F.lit(0)
-        arr = F.array(*[F.lit(b) for b in bounds])
-        return F.size(F.filter(arr, lambda b: value > b))
 
     bounds = {
         d: sorted({int(b) for b in (probe[d] or [])}) for d in metrics
@@ -1121,7 +1133,7 @@ def rfm_segments(
     chunked = base.select(
         "*",
         *[
-            _chunk(v, bounds[d]).alias(f"_c{d}")
+            _when_chain_bucket(v, bounds[d]).alias(f"_c{d}")
             for d, v in metrics.items()
         ],
     )
@@ -1149,11 +1161,11 @@ def rfm_segments(
     n_total = sum(per_dim["r"].values())
     offset_maps = {}
     for d in metrics:
-        run, items = 0, []
+        run, offs = 0, {}
         for c in sorted(per_dim[d]):
-            items += [F.lit(c), F.lit(run)]
+            offs[c] = run
             run += per_dim[d][c]
-        offset_maps[d] = F.create_map(*items)
+        offset_maps[d] = offs
 
     ranked = chunked
     for d, order in (
@@ -1164,7 +1176,7 @@ def rfm_segments(
         w = Window.partitionBy(f"_c{d}").orderBy(*order)
         ranked = ranked.withColumn(
             f"_rank_{d}",
-            F.element_at(offset_maps[d], F.col(f"_c{d}"))
+            _when_chain_lookup(F.col(f"_c{d}"), offset_maps[d])
             + F.row_number().over(w),
         )
     q, r = divmod(n_total, n_tiles)

@@ -92,6 +92,7 @@ SLOW_SET = [
     "bitext_mine",
     "shuffle_quality",
     "rfm_segments",
+    "cdc_chunks",
 ]
 
 
