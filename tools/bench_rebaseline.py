@@ -89,6 +89,9 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
         json.dump(final, f, indent=1, sort_keys=True)
         f.write("\n")
+    with open(os.path.join(REPO, "BENCH_MEDIANS_r10.json"), "w") as f:
+        json.dump(final, f, indent=1, sort_keys=True)
+        f.write("\n")
     print(f"median total: {total}s over {len(names)} queries")
 
     if os.path.exists(ref_path):
@@ -107,7 +110,7 @@ def main() -> None:
             reverse=True,
         )[:15]
         lines = [
-            "# Bench re-baseline delta (round 9)",
+            "# Bench re-baseline delta (round 10)",
             "",
             f"Protocol: median of {n_runs} sequential FRESH-process runs "
             f"of the full bench at sf{runs[0]['sf']} "
@@ -130,11 +133,11 @@ def main() -> None:
         ]
         for ratio, n, rv, mv in worst:
             lines.append(f"| {n} | {rv} | {mv} | {ratio:.2f} |")
-        with open(os.path.join(REPO, "BENCH_DELTA_r9.md"), "w") as f:
+        with open(os.path.join(REPO, "BENCH_DELTA_r10_rebaseline.md"), "w") as f:
             f.write("\n".join(lines) + "\n")
         print(
             f"common-{len(common)}: {now_c:.1f}s vs {ref_c:.1f}s "
-            f"({now_c / ref_c:.2f}x) -> BENCH_DELTA_r9.md"
+            f"({now_c / ref_c:.2f}x) -> BENCH_DELTA_r10_rebaseline.md"
         )
 
 
