@@ -328,3 +328,42 @@ def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
     assert not (by_doc[1] & by_doc[3])
     # volume: doc 3 has 8 tokens -> 6 grams -> 3 windows -> <= 3 fps
     assert len(by_doc[3]) <= 3
+
+
+def test_exact_global_rank_property(spark):
+    """Property (hypothesis): for arbitrary value multisets — heavy
+    ties, negatives, constants — and arbitrary chunk counts, the
+    distributed rank equals the global ROW_NUMBER bit-for-bit."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        exact_global_rank,
+    )
+
+    vals = st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=80
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(values=vals, n_chunks=st.sampled_from([2, 5, 16]))
+    def check(values, n_chunks):
+        df = spark.createDataFrame(
+            list(enumerate(values)), "id long, v long"
+        )
+        got, n = exact_global_rank(
+            df, "v", "id", out_col="r", n_chunks=n_chunks
+        )
+        assert n == len(values)
+        w = Window.orderBy(F.asc("v"), F.asc("id"))
+        want = {
+            r["id"]: r["r"]
+            for r in df.select(
+                "id", F.row_number().over(w).cast("long").alias("r")
+            ).collect()
+        }
+        assert {r["id"]: r["r"] for r in got.collect()} == want
+
+    check()
