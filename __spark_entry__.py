@@ -17563,6 +17563,72 @@ FROM r
 """
 
 
+def q_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic-greedy facility-location data selection
+    (operators/similarity.facility_location): 5 rounds of
+    hash-sampled candidates, one corpus pass per round scoring every
+    candidate's coverage gain, exact long objective.  The submodular
+    MASS-coverage complement of kcenter_coreset's minimax spread; the
+    oracle unrolls all 5 rounds."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        facility_location,
+    )
+
+    return facility_location(
+        _t(spark, sf_dir, "embeddings"), k=5, n_candidates=32
+    )
+
+
+def _sql_facility_location(k: int = 5, n_candidates: int = 32) -> str:
+    sim = (
+        "GREATEST(CAST(FLOOR(list_sum(list_transform(range(1, 65), "
+        "i -> b.v[CAST(i AS INTEGER)] * c.v[CAST(i AS INTEGER)])) / 1e6)"
+        " AS BIGINT), 0)"
+    )
+    ctes = [
+        """mv AS (
+  SELECT vec_id,
+         list_transform(range(1, 65),
+           i -> CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                           * 1e6) AS DOUBLE)) AS v
+  FROM embeddings)""",
+        "b0 AS (SELECT vec_id, v, CAST(0 AS BIGINT) AS best FROM mv)",
+    ]
+    selects = []
+    for r in range(k):
+        excl = " AND ".join(
+            f"vec_id != (SELECT id FROM s{j})" for j in range(r)
+        )
+        where = f"WHERE {excl}" if excl else ""
+        h = _d_md5h(f"'fl:{r}:' || CAST(vec_id AS VARCHAR)")
+        ctes.append(
+            f"""c{r} AS (
+  SELECT vec_id AS id, v FROM mv {where}
+  ORDER BY {h}, vec_id LIMIT {n_candidates})"""
+        )
+        ctes.append(
+            f"""g{r} AS (
+  SELECT c.id, SUM(GREATEST(b.best, {sim})) AS gain
+  FROM b{r} b CROSS JOIN c{r} c GROUP BY c.id)"""
+        )
+        ctes.append(
+            f"s{r} AS (SELECT id, gain FROM g{r} "
+            f"ORDER BY gain DESC, id LIMIT 1)"
+        )
+        selects.append(
+            f"SELECT {r} AS round, (SELECT id FROM s{r}) AS vec_id, "
+            f"CAST((SELECT gain FROM s{r}) AS BIGINT) AS objective"
+        )
+        if r < k - 1:
+            ctes.append(
+                f"""b{r + 1} AS (
+  SELECT b.vec_id, b.v, GREATEST(b.best, {sim}) AS best
+  FROM b{r} b JOIN mv c ON c.vec_id = (SELECT id FROM s{r}))"""
+            )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
 def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (operators/dedup.cdc_chunks — the
     rsync/FastCDC discipline at token level): boundaries fire where
@@ -18328,6 +18394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_quality": q_shuffle_quality,
         "randomized_response": q_randomized_response,
         "cdc_chunks": q_cdc_chunks,
+        "facility_location": q_facility_location,
         # ---- driver-signed green r2-r9; prior order preserved --------
         "holt_forecast": q_holt_forecast,
         "xlsx_roundtrip": q_xlsx_roundtrip,
@@ -18707,6 +18774,7 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_quality": _sql_shuffle_quality(),
         "randomized_response": _sql_randomized_response(),
         "cdc_chunks": _sql_cdc_chunks(),
+        "facility_location": _sql_facility_location(),
         # -- round-6 additions --------------------------------------------
         "observed_write": _SQL_OBSERVED_WRITE,
         "schema_drift": _SQL_SCHEMA_DRIFT,

@@ -546,6 +546,7 @@ HEADLINE = [
     "shuffle_quality",
     "randomized_response",
     "cdc_chunks",
+    "facility_location",
 ]
 
 

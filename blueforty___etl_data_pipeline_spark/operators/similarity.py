@@ -22,9 +22,10 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import md5_hash64
 from ..functions.vectors import dot, l2_norm
 from .topk import top1_per_group, topk_per_group
 
@@ -1427,6 +1428,104 @@ def _margin_from_scored(
                 "accepted"
             ),
         )
+    )
+
+
+def facility_location(
+    df: DataFrame,
+    k: int = 5,
+    n_candidates: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Stochastic-greedy facility-location selection (Mirzasoleiman et
+    al. 2015 over the Nemhauser greedy): pick k vectors maximizing the
+    submodular coverage objective ``F(S) = Σ_x max_{c∈S} sim(x, c)`` —
+    the "represent every region well" criterion of LLM data curation,
+    where :func:`kcenter_coreset` covers the SPREAD (minimax) this
+    covers the MASS (sum of best similarities).
+
+    Per round the candidate pool is a deterministic hash-ordered
+    sample of ``n_candidates`` unchosen vectors (the stochastic-greedy
+    trick: (1−1/e−ε) guarantee at 1/k of full-greedy cost, with the
+    house no-RNG discipline — round-salted md5 order).  Gains for ALL
+    candidates of a round are computed in ONE corpus pass (one
+    aggregate with ``n_candidates`` clamped-dot sums).
+
+    Integer-exact: micro-vector dots are exact integer-valued doubles
+    (≤ 64·1e12 < 2^53); per-row similarity is ``max(0, floor(dot /
+    1e6))`` — a LONG, so the objective SUM stays exact int64 at any
+    corpus size (a raw-dot double sum loses exactness past ~100
+    rows).  Argmax ties break to the smaller id.  The oracle unrolls
+    all k rounds (the kcenter_coreset convention).
+
+    Returns (round, vec_id, objective) — the selected center per
+    round and the objective AFTER adding it.
+
+    Scale shape per round: one TakeOrdered candidate sample, one
+    corpus aggregate, one broadcast best-update (lazily checkpointed
+    so round r never replays rounds 0..r−1) — k·2 bounded actions."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    mv = df.select(
+        F.col(id_col).alias("_id"), _micro_vec(F.col(vec_col)).alias("_v")
+    ).localCheckpoint(eager=False)
+
+    def sim_to(center_vec) -> Column:
+        arr = F.array(*[F.lit(float(x)) for x in center_vec])
+        dot = F.aggregate(
+            F.zip_with(F.col("_v"), arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.greatest(
+            F.floor(dot / F.lit(1e6)).cast("long"), F.lit(0).cast("long")
+        )
+
+    cur = mv.withColumn("_best", F.lit(0).cast("long"))
+    chosen: list[int] = []
+    out: list[tuple] = []
+    for r in range(k):
+        pool = mv.filter(~F.col("_id").isin(chosen)) if chosen else mv
+        cand = (
+            pool.select(
+                "_id",
+                "_v",
+                md5_hash64(
+                    F.concat(F.lit(f"fl:{r}:"), F.col("_id").cast("string"))
+                ).alias("_h"),
+            )
+            .orderBy("_h", "_id")
+            .limit(n_candidates)
+            .collect()
+        )
+        if not cand:
+            break
+        gains = cur.agg(
+            *[
+                F.sum(F.greatest(F.col("_best"), sim_to(c["_v"]))).alias(
+                    f"g{j}"
+                )
+                for j, c in enumerate(cand)
+            ]
+        ).collect()[0]
+        best_j = max(
+            range(len(cand)),
+            key=lambda j: (gains[f"g{j}"], -cand[j]["_id"]),
+        )
+        c = cand[best_j]
+        chosen.append(int(c["_id"]))
+        out.append((r, int(c["_id"]), int(gains[f"g{best_j}"])))
+        if r < k - 1:
+            cur = (
+                cur.withColumn(
+                    "_best", F.greatest(F.col("_best"), sim_to(c["_v"]))
+                )
+                .select("_id", "_v", "_best")
+                .localCheckpoint(eager=False)
+            )
+    return df.sparkSession.createDataFrame(
+        out, "round int, vec_id long, objective long"
     )
 
 

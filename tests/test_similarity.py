@@ -663,3 +663,26 @@ def test_kcenter_coreset_farthest_point_rounds(spark):
     # center 0 than id 10, so greedy argmax picks it
     assert got[2]["vec_id"] == 11
     assert got[2]["radius_sq"] == (10_100_000) ** 2 + 0
+
+
+def test_facility_location_mass_coverage_and_monotone(spark):
+    """Facility location picks MASS coverage: with many points piled on
+    one axis and a lone point on another, the first selected center
+    lies in the crowd; the objective is nondecreasing across rounds
+    and every selected id is distinct."""
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        facility_location,
+    )
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(30)]
+    rows.append((100, [0.0, 1.0, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sorted(
+        facility_location(df, k=3, n_candidates=8).collect(),
+        key=lambda r: r["round"],
+    )
+    assert len(out) == 3
+    assert out[0]["vec_id"] != 100  # first pick covers the crowd
+    objs = [r["objective"] for r in out]
+    assert objs == sorted(objs)
+    assert len({r["vec_id"] for r in out}) == 3
