@@ -17563,6 +17563,102 @@ FROM r
 """
 
 
+def q_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style MaxSim late-interaction retrieval (operators/
+    similarity.maxsim_retrieval): embeddings grouped into 4-token
+    multi-vector docs (doc = vec_id div 4), the first two docs as
+    queries; score = Σ per query token of its best doc-token cosine
+    (integer e6).  Broadcast query tokens, partial-agged max/sum,
+    rank-limit top-5."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        maxsim_retrieval,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.expr("vec_id div 4").alias("doc_id"),
+        (F.col("vec_id") % 4).alias("tok_id"),
+        "embedding",
+    )
+    return maxsim_retrieval(
+        emb, emb.filter(F.col("doc_id") < 2), k=5
+    )
+
+
+def _sql_maxsim_retrieval(k: int = 5) -> str:
+    cos = _d_mcos("d.mv", "q.mv")
+    return f"""
+WITH mv AS (
+  SELECT vec_id // 4 AS doc_id, vec_id % 4 AS tok_id,
+         list_transform(range(1, 65),
+           i -> CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                           * 1e6) AS DOUBLE)) AS mv
+  FROM embeddings),
+sc AS (
+  SELECT q.doc_id AS query_id, q.tok_id AS qtok, d.doc_id AS did,
+         CAST(ROUND(({cos}) * 1e6, 0) AS BIGINT) AS c
+  FROM mv d CROSS JOIN mv q
+  WHERE q.doc_id < 2 AND ({cos}) IS NOT NULL),
+pt AS (
+  SELECT query_id, qtok, did, MAX(c) AS m
+  FROM sc GROUP BY 1, 2, 3),
+pd AS (
+  SELECT query_id, did, CAST(SUM(m) AS BIGINT) AS maxsim_e6
+  FROM pt GROUP BY 1, 2),
+rk AS (
+  SELECT query_id, did, maxsim_e6,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY maxsim_e6 DESC, did) AS rank
+  FROM pd)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(did AS BIGINT) AS doc_id,
+       maxsim_e6, CAST(rank AS INTEGER) AS rank
+FROM rk WHERE rank <= {k}
+"""
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization (operators/analytics.quantile_normalize):
+    every event_type's value distribution mapped onto the GLOBAL value
+    distribution by rank (batch-effect correction) — global positions
+    from the distributed two-phase rank, within-group positions from an
+    ordinarily partitioned window, ONE rank-keyed lookup join."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        quantile_normalize,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(FLOOR(value * 1000000) AS BIGINT)").alias("vm"),
+    )
+    out = quantile_normalize(
+        ev, "vm", "event_type", "event_id", out_col="qn_vm"
+    )
+    return out.select("event_id", "event_type", "vm", "qn_vm")
+
+
+_SQL_QUANTILE_NORMALIZE = """
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value * 1000000) AS BIGINT) AS vm
+  FROM events),
+g AS (
+  SELECT vm AS qn_vm,
+         ROW_NUMBER() OVER (ORDER BY vm, event_id) AS pos
+  FROM e),
+l AS (
+  SELECT event_id, event_type, vm,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY vm, event_id) AS lr,
+         COUNT(*) OVER (PARTITION BY event_type) AS ng,
+         (SELECT COUNT(*) FROM e) AS n
+  FROM e)
+SELECT l.event_id, l.event_type, l.vm, CAST(g.qn_vm AS BIGINT) AS qn_vm
+FROM l JOIN g ON g.pos = (l.lr * l.n + l.ng - 1) // l.ng
+"""
+
+
 def q_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stochastic-greedy facility-location data selection
     (operators/similarity.facility_location): 5 rounds of
@@ -18395,6 +18491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "randomized_response": q_randomized_response,
         "cdc_chunks": q_cdc_chunks,
         "facility_location": q_facility_location,
+        "quantile_normalize": q_quantile_normalize,
+        "maxsim_retrieval": q_maxsim_retrieval,
         # ---- driver-signed green r2-r9; prior order preserved --------
         "holt_forecast": q_holt_forecast,
         "xlsx_roundtrip": q_xlsx_roundtrip,
@@ -18775,6 +18873,8 @@ def oracle_sql() -> dict[str, str]:
         "randomized_response": _sql_randomized_response(),
         "cdc_chunks": _sql_cdc_chunks(),
         "facility_location": _sql_facility_location(),
+        "quantile_normalize": _SQL_QUANTILE_NORMALIZE,
+        "maxsim_retrieval": _sql_maxsim_retrieval(),
         # -- round-6 additions --------------------------------------------
         "observed_write": _SQL_OBSERVED_WRITE,
         "schema_drift": _SQL_SCHEMA_DRIFT,

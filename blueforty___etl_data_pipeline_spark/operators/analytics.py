@@ -1044,6 +1044,59 @@ def exact_global_rank(
     return out, run
 
 
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    tie_col: str,
+    out_col: str = "qn_value",
+) -> DataFrame:
+    """Quantile normalization (the microarray/batch-effect-correction
+    classic, Bolstad et al. 2003, applied the feature-store way): map
+    every group's value distribution onto the GLOBAL distribution by
+    rank — row with within-group quantile position p gets the global
+    value at position p, so after normalization every group has an
+    identical value distribution and cross-group comparisons stop
+    measuring batch effects.
+
+    Exact integer contract: within-group position is ROW_NUMBER over
+    (value, tie); the target is the global value at rank
+    ``ceil(r_g · N / n_g)`` (1..N), looked up by an equi-join against
+    the globally ranked table.  The position product ``r·N`` is int64
+    (exact to ~3e9 rows; past that split the ceil as
+    ``r·(N div n_g) + ceil(r·(N mod n_g) / n_g)`` — decimal division
+    is NOT a safe substitute, its rounding can cross the floor).
+
+    Returns the input columns + ``out_col``.
+
+    Scale shape: the global rank is the distributed two-phase rank
+    (:func:`exact_global_rank` — never a single-partition window);
+    the within-group rank is an ordinarily-partitioned window; the
+    lookup is ONE corpus equi-join keyed on rank position."""
+    ranked, n = exact_global_rank(
+        df.select(value_col, tie_col), value_col, tie_col, out_col="_gpos"
+    )
+    global_vals = ranked.select(
+        F.col("_gpos"), F.col(value_col).alias(out_col)
+    )
+    wg = Window.partitionBy(group_col).orderBy(
+        F.asc(value_col), F.asc(tie_col)
+    )
+    local = df.select(
+        "*",
+        F.row_number().over(wg).cast("long").alias("_lr"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(group_col))
+        .alias("_ng"),
+    ).withColumn(
+        "_gpos",
+        F.expr(f"(_lr * CAST({n} AS BIGINT) + _ng - 1) DIV _ng"),
+    )
+    return local.join(global_vals, on="_gpos").drop(
+        "_gpos", "_lr", "_ng"
+    )
+
+
 def _when_chain_bucket(value: Column, bounds: list) -> Column:
     """``count(b in bounds : value > b)`` as a codegen-able CASE chain
     over the sorted boundary literals (bucket 0 = value ≤ bounds[0])."""

@@ -1431,6 +1431,78 @@ def _margin_from_scored(
     )
 
 
+def maxsim_retrieval(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    tok_col: str = "tok_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim, Khattab & Zaharia 2020)
+    multi-vector retrieval: documents and queries are SETS of token
+    vectors, and ``score(q, d) = Σ_{t∈q} max_{u∈d} cos(t, u)`` — each
+    query token finds its best-matching document token, so partial
+    topical matches score where single-vector pooling averages them
+    away.
+
+    Integer-exact: token cosines round to e6 longs (the margin_mine
+    convention) before the max/sum, so scores are exact integer sums
+    and rank ties break on doc id deterministically.
+
+    Returns top-``k`` per query: (query_id, doc_id, maxsim_e6, rank).
+
+    Scale shape: corpus token vectors never shuffle — the bounded
+    query token set broadcasts onto the corpus scan; the per-(query
+    token, doc) max and per-(query, doc) sum are partial-agged
+    hash aggregates; the top-k is a rank-limit window per query.  At
+    billion-token corpora, block candidates first with the LSH/IVF
+    operators and feed survivors through the same MaxSim arithmetic."""
+    cv = corpus.select(
+        F.col(id_col).alias("_did"),
+        F.col(tok_col).alias("_dtok"),
+        _micro_vec(F.col(vec_col)).alias("_dv"),
+    ).withColumn("_dn", l2_norm(F.col("_dv")))
+    qv = queries.select(
+        F.col(id_col).alias("_qid"),
+        F.col(tok_col).alias("_qtok"),
+        _micro_vec(F.col(vec_col)).alias("_qv"),
+    ).withColumn("_qn", l2_norm(F.col("_qv")))
+    scored = cv.crossJoin(F.broadcast(qv)).select(
+        "_qid",
+        "_qtok",
+        "_did",
+        F.round(
+            _paired_cosine(
+                F.col("_dv"), F.col("_dn"), F.col("_qv"), F.col("_qn")
+            )
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("_c"),
+    ).filter(F.col("_c").isNotNull())
+    per_tok = scored.groupBy("_qid", "_qtok", "_did").agg(
+        F.max("_c").alias("_m")
+    )
+    per_doc = per_tok.groupBy("_qid", "_did").agg(
+        F.sum("_m").alias("maxsim_e6")
+    )
+    return topk_per_group(
+        per_doc,
+        partition_by=["_qid"],
+        order_by=[F.desc("maxsim_e6"), F.asc("_did")],
+        k=k,
+        rank_col="rank",
+        keep_rank=True,
+    ).select(
+        F.col("_qid").alias("query_id"),
+        F.col("_did").alias("doc_id"),
+        "maxsim_e6",
+        "rank",
+    )
+
+
 def facility_location(
     df: DataFrame,
     k: int = 5,

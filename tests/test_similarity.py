@@ -686,3 +686,32 @@ def test_facility_location_mass_coverage_and_monotone(spark):
     objs = [r["objective"] for r in out]
     assert objs == sorted(objs)
     assert len({r["vec_id"] for r in out}) == 3
+
+
+def test_maxsim_prefers_partial_topical_match(spark):
+    """MaxSim's defining behavior: a doc matching EVERY query token
+    moderately beats a doc matching one token perfectly and the rest
+    not at all — and self-retrieval is exact (score = n_tokens * 1e6)."""
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        maxsim_retrieval,
+    )
+
+    q = [(0, 0, [1.0, 0.0, 0.0, 0.0]), (0, 1, [0.0, 1.0, 0.0, 0.0])]
+    corpus = q + [
+        # doc 1: moderate match to BOTH query tokens (cos ~0.707 each)
+        (1, 0, [0.7071, 0.7071, 0.0, 0.0]),
+        (1, 1, [0.7071, 0.7071, 0.0, 0.0]),
+        # doc 2: perfect match to token 0 only
+        (2, 0, [1.0, 0.0, 0.0, 0.0]),
+        (2, 1, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    cdf = spark.createDataFrame(
+        corpus, "doc_id long, tok_id long, embedding array<float>"
+    )
+    qdf = cdf.filter("doc_id = 0")
+    out = {r["doc_id"]: r for r in maxsim_retrieval(cdf, qdf, k=3).collect()}
+    assert out[0]["maxsim_e6"] == 2_000_000  # self: every token exact
+    assert out[0]["rank"] == 1
+    # both-token moderate (~1.414e6) beats one-token perfect (1e6)
+    assert out[1]["maxsim_e6"] > out[2]["maxsim_e6"]
+    assert out[2]["maxsim_e6"] == 1_000_000
