@@ -547,6 +547,8 @@ HEADLINE = [
     "randomized_response",
     "cdc_chunks",
     "facility_location",
+    "quantile_normalize",
+    "maxsim_retrieval",
 ]
 
 

@@ -93,6 +93,8 @@ SLOW_SET = [
     "shuffle_quality",
     "rfm_segments",
     "cdc_chunks",
+    "quantile_normalize",
+    "maxsim_retrieval",
 ]
 
 
