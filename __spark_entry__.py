@@ -17563,6 +17563,79 @@ FROM r
 """
 
 
+def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling (operators/temporal.
+    resample_interp): hourly spine per event_type, unobserved buckets
+    filled with floor-exact linear interpolation between neighbors —
+    the numeric counterpart of resample_ffill's LOCF.  One spine join
+    + one per-key window sort shared by both neighbor folds."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        resample_interp,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr("CAST(FLOOR(value * 1000000) AS BIGINT)").alias("vm"),
+    )
+    out = resample_interp(
+        ev, ["event_type"], "ts", "vm", step="1 hour",
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "event_type",
+        F.unix_micros(F.col("bucket_ts")).alias("bucket_us"),
+        "vm",
+        "observed",
+    )
+
+
+_SQL_RESAMPLE_INTERP = """
+WITH e AS (
+  SELECT event_type, ts, event_id,
+         CAST(FLOOR(value * 1000000) AS BIGINT) AS v,
+         date_trunc('hour', ts) AS b
+  FROM events),
+o AS (
+  SELECT event_type, b, v FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, b
+               ORDER BY ts DESC, event_id DESC) AS rn
+    FROM e)
+  WHERE rn = 1),
+sp AS (
+  SELECT event_type,
+         unnest(generate_series(MIN(b), MAX(b), INTERVAL 1 HOUR)) AS b
+  FROM o GROUP BY event_type),
+j AS (
+  SELECT sp.event_type, sp.b, o.v, epoch(sp.b) AS t
+  FROM sp LEFT JOIN o ON o.event_type = sp.event_type AND o.b = sp.b),
+w AS (
+  SELECT *,
+    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY b
+            ROWS UNBOUNDED PRECEDING) AS pt,
+    last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY b
+            ROWS UNBOUNDED PRECEDING) AS pv,
+    first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY b
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
+    first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY b
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+  FROM j)
+SELECT event_type,
+       CAST(epoch_us(b) AS BIGINT) AS bucket_us,
+       CAST(CASE WHEN v IS NOT NULL THEN v
+            ELSE FLOOR(pv + (nv - pv) * (t - pt) / (nt - pt)) END
+            AS BIGINT) AS vm,
+       v IS NOT NULL AS observed
+FROM w
+"""
+
+
 def q_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ColBERT-style MaxSim late-interaction retrieval (operators/
     similarity.maxsim_retrieval): embeddings grouped into 4-token
@@ -18493,6 +18566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facility_location": q_facility_location,
         "quantile_normalize": q_quantile_normalize,
         "maxsim_retrieval": q_maxsim_retrieval,
+        "resample_interp": q_resample_interp,
         # ---- driver-signed green r2-r9; prior order preserved --------
         "holt_forecast": q_holt_forecast,
         "xlsx_roundtrip": q_xlsx_roundtrip,
@@ -18875,6 +18949,7 @@ def oracle_sql() -> dict[str, str]:
         "facility_location": _sql_facility_location(),
         "quantile_normalize": _SQL_QUANTILE_NORMALIZE,
         "maxsim_retrieval": _sql_maxsim_retrieval(),
+        "resample_interp": _SQL_RESAMPLE_INTERP,
         # -- round-6 additions --------------------------------------------
         "observed_write": _SQL_OBSERVED_WRITE,
         "schema_drift": _SQL_SCHEMA_DRIFT,

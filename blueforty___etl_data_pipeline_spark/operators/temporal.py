@@ -223,6 +223,104 @@ def resample_ffill(
     return filled
 
 
+def resample_interp(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Regularize an irregular integer-valued series with LINEAR
+    interpolation — the numeric-gap counterpart of
+    :func:`resample_ffill`'s LOCF: an unobserved spine bucket between
+    observations (t₀,v₀) and (t₁,v₁) gets
+    ``floor(v₀ + (v₁−v₀)·(t−t₀)/(t₁−t₀))``.
+
+    Exactness contract: the interpolation ratio is evaluated in
+    double and floored — every term is an exact integer below 2^53
+    (micros values ×  gap seconds ≈ 1e14 at day-scale gaps), and both
+    engines run the identical IEEE expression, so results hash-match.
+    Integer ``DIV`` is deliberately NOT used: the numerator can be
+    negative (falling series) and Spark's div truncates where the
+    oracle's ``//`` floors.
+
+    Spine buckets run from each key's first to last observation, so
+    every unobserved bucket has BOTH neighbors — no edge
+    extrapolation.  Returns (keys..., bucket_ts, value, observed).
+
+    Plan: one per-(key, bucket) last-observation aggregate, an
+    executor-side sequence+explode spine, one (key, bucket) join, and
+    ONE per-key window sort shared by the running-last and
+    running-first neighbor folds."""
+    keys = list(key_cols)
+    units = {"1 minute": "minute", "1 hour": "hour", "1 day": "day"}
+    if step not in units:
+        raise ValueError(f"step must be one of {sorted(units)}")
+    bucket = F.date_trunc(units[step], F.col(ts_col))
+    w_rank = Window.partitionBy(*keys, "_bucket").orderBy(
+        F.desc(ts_col), *[F.desc(c) for c in tiebreak_cols]
+    )
+    obs = (
+        df.select(*keys, F.col(ts_col), value_col, *tiebreak_cols)
+        .withColumn("_bucket", bucket)
+        .withColumn("_rn", F.row_number().over(w_rank))
+        .filter(F.col("_rn") == 1)
+        .select(*keys, "_bucket", F.col(value_col).alias("_v"))
+    )
+    spine = (
+        obs.groupBy(*keys)
+        .agg(F.min("_bucket").alias("_lo"), F.max("_bucket").alias("_hi"))
+        .select(
+            *keys,
+            F.explode(
+                F.sequence(
+                    F.col("_lo"), F.col("_hi"), F.expr(f"INTERVAL {step}")
+                )
+            ).alias("_bucket"),
+        )
+    )
+    joined = spine.join(obs, on=[*keys, "_bucket"], how="left").withColumn(
+        "_t", F.unix_timestamp(F.col("_bucket"))
+    )
+    pt = F.struct(F.col("_t").alias("t"), F.col("_v").alias("v"))
+    marked = F.when(F.col("_v").isNotNull(), pt)
+    w_back = (
+        Window.partitionBy(*keys)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy("_bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    both = joined.select(
+        *keys,
+        "_bucket",
+        "_v",
+        F.last(marked, ignorenulls=True).over(w_back).alias("_p"),
+        F.first(marked, ignorenulls=True).over(w_fwd).alias("_n"),
+    )
+    interp = F.floor(
+        F.col("_p.v")
+        + (F.col("_n.v") - F.col("_p.v"))
+        * (F.col("_t") - F.col("_p.t"))
+        / (F.col("_n.t") - F.col("_p.t"))
+    ).cast("long")
+    return (
+        both.withColumn("_t", F.unix_timestamp(F.col("_bucket")))
+        .select(
+            *keys,
+            F.col("_bucket").alias("bucket_ts"),
+            F.when(F.col("_v").isNotNull(), F.col("_v"))
+            .otherwise(interp)
+            .alias(value_col),
+            F.col("_v").isNotNull().alias("observed"),
+        )
+    )
+
+
 def scd2_history(
     df: DataFrame,
     key_cols: Sequence[str],

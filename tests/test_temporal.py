@@ -652,3 +652,36 @@ def test_stl_lite_identity_and_medians(spark):
     assert [got[t]["residual"] for t in range(12)] == [-10] * 11 + [0]
     with _pytest.raises(ValueError, match="trend_window"):
         stl_lite(df, "t", "y", trend_window=4)
+
+
+def test_resample_interp_linear_gap_fill(spark):
+    """Linear interpolation: a 3-hour gap between v=100 and v=400
+    fills with 200 and 300 (exact thirds); observed buckets keep their
+    values; falling series floor correctly."""
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        resample_interp,
+    )
+
+    rows = [
+        ("a", "2024-01-01 00:30:00", 1, 100),
+        ("a", "2024-01-01 03:10:00", 2, 400),
+        ("b", "2024-01-01 00:00:00", 3, 10),
+        ("b", "2024-01-01 02:00:00", 4, 3),  # falling: 10 -> 3
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts string, event_id long, vm long"
+    ).select("k", F.to_timestamp("ts").alias("ts"), "event_id", "vm")
+    out = {
+        (r["k"], r["bucket_ts"].hour): (r["vm"], r["observed"])
+        for r in resample_interp(
+            df, ["k"], "ts", "vm", tiebreak_cols=["event_id"]
+        ).collect()
+    }
+    assert out[("a", 0)] == (100, True)
+    assert out[("a", 1)] == (200, False)
+    assert out[("a", 2)] == (300, False)
+    assert out[("a", 3)] == (400, True)
+    # falling series: midpoint floor((10+3)/2) = 6 (true value 6.5)
+    assert out[("b", 1)] == (6, False)
