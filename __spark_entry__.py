@@ -17563,6 +17563,38 @@ FROM r
 """
 
 
+def q_fair_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fair round-robin interleave (operators/sampling.fair_interleave):
+    the politeness/fair-mix schedule over per-user event queues —
+    every user's 1st event, then every user's 2nd, ... — computed as
+    one partitioned window + the distributed global rank over
+    (round, user), never a single-partition sort."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        fair_interleave,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    out = fair_interleave(
+        ev, "user_id", ["ts", "event_id"], id_col="event_id"
+    )
+    return out.select("event_id", "user_id", "rnd", "slot")
+
+
+_SQL_FAIR_INTERLEAVE = """
+WITH r AS (
+  SELECT event_id, user_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS BIGINT) AS rnd
+  FROM events)
+SELECT event_id, user_id, rnd,
+       CAST(ROW_NUMBER() OVER (ORDER BY rnd, user_id) AS BIGINT) AS slot
+FROM r
+"""
+
+
 def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-interpolation resampling (operators/temporal.
     resample_interp): hourly spine per event_type, unobserved buckets
@@ -18567,6 +18599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": q_quantile_normalize,
         "maxsim_retrieval": q_maxsim_retrieval,
         "resample_interp": q_resample_interp,
+        "fair_interleave": q_fair_interleave,
         # ---- driver-signed green r2-r9; prior order preserved --------
         "holt_forecast": q_holt_forecast,
         "xlsx_roundtrip": q_xlsx_roundtrip,
@@ -18950,6 +18983,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_normalize": _SQL_QUANTILE_NORMALIZE,
         "maxsim_retrieval": _sql_maxsim_retrieval(),
         "resample_interp": _SQL_RESAMPLE_INTERP,
+        "fair_interleave": _SQL_FAIR_INTERLEAVE,
         # -- round-6 additions --------------------------------------------
         "observed_write": _SQL_OBSERVED_WRITE,
         "schema_drift": _SQL_SCHEMA_DRIFT,

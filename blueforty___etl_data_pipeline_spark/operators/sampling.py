@@ -573,6 +573,36 @@ def shuffle_quality(
     )
 
 
+def fair_interleave(
+    df: DataFrame,
+    key_col: str,
+    order_cols: "Sequence[str]",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fair round-robin interleave — the crawl-politeness / fair-mix
+    schedule: emit every key's 1st item (keys in key order), then
+    every key's 2nd, and so on, so no key monopolizes the head of the
+    queue and same-key items sit ≥ #active-keys slots apart.  The
+    deterministic twin of what a politeness-aware frontier or a
+    source-fair data loader does with queues.
+
+    The global slot is just the lexicographic rank of (per-key round,
+    key): one ordinarily-partitioned window for the round, then the
+    distributed two-phase rank (:func:`operators.analytics.
+    exact_global_rank`) over it — never a single-partition sort.
+
+    Returns the input columns + (rnd, slot); slot is the dense global
+    schedule position 1..n."""
+    from .analytics import exact_global_rank
+
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    rounds = df.withColumn("rnd", F.row_number().over(w).cast("long"))
+    # (rnd, key) is unique per row, so the (value, tie) order below is
+    # total; key ties inside a round order by the key itself
+    out, _n = exact_global_rank(rounds, "rnd", key_col, out_col="slot")
+    return out
+
+
 def materialize_epoch(
     df: DataFrame,
     epochs_permille: dict[str, int],
