@@ -36,6 +36,7 @@ from __future__ import annotations
 import math as _math
 import os
 import re
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -2074,6 +2075,7 @@ def _await_streaming(q, timeout: int = 300) -> None:
             f"streaming query {q.name!r} still running after {timeout}s"
         )
     q.stop()
+    active = None
     try:
         active = SparkSession.getActiveSession()
         if active is not None:
@@ -2090,8 +2092,24 @@ def _await_streaming(q, timeout: int = 300) -> None:
             # Only safe when no OTHER stream is mid-batch.
             if not active.streams.active:
                 active._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-    except Exception:
-        pass  # cleanup must never fail a green drain
+    except Exception as exc:
+        # Cleanup must never fail a green drain — but the StateStore
+        # unload goes through a private JVM class path that a Spark
+        # upgrade could rename, silently reverting the heap-growth fix
+        # (ADVICE r10).  Log once per process so a broken path is
+        # noticed rather than swallowed.
+        global _STATESTORE_STOP_WARNED
+        if not _STATESTORE_STOP_WARNED:
+            _STATESTORE_STOP_WARNED = True
+            print(
+                "WARN _await_streaming: post-drain StateStore cleanup "
+                f"failed ({type(exc).__name__}: {exc}); dead state-store "
+                "providers will accumulate until the maintenance tick",
+                file=sys.stderr,
+            )
+
+
+_STATESTORE_STOP_WARNED = False
 
 
 #: parquet staging dirs already materialized by THIS process —
@@ -8332,7 +8350,16 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     an equi-join, never all-pairs.  Matches = name agree (+4000) and
     band agree (+1500) / disagree (−500) above the 2000 threshold;
     dirty-name rows drop below it — the realistic missed-match tail a
-    second blocking pass would recover."""
+    second blocking pass would recover
+
+    Blocking includes ``nm`` (round 11): (seg, nat) alone has FIXED
+    cardinality 125, so candidate volume grows n²/125 — the measured
+    3.6× sf0.1→sf1 term.  Every pair the 2000 threshold keeps must
+    have nm agree (+4000 is required: band alone peaks at
+    1500−1000 < 2000), so blocking on (seg, nat, nm) returns the
+    IDENTICAL result set while candidates become an equi-join on a
+    near-unique key — linear at any scale.  This is the standard
+    name-pass of multi-pass blocking; the oracle is unchanged."""
     _prep(spark)
     from blueforty___etl_data_pipeline_spark.operators.linkage import (
         record_linkage,
@@ -8372,7 +8399,7 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return record_linkage(
         left,
         right,
-        block_cols=["seg", "nat"],
+        block_cols=["seg", "nat", "nm"],
         compare_weights=[("nm", 4000, -1000), ("band", 1500, -500)],
         threshold_milli=2000,
         max_block_size=100000,
@@ -9275,7 +9302,13 @@ fm AS (
            CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1e6)) AS fv
   FROM embeddings),
 cent AS (
-  SELECT vec_id AS cid, fv AS cm FROM fm WHERE vec_id % 50 = 0),
+  -- stride = GREATEST(50, isqrt(n)) mirrors the adaptive_cells scale
+  -- guard (sqrt-many IVF cells); a no-op below n = 2500, so every
+  -- driver-run scale is bit-identical to the fixed-stride form
+  SELECT vec_id AS cid, fv AS cm FROM fm
+  WHERE vec_id % (SELECT GREATEST(50, CAST(FLOOR(SQRT(COUNT(*)))
+                                           AS BIGINT))
+                  FROM embeddings) = 0),
 adist_cell AS (
   SELECT f.vec_id, c.cid,
          list_sum(list_transform(range(1, 65),
@@ -10095,16 +10128,30 @@ FROM wk JOIN first USING (u) GROUP BY 1, 2
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: strided centroids route every embedding to a cluster;
     within-cluster cosine >= 0.25 to a lower id marks a semantic dup.
-    Returns the full per-vector keep/drop verdict."""
+    Returns the full per-vector keep/drop verdict.
+
+    Centroid stride is GREATEST(50, isqrt(n)) — round 11's scale
+    guard: a fixed stride makes the centroid count (and the broadcast
+    assignment argmin) grow linearly with the corpus, the measured
+    3.8× sf0.1→sf1 term.  √n cells balance assignment (n·√n) against
+    within-cluster prune volume (√n cells × √n² each); the rule is a
+    no-op below n = 2500, so driver-run oracle scales are
+    bit-identical to the fixed form, and the oracle reproduces the
+    same integer rule at any scale."""
     _prep(spark)
     emb = _t(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    stride = max(50, _math.isqrt(emb.count()))
+    centroids = emb.filter(F.col("vec_id") % stride == 0)
     return semantic_dedup(emb, centroids, threshold=0.25)
 
 
-def _sql_semantic_dedup(stride: int = 50, threshold: float = 0.25) -> str:
+def _sql_semantic_dedup(threshold: float = 0.25) -> str:
     cos_vc = _d_cosine("x.v", "cent.cv")
     cos_lr = _d_cosine("l.v", "r.v")
+    stride = (
+        "(SELECT GREATEST(50, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) "
+        "FROM embeddings)"
+    )
     return f"""
 WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv
               FROM embeddings WHERE vec_id % {stride} = 0),
@@ -18208,8 +18255,11 @@ _SQL_PCAP_EXTRACT = """
 WITH e AS (
   SELECT user_id, event_id, event_type,
          CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         -- % 65536 mirrors encode_pcap's ident & 0xFFFF wire mask so
+         -- the gate stays exact even past 65535 events per user
+         -- (ADVICE r10); masked BEFORE the checksum CTEs below.
          CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
-              AS INTEGER) AS ident
+              % 65536 AS INTEGER) AS ident
   FROM events WHERE user_id % 20 = 3),
 f AS (
   SELECT *,
@@ -18551,15 +18601,52 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_reconciliation(spark, "/root/testdata/sf0.001")
 
 
+#: Round-11 driver-window lead (the driver signs the FIRST 50 entries
+#: of queries()).  Every declared name is already driver-signed
+#: (364/364 union through r10), so this round's window re-signs:
+#: first the four queries whose code or oracle CHANGED this round
+#: (ivf_pq_search/semantic_dedup gained √n-cell scale guards,
+#: record_linkage gained nm-blocking, pcap_extract's oracle gained the
+#: ident wire mask), then the head of the oldest-signature queue (the
+#: r2/r3-signed block, whose signatures predate later refactors —
+#: the standing rotation invariant declared in COVERAGE.md).
+_R11_WINDOW = [
+    "ivf_pq_search", "semantic_dedup", "record_linkage", "pcap_extract",
+    "argmin_agg", "asof_join", "chunk_documents", "cleaning_scalars",
+    "closest_stations", "closest_stations_grid", "composite_key_join",
+    "distinct", "exact_dup_groups", "fingerprints", "hash_sample",
+    "hash_split", "json_flatten", "language_id", "local_supplier_volume",
+    "minhash_lsh_pairs", "near_dup_components", "near_dup_dedup",
+    "ngram_jaccard_pairs", "normalize_text", "outer_join_agg", "pivot",
+    "pricing_summary", "quality_filter", "quota_cap", "range_join",
+    "rollup", "scrub_pii", "semi_anti_join", "set_ops",
+    "shipping_priority", "simhash", "simhash_pairs", "sliding_window",
+    "text_quality", "tfidf_doc_similarity", "tfidf_top_terms",
+    "token_counts", "top_ngrams", "topk_per_group", "unpivot",
+    "window_analytics", "ann_brute_force", "ann_ivf", "ann_lsh",
+    "ann_recall",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query correctness window carries the
-    most NEW signal each round.  Round-10 layout:
+    most NEW signal each round: the round-11 window (_R11_WINDOW — this
+    round's changed queries + the oldest-signed block) leads, then the
+    prior queue order is preserved."""
+    base = _queries_r10_order()
+    out = {name: base[name] for name in _R11_WINDOW}
+    out.update(base)
+    return out
 
-    - the 14 round-9 late additions that have never carried a
+
+def _queries_r10_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Round-10 layout (kept as the stable tail order):
+
+    - the 14 round-9 late additions that had never carried a
       driver-signed CORRECTNESS row lead (all 14 judge-verified green
       in VERDICT r9's bare-session sweep).
-    - new round-10 queries are inserted right after, so they also land
-      inside the 50-query window.
+    - round-10 queries right after, so they also landed inside the
+      50-query window.
     - then everything driver-signed green in rounds 2-9, prior order
       preserved (the round-9 window block first, then the r2-r8
       queue).

@@ -587,6 +587,35 @@ def main() -> None:
     # first measured run lands under 1 s is re-run twice more and the
     # MEDIAN reported; >=1 s queries stay single-shot (data-bound, and
     # tripling them would triple total bench wall time for no signal).
+    #
+    # Outlier guard (round 11, VERDICT r10 item 8): a long in-session
+    # sequence occasionally spikes ONE query far past its fresh-session
+    # median (streaming_session read 4.2x its median in BENCH_r10 —
+    # single-JVM drain scheduling, not code).  Any first run landing
+    # above OUTLIER_X times its committed median (BENCH_MEDIANS_*.json)
+    # is re-run twice and the median of 3 reported — a clean run pays
+    # nothing, a noisy run re-measures only the noisy entries, and a
+    # real regression still shows (all 3 runs stay slow).
+    ref_medians: dict[str, float] = {}
+    try:
+        import glob as _glob
+
+        cands = sorted(
+            _glob.glob(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "BENCH_MEDIANS_r*.json",
+                )
+            ),
+            # numeric round order — lexical sort puts r9 after r10
+            key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+        )
+        if cands:
+            with open(cands[-1]) as f:
+                ref_medians = json.load(f).get("queries", {})
+    except Exception:
+        pass  # reference medians are an optimization, never a gate
+    OUTLIER_X = 1.5
     times: dict[str, float] = {}
     run_counts: dict[str, int] = {}
     for name in HEADLINE:
@@ -600,7 +629,10 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         runs = [time.time() - t0]
-        if runs[0] < 1.0:
+        ref = ref_medians.get(name)
+        if runs[0] < 1.0 or (
+            ref is not None and runs[0] > OUTLIER_X * ref
+        ):
             for _ in range(2):
                 t0 = time.time()
                 fn(spark, sf_dir).write.mode("overwrite").format(
@@ -617,6 +649,11 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "runs": run_counts,
+        "outlier_guard": {
+            "ref": os.path.basename(cands[-1]) if ref_medians else None,
+            "n_ref": len(ref_medians),
+            "x": OUTLIER_X,
+        },
         "sf": sf,
         "note": (
             "single in-session run; the committed round-9 baseline is "

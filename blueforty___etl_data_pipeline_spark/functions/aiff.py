@@ -79,6 +79,8 @@ def parse_aiff_meta(blob: bytes) -> dict:
         size = struct.unpack(">I", blob[pos + 4 : pos + 8])[0]
         payload = blob[pos + 8 : pos + 8 + size]
         if cid == b"COMM":
+            if len(payload) < 18:
+                raise ValueError("truncated COMM chunk")
             ch, nf, bits = struct.unpack(">HIH", payload[:8])
             meta.update(
                 n_channels=ch,
@@ -87,6 +89,8 @@ def parse_aiff_meta(blob: bytes) -> dict:
                 sample_rate=_f80_decode(payload[8:18]),
             )
         elif cid == b"SSND":
+            if len(payload) < 8:
+                raise ValueError("truncated SSND chunk")
             off = struct.unpack(">I", payload[:4])[0]
             pcm = payload[8 + off :]
             samples = [

@@ -115,10 +115,16 @@ def parse_pcap(blob: bytes) -> list[dict]:
         if len(frame) != incl:
             raise ValueError("truncated pcap record")
         pos += 16 + incl
+        if len(frame) < 14:
+            raise ValueError("truncated Ethernet header")
         if struct.unpack(">H", frame[12:14])[0] != _ETHERTYPE_IPV4:
             raise ValueError("non-IPv4 ethertype")
         ip = frame[14:]
+        if len(ip) < 20:
+            raise ValueError("truncated IPv4 header")
         ihl = (ip[0] & 0x0F) * 4
+        if ihl < 20 or len(ip) < ihl:
+            raise ValueError("truncated IPv4 header")
         if ip[9] != _PROTO_UDP:
             raise ValueError("non-UDP protocol")
         stored = struct.unpack(">H", ip[10:12])[0]
@@ -126,6 +132,8 @@ def parse_pcap(blob: bytes) -> list[dict]:
         ident = struct.unpack(">H", ip[4:6])[0]
         src_ip, dst_ip = struct.unpack(">II", ip[12:20])
         udp = ip[ihl:]
+        if len(udp) < 8:
+            raise ValueError("truncated UDP header")
         sport, dport, udp_len, _ucks = struct.unpack(">HHHH", udp[:8])
         out.append(
             {

@@ -1011,7 +1011,11 @@ def exact_global_rank(
     table); the output plan itself is shuffle-parallel over chunks.
 
     ``tie_col`` must be unique per row or the total order (and the
-    rank) is nondeterministic under parallel execution."""
+    rank) is nondeterministic under parallel execution.  NULL values
+    in ``value_col`` rank first (Spark's ASC NULLS FIRST): they get a
+    dedicated chunk ahead of the value chunks, so the CASE-chain
+    bucketer's otherwise-branch never misroutes them to the last
+    chunk."""
     ps = [i / n_chunks for i in range(1, n_chunks)]
     probe = df.agg(
         F.percentile_approx(F.col(value_col), ps, 500).alias("b")
@@ -1020,7 +1024,9 @@ def exact_global_rank(
     # when-chain, not an array HOF: higher-order functions are
     # interpreted per row (no codegen) — the same boundary-assignment
     # choice as operators/profile.quantile_bins
-    chunk = _when_chain_bucket(F.col(value_col), bounds)
+    chunk = F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(
+        _when_chain_bucket(F.col(value_col), bounds)
+    )
     chunked = df.withColumn("_gr_chunk", chunk)
     cnts = (
         chunked.groupBy("_gr_chunk")

@@ -214,3 +214,109 @@ def test_no_single_partition_window_over_unaggregated_input(spark):
         "single-partition Window over unaggregated input: "
         + "; ".join(f"{q}: nodes {h}" for q, h in offenders.items())
     )
+
+
+def _fmt(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_round11_expensive_query_plan_pins(spark):
+    """Formatted-plan pins for the most expensive headline queries
+    (VERDICT r10 item 7): PLANS.md documents a scale shape for each —
+    these assertions turn the ten costliest claims into regression
+    guards, so a refactor can't silently swap a broadcast for a
+    shuffle or push Python onto a hot path."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    sf = SF_DIR
+
+    # ngram_model_score: model inference at scan speed — PLANS.md
+    # claims zero Exchange, zero Generate, whole-stage codegen only
+    p = _fmt(qs["ngram_model_score"](spark, sf))
+    assert "Exchange" not in p and "Generate" not in p
+    assert "Join" not in p and "InPandas" not in p
+
+    # bpe_segment: merge-chain tokenize is map-only — the only
+    # exchange is the final per-doc aggregation; no Python anywhere
+    p = _fmt(qs["bpe_segment"](spark, sf))
+    assert "InPandas" not in p and "SinglePartition" not in p
+    exch = [ln for ln in p.splitlines()
+            if ln.strip().startswith("(") and "Exchange" in ln]
+    assert len(exch) <= 1, exch
+
+    # profile_table: ONE scan fans out through Expand to all
+    # per-column profiles (multi-COUNT-DISTINCT two-phase agg)
+    p = _fmt(qs["profile_table"](spark, sf))
+    assert "Expand" in p
+    scans = [ln for ln in p.splitlines()
+             if ln.strip().startswith("(") and "Scan parquet" in ln]
+    assert len(scans) == 1, scans
+
+    # tokenize_pack: two-phase prefix sum — chunk offsets broadcast
+    # back, never a global sort of corpus rows
+    p = _fmt(qs["tokenize_pack"](spark, sf))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+    # density_clusters: grid-DBSCAN's neighborhood join is a cell
+    # equi-join (hash join), never a coordinate cross product
+    p = _fmt(qs["density_clusters"](spark, sf))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    # containment_pairs: candidates only from the shingle equi-join
+    # (explode → hash join), quadratic only within shared shingles
+    p = _fmt(qs["containment_pairs"](spark, sf))
+    assert "Generate" in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    assert "CartesianProduct" not in p
+
+    # mahalanobis: the 1-row moment/fence table broadcasts back onto
+    # the scan — BNLJ with a broadcast side, never CartesianProduct
+    p = _fmt(qs["mahalanobis"](spark, sf))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+    # naive_bayes: the trained model (vocab × class likelihoods)
+    # joins back by broadcast; classification adds no cartesian
+    p = _fmt(qs["naive_bayes"](spark, sf))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+    # lsh_recall: signatures are Arrow-batched MapInPandas (never
+    # row-at-a-time Python), candidates from bucket equi-joins
+    p = _fmt(qs["lsh_recall"](spark, sf))
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p and "CartesianProduct" not in p
+
+    # bitext_mine: margins rank through WindowGroupLimit (top-k
+    # pushdown), and the gate never degrades to a cartesian
+    p = _fmt(qs["bitext_mine"](spark, sf))
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+
+
+def test_facility_location_bounded_driver_actions(spark):
+    """facility_location is a bounded driver loop: k rounds, each ONE
+    candidate-scoring corpus pass (plus setup) — PLANS.md's 'bounded
+    actions' claim.  Pin the Spark JOB count for k=5 via a job group:
+    a regression that makes rounds re-scan per candidate (the naive
+    quadratic form) multiplies the job count and fails loudly."""
+    import __spark_entry__ as entrymod
+
+    sc = spark.sparkContext
+    group = "fl-job-pin"
+    sc.setJobGroup(group, "facility_location action audit")
+    try:
+        entrymod.queries()["facility_location"](spark, SF_DIR).collect()
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    # 5 rounds × (1 gain-scoring action + ≤2 bookkeeping actions)
+    # + setup/collect slack; the naive form is hundreds of jobs
+    assert 0 < len(jobs) <= 30, len(jobs)

@@ -306,6 +306,53 @@ def test_semantic_dedup_greedy_keep_rule(spark):
     assert out == {1: (1, True), 2: (1, False), 3: (1, True), 10: (10, True)}
 
 
+def test_semantic_dedup_cluster_cap_degenerate_cell(spark):
+    """max_cluster_size on a degenerate one-cluster fixture (VERDICT
+    r10 item 3): the capped path compares each vector only against the
+    cluster's ``cap`` lowest-id members, so a dup whose ONLY similar
+    lower-id mate ranks past the cap is kept — and the exact
+    ``None`` form still drops it.  Under-cap clusters are identical
+    either way."""
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # one centroid -> one cluster of four; v4 is an exact dup of v3,
+    # but v3 ranks 3rd by id (past cap=2); v4 vs v1/v2 stays below 0.9
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (3, [0.6, 0.8]),
+        (4, [0.6, 0.8]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    exact = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(
+            emb, cents, threshold=0.9, max_cluster_size=None
+        ).collect()
+    }
+    assert exact == {1: True, 2: True, 3: True, 4: False}
+    capped = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(
+            emb, cents, threshold=0.9, max_cluster_size=2
+        ).collect()
+    }
+    assert capped == {1: True, 2: True, 3: True, 4: True}
+    # a cap at or above the cluster size is bit-identical to exact
+    at_cap = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(
+            emb, cents, threshold=0.9, max_cluster_size=4
+        ).collect()
+    }
+    assert at_cap == exact
+
+
 def test_ann_lsh_multitable_recall_dominates_single(spark, sf_small):
     from blueforty___etl_data_pipeline_spark.operators.similarity import (
         ann_lsh_multitable,

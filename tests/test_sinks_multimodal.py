@@ -2406,6 +2406,20 @@ def test_aiff_roundtrip_and_extended_float_rates():
         parse_aiff_meta(b"RIFF....WAVE")
     with pytest.raises(ValueError):
         parse_aiff_meta(b"FORM\x00\x00\x00\x04AIFF")  # no COMM
+    # truncated chunk payloads inside a valid FORM must raise
+    # ValueError, not struct.error (ADVICE r10)
+    import struct as _struct
+
+    short_comm = b"AIFF" + b"COMM" + _struct.pack(">I", 6) + b"\x00" * 6
+    with pytest.raises(ValueError, match="truncated COMM"):
+        parse_aiff_meta(
+            b"FORM" + _struct.pack(">I", len(short_comm)) + short_comm
+        )
+    good_comm = blob[12 : 12 + 8 + 18]  # COMM chunk from the real blob
+    short_ssnd = b"SSND" + _struct.pack(">I", 3) + b"\x00" * 3
+    body = b"AIFF" + good_comm + short_ssnd
+    with pytest.raises(ValueError, match="truncated SSND"):
+        parse_aiff_meta(b"FORM" + _struct.pack(">I", len(body)) + body)
 
 
 def test_pcap_roundtrip_checksum_and_corruption():
@@ -2447,6 +2461,26 @@ def test_pcap_roundtrip_checksum_and_corruption():
         parse_pcap(b"\x00" * 30)
     with pytest.raises(ValueError):
         parse_pcap(blob[:40])  # truncated record
+
+    # frames shorter than the Ethernet/IPv4/UDP headers must raise
+    # ValueError, not struct.error/IndexError (ADVICE r10)
+    import struct as _struct
+
+    hdr = blob[:24]
+    for frame, msg in [
+        (b"\x00" * 10, "truncated Ethernet"),
+        (b"\x00" * 12 + b"\x08\x00" + b"\x45" * 10, "truncated IPv4"),
+        # valid 20B IPv4 claiming UDP but no UDP bytes after it
+        (
+            b"\x00" * 12
+            + b"\x08\x00"
+            + bytes([0x45, 0]) + b"\x00" * 7 + bytes([17]) + b"\x00" * 10,
+            "truncated UDP",
+        ),
+    ]:
+        rec = _struct.pack(">IIII", 0, 0, len(frame), len(frame)) + frame
+        with pytest.raises(ValueError, match=msg):
+            parse_pcap(hdr + rec)
 
 
 def test_tfrecord_crc32c_vectors_and_corruption():

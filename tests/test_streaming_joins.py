@@ -130,3 +130,45 @@ def test_stream_stream_left_outer_emission_boundary(spark, tmp_path):
         (r["ts"].minute, r["user_id_r"]) for r in spark.table("ss_outer").collect()
     )
     assert got == [(0, None)]
+
+
+def test_streaming_state_shapes_in_executed_plans(spark, tmp_path):
+    """State-shape pins for the streaming family (VERDICT r10 item 7):
+    PLANS.md claims the stream-stream join runs as
+    StreamingSymmetricHashJoin with watermark-bounded state — assert
+    it from the EXECUTED micro-batch plan (q.explain after the drain),
+    not the unresolved logical plan, so a refactor that silently
+    degrades to a stateless or unbounded form fails here."""
+    import contextlib
+    import io
+
+    lp, rp = str(tmp_path / "sl"), str(tmp_path / "sr")
+    _write(spark, lp, [(_t(0), 1, "imp")])
+    _write(spark, rp, [(_t(10), 1, "click")])
+    left = spark.readStream.schema(SCHEMA).parquet(lp)
+    right = spark.readStream.schema(SCHEMA).parquet(rp)
+    joined = stream_stream_join(
+        left, right, key="user_id", max_lag="INTERVAL 30 MINUTES"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_state_shape")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain()
+    plan = buf.getvalue()
+    q.stop()
+    assert "StreamingSymmetricHashJoin" in plan, plan
+    # the join condition carries the event-time range bound — that is
+    # what lets the state store evict (O(rate × lag) state, never the
+    # whole stream)
+    assert "watermark" in plan.lower(), plan
+    # state metrics confirm both sides kept bounded keyed state
+    progress = q.lastProgress
+    ops = progress["stateOperators"]
+    assert ops and ops[0]["operatorName"] == "symmetricHashJoin", ops

@@ -44,7 +44,12 @@ def test_streaming_dedup_bounded_state(spark, events_stream_dir):
     # redefining one that stream_from_parquet already attached).
     stream = spark.readStream.schema(ev.schema).parquet(dup_path)
     out = streaming_dedup(stream, key_cols=("event_id",), watermark="1 hour")
-    _run_available_now(out, "dedup_test", mode="append")
+    q = _run_available_now(out, "dedup_test", mode="append")
+    # state-shape pin (VERDICT r10 item 7): the executed plan must run
+    # the keyed watermark-evicted dedup operator, not a stateless
+    # distinct — asserted from the drained query's progress
+    ops = q.lastProgress["stateOperators"]
+    assert ops and "dedupe" in ops[0]["operatorName"].lower(), ops
     n = spark.sql("SELECT COUNT(*) FROM dedup_test").collect()[0][0]
     assert n == ev.count()  # every duplicate dropped
 
@@ -59,7 +64,18 @@ def test_running_user_stats_stateful(spark, events_stream_dir):
     path, ev = events_stream_dir
     stream = spark.readStream.schema(ev.schema).parquet(path)
     out = running_user_stats(stream)
-    _run_available_now(out, "user_stats_test", mode="update")
+    q = _run_available_now(out, "user_stats_test", mode="update")
+    # state-shape pin (VERDICT r10 item 7): the custom stateful agg
+    # must execute as Arrow-batched applyInPandasWithState
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain()
+    assert "FlatMapGroupsInPandasWithState" in buf.getvalue()
+    ops = q.lastProgress["stateOperators"]
+    assert ops and ops[0]["operatorName"] == "applyInPandasWithState", ops
     # In update mode the memory sink holds every emitted update; the last
     # update per user must equal the batch ground truth.
     got = {
@@ -230,3 +246,32 @@ def test_running_user_stats_exact_matches_batch_group_by(spark, sf_small, tmp_pa
         .collect()
     }
     assert got == exp
+
+
+def test_session_window_streaming_state_shape(spark, tmp_path):
+    """Session-window state-shape pin (VERDICT r10 item 7): the
+    streaming sessionizer must run the sessionWindow state operator
+    (watermark-bounded gap merging), asserted from the drained query's
+    progress.  A 20-row single-file source keeps the drain trivial —
+    the state shape is data-independent."""
+    from datetime import datetime
+
+    from blueforty___etl_data_pipeline_spark.streaming.windows import (
+        session_window_agg,
+    )
+
+    rows = [
+        (datetime(2026, 1, 1, 12, i % 50, 0), i % 4, float(i))
+        for i in range(20)
+    ]
+    schema = "ts timestamp, user_id long, value double"
+    src = str(tmp_path / "tiny_events")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = session_window_agg(
+        stream.withWatermark("ts", "1 hour"), gap="30 minutes"
+    )
+    q = _run_available_now(out, "session_shape_test", mode="update")
+    ops = q.lastProgress["stateOperators"]
+    q.stop()
+    assert ops and "session" in ops[0]["operatorName"].lower(), ops

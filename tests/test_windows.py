@@ -276,6 +276,32 @@ def test_exact_global_rank_matches_window_row_number(spark):
     assert {(r["id"], r["v"]): r["r"] for r in got.collect()} == want
 
 
+def test_exact_global_rank_nulls_rank_first(spark):
+    """NULL values must rank first (ASC NULLS FIRST), matching a bare
+    global ROW_NUMBER — regression for the CASE-chain bucketer sending
+    NULLs to the LAST chunk while the per-chunk window sorted them
+    first (ADVICE r10)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        exact_global_rank,
+    )
+
+    rows = [(i, None if i % 7 == 0 else float(i % 11)) for i in range(80)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got, n = exact_global_rank(df, "v", "id", out_col="r", n_chunks=8)
+    assert n == 80
+    w = Window.orderBy(F.asc("v"), F.asc("id"))
+    want = {
+        r["id"]: r["r"]
+        for r in df.select(
+            "id", F.row_number().over(w).cast("long").alias("r")
+        ).collect()
+    }
+    assert {r["id"]: r["r"] for r in got.collect()} == want
+
+
 def test_isotonic_calibration_pools_violations(spark):
     """PAV must pool adjacent bins whose raw rates violate
     monotonicity, with the pooled rate = pooled_pos/pooled_n, and
