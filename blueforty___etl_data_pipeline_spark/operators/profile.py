@@ -1719,6 +1719,7 @@ def mahalanobis_outliers(
     col_x: str,
     col_y: str,
     threshold_e3: int = 13_816,
+    auto_rescale: bool = True,
 ) -> DataFrame:
     """Bivariate Mahalanobis outlier screen — the correlation-aware
     upgrade of the marginal z-score/IQR/MAD family: a point can sit
@@ -1804,6 +1805,30 @@ def mahalanobis_outliers(
         import math
 
         rescale = 10 ** math.ceil(math.log10(worst / budget) / 4)
+        if auto_rescale:
+            # Scale gate (round 11): Mahalanobis distance is invariant
+            # under linear input scaling (μ and Σ rescale with the
+            # data, d² cancels exactly in real arithmetic), so the
+            # over-budget call re-runs on inputs integer-divided by
+            # the computed factor — the result differs from the
+            # un-scalable exact form only by the floor-quantization of
+            # the inputs (sub-`rescale` structure).  Below the budget
+            # — every driver-run oracle scale — this branch never
+            # engages and results are bit-identical.  Recursion
+            # terminates: rescale ≥ 10 shrinks `worst` by ≥ 1e4 per
+            # level.  The loud ValueError remains the contract under
+            # auto_rescale=False.
+            scaled = df.select(
+                F.expr(
+                    f"CAST({col_x} AS decimal(38,0)) div {rescale}"
+                ).alias(col_x),
+                F.expr(
+                    f"CAST({col_y} AS decimal(38,0)) div {rescale}"
+                ).alias(col_y),
+            )
+            return mahalanobis_outliers(
+                scaled, col_x, col_y, threshold_e3, auto_rescale=True
+            )
         raise ValueError(
             "mahalanobis_outliers: decimal(38,0) budget exceeded "
             f"(worst-case term {worst:.3e} > 1e38); pre-divide both "

@@ -1037,7 +1037,31 @@ def test_mahalanobis_outliers_decimal_budget_raises(spark):
     rows = [(0, 0), (v, v // 2), (v // 2, v), (v // 3, v // 7)]
     df = spark.createDataFrame(rows, "x long, y long")
     with pytest.raises(ValueError, match="pre-divide"):
-        mahalanobis_outliers(df, "x", "y")
+        mahalanobis_outliers(df, "x", "y", auto_rescale=False)
+
+
+def test_mahalanobis_outliers_auto_rescale_engages(spark):
+    """Over-budget moments with the default auto_rescale must re-run
+    on integer-divided inputs instead of raising (round-11 scale
+    gate), and the result must equal manually pre-divided inputs —
+    the rule the old error message prescribed.  Mahalanobis d² is
+    scale-invariant, so the rescaled screen is the same screen up to
+    the inputs' floor-quantization."""
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        mahalanobis_outliers,
+    )
+
+    v = 10**9
+    rows = [(0, 0), (v, v // 2), (v // 2, v), (v // 3, v // 7)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = mahalanobis_outliers(df, "x", "y").collect()[0]
+    manual_rows = [(a // 10, b // 10) for a, b in rows]
+    manual = spark.createDataFrame(manual_rows, "x long, y long")
+    want = mahalanobis_outliers(
+        manual, "x", "y", auto_rescale=False
+    ).collect()[0]
+    assert got.asDict() == want.asDict()
+    assert got["n"] == 4
 
 
 def test_join_skew_report_exact_cardinality(spark):

@@ -52,7 +52,14 @@ def child(out_path: str, names: list[str]) -> None:
         except Exception:
             pass
         t0 = time.time()
-        fn(spark, SF1_DIR).write.mode("overwrite").format("noop").save()
+        try:
+            fn(spark, SF1_DIR).write.mode("overwrite").format(
+                "noop"
+            ).save()
+        except Exception as exc:  # record the gate/failure, keep going
+            out[name] = f"ERR {type(exc).__name__}: {exc}"[:300]
+            print(name, out[name], flush=True)
+            continue
         out[name] = round(time.time() - t0, 3)
         print(name, out[name], flush=True)
     with open(out_path, "w") as f:
@@ -87,6 +94,12 @@ def main() -> None:
         )
         with open(rp) as f:
             runs.append(json.load(f))
+    errs = {
+        n: next(r[n] for r in runs if isinstance(r[n], str))
+        for n in names
+        if any(isinstance(r[n], str) for r in runs)
+    }
+    names = [n for n in names if n not in errs]
     medians = {
         n: round(statistics.median(r[n] for r in runs), 3) for n in names
     }
@@ -103,6 +116,7 @@ def main() -> None:
         "sf": "sf1 (10x key-shifted replica of sf0.1, tools/make_sf1.py)",
         "value": round(sum(medians.values()), 3),
         "queries": medians,
+        "errors": errs,
         "ratio_vs_sf01_median": {
             n: round(medians[n] / ref["queries"][n], 2) for n in names
         },
