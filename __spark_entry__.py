@@ -17811,6 +17811,45 @@ FROM l JOIN g ON g.pos = (l.lr * l.n + l.ng - 1) // l.ng
 """
 
 
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (operators/analytics.skyline_2d):
+    parts no other part beats on BOTH price and size — cheapest for
+    their size class, the multi-objective shortlist every catalog /
+    plan-selection pipeline needs.  Exact reduction: per-x minima →
+    prefix-strict-min over the x-sorted group table (distributed
+    two-phase, no single-partition window) → join back; coordinate
+    duplicates of a frontier point all survive.  The oracle is the
+    textbook NOT EXISTS dominance predicate, so the hash match proves
+    the chunked prefix pass equals all-pairs dominance."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        skyline_2d,
+    )
+
+    pts = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("part_id"),
+        (F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        (-F.col("p_size")).cast("long").alias("neg_size"),
+    )
+    out = skyline_2d(pts, "price_cents", "neg_size")
+    return out.select("part_id", "price_cents", "neg_size")
+
+
+_SQL_SKYLINE = """
+WITH p AS (
+  SELECT p_partkey AS part_id,
+         CAST(p_retailprice * 100 AS BIGINT) AS price_cents,
+         CAST(-p_size AS BIGINT) AS neg_size
+  FROM part)
+SELECT part_id, price_cents, neg_size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price_cents <= a.price_cents AND b.neg_size <= a.neg_size
+    AND (b.price_cents < a.price_cents OR b.neg_size < a.neg_size))
+"""
+
+
 def q_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stochastic-greedy facility-location data selection
     (operators/similarity.facility_location): 5 rounds of
@@ -18612,6 +18651,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the standing rotation invariant declared in COVERAGE.md).
 _R11_WINDOW = [
     "ivf_pq_search", "semantic_dedup", "record_linkage", "pcap_extract",
+    "skyline",
     "argmin_agg", "asof_join", "chunk_documents", "cleaning_scalars",
     "closest_stations", "closest_stations_grid", "composite_key_join",
     "distinct", "exact_dup_groups", "fingerprints", "hash_sample",
@@ -18624,7 +18664,6 @@ _R11_WINDOW = [
     "text_quality", "tfidf_doc_similarity", "tfidf_top_terms",
     "token_counts", "top_ngrams", "topk_per_group", "unpivot",
     "window_analytics", "ann_brute_force", "ann_ivf", "ann_lsh",
-    "ann_recall",
 ]
 
 
@@ -18684,6 +18723,7 @@ def _queries_r10_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": q_cdc_chunks,
         "facility_location": q_facility_location,
         "quantile_normalize": q_quantile_normalize,
+        "skyline": q_skyline,
         "maxsim_retrieval": q_maxsim_retrieval,
         "resample_interp": q_resample_interp,
         "fair_interleave": q_fair_interleave,
@@ -19068,6 +19108,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunks": _sql_cdc_chunks(),
         "facility_location": _sql_facility_location(),
         "quantile_normalize": _SQL_QUANTILE_NORMALIZE,
+        "skyline": _SQL_SKYLINE,
         "maxsim_retrieval": _sql_maxsim_retrieval(),
         "resample_interp": _SQL_RESAMPLE_INTERP,
         "fair_interleave": _SQL_FAIR_INTERLEAVE,

@@ -549,6 +549,8 @@ HEADLINE = [
     "facility_location",
     "quantile_normalize",
     "maxsim_retrieval",
+    # round-11 addition: distributed 2-D skyline
+    "skyline",
 ]
 
 

@@ -1103,6 +1103,95 @@ def quantile_normalize(
     )
 
 
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_chunks: int = 64,
+) -> DataFrame:
+    """Exact 2-D skyline (Pareto frontier, both dimensions MINIMIZED):
+    keep every row no other row dominates, where q dominates p iff
+    ``q.x ≤ p.x ∧ q.y ≤ p.y`` with strict inequality in at least one
+    coordinate.  Coordinate duplicates of a skyline point are all
+    kept (they do not dominate each other) — the multi-objective
+    shortlist semantics (cheapest-for-their-size products, fastest-
+    for-their-cost plans).
+
+    Exact reduction, never all-pairs: (1) collapse to per-x minima
+    (a same-x row above its group minimum is dominated by it); (2) an
+    x-group survives iff its ``ymin`` is STRICTLY below every smaller
+    x-group's ``ymin`` (equal ymin at smaller x dominates: x strictly
+    smaller, y equal); that is a prefix-strict-min over the x-sorted
+    group table; (3) join survivors back to the input on
+    ``(x, y = ymin)``.
+
+    The prefix min uses the distributed two-phase pattern of
+    :func:`exact_global_rank` — approx-percentile range chunks, a
+    per-chunk running min window, and a broadcast literal chunk-prefix
+    map — so no single-partition window ever sees the group table
+    (chunk boundaries affect only balance, never the result).  Two
+    bounded driver actions at plan build (percentile probe + a
+    ≤ n_chunks-row chunk-min table).
+
+    Returns the input rows (all columns) that lie on the skyline.
+    To maximize a dimension, pass its negation.
+    """
+    gx = (
+        df.select(F.col(x_col).alias("_sx"), F.col(y_col).alias("_sy"))
+        .groupBy("_sx")
+        .agg(F.min("_sy").alias("_ymin"))
+    )
+    ps = [i / n_chunks for i in range(1, n_chunks)]
+    probe = gx.agg(
+        F.percentile_approx(F.col("_sx"), ps, 500).alias("b")
+    ).collect()[0]
+    bounds = sorted({b for b in (probe["b"] or []) if b is not None})
+    chunked = gx.withColumn(
+        "_sk_chunk", _when_chain_bucket(F.col("_sx"), bounds)
+    )
+    cmins = (
+        chunked.groupBy("_sk_chunk")
+        .agg(F.min("_ymin").alias("_m"))
+        .collect()
+    )
+    run, prefix = None, {}
+    for row in sorted(cmins, key=lambda r: r["_sk_chunk"]):
+        prefix[row["_sk_chunk"]] = run
+        m = row["_m"]
+        run = m if run is None else min(run, m)
+    w = (
+        Window.partitionBy("_sk_chunk")
+        .orderBy(F.asc("_sx"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_min = F.min("_ymin").over(w)
+    chunk_prefix: Column = F.lit(None)
+    for k, v in prefix.items():
+        if v is None:
+            continue
+        chunk_prefix = F.when(
+            F.col("_sk_chunk") == F.lit(k), F.lit(v)
+        ).otherwise(chunk_prefix)
+    # dominated iff any earlier group's ymin ≤ ours (null prefix =
+    # nothing earlier); comparisons stay in the y column's own type —
+    # no double cast, exact past 2^53
+    dominated = (
+        local_min.isNotNull() & (local_min <= F.col("_ymin"))
+    ) | (chunk_prefix.isNotNull() & (chunk_prefix <= F.col("_ymin")))
+    survivors = (
+        chunked.withColumn("_dom", dominated)
+        .filter(~F.col("_dom"))
+        .select("_sx", "_ymin")
+    )
+    return df.join(
+        survivors,
+        on=[
+            df[x_col] == survivors["_sx"],
+            df[y_col] == survivors["_ymin"],
+        ],
+    ).drop("_sx", "_ymin")
+
+
 def _when_chain_bucket(value: Column, bounds: list) -> Column:
     """``count(b in bounds : value > b)`` as a codegen-able CASE chain
     over the sorted boundary literals (bucket 0 = value ≤ bounds[0])."""

@@ -393,3 +393,29 @@ def test_exact_global_rank_property(spark):
         assert {r["id"]: r["r"] for r in got.collect()} == want
 
     check()
+
+
+def test_skyline_2d_dominance_and_ties(spark):
+    """skyline_2d (round 11): strict dominance, same-x and same-y
+    ties, and coordinate duplicates — checked against the hand-worked
+    frontier, at two chunk counts (chunk boundaries must never change
+    the result)."""
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        skyline_2d,
+    )
+
+    rows = [
+        (1, 1, 5),   # frontier
+        (2, 3, 3),   # frontier
+        (3, 3, 3),   # duplicate of 2 -> kept (duplicates don't dominate)
+        (4, 3, 4),   # same x as 2, larger y -> dominated
+        (5, 5, 3),   # larger x, equal y vs 2 -> dominated
+        (6, 2, 6),   # dominated by (1,5)
+        (7, 0, 9),   # frontier (smallest x)
+        (8, 6, 1),   # frontier (smallest y)
+        (9, 6, 2),   # same x as 8, larger y -> dominated
+    ]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    for nc in (2, 64):
+        got = {r["id"] for r in skyline_2d(df, "x", "y", n_chunks=nc).collect()}
+        assert got == {1, 2, 3, 7, 8}, (nc, got)

@@ -95,6 +95,8 @@ SLOW_SET = [
     "cdc_chunks",
     "quantile_normalize",
     "maxsim_retrieval",
+    # round-11 addition: chunked prefix-min skyline
+    "skyline",
 ]
 
 
