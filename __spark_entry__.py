@@ -11076,6 +11076,75 @@ ORDER BY node
 """
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (operators/graph.
+    label_propagation) over the co-purchase graph (parts sharing an
+    order, quantity >= 45 — the k_core fixture): 4 fixed rounds of
+    most-frequent-neighbor voting, ties to the smallest label, so the
+    oracle can unroll the identical rounds as nested CTEs and the
+    hash match proves every vote, tie-break, and isolated-node
+    carry-over."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    it = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    edges = (
+        it.alias("x")
+        .join(
+            it.alias("y"),
+            on=[
+                F.col("x.o") == F.col("y.o"),
+                F.col("x.p") < F.col("y.p"),
+            ],
+        )
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+        .distinct()
+    )
+    return label_propagation(edges, rounds=4)
+
+
+def _sql_label_propagation(rounds: int = 4) -> str:
+    parts = [
+        """ed AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM e0
+  UNION ALL SELECT dst AS a, src AS b FROM e0)""",
+        """l0 AS MATERIALIZED (
+  SELECT DISTINCT a AS node, CAST(a AS BIGINT) AS label FROM ed)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""v{r} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT e.a AS node, l.label, COUNT(*) AS c,
+           ROW_NUMBER() OVER (PARTITION BY e.a
+                              ORDER BY COUNT(*) DESC, l.label) AS rn
+    FROM ed e JOIN l{r - 1} l ON l.node = e.b
+    GROUP BY e.a, l.label)
+  WHERE rn = 1),
+l{r} AS MATERIALIZED (
+  SELECT n.node, COALESCE(v.label, n.label) AS label
+  FROM l{r - 1} n LEFT JOIN v{r} v ON v.node = n.node)"""
+        )
+    return f"""
+WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_quantity >= 45),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT x.p AS src, y.p AS dst
+  FROM it x JOIN it y ON x.o = y.o AND x.p < y.p),
+{",".join(parts)}
+SELECT node, label FROM l{rounds}
+"""
+
+
 def q_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-quantile sketch with an in-engine error-bound
     contract (the hll_distinct/approx_profile pattern): per
@@ -18651,7 +18720,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the standing rotation invariant declared in COVERAGE.md).
 _R11_WINDOW = [
     "ivf_pq_search", "semantic_dedup", "record_linkage", "pcap_extract",
-    "skyline",
+    "skyline", "label_propagation",
     "argmin_agg", "asof_join", "chunk_documents", "cleaning_scalars",
     "closest_stations", "closest_stations_grid", "composite_key_join",
     "distinct", "exact_dup_groups", "fingerprints", "hash_sample",
@@ -18663,7 +18732,7 @@ _R11_WINDOW = [
     "shipping_priority", "simhash", "simhash_pairs", "sliding_window",
     "text_quality", "tfidf_doc_similarity", "tfidf_top_terms",
     "token_counts", "top_ngrams", "topk_per_group", "unpivot",
-    "window_analytics", "ann_brute_force", "ann_ivf", "ann_lsh",
+    "window_analytics", "ann_brute_force", "ann_ivf",
 ]
 
 
@@ -18724,6 +18793,7 @@ def _queries_r10_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facility_location": q_facility_location,
         "quantile_normalize": q_quantile_normalize,
         "skyline": q_skyline,
+        "label_propagation": q_label_propagation,
         "maxsim_retrieval": q_maxsim_retrieval,
         "resample_interp": q_resample_interp,
         "fair_interleave": q_fair_interleave,
@@ -19109,6 +19179,7 @@ def oracle_sql() -> dict[str, str]:
         "facility_location": _sql_facility_location(),
         "quantile_normalize": _SQL_QUANTILE_NORMALIZE,
         "skyline": _SQL_SKYLINE,
+        "label_propagation": _sql_label_propagation(),
         "maxsim_retrieval": _sql_maxsim_retrieval(),
         "resample_interp": _SQL_RESAMPLE_INTERP,
         "fair_interleave": _SQL_FAIR_INTERLEAVE,

@@ -549,8 +549,9 @@ HEADLINE = [
     "facility_location",
     "quantile_normalize",
     "maxsim_retrieval",
-    # round-11 addition: distributed 2-D skyline
+    # round-11 additions: distributed 2-D skyline, deterministic LPA
     "skyline",
+    "label_propagation",
 ]
 
 

@@ -631,3 +631,80 @@ def grid_density_clusters(
         )
     )
     return per_cluster.unionByName(noise)
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007), made DETERMINISTIC the engine's way: every node starts
+    as its own label; each round every node adopts the MOST FREQUENT
+    label among its neighbors, ties broken by the SMALLEST label — no
+    RNG, no asynchronous sweep order, so any engine replays the exact
+    same rounds (the classic async formulation is run-order-dependent
+    and cannot be oracle-checked).  Isolated update targets keep their
+    current label.  Unlike min-label propagation (which converges to
+    connected components), frequency voting finds dense communities
+    INSIDE one component.
+
+    Returns ``(node, label)`` after exactly ``rounds`` synchronous
+    updates — the fixed-round contract that makes an iterative graph
+    algorithm hash-checkable (the k_core_peel / ADPCM-recurrence
+    trick).
+
+    Scale shape per round: ONE labels ⋈ edges hash join (shuffle on
+    the neighbor key), partial-agged (node, label) vote counts, and a
+    WindowGroupLimit top-1 per node — never a collect of the graph.
+    Labels are persisted per round, the previous round unpersisted,
+    and lineage is cut with ``localCheckpoint`` on the final round.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    both = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    nodes = both.select(F.col("a").alias("node")).distinct().persist()
+    labels = nodes.select(
+        "node", F.col("node").cast("long").alias("label")
+    ).localCheckpoint()
+    w = Window.partitionBy("node").orderBy(
+        F.desc("_c"), F.asc("label")
+    )
+    for i in range(rounds):
+        votes = (
+            both.join(labels, both["b"] == labels["node"])
+            .select(F.col("a").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        top = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", F.col("label").alias("_new"))
+        )
+        new_labels = (
+            labels.join(top, on="node", how="left")
+            .select(
+                "node",
+                F.coalesce(F.col("_new"), F.col("label")).alias("label"),
+            )
+        )
+        old = labels
+        labels = (
+            new_labels.localCheckpoint()
+            if i == rounds - 1
+            else new_labels.persist()
+        )
+        labels.count()  # materialize before dropping the parent
+        old.unpersist()
+    both.unpersist()
+    nodes.unpersist()
+    return labels

@@ -356,3 +356,24 @@ def test_grid_density_clusters_out_of_range_raises(spark):
     df = spark.createDataFrame([big] * 5, "x double, y double")
     with pytest.raises(Exception, match="encodable range"):
         grid_density_clusters(df, "x", "y", scale=16, min_pts=4).collect()
+
+
+def test_label_propagation_two_communities(spark):
+    """Deterministic sync LPA (round 11): two triangles bridged by one
+    edge must settle into two communities ({1,2,3} -> label 1,
+    {4,5,6} -> label 3) after 4 rounds — hand-worked through the
+    most-frequent / smallest-label tie rule, including the round-2
+    tie states the rule must break identically on every engine."""
+    from blueforty___etl_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, rounds=4).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}

@@ -95,8 +95,9 @@ SLOW_SET = [
     "cdc_chunks",
     "quantile_normalize",
     "maxsim_retrieval",
-    # round-11 addition: chunked prefix-min skyline
+    # round-11 additions: chunked prefix-min skyline, iterative LPA
     "skyline",
+    "label_propagation",
 ]
 
 
