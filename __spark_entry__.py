@@ -8338,6 +8338,41 @@ WHERE rn <= 5
 """
 
 
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (operators/linkage.
+    sorted_neighborhood_pairs): the classic second linkage pass —
+    customers sorted by account balance (cents), every pair within 3
+    positions emitted as candidates, catching near-balance matches the
+    equality-blocking pass (record_linkage's (seg, nat, nm)) misses.
+    Candidates are n·window, positions come from the distributed
+    two-phase rank, and pair generation is ONE integer equi-join; the
+    oracle replays the same ROW_NUMBER ladder."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cid"),
+        (F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    return sorted_neighborhood_pairs(
+        cust, sort_col="bal_cents", id_col="cid", window=3
+    )
+
+
+_SQL_SORTED_NEIGHBORHOOD = """
+WITH r AS (
+  SELECT c_custkey AS cid,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(c_acctbal * 100 AS BIGINT), c_custkey) AS rk
+  FROM customer)
+SELECT a.cid AS id_a, b.cid AS id_b,
+       CAST(b.rk - a.rk AS INTEGER) AS rank_distance
+FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 3
+"""
+
+
 def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probabilistic record linkage (operators/linkage.record_linkage):
     Fellegi–Sunter integer milli-log-odds scoring of blocked candidate
@@ -18720,7 +18755,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the standing rotation invariant declared in COVERAGE.md).
 _R11_WINDOW = [
     "ivf_pq_search", "semantic_dedup", "record_linkage", "pcap_extract",
-    "skyline", "label_propagation",
+    "skyline", "label_propagation", "sorted_neighborhood",
     "argmin_agg", "asof_join", "chunk_documents", "cleaning_scalars",
     "closest_stations", "closest_stations_grid", "composite_key_join",
     "distinct", "exact_dup_groups", "fingerprints", "hash_sample",
@@ -18732,7 +18767,7 @@ _R11_WINDOW = [
     "shipping_priority", "simhash", "simhash_pairs", "sliding_window",
     "text_quality", "tfidf_doc_similarity", "tfidf_top_terms",
     "token_counts", "top_ngrams", "topk_per_group", "unpivot",
-    "window_analytics", "ann_brute_force", "ann_ivf",
+    "window_analytics", "ann_brute_force",
 ]
 
 
@@ -18794,6 +18829,7 @@ def _queries_r10_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": q_quantile_normalize,
         "skyline": q_skyline,
         "label_propagation": q_label_propagation,
+        "sorted_neighborhood": q_sorted_neighborhood,
         "maxsim_retrieval": q_maxsim_retrieval,
         "resample_interp": q_resample_interp,
         "fair_interleave": q_fair_interleave,
@@ -19180,6 +19216,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_normalize": _SQL_QUANTILE_NORMALIZE,
         "skyline": _SQL_SKYLINE,
         "label_propagation": _sql_label_propagation(),
+        "sorted_neighborhood": _SQL_SORTED_NEIGHBORHOOD,
         "maxsim_retrieval": _sql_maxsim_retrieval(),
         "resample_interp": _SQL_RESAMPLE_INTERP,
         "fair_interleave": _SQL_FAIR_INTERLEAVE,

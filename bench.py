@@ -552,6 +552,7 @@ HEADLINE = [
     # round-11 additions: distributed 2-D skyline, deterministic LPA
     "skyline",
     "label_propagation",
+    "sorted_neighborhood",
 ]
 
 

@@ -192,3 +192,55 @@ def blocking_eval(
             ).alias("pair_completeness_permille"),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    sort_col: str,
+    id_col: str,
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the
+    classic second pass of multi-pass record linkage: sort all records
+    by a key and emit every pair within ``window`` positions, catching
+    near-matches an equality-blocking pass misses (typo'd names land
+    adjacent, not equal).  The sliding window bounds candidates at
+    n·window, against the n²/|blocks| risk of coarse equality blocks.
+
+    Deterministic total order: (``sort_col`` ASC, ``id_col`` ASC),
+    positions from the distributed two-phase rank
+    (:func:`~.analytics.exact_global_rank` — no single-partition
+    window).  Pair generation is rank arithmetic: each row explodes
+    to ``window`` probe positions (rank+1 .. rank+window) and
+    equi-joins the rank table — ONE hash join keyed on an integer,
+    never a range self-join.
+
+    Returns (id_a, id_b, rank_distance) with id_a at the lower rank;
+    ``rank_distance`` in 1..window.  ``sort_col`` must be numeric and
+    non-null (the rank chunker probes percentiles); encode string
+    keys to a numeric prefix first (e.g. the zip5/banding functions
+    in functions/cleaning.py).
+    """
+    from .analytics import exact_global_rank
+
+    ranked, _n = exact_global_rank(
+        df.select(F.col(id_col).alias("_sn_id"), F.col(sort_col).alias("_sn_k")),
+        "_sn_k",
+        "_sn_id",
+        out_col="_sn_r",
+    )
+    probes = ranked.select(
+        F.col("_sn_id").alias("id_a"),
+        F.col("_sn_r").alias("_ra"),
+        F.explode(
+            F.sequence(F.col("_sn_r") + 1, F.col("_sn_r") + window)
+        ).alias("_sn_r2"),
+    )
+    right = ranked.select(
+        F.col("_sn_id").alias("id_b"), F.col("_sn_r").alias("_sn_r2")
+    )
+    return probes.join(right, on="_sn_r2").select(
+        "id_a",
+        "id_b",
+        (F.col("_sn_r2") - F.col("_ra")).cast("int").alias("rank_distance"),
+    )

@@ -555,3 +555,32 @@ def test_golden_record_survivorship(spark):
     assert got[1]["phone_n_obs"] == 1 and got[1]["email_n_obs"] == 2
     assert got[2]["phone"] == "222" and got[2]["email"] == "c@y"
     assert got[3]["phone"] is None and got[3]["phone_n_obs"] == 0
+
+
+def test_sorted_neighborhood_pairs_match_bruteforce(spark):
+    """sorted_neighborhood_pairs (round 11) must emit exactly the
+    pairs within `window` rank positions of the (key ASC, id ASC)
+    total order — checked against the brute-force rank self-join,
+    including duplicate keys (tie-broken by id)."""
+    from blueforty___etl_data_pipeline_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(6)) for i in range(37)]  # heavy dup keys
+    df = spark.createDataFrame(rows, "cid long, k long")
+    got = {
+        (r["id_a"], r["id_b"], r["rank_distance"])
+        for r in sorted_neighborhood_pairs(
+            df, sort_col="k", id_col="cid", window=3
+        ).collect()
+    }
+    order = sorted(rows, key=lambda t: (t[1], t[0]))
+    want = {
+        (order[i][0], order[j][0], j - i)
+        for i in range(len(order))
+        for j in range(i + 1, min(i + 4, len(order)))
+    }
+    assert got == want

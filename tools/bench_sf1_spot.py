@@ -98,6 +98,7 @@ SLOW_SET = [
     # round-11 additions: chunked prefix-min skyline, iterative LPA
     "skyline",
     "label_propagation",
+    "sorted_neighborhood",
 ]
 
 
