@@ -11180,6 +11180,87 @@ SELECT node, label FROM l{rounds}
 """
 
 
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS shortest-hop distances (operators/graph.
+    bfs_hops) over the co-purchase graph (parts sharing an order,
+    quantity >= 45 — the k_core fixture), seeded at every partkey
+    ≡ 1 (mod 100): exactly 6 frontier expansions plus a converged
+    flag, so the oracle unrolls the identical rounds as nested CTEs
+    (the k_core/ADPCM fixed-recurrence trick) and the hash match
+    proves every level assignment and the reachability frontier.
+    Per round: ONE frontier ⋈ edges hash join + ONE anti-join against
+    the visited set — frontier-cut shuffle volume, never all-pairs."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.graph import (
+        bfs_hops,
+    )
+
+    it = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    edges = (
+        it.alias("x")
+        .join(
+            it.alias("y"),
+            on=[
+                F.col("x.o") == F.col("y.o"),
+                F.col("x.p") < F.col("y.p"),
+            ],
+        )
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+        .distinct()
+    )
+    seeds = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 100 == 1)
+        .select(F.col("p_partkey").alias("v"))
+    )
+    return bfs_hops(edges, seeds, rounds=6).orderBy("node")
+
+
+def _sql_bfs_hops(rounds: int = 6) -> str:
+    parts = [
+        """ed AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM e0
+  UNION ALL SELECT dst AS a, src AS b FROM e0)""",
+        """d0 AS MATERIALIZED (
+  SELECT DISTINCT p_partkey AS node, 0 AS hops
+  FROM part WHERE p_partkey % 100 = 1)""",
+        "f0 AS (SELECT node FROM d0)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""f{r} AS MATERIALIZED (
+  SELECT DISTINCT e.b AS node
+  FROM f{r - 1} f JOIN ed e ON f.node = e.a
+  WHERE e.b NOT IN (SELECT node FROM d{r - 1})),
+d{r} AS MATERIALIZED (
+  SELECT node, hops FROM d{r - 1}
+  UNION ALL SELECT node, {r} FROM f{r})"""
+        )
+    return f"""
+WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_quantity >= 45),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT x.p AS src, y.p AS dst
+  FROM it x JOIN it y ON x.o = y.o AND x.p < y.p),
+{",".join(parts)},
+nn AS (
+  SELECT COUNT(*) AS n_new FROM (
+    SELECT DISTINCT e.b AS node
+    FROM f{rounds} f JOIN ed e ON f.node = e.a
+    WHERE e.b NOT IN (SELECT node FROM d{rounds})))
+SELECT d.node, CAST(d.hops AS BIGINT) AS hops, nn.n_new = 0 AS converged
+FROM d{rounds} d CROSS JOIN nn
+ORDER BY node
+"""
+
+
 def q_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-quantile sketch with an in-engine error-bound
     contract (the hll_distinct/approx_profile pattern): per
@@ -18755,7 +18836,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the standing rotation invariant declared in COVERAGE.md).
 _R11_WINDOW = [
     "ivf_pq_search", "semantic_dedup", "record_linkage", "pcap_extract",
-    "skyline", "label_propagation", "sorted_neighborhood",
+    "skyline", "label_propagation", "sorted_neighborhood", "bfs_hops",
     "argmin_agg", "asof_join", "chunk_documents", "cleaning_scalars",
     "closest_stations", "closest_stations_grid", "composite_key_join",
     "distinct", "exact_dup_groups", "fingerprints", "hash_sample",
@@ -18767,7 +18848,7 @@ _R11_WINDOW = [
     "shipping_priority", "simhash", "simhash_pairs", "sliding_window",
     "text_quality", "tfidf_doc_similarity", "tfidf_top_terms",
     "token_counts", "top_ngrams", "topk_per_group", "unpivot",
-    "window_analytics", "ann_brute_force",
+    "window_analytics",
 ]
 
 
@@ -18829,6 +18910,7 @@ def _queries_r10_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": q_quantile_normalize,
         "skyline": q_skyline,
         "label_propagation": q_label_propagation,
+        "bfs_hops": q_bfs_hops,
         "sorted_neighborhood": q_sorted_neighborhood,
         "maxsim_retrieval": q_maxsim_retrieval,
         "resample_interp": q_resample_interp,
@@ -19216,6 +19298,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_normalize": _SQL_QUANTILE_NORMALIZE,
         "skyline": _SQL_SKYLINE,
         "label_propagation": _sql_label_propagation(),
+        "bfs_hops": _sql_bfs_hops(),
         "sorted_neighborhood": _SQL_SORTED_NEIGHBORHOOD,
         "maxsim_retrieval": _sql_maxsim_retrieval(),
         "resample_interp": _SQL_RESAMPLE_INTERP,

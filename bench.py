@@ -553,6 +553,7 @@ HEADLINE = [
     "skyline",
     "label_propagation",
     "sorted_neighborhood",
+    "bfs_hops",
 ]
 
 

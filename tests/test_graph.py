@@ -377,3 +377,38 @@ def test_label_propagation_two_communities(spark):
         for r in label_propagation(edges, rounds=4).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+
+
+def test_bfs_hops_chain_levels_and_convergence(spark):
+    from blueforty___etl_data_pipeline_spark.operators.graph import bfs_hops
+
+    # chain 1-2-3-4-5 plus an unreachable island {10,11}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "v long")
+    out = bfs_hops(edges, seeds, rounds=6)
+    got = {r["node"]: (r["hops"], r["converged"]) for r in out.collect()}
+    assert got == {
+        1: (0, True), 2: (1, True), 3: (2, True), 4: (3, True), 5: (4, True)
+    }
+
+
+def test_bfs_hops_multi_source_takes_min_and_truncates(spark):
+    from blueforty___etl_data_pipeline_spark.operators.graph import bfs_hops
+
+    # chain 1-2-3-4-5-6; seeds at both ends, only 1 round allowed
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (6,)], "v long")
+    out = bfs_hops(edges, seeds, rounds=1)
+    got = {r["node"]: r["hops"] for r in out.collect()}
+    assert got == {1: 0, 6: 0, 2: 1, 5: 1}
+    # 3 and 4 are still unreached -> not converged
+    assert all(r["converged"] is False for r in out.collect())
+    # two rounds finish the chain: BFS level = min over both seeds
+    out2 = bfs_hops(edges, seeds, rounds=2)
+    got2 = {r["node"]: r["hops"] for r in out2.collect()}
+    assert got2 == {1: 0, 6: 0, 2: 1, 5: 1, 3: 2, 4: 2}
+    assert all(r["converged"] for r in out2.collect())
