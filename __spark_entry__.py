@@ -11261,6 +11261,95 @@ ORDER BY node
 """
 
 
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (operators/temporal.gaps_and_islands): each
+    customer's ordering months collapse to maximal runs of
+    CONSECUTIVE month indexes — the activity-streak report.  ONE
+    exchange on the customer key carries the distinct, the per-key
+    row_number window and the island rollup (island id = value minus
+    per-key rank, the classic constant-difference rewrite); no joins,
+    no global sort."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        gaps_and_islands,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+    )
+    return gaps_and_islands(o, "custkey", "m").select(
+        "custkey",
+        F.col("island_start").cast("long").alias("island_start"),
+        F.col("island_end").cast("long").alias("island_end"),
+        F.col("island_len").cast("long").alias("island_len"),
+    )
+
+
+_SQL_GAPS_ISLANDS = """
+WITH base AS (
+  SELECT DISTINCT o_custkey AS custkey,
+         CAST(EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate) AS BIGINT) AS v
+  FROM orders),
+runs AS (
+  SELECT custkey, v,
+         v - ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY v) AS isl
+  FROM base)
+SELECT custkey,
+       CAST(MIN(v) AS BIGINT) AS island_start,
+       CAST(MAX(v) AS BIGINT) AS island_end,
+       CAST(COUNT(*) AS BIGINT) AS island_len
+FROM runs
+GROUP BY custkey, isl
+"""
+
+
+def q_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding (operators/aggregate.woe_encode):
+    order priority scored against the binary "order fully shipped"
+    label (o_orderstatus = 'F') — log-odds units plus per-category
+    information value, the credit-scorecard feature.  ONE conditional
+    aggregation over orders, a 5-row rollup, broadcast cross join
+    back; raw rows never join."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.aggregate import (
+        woe_encode,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.col("o_orderstatus") == "F").alias("shipped"),
+    )
+    return woe_encode(o, "priority", "shipped").orderBy("priority")
+
+
+_SQL_WOE_ENCODING = """
+WITH per_cat AS (
+  SELECT o_orderpriority AS priority,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS pos_c,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS neg_c
+  FROM orders GROUP BY o_orderpriority),
+tot AS (
+  SELECT SUM(pos_c) AS pos_t, SUM(neg_c) AS neg_t,
+         COUNT(*) AS k
+  FROM per_cat),
+j AS (
+  SELECT priority, pos_c, neg_c,
+         (pos_c + 0.5) / (pos_t + 0.5 * k) AS p_pos,
+         (neg_c + 0.5) / (neg_t + 0.5 * k) AS p_neg
+  FROM per_cat CROSS JOIN tot)
+SELECT priority,
+       CAST(pos_c AS BIGINT) AS n_pos,
+       CAST(neg_c AS BIGINT) AS n_neg,
+       CAST(FLOOR(1000000.0 * LN(p_pos / p_neg)) AS BIGINT) AS woe_e6,
+       CAST(FLOOR(1000000000.0 * ((p_pos - p_neg) * LN(p_pos / p_neg)))
+            AS BIGINT) AS iv_e9
+FROM j
+ORDER BY priority
+"""
+
+
 def q_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-quantile sketch with an in-engine error-bound
     contract (the hll_distinct/approx_profile pattern): per
@@ -18837,6 +18926,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R11_WINDOW = [
     "ivf_pq_search", "semantic_dedup", "record_linkage", "pcap_extract",
     "skyline", "label_propagation", "sorted_neighborhood", "bfs_hops",
+    "gaps_islands", "woe_encoding",
     "argmin_agg", "asof_join", "chunk_documents", "cleaning_scalars",
     "closest_stations", "closest_stations_grid", "composite_key_join",
     "distinct", "exact_dup_groups", "fingerprints", "hash_sample",
@@ -18847,8 +18937,7 @@ _R11_WINDOW = [
     "rollup", "scrub_pii", "semi_anti_join", "set_ops",
     "shipping_priority", "simhash", "simhash_pairs", "sliding_window",
     "text_quality", "tfidf_doc_similarity", "tfidf_top_terms",
-    "token_counts", "top_ngrams", "topk_per_group", "unpivot",
-    "window_analytics",
+    "token_counts", "top_ngrams", "topk_per_group",
 ]
 
 
@@ -18911,6 +19000,8 @@ def _queries_r10_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline": q_skyline,
         "label_propagation": q_label_propagation,
         "bfs_hops": q_bfs_hops,
+        "gaps_islands": q_gaps_islands,
+        "woe_encoding": q_woe_encoding,
         "sorted_neighborhood": q_sorted_neighborhood,
         "maxsim_retrieval": q_maxsim_retrieval,
         "resample_interp": q_resample_interp,
@@ -19299,6 +19390,8 @@ def oracle_sql() -> dict[str, str]:
         "skyline": _SQL_SKYLINE,
         "label_propagation": _sql_label_propagation(),
         "bfs_hops": _sql_bfs_hops(),
+        "gaps_islands": _SQL_GAPS_ISLANDS,
+        "woe_encoding": _SQL_WOE_ENCODING,
         "sorted_neighborhood": _SQL_SORTED_NEIGHBORHOOD,
         "maxsim_retrieval": _sql_maxsim_retrieval(),
         "resample_interp": _SQL_RESAMPLE_INTERP,

@@ -554,6 +554,8 @@ HEADLINE = [
     "label_propagation",
     "sorted_neighborhood",
     "bfs_hops",
+    "gaps_islands",
+    "woe_encoding",
 ]
 
 

@@ -127,6 +127,69 @@ def target_encode(
     )
 
 
+def woe_encode(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Weight-of-evidence encoding of a categorical column against a
+    BINARY label — the credit-scoring standard (Siddiqi-style
+    scorecards) and the usual monotone alternative to target
+    encoding when the downstream model wants log-odds units.
+
+    Per category c with smoothing ``alpha`` (Laplace, K = number of
+    categories so the smoothed shares still sum to 1):
+
+        p_pos = (pos_c + alpha) / (pos_tot + alpha * K)
+        p_neg = (neg_c + alpha) / (neg_tot + alpha * K)
+        woe   = ln(p_pos / p_neg)
+        iv_c  = (p_pos - p_neg) * woe     # information-value term
+
+    ``label_col`` must be boolean (or 0/1).  Output: (cat, n_pos,
+    n_neg, woe_e6, iv_e9) — both floats floored at e6/e9 so the
+    result is engine-portable fixed-point like every scaled op here;
+    summing iv_e9 gives the predictor's total information value.
+
+    Plan shape: ONE partial-agged conditional-count aggregation over
+    the corpus, a category-cardinality-bounded rollup for the totals
+    (including K via COUNT over the per-category table), and a
+    broadcast cross join back onto the K-row table — raw rows are
+    touched exactly once and never joined.
+    """
+    lab = F.col(label_col).cast("boolean")
+    per_cat = (
+        df.select(F.col(cat_col).alias("c"), lab.alias("y"))
+        .groupBy("c")
+        .agg(
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("pos_c"),
+            F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("neg_c"),
+        )
+    )
+    glob = per_cat.agg(
+        F.sum("pos_c").alias("pos_t"),
+        F.sum("neg_c").alias("neg_t"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = per_cat.crossJoin(F.broadcast(glob))
+    p_pos = (F.col("pos_c") + alpha) / (
+        F.col("pos_t") + F.lit(alpha) * F.col("k")
+    )
+    p_neg = (F.col("neg_c") + alpha) / (
+        F.col("neg_t") + F.lit(alpha) * F.col("k")
+    )
+    woe = F.log(p_pos / p_neg)
+    return j.select(
+        F.col("c").alias(cat_col),
+        F.col("pos_c").cast("long").alias("n_pos"),
+        F.col("neg_c").cast("long").alias("n_neg"),
+        F.floor(F.lit(1000000.0) * woe).cast("long").alias("woe_e6"),
+        F.floor(F.lit(1000000000.0) * ((p_pos - p_neg) * woe))
+        .cast("long")
+        .alias("iv_e9"),
+    )
+
+
 def golden_record(
     df: DataFrame,
     entity_col: str,

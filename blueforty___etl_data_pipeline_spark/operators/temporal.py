@@ -1069,3 +1069,43 @@ def stl_lite(
             ),
         )
     )
+
+
+def gaps_and_islands(
+    df: DataFrame,
+    key_col: str,
+    seq_col: str,
+) -> DataFrame:
+    """Collapse each key's integer sequence into its maximal runs of
+    CONSECUTIVE values ("islands") — the classic gaps-and-islands
+    rewrite behind activity-streak, continuous-coverage and
+    missing-sequence reports.
+
+    ``seq_col`` must be integer-valued; duplicates within a key are
+    collapsed first (a repeated value neither breaks nor extends a
+    run).  Output: one row per (key, island) with ``island_start``,
+    ``island_end`` and ``island_len`` (the value span, end-start+1).
+
+    Scale shape: ONE exchange on the key — the distinct, the
+    ``row_number`` window and the island groupBy all hash-partition
+    on ``key_col`` (the window adds a per-key sort, never a global
+    one), and the island id is the sequence value minus its per-key
+    rank, so consecutive values share a constant difference (the
+    Tabibian/Celko trick).  No joins, no self-products; per-key state
+    is the sort buffer only.
+    """
+    w = Window.partitionBy(key_col).orderBy("_v")
+    runs = (
+        df.select(key_col, F.col(seq_col).cast("long").alias("_v"))
+        .distinct()
+        .withColumn("_isl", F.col("_v") - F.row_number().over(w))
+    )
+    return (
+        runs.groupBy(key_col, "_isl")
+        .agg(
+            F.min("_v").alias("island_start"),
+            F.max("_v").alias("island_end"),
+            F.count(F.lit(1)).alias("island_len"),
+        )
+        .drop("_isl")
+    )

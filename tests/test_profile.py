@@ -1109,3 +1109,30 @@ def test_kaplan_meier_textbook_example(spark):
     assert got[2] == (4, 0, 1, 800000)      # censoring leaves S flat
     assert got[3] == (3, 1, 1, 533333)
     assert got[4] == (1, 0, 1, 533333)
+
+
+def test_woe_encode_matches_hand_computation(spark):
+    import math
+
+    from blueforty___etl_data_pipeline_spark.operators.aggregate import (
+        woe_encode,
+    )
+
+    rows = (
+        [("a", True)] * 8 + [("a", False)] * 2
+        + [("b", True)] * 1 + [("b", False)] * 9
+        + [("c", True)] * 5 + [("c", False)] * 5
+    )
+    df = spark.createDataFrame(rows, "cat string, y boolean")
+    out = {r["cat"]: r for r in woe_encode(df, "cat", "y").collect()}
+    pos_t, neg_t, k, a = 14, 16, 3, 0.5
+    for cat, pos_c, neg_c in [("a", 8, 2), ("b", 1, 9), ("c", 5, 5)]:
+        p_pos = (pos_c + a) / (pos_t + a * k)
+        p_neg = (neg_c + a) / (neg_t + a * k)
+        woe = math.log(p_pos / p_neg)
+        r = out[cat]
+        assert (r["n_pos"], r["n_neg"]) == (pos_c, neg_c)
+        assert r["woe_e6"] == math.floor(1e6 * woe)
+        assert r["iv_e9"] == math.floor(1e9 * ((p_pos - p_neg) * woe))
+    # positive-heavy category has positive WoE, negative-heavy negative
+    assert out["a"]["woe_e6"] > 0 > out["b"]["woe_e6"]

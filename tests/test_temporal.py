@@ -685,3 +685,29 @@ def test_resample_interp_linear_gap_fill(spark):
     assert out[("a", 3)] == (400, True)
     # falling series: midpoint floor((10+3)/2) = 6 (true value 6.5)
     assert out[("b", 1)] == (6, False)
+
+
+def test_gaps_and_islands_runs_dups_and_singletons(spark):
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        gaps_and_islands,
+    )
+
+    rows = [
+        # key 1: run 1-3 (with a duplicate 2), gap, singleton 7
+        (1, 1), (1, 2), (1, 2), (1, 3), (1, 7),
+        # key 2: two runs 10-11 and 13-15
+        (2, 10), (2, 11), (2, 13), (2, 14), (2, 15),
+        # key 3: all isolated
+        (3, 0), (3, 2), (3, 4),
+    ]
+    df = spark.createDataFrame(rows, "k long, v long")
+    out = gaps_and_islands(df, "k", "v")
+    got = {
+        (r["k"], r["island_start"]): (r["island_end"], r["island_len"])
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 1): (3, 3), (1, 7): (7, 1),
+        (2, 10): (11, 2), (2, 13): (15, 3),
+        (3, 0): (0, 1), (3, 2): (2, 1), (3, 4): (4, 1),
+    }
