@@ -11350,6 +11350,63 @@ ORDER BY priority
 """
 
 
+def q_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-ratio outlier factor (operators/analytics.
+    density_ratio_outliers — the integer-exact LOF simplification)
+    over the first two embedding dimensions: quantize at scale 64,
+    eps-ball d² ≤ 16, per-cell neighbor cap 64 (every sf0.01 cell is
+    under it, so the oracle's brute self-join is a strict equality).
+    The eps search is a 3×3 cell equi-join, the factor ONE exact
+    long floor-division — never a distance self-join, never a float
+    chain."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        density_ratio_outliers,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"),
+        F.col("embedding").getItem(0).alias("x"),
+        F.col("embedding").getItem(1).alias("y"),
+    )
+    return density_ratio_outliers(
+        emb, "vec_id", "x", "y", scale=64, eps_q=4, max_cell_neighbors=64
+    ).select(
+        F.col("id").alias("vec_id"), "n_neighbors", "density", "factor_e6"
+    )
+
+
+_SQL_LOF_OUTLIERS = """
+WITH pts AS (
+  SELECT vec_id AS id,
+         CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 64) AS BIGINT) AS qx,
+         CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 64) AS BIGINT) AS qy
+  FROM embeddings),
+pairs AS (
+  SELECT a.id AS ia, b.id AS ib
+  FROM pts a JOIN pts b
+    ON a.id <> b.id
+   AND (a.qx - b.qx) * (a.qx - b.qx)
+     + (a.qy - b.qy) * (a.qy - b.qy) <= 16),
+dens AS (
+  SELECT ia AS id, COUNT(*) + 1 AS dens, COUNT(*) AS n_nb
+  FROM pairs GROUP BY ia),
+sums AS (
+  SELECT p.ia AS id, SUM(d.dens) AS sd
+  FROM pairs p JOIN dens d ON d.id = p.ib
+  GROUP BY p.ia)
+SELECT pts.id AS vec_id,
+       CAST(COALESCE(dens.n_nb, 0) AS BIGINT) AS n_neighbors,
+       CAST(COALESCE(dens.dens, 1) AS BIGINT) AS density,
+       CAST(CASE WHEN dens.n_nb IS NULL THEN -1
+                 ELSE (1000000 * sums.sd) // (dens.n_nb * dens.dens)
+            END AS BIGINT) AS factor_e6
+FROM pts
+LEFT JOIN dens ON dens.id = pts.id
+LEFT JOIN sums ON sums.id = pts.id
+"""
+
+
 def q_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-quantile sketch with an in-engine error-bound
     contract (the hll_distinct/approx_profile pattern): per
@@ -18926,7 +18983,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R11_WINDOW = [
     "ivf_pq_search", "semantic_dedup", "record_linkage", "pcap_extract",
     "skyline", "label_propagation", "sorted_neighborhood", "bfs_hops",
-    "gaps_islands", "woe_encoding",
+    "gaps_islands", "woe_encoding", "lof_outliers",
     "argmin_agg", "asof_join", "chunk_documents", "cleaning_scalars",
     "closest_stations", "closest_stations_grid", "composite_key_join",
     "distinct", "exact_dup_groups", "fingerprints", "hash_sample",
@@ -18937,7 +18994,7 @@ _R11_WINDOW = [
     "rollup", "scrub_pii", "semi_anti_join", "set_ops",
     "shipping_priority", "simhash", "simhash_pairs", "sliding_window",
     "text_quality", "tfidf_doc_similarity", "tfidf_top_terms",
-    "token_counts", "top_ngrams", "topk_per_group",
+    "token_counts", "top_ngrams",
 ]
 
 
@@ -19002,6 +19059,7 @@ def _queries_r10_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hops": q_bfs_hops,
         "gaps_islands": q_gaps_islands,
         "woe_encoding": q_woe_encoding,
+        "lof_outliers": q_lof_outliers,
         "sorted_neighborhood": q_sorted_neighborhood,
         "maxsim_retrieval": q_maxsim_retrieval,
         "resample_interp": q_resample_interp,
@@ -19392,6 +19450,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_hops": _sql_bfs_hops(),
         "gaps_islands": _SQL_GAPS_ISLANDS,
         "woe_encoding": _SQL_WOE_ENCODING,
+        "lof_outliers": _SQL_LOF_OUTLIERS,
         "sorted_neighborhood": _SQL_SORTED_NEIGHBORHOOD,
         "maxsim_retrieval": _sql_maxsim_retrieval(),
         "resample_interp": _SQL_RESAMPLE_INTERP,

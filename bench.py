@@ -556,6 +556,7 @@ HEADLINE = [
     "bfs_hops",
     "gaps_islands",
     "woe_encoding",
+    "lof_outliers",
 ]
 
 

@@ -1353,3 +1353,121 @@ def rfm_segments(
             "", F.col("r_tile"), F.col("f_tile"), F.col("m_tile")
         ).alias("segment"),
     )
+
+
+def density_ratio_outliers(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    scale: int = 64,
+    eps_q: int = 4,
+    max_cell_neighbors: int = 64,
+) -> DataFrame:
+    """Density-ratio outlier factor — the integer-exact simplification
+    of LOF (Breunig et al. 2000): a point is anomalous when its
+    eps-neighborhood is much sparser than its neighbors' are.
+
+        density(p) = 1 + |N(p)|,  N(p) = {o ≠ p : d²(q_p, q_o) ≤ eps_q²}
+        factor(p)  = (Σ_{o∈N(p)} density(o)) / (|N(p)| · density(p))
+
+    factor ≈ 1 for interior points, > 1 at density edges/outliers.
+    Coordinates quantize to integers (``scale`` MUST be a power of two
+    — float × 2^k is exact in IEEE doubles), distances compare in
+    exact integer d², and the factor is ONE floor-division of exact
+    longs (e6 fixed point) — no float chain anywhere, so any engine
+    replays it bit-for-bit.  Points with an empty neighborhood report
+    ``factor_e6 = -1`` (no density to compare against).
+
+    Scale shape: the eps-ball search is a CELL equi-join, never a
+    distance self-join — cells of side ``eps_q`` guarantee every
+    neighbor lies in the 3×3 cell ring (the grid_density_clusters
+    trick).  The NEIGHBOR side of the join is capped per cell at the
+    ``max_cell_neighbors`` lowest ids (one partitioned row_number —
+    the minhash_lsh_pairs ``max_bucket_size`` discipline), so a
+    degenerate cell contributes |cell|·cap candidate pairs instead of
+    |cell|²; below the cap the result is EXACT (every oracle-scale
+    cell is), above it densities are deterministic capped-sample
+    counts.  Candidate pairs are localCheckpoint-ed once and reused
+    for both aggregations (neighbor counts, then neighbor-density
+    sums), so the quadratic term is never materialized twice.
+    """
+    if scale & (scale - 1):
+        raise ValueError("scale must be a power of two (exact binning)")
+    pts = points.select(
+        F.col(id_col).alias("id"),
+        F.floor(F.col(x_col).cast("double") * scale)
+        .cast("long")
+        .alias("qx"),
+        F.floor(F.col(y_col).cast("double") * scale)
+        .cast("long")
+        .alias("qy"),
+    )
+    cell = lambda c: F.floor(F.col(c) / eps_q).cast("long")  # noqa: E731
+    probe = pts.select(
+        "id", "qx", "qy", cell("qx").alias("cx"), cell("qy").alias("cy")
+    )
+    wcap = Window.partitionBy("cx", "cy").orderBy("id")
+    nbr = (
+        probe.withColumn("_rn", F.row_number().over(wcap))
+        .filter(F.col("_rn") <= max_cell_neighbors)
+        .select(
+            F.col("id").alias("ib"),
+            F.col("qx").alias("bx"),
+            F.col("qy").alias("by"),
+            F.col("cx").alias("ncx"),
+            F.col("cy").alias("ncy"),
+        )
+    )
+    shifted = None
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            s = probe.select(
+                F.col("id").alias("ia"),
+                F.col("qx").alias("ax"),
+                F.col("qy").alias("ay"),
+                (F.col("cx") + dx).alias("ncx"),
+                (F.col("cy") + dy).alias("ncy"),
+            )
+            shifted = s if shifted is None else shifted.unionByName(s)
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    pairs = (
+        shifted.join(nbr, on=["ncx", "ncy"])
+        .filter((F.col("ia") != F.col("ib")) & (d2 <= eps_q * eps_q))
+        .select("ia", "ib")
+        .localCheckpoint()
+    )
+    dens = pairs.groupBy("ia").agg(
+        (F.count(F.lit(1)) + 1).alias("dens"),
+        F.count(F.lit(1)).alias("n_nb"),
+    )
+    sums = (
+        pairs.join(
+            dens.select(F.col("ia").alias("ib"), F.col("dens").alias("db")),
+            on="ib",
+        )
+        .groupBy("ia")
+        .agg(F.sum("db").alias("sd"))
+    )
+    scored = dens.join(sums, on="ia")
+    out = pts.select("id").join(
+        scored.select(
+            F.col("ia").alias("id"), "n_nb", "dens",
+            (F.lit(1000000) * F.col("sd"))
+            .cast("long")
+            .alias("_num"),
+        ),
+        on="id",
+        how="left",
+    )
+    return out.select(
+        F.col("id"),
+        F.coalesce(F.col("n_nb"), F.lit(0)).cast("long").alias("n_neighbors"),
+        F.coalesce(F.col("dens"), F.lit(1)).cast("long").alias("density"),
+        F.when(F.col("n_nb").isNull(), F.lit(-1))
+        .otherwise(F.expr("_num div (n_nb * dens)"))
+        .cast("long")
+        .alias("factor_e6"),
+    )

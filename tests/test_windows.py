@@ -419,3 +419,72 @@ def test_skyline_2d_dominance_and_ties(spark):
     for nc in (2, 64):
         got = {r["id"] for r in skyline_2d(df, "x", "y", n_chunks=nc).collect()}
         assert got == {1, 2, 3, 7, 8}, (nc, got)
+
+
+def test_density_ratio_outliers_hand_case_and_cap(spark):
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        density_ratio_outliers,
+    )
+
+    # tight cluster at origin (ids 1-4, pairwise within eps) + one
+    # point at quantized distance 3 (inside eps=4 of the cluster) +
+    # one isolated far point.  scale=1 keeps coords = quantized ints.
+    rows = [
+        (1, 0.0, 0.0), (2, 1.0, 0.0), (3, 0.0, 1.0), (4, 1.0, 1.0),
+        (5, 3.0, 0.0),
+        (9, 100.0, 100.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = {
+        r["id"]: r
+        for r in density_ratio_outliers(
+            df, "id", "x", "y", scale=1, eps_q=4
+        ).collect()
+    }
+    # everyone in {1..5} is within d2<=16 of everyone else: n_nb=4,
+    # density=5 for all five -> factor exactly 1.0
+    for i in (1, 2, 3, 4, 5):
+        assert out[i]["n_neighbors"] == 4
+        assert out[i]["density"] == 5
+        assert out[i]["factor_e6"] == 1000000
+    assert out[9]["n_neighbors"] == 0
+    assert out[9]["factor_e6"] == -1
+
+    # edge point: 5 moved to (4,0): inside eps of 2 (d2=9) and 1
+    # (d2=16), outside 3 (d2=17) and 4 (d2=10 -> inside!) recompute:
+    # (4,0) vs (1,1): 9+1=10 <= 16 inside; vs (0,1): 16+1=17 out.
+    rows2 = [
+        (1, 0.0, 0.0), (2, 1.0, 0.0), (3, 0.0, 1.0), (4, 1.0, 1.0),
+        (5, 4.0, 0.0),
+    ]
+    df2 = spark.createDataFrame(rows2, "id long, x double, y double")
+    out2 = {
+        r["id"]: r
+        for r in density_ratio_outliers(
+            df2, "id", "x", "y", scale=1, eps_q=4
+        ).collect()
+    }
+    # 5's neighbors: 1 (d2=16), 2 (d2=9), 4 (d2=10) -> n_nb=3, dens=4
+    # 1,2,4 have n_nb=4 (cluster + 5), dens=5; 3 has n_nb=3, dens=4
+    assert out2[5]["n_neighbors"] == 3 and out2[5]["density"] == 4
+    assert out2[3]["n_neighbors"] == 3 and out2[3]["density"] == 4
+    # factor(5) = (5+5+5)/(3*4) = 15/12 = 1.25 -> 1250000
+    assert out2[5]["factor_e6"] == 1250000
+    # factor(1) = (5+4+5+4)/(4*5) = 18/20 = 0.9 -> 900000
+    assert out2[1]["factor_e6"] == 900000
+
+    # cap: same dense cell, neighbor side cut to 2 lowest ids
+    df3 = spark.createDataFrame(
+        [(i, 0.0, 0.0) for i in range(1, 6)], "id long, x double, y double"
+    )
+    out3 = {
+        r["id"]: r
+        for r in density_ratio_outliers(
+            df3, "id", "x", "y", scale=1, eps_q=4, max_cell_neighbors=2
+        ).collect()
+    }
+    # neighbor pool = ids {1,2}; 1 sees only 2, 2 sees only 1,
+    # 3-5 see both
+    assert out3[1]["n_neighbors"] == 1 and out3[2]["n_neighbors"] == 1
+    for i in (3, 4, 5):
+        assert out3[i]["n_neighbors"] == 2
