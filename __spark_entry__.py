@@ -11407,6 +11407,52 @@ LEFT JOIN sums ON sums.id = pts.id
 """
 
 
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information of document source vs language (operators/
+    analytics.mutual_information) — the information-theoretic
+    association screen next to chi2_independence on the same
+    contingency: per-cell probability-weighted log-ratio
+    contributions, e9-floored, summing to total MI in nats.  One
+    contingency agg + two label-cardinality marginal rollups joined
+    broadcast; raw rows touched once."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        mutual_information,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.coalesce(F.col("lang"), F.lit("und")).alias("lang")
+    )
+    return mutual_information(docs, "source", "lang").select(
+        F.col("a").alias("source"),
+        F.col("b").alias("lang"),
+        "o",
+        "mi_e9",
+    )
+
+
+_SQL_MUTUAL_INFO = """
+WITH cells AS (
+  SELECT source AS a, COALESCE(lang, 'und') AS b,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2),
+ra AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY a),
+cb AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY b),
+tot AS (SELECT SUM(o) AS n FROM cells)
+SELECT cells.a AS source, cells.b AS lang,
+       CAST(cells.o AS BIGINT) AS o,
+       CAST(FLOOR(1000000000.0 *
+              ((CAST(cells.o AS DOUBLE) / CAST(n AS DOUBLE))
+               * LN(CAST(cells.o * n AS DOUBLE)
+                    / CAST(ra.ra * cb.cb AS DOUBLE))))
+            AS BIGINT) AS mi_e9
+FROM cells
+JOIN ra ON ra.a = cells.a
+JOIN cb ON cb.b = cells.b
+CROSS JOIN tot
+"""
+
+
 def q_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-quantile sketch with an in-engine error-bound
     contract (the hll_distinct/approx_profile pattern): per
@@ -18983,7 +19029,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R11_WINDOW = [
     "ivf_pq_search", "semantic_dedup", "record_linkage", "pcap_extract",
     "skyline", "label_propagation", "sorted_neighborhood", "bfs_hops",
-    "gaps_islands", "woe_encoding", "lof_outliers",
+    "gaps_islands", "woe_encoding", "lof_outliers", "mutual_info",
     "argmin_agg", "asof_join", "chunk_documents", "cleaning_scalars",
     "closest_stations", "closest_stations_grid", "composite_key_join",
     "distinct", "exact_dup_groups", "fingerprints", "hash_sample",
@@ -18994,7 +19040,7 @@ _R11_WINDOW = [
     "rollup", "scrub_pii", "semi_anti_join", "set_ops",
     "shipping_priority", "simhash", "simhash_pairs", "sliding_window",
     "text_quality", "tfidf_doc_similarity", "tfidf_top_terms",
-    "token_counts", "top_ngrams",
+    "token_counts",
 ]
 
 
@@ -19060,6 +19106,7 @@ def _queries_r10_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gaps_islands": q_gaps_islands,
         "woe_encoding": q_woe_encoding,
         "lof_outliers": q_lof_outliers,
+        "mutual_info": q_mutual_info,
         "sorted_neighborhood": q_sorted_neighborhood,
         "maxsim_retrieval": q_maxsim_retrieval,
         "resample_interp": q_resample_interp,
@@ -19451,6 +19498,7 @@ def oracle_sql() -> dict[str, str]:
         "gaps_islands": _SQL_GAPS_ISLANDS,
         "woe_encoding": _SQL_WOE_ENCODING,
         "lof_outliers": _SQL_LOF_OUTLIERS,
+        "mutual_info": _SQL_MUTUAL_INFO,
         "sorted_neighborhood": _SQL_SORTED_NEIGHBORHOOD,
         "maxsim_retrieval": _sql_maxsim_retrieval(),
         "resample_interp": _SQL_RESAMPLE_INTERP,

@@ -557,6 +557,7 @@ HEADLINE = [
     "gaps_islands",
     "woe_encoding",
     "lof_outliers",
+    "mutual_info",
 ]
 
 

@@ -1471,3 +1471,58 @@ def density_ratio_outliers(
         .cast("long")
         .alias("factor_e6"),
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Mutual information between two categorical columns — the
+    information-theoretic association screen (feature selection,
+    redundancy pruning) that complements ``chi2_independence`` on the
+    same contingency table: MI weights cells by their probability
+    mass rather than squared deviation, so it ranks features for a
+    classifier instead of testing a null.
+
+    Per observed cell (a, b):
+
+        mi_cell = (o / n) · ln( (o · n) / (ra · cb) )
+
+    Zero cells contribute exactly 0 (lim p→0 of p·ln p) and are
+    omitted — unlike chi2 the structural-zero grid adds nothing.
+    Output: one row per observed cell (a, b, o, mi_e9 = e9 floor of
+    the contribution); summing ``mi_e9`` gives total MI in nats.
+    Counts stay exact longs up to the final double ratio, and both
+    factors are computed in the same expression shape the SQL oracle
+    uses (floored fixed point), so the result is engine-portable.
+
+    Scale shape: one partial-agged contingency aggregation; marginals
+    are two aggregations of the CELL table (bounded by label
+    cardinality) joined back broadcast.  Raw rows are touched once.
+    """
+    cells = (
+        df.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    ra = cells.groupBy("a").agg(F.sum("o").alias("ra"))
+    cb = cells.groupBy("b").agg(F.sum("o").alias("cb"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    j = (
+        cells.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("o").cast("double") / F.col("n").cast("double")
+    ratio = (F.col("o") * F.col("n")).cast("double") / (
+        F.col("ra") * F.col("cb")
+    ).cast("double")
+    return j.select(
+        "a",
+        "b",
+        F.col("o").cast("long").alias("o"),
+        F.floor(F.lit(1000000000.0) * (p * F.log(ratio)))
+        .cast("long")
+        .alias("mi_e9"),
+    )

@@ -488,3 +488,29 @@ def test_density_ratio_outliers_hand_case_and_cap(spark):
     assert out3[1]["n_neighbors"] == 1 and out3[2]["n_neighbors"] == 1
     for i in (3, 4, 5):
         assert out3[i]["n_neighbors"] == 2
+
+
+def test_mutual_information_hand_case(spark):
+    import math
+
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        mutual_information,
+    )
+
+    # perfectly associated 2x2: MI = ln 2; independent 2x2: MI = 0
+    dep = spark.createDataFrame(
+        [("x", "p")] * 5 + [("y", "q")] * 5, "a string, b string"
+    )
+    out = {(r["a"], r["b"]): r["mi_e9"]
+           for r in mutual_information(dep, "a", "b").collect()}
+    # each cell: (5/10)*ln((5*10)/(5*5)) = 0.5*ln2
+    for v in out.values():
+        assert v == math.floor(1e9 * 0.5 * math.log(2.0))
+
+    ind = spark.createDataFrame(
+        [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")] * 3,
+        "a string, b string",
+    )
+    got = [r["mi_e9"] for r in mutual_information(ind, "a", "b").collect()]
+    # ln(1) = 0 exactly for every cell (floor keeps it 0)
+    assert got == [0, 0, 0, 0]
