@@ -11453,6 +11453,44 @@ CROSS JOIN tot
 """
 
 
+def q_weighted_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size weighted sample without replacement (operators/
+    sampling.weighted_sample_topk — Efraimidis-Spirakis A-Res):
+    exactly 200 orders drawn price-proportionally via the RNG-free
+    hash key ln(u)/w, floored at e9 so the oracle replays the exact
+    same draw.  Pure map-stage score + ONE TakeOrdered fan-in —
+    corpus rows never shuffle."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("w"),
+    )
+    return weighted_sample_topk(o, "w", 200, id_col="o_orderkey").select(
+        "o_orderkey", "es_score_e9"
+    )
+
+
+_SQL_WEIGHTED_TOPK_SAMPLE = """
+WITH s AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(1000000000.0 *
+           (LN((CAST('0x' || substr(md5('esample:'
+                  || CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT)
+                % 10000 + 0.5) / 10000.0)
+            / CAST(o_totalprice AS DOUBLE))) AS BIGINT) AS es_score_e9
+  FROM orders
+  WHERE CAST(o_totalprice AS DOUBLE) > 0)
+SELECT o_orderkey, es_score_e9
+FROM s
+ORDER BY es_score_e9 DESC, o_orderkey
+LIMIT 200
+"""
+
+
 def q_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-quantile sketch with an in-engine error-bound
     contract (the hll_distinct/approx_profile pattern): per
@@ -19030,6 +19068,7 @@ _R11_WINDOW = [
     "ivf_pq_search", "semantic_dedup", "record_linkage", "pcap_extract",
     "skyline", "label_propagation", "sorted_neighborhood", "bfs_hops",
     "gaps_islands", "woe_encoding", "lof_outliers", "mutual_info",
+    "weighted_topk_sample",
     "argmin_agg", "asof_join", "chunk_documents", "cleaning_scalars",
     "closest_stations", "closest_stations_grid", "composite_key_join",
     "distinct", "exact_dup_groups", "fingerprints", "hash_sample",
@@ -19040,7 +19079,6 @@ _R11_WINDOW = [
     "rollup", "scrub_pii", "semi_anti_join", "set_ops",
     "shipping_priority", "simhash", "simhash_pairs", "sliding_window",
     "text_quality", "tfidf_doc_similarity", "tfidf_top_terms",
-    "token_counts",
 ]
 
 
@@ -19107,6 +19145,7 @@ def _queries_r10_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "woe_encoding": q_woe_encoding,
         "lof_outliers": q_lof_outliers,
         "mutual_info": q_mutual_info,
+        "weighted_topk_sample": q_weighted_topk_sample,
         "sorted_neighborhood": q_sorted_neighborhood,
         "maxsim_retrieval": q_maxsim_retrieval,
         "resample_interp": q_resample_interp,
@@ -19499,6 +19538,7 @@ def oracle_sql() -> dict[str, str]:
         "woe_encoding": _SQL_WOE_ENCODING,
         "lof_outliers": _SQL_LOF_OUTLIERS,
         "mutual_info": _SQL_MUTUAL_INFO,
+        "weighted_topk_sample": _SQL_WEIGHTED_TOPK_SAMPLE,
         "sorted_neighborhood": _SQL_SORTED_NEIGHBORHOOD,
         "maxsim_retrieval": _sql_maxsim_retrieval(),
         "resample_interp": _SQL_RESAMPLE_INTERP,

@@ -558,6 +558,7 @@ HEADLINE = [
     "woe_encoding",
     "lof_outliers",
     "mutual_info",
+    "weighted_topk_sample",
 ]
 
 

@@ -906,3 +906,43 @@ def group_kfold(
             F.lit(k),
         ).cast("int"),
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "esample",
+) -> DataFrame:
+    """Fixed-size weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-Res): every row gets the key ``ln(u) / w`` with ``u``
+    uniform in (0,1), and the k LARGEST keys form an exact weighted
+    sample — the primitive behind "pick exactly k documents, quality-
+    proportional" curation where ``weighted_sample``'s Bernoulli form
+    can only hit k in expectation.
+
+    ``u`` derives from the salted id hash ((bucket + 0.5) / B — never
+    exactly 0 or 1), so like every sampler here the draw is RNG-free,
+    retry-reproducible and engine-exact.  Rows with weight ≤ 0 never
+    qualify.  Output adds ``es_score_e9`` (e9-floored key); selection
+    order is (floored key DESC, id) — the floor is part of the
+    CONTRACT so any engine replays the exact same k rows.
+
+    Scale shape: a pure map-stage score plus ONE TakeOrdered top-k
+    fan-in (per-partition heaps, k rows to the driver-side merge) —
+    no global sort materialization, no shuffle of corpus rows.
+    """
+    b = _bucket(F.col(id_col), salt)
+    u = (b.cast("double") + F.lit(0.5)) / F.lit(float(_BUCKETS))
+    w = F.col(weight_col).cast("double")
+    score = F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .withColumn(
+            "es_score_e9",
+            F.floor(F.lit(1000000000.0) * score).cast("long"),
+        )
+        .orderBy(F.desc("es_score_e9"), F.col(id_col))
+        .limit(k)
+    )

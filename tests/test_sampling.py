@@ -612,3 +612,53 @@ def test_rendezvous_shards_minimal_disruption(spark):
     assert 20 <= len(moved) <= 120
     # all 8 original shards populated
     assert len({r["shard"] for r in out}) == 8
+
+
+def test_weighted_sample_topk_exact_k_and_weight_bias(spark):
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    # 0-weight and negative-weight rows can never be drawn
+    rows = [(i, 100.0 if i <= 50 else 1.0) for i in range(1, 101)]
+    rows += [(200, 0.0), (201, -5.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = weighted_sample_topk(df, "w", 30, id_col="doc_id").collect()
+    assert len(out) == 30
+    ids = {r["doc_id"] for r in out}
+    assert 200 not in ids and 201 not in ids
+    # heavy rows (w=100, half the pool) should dominate a k=30 draw
+    heavy = sum(1 for i in ids if i <= 50)
+    assert heavy >= 20
+    # deterministic: same call returns the same set
+    again = {
+        r["doc_id"]
+        for r in weighted_sample_topk(df, "w", 30, id_col="doc_id").collect()
+    }
+    assert again == ids
+
+
+def test_weighted_sample_topk_matches_python_replay(spark):
+    import hashlib
+    import math
+
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    rows = [(i, float(1 + (i * 7) % 13)) for i in range(1, 61)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [
+        (r["doc_id"], r["es_score_e9"])
+        for r in weighted_sample_topk(df, "w", 10, id_col="doc_id").collect()
+    ]
+
+    def score(i, w):
+        h = hashlib.md5(f"esample:{i}".encode()).hexdigest()
+        b = int(h[:15], 16) % 10000
+        return math.floor(1e9 * (math.log((b + 0.5) / 10000.0) / w))
+
+    exp = sorted(
+        ((i, score(i, w)) for i, w in rows), key=lambda t: (-t[1], t[0])
+    )[:10]
+    assert got == exp
