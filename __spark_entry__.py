@@ -8441,6 +8441,131 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter weight ESTIMATION (operators/linkage.
+    fellegi_sunter_weights) — the training step whose output
+    record_linkage scores with: the same customer-vs-perturbed-
+    registry pair as record_linkage, blocked on (seg, nat) with the
+    RIGHT side capped at the 64 lowest ids per block (one partitioned
+    row_number, mirrored in the oracle so the capped sample is the
+    shared contract), ground-truth label = same custkey.  m/u
+    probabilities per field (name, balance band) with Laplace 0.5,
+    e6-floored log-odds.  ONE aggregation over the candidate pairs;
+    nothing downstream exceeds |fields| rows."""
+    _prep(spark)
+    from pyspark.sql import Window as W
+
+    from blueforty___etl_data_pipeline_spark.operators.linkage import (
+        fellegi_sunter_weights,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    left = cust.select(
+        F.col("c_custkey").alias("left_id"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").cast("long").alias("nat"),
+        F.upper(F.col("c_name")).alias("nm"),
+        F.floor((F.floor(F.col("c_acctbal")) + 1000) / 100)
+        .cast("long")
+        .alias("band"),
+    )
+    right = cust.select(
+        (F.col("c_custkey") + 1000000).alias("right_id"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").cast("long").alias("nat"),
+        F.when(
+            F.col("c_custkey") % 11 == 0,
+            F.replace(F.upper(F.col("c_name")), F.lit("0"), F.lit("O")),
+        )
+        .otherwise(F.upper(F.col("c_name")))
+        .alias("nm_r"),
+        F.floor(
+            (
+                F.floor(F.col("c_acctbal"))
+                + (F.col("c_custkey") % 7) * 20
+                + 1000
+            )
+            / 100
+        )
+        .cast("long")
+        .alias("band_r"),
+    )
+    wcap = W.partitionBy("seg", "nat").orderBy("right_id")
+    rc = (
+        right.withColumn("_rn", F.row_number().over(wcap))
+        .filter(F.col("_rn") <= 64)
+        .drop("_rn")
+    )
+    pairs = left.join(rc, ["seg", "nat"]).select(
+        (F.col("right_id") - 1000000 == F.col("left_id")).alias(
+            "is_match"
+        ),
+        (F.col("nm") == F.col("nm_r")).alias("nm_agree"),
+        (F.col("band") == F.col("band_r")).alias("band_agree"),
+    )
+    return fellegi_sunter_weights(
+        pairs, "is_match", ["nm_agree", "band_agree"]
+    ).orderBy("field")
+
+
+_SQL_FS_WEIGHTS = """
+WITH l AS (
+  SELECT c_custkey AS left_id, c_mktsegment AS seg,
+         CAST(c_nationkey AS BIGINT) AS nat, upper(c_name) AS nm,
+         CAST(FLOOR((FLOOR(c_acctbal) + 1000) / 100) AS BIGINT) AS band
+  FROM customer),
+r0 AS (
+  SELECT c_custkey + 1000000 AS right_id, c_mktsegment AS seg,
+         CAST(c_nationkey AS BIGINT) AS nat,
+         CASE WHEN c_custkey % 11 = 0
+              THEN replace(upper(c_name), '0', 'O')
+              ELSE upper(c_name) END AS nm_r,
+         CAST(FLOOR((FLOOR(c_acctbal) + (c_custkey % 7) * 20 + 1000)
+                    / 100) AS BIGINT) AS band_r
+  FROM customer),
+r AS (
+  SELECT * FROM (
+    SELECT r0.*, ROW_NUMBER() OVER (PARTITION BY seg, nat
+                                    ORDER BY right_id) AS rn
+    FROM r0) WHERE rn <= 64),
+p AS (
+  SELECT (r.right_id - 1000000 = l.left_id) AS is_match,
+         (l.nm = r.nm_r) AS nm_agree,
+         (l.band = r.band_r) AS band_agree
+  FROM l JOIN r ON l.seg = r.seg AND l.nat = r.nat),
+agg AS (
+  SELECT SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS n_m,
+         SUM(CASE WHEN is_match THEN 0 ELSE 1 END) AS n_u,
+         SUM(CASE WHEN is_match AND nm_agree THEN 1 ELSE 0 END) AS am_nm,
+         SUM(CASE WHEN NOT is_match AND nm_agree THEN 1 ELSE 0 END)
+           AS au_nm,
+         SUM(CASE WHEN is_match AND band_agree THEN 1 ELSE 0 END)
+           AS am_bd,
+         SUM(CASE WHEN NOT is_match AND band_agree THEN 1 ELSE 0 END)
+           AS au_bd
+  FROM p),
+fields AS (
+  SELECT 'nm_agree' AS field, n_m, n_u, am_nm AS am, au_nm AS au
+  FROM agg
+  UNION ALL
+  SELECT 'band_agree' AS field, n_m, n_u, am_bd AS am, au_bd AS au
+  FROM agg)
+SELECT field,
+       CAST(n_m AS BIGINT) AS n_match,
+       CAST(n_u AS BIGINT) AS n_unmatch,
+       CAST(am AS BIGINT) AS agree_match,
+       CAST(au AS BIGINT) AS agree_unmatch,
+       CAST(FLOOR(1000000.0 * LN(((am + 0.5) / (n_m + 1.0))
+                                 / ((au + 0.5) / (n_u + 1.0))))
+            AS BIGINT) AS w_agree_e6,
+       CAST(FLOOR(1000000.0 * LN((1.0 - (am + 0.5) / (n_m + 1.0))
+                                 / (1.0 - (au + 0.5) / (n_u + 1.0))))
+            AS BIGINT) AS w_disagree_e6
+FROM fields
+ORDER BY field
+"""
+
+
 _SQL_RECORD_LINKAGE = """
 WITH l AS (
   SELECT c_custkey AS left_id, c_mktsegment AS seg,
@@ -19068,7 +19193,7 @@ _R11_WINDOW = [
     "ivf_pq_search", "semantic_dedup", "record_linkage", "pcap_extract",
     "skyline", "label_propagation", "sorted_neighborhood", "bfs_hops",
     "gaps_islands", "woe_encoding", "lof_outliers", "mutual_info",
-    "weighted_topk_sample",
+    "weighted_topk_sample", "fs_weights",
     "argmin_agg", "asof_join", "chunk_documents", "cleaning_scalars",
     "closest_stations", "closest_stations_grid", "composite_key_join",
     "distinct", "exact_dup_groups", "fingerprints", "hash_sample",
@@ -19078,7 +19203,7 @@ _R11_WINDOW = [
     "pricing_summary", "quality_filter", "quota_cap", "range_join",
     "rollup", "scrub_pii", "semi_anti_join", "set_ops",
     "shipping_priority", "simhash", "simhash_pairs", "sliding_window",
-    "text_quality", "tfidf_doc_similarity", "tfidf_top_terms",
+    "text_quality", "tfidf_doc_similarity",
 ]
 
 
@@ -19146,6 +19271,7 @@ def _queries_r10_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lof_outliers": q_lof_outliers,
         "mutual_info": q_mutual_info,
         "weighted_topk_sample": q_weighted_topk_sample,
+        "fs_weights": q_fs_weights,
         "sorted_neighborhood": q_sorted_neighborhood,
         "maxsim_retrieval": q_maxsim_retrieval,
         "resample_interp": q_resample_interp,
@@ -19539,6 +19665,7 @@ def oracle_sql() -> dict[str, str]:
         "lof_outliers": _SQL_LOF_OUTLIERS,
         "mutual_info": _SQL_MUTUAL_INFO,
         "weighted_topk_sample": _SQL_WEIGHTED_TOPK_SAMPLE,
+        "fs_weights": _SQL_FS_WEIGHTS,
         "sorted_neighborhood": _SQL_SORTED_NEIGHBORHOOD,
         "maxsim_retrieval": _sql_maxsim_retrieval(),
         "resample_interp": _SQL_RESAMPLE_INTERP,

@@ -559,6 +559,7 @@ HEADLINE = [
     "lof_outliers",
     "mutual_info",
     "weighted_topk_sample",
+    "fs_weights",
 ]
 
 

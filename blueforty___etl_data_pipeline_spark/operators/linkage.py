@@ -244,3 +244,68 @@ def sorted_neighborhood_pairs(
         "id_b",
         (F.col("_sn_r2") - F.col("_ra")).cast("int").alias("rank_distance"),
     )
+
+
+def fellegi_sunter_weights(
+    pairs: DataFrame,
+    label_col: str,
+    field_cols: Sequence[str],
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Estimate Fellegi-Sunter field weights from LABELED candidate
+    pairs — the training step whose output ``record_linkage`` scores
+    with: given per-pair boolean field agreements and a match label,
+
+        m_f = P(agree_f | match)      (Laplace alpha)
+        u_f = P(agree_f | non-match)
+        w_agree_f    = ln(m_f / u_f)
+        w_disagree_f = ln((1 - m_f) / (1 - u_f))
+
+    Output: one row per field — (field, n_match, n_unmatch,
+    agree_match, agree_unmatch, w_agree_e6, w_disagree_e6), the
+    fixed-point log-odds a scorer adds per agreeing/disagreeing
+    field.  Counts are exact longs; the two weights are e6 floors of
+    one double expression each, mirrored by the oracle.
+
+    Scale shape: ONE partial-agged aggregation computes every
+    conditional count (2 + 2·|fields| sums over the pair table);
+    the per-field rows then unpivot from the single 1-row frame —
+    pair rows are touched exactly once, and nothing downstream is
+    larger than |fields|.
+    """
+    lab = F.col(label_col).cast("boolean")
+    aggs = [
+        F.sum(F.when(lab, 1).otherwise(0)).alias("n_m"),
+        F.sum(F.when(lab, 0).otherwise(1)).alias("n_u"),
+    ]
+    for f in field_cols:
+        ag = F.col(f).cast("boolean")
+        aggs.append(
+            F.sum(F.when(lab & ag, 1).otherwise(0)).alias(f"am_{f}")
+        )
+        aggs.append(
+            F.sum(F.when((~lab) & ag, 1).otherwise(0)).alias(f"au_{f}")
+        )
+    one = pairs.agg(*aggs)
+    out = None
+    for f in field_cols:
+        m = (F.col(f"am_{f}") + alpha) / (F.col("n_m") + 2 * alpha)
+        u = (F.col(f"au_{f}") + alpha) / (F.col("n_u") + 2 * alpha)
+        row = one.select(
+            F.lit(f).alias("field"),
+            F.col("n_m").cast("long").alias("n_match"),
+            F.col("n_u").cast("long").alias("n_unmatch"),
+            F.col(f"am_{f}").cast("long").alias("agree_match"),
+            F.col(f"au_{f}").cast("long").alias("agree_unmatch"),
+            F.floor(F.lit(1000000.0) * F.log(m / u))
+            .cast("long")
+            .alias("w_agree_e6"),
+            F.floor(
+                F.lit(1000000.0)
+                * F.log((F.lit(1.0) - m) / (F.lit(1.0) - u))
+            )
+            .cast("long")
+            .alias("w_disagree_e6"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

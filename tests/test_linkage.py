@@ -157,3 +157,31 @@ def test_blocking_eval_reduction_vs_completeness(spark):
     assert r["n_true_in_blocks"] == 1
     assert r["reduction_ratio_permille"] == 500   # 4 of 8 pairs avoided
     assert r["pair_completeness_permille"] == 500
+
+
+def test_fellegi_sunter_weights_hand_case(spark):
+    import math
+
+    from blueforty___etl_data_pipeline_spark.operators.linkage import (
+        fellegi_sunter_weights,
+    )
+
+    # 4 match pairs (name agrees 3/4), 6 non-match (name agrees 1/6)
+    rows = (
+        [(True, True)] * 3 + [(True, False)] * 1
+        + [(False, True)] * 1 + [(False, False)] * 5
+    )
+    df = spark.createDataFrame(rows, "is_match boolean, nm_agree boolean")
+    out = fellegi_sunter_weights(df, "is_match", ["nm_agree"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_match"], r["n_unmatch"]) == (4, 6)
+    assert (r["agree_match"], r["agree_unmatch"]) == (3, 1)
+    m = (3 + 0.5) / (4 + 1.0)
+    u = (1 + 0.5) / (6 + 1.0)
+    assert r["w_agree_e6"] == math.floor(1e6 * math.log(m / u))
+    assert r["w_disagree_e6"] == math.floor(
+        1e6 * math.log((1 - m) / (1 - u))
+    )
+    # an informative field separates: agree weight +, disagree -
+    assert r["w_agree_e6"] > 0 > r["w_disagree_e6"]
