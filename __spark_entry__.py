@@ -11616,6 +11616,80 @@ LIMIT 200
 """
 
 
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form 2-D PCA projection (operators/analytics.
+    pca_project_2d) of embedding dims 2/3: quantized exact moments →
+    one-row 2×2 eigen solve (integer discriminant, CASE-pinned
+    degenerate branches) broadcast back → map-stage projection onto
+    the principal axis.  ONE moment aggregation; corpus rows never
+    shuffle.  The oracle replays the identical moment/eigen/normalize
+    expression shapes."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        pca_project_2d,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"),
+        F.col("embedding").getItem(2).alias("x"),
+        F.col("embedding").getItem(3).alias("y"),
+    )
+    return pca_project_2d(emb, "vec_id", "x", "y", scale=64).select(
+        F.col("id").alias("vec_id"), "pc1_e3", "var_ratio_e6"
+    )
+
+
+_SQL_PCA_PROJECT = """
+WITH pts AS (
+  SELECT vec_id AS id,
+         CAST(FLOOR(CAST(embedding[3] AS DOUBLE) * 64) AS BIGINT) AS qx,
+         CAST(FLOOR(CAST(embedding[4] AS DOUBLE) * 64) AS BIGINT) AS qy
+  FROM embeddings),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(qx) AS HUGEINT) AS sx,
+         CAST(SUM(qy) AS HUGEINT) AS sy,
+         CAST(SUM(qx * qx) AS HUGEINT) AS sxx,
+         CAST(SUM(qx * qy) AS HUGEINT) AS sxy,
+         CAST(SUM(qy * qy) AS HUGEINT) AS syy
+  FROM pts),
+abc AS (
+  SELECT n, sx, sy,
+         n * sxx - sx * sx AS a,
+         n * sxy - sx * sy AS b,
+         n * syy - sy * sy AS c
+  FROM m),
+eig AS (
+  SELECT n, sx, sy, a, b, c,
+         SQRT(CAST((a - c) * (a - c) + 4 * b * b AS DOUBLE)) AS root
+  FROM abc),
+v AS (
+  SELECT n, sx, sy,
+         CASE WHEN b = 0 AND a <= c THEN 0.0
+              ELSE CAST(a - c AS DOUBLE) + root END AS vx,
+         CASE WHEN b = 0 AND a <= c THEN 1.0
+              ELSE 2.0 * CAST(b AS DOUBLE) END AS vy,
+         CASE WHEN CAST(a + c AS DOUBLE) > 0
+              THEN CAST(FLOOR(1000000.0 *
+                     ((CAST(a + c AS DOUBLE) + root)
+                      / (2.0 * CAST(a + c AS DOUBLE)))) AS BIGINT)
+              ELSE 1000000 END AS var_ratio_e6
+  FROM eig),
+vn AS (
+  SELECT n, sx, sy, vx, vy, var_ratio_e6,
+         SQRT(vx * vx + vy * vy) AS norm
+  FROM v)
+SELECT pts.id AS vec_id,
+       CAST(CASE WHEN norm > 0 THEN FLOOR(1000.0 *
+              ((CAST(CAST(qx AS HUGEINT) * n - sx AS DOUBLE) * vx
+                + CAST(CAST(qy AS HUGEINT) * n - sy AS DOUBLE) * vy)
+               / (CAST(n AS DOUBLE) * norm)))
+            ELSE 0 END AS BIGINT) AS pc1_e3,
+       CAST(var_ratio_e6 AS BIGINT) AS var_ratio_e6
+FROM pts CROSS JOIN vn
+"""
+
+
 def q_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-quantile sketch with an in-engine error-bound
     contract (the hll_distinct/approx_profile pattern): per
@@ -19193,7 +19267,7 @@ _R11_WINDOW = [
     "ivf_pq_search", "semantic_dedup", "record_linkage", "pcap_extract",
     "skyline", "label_propagation", "sorted_neighborhood", "bfs_hops",
     "gaps_islands", "woe_encoding", "lof_outliers", "mutual_info",
-    "weighted_topk_sample", "fs_weights",
+    "weighted_topk_sample", "fs_weights", "pca_project",
     "argmin_agg", "asof_join", "chunk_documents", "cleaning_scalars",
     "closest_stations", "closest_stations_grid", "composite_key_join",
     "distinct", "exact_dup_groups", "fingerprints", "hash_sample",
@@ -19203,7 +19277,7 @@ _R11_WINDOW = [
     "pricing_summary", "quality_filter", "quota_cap", "range_join",
     "rollup", "scrub_pii", "semi_anti_join", "set_ops",
     "shipping_priority", "simhash", "simhash_pairs", "sliding_window",
-    "text_quality", "tfidf_doc_similarity",
+    "text_quality",
 ]
 
 
@@ -19272,6 +19346,7 @@ def _queries_r10_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info": q_mutual_info,
         "weighted_topk_sample": q_weighted_topk_sample,
         "fs_weights": q_fs_weights,
+        "pca_project": q_pca_project,
         "sorted_neighborhood": q_sorted_neighborhood,
         "maxsim_retrieval": q_maxsim_retrieval,
         "resample_interp": q_resample_interp,
@@ -19666,6 +19741,7 @@ def oracle_sql() -> dict[str, str]:
         "mutual_info": _SQL_MUTUAL_INFO,
         "weighted_topk_sample": _SQL_WEIGHTED_TOPK_SAMPLE,
         "fs_weights": _SQL_FS_WEIGHTS,
+        "pca_project": _SQL_PCA_PROJECT,
         "sorted_neighborhood": _SQL_SORTED_NEIGHBORHOOD,
         "maxsim_retrieval": _sql_maxsim_retrieval(),
         "resample_interp": _SQL_RESAMPLE_INTERP,

@@ -560,6 +560,7 @@ HEADLINE = [
     "mutual_info",
     "weighted_topk_sample",
     "fs_weights",
+    "pca_project",
 ]
 
 

@@ -1526,3 +1526,100 @@ def mutual_information(
         .cast("long")
         .alias("mi_e9"),
     )
+
+
+def pca_project_2d(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    scale: int = 64,
+) -> DataFrame:
+    """Project 2-D points onto their principal axis — closed-form PCA
+    for the embedding-preprocessing case (whiten/rotate a pair of
+    feature dimensions) where the 2×2 eigenproblem needs no iteration:
+
+        S_xx = n·Σx² − (Σx)²   (and S_xy, S_yy alike — n²-scaled
+                                covariances, EXACT integers after the
+                                power-of-two quantization)
+        λ1 − c ∝ (a − c) + √((a−c)² + 4b²)   →  v1 = (that, 2b)
+
+    Coordinates quantize at ``scale`` (power of two — exact in IEEE),
+    so every moment is an exact DECIMAL(38,0) integer; doubles appear
+    only in the final √ / normalize / project expressions, which both
+    engines evaluate in the same shape.  Output: one row per point —
+    (id, pc1_e3 = e3-floored signed distance along the principal axis
+    from the centroid, var_ratio_e6 = e6-floored λ1/(λ1+λ2), the
+    variance the axis explains).  Degenerate cases are CASE-pinned:
+    b = 0 with a ≤ c picks the y-axis, a zero-variance cloud projects
+    to 0.
+
+    Scale shape: ONE map-side-combined moment aggregation (5 sums +
+    count) → a 1-row eigen solve broadcast back onto the scan → pure
+    map-stage projection.  No shuffle of corpus rows, no iteration.
+    """
+    if scale & (scale - 1):
+        raise ValueError("scale must be a power of two (exact binning)")
+    d38 = "decimal(38,0)"
+    pts = points.select(
+        F.col(id_col).alias("id"),
+        F.floor(F.col(x_col).cast("double") * scale)
+        .cast("long")
+        .alias("qx"),
+        F.floor(F.col(y_col).cast("double") * scale)
+        .cast("long")
+        .alias("qy"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("qx").cast(d38).alias("sx"),
+        F.sum("qy").cast(d38).alias("sy"),
+        F.sum(F.col("qx") * F.col("qx")).cast(d38).alias("sxx"),
+        F.sum(F.col("qx") * F.col("qy")).cast(d38).alias("sxy"),
+        F.sum(F.col("qy") * F.col("qy")).cast(d38).alias("syy"),
+    )
+    a = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    b = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    c = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    eig = m.select(
+        "n", "sx", "sy",
+        a.alias("a"), b.alias("b"), c.alias("c"),
+        F.sqrt(
+            ((a - c) * (a - c) + 4 * b * b).cast("double")
+        ).alias("root"),
+    )
+    vx = F.when(
+        (F.col("b") == 0) & (F.col("a") <= F.col("c")), F.lit(0.0)
+    ).otherwise((F.col("a") - F.col("c")).cast("double") + F.col("root"))
+    vy = F.when(
+        (F.col("b") == 0) & (F.col("a") <= F.col("c")), F.lit(1.0)
+    ).otherwise(2.0 * F.col("b").cast("double"))
+    tr = (F.col("a") + F.col("c")).cast("double")
+    planed = eig.select(
+        "n", "sx", "sy",
+        vx.alias("vx"), vy.alias("vy"),
+        F.sqrt(vx * vx + vy * vy).alias("norm"),
+        F.when(tr > 0, F.floor(F.lit(1000000.0) * ((tr + F.col("root")) / (2.0 * tr))))
+        .otherwise(F.lit(1000000))
+        .cast("long")
+        .alias("var_ratio_e6"),
+    )
+    j = pts.crossJoin(F.broadcast(planed))
+    proj = (
+        (
+            F.col("qx").cast(d38) * F.col("n") - F.col("sx")
+        ).cast("double")
+        * F.col("vx")
+        + (
+            F.col("qy").cast(d38) * F.col("n") - F.col("sy")
+        ).cast("double")
+        * F.col("vy")
+    ) / (F.col("n").cast("double") * F.col("norm"))
+    return j.select(
+        "id",
+        F.when(F.col("norm") > 0, F.floor(F.lit(1000.0) * proj))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("pc1_e3"),
+        "var_ratio_e6",
+    )

@@ -514,3 +514,43 @@ def test_mutual_information_hand_case(spark):
     got = [r["mi_e9"] for r in mutual_information(ind, "a", "b").collect()]
     # ln(1) = 0 exactly for every cell (floor keeps it 0)
     assert got == [0, 0, 0, 0]
+
+
+def test_pca_project_2d_known_axes(spark):
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        pca_project_2d,
+    )
+
+    # variance purely along x (scale=1 keeps coords = ints)
+    xs = [(i, float(v), 0.0) for i, v in enumerate([-2, -1, 0, 1, 2])]
+    df = spark.createDataFrame(xs, "id long, x double, y double")
+    out = {r["id"]: r for r in
+           pca_project_2d(df, "id", "x", "y", scale=1).collect()}
+    # pc1 = centered x exactly; axis explains 100% of variance
+    assert [out[i]["pc1_e3"] for i in range(5)] == [
+        -2000, -1000, 0, 1000, 2000
+    ]
+    assert all(r["var_ratio_e6"] == 1000000 for r in out.values())
+
+    # variance purely along y -> the b=0, a<=c degenerate branch
+    ys = [(i, 0.0, float(v)) for i, v in enumerate([-2, -1, 0, 1, 2])]
+    df2 = spark.createDataFrame(ys, "id long, x double, y double")
+    out2 = {r["id"]: r["pc1_e3"] for r in
+            pca_project_2d(df2, "id", "x", "y", scale=1).collect()}
+    assert [out2[i] for i in range(5)] == [-2000, -1000, 0, 1000, 2000]
+
+    # diagonal cloud: principal axis ~ (1,1)/sqrt(2)
+    dg = [(i, float(v), float(v)) for i, v in enumerate([-1, 0, 1])]
+    df3 = spark.createDataFrame(dg, "id long, x double, y double")
+    out3 = {r["id"]: r["pc1_e3"] for r in
+            pca_project_2d(df3, "id", "x", "y", scale=1).collect()}
+    # distance along the diagonal = v*sqrt(2): 1.414...
+    assert out3[0] == -1415 and out3[1] == 0 and out3[2] == 1414
+
+    # zero-variance cloud: everything projects to 0, ratio pinned
+    zz = spark.createDataFrame(
+        [(1, 3.0, 3.0), (2, 3.0, 3.0)], "id long, x double, y double"
+    )
+    out4 = pca_project_2d(zz, "id", "x", "y", scale=1).collect()
+    assert all(r["pc1_e3"] == 0 for r in out4)
+    assert all(r["var_ratio_e6"] == 1000000 for r in out4)
