@@ -11690,6 +11690,37 @@ FROM pts CROSS JOIN vn
 """
 
 
+def q_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (operators/aggregate.grouped_mode):
+    each user's dominant event type, ties to the smallest value —
+    the engine-replayable form of the categorical mode (Spark's
+    native mode() is tie-nondeterministic).  ONE partial-agged
+    (user, type) count — shuffle volume is distinct pairs, never raw
+    events — then a WindowGroupLimit top-1."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.aggregate import (
+        grouped_mode,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    return grouped_mode(ev, "user_id", "event_type").orderBy("user_id")
+
+
+_SQL_GROUPED_MODE = """
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT user_id, event_type, c,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY c DESC, event_type) AS rn
+  FROM counts)
+SELECT user_id, event_type AS mode_value, CAST(c AS BIGINT) AS mode_count
+FROM ranked WHERE rn = 1
+ORDER BY user_id
+"""
+
+
 def q_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-quantile sketch with an in-engine error-bound
     contract (the hll_distinct/approx_profile pattern): per
@@ -19267,7 +19298,7 @@ _R11_WINDOW = [
     "ivf_pq_search", "semantic_dedup", "record_linkage", "pcap_extract",
     "skyline", "label_propagation", "sorted_neighborhood", "bfs_hops",
     "gaps_islands", "woe_encoding", "lof_outliers", "mutual_info",
-    "weighted_topk_sample", "fs_weights", "pca_project",
+    "weighted_topk_sample", "fs_weights", "pca_project", "grouped_mode",
     "argmin_agg", "asof_join", "chunk_documents", "cleaning_scalars",
     "closest_stations", "closest_stations_grid", "composite_key_join",
     "distinct", "exact_dup_groups", "fingerprints", "hash_sample",
@@ -19277,7 +19308,6 @@ _R11_WINDOW = [
     "pricing_summary", "quality_filter", "quota_cap", "range_join",
     "rollup", "scrub_pii", "semi_anti_join", "set_ops",
     "shipping_priority", "simhash", "simhash_pairs", "sliding_window",
-    "text_quality",
 ]
 
 
@@ -19347,6 +19377,7 @@ def _queries_r10_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_topk_sample": q_weighted_topk_sample,
         "fs_weights": q_fs_weights,
         "pca_project": q_pca_project,
+        "grouped_mode": q_grouped_mode,
         "sorted_neighborhood": q_sorted_neighborhood,
         "maxsim_retrieval": q_maxsim_retrieval,
         "resample_interp": q_resample_interp,
@@ -19742,6 +19773,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_topk_sample": _SQL_WEIGHTED_TOPK_SAMPLE,
         "fs_weights": _SQL_FS_WEIGHTS,
         "pca_project": _SQL_PCA_PROJECT,
+        "grouped_mode": _SQL_GROUPED_MODE,
         "sorted_neighborhood": _SQL_SORTED_NEIGHBORHOOD,
         "maxsim_retrieval": _sql_maxsim_retrieval(),
         "resample_interp": _SQL_RESAMPLE_INTERP,

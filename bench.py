@@ -561,6 +561,7 @@ HEADLINE = [
     "weighted_topk_sample",
     "fs_weights",
     "pca_project",
+    "grouped_mode",
 ]
 
 

@@ -224,3 +224,39 @@ def golden_record(
             ).alias(f"{a}_n_obs")
         )
     return df.groupBy(F.col(entity_col).alias("entity")).agg(*aggs)
+
+
+def grouped_mode(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Deterministic per-group mode: the MOST FREQUENT value of
+    ``value_col`` within each key, ties broken by the SMALLEST value —
+    the categorical summary statistic (dominant label per user,
+    majority vote per cluster) that Spark's native ``mode()`` leaves
+    tie-nondeterministic and therefore engine-unreplayable.
+
+    Output: (key, mode_value, mode_count).  Plan: ONE partial-agged
+    (key, value) count — shuffle volume is the distinct pair
+    cardinality, never raw rows — then a WindowGroupLimit top-1 per
+    key (count DESC, value ASC), the argmin/top-k discipline used
+    throughout.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.col(key_col).alias("k"), F.col(value_col).alias("v"))
+        .groupBy("k", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("k").orderBy(F.desc("c"), F.asc("v"))
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("k").alias(key_col),
+            F.col("v").alias("mode_value"),
+            F.col("c").cast("long").alias("mode_count"),
+        )
+    )

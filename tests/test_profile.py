@@ -1136,3 +1136,21 @@ def test_woe_encode_matches_hand_computation(spark):
         assert r["iv_e9"] == math.floor(1e9 * ((p_pos - p_neg) * woe))
     # positive-heavy category has positive WoE, negative-heavy negative
     assert out["a"]["woe_e6"] > 0 > out["b"]["woe_e6"]
+
+
+def test_grouped_mode_ties_to_smallest(spark):
+    from blueforty___etl_data_pipeline_spark.operators.aggregate import (
+        grouped_mode,
+    )
+
+    rows = [
+        (1, "b"), (1, "b"), (1, "a"),           # clear winner b
+        (2, "z"), (2, "y"),                      # tie -> smallest (y)
+        (3, "q"),                                # singleton
+    ]
+    df = spark.createDataFrame(rows, "k long, v string")
+    got = {
+        r["k"]: (r["mode_value"], r["mode_count"])
+        for r in grouped_mode(df, "k", "v").collect()
+    }
+    assert got == {1: ("b", 2), 2: ("y", 1), 3: ("q", 1)}
