@@ -11721,6 +11721,57 @@ ORDER BY user_id
 """
 
 
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (operators/corpus.rake_keywords): top
+    20 stopword-delimited phrases by degree/frequency word scores —
+    the unsupervised keyword ranker beside tfidf_top_terms and
+    collocations.  Word scores are INTEGER e6 floor-divisions summed
+    per phrase (floor-before-sum: no float addition-order anywhere),
+    phrase ids come from the gaps-and-islands window trick.  One
+    token-stream window shuffle; everything after is phrase- or
+    vocabulary-cardinality."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        rake_keywords,
+    )
+
+    return rake_keywords(_t(spark, sf_dir, "documents"), top_k=20)
+
+
+def _sql_rake_keywords() -> str:
+    toks = _D_TOKENS.format(t="text")
+    return f"""
+WITH lx AS (SELECT doc_id AS d, {toks} AS l FROM documents),
+tk AS (
+  SELECT d, generate_subscripts(l, 1) AS pos, unnest(l) AS tok
+  FROM lx),
+pt AS (
+  SELECT d, pos, tok,
+         pos - ROW_NUMBER() OVER (PARTITION BY d ORDER BY pos) AS g
+  FROM tk WHERE tok NOT IN ('a', 'the')),
+ph AS (
+  SELECT d, g, COUNT(*) AS plen,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase
+  FROM pt GROUP BY d, g),
+ws AS (
+  SELECT tok,
+         (1000000 * SUM(plen)) // COUNT(*) AS wscore_e6
+  FROM pt JOIN ph USING (d, g)
+  GROUP BY tok),
+ps AS (
+  SELECT d, g, SUM(wscore_e6) AS score_e6
+  FROM pt JOIN ws USING (tok)
+  GROUP BY d, g)
+SELECT phrase,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(score_e6 AS BIGINT) AS score_e6
+FROM ph JOIN ps USING (d, g)
+GROUP BY phrase, score_e6
+ORDER BY score_e6 DESC, phrase
+LIMIT 20
+"""
+
+
 def q_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-quantile sketch with an in-engine error-bound
     contract (the hll_distinct/approx_profile pattern): per
@@ -19299,6 +19350,7 @@ _R11_WINDOW = [
     "skyline", "label_propagation", "sorted_neighborhood", "bfs_hops",
     "gaps_islands", "woe_encoding", "lof_outliers", "mutual_info",
     "weighted_topk_sample", "fs_weights", "pca_project", "grouped_mode",
+    "rake_keywords",
     "argmin_agg", "asof_join", "chunk_documents", "cleaning_scalars",
     "closest_stations", "closest_stations_grid", "composite_key_join",
     "distinct", "exact_dup_groups", "fingerprints", "hash_sample",
@@ -19307,7 +19359,7 @@ _R11_WINDOW = [
     "ngram_jaccard_pairs", "normalize_text", "outer_join_agg", "pivot",
     "pricing_summary", "quality_filter", "quota_cap", "range_join",
     "rollup", "scrub_pii", "semi_anti_join", "set_ops",
-    "shipping_priority", "simhash", "simhash_pairs", "sliding_window",
+    "shipping_priority", "simhash", "simhash_pairs",
 ]
 
 
@@ -19378,6 +19430,7 @@ def _queries_r10_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_weights": q_fs_weights,
         "pca_project": q_pca_project,
         "grouped_mode": q_grouped_mode,
+        "rake_keywords": q_rake_keywords,
         "sorted_neighborhood": q_sorted_neighborhood,
         "maxsim_retrieval": q_maxsim_retrieval,
         "resample_interp": q_resample_interp,
@@ -19774,6 +19827,7 @@ def oracle_sql() -> dict[str, str]:
         "fs_weights": _SQL_FS_WEIGHTS,
         "pca_project": _SQL_PCA_PROJECT,
         "grouped_mode": _SQL_GROUPED_MODE,
+        "rake_keywords": _sql_rake_keywords(),
         "sorted_neighborhood": _SQL_SORTED_NEIGHBORHOOD,
         "maxsim_retrieval": _sql_maxsim_retrieval(),
         "resample_interp": _SQL_RESAMPLE_INTERP,

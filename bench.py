@@ -562,6 +562,7 @@ HEADLINE = [
     "fs_weights",
     "pca_project",
     "grouped_mode",
+    "rake_keywords",
 ]
 
 

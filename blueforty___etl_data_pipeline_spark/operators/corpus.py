@@ -1183,3 +1183,83 @@ def ngram_index_search(
         .filter(haystack.contains(needle))
         .select(F.col(id_col), F.length(text_col).alias("n_chars"))
     )
+
+
+def rake_keywords(
+    docs: DataFrame,
+    stopwords: tuple[str, ...] = ("a", "the"),
+    top_k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-delimited token runs; each word scores
+    degree/frequency (degree = total length of phrases it appears
+    in), and a phrase scores the sum of its word scores — the
+    classic unsupervised keyword ranker.
+
+    Engine-exactness: word scores floor to e6 as INTEGER divisions
+    BEFORE the phrase sum (the floor-before-sum discipline — a float
+    sum's addition order is partial-aggregation-dependent, an integer
+    sum is not), so ranking is bit-stable in any engine.  Ties break
+    by phrase text.  Output: top ``top_k`` (phrase, n_occurrences,
+    score_e6).
+
+    Scale shape: ONE posexplode of the token stream; phrase ids come
+    from the gaps-and-islands trick (position − per-doc non-stopword
+    rank — pure window arithmetic, no per-row Python); word stats are
+    a vocabulary-bounded aggregation joined back broadcast-style; the
+    final rank is a TakeOrdered top-k fan-in.  Raw token rows shuffle
+    once (the per-doc window), every later stage is phrase- or
+    vocabulary-cardinality.
+    """
+    toks = (
+        docs.select(
+            F.col(id_col).alias("d"),
+            F.posexplode(tokens_ws(F.col(text_col))).alias("pos", "tok"),
+        )
+        .filter(~F.col("tok").isin(*stopwords))
+    )
+    w = Window.partitionBy("d").orderBy("pos")
+    pt = toks.withColumn(
+        "g", F.col("pos") - F.row_number().over(w)
+    ).localCheckpoint()
+    phrases = pt.groupBy("d", "g").agg(
+        F.count(F.lit(1)).alias("plen"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+    )
+    word_stats = (
+        pt.join(phrases.select("d", "g", "plen"), on=["d", "g"])
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").alias("deg"),
+        )
+        .select(
+            "tok",
+            F.expr("(1000000 * deg) div freq").alias("wscore_e6"),
+        )
+    )
+    phrase_scores = (
+        pt.join(word_stats, on="tok")
+        .groupBy("d", "g")
+        .agg(F.sum("wscore_e6").alias("score_e6"))
+    )
+    return (
+        phrases.join(phrase_scores, on=["d", "g"])
+        .groupBy("phrase", "score_e6")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .select(
+            "phrase",
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.col("score_e6").cast("long").alias("score_e6"),
+        )
+        .orderBy(F.desc("score_e6"), F.asc("phrase"))
+        .limit(top_k)
+    )

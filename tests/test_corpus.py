@@ -695,3 +695,27 @@ def test_ngram_index_search_token_boundaries(spark):
     assert got == [1, 3, 5]
     with _pytest.raises(ValueError, match="tokens"):
         ngram_index_search(df, "too short")
+
+
+def test_rake_keywords_hand_case(spark):
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        rake_keywords,
+    )
+
+    # doc: "deep learning the deep model a model" ->
+    # phrases: "deep learning", "deep model", "model"
+    docs = spark.createDataFrame(
+        [(1, "deep learning the deep model a model")],
+        "doc_id long, text string",
+    )
+    out = rake_keywords(docs, top_k=10).collect()
+    got = {r["phrase"]: (r["n_occurrences"], r["score_e6"]) for r in out}
+    # freq/deg: deep: f2 deg 2+2=4 -> 2.0; learning: f1 deg2 -> 2.0;
+    # model: f2 deg 2+1=3 -> 1.5
+    assert got["deep learning"] == (1, 4000000)
+    assert got["deep model"] == (1, 3500000)
+    assert got["model"] == (1, 1500000)
+    # ranking: highest score first, ties by phrase text
+    assert [r["phrase"] for r in out] == [
+        "deep learning", "deep model", "model"
+    ]
