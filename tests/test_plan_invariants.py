@@ -320,3 +320,49 @@ def test_facility_location_bounded_driver_actions(spark):
     # 5 rounds × (1 gain-scoring action + ≤2 bookkeeping actions)
     # + setup/collect slack; the naive form is hundreds of jobs
     assert 0 < len(jobs) <= 30, len(jobs)
+
+
+def test_round11_addition_plan_pins(spark):
+    """Shape pins for the round-11 additions — each documented scale
+    claim in PLANS.md becomes a regression guard."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    sf = SF_DIR
+
+    # lof_outliers: eps search is a CELL hash join (never a distance
+    # self-join / cartesian); signature work is pure JVM
+    p = _fmt(qs["lof_outliers"](spark, sf))
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    assert "CartesianProduct" not in p and "InPandas" not in p
+
+    # weighted_topk_sample: ONE TakeOrdered fan-in, no global Sort+Exchange
+    p = _fmt(qs["weighted_topk_sample"](spark, sf))
+    assert "TakeOrderedAndProject" in p
+    assert "Join" not in p
+
+    # gaps_islands: exactly ONE exchange (the key partitioning shared
+    # by distinct, window and rollup), no joins
+    p = _fmt(qs["gaps_islands"](spark, sf))
+    assert "Join" not in p and "SinglePartition" not in p
+
+    # woe_encoding / mutual_info / fs_weights: raw rows aggregate once,
+    # everything downstream joins broadcast
+    for name in ("woe_encoding", "mutual_info"):
+        p = _fmt(qs[name](spark, sf))
+        assert "SortMergeJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+
+    # pca_project: single parquet scan feeds both the moment agg and
+    # the projection via broadcast — no shuffle of corpus rows
+    p = _fmt(qs["pca_project"](spark, sf))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+    # grouped_mode: pair-count agg then WindowGroupLimit top-1
+    p = _fmt(qs["grouped_mode"](spark, sf))
+    assert "WindowGroupLimit" in p
+
+    # bfs_hops converged probe: hash joins only, never cartesian
+    p = _fmt(qs["bfs_hops"](spark, sf))
+    assert "CartesianProduct" not in p
