@@ -11772,6 +11772,56 @@ LIMIT 20
 """
 
 
+def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-range report (operators/temporal.sequence_gaps — the
+    gaps-and-islands complement): for each customer, the month ranges
+    with NO orders strictly between two active runs — the
+    missing-sequence data-quality check.  The lead() window runs over
+    the ISLAND table (run-cardinality, not raw rows), so the second
+    sort is bounded by runs per key."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        sequence_gaps,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+    )
+    return sequence_gaps(o, "custkey", "m").select(
+        "custkey",
+        F.col("gap_start").cast("long").alias("gap_start"),
+        F.col("gap_end").cast("long").alias("gap_end"),
+        F.col("gap_len").cast("long").alias("gap_len"),
+    )
+
+
+_SQL_SEQUENCE_GAPS = """
+WITH base AS (
+  SELECT DISTINCT o_custkey AS custkey,
+         CAST(EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate) AS BIGINT) AS v
+  FROM orders),
+runs AS (
+  SELECT custkey, v,
+         v - ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY v) AS isl
+  FROM base),
+islands AS (
+  SELECT custkey, MIN(v) AS island_start, MAX(v) AS island_end
+  FROM runs GROUP BY custkey, isl),
+nxt AS (
+  SELECT custkey, island_end,
+         LEAD(island_start) OVER (PARTITION BY custkey
+                                  ORDER BY island_start) AS next_start
+  FROM islands)
+SELECT custkey,
+       CAST(island_end + 1 AS BIGINT) AS gap_start,
+       CAST(next_start - 1 AS BIGINT) AS gap_end,
+       CAST(next_start - island_end - 1 AS BIGINT) AS gap_len
+FROM nxt WHERE next_start IS NOT NULL
+"""
+
+
 def q_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-quantile sketch with an in-engine error-bound
     contract (the hll_distinct/approx_profile pattern): per
@@ -19350,7 +19400,7 @@ _R11_WINDOW = [
     "skyline", "label_propagation", "sorted_neighborhood", "bfs_hops",
     "gaps_islands", "woe_encoding", "lof_outliers", "mutual_info",
     "weighted_topk_sample", "fs_weights", "pca_project", "grouped_mode",
-    "rake_keywords",
+    "rake_keywords", "sequence_gaps",
     "argmin_agg", "asof_join", "chunk_documents", "cleaning_scalars",
     "closest_stations", "closest_stations_grid", "composite_key_join",
     "distinct", "exact_dup_groups", "fingerprints", "hash_sample",
@@ -19359,7 +19409,7 @@ _R11_WINDOW = [
     "ngram_jaccard_pairs", "normalize_text", "outer_join_agg", "pivot",
     "pricing_summary", "quality_filter", "quota_cap", "range_join",
     "rollup", "scrub_pii", "semi_anti_join", "set_ops",
-    "shipping_priority", "simhash", "simhash_pairs",
+    "shipping_priority", "simhash",
 ]
 
 
@@ -19431,6 +19481,7 @@ def _queries_r10_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_project": q_pca_project,
         "grouped_mode": q_grouped_mode,
         "rake_keywords": q_rake_keywords,
+        "sequence_gaps": q_sequence_gaps,
         "sorted_neighborhood": q_sorted_neighborhood,
         "maxsim_retrieval": q_maxsim_retrieval,
         "resample_interp": q_resample_interp,
@@ -19828,6 +19879,7 @@ def oracle_sql() -> dict[str, str]:
         "pca_project": _SQL_PCA_PROJECT,
         "grouped_mode": _SQL_GROUPED_MODE,
         "rake_keywords": _sql_rake_keywords(),
+        "sequence_gaps": _SQL_SEQUENCE_GAPS,
         "sorted_neighborhood": _SQL_SORTED_NEIGHBORHOOD,
         "maxsim_retrieval": _sql_maxsim_retrieval(),
         "resample_interp": _SQL_RESAMPLE_INTERP,

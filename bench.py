@@ -563,6 +563,7 @@ HEADLINE = [
     "pca_project",
     "grouped_mode",
     "rake_keywords",
+    "sequence_gaps",
 ]
 
 

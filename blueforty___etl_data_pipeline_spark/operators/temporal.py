@@ -1109,3 +1109,40 @@ def gaps_and_islands(
         )
         .drop("_isl")
     )
+
+
+def sequence_gaps(
+    df: DataFrame,
+    key_col: str,
+    seq_col: str,
+) -> DataFrame:
+    """The complement of :func:`gaps_and_islands`: report each key's
+    MISSING ranges — for every adjacent island pair, the run of
+    absent values strictly between them (the missing-invoice /
+    sequence-hole data-quality check).  Keys whose values are fully
+    consecutive produce no rows.
+
+    Output: (key, gap_start, gap_end, gap_len).  Scale shape: the
+    islands rollup (one exchange on the key) followed by a lead()
+    window over the ISLAND table — per-key island counts, not raw
+    rows — so the second window sort is bounded by run count.
+    """
+    islands = gaps_and_islands(df, key_col, seq_col)
+    w = Window.partitionBy(key_col).orderBy("island_start")
+    nxt = F.lead("island_start").over(w)
+    return (
+        islands.select(
+            key_col,
+            "island_end",
+            nxt.alias("_next_start"),
+        )
+        .filter(F.col("_next_start").isNotNull())
+        .select(
+            key_col,
+            (F.col("island_end") + 1).alias("gap_start"),
+            (F.col("_next_start") - 1).alias("gap_end"),
+            (F.col("_next_start") - F.col("island_end") - 1).alias(
+                "gap_len"
+            ),
+        )
+    )

@@ -711,3 +711,20 @@ def test_gaps_and_islands_runs_dups_and_singletons(spark):
         (2, 10): (11, 2), (2, 13): (15, 3),
         (3, 0): (0, 1), (3, 2): (2, 1), (3, 4): (4, 1),
     }
+
+
+def test_sequence_gaps_between_islands(spark):
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        sequence_gaps,
+    )
+
+    rows = [
+        (1, 1), (1, 2), (1, 3), (1, 7), (1, 10),   # gaps 4-6 and 8-9
+        (2, 5), (2, 6),                             # consecutive: none
+    ]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        (r["k"], r["gap_start"]): (r["gap_end"], r["gap_len"])
+        for r in sequence_gaps(df, "k", "v").collect()
+    }
+    assert got == {(1, 4): (6, 3), (1, 8): (9, 2)}
