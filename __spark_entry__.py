@@ -11822,6 +11822,69 @@ FROM nxt WHERE next_start IS NOT NULL
 """
 
 
+def q_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen interval-relation classification (operators/temporal.
+    allen_relations): every within-order pair of lineitem ship
+    intervals [shipdate, shipdate + linenumber days] labeled
+    before/meets/overlaps/starts/during/finishes/equals — the
+    temporal-logic audit over a BOUNDED grouping key (≤7 lines per
+    order, so the self-join is per-key constant).  One key equi-join
+    + scan-speed CASE classification, rolled up to relation counts."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        allen_relations,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").cast("long").alias("line"),
+        F.unix_date(F.col("l_shipdate").cast("date")).alias("s"),
+        (
+            F.unix_date(F.col("l_shipdate").cast("date"))
+            + F.col("l_linenumber").cast("long")
+        ).alias("e"),
+    )
+    return (
+        allen_relations(li, "okey", "line", "s", "e")
+        .groupBy("relation")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("relation")
+    )
+
+
+_SQL_ALLEN_RELATIONS = """
+WITH iv AS (
+  SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS line,
+         CAST(datediff('day', DATE '1970-01-01',
+                       CAST(l_shipdate AS DATE)) AS BIGINT) AS s,
+         CAST(datediff('day', DATE '1970-01-01',
+                       CAST(l_shipdate AS DATE))
+              + CAST(l_linenumber AS BIGINT) AS BIGINT) AS e
+  FROM lineitem),
+pairs AS (
+  SELECT a.okey, a.line AS id_a, b.line AS id_b,
+         CASE WHEN b.s < a.s THEN b.s ELSE a.s END AS xs,
+         CASE WHEN b.s < a.s THEN b.e ELSE a.e END AS xe,
+         CASE WHEN b.s < a.s THEN a.s ELSE b.s END AS ys,
+         CASE WHEN b.s < a.s THEN a.e ELSE b.e END AS ye
+  FROM iv a JOIN iv b ON a.okey = b.okey AND a.line < b.line),
+rel AS (
+  SELECT CASE
+           WHEN xs = ys AND xe = ye THEN 'equals'
+           WHEN xe < ys THEN 'before'
+           WHEN xe = ys THEN 'meets'
+           WHEN xs = ys AND xe < ye THEN 'starts'
+           WHEN xs < ys AND ye < xe THEN 'during'
+           WHEN xs < ys AND ye = xe THEN 'finishes'
+           ELSE 'overlaps'
+         END AS relation
+  FROM pairs)
+SELECT relation, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM rel GROUP BY relation
+ORDER BY relation
+"""
+
+
 def q_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-quantile sketch with an in-engine error-bound
     contract (the hll_distinct/approx_profile pattern): per
@@ -19400,7 +19463,7 @@ _R11_WINDOW = [
     "skyline", "label_propagation", "sorted_neighborhood", "bfs_hops",
     "gaps_islands", "woe_encoding", "lof_outliers", "mutual_info",
     "weighted_topk_sample", "fs_weights", "pca_project", "grouped_mode",
-    "rake_keywords", "sequence_gaps",
+    "rake_keywords", "sequence_gaps", "allen_relations",
     "argmin_agg", "asof_join", "chunk_documents", "cleaning_scalars",
     "closest_stations", "closest_stations_grid", "composite_key_join",
     "distinct", "exact_dup_groups", "fingerprints", "hash_sample",
@@ -19409,7 +19472,7 @@ _R11_WINDOW = [
     "ngram_jaccard_pairs", "normalize_text", "outer_join_agg", "pivot",
     "pricing_summary", "quality_filter", "quota_cap", "range_join",
     "rollup", "scrub_pii", "semi_anti_join", "set_ops",
-    "shipping_priority", "simhash",
+    "shipping_priority",
 ]
 
 
@@ -19482,6 +19545,7 @@ def _queries_r10_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_mode": q_grouped_mode,
         "rake_keywords": q_rake_keywords,
         "sequence_gaps": q_sequence_gaps,
+        "allen_relations": q_allen_relations,
         "sorted_neighborhood": q_sorted_neighborhood,
         "maxsim_retrieval": q_maxsim_retrieval,
         "resample_interp": q_resample_interp,
@@ -19880,6 +19944,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_mode": _SQL_GROUPED_MODE,
         "rake_keywords": _sql_rake_keywords(),
         "sequence_gaps": _SQL_SEQUENCE_GAPS,
+        "allen_relations": _SQL_ALLEN_RELATIONS,
         "sorted_neighborhood": _SQL_SORTED_NEIGHBORHOOD,
         "maxsim_retrieval": _sql_maxsim_retrieval(),
         "resample_interp": _SQL_RESAMPLE_INTERP,

@@ -564,6 +564,7 @@ HEADLINE = [
     "grouped_mode",
     "rake_keywords",
     "sequence_gaps",
+    "allen_relations",
 ]
 
 

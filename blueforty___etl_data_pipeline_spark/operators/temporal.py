@@ -1146,3 +1146,63 @@ def sequence_gaps(
             ),
         )
     )
+
+
+def allen_relations(
+    intervals: DataFrame,
+    key_col: str,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Classify every within-key interval pair into its Allen relation
+    (Allen 1983) — the temporal-logic vocabulary behind overlap
+    audits, double-booking detection and event-containment reports.
+    The 13 relations collapse to 7 by ordering each pair (id_a <
+    id_b): before / meets / overlaps / starts / during / finishes /
+    equals, where the FIRST-STARTING interval (ties by id) is the
+    reference side, so every pair gets exactly one deterministic
+    label.
+
+    Intervals are closed [start, end] with start ≤ end.  Output:
+    (key, id_a, id_b, relation) for all pairs sharing a key.
+
+    Scale shape: ONE self-equi-join on the key (pairs bounded by the
+    per-key interval count — use a bounded grouping key like an order
+    id, not a global one) followed by a pure CASE classification at
+    scan speed.  For unbounded keys, pre-bucket by time like
+    range_join; this operator deliberately keeps the exact per-key
+    form for bounded groups.
+    """
+    a = intervals.select(
+        F.col(key_col).alias("k"),
+        F.col(id_col).alias("id_a"),
+        F.col(start_col).cast("long").alias("s1"),
+        F.col(end_col).cast("long").alias("e1"),
+    )
+    b = intervals.select(
+        F.col(key_col).alias("k"),
+        F.col(id_col).alias("id_b"),
+        F.col(start_col).cast("long").alias("s2"),
+        F.col(end_col).cast("long").alias("e2"),
+    )
+    pairs = a.join(b, on="k").filter(F.col("id_a") < F.col("id_b"))
+    # orient: x = the first-starting side (ties by id, which the
+    # id_a < id_b filter already fixed), y = the other
+    flip = F.col("s2") < F.col("s1")
+    xs = F.when(flip, F.col("s2")).otherwise(F.col("s1"))
+    xe = F.when(flip, F.col("e2")).otherwise(F.col("e1"))
+    ys = F.when(flip, F.col("s1")).otherwise(F.col("s2"))
+    ye = F.when(flip, F.col("e1")).otherwise(F.col("e2"))
+    rel = (
+        F.when((xs == ys) & (xe == ye), "equals")
+        .when(xe < ys, "before")
+        .when(xe == ys, "meets")
+        .when((xs == ys) & (xe < ye), "starts")
+        .when((xs < ys) & (ye < xe), "during")      # y inside x
+        .when((xs < ys) & (ye == xe), "finishes")   # y finishes x
+        .otherwise("overlaps")
+    )
+    return pairs.select(
+        F.col("k").alias(key_col), "id_a", "id_b", rel.alias("relation")
+    )

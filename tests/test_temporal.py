@@ -728,3 +728,32 @@ def test_sequence_gaps_between_islands(spark):
         for r in sequence_gaps(df, "k", "v").collect()
     }
     assert got == {(1, 4): (6, 3), (1, 8): (9, 2)}
+
+
+def test_allen_relations_all_seven(spark):
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        allen_relations,
+    )
+
+    rows = [
+        # key 1 exercises every relation against interval id=1 [10,20]
+        (1, 1, 10, 20),
+        (1, 2, 25, 30),   # before (1 ends before 2 starts)
+        (1, 3, 20, 25),   # meets
+        (1, 4, 15, 25),   # overlaps
+        (1, 5, 10, 25),   # starts (same start, 1 ends first)
+        (1, 6, 12, 18),   # during (6 inside 1)
+        (1, 7, 5, 20),    # finishes (1 finishes 7)
+        (1, 8, 10, 20),   # equals
+    ]
+    df = spark.createDataFrame(rows, "k long, id long, s long, e long")
+    out = {
+        (r["id_a"], r["id_b"]): r["relation"]
+        for r in allen_relations(df, "k", "id", "s", "e").collect()
+        if r["id_a"] == 1
+    }
+    assert out == {
+        (1, 2): "before", (1, 3): "meets", (1, 4): "overlaps",
+        (1, 5): "starts", (1, 6): "during", (1, 7): "finishes",
+        (1, 8): "equals",
+    }
