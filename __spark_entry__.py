@@ -11885,6 +11885,44 @@ ORDER BY relation
 """
 
 
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts (operators/corpus.
+    skipgram_pairs): ±2-token (center, context) pairs over documents,
+    min count 3 — the embedding-training pair extraction.  NO
+    self-join: context comes from two LEAD()s sharing ONE per-doc
+    window sort, so pair volume is 2·corpus_tokens by construction."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        skipgram_pairs,
+    )
+
+    return skipgram_pairs(
+        _t(spark, sf_dir, "documents"), window=2, min_count=3
+    )
+
+
+def _sql_skipgram_pairs() -> str:
+    toks = _D_TOKENS.format(t="text")
+    return f"""
+WITH lx AS (SELECT doc_id AS d, {toks} AS l FROM documents),
+tk AS (
+  SELECT d, generate_subscripts(l, 1) AS pos, unnest(l) AS tok
+  FROM lx),
+ld AS (
+  SELECT tok,
+         LEAD(tok, 1) OVER (PARTITION BY d ORDER BY pos) AS n1,
+         LEAD(tok, 2) OVER (PARTITION BY d ORDER BY pos) AS n2
+  FROM tk),
+st AS (
+  SELECT tok, n1 AS ctx FROM ld WHERE n1 IS NOT NULL
+  UNION ALL
+  SELECT tok, n2 AS ctx FROM ld WHERE n2 IS NOT NULL)
+SELECT LEAST(tok, ctx) AS tok_a, GREATEST(tok, ctx) AS tok_b,
+       CAST(COUNT(*) AS BIGINT) AS n_cooc
+FROM st GROUP BY 1, 2 HAVING COUNT(*) >= 3
+"""
+
+
 def q_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-quantile sketch with an in-engine error-bound
     contract (the hll_distinct/approx_profile pattern): per
@@ -19463,7 +19501,7 @@ _R11_WINDOW = [
     "skyline", "label_propagation", "sorted_neighborhood", "bfs_hops",
     "gaps_islands", "woe_encoding", "lof_outliers", "mutual_info",
     "weighted_topk_sample", "fs_weights", "pca_project", "grouped_mode",
-    "rake_keywords", "sequence_gaps", "allen_relations",
+    "rake_keywords", "sequence_gaps", "allen_relations", "skipgram_pairs",
     "argmin_agg", "asof_join", "chunk_documents", "cleaning_scalars",
     "closest_stations", "closest_stations_grid", "composite_key_join",
     "distinct", "exact_dup_groups", "fingerprints", "hash_sample",
@@ -19471,7 +19509,7 @@ _R11_WINDOW = [
     "minhash_lsh_pairs", "near_dup_components", "near_dup_dedup",
     "ngram_jaccard_pairs", "normalize_text", "outer_join_agg", "pivot",
     "pricing_summary", "quality_filter", "quota_cap", "range_join",
-    "rollup", "scrub_pii", "semi_anti_join", "set_ops",
+    "rollup", "scrub_pii", "semi_anti_join",
     "shipping_priority",
 ]
 
@@ -19546,6 +19584,7 @@ def _queries_r10_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keywords": q_rake_keywords,
         "sequence_gaps": q_sequence_gaps,
         "allen_relations": q_allen_relations,
+        "skipgram_pairs": q_skipgram_pairs,
         "sorted_neighborhood": q_sorted_neighborhood,
         "maxsim_retrieval": q_maxsim_retrieval,
         "resample_interp": q_resample_interp,
@@ -19945,6 +19984,7 @@ def oracle_sql() -> dict[str, str]:
         "rake_keywords": _sql_rake_keywords(),
         "sequence_gaps": _SQL_SEQUENCE_GAPS,
         "allen_relations": _SQL_ALLEN_RELATIONS,
+        "skipgram_pairs": _sql_skipgram_pairs(),
         "sorted_neighborhood": _SQL_SORTED_NEIGHBORHOOD,
         "maxsim_retrieval": _sql_maxsim_retrieval(),
         "resample_interp": _SQL_RESAMPLE_INTERP,

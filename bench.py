@@ -565,6 +565,7 @@ HEADLINE = [
     "rake_keywords",
     "sequence_gaps",
     "allen_relations",
+    "skipgram_pairs",
 ]
 
 

@@ -1263,3 +1263,55 @@ def rake_keywords(
         .orderBy(F.desc("score_e6"), F.asc("phrase"))
         .limit(top_k)
     )
+
+
+def skipgram_pairs(
+    docs: DataFrame,
+    window: int = 2,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Skip-gram (center, context) co-occurrence counts within a
+    ±``window`` token distance — the training-pair extraction behind
+    word2vec/GloVe-style embedding pipelines and PMI association
+    tables (collocations counts DOC-level co-occurrence; this counts
+    POSITION-level, direction-collapsed).
+
+    Pairs are canonicalized (min(tok_a, tok_b), max(...)) so each
+    unordered co-occurrence counts once.  Output: (tok_a, tok_b,
+    n_cooc) for pairs seen ≥ ``min_count`` times.
+
+    Scale shape: NO self-join — the context tokens come from
+    ``window`` LEAD() expressions sharing ONE per-doc window sort, so
+    the exchange carries token rows exactly once and pair volume is
+    window·corpus_tokens by construction (never quadratic).  The
+    count aggregation is partial-agged on the pair key.
+    """
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        F.col(id_col).alias("d"),
+        F.posexplode(tokens_ws(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = W.partitionBy("d").orderBy("pos")
+    lead_cols = [
+        F.lead("tok", k).over(w).alias(f"_n{k}")
+        for k in range(1, window + 1)
+    ]
+    with_leads = toks.select("tok", *lead_cols)
+    stacked = None
+    for k in range(1, window + 1):
+        s = with_leads.select(
+            "tok", F.col(f"_n{k}").alias("ctx")
+        ).filter(F.col("ctx").isNotNull())
+        stacked = s if stacked is None else stacked.unionByName(s)
+    return (
+        stacked.select(
+            F.least("tok", "ctx").alias("tok_a"),
+            F.greatest("tok", "ctx").alias("tok_b"),
+        )
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_cooc"))
+        .filter(F.col("n_cooc") >= min_count)
+    )

@@ -719,3 +719,23 @@ def test_rake_keywords_hand_case(spark):
     assert [r["phrase"] for r in out] == [
         "deep learning", "deep model", "model"
     ]
+
+
+def test_skipgram_pairs_window_and_canonicalization(spark):
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        skipgram_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "b a")], "doc_id long, text string"
+    )
+    out = {
+        (r["tok_a"], r["tok_b"]): r["n_cooc"]
+        for r in skipgram_pairs(docs, window=2, min_count=1).collect()
+    }
+    # doc1 pairs within +-2: (a,b) at (0,1),(3,4); (a,c) at (0,2),(2,3);
+    # (b,c) at (1,2),(2,4)wait... positions: a0 b1 c2 a3 b4
+    # dist1: (a0,b1),(b1,c2),(c2,a3),(a3,b4); dist2: (a0,c2),(b1,a3),(c2,b4)
+    # canonical counts: (a,b): a0b1,a3b4,b1a3 =3; (a,c): c2a3,a0c2 =2;
+    # (b,c): b1c2,c2b4 =2.  doc2 adds (a,b): +1 -> 4
+    assert out == {("a", "b"): 4, ("a", "c"): 2, ("b", "c"): 2}
