@@ -11923,6 +11923,62 @@ FROM st GROUP BY 1, 2 HAVING COUNT(*) >= 3
 """
 
 
+def q_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (operators/profile.fd_check) of
+    four customer candidates (custkey→nation and name→custkey hold;
+    mktsegment→nation and nation→mktsegment fail) — the key-inference
+    profiling primitive.  ALL candidates share ONE multi-COUNT-
+    DISTINCT Expand aggregation, so the table is scanned exactly once
+    regardless of candidate count."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        fd_check,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    return fd_check(
+        c,
+        [
+            ("c_custkey", "c_nationkey"),
+            ("c_name", "c_custkey"),
+            ("c_mktsegment", "c_nationkey"),
+            ("c_nationkey", "c_mktsegment"),
+        ],
+    ).orderBy("lhs", "rhs")
+
+
+_SQL_FD_CHECK = """
+WITH cand AS (
+  SELECT 'c_custkey' AS lhs, 'c_nationkey' AS rhs,
+         (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS n_lhs,
+         (SELECT COUNT(*) FROM
+            (SELECT DISTINCT c_custkey, c_nationkey FROM customer))
+           AS n_pairs
+  UNION ALL
+  SELECT 'c_name', 'c_custkey',
+         (SELECT COUNT(DISTINCT c_name) FROM customer),
+         (SELECT COUNT(*) FROM
+            (SELECT DISTINCT c_name, c_custkey FROM customer))
+  UNION ALL
+  SELECT 'c_mktsegment', 'c_nationkey',
+         (SELECT COUNT(DISTINCT c_mktsegment) FROM customer),
+         (SELECT COUNT(*) FROM
+            (SELECT DISTINCT c_mktsegment, c_nationkey FROM customer))
+  UNION ALL
+  SELECT 'c_nationkey', 'c_mktsegment',
+         (SELECT COUNT(DISTINCT c_nationkey) FROM customer),
+         (SELECT COUNT(*) FROM
+            (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)))
+SELECT lhs, rhs,
+       CAST(n_lhs AS BIGINT) AS n_lhs,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(n_pairs - n_lhs AS BIGINT) AS n_violations,
+       n_pairs = n_lhs AS holds
+FROM cand
+ORDER BY lhs, rhs
+"""
+
+
 def q_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-quantile sketch with an in-engine error-bound
     contract (the hll_distinct/approx_profile pattern): per
@@ -19502,6 +19558,7 @@ _R11_WINDOW = [
     "gaps_islands", "woe_encoding", "lof_outliers", "mutual_info",
     "weighted_topk_sample", "fs_weights", "pca_project", "grouped_mode",
     "rake_keywords", "sequence_gaps", "allen_relations", "skipgram_pairs",
+    "fd_check",
     "argmin_agg", "asof_join", "chunk_documents", "cleaning_scalars",
     "closest_stations", "closest_stations_grid", "composite_key_join",
     "distinct", "exact_dup_groups", "fingerprints", "hash_sample",
@@ -19509,7 +19566,7 @@ _R11_WINDOW = [
     "minhash_lsh_pairs", "near_dup_components", "near_dup_dedup",
     "ngram_jaccard_pairs", "normalize_text", "outer_join_agg", "pivot",
     "pricing_summary", "quality_filter", "quota_cap", "range_join",
-    "rollup", "scrub_pii", "semi_anti_join",
+    "rollup", "scrub_pii",
     "shipping_priority",
 ]
 
@@ -19585,6 +19642,7 @@ def _queries_r10_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_gaps": q_sequence_gaps,
         "allen_relations": q_allen_relations,
         "skipgram_pairs": q_skipgram_pairs,
+        "fd_check": q_fd_check,
         "sorted_neighborhood": q_sorted_neighborhood,
         "maxsim_retrieval": q_maxsim_retrieval,
         "resample_interp": q_resample_interp,
@@ -19985,6 +20043,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_gaps": _SQL_SEQUENCE_GAPS,
         "allen_relations": _SQL_ALLEN_RELATIONS,
         "skipgram_pairs": _sql_skipgram_pairs(),
+        "fd_check": _SQL_FD_CHECK,
         "sorted_neighborhood": _SQL_SORTED_NEIGHBORHOOD,
         "maxsim_retrieval": _sql_maxsim_retrieval(),
         "resample_interp": _SQL_RESAMPLE_INTERP,

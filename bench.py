@@ -566,6 +566,7 @@ HEADLINE = [
     "sequence_gaps",
     "allen_relations",
     "skipgram_pairs",
+    "fd_check",
 ]
 
 

@@ -1904,3 +1904,50 @@ def join_skew_report(
         "n_left", "n_right", "contrib", "total_rows", "n_join_keys",
         F.expr("contrib * 1000 div total_rows").alias("permille"),
     )
+
+
+def fd_check(
+    df: DataFrame,
+    deps: Sequence[tuple[str, str]],
+) -> DataFrame:
+    """Functional-dependency audit: for each candidate FD ``lhs →
+    rhs``, does every lhs value map to exactly one rhs value?  The
+    schema-discovery / key-inference primitive of data profiling.
+    Columns must be NON-NULL: multi-argument COUNT DISTINCT drops
+    rows with a NULL in either column (Spark semantics), silently
+    shrinking the pair count — COALESCE sentinel values upstream
+    when auditing nullable columns.
+
+        n_violating_lhs = |distinct (lhs, rhs)| − |distinct lhs|
+
+    is 0 iff the FD holds (each extra pair is an lhs bound to a
+    second rhs).  Output: one row per candidate — (lhs, rhs, n_lhs,
+    n_pairs, n_violations, holds).
+
+    Scale shape: ALL candidates share ONE multi-COUNT-DISTINCT
+    aggregation (Spark's Expand two-phase distinct — the
+    profile_table pattern), so raw rows are scanned exactly once for
+    any number of candidates; the per-candidate rows unpivot from the
+    single 1-row result.
+    """
+    aggs = []
+    for i, (lhs, rhs) in enumerate(deps):
+        aggs.append(F.count_distinct(F.col(lhs)).alias(f"_l{i}"))
+        aggs.append(
+            F.count_distinct(F.col(lhs), F.col(rhs)).alias(f"_p{i}")
+        )
+    one = df.agg(*aggs)
+    out = None
+    for i, (lhs, rhs) in enumerate(deps):
+        row = one.select(
+            F.lit(lhs).alias("lhs"),
+            F.lit(rhs).alias("rhs"),
+            F.col(f"_l{i}").cast("long").alias("n_lhs"),
+            F.col(f"_p{i}").cast("long").alias("n_pairs"),
+            (F.col(f"_p{i}") - F.col(f"_l{i}"))
+            .cast("long")
+            .alias("n_violations"),
+            (F.col(f"_p{i}") == F.col(f"_l{i}")).alias("holds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

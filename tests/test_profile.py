@@ -1154,3 +1154,22 @@ def test_grouped_mode_ties_to_smallest(spark):
         for r in grouped_mode(df, "k", "v").collect()
     }
     assert got == {1: ("b", 2), 2: ("y", 1), 3: ("q", 1)}
+
+
+def test_fd_check_holds_and_violations(spark):
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        fd_check,
+    )
+
+    rows = [
+        (1, "x", 10), (2, "x", 10), (3, "y", 20), (3, "y", 20),
+        (4, "y", 21),  # y maps to both 20 and 21 -> b->c violated
+    ]
+    df = spark.createDataFrame(rows, "a long, b string, c long")
+    out = {(r["lhs"], r["rhs"]): r for r in
+           fd_check(df, [("a", "b"), ("b", "c"), ("c", "b")]).collect()}
+    assert out[("a", "b")]["holds"] is True        # each a one b
+    assert out[("b", "c")]["holds"] is False
+    assert out[("b", "c")]["n_violations"] == 1    # y -> {20, 21}
+    assert out[("c", "b")]["holds"] is True        # each c one b
+    assert out[("a", "b")]["n_lhs"] == 4
