@@ -2291,6 +2291,59 @@ def q_streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user top-3 events by value (streaming/stateful.
+    running_topk_events): custom applyInPandasWithState whose state is
+    exactly k (value, id) pairs per user — O(users·k) regardless of
+    stream length.  The keep-order (micros DESC, event_id ASC) is
+    total, so the final (max n_seen) emission per user equals the
+    batch window top-3 the oracle computes."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.streaming.stateful import (
+        running_topk_events,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    src = _stage_stream_source(ev, "events_topk", sf_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = running_topk_events(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("q_streaming_topk_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_streaming(q)
+    sink = spark.table("q_streaming_topk_sink")
+    last = sink.groupBy(F.col("user_id").alias("uid")).agg(
+        F.max("n_seen").alias("mx")
+    )
+    return sink.join(
+        last,
+        (sink["user_id"] == last["uid"]) & (sink["n_seen"] == last["mx"]),
+    ).select(
+        "user_id",
+        F.col("rank").cast("long").alias("rank"),
+        "event_id",
+        "value_micros",
+    )
+
+
+_SQL_STREAMING_TOPK = """
+WITH ranked AS (
+  SELECT user_id, event_id,
+         CAST(FLOOR(value * 1000000) AS BIGINT) AS value_micros,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(FLOOR(value * 1000000) AS BIGINT) DESC,
+                    event_id) AS rank
+  FROM events)
+SELECT user_id, CAST(rank AS BIGINT) AS rank, event_id, value_micros
+FROM ranked WHERE rank <= 3
+"""
+
+
 _SQL_STREAM_USER_STATS = """
 SELECT user_id, COUNT(*) AS n_events,
        CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)
@@ -19558,7 +19611,7 @@ _R11_WINDOW = [
     "gaps_islands", "woe_encoding", "lof_outliers", "mutual_info",
     "weighted_topk_sample", "fs_weights", "pca_project", "grouped_mode",
     "rake_keywords", "sequence_gaps", "allen_relations", "skipgram_pairs",
-    "fd_check",
+    "fd_check", "streaming_topk",
     "argmin_agg", "asof_join", "chunk_documents", "cleaning_scalars",
     "closest_stations", "closest_stations_grid", "composite_key_join",
     "distinct", "exact_dup_groups", "fingerprints", "hash_sample",
@@ -19566,7 +19619,7 @@ _R11_WINDOW = [
     "minhash_lsh_pairs", "near_dup_components", "near_dup_dedup",
     "ngram_jaccard_pairs", "normalize_text", "outer_join_agg", "pivot",
     "pricing_summary", "quality_filter", "quota_cap", "range_join",
-    "rollup", "scrub_pii",
+    "rollup",
     "shipping_priority",
 ]
 
@@ -19643,6 +19696,7 @@ def _queries_r10_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "allen_relations": q_allen_relations,
         "skipgram_pairs": q_skipgram_pairs,
         "fd_check": q_fd_check,
+        "streaming_topk": q_streaming_topk,
         "sorted_neighborhood": q_sorted_neighborhood,
         "maxsim_retrieval": q_maxsim_retrieval,
         "resample_interp": q_resample_interp,
@@ -20044,6 +20098,7 @@ def oracle_sql() -> dict[str, str]:
         "allen_relations": _SQL_ALLEN_RELATIONS,
         "skipgram_pairs": _sql_skipgram_pairs(),
         "fd_check": _SQL_FD_CHECK,
+        "streaming_topk": _SQL_STREAMING_TOPK,
         "sorted_neighborhood": _SQL_SORTED_NEIGHBORHOOD,
         "maxsim_retrieval": _sql_maxsim_retrieval(),
         "resample_interp": _SQL_RESAMPLE_INTERP,

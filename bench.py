@@ -567,6 +567,7 @@ HEADLINE = [
     "allen_relations",
     "skipgram_pairs",
     "fd_check",
+    "streaming_topk",
 ]
 
 

@@ -225,3 +225,77 @@ def running_user_stats_exact(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+#: Output/state schemas of running_topk_events.
+_TOPK_OUT_SCHEMA = (
+    "user_id long, rank int, event_id long, value_micros long, "
+    "n_seen long"
+)
+_TOPK_STATE_SCHEMA = "ids array<long>, vms array<long>, n_seen long"
+_TOPK_K = 3
+
+
+def _update_topk(
+    key: tuple, batches: Iterator, state: GroupState
+) -> Iterator:
+    """Per-key top-k maintenance: merge the micro-batch rows into the
+    stored top-k list ordered by (value_micros DESC, event_id ASC) —
+    a deterministic total order, so the survivors are independent of
+    batch splits — and emit the CURRENT top-k with the monotone
+    ``n_seen`` counter (the max-n_seen emission per key is the final
+    state a batch oracle can check)."""
+    import pandas as pd
+
+    ids, vms, n_seen = (
+        (list(state.get[0]), list(state.get[1]), state.get[2])
+        if state.exists
+        else ([], [], 0)
+    )
+    entries = list(zip(vms, ids))
+    for pdf in batches:
+        n_seen += len(pdf)
+        entries.extend(
+            zip(pdf["_vm"].astype("int64"), pdf["event_id"].astype("int64"))
+        )
+    entries.sort(key=lambda t: (-t[0], t[1]))
+    entries = entries[:_TOPK_K]
+    state.update((
+        [int(i) for _, i in entries],
+        [int(v) for v, _ in entries],
+        n_seen,
+    ))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(entries),
+            "rank": list(range(1, len(entries) + 1)),
+            "event_id": [int(i) for _, i in entries],
+            "value_micros": [int(v) for v, _ in entries],
+            "n_seen": [n_seen] * len(entries),
+        }
+    )
+
+
+def running_topk_events(events: DataFrame) -> DataFrame:
+    """Streaming per-user top-k events by value (k=3) via
+    ``applyInPandasWithState`` — the bounded-state form of a
+    leaderboard: state per key is exactly k (value, id) pairs plus a
+    counter, NEVER the event history, so state size is O(users·k)
+    regardless of stream length.  Values quantize to integer micros
+    and the keep-order (value DESC, id ASC) is total, so the final
+    emission per user is bit-identical to the batch top-k — the
+    oracle-verifiable custom-state contract of
+    running_user_stats_exact applied to a ranked structure.
+    """
+    prepared = events.select(
+        "user_id",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.floor(F.col("value") * 1000000).cast("long").alias("_vm"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _update_topk,
+        outputStructType=_TOPK_OUT_SCHEMA,
+        stateStructType=_TOPK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

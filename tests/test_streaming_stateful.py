@@ -275,3 +275,58 @@ def test_session_window_streaming_state_shape(spark, tmp_path):
     ops = q.lastProgress["stateOperators"]
     q.stop()
     assert ops and "session" in ops[0]["operatorName"].lower(), ops
+
+
+def test_running_topk_events_matches_batch_topk(spark, sf_small, tmp_path):
+    # Top-k state under FORCED multi-micro-batch splits: the final
+    # (max n_seen) emission per user must equal the batch top-3 by
+    # (value_micros DESC, event_id ASC) exactly.
+    from pyspark.sql import Window
+
+    from blueforty___etl_data_pipeline_spark.sources.catalog import load_table
+    from blueforty___etl_data_pipeline_spark.streaming.stateful import (
+        running_topk_events,
+    )
+
+    ev = load_table(spark, sf_small, "events")
+    src = str(tmp_path / "topk_src")
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        running_topk_events(stream)
+        .writeStream.format("memory")
+        .queryName("topk_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = spark.sql(
+        "SELECT t.user_id, rank, event_id, value_micros FROM topk_test t"
+        " JOIN (SELECT user_id AS uid, MAX(n_seen) mx"
+        "       FROM topk_test GROUP BY 1) m"
+        " ON t.user_id = m.uid AND t.n_seen = m.mx"
+    )
+    got = {
+        (r["user_id"], r["rank"]): (r["event_id"], r["value_micros"])
+        for r in final.collect()
+    }
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("_vm"), F.asc("event_id")
+    )
+    exp = {
+        (r["user_id"], r["rn"]): (r["event_id"], r["_vm"])
+        for r in ev.select(
+            "user_id",
+            "event_id",
+            F.floor(F.col("value") * 1000000).cast("long").alias("_vm"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .collect()
+    }
+    assert got == exp
