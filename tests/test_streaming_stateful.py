@@ -271,7 +271,10 @@ def test_session_window_streaming_state_shape(spark, tmp_path):
     out = session_window_agg(
         stream.withWatermark("ts", "1 hour"), gap="30 minutes"
     )
-    q = _run_available_now(out, "session_shape_test", mode="update")
+    # session windows reject update mode (merging can revise emitted
+    # rows); complete keeps the drain one-shot and the state shape is
+    # what this test pins
+    q = _run_available_now(out, "session_shape_test", mode="complete")
     ops = q.lastProgress["stateOperators"]
     q.stop()
     assert ops and "session" in ops[0]["operatorName"].lower(), ops
