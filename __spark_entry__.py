@@ -12032,6 +12032,54 @@ ORDER BY lhs, rhs
 """
 
 
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency-of-frequencies (operators/corpus.
+    good_turing_counts) over document word TRIGRAMS, r ≤ 10 — the
+    unseen-mass estimate LM smoothing is built on (trigrams expose the
+    long tail the saturated unigram vocabulary lacks).  One shingle
+    explode → vocabulary-bounded counts → ≤11-row count-of-counts
+    with exact integer r* floor-divisions."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        good_turing_counts,
+    )
+
+    return good_turing_counts(
+        _t(spark, sf_dir, "documents"), max_r=10, ngram_n=3
+    ).orderBy("r")
+
+
+def _sql_good_turing(max_r: int = 10) -> str:
+    toks = _D_TOKENS.format(t="text")
+    return f"""
+WITH lx AS (SELECT {toks} AS l FROM documents),
+words AS (
+  SELECT tok, COUNT(*) AS r FROM (
+    SELECT l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS tok
+    FROM lx, unnest(range(1, len(l) - 1)) AS u(i))
+  GROUP BY tok),
+tot AS (
+  SELECT SUM(r) AS n_tokens,
+         SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS n1
+  FROM words),
+freq AS (
+  SELECT r, COUNT(*) AS n_r FROM words
+  WHERE r <= {max_r + 1} GROUP BY r)
+SELECT CAST(f.r AS BIGINT) AS r,
+       CAST(f.n_r AS BIGINT) AS n_r,
+       CAST(COALESCE(n2.n_r, 0) AS BIGINT) AS n_r_plus_1,
+       CAST(CASE WHEN COALESCE(n2.n_r, 0) = 0 THEN -1
+                 ELSE (1000000 * (f.r + 1) * n2.n_r) // f.n_r
+            END AS BIGINT) AS r_star_e6,
+       CAST((1000000000 * n1) // n_tokens AS BIGINT) AS p0_e9
+FROM freq f
+LEFT JOIN freq n2 ON n2.r = f.r + 1
+CROSS JOIN tot
+WHERE f.r <= {max_r}
+ORDER BY f.r
+"""
+
+
 def q_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-quantile sketch with an in-engine error-bound
     contract (the hll_distinct/approx_profile pattern): per
@@ -19611,14 +19659,14 @@ _R11_WINDOW = [
     "gaps_islands", "woe_encoding", "lof_outliers", "mutual_info",
     "weighted_topk_sample", "fs_weights", "pca_project", "grouped_mode",
     "rake_keywords", "sequence_gaps", "allen_relations", "skipgram_pairs",
-    "fd_check", "streaming_topk",
+    "fd_check", "streaming_topk", "good_turing",
     "argmin_agg", "asof_join", "chunk_documents", "cleaning_scalars",
     "closest_stations", "closest_stations_grid", "composite_key_join",
     "distinct", "exact_dup_groups", "fingerprints", "hash_sample",
     "hash_split", "json_flatten", "language_id", "local_supplier_volume",
     "minhash_lsh_pairs", "near_dup_components", "near_dup_dedup",
     "ngram_jaccard_pairs", "normalize_text", "outer_join_agg", "pivot",
-    "pricing_summary", "quality_filter", "quota_cap", "range_join",
+    "pricing_summary", "quality_filter", "quota_cap",
     "rollup",
     "shipping_priority",
 ]
@@ -19697,6 +19745,7 @@ def _queries_r10_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_pairs": q_skipgram_pairs,
         "fd_check": q_fd_check,
         "streaming_topk": q_streaming_topk,
+        "good_turing": q_good_turing,
         "sorted_neighborhood": q_sorted_neighborhood,
         "maxsim_retrieval": q_maxsim_retrieval,
         "resample_interp": q_resample_interp,
@@ -20099,6 +20148,7 @@ def oracle_sql() -> dict[str, str]:
         "skipgram_pairs": _sql_skipgram_pairs(),
         "fd_check": _SQL_FD_CHECK,
         "streaming_topk": _SQL_STREAMING_TOPK,
+        "good_turing": _sql_good_turing(),
         "sorted_neighborhood": _SQL_SORTED_NEIGHBORHOOD,
         "maxsim_retrieval": _sql_maxsim_retrieval(),
         "resample_interp": _SQL_RESAMPLE_INTERP,

@@ -568,6 +568,7 @@ HEADLINE = [
     "skipgram_pairs",
     "fd_check",
     "streaming_topk",
+    "good_turing",
 ]
 
 

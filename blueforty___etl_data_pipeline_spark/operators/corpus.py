@@ -1315,3 +1315,76 @@ def skipgram_pairs(
         .agg(F.count(F.lit(1)).alias("n_cooc"))
         .filter(F.col("n_cooc") >= min_count)
     )
+
+
+def good_turing_counts(
+    docs: DataFrame,
+    max_r: int = 10,
+    ngram_n: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Good-Turing frequency-of-frequencies table: for each observed
+    count r ≤ ``max_r``, how many distinct words occur exactly r
+    times (N_r) and the smoothed count r* = (r+1)·N_{r+1}/N_r — the
+    classic LM-smoothing estimate of how much probability mass the
+    unseen tail deserves (N_1/total tokens ≈ P(unseen), carried on
+    every row as ``p0_e9``).
+
+    All arithmetic is exact integers: r* floors to e6 via ONE long
+    floor-division, P(unseen) to e9 likewise — no float chain, so the
+    table is engine-replayable bit-for-bit.  Rows where N_{r+1} = 0
+    report ``r_star_e6 = -1`` (the estimate is undefined there; real
+    smoothers switch to a fit — out of scope for the table).
+
+    ``ngram_n`` > 1 counts word n-grams instead of unigrams — the
+    usual way to expose a long tail (and the unit LM smoothing is
+    actually applied to) when the unigram vocabulary is saturated.
+
+    Scale shape: ONE token explode → partial-agged word counts
+    (vocabulary-bounded) → count-of-counts agg (≤ max_r + tail rows)
+    → a broadcast self-join on r+1.  Raw tokens shuffle once.
+    """
+    units = tokens_ws(F.col(text_col))
+    if ngram_n > 1:
+        units = ngrams(units, ngram_n)
+    words = (
+        docs.select(F.explode(units).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    tot = words.agg(
+        F.sum("r").alias("n_tokens"),
+        F.sum(F.when(F.col("r") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    freq = (
+        words.filter(F.col("r") <= max_r + 1)
+        .groupBy("r")
+        .agg(F.count(F.lit(1)).alias("n_r"))
+    )
+    nxt = freq.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")
+    )
+    return (
+        freq.filter(F.col("r") <= max_r)
+        .join(F.broadcast(nxt), on="r", how="left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r").cast("long").alias("r"),
+            F.col("n_r").cast("long").alias("n_r"),
+            F.coalesce(F.col("n_r1"), F.lit(0))
+            .cast("long")
+            .alias("n_r_plus_1"),
+            F.when(
+                F.coalesce(F.col("n_r1"), F.lit(0)) == 0, F.lit(-1)
+            )
+            .otherwise(
+                F.expr("(1000000 * (r + 1) * n_r1) div n_r")
+            )
+            .cast("long")
+            .alias("r_star_e6"),
+            F.expr("(1000000000 * n1) div n_tokens")
+            .cast("long")
+            .alias("p0_e9"),
+        )
+    )

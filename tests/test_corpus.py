@@ -739,3 +739,24 @@ def test_skipgram_pairs_window_and_canonicalization(spark):
     # canonical counts: (a,b): a0b1,a3b4,b1a3 =3; (a,c): c2a3,a0c2 =2;
     # (b,c): b1c2,c2b4 =2.  doc2 adds (a,b): +1 -> 4
     assert out == {("a", "b"): 4, ("a", "c"): 2, ("b", "c"): 2}
+
+
+def test_good_turing_counts_hand_case(spark):
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        good_turing_counts,
+    )
+
+    # counts: a:3, b:2, c:2, d:1, e:1, f:1 -> N_1=3, N_2=2, N_3=1
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c c d e f")], "doc_id long, text string"
+    )
+    out = {r["r"]: r for r in good_turing_counts(docs, max_r=3).collect()}
+    assert out[1]["n_r"] == 3 and out[1]["n_r_plus_1"] == 2
+    # r*=  (1+1)*N2/N1 = 4/3 -> 1333333
+    assert out[1]["r_star_e6"] == (1000000 * 2 * 2) // 3
+    # r=2: (3)*N3/N2 = 3/2
+    assert out[2]["r_star_e6"] == (1000000 * 3 * 1) // 2
+    # r=3: N4=0 -> undefined
+    assert out[3]["r_star_e6"] == -1
+    # P(unseen) = N1 / tokens = 3/10
+    assert all(r["p0_e9"] == 300000000 for r in out.values())
