@@ -12080,6 +12080,40 @@ ORDER BY f.r
 """
 
 
+def q_ips_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline policy evaluation (operators/analytics.
+    ips_policy_value): inverse-propensity estimate of a uniform
+    target policy over event types, rewards = event values — the
+    counterfactual bandit-log readout.  ONE per-action aggregation +
+    a broadcast 1-row rollup; every division an exact long floor."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        ips_policy_value,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    return ips_policy_value(ev, "event_type", "value").orderBy("action")
+
+
+_SQL_IPS_EVAL = """
+WITH base AS (
+  SELECT event_type AS action,
+         CAST(FLOOR(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS rm
+  FROM events),
+per AS (
+  SELECT action, COUNT(*) AS n, SUM(rm) AS sum_rm
+  FROM base GROUP BY action),
+tot AS (SELECT SUM(n) AS n_total, COUNT(*) AS k FROM per)
+SELECT action,
+       CAST(n AS BIGINT) AS n,
+       CAST((1000000000 * n) // n_total AS BIGINT) AS propensity_e9,
+       CAST(sum_rm // n AS BIGINT) AS mean_reward_micros,
+       CAST(sum_rm // (k * n) AS BIGINT) AS ips_contrib_micros
+FROM per CROSS JOIN tot
+ORDER BY action
+"""
+
+
 def q_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-quantile sketch with an in-engine error-bound
     contract (the hll_distinct/approx_profile pattern): per
@@ -19659,14 +19693,14 @@ _R11_WINDOW = [
     "gaps_islands", "woe_encoding", "lof_outliers", "mutual_info",
     "weighted_topk_sample", "fs_weights", "pca_project", "grouped_mode",
     "rake_keywords", "sequence_gaps", "allen_relations", "skipgram_pairs",
-    "fd_check", "streaming_topk", "good_turing",
+    "fd_check", "streaming_topk", "good_turing", "ips_eval",
     "argmin_agg", "asof_join", "chunk_documents", "cleaning_scalars",
     "closest_stations", "closest_stations_grid", "composite_key_join",
     "distinct", "exact_dup_groups", "fingerprints", "hash_sample",
     "hash_split", "json_flatten", "language_id", "local_supplier_volume",
     "minhash_lsh_pairs", "near_dup_components", "near_dup_dedup",
     "ngram_jaccard_pairs", "normalize_text", "outer_join_agg", "pivot",
-    "pricing_summary", "quality_filter", "quota_cap",
+    "pricing_summary", "quality_filter",
     "rollup",
     "shipping_priority",
 ]
@@ -19746,6 +19780,7 @@ def _queries_r10_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_check": q_fd_check,
         "streaming_topk": q_streaming_topk,
         "good_turing": q_good_turing,
+        "ips_eval": q_ips_eval,
         "sorted_neighborhood": q_sorted_neighborhood,
         "maxsim_retrieval": q_maxsim_retrieval,
         "resample_interp": q_resample_interp,
@@ -20149,6 +20184,7 @@ def oracle_sql() -> dict[str, str]:
         "fd_check": _SQL_FD_CHECK,
         "streaming_topk": _SQL_STREAMING_TOPK,
         "good_turing": _sql_good_turing(),
+        "ips_eval": _SQL_IPS_EVAL,
         "sorted_neighborhood": _SQL_SORTED_NEIGHBORHOOD,
         "maxsim_retrieval": _sql_maxsim_retrieval(),
         "resample_interp": _SQL_RESAMPLE_INTERP,

@@ -569,6 +569,7 @@ HEADLINE = [
     "fd_check",
     "streaming_topk",
     "good_turing",
+    "ips_eval",
 ]
 
 

@@ -1623,3 +1623,57 @@ def pca_project_2d(
         .alias("pc1_e3"),
         "var_ratio_e6",
     )
+
+
+def ips_policy_value(
+    df: DataFrame,
+    action_col: str,
+    reward_col: str,
+) -> DataFrame:
+    """Offline policy evaluation by inverse-propensity scoring
+    (Horvitz-Thompson): estimate what a UNIFORM target policy over
+    the observed actions would earn from logs collected under the
+    empirical logging policy — the counterfactual "what if we served
+    every action equally" readout of bandit/recsys logs.
+
+        π_b(a) = n_a / N          (empirical logging propensity)
+        V̂     = (1/N) Σ_i r_i · (1/K) / π_b(a_i)
+              = Σ_a  mean_reward(a) / K
+
+    Rewards quantize to integer micros; each action's IPS
+    contribution is ONE exact long floor-division (the
+    floor-before-sum discipline), so the estimate is
+    engine-replayable.  Output: one row per action — (action, n,
+    propensity_e9, mean_reward_micros, ips_contrib_micros); summing
+    ``ips_contrib_micros`` gives V̂ in micros, and comparing it with
+    the propensity-weighted logged mean diagnoses how much the
+    logging policy's skew flattered high-traffic actions.
+
+    Scale shape: ONE partial-agged aggregation per action (shuffle
+    volume = action cardinality), a 1-row rollup for N and K joined
+    back broadcast — raw rows are touched exactly once.
+    """
+    base = df.select(
+        F.col(action_col).alias("action"),
+        F.floor(F.col(reward_col).cast("double") * 1000000)
+        .cast("long")
+        .alias("_rm"),
+    )
+    per = base.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_rm").alias("sum_rm"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("n_total"), F.count(F.lit(1)).alias("k")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "action",
+        F.col("n").cast("long").alias("n"),
+        F.expr("(1000000000 * n) div n_total")
+        .cast("long")
+        .alias("propensity_e9"),
+        F.expr("sum_rm div n").cast("long").alias("mean_reward_micros"),
+        F.expr("sum_rm div (k * n)")
+        .cast("long")
+        .alias("ips_contrib_micros"),
+    )

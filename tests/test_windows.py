@@ -554,3 +554,21 @@ def test_pca_project_2d_known_axes(spark):
     out4 = pca_project_2d(zz, "id", "x", "y", scale=1).collect()
     assert all(r["pc1_e3"] == 0 for r in out4)
     assert all(r["var_ratio_e6"] == 1000000 for r in out4)
+
+
+def test_ips_policy_value_uniform_target(spark):
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        ips_policy_value,
+    )
+
+    # action a logged 4x with reward 2.0, b logged 1x with reward 10.0
+    rows = [("a", 2.0)] * 4 + [("b", 10.0)]
+    df = spark.createDataFrame(rows, "action string, reward double")
+    out = {r["action"]: r for r in
+           ips_policy_value(df, "action", "reward").collect()}
+    assert out["a"]["n"] == 4 and out["b"]["n"] == 1
+    assert out["a"]["propensity_e9"] == 800000000
+    assert out["a"]["mean_reward_micros"] == 2000000
+    # uniform target: V = (2 + 10)/2 = 6.0; contributions 1.0 and 5.0
+    assert out["a"]["ips_contrib_micros"] == 1000000
+    assert out["b"]["ips_contrib_micros"] == 5000000
