@@ -12114,6 +12114,55 @@ ORDER BY action
 """
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit (operators/corpus.zipf_fit): OLS of
+    ln(count) on ln(rank) over the word table — ranks from the
+    distributed two-phase exact rank, ln values e6-floored to
+    integers BEFORE the moment sums (floor-before-sum), moments in
+    DECIMAL(38,0).  The oracle replays ranks with a plain ROW_NUMBER
+    (vocabulary-cardinality there) and the identical fixed-point
+    moments."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        zipf_fit,
+    )
+
+    return zipf_fit(_t(spark, sf_dir, "documents"))
+
+
+def _sql_zipf_fit() -> str:
+    toks = _D_TOKENS.format(t="text")
+    return f"""
+WITH words AS (
+  SELECT tok, COUNT(*) AS c FROM (
+    SELECT unnest({toks}) AS tok FROM documents)
+  GROUP BY tok),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rank
+  FROM words),
+xy AS (
+  SELECT CAST(FLOOR(1000000.0 * LN(CAST(rank AS DOUBLE)))
+              AS HUGEINT) AS x,
+         CAST(FLOOR(1000000.0 * LN(CAST(c AS DOUBLE)))
+              AS HUGEINT) AS y
+  FROM ranked),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM xy)
+SELECT CAST(n AS BIGINT) AS n_vocab,
+       CAST(FLOOR(1000000.0 *
+              (CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE))) AS BIGINT)
+         AS slope_e6,
+       CAST(FLOOR(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+         AS intercept_e6
+FROM m
+"""
+
+
 def q_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-quantile sketch with an in-engine error-bound
     contract (the hll_distinct/approx_profile pattern): per
@@ -19693,14 +19742,14 @@ _R11_WINDOW = [
     "gaps_islands", "woe_encoding", "lof_outliers", "mutual_info",
     "weighted_topk_sample", "fs_weights", "pca_project", "grouped_mode",
     "rake_keywords", "sequence_gaps", "allen_relations", "skipgram_pairs",
-    "fd_check", "streaming_topk", "good_turing", "ips_eval",
+    "fd_check", "streaming_topk", "good_turing", "ips_eval", "zipf_fit",
     "argmin_agg", "asof_join", "chunk_documents", "cleaning_scalars",
     "closest_stations", "closest_stations_grid", "composite_key_join",
     "distinct", "exact_dup_groups", "fingerprints", "hash_sample",
     "hash_split", "json_flatten", "language_id", "local_supplier_volume",
     "minhash_lsh_pairs", "near_dup_components", "near_dup_dedup",
     "ngram_jaccard_pairs", "normalize_text", "outer_join_agg", "pivot",
-    "pricing_summary", "quality_filter",
+    "pricing_summary",
     "rollup",
     "shipping_priority",
 ]
@@ -19781,6 +19830,7 @@ def _queries_r10_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_topk": q_streaming_topk,
         "good_turing": q_good_turing,
         "ips_eval": q_ips_eval,
+        "zipf_fit": q_zipf_fit,
         "sorted_neighborhood": q_sorted_neighborhood,
         "maxsim_retrieval": q_maxsim_retrieval,
         "resample_interp": q_resample_interp,
@@ -20185,6 +20235,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_topk": _SQL_STREAMING_TOPK,
         "good_turing": _sql_good_turing(),
         "ips_eval": _SQL_IPS_EVAL,
+        "zipf_fit": _sql_zipf_fit(),
         "sorted_neighborhood": _SQL_SORTED_NEIGHBORHOOD,
         "maxsim_retrieval": _sql_maxsim_retrieval(),
         "resample_interp": _SQL_RESAMPLE_INTERP,

@@ -570,6 +570,7 @@ HEADLINE = [
     "streaming_topk",
     "good_turing",
     "ips_eval",
+    "zipf_fit",
 ]
 
 

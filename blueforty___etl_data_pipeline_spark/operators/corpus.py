@@ -1388,3 +1388,70 @@ def good_turing_counts(
             .alias("p0_e9"),
         )
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    min_count: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fit the Zipf rank-frequency law: OLS of ln(count) on ln(rank)
+    over the word table — the corpus-health scalar next to
+    ``vocabulary_growth`` (natural text slopes ≈ −1; a slope near 0
+    screams synthetic/truncated vocabulary, a cliff past −1.5 screams
+    boilerplate).
+
+    Determinism contract: ranks come from the DISTRIBUTED two-phase
+    exact rank (count DESC, word ASC — no single-partition sort);
+    ln(rank)/ln(count) floor to e6 INTEGERS per word BEFORE the
+    moment sums (floor-before-sum — float addition order never
+    matters), the moments accumulate in DECIMAL(38,0), and the two
+    OLS determinant ratios are the only doubles.  Output: ONE row
+    (n_vocab, slope_e6, intercept_e6).
+
+    Scale shape: vocabulary-bounded everything — one token explode +
+    word-count agg touches the corpus once; the rank runs chunk-
+    parallel; the fit is one map-side-combined moment aggregation.
+    """
+    from .analytics import exact_global_rank
+
+    words = (
+        docs.select(F.explode(tokens_ws(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .withColumn("_neg", -F.col("c"))
+    )
+    ranked, _n = exact_global_rank(words, "_neg", "tok", out_col="rank")
+    d38 = "decimal(38,0)"
+    xy = ranked.select(
+        F.floor(F.lit(1000000.0) * F.log(F.col("rank").cast("double")))
+        .cast(d38)
+        .alias("x"),
+        F.floor(F.lit(1000000.0) * F.log(F.col("c").cast("double")))
+        .cast(d38)
+        .alias("y"),
+    )
+    m = xy.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    inum = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    return m.select(
+        F.col("n").cast("long").alias("n_vocab"),
+        F.floor(
+            F.lit(1000000.0) * (num.cast("double") / den.cast("double"))
+        )
+        .cast("long")
+        .alias("slope_e6"),
+        F.floor(
+            (inum.cast("double") / den.cast("double"))
+        )
+        .cast("long")
+        .alias("intercept_e6"),
+    )

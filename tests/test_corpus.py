@@ -760,3 +760,30 @@ def test_good_turing_counts_hand_case(spark):
     assert out[3]["r_star_e6"] == -1
     # P(unseen) = N1 / tokens = 3/10
     assert all(r["p0_e9"] == 300000000 for r in out.values())
+
+
+def test_zipf_fit_exact_line(spark):
+    import math
+
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        zipf_fit,
+    )
+
+    # construct counts c = 8, 4, 2, 1 for 4 words: perfect Zipf-like
+    # line in log2 space; OLS on e6-floored ln values
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = zipf_fit(docs).collect()[0]
+    assert r["n_vocab"] == 4
+    xs = [math.floor(1e6 * math.log(i)) for i in (1, 2, 3, 4)]
+    ys = [math.floor(1e6 * math.log(c)) for c in (8, 4, 2, 1)]
+    n = 4
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy * sxx - sx * sxy) / (n * sxx - sx * sx)
+    assert r["slope_e6"] == math.floor(1e6 * slope)
+    assert r["intercept_e6"] == math.floor(intercept)
+    # decreasing counts -> negative slope
+    assert r["slope_e6"] < 0
