@@ -15158,6 +15158,71 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kaplan_meier(users, "duration", "event")
 
 
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard (operators/analytics.
+    nelson_aalen) over the same per-user lifetime fixture as
+    kaplan_meier — the additive survival sibling, but with NO float
+    fold: every hazard step is one exact long division floored at e9
+    and the cumulative curve sums integers (floor-before-sum), so the
+    whole curve is engine-exact.  Windows run over the
+    calendar-bounded duration table only."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        nelson_aalen,
+    )
+
+    users = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.max(F.to_date("ts")), F.min(F.to_date("ts"))
+            ).alias("duration"),
+            F.max(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("event"),
+        )
+    )
+    return nelson_aalen(users, "duration", "event")
+
+
+_SQL_NELSON_AALEN = """
+WITH users AS (
+  SELECT user_id,
+         datediff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+           AS duration,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS event
+  FROM events GROUP BY user_id),
+per_t AS (
+  SELECT duration,
+         SUM(event) AS n_events,
+         SUM(1 - event) AS n_censored,
+         COUNT(*) AS n_total
+  FROM users GROUP BY duration),
+risk AS (
+  SELECT duration, n_events, n_censored,
+         SUM(n_total) OVER ()
+           - COALESCE(SUM(n_total) OVER (ORDER BY duration
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM per_t),
+stepped AS (
+  SELECT *, (1000000000 * n_events) // n_risk AS hazard_step_e9
+  FROM risk)
+SELECT duration,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_censored AS BIGINT) AS n_censored,
+       CAST(hazard_step_e9 AS BIGINT) AS hazard_step_e9,
+       CAST(SUM(hazard_step_e9) OVER (ORDER BY duration
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_hazard_e9
+FROM stepped
+ORDER BY duration
+"""
+
+
 _SQL_KAPLAN_MEIER = """
 WITH users AS (
   SELECT user_id,
@@ -19743,12 +19808,13 @@ _R11_WINDOW = [
     "weighted_topk_sample", "fs_weights", "pca_project", "grouped_mode",
     "rake_keywords", "sequence_gaps", "allen_relations", "skipgram_pairs",
     "fd_check", "streaming_topk", "good_turing", "ips_eval", "zipf_fit",
+    "nelson_aalen",
     "argmin_agg", "asof_join", "chunk_documents", "cleaning_scalars",
     "closest_stations", "closest_stations_grid", "composite_key_join",
     "distinct", "exact_dup_groups", "fingerprints", "hash_sample",
     "hash_split", "json_flatten", "language_id", "local_supplier_volume",
     "minhash_lsh_pairs", "near_dup_components", "near_dup_dedup",
-    "ngram_jaccard_pairs", "normalize_text", "outer_join_agg", "pivot",
+    "ngram_jaccard_pairs", "normalize_text", "outer_join_agg",
     "pricing_summary",
     "rollup",
     "shipping_priority",
@@ -19831,6 +19897,7 @@ def _queries_r10_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "good_turing": q_good_turing,
         "ips_eval": q_ips_eval,
         "zipf_fit": q_zipf_fit,
+        "nelson_aalen": q_nelson_aalen,
         "sorted_neighborhood": q_sorted_neighborhood,
         "maxsim_retrieval": q_maxsim_retrieval,
         "resample_interp": q_resample_interp,
@@ -20236,6 +20303,7 @@ def oracle_sql() -> dict[str, str]:
         "good_turing": _sql_good_turing(),
         "ips_eval": _SQL_IPS_EVAL,
         "zipf_fit": _sql_zipf_fit(),
+        "nelson_aalen": _SQL_NELSON_AALEN,
         "sorted_neighborhood": _SQL_SORTED_NEIGHBORHOOD,
         "maxsim_retrieval": _sql_maxsim_retrieval(),
         "resample_interp": _SQL_RESAMPLE_INTERP,

@@ -571,6 +571,7 @@ HEADLINE = [
     "good_turing",
     "ips_eval",
     "zipf_fit",
+    "nelson_aalen",
 ]
 
 

@@ -1677,3 +1677,64 @@ def ips_policy_value(
         .cast("long")
         .alias("ips_contrib_micros"),
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimate over (duration, event)
+    rows — Kaplan–Meier's additive sibling (H(t) ≈ −ln S(t)): at each
+    distinct event time t,
+
+        H(t) = Σ_{t' ≤ t}  d_{t'} / n_{t'}
+
+    with d = events and n = subjects at risk entering t'.  Censoring
+    is handled identically to :func:`kaplan_meier` (censored rows
+    leave the risk set without contributing a hazard step).
+
+    Unlike KM's ordered float product, every hazard step here floors
+    to an e9 INTEGER (one exact long division) and the cumulative sum
+    adds integers — no float fold at all, so the curve is
+    engine-exact under any accumulation order (floor-before-sum).
+
+    Distributed shape: same as KM — one partial-agged groupBy to the
+    distinct-duration table (calendar-bounded), cumulative windows
+    over that tiny table only.  Returns (duration, n_risk, n_events,
+    n_censored, hazard_step_e9, cum_hazard_e9) ordered by duration.
+    """
+    ev = F.col(event_col).cast("int")
+    per_t = df.groupBy(F.col(duration_col).alias("duration")).agg(
+        F.sum(ev).alias("n_events"),
+        F.sum(1 - ev).alias("n_censored"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    w_prev = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_run = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = per_t.withColumn(
+        "n_risk",
+        F.sum("n_total").over(w_all)
+        - F.coalesce(F.sum("n_total").over(w_prev), F.lit(0)),
+    ).withColumn(
+        "hazard_step_e9",
+        F.expr("(1000000000 * n_events) div n_risk"),
+    )
+    return stepped.select(
+        "duration",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_censored").cast("long").alias("n_censored"),
+        F.col("hazard_step_e9").cast("long").alias("hazard_step_e9"),
+        F.sum("hazard_step_e9")
+        .over(w_run)
+        .cast("long")
+        .alias("cum_hazard_e9"),
+    ).orderBy("duration")

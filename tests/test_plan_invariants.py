@@ -124,7 +124,8 @@ def test_every_unpartitioned_window_is_allowlisted(spark):
         # calendar-bounded series (rows = distinct days/periods)
         "stl_decompose", "mase_eval", "seasonality", "cusum_shift",
         # duration/level tables (rows = distinct event durations/values)
-        "kaplan_meier", "t_closeness", "spearman", "mann_whitney",
+        "kaplan_meier", "nelson_aalen", "t_closeness", "spearman",
+        "mann_whitney",
         "ks_test", "theil_sen",
         # fixed small bins (digits, checkpoints, resamples, cells,
         # frontier of an agged group table)

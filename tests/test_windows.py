@@ -572,3 +572,21 @@ def test_ips_policy_value_uniform_target(spark):
     # uniform target: V = (2 + 10)/2 = 6.0; contributions 1.0 and 5.0
     assert out["a"]["ips_contrib_micros"] == 1000000
     assert out["b"]["ips_contrib_micros"] == 5000000
+
+
+def test_nelson_aalen_hand_case(spark):
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        nelson_aalen,
+    )
+
+    # durations: t=1 (2 events of 5 at risk), t=2 (1 censored),
+    # t=3 (1 event of 2 at risk), t=4 (1 censored)
+    rows = [(1, 1), (1, 1), (2, 0), (3, 1), (4, 0)]
+    df = spark.createDataFrame(rows, "d long, e int")
+    out = {r["duration"]: r for r in nelson_aalen(df, "d", "e").collect()}
+    assert out[1]["n_risk"] == 5 and out[1]["n_events"] == 2
+    assert out[1]["hazard_step_e9"] == (10**9 * 2) // 5
+    assert out[2]["n_risk"] == 3 and out[2]["hazard_step_e9"] == 0
+    assert out[3]["n_risk"] == 2
+    assert out[3]["hazard_step_e9"] == (10**9 * 1) // 2
+    assert out[4]["cum_hazard_e9"] == (10**9 * 2) // 5 + (10**9) // 2
