@@ -12163,6 +12163,45 @@ FROM m
 """
 
 
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (operators/corpus.term_burstiness): top-50
+    variance-to-mean-ratio terms over per-document counts (zeros
+    included via the broadcast N) — the topical-vs-function-word
+    separator.  One explode → (doc, tok) agg → vocabulary-bounded
+    moments → exact e6 long division → TakeOrdered."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        term_burstiness,
+    )
+
+    return term_burstiness(
+        _t(spark, sf_dir, "documents"), min_df=5, top_k=50
+    )
+
+
+def _sql_term_burstiness() -> str:
+    toks = _D_TOKENS.format(t="text")
+    return f"""
+WITH pairs AS (
+  SELECT doc_id AS d, tok, COUNT(*) AS c FROM (
+    SELECT doc_id, unnest({toks}) AS tok FROM documents)
+  GROUP BY d, tok),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+per_tok AS (
+  SELECT tok, COUNT(*) AS df, SUM(c) AS sc, SUM(c * c) AS scc
+  FROM pairs GROUP BY tok)
+SELECT tok,
+       CAST(df AS BIGINT) AS df,
+       CAST(sc AS BIGINT) AS total_count,
+       CAST((1000000 * (n * scc - sc * sc)) // (n * sc) AS BIGINT)
+         AS vmr_e6
+FROM per_tok CROSS JOIN nd
+WHERE df >= 5
+ORDER BY vmr_e6 DESC, tok
+LIMIT 50
+"""
+
+
 def q_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-quantile sketch with an in-engine error-bound
     contract (the hll_distinct/approx_profile pattern): per
@@ -19808,13 +19847,13 @@ _R11_WINDOW = [
     "weighted_topk_sample", "fs_weights", "pca_project", "grouped_mode",
     "rake_keywords", "sequence_gaps", "allen_relations", "skipgram_pairs",
     "fd_check", "streaming_topk", "good_turing", "ips_eval", "zipf_fit",
-    "nelson_aalen",
+    "nelson_aalen", "term_burstiness",
     "argmin_agg", "asof_join", "chunk_documents", "cleaning_scalars",
     "closest_stations", "closest_stations_grid", "composite_key_join",
     "distinct", "exact_dup_groups", "fingerprints", "hash_sample",
     "hash_split", "json_flatten", "language_id", "local_supplier_volume",
     "minhash_lsh_pairs", "near_dup_components", "near_dup_dedup",
-    "ngram_jaccard_pairs", "normalize_text", "outer_join_agg",
+    "ngram_jaccard_pairs", "normalize_text",
     "pricing_summary",
     "rollup",
     "shipping_priority",
@@ -19898,6 +19937,7 @@ def _queries_r10_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ips_eval": q_ips_eval,
         "zipf_fit": q_zipf_fit,
         "nelson_aalen": q_nelson_aalen,
+        "term_burstiness": q_term_burstiness,
         "sorted_neighborhood": q_sorted_neighborhood,
         "maxsim_retrieval": q_maxsim_retrieval,
         "resample_interp": q_resample_interp,
@@ -20304,6 +20344,7 @@ def oracle_sql() -> dict[str, str]:
         "ips_eval": _SQL_IPS_EVAL,
         "zipf_fit": _sql_zipf_fit(),
         "nelson_aalen": _SQL_NELSON_AALEN,
+        "term_burstiness": _sql_term_burstiness(),
         "sorted_neighborhood": _SQL_SORTED_NEIGHBORHOOD,
         "maxsim_retrieval": _sql_maxsim_retrieval(),
         "resample_interp": _SQL_RESAMPLE_INTERP,

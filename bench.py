@@ -572,6 +572,7 @@ HEADLINE = [
     "ips_eval",
     "zipf_fit",
     "nelson_aalen",
+    "term_burstiness",
 ]
 
 

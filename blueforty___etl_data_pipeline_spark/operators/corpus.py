@@ -1455,3 +1455,66 @@ def zipf_fit(
         .cast("long")
         .alias("intercept_e6"),
     )
+
+
+def term_burstiness(
+    docs: DataFrame,
+    min_df: int = 5,
+    top_k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Term burstiness: the variance-to-mean ratio (index of
+    dispersion) of each word's PER-DOCUMENT count — the corpus
+    statistic that separates topical terms (bursty: absent from most
+    docs, dense where they appear) from function words (Poisson-like,
+    VMR ≈ 1), which stopword lists, keyword weighting and
+    boilerplate detection all lean on.
+
+    With per-doc counts c_d over ALL N docs (zeros included — a word
+    absent from a doc still contributes to the dispersion):
+
+        VMR = Var(c) / Mean(c)
+            = (N·Σc² − (Σc)²) / (N·Σc)      (population variance)
+
+    Every term is an exact integer; the ratio floors to e6 via ONE
+    long division (numerator × 1e6 div denominator), so the statistic
+    is engine-exact.  Output: top ``top_k`` bursty terms with df ≥
+    ``min_df`` — (tok, df, total_count, vmr_e6), ordered by VMR desc,
+    tok.
+
+    Scale shape: one token explode → (doc, tok) partial-agged counts
+    → vocabulary-bounded moment agg (Σc and Σc² need only the
+    NONZERO doc counts; the zero docs enter through N, carried
+    broadcast) → TakeOrdered top-k.
+    """
+    pairs = (
+        docs.select(
+            F.col(id_col).alias("d"),
+            F.explode(tokens_ws(F.col(text_col))).alias("tok"),
+        )
+        .groupBy("d", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("n"))
+    per_tok = pairs.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+    )
+    return (
+        per_tok.filter(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok",
+            F.col("df").cast("long").alias("df"),
+            F.col("sc").cast("long").alias("total_count"),
+            F.expr(
+                "(1000000 * (n * scc - sc * sc)) div (n * sc)"
+            )
+            .cast("long")
+            .alias("vmr_e6"),
+        )
+        .orderBy(F.desc("vmr_e6"), F.asc("tok"))
+        .limit(top_k)
+    )

@@ -787,3 +787,23 @@ def test_zipf_fit_exact_line(spark):
     assert r["intercept_e6"] == math.floor(intercept)
     # decreasing counts -> negative slope
     assert r["slope_e6"] < 0
+
+
+def test_term_burstiness_bursty_vs_uniform(spark):
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        term_burstiness,
+    )
+
+    # 4 docs: 'u' appears once everywhere (uniform), 'b' appears 4x
+    # in one doc only (bursty)
+    docs = spark.createDataFrame(
+        [(1, "u b b b b"), (2, "u"), (3, "u"), (4, "u")],
+        "doc_id long, text string",
+    )
+    out = {r["tok"]: r for r in
+           term_burstiness(docs, min_df=1, top_k=10).collect()}
+    # u: counts (1,1,1,1): VMR = 0 (no variance)
+    assert out["u"]["vmr_e6"] == 0
+    # b: counts (4,0,0,0): N*scc - sc^2 = 4*16-16 = 48; N*sc = 16
+    assert out["b"]["vmr_e6"] == (1000000 * 48) // 16
+    assert out["b"]["df"] == 1 and out["b"]["total_count"] == 4
