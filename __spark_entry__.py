@@ -1816,6 +1816,54 @@ def q_action_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return action_transitions(_t(spark, sf_dir, "events"))
 
 
+def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state transition entropy (operators/analytics.
+    transition_entropy) of the event-stream Markov chain — the
+    predictability rollup on top of action_transitions' matrix.
+    Per-cell −p·ln p terms floor to e9 integers BEFORE the per-state
+    sum; ONE user-keyed lead window, then |actions|²-bounded aggs."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        transition_entropy,
+    )
+
+    return transition_entropy(_t(spark, sf_dir, "events")).orderBy(
+        "action"
+    )
+
+
+_SQL_TRANSITION_ENTROPY = """
+WITH seq AS (
+  SELECT event_type AS action,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_action
+  FROM events),
+pairs AS (
+  SELECT action, next_action, COUNT(*) AS c
+  FROM seq WHERE next_action IS NOT NULL
+  GROUP BY action, next_action),
+per_a AS (
+  SELECT action, SUM(c) AS na, COUNT(*) AS n_next_actions
+  FROM pairs GROUP BY action),
+tot AS (SELECT SUM(na) AS n_total FROM per_a),
+cell AS (
+  SELECT p.action, a.na, a.n_next_actions,
+         CAST(FLOOR(-1000000000.0 *
+                ((CAST(p.c AS DOUBLE) / CAST(a.na AS DOUBLE))
+                 * LN(CAST(p.c AS DOUBLE) / CAST(a.na AS DOUBLE))))
+              AS BIGINT) AS term_e9
+  FROM pairs p JOIN per_a a ON a.action = p.action)
+SELECT action,
+       CAST(na AS BIGINT) AS n_out,
+       CAST(n_next_actions AS BIGINT) AS n_next_actions,
+       CAST(SUM(term_e9) AS BIGINT) AS entropy_e9,
+       CAST((1000000000 * na) // n_total AS BIGINT) AS share_e9
+FROM cell CROSS JOIN tot
+GROUP BY action, na, n_next_actions, n_total
+ORDER BY action
+"""
+
+
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-/last-touch conversion attribution (operators/analytics.
     conversion_attribution): per purchase, the earliest and latest
@@ -19847,13 +19895,13 @@ _R11_WINDOW = [
     "weighted_topk_sample", "fs_weights", "pca_project", "grouped_mode",
     "rake_keywords", "sequence_gaps", "allen_relations", "skipgram_pairs",
     "fd_check", "streaming_topk", "good_turing", "ips_eval", "zipf_fit",
-    "nelson_aalen", "term_burstiness",
+    "nelson_aalen", "term_burstiness", "transition_entropy",
     "argmin_agg", "asof_join", "chunk_documents", "cleaning_scalars",
     "closest_stations", "closest_stations_grid", "composite_key_join",
     "distinct", "exact_dup_groups", "fingerprints", "hash_sample",
     "hash_split", "json_flatten", "language_id", "local_supplier_volume",
     "minhash_lsh_pairs", "near_dup_components", "near_dup_dedup",
-    "ngram_jaccard_pairs", "normalize_text",
+    "ngram_jaccard_pairs",
     "pricing_summary",
     "rollup",
     "shipping_priority",
@@ -19938,6 +19986,7 @@ def _queries_r10_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "nelson_aalen": q_nelson_aalen,
         "term_burstiness": q_term_burstiness,
+        "transition_entropy": q_transition_entropy,
         "sorted_neighborhood": q_sorted_neighborhood,
         "maxsim_retrieval": q_maxsim_retrieval,
         "resample_interp": q_resample_interp,
@@ -20345,6 +20394,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf_fit": _sql_zipf_fit(),
         "nelson_aalen": _SQL_NELSON_AALEN,
         "term_burstiness": _sql_term_burstiness(),
+        "transition_entropy": _SQL_TRANSITION_ENTROPY,
         "sorted_neighborhood": _SQL_SORTED_NEIGHBORHOOD,
         "maxsim_retrieval": _sql_maxsim_retrieval(),
         "resample_interp": _SQL_RESAMPLE_INTERP,

@@ -573,6 +573,7 @@ HEADLINE = [
     "zipf_fit",
     "nelson_aalen",
     "term_burstiness",
+    "transition_entropy",
 ]
 
 

@@ -1738,3 +1738,71 @@ def nelson_aalen(
         .cast("long")
         .alias("cum_hazard_e9"),
     ).orderBy("duration")
+
+
+def transition_entropy(
+    df: DataFrame,
+    user_col: str = "user_id",
+    action_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-state transition entropy of the first-order Markov chain
+    over per-user event streams: for each current action a,
+
+        H(next | a) = − Σ_b  p(b|a) · ln p(b|a)
+
+    plus that state's share of all transitions — the predictability
+    readout of behavioral logs (H ≈ 0: deterministic next step, a
+    funnel; H ≈ ln K: anything can follow, exploratory or bot-random).
+    Weighting H(next|a) by the share column gives the chain's
+    conditional entropy rate.
+
+    Per-(a,b) terms floor to e9 integers BEFORE the per-state sum
+    (floor-before-sum — counts are exact, the single ln/product per
+    cell is the only double, same shape in the oracle), so every row
+    is engine-exact.  Output: (action, n_out, n_next_actions,
+    entropy_e9, share_e9) ordered by action.
+
+    Scale shape: ONE user-keyed lead window (the sessionize shuffle)
+    → pair hash-agg bounded by |actions|² → per-action rollups over
+    the tiny matrix.  Raw events shuffle once.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        df.select(
+            F.col(action_col).alias("action"),
+            F.lead(action_col).over(w).alias("next_action"),
+        )
+        .filter(F.col("next_action").isNotNull())
+        .groupBy("action", "next_action")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_a = pairs.groupBy("action").agg(
+        F.sum("c").alias("na"),
+        F.count(F.lit(1)).alias("n_next_actions"),
+    )
+    tot = per_a.agg(F.sum("na").alias("n_total"))
+    p = F.col("c").cast("double") / F.col("na").cast("double")
+    cell = pairs.join(F.broadcast(per_a), on="action").select(
+        "action",
+        "na",
+        "n_next_actions",
+        F.floor(F.lit(-1000000000.0) * (p * F.log(p)))
+        .cast("long")
+        .alias("term_e9"),
+    )
+    return (
+        cell.groupBy("action", "na", "n_next_actions")
+        .agg(F.sum("term_e9").alias("entropy_e9"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "action",
+            F.col("na").cast("long").alias("n_out"),
+            F.col("n_next_actions").cast("long").alias("n_next_actions"),
+            F.col("entropy_e9").cast("long").alias("entropy_e9"),
+            F.expr("(1000000000 * na) div n_total")
+            .cast("long")
+            .alias("share_e9"),
+        )
+    )

@@ -590,3 +590,39 @@ def test_nelson_aalen_hand_case(spark):
     assert out[3]["n_risk"] == 2
     assert out[3]["hazard_step_e9"] == (10**9 * 1) // 2
     assert out[4]["cum_hazard_e9"] == (10**9 * 2) // 5 + (10**9) // 2
+
+
+def test_transition_entropy_deterministic_vs_uniform(spark):
+    import datetime
+    import math
+
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        transition_entropy,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # user 1: a->b->a->b->a (a always goes to b, b always to a)
+    seq1 = ["a", "b", "a", "b", "a"]
+    rows += [
+        (i, t0 + datetime.timedelta(minutes=i), 1, s)
+        for i, s in enumerate(seq1)
+    ]
+    # user 2: c->x, c->y via two chains c,x,c,y (c splits 50/50)
+    seq2 = ["c", "x", "c", "y"]
+    rows += [
+        (100 + i, t0 + datetime.timedelta(minutes=i), 2, s)
+        for i, s in enumerate(seq2)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r["action"]: r for r in transition_entropy(df).collect()}
+    # 'a' -> always 'b': entropy 0 (p=1, -1*ln(1)=0, floor(-0.0)=0)
+    assert out["a"]["entropy_e9"] == 0 and out["a"]["n_next_actions"] == 1
+    # 'c' -> x or y each once: H = ln 2
+    exp = 2 * math.floor(-1e9 * (0.5 * math.log(0.5)))
+    assert out["c"]["entropy_e9"] == exp
+    assert out["c"]["n_out"] == 2
+    # shares: total transitions = 4 + 3 = 7
+    assert out["a"]["share_e9"] == (10**9 * out["a"]["n_out"]) // 7
