@@ -12250,6 +12250,53 @@ LIMIT 50
 """
 
 
+def q_centroid_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding novelty vs the label centroid (operators/similarity.
+    centroid_novelty): each vector's e6-floored cosine to its own
+    group's centroid — the off-topic-document detector.  Quantized
+    exact integer moments (the 1/n of the mean cancels in cosine),
+    DECIMAL(38,0) products, one √·√ double at the end.  One bounded
+    posexplode, group×dim centroid table broadcast back — no pairwise
+    anything."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        centroid_novelty,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return centroid_novelty(emb).select(
+        F.col("id").alias("vec_id"),
+        F.col("g").alias("label"),
+        "cos_centroid_e6",
+    )
+
+
+_SQL_CENTROID_NOVELTY = """
+WITH ex AS (
+  SELECT vec_id AS id, label AS g,
+         generate_subscripts(embedding, 1) AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1048576)
+              AS BIGINT) AS q
+  FROM embeddings),
+cent AS (
+  SELECT g, dim, CAST(SUM(q) AS HUGEINT) AS s
+  FROM ex GROUP BY g, dim),
+cn AS (SELECT g, SUM(s * s) AS ss FROM cent GROUP BY g),
+pv AS (
+  SELECT ex.id, ex.g,
+         SUM(CAST(ex.q AS HUGEINT) * c.s) AS num,
+         SUM(CAST(ex.q AS HUGEINT) * CAST(ex.q AS HUGEINT)) AS vv
+  FROM ex JOIN cent c ON c.g = ex.g AND c.dim = ex.dim
+  GROUP BY ex.id, ex.g)
+SELECT pv.id AS vec_id, pv.g AS label,
+       CAST(FLOOR(1000000.0 *
+              (CAST(num AS DOUBLE)
+               / (SQRT(CAST(vv AS DOUBLE)) * SQRT(CAST(ss AS DOUBLE)))))
+            AS BIGINT) AS cos_centroid_e6
+FROM pv JOIN cn ON cn.g = pv.g
+"""
+
+
 def q_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-quantile sketch with an in-engine error-bound
     contract (the hll_distinct/approx_profile pattern): per
@@ -19896,11 +19943,12 @@ _R11_WINDOW = [
     "rake_keywords", "sequence_gaps", "allen_relations", "skipgram_pairs",
     "fd_check", "streaming_topk", "good_turing", "ips_eval", "zipf_fit",
     "nelson_aalen", "term_burstiness", "transition_entropy",
+    "centroid_novelty",
     "argmin_agg", "asof_join", "chunk_documents", "cleaning_scalars",
     "closest_stations", "closest_stations_grid", "composite_key_join",
     "distinct", "exact_dup_groups", "fingerprints", "hash_sample",
     "hash_split", "json_flatten", "language_id", "local_supplier_volume",
-    "minhash_lsh_pairs", "near_dup_components", "near_dup_dedup",
+    "minhash_lsh_pairs", "near_dup_components",
     "ngram_jaccard_pairs",
     "pricing_summary",
     "rollup",
@@ -19987,6 +20035,7 @@ def _queries_r10_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nelson_aalen": q_nelson_aalen,
         "term_burstiness": q_term_burstiness,
         "transition_entropy": q_transition_entropy,
+        "centroid_novelty": q_centroid_novelty,
         "sorted_neighborhood": q_sorted_neighborhood,
         "maxsim_retrieval": q_maxsim_retrieval,
         "resample_interp": q_resample_interp,
@@ -20395,6 +20444,7 @@ def oracle_sql() -> dict[str, str]:
         "nelson_aalen": _SQL_NELSON_AALEN,
         "term_burstiness": _sql_term_burstiness(),
         "transition_entropy": _SQL_TRANSITION_ENTROPY,
+        "centroid_novelty": _SQL_CENTROID_NOVELTY,
         "sorted_neighborhood": _SQL_SORTED_NEIGHBORHOOD,
         "maxsim_retrieval": _sql_maxsim_retrieval(),
         "resample_interp": _SQL_RESAMPLE_INTERP,

@@ -574,6 +574,7 @@ HEADLINE = [
     "nelson_aalen",
     "term_burstiness",
     "transition_entropy",
+    "centroid_novelty",
 ]
 
 

@@ -1797,3 +1797,85 @@ def kcenter_coreset(
     return spark.createDataFrame(
         selected, "round int, vec_id long, radius_sq long"
     )
+
+
+def centroid_novelty(
+    vecs: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Embedding novelty vs the GROUP centroid: each vector's cosine
+    to the mean of its own group — the per-source outlier-document
+    detector of curation pipelines (low cosine = off-topic for its
+    source/cluster; rank ascending and audit the tail).
+
+    Exactness: coordinates quantize at ``scale`` (a power of two —
+    float × 2^k is IEEE-exact), so the vec·centroid-sum dot product
+    and both squared norms are EXACT integer sums (the centroid's 1/n
+    cancels in cosine, so the un-divided per-dim SUMS stand in for
+    the mean — no rational centroid anywhere); the single final
+    ``num / √(|v|²·|Σ|²)`` is the only double, e6-floored in the same
+    expression shape on any engine.
+
+    Scale shape: ONE posexplode to (id, group, dim, q) — dim count is
+    BOUNDED, so this is corpus×dims rows touched once — a per-(group,
+    dim) partial-agged centroid-sum table (groups×dims rows, broadcast
+    back), per-vector dot/norm aggregation, and a broadcast join of
+    the groups-cardinality |Σ|² rollup.  No pairwise anything.
+    """
+    if scale & (scale - 1):
+        raise ValueError("scale must be a power of two (exact binning)")
+    exploded = vecs.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("g"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    ).select(
+        "id", "g", "dim",
+        F.floor(F.col("v").cast("double") * scale)
+        .cast("long")
+        .alias("q"),
+    )
+    cent = exploded.groupBy("g", "dim").agg(
+        F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    # products run in DECIMAL(38,0): at corpus scale the centroid
+    # SUM s reaches n·scale·|v| and long q·s / s·s would overflow
+    d38 = "decimal(38,0)"
+    cnorm = cent.groupBy("g").agg(
+        F.sum(F.col("s").cast(d38) * F.col("s").cast(d38)).alias("ss")
+    )
+    per_vec = (
+        exploded.join(
+            F.broadcast(cent.select("g", "dim", "s")), on=["g", "dim"]
+        )
+        .groupBy("id", "g")
+        .agg(
+            F.sum(F.col("q").cast(d38) * F.col("s").cast(d38)).alias(
+                "num"
+            ),
+            F.sum(F.col("q").cast(d38) * F.col("q").cast(d38)).alias(
+                "vv"
+            ),
+        )
+    )
+    return per_vec.join(F.broadcast(cnorm), on="g").select(
+        F.col("id"),
+        F.col("g"),
+        # two separate square roots: vv·ss can exceed DECIMAL(38,0)
+        # at corpus scale, and √a·√b is the same double both engines
+        # compute from the exact integer moments
+        F.floor(
+            F.lit(1000000.0)
+            * (
+                F.col("num").cast("double")
+                / (
+                    F.sqrt(F.col("vv").cast("double"))
+                    * F.sqrt(F.col("ss").cast("double"))
+                )
+            )
+        )
+        .cast("long")
+        .alias("cos_centroid_e6"),
+    )

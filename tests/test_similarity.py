@@ -762,3 +762,31 @@ def test_maxsim_prefers_partial_topical_match(spark):
     # both-token moderate (~1.414e6) beats one-token perfect (1e6)
     assert out[1]["maxsim_e6"] > out[2]["maxsim_e6"]
     assert out[2]["maxsim_e6"] == 1_000_000
+
+
+def test_centroid_novelty_orthogonal_outlier(spark):
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        centroid_novelty,
+    )
+
+    # group 1: two vectors on +x, one orthogonal outlier on +y
+    rows = [
+        (1, 1, [1.0, 0.0]),
+        (2, 1, [2.0, 0.0]),
+        (3, 1, [0.0, 1.0]),
+        # group 2: a single vector is its own centroid -> cos = 1
+        (9, 2, [0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    out = {r["id"]: r["cos_centroid_e6"]
+           for r in centroid_novelty(df).collect()}
+    # centroid-sum of g1 = (3s, 1s): on-axis vectors score high,
+    # the orthogonal outlier scores lowest
+    assert out[3] < out[1] and out[3] < out[2]
+    import math
+    # cos(x-axis vec, (3,1)) = 3/sqrt(10)
+    exp = math.floor(1e6 * 3 / math.sqrt(10))
+    assert abs(out[1] - exp) <= 1   # quantization at 2^20 is exact here
+    assert out[9] == 999999 or out[9] == 1000000  # cos(v, v) = 1
