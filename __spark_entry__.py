@@ -12297,6 +12297,70 @@ FROM pv JOIN cn ON cn.g = pv.g
 """
 
 
+def q_cuped_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (operators/
+    analytics.cuped_adjust): users hash-split into two variants
+    (custkey parity), pre-period value (before 2024-01-16) as the
+    covariate, post-period value as the metric.  Exact DECIMAL
+    moments; θ and the adjusted means are the only doubles, floored.
+    One pooled moment agg + one per-variant agg over the unit table."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        cuped_adjust,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    vm = F.floor(F.col("value").cast("double") * 1000000).cast("long")
+    pre = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+    users = ev.groupBy("user_id").agg(
+        F.sum(F.when(pre, vm).otherwise(0)).alias("x"),
+        F.sum(F.when(pre, 0).otherwise(vm)).alias("y"),
+    ).select(
+        "x", "y", (F.col("user_id") % 2).cast("int").alias("variant")
+    )
+    return cuped_adjust(users, "x", "y", "variant").orderBy("variant")
+
+
+_SQL_CUPED_EVAL = """
+WITH users AS (
+  SELECT user_id % 2 AS variant,
+         SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                  THEN CAST(FLOOR(CAST(value AS DOUBLE) * 1000000)
+                            AS BIGINT) ELSE 0 END) AS x,
+         SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                  THEN 0 ELSE CAST(FLOOR(CAST(value AS DOUBLE) * 1000000)
+                                   AS BIGINT) END) AS y
+  FROM events GROUP BY user_id),
+pooled AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx,
+         CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT)
+           AS sxx,
+         CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT)
+           AS sxy
+  FROM users),
+per_v AS (
+  SELECT variant, COUNT(*) AS nv, SUM(x) AS sxv, SUM(y) AS syv
+  FROM users GROUP BY variant),
+j AS (
+  SELECT variant, nv, sxv, syv, n, sx,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS theta
+  FROM per_v CROSS JOIN pooled)
+SELECT CAST(variant AS INT) AS variant,
+       CAST(nv AS BIGINT) AS n_units,
+       CAST(syv // nv AS BIGINT) AS mean_y_micros,
+       CAST(FLOOR((CAST(syv AS DOUBLE) / CAST(nv AS DOUBLE))
+              - theta * (CAST(sxv AS DOUBLE) / CAST(nv AS DOUBLE)
+                         - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+            AS BIGINT) AS mean_adj_micros,
+       CAST(FLOOR(1000000000.0 * theta) AS BIGINT) AS theta_e9
+FROM j
+ORDER BY variant
+"""
+
+
 def q_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-quantile sketch with an in-engine error-bound
     contract (the hll_distinct/approx_profile pattern): per
@@ -19943,12 +20007,12 @@ _R11_WINDOW = [
     "rake_keywords", "sequence_gaps", "allen_relations", "skipgram_pairs",
     "fd_check", "streaming_topk", "good_turing", "ips_eval", "zipf_fit",
     "nelson_aalen", "term_burstiness", "transition_entropy",
-    "centroid_novelty",
+    "centroid_novelty", "cuped_eval",
     "argmin_agg", "asof_join", "chunk_documents", "cleaning_scalars",
     "closest_stations", "closest_stations_grid", "composite_key_join",
     "distinct", "exact_dup_groups", "fingerprints", "hash_sample",
     "hash_split", "json_flatten", "language_id", "local_supplier_volume",
-    "minhash_lsh_pairs", "near_dup_components",
+    "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "pricing_summary",
     "rollup",
@@ -20036,6 +20100,7 @@ def _queries_r10_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_burstiness": q_term_burstiness,
         "transition_entropy": q_transition_entropy,
         "centroid_novelty": q_centroid_novelty,
+        "cuped_eval": q_cuped_eval,
         "sorted_neighborhood": q_sorted_neighborhood,
         "maxsim_retrieval": q_maxsim_retrieval,
         "resample_interp": q_resample_interp,
@@ -20445,6 +20510,7 @@ def oracle_sql() -> dict[str, str]:
         "term_burstiness": _sql_term_burstiness(),
         "transition_entropy": _SQL_TRANSITION_ENTROPY,
         "centroid_novelty": _SQL_CENTROID_NOVELTY,
+        "cuped_eval": _SQL_CUPED_EVAL,
         "sorted_neighborhood": _SQL_SORTED_NEIGHBORHOOD,
         "maxsim_retrieval": _sql_maxsim_retrieval(),
         "resample_interp": _SQL_RESAMPLE_INTERP,

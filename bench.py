@@ -575,6 +575,7 @@ HEADLINE = [
     "term_burstiness",
     "transition_entropy",
     "centroid_novelty",
+    "cuped_eval",
 ]
 
 

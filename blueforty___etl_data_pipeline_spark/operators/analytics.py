@@ -1806,3 +1806,71 @@ def transition_entropy(
             .alias("share_e9"),
         )
     )
+
+
+def cuped_adjust(
+    users: DataFrame,
+    x_col: str,
+    y_col: str,
+    variant_col: str,
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013): adjust each
+    experiment unit's metric by its PRE-period covariate,
+
+        θ      = cov(x, y) / var(x)          (pooled, both variants)
+        ŷ_v    = mean_v(y) − θ·(mean_v(x) − mean(x))
+
+    — the standard way to shrink A/B confidence intervals with data
+    you already have (the pre-period behaviour soaks up between-user
+    variance that would otherwise mask the treatment effect).
+
+    ``x_col``/``y_col`` must be integer-valued (quantize upstream —
+    micros here): every moment is then an exact DECIMAL(38,0) sum, θ
+    and the adjusted means are the only doubles, computed in the same
+    expression shape by any engine, e6/e9-floored.  Output: one row
+    per variant — (variant, n_units, mean_y_micros [exact div],
+    mean_adj_e6, theta_e9).
+
+    Scale shape: ONE pooled moment aggregation + ONE per-variant
+    aggregation over the unit table (already collapsed from raw
+    events upstream), a broadcast cross join of the two 1-row/`V`-row
+    results — nothing above unit cardinality shuffles.
+    """
+    d38 = "decimal(38,0)"
+    base = users.select(
+        F.col(variant_col).alias("variant"),
+        F.col(x_col).cast(d38).alias("x"),
+        F.col(y_col).cast(d38).alias("y"),
+    )
+    pooled = base.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    per_v = base.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("nv"),
+        F.sum("x").alias("sxv"),
+        F.sum("y").alias("syv"),
+    )
+    theta = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    adj = (
+        F.col("syv").cast("double") / F.col("nv").cast("double")
+    ) - theta * (
+        F.col("sxv").cast("double") / F.col("nv").cast("double")
+        - F.col("sx").cast("double") / F.col("n").cast("double")
+    )
+    return per_v.crossJoin(F.broadcast(pooled)).select(
+        "variant",
+        F.col("nv").cast("long").alias("n_units"),
+        F.expr("CAST(syv AS DECIMAL(38,0)) div CAST(nv AS DECIMAL(38,0))")
+        .cast("long")
+        .alias("mean_y_micros"),
+        F.floor(adj).cast("long").alias("mean_adj_micros"),
+        F.floor(F.lit(1000000000.0) * theta).cast("long").alias("theta_e9"),
+    )
