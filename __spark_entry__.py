@@ -19990,43 +19990,45 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_reconciliation(spark, "/root/testdata/sf0.001")
 
 
-#: Round-11 driver-window lead (the driver signs the FIRST 50 entries
-#: of queries()).  Every declared name is already driver-signed
-#: (364/364 union through r10), so this round's window re-signs:
-#: first the four queries whose code or oracle CHANGED this round
-#: (ivf_pq_search/semantic_dedup gained √n-cell scale guards,
-#: record_linkage gained nm-blocking, pcap_extract's oracle gained the
-#: ident wire mask), then the head of the oldest-signature queue (the
-#: r2/r3-signed block, whose signatures predate later refactors —
-#: the standing rotation invariant declared in COVERAGE.md).
-_R11_WINDOW = [
-    "ivf_pq_search", "semantic_dedup", "record_linkage", "pcap_extract",
-    "skyline", "label_propagation", "sorted_neighborhood", "bfs_hops",
-    "gaps_islands", "woe_encoding", "lof_outliers", "mutual_info",
-    "weighted_topk_sample", "fs_weights", "pca_project", "grouped_mode",
-    "rake_keywords", "sequence_gaps", "allen_relations", "skipgram_pairs",
-    "fd_check", "streaming_topk", "good_turing", "ips_eval", "zipf_fit",
-    "nelson_aalen", "term_burstiness", "transition_entropy",
-    "centroid_novelty", "cuped_eval",
-    "argmin_agg", "asof_join", "chunk_documents", "cleaning_scalars",
-    "closest_stations", "closest_stations_grid", "composite_key_join",
-    "distinct", "exact_dup_groups", "fingerprints", "hash_sample",
-    "hash_split", "json_flatten", "language_id", "local_supplier_volume",
-    "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
-    "pricing_summary",
-    "rollup",
-    "shipping_priority",
+#: Round-12 driver-window lead (the driver signs the FIRST 50 entries
+#: of queries()).  Every declared name is driver-signed (390/390 union
+#: through r11, zero never-signed — VERDICT r11), so this round
+#: retires the stale-signature tail: first the six queries whose CODE
+#: changed this round (the ADVICE r11 fixes — each re-verified green
+#: against the sf0.01 oracle at change time), then the 22 queries
+#: whose latest signature is round 2, then the alphabetical head (22
+#: of 43) of the r3-signed block.  The remaining 21 r3 names lead the
+#: round-13 window, then the r4 block — the standing rotation
+#: invariant declared in COVERAGE.md.
+_R12_WINDOW = [
+    # -- round-12 code changes (ADVICE r11 fixes) ----------------------
+    "lof_outliers", "ips_eval", "cuped_eval", "fd_check", "fs_weights",
+    "bfs_hops",
+    # -- latest signature round 2 (22) --------------------------------
+    "near_dup_components", "near_dup_dedup", "normalize_text",
+    "outer_join_agg", "pivot", "quality_filter", "quota_cap",
+    "range_join", "scrub_pii", "semi_anti_join", "set_ops", "simhash",
+    "simhash_pairs", "sliding_window", "text_quality",
+    "tfidf_doc_similarity", "tfidf_top_terms", "token_counts",
+    "top_ngrams", "topk_per_group", "unpivot", "window_analytics",
+    # -- latest signature round 3, head of the block (22 of 43) -------
+    "ann_brute_force", "ann_ivf", "ann_lsh", "ann_recall",
+    "cohort_retention", "compact_roundtrip", "contamination_hits",
+    "csv_roundtrip", "ctas_roundtrip", "cube_agg", "decontaminate",
+    "embedding_near_dup", "filename_partition", "frame_sample",
+    "funnel", "fuzzy_join", "gdpr_delete", "grouping_sets",
+    "jaccard_prefix_join", "jsonl_roundtrip", "kmeans_assign",
+    "kmeans_train",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query correctness window carries the
-    most NEW signal each round: the round-11 window (_R11_WINDOW — this
-    round's changed queries + the oldest-signed block) leads, then the
-    prior queue order is preserved."""
+    most NEW signal each round: the round-12 window (_R12_WINDOW — the
+    oldest-signed r2/r3 block, per the COVERAGE.md rotation plan)
+    leads, then the prior queue order is preserved."""
     base = _queries_r10_order()
-    out = {name: base[name] for name in _R11_WINDOW}
+    out = {name: base[name] for name in _R12_WINDOW}
     out.update(base)
     return out
 

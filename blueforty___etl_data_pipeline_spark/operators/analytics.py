@@ -20,6 +20,20 @@ def _w(partition_by: Sequence[str], order_by: Sequence[Column | str]):
     return Window.partitionBy(*partition_by).orderBy(*order_by)
 
 
+def _floordiv(num: str, den: str) -> Column:
+    """Exact FLOOR division of integer/decimal SQL expressions —
+    DuckDB ``//`` parity.  Spark's ``div`` truncates toward zero;
+    the two differ exactly when the quotient is negative and the
+    division inexact, where floor = trunc − 1.  Stays in exact
+    integer arithmetic (no double round-trip), so engine and oracle
+    agree for negative sums too (ADVICE r11: truncation-vs-floor
+    divergence in ips_policy_value / cuped_adjust)."""
+    return F.expr(
+        f"(({num}) div ({den})) - (CASE WHEN (({num}) % ({den})) != 0 "
+        f"AND ((({num}) < 0) != (({den}) < 0)) THEN 1 ELSE 0 END)"
+    )
+
+
 def with_lag_lead(
     df: DataFrame,
     col: str,
@@ -1387,10 +1401,19 @@ def density_ratio_outliers(
     the minhash_lsh_pairs ``max_bucket_size`` discipline), so a
     degenerate cell contributes |cell|·cap candidate pairs instead of
     |cell|²; below the cap the result is EXACT (every oracle-scale
-    cell is), above it densities are deterministic capped-sample
-    counts.  Candidate pairs are localCheckpoint-ed once and reused
-    for both aggregations (neighbor counts, then neighbor-density
-    sums), so the quadratic term is never materialized twice.
+    cell is).  Above the cap the semantics are precisely: |N(p)| is
+    the deterministic capped-SAMPLE neighbor count (neighbors drawn
+    only from each cell's ``max_cell_neighbors`` lowest-id pool), and
+    a sampled neighbor o whose OWN pool-visible neighborhood is empty
+    (every one of o's eps-neighbors was capped out of its cell pool)
+    contributes the provable lower-bound density 2 — o demonstrably
+    has at least the observing point p in range, so density(o) =
+    1 + |N(o)| ≥ 2.  This keeps every point with a nonzero sampled
+    neighbor count in the output with its count intact (a plain inner
+    join here would silently drop such points — round-12 fix).
+    Candidate pairs are localCheckpoint-ed once and reused for both
+    aggregations (neighbor counts, then neighbor-density sums), so
+    the quadratic term is never materialized twice.
     """
     if scale & (scale - 1):
         raise ValueError("scale must be a power of two (exact binning)")
@@ -1447,11 +1470,12 @@ def density_ratio_outliers(
         pairs.join(
             dens.select(F.col("ia").alias("ib"), F.col("dens").alias("db")),
             on="ib",
+            how="left",
         )
         .groupBy("ia")
-        .agg(F.sum("db").alias("sd"))
+        .agg(F.sum(F.coalesce(F.col("db"), F.lit(2))).alias("sd"))
     )
-    scored = dens.join(sums, on="ia")
+    scored = dens.join(sums, on="ia", how="left")
     out = pts.select("id").join(
         scored.select(
             F.col("ia").alias("id"), "n_nb", "dens",
@@ -1669,11 +1693,11 @@ def ips_policy_value(
     return per.crossJoin(F.broadcast(tot)).select(
         "action",
         F.col("n").cast("long").alias("n"),
-        F.expr("(1000000000 * n) div n_total")
+        _floordiv("1000000000 * n", "n_total")
         .cast("long")
         .alias("propensity_e9"),
-        F.expr("sum_rm div n").cast("long").alias("mean_reward_micros"),
-        F.expr("sum_rm div (k * n)")
+        _floordiv("sum_rm", "n").cast("long").alias("mean_reward_micros"),
+        _floordiv("sum_rm", "k * n")
         .cast("long")
         .alias("ips_contrib_micros"),
     )
@@ -1868,7 +1892,7 @@ def cuped_adjust(
     return per_v.crossJoin(F.broadcast(pooled)).select(
         "variant",
         F.col("nv").cast("long").alias("n_units"),
-        F.expr("CAST(syv AS DECIMAL(38,0)) div CAST(nv AS DECIMAL(38,0))")
+        _floordiv("CAST(syv AS DECIMAL(38,0))", "CAST(nv AS DECIMAL(38,0))")
         .cast("long")
         .alias("mean_y_micros"),
         F.floor(adj).cast("long").alias("mean_adj_micros"),

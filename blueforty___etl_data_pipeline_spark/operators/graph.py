@@ -773,6 +773,11 @@ def bfs_hops(
         .distinct()
         .join(dist.select("node"), "node", "left_anti")
         .agg(F.count(F.lit(1)).alias("n_new"))
+        # materialize the 1-row probe WHILE the doubled-edge cache is
+        # live — unpersisting first would force the final action to
+        # recompute `both` from scratch (ADVICE r11; mirrors
+        # label_propagation's materialize-then-unpersist pattern)
+        .localCheckpoint()
     )
     out = dist.crossJoin(F.broadcast(n_new)).select(
         "node",

@@ -287,11 +287,14 @@ def fellegi_sunter_weights(
             F.sum(F.when((~lab) & ag, 1).otherwise(0)).alias(f"au_{f}")
         )
     one = pairs.agg(*aggs)
-    out = None
-    for f in field_cols:
+
+    # Unpivot the 1-row aggregate with ONE inline() of a struct array;
+    # a union of per-field selects would re-plan the full-table
+    # aggregation once per field (ADVICE r11 — the fd_check fix).
+    def _field_struct(f: str):
         m = (F.col(f"am_{f}") + alpha) / (F.col("n_m") + 2 * alpha)
         u = (F.col(f"au_{f}") + alpha) / (F.col("n_u") + 2 * alpha)
-        row = one.select(
+        return F.struct(
             F.lit(f).alias("field"),
             F.col("n_m").cast("long").alias("n_match"),
             F.col("n_u").cast("long").alias("n_unmatch"),
@@ -307,5 +310,7 @@ def fellegi_sunter_weights(
             .cast("long")
             .alias("w_disagree_e6"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+
+    return one.select(
+        F.inline(F.array(*[_field_struct(f) for f in field_cols]))
+    )

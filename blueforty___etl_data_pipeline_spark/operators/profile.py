@@ -1928,7 +1928,9 @@ def fd_check(
     aggregation (Spark's Expand two-phase distinct — the
     profile_table pattern), so raw rows are scanned exactly once for
     any number of candidates; the per-candidate rows unpivot from the
-    single 1-row result.
+    single 1-row result with ONE inline() of a struct array (a union
+    of per-candidate selects would re-plan — and re-scan — the full
+    aggregation once per candidate; ADVICE r11).
     """
     aggs = []
     for i, (lhs, rhs) in enumerate(deps):
@@ -1937,9 +1939,8 @@ def fd_check(
             F.count_distinct(F.col(lhs), F.col(rhs)).alias(f"_p{i}")
         )
     one = df.agg(*aggs)
-    out = None
-    for i, (lhs, rhs) in enumerate(deps):
-        row = one.select(
+    rows = F.array(*[
+        F.struct(
             F.lit(lhs).alias("lhs"),
             F.lit(rhs).alias("rhs"),
             F.col(f"_l{i}").cast("long").alias("n_lhs"),
@@ -1949,5 +1950,6 @@ def fd_check(
             .alias("n_violations"),
             (F.col(f"_p{i}") == F.col(f"_l{i}")).alias("holds"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+        for i, (lhs, rhs) in enumerate(deps)
+    ])
+    return one.select(F.inline(rows))

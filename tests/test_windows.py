@@ -490,6 +490,37 @@ def test_density_ratio_outliers_hand_case_and_cap(spark):
         assert out3[i]["n_neighbors"] == 2
 
 
+def test_density_ratio_outliers_cap_hidden_neighbor_density(spark):
+    """Round-12 regression (ADVICE r11): with max_cell_neighbors=1 the
+    pool is {1}; point 1's own pool-visible neighborhood is empty
+    (itself is excluded), so density(1) is undefined — but points 2-5
+    each sample neighbor 1.  The old inner join dropped 2-5 entirely
+    (reported n_neighbors=0 / factor -1 despite a nonzero sampled
+    count); the fix keeps their counts and credits the hidden
+    neighbor the provable lower-bound density 2."""
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        density_ratio_outliers,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 0.0, 0.0) for i in range(1, 6)], "id long, x double, y double"
+    )
+    out = {
+        r["id"]: r
+        for r in density_ratio_outliers(
+            df, "id", "x", "y", scale=1, eps_q=4, max_cell_neighbors=1
+        ).collect()
+    }
+    # 1 sees pool \ {1} = {} -> genuinely zero sampled neighbors
+    assert out[1]["n_neighbors"] == 0 and out[1]["factor_e6"] == -1
+    # 2-5 each see exactly {1}: n_nb=1, dens=2, hidden db -> 2,
+    # factor = 1e6 * 2 div (1 * 2) = 1e6
+    for i in (2, 3, 4, 5):
+        assert out[i]["n_neighbors"] == 1, out[i]
+        assert out[i]["density"] == 2
+        assert out[i]["factor_e6"] == 1000000
+
+
 def test_mutual_information_hand_case(spark):
     import math
 
@@ -572,6 +603,45 @@ def test_ips_policy_value_uniform_target(spark):
     # uniform target: V = (2 + 10)/2 = 6.0; contributions 1.0 and 5.0
     assert out["a"]["ips_contrib_micros"] == 1000000
     assert out["b"]["ips_contrib_micros"] == 5000000
+
+
+def test_ips_policy_value_negative_rewards_floor(spark):
+    """Round-12 regression (ADVICE r11): negative reward sums must
+    FLOOR like the DuckDB oracle's `//`, not truncate toward zero.
+    -7.0 / 2 actions -> floor(-7e6 / 2) = -3500000 either way, but
+    mean over n=3 of sum -7e6 -> floor = -2333334 (trunc would say
+    -2333333)."""
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        ips_policy_value,
+    )
+
+    rows = [("a", -3.0), ("a", -3.0), ("a", -1.0), ("b", 1.0)]
+    df = spark.createDataFrame(rows, "action string, reward double")
+    out = {r["action"]: r for r in
+           ips_policy_value(df, "action", "reward").collect()}
+    assert out["a"]["mean_reward_micros"] == (-7000000) // 3 == -2333334
+    assert out["a"]["ips_contrib_micros"] == (-7000000) // (2 * 3)
+    assert out["b"]["ips_contrib_micros"] == 1000000 // 2
+
+
+def test_cuped_adjust_negative_metric_floor(spark):
+    """mean_y_micros floors on negative sums (DuckDB `//` parity)."""
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        cuped_adjust,
+    )
+
+    rows = [("A", 1, -5), ("A", 2, -2), ("A", 3, 1),
+            ("B", 1, 4), ("B", 2, 5), ("B", 3, 7)]
+    df = spark.createDataFrame(rows, "variant string, x long, y long")
+    out = {r["variant"]: r for r in
+           cuped_adjust(df, "x", "y", "variant").collect()}
+    assert out["A"]["mean_y_micros"] == (-6) // 3 == -2
+    assert out["B"]["mean_y_micros"] == 16 // 3 == 5
+    # a non-divisible negative sum: (-5 + -2 + 2) = -5 over 3
+    rows2 = [("A", 1, -5), ("A", 2, -2), ("A", 3, 2)]
+    df2 = spark.createDataFrame(rows2, "variant string, x long, y long")
+    (row,) = cuped_adjust(df2, "x", "y", "variant").collect()
+    assert row["mean_y_micros"] == (-5) // 3 == -2  # trunc would say -1
 
 
 def test_nelson_aalen_hand_case(spark):
