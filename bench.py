@@ -578,6 +578,80 @@ HEADLINE = [
     "cuped_eval",
 ]
 
+#: Explicit bench-exclusion manifest (VERDICT r11 item 3): every
+#: ``queries()`` name is either in HEADLINE or documented here with a
+#: reason — pinned by tests/test_contract.py::
+#: test_bench_manifest_is_complete so the bench map can never drift
+#: from the declared surface the way COVERAGE.md once did.  Reasons
+#: are judgments about MEASUREMENT value, not correctness (every name
+#: here still has a driver-checked oracle): a headline total dominated
+#: by sub-second plan-family duplicates would hide regressions in the
+#: scale-bearing queries.
+BENCH_EXCLUDED = {
+    # write-path / roundtrip micro-checks: wall time measures tiny-file
+    # sink setup + scratch IO, not engine throughput; their scan paths
+    # are benched by the parquet-reading queries.
+    "compact_roundtrip": "io-roundtrip micro-check (scratch sink)",
+    "csv_roundtrip": "io-roundtrip micro-check (scratch sink)",
+    "ctas_roundtrip": "io-roundtrip micro-check (scratch sink)",
+    "jsonl_roundtrip": "io-roundtrip micro-check (scratch sink)",
+    "orc_roundtrip": "io-roundtrip micro-check (scratch sink)",
+    "filename_partition": "reads a tiny CSV fixture, not sf data",
+    "gdpr_delete": "write-path micro-check over a scratch CTAS lake",
+    "merge_upsert": "write-path micro-check over a scratch CTAS lake",
+    "scd2_history": "collapse windows over tiny per-user versions",
+    # TPC-H siblings of benched plan families — HEADLINE carries one
+    # query per physical-plan family (pricing_summary=Q1,
+    # shipping_priority=Q3, local_supplier_volume=Q5, volume_shipping
+    # =Q7, market_share=Q8, ... benched); re-adding every Q-shape
+    # double-counts the same join/agg pattern.
+    "below_avg_filter": "TPC-H Q17 sibling of benched join+pre-agg family",
+    "count_distinct_agg": "TPC-H Q16 sibling (Expand distinct benched via profile_table)",
+    "disjunctive_pred": "TPC-H Q19 sibling of benched scan+join family",
+    "forecast_revenue": "TPC-H Q6 single-scan sibling of benched pricing_summary",
+    "having_filter": "TPC-H Q18 sibling of benched agg+join family",
+    "promo_revenue": "TPC-H Q14 sibling of benched join+agg family",
+    "promo_suppliers": "TPC-H Q20 sibling of benched nested-IN family",
+    "top_supplier": "TPC-H Q15 sibling of benched agg-vs-max family",
+    # single-stage scans / one-shuffle shapes that finish sub-second at
+    # sf0.1 — noise-dominated in a wall-clock total, and their plan
+    # family is represented by a benched sibling.
+    "distinct": "one-shuffle distinct; family benched via exact_dup_groups",
+    "order_by_limit": "global TopK; family benched via top1_per_group",
+    "null_safe_join": "<=> variant of the benched equi-join family",
+    "outer_join_agg": "outer-join variant of benched reconciliation family",
+    "semi_anti_join": "semi/anti variant of benched join family",
+    "set_ops": "union/except/intersect over two sub-second scans",
+    "pivot": "small-cardinality pivot; agg family benched via rollup twins",
+    "unpivot": "stack() of a benched agg shape",
+    "window_analytics": "lag/lead/rank bundle; window family benched via global_rank",
+    "topk_per_group": "WindowGroupLimit family benched via top1_per_group",
+    "rollup": "grouping-set sibling of benched order_totals agg family",
+    "cube_agg": "grouping-set sibling (Expand benched via profile_table)",
+    "grouping_sets": "grouping-set sibling of rollup/cube_agg",
+    "json_flatten": "from_json projection; flatten family benched via xml_shred",
+    "hash_sample": "shuffle-free hash filter (single scan)",
+    "stratified_sample": "shuffle-free per-stratum hash filter",
+    "fair_interleave": "single per-user window; family benched via weighted_topk_sample",
+    "assign_packs": "single running-sum window; family benched via sessionize",
+    "normalize_text": "narrow per-row text map; benched via text_quality/scrub_pii",
+    "quality_filter": "narrow per-row text scoring; benched via text_quality",
+    "language_id": "narrow per-row lexicon argmax; benched via text_quality",
+    "token_counts": "narrow per-row tokenizer; benched via top_ngrams",
+    # plan twins / sub-plans of benched queries — benching both would
+    # measure the same stages twice.
+    "minhash_signatures": "sub-plan of benched minhash_lsh_pairs",
+    "minhash_lsh_pairs_expr": "expression-only variant of benched minhash_lsh_pairs (kept for parity)",
+    "near_dup_components": "connected-components twin of benched near_dup_dedup",
+    "ngram_jaccard_pairs": "pair-similarity family benched via simhash_pairs",
+    "jaccard_prefix_join": "prefix-filter variant of benched fuzzy_join family",
+    "tfidf_doc_similarity": "cosine twin of benched tfidf_top_terms + semantic_dedup",
+    "resample_ffill": "spine+last-value window; family benched via asof_join",
+    "resample_interp": "spine+interp window; family benched via asof_join",
+    "frame_sample": "stub-codec plumbing; real-codec twins benched (image_patches_real)",
+    "pagerank": "iterative frontier family benched via bfs_hops/label_propagation; 10x isolated spot on record",
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

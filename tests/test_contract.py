@@ -35,6 +35,26 @@ def test_every_query_listed_in_coverage():
     assert not missing, f"queries absent from COVERAGE.md: {missing}"
 
 
+def test_bench_manifest_is_complete():
+    """Every queries() name is either benched (bench.py:HEADLINE) or
+    carries a documented exclusion reason (bench.py:BENCH_EXCLUDED) —
+    an exact, disjoint partition of the declared surface (VERDICT r11
+    item 3, mirroring the COVERAGE.md pin that killed map drift)."""
+    import bench
+    import __spark_entry__ as entrymod
+
+    q = set(entrymod.queries())
+    h = set(bench.HEADLINE)
+    x = set(bench.BENCH_EXCLUDED)
+    assert len(bench.HEADLINE) == len(h), "duplicate HEADLINE entries"
+    assert not (h & x), f"benched AND excluded: {sorted(h & x)}"
+    assert not (q - h - x), f"neither benched nor excluded: {sorted(q - h - x)}"
+    assert not (h - q), f"benched but not declared: {sorted(h - q)}"
+    assert not (x - q), f"excluded but not declared: {sorted(x - q)}"
+    for name, reason in bench.BENCH_EXCLUDED.items():
+        assert isinstance(reason, str) and len(reason) >= 10, name
+
+
 def test_query_names_are_stable_identifiers():
     import re
 
