@@ -20001,7 +20001,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: round-13 window, then the r4 block — the standing rotation
 #: invariant declared in COVERAGE.md.
 _R12_WINDOW = [
-    # -- round-12 code changes (ADVICE r11 fixes) ----------------------
+    # -- round-12 code changes (ADVICE r11 fixes + the
+    # facility_location mapInPandas-matmul rewrite) --------------------
+    "facility_location",
     "lof_outliers", "ips_eval", "cuped_eval", "fd_check", "fs_weights",
     "bfs_hops",
     # -- latest signature round 2 (22) --------------------------------
@@ -20011,14 +20013,13 @@ _R12_WINDOW = [
     "simhash_pairs", "sliding_window", "text_quality",
     "tfidf_doc_similarity", "tfidf_top_terms", "token_counts",
     "top_ngrams", "topk_per_group", "unpivot", "window_analytics",
-    # -- latest signature round 3, head of the block (22 of 43) -------
+    # -- latest signature round 3, head of the block (21 of 43) -------
     "ann_brute_force", "ann_ivf", "ann_lsh", "ann_recall",
     "cohort_retention", "compact_roundtrip", "contamination_hits",
     "csv_roundtrip", "ctas_roundtrip", "cube_agg", "decontaminate",
     "embedding_near_dup", "filename_partition", "frame_sample",
     "funnel", "fuzzy_join", "gdpr_delete", "grouping_sets",
     "jaccard_prefix_join", "jsonl_roundtrip", "kmeans_assign",
-    "kmeans_train",
 ]
 
 

@@ -1567,34 +1567,37 @@ def facility_location(
     (≤ 64·1e12 < 2^53); per-row similarity is ``max(0, floor(dot /
     1e6))`` — a LONG, so the objective SUM stays exact int64 at any
     corpus size (a raw-dot double sum loses exactness past ~100
-    rows).  Argmax ties break to the smaller id.  The oracle unrolls
-    all k rounds (the kcenter_coreset convention).
+    rows).  Because EVERY partial sum inside a dot is an exact integer
+    < 2^53, a BLAS matmul computes the identical dots in any
+    accumulation order — which is what lets the gains pass run as one
+    Arrow-batched matmul instead of n_candidates interpreted
+    ``aggregate(zip_with(...))`` expressions (the round-12 change: the
+    old expression form spent ~90% of its wall on Catalyst
+    interpretation at 2k vectors, and the interpretation cost scales
+    with corpus rows).  Argmax ties break to the smaller id.  The
+    oracle unrolls all k rounds (the kcenter_coreset convention).
 
     Returns (round, vec_id, objective) — the selected center per
     round and the objective AFTER adding it.
 
-    Scale shape per round: one TakeOrdered candidate sample, one
-    corpus aggregate, one broadcast best-update (lazily checkpointed
-    so round r never replays rounds 0..r−1) — k·2 bounded actions."""
+    Scale shape per round: one TakeOrdered candidate sample + ONE
+    corpus pass (``mapInPandas``: per batch, sims = max(0,
+    floor(V·Candᵀ/1e6)) and the running best from the ≤k chosen
+    centers recomputed the same way, then per-batch partial gain sums
+    — int64, batch-count rows collected) — k·2 bounded actions, no
+    per-round checkpoint chain (recomputing ≤k chosen dots per row is
+    cheaper than writing a corpus-wide _best column every round)."""
+    import numpy as np
+    import pandas as pd
+
     if k < 1:
         raise ValueError("k must be >= 1")
     mv = df.select(
         F.col(id_col).alias("_id"), _micro_vec(F.col(vec_col)).alias("_v")
     ).localCheckpoint(eager=False)
 
-    def sim_to(center_vec) -> Column:
-        arr = F.array(*[F.lit(float(x)) for x in center_vec])
-        dot = F.aggregate(
-            F.zip_with(F.col("_v"), arr, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.greatest(
-            F.floor(dot / F.lit(1e6)).cast("long"), F.lit(0).cast("long")
-        )
-
-    cur = mv.withColumn("_best", F.lit(0).cast("long"))
     chosen: list[int] = []
+    chosen_vecs: list[list[float]] = []
     out: list[tuple] = []
     for r in range(k):
         pool = mv.filter(~F.col("_id").isin(chosen)) if chosen else mv
@@ -1612,29 +1615,42 @@ def facility_location(
         )
         if not cand:
             break
-        gains = cur.agg(
-            *[
-                F.sum(F.greatest(F.col("_best"), sim_to(c["_v"]))).alias(
-                    f"g{j}"
-                )
-                for j, c in enumerate(cand)
-            ]
-        ).collect()[0]
+        cand_mat = np.array([list(c["_v"]) for c in cand], dtype=np.float64)
+        ch_mat = (
+            np.array(chosen_vecs, dtype=np.float64) if chosen_vecs else None
+        )
+
+        def partial_gains(batches, _cand=cand_mat, _ch=ch_mat):
+            tot = np.zeros(len(_cand), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.stack(pdf["_v"].to_numpy())
+                # identical IEEE ops to the expression form: exact
+                # integer dot (< 2^53) → double divide → floor → clamp
+                sims = np.maximum(
+                    np.floor(v @ _cand.T / 1e6), 0.0
+                ).astype(np.int64)
+                if _ch is not None:
+                    best = np.maximum(
+                        np.floor(v @ _ch.T / 1e6), 0.0
+                    ).max(axis=1).astype(np.int64)
+                    sims = np.maximum(sims, best[:, None])
+                tot += sims.sum(axis=0)
+            yield pd.DataFrame({"g": [tot.tolist()]})
+
+        parts = mv.mapInPandas(partial_gains, "g array<long>").collect()
+        gains = np.sum(
+            [p["g"] for p in parts], axis=0, dtype=np.int64
+        )
         best_j = max(
             range(len(cand)),
-            key=lambda j: (gains[f"g{j}"], -cand[j]["_id"]),
+            key=lambda j: (int(gains[j]), -cand[j]["_id"]),
         )
         c = cand[best_j]
         chosen.append(int(c["_id"]))
-        out.append((r, int(c["_id"]), int(gains[f"g{best_j}"])))
-        if r < k - 1:
-            cur = (
-                cur.withColumn(
-                    "_best", F.greatest(F.col("_best"), sim_to(c["_v"]))
-                )
-                .select("_id", "_v", "_best")
-                .localCheckpoint(eager=False)
-            )
+        chosen_vecs.append(list(c["_v"]))
+        out.append((r, int(c["_id"]), int(gains[best_j])))
     return df.sparkSession.createDataFrame(
         out, "round int, vec_id long, objective long"
     )
