@@ -367,3 +367,54 @@ def test_round11_addition_plan_pins(spark):
     # bfs_hops converged probe: hash joins only, never cartesian
     p = _fmt(qs["bfs_hops"](spark, sf))
     assert "CartesianProduct" not in p
+
+
+def test_round12_expensive_query_plan_pins(spark):
+    """Round-12 pins (VERDICT r11 item 6): the remaining top-cost
+    queries whose PLANS.md scale claims were prose-only.  Not
+    pinnable via explain: power_iteration / label_propagation /
+    facility_location return driver-loop results behind
+    localCheckpoint (plan = Scan) — power/label are shape-pinned by
+    their bounded-round unit tests, facility_location by its job-count
+    pin above; the streaming family's state shapes are pinned from
+    query progress in test_streaming_stateful.py."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    sf = SF_DIR
+
+    # cms_frequency: sketch is constant-size (depth×width); the probe
+    # side must broadcast-join the sketch, never sort-merge the corpus
+    p = _fmt(qs["cms_frequency"](spark, sf))
+    assert "Generate" in p and "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    # ann_lsh_multi: candidates from ONE (table, bucket) equi-join
+    # with the bounded query side broadcast; top-k via WindowGroupLimit
+    p = _fmt(qs["ann_lsh_multi"](spark, sf))
+    assert "BroadcastHashJoin" in p and "WindowGroupLimit" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    # ann_ndcg / ann_mrr: ranking evaluations — candidate lists rank
+    # through WindowGroupLimit (top-k pushdown), never a cartesian
+    for name in ("ann_ndcg", "ann_mrr"):
+        p = _fmt(qs[name](spark, sf))
+        assert "WindowGroupLimit" in p, name
+        assert "CartesianProduct" not in p, name
+
+    # bootstrap_ci: resamples explode map-side (Generate); the 1-row
+    # moment table broadcasts back — no corpus sort-merge join
+    p = _fmt(qs["bootstrap_ci"](spark, sf))
+    assert "Generate" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    # bpe_fertility: token explode + vocabulary-bounded broadcast join
+    p = _fmt(qs["bpe_fertility"](spark, sf))
+    assert "Generate" in p and "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    # kmeans_train: per-round argmin via WindowGroupLimit; the update
+    # shuffle is (cluster, dim)-bounded — never a cartesian
+    p = _fmt(qs["kmeans_train"](spark, sf))
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p

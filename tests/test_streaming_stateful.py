@@ -280,6 +280,73 @@ def test_session_window_streaming_state_shape(spark, tmp_path):
     assert ops and "session" in ops[0]["operatorName"].lower(), ops
 
 
+def test_streaming_tumbling_state_shape_bounded(spark, sf_small, tmp_path):
+    """Round-12 state pin (VERDICT r11 item 6): the streaming tumbling
+    aggregation must run through the state store (stateStoreSave), and
+    its state row count must equal the emitted (window, key) group
+    count — i.e. state is bounded by windows × keys, never by stream
+    length."""
+    from blueforty___etl_data_pipeline_spark.streaming.windows import (
+        tumbling_window_agg,
+    )
+
+    ev = load_table(spark, sf_small, "events")
+    src = str(tmp_path / "tumb_src")
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "3650 days")
+    )
+    agg = tumbling_window_agg(
+        stream,
+        window_duration="1 hour",
+        keys=("event_type",),
+        aggs=[F.count(F.lit(1)).alias("n_events")],
+    )
+    q = _run_available_now(agg, "tumb_state_test", mode="complete")
+    ops = q.lastProgress["stateOperators"]
+    q.stop()
+    assert ops and "statestore" in ops[0]["operatorName"].lower(), ops
+    n_groups = spark.sql(
+        "SELECT COUNT(*) FROM tumb_state_test"
+    ).collect()[0][0]
+    assert n_groups > 0
+    assert ops[0]["numRowsTotal"] == n_groups, (
+        ops[0]["numRowsTotal"], n_groups
+    )
+
+
+def test_streaming_topk_state_bounded_by_users(spark, sf_small, tmp_path):
+    """Round-12 state pin: running_topk_events keeps exactly ONE state
+    entry per user (k pairs + a counter inside it), so the state row
+    count must equal the distinct-user count regardless of how many
+    micro-batches the stream splits into."""
+    from blueforty___etl_data_pipeline_spark.streaming.stateful import (
+        running_topk_events,
+    )
+
+    ev = load_table(spark, sf_small, "events")
+    src = str(tmp_path / "topk_state_src")
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = _run_available_now(
+        running_topk_events(stream), "topk_state_test", mode="update"
+    )
+    ops = q.lastProgress["stateOperators"]
+    q.stop()
+    assert ops and ops[0]["operatorName"] == "applyInPandasWithState", ops
+    n_users = ev.select("user_id").distinct().count()
+    assert ops[0]["numRowsTotal"] == n_users, (
+        ops[0]["numRowsTotal"], n_users
+    )
+
+
 def test_running_topk_events_matches_batch_topk(spark, sf_small, tmp_path):
     # Top-k state under FORCED multi-micro-batch splits: the final
     # (max n_seen) emission per user must equal the batch top-3 by
