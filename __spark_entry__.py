@@ -19984,6 +19984,191 @@ FROM documents WHERE length(text) < 16
 """
 
 
+# --- round-12 additions ------------------------------------------------
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (operators/graph.hits_fixed_point) over
+    the DIRECTED supplier→part co-purchase graph, 3 rounds of exact
+    integer fixed-point mutual reinforcement with max-component
+    renorm — suppliers are hubs, parts authorities.  The oracle
+    unrolls the identical rounds."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.graph import (
+        hits_fixed_point,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1_000_000).alias("dst"),
+    )
+    return hits_fixed_point(edges, rounds=3)
+
+
+def _sql_hits_scores(rounds: int = 3, scale: int = 10**9) -> str:
+    parts = [
+        """e AS (
+  SELECT DISTINCT l_suppkey AS u, l_partkey + 1000000 AS v
+  FROM lineitem),
+nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+h0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS s FROM nodes)"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""ar{k} AS (
+  SELECT e.v AS node, SUM(h{k - 1}.s) AS r
+  FROM e JOIN h{k - 1} ON e.u = h{k - 1}.node GROUP BY 1),
+am{k} AS (SELECT MAX(r) AS m FROM ar{k}),
+a{k} AS (
+  SELECT n.node,
+         CAST(COALESCE(({scale} * ar{k}.r) // am{k}.m, 0) AS BIGINT) AS s
+  FROM nodes n LEFT JOIN ar{k} ON n.node = ar{k}.node CROSS JOIN am{k}),
+hr{k} AS (
+  SELECT e.u AS node, SUM(a{k}.s) AS r
+  FROM e JOIN a{k} ON e.v = a{k}.node GROUP BY 1),
+hm{k} AS (SELECT MAX(r) AS m FROM hr{k}),
+h{k} AS (
+  SELECT n.node,
+         CAST(COALESCE(({scale} * hr{k}.r) // hm{k}.m, 0) AS BIGINT) AS s
+  FROM nodes n LEFT JOIN hr{k} ON n.node = hr{k}.node CROSS JOIN hm{k})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT h.node, h.s AS hub_e9, a.s AS auth_e9
+FROM h{rounds} h JOIN a{rounds} a ON h.node = a.node
+"""
+    )
+
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (operators/graph.degree_assortativity) of
+    the symmetrized supplier↔part graph — strongly negative for this
+    bipartite hub-and-spoke topology.  Exact DECIMAL moments; only the
+    final Pearson ratio is a double, e6-floored in the oracle's
+    expression shape."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1_000_000).alias("dst"),
+    )
+    return degree_assortativity(edges)
+
+
+_SQL_GRAPH_ASSORTATIVITY = """
+WITH e0 AS (
+  SELECT DISTINCT l_suppkey AS u, l_partkey + 1000000 AS v
+  FROM lineitem),
+e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+deg AS (SELECT u, COUNT(*) AS deg FROM e GROUP BY 1),
+j AS (
+  SELECT CAST(du.deg AS HUGEINT) AS x, CAST(dv.deg AS HUGEINT) AS y
+  FROM e JOIN deg du ON e.u = du.u JOIN deg dv ON e.v = dv.u),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM j)
+SELECT CAST(n AS BIGINT) AS n_edges,
+       CAST(CASE
+              WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+              THEN 0
+              ELSE FLOOR(1000000.0 *
+                (CAST(n * sxy - sx * sy AS DOUBLE) /
+                 (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                  SQRT(CAST(n * syy - sy * sy AS DOUBLE)))))
+            END AS BIGINT) AS assortativity_e6
+FROM m
+"""
+
+
+def q_herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue concentration per nation (operators/analytics.
+    market_concentration): Herfindahl-Hirschman index over exact e6
+    revenue-cent shares — the "is one supplier dominating this
+    nation" diagnostic, all long arithmetic."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        market_concentration,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("_cents"),
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    j = li.join(
+        sup, li["l_suppkey"] == sup["s_suppkey"]
+    ).select("s_nationkey", "s_suppkey", "_cents")
+    return market_concentration(j, "s_nationkey", "s_suppkey", "_cents")
+
+
+_SQL_HERFINDAHL_INDEX = """
+WITH per AS (
+  SELECT s.s_nationkey, s.s_suppkey,
+         SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)) AS val
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2),
+tot AS (
+  SELECT s_nationkey, SUM(val) AS total, COUNT(*) AS n_entities
+  FROM per GROUP BY 1),
+sh AS (
+  SELECT p.s_nationkey, t.n_entities, t.total,
+         (1000000 * p.val) // t.total AS share_e6
+  FROM per p JOIN tot t ON p.s_nationkey = t.s_nationkey)
+SELECT s_nationkey, CAST(n_entities AS BIGINT) AS n_entities,
+       CAST(total AS BIGINT) AS total,
+       CAST(MAX(share_e6) AS BIGINT) AS top_share_e6,
+       CAST(SUM(share_e6 * share_e6) // 1000000 AS BIGINT) AS hhi_e6
+FROM sh GROUP BY 1, 2, 3
+"""
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic EWMA (α = 1/4) of hourly event counts per event_type
+    (operators/temporal.dyadic_ewma): the monitoring smoother as an
+    exact integer fold over the calendar-bounded hourly series — a
+    recursive-CTE oracle replays the identical recurrence."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        dyadic_ewma,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return dyadic_ewma(hourly, "event_type", "hr", "n", shift=2)
+
+
+_SQL_EWMA_SMOOTH = """
+WITH RECURSIVE hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+seq AS (
+  SELECT event_type, hr, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+  FROM hourly),
+fold(event_type, hr, n, rn, y) AS (
+  SELECT event_type, hr, n, rn, n FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.hr, s.n, s.rn, (s.n + 3 * f.y) // 4
+  FROM seq s JOIN fold f
+    ON s.event_type = f.event_type AND s.rn = f.rn + 1)
+SELECT event_type, CAST(hr AS BIGINT) AS hr, n,
+       CAST(y AS BIGINT) AS ewma
+FROM fold
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -20442,6 +20627,13 @@ def _queries_r10_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "quota_cap": q_quota_cap,
         "quality_filter": q_quality_filter,
+        # -- round-12 additions (tail of this round's queue; DECLARED
+        # to lead the round-13 window in COVERAGE.md — the two-round
+        # signing invariant; each bare-verified green at add time) ----
+        "hits_scores": q_hits_scores,
+        "graph_assortativity": q_graph_assortativity,
+        "herfindahl_index": q_herfindahl_index,
+        "ewma_smooth": q_ewma_smooth,
     }
 
 
@@ -20514,6 +20706,11 @@ def oracle_sql() -> dict[str, str]:
         "transition_entropy": _SQL_TRANSITION_ENTROPY,
         "centroid_novelty": _SQL_CENTROID_NOVELTY,
         "cuped_eval": _SQL_CUPED_EVAL,
+        # -- round-12 additions -------------------------------------------
+        "hits_scores": _sql_hits_scores(),
+        "graph_assortativity": _SQL_GRAPH_ASSORTATIVITY,
+        "herfindahl_index": _SQL_HERFINDAHL_INDEX,
+        "ewma_smooth": _SQL_EWMA_SMOOTH,
         "sorted_neighborhood": _SQL_SORTED_NEIGHBORHOOD,
         "maxsim_retrieval": _sql_maxsim_retrieval(),
         "resample_interp": _SQL_RESAMPLE_INTERP,

@@ -576,6 +576,11 @@ HEADLINE = [
     "transition_entropy",
     "centroid_novelty",
     "cuped_eval",
+    # -- round-12 additions -------------------------------------------
+    "hits_scores",
+    "graph_assortativity",
+    "herfindahl_index",
+    "ewma_smooth",
 ]
 
 #: Explicit bench-exclusion manifest (VERDICT r11 item 3): every

@@ -1898,3 +1898,59 @@ def cuped_adjust(
         F.floor(adj).cast("long").alias("mean_adj_micros"),
         F.floor(F.lit(1000000000.0) * theta).cast("long").alias("theta_e9"),
     )
+
+
+def market_concentration(
+    df: DataFrame,
+    group_col: str,
+    entity_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per group: with each
+    entity's share of the group total in exact e6 fixed point,
+
+        share_e6(i) = (1e6 · vᵢ) ÷ Σv        (integer floor-division)
+        hhi_e6      = (Σᵢ share_e6(i)²) ÷ 1e6
+
+    — 1e6 = monopoly, 1e6/n = perfectly even.  The antitrust /
+    portfolio-concentration readout, and in a training-data pipeline
+    the "is one source dominating this slice" diagnostic.  ``value_col``
+    must already be integer-valued (quantize upstream — micros here);
+    every step is exact long arithmetic, so any engine replays it
+    bit-for-bit.  Entities with non-positive group totals are not
+    defined and must be filtered upstream.
+
+    Scale shape: ONE partial-agged (group, entity) aggregation →
+    ONE group-total rollup joined back (hash, on group) → ONE final
+    per-group sum — shuffle volume is entity cardinality, raw rows
+    are touched once.  Returns (group, n_entities, total,
+    top_share_e6, hhi_e6).
+    """
+    per = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(entity_col).alias("ent")
+    ).agg(F.sum(F.col(value_col).cast("long")).alias("val"))
+    tot = per.groupBy("grp").agg(
+        F.sum("val").alias("total"), F.count(F.lit(1)).alias("n_entities")
+    )
+    shares = per.join(tot, on="grp").select(
+        "grp",
+        "n_entities",
+        "total",
+        F.expr("(1000000 * val) div total").alias("share_e6"),
+    )
+    return (
+        shares.groupBy("grp", "n_entities", "total")
+        .agg(
+            F.max("share_e6").cast("long").alias("top_share_e6"),
+            F.expr(
+                "CAST(sum(share_e6 * share_e6) div 1000000 AS BIGINT)"
+            ).alias("hhi_e6"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_entities").cast("long").alias("n_entities"),
+            F.col("total").cast("long").alias("total"),
+            "top_share_e6",
+            "hhi_e6",
+        )
+    )

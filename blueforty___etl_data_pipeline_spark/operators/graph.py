@@ -786,3 +786,180 @@ def bfs_hops(
     )
     both.unpersist()
     return out
+
+
+def hits_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge
+    list, run for exactly ``rounds`` mutual-reinforcement updates with
+    EXACT integer fixed-point arithmetic:
+
+        auth'(v) = scale · Σ_{u→v} hub(u)   ÷  max_w auth_raw(w)
+        hub'(u)  = scale · Σ_{u→v} auth'(v) ÷  max_w hub_raw(w)
+
+    Renormalizing by the MAX component with one integer floor-division
+    (the ``power_iteration`` discipline) instead of the L2 norm keeps
+    every round bit-exact and partition-order-invariant — raw sums are
+    DECIMAL(38,0) so a hub of any in-degree cannot overflow.  Nodes
+    with no in-edges hold authority 0; no out-edges, hub 0.  An
+    unrolled-CTE oracle replays the identical rounds.
+
+    Iteration shape per round (the pagerank_fixed_point loop): two
+    edges ⋈ scores hash joins (one shuffle each on the join key) +
+    two partial-agged sums + two 1-row max rollups broadcast back —
+    never anything quadratic in nodes.  Scores localCheckpoint EVERY
+    phase (node-cardinality, so cheap) to keep the logical plan one
+    phase deep — per-round persist alone leaves the nested-join plan
+    to grow and OOMs Catalyst analysis on a small driver (use
+    reliable ``checkpoint`` on a real cluster).
+
+    Returns ``(node, hub_e9, auth_e9)``.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    d38 = "decimal(38,0)"
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .persist()
+    )
+    hub = nodes.select(
+        "node", F.lit(scale).cast("bigint").alias("hub_e9")
+    ).localCheckpoint()
+    auth = None
+    for i in range(rounds):
+        araw = (
+            e.join(hub, e["u"] == hub["node"])
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum(F.col("hub_e9").cast(d38)).alias("_r"))
+        )
+        amax = araw.agg(F.max("_r").alias("_m"))
+        new_auth = (
+            nodes.join(araw, on="node", how="left")
+            .crossJoin(F.broadcast(amax))
+            .select(
+                "node",
+                F.when(F.col("_r").isNull(), F.lit(0).cast("bigint"))
+                .otherwise(
+                    F.expr(
+                        f"CAST((CAST({scale} AS DECIMAL(38,0)) * _r)"
+                        " div _m AS BIGINT)"
+                    )
+                )
+                .alias("auth_e9"),
+            )
+        )
+        # localCheckpoint EVERY phase (not persist): persist leaves the
+        # full logical plan in place, so six phases of nested joins +
+        # broadcast crossJoins blow up Catalyst analysis memory on a
+        # default-1g bare driver (observed java OOM at rounds=3,
+        # 2k nodes).  Scores are node-cardinality, so the checkpoint
+        # is cheap; lineage stays one phase deep.
+        auth = new_auth.localCheckpoint()
+        hraw = (
+            e.join(auth, e["v"] == auth["node"])
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.sum(F.col("auth_e9").cast(d38)).alias("_r"))
+        )
+        hmax = hraw.agg(F.max("_r").alias("_m"))
+        new_hub = (
+            nodes.join(hraw, on="node", how="left")
+            .crossJoin(F.broadcast(hmax))
+            .select(
+                "node",
+                F.when(F.col("_r").isNull(), F.lit(0).cast("bigint"))
+                .otherwise(
+                    F.expr(
+                        f"CAST((CAST({scale} AS DECIMAL(38,0)) * _r)"
+                        " div _m AS BIGINT)"
+                    )
+                )
+                .alias("hub_e9"),
+            )
+        )
+        hub = new_hub.localCheckpoint()
+    out = hub.join(auth, on="node").localCheckpoint()
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over the symmetrized distinct edge set — positive
+    when high-degree nodes attach to high-degree nodes (social cores),
+    negative for hub-and-spoke topologies (the supplier↔part shape).
+
+    All five moments (n, Σx, Σxy, Σx², Σy² over directed edge copies)
+    are exact DECIMAL(38,0) sums of integer degrees, so the only
+    doubles are the final Pearson ratio — computed as
+    ``num / (√dx · √dy)`` (the centroid_novelty √·√ split keeps each
+    radicand in double range) and e6-floored in the same expression
+    shape the oracle replays.  Degenerate variance (dx·dy = 0, e.g. a
+    perfect matching) reports 0.
+
+    Scale shape: ONE distinct on edges, ONE degree aggregation, two
+    degree joins (hash, on node id), ONE 1-row moment rollup — no
+    quadratic term anywhere.  Returns a single row
+    ``(n_edges, assortativity_e6)`` where n_edges counts directed
+    copies (2× undirected edges).
+    """
+    d38 = "decimal(38,0)"
+    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = (
+        e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    j = (
+        und.join(deg.select(F.col("u"), F.col("deg").alias("_x")), on="u")
+        .join(
+            deg.select(
+                F.col("u").alias("v"), F.col("deg").alias("_y")
+            ),
+            on="v",
+        )
+        .select(
+            F.col("_x").cast(d38).alias("x"), F.col("_y").cast(d38).alias("y")
+        )
+    )
+    m = j.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    out = m.select(
+        F.col("n").cast("long").alias("n_edges"),
+        F.expr(
+            """CAST(CASE
+                 WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+                 THEN 0
+                 ELSE FLOOR(1000000.0 *
+                   (CAST(n * sxy - sx * sy AS DOUBLE) /
+                    (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                     SQRT(CAST(n * syy - sy * sy AS DOUBLE)))))
+               END AS BIGINT)"""
+        ).alias("assortativity_e6"),
+    )
+    res = out.localCheckpoint()
+    und.unpersist()
+    return res

@@ -1206,3 +1206,78 @@ def allen_relations(
     return pairs.select(
         F.col("k").alias(key_col), "id_a", "id_b", rel.alias("relation")
     )
+
+
+def dyadic_ewma(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    shift: int = 2,
+) -> DataFrame:
+    """Exponentially-weighted moving average with a DYADIC smoothing
+    factor α = 1/2^shift, folded in exact integer arithmetic:
+
+        y₀ = x₀
+        yₜ = (xₜ + (2^shift − 1) · yₜ₋₁) ÷ 2^shift    (floor division)
+
+    — the trend-following smoother of monitoring dashboards, with the
+    house no-float discipline: because α is dyadic and each step
+    floors, the whole recurrence is long arithmetic and replays
+    bit-for-bit in any engine (a recursive-CTE oracle runs the same
+    fold).  ``value_col`` must be integer-valued (a count or
+    pre-quantized micros).
+
+    Scale shape: the recurrence is inherently sequential PER KEY, so
+    it folds over the key's ordered series with ONE ``aggregate``
+    higher-order function on a ``sort_array(collect_list(...))`` —
+    legitimate only because the series is CALENDAR-BOUNDED (one row
+    per (key, bucket), e.g. ≤ 8.8k hourly buckets/year), the same
+    bounded-table argument as the survival curves.  Raw rows never
+    collect: callers pre-aggregate to (key, bucket, value) first, so
+    the shuffle is bucket cardinality and each group's array is tiny.
+
+    Returns one row per input row: (key, order, value, ewma).
+    """
+    if shift < 1 or shift > 30:
+        raise ValueError("shift must be in [1, 30]")
+    mul = (1 << shift) - 1
+    den = 1 << shift
+    packed = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).cast("long").alias("o"),
+                    F.col(value_col).cast("long").alias("x"),
+                )
+            )
+        ).alias("xs")
+    )
+    folded = packed.select(
+        "k",
+        F.expr(
+            f"""aggregate(
+                 xs,
+                 struct(
+                   CAST(NULL AS BIGINT) AS prev,
+                   CAST(array() AS ARRAY<STRUCT<o: BIGINT, x: BIGINT,
+                                               y: BIGINT>>) AS rows
+                 ),
+                 (acc, e) -> struct(
+                   CASE WHEN acc.prev IS NULL THEN e.x
+                        ELSE (e.x + {mul}L * acc.prev) div {den}L
+                   END AS prev,
+                   array_append(acc.rows, struct(
+                     e.o AS o, e.x AS x,
+                     CASE WHEN acc.prev IS NULL THEN e.x
+                          ELSE (e.x + {mul}L * acc.prev) div {den}L
+                     END AS y)) AS rows),
+                 acc -> acc.rows)"""
+        ).alias("rows"),
+    )
+    return folded.select("k", F.explode("rows").alias("r")).select(
+        F.col("k").alias(key_col),
+        F.col("r.o").alias(order_col),
+        F.col("r.x").alias(value_col),
+        F.col("r.y").alias("ewma"),
+    )

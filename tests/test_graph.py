@@ -412,3 +412,62 @@ def test_bfs_hops_multi_source_takes_min_and_truncates(spark):
     got2 = {r["node"]: r["hops"] for r in out2.collect()}
     assert got2 == {1: 0, 6: 0, 2: 1, 5: 1, 3: 2, 4: 2}
     assert all(r["converged"] for r in out2.collect())
+
+
+def test_hits_fixed_point_star_and_determinism(spark):
+    """Star 1→{2,3,4}: the sole hub renorms to exactly scale, every
+    authority to scale, and cross roles to 0 — bit-stable across
+    partition counts (integer max-renorm, no float chain)."""
+    from blueforty___etl_data_pipeline_spark.operators.graph import (
+        hits_fixed_point,
+    )
+
+    e = spark.createDataFrame([(1, 2), (1, 3), (1, 4)],
+                              "src long, dst long")
+    for parts in (1, 5):
+        rows = {
+            r["node"]: (r["hub_e9"], r["auth_e9"])
+            for r in hits_fixed_point(e.repartition(parts),
+                                      rounds=2).collect()
+        }
+        assert rows[1] == (10**9, 0)
+        for v in (2, 3, 4):
+            assert rows[v] == (0, 10**9)
+
+
+def test_hits_fixed_point_asymmetric_chain(spark):
+    """2→1, 3→1, 3→2: node 1 is the top authority, node 3 (pointing at
+    both) the top hub; hand-rolled one round checks the renorm."""
+    from blueforty___etl_data_pipeline_spark.operators.graph import (
+        hits_fixed_point,
+    )
+
+    e = spark.createDataFrame([(2, 1), (3, 1), (3, 2)],
+                              "src long, dst long")
+    rows = {
+        r["node"]: (r["hub_e9"], r["auth_e9"])
+        for r in hits_fixed_point(e, rounds=1).collect()
+    }
+    # round 1: a_raw(1)=2e9, a_raw(2)=1e9 -> a = (1e9, 5e8)
+    # h_raw(2)=1e9, h_raw(3)=1.5e9 -> h(3)=1e9, h(2)=(1e9*1e9)//1.5e9
+    assert rows[1][1] == 10**9 and rows[2][1] == 5 * 10**8
+    assert rows[3][0] == 10**9
+    assert rows[2][0] == (10**9 * 10**9) // (15 * 10**8)
+    assert rows[1][0] == 0 and rows[3][1] == 0
+
+
+def test_degree_assortativity_star_ring(spark):
+    """A star is maximally disassortative (exactly −1.0); a ring has
+    zero degree variance → defined 0."""
+    from blueforty___etl_data_pipeline_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)],
+                                 "src long, dst long")
+    (r,) = degree_assortativity(star).collect()
+    assert r["n_edges"] == 10 and r["assortativity_e6"] == -1000000
+    ring = spark.createDataFrame([(i, (i + 1) % 6) for i in range(6)],
+                                 "src long, dst long")
+    (r2,) = degree_assortativity(ring).collect()
+    assert r2["n_edges"] == 12 and r2["assortativity_e6"] == 0

@@ -757,3 +757,26 @@ def test_allen_relations_all_seven(spark):
         (1, 5): "starts", (1, 6): "during", (1, 7): "finishes",
         (1, 8): "equals",
     }
+
+
+def test_dyadic_ewma_exact_fold_and_partition_invariance(spark):
+    """y₀=x₀ then yₜ=(xₜ+3yₜ₋₁)÷4 exactly, independent of input
+    partitioning (the fold runs over a sorted collected array)."""
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        dyadic_ewma,
+    )
+
+    rows = [("k", 0, 4), ("k", 1, 8), ("k", 2, 4), ("k", 3, 100),
+            ("j", 5, 7)]
+    df = spark.createDataFrame(rows, "k string, o long, x long")
+    for parts in (1, 4):
+        got = sorted(
+            (r["k"], r["o"], r["ewma"])
+            for r in dyadic_ewma(df.repartition(parts), "k", "o",
+                                 "x").collect()
+        )
+        # k: 4 -> (8+12)//4=5 -> (4+15)//4=4 -> (100+12)//4=28
+        assert got == [("j", 5, 7), ("k", 0, 4), ("k", 1, 5),
+                       ("k", 2, 4), ("k", 3, 28)]
+    with __import__("pytest").raises(ValueError):
+        dyadic_ewma(df, "k", "o", "x", shift=0)

@@ -733,3 +733,24 @@ def test_cuped_adjust_removes_covariate_shift(spark):
     raw_gap = out["B"]["mean_y_micros"] - out["A"]["mean_y_micros"]
     adj_gap = out["B"]["mean_adj_micros"] - out["A"]["mean_adj_micros"]
     assert raw_gap == 310 and 0 <= adj_gap <= 20
+
+
+def test_market_concentration_hand_cases(spark):
+    """Monopoly → HHI 1e6; two equal entities → 5e5; shares floor."""
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        market_concentration,
+    )
+
+    d = spark.createDataFrame(
+        [("g1", "a", 100), ("g2", "a", 50), ("g2", "b", 50),
+         ("g3", "a", 2), ("g3", "b", 1)],
+        "g string, e string, v long",
+    )
+    out = {r["g"]: r for r in
+           market_concentration(d, "g", "e", "v").collect()}
+    assert out["g1"]["hhi_e6"] == 1000000 and out["g1"]["top_share_e6"] == 1000000
+    assert out["g2"]["hhi_e6"] == 500000
+    # g3: shares floor to 666666 and 333333 -> hhi
+    exp = (666666**2 + 333333**2) // 10**6
+    assert out["g3"]["top_share_e6"] == 666666
+    assert out["g3"]["hhi_e6"] == exp

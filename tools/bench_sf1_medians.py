@@ -27,8 +27,22 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF1_DIR = os.path.join(REPO, ".tmp", "sf1")
-REF_MEDIANS = os.path.join(REPO, "BENCH_MEDIANS_r10.json")
 OUT = os.path.join(REPO, "BENCH_SF1_MEDIANS.json")
+
+
+def _latest_medians() -> str:
+    """Newest committed fresh-session median file (numeric round order
+    — lexical sort puts r9 after r10)."""
+    import glob
+    import re
+
+    cands = sorted(
+        glob.glob(os.path.join(REPO, "BENCH_MEDIANS_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    if not cands:
+        sys.exit("no BENCH_MEDIANS_r*.json found")
+    return cands[-1]
 
 
 def child(out_path: str, names: list[str]) -> None:
@@ -72,10 +86,11 @@ def main() -> None:
         child(sys.argv[2], sys.argv[3:])
         return
     n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     if not os.path.isdir(SF1_DIR):
         sys.exit("run tools/make_sf1.py first")
-    with open(REF_MEDIANS) as f:
+    ref_path = _latest_medians()
+    with open(ref_path) as f:
         ref = json.load(f)
     names = sorted(ref["queries"], key=ref["queries"].get, reverse=True)[
         :top_n
@@ -111,7 +126,7 @@ def main() -> None:
         sorted(spreads.items(), key=lambda kv: kv[1], reverse=True)[:5]
     )
     payload = {
-        "metric": "top50_sf1_median_wall",
+        "metric": f"top{top_n}_sf1_median_wall",
         "unit": "sec",
         "sf": "sf1 (10x key-shifted replica of sf0.1, tools/make_sf1.py)",
         "value": round(sum(medians.values()), 3),
@@ -123,8 +138,8 @@ def main() -> None:
         "protocol": {
             "kind": "median_of_fresh_sessions",
             "n_runs": n_runs,
-            "selection": f"top {len(names)} by BENCH_MEDIANS_r10 sf0.1 "
-            "median wall",
+            "selection": f"top {len(names)} by "
+            f"{os.path.basename(ref_path)} sf0.1 median wall",
             "run_totals": [
                 round(sum(r[n] for n in names), 3) for r in runs
             ],
