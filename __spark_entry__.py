@@ -20169,6 +20169,208 @@ FROM fold
 """
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The triangle_count co-purchase graph: parts linked when a large
+    lineitem (quantity ≥ 40) of each shares an order — reused by the
+    round-12 per-node graph statistics so their oracles share CTEs."""
+    it = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 40)
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    return (
+        it.alias("x")
+        .join(
+            it.alias("y"),
+            on=[
+                F.col("x.o") == F.col("y.o"),
+                F.col("x.p") < F.col("y.p"),
+            ],
+        )
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+    )
+
+
+_SQL_COPURCHASE_CTES = """
+it AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_quantity >= 40),
+e AS (
+  SELECT DISTINCT x.p AS a, y.p AS b
+  FROM it x JOIN it y ON x.o = y.o AND x.p < y.p),
+und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT a AS node, COUNT(*) AS degree FROM und GROUP BY 1)
+"""
+
+
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node (operators/graph.
+    clustering_coefficient) over the co-purchase graph — the per-node
+    refinement of the triangle census, exact long floor-division."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    return clustering_coefficient(_copurchase_edges(spark, sf_dir))
+
+
+_SQL_CLUSTERING_COEFF = f"""
+WITH {_SQL_COPURCHASE_CTES},
+tri AS (
+  SELECT t.node, COUNT(*) AS n_triangles FROM (
+    SELECT UNNEST([w.a, w.b, w.c]) AS node
+    FROM (SELECT e1.a, e1.b, e2.b AS c
+          FROM e e1 JOIN e e2 ON e1.b = e2.a) w
+    JOIN e e3 ON w.a = e3.a AND w.c = e3.b) t
+  GROUP BY 1)
+SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN d.degree < 2 THEN 0
+                 ELSE (2000000 * COALESCE(t.n_triangles, 0))
+                      // (d.degree * (d.degree - 1)) END AS BIGINT)
+         AS coeff_e6
+FROM deg d LEFT JOIN tri t ON d.node = t.node
+"""
+
+
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (operators/graph.adamic_adar) over
+    the co-purchase graph: non-adjacent part pairs scored by their
+    shared neighbors, rare neighbors weighted up — contributions
+    floored to exact longs before the pair sum."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.graph import (
+        adamic_adar,
+    )
+
+    return adamic_adar(_copurchase_edges(spark, sf_dir))
+
+
+_SQL_ADAMIC_ADAR = f"""
+WITH {_SQL_COPURCHASE_CTES},
+wedge AS (
+  SELECT l.a AS w, l.b AS id_a, r.b AS id_b
+  FROM und l JOIN und r ON l.a = r.a AND l.b < r.b),
+contrib AS (
+  SELECT wg.id_a, wg.id_b,
+         1000000000000 // CAST(FLOOR(1000000.0 *
+             LN(CAST(d.degree AS DOUBLE))) AS BIGINT) AS c
+  FROM wedge wg JOIN deg d ON wg.w = d.node),
+scored AS (
+  SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_common,
+         CAST(SUM(c) AS BIGINT) AS aa_e6
+  FROM contrib GROUP BY 1, 2)
+SELECT s.id_a, s.id_b, s.n_common, s.aa_e6
+FROM scored s
+LEFT JOIN e ON s.id_a = e.a AND s.id_b = e.b
+WHERE e.a IS NULL
+"""
+
+
+def q_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (operators/analytics.two_proportion_ztest)
+    of click-through between the two user-id parity cohorts — exact
+    counts, one e6-floored z in the oracle's expression shape."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        two_proportion_ztest,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).cast("long").alias("variant"),
+        (F.col("event_type") == "click").cast("int").alias("is_click"),
+    )
+    return two_proportion_ztest(ev, "variant", "is_click")
+
+
+_SQL_PROP_ZTEST = """
+WITH per AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS g,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM events GROUP BY 1),
+w AS (
+  SELECT MIN(g) AS ga, MAX(g) AS gb,
+         MIN_BY(n, g) AS na, MIN_BY(x, g) AS xa,
+         MAX_BY(n, g) AS nb, MAX_BY(x, g) AS xb
+  FROM per)
+SELECT ga AS group_a, gb AS group_b,
+       na AS n_a, xa AS x_a, nb AS n_b, xb AS x_b,
+       CAST((1000000 * xa) // na AS BIGINT) AS rate_a_e6,
+       CAST((1000000 * xb) // nb AS BIGINT) AS rate_b_e6,
+       CAST(FLOOR(1000000.0 * (
+            (CAST(xa AS DOUBLE) / CAST(na AS DOUBLE)
+             - CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE))
+            / SQRT(
+                (CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                * (1.0 - CAST(xa + xb AS DOUBLE)
+                         / CAST(na + nb AS DOUBLE))
+                * (1.0 / CAST(na AS DOUBLE)
+                   + 1.0 / CAST(nb AS DOUBLE))))) AS BIGINT) AS z_e6
+FROM w
+"""
+
+
+def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_ewma_smooth (streaming/stateful.
+    streaming_ewma): the dyadic EWMA recurrence carried across
+    micro-batches as ONE (y, last_hr) state pair per event_type.  The
+    hourly pre-agg stages as hour-range-partitioned sorted files so
+    the file stream replays the calendar in order; shares the batch
+    twin's recursive-CTE oracle — a hash match proves stream ==
+    batch fold exactly."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.streaming.stateful import (
+        streaming_ewma,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .repartitionByRange(3, "hr")
+        .sortWithinPartitions("hr")
+    )
+    src = _stage_stream_source(hourly, "events_ewma_hourly", sf_dir)
+    # FileStreamSource replays files in MODIFICATION-TIME order, not
+    # path order — stamp the range-partitioned part files with strictly
+    # increasing mtimes (part-00000 = lowest hr range first) so the
+    # maxFilesPerTrigger=1 drain feeds the recurrence in calendar
+    # order.  Fixture plumbing, idempotent across reruns.
+    parts = sorted(
+        f for f in os.listdir(src)
+        if f.startswith("part-") and not f.endswith(".crc")
+    )
+    base = 1_000_000_000  # any fixed epoch; only the ORDER matters
+    for i, fname in enumerate(parts):
+        os.utime(os.path.join(src, fname), (base + i, base + i))
+    stream = (
+        spark.readStream.schema("event_type string, hr long, n long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_ewma(stream)
+        .writeStream.format("memory")
+        .queryName("q_streaming_ewma_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_streaming(q)
+    return spark.table("q_streaming_ewma_sink").select(
+        "event_type", "hr", "n", "ewma"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -20634,6 +20836,10 @@ def _queries_r10_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_assortativity": q_graph_assortativity,
         "herfindahl_index": q_herfindahl_index,
         "ewma_smooth": q_ewma_smooth,
+        "clustering_coeff": q_clustering_coeff,
+        "adamic_adar": q_adamic_adar,
+        "prop_ztest": q_prop_ztest,
+        "streaming_ewma": q_streaming_ewma,
     }
 
 
@@ -20711,6 +20917,12 @@ def oracle_sql() -> dict[str, str]:
         "graph_assortativity": _SQL_GRAPH_ASSORTATIVITY,
         "herfindahl_index": _SQL_HERFINDAHL_INDEX,
         "ewma_smooth": _SQL_EWMA_SMOOTH,
+        "clustering_coeff": _SQL_CLUSTERING_COEFF,
+        "adamic_adar": _SQL_ADAMIC_ADAR,
+        "prop_ztest": _SQL_PROP_ZTEST,
+        # shared with the batch twin: a hash match proves the streaming
+        # state fold equals the batch recurrence exactly
+        "streaming_ewma": _SQL_EWMA_SMOOTH,
         "sorted_neighborhood": _SQL_SORTED_NEIGHBORHOOD,
         "maxsim_retrieval": _sql_maxsim_retrieval(),
         "resample_interp": _SQL_RESAMPLE_INTERP,

@@ -581,6 +581,10 @@ HEADLINE = [
     "graph_assortativity",
     "herfindahl_index",
     "ewma_smooth",
+    "clustering_coeff",
+    "adamic_adar",
+    "prop_ztest",
+    "streaming_ewma",
 ]
 
 #: Explicit bench-exclusion manifest (VERDICT r11 item 3): every

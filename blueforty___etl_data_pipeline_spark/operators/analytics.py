@@ -1954,3 +1954,70 @@ def market_concentration(
             "hhi_e6",
         )
     )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Two-proportion z-test — the A/B readout for binary outcomes
+    (conversion, click-through):
+
+        z = (p̂₁ − p̂₂) / √( p̂(1−p̂) · (1/n₁ + 1/n₂) )
+
+    with p̂ the pooled rate.  ``success_col`` must be 0/1 (cast
+    upstream); the input must contain EXACTLY two groups (raises
+    otherwise — a k-group test is chi-square, a different statistic).
+    Counts are exact longs from one aggregation; z is the only double,
+    computed in the oracle-mirrored expression shape and e6-floored.
+    Group order is lexicographic (a = smaller key), so the sign is
+    deterministic.
+
+    Scale shape: ONE partial-agged two-row aggregation over raw rows,
+    then a 2-row pivot via conditional aggregation — nothing else
+    touches the data.  Returns one row: (group_a, group_b, n_a, x_a,
+    n_b, x_b, rate_a_e6, rate_b_e6, z_e6).
+    """
+    per = (
+        df.groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(success_col).cast("long")).alias("x"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n_groups = per.count()
+    if n_groups != 2:
+        raise ValueError(
+            f"two_proportion_ztest needs exactly 2 groups, got {n_groups}"
+        )
+    wide = per.agg(
+        F.min("g").alias("ga"),
+        F.max("g").alias("gb"),
+        F.min_by(F.col("n"), F.col("g")).alias("na"),
+        F.min_by(F.col("x"), F.col("g")).alias("xa"),
+        F.max_by(F.col("n"), F.col("g")).alias("nb"),
+        F.max_by(F.col("x"), F.col("g")).alias("xb"),
+    )
+    return wide.select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("xa").cast("long").alias("x_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("xb").cast("long").alias("x_b"),
+        F.expr("(1000000 * xa) div na").cast("long").alias("rate_a_e6"),
+        F.expr("(1000000 * xb) div nb").cast("long").alias("rate_b_e6"),
+        F.expr(
+            """CAST(FLOOR(1000000.0 * (
+                 (CAST(xa AS DOUBLE) / CAST(na AS DOUBLE)
+                  - CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE))
+                 / SQRT(
+                     (CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                     * (1.0 - CAST(xa + xb AS DOUBLE)
+                              / CAST(na + nb AS DOUBLE))
+                     * (1.0 / CAST(na AS DOUBLE)
+                        + 1.0 / CAST(nb AS DOUBLE))))) AS BIGINT)"""
+        ).alias("z_e6"),
+    )

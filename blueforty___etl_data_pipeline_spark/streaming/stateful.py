@@ -299,3 +299,72 @@ def running_topk_events(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_EWMA_OUT_SCHEMA = "event_type string, hr long, n long, ewma long"
+_EWMA_STATE_SCHEMA = "prev long, last_hr long"
+
+
+def _update_ewma(
+    key: tuple, batches: Iterator, state: GroupState
+) -> Iterator:
+    """Fold this micro-batch's buckets (sorted by hour) into the dyadic
+    EWMA recurrence y = (x + 3·y_prev) ÷ 4, carrying y across batches.
+    Buckets must arrive in nondecreasing hour order ACROSS batches
+    (the caller stages hour-range-partitioned files); a regression is
+    surfaced loudly rather than silently mis-folded."""
+    import pandas as pd
+
+    prev, last_hr = state.get if state.exists else (None, None)
+    out_hr: list[int] = []
+    out_n: list[int] = []
+    out_y: list[int] = []
+    rows: list[tuple[int, int]] = []
+    for pdf in batches:
+        rows.extend(
+            (int(h), int(n)) for h, n in zip(pdf["hr"], pdf["n"])
+        )
+    for h, n in sorted(rows):
+        if last_hr is not None and h <= last_hr:
+            raise ValueError(
+                f"out-of-order bucket {h} after {last_hr} for key {key}"
+            )
+        y = n if prev is None else (n + 3 * prev) // 4
+        prev, last_hr = y, h
+        out_hr.append(h)
+        out_n.append(n)
+        out_y.append(y)
+    if rows:
+        state.update((prev, last_hr))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]] * len(out_hr),
+            "hr": out_hr,
+            "n": out_n,
+            "ewma": out_y,
+        }
+    )
+
+
+def streaming_ewma(hourly: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators/temporal.dyadic_ewma`` (shift=2):
+    per-key dyadic EWMA over (event_type, hr, n) rows via
+    ``applyInPandasWithState`` — state is ONE (y, last_hr) pair per
+    key regardless of stream length, each bucket is emitted exactly
+    once in update mode, and because the recurrence is exact long
+    arithmetic the final emissions bit-equal the batch fold (the two
+    share one oracle).
+
+    Ordering contract: hour buckets must reach the operator in
+    nondecreasing hour order across micro-batches — stage the source
+    as hour-range-partitioned files (`repartitionByRange` + sort
+    within) so the file stream replays the calendar in order; within
+    a batch the update sorts.
+    """
+    return hourly.groupBy("event_type").applyInPandasWithState(
+        _update_ewma,
+        outputStructType=_EWMA_OUT_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -471,3 +471,45 @@ def test_degree_assortativity_star_ring(spark):
                                  "src long, dst long")
     (r2,) = degree_assortativity(ring).collect()
     assert r2["n_edges"] == 12 and r2["assortativity_e6"] == 0
+
+
+def test_clustering_coefficient_triangle_plus_pendant(spark):
+    """K3 {1,2,3} plus pendant 4-1: nodes 2,3 fully clustered (1e6),
+    node 1 has deg 3 -> 2*1e6*1 div 6 = 333333, pendant 4 -> 0."""
+    from blueforty___etl_data_pipeline_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1)], "src long, dst long"
+    )
+    out = {r["node"]: r for r in clustering_coefficient(e).collect()}
+    assert out[2]["coeff_e6"] == 1000000 == out[3]["coeff_e6"]
+    assert out[1]["degree"] == 3 and out[1]["coeff_e6"] == 333333
+    assert out[4]["degree"] == 1 and out[4]["coeff_e6"] == 0
+    assert out[1]["n_triangles"] == 1 == out[2]["n_triangles"]
+
+
+def test_adamic_adar_path_scores_nonadjacent_only(spark):
+    """Path 1-2-3: only (1,3) is non-adjacent with a common neighbor
+    (2, deg 2) -> aa = 1e12 div floor(1e6*ln 2) = 1442695; adjacent
+    pairs never emitted."""
+    import math
+
+    from blueforty___etl_data_pipeline_spark.operators.graph import (
+        adamic_adar,
+    )
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    rows = adamic_adar(e).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert (r["id_a"], r["id_b"], r["n_common"]) == (1, 3, 1)
+    assert r["aa_e6"] == 10**12 // math.floor(10**6 * math.log(2))
+    # star 0-{1,2,3}: hub deg 3 -> each leaf pair scores via ln 3
+    star = spark.createDataFrame([(0, i) for i in (1, 2, 3)],
+                                 "src long, dst long")
+    got = {(r["id_a"], r["id_b"]): r["aa_e6"]
+           for r in adamic_adar(star).collect()}
+    w = 10**12 // math.floor(10**6 * math.log(3))
+    assert got == {(1, 2): w, (1, 3): w, (2, 3): w}

@@ -400,3 +400,57 @@ def test_running_topk_events_matches_batch_topk(spark, sf_small, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def test_streaming_ewma_matches_batch_fold_multibatch(
+    spark, sf_small, tmp_path
+):
+    """Dyadic-EWMA state under FORCED multi-micro-batch splits: files
+    staged in hour order (one per range), so the cross-batch fold must
+    bit-equal the batch dyadic_ewma; state is ONE row per key."""
+    import os
+
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        dyadic_ewma,
+    )
+    from blueforty___etl_data_pipeline_spark.streaming.stateful import (
+        streaming_ewma,
+    )
+
+    ev = load_table(spark, sf_small, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    src = str(tmp_path / "ewma_src")
+    hourly.repartitionByRange(4, "hr").sortWithinPartitions("hr").write.parquet(src)
+    parts = sorted(
+        f for f in os.listdir(src)
+        if f.startswith("part-") and not f.endswith(".crc")
+    )
+    for i, fname in enumerate(parts):
+        os.utime(os.path.join(src, fname), (10**9 + i, 10**9 + i))
+    stream = (
+        spark.readStream.schema("event_type string, hr long, n long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = _run_available_now(streaming_ewma(stream), "ewma_state_test",
+                           mode="update")
+    ops = q.lastProgress["stateOperators"]
+    q.stop()
+    assert ops and ops[0]["operatorName"] == "applyInPandasWithState", ops
+    n_keys = hourly.select("event_type").distinct().count()
+    assert ops[0]["numRowsTotal"] == n_keys
+    got = {
+        (r["event_type"], r["hr"]): (r["n"], r["ewma"])
+        for r in spark.sql("SELECT * FROM ewma_state_test").collect()
+    }
+    exp = {
+        (r["event_type"], r["hr"]): (r["n"], r["ewma"])
+        for r in dyadic_ewma(hourly, "event_type", "hr", "n").collect()
+    }
+    assert got == exp

@@ -754,3 +754,27 @@ def test_market_concentration_hand_cases(spark):
     exp = (666666**2 + 333333**2) // 10**6
     assert out["g3"]["top_share_e6"] == 666666
     assert out["g3"]["hhi_e6"] == exp
+
+
+def test_two_proportion_ztest_hand_case(spark):
+    import math
+
+    import pytest
+
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        two_proportion_ztest,
+    )
+
+    rows = [("a", 1)] * 30 + [("a", 0)] * 70 + [("b", 1)] * 20 + [("b", 0)] * 80
+    df = spark.createDataFrame(rows, "variant string, ok int")
+    (r,) = two_proportion_ztest(df, "variant", "ok").collect()
+    assert (r["group_a"], r["group_b"]) == ("a", "b")
+    assert (r["n_a"], r["x_a"], r["n_b"], r["x_b"]) == (100, 30, 100, 20)
+    p = 50 / 200
+    z = (0.3 - 0.2) / math.sqrt(p * (1 - p) * (1 / 100 + 1 / 100))
+    assert r["z_e6"] == math.floor(1e6 * z)
+    assert r["rate_a_e6"] == 300000 and r["rate_b_e6"] == 200000
+    with pytest.raises(ValueError):
+        two_proportion_ztest(
+            df.filter("variant = 'a'"), "variant", "ok"
+        ).collect()
