@@ -418,3 +418,42 @@ def test_round12_expensive_query_plan_pins(spark):
     p = _fmt(qs["kmeans_train"](spark, sf))
     assert "WindowGroupLimit" in p
     assert "CartesianProduct" not in p
+
+
+def test_round12_addition_plan_pins(spark):
+    """Shape pins for the round-12 additions.  hits_scores /
+    graph_assortativity return driver-loop results behind
+    localCheckpoint (plan = Scan), so their shapes are pinned by unit
+    tests + the global job discipline instead; streaming_ewma's state
+    shape is pinned from query progress in test_streaming_stateful."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    sf = SF_DIR
+
+    # clustering_coeff / adamic_adar: wedge build + close are keyed
+    # equi-joins (SMJ/hash — correct for edge-list scale), the corner
+    # credit is one bounded Generate; never a cartesian, never Python
+    for name in ("clustering_coeff", "adamic_adar"):
+        p = _fmt(qs[name](spark, sf))
+        assert "SortMergeJoin" in p or "BroadcastHashJoin" in p, name
+        assert "CartesianProduct" not in p, name
+        assert "InPandas" not in p and "BatchEvalPython" not in p, name
+
+    # herfindahl_index: entity agg → total rollup joined back — keyed
+    # joins only
+    p = _fmt(qs["herfindahl_index"](spark, sf))
+    assert "CartesianProduct" not in p and "InPandas" not in p
+
+    # ewma_smooth: ONE key shuffle, the fold is an aggregate() HOF over
+    # a collected bounded series — no join, no window, no Python
+    p = _fmt(qs["ewma_smooth"](spark, sf))
+    assert "Join" not in p and "Window" not in p
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+
+    # prop_ztest: one two-row aggregation + a 2-row min_by/max_by pivot
+    # (the per-group table is checkpointed for the group-count guard,
+    # so the final plan reads the 2-row RDD) — no join, no window
+    p = _fmt(qs["prop_ztest"](spark, sf))
+    assert "Join" not in p and "Window" not in p
+    assert "HashAggregate" in p
