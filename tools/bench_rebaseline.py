@@ -89,7 +89,7 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
         json.dump(final, f, indent=1, sort_keys=True)
         f.write("\n")
-    with open(os.path.join(REPO, "BENCH_MEDIANS_r11.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH_MEDIANS_r12.json"), "w") as f:
         json.dump(final, f, indent=1, sort_keys=True)
         f.write("\n")
     print(f"median total: {total}s over {len(names)} queries")
