@@ -20371,6 +20371,37 @@ def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary permille per source (operators/corpus.
+    oov_rate): word occurrences outside the ≥5-count corpus vocabulary
+    — the tokenizer-coverage hole bpe_fertility's fragment count
+    complements.  Exact long arithmetic end to end."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        oov_rate,
+    )
+
+    return oov_rate(_t(spark, sf_dir, "documents"), min_count=5)
+
+
+_SQL_OOV_RATE = """
+WITH w AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+words AS (SELECT source, token FROM w WHERE token <> ''),
+vocab AS (
+  SELECT token FROM words GROUP BY 1 HAVING COUNT(*) >= 5)
+SELECT wd.source,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST((1000 * SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS oov_permille
+FROM words wd LEFT JOIN vocab v ON wd.token = v.token
+GROUP BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -20840,6 +20871,7 @@ def _queries_r10_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar": q_adamic_adar,
         "prop_ztest": q_prop_ztest,
         "streaming_ewma": q_streaming_ewma,
+        "oov_rate": q_oov_rate,
     }
 
 
@@ -20923,6 +20955,7 @@ def oracle_sql() -> dict[str, str]:
         # shared with the batch twin: a hash match proves the streaming
         # state fold equals the batch recurrence exactly
         "streaming_ewma": _SQL_EWMA_SMOOTH,
+        "oov_rate": _SQL_OOV_RATE,
         "sorted_neighborhood": _SQL_SORTED_NEIGHBORHOOD,
         "maxsim_retrieval": _sql_maxsim_retrieval(),
         "resample_interp": _SQL_RESAMPLE_INTERP,

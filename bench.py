@@ -585,6 +585,7 @@ HEADLINE = [
     "adamic_adar",
     "prop_ztest",
     "streaming_ewma",
+    "oov_rate",
 ]
 
 #: Explicit bench-exclusion manifest (VERDICT r11 item 3): every

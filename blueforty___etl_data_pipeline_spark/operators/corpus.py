@@ -1518,3 +1518,55 @@ def term_burstiness(
         .orderBy(F.desc("vmr_e6"), F.asc("tok"))
         .limit(top_k)
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Out-of-vocabulary rate per group — the tokenizer-coverage
+    diagnostic of corpus curation: what permille of a source's word
+    occurrences fall outside the corpus vocabulary (tokens seen ≥
+    ``min_count`` times)?  High OOV flags a source the tokenizer will
+    shred into fragments (cf. bpe_fertility, which measures the
+    fragment COUNT; this measures the coverage HOLE).
+
+        oov_permille = (1000 · n_oov) ÷ n_words   (exact longs)
+
+    Scale shape: the corpus explodes to words ONCE
+    (localCheckpoint(eager=False) feeds both branches), the vocabulary
+    is the canonical partial-agged word count pruned at ``min_count``
+    (no rank window needed — membership only), and scoring is one
+    hash join of words against the pruned vocab + one per-group agg.
+    Returns (group, n_words, n_oov, oov_permille).
+    """
+    words = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens_ws(F.col(text_col))).alias("token"),
+    ).localCheckpoint(eager=False)
+    vocab = (
+        words.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(min_count))
+        .select("token", F.lit(1).alias("_in"))
+    )
+    return (
+        words.join(vocab, on="token", how="left")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_oov").cast("long").alias("n_oov"),
+            F.expr("(1000 * n_oov) div n_words")
+            .cast("long")
+            .alias("oov_permille"),
+        )
+    )

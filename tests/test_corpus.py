@@ -807,3 +807,22 @@ def test_term_burstiness_bursty_vs_uniform(spark):
     # b: counts (4,0,0,0): N*scc - sc^2 = 4*16-16 = 48; N*sc = 16
     assert out["b"]["vmr_e6"] == (1000000 * 48) // 16
     assert out["b"]["df"] == 1 and out["b"]["total_count"] == 4
+
+
+def test_oov_rate_hand_case(spark):
+    """Vocab at min_count=2: 'a' (3x) and 'b' (2x) are in-vocab; every
+    other word is OOV.  src1 = 'a a b' -> 0 permille; src2 = 'a b x y'
+    -> 2/4 = 500 permille."""
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        oov_rate,
+    )
+
+    df = spark.createDataFrame(
+        [("s1", "a a b"), ("s2", "a b x y")],
+        "source string, text string",
+    )
+    out = {r["source"]: r for r in
+           oov_rate(df, min_count=2).collect()}
+    assert out["s1"]["n_words"] == 3 and out["s1"]["oov_permille"] == 0
+    assert out["s2"]["n_words"] == 4 and out["s2"]["n_oov"] == 2
+    assert out["s2"]["oov_permille"] == 500
