@@ -20402,6 +20402,97 @@ GROUP BY 1
 """
 
 
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F over event values by event_type (operators/
+    analytics.anova_f): exact DECIMAL moments with per-group integer
+    floors so the decomposition is partial-agg-order-free; F is the
+    only double, e6-floored in the oracle's shape."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        anova_f,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 1000000).cast("long").alias("_vm"),
+    )
+    return anova_f(ev, "event_type", "_vm")
+
+
+_SQL_ANOVA_F = """
+WITH per AS (
+  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(FLOOR(value * 1000000) AS HUGEINT)) AS s,
+         SUM(CAST(FLOOR(value * 1000000) AS HUGEINT)
+             * CAST(FLOOR(value * 1000000) AS HUGEINT)) AS ss
+  FROM events GROUP BY 1),
+tot AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS k, SUM(n) AS nt, SUM(s) AS st,
+         SUM(ss) AS sst, SUM((s * s) // n) AS a
+  FROM per)
+SELECT CAST(k AS BIGINT) AS n_groups, CAST(nt AS BIGINT) AS n_rows,
+       CAST((a - (st * st) // nt) // 1000000000000 AS BIGINT)
+         AS ssb_units,
+       CAST((sst - a) // 1000000000000 AS BIGINT) AS ssw_units,
+       CAST(FLOOR(1000000.0 *
+            (CAST(a - (st * st) // nt AS DOUBLE)
+             / CAST(k - 1 AS DOUBLE))
+            / (CAST(sst - a AS DOUBLE)
+               / CAST(nt - k AS DOUBLE))) AS BIGINT) AS f_e6
+FROM tot
+"""
+
+
+def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation of hourly click vs view volume
+    (operators/temporal.cross_correlation), lags 0-6 — the "does A
+    lead B" time-series readout; exact DECIMAL moments per lag."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        cross_correlation,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+
+    def hourly(kind: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == kind)
+            .groupBy(F.expr("unix_micros(ts) div 3600000000").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("v"))
+        )
+
+    return cross_correlation(hourly("click"), hourly("view"), max_lag=6)
+
+
+_SQL_CROSS_CORRELATION = """
+WITH x AS (
+  SELECT epoch_us(ts) // 3600000000 AS t, CAST(COUNT(*) AS HUGEINT) AS v
+  FROM events WHERE event_type = 'click' GROUP BY 1),
+y AS (
+  SELECT epoch_us(ts) // 3600000000 AS t, CAST(COUNT(*) AS HUGEINT) AS v
+  FROM events WHERE event_type = 'view' GROUP BY 1),
+p AS (
+  SELECT l.lag, x.v AS xv, y.v AS yv
+  FROM range(0, 7) l(lag)
+  CROSS JOIN x JOIN y ON y.t = x.t + l.lag),
+m AS (
+  SELECT lag, CAST(COUNT(*) AS HUGEINT) AS n, SUM(xv) AS sx,
+         SUM(yv) AS sy, SUM(xv * xv) AS sxx, SUM(yv * yv) AS syy,
+         SUM(xv * yv) AS sxy
+  FROM p GROUP BY 1)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       CAST(CASE
+              WHEN n < 3 OR (n * sxx - sx * sx) = 0
+                   OR (n * syy - sy * sy) = 0 THEN 0
+              ELSE FLOOR(1000000.0 *
+                (CAST(n * sxy - sx * sy AS DOUBLE) /
+                 (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                  SQRT(CAST(n * syy - sy * sy AS DOUBLE)))))
+            END AS BIGINT) AS r_e6
+FROM m ORDER BY lag
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -20872,6 +20963,8 @@ def _queries_r10_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prop_ztest": q_prop_ztest,
         "streaming_ewma": q_streaming_ewma,
         "oov_rate": q_oov_rate,
+        "anova_f": q_anova_f,
+        "cross_correlation": q_cross_correlation,
     }
 
 
@@ -20956,6 +21049,8 @@ def oracle_sql() -> dict[str, str]:
         # state fold equals the batch recurrence exactly
         "streaming_ewma": _SQL_EWMA_SMOOTH,
         "oov_rate": _SQL_OOV_RATE,
+        "anova_f": _SQL_ANOVA_F,
+        "cross_correlation": _SQL_CROSS_CORRELATION,
         "sorted_neighborhood": _SQL_SORTED_NEIGHBORHOOD,
         "maxsim_retrieval": _sql_maxsim_retrieval(),
         "resample_interp": _SQL_RESAMPLE_INTERP,

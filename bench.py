@@ -586,6 +586,8 @@ HEADLINE = [
     "prop_ztest",
     "streaming_ewma",
     "oov_rate",
+    "anova_f",
+    "cross_correlation",
 ]
 
 #: Explicit bench-exclusion manifest (VERDICT r11 item 3): every

@@ -34,6 +34,23 @@ def _floordiv(num: str, den: str) -> Column:
     )
 
 
+#: Exact floor division for NONNEGATIVE DECIMAL(38,0) expressions whose
+#: QUOTIENT can exceed int64 — Spark's ``div`` returns a LONG and
+#: silently wraps such quotients (verified round 12).  Subtracting the
+#: exact decimal remainder first makes the decimal divide land on an
+#: integer quotient, which DECIMAL(38,6) represents exactly (≤ 32
+#: integer digits), so the final CAST back to DECIMAL(38,0) is lossless.
+_DEC_FLOORDIV_SQL = (
+    "CAST((({num}) - (({num}) % ({den}))) / ({den}) AS DECIMAL(38,0))"
+)
+
+
+def _dec_floordiv(num: str, den: str) -> Column:
+    """See ``_DEC_FLOORDIV_SQL``; nonnegative operands only (decimal %
+    follows the dividend sign, so this is trunc, = floor for ≥ 0)."""
+    return F.expr(_DEC_FLOORDIV_SQL.format(num=num, den=den))
+
+
 def with_lag_lead(
     df: DataFrame,
     col: str,
@@ -1932,18 +1949,25 @@ def market_concentration(
     tot = per.groupBy("grp").agg(
         F.sum("val").alias("total"), F.count(F.lit(1)).alias("n_entities")
     )
+    # multiplications go through DECIMAL(38,0): at corpus scale
+    # 1e6 · val and Σ share² overflow int64 long before the QUOTIENTS
+    # (≤ 1e6 / ≤ 1e12) do, and Spark's long arithmetic wraps silently
     shares = per.join(tot, on="grp").select(
         "grp",
         "n_entities",
         "total",
-        F.expr("(1000000 * val) div total").alias("share_e6"),
+        F.expr(
+            "(CAST(1000000 AS DECIMAL(38,0)) * CAST(val AS DECIMAL(38,0)))"
+            " div CAST(total AS DECIMAL(38,0))"
+        ).alias("share_e6"),
     )
     return (
         shares.groupBy("grp", "n_entities", "total")
         .agg(
             F.max("share_e6").cast("long").alias("top_share_e6"),
             F.expr(
-                "CAST(sum(share_e6 * share_e6) div 1000000 AS BIGINT)"
+                "CAST(sum(CAST(share_e6 AS DECIMAL(38,0))"
+                " * CAST(share_e6 AS DECIMAL(38,0))) div 1000000 AS BIGINT)"
             ).alias("hhi_e6"),
         )
         .select(
@@ -2020,4 +2044,79 @@ def two_proportion_ztest(
                      * (1.0 / CAST(na AS DOUBLE)
                         + 1.0 / CAST(nb AS DOUBLE))))) AS BIGINT)"""
         ).alias("z_e6"),
+    )
+
+
+def anova_f(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way ANOVA F statistic — "do these k groups share a mean?"
+    (the k-group generalization of the two-sample tests; pair with
+    :func:`two_proportion_ztest` / mann_whitney for the full readout).
+    ``value_col`` must be integer-valued (quantize upstream — micros).
+
+    Sum decomposition in EXACT integer arithmetic: with per-group
+    exact DECIMAL(38,0) moments (n_g, s_g = Σx, ss_g = Σx²),
+
+        A     = Σ_g (s_g² ÷ n_g)        (integer floor per group)
+        SSB   = A − S² ÷ n
+        SSW   = SS − A
+        F_e6  = floor(1e6 · (SSB/(k−1)) / (SSW/(n−k)))
+
+    The per-group floor makes every partial sum an exact integer, so
+    the statistic is partial-agg-order-free (a raw float Σ s_g²/n_g
+    would depend on accumulation order); the floors bias A by < k
+    micros² — documented, identical in the oracle, and negligible
+    against micros-squared magnitudes.  F is the only double.
+
+    Quotients here EXCEED int64 (s_g² ÷ n_g is micros²-scaled), so
+    the floor-divisions go through :func:`_dec_floordiv`, never
+    Spark's ``div`` — ``div`` returns a LONG and silently WRAPS any
+    quotient past 2^63 (verified: DECIMAL(38,0) div 1 of a 23-digit
+    value returns garbage).
+
+    Scale shape: ONE partial-agged per-group aggregation (shuffle =
+    group cardinality) → ONE k-row rollup.  Returns one row:
+    (n_groups, n_rows, ssb_units, ssw_units, f_e6).
+    """
+    d38 = "decimal(38,0)"
+    per = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col(value_col).cast(d38)).alias("s"),
+        F.sum(
+            F.col(value_col).cast(d38) * F.col(value_col).cast(d38)
+        ).alias("ss"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast(d38).alias("k"),
+        F.sum("n").alias("nt"),
+        F.sum("s").alias("st"),
+        F.sum("ss").alias("sst"),
+        F.sum(_dec_floordiv("s * s", "n")).alias("a"),
+    )
+    # sums of squares are micros² (can exceed int64) — report them
+    # floor-divided back to whole units² (exact integers, long-safe)
+    ssb = "(a - " + _DEC_FLOORDIV_SQL.format(num="st * st", den="nt") + ")"
+    return tot.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("nt").cast("long").alias("n_rows"),
+        F.expr(
+            "CAST("
+            + _DEC_FLOORDIV_SQL.format(num=ssb, den="1000000000000")
+            + " AS BIGINT)"
+        ).alias("ssb_units"),
+        F.expr(
+            "CAST("
+            + _DEC_FLOORDIV_SQL.format(num="(sst - a)", den="1000000000000")
+            + " AS BIGINT)"
+        ).alias("ssw_units"),
+        F.expr(
+            f"""CAST(FLOOR(1000000.0 *
+                 (CAST({ssb} AS DOUBLE)
+                  / CAST(k - 1 AS DOUBLE))
+                 / (CAST(sst - a AS DOUBLE)
+                    / CAST(nt - k AS DOUBLE))) AS BIGINT)"""
+        ).alias("f_e6"),
     )

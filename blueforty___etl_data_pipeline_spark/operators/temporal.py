@@ -1281,3 +1281,68 @@ def dyadic_ewma(
         F.col("r.x").alias(value_col),
         F.col("r.y").alias("ewma"),
     )
+
+
+def cross_correlation(
+    series_a: DataFrame,
+    series_b: DataFrame,
+    order_col: str = "bucket",
+    value_col: str = "v",
+    max_lag: int = 6,
+) -> DataFrame:
+    """Lagged cross-correlation between two regular time series — does
+    series A lead series B, and by how many buckets?  For each lag
+    L ∈ [0, max_lag], the Pearson correlation of pairs
+    (a_t, b_{t+L}) over every t both series cover.
+
+    Values must be integer (pre-aggregated counts / micros): all five
+    moments per lag are exact DECIMAL(38,0) sums, the correlation is
+    the only double (√·√ split, e6-floored in the oracle's expression
+    shape).  Lags with < 3 pairs or zero variance report r_e6 = 0.
+
+    Scale shape: a (max_lag+1)-row lag spine broadcast-joins series A
+    (bucket+lag precomputed), then ONE hash join against series B on
+    the shifted bucket, then ONE per-lag moment aggregation — series
+    are calendar-bounded, so the joined volume is lags × buckets.
+    Returns (lag, n_pairs, r_e6) ordered by lag.
+    """
+    d38 = "decimal(38,0)"
+    spark = series_a.sparkSession
+    lags = spark.range(0, max_lag + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    a = series_a.select(
+        F.col(order_col).cast("long").alias("t"),
+        F.col(value_col).cast(d38).alias("x"),
+    )
+    b = series_b.select(
+        F.col(order_col).cast("long").alias("tb"),
+        F.col(value_col).cast(d38).alias("y"),
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .withColumn("tb", F.col("t") + F.col("lag"))
+        .join(b, on="tb")
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return m.select(
+        F.col("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.expr(
+            """CAST(CASE
+                 WHEN n < 3 OR (n * sxx - sx * sx) = 0
+                      OR (n * syy - sy * sy) = 0 THEN 0
+                 ELSE FLOOR(1000000.0 *
+                   (CAST(n * sxy - sx * sy AS DOUBLE) /
+                    (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                     SQRT(CAST(n * syy - sy * sy AS DOUBLE)))))
+               END AS BIGINT)"""
+        ).alias("r_e6"),
+    ).orderBy("lag")

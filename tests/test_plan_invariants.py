@@ -457,3 +457,17 @@ def test_round12_addition_plan_pins(spark):
     p = _fmt(qs["prop_ztest"](spark, sf))
     assert "Join" not in p and "Window" not in p
     assert "HashAggregate" in p
+
+    # anova_f: one per-group moment agg + a k-row rollup — no join,
+    # no window, single scan
+    p = _fmt(qs["anova_f"](spark, sf))
+    assert "Join" not in p and "Window" not in p
+    scans = [ln for ln in p.splitlines()
+             if ln.strip().startswith("(") and "Scan parquet" in ln]
+    assert len(scans) == 1, scans
+
+    # cross_correlation: lag spine broadcasts onto series A, ONE keyed
+    # join against series B — never a cartesian
+    p = _fmt(qs["cross_correlation"](spark, sf))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p

@@ -780,3 +780,27 @@ def test_dyadic_ewma_exact_fold_and_partition_invariance(spark):
                        ("k", 2, 4), ("k", 3, 28)]
     with __import__("pytest").raises(ValueError):
         dyadic_ewma(df, "k", "o", "x", shift=0)
+
+
+def test_cross_correlation_finds_true_lag(spark):
+    """B = A shifted by 2 buckets: r_e6 = exactly 1e6 at lag 2 (exact
+    shift), < 1e6 elsewhere; pair counts shrink with lag."""
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        cross_correlation,
+    )
+
+    vals = [1, 5, 2, 8, 3, 9, 4, 7, 6, 2, 8, 1]
+    a = spark.createDataFrame(list(enumerate(vals)), "bucket long, v long")
+    b = spark.createDataFrame(
+        [(t + 2, v) for t, v in enumerate(vals)], "bucket long, v long"
+    )
+    out = {r["lag"]: (r["n_pairs"], r["r_e6"])
+           for r in cross_correlation(a, b, max_lag=3).collect()}
+    assert out[2] == (12, 1000000)
+    assert all(out[lag][1] < 1000000 for lag in (0, 1, 3))
+    # constant series -> zero variance -> defined 0
+    c = spark.createDataFrame([(t, 5) for t in range(8)],
+                              "bucket long, v long")
+    outc = {r["lag"]: r["r_e6"]
+            for r in cross_correlation(c, c, max_lag=1).collect()}
+    assert outc[0] == 0 and outc[1] == 0

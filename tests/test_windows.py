@@ -778,3 +778,36 @@ def test_two_proportion_ztest_hand_case(spark):
         two_proportion_ztest(
             df.filter("variant = 'a'"), "variant", "ok"
         ).collect()
+
+
+def test_anova_f_hand_case_and_div_overflow_guard(spark):
+    """Groups [1,2,3],[2,3,4],[7,8,9]: A=231, SSB=62, SSW=6, F=31
+    exactly.  Second case uses micros-scale values whose s_g^2/n_g
+    quotients exceed int64 — the _dec_floordiv path must still match
+    exact Python integer arithmetic (Spark's plain `div` silently
+    wraps there)."""
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        anova_f,
+    )
+
+    rows = [("a", 1), ("a", 2), ("a", 3), ("b", 2), ("b", 3), ("b", 4),
+            ("c", 7), ("c", 8), ("c", 9)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    (r,) = anova_f(df, "g", "v").collect()
+    assert (r["n_groups"], r["n_rows"], r["f_e6"]) == (3, 9, 31000000)
+
+    big = [("a", 250_000_000), ("a", 260_000_000), ("b", 490_000_000),
+           ("b", 480_000_000), ("c", 10_000), ("c", 20_000)]
+    df2 = spark.createDataFrame(big, "g string, v long")
+    (r2,) = anova_f(df2, "g", "v").collect()
+    import math
+    gs = {"a": [250_000_000, 260_000_000], "b": [490_000_000, 480_000_000],
+          "c": [10_000, 20_000]}
+    A = sum(sum(v) ** 2 // len(v) for v in gs.values())
+    S = sum(sum(v) for v in gs.values())
+    n = 6
+    SS = sum(x * x for v in gs.values() for x in v)
+    ssb, ssw, k = A - S * S // n, SS - A, 3
+    assert r2["ssb_units"] == ssb // 10**12
+    assert r2["ssw_units"] == ssw // 10**12
+    assert r2["f_e6"] == math.floor(1e6 * (ssb / (k - 1)) / (ssw / (n - k)))
