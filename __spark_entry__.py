@@ -20493,6 +20493,44 @@ FROM m ORDER BY lag
 """
 
 
+def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic reduction of the hourly event-volume series per
+    event_type (operators/temporal.sax_transform): 8-hour PAA segments
+    (exact e6 means) mapped to a 4-symbol equi-depth alphabet — the
+    motif/indexing representation of time series, all long arithmetic
+    plus one NTILE both engines define identically."""
+    _prep(spark)
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        sax_transform,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return sax_transform(
+        hourly, "event_type", "hr", "n", segment_size=8, alphabet=4
+    )
+
+
+_SQL_SAX_SYMBOLS = """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+seg AS (
+  SELECT event_type, hr // 8 AS segment,
+         CAST(COUNT(*) AS BIGINT) AS n_ticks,
+         CAST((1000000 * SUM(n)) // COUNT(*) AS BIGINT) AS paa_e6
+  FROM hourly GROUP BY 1, 2)
+SELECT event_type, CAST(segment AS BIGINT) AS segment, n_ticks, paa_e6,
+       CAST(NTILE(4) OVER (PARTITION BY event_type
+                           ORDER BY paa_e6, segment) AS BIGINT) AS symbol
+FROM seg
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (PURCHASE_ORDERS_AND_INVOICES
     analog) over sf0.001."""
@@ -20965,6 +21003,7 @@ def _queries_r10_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": q_oov_rate,
         "anova_f": q_anova_f,
         "cross_correlation": q_cross_correlation,
+        "sax_symbols": q_sax_symbols,
     }
 
 
@@ -21051,6 +21090,7 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate": _SQL_OOV_RATE,
         "anova_f": _SQL_ANOVA_F,
         "cross_correlation": _SQL_CROSS_CORRELATION,
+        "sax_symbols": _SQL_SAX_SYMBOLS,
         "sorted_neighborhood": _SQL_SORTED_NEIGHBORHOOD,
         "maxsim_retrieval": _sql_maxsim_retrieval(),
         "resample_interp": _SQL_RESAMPLE_INTERP,

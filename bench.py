@@ -588,6 +588,7 @@ HEADLINE = [
     "oov_rate",
     "anova_f",
     "cross_correlation",
+    "sax_symbols",
 ]
 
 #: Explicit bench-exclusion manifest (VERDICT r11 item 3): every

@@ -1346,3 +1346,54 @@ def cross_correlation(
                END AS BIGINT)"""
         ).alias("r_e6"),
     ).orderBy("lag")
+
+
+def sax_transform(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    segment_size: int = 8,
+    alphabet: int = 4,
+) -> DataFrame:
+    """Symbolic Aggregate approXimation (Lin et al. 2003) of a regular
+    series — the indexing/motif-discovery reduction that turns a long
+    numeric series into a short symbol string: buckets of
+    ``segment_size`` consecutive ticks collapse to their mean (PAA),
+    and each mean maps to one of ``alphabet`` symbols.
+
+    Engine-exact variant: the PAA mean is an exact e6 long
+    (``(1e6·Σv) ÷ n`` per segment — values must be integer), and the
+    symbol is EQUI-DEPTH ``NTILE(alphabet)`` over the key's PAA values
+    under the total order (paa_e6, segment) — data-driven breakpoints
+    instead of the classic Gaussian table, so no float CDF enters and
+    both engines replay the same standard NTILE bucketing (first
+    ⌈n/k⌉-sized buckets).
+
+    Scale shape: ONE (key, segment) partial agg over the raw series →
+    ONE key-partitioned NTILE window over the segment table — which is
+    calendar-bounded (series_length ÷ segment_size rows per key), the
+    survival-curve argument.  Returns (key, segment, n_ticks, paa_e6,
+    symbol) — symbol 1 = lowest band.
+    """
+    if segment_size < 1 or alphabet < 2:
+        raise ValueError("segment_size >= 1 and alphabet >= 2 required")
+    seg = df.groupBy(
+        F.col(key_col).alias("k"),
+        F.expr(f"CAST({order_col} AS BIGINT) div {segment_size}")
+        .alias("segment"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.expr(
+            f"(1000000 * sum(CAST({value_col} AS BIGINT)))"
+            " div count(1)"
+        ).alias("paa_e6"),
+    )
+    w = Window.partitionBy("k").orderBy("paa_e6", "segment")
+    return seg.select(
+        F.col("k").alias(key_col),
+        F.col("segment"),
+        F.col("n_ticks").cast("long").alias("n_ticks"),
+        F.col("paa_e6").cast("long").alias("paa_e6"),
+        F.ntile(alphabet).over(w).cast("long").alias("symbol"),
+    )

@@ -804,3 +804,32 @@ def test_cross_correlation_finds_true_lag(spark):
     outc = {r["lag"]: r["r_e6"]
             for r in cross_correlation(c, c, max_lag=1).collect()}
     assert outc[0] == 0 and outc[1] == 0
+
+
+def test_sax_transform_paa_and_equidepth_symbols(spark):
+    """Ticks 0-15 on one key, segment_size 4: PAA means are exact e6
+    floor-divisions; NTILE(2) puts the two lower-mean segments in
+    band 1, the two higher in band 2.  Partition invariance holds."""
+    import pytest
+
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        sax_transform,
+    )
+
+    vals = [1, 1, 1, 2, 9, 9, 9, 9, 1, 2, 1, 2, 8, 8, 9, 9]
+    rows = [("k", t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+    for parts in (1, 4):
+        out = {
+            r["segment"]: (r["n_ticks"], r["paa_e6"], r["symbol"])
+            for r in sax_transform(
+                df.repartition(parts), "k", "t", "v",
+                segment_size=4, alphabet=2,
+            ).collect()
+        }
+        assert out[0] == (4, (5 * 10**6) // 4, 1)      # mean 1.25
+        assert out[1] == (4, 9 * 10**6, 2)             # mean 9
+        assert out[2] == (4, (6 * 10**6) // 4, 1)      # mean 1.5
+        assert out[3] == (4, (34 * 10**6) // 4, 2)     # mean 8.5
+    with pytest.raises(ValueError):
+        sax_transform(df, "k", "t", "v", alphabet=1)
