@@ -734,6 +734,18 @@ def main() -> None:
     run_counts: dict[str, int] = {}
     for name in HEADLINE:
         fn = qs[name]
+        # Heap hygiene between queries (VERDICT r12 #1): drop any
+        # cached relations the previous query left behind so 350+
+        # queries of broadcast/cache debris can't accumulate into a
+        # notEnoughMemoryToBuildAndBroadcastTableError inside the
+        # iterative operators' eager localCheckpoints.  Operators
+        # unpersist what they cache, but clearCache() is the
+        # belt-and-braces backstop — it is a metadata call (<1 ms when
+        # the cache is already empty), so it cannot skew timings.
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
         try:
             fn(spark, warm_dir).write.mode("overwrite").format(
                 "noop"

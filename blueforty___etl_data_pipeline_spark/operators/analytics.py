@@ -20,18 +20,16 @@ def _w(partition_by: Sequence[str], order_by: Sequence[Column | str]):
     return Window.partitionBy(*partition_by).orderBy(*order_by)
 
 
-def _floordiv(num: str, den: str) -> Column:
-    """Exact FLOOR division of integer/decimal SQL expressions —
-    DuckDB ``//`` parity.  Spark's ``div`` truncates toward zero;
-    the two differ exactly when the quotient is negative and the
-    division inexact, where floor = trunc − 1.  Stays in exact
-    integer arithmetic (no double round-trip), so engine and oracle
-    agree for negative sums too (ADVICE r11: truncation-vs-floor
-    divergence in ips_policy_value / cuped_adjust)."""
-    return F.expr(
-        f"(({num}) div ({den})) - (CASE WHEN (({num}) % ({den})) != 0 "
-        f"AND ((({num}) < 0) != (({den}) < 0)) THEN 1 ELSE 0 END)"
-    )
+def _truncdiv(num: str, den: str) -> Column:
+    """Exact TRUNCATING division of integer/decimal SQL expressions —
+    DuckDB ``//`` parity.  DuckDB (1.0.0) integer ``//`` truncates
+    toward zero (verified: ``-7 // 2 = -3`` on BIGINT and HUGEINT
+    alike), which is exactly Spark's ``div``; a floor variant
+    (quotient − 1 for negative inexact quotients) would DIVERGE from
+    the oracle on negative sums (ADVICE r12 — the round-11 floor
+    "fix" was itself the bug; reverted here with a regression test
+    covering negative dividends)."""
+    return F.expr(f"(({num}) div ({den}))")
 
 
 #: Exact floor division for NONNEGATIVE DECIMAL(38,0) expressions whose
@@ -45,7 +43,7 @@ _DEC_FLOORDIV_SQL = (
 )
 
 
-def _dec_floordiv(num: str, den: str) -> Column:
+def _dec_truncdiv(num: str, den: str) -> Column:
     """See ``_DEC_FLOORDIV_SQL``; nonnegative operands only (decimal %
     follows the dividend sign, so this is trunc, = floor for ≥ 0)."""
     return F.expr(_DEC_FLOORDIV_SQL.format(num=num, den=den))
@@ -1710,11 +1708,11 @@ def ips_policy_value(
     return per.crossJoin(F.broadcast(tot)).select(
         "action",
         F.col("n").cast("long").alias("n"),
-        _floordiv("1000000000 * n", "n_total")
+        _truncdiv("1000000000 * n", "n_total")
         .cast("long")
         .alias("propensity_e9"),
-        _floordiv("sum_rm", "n").cast("long").alias("mean_reward_micros"),
-        _floordiv("sum_rm", "k * n")
+        _truncdiv("sum_rm", "n").cast("long").alias("mean_reward_micros"),
+        _truncdiv("sum_rm", "k * n")
         .cast("long")
         .alias("ips_contrib_micros"),
     )
@@ -1909,7 +1907,7 @@ def cuped_adjust(
     return per_v.crossJoin(F.broadcast(pooled)).select(
         "variant",
         F.col("nv").cast("long").alias("n_units"),
-        _floordiv("CAST(syv AS DECIMAL(38,0))", "CAST(nv AS DECIMAL(38,0))")
+        _truncdiv("CAST(syv AS DECIMAL(38,0))", "CAST(nv AS DECIMAL(38,0))")
         .cast("long")
         .alias("mean_y_micros"),
         F.floor(adj).cast("long").alias("mean_adj_micros"),
@@ -2094,7 +2092,7 @@ def anova_f(
         F.sum("n").alias("nt"),
         F.sum("s").alias("st"),
         F.sum("ss").alias("sst"),
-        F.sum(_dec_floordiv("s * s", "n")).alias("a"),
+        F.sum(_dec_truncdiv("s * s", "n")).alias("a"),
     )
     # sums of squares are micros² (can exceed int64) — report them
     # floor-divided back to whole units² (exact integers, long-safe)

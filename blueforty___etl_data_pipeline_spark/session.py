@@ -38,9 +38,21 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
+    # Driver heap: pyspark forwards builder confs to the JVM launch
+    # command (--conf) when THIS process starts the gateway, so the
+    # setting is effective for every session this factory creates.
+    # Spark's 1 GiB default heap is marginal for long single-JVM
+    # sequences — BENCH_r12 died with
+    # notEnoughMemoryToBuildAndBroadcastTableError building a broadcast
+    # inside an eager localCheckpoint after 350 queries of accumulated
+    # broadcast relations / cached plans / metaspace (VERDICT r12 #1).
+    # The env override lets cluster submitters and the sf1 tools pick
+    # their own size; if the JVM is already up, the conf is inert.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "16g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         # Correctness contract: null-on-failure casts (TRY_TO_* analogs).
         .config("spark.sql.ansi.enabled", "false")
         # Scale: AQE re-plans shuffles at runtime (coalesce, skew split,

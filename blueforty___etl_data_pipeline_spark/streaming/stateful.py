@@ -329,7 +329,16 @@ def _update_ewma(
             raise ValueError(
                 f"out-of-order bucket {h} after {last_hr} for key {key}"
             )
-        y = n if prev is None else (n + 3 * prev) // 4
+        if prev is None:
+            y = n
+        else:
+            # Truncating division (toward zero), matching the batch
+            # twin's Spark `div` (temporal.py dyadic_ewma) and the
+            # shared DuckDB `//` oracle for negative values too —
+            # Python `//` floors, which diverges on negative sums
+            # (ADVICE r12).
+            q = n + 3 * prev
+            y = -((-q) // 4) if q < 0 else q // 4
         prev, last_hr = y, h
         out_hr.append(h)
         out_n.append(n)

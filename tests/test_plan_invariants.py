@@ -471,3 +471,104 @@ def test_round12_addition_plan_pins(spark):
     p = _fmt(qs["cross_correlation"](spark, sf))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_round13_addition_plan_pins(spark):
+    """Shape pins for the two round-12 post-medians additions not yet
+    covered by test_round12_addition_plan_pins (VERDICT r12 item 6):
+    oov_rate and sax_symbols (anova_f / cross_correlation were pinned
+    at add time)."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    sf = SF_DIR
+
+    # oov_rate: the >=min_count vocabulary (distinct-token cardinality,
+    # tiny next to token occurrences) is BROADCAST onto the occurrence
+    # stream as a LeftOuter probe — never a shuffle join on tokens,
+    # never a cartesian, no Python stage, no window.
+    p = _fmt(qs["oov_rate"](spark, sf))
+    assert "BroadcastHashJoin" in p and "LeftOuter" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+    assert "Window" not in p
+
+    # sax_symbols: cascading keyed aggregates (hour buckets -> PAA
+    # frames) off ONE pruned parquet scan, then a single per-key
+    # Window for the symbol ordering — no join anywhere.
+    p = _fmt(qs["sax_symbols"](spark, sf))
+    assert "Join" not in p
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+    scans = [ln for ln in p.splitlines()
+             if "Scan parquet" in ln and "(1)" in ln or
+             ln.strip().startswith("ReadSchema")]
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert len(rs) == 1 and "ts" in rs[0] and "event_type" in rs[0], rs
+
+
+def test_iterative_graph_checkpoints_are_narrow(spark):
+    """VERDICT r12 item 5: every frame an iterative graph operator
+    localCheckpoints per round must be a NODE-CARDINALITY projection
+    (a handful of atomic columns — scores, labels, hops), never a
+    join-bloated wide.  On a 1000-executor cluster these per-round
+    materializations become reliable ``checkpoint`` writes; their size
+    budget is |V|, and a wide or nested schema here would multiply
+    that by the row width every round.  Pinned mechanically: intercept
+    localCheckpoint, run each operator on a small graph, assert every
+    intercepted schema is <= 4 fields of atomic types."""
+    # pyspark 4 splits the abstract pyspark.sql.DataFrame from the
+    # concrete implementation class — the spy must land on the class
+    # whose method actually executes.
+    from pyspark.sql.classic.dataframe import DataFrame
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from blueforty___etl_data_pipeline_spark.operators import graph as g
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6)],
+        "src long, dst long",
+    )
+    pairs = edges.toDF("id_a", "id_b")
+    seeds = spark.createDataFrame([(1,)], "node long")
+
+    recorded: list[tuple[str, list]] = []
+    orig = DataFrame.localCheckpoint
+    current_op = [""]
+
+    def spy(self, eager=True):
+        recorded.append((current_op[0], list(self.schema.fields)))
+        return orig(self, eager=eager)
+
+    DataFrame.localCheckpoint = spy
+    try:
+        runs = {
+            "connected_components":
+                lambda: g.connected_components(pairs, max_iter=4),
+            "pagerank_fixed_point":
+                lambda: g.pagerank_fixed_point(edges, iterations=2),
+            "k_core_peel": lambda: g.k_core_peel(edges, k=2, rounds=2),
+            "label_propagation":
+                lambda: g.label_propagation(edges, rounds=2),
+            "bfs_hops": lambda: g.bfs_hops(edges, seeds, rounds=2),
+            "hits_fixed_point":
+                lambda: g.hits_fixed_point(edges, rounds=2),
+        }
+        for op, fn in runs.items():
+            current_op[0] = op
+            fn().collect()
+    finally:
+        DataFrame.localCheckpoint = orig
+
+    per_op = {op: [f for o, f in recorded if o == op] for op in (
+        "connected_components", "pagerank_fixed_point", "k_core_peel",
+        "label_propagation", "bfs_hops", "hits_fixed_point")}
+    for op, schemas in per_op.items():
+        assert schemas, f"{op}: no localCheckpoint intercepted (pin stale?)"
+        for fields in schemas:
+            assert len(fields) <= 4, (
+                f"{op}: checkpointed frame wider than a node projection: "
+                f"{[f.name for f in fields]}")
+            for f in fields:
+                assert not isinstance(
+                    f.dataType, (StructType, ArrayType, MapType)
+                ), f"{op}: nested type {f.name}: {f.dataType}"

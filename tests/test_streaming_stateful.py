@@ -454,3 +454,63 @@ def test_streaming_ewma_matches_batch_fold_multibatch(
         for r in dyadic_ewma(hourly, "event_type", "hr", "n").collect()
     }
     assert got == exp
+
+
+def test_streaming_ewma_negative_values_trunc_parity(spark, tmp_path):
+    """Round-13 regression (ADVICE r12): the Python state fold must
+    TRUNCATE like the batch twin's Spark ``div`` (and DuckDB ``//``),
+    not floor — Python ``//`` floors, which diverges on negative
+    carries.  Hand case: y1 = -5, then y2 = trunc((-7 + 3*-5)/4) =
+    trunc(-5.5) = -5, where a floor fold says -6.  Two staged files
+    force the divergent step to cross a micro-batch boundary, so the
+    carried state itself is exercised."""
+    import os
+
+    from blueforty___etl_data_pipeline_spark.operators.temporal import (
+        dyadic_ewma,
+    )
+    from blueforty___etl_data_pipeline_spark.streaming.stateful import (
+        streaming_ewma,
+    )
+
+    rows = [("a", 1, -5), ("a", 2, -7), ("a", 3, 3),
+            ("a", 4, -2), ("a", 5, 9)]
+    hourly = spark.createDataFrame(
+        rows, "event_type string, hr long, n long"
+    )
+    src = str(tmp_path / "neg_ewma_src")
+    os.makedirs(src)
+    # hr 1 in file 0; hrs 2-5 in file 1 — the -5 carry crosses batches.
+    # Staged via explicit renames (not two `append` writes into src):
+    # appended part-file names carry random UUIDs, so a name sort does
+    # NOT reflect write order and a name-ordered utime pass would flip
+    # the batches ~50% of the time (spark-engine-pitfalls: stream file
+    # order).
+    for i, pred in enumerate(["hr = 1", "hr > 1"]):
+        stage = str(tmp_path / f"neg_ewma_stage_{i}")
+        hourly.filter(pred).coalesce(1).write.parquet(stage)
+        (part,) = [
+            f for f in os.listdir(stage)
+            if f.startswith("part-") and f.endswith(".parquet")
+        ]
+        dest = os.path.join(src, f"{i:02d}.parquet")
+        os.rename(os.path.join(stage, part), dest)
+        os.utime(dest, (10**9 + i, 10**9 + i))
+    stream = (
+        spark.readStream.schema("event_type string, hr long, n long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = _run_available_now(streaming_ewma(stream), "neg_ewma_test",
+                           mode="update")
+    q.stop()
+    got = {
+        r["hr"]: r["ewma"]
+        for r in spark.sql("SELECT * FROM neg_ewma_test").collect()
+    }
+    exp = {
+        r["hr"]: r["ewma"]
+        for r in dyadic_ewma(hourly, "event_type", "hr", "n").collect()
+    }
+    assert got == exp
+    assert got[2] == -5  # trunc(-22/4); a floor fold would emit -6

@@ -605,12 +605,12 @@ def test_ips_policy_value_uniform_target(spark):
     assert out["b"]["ips_contrib_micros"] == 5000000
 
 
-def test_ips_policy_value_negative_rewards_floor(spark):
-    """Round-12 regression (ADVICE r11): negative reward sums must
-    FLOOR like the DuckDB oracle's `//`, not truncate toward zero.
-    -7.0 / 2 actions -> floor(-7e6 / 2) = -3500000 either way, but
-    mean over n=3 of sum -7e6 -> floor = -2333334 (trunc would say
-    -2333333)."""
+def test_ips_policy_value_negative_rewards_trunc(spark):
+    """Round-13 regression (ADVICE r12, reverting the r11 "fix"):
+    negative reward sums must TRUNCATE toward zero like DuckDB's
+    integer `//` (verified on DuckDB 1.0.0: -7 // 2 = -3 on BIGINT and
+    HUGEINT alike — it is trunc, not floor).  mean over n=3 of sum
+    -7e6 -> trunc = -2333333 (floor would say -2333334)."""
     from blueforty___etl_data_pipeline_spark.operators.analytics import (
         ips_policy_value,
     )
@@ -619,13 +619,14 @@ def test_ips_policy_value_negative_rewards_floor(spark):
     df = spark.createDataFrame(rows, "action string, reward double")
     out = {r["action"]: r for r in
            ips_policy_value(df, "action", "reward").collect()}
-    assert out["a"]["mean_reward_micros"] == (-7000000) // 3 == -2333334
-    assert out["a"]["ips_contrib_micros"] == (-7000000) // (2 * 3)
+    assert out["a"]["mean_reward_micros"] == -2333333  # floor: -2333334
+    assert out["a"]["ips_contrib_micros"] == -1166666  # trunc(-7e6/6)
     assert out["b"]["ips_contrib_micros"] == 1000000 // 2
 
 
-def test_cuped_adjust_negative_metric_floor(spark):
-    """mean_y_micros floors on negative sums (DuckDB `//` parity)."""
+def test_cuped_adjust_negative_metric_trunc(spark):
+    """mean_y_micros truncates on negative sums (DuckDB `//` parity —
+    ADVICE r12: DuckDB integer `//` is trunc, not floor)."""
     from blueforty___etl_data_pipeline_spark.operators.analytics import (
         cuped_adjust,
     )
@@ -635,13 +636,13 @@ def test_cuped_adjust_negative_metric_floor(spark):
     df = spark.createDataFrame(rows, "variant string, x long, y long")
     out = {r["variant"]: r for r in
            cuped_adjust(df, "x", "y", "variant").collect()}
-    assert out["A"]["mean_y_micros"] == (-6) // 3 == -2
+    assert out["A"]["mean_y_micros"] == -2  # -6/3 exact either way
     assert out["B"]["mean_y_micros"] == 16 // 3 == 5
     # a non-divisible negative sum: (-5 + -2 + 2) = -5 over 3
     rows2 = [("A", 1, -5), ("A", 2, -2), ("A", 3, 2)]
     df2 = spark.createDataFrame(rows2, "variant string, x long, y long")
     (row,) = cuped_adjust(df2, "x", "y", "variant").collect()
-    assert row["mean_y_micros"] == (-5) // 3 == -2  # trunc would say -1
+    assert row["mean_y_micros"] == -1  # trunc(-5/3); floor would say -2
 
 
 def test_nelson_aalen_hand_case(spark):

@@ -14,8 +14,10 @@ Protocol:
   run count, per-run totals, and the max per-query spread so future
   rounds can tell drift from regression.
 
-Usage: python tools/bench_rebaseline.py [n_runs] [ref_json]
-       (defaults: 3 runs, ref = .tmp/bench_r7.json if present)
+Usage: python tools/bench_rebaseline.py [n_runs] [ref_json] [round]
+       (defaults: 3 runs, ref = .tmp/bench_r7.json if present,
+        round = 13 — controls the BENCH_MEDIANS_r{N}.json /
+        BENCH_DELTA_r{N}_rebaseline.md artifact names)
 """
 
 from __future__ import annotations
@@ -34,6 +36,7 @@ def main() -> None:
     ref_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
         REPO, ".tmp", "bench_r7.json"
     )
+    rnd = int(sys.argv[3]) if len(sys.argv) > 3 else 13
     out_dir = os.path.join(REPO, ".tmp", "rebaseline")
     os.makedirs(out_dir, exist_ok=True)
 
@@ -89,7 +92,7 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
         json.dump(final, f, indent=1, sort_keys=True)
         f.write("\n")
-    with open(os.path.join(REPO, "BENCH_MEDIANS_r12.json"), "w") as f:
+    with open(os.path.join(REPO, f"BENCH_MEDIANS_r{rnd}.json"), "w") as f:
         json.dump(final, f, indent=1, sort_keys=True)
         f.write("\n")
     print(f"median total: {total}s over {len(names)} queries")
@@ -110,7 +113,7 @@ def main() -> None:
             reverse=True,
         )[:15]
         lines = [
-            "# Bench re-baseline delta (round 10)",
+            f"# Bench re-baseline delta (round {rnd})",
             "",
             f"Protocol: median of {n_runs} sequential FRESH-process runs "
             f"of the full bench at sf{runs[0]['sf']} "
@@ -133,7 +136,7 @@ def main() -> None:
         ]
         for ratio, n, rv, mv in worst:
             lines.append(f"| {n} | {rv} | {mv} | {ratio:.2f} |")
-        with open(os.path.join(REPO, "BENCH_DELTA_r10_rebaseline.md"), "w") as f:
+        with open(os.path.join(REPO, f"BENCH_DELTA_r{rnd}_rebaseline.md"), "w") as f:
             f.write("\n".join(lines) + "\n")
         print(
             f"common-{len(common)}: {now_c:.1f}s vs {ref_c:.1f}s "

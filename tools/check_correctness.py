@@ -143,14 +143,11 @@ def main() -> None:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    # Historical CORRECTNESS_r*.json names that no longer exist as
-    # declared queries (renames) — printed so a reader diffing old
-    # driver artifacts against queries() doesn't re-derive the mapping.
-    legacy = {"minhash_lsh_pairs_arrow": "minhash_lsh_pairs"}
-    for old, new in sorted(legacy.items()):
-        if old not in qs and new in qs:
-            print(f"note: legacy artifact name {old!r} -> {new!r} "
-                  f"(renamed; the Arrow path IS the default)")
+    # (Retired, round 13: the one historical rename —
+    # CORRECTNESS_r2's `minhash_lsh_pairs_arrow`, renamed to the
+    # default `minhash_lsh_pairs` path — is documented in COVERAGE.md;
+    # no live mapping is needed because `minhash_lsh_pairs` itself
+    # carries fresh driver signatures under its current name.)
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
         if only and name not in only:
