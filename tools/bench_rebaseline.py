@@ -140,7 +140,7 @@ def main() -> None:
             f.write("\n".join(lines) + "\n")
         print(
             f"common-{len(common)}: {now_c:.1f}s vs {ref_c:.1f}s "
-            f"({now_c / ref_c:.2f}x) -> BENCH_DELTA_r10_rebaseline.md"
+            f"({now_c / ref_c:.2f}x) -> BENCH_DELTA_r{rnd}_rebaseline.md"
         )
 
 
