@@ -732,6 +732,7 @@ def main() -> None:
     OUTLIER_X = 1.5
     times: dict[str, float] = {}
     run_counts: dict[str, int] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs[name]
         # Heap hygiene between queries (VERDICT r12 #1): drop any
@@ -752,19 +753,31 @@ def main() -> None:
             ).save()
         except Exception:
             pass  # a warm-up failure must not sink the measured run
-        t0 = time.time()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        runs = [time.time() - t0]
-        ref = ref_medians.get(name)
-        if runs[0] < 1.0 or (
-            ref is not None and runs[0] > OUTLIER_X * ref
-        ):
-            for _ in range(2):
-                t0 = time.time()
-                fn(spark, sf_dir).write.mode("overwrite").format(
-                    "noop"
-                ).save()
-                runs.append(time.time() - t0)
+        # A measured-run failure is recorded PER QUERY and the bench
+        # keeps going: one marginal query must not turn the whole
+        # round's artifact into rc 1 / parsed:null (the BENCH_r12
+        # failure mode).  The error surfaces loudly in the payload —
+        # nonempty `errors` is a red flag the artifact reader sees,
+        # not a silent skip.
+        try:
+            t0 = time.time()
+            fn(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            runs = [time.time() - t0]
+            ref = ref_medians.get(name)
+            if runs[0] < 1.0 or (
+                ref is not None and runs[0] > OUTLIER_X * ref
+            ):
+                for _ in range(2):
+                    t0 = time.time()
+                    fn(spark, sf_dir).write.mode("overwrite").format(
+                        "noop"
+                    ).save()
+                    runs.append(time.time() - t0)
+        except Exception as exc:  # noqa: BLE001 — recorded, not hidden
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
         times[name] = round(sorted(runs)[len(runs) // 2], 3)
         run_counts[name] = len(runs)
 
@@ -775,6 +788,8 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "runs": run_counts,
+        "errors": errors,
+        "n_errors": len(errors),
         "outlier_guard": {
             "ref": os.path.basename(cands[-1]) if ref_medians else None,
             "n_ref": len(ref_medians),
@@ -816,10 +831,13 @@ def main() -> None:
         "unit": "sec",
         "queries": {},
         "n_queries": len(times),
+        "n_errors": len(errors),
         "queries_elided": 0,
         "full": "BENCH_FULL.json",
         "sf": sf,
     }
+    if errors:  # names only — messages live in BENCH_FULL.json
+        compact["error_queries"] = sorted(errors)[:10]
     for name, secs in sorted(times.items(), key=lambda kv: -kv[1]):
         trial = dict(compact)
         trial["queries"] = {**compact["queries"], name: secs}
