@@ -9922,7 +9922,7 @@ def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_VOCAB = """
-WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token FROM documents),
 c AS (SELECT token, COUNT(*) AS cnt FROM t WHERE token <> '' GROUP BY 1
       HAVING COUNT(*) >= 2)
 SELECT token, cnt,
@@ -9944,7 +9944,7 @@ def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_JACCARD_PREFIX = """
-WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
            FROM documents),
 tok AS (SELECT DISTINCT doc_id, token FROM t WHERE token <> ''),
 sz AS (SELECT doc_id, COUNT(*) AS s FROM tok GROUP BY 1),
@@ -10161,7 +10161,7 @@ def q_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_RARE_TOKENS = """
-WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
            FROM documents),
 tt AS (SELECT doc_id, token FROM t WHERE token <> ''),
 c AS (SELECT token, COUNT(*) AS cnt FROM tt GROUP BY 1),
@@ -10191,7 +10191,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_BM25 = """
-WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
            FROM documents),
 tt AS (SELECT doc_id, token FROM t WHERE token <> ''),
 dl AS (SELECT doc_id, COUNT(*) AS dl FROM tt GROUP BY 1),
@@ -12133,7 +12133,8 @@ def q_ips_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ips_policy_value): inverse-propensity estimate of a uniform
     target policy over event types, rewards = event values — the
     counterfactual bandit-log readout.  ONE per-action aggregation +
-    a broadcast 1-row rollup; every division an exact long floor."""
+    a broadcast 1-row rollup; every division exact long TRUNC
+    (DuckDB `//` parity — ADVICE r12)."""
     _prep(spark)
     from blueforty___etl_data_pipeline_spark.operators.analytics import (
         ips_policy_value,
@@ -16649,7 +16650,7 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_NAIVE_BAYES = """
 WITH toks AS (
   SELECT doc_id AS id, source AS y, t.tok
-  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  FROM documents, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t(tok)
   WHERE t.tok <> ''),
 ntc AS (SELECT y, tok, COUNT(*) AS ntc FROM toks GROUP BY 1, 2),
 nc AS (SELECT y, COUNT(*) AS nc FROM toks GROUP BY 1),
@@ -18331,12 +18332,15 @@ def q_latex_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_LATEX_STRIP = """
-SELECT doc_id,
-       md5('article D' || CAST(doc_id AS VARCHAR) || ' ' || text)
-         AS clean_md5,
-       CAST(length('article D' || CAST(doc_id AS VARCHAR) || ' ' || text)
-            AS INTEGER) AS n_chars_clean
-FROM documents
+WITH pred AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           'article D' || CAST(doc_id AS VARCHAR) || ' ' || text,
+           '\\s+', ' ', 'g')) AS clean
+  FROM documents)
+SELECT doc_id, md5(clean) AS clean_md5,
+       CAST(length(clean) AS INTEGER) AS n_chars_clean
+FROM pred
 """
 
 
@@ -20544,16 +20548,28 @@ def entry(spark: SparkSession) -> DataFrame:
 #: ADVICE-r12 division-parity revert in operators/analytics._truncdiv —
 #: DuckDB integer `//` truncates, so the r12 floor "fix" was itself
 #: the divergence; both re-verified green against the sf0.01 oracle at
-#: change time), then the twelve round-12 additions that have never
+#: change time), then the four oracle-robustness promotions from the
+#: round-13 whitespace-tokenization audit (oracles re-tokenized on
+#: \\s+ / whitespace-collapsed to match the engine's tokens_ws /
+#: strip_latex contracts; the two other changed oracles, bm25_search
+#: and build_vocab, already sit in the r4 head below, and oov_rate in
+#: the r12-additions block — all six re-verified green BOTH on the
+#: real sf0.01 fixtures and on a doctored tab/newline/multi-space
+#: variant), then the twelve round-12 additions that have never
 #: carried a driver-signed row (all 12 judge-verified green in VERDICT
 #: r12's bare sweep; three of them — streaming_ewma, hits_scores,
 #: oov_rate — also had code/oracle robustness fixes this round), then
 #: the 22 queries whose latest signature is round 3, then the
-#: alphabetical head (14 of 48) of the r4-signed block.  The remaining
-#: 34 r4 names lead the round-14 window.
+#: alphabetical head (10 of 48) of the r4-signed block.  The remaining
+#: 38 r4 names lead the round-14 window.
 _R13_WINDOW = [
     # -- round-13 engine-code changes (ADVICE r12 trunc-div revert) ----
     "ips_eval", "cuped_eval",
+    # -- round-13 oracle robustness fixes (whitespace-tokenization
+    # audit on doctored tab/newline/multi-space documents — the other
+    # two changed oracles, bm25_search and build_vocab, are already
+    # below in the r4 head; oov_rate is in the r12-additions block) ---
+    "jaccard_prefix_join", "rare_tokens", "naive_bayes", "latex_strip",
     # -- round-12 additions, never driver-signed (12) ------------------
     "hits_scores", "graph_assortativity", "herfindahl_index",
     "ewma_smooth", "clustering_coeff", "adamic_adar", "prop_ztest",
@@ -20568,12 +20584,11 @@ _R13_WINDOW = [
     "stratified_sample", "streaming_tumbling", "top1_per_group",
     "tumbling_window", "volume_shipping", "waiting_suppliers",
     "xml_shred",
-    # -- latest signature round 4, head of the block (14 of 48) --------
+    # -- latest signature round 4, head of the block (10 of 48) --------
     "ann_ivf_indexed", "ann_rrf", "assign_packs",
     "assign_packs_scalable", "below_avg_filter", "bm25_search",
     "build_vocab", "collect_sorted", "constraint_violations",
-    "count_distinct_agg", "customer_distribution", "disjunctive_pred",
-    "distribution_drift", "duplicate_spans",
+    "count_distinct_agg",
 ]
 
 

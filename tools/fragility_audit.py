@@ -1,0 +1,148 @@
+"""Doctored-fixture fragility audit: engine-vs-oracle differentials on
+inputs the REAL fixtures never exercise, so latent contract divergences
+surface before a fixture regeneration (or real data) does.
+
+Two ADVICE-class input families (both flagged in round 12):
+
+- ``ws``  — whitespace variety in ``documents.text`` (tabs, newlines,
+  double spaces).  The real fixtures are single-space-only, so an
+  oracle tokenizing with ``string_split(text, ' ')`` silently matches
+  an engine tokenizing on ``\\s+`` … until the text changes.  Round 13
+  found and fixed six such oracles (build_vocab, jaccard_prefix_join,
+  rare_tokens, bm25_search, naive_bayes, latex_strip — plus ADVICE's
+  own oov_rate).
+- ``neg`` — negative ``events.value``.  The real fixtures bottom out
+  at 0.0, so floor-vs-trunc integer-division divergences (the ADVICE
+  r11/r12 back-and-forth) are invisible on them.
+
+Each mode builds a doctored copy of ONE table under
+``.tmp/fragility/<mode>/`` (all other tables symlinked read-only from
+sf0.001), then runs ``tools/check_correctness.py`` over the
+input-sensitive query subset.  Engine and oracle see the SAME doctored
+data, so any FAIL is a genuine contract divergence, not a wrong
+fixture.
+
+Usage: python tools/fragility_audit.py [ws|neg|all]
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASE = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+#: Token-/text-sensitive queries (consume documents.text).
+WS_QUERIES = """
+word_stats line_dedup repetition_signals build_vocab
+jaccard_prefix_join html_extract rare_tokens bm25_search
+hashed_features naive_bayes oov_rate token_counts text_quality
+top_ngrams tfidf_top_terms token_entropy language_id readability
+normalize_text quality_filter collocations term_burstiness heaps_law
+good_turing zipf_fit skipgram_pairs chunk_documents latex_strip
+bpe_fertility markdown_strip
+""".split()
+
+#: Value-aggregating queries (consume events.value) whose integer
+#: fixed-point divisions could diverge floor-vs-trunc on negatives.
+NEG_QUERIES = """
+zscore winsorize mad_outliers iqr_outliers grouped_median
+grouped_quantiles histogram quantile_bins decayed_sum ewma_smooth
+daily_anomalies benford cusum_shift twap ohlc seasonality
+distribution_drift skew_report quantile_normalize anova_f
+streaming_user_stats mann_whitney ks_test bootstrap_ci jackknife_se
+permutation_test theil_sen spearman kendall_tau corr_matrix
+ips_eval cuped_eval streaming_ewma herfindahl_index
+""".split()
+
+
+def _stage(mode: str, doctor_sql: str, table: str) -> str:
+    out = os.path.join(REPO, ".tmp", "fragility", mode)
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        if t == table:
+            continue
+        dst = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(BASE, f"{t}.parquet"), dst)
+    duckdb.connect().execute(doctor_sql.format(base=BASE, out=out))
+    return out
+
+
+def _run(sf_dir: str, queries: list[str]) -> int:
+    return subprocess.call(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "check_correctness.py"),
+            sf_dir,
+            *queries,
+        ],
+        cwd=REPO,
+    )
+
+
+def audit_ws() -> int:
+    sf = _stage(
+        "ws",
+        """
+COPY (
+  SELECT * REPLACE (
+    CASE
+      WHEN doc_id % 3 = 0 THEN replace(text, ' ', chr(9))
+      WHEN doc_id % 5 = 0
+        THEN concat(substr(text, 1, 20), chr(10), substr(text, 21))
+      WHEN doc_id % 7 = 0 THEN replace(text, ' ', '  ')
+      ELSE text
+    END AS text)
+  FROM '{base}/documents.parquet'
+) TO '{out}/documents.parquet' (FORMAT PARQUET)
+""",
+        "documents",
+    )
+    return _run(sf, WS_QUERIES)
+
+
+def audit_neg() -> int:
+    # Flip the sign of ~1/3 of event values (deterministic by id) and
+    # shift another band below zero, so sums, medians, and quantile
+    # cuts all cross zero.
+    sf = _stage(
+        "neg",
+        """
+COPY (
+  SELECT * REPLACE (
+    CASE
+      WHEN event_id % 3 = 0 THEN -value
+      WHEN event_id % 5 = 0 THEN value - 500.0
+      ELSE value
+    END AS value)
+  FROM '{base}/events.parquet'
+) TO '{out}/events.parquet' (FORMAT PARQUET)
+""",
+        "events",
+    )
+    return _run(sf, NEG_QUERIES)
+
+
+def main() -> None:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    rc = 0
+    if mode in ("ws", "all"):
+        print("=== whitespace audit (doctored documents.text) ===")
+        rc |= audit_ws()
+    if mode in ("neg", "all"):
+        print("=== negative-values audit (doctored events.value) ===")
+        rc |= audit_neg()
+    sys.exit(rc)
+
+
+if __name__ == "__main__":
+    main()
