@@ -22,6 +22,17 @@ input-sensitive query subset.  Engine and oracle see the SAME doctored
 data, so any FAIL is a genuine contract divergence, not a wrong
 fixture.
 
+Known deliberate boundary (documented round 13, fix declared for
+round 14): Java's ``\\s`` (engine, tokens_ws) matches vertical tab
+0x0B; RE2's ``\\s`` (DuckDB oracles) does NOT (verified live:
+``regexp_matches(chr(11), '\\s')`` is false, while Spark splits on
+it).  Every \\s+ oracle pairing therefore diverges on VT-containing
+text — unreachable in the synthetic fixtures, and excluded from the
+ws doctoring here on purpose.  The mechanical fix is to spell the
+explicit class ``[ \\t\\n\\x0b\\f\\r]+`` in the ~12 oracle sites,
+scheduled with round 14's promotion wave (PLANS.md) so the window
+churn lands in one round.
+
 Usage: python tools/fragility_audit.py [ws|neg|all]
 """
 
