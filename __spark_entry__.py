@@ -9087,11 +9087,14 @@ k AS (
          list_filter(toks, (x, i) -> ({h}) % 1000 >= 150) AS kept
   FROM t)
 SELECT doc_id,
-       array_to_string(kept, ' ') AS aug_text,
+       COALESCE(array_to_string(kept, ' '), '') AS aug_text,
        CAST(len(toks) AS BIGINT) AS n_tokens,
        CAST(len(toks) - len(kept) AS BIGINT) AS n_dropped
 FROM k
 """
+# (COALESCE: DuckDB array_to_string([]) is NULL, Spark concat_ws of an
+# empty array is '' — the engine's "token-free doc stays an empty
+# string" contract wins; found by the round-13 edge-fixture audit.)
 
 
 def q_cdc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -15530,7 +15533,14 @@ _SQL_MBOX_EXTRACT = """
 SELECT printf('list-%03d.mbox', CAST((doc_id // 40) % 4 AS INTEGER))
          AS file,
        CAST(COUNT(*) AS BIGINT) AS n_messages,
-       CAST(SUM(15 + length(text)) AS BIGINT) AS body_chars,
+       -- body = 'From the start\\n' || text, and the mbox reader
+       -- rstrips ALL trailing newlines from the parsed body
+       -- (sources/mbox.py:89) — so a text that is empty (or all
+       -- newlines) loses the prefix's own newline too: 14 chars, not
+       -- 15 + len.  Found by the round-13 edge-fixture audit.
+       CAST(SUM(CASE WHEN rtrim(text, chr(10)) = '' THEN 14
+                ELSE 15 + length(rtrim(text, chr(10))) END)
+            AS BIGINT) AS body_chars,
        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_senders,
        MIN(doc_id) AS min_doc
 FROM documents WHERE doc_id % 40 = 13
@@ -20555,13 +20565,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: and build_vocab, already sit in the r4 head below, and oov_rate in
 #: the r12-additions block — all six re-verified green BOTH on the
 #: real sf0.01 fixtures and on a doctored tab/newline/multi-space
-#: variant), then the twelve round-12 additions that have never
+#: variant), then the two edge-fixture oracle fixes (empty/blank
+#: documents: augment_dropout, mbox_extract — tools/fragility_audit.py
+#: edge mode), then the twelve round-12 additions that have never
 #: carried a driver-signed row (all 12 judge-verified green in VERDICT
 #: r12's bare sweep; three of them — streaming_ewma, hits_scores,
 #: oov_rate — also had code/oracle robustness fixes this round), then
 #: the 22 queries whose latest signature is round 3, then the
-#: alphabetical head (10 of 48) of the r4-signed block.  The remaining
-#: 38 r4 names lead the round-14 window.
+#: alphabetical head (8 of 48) of the r4-signed block.  The remaining
+#: 40 r4 names lead the round-14 window.
 _R13_WINDOW = [
     # -- round-13 engine-code changes (ADVICE r12 trunc-div revert) ----
     "ips_eval", "cuped_eval",
@@ -20570,6 +20582,10 @@ _R13_WINDOW = [
     # two changed oracles, bm25_search and build_vocab, are already
     # below in the r4 head; oov_rate is in the r12-additions block) ---
     "jaccard_prefix_join", "rare_tokens", "naive_bayes", "latex_strip",
+    # -- round-13 edge-fixture oracle fixes (empty/blank documents:
+    # DuckDB array_to_string([]) NULL vs Spark '' in augment_dropout;
+    # mbox reader trailing-newline rstrip in mbox_extract) -------------
+    "augment_dropout", "mbox_extract",
     # -- round-12 additions, never driver-signed (12) ------------------
     "hits_scores", "graph_assortativity", "herfindahl_index",
     "ewma_smooth", "clustering_coeff", "adamic_adar", "prop_ztest",
@@ -20584,11 +20600,10 @@ _R13_WINDOW = [
     "stratified_sample", "streaming_tumbling", "top1_per_group",
     "tumbling_window", "volume_shipping", "waiting_suppliers",
     "xml_shred",
-    # -- latest signature round 4, head of the block (10 of 48) --------
+    # -- latest signature round 4, head of the block (8 of 48) ---------
     "ann_ivf_indexed", "ann_rrf", "assign_packs",
     "assign_packs_scalable", "below_avg_filter", "bm25_search",
-    "build_vocab", "collect_sorted", "constraint_violations",
-    "count_distinct_agg",
+    "build_vocab", "collect_sorted",
 ]
 
 

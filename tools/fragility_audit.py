@@ -14,6 +14,23 @@ Two ADVICE-class input families (both flagged in round 12):
 - ``neg`` — negative ``events.value``.  The real fixtures bottom out
   at 0.0, so floor-vs-trunc integer-division divergences (the ADVICE
   r11/r12 back-and-forth) are invisible on them.
+- ``edge`` — boundary documents: empty text, whitespace-only text,
+  single-token text (NO nulls — see below).  Round 13's first run
+  found two divergences, both oracle-side: DuckDB
+  ``array_to_string([])`` is NULL where Spark's ``concat_ws`` is
+  ``''`` (augment_dropout), and the mbox reader's trailing-newline
+  rstrip (mbox_extract).
+
+NULL-text boundary (documented round 13, deliberately NOT doctored
+here): a null ``documents.text`` is out of the declared fixture
+contract.  A full-surface run against a null-injecting variant showed
+44 additional pairings diverge on NULL alone — mostly Spark's legacy
+``size(NULL) = -1`` in token counters vs SQL NULL, plus media-builder
+queries that (correctly) refuse a null payload.  Defining engine-wide
+null-text semantics is a contract decision, not a patch; it is
+recorded as a candidate round-14+ work package in PLANS.md.  Until
+then every per-document operator documents non-null text as an input
+precondition.
 
 Each mode builds a doctored copy of ONE table under
 ``.tmp/fragility/<mode>/`` (all other tables symlinked read-only from
@@ -33,7 +50,7 @@ explicit class ``[ \\t\\n\\x0b\\f\\r]+`` in the ~12 oracle sites,
 scheduled with round 14's promotion wave (PLANS.md) so the window
 churn lands in one round.
 
-Usage: python tools/fragility_audit.py [ws|neg|all]
+Usage: python tools/fragility_audit.py [ws|neg|edge|all]
 """
 
 from __future__ import annotations
@@ -143,6 +160,38 @@ COPY (
     return _run(sf, NEG_QUERIES)
 
 
+def audit_edge() -> int:
+    # Boundary documents: empty / whitespace-only / single-token text.
+    # Deliberately NO nulls (see the module docstring).  Runs the full
+    # per-document text family PLUS the two queries the first edge run
+    # caught (mbox_extract, augment_dropout) and the other doc
+    # consumers that passed, as regression cover.
+    sf = _stage(
+        "edge",
+        """
+COPY (
+  SELECT * REPLACE (
+    CASE
+      WHEN doc_id % 11 = 0 THEN ''
+      WHEN doc_id % 13 = 0 THEN '   '
+      WHEN doc_id % 17 = 0 THEN 'single'
+      ELSE text
+    END AS text)
+  FROM '{base}/documents.parquet'
+) TO '{out}/documents.parquet' (FORMAT PARQUET)
+""",
+        "documents",
+    )
+    return _run(
+        sf,
+        WS_QUERIES
+        + ["mbox_extract", "augment_dropout", "fingerprints",
+           "simhash_expr", "unicode_normalize", "select_until_budget",
+           "bucketed_packs", "remove_duplicate_spans", "gini_gain",
+           "ngram_model_score", "media_sniff"],
+    )
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
     rc = 0
@@ -152,6 +201,9 @@ def main() -> None:
     if mode in ("neg", "all"):
         print("=== negative-values audit (doctored events.value) ===")
         rc |= audit_neg()
+    if mode in ("edge", "all"):
+        print("=== edge audit (empty/blank/single-token documents) ===")
+        rc |= audit_edge()
     sys.exit(rc)
 
 
