@@ -20,6 +20,10 @@ Two ADVICE-class input families (both flagged in round 12):
   ``array_to_string([])`` is NULL where Spark's ``concat_ws`` is
   ``''`` (augment_dropout), and the mbox reader's trailing-newline
   rstrip (mbox_extract).
+- ``uni`` — non-ASCII text (umlauts, ß, CJK, emoji) mixed into
+  ``documents.text``, probing JVM-vs-DuckDB case-folding, length,
+  and hash semantics.  Clean on first run (round 13, 24/24) — kept
+  as a regression gate.
 
 NULL-text boundary (documented round 13, deliberately NOT doctored
 here): a null ``documents.text`` is out of the declared fixture
@@ -50,7 +54,7 @@ explicit class ``[ \\t\\n\\x0b\\f\\r]+`` in the ~12 oracle sites,
 scheduled with round 14's promotion wave (PLANS.md) so the window
 churn lands in one round.
 
-Usage: python tools/fragility_audit.py [ws|neg|edge|all]
+Usage: python tools/fragility_audit.py [ws|neg|edge|uni|all]
 """
 
 from __future__ import annotations
@@ -192,6 +196,36 @@ COPY (
     )
 
 
+def audit_uni() -> int:
+    sf = _stage(
+        "uni",
+        """
+COPY (
+  SELECT * REPLACE (
+    CASE
+      WHEN doc_id % 3 = 0 THEN replace(text, 'a', 'ä')
+      WHEN doc_id % 5 = 0 THEN text || ' Straße 中文 naïve'
+      WHEN doc_id % 7 = 0 THEN 'ÉMOJI 🚀 ' || text
+      ELSE text
+    END AS text)
+  FROM '{base}/documents.parquet'
+) TO '{out}/documents.parquet' (FORMAT PARQUET)
+""",
+        "documents",
+    )
+    return _run(
+        sf,
+        ["word_stats", "build_vocab", "jaccard_prefix_join",
+         "rare_tokens", "bm25_search", "naive_bayes", "oov_rate",
+         "token_counts", "text_quality", "top_ngrams",
+         "tfidf_top_terms", "token_entropy", "language_id",
+         "readability", "normalize_text", "quality_filter",
+         "collocations", "heaps_law", "zipf_fit", "latex_strip",
+         "unicode_normalize", "fingerprints", "simhash_expr",
+         "charset_sniff"],
+    )
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
     rc = 0
@@ -204,6 +238,9 @@ def main() -> None:
     if mode in ("edge", "all"):
         print("=== edge audit (empty/blank/single-token documents) ===")
         rc |= audit_edge()
+    if mode in ("uni", "all"):
+        print("=== unicode audit (non-ASCII documents) ===")
+        rc |= audit_uni()
     sys.exit(rc)
 
 
