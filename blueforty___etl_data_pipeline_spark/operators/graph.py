@@ -19,10 +19,12 @@ large-star/small-star algorithm (Kiveris et al., "Connected Components
 in MapReduce and Beyond", SoCC'14) converges in O(log²n) rounds; the
 per-round dataflow here is the same, only the edge-rewrite rule differs.
 
-Per round the labels frame is ``localCheckpoint``-ed: the plan would
-otherwise grow by two joins per iteration and re-execute from the
-source each round.  On a real cluster use ``checkpoint`` with a
-reliable checkpoint dir instead (same call shape, HDFS-backed).
+Per round the labels frame goes through ``cut_lineage``: the plan
+would otherwise grow by two joins per iteration and re-execute from
+the source each round.  ``cut_lineage`` picks reliable ``checkpoint``
+when a checkpoint dir is configured (the multi-executor deployment
+path — survives executor loss) and ``localCheckpoint`` in single-JVM
+local mode; see ``lineage.py``.
 
 Reference provenance: the reference has no graph operator — this is a
 north-star extension (BASELINE.json: dedup for LLM training pipelines);
@@ -34,6 +36,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..lineage import cut_lineage
 
 
 def connected_components(
@@ -62,7 +66,7 @@ def connected_components(
         edges.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("comp"))
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     for _ in range(max_iter):
         # Min label among neighbors: one hop of propagation.  Edges are
@@ -83,7 +87,7 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint()
+            .transform(cut_lineage)
         )
         changed = (
             new_labels.alias("n")
@@ -151,9 +155,9 @@ def pagerank_fixed_point(
     groupBy(dst) sum (partial-aggregated) → left join onto the node
     list.  Ranks are persisted per round and the previous round is
     unpersisted; every ``checkpoint_every`` rounds the lineage is
-    truncated with ``localCheckpoint`` so the plan does not grow
-    unboundedly (at cluster scale use reliable ``checkpoint`` to
-    HDFS/object storage instead).
+    truncated with ``cut_lineage`` so the plan does not grow
+    unboundedly (reliable ``checkpoint`` automatically when a
+    checkpoint dir is configured — see ``lineage.py``).
 
     Returns ``(node, rank_e9)``.
     """
@@ -173,7 +177,7 @@ def pagerank_fixed_point(
     base = (scale * (100 - damping_pct)) // 100
     ranks = nodes.select(
         "node", F.lit(scale).cast("bigint").alias("rank_e9")
-    ).localCheckpoint()
+    ).transform(cut_lineage)
     checkpoint_every = 4
     for i in range(iterations):
         contribs = (
@@ -197,7 +201,7 @@ def pagerank_fixed_point(
         )
         old = ranks
         ranks = (
-            new_ranks.localCheckpoint()
+            new_ranks.transform(cut_lineage)
             if (i + 1) % checkpoint_every == 0 or i == iterations - 1
             else new_ranks.persist()
         )
@@ -228,7 +232,7 @@ def flatten_hierarchy(
     resolves every node whose current ancestor has no parent, and the
     unresolved frontier re-joins the (persisted) edge table.  The
     frontier only shrinks; rounds are bounded by tree HEIGHT, not node
-    count, and each round's frontier is localCheckpoint-ed so the plan
+    count, and each round's frontier is cut (``cut_lineage``) so the plan
     stays flat (the connected_components / pagerank convention).  For
     trees deeper than a few dozen levels, pointer-doubling (joining
     the partial paths to themselves) halves the round count at the
@@ -251,7 +255,7 @@ def flatten_hierarchy(
         F.col("_n").alias("node"),
         F.col("_n").alias("_anc"),
         F.lit(0).cast("int").alias("depth"),
-    ).localCheckpoint()
+    ).transform(cut_lineage)
     done = None
     for _ in range(max_depth + 1):
         step = frontier.join(
@@ -273,7 +277,7 @@ def flatten_hierarchy(
                 F.col("_next").alias("_anc"),
                 (F.col("depth") + 1).alias("depth"),
             )
-            .localCheckpoint()
+            .transform(cut_lineage)
         )
         if not frontier.take(1):
             break
@@ -350,7 +354,7 @@ def triangle_count(
     join sides on the wedge key to co-locate the closes.  The
     canonical edge table feeds FIVE plan branches (both wedge sides,
     the close side, node count, edge count), so it is cut from its
-    lineage with a lazy localCheckpoint — materialized once at first
+    lineage with a lazy cut_lineage — materialized once at first
     action, ContextCleaner-released, never five upstream scans.
     """
     lo = F.least(F.col(src), F.col(dst))
@@ -359,7 +363,7 @@ def triangle_count(
         edges.select(lo.alias("a"), hi.alias("b"))
         .filter(F.col("a") < F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )
     wedges = (
         e.alias("e1")
@@ -427,9 +431,9 @@ def k_core_peel(
     # Each round references the previous edge set five times (degree
     # union + two semi-joins), so without lineage cuts the LOGICAL
     # plan grows ~5^rounds and the analyzer itself OOMs long before
-    # execution.  localCheckpoint per round truncates it — the same
+    # execution.  cut_lineage per round truncates it — the same
     # bounded-iteration discipline as connected_components/pagerank.
-    cur = edges.select("src", "dst").localCheckpoint()
+    cur = edges.select("src", "dst").transform(cut_lineage)
     prev_nodes = None
     for _ in range(rounds):
         deg = (
@@ -445,7 +449,7 @@ def k_core_peel(
             ).join(
                 keep.withColumnRenamed("v", "dst"), "dst", "left_semi"
             )
-        ).select("src", "dst").localCheckpoint()
+        ).select("src", "dst").transform(cut_lineage)
         # keep's own lineage is one aggregation off the checkpointed
         # edge set — small enough to stay lazy (no extra blocks held
         # in the 1g-heap bare sessions the driver runs)
@@ -659,7 +663,7 @@ def label_propagation(
     the neighbor key), partial-agged (node, label) vote counts, and a
     WindowGroupLimit top-1 per node — never a collect of the graph.
     Labels are persisted per round, the previous round unpersisted,
-    and lineage is cut with ``localCheckpoint`` on the final round.
+    and lineage is cut with ``cut_lineage`` on the final round.
     """
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -674,7 +678,7 @@ def label_propagation(
     nodes = both.select(F.col("a").alias("node")).distinct().persist()
     labels = nodes.select(
         "node", F.col("node").cast("long").alias("label")
-    ).localCheckpoint()
+    ).transform(cut_lineage)
     w = Window.partitionBy("node").orderBy(
         F.desc("_c"), F.asc("label")
     )
@@ -699,7 +703,7 @@ def label_propagation(
         )
         old = labels
         labels = (
-            new_labels.localCheckpoint()
+            new_labels.transform(cut_lineage)
             if i == rounds - 1
             else new_labels.persist()
         )
@@ -735,7 +739,7 @@ def bfs_hops(
     frontier is the small side — broadcastable under AQE while it
     fits) + ONE anti-join against the visited set, both keyed on the
     node id; never an all-pairs product, never a collect.  The
-    visited set grows monotonically and is ``localCheckpoint``-ed per
+    visited set grows monotonically and is ``cut_lineage``-cut per
     round to cut the 2-joins-per-round lineage (reliable
     ``checkpoint`` on a real cluster).  Frontier rows carry no
     payload, so the shuffle volume per round is bounded by the edge
@@ -753,7 +757,7 @@ def bfs_hops(
         sources.select(F.col(sources.columns[0]).alias("node"))
         .distinct()
         .withColumn("hops", F.lit(0).cast("int"))
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     frontier = dist.select("node")
     for r in range(1, rounds + 1):
@@ -764,8 +768,8 @@ def bfs_hops(
             .join(dist.select("node"), "node", "left_anti")
             .withColumn("hops", F.lit(r).cast("int"))
         )
-        dist = dist.unionAll(nxt).localCheckpoint()
-        frontier = nxt.select("node").localCheckpoint()
+        dist = dist.unionAll(nxt).transform(cut_lineage)
+        frontier = nxt.select("node").transform(cut_lineage)
     # converged iff expanding the final frontier reaches nothing new
     n_new = (
         frontier.join(both, frontier["node"] == both["a"])
@@ -777,7 +781,7 @@ def bfs_hops(
         # live — unpersisting first would force the final action to
         # recompute `both` from scratch (ADVICE r11; mirrors
         # label_propagation's materialize-then-unpersist pattern)
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     out = dist.crossJoin(F.broadcast(n_new)).select(
         "node",
@@ -812,7 +816,7 @@ def hits_fixed_point(
     Iteration shape per round (the pagerank_fixed_point loop): two
     edges ⋈ scores hash joins (one shuffle each on the join key) +
     two partial-agged sums + two 1-row max rollups broadcast back —
-    never anything quadratic in nodes.  Scores localCheckpoint EVERY
+    never anything quadratic in nodes.  Scores are lineage-cut EVERY
     phase (node-cardinality, so cheap) to keep the logical plan one
     phase deep — per-round persist alone leaves the nested-join plan
     to grow and OOMs Catalyst analysis on a small driver (use
@@ -836,7 +840,7 @@ def hits_fixed_point(
     )
     hub = nodes.select(
         "node", F.lit(scale).cast("bigint").alias("hub_e9")
-    ).localCheckpoint()
+    ).transform(cut_lineage)
     auth = None
     for i in range(rounds):
         araw = (
@@ -860,13 +864,13 @@ def hits_fixed_point(
                 .alias("auth_e9"),
             )
         )
-        # localCheckpoint EVERY phase (not persist): persist leaves the
+        # cut_lineage EVERY phase (not persist): persist leaves the
         # full logical plan in place, so six phases of nested joins +
         # broadcast crossJoins blow up Catalyst analysis memory on a
         # default-1g bare driver (observed java OOM at rounds=3,
         # 2k nodes).  Scores are node-cardinality, so the checkpoint
         # is cheap; lineage stays one phase deep.
-        auth = new_auth.localCheckpoint()
+        auth = new_auth.transform(cut_lineage)
         hraw = (
             e.join(auth, e["v"] == auth["node"])
             .groupBy(F.col("u").alias("node"))
@@ -888,8 +892,8 @@ def hits_fixed_point(
                 .alias("hub_e9"),
             )
         )
-        hub = new_hub.localCheckpoint()
-    out = hub.join(auth, on="node").localCheckpoint()
+        hub = new_hub.transform(cut_lineage)
+    out = hub.join(auth, on="node").transform(cut_lineage)
     e.unpersist()
     nodes.unpersist()
     return out
@@ -960,7 +964,7 @@ def degree_assortativity(
                END AS BIGINT)"""
         ).alias("assortativity_e6"),
     )
-    res = out.localCheckpoint()
+    res = out.transform(cut_lineage)
     und.unpersist()
     return res
 
@@ -986,7 +990,7 @@ def clustering_coefficient(
     close) — never all-pairs; wedge volume Σ deg², halved by the id
     ordering (degree-orienting cuts it to O(m^1.5) at the extreme).
     The canonical edge table feeds four branches and is cut with one
-    lazy localCheckpoint.  Returns (node, degree, n_triangles,
+    lazy cut_lineage.  Returns (node, degree, n_triangles,
     coeff_e6).
     """
     lo = F.least(F.col(src), F.col(dst))
@@ -995,7 +999,7 @@ def clustering_coefficient(
         edges.select(lo.alias("a"), hi.alias("b"))
         .filter(F.col("a") < F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = und.groupBy(F.col("a").alias("node")).agg(
@@ -1074,7 +1078,7 @@ def adamic_adar(
         edges.select(lo.alias("a"), hi.alias("b"))
         .filter(F.col("a") < F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = und.groupBy(F.col("a").alias("w")).agg(

@@ -46,9 +46,14 @@ def get_spark(
     # notEnoughMemoryToBuildAndBroadcastTableError building a broadcast
     # inside an eager localCheckpoint after 350 queries of accumulated
     # broadcast relations / cached plans / metaspace (VERDICT r12 #1).
-    # The env override lets cluster submitters and the sf1 tools pick
-    # their own size; if the JVM is already up, the conf is inert.
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "16g")
+    # The LIBRARY default is a conservative 4g (ADVICE r13: a blanket
+    # 16g default can fail JVM launch on memory-limited CI hosts); the
+    # long single-JVM sequences that motivated the bump — bench.py and
+    # the tools/ sweep entry points — setdefault
+    # SPARK_GRAFT_DRIVER_MEMORY=16g themselves.  Cluster submitters
+    # override via the same env; if the JVM is already up, the conf is
+    # inert.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "4g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

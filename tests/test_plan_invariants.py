@@ -500,8 +500,8 @@ def test_round13_addition_plan_pins(spark):
     assert "Join" not in p
     assert "InPandas" not in p and "BatchEvalPython" not in p
     scans = [ln for ln in p.splitlines()
-             if "Scan parquet" in ln and "(1)" in ln or
-             ln.strip().startswith("ReadSchema")]
+             if ln.strip().startswith("(") and "Scan parquet" in ln]
+    assert len(scans) == 1, scans
     rs = [ln for ln in p.splitlines() if "ReadSchema" in ln]
     assert len(rs) == 1 and "ts" in rs[0] and "event_type" in rs[0], rs
 

@@ -18,6 +18,10 @@ from __future__ import annotations
 
 import json
 import os
+
+# Long single-JVM sweeps need the 16g heap (VERDICT r12 #1); the
+# library default is 4g, so sweep entry points scope the bump here.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEMORY", "16g")
 import statistics
 import subprocess
 import sys

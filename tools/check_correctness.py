@@ -32,10 +32,15 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 from datetime import date, datetime
 from decimal import Decimal
+
+# Long single-JVM sweeps need the 16g heap (VERDICT r12 #1); the
+# library default is 4g, so sweep entry points scope the bump here.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEMORY", "16g")
 
 import numpy as np
 import pandas as pd

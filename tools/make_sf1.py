@@ -37,6 +37,10 @@ Usage: python tools/make_sf1.py [out_dir]   (default .tmp/sf1)
 from __future__ import annotations
 
 import os
+
+# Long single-JVM sweeps need the 16g heap (VERDICT r12 #1); the
+# library default is 4g, so sweep entry points scope the bump here.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEMORY", "16g")
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
