@@ -2446,7 +2446,7 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_CORPUS_REPORT = """
 WITH d AS (
   SELECT source, lang, md5(text) AS h,
-         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         CAST(len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+'),
                               t -> t <> '')) AS BIGINT) AS n_tokens,
          CAST(length(text) AS BIGINT) AS n_chars
   FROM documents),
@@ -2898,7 +2898,7 @@ WHERE v.event_type = 'view' AND c.event_type = 'click'
 # hashes are portable across engines by construction.
 
 _D_TOKENS = (
-    "list_filter(regexp_split_to_array(trim({t}), '\\s+'), x -> x != '')"
+    "list_filter(regexp_split_to_array(trim({t}), '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')"
 )
 
 
@@ -3210,7 +3210,7 @@ def q_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_SOURCE_KEYWORDS = r"""
 WITH tok AS (
   SELECT source, unnest(list_filter(
-           regexp_split_to_array(trim(text), '\s+'), x -> x != ''))
+           regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'), x -> x != ''))
          AS term
   FROM documents),
 tf AS (SELECT source, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
@@ -3487,7 +3487,7 @@ _SQL_TEXT_QUALITY = f"""
 WITH t AS (
   SELECT doc_id, text, {_D_TOKENS.format(t='text')} AS toks,
          CAST(length(text) AS BIGINT) AS n_chars,
-         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')) AS BIGINT)
            AS n_punct
   FROM documents)
 SELECT doc_id, n_chars,
@@ -3515,7 +3515,7 @@ _SQL_TOKEN_COUNTS = f"""
 SELECT doc_id,
        CAST(len({_D_TOKENS.format(t='text')}) AS BIGINT) AS n_tokens_ws,
        CAST(len(regexp_extract_all(text,
-            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')) AS BIGINT)
          AS n_tokens_bpeish
 FROM documents
 """
@@ -3932,8 +3932,8 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_NORMALIZE = """
 SELECT doc_id,
        trim(regexp_replace(
-         regexp_replace(lower(text), '[^a-zA-Z0-9\\s]', ' ', 'g'),
-         '\\s+', ' ', 'g')) AS norm_text
+         regexp_replace(lower(text), '[^a-zA-Z0-9 \\t\\n\\x0b\\f\\r]', ' ', 'g'),
+         '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS norm_text
 FROM documents
 """
 
@@ -3984,8 +3984,8 @@ WITH all_docs AS (
   WHERE doc_id % 25 = 0),
 h AS (
   SELECT md5(trim(regexp_replace(
-           regexp_replace(lower(text), '[^a-zA-Z0-9\\s]', ' ', 'g'),
-           '\\s+', ' ', 'g'))) AS canon_hash,
+           regexp_replace(lower(text), '[^a-zA-Z0-9 \\t\\n\\x0b\\f\\r]', ' ', 'g'),
+           '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS canon_hash,
          md5(text) AS raw_hash
   FROM all_docs)
 SELECT canon_hash, COUNT(*) AS n_docs,
@@ -4034,8 +4034,8 @@ WITH all_docs AS (
 a AS (
   SELECT md5(text) AS g,
          md5(trim(regexp_replace(
-           regexp_replace(lower(text), '[^a-zA-Z0-9\\s]', ' ', 'g'),
-           '\\s+', ' ', 'g'))) AS c
+           regexp_replace(lower(text), '[^a-zA-Z0-9 \\t\\n\\x0b\\f\\r]', ' ', 'g'),
+           '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS c
   FROM all_docs),
 cell AS (SELECT g, c, COUNT(*) AS ngc FROM a GROUP BY 1, 2),
 gs AS (SELECT g, SUM(ngc) AS ng FROM cell GROUP BY 1),
@@ -4070,7 +4070,7 @@ _SQL_QUALITY_FILTER = f"""
 WITH t AS (
   SELECT doc_id, lang, source, n_chars, text,
          {_D_TOKENS.format(t='text')} AS toks,
-         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')) AS BIGINT)
            AS n_punct
   FROM documents)
 SELECT doc_id, lang, source, n_chars
@@ -7167,7 +7167,7 @@ def _sql_training_pipeline() -> str:
     return f"""
 WITH t AS (
   SELECT doc_id, text, {toks} AS toks,
-         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')) AS BIGINT)
            AS n_punct
   FROM documents),
 q AS (
@@ -7484,7 +7484,7 @@ def _d_bpe_chain(k: int, min_count: int) -> str:
     (pair counts p_i → argmax m_i → replaced state s_{i+1}) × k."""
     parts = [
         f"""w AS MATERIALIZED (SELECT w, COUNT(*) AS cnt FROM (
-        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+        SELECT unnest(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+')) AS w
         FROM documents) t
       WHERE regexp_matches(w, '^[a-z]+$')
       GROUP BY 1 HAVING COUNT(*) >= {min_count}),
@@ -7544,7 +7544,7 @@ def _sql_bpe_segment() -> str:
     return f"""WITH {_d_bpe_chain(k, 2)},
 dw AS MATERIALIZED (SELECT doc_id, w FROM (
          SELECT doc_id,
-                unnest(string_split_regex(lower(text), '\\s+')) AS w
+                unnest(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+')) AS w
          FROM documents) t
        WHERE regexp_matches(w, '^[a-z]+$'))
 SELECT doc_id, COUNT(*) AS n_words,
@@ -9317,7 +9317,7 @@ def _sql_epoch_pipeline() -> str:
 WITH t AS (
   SELECT doc_id, source, text,
          {_D_TOKENS.format(t='text')} AS toks,
-         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')) AS BIGINT)
            AS n_punct
   FROM documents),
 q AS (
@@ -9925,7 +9925,7 @@ def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_VOCAB = """
-WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token FROM documents),
+WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS token FROM documents),
 c AS (SELECT token, COUNT(*) AS cnt FROM t WHERE token <> '' GROUP BY 1
       HAVING COUNT(*) >= 2)
 SELECT token, cnt,
@@ -9947,7 +9947,7 @@ def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_JACCARD_PREFIX = """
-WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS token
            FROM documents),
 tok AS (SELECT DISTINCT doc_id, token FROM t WHERE token <> ''),
 sz AS (SELECT doc_id, COUNT(*) AS s FROM tok GROUP BY 1),
@@ -10134,7 +10134,7 @@ _D_STRIP_HTML = (
     " '(?s)<[^>]+>', ' ', 'g'),"
     " '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'),"
     " '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),"
-    " '\\s+', ' ', 'g'))"
+    " '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))"
 )
 
 _SQL_HTML_EXTRACT = f"""
@@ -10164,7 +10164,7 @@ def q_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_RARE_TOKENS = """
-WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS token
            FROM documents),
 tt AS (SELECT doc_id, token FROM t WHERE token <> ''),
 c AS (SELECT token, COUNT(*) AS cnt FROM tt GROUP BY 1),
@@ -10194,7 +10194,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_BM25 = """
-WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS token
            FROM documents),
 tt AS (SELECT doc_id, token FROM t WHERE token <> ''),
 dl AS (SELECT doc_id, COUNT(*) AS dl FROM tt GROUP BY 1),
@@ -12485,13 +12485,13 @@ stripped AS (
                         '`[^`]*`', ' ', 'g'),
                       '!\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
                     '\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
-                  '(?m)^\s{0,3}#{1,6}\s+', '', 'g'),
-                '(?m)^\s{0,3}>\s?', '', 'g'),
-              '(?m)^\s{0,3}[-*+]\s+', '', 'g'),
-            '(?m)^\s{0,3}\d+\.\s+', '', 'g'),
+                  '(?m)^[ \t\n\x0b\f\r]{0,3}#{1,6}[ \t\n\x0b\f\r]+', '', 'g'),
+                '(?m)^[ \t\n\x0b\f\r]{0,3}>[ \t\n\x0b\f\r]?', '', 'g'),
+              '(?m)^[ \t\n\x0b\f\r]{0,3}[-*+][ \t\n\x0b\f\r]+', '', 'g'),
+            '(?m)^[ \t\n\x0b\f\r]{0,3}\d+\.[ \t\n\x0b\f\r]+', '', 'g'),
           '\*{1,2}([^*]+)\*{1,2}', '\1', 'g'),
         '_{1,2}([^_]+)_{1,2}', '\1', 'g'),
-      '\s+', ' ', 'g')) AS text_clean
+      '[ \t\n\x0b\f\r]+', ' ', 'g')) AS text_clean
   FROM md)
 SELECT doc_id, text_clean,
        CAST(length(text_clean) AS BIGINT) AS n_chars_clean
@@ -15242,7 +15242,7 @@ base AS (
   FROM documents, span),
 toks AS (
   SELECT ckpt, w AS word
-  FROM base, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+  FROM base, UNNEST(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS t(w)
   WHERE w <> ''),
 first_seen AS (
   SELECT word, MIN(ckpt) AS first_ckpt FROM toks GROUP BY word),
@@ -16660,7 +16660,7 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_NAIVE_BAYES = """
 WITH toks AS (
   SELECT doc_id AS id, source AS y, t.tok
-  FROM documents, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t(tok)
+  FROM documents, unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS t(tok)
   WHERE t.tok <> ''),
 ntc AS (SELECT y, tok, COUNT(*) AS ntc FROM toks GROUP BY 1, 2),
 nc AS (SELECT y, COUNT(*) AS nc FROM toks GROUP BY 1),
@@ -18346,7 +18346,7 @@ WITH pred AS (
   SELECT doc_id,
          trim(regexp_replace(
            'article D' || CAST(doc_id AS VARCHAR) || ' ' || text,
-           '\\s+', ' ', 'g')) AS clean
+           '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS clean
   FROM documents)
 SELECT doc_id, md5(clean) AS clean_md5,
        CAST(length(clean) AS INTEGER) AS n_chars_clean
@@ -20401,7 +20401,7 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_OOV_RATE = """
 WITH w AS (
   SELECT source,
-         unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+         unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS token
   FROM documents),
 words AS (SELECT source, token FROM w WHERE token <> ''),
 vocab AS (
@@ -20574,6 +20574,55 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the 22 queries whose latest signature is round 3, then the
 #: alphabetical head (8 of 48) of the r4-signed block.  The remaining
 #: 40 r4 names lead the round-14 window.
+#: Round-14 driver-window lead, executing the COVERAGE.md rotation
+#: with the declared precedence (changed queries promote to the window
+#: head at change time; displaced rotation names roll forward):
+#:
+#: 1. The 17 graph-backed queries whose ENGINE code changed this round
+#:    (every operators/graph.py lineage cut now routes through
+#:    lineage.cut_lineage — reliable checkpoint when a checkpoint dir
+#:    is set, localCheckpoint otherwise; all 17 bare-verified green vs
+#:    the sf0.01 oracle at change time).
+#: 2. The oracle-changed names from the vertical-tab whitespace-class
+#:    wave (every DuckDB-oracle `\s` — split, collapse, and negated
+#:    punct classes — replaced by the explicit Java-semantics class
+#:    `[ \t\n\x0b\f\r]`; behavior-identical on the VT-free fixtures,
+#:    regression-gated by tools/fragility_audit.py ws mode which now
+#:    injects VT bytes).  The shared tokenizer/punct helpers fan the
+#:    byte-change out to 76 oracles — more than one 50-slot window —
+#:    so these 33 slots take the changed names whose LATEST driver
+#:    signature is oldest (r4 block first: duplicate_spans …
+#:    training_pipeline, then r5/r6/r8); the 39 changed names with
+#:    r9-r13 signatures roll to the round-15 window head, ahead of the
+#:    remaining 31 unchanged r4-signed rotation names (all 76 changed
+#:    oracles + the 17 graph queries bare-verified green this round —
+#:    see COVERAGE.md round-14 section).
+_R14_WINDOW = [
+    # -- 1. round-14 engine-code changes: cut_lineage swap (17) --------
+    "near_dup_components", "near_dup_dedup", "pagerank",
+    "dedup_keep_best", "dedup_report", "image_dedup",
+    "flatten_hierarchy", "triangle_count", "k_core",
+    "label_propagation", "bfs_hops", "hits_scores",
+    "graph_assortativity", "clustering_coeff", "adamic_adar",
+    "link_prediction", "density_clusters",
+    # -- 2. whitespace-class oracle wave, oldest-signed first: the r4
+    # block (8) — promotion and rotation in one --------------------------
+    "duplicate_spans", "html_extract", "lsh_dedup_incremental",
+    "mix_sources", "select_until_budget", "simhash_expr",
+    "span_dup_stats", "training_pipeline",
+    # -- then the r5/r6/r8-signed changed names (25) -------------------
+    "bpe_segment", "bpe_train", "bucketed_packs", "collocations",
+    "containment_pairs", "contamination_report", "corpus_report",
+    "heavy_hitters", "hybrid_search", "lsh_recall",
+    "minhash_lsh_pairs_expr", "remove_duplicate_spans",
+    "streaming_ingest", "temperature_mix", "token_entropy",
+    "tokenize_pack", "contrastive_pairs", "doc_features",
+    "epoch_pipeline", "normalized_dup_gain", "quality_roc",
+    "source_keywords", "cluster_eval", "markdown_strip",
+    "split_leakage",
+]
+
+
 _R13_WINDOW = [
     # -- round-13 engine-code changes (ADVICE r12 trunc-div revert) ----
     "ips_eval", "cuped_eval",
@@ -20609,12 +20658,13 @@ _R13_WINDOW = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query correctness window carries the
-    most NEW signal each round: the round-13 window (_R13_WINDOW — this
-    round's code-changed queries, the never-signed r12 additions, then
-    the oldest-signed r3/r4 blocks per the COVERAGE.md rotation plan)
-    leads, then the prior queue order is preserved."""
+    most NEW signal each round: the round-14 window (_R14_WINDOW — the
+    cut_lineage graph promotions, then the whitespace-class oracle wave
+    oldest-signature-first per the COVERAGE.md rotation plan) leads,
+    then the round-13 window order, then the prior queue order."""
     base = _queries_r10_order()
-    out = {name: base[name] for name in _R13_WINDOW}
+    out = {name: base[name] for name in _R14_WINDOW}
+    out.update({name: base[name] for name in _R13_WINDOW})
     out.update(base)
     return out
 

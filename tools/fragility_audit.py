@@ -43,16 +43,14 @@ input-sensitive query subset.  Engine and oracle see the SAME doctored
 data, so any FAIL is a genuine contract divergence, not a wrong
 fixture.
 
-Known deliberate boundary (documented round 13, fix declared for
-round 14): Java's ``\\s`` (engine, tokens_ws) matches vertical tab
-0x0B; RE2's ``\\s`` (DuckDB oracles) does NOT (verified live:
-``regexp_matches(chr(11), '\\s')`` is false, while Spark splits on
-it).  Every \\s+ oracle pairing therefore diverges on VT-containing
-text — unreachable in the synthetic fixtures, and excluded from the
-ws doctoring here on purpose.  The mechanical fix is to spell the
-explicit class ``[ \\t\\n\\x0b\\f\\r]+`` in the ~12 oracle sites,
-scheduled with round 14's promotion wave (PLANS.md) so the window
-churn lands in one round.
+Vertical-tab boundary (found round 13, FIXED round 14): Java's
+``\\s`` (engine, tokens_ws) matches vertical tab 0x0B; RE2's ``\\s``
+(DuckDB) does NOT (verified live: ``regexp_matches(chr(11), '\\s')``
+is false, while Spark splits on it).  Round 14 replaced every ``\\s``
+in the DuckDB oracles — split, collapse, and negated punct classes —
+with the explicit Java-semantics class ``[ \\t\\n\\x0b\\f\\r]``, and
+the ws doctoring below now injects VT bytes so the parity is
+regression-gated rather than argued.
 
 Usage: python tools/fragility_audit.py [ws|neg|edge|uni|all]
 """
@@ -136,6 +134,7 @@ COPY (
       WHEN doc_id % 5 = 0
         THEN concat(substr(text, 1, 20), chr(10), substr(text, 21))
       WHEN doc_id % 7 = 0 THEN replace(text, ' ', '  ')
+      WHEN doc_id % 19 = 0 THEN replace(text, ' ', chr(11))
       ELSE text
     END AS text)
   FROM '{base}/documents.parquet'
