@@ -2424,10 +2424,13 @@ WITH g AS (
   JOIN generate_series(1, 100000) AS gs(i)
     ON gs.i <= length(text) - 2)
 SELECT d.doc_id,
-       CAST(GREATEST(length(d.text) - 2, 0) AS BIGINT) AS n_ngrams,
-       CAST(COALESCE(SUM(g.w), 0) AS BIGINT) AS score
+       CAST(CASE WHEN d.text IS NULL THEN NULL
+                 ELSE GREATEST(length(d.text) - 2, 0) END AS BIGINT)
+         AS n_ngrams,
+       CAST(CASE WHEN d.text IS NULL THEN NULL
+                 ELSE COALESCE(SUM(g.w), 0) END AS BIGINT) AS score
 FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id
-GROUP BY 1, 2
+GROUP BY 1, d.text
 """
 
 
@@ -3347,7 +3350,9 @@ WITH tok AS (
 ), bits AS (
   SELECT doc_id, {balances} FROM tok GROUP BY doc_id
 )
-SELECT d.doc_id, COALESCE({fingerprint}, 0) AS simhash
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE COALESCE({fingerprint}, 0) END AS simhash
 FROM documents d LEFT JOIN bits USING (doc_id)
 """
 
@@ -3661,7 +3666,7 @@ WITH tok AS (
   SELECT doc_id, {toks} AS toks FROM documents),
 meta AS (
   SELECT doc_id, toks, len(toks) AS n,
-         CASE WHEN len(toks) <= 0 THEN 0
+         CASE WHEN toks IS NULL OR len(toks) <= 0 THEN 0
               ELSE 1 + greatest(0,
                      (len(toks) - {max_tokens} + {step - 1}) // {step}) END
            AS n_chunks
@@ -4124,12 +4129,13 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_FINGERPRINTS = f"""
 SELECT doc_id, md5(text) AS content_md5,
+       CASE WHEN text IS NULL THEN NULL ELSE
        list_reduce(
          list_prepend(CAST(0 AS BIGINT),
            list_transform({_D_TOKENS.format(t='text')},
              t -> {_d_md5h('t')} % {FINGERPRINT_MOD})),
          (acc, h) -> (acc * {FINGERPRINT_MULT} + h) % {FINGERPRINT_MOD})
-         AS fingerprint
+       END AS fingerprint
 FROM documents
 """
 
@@ -9087,7 +9093,8 @@ k AS (
          list_filter(toks, (x, i) -> ({h}) % 1000 >= 150) AS kept
   FROM t)
 SELECT doc_id,
-       COALESCE(array_to_string(kept, ' '), '') AS aug_text,
+       CASE WHEN toks IS NULL THEN NULL
+            ELSE COALESCE(array_to_string(kept, ' '), '') END AS aug_text,
        CAST(len(toks) AS BIGINT) AS n_tokens,
        CAST(len(toks) - len(kept) AS BIGINT) AS n_dropped
 FROM k
@@ -10069,9 +10076,12 @@ kept AS (
   FROM tokpos t LEFT JOIN cov c
     ON t.doc_id = c.doc_id AND t.pos = c.pos
   GROUP BY 1)
-SELECT m.doc_id, COALESCE(k.clean_text, '') AS clean_text,
+SELECT m.doc_id,
+       CASE WHEN m.toks IS NULL THEN NULL
+            ELSE COALESCE(k.clean_text, '') END AS clean_text,
        CAST(len(m.toks) AS BIGINT) AS n_tokens,
-       CAST(COALESCE(k.n_cov, 0) AS BIGINT) AS n_removed
+       CAST(CASE WHEN m.toks IS NULL THEN NULL
+                 ELSE COALESCE(k.n_cov, 0) END AS BIGINT) AS n_removed
 FROM meta m LEFT JOIN kept k ON m.doc_id = k.doc_id
 """
 
@@ -10120,7 +10130,8 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", strip_html(html).alias("clean_text")
     )
     return out.withColumn(
-        "n_tokens", F.size(F.split(F.col("clean_text"), " ")).cast("bigint")
+        "n_tokens",
+        F.array_size(F.split(F.col("clean_text"), " ")).cast("bigint"),
     )
 
 
@@ -16115,7 +16126,7 @@ WITH melted AS (
   FROM documents
   UNION ALL
   SELECT lang, 'has_query',
-         CASE WHEN text LIKE '%query%' THEN 'true' ELSE 'false' END
+         CAST(text LIKE '%query%' AS VARCHAR)
   FROM documents),
 vc AS (
   SELECT feature, value, label, CAST(COUNT(*) AS BIGINT) AS nvc
@@ -20578,48 +20589,48 @@ def entry(spark: SparkSession) -> DataFrame:
 #: with the declared precedence (changed queries promote to the window
 #: head at change time; displaced rotation names roll forward):
 #:
-#: 1. The 17 graph-backed queries whose ENGINE code changed this round
-#:    (every operators/graph.py lineage cut now routes through
+#: 1. The 17 graph-backed queries whose ENGINE code changed (every
+#:    operators/graph.py lineage cut routes through
 #:    lineage.cut_lineage — reliable checkpoint when a checkpoint dir
-#:    is set, localCheckpoint otherwise; all 17 bare-verified green vs
-#:    the sf0.01 oracle at change time).
-#: 2. The oracle-changed names from the vertical-tab whitespace-class
-#:    wave (every DuckDB-oracle `\s` — split, collapse, and negated
-#:    punct classes — replaced by the explicit Java-semantics class
-#:    `[ \t\n\x0b\f\r]`; behavior-identical on the VT-free fixtures,
-#:    regression-gated by tools/fragility_audit.py ws mode which now
-#:    injects VT bytes).  The shared tokenizer/punct helpers fan the
-#:    byte-change out to 76 oracles — more than one 50-slot window —
-#:    so these 33 slots take the changed names whose LATEST driver
-#:    signature is oldest (r4 block first: duplicate_spans …
-#:    training_pipeline, then r5/r6/r8); the 39 changed names with
-#:    r9-r13 signatures roll to the round-15 window head, ahead of the
-#:    remaining 31 unchanged r4-signed rotation names (all 76 changed
-#:    oracles + the 17 graph queries bare-verified green this round —
-#:    see COVERAGE.md round-14 section).
+#:    is set, localCheckpoint otherwise).
+#: 2. The 19 queries whose ENGINE code changed in the round-14
+#:    NULL-text contract adoption (token counters on NULL-propagating
+#:    array_size — never legacy size's -1 — NULL-guarded transforms,
+#:    exact-Int64 Arrow simhash batches; gated by
+#:    tools/fragility_audit.py null mode, 44/44 + media-raise checks).
+#: 3. The oldest-driver-signature names from the vertical-tab
+#:    whitespace-class oracle wave (every DuckDB-oracle \s — split,
+#:    collapse, negated punct classes — replaced by the explicit
+#:    Java-semantics class [ \t\n\x0b\f\r]; ws audit now injects
+#:    VT bytes, 30/30).  The shared helpers fan the two waves out to
+#:    92 changed names — more than one 50-slot window — so the
+#:    remaining 42 changed names (r5-r13 signatures, oldest first)
+#:    are the declared round-15 window head, ahead of the 31
+#:    unchanged r4-signed rotation names; ALL 92 were bare-verified
+#:    green against the sf0.01 oracle at change time this round (see
+#:    COVERAGE.md round-14 section).
 _R14_WINDOW = [
-    # -- 1. round-14 engine-code changes: cut_lineage swap (17) --------
+    # -- 1. engine code: cut_lineage swap (17) -------------------------
     "near_dup_components", "near_dup_dedup", "pagerank",
     "dedup_keep_best", "dedup_report", "image_dedup",
     "flatten_hierarchy", "triangle_count", "k_core",
     "label_propagation", "bfs_hops", "hits_scores",
     "graph_assortativity", "clustering_coeff", "adamic_adar",
     "link_prediction", "density_clusters",
-    # -- 2. whitespace-class oracle wave, oldest-signed first: the r4
-    # block (8) — promotion and rotation in one --------------------------
-    "duplicate_spans", "html_extract", "lsh_dedup_incremental",
-    "mix_sources", "select_until_budget", "simhash_expr",
-    "span_dup_stats", "training_pipeline",
-    # -- then the r5/r6/r8-signed changed names (25) -------------------
-    "bpe_segment", "bpe_train", "bucketed_packs", "collocations",
-    "containment_pairs", "contamination_report", "corpus_report",
+    # -- 2. engine code: NULL-text contract consumers (19) -------------
+    "assign_packs", "assign_packs_scalable", "augment_dropout",
+    "bucketed_packs", "chunk_documents", "contrastive_pairs",
+    "corpus_report", "html_extract", "mix_sources",
+    "ngram_model_score", "quality_filter", "readability",
+    "remove_duplicate_spans", "select_until_budget", "simhash",
+    "simhash_pairs", "temperature_mix", "text_quality",
+    "token_counts",
+    # -- 3. oracle-only changes, oldest driver signature first (14) ----
+    "duplicate_spans", "lsh_dedup_incremental", "simhash_expr",
+    "span_dup_stats", "training_pipeline", "bpe_segment", "bpe_train",
+    "collocations", "containment_pairs", "contamination_report",
     "heavy_hitters", "hybrid_search", "lsh_recall",
-    "minhash_lsh_pairs_expr", "remove_duplicate_spans",
-    "streaming_ingest", "temperature_mix", "token_entropy",
-    "tokenize_pack", "contrastive_pairs", "doc_features",
-    "epoch_pipeline", "normalized_dup_gain", "quality_roc",
-    "source_keywords", "cluster_eval", "markdown_strip",
-    "split_leakage",
+    "minhash_lsh_pairs_expr",
 ]
 
 

@@ -29,13 +29,22 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 def tokens_ws(text: Column) -> Column:
     """Whitespace tokenization; empty/blank input → empty array (Spark's
-    split of '' yields [''], which we filter)."""
+    split of '' yields [''], which we filter); NULL input → NULL (so
+    exploding consumers emit no rows and counting consumers propagate
+    NULL — the round-14 null-text contract)."""
     return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != F.lit(""))
 
 
 def token_count_ws(text: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(tokens_ws(text)).cast("bigint")
+    """Whitespace token count.
+
+    NULL-text contract (round 14): NULL in → NULL out.  ``array_size``
+    propagates NULL, unlike legacy ``size`` whose non-ANSI default is
+    -1 — the dominant mechanism behind the 44 engine-vs-oracle
+    divergences in the round-13 null-injection audit (SQL aggregates
+    and expressions propagate NULL naturally; -1 silently poisons
+    sums, ratios, and filters)."""
+    return F.array_size(tokens_ws(text)).cast("bigint")
 
 
 def token_count_bpeish(text: Column) -> Column:
@@ -74,15 +83,19 @@ def punct_count(text: Column) -> Column:
 def quality_features(text: Column) -> dict[str, Column]:
     """Document quality signals (length / punctuation / stopword ratios),
     the usual pre-training filter inputs.  Ratios are double divisions of
-    exact integer counts — deterministic across engines."""
+    exact integer counts — deterministic across engines.
+
+    NULL-text contract (round 14): every feature is NULL for NULL text
+    (``array_size``/``length``/``regexp_count`` all propagate NULL),
+    matching SQL semantics — never legacy ``size``'s -1."""
     toks = tokens_ws(text)
     n_chars = F.length(text).cast("bigint")
-    n_tokens = F.size(toks).cast("bigint")
+    n_tokens = F.array_size(toks).cast("bigint")
     n_punct = punct_count(text)
     stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, F.lower(t)))).cast(
-        "bigint"
-    )
+    n_stop = F.array_size(
+        F.filter(toks, lambda t: F.array_contains(stop, F.lower(t)))
+    ).cast("bigint")
     return {
         "n_chars": n_chars,
         "n_tokens": n_tokens,

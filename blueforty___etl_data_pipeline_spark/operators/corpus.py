@@ -77,7 +77,7 @@ def chunk_documents(
         F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
     )
     return out.withColumn(
-        "n_chunk_tokens", F.size(tokens_ws(F.col("chunk_text"))).cast("bigint")
+        "n_chunk_tokens", F.array_size(tokens_ws(F.col("chunk_text"))).cast("bigint")
     )
 
 

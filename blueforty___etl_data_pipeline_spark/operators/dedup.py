@@ -493,8 +493,12 @@ def simhash_arrow(
         bit_idx = np.arange(n_bits, dtype=np.uint64)
         pow2 = (np.uint64(1) << bit_idx).astype(np.int64)
 
-        def fp_of(text: str) -> int:
-            toks = [t for t in ws.split(text.strip()) if t] if text else []
+        def fp_of(text: str) -> int | None:
+            # NULL-text contract (round 14): NULL in, NULL out —
+            # parity with simhash64's fold (NULL array propagates).
+            if text is None:
+                return None
+            toks = [t for t in ws.split(text.strip()) if t]
             if not toks:
                 return 0
             th = np.array(
@@ -509,8 +513,17 @@ def simhash_arrow(
             return int(pow2[balances > 0].sum())
 
         for pdf in batches:
+            # Explicit nullable Int64: once a None lands in the batch,
+            # a mapped object column can round-trip through float64 and
+            # CORRUPT 60-bit fingerprints (>2^53 loses low bits —
+            # caught by the round-14 null audit as one-off hammings).
             yield pd.DataFrame(
-                {id_col: pdf[id_col], "simhash": pdf[text_col].map(fp_of)}
+                {
+                    id_col: pdf[id_col],
+                    "simhash": pd.array(
+                        [fp_of(t) for t in pdf[text_col]], dtype="Int64"
+                    ),
+                }
             )
 
     return df.select(id_col, text_col).mapInPandas(
@@ -1119,11 +1132,18 @@ def remove_duplicate_spans(
             lambda s: (i >= s * stride) & (i <= s * stride + (window - 1)),
         ),
     )
+    # NULL-text contract (round 14): a NULL doc yields NULL clean_text
+    # (concat_ws would silently turn a NULL token array into ''),
+    # NULL n_tokens and NULL n_removed (array_size, not legacy size).
     return j.select(
         F.col(id_col),
-        F.concat_ws(" ", kept).alias("clean_text"),
-        F.size("_toks").cast("long").alias("n_tokens"),
-        (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.when(
+            F.col("_toks").isNotNull(), F.concat_ws(" ", kept)
+        ).alias("clean_text"),
+        F.array_size("_toks").cast("long").alias("n_tokens"),
+        (F.array_size("_toks") - F.array_size(kept)).cast("long").alias(
+            "n_removed"
+        ),
     )
 
 

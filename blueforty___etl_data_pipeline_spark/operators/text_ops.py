@@ -358,10 +358,15 @@ def ngram_model_score(
         f"            i -> substring({text_col}, i, 3)), "
         f"  CAST(0 AS BIGINT), (acc, g) -> acc + ({w})) END"
     )
+    # NULL-text contract (round 14): greatest() ignores NULLs on both
+    # engines, so an unguarded n_ngrams would report 0 for a NULL doc;
+    # the score fold already propagates NULL (sequence(1, NULL) is
+    # NULL).  Both outputs are NULL for NULL text.
     return df.select(
         F.col(id_col),
-        F.greatest(
-            F.length(F.col(text_col)) - 2, F.lit(0)
+        F.when(
+            F.col(text_col).isNotNull(),
+            F.greatest(F.length(F.col(text_col)) - 2, F.lit(0)),
         ).cast("bigint").alias("n_ngrams"),
         F.expr(score).alias("score"),
     )
@@ -490,11 +495,16 @@ def augment_word_dropout(
         >= F.lit(int(rate_permille))
     )
     kept = F.filter(toks, keep)
+    # NULL-text contract (round 14): array_join(NULL) is already NULL;
+    # array_size propagates NULL for the counts (legacy size's -1
+    # would report "-1 tokens" for a NULL doc).
     return df.select(
         F.col(id_col),
         F.array_join(kept, " ").alias("aug_text"),
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        (F.size(toks) - F.size(kept)).cast("bigint").alias("n_dropped"),
+        F.array_size(toks).cast("bigint").alias("n_tokens"),
+        (F.array_size(toks) - F.array_size(kept)).cast("bigint").alias(
+            "n_dropped"
+        ),
     )
 
 
@@ -560,12 +570,18 @@ def readability_scores(
     formula's 206.835 − 1.015·… would hang on multiplication
     rounding).
     """
-    words = F.size(F.expr(f"regexp_extract_all({text_col}, '[A-Za-z]+', 0)"))
+    # NULL-text contract (round 14): array_size propagates NULL where
+    # legacy size yields -1; greatest(NULL, 1) is 1 on both engines,
+    # so a NULL doc reports (NULL words, 1 sentence, NULL syllables,
+    # NULL flesch) — identical to the SQL oracle.
+    words = F.array_size(
+        F.expr(f"regexp_extract_all({text_col}, '[A-Za-z]+', 0)")
+    )
     sents = F.greatest(
-        F.size(F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)")),
+        F.array_size(F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)")),
         F.lit(1),
     )
-    syll = F.size(
+    syll = F.array_size(
         F.expr(f"regexp_extract_all({text_col}, '[aeiouyAEIOUY]+', 0)")
     )
     return df.select(

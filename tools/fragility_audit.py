@@ -25,16 +25,14 @@ Two ADVICE-class input families (both flagged in round 12):
   and hash semantics.  Clean on first run (round 13, 24/24) — kept
   as a regression gate.
 
-NULL-text boundary (documented round 13, deliberately NOT doctored
-here): a null ``documents.text`` is out of the declared fixture
-contract.  A full-surface run against a null-injecting variant showed
-44 additional pairings diverge on NULL alone — mostly Spark's legacy
-``size(NULL) = -1`` in token counters vs SQL NULL, plus media-builder
-queries that (correctly) refuse a null payload.  Defining engine-wide
-null-text semantics is a contract decision, not a patch; it is
-recorded as a candidate round-14+ work package in PLANS.md.  Until
-then every per-document operator documents non-null text as an input
-precondition.
+NULL-text contract (ADOPTED round 14, after the round-13 audit found
+44 pairings diverging on NULL ``documents.text`` alone): per-document
+metrics propagate NULL (token counters use NULL-propagating
+``array_size``, never legacy ``size``'s -1), exploding/tokenizing
+operators emit no rows for a NULL document (``tokens_ws(NULL)`` is
+NULL, so ``explode`` produces nothing), and media/codec builders RAISE
+on a NULL payload (silently nulling a corrupt blob hides data loss).
+The ``null`` mode below regression-gates all three clauses.
 
 Each mode builds a doctored copy of ONE table under
 ``.tmp/fragility/<mode>/`` (all other tables symlinked read-only from
@@ -52,7 +50,7 @@ with the explicit Java-semantics class ``[ \\t\\n\\x0b\\f\\r]``, and
 the ws doctoring below now injects VT bytes so the parity is
 regression-gated rather than argued.
 
-Usage: python tools/fragility_audit.py [ws|neg|edge|uni|all]
+Usage: python tools/fragility_audit.py [ws|neg|edge|uni|null|all]
 """
 
 from __future__ import annotations
@@ -229,6 +227,71 @@ COPY (
     )
 
 
+#: Queries exercised by the null-text mode: the per-document metric
+#: family (must propagate NULL, never legacy size's -1) and the
+#: exploding/tokenizing family (must emit no rows for a NULL doc).
+#: Media/codec builder queries are deliberately EXCLUDED from the
+#: differential — the round-14 contract is that they RAISE on a NULL
+#: payload (asserted separately below), since silently dropping or
+#: nulling a corrupt blob hides pipeline data loss.
+NULL_QUERIES = WS_QUERIES + [
+    "fingerprints", "simhash_expr", "simhash", "simhash_pairs",
+    "minhash_signatures", "select_until_budget", "bucketed_packs",
+    "remove_duplicate_spans", "duplicate_spans", "span_dup_stats",
+    "ngram_model_score", "gini_gain", "doc_features", "augment_dropout",
+]
+
+
+def audit_null() -> int:
+    # Round-14 NULL-text contract: a band of NULL documents.text.
+    # Per-doc metrics propagate NULL, exploding operators emit no
+    # rows, media builders raise.
+    sf = _stage(
+        "null",
+        """
+COPY (
+  SELECT * REPLACE (
+    CASE WHEN doc_id % 11 = 0 THEN NULL ELSE text END AS text)
+  FROM '{base}/documents.parquet'
+) TO '{out}/documents.parquet' (FORMAT PARQUET)
+""",
+        "documents",
+    )
+    rc = _run(sf, NULL_QUERIES)
+    rc |= _assert_media_raises(sf)
+    return rc
+
+
+def _assert_media_raises(sf: str) -> int:
+    """Engine-side contract check (no oracle): media builders must
+    RAISE on a NULL text payload, not emit a null/garbage blob."""
+    import importlib.util
+
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    spec = importlib.util.spec_from_file_location(
+        "entrymod", os.path.join(REPO, "__spark_entry__.py")
+    )
+    entrymod = importlib.util.module_from_spec(spec)
+    sys.modules["entrymod"] = entrymod
+    spec.loader.exec_module(entrymod)
+    from blueforty___etl_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="fragility-null-media")
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = []
+    for name in ("media_sniff", "multimodal_decode_real"):
+        try:
+            entrymod.queries()[name](spark, sf).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            failures.append(name)
+            print(f"FAIL {name}: completed on NULL payload (must raise)")
+        except Exception as exc:  # noqa: BLE001 — raising IS the pass
+            print(f"PASS {name}: raised {type(exc).__name__} on NULL payload")
+    return 1 if failures else 0
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
     rc = 0
@@ -244,6 +307,9 @@ def main() -> None:
     if mode in ("uni", "all"):
         print("=== unicode audit (non-ASCII documents) ===")
         rc |= audit_uni()
+    if mode in ("null", "all"):
+        print("=== null-text audit (round-14 NULL contract) ===")
+        rc |= audit_null()
     sys.exit(rc)
 
 
