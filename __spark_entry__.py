@@ -438,12 +438,19 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Grouping-set empty-slice contract (round 14, zero-row audit): Spark
+# emits NO rows for ROLLUP/CUBE/GROUPING SETS over an empty relation —
+# including the () grand-total set — where DuckDB/Postgres emit the
+# grand-total row (COUNT 0).  The engine is Spark-first, so the
+# contract follows Spark; HAVING COUNT(*) > 0 drops exactly that
+# fabricated row and nothing else (every real group has >= 1 row).
 _SQL_ROLLUP = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
        CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
          AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
+HAVING COUNT(*) > 0
 """
 
 
@@ -5994,7 +6001,9 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mode("overwrite")
         .save()
     )
-    hi = sup.agg(F.max("s_suppkey")).collect()[0][0]
+    # Empty-slice guard: max() is NULL on an empty supplier table —
+    # any positive bound keeps the 4-way range partitioning valid.
+    hi = sup.agg(F.max("s_suppkey")).collect()[0][0] or 0
     back = read_jdbc_table(
         spark,
         url,
@@ -6767,6 +6776,7 @@ SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
          AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
+HAVING COUNT(*) > 0
 """
 
 
@@ -7936,6 +7946,7 @@ SELECT l_returnflag, l_linestatus,
          AS sum_qty
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+HAVING COUNT(*) > 0
 """
 
 
@@ -17265,6 +17276,7 @@ FROM n, (
   SELECT 'disc_or_null',
          SUM(CASE WHEN disc_or_null IS NULL THEN 1 ELSE 0 END),
          MIN(disc_or_null), MAX(disc_or_null) FROM proj)
+WHERE total > 0  -- empty slice: no row groups => no footer stats rows
 ORDER BY col
 """
 
@@ -18521,8 +18533,13 @@ def _sql_kcenter_coreset(k: int = 8) -> str:
             f"""d0 AS (
   SELECT m.vec_id, m.v, {dist('m', 'c')} AS d
   FROM mv m JOIN mv c ON c.vec_id = (SELECT id FROM s0))"""]
+    # EXISTS guards: on an empty corpus no seed exists and the engine
+    # emits no rows — the scalar subqueries must not fabricate NULL
+    # ones (s0 is a MIN() aggregate, so it is 1 NULL row when mv is
+    # empty; guard on mv itself).
     selects = ["SELECT 0 AS round, (SELECT id FROM s0) AS vec_id, "
-               "CAST(0 AS BIGINT) AS radius_sq"]
+               "CAST(0 AS BIGINT) AS radius_sq "
+               "WHERE EXISTS (SELECT 1 FROM mv)"]
     for r in range(1, k):
         ctes.append(
             f"""s{r} AS (
@@ -18531,7 +18548,8 @@ def _sql_kcenter_coreset(k: int = 8) -> str:
         )
         selects.append(
             f"SELECT {r}, (SELECT id FROM s{r}), "
-            f"CAST((SELECT d FROM s{r}) AS BIGINT)"
+            f"CAST((SELECT d FROM s{r}) AS BIGINT) "
+            f"WHERE EXISTS (SELECT 1 FROM s{r})"
         )
         if r < k - 1:
             ctes.append(
@@ -19278,9 +19296,13 @@ def _sql_facility_location(k: int = 5, n_candidates: int = 32) -> str:
             f"s{r} AS (SELECT id, gain FROM g{r} "
             f"ORDER BY gain DESC, id LIMIT 1)"
         )
+        # EXISTS guard: on an empty (or exhausted, n < k) corpus the
+        # round selects nothing — the engine emits no row, so the
+        # scalar subqueries must not fabricate a NULL one.
         selects.append(
             f"SELECT {r} AS round, (SELECT id FROM s{r}) AS vec_id, "
-            f"CAST((SELECT gain FROM s{r}) AS BIGINT) AS objective"
+            f"CAST((SELECT gain FROM s{r}) AS BIGINT) AS objective "
+            f"WHERE EXISTS (SELECT 1 FROM s{r})"
         )
         if r < k - 1:
             ctes.append(
@@ -20625,12 +20647,17 @@ _R14_WINDOW = [
     "remove_duplicate_spans", "select_until_budget", "simhash",
     "simhash_pairs", "temperature_mix", "text_quality",
     "token_counts",
-    # -- 3. oracle-only changes, oldest driver signature first (14) ----
+    # -- 3. oracle-only changes, oldest driver signature first (10) ----
     "duplicate_spans", "lsh_dedup_incremental", "simhash_expr",
     "span_dup_stats", "training_pipeline", "bpe_segment", "bpe_train",
     "collocations", "containment_pairs", "contamination_report",
-    "heavy_hitters", "hybrid_search", "lsh_recall",
-    "minhash_lsh_pairs_expr",
+    # -- 4. zero-row-slice hardening wave: the four changed names
+    # whose new code/oracle EXECUTES on the non-empty driver fixture
+    # (IVF _schema sidecar read; grouped point-estimate agg; empty-
+    # safe seed collect + EXISTS-guarded oracle; HAVING grand-total
+    # pin).  The 9 guard-only/no-op-twin names head the r15 queue —
+    # see COVERAGE.md round-14 section. -------------------------------
+    "ann_ivf_indexed", "bootstrap_ci", "kcenter_coreset", "rollup",
 ]
 
 

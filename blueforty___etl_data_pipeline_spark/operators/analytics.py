@@ -790,6 +790,11 @@ def ols_fit(
     row = base.agg(*aggs).collect()[0]
 
     n = int(row["n"])
+    if n == 0:
+        # Empty input is degenerate the same way a constant feature
+        # is: there is nothing to fit — raise (the established
+        # degenerate-design contract below), never emit a NULL row.
+        raise ValueError("cannot fit regression on empty input")
     A = [
         [
             int(row[f"m_{min(i, j)}_{max(i, j)}"])

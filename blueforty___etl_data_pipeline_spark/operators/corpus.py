@@ -1001,7 +1001,10 @@ def vocabulary_growth(
     the ≤n_checkpoints-row result.  Returns (checkpoint, docs_seen,
     tokens_seen, vocab_seen)."""
     max_id = df.agg(F.max(F.col(id_col))).collect()[0][0]
-    span = int(max_id) + 1
+    # Empty slice (a partition-pruned read can be legitimately empty):
+    # max() is NULL — any positive span keeps the plan valid and the
+    # result empty, matching the oracle's no-rows output.
+    span = int(max_id) + 1 if max_id is not None else 1
     ckpt = F.least(
         (F.col(id_col) * n_checkpoints / span).cast("int") + 1,
         F.lit(n_checkpoints),

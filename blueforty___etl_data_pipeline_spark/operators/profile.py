@@ -1775,6 +1775,10 @@ def mahalanobis_outliers(
         F.expr("n * syy - sy * sy").alias("cyy"),
     )
     row = m.collect()[0]
+    if row["n"] == 0:
+        # Empty input: covariance is undefined — same degenerate
+        # contract as det <= 0 below (raise, never a NULL score pass).
+        raise ValueError("degenerate covariance (empty input)")
     det = int(row["cxx"]) * int(row["cyy"]) - int(row["cxy"]) ** 2
     if det <= 0:
         raise ValueError(

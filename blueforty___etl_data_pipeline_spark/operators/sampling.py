@@ -737,10 +737,18 @@ def poisson_bootstrap_mean(
     hi_rank = n_boot - (alpha_permille * n_boot) // 1000
     w = Window.orderBy("m")
     ranked = means.select("m", F.row_number().over(w).alias("r"))
-    point = df.agg(
-        F.expr(
-            f"sum(CAST({value_col} AS BIGINT)) div count(1)"
-        ).alias("mean")
+    # Constant-key GROUPED aggregate, not a global agg: a grouped agg
+    # emits NO row on empty input, so an empty partition-pruned slice
+    # yields an empty result (no fabricated all-NULL CI row) — same
+    # rows-iff-data contract as the oracle's GROUP BY mean.
+    point = (
+        df.groupBy(F.lit(1).alias("_g"))
+        .agg(
+            F.expr(
+                f"sum(CAST({value_col} AS BIGINT)) div count(1)"
+            ).alias("mean")
+        )
+        .drop("_g")
     )
     ci = ranked.agg(
         F.max(F.when(F.col("r") == lo_rank, F.col("m"))).alias("ci_lo"),

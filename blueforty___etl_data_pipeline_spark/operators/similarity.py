@@ -687,6 +687,14 @@ def build_ivf_index(
         .parquet(f"{path}/lists")
     )
     cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    # Zero-row schema sidecar: a partitioned write of an EMPTY frame
+    # (legitimate for an empty partition-pruned corpus slice) leaves no
+    # data files, so a later read of {path}/lists has nothing to infer
+    # a schema from.  The sidecar always carries the full row schema
+    # (centroid_id as a data column); probe_ivf_index reads lists with
+    # it explicitly — which also skips footer-based schema inference on
+    # large indexes.
+    assigned.limit(0).write.mode("overwrite").parquet(f"{path}/_schema")
 
 
 def probe_ivf_index(
@@ -710,7 +718,8 @@ def probe_ivf_index(
     not with index size.  Bit-identical results to :func:`ann_ivf` under
     the same parameters (shared oracle).
     """
-    lists = spark.read.parquet(f"{path}/lists").select(
+    list_schema = spark.read.parquet(f"{path}/_schema").schema
+    lists = spark.read.schema(list_schema).parquet(f"{path}/lists").select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_v"),
         l2_norm(F.col(vec_col)).alias("_n"),
@@ -954,6 +963,13 @@ def top_principal_direction(
         rows = sorted(
             (r["_d"], int(r["_w"])) for r in w.collect()
         )
+        if not rows:
+            # Empty slice: the Gram matrix is undefined — mirror the
+            # oracle's unrolled CTEs, which yield no rows.
+            c.unpersist()
+            return emb.sparkSession.createDataFrame(
+                [], "dim int, v_fp long"
+            )
         mx = max(abs(val) for _, val in rows) or 1
         # truncate-toward-zero division: SQL's `div`//`//` semantics
         # (Python's // floors, which differs on negatives)
@@ -1793,7 +1809,15 @@ def kcenter_coreset(
             lambda acc, x: acc + x,
         )
 
-    first = mv.orderBy("_id").limit(1).collect()[0]
+    seed = mv.orderBy("_id").limit(1).collect()
+    if not seed:
+        # Empty slice: no vector can seed the farthest-point walk —
+        # return the empty selection (matches the oracle's no-rows
+        # output on an empty corpus).
+        return df.sparkSession.createDataFrame(
+            [], "round int, vec_id long, radius_sq long"
+        )
+    first = seed[0]
     selected = [(0, first["_id"], 0)]
     cur = mv.withColumn("_d", dist_to(first["_v"]))
     for r in range(1, k):

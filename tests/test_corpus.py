@@ -826,3 +826,14 @@ def test_oov_rate_hand_case(spark):
     assert out["s1"]["n_words"] == 3 and out["s1"]["oov_permille"] == 0
     assert out["s2"]["n_words"] == 4 and out["s2"]["n_oov"] == 2
     assert out["s2"]["oov_permille"] == 500
+
+
+def test_vocabulary_growth_empty_input_emits_no_rows(spark):
+    # Round-14 zero-row audit: max(doc_id) is NULL on an empty slice —
+    # the checkpoint span must stay valid and the result empty.
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        vocabulary_growth,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert vocabulary_growth(empty, n_checkpoints=4).count() == 0

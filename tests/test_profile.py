@@ -1173,3 +1173,24 @@ def test_fd_check_holds_and_violations(spark):
     assert out[("b", "c")]["n_violations"] == 1    # y -> {20, 21}
     assert out[("c", "b")]["holds"] is True        # each c one b
     assert out[("a", "b")]["n_lhs"] == 4
+
+
+def test_global_fits_raise_on_empty_input(spark):
+    # Round-14 zero-row audit contract: a degenerate fit RAISES
+    # (empty input == constant feature == collinear design — there is
+    # nothing to fit, and a NULL coefficient row would silently
+    # poison downstream consumers).
+    import pytest
+
+    from blueforty___etl_data_pipeline_spark.operators.analytics import (
+        ols_fit,
+    )
+    from blueforty___etl_data_pipeline_spark.operators.profile import (
+        mahalanobis_outliers,
+    )
+
+    empty = spark.createDataFrame([], "rid long, x long, y long")
+    with pytest.raises(ValueError, match="empty"):
+        ols_fit(empty, "y", ["x"])
+    with pytest.raises(ValueError, match="empty"):
+        mahalanobis_outliers(empty, "x", "y")

@@ -662,3 +662,16 @@ def test_weighted_sample_topk_matches_python_replay(spark):
         ((i, score(i, w)) for i, w in rows), key=lambda t: (-t[1], t[0])
     )[:10]
     assert got == exp
+
+
+def test_poisson_bootstrap_empty_input_emits_no_row(spark):
+    # Rows-iff-data contract (round-14 zero-row audit): the point
+    # estimate is a constant-key GROUPED aggregate, so an empty
+    # partition-pruned slice yields an empty result — never a
+    # fabricated all-NULL CI row that would poison downstream joins.
+    from blueforty___etl_data_pipeline_spark.operators.sampling import (
+        poisson_bootstrap_mean,
+    )
+
+    empty = spark.createDataFrame([], "rid long, y long")
+    assert poisson_bootstrap_mean(empty, "y", "rid", n_boot=10).count() == 0

@@ -790,3 +790,30 @@ def test_centroid_novelty_orthogonal_outlier(spark):
     exp = math.floor(1e6 * 3 / math.sqrt(10))
     assert abs(out[1] - exp) <= 1   # quantization at 2^20 is exact here
     assert out[9] == 999999 or out[9] == 1000000  # cos(v, v) = 1
+
+
+def test_empty_corpus_contracts(spark, tmp_path):
+    """Round-14 zero-row audit: a partition-pruned slice is routinely
+    empty on a real cluster — driver-side seed collects must not
+    crash, selections must emit no rows, and a persisted EMPTY IVF
+    index must still round-trip (the partitioned lists write leaves
+    no data files, so the probe depends on the _schema sidecar)."""
+    from blueforty___etl_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        kcenter_coreset,
+        probe_ivf_index,
+        top_principal_direction,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    assert kcenter_coreset(empty, k=3).count() == 0
+    assert top_principal_direction(empty, iters=2).count() == 0
+
+    path = str(tmp_path / "ivf_empty")
+    build_ivf_index(empty, path, centroid_stride=50)
+    q = spark.createDataFrame(
+        [(1, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    assert probe_ivf_index(spark, path, q, k=3, nprobe=2).count() == 0

@@ -50,7 +50,12 @@ with the explicit Java-semantics class ``[ \\t\\n\\x0b\\f\\r]``, and
 the ws doctoring below now injects VT bytes so the parity is
 regression-gated rather than argued.
 
-Usage: python tools/fragility_audit.py [ws|neg|edge|uni|null|all]
+- ``zero`` — zero-row slices of ``documents`` / ``events`` (schema
+  preserved).  A partition-pruned read on a real cluster is routinely
+  empty; operators must neither crash (driver-side ``collect()[0]``,
+  0/0 sampling fractions) nor diverge from the oracle on empty input.
+
+Usage: python tools/fragility_audit.py [ws|neg|edge|uni|null|zero|all]
 """
 
 from __future__ import annotations
@@ -262,9 +267,129 @@ COPY (
     return rc
 
 
-def _assert_media_raises(sf: str) -> int:
-    """Engine-side contract check (no oracle): media builders must
-    RAISE on a NULL text payload, not emit a null/garbage blob."""
+#: Extra documents-consumers for the zero-row mode beyond the text
+#: metric family: dedup, sampling/mix, and split operators whose
+#: driver-side constants (thresholds, fractions, cuts) come FROM the
+#: data and so can divide-by-zero or index-error on an empty slice.
+ZERO_DOC_EXTRA = [
+    "exact_dup_groups", "dedup_report", "dedup_keep_best",
+    "minhash_lsh_pairs", "cross_source_dups", "url_dedup",
+    "corpus_report", "charset_sniff", "mix_sources",
+    "temperature_mix", "hash_split", "embargo_split",
+]
+
+#: Extra events-consumers for the zero-row mode beyond the stats
+#: family: sessionization, funnels, and calendar-spine operators whose
+#: min/max-derived date ranges become NULL on empty input.
+ZERO_EVT_EXTRA = [
+    "sessionize", "session_window", "funnel", "attribution",
+    "cohort_retention", "gaps_islands", "sequence_gaps",
+    "heavy_hitters", "hll_distinct", "running_distinct",
+    "tumbling_window", "sliding_window", "lag_features",
+    "holt_forecast", "stl_decompose", "acf_daily",
+]
+
+
+#: Every embeddings-consumer: the ANN / clustering / reduction family,
+#: whose greedy seeds, centroid inits, and quantile probes are the
+#: likeliest driver-side empty-input crashes.
+ZERO_EMB_QUERIES = """
+ann_brute_force ann_ivf ann_ivf_indexed ann_lsh ann_lsh_multi ann_mrr
+ann_ndcg ann_recall ann_rrf bitext_mine centroid_novelty
+density_clusters embedding_dim_profile embedding_near_dup
+facility_location hybrid_search ivf_pq_search kcenter_coreset
+kmeans_assign kmeans_train lof_outliers matryoshka_eval
+maxsim_retrieval pca_project power_iteration pq_encode pq_search
+quantize_embeddings semantic_dedup
+""".split()
+
+
+#: Every lineitem-consumer: the TPC-H analytics family plus the
+#: lineitem-derived graph/stats operators — probes normal-equation /
+#: covariance driver constants (int(NULL)), iterative operators on an
+#: empty edge set, and agg-on-empty row-count parity.
+ZERO_LI_QUERIES = """
+allen_relations approx_quantile_contract argmin_agg below_avg_filter
+benford bfs_hops bloom_semi_join bootstrap_ci cms_frequency
+composite_key_join corr_matrix count_distinct_agg cube_agg
+disjunctive_pred exists_subquery fixed_width_roundtrip fk_containment
+forecast_revenue frequent_pairs global_rank graph_assortativity
+grouping_sets herfindahl_index hits_scores important_parts k_core
+kendall_tau kmv_distinct label_propagation link_prediction
+local_supplier_volume market_share min_cost_supplier
+pagerank parquet_stats pricing_summary
+priority_shipmode product_profit promo_revenue promo_suppliers
+returned_items rollup salted_join shipping_priority spearman
+sql_interface top1_per_group top_supplier topk_per_group
+triangle_count unpivot volume_shipping waiting_suppliers
+""".split()
+
+#: Global-fit queries excluded from the zero_li differential: the
+#: adopted contract is that a degenerate fit RAISES (empty input ==
+#: constant feature == collinear design — there is nothing to fit, and
+#: a NULL coefficient row would silently poison downstream joins).
+#: Asserted raise-side below, the media-raise pattern.
+ZERO_LI_RAISING = ["ols_regression", "mahalanobis"]
+
+
+def audit_zero() -> int:
+    # Zero-row input slices.  On a 1000-executor cluster a
+    # partition-pruned read (one tenant, one day, one shard) is
+    # ROUTINELY empty; an operator that crashes (driver-side
+    # ``collect()[0]``, 0/0 in a sampling fraction) or diverges from
+    # the oracle (global agg emitting a row vs none) on empty input is
+    # a scale bug the non-empty fixtures can never surface.  Schema is
+    # preserved (``WHERE false`` COPY keeps the parquet schema), so
+    # every plan still resolves — only the row count is zero.
+    rc = 0
+    sf = _stage(
+        "zero_docs",
+        """
+COPY (
+  SELECT * FROM '{base}/documents.parquet' WHERE false
+) TO '{out}/documents.parquet' (FORMAT PARQUET)
+""",
+        "documents",
+    )
+    rc |= _run(sf, NULL_QUERIES + ZERO_DOC_EXTRA)
+    sf = _stage(
+        "zero_events",
+        """
+COPY (
+  SELECT * FROM '{base}/events.parquet' WHERE false
+) TO '{out}/events.parquet' (FORMAT PARQUET)
+""",
+        "events",
+    )
+    rc |= _run(sf, NEG_QUERIES + ZERO_EVT_EXTRA)
+    sf = _stage(
+        "zero_emb",
+        """
+COPY (
+  SELECT * FROM '{base}/embeddings.parquet' WHERE false
+) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+""",
+        "embeddings",
+    )
+    rc |= _run(sf, ZERO_EMB_QUERIES)
+    sf = _stage(
+        "zero_li",
+        """
+COPY (
+  SELECT * FROM '{base}/lineitem.parquet' WHERE false
+) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
+""",
+        "lineitem",
+    )
+    rc |= _run(sf, ZERO_LI_QUERIES)
+    rc |= _assert_raises(sf, tuple(ZERO_LI_RAISING), "empty relation")
+    return rc
+
+
+def _assert_raises(sf: str, names: tuple, what: str) -> int:
+    """Engine-side contract check (no oracle): the named queries must
+    RAISE on this doctored slice (e.g. media builders on a NULL
+    payload; global fits on an empty relation)."""
     import importlib.util
 
     if REPO not in sys.path:
@@ -274,22 +399,28 @@ def _assert_media_raises(sf: str) -> int:
     )
     entrymod = importlib.util.module_from_spec(spec)
     sys.modules["entrymod"] = entrymod
-    spec.loader.exec_module(entrymod)
     from blueforty___etl_data_pipeline_spark.session import get_spark
 
-    spark = get_spark(app_name="fragility-null-media")
+    spec.loader.exec_module(entrymod)
+    spark = get_spark(app_name="fragility-raise-checks")
     spark.sparkContext.setLogLevel("ERROR")
     failures = []
-    for name in ("media_sniff", "multimodal_decode_real"):
+    for name in names:
         try:
             entrymod.queries()[name](spark, sf).write.mode(
                 "overwrite"
             ).format("noop").save()
             failures.append(name)
-            print(f"FAIL {name}: completed on NULL payload (must raise)")
+            print(f"FAIL {name}: completed on {what} (must raise)")
         except Exception as exc:  # noqa: BLE001 — raising IS the pass
-            print(f"PASS {name}: raised {type(exc).__name__} on NULL payload")
+            print(f"PASS {name}: raised {type(exc).__name__} on {what}")
     return 1 if failures else 0
+
+
+def _assert_media_raises(sf: str) -> int:
+    return _assert_raises(
+        sf, ("media_sniff", "multimodal_decode_real"), "NULL payload"
+    )
 
 
 def main() -> None:
@@ -310,6 +441,9 @@ def main() -> None:
     if mode in ("null", "all"):
         print("=== null-text audit (round-14 NULL contract) ===")
         rc |= audit_null()
+    if mode in ("zero", "all"):
+        print("=== zero-row audit (empty documents / events slices) ===")
+        rc |= audit_zero()
     sys.exit(rc)
 
 
