@@ -50,10 +50,18 @@ def constraint_violations(
     - ``foreign_key:c→ref`` — rows with all key parts non-null and no
       match in the referenced table.
     """
+    # Every SUM-backed rule coalesces to 0: a global SUM over an
+    # EMPTY relation (a routinely-empty partition-pruned slice, or an
+    # empty WAP staging write) is NULL, and a NULL count would slip
+    # through every `n_violations > 0` audit gate silently — zero rows
+    # have zero violations, so say 0.
     aggs = []
     for c in not_null:
         aggs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)),
+                F.lit(0),
+            )
             .cast("bigint")
             .alias(f"not_null:{c}")
         )
@@ -67,8 +75,13 @@ def constraint_violations(
     for c, (lo, hi) in (in_range or {}).items():
         v = F.col(c)
         aggs.append(
-            F.sum(
-                F.when(v.isNotNull() & ((v < lo) | (v > hi)), 1).otherwise(0)
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        v.isNotNull() & ((v < lo) | (v > hi)), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             )
             .cast("bigint")
             .alias(f"in_range:{c}")
@@ -76,8 +89,13 @@ def constraint_violations(
     for c, vals in (accepted_values or {}).items():
         v = F.col(c)
         aggs.append(
-            F.sum(
-                F.when(v.isNotNull() & ~v.isin(list(vals)), 1).otherwise(0)
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        v.isNotNull() & ~v.isin(list(vals)), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             )
             .cast("bigint")
             .alias(f"accepted_values:{c}")

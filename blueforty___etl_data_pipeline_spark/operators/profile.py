@@ -235,9 +235,19 @@ def profile_table(
                 F.unix_micros(F.max(c).cast("timestamp")).cast("string"),
             )
         if t == "double" or t == "float":
+            # NULL-guarded: Java's Formatter stringifies a null arg as
+            # "null" and then applies the %.2f precision to IT, so an
+            # empty (or all-NULL) column would print the string "nu"
+            # instead of propagating NULL (zero-row audit find).
             return (
-                F.format_string("%.2f", F.min(c)),
-                F.format_string("%.2f", F.max(c)),
+                F.when(
+                    F.min(c).isNotNull(),
+                    F.format_string("%.2f", F.min(c)),
+                ),
+                F.when(
+                    F.max(c).isNotNull(),
+                    F.format_string("%.2f", F.max(c)),
+                ),
             )
         return F.min(c).cast("string"), F.max(c).cast("string")
 
@@ -1272,7 +1282,11 @@ def permutation_test(
         ).alias("diff_b"),
     )
     j = diffs.crossJoin(F.broadcast(obs))
-    counted = j.agg(
+    # Constant-key GROUPED aggregate: on an empty input slice (no rows
+    # in either group) there are no permutation diffs, and the result
+    # must be EMPTY (rows iff data) — a global agg would fabricate one
+    # all-NULL row the oracle doesn't emit.
+    counted = j.groupBy(F.lit(1).alias("_g")).agg(
         F.max("na").alias("na"),
         F.max("nb").alias("nb"),
         F.max("diff_obs").alias("diff_obs"),
@@ -1284,7 +1298,7 @@ def permutation_test(
         F.count("*").alias("n_used"),
     )
     e6 = 1000000.0 / scale
-    return counted.select(
+    return counted.drop("_g").select(
         F.col("na").cast("long").alias("n_a"),
         F.col("nb").cast("long").alias("n_b"),
         F.floor(F.lit(e6) * F.col("diff_obs")).cast("long").alias(

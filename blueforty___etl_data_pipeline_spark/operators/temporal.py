@@ -775,7 +775,12 @@ def holt_smoothing(
         F.col(t_col).cast("long").alias("_t"),
         F.col(x_col).cast("long").alias("_x"),
     )
-    folded = series.agg(
+    # Constant-key GROUPED aggregate, not a global agg: a grouped agg
+    # emits NO row on empty input, so an empty partition-pruned slice
+    # yields an empty forecast (rows iff data) instead of a fabricated
+    # all-NULL row — matching the oracle's recursive CTE, which seeds
+    # from `WHERE i = 1` and produces nothing on an empty series.
+    folded = series.groupBy(F.lit(1).alias("_g")).agg(
         F.expr(
             f"""
             aggregate(

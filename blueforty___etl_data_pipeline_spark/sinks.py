@@ -48,6 +48,18 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+    if partition_by:
+        # Zero-row schema sidecar: a PARTITIONED save of an empty
+        # frame (a routinely-empty partition-pruned slice upstream)
+        # writes NO data files, so a later read of `path` has nothing
+        # to infer a schema from.  The sidecar always carries the full
+        # row schema (partition columns as data columns); read_back
+        # prefers it — which also skips footer-based schema inference
+        # on large tables.  Underscore-prefixed, so data scans of
+        # `path` ignore it.
+        df.limit(0).write.mode("overwrite").format(fmt).save(
+            f"{path.rstrip('/')}/_schema"
+        )
 
 
 def save_as_table(
@@ -105,8 +117,24 @@ def insert_append(
 
 
 def read_back(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
-    """Re-open a materialized table (round-trip helper for tests/bench)."""
-    return spark.read.format(fmt).load(path)
+    """Re-open a materialized table (round-trip helper for tests/bench).
+
+    Prefers the ``_schema`` sidecar written by :func:`write_table` for
+    partitioned tables: an empty partitioned table has no data files
+    (schema inference fails without it), and on large tables the
+    explicit schema skips footer-based inference.  Falls back to
+    normal inference for tables written without a sidecar."""
+    reader = spark.read.format(fmt)
+    try:
+        sidecar = (
+            spark.read.format(fmt)
+            .load(f"{path.rstrip('/')}/_schema")
+            .schema
+        )
+        reader = reader.schema(sidecar)
+    except Exception:
+        pass
+    return reader.load(path)
 
 
 def merge_upsert(

@@ -199,9 +199,19 @@ def parse_avro(data: bytes) -> tuple[dict, list[dict]]:
     return schema, records
 
 
-def read_avro(spark: SparkSession, path_glob: str) -> DataFrame:
+def read_avro(
+    spark: SparkSession, path_glob: str, schema: dict | None = None
+) -> DataFrame:
     """Distributed Avro scan: one container per task; output columns
-    are the schema's fields (long → bigint, string → string)."""
+    are the schema's fields (long → bigint, string → string).
+
+    ``schema`` (an Avro record schema dict) is optional: when given it
+    is used directly — no driver-side peek, and an EMPTY match (a
+    legitimately empty shard set after partition pruning) yields an
+    empty frame with the right columns.  Without it the schema is
+    peeked from the first container (Avro is self-describing), and a
+    zero-file match raises, since there is nothing to describe the
+    output columns."""
     base, leaf = os.path.split(path_glob)
     reader = spark.read.format("binaryFile")
     if any(ch in leaf for ch in "*?["):
@@ -209,12 +219,14 @@ def read_avro(spark: SparkSession, path_glob: str) -> DataFrame:
     else:
         files = reader.load(path_glob)
 
-    # peek one file on the driver for the output schema (metadata-only,
-    # same trick as spark.read.json schema inference but O(1 file))
-    first = files.select("content").limit(1).collect()
-    if not first:
-        raise ValueError(f"no avro files under {path_glob}")
-    schema, _ = parse_avro(bytes(first[0][0]))
+    if schema is None:
+        # peek one file on the driver for the output schema
+        # (metadata-only, same trick as spark.read.json schema
+        # inference but O(1 file))
+        first = files.select("content").limit(1).collect()
+        if not first:
+            raise ValueError(f"no avro files under {path_glob}")
+        schema, _ = parse_avro(bytes(first[0][0]))
     kinds = _field_kinds(schema)
     out_schema = ", ".join(
         f"{n} {'bigint' if t == 'long' else 'string'}"

@@ -255,3 +255,31 @@ def test_t_closeness_emd_flags_skewed_class(spark):
 
     with _pytest.raises(ValueError, match="bin_width"):
         t_closeness(df, ["grp"], "val", bin_width=0)
+
+
+def test_constraint_violations_zero_on_empty_relation(spark):
+    # Zero-row audit (round 14): SUM-backed rules must report 0 on an
+    # empty relation, never NULL — `NULL > 0` is false, so a NULL
+    # count slips through every audit gate (the WAP release gate
+    # published an unaudited version before this fix).
+    from blueforty___etl_data_pipeline_spark.operators.constraints import (
+        constraint_violations,
+    )
+
+    empty = spark.createDataFrame([], "k long, v long, s string")
+    got = {
+        r["rule"]: r["n_violations"]
+        for r in constraint_violations(
+            empty,
+            not_null=("k",),
+            unique=(("k",),),
+            in_range={"v": (0, 10)},
+            accepted_values={"s": ("a", "b")},
+        ).collect()
+    }
+    assert got == {
+        "not_null:k": 0,
+        "unique:k": 0,
+        "in_range:v": 0,
+        "accepted_values:s": 0,
+    }

@@ -2514,3 +2514,28 @@ def test_tfrecord_crc32c_vectors_and_corruption():
 
     with pytest.raises(ValueError):
         parse_tfrecords(blob[:10])
+
+
+def test_empty_partitioned_ctas_roundtrips(spark, tmp_path):
+    # Zero-row audit (round 14): a partitioned save of an EMPTY frame
+    # writes no data files, so read-back schema inference fails unless
+    # write_table's _schema sidecar carries the row schema.  Appending
+    # real rows later must still work under the sidecar schema.
+    from blueforty___etl_data_pipeline_spark.sinks import (
+        insert_append,
+        read_back,
+        write_table,
+    )
+
+    path = str(tmp_path / "empty_ctas")
+    empty = spark.createDataFrame([], "k long, part string")
+    write_table(empty, path, partition_by=("part",))
+    back = read_back(spark, path)
+    assert back.count() == 0
+    assert set(back.columns) == {"k", "part"}
+
+    rows = spark.createDataFrame([(1, "a"), (2, "b")], "k long, part string")
+    insert_append(rows, path, partition_by=("part",))
+    assert sorted(
+        (r["k"], r["part"]) for r in read_back(spark, path).collect()
+    ) == [(1, "a"), (2, "b")]

@@ -50,10 +50,13 @@ with the explicit Java-semantics class ``[ \\t\\n\\x0b\\f\\r]``, and
 the ws doctoring below now injects VT bytes so the parity is
 regression-gated rather than argued.
 
-- ``zero`` — zero-row slices of ``documents`` / ``events`` (schema
-  preserved).  A partition-pruned read on a real cluster is routinely
-  empty; operators must neither crash (driver-side ``collect()[0]``,
-  0/0 sampling fractions) nor diverge from the oracle on empty input.
+- ``zero`` — zero-row slices of every table family (``documents``,
+  ``events``, ``embeddings``, ``lineitem``, ``orders``, ``customer``,
+  and ``part``+``supplier`` together), schema preserved.  A
+  partition-pruned read on a real cluster is routinely empty;
+  operators must neither crash (driver-side ``collect()[0]``, 0/0
+  sampling fractions) nor diverge from the oracle on empty input, and
+  sink roundtrips must survive writing-then-reading an empty relation.
 
 Usage: python tools/fragility_audit.py [ws|neg|edge|uni|null|zero|all]
 """
@@ -101,16 +104,20 @@ ips_eval cuped_eval streaming_ewma herfindahl_index
 """.split()
 
 
-def _stage(mode: str, doctor_sql: str, table: str) -> str:
+def _stage(mode: str, doctor_sql: str, table) -> str:
+    doctored = (table,) if isinstance(table, str) else tuple(table)
     out = os.path.join(REPO, ".tmp", "fragility", mode)
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
-        if t == table:
+        if t in doctored:
             continue
         dst = os.path.join(out, f"{t}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(BASE, f"{t}.parquet"), dst)
-    duckdb.connect().execute(doctor_sql.format(base=BASE, out=out))
+    con = duckdb.connect()
+    for stmt in doctor_sql.format(base=BASE, out=out).split(";"):
+        if stmt.strip():
+            con.execute(stmt)
     return out
 
 
@@ -324,6 +331,48 @@ sql_interface top1_per_group top_supplier topk_per_group
 triangle_count unpivot volume_shipping waiting_suppliers
 """.split()
 
+#: Every orders-consumer (oracle-level `FROM/JOIN orders` scan): the
+#: order-level analytics, the calendar-spine forecasters whose
+#: min/max date ranges go NULL, and — deliberately — the sink
+#: ROUNDTRIPS (CTAS, MERGE, WAP, sqlite/xlsx), which must write an
+#: empty relation and read it back without losing the schema.
+ZERO_ORD_QUERIES = """
+acf_daily constraint_violations ctas_roundtrip customer_distribution
+exists_subquery fk_containment gaps_islands golden_record
+grouped_median having_filter holt_forecast jackknife_se ks_test
+link_prediction local_supplier_volume luhn_mask mann_whitney
+market_share mase_eval merge_upsert null_safe_join outer_join_agg
+permutation_test pivot priority_shipmode product_profit profile_table
+returned_items scalar_subquery schema_drift semi_anti_join
+sequence_gaps shipping_priority sqlite_roundtrip stl_decompose
+theil_sen volume_shipping waiting_suppliers wap_publish
+weighted_topk_sample window_analytics woe_encoding xlsx_roundtrip
+xml_shred
+""".split()
+
+#: Every customer-consumer: the geo family (empty probe side of the
+#: broadcast BNLJ), anonymization cuts (k-anonymity thresholds from
+#: data), format roundtrips, and the streaming dim-enrich twin.
+ZERO_CUST_QUERIES = """
+arrow_ipc_roundtrip avro_roundtrip closest_stations
+closest_stations_grid constraint_violations customer_distribution
+distinct fd_check fs_weights geohash_tiles having_filter hilbert_key
+k_anonymity local_supplier_volume market_share ntile_windows
+order_by_limit outer_join_agg point_in_polygon record_linkage
+returned_items scalar_subquery semi_anti_join set_ops
+shipping_priority sorted_neighborhood streaming_enrich t_closeness
+target_encode volume_shipping zorder_key zstd_roundtrip
+""".split()
+
+#: part+supplier consumers not already exercised above — both dims
+#: emptied in ONE stage (empty dimension == empty broadcast side).
+ZERO_DIM_QUERIES = """
+bloom_semi_join cleaning_scalars cms_frequency csv_roundtrip
+disjunctive_pred frequent_pairs fuzzy_join herfindahl_index
+jdbc_roundtrip min_cost_supplier orc_roundtrip pareto_front
+promo_revenue promo_suppliers salted_join skyline top_supplier
+""".split()
+
 #: Global-fit queries excluded from the zero_li differential: the
 #: adopted contract is that a degenerate fit RAISES (empty input ==
 #: constant feature == collinear design — there is nothing to fit, and
@@ -383,6 +432,39 @@ COPY (
     )
     rc |= _run(sf, ZERO_LI_QUERIES)
     rc |= _assert_raises(sf, tuple(ZERO_LI_RAISING), "empty relation")
+    sf = _stage(
+        "zero_orders",
+        """
+COPY (
+  SELECT * FROM '{base}/orders.parquet' WHERE false
+) TO '{out}/orders.parquet' (FORMAT PARQUET)
+""",
+        "orders",
+    )
+    rc |= _run(sf, ZERO_ORD_QUERIES)
+    sf = _stage(
+        "zero_customer",
+        """
+COPY (
+  SELECT * FROM '{base}/customer.parquet' WHERE false
+) TO '{out}/customer.parquet' (FORMAT PARQUET)
+""",
+        "customer",
+    )
+    rc |= _run(sf, ZERO_CUST_QUERIES)
+    sf = _stage(
+        "zero_dims",
+        """
+COPY (
+  SELECT * FROM '{base}/part.parquet' WHERE false
+) TO '{out}/part.parquet' (FORMAT PARQUET);
+COPY (
+  SELECT * FROM '{base}/supplier.parquet' WHERE false
+) TO '{out}/supplier.parquet' (FORMAT PARQUET)
+""",
+        ("part", "supplier"),
+    )
+    rc |= _run(sf, ZERO_DIM_QUERIES)
     return rc
 
 
