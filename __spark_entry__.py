@@ -4245,12 +4245,20 @@ def q_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer micro fixed-point: per query contribute 1e6 div rank (0 if
     absent), MRR = sum div n_queries."""
     _prep(spark)
+    from blueforty___etl_data_pipeline_spark.lineage import cut_lineage
+
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     exact = ann_brute_force(emb, queries, k=2, round_decimals=6)
-    truth = exact.filter(
-        F.col("query_id") != F.col("neighbor_id")
-    ).select("query_id", F.col("neighbor_id").alias("_true"))
+    # The brute-force truth feeds two rank joins and two count aggs; a
+    # lazy lineage cut materializes the O(|queries|·|corpus|) scoring
+    # pass ONCE instead of four times (round-14, guide §5).
+    truth = cut_lineage(
+        exact.filter(F.col("query_id") != F.col("neighbor_id")).select(
+            "query_id", F.col("neighbor_id").alias("_true")
+        ),
+        eager=False,
+    )
 
     def mrr_of(ranked: DataFrame, label: str) -> DataFrame:
         hit = truth.join(
@@ -4357,7 +4365,12 @@ def q_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("score"), F.asc("neighbor_id")
     )
     exact = ann_brute_force(emb, queries, k=4, round_decimals=6)
-    truth = (
+    from blueforty___etl_data_pipeline_spark.lineage import cut_lineage
+
+    # Graded truth feeds two ndcg joins and four qids derivations; a
+    # lazy lineage cut materializes the O(|queries|·|corpus|) scoring
+    # pass ONCE instead of six times (round-14, guide §5).
+    truth = cut_lineage(
         exact.filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -4371,7 +4384,8 @@ def q_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "CASE _tr WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END"
             ).alias("_gain"),
-        )
+        ),
+        eager=False,
     )
     qids = truth.select("query_id").distinct()
 
@@ -6152,13 +6166,24 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup run.  The exact ground truth runs with the default-on
     hot-shingle cap (``_SHINGLE_CAP``), matching the capped oracle."""
     _prep(spark)
+    from blueforty___etl_data_pipeline_spark.lineage import cut_lineage
+
     docs = _t(spark, sf_dir, "documents")
-    truth = ngram_jaccard_pairs(
-        docs, threshold=0.5, max_candidates_per_shingle=_SHINGLE_CAP
-    ).select("id_a", "id_b")
-    cand = minhash_lsh_pairs(
-        docs, num_hashes=_MH_NUM, bands=_MH_BANDS, impl="arrow"
-    ).select("id_a", "id_b")
+    # Both pair sets feed the hit join AND their own count agg; lazy
+    # lineage cuts run the exact-Jaccard and MinHash pipelines ONCE
+    # each instead of twice (round-14, guide §5).
+    truth = cut_lineage(
+        ngram_jaccard_pairs(
+            docs, threshold=0.5, max_candidates_per_shingle=_SHINGLE_CAP
+        ).select("id_a", "id_b"),
+        eager=False,
+    )
+    cand = cut_lineage(
+        minhash_lsh_pairs(
+            docs, num_hashes=_MH_NUM, bands=_MH_BANDS, impl="arrow"
+        ).select("id_a", "id_b"),
+        eager=False,
+    )
     hit = truth.join(cand, on=["id_a", "id_b"], how="inner")
     nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))

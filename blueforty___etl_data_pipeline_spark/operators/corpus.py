@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import ngrams, tokens_ws
+from ..lineage import cut_lineage
 from .dedup import shingle_hashes
 
 
@@ -885,9 +886,21 @@ def naive_bayes_classify(
     class) pairs take the smoothing floor ``ln(1/(n_c + V))`` via a
     left join onto the class grid.
 
-    Scale shape: the weight table is |vocab|×|classes| (bounded,
-    broadcast); scoring is one token explode, one broadcast join, one
-    (doc, class) sum — hash-partitioned, no quadratic anywhere.
+    Scale shape (round-14 single-pass rewrite): the corpus is exploded
+    exactly TWICE — once to build the (class, token) count table (cut
+    and materialized: it is |vocab|×|classes|, bounded) and once to
+    score — plus one column-pruned label scan for the priors.  The
+    previous formulation re-derived every statistic from the raw
+    explode, and because each DataFrame reference re-expands its whole
+    subtree, the physical plan re-scanned and re-tokenized the corpus
+    32 times.  Per-class smoothing floors and priors are bounded
+    (|classes| rows): Spark computes them (bit-identical ``floor(1e6 ·
+    ln ...)``), the driver collects them, and scoring folds them in as
+    literals — so classification is one broadcast join (token →
+    per-class weight row) and ONE (doc) aggregation with a per-class
+    sum each, no tokens×classes row expansion and no second shuffle
+    for the argmax/runner-up (computed with array expressions over the
+    bounded per-class score columns).
 
     Returns (id, actual, predicted, margin_e6); ``margin_e6`` is the
     winning score minus the runner-up (0 when single-class).
@@ -898,9 +911,13 @@ def naive_bayes_classify(
         F.col(label_col).alias("_y"),
         F.explode(tokens_ws(F.col(text_col))).alias("tok"),
     )
-    ntc = toks.groupBy("_y", "tok").agg(F.count(F.lit(1)).alias("ntc"))
-    nc = toks.groupBy("_y").agg(F.count(F.lit(1)).alias("nc"))
-    vocab_n = toks.select("tok").distinct().agg(
+    # One corpus explode; everything the trainer needs derives from
+    # this bounded table, so cut it (guide §5: truncate reused plans).
+    ntc = cut_lineage(
+        toks.groupBy("_y", "tok").agg(F.count(F.lit(1)).alias("ntc"))
+    )
+    nc = ntc.groupBy("_y").agg(F.sum("ntc").alias("nc"))
+    vocab_n = ntc.select("tok").distinct().agg(
         F.count(F.lit(1)).alias("v")
     )
     classes = nc.crossJoin(F.broadcast(vocab_n)).select(
@@ -913,17 +930,6 @@ def naive_bayes_classify(
                 F.lit(1.0) / (F.col("nc") + F.col("v")).cast("double")
             )
         ).cast("long").alias("floor_e6"),
-    )
-    w = ntc.join(classes, ntc["_y"] == classes["cls"]).select(
-        "cls",
-        "tok",
-        F.floor(
-            F.lit(1e6)
-            * F.log(
-                (F.col("ntc") + 1).cast("double")
-                / (F.col("nc") + F.col("v")).cast("double")
-            )
-        ).cast("long").alias("w_e6"),
     )
     ndocs = df.agg(F.count(F.lit(1)).alias("d"))
     prior = (
@@ -940,43 +946,95 @@ def naive_bayes_classify(
             ).cast("long").alias("prior_e6"),
         )
     )
+    # Bounded per-class constants: NULL-labelled rows never survive the
+    # original inner prior join, so only non-NULL classes score.
+    floors = {
+        r["cls"]: r["floor_e6"]
+        for r in classes.select("cls", "floor_e6").collect()
+        if r["cls"] is not None
+    }
+    priors = {
+        r["cls"]: r["prior_e6"]
+        for r in prior.collect()
+        if r["cls"] is not None
+    }
+    # Ascending class order: UTF-8 byte order == code-point order, so
+    # Python's sort matches Spark's MIN(cls) tie-break exactly.
+    cls_list = sorted(floors)
+    if not cls_list:  # empty corpus / all labels NULL
+        return df.select(
+            F.col(id_col),
+            F.col(label_col).alias("actual"),
+            F.col(label_col).alias("predicted"),
+            F.lit(0).cast("long").alias("margin_e6"),
+        ).limit(0)
+    w = ntc.join(classes, ntc["_y"] == classes["cls"]).select(
+        "cls",
+        "tok",
+        F.floor(
+            F.lit(1e6)
+            * F.log(
+                (F.col("ntc") + 1).cast("double")
+                / (F.col("nc") + F.col("v")).cast("double")
+            )
+        ).cast("long").alias("w_e6"),
+    )
+    # token → one row of per-class weights (|vocab| rows, broadcast)
+    wpiv = w.groupBy("tok").agg(
+        *[
+            F.max(
+                F.when(F.col("cls") == F.lit(c), F.col("w_e6"))
+            ).alias(f"_w{i}")
+            for i, c in enumerate(cls_list)
+        ]
+    )
     scored = (
-        toks.crossJoin(
-            F.broadcast(classes.select("cls", "floor_e6"))
-        )
-        .join(F.broadcast(w), ["cls", "tok"], "left")
-        .groupBy("_id", "_y", "cls")
+        toks.join(F.broadcast(wpiv), "tok", "left")
+        .groupBy("_id", "_y")
         .agg(
-            F.sum(
-                F.coalesce(F.col("w_e6"), F.col("floor_e6"))
-            ).alias("s")
+            *[
+                F.sum(
+                    F.coalesce(F.col(f"_w{i}"), F.lit(floors[c]))
+                ).alias(f"_s{i}")
+                for i, c in enumerate(cls_list)
+            ]
         )
-        .join(F.broadcast(prior), "cls")
         .select(
-            "_id", "_y", "cls",
-            (F.col("s") + F.col("prior_e6")).alias("s"),
+            "_id",
+            "_y",
+            F.array(
+                *[
+                    F.struct(
+                        (F.col(f"_s{i}") + F.lit(priors[c])).alias("s"),
+                        F.lit(c).alias("cls"),
+                    )
+                    for i, c in enumerate(cls_list)
+                ]
+            ).alias("_arr"),
+        )
+        .withColumn(
+            "_smax",
+            F.array_max(F.transform("_arr", lambda x: x["s"])),
         )
     )
-    per_doc = scored.groupBy("_id", "_y").agg(F.max("s").alias("smax"))
-    top = (
-        per_doc.join(scored, ["_id", "_y"])
-        .filter(F.col("s") == F.col("smax"))
-        .groupBy("_id", "_y", "smax")
-        .agg(F.min("cls").alias("predicted"))
-    )
-    runner = (
-        scored.join(per_doc.select("_id", "smax"), "_id")
-        .filter(F.col("s") < F.col("smax"))
-        .groupBy("_id")
-        .agg(F.max("s").alias("s2"))
-    )
-    return top.join(runner, "_id", "left").select(
+    return scored.select(
         F.col("_id").alias(id_col),
         F.col("_y").alias("actual"),
-        "predicted",
-        (F.col("smax") - F.coalesce(F.col("s2"), F.col("smax"))).alias(
-            "margin_e6"
-        ),
+        F.element_at(
+            F.filter("_arr", lambda x: x["s"] == F.col("_smax")), 1
+        )["cls"].alias("predicted"),
+        (
+            F.col("_smax")
+            - F.coalesce(
+                F.array_max(
+                    F.filter(
+                        F.transform("_arr", lambda x: x["s"]),
+                        lambda s: s < F.col("_smax"),
+                    )
+                ),
+                F.col("_smax"),
+            )
+        ).alias("margin_e6"),
     )
 
 

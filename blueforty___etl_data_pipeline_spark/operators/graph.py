@@ -842,57 +842,54 @@ def hits_fixed_point(
         "node", F.lit(scale).cast("bigint").alias("hub_e9")
     ).transform(cut_lineage)
     auth = None
+
+    def _renorm(raw: DataFrame, mx: DataFrame, out_col: str, last: bool):
+        # Mid-round scores for no-in/out-edge nodes are EXACTLY 0 and a
+        # 0 contributes nothing to the next sum and never wins the max
+        # (raw sums are positive), so the nodes zero-fill join is a
+        # semantic no-op until the FINAL round, which must report every
+        # node (round-14, guide §2.4: two joins per round removed).
+        scaled = F.expr(
+            f"CAST((CAST({scale} AS DECIMAL(38,0)) * _r)"
+            " div _m AS BIGINT)"
+        )
+        if not last:
+            return raw.crossJoin(F.broadcast(mx)).select(
+                "node", scaled.alias(out_col)
+            )
+        return (
+            nodes.join(raw, on="node", how="left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                F.when(F.col("_r").isNull(), F.lit(0).cast("bigint"))
+                .otherwise(scaled)
+                .alias(out_col),
+            )
+        )
+
     for i in range(rounds):
+        last = i == rounds - 1
         araw = (
             e.join(hub, e["u"] == hub["node"])
             .groupBy(F.col("v").alias("node"))
             .agg(F.sum(F.col("hub_e9").cast(d38)).alias("_r"))
         )
         amax = araw.agg(F.max("_r").alias("_m"))
-        new_auth = (
-            nodes.join(araw, on="node", how="left")
-            .crossJoin(F.broadcast(amax))
-            .select(
-                "node",
-                F.when(F.col("_r").isNull(), F.lit(0).cast("bigint"))
-                .otherwise(
-                    F.expr(
-                        f"CAST((CAST({scale} AS DECIMAL(38,0)) * _r)"
-                        " div _m AS BIGINT)"
-                    )
-                )
-                .alias("auth_e9"),
-            )
-        )
         # cut_lineage EVERY phase (not persist): persist leaves the
         # full logical plan in place, so six phases of nested joins +
         # broadcast crossJoins blow up Catalyst analysis memory on a
         # default-1g bare driver (observed java OOM at rounds=3,
         # 2k nodes).  Scores are node-cardinality, so the checkpoint
         # is cheap; lineage stays one phase deep.
-        auth = new_auth.transform(cut_lineage)
+        auth = _renorm(araw, amax, "auth_e9", last).transform(cut_lineage)
         hraw = (
             e.join(auth, e["v"] == auth["node"])
             .groupBy(F.col("u").alias("node"))
             .agg(F.sum(F.col("auth_e9").cast(d38)).alias("_r"))
         )
         hmax = hraw.agg(F.max("_r").alias("_m"))
-        new_hub = (
-            nodes.join(hraw, on="node", how="left")
-            .crossJoin(F.broadcast(hmax))
-            .select(
-                "node",
-                F.when(F.col("_r").isNull(), F.lit(0).cast("bigint"))
-                .otherwise(
-                    F.expr(
-                        f"CAST((CAST({scale} AS DECIMAL(38,0)) * _r)"
-                        " div _m AS BIGINT)"
-                    )
-                )
-                .alias("hub_e9"),
-            )
-        )
-        hub = new_hub.transform(cut_lineage)
+        hub = _renorm(hraw, hmax, "hub_e9", last).transform(cut_lineage)
     out = hub.join(auth, on="node").transform(cut_lineage)
     e.unpersist()
     nodes.unpersist()
