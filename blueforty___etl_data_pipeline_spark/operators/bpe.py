@@ -87,14 +87,25 @@ def bpe_train(
     _sql_bpe_train, which unrolls the same rounds as chained CTEs).
     """
     spark = df.sparkSession
-    state = _initial_state(word_counts(df, text_col, min_count))
-    state = state.persist()
-    state.count()  # materialize round-0 state once
+    base = _initial_state(word_counts(df, text_col, min_count))
+    base = base.persist()
+    base.count()  # materialize round-0 state once
     merges: list[tuple[int, str, str, int]] = []
-    prev = state
+    # Fold learned merges into a LAZY replace chain over the persisted
+    # base instead of persisting + counting a new frame every round:
+    # each round then costs exactly ONE job (the top-1 collect, which
+    # re-applies at most ``materialize_every`` literal replaces map-side
+    # over the cached vocabulary-bounded state — pure codegen, far
+    # cheaper than a per-round cache materialization pass).  The chain
+    # is re-materialized every ``materialize_every`` merges so the
+    # expression depth stays bounded for large merge budgets
+    # (round-14, guide §1.2: fewer passes over the same state).
+    materialize_every = 8
+    chain = F.col("sym")
+    applied = 0
     try:
         for step in range(num_merges):
-            pairs = prev.select(
+            pairs = base.select(chain.alias("sym"), "cnt").select(
                 F.expr(_PAIRS_EXPR).alias("p"), "cnt"
             ).select(
                 F.col("p")["0"].alias("lhs"),
@@ -118,22 +129,19 @@ def bpe_train(
                 top[0]["pair_count"],
             )
             merges.append((step, lhs, rhs, int(pc)))
-            nxt = prev.select(
-                F.replace(
-                    F.col("sym"),
-                    F.lit(lhs + SEP + rhs),
-                    F.lit(lhs + rhs),
-                ).alias("sym"),
-                "cnt",
-            ).persist()
-            nxt.count()  # cut lineage growth across rounds
-            if prev is not state:
-                prev.unpersist()
-            prev = nxt
+            chain = F.replace(
+                chain, F.lit(lhs + SEP + rhs), F.lit(lhs + rhs)
+            )
+            applied += 1
+            if applied >= materialize_every and step < num_merges - 1:
+                nxt = base.select(chain.alias("sym"), "cnt").persist()
+                nxt.count()  # bound the replace-chain depth
+                base.unpersist()
+                base = nxt
+                chain = F.col("sym")
+                applied = 0
     finally:
-        if prev is not state:
-            prev.unpersist()
-        state.unpersist()
+        base.unpersist()
     return spark.createDataFrame(
         [
             (step, lhs, rhs, lhs + rhs, pc)

@@ -258,26 +258,30 @@ def flatten_hierarchy(
     ).transform(cut_lineage)
     done = None
     for _ in range(max_depth + 1):
-        step = frontier.join(
-            e, frontier["_anc"] == e["_c"], how="left"
-        ).select(
-            "node",
-            F.col("_p").alias("_next"),
-            "depth",
-            F.col("_anc"),
+        # Cut the JOINED step once per round: the resolved and frontier
+        # branches are both filters over the materialized step, so the
+        # round's join runs exactly once, and the returned `done` union
+        # reads checkpointed rounds instead of replaying every join
+        # against a by-then-unpersisted edge table (round-14: the old
+        # shape re-scanned the source once per round at consumption).
+        step = cut_lineage(
+            frontier.join(
+                e, frontier["_anc"] == e["_c"], how="left"
+            ).select(
+                "node",
+                F.col("_p").alias("_next"),
+                "depth",
+                F.col("_anc"),
+            )
         )
         resolved = step.filter(F.col("_next").isNull()).select(
             "node", F.col("_anc").alias("root"), "depth"
         )
         done = resolved if done is None else done.unionByName(resolved)
-        frontier = (
-            step.filter(F.col("_next").isNotNull())
-            .select(
-                "node",
-                F.col("_next").alias("_anc"),
-                (F.col("depth") + 1).alias("depth"),
-            )
-            .transform(cut_lineage)
+        frontier = step.filter(F.col("_next").isNotNull()).select(
+            "node",
+            F.col("_next").alias("_anc"),
+            (F.col("depth") + 1).alias("depth"),
         )
         if not frontier.take(1):
             break
@@ -761,15 +765,20 @@ def bfs_hops(
     )
     frontier = dist.select("node")
     for r in range(1, rounds + 1):
-        nxt = (
+        # Cut only the per-round frontier: the visited set is a lazy
+        # union of already-checkpointed rounds, so re-materializing the
+        # WHOLE monotone set every round (the old shape) is pure waste —
+        # each anti-join probe reads checkpointed blocks either way
+        # (round-14; one materialization job per round removed).
+        nxt = cut_lineage(
             frontier.join(both, frontier["node"] == both["a"])
             .select(F.col("b").alias("node"))
             .distinct()
             .join(dist.select("node"), "node", "left_anti")
             .withColumn("hops", F.lit(r).cast("int"))
         )
-        dist = dist.unionAll(nxt).transform(cut_lineage)
-        frontier = nxt.select("node").transform(cut_lineage)
+        dist = dist.unionAll(nxt)
+        frontier = nxt.select("node")
     # converged iff expanding the final frontier reaches nothing new
     n_new = (
         frontier.join(both, frontier["node"] == both["a"])
