@@ -564,7 +564,15 @@ def grid_density_clusters(
         .cast("long")
         .alias("cy"),
     )
-    cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n"))
+    # The cell table is value-domain-bounded and fans out to ~12
+    # downstream references (9 neighbor shifts, the edge join's build
+    # side, the cluster join, the noise rollup), each of which would
+    # re-run the full point scan + aggregation; one lazy lineage cut
+    # makes the corpus pass run exactly once (round-14, guide §5).
+    cells = cut_lineage(
+        pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n")),
+        eager=False,
+    )
     # Collision-free cell key: (cx + 2^30)·2^31 + cy + 2^30 is
     # injective for cx, cy ∈ [−2^30, 2^30) and fits a signed 64-bit
     # long (max ≈ 2^62) — coordinates to ±6.7e7 at scale=16.  It is
