@@ -506,9 +506,15 @@ def resource_allocation_pairs(
     Returns (item_a, item_b, n_common, ra_score_e6) with
     ``item_a < item_b``, filtered to ``n_common >= min_common``.
     """
-    e = edges.select(
-        F.col(hub_col).alias("hub"), F.col(item_col).alias("item")
-    ).distinct()
+    # The distinct edge set feeds the degree agg and BOTH pair sides;
+    # a lazy cut runs the dedup shuffle once instead of three times
+    # (round-14, guide §5).
+    e = cut_lineage(
+        edges.select(
+            F.col(hub_col).alias("hub"), F.col(item_col).alias("item")
+        ).distinct(),
+        eager=False,
+    )
     deg = e.groupBy("hub").agg(F.count(F.lit(1)).alias("deg"))
     if max_degree is not None:
         deg = deg.filter(F.col("deg") <= max_degree)

@@ -781,11 +781,15 @@ def fk_containment(
         .filter(F.col("_v").isNotNull())
         .distinct()
     )
-    matched = c.join(p, on="_v", how="left_semi")
+    # One pass: a left join against the distinct parent set (no row
+    # multiplication — p is distinct) carries a match flag, so both
+    # counts come from a single aggregation instead of evaluating the
+    # child-distinct shuffle twice (semi-join + count) — round-14.
     return (
-        c.agg(F.count(F.lit(1)).alias("n_child_distinct"))
-        .crossJoin(
-            F.broadcast(matched.agg(F.count(F.lit(1)).alias("n_matched")))
+        c.join(p.withColumn("_m", F.lit(1)), on="_v", how="left")
+        .agg(
+            F.count(F.lit(1)).alias("n_child_distinct"),
+            F.count("_m").alias("n_matched"),
         )
         .select(
             "n_child_distinct",
