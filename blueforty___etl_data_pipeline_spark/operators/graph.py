@@ -79,25 +79,24 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("comp").alias("nbr_min"))
         )
+        # Carry a per-node _changed flag through the checkpoint so the
+        # convergence probe is a filter over the materialized round
+        # instead of a self-join of two label tables (round-14: one
+        # join per round removed).
+        new_comp = F.least(
+            F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
+        )
         new_labels = (
             labels.join(nbr_min, on="node", how="left")
             .select(
                 "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
-                ).alias("comp"),
+                new_comp.alias("comp"),
+                (new_comp != F.col("comp")).alias("_changed"),
             )
             .transform(cut_lineage)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.select("node", "comp")
+        if not new_labels.filter(F.col("_changed")).take(1):
             break
     edges.unpersist()
     p.unpersist()
