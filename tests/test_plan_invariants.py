@@ -264,9 +264,13 @@ def test_round11_expensive_query_plan_pins(spark):
     assert "CartesianProduct" not in p
 
     # density_clusters: grid-DBSCAN's neighborhood join is a cell
-    # equi-join (hash join), never a coordinate cross product
+    # equi-join (hash join), never a coordinate cross product.  Since
+    # round 14 the cell table is lineage-cut (the corpus pass runs
+    # once), so the neighborhood join executes eagerly inside
+    # connected_components and the visible plan is the cluster join
+    # over checkpointed cells — still an equi-join, never a product.
     p = _fmt(qs["density_clusters"](spark, sf))
-    assert "BroadcastHashJoin" in p
+    assert "Join" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
 
@@ -290,9 +294,26 @@ def test_round11_expensive_query_plan_pins(spark):
     assert "CartesianProduct" not in p
 
     # lsh_recall: signatures are Arrow-batched MapInPandas (never
-    # row-at-a-time Python), candidates from bucket equi-joins
+    # row-at-a-time Python), candidates from bucket equi-joins.  Since
+    # round 14 the truth/candidate pair sets are lineage-cut (each
+    # pipeline runs once, not twice), so the MapInPandas node lives in
+    # the cut subtree — pin it on the candidate pipeline directly and
+    # keep the no-row-Python / no-product pins on the visible plan.
+    from blueforty___etl_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from blueforty___etl_data_pipeline_spark.sources.catalog import (
+        load_table,
+    )
+
+    cp = _fmt(
+        minhash_lsh_pairs(
+            load_table(spark, sf, "documents"), impl="arrow"
+        )
+    )
+    assert "MapInPandas" in cp
+    assert "BatchEvalPython" not in cp and "CartesianProduct" not in cp
     p = _fmt(qs["lsh_recall"](spark, sf))
-    assert "MapInPandas" in p
     assert "BatchEvalPython" not in p and "CartesianProduct" not in p
 
     # bitext_mine: margins rank through WindowGroupLimit (top-k
