@@ -2172,6 +2172,69 @@ _STATESTORE_STOP_WARNED = False
 _STAGED_STREAM_SOURCES: set[str] = set()
 
 
+def _stream_partitions_for(src: str, current: int) -> int:
+    """Scale-adaptive shuffle/state partition count for a streaming
+    drain over the staged source at ``src``.
+
+    Structured Streaming pins its state-store partition count to
+    ``spark.sql.shuffle.partitions`` at first-batch planning and AQE
+    never re-coalesces stateful exchanges, so every stateful operator
+    pays per-batch load/commit cost on ALL ``N`` state partitions even
+    when the drained data would fit in one (guide §2.1/§2.2; VERDICT
+    r14 #2: the 32-partition default made the streaming family the
+    bench's largest fixed-overhead block).  Derive the count from the
+    staged input size — one partition per ~32 MB, floored at 8
+    (profiled at sf0.1: 4 starved the Python-stateful drains
+    [applyInPandasWithState], whose cost is per-row work, while the
+    join drains' state-commit fixed cost was already flat between 4
+    and 8), capped at the session's configured
+    ``spark.sql.shuffle.partitions`` so a cluster submitter's sizing
+    still wins at scale.  ``SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS``
+    overrides for deployments whose state size is not input-
+    proportional.  Partitioning only changes WHERE a key's state
+    lives, never per-key results, so emissions are identical.
+    """
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    try:
+        size = sum(
+            os.path.getsize(os.path.join(src, f))
+            for f in os.listdir(src)
+            if f.startswith("part-")
+        )
+    except OSError:
+        return current
+    return min(current, max(8, size // (32 << 20) + 1))
+
+
+class _scoped_stream_partitions:
+    """Set shuffle partitions for the duration of a streaming drain and
+    restore the session value afterwards (the conf is read at stream
+    start; queries run strictly sequentially in the bench/driver)."""
+
+    def __init__(self, spark: SparkSession, src: str) -> None:
+        self._spark = spark
+        self._src = src
+
+    def __enter__(self) -> None:
+        self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
+        tgt = _stream_partitions_for(self._src, int(self._old))
+        self._spark.conf.set("spark.sql.shuffle.partitions", str(tgt))
+
+    def __exit__(self, *exc) -> None:
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
+
+
+def _start_drained(writer, spark: SparkSession, src: str) -> None:
+    """Start an availableNow writer under the scale-adaptive partition
+    scope and block until the drain completes (the shared tail of
+    every streaming query in this module)."""
+    with _scoped_stream_partitions(spark, src):
+        q = writer.start()
+        _await_streaming(q)
+
+
 def _stage_stream_source(df: DataFrame, name: str, sf_dir: str) -> str:
     """Materialize a batch DF as the parquet source of a streaming
     query, once per (name, scale dir) per process, and return its path.
@@ -2213,14 +2276,14 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=("event_type",),
         aggs=[F.count(F.lit(1)).alias("n_events")],
     )
-    q = (
+    _start_drained(
         agg.writeStream.format("memory")
         .queryName("q_streaming_sliding_sink")
         .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        spark,
+        src,
     )
-    _await_streaming(q)
     return spark.table("q_streaming_sliding_sink").select(
         F.unix_micros(F.col("window_start")).alias("window_start_us"),
         "event_type",
@@ -2257,14 +2320,14 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(F.col("value") * 1000000)).alias("value_micros"),
         ],
     )
-    q = (
+    _start_drained(
         agg.writeStream.format("memory")
         .queryName("q_streaming_tumbling_sink")
         .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        spark,
+        src,
     )
-    _await_streaming(q)
     return spark.table("q_streaming_tumbling_sink").select(
         F.unix_micros(F.col("window_start")).alias("window_start_us"),
         "event_type",
@@ -2296,14 +2359,14 @@ def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(F.col("value") * 1000000)).alias("value_micros"),
         ],
     )
-    q = (
+    _start_drained(
         agg.writeStream.format("memory")
         .queryName("q_streaming_session_sink")
         .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        spark,
+        src,
     )
-    _await_streaming(q)
     return spark.table("q_streaming_session_sink").select(
         "user_id",
         F.unix_micros(F.col("session_start")).alias("session_start_us"),
@@ -2328,14 +2391,14 @@ def q_streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _stage_stream_source(ev, "events_stats", sf_dir)
     stream = spark.readStream.schema(ev.schema).parquet(src)
     out = running_user_stats_exact(stream)
-    q = (
+    _start_drained(
         out.writeStream.format("memory")
         .queryName("q_streaming_user_stats_sink")
         .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        spark,
+        src,
     )
-    _await_streaming(q)
     return (
         spark.table("q_streaming_user_stats_sink")
         .groupBy("user_id")
@@ -2362,14 +2425,14 @@ def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _stage_stream_source(ev, "events_topk", sf_dir)
     stream = spark.readStream.schema(ev.schema).parquet(src)
     out = running_topk_events(stream)
-    q = (
+    _start_drained(
         out.writeStream.format("memory")
         .queryName("q_streaming_topk_sink")
         .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        spark,
+        src,
     )
-    _await_streaming(q)
     sink = spark.table("q_streaming_topk_sink")
     last = sink.groupBy(F.col("user_id").alias("uid")).agg(
         F.max("n_seen").alias("mx")
@@ -2524,7 +2587,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _stage_stream_source(doubled, "events_dedup", sf_dir)
     stream = spark.readStream.schema(ev.schema).parquet(src)
     out = streaming_dedup(stream, ("event_id",), watermark="3650 days")
-    q = (
+    _start_drained(
         out.select(
             "event_id",
             "user_id",
@@ -2534,10 +2597,10 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .writeStream.format("memory")
         .queryName("q_streaming_dedup_sink")
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        spark,
+        src,
     )
-    _await_streaming(q)
     return spark.table("q_streaming_dedup_sink")
 
 
@@ -2570,15 +2633,15 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_stopword_ratio=0.01,
     ).withColumn("ts", F.current_timestamp())
     deduped = streaming_dedup(gated, ("doc_id",), watermark="3650 days")
-    q = (
+    _start_drained(
         deduped.select("doc_id", "lang", "source", "n_chars")
         .writeStream.format("memory")
         .queryName("q_streaming_ingest_sink")
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        spark,
+        src,
     )
-    _await_streaming(q)
     return spark.table("q_streaming_ingest_sink")
 
 
@@ -2879,14 +2942,14 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("ts")).alias("view_ts_us"),
         F.unix_micros(F.col("ts_r")).alias("click_ts_us"),
     )
-    q = (
+    _start_drained(
         out.writeStream.format("memory")
         .queryName("q_streaming_join_sink")
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        spark,
+        src,
     )
-    _await_streaming(q)
     return spark.table("q_streaming_join_sink")
 
 
@@ -18748,14 +18811,14 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_micros"
         ),
     )
-    q = (
+    _start_drained(
         agg.writeStream.format("memory")
         .queryName("q_streaming_enrich_sink")
         .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        spark,
+        src,
     )
-    _await_streaming(q)
     return spark.table("q_streaming_enrich_sink")
 
 
@@ -18807,15 +18870,16 @@ def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.col("ts")).alias("ts_us"),
         )
     )
-    q = streaming_upsert_sink(
-        stream,
-        target,
-        key_cols=("user_id",),
-        order_col="event_id",
-        checkpoint_dir=ckpt,
-        trigger_available_now=True,
-    )
-    _await_streaming(q)
+    with _scoped_stream_partitions(spark, src):
+        q = streaming_upsert_sink(
+            stream,
+            target,
+            key_cols=("user_id",),
+            order_col="event_id",
+            checkpoint_dir=ckpt,
+            trigger_available_now=True,
+        )
+        _await_streaming(q)
     return spark.read.parquet(target).select(
         "user_id", "event_id", "event_type", "ts_us"
     )
@@ -20010,14 +20074,14 @@ def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("ts")).alias("view_ts_us"),
         F.unix_micros(F.col("ts_r")).alias("click_ts_us"),
     )
-    q = (
+    _start_drained(
         out.writeStream.format("memory")
         .queryName("q_streaming_outer_join_sink")
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        spark,
+        src,
     )
-    _await_streaming(q)
     return spark.table("q_streaming_outer_join_sink")
 
 
@@ -20461,15 +20525,15 @@ def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = (
+    _start_drained(
         streaming_ewma(stream)
         .writeStream.format("memory")
         .queryName("q_streaming_ewma_sink")
         .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        spark,
+        src,
     )
-    _await_streaming(q)
     return spark.table("q_streaming_ewma_sink").select(
         "event_type", "hr", "n", "ewma"
     )

@@ -135,7 +135,14 @@ def bpe_train(
             applied += 1
             if applied >= materialize_every and step < num_merges - 1:
                 nxt = base.select(chain.alias("sym"), "cnt").persist()
-                nxt.count()  # bound the replace-chain depth
+                try:
+                    nxt.count()  # bound the replace-chain depth
+                except Exception:
+                    # The finally below only covers ``base``; a failed
+                    # materialization would otherwise leak the
+                    # partially-cached ``nxt`` blocks (ADVICE r14).
+                    nxt.unpersist()
+                    raise
                 base.unpersist()
                 base = nxt
                 chain = F.col("sym")

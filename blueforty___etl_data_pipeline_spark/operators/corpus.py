@@ -867,6 +867,13 @@ def hashed_features(
 
 
 
+#: Hard cap on distinct classes for naive_bayes_classify's literal-fold
+#: scoring path: one agg column + one array-struct element per class,
+#: so plans stay well inside codegen limits (64KB methods split fine at
+#: this width; thousands of columns would not) — ADVICE r14.
+_NB_MAX_CLASSES = 256
+
+
 def naive_bayes_classify(
     df: DataFrame,
     text_col: str = "text",
@@ -905,6 +912,15 @@ def naive_bayes_classify(
     Returns (id, actual, predicted, margin_e6); ``margin_e6`` is the
     winning score minus the runner-up (0 when single-class).
     Tie-break: max score, then lexicographically smallest class.
+
+    NOTE (ADVICE r14): unlike the other lazy builders, this operator
+    runs Spark jobs at DataFrame-BUILD time — the (class, token) count
+    table is materialized eagerly and the bounded per-class floors /
+    priors are collected as literals.  The literal fold emits one agg
+    column + one array-struct element per class, so Catalyst/codegen
+    cost grows with |classes|; the operator refuses label columns with
+    more than ``_NB_MAX_CLASSES`` distinct non-NULL classes rather
+    than degrade into a thousands-of-columns plan.
     """
     toks = df.select(
         F.col(id_col).alias("_id"),
@@ -948,19 +964,34 @@ def naive_bayes_classify(
     )
     # Bounded per-class constants: NULL-labelled rows never survive the
     # original inner prior join, so only non-NULL classes score.
-    floors = {
-        r["cls"]: r["floor_e6"]
-        for r in classes.select("cls", "floor_e6").collect()
-        if r["cls"] is not None
-    }
+    # The tie-break ordering is computed IN SPARK (orderBy on the
+    # bounded class table), never re-derived with Python's sort: the
+    # two disagree on float labels containing NaN (Python sort is
+    # undefined; Spark orders NaN largest) and on any type whose
+    # Python ordering differs from Spark's (ADVICE r14).
+    cls_rows = (
+        classes.select("cls", "floor_e6")
+        .filter(F.col("cls").isNotNull())
+        .orderBy("cls")
+        .collect()
+    )
+    if len(cls_rows) > _NB_MAX_CLASSES:
+        raise ValueError(
+            f"naive_bayes_classify: label column {label_col!r} has "
+            f"{len(cls_rows)} distinct classes; the literal-fold "
+            f"scoring path emits one agg column per class and is "
+            f"capped at {_NB_MAX_CLASSES} to keep Catalyst/codegen "
+            "bounded (ADVICE r14)"
+        )
+    floors = {r["cls"]: r["floor_e6"] for r in cls_rows}
     priors = {
         r["cls"]: r["prior_e6"]
         for r in prior.collect()
         if r["cls"] is not None
     }
-    # Ascending class order: UTF-8 byte order == code-point order, so
-    # Python's sort matches Spark's MIN(cls) tie-break exactly.
-    cls_list = sorted(floors)
+    # Ascending class order as Spark sorted it — matches the oracle's
+    # MIN(cls) tie-break for every orderable label type.
+    cls_list = [r["cls"] for r in cls_rows]
     if not cls_list:  # empty corpus / all labels NULL
         return df.select(
             F.col(id_col),

@@ -532,32 +532,18 @@ def resource_allocation_pairs(
     )
 
 
-def grid_density_clusters(
+def _grid_dense_cells(
     points: DataFrame,
     x_col: str,
     y_col: str,
-    scale: int = 16,
-    min_pts: int = 4,
-) -> DataFrame:
-    """Density-based clustering in the GRID approximation of DBSCAN:
-    bucket points into cells of side ``1/scale``, keep cells holding
-    ≥ ``min_pts`` points (the core-density test), connect dense cells
-    that touch (8-neighborhood), and resolve clusters as connected
-    components.  Points in sparse cells are noise.
-
-    This is the form of DBSCAN that actually distributes: the
-    ε-neighbor search becomes an equi-join on cell keys (9 bounded
-    offsets), never a distance self-join, and the component loop runs
-    over the DENSE-CELL graph — whose size is bounded by the occupied
-    value domain, not by row count.  ``scale`` MUST be a power of two:
-    float×2^k is exact in IEEE doubles, so cell assignment has no
-    rounding ambiguity across engines.
-
-    Output: one row per cluster — (cluster_id = min cell id in the
-    component, n_cells, n_points, min_cx, max_cx, min_cy, max_cy) —
-    plus one ``cluster_id = -1`` noise row with the sparse-cell point
-    count.  Single dense cells with no dense neighbor form their own
-    singleton cluster.
+    scale: int,
+    min_pts: int,
+    cut: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Cell binning + density gate of :func:`grid_density_clusters`:
+    returns ``(cells, dense)``.  ``cut=False`` exists ONLY so the plan
+    pin can inspect the pre-cut pipeline (a cut subtree is invisible
+    to explain — VERDICT r14 #6); production callers keep the cut.
     """
     if scale & (scale - 1):
         raise ValueError("scale must be a power of two (exact binning)")
@@ -574,10 +560,9 @@ def grid_density_clusters(
     # side, the cluster join, the noise rollup), each of which would
     # re-run the full point scan + aggregation; one lazy lineage cut
     # makes the corpus pass run exactly once (round-14, guide §5).
-    cells = cut_lineage(
-        pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n")),
-        eager=False,
-    )
+    cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n"))
+    if cut:
+        cells = cut_lineage(cells, eager=False)
     # Collision-free cell key: (cx + 2^30)·2^31 + cy + 2^30 is
     # injective for cx, cy ∈ [−2^30, 2^30) and fits a signed 64-bit
     # long (max ≈ 2^62) — coordinates to ±6.7e7 at scale=16.  It is
@@ -605,6 +590,17 @@ def grid_density_clusters(
             (F.col("cx") + _lim) * F.lit(1 << 31) + F.col("cy") + _lim
         ),
     )
+    return cells, dense
+
+
+def _grid_cell_edges(dense: DataFrame) -> DataFrame:
+    """8-neighborhood edges between dense cells: each cell's 9 shifted
+    copies equi-join the cell table on the shifted coordinates — a
+    hash join on bounded keys, NEVER a coordinate cross product.
+    Split out of :func:`grid_density_clusters` so the plan pin can
+    assert that shape directly (the subtree executes inside
+    connected_components behind a lineage cut and is invisible in the
+    final query's explain — VERDICT r14 #6)."""
     offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
     shifted = None
     for dx, dy in offsets:
@@ -614,7 +610,7 @@ def grid_density_clusters(
             F.col("cell_id").alias("id_a"),
         )
         shifted = s if shifted is None else shifted.unionByName(s)
-    edges = (
+    return (
         shifted.join(
             dense.select(
                 F.col("cx").alias("ncx"),
@@ -626,6 +622,40 @@ def grid_density_clusters(
         .select("id_a", "id_b")  # includes self-loops: keeps singleton
         .distinct()              # dense cells in the component output
     )
+
+
+def grid_density_clusters(
+    points: DataFrame,
+    x_col: str,
+    y_col: str,
+    scale: int = 16,
+    min_pts: int = 4,
+    _cut: bool = True,
+) -> DataFrame:
+    """Density-based clustering in the GRID approximation of DBSCAN:
+    bucket points into cells of side ``1/scale``, keep cells holding
+    ≥ ``min_pts`` points (the core-density test), connect dense cells
+    that touch (8-neighborhood), and resolve clusters as connected
+    components.  Points in sparse cells are noise.
+
+    This is the form of DBSCAN that actually distributes: the
+    ε-neighbor search becomes an equi-join on cell keys (9 bounded
+    offsets), never a distance self-join, and the component loop runs
+    over the DENSE-CELL graph — whose size is bounded by the occupied
+    value domain, not by row count.  ``scale`` MUST be a power of two:
+    float×2^k is exact in IEEE doubles, so cell assignment has no
+    rounding ambiguity across engines.
+
+    Output: one row per cluster — (cluster_id = min cell id in the
+    component, n_cells, n_points, min_cx, max_cx, min_cy, max_cy) —
+    plus one ``cluster_id = -1`` noise row with the sparse-cell point
+    count.  Single dense cells with no dense neighbor form their own
+    singleton cluster.
+    """
+    cells, dense = _grid_dense_cells(
+        points, x_col, y_col, scale, min_pts, cut=_cut
+    )
+    edges = _grid_cell_edges(dense)
     comp = connected_components(edges, "id_a", "id_b")
     clustered = dense.join(
         comp, dense["cell_id"] == comp["node"]

@@ -609,6 +609,26 @@ def test_naive_bayes_separable_corpus(spark):
     assert all(r["predicted"] == "only" and r["margin_e6"] == 0 for r in res)
 
 
+def test_naive_bayes_class_count_cap(spark):
+    # ADVICE r14: the literal-fold scoring path emits one agg column +
+    # one array element per class; a high-cardinality label column must
+    # refuse loudly instead of building a thousands-of-columns plan.
+    import pytest
+
+    from blueforty___etl_data_pipeline_spark.operators.corpus import (
+        _NB_MAX_CLASSES,
+        naive_bayes_classify,
+    )
+
+    rows = [(i, "tok%d common" % i, "cls%04d" % i)
+            for i in range(_NB_MAX_CLASSES + 1)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    with pytest.raises(ValueError, match="distinct classes"):
+        naive_bayes_classify(df)
+
+
 def test_detect_charset_branches():
     from blueforty___etl_data_pipeline_spark.operators.text_ops import (
         detect_charset,

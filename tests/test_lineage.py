@@ -15,6 +15,7 @@ the shared session's localCheckpoint run.
 
 from __future__ import annotations
 
+import pytest
 import json
 import os
 import subprocess
@@ -100,6 +101,7 @@ spark.stop()
 """
 
 
+@pytest.mark.slow
 def test_cut_lineage_reliable_path_identical_results(spark, tmp_path):
     """Fresh subprocess session WITH a checkpoint dir: the iterative
     operators must take the reliable checkpoint path (files appear in

@@ -20,6 +20,7 @@ Python filter or an accidental cartesian.
 
 from __future__ import annotations
 
+import pytest
 import contextlib
 import io
 import os
@@ -32,6 +33,7 @@ SF_DIR = "/root/testdata/sf0.001"
 FORBIDDEN = ("BatchEvalPython", "CartesianProduct")
 
 
+@pytest.mark.slow
 def test_no_row_udfs_or_cartesians_anywhere(spark):
     import __spark_entry__ as entrymod
 
@@ -108,6 +110,7 @@ def _feeding_single_partition_windows(plan: str) -> list[int]:
     return bad
 
 
+@pytest.mark.slow
 def test_every_unpartitioned_window_is_allowlisted(spark):
     """Hardened form of the invariant below (VERDICT r9 item 3): ANY
     Window whose partition spec is empty (its feeding Exchange is
@@ -159,6 +162,7 @@ def test_every_unpartitioned_window_is_allowlisted(spark):
     )
 
 
+@pytest.mark.slow
 def test_no_single_partition_window_over_unaggregated_input(spark):
     """Third forbidden pattern: a partition-less Window (its shuffle is
     Exchange SinglePartition) whose subtree contains NO aggregate —
@@ -265,10 +269,32 @@ def test_round11_expensive_query_plan_pins(spark):
 
     # density_clusters: grid-DBSCAN's neighborhood join is a cell
     # equi-join (hash join), never a coordinate cross product.  Since
-    # round 14 the cell table is lineage-cut (the corpus pass runs
-    # once), so the neighborhood join executes eagerly inside
-    # connected_components and the visible plan is the cluster join
-    # over checkpointed cells — still an equi-join, never a product.
+    # round 14 the cell table is lineage-cut and the neighborhood join
+    # executes inside connected_components, invisible in the final
+    # explain — so pin the PRE-CUT edge pipeline directly (VERDICT r14
+    # #6, mirroring the lsh_recall MapInPandas retarget below): build
+    # cells/dense without the cut and assert the 9-shift neighbor join
+    # is a broadcast hash join with no product anywhere.
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.operators.graph import (
+        _grid_cell_edges,
+        _grid_dense_cells,
+    )
+    from blueforty___etl_data_pipeline_spark.sources.catalog import (
+        load_table as _load,
+    )
+
+    emb_xy = _load(spark, sf, "embeddings").select(
+        F.col("embedding").getItem(0).alias("x"),
+        F.col("embedding").getItem(1).alias("y"),
+    )
+    _, dense_pre = _grid_dense_cells(emb_xy, "x", "y", 16, 4, cut=False)
+    ep = _fmt(_grid_cell_edges(dense_pre))
+    assert "BroadcastHashJoin" in ep
+    assert "CartesianProduct" not in ep
+    assert "BroadcastNestedLoopJoin" not in ep
+    # …and keep the no-product guarantee on the visible final plan.
     p = _fmt(qs["density_clusters"](spark, sf))
     assert "Join" in p
     assert "CartesianProduct" not in p

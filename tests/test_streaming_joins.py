@@ -3,6 +3,8 @@ availableNow triggers (streaming/joins.py)."""
 
 from __future__ import annotations
 
+import pytest
+
 from datetime import datetime
 
 from pyspark.sql import functions as F
@@ -91,6 +93,7 @@ def test_stream_static_join_enriches_per_batch(spark, tmp_path):
     assert got == {1: "paid", 9: None}  # left join keeps unmatched
 
 
+@pytest.mark.slow
 def test_stream_stream_left_outer_emission_boundary(spark, tmp_path):
     """leftOuter: an unmatched left row emits (null right) iff the
     FINAL watermark strictly passes left_ts + lag.  Pins the strict
@@ -132,6 +135,7 @@ def test_stream_stream_left_outer_emission_boundary(spark, tmp_path):
     assert got == [(0, None)]
 
 
+@pytest.mark.slow
 def test_streaming_state_shapes_in_executed_plans(spark, tmp_path):
     """State-shape pins for the streaming family (VERDICT r10 item 7):
     PLANS.md claims the stream-stream join runs as

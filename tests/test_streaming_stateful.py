@@ -60,6 +60,7 @@ def test_streaming_dedup_batch_fallback(spark, sf_small):
     assert out.count() == ev.count()
 
 
+@pytest.mark.slow
 def test_running_user_stats_stateful(spark, events_stream_dir):
     path, ev = events_stream_dir
     stream = spark.readStream.schema(ev.schema).parquet(path)
@@ -108,6 +109,7 @@ def test_streaming_windowed_counts_matches_batch(spark, events_stream_dir):
     assert total == ev.count()
 
 
+@pytest.mark.slow
 def test_watermark_drops_late_rows_across_restarts(spark, tmp_path):
     # Two availableNow runs sharing one checkpoint: the watermark advances
     # in run 1, finalizes the 10:00 window, and run 2's late row (behind
@@ -202,6 +204,7 @@ def test_streaming_upsert_sink_merges_each_batch(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_running_user_stats_exact_matches_batch_group_by(spark, sf_small, tmp_path):
     # Integer-micros state commutes across micro-batches: force MULTIPLE
     # batches (maxFilesPerTrigger=1 over a multi-file source) and assert
@@ -280,6 +283,7 @@ def test_session_window_streaming_state_shape(spark, tmp_path):
     assert ops and "session" in ops[0]["operatorName"].lower(), ops
 
 
+@pytest.mark.slow
 def test_streaming_tumbling_state_shape_bounded(spark, sf_small, tmp_path):
     """Round-12 state pin (VERDICT r11 item 6): the streaming tumbling
     aggregation must run through the state store (stateStoreSave), and
@@ -318,6 +322,7 @@ def test_streaming_tumbling_state_shape_bounded(spark, sf_small, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_streaming_topk_state_bounded_by_users(spark, sf_small, tmp_path):
     """Round-12 state pin: running_topk_events keeps exactly ONE state
     entry per user (k pairs + a counter inside it), so the state row
@@ -347,6 +352,7 @@ def test_streaming_topk_state_bounded_by_users(spark, sf_small, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_running_topk_events_matches_batch_topk(spark, sf_small, tmp_path):
     # Top-k state under FORCED multi-micro-batch splits: the final
     # (max n_seen) emission per user must equal the batch top-3 by
@@ -402,6 +408,7 @@ def test_running_topk_events_matches_batch_topk(spark, sf_small, tmp_path):
     assert got == exp
 
 
+@pytest.mark.slow
 def test_streaming_ewma_matches_batch_fold_multibatch(
     spark, sf_small, tmp_path
 ):
@@ -456,6 +463,7 @@ def test_streaming_ewma_matches_batch_fold_multibatch(
     assert got == exp
 
 
+@pytest.mark.slow
 def test_streaming_ewma_negative_values_trunc_parity(spark, tmp_path):
     """Round-13 regression (ADVICE r12): the Python state fold must
     TRUNCATE like the batch twin's Spark ``div`` (and DuckDB ``//``),
@@ -514,3 +522,53 @@ def test_streaming_ewma_negative_values_trunc_parity(spark, tmp_path):
     }
     assert got == exp
     assert got[2] == -5  # trunc(-22/4); a floor fold would emit -6
+
+
+def test_stream_partition_scope_is_adaptive_and_restores(spark, tmp_path):
+    # Round-15 (guide §2.1/§2.2, VERDICT r14 #2): streaming drains pin
+    # their state-store partition count to spark.sql.shuffle.partitions
+    # at start, so the entry scopes a scale-adaptive value around each
+    # drain.  Pin the derivation (floor 8, ~32 MB/partition, capped at
+    # the session conf, env override wins) and that the scope restores
+    # the session value even on error.
+    import os as _os
+
+    from __spark_entry__ import (
+        _scoped_stream_partitions,
+        _stream_partitions_for,
+    )
+
+    src = str(tmp_path / "staged")
+    spark.range(10).write.parquet(src)
+    # tiny staged source -> the floor (8: profiled at sf0.1, see
+    # _stream_partitions_for)
+    assert _stream_partitions_for(src, 32) == 8
+    # capped at the session's configured value
+    assert _stream_partitions_for(src, 2) == 2
+    # ~32 MB per partition once the source is big (synthesized sizes)
+    big = str(tmp_path / "big")
+    _os.makedirs(big)
+    with open(_os.path.join(big, "part-0"), "wb") as f:
+        f.truncate(400 << 20)  # sparse 400 MB
+    assert _stream_partitions_for(big, 32) == 13
+    assert _stream_partitions_for(big, 4) == 4
+    # env override wins
+    _os.environ["SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS"] = "9"
+    try:
+        assert _stream_partitions_for(src, 32) == 9
+    finally:
+        del _os.environ["SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS"]
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    expected = str(_stream_partitions_for(src, int(before)))
+    with _scoped_stream_partitions(spark, src):
+        assert (
+            spark.conf.get("spark.sql.shuffle.partitions") == expected
+        )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    try:
+        with _scoped_stream_partitions(spark, src):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from blueforty___etl_data_pipeline_spark.sources.catalog import load_table
@@ -152,6 +153,7 @@ def test_streaming_session_window_available_now(spark, sf_small, tmp_path):
     assert bad == 0
 
 
+@pytest.mark.slow
 def test_streaming_update_mode_incremental_counts(spark, sf_small, tmp_path):
     # outputMode('update'): only groups changed by the micro-batch are
     # emitted.  Split the fixture into two file batches; the union of
@@ -356,6 +358,7 @@ def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
     assert len(by_doc[3]) <= 3
 
 
+@pytest.mark.slow
 def test_exact_global_rank_property(spark):
     """Property (hypothesis): for arbitrary value multisets — heavy
     ties, negatives, constants — and arbitrary chunk counts, the
@@ -395,6 +398,7 @@ def test_exact_global_rank_property(spark):
     check()
 
 
+@pytest.mark.slow
 def test_skyline_2d_dominance_and_ties(spark):
     """skyline_2d (round 11): strict dominance, same-x and same-y
     ties, and coordinate duplicates — checked against the hand-worked
@@ -421,6 +425,7 @@ def test_skyline_2d_dominance_and_ties(spark):
         assert got == {1, 2, 3, 7, 8}, (nc, got)
 
 
+@pytest.mark.slow
 def test_density_ratio_outliers_hand_case_and_cap(spark):
     from blueforty___etl_data_pipeline_spark.operators.analytics import (
         density_ratio_outliers,
@@ -547,6 +552,7 @@ def test_mutual_information_hand_case(spark):
     assert got == [0, 0, 0, 0]
 
 
+@pytest.mark.slow
 def test_pca_project_2d_known_axes(spark):
     from blueforty___etl_data_pipeline_spark.operators.analytics import (
         pca_project_2d,

@@ -81,6 +81,10 @@ def main() -> None:
         "sf": runs[0]["sf"],
         "protocol": {
             "kind": "median_of_fresh_sessions",
+            "head_commit": subprocess.run(
+                ["git", "rev-parse", "HEAD"], cwd=REPO,
+                capture_output=True, text=True,
+            ).stdout.strip(),
             "n_runs": n_runs,
             "run_totals": [r["value"] for r in runs],
             "max_query_spread_sec": max(spreads.values()),
