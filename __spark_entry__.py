@@ -51,6 +51,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from blueforty___etl_data_pipeline_spark.parallelism import spread_scan
+
 from blueforty___etl_data_pipeline_spark.functions.cleaning import (
     int_flag_to_bool,
     nullif_empty,
@@ -2480,7 +2482,9 @@ def q_ngram_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_model_score,
     )
 
-    return ngram_model_score(_t(spark, sf_dir, "documents"))
+    # Spread the single-row-group scan before the per-row trigram-hash
+    # fold (guide §2.5, round-15); scoring is per-row.
+    return ngram_model_score(spread_scan(_t(spark, sf_dir, "documents")))
 
 
 def _sql_ngram_model_score(n_buckets: int = 1024) -> str:
@@ -3313,8 +3317,10 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         containment_pairs,
     )
 
+    # Spread the single-row-group scan before the per-row shingle
+    # explode (guide §2.5, round-15); pair counts are join-keyed.
     return containment_pairs(
-        _t(spark, sf_dir, "documents"),
+        spread_scan(_t(spark, sf_dir, "documents")),
         max_candidates_per_shingle=_SHINGLE_CAP,
     )
 
@@ -3390,7 +3396,9 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_arrow,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    # Spread the single-row-group scan: the Arrow fingerprint pass
+    # otherwise runs in one Python worker (guide §2.5/§4, round-15).
+    docs = spread_scan(_t(spark, sf_dir, "documents"))
     return simhash_arrow(docs)
 
 
@@ -3399,7 +3407,9 @@ def q_simhash_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_simhash, so the driver proves the two implementations produce
     bit-identical fingerprints."""
     _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
+    # Spread the single-row-group scan before the 60-bit per-row fold
+    # (guide §2.5, round-15); the fingerprint is per-row.
+    docs = spread_scan(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
 
 
@@ -3431,6 +3441,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: band-bucket blocking (pigeonhole: ≤3-bit
     differences must agree on one of 4 bands) + exact Hamming filter."""
     _prep(spark)
+    # Measured-and-rejected (round-15): spread_scan A/B'd 0.66x here —
+    # the whole query is sub-second, so the exchange is pure overhead
+    # (q_simhash keeps the spread: its fingerprint pass dominates).
     docs = _t(spark, sf_dir, "documents")
     # Arrow impl: bit-identical fingerprints (parity-tested), ~2× the
     # fold's throughput; the expr fold stays exercised by q_simhash.
@@ -3602,7 +3615,9 @@ def q_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-permille recall — how a heuristic quality signal gets
     validated before gating a 100 TB corpus on it."""
     _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
+    # Spread the single-row-group scan feeding the per-row lexicon
+    # scoring (guide §2.5, round-15).
+    docs = spread_scan(_t(spark, sf_dir, "documents"))
     pred = language_id(docs).select("doc_id", "lang_pred")
     m = (
         docs.select("doc_id", "lang")
@@ -4310,7 +4325,8 @@ def q_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from blueforty___etl_data_pipeline_spark.lineage import cut_lineage
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # Spread the single-row-group corpus scan (guide §2.5, round-15).
+    emb = spread_scan(_t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     exact = ann_brute_force(emb, queries, k=2, round_decimals=6)
     # The brute-force truth feeds two rank joins and two count aggs; a
@@ -4422,7 +4438,9 @@ def q_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query nDCG is integer permille, and the mean is integer div —
     engine-exact with zero in-engine logarithms."""
     _prep(spark)
-    emb = _t(spark, sf_dir, "embeddings")
+    # Spread the single-row-group corpus scan feeding the brute-force
+    # truth and both candidate generators (guide §2.5, round-15).
+    emb = spread_scan(_t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     wq = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
@@ -4647,6 +4665,9 @@ def q_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann_lsh_multitable,
     )
 
+    # Measured-and-rejected (round-15): spread_scan A/B'd 0.93-0.99x
+    # here — the bucket folds are heavy but the broadcast build
+    # re-executes the exchange subtree, cancelling the spread.
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return ann_lsh_multitable(
@@ -4686,7 +4707,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: strided-sample centroids, nearest-cell assignment,
     nprobe=2 probing — the equi-join scale path for vector search."""
     _prep(spark)
-    emb = _t(spark, sf_dir, "embeddings")
+    # Spread the single-row-group corpus scan feeding the N x k
+    # assignment pass (guide §2.5, round-15).
+    emb = spread_scan(_t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return ann_ivf(emb, queries, k=5, centroid_stride=50, nprobe=2)
 
@@ -4738,7 +4761,8 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheaper + lower recall; higher nprobe → more lists probed, costlier
     + higher recall."""
     _prep(spark)
-    emb = _t(spark, sf_dir, "embeddings")
+    # Spread the single-row-group corpus scan (guide §2.5, round-15).
+    emb = spread_scan(_t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     # The exact result feeds BOTH recall joins and the totals agg — a
     # lazy localCheckpoint materializes the brute-force scan once
@@ -4807,7 +4831,9 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_ivf_index,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # Spread the single-row-group corpus scan feeding the index
+    # build's assignment pass (guide §2.5, round-15).
+    emb = spread_scan(_t(spark, sf_dir, "embeddings"))
     path = os.path.join(SCRATCH, "ivf_index")
     build_ivf_index(emb, path, centroid_stride=50)
     queries = emb.filter(F.col("vec_id") % 100 == 0)
@@ -4824,7 +4850,8 @@ def q_ann_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         rrf_fuse,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # Spread the single-row-group corpus scan (guide §2.5, round-15).
+    emb = spread_scan(_t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     lsh = ann_lsh_bucketed(
         emb, queries, k=5, n_planes=8, dim=64, round_decimals=6
@@ -6231,7 +6258,9 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from blueforty___etl_data_pipeline_spark.lineage import cut_lineage
 
-    docs = _t(spark, sf_dir, "documents")
+    # Spread the single-row-group scan: the MinHash Arrow pass and
+    # the shingle explode otherwise run on one task (guide §2.5, r15).
+    docs = spread_scan(_t(spark, sf_dir, "documents"))
     # Both pair sets feed the hit join AND their own count agg; lazy
     # lineage cuts run the exact-Jaccard and MinHash pipelines ONCE
     # each instead of twice (round-14, guide §5).
@@ -6356,6 +6385,9 @@ def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         hilbert_value,
     )
 
+    # Measured-and-rejected (round-15): spread_scan before the curve
+    # levels A/B'd 0.74x — 15k rows of integer rotates are cheaper
+    # serial than the exchange they'd need to parallelize.
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey",
         (F.col("c_custkey") % 4096).cast("bigint").alias("x"),
@@ -7099,7 +7131,11 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass per-column table profile (nulls, exact distinct,
     min/max reprs) reshaped with stack — no collect, no second scan."""
     _prep(spark)
-    o = _t(spark, sf_dir, "orders")
+    # Single-row-group input: the 6-way countDistinct Expand fuses into
+    # the one scan task and runs serially; spread it first (guide §2.5,
+    # round-15 — A/B 2.9→1.3 s).  Counts/min/max are partition-
+    # invariant.
+    o = spread_scan(_t(spark, sf_dir, "orders"))
     return profile_table(
         o,
         columns=[
@@ -9626,6 +9662,9 @@ def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_pq_search,
     )
 
+    # Measured-and-rejected (round-15): spread_scan A/B'd 0.92-0.95x
+    # here — the codebook/query sides are broadcast subtrees that
+    # re-execute the exchange, cancelling the spread.
     emb = _t(spark, sf_dir, "embeddings")
     cb = emb.filter(
         (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 160)
@@ -10422,7 +10461,10 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the driver's sf0.01/sf0.1 fixtures (max vec_id 1999), so
     results are hash-identical to the uncapped form there."""
     _prep(spark)
-    emb = _t(spark, sf_dir, "embeddings")
+    # Spread the single-row-group corpus scan: every Lloyd round's
+    # N x k assignment otherwise fuses into one scan task (guide §2.5,
+    # round-15); integer centroid sums commute.
+    emb = spread_scan(_t(spark, sf_dir, "embeddings"))
     cents = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
     return kmeans_lloyd(emb, cents, iters=2)
 
@@ -10513,6 +10555,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to the fixed form, and the oracle reproduces the
     same integer rule at any scale."""
     _prep(spark)
+    # Measured-and-rejected (round-15): spread_scan A/B'd 0.86x here —
+    # the centroid side is a broadcast subtree that re-executes the
+    # exchange, cancelling the spread.
     emb = _t(spark, sf_dir, "embeddings")
     stride = max(50, _math.isqrt(emb.count()))
     centroids = emb.filter(F.col("vec_id") % stride == 0)
@@ -10799,7 +10844,9 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr_matrix,
     )
 
-    li = _t(spark, sf_dir, "lineitem")
+    # Spread the single-row-group scan before the exact-decimal moment
+    # products (guide §2.5, round-15); decimal sums commute.
+    li = spread_scan(_t(spark, sf_dir, "lineitem"))
     return corr_matrix(
         li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     )
@@ -10924,7 +10971,9 @@ def q_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_min_estimate,
     )
 
-    li = _t(spark, sf_dir, "lineitem")
+    # Spread the single-row-group scan before the per-row md5 digest
+    # (guide §2.5, round-15); sketch cells are commutative sums.
+    li = spread_scan(_t(spark, sf_dir, "lineitem"))
     sketch = count_min_build(li, "l_partkey", width=256, depth=4)
     probes = (
         _t(spark, sf_dir, "part")
@@ -11141,6 +11190,10 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         spearman_corr,
     )
 
+    # Measured-and-rejected (round-15): spread_scan before the rank
+    # maps A/B'd 0.82x — the map-side work is two column extractions
+    # (the rank groupBys already parallelize post-shuffle), so the
+    # added exchange is pure cost.
     li = _t(spark, sf_dir, "lineitem")
     return spearman_corr(li, "l_quantity", "l_extendedprice")
 
@@ -13769,6 +13822,9 @@ def q_geohash_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         geohash_encode,
     )
 
+    # Measured-and-rejected (round-15): spread_scan before the encode
+    # A/B'd 0.70x — 15k rows of bit interleaving are cheaper serial
+    # than the exchange they'd need to parallelize.
     c = _t(spark, sf_dir, "customer")
     lat = (F.col("c_custkey") * 7919 % 18000) / F.lit(100.0) - F.lit(90.0)
     lon = (F.col("c_custkey") * 104729 % 36000) / F.lit(100.0) - F.lit(
@@ -16050,6 +16106,9 @@ def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ols_fit,
     )
 
+    # Measured-and-rejected (round-15): spread_scan before the moment
+    # aggregate A/B'd 0.88x — the 5-term integer moments are cheap
+    # enough that the serial scan beats scan + exchange + 32 tasks.
     li = _t(spark, sf_dir, "lineitem").select(
         F.expr(
             "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
@@ -17620,12 +17679,17 @@ def q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
         mahalanobis_outliers,
     )
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_quantity").cast("long").alias("qty"),
-        F.expr(
-            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
-            " div 10000"
-        ).alias("price_h"),
+    # Spread the single-row-group scan before the per-row HUGEINT
+    # distance math (guide §2.5, round-15); exact integer moments and
+    # counts are partition-invariant.
+    li = spread_scan(
+        _t(spark, sf_dir, "lineitem").select(
+            F.col("l_quantity").cast("long").alias("qty"),
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS"
+                " BIGINT) div 10000"
+            ).alias("price_h"),
+        )
     )
     return mahalanobis_outliers(li, "qty", "price_h")
 
@@ -17846,7 +17910,9 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_novelty,
     )
 
-    return ngram_novelty(_t(spark, sf_dir, "documents"))
+    # Spread the single-row-group scan before the per-row shingle
+    # explode (guide §2.5, round-15); min-id attribution is exact.
+    return ngram_novelty(spread_scan(_t(spark, sf_dir, "documents")))
 
 
 _SQL_NGRAM_NOVELTY = f"""
@@ -17876,8 +17942,11 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsir_importance,
     )
 
+    # Spread the single-row-group scan feeding the per-row bigram
+    # hashing (guide §2.5, round-15).
     return dsir_importance(
-        _t(spark, sf_dir, "documents"), F.col("source") == "src0"
+        spread_scan(_t(spark, sf_dir, "documents")),
+        F.col("source") == "src0"
     )
 
 
@@ -18519,8 +18588,16 @@ def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # provably complete at gate scale); past target_bucket the LSH
     # tables engage and per-query work stays ~n_tables·target_bucket,
     # constant in corpus size where the brute form was linear.
+    # Spread the stream (query) side of the miner's cross join: at
+    # this scale the blocked path degenerates to the exact brute pass
+    # and ALL |L|·|R| cosines fuse into the left side's one scan task
+    # (guide §2.5, round-15); scores/windows are totally ordered.
     return margin_mine_blocked(
-        emb.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 500)),
+        spread_scan(
+            emb.filter(
+                (F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 500)
+            )
+        ),
         emb.filter(F.col("vec_id") % 2 == 1),
         k=4,
     )

@@ -240,9 +240,14 @@ def test_round11_expensive_query_plan_pins(spark):
     sf = SF_DIR
 
     # ngram_model_score: model inference at scan speed — PLANS.md
-    # claims zero Exchange, zero Generate, whole-stage codegen only
+    # claims zero Generate and no scoring-induced shuffle; since
+    # round 15 the ONLY allowed exchange is the adaptive scan-spread
+    # round-robin (spread_scan, identity at scale), never a hash/range
+    # partitioning from the scorer itself
     p = _fmt(qs["ngram_model_score"](spark, sf))
-    assert "Exchange" not in p and "Generate" not in p
+    assert "Generate" not in p
+    assert "hashpartitioning" not in p and "rangepartitioning" not in p
+    assert p.count("Exchange") <= 2  # tree+details of the one spread
     assert "Join" not in p and "InPandas" not in p
 
     # bpe_segment: merge-chain tokenize is map-only — the only

@@ -414,3 +414,36 @@ def test_parquet_footer_stats_match_truth(spark, tmp_path):
 
     # footer-only contract: row-group granularity exists (>= 3 files)
     assert stats.select("file").distinct().count() == 3
+
+
+def test_spread_scan_adaptive_repartition(spark, tmp_path):
+    # Round-15 (guide §2.5): a single-row-group parquet file reads as
+    # ONE task, serializing any compute fused into the scan; the
+    # helper repairs that by round-robin repartitioning to the session
+    # parallelism — and must be an IDENTITY when the scan can already
+    # supply that many tasks (the at-scale path).
+    from pyspark.sql import functions as F
+
+    from blueforty___etl_data_pipeline_spark.parallelism import spread_scan
+
+    src = str(tmp_path / "one_group")
+    spark.range(10_000).coalesce(1).write.parquet(src)
+    df = spark.read.parquet(src)
+    par = spark.sparkContext.defaultParallelism
+
+    out = spread_scan(df)
+    # plan carries the round-robin exchange...
+    assert "RoundRobinPartitioning" in out._jdf.queryExecution().toString()
+    # ...and results are identical as a multiset
+    base = df.groupBy((F.col("id") % 7).alias("k")).count()
+    got = out.groupBy((F.col("id") % 7).alias("k")).count()
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, got.collect())
+    )
+
+    # identity when the estimated scan parallelism covers the session:
+    # many files -> est tasks >= defaultParallelism -> no repartition
+    many = str(tmp_path / "many_files")
+    spark.range(10_000).repartition(par).write.parquet(many)
+    df_many = spark.read.parquet(many)
+    assert spread_scan(df_many) is df_many
